@@ -1,0 +1,41 @@
+"""Time-series query operators (SURVEY.md §2), DataFrame-first."""
+
+from pennsieve_streaming_spark.operators.window import (  # noqa: F401
+    window_query,
+    check_query_limit,
+    QueryLimitExceeded,
+    epoch_rebase,
+)
+from pennsieve_streaming_spark.operators.downsample import (  # noqa: F401
+    should_resample,
+    resample_chunk_params,
+    downsample_minmax_time,
+    downsample_minmax_count,
+    fill_gaps,
+)
+from pennsieve_streaming_spark.operators.gaps import (  # noqa: F401
+    time_gap_threshold,
+    contiguous_spans,
+    samples_to_spans,
+    number_sequentially,
+)
+from pennsieve_streaming_spark.operators.montage import (  # noqa: F401
+    MONTAGE_SCHEMES,
+    montage_pairs,
+    apply_montage,
+    validate_montage,
+    MontageValidationError,
+)
+from pennsieve_streaming_spark.operators.events import (  # noqa: F401
+    event_summary_fixed,
+    event_summary_data_driven,
+    index_events,
+)
+from pennsieve_streaming_spark.operators.spikes import (  # noqa: F401
+    cut_bucket_expr,
+    resample_arrays_minmax,
+    should_send_spikes,
+)
+from pennsieve_streaming_spark.operators.realtime import (  # noqa: F401
+    resample_ingest_segments,
+)

@@ -1,0 +1,164 @@
+"""Min/max pixel downsampling (A1-A3) and gap-fill (W1).
+
+The reference's visually-load-bearing operator: group a per-channel
+sample stream into fixed-size chunks and emit per-chunk (min, max)
+pairs (query/BaseTimeSeriesQuery.scala:58-96). Two Spark-native
+flavors:
+
+- **time-bucketed** (`downsample_minmax_time`): bucket on
+  ``floor((ts-start)/bucket_us)``. One shuffle on (channel, bucket)
+  with full map-side partial aggregation; the scalable default. With
+  ingest layout partitioned by (channel_bucket, time) the shuffle is
+  mostly local.
+- **count-bucketed** (`downsample_minmax_count`): reference-exact
+  arithmetic — chunk size ``round(pixel_us*rate/1e6)`` samples, chunk
+  count ``floor(total/chunk)``, ragged tail dropped
+  (BaseTimeSeriesQuery.scala:69-89). Needs per-channel sample indices
+  (row_number over ts) — a per-channel sort, acceptable because
+  channels partition the data and Spark sorts within partitions.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pennsieve_streaming_spark.datamodel import RESAMPLE_RATIO_THRESHOLD
+
+
+def should_resample(rate_hz: float, pixel_width_us: int) -> bool:
+    """A2 — resample only when >3 samples per pixel
+    (query/TimeSeriesQueryUtils.scala:175-182)."""
+    period_us = 1e6 / rate_hz
+    return pixel_width_us / period_us > RESAMPLE_RATIO_THRESHOLD
+
+
+def resample_chunk_params(
+    pixel_width_us: int, rate_hz: float, duration_us: int
+) -> tuple[int, int, float]:
+    """Reference chunking arithmetic (BaseTimeSeriesQuery.scala:69-85).
+
+    Returns (chunk_size_samples, n_chunks, chunk_time_us):
+      chunk_size = round(pixel_width * rate / 1e6)   [Scala Math.round]
+      n_chunks   = floor(total_points / chunk_size)
+      chunk_time = chunk_size / rate * 1e6
+    """
+    requested = pixel_width_us * rate_hz / 1e6
+    chunk_size = int(math.floor(requested + 0.5))
+    total_points = duration_us / 1e6 * rate_hz
+    n_chunks = int(math.floor(total_points / chunk_size)) if chunk_size else 0
+    chunk_time = chunk_size / rate_hz * 1e6 if chunk_size else 0.0
+    return chunk_size, n_chunks, chunk_time
+
+
+def downsample_minmax_time(
+    samples: DataFrame,
+    start_us: int,
+    end_us: int,
+    bucket_us: int,
+) -> DataFrame:
+    """Time-bucketed min/max downsample.
+
+    Output: (channel, bucket, bucket_start, min_val, max_val, n_samples)
+    sorted-friendly; ``bucket_start = start + bucket*bucket_us``.
+    """
+    bucket = F.floor((F.col("ts") - F.lit(start_us)) / F.lit(bucket_us)).cast("long")
+    return (
+        samples.filter((F.col("ts") >= start_us) & (F.col("ts") < end_us))
+        .withColumn("bucket", bucket)
+        .groupBy("channel", "bucket")
+        .agg(
+            F.min("value").alias("min_val"),
+            F.max("value").alias("max_val"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .withColumn("bucket_start", F.lit(start_us) + F.col("bucket") * F.lit(bucket_us))
+    )
+
+
+def downsample_minmax_count(
+    samples: DataFrame,
+    chunk_size: int,
+    drop_ragged_tail: bool = True,
+) -> DataFrame:
+    """Count-bucketed (reference-exact) min/max downsample.
+
+    Chunks are runs of ``chunk_size`` consecutive samples per channel in
+    ts order; the ragged tail chunk is dropped (reference
+    ``.take(numberOfChunks)`` with n_chunks = floor(total/chunk),
+    BaseTimeSeriesQuery.scala:80-85).
+
+    Output: (channel, bucket, min_val, max_val, n_samples).
+    """
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    idx = F.row_number().over(w) - F.lit(1)
+    df = (
+        samples.withColumn("bucket", F.floor(idx / F.lit(chunk_size)).cast("long"))
+        .groupBy("channel", "bucket")
+        .agg(
+            F.min("value").alias("min_val"),
+            F.max("value").alias("max_val"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+    if drop_ragged_tail:
+        df = df.filter(F.col("n_samples") == chunk_size)
+    return df
+
+
+def fill_gaps(minmax: DataFrame, order_col: str = "bucket") -> DataFrame:
+    """W1 gap fill (query/TimeSeriesQueryUtils.scala:77-108).
+
+    Extend each (min, max) pixel column toward its successor so
+    consecutive pixel columns visually connect. Successor of the last
+    element is its own flipped pair (fillGaps pads with ``flip(last)``,
+    which never alters the last pair — `fillGap` of (a,b) vs (b,a) hits
+    the containment branch).
+
+    Casework (fillGap):
+      contains(either way)      -> unchanged
+      max1 < min2 (disjoint up) -> (min1, min2)
+      min1 > max2 (disjoint dn) -> (max2, max1)
+      overlap                   -> unchanged
+    """
+    w = Window.partitionBy("channel").orderBy(order_col)
+    min2 = F.coalesce(F.lead("min_val").over(w), F.col("max_val"))
+    max2 = F.coalesce(F.lead("max_val").over(w), F.col("min_val"))
+    contains = (
+        ((F.col("min_val") <= min2) & (F.col("max_val") >= max2))
+        | ((min2 <= F.col("min_val")) & (max2 >= F.col("max_val")))
+    )
+    new_min = (
+        F.when(contains, F.col("min_val"))
+        .when(F.col("max_val") < min2, F.col("min_val"))
+        .when(F.col("min_val") > max2, max2)
+        .otherwise(F.col("min_val"))
+    )
+    new_max = (
+        F.when(contains, F.col("max_val"))
+        .when(F.col("max_val") < min2, min2)
+        .when(F.col("min_val") > max2, F.col("max_val"))
+        .otherwise(F.col("max_val"))
+    )
+    return minmax.withColumn("filled_min", new_min).withColumn("filled_max", new_max)
+
+
+def interleave_minmax(minmax: DataFrame, order_col: str = "bucket") -> DataFrame:
+    """Collect per-channel interleaved [min,max,min,max,...] payload
+    arrays, the reference Segment ``data`` wire shape
+    (BaseTimeSeriesQuery.scala:86-88)."""
+    return (
+        minmax.groupBy("channel")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(order_col, "min_val", "max_val"))
+                    ),
+                    lambda s: F.array(s["min_val"], s["max_val"]),
+                )
+            ).alias("data")
+        )
+    )

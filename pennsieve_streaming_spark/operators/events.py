@@ -1,0 +1,113 @@
+"""Event (spike) summarization (A5, P2, W4).
+
+The reference summarizes neural-unit event timestamps per pixel: it
+chunks the sorted per-channel event stream and emits per chunk
+``EventSummary(minTime, maxTime, minIndex, maxIndex, count)`` with
+``avgTime = (minTime+maxTime)/2`` (query/WsClient.scala:39-49,131-139;
+emitted at query/TimeSeriesUnitQueryRawHttp.scala:137).
+
+Two bucketing flavors:
+- **fixed** — aligned tumbling buckets of pixel_width µs. Pure
+  groupBy; the scalable default and SQL-oracle-friendly.
+- **data-driven** — reference-exact: a chunk starts at its first event
+  and closes when an incoming event satisfies
+  ``ts - chunk_first_ts >= pixel_width`` (PredicateStreamChunker +
+  longEnough, query/WsClient.scala:114-129,
+  chunker/PredicateStreamChunker.scala:47-64). Inherently sequential
+  per channel → applyInPandas with a per-channel loop. Channels
+  parallelize; within-channel is a recurrence, same as the reference.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def index_events(events: DataFrame, order_cols: tuple[str, ...] = ("ts",)) -> DataFrame:
+    """W4 — zipWithIndex equivalent: 0-based per-channel event index in
+    ts order (query/WsClient.scala:115). Extra ``order_cols`` break ties
+    deterministically when ts collides."""
+    w = Window.partitionBy("channel").orderBy(*order_cols)
+    return events.withColumn("idx", F.row_number().over(w) - F.lit(1))
+
+
+def _summary_agg(df: DataFrame, *group_cols: str) -> DataFrame:
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            F.min("ts").alias("min_time"),
+            F.max("ts").alias("max_time"),
+            F.min("idx").alias("min_index"),
+            F.max("idx").alias("max_index"),
+            F.count(F.lit(1)).alias("count"),
+        )
+        # (min+max)/2 in Long arithmetic (EventSummary.avgTime,
+        # query/WsClient.scala:49); expressed overflow-safely.
+        .withColumn(
+            "avg_time",
+            F.col("min_time")
+            + F.floor((F.col("max_time") - F.col("min_time")) / F.lit(2)).cast("long"),
+        )
+    )
+
+
+def event_summary_fixed(
+    events: DataFrame,
+    start_us: int,
+    end_us: int,
+    pixel_width_us: int,
+    order_cols: tuple[str, ...] = ("ts",),
+) -> DataFrame:
+    """Aligned tumbling-bucket event summary.
+
+    Output: (channel, bucket, min_time, max_time, min_index, max_index,
+    count, avg_time).
+    """
+    df = index_events(
+        events.filter((F.col("ts") >= start_us) & (F.col("ts") <= end_us)),
+        order_cols,
+    ).withColumn(
+        "bucket",
+        F.floor((F.col("ts") - F.lit(start_us)) / F.lit(pixel_width_us)).cast("long"),
+    )
+    return _summary_agg(df, "channel", "bucket")
+
+
+def event_summary_data_driven(
+    events: DataFrame,
+    start_us: int,
+    end_us: int,
+    pixel_width_us: int,
+    order_cols: tuple[str, ...] = ("ts",),
+) -> DataFrame:
+    """Reference-exact data-driven bucketing (A5 edge semantics).
+
+    Chunk k starts at the first unassigned event t0; an event e joins
+    the chunk while ``e.ts - t0 < pixel_width``; the event that reaches
+    the threshold starts the next chunk (PredicateStreamChunker emits
+    the buffer *before* appending the triggering element).
+    """
+    trimmed = index_events(
+        events.filter((F.col("ts") >= start_us) & (F.col("ts") <= end_us)),
+        order_cols,
+    ).select("channel", "ts", "idx")
+
+    def chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "idx"]).reset_index(drop=True)
+        buckets = []
+        bucket = -1
+        chunk_start = None
+        for t in pdf["ts"]:
+            if chunk_start is None or t - chunk_start >= pixel_width_us:
+                bucket += 1
+                chunk_start = t
+            buckets.append(bucket)
+        pdf["bucket"] = buckets
+        return pdf
+
+    schema = "channel string, ts long, idx long, bucket long"
+    chunked = trimmed.groupBy("channel").applyInPandas(chunk, schema=schema)
+    return _summary_agg(chunked, "channel", "bucket")

@@ -1,0 +1,72 @@
+"""Gap-aware contiguous-span merging (A6) — classic sessionization.
+
+Reference ``contig`` folds sorted (lo, hi) pairs, merging a pair into
+the previous span when ``lo - prev_hi < threshold``
+(query/TimeSeriesQueryUtils.scala:303-349; served by `/segments`,
+server/SegmentService.scala:37-59). In Spark this is lag() + a running
+sum of gap flags — one window pass per channel, no driver loop, and the
+same shape works in Structured Streaming as ``session_window``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_gap_threshold(rate_hz: float, gap_multiple: float = 2.0) -> int:
+    """floor((1e6/rate) * gapMultiple) — reference
+    query/TimeSeriesQueryUtils.scala:333-335."""
+    return int(math.floor((1e6 / rate_hz) * gap_multiple))
+
+
+def samples_to_spans(samples: DataFrame) -> DataFrame:
+    """Treat each sample as a point span (lo = hi = ts)."""
+    return samples.select("channel", F.col("ts").alias("lo"), F.col("ts").alias("hi"))
+
+
+def contiguous_spans(spans: DataFrame, threshold_us: int) -> DataFrame:
+    """Merge per-channel (lo, hi) spans whose gap is < threshold.
+
+    A new span starts when ``lo - lag(hi) >= threshold`` (the reference
+    merges on strict ``<``, keeps separate on ``>=`` —
+    TimeSeriesQueryUtils.scala:316-321). Output:
+    (channel, span_lo, span_hi, n_segments).
+
+    Scale note: one shuffle on channel for the window, then the groupBy
+    reuses the same partitioning (no second shuffle thanks to AQE /
+    identical keys prefix).
+    """
+    w = Window.partitionBy("channel").orderBy("lo", "hi")
+    prev_hi = F.lag("hi").over(w)
+    new_span = F.when(
+        prev_hi.isNull() | ((F.col("lo") - prev_hi) >= threshold_us), 1
+    ).otherwise(0)
+    df = spans.withColumn(
+        "span_id",
+        F.sum(new_span).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        df.groupBy("channel", "span_id")
+        .agg(
+            F.min("lo").alias("span_lo"),
+            F.max_by("hi", F.struct("lo", "hi")).alias("span_hi"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+        .drop("span_id")
+    )
+
+
+def number_sequentially(spans: DataFrame, order_col: str = "span_lo") -> DataFrame:
+    """W2 sequence numbering: per-channel sequence id + total count
+    (reference numberSequentially, server/TSJsonSupport.scala:106-107 —
+    page requests are numbered so the client can track progress)."""
+    w = Window.partitionBy("channel").orderBy(order_col)
+    wc = Window.partitionBy("channel")
+    return spans.withColumn("sequence_id", F.row_number().over(w) - F.lit(1)).withColumn(
+        "total_requests", F.count(F.lit(1)).over(wc)
+    )

@@ -1,0 +1,155 @@
+"""Test-table loaders and canonical derived views.
+
+The driver's synthetic tables (TESTDATA.md) are TPC-H-ish; the engine's
+native shape is ``samples(channel, ts LONG µs, value DOUBLE)``. This
+module derives deterministic time-series views from the synthetic
+tables **twice** — once in the DataFrame API (for the engine) and once
+as DuckDB SQL text (for the correctness oracle) — with arithmetic
+chosen so both engines produce bit-identical rows:
+
+- ``samples``         — from lineitem: channel = suppkey bucket, ts =
+  shipdate epoch-µs + orderkey*10 + linenumber (unique-ish, sorted-ish),
+  value = extendedprice.
+- ``samples_aligned`` — from orders: two perfectly time-aligned
+  channels ('lead', 'sec') for montage parity (reference montage zips
+  two equal-length per-channel streams, TimeSeriesQueryRawHttp.scala:326-334).
+- ``chan_events``     — from events: channel = event_type, ts = epoch-µs.
+- ``channels``        — per-channel extent/count dimension with a
+  notional fixed rate (Hz).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Notional sample rate (Hz) assigned to derived channels; only used by
+# operators that need a rate parameter (gap thresholds, resample math).
+DERIVED_RATE_HZ = 10.0
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every base parquet table and register temp views."""
+    out = {}
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark-side derived views (DataFrame API)
+# ---------------------------------------------------------------------------
+
+def samples_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """samples(channel, ts, value) derived from lineitem."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return li.select(
+        F.concat(F.lit("ch"), (F.col("l_suppkey") % 8).cast("string")).alias("channel"),
+        (
+            # parquet timestamps load as TIMESTAMP_NTZ; session TZ is UTC so
+            # the LTZ cast yields the same epoch-µs as DuckDB's epoch_us()
+            F.unix_micros(F.col("l_shipdate").cast("timestamp_ltz"))
+            + F.col("l_orderkey") * F.lit(10)
+            + F.col("l_linenumber")
+        ).alias("ts"),
+        F.col("l_extendedprice").alias("value"),
+    )
+
+
+def samples_aligned_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two time-aligned channels from orders (montage fixture)."""
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    lead = o.select(
+        F.lit("lead").alias("channel"),
+        (F.col("o_orderkey") * 1000).alias("ts"),
+        F.col("o_totalprice").alias("value"),
+    )
+    sec = o.select(
+        F.lit("sec").alias("channel"),
+        (F.col("o_orderkey") * 1000).alias("ts"),
+        F.col("o_custkey").cast("double").alias("value"),
+    )
+    return lead.unionByName(sec)
+
+
+def chan_events_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chan_events(channel, ts, value) from the events stream table."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # ts arrives as LONG nanos (see session.py nanosAsLong); µs = ns div 1000,
+    # identical to DuckDB's epoch_us() truncation.
+    return ev.select(
+        F.col("event_type").alias("channel"),
+        F.expr("ts div 1000").alias("ts"),
+        F.col("value"),
+    )
+
+
+def channels_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel dimension derived from samples (extent + count + rate)."""
+    s = samples_view(spark, sf_dir)
+    return s.groupBy("channel").agg(
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        F.count(F.lit(1)).alias("n_samples"),
+        F.lit(DERIVED_RATE_HZ).alias("rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-side derived views (oracle dialect) — keep in lockstep with above
+# ---------------------------------------------------------------------------
+
+DUCKDB_VIEWS: dict[str, str] = {
+    "samples": (
+        "SELECT 'ch' || CAST(l_suppkey % 8 AS VARCHAR) AS channel, "
+        "epoch_us(l_shipdate) + l_orderkey * 10 + l_linenumber AS ts, "
+        "l_extendedprice AS value FROM lineitem"
+    ),
+    "samples_aligned": (
+        "SELECT 'lead' AS channel, o_orderkey * 1000 AS ts, o_totalprice AS value FROM orders "
+        "UNION ALL "
+        "SELECT 'sec' AS channel, o_orderkey * 1000 AS ts, CAST(o_custkey AS DOUBLE) AS value FROM orders"
+    ),
+    "chan_events": (
+        "SELECT event_type AS channel, epoch_us(ts) AS ts, value FROM events"
+    ),
+    "channels": (
+        "SELECT channel, MIN(ts) AS start_ts, MAX(ts) AS end_ts, "
+        "COUNT(*) AS n_samples, CAST(10.0 AS DOUBLE) AS rate "
+        "FROM (SELECT 'ch' || CAST(l_suppkey % 8 AS VARCHAR) AS channel, "
+        "epoch_us(l_shipdate) + l_orderkey * 10 + l_linenumber AS ts "
+        "FROM lineitem) GROUP BY channel"
+    ),
+}
+
+
+def with_views(sql: str, *names: str) -> str:
+    """Compose a DuckDB oracle query with inlined derived-view CTEs.
+
+    If ``sql`` already starts with its own WITH clause, the CTE lists
+    are merged.
+    """
+    ctes = ", ".join(f"{n} AS ({DUCKDB_VIEWS[n]})" for n in names)
+    stripped = sql.lstrip()
+    if stripped.upper().startswith("WITH "):
+        return f"WITH {ctes}, {stripped[5:]}"
+    return f"WITH {ctes} {sql}"

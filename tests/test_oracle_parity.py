@@ -1,0 +1,44 @@
+"""Replicates the driver's t2 correctness gate locally at small SF:
+every queries() entry with an oracle must hash-match DuckDB."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from tests.oracle_compare import compare, duckdb_conn  # noqa: E402
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_conn(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES.keys()))
+def test_oracle_parity(name, spark, sf_dir, con):
+    assert name in QUERIES, f"oracle {name} has no queries() entry"
+    df = QUERIES[name](spark, sf_dir)
+    compare(df, con, ORACLES[name], name)
+
+
+def test_all_queries_run(spark, sf_dir):
+    """Queries without oracles must still run and return a schema."""
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        assert df.columns, name
+        df.limit(5).collect()
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
