@@ -34,6 +34,32 @@ from pennsieve_streaming_spark.operators import (
     window_query,
 )
 from pennsieve_streaming_spark.tables import with_views
+from pennsieve_streaming_spark.llm import (
+    cosine_topk,
+    exact_dedup,
+    fingerprint,
+    jaccard_pairs,
+    lang_id,
+    lsh_band_keys,
+    lsh_bucketed_ann,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    quality_score,
+    shingles,
+    simhash,
+    simhash_near_pairs,
+    token_stats,
+)
+from pennsieve_streaming_spark.llm.hashing import (
+    P_MINHASH,
+    minhash_perm_constants,
+    poly_hash_duck,
+)
+from pennsieve_streaming_spark.llm.multimodal import (
+    extract_features,
+    media_from_documents,
+    sample_frames,
+)
 
 # ---------------------------------------------------------------------------
 # Shared literal parameters (identical on both engines)
@@ -119,7 +145,7 @@ def q_event_summary(spark, sf_dir):
 def q_event_index(spark, sf_dir):
     ev = TBL.chan_events_view(spark, sf_dir)
     w = Window.partitionBy("channel").orderBy("ts", "value")
-    return ev.withColumn("idx", F.row_number().over(w) - F.lit(1))
+    return ev.withColumn("idx", (F.row_number().over(w) - F.lit(1)).cast("long"))
 
 
 def q_epoch_rebase(spark, sf_dir):
@@ -182,6 +208,80 @@ def q_realtime_resample(spark, sf_dir):
     return resample_ingest_segments(segs, RT_PIXEL_US)
 
 
+# --- LLM-pipeline queries (documents / embeddings tables) -----------------
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_exact_dedup(spark, sf_dir):
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_token_stats(spark, sf_dir):
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_minhash(spark, sf_dir):
+    return minhash_signatures(shingles(_docs(spark, sf_dir)))
+
+
+def q_lsh_pairs(spark, sf_dir):
+    sh = shingles(_docs(spark, sf_dir))
+    cands = lsh_candidate_pairs(lsh_band_keys(minhash_signatures(sh)))
+    return jaccard_pairs(sh, candidates=cands)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    sh = shingles(_docs(spark, sf_dir))
+    return jaccard_pairs(sh, min_jaccard=0.2)
+
+
+def q_simhash(spark, sf_dir):
+    return simhash(shingles(_docs(spark, sf_dir)))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return simhash_near_pairs(simhash(shingles(_docs(spark, sf_dir))))
+
+
+def q_cosine_topk(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    return cosine_topk(embs, embs.filter(F.col("vec_id") < 20), k=5)
+
+
+def q_ann_lsh(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    return lsh_bucketed_ann(embs, embs.filter(F.col("vec_id") < 20), k=5)
+
+
+def q_media_features(spark, sf_dir):
+    media = media_from_documents(_docs(spark, sf_dir))
+    return extract_features(media).select("media_id", "kind", "n_bytes", "digest")
+
+
+def q_frame_sample(spark, sf_dir):
+    return sample_frames(media_from_documents(_docs(spark, sf_dir))).withColumn(
+        "frame_idx", F.col("frame_idx").cast("long")
+    )
+
+
 def q_event_summary_datadriven(spark, sf_dir):
     ev = TBL.chan_events_view(spark, sf_dir)
     return event_summary_data_driven(
@@ -207,6 +307,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_resample_decision": q_resample_decision,
         "ts_cut_resample": q_cut_resample,
         "ts_realtime_resample": q_realtime_resample,
+        "doc_exact_dedup": q_exact_dedup,
+        "doc_token_stats": q_token_stats,
+        "doc_quality_score": q_quality,
+        "doc_lang_id": q_lang_id,
+        "doc_fingerprint": q_fingerprint,
+        "doc_minhash_signatures": q_minhash,
+        "doc_minhash_lsh_pairs": q_lsh_pairs,
+        "doc_ngram_jaccard": q_ngram_jaccard,
+        "doc_simhash": q_simhash,
+        "doc_simhash_near_pairs": q_simhash_pairs,
+        "emb_cosine_topk": q_cosine_topk,
+        "emb_ann_lsh": q_ann_lsh,
+        "mm_media_features": q_media_features,
+        "mm_frame_sample": q_frame_sample,
     }
 
 
@@ -423,6 +537,219 @@ def oracle_sql() -> dict[str, str]:
                  resample AS is_min_max
           FROM seg3
         ) GROUP BY channel, start_ts, bucket, is_min_max, out_period
+        """
+
+    # --- LLM-pipeline oracles ----------------------------------------------
+
+    PH_S = poly_hash_duck("s")
+    PH_TEXT = poly_hash_duck("text")
+    TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+    # shared CTE prelude: tokens + distinct hashed word-3-shingles
+    DOC_PRE = f"""
+        doc_toks AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, {PH_S} AS sh FROM (
+            SELECT doc_id, UNNEST(
+              CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                   ELSE list_transform(generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END
+            ) AS s
+            FROM doc_toks
+          )
+        )
+        """
+
+    perm_rows = ", ".join(
+        f"({j}, {a}, {b})"
+        for j, (a, b) in enumerate(minhash_perm_constants(16))
+    )
+    MINHASH_PRE = f"""
+        {DOC_PRE},
+        perms AS (SELECT * FROM (VALUES {perm_rows}) AS t(j, a, b)),
+        mh AS (
+          SELECT doc_id, j, MIN((CAST(a AS BIGINT) * sh + b) % {P_MINHASH}) AS minhash
+          FROM sh CROSS JOIN perms GROUP BY doc_id, j
+        )
+        """
+
+    BANDS = """
+        bands AS (
+          SELECT doc_id, CAST(FLOOR(j / 4) AS BIGINT) AS band,
+                 CAST(SUM(minhash * CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 31
+                          WHEN 2 THEN 961 ELSE 29791 END) AS BIGINT) AS band_key
+          FROM mh GROUP BY doc_id, CAST(FLOOR(j / 4) AS BIGINT)
+        )
+        """
+
+    JACCARD_TAIL = """
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        ints AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        """
+
+    SIMHASH_CTE = """
+        fp AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+          FROM (
+            SELECT doc_id, b, SUM((((sh * 2654435761) % 1000000007) >> b & 1) * 2 - 1) AS s
+            FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 31)) AS b)
+            GROUP BY doc_id, b
+          ) GROUP BY doc_id
+        )
+        """
+
+    sql["doc_exact_dedup"] = """
+        SELECT md5(text) AS digest, MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS dup_count
+        FROM documents GROUP BY md5(text)
+        """
+
+    sql["doc_token_stats"] = f"""
+        WITH doc_toks AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS BIGINT) AS n_tokens,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+               CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+               CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE list_sum(list_transform(toks, t -> length(t))) / CAST(len(toks) AS DOUBLE)
+               END AS avg_token_len
+        FROM doc_toks
+        """
+
+    _stop_arr = ", ".join(f"'{w}'" for w in [
+        "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+        "for", "on", "with", "as", "at", "by", "that", "this",
+    ])
+    sql["doc_quality_score"] = f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+                 length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+                 len(list_filter({TOKS}, t -> list_contains([{_stop_arr}], lower(t))))
+                   / CAST(len({TOKS}) AS DOUBLE) AS stop_ratio
+          FROM documents
+        )
+        SELECT doc_id, n_tokens, alpha_ratio, stop_ratio,
+               alpha_ratio * 0.5e0 + stop_ratio * 0.3e0
+               + least(n_tokens, 200) / CAST(200.0 AS DOUBLE) * 0.2e0 AS quality
+        FROM base
+        """
+
+    _markers = {
+        "en": ["the", "and", "of", "to", "in", "is", "a"],
+        "de": ["der", "die", "und", "das", "ist", "nicht", "ein"],
+        "es": ["el", "la", "de", "que", "los", "una", "es"],
+        "fr": ["le", "les", "et", "des", "une", "est", "dans"],
+        "zh": ["的", "是", "不", "了", "在", "我", "有"],
+    }
+    _score = {
+        c: f"len(list_filter({TOKS}, t -> list_contains([{', '.join(chr(39)+m+chr(39) for m in ms)}], lower(t))))"
+        for c, ms in _markers.items()
+    }
+    sql["doc_lang_id"] = f"""
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 {_score['en']} AS s_en, {_score['de']} AS s_de,
+                 {_score['es']} AS s_es, {_score['fr']} AS s_fr,
+                 {_score['zh']} AS s_zh
+          FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                    WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                    WHEN s_fr >= s_zh THEN 'fr'
+                    ELSE 'zh' END AS predicted_lang,
+               (CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                     WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                     WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                     WHEN s_fr >= s_zh THEN 'fr'
+                     ELSE 'zh' END) = lang AS correct
+        FROM scored
+        """
+
+    sql["doc_fingerprint"] = f"SELECT doc_id, {PH_TEXT} AS fp FROM documents"
+
+    sql["doc_minhash_signatures"] = f"WITH {MINHASH_PRE} SELECT doc_id, j, minhash FROM mh"
+
+    sql["doc_minhash_lsh_pairs"] = f"""
+        WITH {MINHASH_PRE}, {BANDS},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ),
+        {JACCARD_TAIL}
+        SELECT i.doc_a, i.doc_b, sa.n AS n_a, sb.n AS n_b, i.inter,
+               i.inter / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
+        FROM ints i
+        JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        """
+
+    sql["doc_ngram_jaccard"] = f"""
+        WITH {DOC_PRE},
+        {JACCARD_TAIL}
+        SELECT i.doc_a, i.doc_b, sa.n AS n_a, sb.n AS n_b, i.inter,
+               i.inter / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
+        FROM ints i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE i.inter / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.2e0
+        """
+
+    sql["doc_simhash"] = f"WITH {DOC_PRE}, {SIMHASH_CTE} SELECT doc_id, simhash FROM fp"
+
+    sql["doc_simhash_near_pairs"] = f"""
+        WITH {DOC_PRE}, {SIMHASH_CTE},
+        bkt AS (SELECT doc_id, simhash, simhash >> 20 AS bucket FROM fp)
+        SELECT doc_a, doc_b, hamming FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+          FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ) WHERE hamming <= 4
+        """
+
+    sql["emb_cosine_topk"] = """
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 list_dot_product(qv, v)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+          FROM q JOIN c ON query_id != neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank, cosine FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+        """
+
+    sql["mm_media_features"] = """
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS digest
+        FROM documents
+        """
+
+    sql["mm_frame_sample"] = """
+        SELECT media_id, CAST(UNNEST(generate_series(0, greatest(nf - 1, 0), 5)) AS BIGINT) AS frame_idx
+        FROM (
+          SELECT doc_id AS media_id, CAST(n_chars % 30 AS INTEGER) AS nf
+          FROM documents WHERE doc_id % 3 = 2
+        )
         """
 
     return sql

@@ -1,0 +1,30 @@
+"""Large-scale training-data-pipeline operators (BASELINE.json north
+star): deduplication, similarity search, text analysis, multimodal
+column plumbing — all DataFrame-first, designed for 100 TB inputs."""
+
+from pennsieve_streaming_spark.llm.hashing import (  # noqa: F401
+    P_POLY,
+    P_MINHASH,
+    poly_hash_expr,
+    poly_hash_duck,
+)
+from pennsieve_streaming_spark.llm.dedup import (  # noqa: F401
+    exact_dedup,
+    shingles,
+    minhash_signatures,
+    lsh_band_keys,
+    lsh_candidate_pairs,
+    jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from pennsieve_streaming_spark.llm.text import (  # noqa: F401
+    token_stats,
+    quality_score,
+    lang_id,
+    fingerprint,
+)
+from pennsieve_streaming_spark.llm.similarity import (  # noqa: F401
+    cosine_topk,
+    lsh_bucketed_ann,
+)

@@ -1,0 +1,233 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB of documents):
+- exact dedup is a hash-groupBy — one shuffle on a 16-byte digest, with
+  map-side partial aggregation; no text ever shuffles.
+- MinHash: shingle explosion is a narrow map; signatures reduce via
+  min-aggregate (partial agg again); LSH banding turns the quadratic
+  pair problem into an equi-join on (band, band_key) — only documents
+  sharing a band bucket ever meet, and AQE's skew-join handles hot
+  buckets.
+- verification (exact Jaccard) runs only on candidate pairs.
+- SimHash: one 32/64-bit fingerprint per doc; near-dup pairs via
+  prefix-bucket equi-join + popcount(xor) <= k filter.
+
+All hashes are the engine-portable polynomial hashes from
+``hashing.py`` so the DuckDB oracle reproduces results exactly;
+substitute xxhash64 for raw throughput in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pennsieve_streaming_spark.llm.hashing import (
+    P_MINHASH,
+    P_POLY,
+    minhash_perm_constants,
+    poly_hash_expr,
+)
+
+BAND_WEIGHTS = [1, 31, 961, 29791]  # 31^(j % rows_per_band), rows_per_band=4
+
+
+def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup via content digest: one row per distinct text with
+    the representative (minimum) doc_id and the duplicate count."""
+    return (
+        documents.withColumn("digest", F.md5(F.col(text_col)))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def shingles(
+    documents: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Distinct word k-shingles per document, pre-hashed.
+
+    Output: (doc_id, sh) where sh = poly_hash(k words joined by ' ').
+    Tokenization: whitespace split of trimmed text.
+    """
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    # NB: Spark's sequence(1, 0) is DESCENDING [1, 0] — guard short docs.
+    shingle_arr = (
+        f"CASE WHEN size({toks}) < {k} THEN array() "
+        f"ELSE transform(sequence(1, size({toks}) - {k - 1}), "
+        f"i -> concat_ws(' ', "
+        + ", ".join(f"element_at({toks}, i + {d})" for d in range(k))
+        + ")) END"
+    )
+    return (
+        documents.select("doc_id", F.explode(F.expr(shingle_arr)).alias("s"))
+        .select("doc_id", F.expr(poly_hash_expr("s")).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingled: DataFrame, n_hashes: int = 16) -> DataFrame:
+    """MinHash signature, exploded: (doc_id, j, minhash) for j in
+    [0, n_hashes) with minhash_j = min over shingles of (a_j*sh+b_j) % P."""
+    spark = shingled.sparkSession
+    perms = spark.createDataFrame(
+        [(j, a, b) for j, (a, b) in enumerate(minhash_perm_constants(n_hashes))],
+        "j int, a long, b long",
+    )
+    return (
+        shingled.join(F.broadcast(perms))
+        .select(
+            "doc_id",
+            "j",
+            ((F.col("a") * F.col("sh") + F.col("b")) % F.lit(P_MINHASH)).alias("h"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_band_keys(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
+    """Collapse each signature band to one integer key:
+    key = sum(minhash_j * 31^(j % rows_per_band)) over the band.
+
+    Output: (doc_id, band, band_key).
+    """
+    weight = F.element_at(
+        F.array(*[F.lit(w) for w in BAND_WEIGHTS[:rows_per_band]]),
+        (F.col("j") % rows_per_band).cast("int") + 1,
+    ).cast("long")
+    return (
+        signatures.withColumn("band", F.floor(F.col("j") / rows_per_band).cast("long"))
+        .withColumn("w", weight)
+        .groupBy("doc_id", "band")
+        .agg(F.sum(F.col("minhash") * F.col("w")).alias("band_key"))
+    )
+
+
+def lsh_candidate_pairs(band_keys: DataFrame) -> DataFrame:
+    """Distinct candidate pairs: docs sharing any (band, band_key)."""
+    a = band_keys.alias("a")
+    b = band_keys.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingled: DataFrame,
+    candidates: DataFrame | None = None,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact shingle-set Jaccard similarity per document pair.
+
+    With ``candidates`` given, only those pairs are scored (the LSH
+    verify step); otherwise all pairs sharing at least one shingle
+    (the plain n-gram-Jaccard near-dup operator).
+
+    Output: (doc_a, doc_b, n_a, n_b, inter, jaccard).
+    """
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "inner")
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n", "n_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+    )
+    if min_jaccard > 0.0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out.select("doc_a", "doc_b", "n_a", "n_b", "inter", "jaccard")
+
+
+def simhash(shingled: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint from the shingle-hash set.
+
+    Bit b of the fingerprint is 1 iff sum over shingles of
+    (2*bit_b(sh') - 1) > 0, where sh' = (sh * 2654435761) % P_POLY
+    remixes the polynomial hash so the high bits are usable.
+
+    Output: (doc_id, simhash LONG).
+    """
+    mixed = (F.col("sh") * F.lit(2654435761)) % F.lit(P_POLY)
+    exploded = (
+        shingled.withColumn("shm", mixed)
+        .select("doc_id", "shm", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
+        .withColumn(
+            "contrib",
+            F.expr("(shiftright(shm, CAST(b AS INT)) % 2) * 2 - 1"),
+        )
+    )
+    return (
+        exploded.groupBy("doc_id", "b")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn(
+            "bit",
+            F.expr(
+                "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) "
+                "ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bit").alias("simhash"))
+    )
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame, max_hamming: int = 4, prefix_bits: int = 12
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` of
+    the fingerprint (LSH-style blocking — near-dups almost always agree
+    on the prefix), then popcount(xor) <= max_hamming within buckets.
+
+    Output: (doc_a, doc_b, hamming).
+    """
+    shift = 32 - prefix_bits
+    bucketed = fingerprints.withColumn(
+        "bucket", F.shiftright(F.col("simhash"), shift)
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

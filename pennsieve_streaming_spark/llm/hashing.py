@@ -1,0 +1,51 @@
+"""Engine-portable deterministic hashing.
+
+All dedup/fingerprint operators need hash functions that (a) run
+JVM-side in Spark (no Python UDF in the hot path) and (b) can be
+reproduced exactly by the DuckDB oracle. Built-ins like murmur3
+(`F.hash`) differ across engines, so we use a classic polynomial
+rolling hash over character codes:
+
+    h(s) = fold(acc = (acc * 31 + codepoint) mod P, acc0 = 0)
+
+expressed with `aggregate(transform(sequence(...)))` in Spark SQL and
+`list_reduce(list_transform(generate_series(...)))` in DuckDB — both
+sequential left folds, hence bit-identical.
+
+At production scale the same operators can swap in `F.xxhash64`
+(faster, JVM-native) — the oracle-portable variant exists so the
+correctness gate can verify the *pipeline* semantics.
+"""
+
+from __future__ import annotations
+
+P_POLY = 1_000_000_007       # shingle/fingerprint hash modulus
+P_MINHASH = 2_147_483_647    # Mersenne prime 2^31-1 for permutations
+
+
+def poly_hash_expr(col: str, p: int = P_POLY) -> str:
+    """Spark SQL expression: polynomial hash of a string column."""
+    return (
+        f"CASE WHEN {col} IS NULL OR length({col}) = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE aggregate("
+        f"transform(sequence(1, length({col})), i -> CAST(ascii(substring({col}, i, 1)) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % {p}) END"
+    )
+
+
+def poly_hash_duck(col: str, p: int = P_POLY) -> str:
+    """DuckDB SQL expression computing the identical polynomial hash."""
+    return (
+        f"CASE WHEN {col} IS NULL OR length({col}) = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE list_reduce("
+        f"list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(1, length({col})), "
+        f"i -> CAST(ascii(substring({col}, CAST(i AS INT), 1)) AS BIGINT))), "
+        f"(acc, c) -> (acc * 31 + c) % {p}) END"
+    )
+
+
+def minhash_perm_constants(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) constants for the j-th minhash permutation
+    ``(a*h + b) mod P_MINHASH``; a odd so the map is well-mixing."""
+    return [(2 * j + 1, 7919 * j + 13) for j in range(n_hashes)]

@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns.
+
+- ``cosine_topk`` — brute-force exact top-k: broadcast the (small)
+  query set against the full corpus; dot products run JVM-side via a
+  sequential ``aggregate(zip_with(...))`` fold in double precision
+  (bit-deterministic, oracle-matchable). At 100 TB the corpus side
+  stays partitioned; per-partition partial top-k reduces shuffle
+  volume (TakeOrderedAndProject after the window filter).
+- ``lsh_bucketed_ann`` — random-hyperplane LSH: b sign-bits from
+  deterministic pseudo-random hyperplanes bucket the corpus; queries
+  probe only their own bucket. Recall/latency trade-off controlled by
+  ``n_planes``; the scale path when brute force is too expensive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS DOUBLE), "
+    "(acc, v) -> acc + v)"
+)
+
+
+def _as_double(df: DataFrame, col: str) -> DataFrame:
+    return df.withColumn(col, F.col(col).cast("array<double>"))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is a (small) subset of rows with the same schema;
+    it is broadcast so the corpus never shuffles.
+
+    Output: (query_id, neighbor_id, rank, cosine).
+    """
+    corpus = _as_double(embeddings, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
+    )
+    qs = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q")
+    )
+    dot = F.expr(DOT.format(a="q", b="v"))
+    nq = F.expr(DOT.format(a="q", b="q"))
+    nv = F.expr(DOT.format(a="v", b="v"))
+    scored = (
+        corpus.join(F.broadcast(qs), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", dot / (F.sqrt(nq) * F.sqrt(nv)))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def hyperplane_expr(vec_col: str, plane: int, dim: int) -> str:
+    """Deterministic pseudo-random hyperplane sign bit.
+
+    Component j of plane p is ``frac((p*dim + j) * phi) - 0.5`` with
+    phi the golden-ratio conjugate — a standard low-discrepancy
+    sequence; fully deterministic and SQL-expressible on both engines.
+    """
+    return (
+        f"CASE WHEN aggregate(zip_with({vec_col}, "
+        f"transform(sequence(0, {dim - 1}), "
+        f"j -> (({plane} * {dim} + j) * 0.6180339887498949 % 1.0) - 0.5), "
+        f"(x, h) -> x * h), CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0 "
+        f"THEN 1 ELSE 0 END"
+    )
+
+
+def lsh_bucketed_ann(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane bucket equi-join, then
+    exact cosine within the bucket. Output as cosine_topk (rank may
+    have < k rows per query when the bucket is small)."""
+    def bucket(df: DataFrame, vc: str) -> DataFrame:
+        expr = " + ".join(
+            f"({hyperplane_expr(vc, p, dim)}) * {1 << p}" for p in range(n_planes)
+        )
+        return df.withColumn("bucket", F.expr(expr).cast("long"))
+
+    corpus = bucket(_as_double(embeddings, vec_col), vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"), "bucket"
+    )
+    qs = bucket(_as_double(queries, vec_col), vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q"), "bucket"
+    )
+    dot = F.expr(DOT.format(a="q", b="v"))
+    nq = F.expr(DOT.format(a="q", b="q"))
+    nv = F.expr(DOT.format(a="v", b="v"))
+    scored = (
+        corpus.join(
+            F.broadcast(qs),
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (corpus["bucket"] == qs["bucket"]),
+        )
+        .withColumn("cosine", dot / (F.sqrt(nq) * F.sqrt(nv)))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -31,7 +31,7 @@ def index_events(events: DataFrame, order_cols: tuple[str, ...] = ("ts",)) -> Da
     ts order (query/WsClient.scala:115). Extra ``order_cols`` break ties
     deterministically when ts collides."""
     w = Window.partitionBy("channel").orderBy(*order_cols)
-    return events.withColumn("idx", F.row_number().over(w) - F.lit(1))
+    return events.withColumn("idx", (F.row_number().over(w) - F.lit(1)).cast("long"))
 
 
 def _summary_agg(df: DataFrame, *group_cols: str) -> DataFrame:

@@ -67,6 +67,6 @@ def number_sequentially(spans: DataFrame, order_col: str = "span_lo") -> DataFra
     page requests are numbered so the client can track progress)."""
     w = Window.partitionBy("channel").orderBy(order_col)
     wc = Window.partitionBy("channel")
-    return spans.withColumn("sequence_id", F.row_number().over(w) - F.lit(1)).withColumn(
-        "total_requests", F.count(F.lit(1)).over(wc)
-    )
+    return spans.withColumn(
+        "sequence_id", (F.row_number().over(w) - F.lit(1)).cast("long")
+    ).withColumn("total_requests", F.count(F.lit(1)).over(wc))
