@@ -208,6 +208,16 @@ def q_realtime_resample(spark, sf_dir):
     return resample_ingest_segments(segs, RT_PIXEL_US)
 
 
+def q_butterworth(spark, sf_dir):
+    """G1-G3: per-channel Butterworth lowpass (pandas-UDF recurrence;
+    no SQL oracle — driver records the rows-only check)."""
+    from pennsieve_streaming_spark.dsp import FilterSpec, apply_filter
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(F.col("channel") == "lead")
+    # ts step is 1000 µs (orderkey*1000) → nominal 1000 Hz
+    return apply_filter(s, FilterSpec("lowpass", 4, 100.0), rate_hz=1000.0)
+
+
 # --- LLM-pipeline queries (documents / embeddings tables) -----------------
 
 def _docs(spark, sf_dir):
@@ -307,6 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_resample_decision": q_resample_decision,
         "ts_cut_resample": q_cut_resample,
         "ts_realtime_resample": q_realtime_resample,
+        "ts_butterworth_filter": q_butterworth,
         "doc_exact_dedup": q_exact_dedup,
         "doc_token_stats": q_token_stats,
         "doc_quality_score": q_quality,

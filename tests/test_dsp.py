@@ -1,0 +1,152 @@
+"""Butterworth design + filtering operator tests.
+
+The design is validated against Butterworth's defining analytic
+properties (|H(jw)|^2 = 1/(1+(w/wc)^2n)): unit DC gain, -3 dB at the
+cutoff, monotonic rolloff — the same invariants any correct
+implementation (scipy, iirj) satisfies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pennsieve_streaming_spark.dsp import (
+    FilterSpec,
+    apply_filter,
+    butter_sos,
+    filter_transient_length,
+    reflected_prewarm,
+    sos_freq_response,
+    sosfilt,
+)
+
+
+def digital_butter_expected(f, fc, fs, order):
+    """Analytic |H| of a bilinear-transform butterworth lowpass: the
+    prewarped analog response evaluated at the warped frequency."""
+    wa = np.tan(np.pi * f / fs)
+    wc = np.tan(np.pi * fc / fs)
+    return 1.0 / np.sqrt(1.0 + (wa / wc) ** (2 * order))
+
+
+@pytest.mark.parametrize("order", [1, 2, 3, 4, 5])
+def test_lowpass_matches_analytic_response(order):
+    fs, fc = 250.0, 30.0
+    sos = butter_sos(order, fc, fs, "lowpass")
+    f = np.linspace(1.0, 124.0, 200)
+    got = sos_freq_response(sos, 2 * np.pi * f / fs)
+    want = digital_butter_expected(f, fc, fs, order)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_lowpass_minus_3db_at_cutoff():
+    sos = butter_sos(4, 30.0, 250.0, "lowpass")
+    h = sos_freq_response(sos, np.array([2 * np.pi * 30.0 / 250.0]))
+    np.testing.assert_allclose(h, [1 / np.sqrt(2)], atol=1e-9)
+
+
+def test_highpass_response():
+    fs, fc, order = 250.0, 30.0, 3
+    sos = butter_sos(order, fc, fs, "highpass")
+    f = np.linspace(1.0, 124.0, 100)
+    got = sos_freq_response(sos, 2 * np.pi * f / fs)
+    wa = np.tan(np.pi * f / fs)
+    wc = np.tan(np.pi * fc / fs)
+    want = (wa / wc) ** order / np.sqrt(1 + (wa / wc) ** (2 * order))
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_bandstop_notch_and_bandpass_peak():
+    fs = 250.0
+    bs = butter_sos(4, 60.0, fs, "bandstop", width=10.0)
+    bp = butter_sos(4, 60.0, fs, "bandpass", width=10.0)
+    w60 = np.array([2 * np.pi * 60.0 / fs])
+    wfar = np.array([2 * np.pi * 10.0 / fs])
+    assert sos_freq_response(bs, w60)[0] < 1e-3
+    assert abs(sos_freq_response(bs, wfar)[0] - 1.0) < 0.01
+    assert abs(sos_freq_response(bp, w60)[0] - 1.0) < 0.01
+    assert sos_freq_response(bp, wfar)[0] < 1e-3
+
+
+def test_sosfilt_state_continuity():
+    """Chunked filtering with carried state == one-shot filtering."""
+    sos = butter_sos(4, 30.0, 250.0, "lowpass")
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(500)
+    whole, _ = sosfilt(sos, x)
+    y1, z = sosfilt(sos, x[:200])
+    y2, _ = sosfilt(sos, x[200:], zi=z)
+    np.testing.assert_allclose(np.concatenate([y1, y2]), whole, atol=1e-12)
+
+
+def _band_amplitude(x, fs, f):
+    """Single-bin DFT amplitude at frequency f."""
+    t = np.arange(len(x)) / fs
+    return 2 * abs(np.mean(x * np.exp(-2j * np.pi * f * t)))
+
+
+def test_sosfilt_removes_high_freq():
+    fs = 250.0
+    t = np.arange(2000) / fs
+    lo = np.sin(2 * np.pi * 5 * t)
+    hi = 0.5 * np.sin(2 * np.pi * 80 * t)
+    sos = butter_sos(4, 30.0, fs, "lowpass")
+    y, _ = sosfilt(sos, lo + hi)
+    tail = y[500:]
+    # 5 Hz passes (possibly phase-shifted), 80 Hz crushed
+    assert abs(_band_amplitude(tail, fs, 5.0) - 1.0) < 0.02
+    assert _band_amplitude(tail, fs, 80.0) < 0.01
+
+
+def test_transient_length_formula():
+    # ceil((rate/cutoff) * 8 * (1 + (order-1)*0.5))
+    assert filter_transient_length(1, 30.0, 250.0) == int(np.ceil(250 / 30 * 8))
+    assert filter_transient_length(4, 30.0, 250.0) == int(
+        np.ceil(250 / 30 * 8 * 2.5)
+    )
+
+
+def test_reflected_prewarm_casework():
+    x = np.arange(10.0)
+    # plenty of data: first N reversed
+    np.testing.assert_array_equal(reflected_prewarm(x, 4), [3.0, 2.0, 1.0, 0.0])
+    # single value: repeat
+    np.testing.assert_array_equal(reflected_prewarm(np.array([7.0]), 3), [7.0] * 3)
+    # len >= required/2: reflected ++ original, truncated
+    got = reflected_prewarm(np.arange(3.0), 5)
+    np.testing.assert_array_equal(got, [2.0, 1.0, 0.0, 0.0, 1.0])
+    # very short: tiled pattern
+    got = reflected_prewarm(np.arange(2.0), 7)
+    np.testing.assert_array_equal(got, [1.0, 0.0, 0.0, 1.0, 1.0, 0.0, 0.0])
+    # empty: zeros
+    np.testing.assert_array_equal(reflected_prewarm(np.array([]), 2), [0.0, 0.0])
+
+
+def test_apply_filter_spark(spark):
+    """End-to-end: lowpass on two channels; verify high-freq removal
+    and reset-on-gap behavior (independent runs)."""
+    fs = 250.0
+    n = 1000
+    t = np.arange(n) / fs
+    lo = np.sin(2 * np.pi * 5 * t)
+    hi = 0.5 * np.sin(2 * np.pi * 80 * t)
+    period = int(1e6 / fs)
+    rows = []
+    for ch in ("a", "b"):
+        # two contiguous runs separated by a huge gap -> filter resets
+        for run_start, offset in ((0, 0), (10**9, n)):
+            for i in range(n):
+                rows.append(
+                    (ch, run_start + i * period, float(lo[i] + hi[i]))
+                )
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    spec = FilterSpec("lowpass", 4, 30.0)
+    out = apply_filter(df, spec, fs).toPandas()
+    assert len(out) == len(rows)
+    for ch in ("a", "b"):
+        for run_start in (0, 10**9):
+            seg = out[(out.channel == ch) & (out.ts >= run_start)].sort_values("ts")
+            vals = seg["value"].to_numpy()[:n][300:]
+            assert abs(_band_amplitude(vals, fs, 5.0) - 1.0) < 0.05, (ch, run_start)
+            assert _band_amplitude(vals, fs, 80.0) < 0.01, (ch, run_start)

@@ -1,0 +1,267 @@
+"""Operator-level golden and property tests, mirroring the reference's
+test strategy (SURVEY.md §5): hand-computed goldens for the tricky
+rounding arithmetic, plus fixture patterns from FIXTURES.md (ramp
+montage, pulse-train resampling, gap merges).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from pennsieve_streaming_spark.operators import (
+    contiguous_spans,
+    downsample_minmax_count,
+    downsample_minmax_time,
+    event_summary_data_driven,
+    fill_gaps,
+    resample_chunk_params,
+    samples_to_spans,
+    should_resample,
+    time_gap_threshold,
+    window_query,
+)
+from pennsieve_streaming_spark.operators.montage import (
+    MONTAGE_SCHEMES,
+    MontageValidationError,
+    montage_name,
+    montage_two_channels,
+    parse_montage_name,
+    validate_montage,
+)
+from pennsieve_streaming_spark.operators.spikes import cut_bucket_expr
+from pennsieve_streaming_spark.operators.window import (
+    QueryLimitExceeded,
+    check_query_limit,
+)
+
+
+# --------------------------------------------------------------------------
+# pure-python reference arithmetic
+# --------------------------------------------------------------------------
+
+def test_resample_chunk_params_rounding_edges():
+    # chunk = round(pixel*rate/1e6) [Scala floor(x+0.5)], n = floor(total/chunk)
+    # 2.5 samples/chunk -> 3 (Scala round-half-up)
+    chunk, n, t = resample_chunk_params(12_500, 200.0, 1_000_000)
+    assert chunk == 3  # 12500*200/1e6 = 2.5
+    assert n == math.floor(200 / 3)
+    assert t == 3 / 200.0 * 1e6
+    # exact integer case
+    chunk, n, _ = resample_chunk_params(10_000, 200.0, 10_000_000)
+    assert chunk == 2 and n == 1000
+
+
+def test_should_resample_threshold():
+    # ratio must be strictly > 3.0 (TimeSeriesQueryUtils.scala:175-182)
+    assert not should_resample(200.0, 15_000)   # ratio = 3.0 exactly
+    assert should_resample(200.0, 15_001)
+    assert not should_resample(200.0, 14_999)
+
+
+def test_time_gap_threshold():
+    # floor((1e6/rate) * mult)
+    assert time_gap_threshold(3.0, 2.0) == math.floor(1e6 / 3 * 2)
+    assert time_gap_threshold(250.0, 2.0) == 8000
+
+
+def test_check_query_limit():
+    check_query_limit(0, 100_000_000, 1000.0, limit=100_000)  # exactly at limit
+    with pytest.raises(QueryLimitExceeded):
+        check_query_limit(0, 100_001_000, 1000.0, limit=100_000)
+
+
+def _cut_reference(m: int, n: int) -> list[int]:
+    """Direct transcription of the reference `cut` boundary rule
+    (round(i*m/n)) to slice assignment, for property-testing the
+    closed form."""
+    targets = [int(math.floor(i * m / n + 0.5)) for i in range(n + 1)]
+    out = []
+    for j in range(m):
+        for i in range(n):
+            if targets[i] <= j < targets[i + 1]:
+                out.append(i)
+                break
+    return out
+
+
+def test_cut_closed_form_matches_boundary_rule(spark):
+    cases = [(m, n) for m in range(1, 30) for n in (1, 2, 3, 5, 7, 10)]
+    rows = [(m, n, j) for m, n in cases for j in range(m)]
+    df = spark.createDataFrame(rows, "m long, n long, pos long")
+    got = (
+        df.withColumn("bucket", cut_bucket_expr(F.col("pos"), F.col("m"), F.col("n")))
+        .orderBy("m", "n", "pos")
+        .collect()
+    )
+    idx = 0
+    for m, n in cases:
+        want = _cut_reference(m, n)
+        for j in range(m):
+            r = got[idx]
+            assert (r["m"], r["n"], r["pos"]) == (m, n, j)
+            assert r["bucket"] == want[j], (m, n, j)
+            idx += 1
+
+
+# --------------------------------------------------------------------------
+# DataFrame operators
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ramp_samples(spark):
+    """FIXTURES.md montage fixture: ch1 = 0,1,2,... ch2 = 0,2,4,...
+    at 1 Hz starting at t=0."""
+    rows = []
+    for i in range(21):
+        rows.append(("ch1", i * 1_000_000, float(i)))
+        rows.append(("ch2", i * 1_000_000, float(2 * i)))
+    return spark.createDataFrame(rows, "channel string, ts long, value double")
+
+
+def test_montage_golden_ramp(ramp_samples):
+    """Montage golden: ch1 - ch2 = 0, -1, -2, ... (reference
+    TimeSeriesFlowSpec ramp fixture)."""
+    out = (
+        montage_two_channels(ramp_samples, "ch1", "ch2").orderBy("ts").collect()
+    )
+    assert [r["value"] for r in out] == [float(-i) for i in range(21)]
+    assert out[0]["channel"] == "ch1<->ch2"
+
+
+def test_montage_naming_roundtrip():
+    assert montage_name("Fp1", "F7") == "Fp1<->F7"
+    assert parse_montage_name("Fp1<->F7") == ("Fp1", "F7")
+    assert parse_montage_name("Fp1") == ("Fp1", None)
+    with pytest.raises(MontageValidationError):
+        parse_montage_name("a<->b<->c")
+
+
+def test_montage_validation():
+    names = {c for pair in MONTAGE_SCHEMES["referential_vs_cz"] for c in pair}
+    validate_montage(sorted(names), "referential_vs_cz")
+    with pytest.raises(MontageValidationError):
+        validate_montage(sorted(names - {"Cz"}), "referential_vs_cz")
+
+
+def test_window_query_bounds(ramp_samples):
+    out = window_query(ramp_samples, "ch1", 2_000_000, 5_000_000).orderBy("ts").collect()
+    # start inclusive, end exclusive
+    assert [r["value"] for r in out] == [2.0, 3.0, 4.0]
+    assert window_query(ramp_samples, "ch1", 0, 10**9, limit=0).count() == 0
+
+
+def test_downsample_count_golden(spark):
+    """1000-sample ramp, chunk 64: 15 full chunks, ragged tail dropped;
+    chunk k = [64k, 64k+63]."""
+    rows = [("c", i * 1000, float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = downsample_minmax_count(df, 64).orderBy("bucket").collect()
+    assert len(out) == 15
+    for k, r in enumerate(out):
+        assert r["min_val"] == 64.0 * k
+        assert r["max_val"] == 64.0 * k + 63
+        assert r["n_samples"] == 64
+
+
+def test_downsample_time_pulse_train(spark):
+    """±1 square wave: every bucket that spans a transition must have
+    (min, max) == (-1, 1) — the invariant behind the reference's
+    pulse-train resampling goldens."""
+    rate, pulse_s, total_s = 200, 5, 100
+    rows = []
+    for i in range(rate * total_s):
+        t_us = i * 5000
+        v = 1.0 if (t_us // (pulse_s * 1_000_000)) % 2 == 0 else -1.0
+        rows.append(("p", t_us, v))
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    bucket_us = 10_000_000  # 10 s buckets: each contains a transition
+    out = downsample_minmax_time(df, 0, total_s * 1_000_000, bucket_us).collect()
+    assert len(out) == 10
+    for r in out:
+        assert (r["min_val"], r["max_val"]) == (-1.0, 1.0)
+        assert r["n_samples"] == 2000
+
+
+def test_contiguous_spans_threshold_semantics(spark):
+    """Merge iff gap < threshold; gap == threshold starts a new span
+    (reference combine: `(first.lo - last.hi) >= threshold` separates)."""
+    thr = 1000
+    rows = [
+        ("c", 0, 100),
+        ("c", 100 + thr - 1, 200 + thr),   # gap thr-1 -> merge
+        ("c", 200 + thr + thr, 5000),      # gap == thr -> new span
+    ]
+    df = spark.createDataFrame(rows, "channel string, lo long, hi long")
+    out = contiguous_spans(df, thr).orderBy("span_lo").collect()
+    assert len(out) == 2
+    assert (out[0]["span_lo"], out[0]["span_hi"], out[0]["n_segments"]) == (
+        0,
+        200 + thr,
+        2,
+    )
+    assert out[1]["n_segments"] == 1
+
+
+def test_gap_spans_from_point_samples(spark):
+    rows = [("c", t, 0.0) for t in [0, 10, 20, 5000, 5010, 90000]]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = (
+        contiguous_spans(samples_to_spans(df), 1000).orderBy("span_lo").collect()
+    )
+    assert [(r["span_lo"], r["span_hi"], r["n_segments"]) for r in out] == [
+        (0, 20, 3),
+        (5000, 5010, 2),
+        (90000, 90000, 1),
+    ]
+
+
+def test_fill_gaps_casework(spark):
+    """fillGap: disjoint-up extends max to successor min; disjoint-down
+    extends min to successor max; overlap/containment unchanged; last
+    row self-flipped (unchanged)."""
+    rows = [
+        ("c", 0, 0.0, 1.0),    # next (2,3) disjoint-up  -> (0,2)
+        ("c", 1, 2.0, 3.0),    # next (0.5,1.5): min1>max2 -> (1.5,3)
+        ("c", 2, 0.5, 1.5),    # next (1.0,1.2) contained -> unchanged
+        ("c", 3, 1.0, 1.2),    # last -> unchanged
+    ]
+    df = spark.createDataFrame(rows, "channel string, bucket long, min_val double, max_val double")
+    out = {r["bucket"]: r for r in fill_gaps(df).collect()}
+    assert (out[0]["filled_min"], out[0]["filled_max"]) == (0.0, 2.0)
+    assert (out[1]["filled_min"], out[1]["filled_max"]) == (1.5, 3.0)
+    assert (out[2]["filled_min"], out[2]["filled_max"]) == (0.5, 1.5)
+    assert (out[3]["filled_min"], out[3]["filled_max"]) == (1.0, 1.2)
+
+
+def test_event_summary_data_driven_chunking(spark):
+    """Data-driven buckets start at the first event and roll when an
+    event lands >= pixel_width after the chunk start (the
+    PredicateStreamChunker rule) — verify against a direct simulation."""
+    rng = np.random.default_rng(42)
+    ts = np.cumsum(rng.integers(1, 3000, size=300)).tolist()
+    rows = [("e", int(t), 0.0) for t in ts]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    pixel = 5000
+    out = (
+        event_summary_data_driven(df, 0, 10**12, pixel)
+        .orderBy("bucket")
+        .collect()
+    )
+    # simulate
+    chunks, start = [], None
+    for t in ts:
+        if start is None or t - start >= pixel:
+            chunks.append([])
+            start = t
+        chunks[-1].append(t)
+    assert len(out) == len(chunks)
+    for r, c in zip(out, chunks):
+        assert r["min_time"] == c[0]
+        assert r["max_time"] == c[-1]
+        assert r["count"] == len(c)
+        assert r["avg_time"] == (c[0] + c[-1]) // 2

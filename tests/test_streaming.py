@@ -1,0 +1,124 @@
+"""Structured Streaming ingest path: segment explosion, realtime
+resample inside micro-batches, session-window gap spans."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pennsieve_streaming_spark.streaming import (
+    explode_segments_to_samples,
+    read_ingest_stream,
+    realtime_resample_stream,
+    streaming_gap_sessions,
+)
+
+
+@pytest.fixture()
+def segment_dir(spark):
+    """A parquet directory of ingest segments: 2 channels × 10 segments
+    of 50 samples at 1 kHz (1000 µs period), gap-free concatenation."""
+    d = tempfile.mkdtemp(prefix="ingest_segs_")
+    rows = []
+    for ch in ("c1", "c2"):
+        t = 1_000_000
+        for _ in range(10):
+            data = [float(i) for i in range(50)]
+            rows.append((ch, t, 1000.0, data))
+            t += 50 * 1000
+    df = spark.createDataFrame(
+        rows, "channel string, start_ts long, sample_period double, data array<double>"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_explode_segments_gap_free(spark, segment_dir):
+    segs = spark.read.parquet(segment_dir)
+    samples = explode_segments_to_samples(segs)
+    pdf = samples.filter("channel = 'c1'").orderBy("ts").toPandas()
+    assert len(pdf) == 500
+    diffs = pdf["ts"].diff().dropna().unique().tolist()
+    assert diffs == [1000], "materialized timestamps must be gap-free"
+
+
+def test_streaming_ingest_to_memory_sink(spark, segment_dir):
+    stream = read_ingest_stream(spark, segment_dir, max_files_per_trigger=2)
+    assert stream.isStreaming
+    samples = explode_segments_to_samples(stream)
+    q = (
+        samples.writeStream.format("memory")
+        .queryName("ingested")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    n = spark.sql("SELECT count(*) c FROM ingested").collect()[0]["c"]
+    assert n == 1000
+
+
+def test_streaming_realtime_resample(spark, segment_dir):
+    stream = read_ingest_stream(spark, segment_dir)
+    resampled = realtime_resample_stream(stream, realtime_pixel_duration_us=10_000)
+    q = (
+        resampled.writeStream.format("memory")
+        .queryName("rt")
+        .outputMode("complete" if resampled.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM rt").collect()
+    # 50 samples * 1000 µs span per segment / 10000 µs pixel = 5 chunks
+    assert all(r["is_min_max"] for r in rows)
+    per_seg = {}
+    for r in rows:
+        per_seg.setdefault((r["channel"], r["start_ts"]), []).append(r)
+    assert all(len(v) == 5 for v in per_seg.values())
+    # chunk of 10 values 0..9 per bucket of the 0..49 ramp
+    first = sorted(
+        per_seg[("c1", 1_000_000)], key=lambda r: r["bucket"]
+    )
+    assert [r["min_val"] for r in first] == [0.0, 10.0, 20.0, 30.0, 40.0]
+    assert [r["max_val"] for r in first] == [9.0, 19.0, 29.0, 39.0, 49.0]
+
+
+def test_streaming_gap_sessions(spark, segment_dir):
+    segs = spark.read.parquet(segment_dir)
+    # make two bursts per channel by shifting half the segments far away
+    samples = explode_segments_to_samples(segs).withColumn(
+        "ts",
+        F.when(F.col("ts") >= 1_250_000, F.col("ts") + 60_000_000).otherwise(
+            F.col("ts")
+        ),
+    )
+    stream_dir = tempfile.mkdtemp(prefix="samples_stream_")
+    try:
+        samples.write.mode("overwrite").parquet(stream_dir)
+        stream = (
+            spark.readStream.schema(samples.schema).parquet(stream_dir)
+        )
+        sessions = streaming_gap_sessions(stream, gap_us=5_000_000)
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("sessions")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql("SELECT * FROM sessions ORDER BY channel, span_lo").collect()
+        assert len(rows) == 4  # 2 channels × 2 bursts
+        for r in rows:
+            assert r["span_hi"] > r["span_lo"]
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
