@@ -44,6 +44,7 @@ from pennsieve_streaming_spark.llm import (
     lsh_bucketed_ann,
     lsh_candidate_pairs,
     minhash_signatures,
+    minhash_wide,
     quality_score,
     shingles,
     simhash,
@@ -52,6 +53,7 @@ from pennsieve_streaming_spark.llm import (
 )
 from pennsieve_streaming_spark.llm.hashing import (
     P_MINHASH,
+    md5_hash64_duck,
     minhash_perm_constants,
     poly_hash_duck,
 )
@@ -253,8 +255,14 @@ def q_minhash(spark, sf_dir):
 
 
 def q_lsh_pairs(spark, sf_dir):
-    sh = shingles(_docs(spark, sf_dir))
-    cands = lsh_candidate_pairs(lsh_band_keys(minhash_signatures(sh)))
+    # Two-phase execution: the shingle set feeds both the signature
+    # pipeline and the jaccard verify, and the candidate set is read
+    # twice (verify join + doc semi-join). Cache both and fill the
+    # candidate cache eagerly so the verify plan reuses it instead of
+    # recomputing the LSH pipeline per subtree.
+    sh = shingles(_docs(spark, sf_dir)).cache()
+    cands = lsh_candidate_pairs(lsh_band_keys(minhash_wide(sh))).cache()
+    cands.count()
     return jaccard_pairs(sh, candidates=cands)
 
 
@@ -552,7 +560,7 @@ def oracle_sql() -> dict[str, str]:
 
     # --- LLM-pipeline oracles ----------------------------------------------
 
-    PH_S = poly_hash_duck("s")
+    PH_S = md5_hash64_duck("s")
     PH_TEXT = poly_hash_duck("text")
     TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -579,7 +587,7 @@ def oracle_sql() -> dict[str, str]:
         {DOC_PRE},
         perms AS (SELECT * FROM (VALUES {perm_rows}) AS t(j, a, b)),
         mh AS (
-          SELECT doc_id, j, MIN((CAST(a AS BIGINT) * sh + b) % {P_MINHASH}) AS minhash
+          SELECT doc_id, j, MIN((CAST(a AS BIGINT) * (sh % {P_MINHASH}) + b) % {P_MINHASH}) AS minhash
           FROM sh CROSS JOIN perms GROUP BY doc_id, j
         )
         """
@@ -607,7 +615,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id,
                  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
           FROM (
-            SELECT doc_id, b, SUM((((sh * 2654435761) % 1000000007) >> b & 1) * 2 - 1) AS s
+            SELECT doc_id, b, SUM(((((sh % 1000000007) * 2654435761) % 1000000007) >> b & 1) * 2 - 1) AS s
             FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 31)) AS b)
             GROUP BY doc_id, b
           ) GROUP BY doc_id
@@ -661,7 +669,7 @@ def oracle_sql() -> dict[str, str]:
         "zh": ["的", "是", "不", "了", "在", "我", "有"],
     }
     _score = {
-        c: f"len(list_filter({TOKS}, t -> list_contains([{', '.join(chr(39)+m+chr(39) for m in ms)}], lower(t))))"
+        c: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(ms)})\\b'))"
         for c, ms in _markers.items()
     }
     sql["doc_lang_id"] = f"""

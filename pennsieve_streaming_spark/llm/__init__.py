@@ -12,6 +12,7 @@ from pennsieve_streaming_spark.llm.dedup import (  # noqa: F401
     exact_dedup,
     shingles,
     minhash_signatures,
+    minhash_wide,
     lsh_band_keys,
     lsh_candidate_pairs,
     jaccard_pairs,

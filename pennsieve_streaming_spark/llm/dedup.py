@@ -25,9 +25,10 @@ from pyspark.sql import functions as F
 from pennsieve_streaming_spark.llm.hashing import (
     P_MINHASH,
     P_POLY,
+    md5_hash64_expr,
     minhash_perm_constants,
-    poly_hash_expr,
 )
+from pennsieve_streaming_spark.util import ensure_parallelism
 
 BAND_WEIGHTS = [1, 31, 961, 29791]  # 31^(j % rows_per_band), rows_per_band=4
 
@@ -63,48 +64,63 @@ def shingles(
         + ")) END"
     )
     return (
-        documents.select("doc_id", F.explode(F.expr(shingle_arr)).alias("s"))
-        .select("doc_id", F.expr(poly_hash_expr("s")).alias("sh"))
+        ensure_parallelism(documents.select("doc_id", text_col), "doc_id")
+        .select("doc_id", F.explode(F.expr(shingle_arr)).alias("s"))
+        .select("doc_id", F.expr(md5_hash64_expr("s")).alias("sh"))
         .distinct()
     )
 
 
+def minhash_wide(shingled: DataFrame, n_hashes: int = 16) -> DataFrame:
+    """MinHash signature as one wide row per doc: (doc_id, mh_0..mh_{n-1}).
+
+    minhash_j = min over shingles of (a_j*(sh % P) + b_j) % P. Computed
+    as n min-aggregates in ONE groupBy — full map-side partial
+    aggregation, one tiny shuffle, no row explosion (the exploded
+    formulation shuffles |shingles| * n rows).
+    """
+    perms = minhash_perm_constants(n_hashes)
+    sh = F.col("sh") % F.lit(P_MINHASH)
+    aggs = [
+        F.min((F.lit(a) * sh + F.lit(b)) % F.lit(P_MINHASH)).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(perms)
+    ]
+    return shingled.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(shingled: DataFrame, n_hashes: int = 16) -> DataFrame:
     """MinHash signature, exploded: (doc_id, j, minhash) for j in
-    [0, n_hashes) with minhash_j = min over shingles of (a_j*sh+b_j) % P."""
-    spark = shingled.sparkSession
-    perms = spark.createDataFrame(
-        [(j, a, b) for j, (a, b) in enumerate(minhash_perm_constants(n_hashes))],
-        "j int, a long, b long",
-    )
-    return (
-        shingled.join(F.broadcast(perms))
-        .select(
-            "doc_id",
-            "j",
-            ((F.col("a") * F.col("sh") + F.col("b")) % F.lit(P_MINHASH)).alias("h"),
-        )
-        .groupBy("doc_id", "j")
-        .agg(F.min("h").alias("minhash"))
-    )
+    [0, n_hashes) — the wide form unpivoted via stack()."""
+    wide = minhash_wide(shingled, n_hashes)
+    stack = ", ".join(f"{j}, mh_{j}" for j in range(n_hashes))
+    return wide.selectExpr(
+        "doc_id", f"stack({n_hashes}, {stack}) AS (j, minhash)"
+    ).select("doc_id", F.col("j").cast("int").alias("j"), "minhash")
 
 
-def lsh_band_keys(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
+def lsh_band_keys(
+    signatures_wide: DataFrame, rows_per_band: int = 4
+) -> DataFrame:
     """Collapse each signature band to one integer key:
     key = sum(minhash_j * 31^(j % rows_per_band)) over the band.
 
-    Output: (doc_id, band, band_key).
+    Input is the WIDE signature (minhash_wide output); band keys are
+    pure column arithmetic — no extra shuffle. Output:
+    (doc_id, band, band_key).
     """
-    weight = F.element_at(
-        F.array(*[F.lit(w) for w in BAND_WEIGHTS[:rows_per_band]]),
-        (F.col("j") % rows_per_band).cast("int") + 1,
-    ).cast("long")
-    return (
-        signatures.withColumn("band", F.floor(F.col("j") / rows_per_band).cast("long"))
-        .withColumn("w", weight)
-        .groupBy("doc_id", "band")
-        .agg(F.sum(F.col("minhash") * F.col("w")).alias("band_key"))
-    )
+    n_hashes = sum(1 for c in signatures_wide.columns if c.startswith("mh_"))
+    n_bands = n_hashes // rows_per_band
+    tmp = signatures_wide
+    for b in range(n_bands):
+        key = None
+        for r in range(rows_per_band):
+            term = F.col(f"mh_{b * rows_per_band + r}") * F.lit(BAND_WEIGHTS[r])
+            key = term if key is None else key + term
+        tmp = tmp.withColumn(f"bk_{b}", key.cast("long"))
+    stack = ", ".join(f"{b}, bk_{b}" for b in range(n_bands))
+    return tmp.selectExpr(
+        "doc_id", f"stack({n_bands}, {stack}) AS (band, band_key)"
+    ).select("doc_id", F.col("band").cast("long").alias("band"), "band_key")
 
 
 def lsh_candidate_pairs(band_keys: DataFrame) -> DataFrame:
@@ -136,6 +152,16 @@ def jaccard_pairs(
 
     Output: (doc_a, doc_b, n_a, n_b, inter, jaccard).
     """
+    if candidates is not None:
+        # verify-only-candidates: shrink the shingle table to candidate
+        # docs before the self-join (semi-join keeps each candidate
+        # doc's FULL shingle set, so sizes/jaccard stay exact)
+        cand_docs = (
+            candidates.select(F.col("doc_a").alias("doc_id"))
+            .union(candidates.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        shingled = shingled.join(F.broadcast(cand_docs), "doc_id", "left_semi")
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingled.alias("a")
     b = shingled.alias("b")
@@ -172,33 +198,27 @@ def simhash(shingled: DataFrame, bits: int = 32) -> DataFrame:
     """SimHash fingerprint from the shingle-hash set.
 
     Bit b of the fingerprint is 1 iff sum over shingles of
-    (2*bit_b(sh') - 1) > 0, where sh' = (sh * 2654435761) % P_POLY
-    remixes the polynomial hash so the high bits are usable.
+    (2*bit_b(sh') - 1) > 0, where sh' = ((sh % P_POLY) * 2654435761)
+    % P_POLY remixes the hash so all 30 low bits are well distributed.
 
-    Output: (doc_id, simhash LONG).
+    Computed as ``bits`` sum-aggregates in one groupBy (map-side
+    partial agg; no row explosion) and recombined with pure column
+    arithmetic. Output: (doc_id, simhash LONG).
     """
-    mixed = (F.col("sh") * F.lit(2654435761)) % F.lit(P_POLY)
-    exploded = (
-        shingled.withColumn("shm", mixed)
-        .select("doc_id", "shm", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
-        .withColumn(
-            "contrib",
-            F.expr("(shiftright(shm, CAST(b AS INT)) % 2) * 2 - 1"),
-        )
-    )
-    return (
-        exploded.groupBy("doc_id", "b")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn(
-            "bit",
-            F.expr(
-                "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) "
-                "ELSE CAST(0 AS BIGINT) END"
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bit").alias("simhash"))
-    )
+    mixed = ((F.col("sh") % F.lit(P_POLY)) * F.lit(2654435761)) % F.lit(P_POLY)
+    df = shingled.withColumn("shm", mixed)
+    aggs = [
+        F.sum(F.expr(f"(shiftright(shm, {b}) % 2) * 2 - 1")).alias(f"s_{b}")
+        for b in range(bits)
+    ]
+    wide = df.groupBy("doc_id").agg(*aggs)
+    fp = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"s_{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return wide.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -45,6 +45,29 @@ def poly_hash_duck(col: str, p: int = P_POLY) -> str:
     )
 
 
+def md5_hash64_expr(col: str) -> str:
+    """Spark SQL: 60-bit integer hash = first 15 hex digits of md5.
+
+    md5 is whole-stage-codegen'd JVM-side (fast); `conv` parses the hex
+    prefix. Used for shingle hashing in the hot dedup path — the
+    polynomial fold (a higher-order function, interpreted) stays for
+    the rolling-fingerprint operator where one fold per document is
+    cheap.
+    """
+    return f"CAST(conv(substring(md5({col}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def md5_hash64_duck(col: str) -> str:
+    """DuckDB SQL computing the identical md5-prefix hash: a 15-char
+    fold over hex digits (cheap — fixed length)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(1, 15), "
+        f"i -> CAST(strpos('0123456789abcdef', substring(md5({col}), CAST(i AS INT), 1)) - 1 AS BIGINT))), "
+        f"(acc, d) -> acc * 16 + d)"
+    )
+
+
 def minhash_perm_constants(n_hashes: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) constants for the j-th minhash permutation
     ``(a*h + b) mod P_MINHASH``; a odd so the map is well-mixing."""

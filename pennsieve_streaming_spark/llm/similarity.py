@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pennsieve_streaming_spark.util import ensure_parallelism
+
 DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS DOUBLE), "
     "(acc, v) -> acc + v)"
@@ -41,8 +43,10 @@ def cosine_topk(
 
     Output: (query_id, neighbor_id, rank, cosine).
     """
-    corpus = _as_double(embeddings, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
+    corpus = ensure_parallelism(
+        _as_double(embeddings, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
+        )
     )
     qs = _as_double(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q")

@@ -29,9 +29,17 @@ EN_STOPWORDS = [
 ]
 
 
-def _marker_count_expr(markers: list[str]) -> str:
+def _marker_count_expr(markers: list[str], toks: str = "toks") -> str:
     arr = ", ".join("'" + m.replace("'", "''") + "'" for m in markers)
-    return f"size(filter({TOKS}, t -> array_contains(array({arr}), lower(t))))"
+    return f"size(filter({toks}, t -> array_contains(array({arr}), lower(t))))"
+
+
+def _with_toks(documents: DataFrame, *extra_cols: str) -> DataFrame:
+    """Tokenize once — every downstream stat reads the array column
+    instead of re-splitting the text."""
+    return documents.select(
+        "doc_id", "text", *extra_cols, F.expr(TOKS).alias("toks")
+    )
 
 
 def token_stats(documents: DataFrame) -> DataFrame:
@@ -39,18 +47,18 @@ def token_stats(documents: DataFrame) -> DataFrame:
 
     Output: (doc_id, n_chars, n_tokens, n_alpha, n_punct, avg_token_len).
     """
-    return documents.select(
+    return _with_toks(documents).select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
         F.expr(
-            f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE size({TOKS}) END"
+            "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE size(toks) END"
         ).cast("long").alias("n_tokens"),
         F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("long").alias("n_alpha"),
         F.length(F.regexp_replace("text", "[^.,;:!?]", "")).cast("long").alias("n_punct"),
         F.expr(
-            f"CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS DOUBLE) "
-            f"ELSE aggregate(transform({TOKS}, t -> length(t)), 0, (a, x) -> a + x) "
-            f"/ CAST(size({TOKS}) AS DOUBLE) END"
+            "CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS DOUBLE) "
+            "ELSE aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x) "
+            "/ CAST(size(toks) AS DOUBLE) END"
         ).alias("avg_token_len"),
     )
 
@@ -62,14 +70,14 @@ def quality_score(documents: DataFrame) -> DataFrame:
     Output: (doc_id, n_tokens, alpha_ratio, stop_ratio, quality).
     """
     stop_expr = _marker_count_expr(EN_STOPWORDS)
-    df = documents.select(
+    df = _with_toks(documents).select(
         "doc_id",
-        F.expr(f"size({TOKS})").cast("long").alias("n_tokens"),
+        F.expr("size(toks)").cast("long").alias("n_tokens"),
         (
             F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
             / F.length("text").cast("double")
         ).alias("alpha_ratio"),
-        F.expr(f"{stop_expr} / CAST(size({TOKS}) AS DOUBLE)").alias("stop_ratio"),
+        F.expr(f"{stop_expr} / CAST(size(toks) AS DOUBLE)").alias("stop_ratio"),
     )
     return df.withColumn(
         "quality",
@@ -85,14 +93,18 @@ def lang_id(documents: DataFrame) -> DataFrame:
     Output: (doc_id, lang, predicted_lang, correct) — `lang` is the
     labeled column from the table, `predicted_lang` the heuristic's
     argmax with deterministic priority tie-breaking.
+
+    Scores use regexp_count (whole-stage codegen, no tokenization):
+    count of word-boundary marker matches per language.
     """
-    scores = {
-        code: _marker_count_expr(markers) for code, markers in LANG_MARKERS.items()
-    }
+    def score(markers: list[str]) -> F.Column:
+        pat = r"\b(" + "|".join(markers) + r")\b"
+        return F.regexp_count(F.lower("text"), F.lit(pat))
+
     df = documents.select(
         "doc_id",
         "lang",
-        *[F.expr(e).alias(f"score_{c}") for c, e in scores.items()],
+        *[score(ms).alias(f"score_{c}") for c, ms in LANG_MARKERS.items()],
     )
     # First language (in priority order) whose score >= every later
     # language's score — argmax with deterministic tie-breaking.
