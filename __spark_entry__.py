@@ -210,6 +210,27 @@ def q_realtime_resample(spark, sf_dir):
     return resample_ingest_segments(segs, RT_PIXEL_US)
 
 
+def q_range_lookup(spark, sf_dir):
+    """S1/J3: overlap lookup against a ranges catalog built from the
+    sessionized event spans (the reference's timeseries.ranges role)."""
+    from pennsieve_streaming_spark.sources import range_lookup, spans_to_ranges
+
+    spans = q_gap_spans(spark, sf_dir).drop("n_segments")
+    ranges = spans_to_ranges(spans, TBL.DERIVED_RATE_HZ)
+    return range_lookup(ranges, "purchase", EV_START + 5 * 86_400 * US, EV_START + 20 * 86_400 * US)
+
+
+def q_channel_minmax(spark, sf_dir):
+    """A7/A8: whole-stream fold to (min, max) + extent per channel."""
+    s = TBL.samples_view(spark, sf_dir)
+    return s.groupBy("channel").agg(
+        F.min("value").alias("min_val"),
+        F.max("value").alias("max_val"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+    )
+
+
 def q_butterworth(spark, sf_dir):
     """G1-G3: per-channel Butterworth lowpass (pandas-UDF recurrence;
     no SQL oracle — driver records the rows-only check)."""
@@ -326,6 +347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_cut_resample": q_cut_resample,
         "ts_realtime_resample": q_realtime_resample,
         "ts_butterworth_filter": q_butterworth,
+        "ts_range_lookup": q_range_lookup,
+        "ts_channel_minmax": q_channel_minmax,
         "doc_exact_dedup": q_exact_dedup,
         "doc_token_stats": q_token_stats,
         "doc_quality_score": q_quality,
@@ -447,6 +470,30 @@ def oracle_sql() -> dict[str, str]:
         FROM ({_gap_spans})
         """,
         "chan_events",
+    )
+
+    sql["ts_range_lookup"] = with_views(
+        f"""
+        SELECT id, channel, rate, lo, hi, location FROM (
+          SELECT CAST(ROW_NUMBER() OVER (PARTITION BY channel ORDER BY span_lo, span_hi) - 1 AS BIGINT) AS id,
+                 channel, CAST(10.0 AS DOUBLE) AS rate,
+                 span_lo AS lo, span_hi AS hi,
+                 channel || '_' || CAST(ROW_NUMBER() OVER (PARTITION BY channel ORDER BY span_lo, span_hi) - 1 AS VARCHAR) AS location
+          FROM ({_gap_spans})
+        )
+        WHERE channel = 'purchase'
+          AND lo <= {EV_START + 20 * 86_400 * US} AND hi >= {EV_START + 5 * 86_400 * US}
+        """,
+        "chan_events",
+    )
+
+    sql["ts_channel_minmax"] = with_views(
+        """
+        SELECT channel, MIN(value) AS min_val, MAX(value) AS max_val,
+               MIN(ts) AS start_ts, MAX(ts) AS end_ts
+        FROM samples GROUP BY channel
+        """,
+        "samples",
     )
 
     sql["ts_montage"] = with_views(

@@ -1,0 +1,13 @@
+"""Serving layer: session state + request protocol over the engine."""
+
+from pennsieve_streaming_spark.serving.session import (  # noqa: F401
+    ClearFilterRequest,
+    DumpBufferRequest,
+    FilterRequest,
+    KeepAlive,
+    MontageRequest,
+    QuerySession,
+    ResetFilterRequest,
+    TimeSeriesRequest,
+    parse_request,
+)

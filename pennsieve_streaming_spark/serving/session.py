@@ -1,0 +1,290 @@
+"""Query-session protocol and state (reference §2.10 T1-T8).
+
+The reference serves a WebSocket protocol whose JSON messages are a
+try-parse cascade of request types (server/TimeSeriesFlow.scala:546-606,
+server/TSJsonSupport.scala:65-247) against per-session state maps
+(filters / montage / kill switches, server/TimeSeriesQueryService.scala:62-71).
+
+Spark-natively, a session is driver-side state plus a job-group id:
+
+- **epoch cancellation** (T5): the reference threads an epoch counter
+  through every stage and drops stale messages
+  (server/TimeSeriesFlow.scala:175-195). Here ``dump_buffer()`` bumps
+  the epoch and calls ``cancelJobGroup`` — Spark's native cancellation
+  replaces ~150 lines of epoch plumbing; the epoch int remains only to
+  tag/filter late results.
+- **filter lifecycle** (T10): FilterRequest installs a per-(virtual)
+  channel FilterSpec; Clear/Reset remove state. Batch queries filter
+  whole windows, so "reset" just drops the spec's carried state flag.
+- **montage** (J4): a MontageRequest switches the session's montage
+  scheme after validating channel coverage.
+
+The WS/HTTP transport itself is out of engine scope (any asyncio
+server can wrap QuerySession); everything here is transport-free and
+unit-tested directly.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pennsieve_streaming_spark.datamodel import DEFAULT_QUERY_LIMIT
+from pennsieve_streaming_spark.dsp.filtering import FilterSpec, apply_filter
+from pennsieve_streaming_spark.operators.downsample import (
+    downsample_minmax_time,
+    should_resample,
+)
+from pennsieve_streaming_spark.operators.montage import (
+    MONTAGE_SCHEMES,
+    montage_two_channels,
+    parse_montage_name,
+    validate_montage,
+)
+from pennsieve_streaming_spark.operators.window import (
+    check_query_limit,
+    window_query,
+)
+
+
+# --------------------------------------------------------------------------
+# request types (reference TSJsonSupport.scala:65-247)
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class TimeSeriesRequest:
+    session: str
+    virtual_channels: list[str]       # channel names or "lead<->secondary"
+    start_time: int
+    end_time: int
+    pixel_width: int                  # µs per pixel; 0 => raw
+    query_limit: int | None = None
+    start_at_epoch: bool = False
+
+
+@dataclass(frozen=True)
+class MontageRequest:
+    session: str
+    montage: str | None               # scheme name or None to clear
+
+
+@dataclass(frozen=True)
+class FilterRequest:
+    session: str
+    filter: str                       # lowpass|highpass|bandpass|bandstop
+    filter_parameters: list[float]    # [order, freq, width?]
+    channels: list[str]
+
+
+@dataclass(frozen=True)
+class ClearFilterRequest:
+    session: str
+    channels: list[str] | None = None  # None => all
+
+
+@dataclass(frozen=True)
+class ResetFilterRequest:
+    session: str
+
+
+@dataclass(frozen=True)
+class DumpBufferRequest:
+    session: str
+
+
+@dataclass(frozen=True)
+class KeepAlive:
+    session: str
+
+
+REQUEST_TYPES = [
+    ("virtualChannels", TimeSeriesRequest),
+    ("montage", MontageRequest),
+    ("filter", FilterRequest),
+    ("clearFilter", ClearFilterRequest),
+    ("resetFilter", ResetFilterRequest),
+    ("dumpBuffer", DumpBufferRequest),
+    ("keepAlive", KeepAlive),
+]
+
+
+def parse_request(raw: str) -> Any:
+    """Try-parse cascade over the request vocabulary (the reference
+    attempts each JSON shape in order — parseFlow,
+    server/TimeSeriesFlow.scala:546-606)."""
+    msg = json.loads(raw)
+    if "virtualChannels" in msg:
+        return TimeSeriesRequest(
+            session=msg.get("session", ""),
+            virtual_channels=[c["name"] if isinstance(c, dict) else c
+                              for c in msg["virtualChannels"]],
+            start_time=int(msg["startTime"]),
+            end_time=int(msg["endTime"]),
+            pixel_width=int(msg.get("pixelWidth", 0)),
+            query_limit=msg.get("queryLimit"),
+            start_at_epoch=bool(msg.get("startAtEpoch", False)),
+        )
+    if "montage" in msg:
+        return MontageRequest(msg.get("session", ""), msg["montage"])
+    if "filter" in msg:
+        return FilterRequest(
+            msg.get("session", ""),
+            msg["filter"],
+            [float(x) for x in msg.get("filterParameters", [])],
+            list(msg.get("channels", [])),
+        )
+    if msg.get("clearFilter"):
+        return ClearFilterRequest(msg.get("session", ""), msg.get("channels"))
+    if msg.get("resetFilter"):
+        return ResetFilterRequest(msg.get("session", ""))
+    if msg.get("dumpBuffer"):
+        return DumpBufferRequest(msg.get("session", ""))
+    if msg.get("keepAlive") or msg == {}:
+        return KeepAlive(msg.get("session", ""))
+    raise ValueError(f"unparseable request: {raw[:200]}")
+
+
+# --------------------------------------------------------------------------
+# session
+# --------------------------------------------------------------------------
+
+@dataclass
+class _SessionState:
+    montage: str | None = None
+    filters: dict[str, FilterSpec] = field(default_factory=dict)
+    epoch: int = 0
+
+
+class QuerySession:
+    """One client session over the engine (reference: the per-session
+    Akka flow graph + state maps).
+
+    ``samples`` is the session's samples DataFrame; ``rates`` maps
+    channel name -> Hz (from the channels catalog).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        samples: DataFrame,
+        rates: dict[str, float],
+        session_id: str,
+        package_min_ts: int = 0,
+    ):
+        self.spark = spark
+        self.samples = samples
+        self.rates = rates
+        self.session_id = session_id
+        self.package_min_ts = package_min_ts
+        self.state = _SessionState()
+
+    # -- T5: epoch-based cancellation ------------------------------------
+    @property
+    def job_group(self) -> str:
+        return f"{self.session_id}:{self.state.epoch}"
+
+    def dump_buffer(self) -> int:
+        """Abort in-flight work for this session: bump the epoch and
+        cancel the old job group (replaces the reference's epoch
+        message-stamping machinery, server/TimeSeriesFlow.scala:560-569)."""
+        old = self.job_group
+        self.state.epoch += 1
+        self.spark.sparkContext.cancelJobGroup(old)
+        return self.state.epoch
+
+    def close(self) -> None:
+        """T7/T8 kill switch: cancel everything for the session."""
+        self.spark.sparkContext.cancelJobGroup(self.job_group)
+
+    # -- T10: filter lifecycle -------------------------------------------
+    def set_filter(self, req: FilterRequest) -> None:
+        order = int(req.filter_parameters[0])
+        freq = float(req.filter_parameters[1])
+        width = (
+            float(req.filter_parameters[2])
+            if len(req.filter_parameters) > 2
+            else None
+        )
+        spec = FilterSpec(req.filter, order, freq, width)
+        for ch in req.channels:
+            self.state.filters[ch] = spec
+
+    def clear_filter(self, req: ClearFilterRequest) -> None:
+        if req.channels is None:
+            self.state.filters.clear()
+        else:
+            for ch in req.channels:
+                self.state.filters.pop(ch, None)
+
+    # -- J4: montage lifecycle -------------------------------------------
+    def set_montage(self, req: MontageRequest) -> None:
+        if req.montage is not None:
+            validate_montage(list(self.rates.keys()), req.montage)
+        self.state.montage = req.montage
+
+    # -- T1/T2: data request execution -----------------------------------
+    def _channel_frame(self, name: str) -> tuple[DataFrame, float]:
+        lead, secondary = parse_montage_name(name)
+        if secondary is not None:
+            df = montage_two_channels(self.samples, lead, secondary)
+        else:
+            df = self.samples.filter(self.samples["channel"] == lead)
+        return df, self.rates.get(lead, 1.0)
+
+    def run(self, req: TimeSeriesRequest) -> dict[str, DataFrame]:
+        """Execute a data request: per virtual channel, window + guard,
+        then raw slice or min/max downsample (the A2 decision), with any
+        session filter applied first. Queries run under the session's
+        job group so dump_buffer() can cancel them mid-flight."""
+        if self.state.montage is not None:
+            needed = {c for p in MONTAGE_SCHEMES[self.state.montage] for c in p}
+            for name in req.virtual_channels:
+                lead, sec = parse_montage_name(name)
+                if sec is not None and (lead not in needed or sec not in needed):
+                    raise ValueError(f"{name} not part of montage {self.state.montage}")
+
+        start, end = req.start_time, req.end_time
+        if req.start_at_epoch:
+            start += self.package_min_ts
+            end += self.package_min_ts
+
+        self.spark.sparkContext.setJobGroup(
+            self.job_group, f"session {self.session_id}", interruptOnCancel=True
+        )
+        out: dict[str, DataFrame] = {}
+        for name in req.virtual_channels:
+            df, rate = self._channel_frame(name)
+            limit = req.query_limit
+            if limit is None and req.pixel_width == 0:
+                check_query_limit(start, end, rate, DEFAULT_QUERY_LIMIT)
+            windowed = window_query(df, None, start, end, limit=limit)
+            spec = self.state.filters.get(name)
+            if spec is not None:
+                windowed = apply_filter(windowed, spec, rate)
+            if req.pixel_width and should_resample(rate, req.pixel_width):
+                out[name] = downsample_minmax_time(
+                    windowed, start, end, req.pixel_width
+                )
+            else:
+                out[name] = windowed
+        return out
+
+    def handle(self, raw: str):
+        """Dispatch a raw protocol message (T1)."""
+        req = parse_request(raw)
+        if isinstance(req, TimeSeriesRequest):
+            return self.run(req)
+        if isinstance(req, MontageRequest):
+            self.set_montage(req)
+        elif isinstance(req, FilterRequest):
+            self.set_filter(req)
+        elif isinstance(req, ClearFilterRequest):
+            self.clear_filter(req)
+        elif isinstance(req, ResetFilterRequest):
+            pass  # batch filters carry no cross-request state
+        elif isinstance(req, DumpBufferRequest):
+            return self.dump_buffer()
+        return None

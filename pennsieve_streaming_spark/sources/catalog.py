@@ -1,0 +1,51 @@
+"""Range-index catalog operations (S1/S2/J3).
+
+The reference resolves every query through a Postgres range index:
+``SELECT ... FROM timeseries.ranges WHERE channel = ? AND
+range && int8range(qstart, qend) ORDER BY lo ASC``
+(server/WebServerPorts.scala:57-61). In the Spark-native layout,
+Parquet partition pruning and row-group min/max stats play that role —
+but the catalog-shaped operators remain for parity, for the `/segments`
+endpoint, and for driving the legacy binary readers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_lookup(
+    ranges: DataFrame,
+    channel: str | None,
+    start_us: int,
+    end_us: int,
+) -> DataFrame:
+    """S1: channel equality + interval-overlap filter, ordered by lo —
+    the int8range ``&&`` operator as a plain predicate. Returns the
+    matching catalog rows (one per stored segment/file)."""
+    df = ranges.filter((F.col("lo") <= end_us) & (F.col("hi") >= start_us))
+    if channel is not None:
+        df = df.filter(F.col("channel") == channel)
+    return df.orderBy("lo")
+
+
+def spans_to_ranges(spans: DataFrame, rate_hz: float) -> DataFrame:
+    """Build a ranges catalog from contiguous spans (channel, span_lo,
+    span_hi): deterministic ids via per-channel sequence numbers."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("channel").orderBy("span_lo", "span_hi")
+    return (
+        spans.withColumn("id", (F.row_number().over(w) - F.lit(1)).cast("long"))
+        .select(
+            "id",
+            "channel",
+            F.lit(rate_hz).alias("rate"),
+            F.col("span_lo").alias("lo"),
+            F.col("span_hi").alias("hi"),
+            F.concat(F.col("channel"), F.lit("_"), F.col("id").cast("string")).alias(
+                "location"
+            ),
+        )
+    )

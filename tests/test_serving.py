@@ -1,0 +1,117 @@
+"""Serving-layer tests: protocol parsing, session state, execution,
+epoch cancellation plumbing."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pennsieve_streaming_spark.operators.montage import MontageValidationError
+from pennsieve_streaming_spark.serving import (
+    ClearFilterRequest,
+    DumpBufferRequest,
+    FilterRequest,
+    KeepAlive,
+    MontageRequest,
+    QuerySession,
+    TimeSeriesRequest,
+    parse_request,
+)
+
+
+def test_parse_request_cascade():
+    r = parse_request(json.dumps({
+        "session": "s1",
+        "virtualChannels": [{"id": "x", "name": "Fp1<->Cz"}, "C3"],
+        "startTime": 100, "endTime": 200, "pixelWidth": 10,
+    }))
+    assert isinstance(r, TimeSeriesRequest)
+    assert r.virtual_channels == ["Fp1<->Cz", "C3"]
+    assert isinstance(parse_request('{"montage": "referential_vs_cz"}'), MontageRequest)
+    f = parse_request(json.dumps({
+        "filter": "lowpass", "filterParameters": [4, 30.0], "channels": ["C3"],
+    }))
+    assert isinstance(f, FilterRequest) and f.filter_parameters == [4.0, 30.0]
+    assert isinstance(parse_request('{"clearFilter": true}'), ClearFilterRequest)
+    assert isinstance(parse_request('{"dumpBuffer": true}'), DumpBufferRequest)
+    assert isinstance(parse_request('{"keepAlive": true}'), KeepAlive)
+    with pytest.raises(ValueError):
+        parse_request('{"bogus": 1}')
+
+
+@pytest.fixture()
+def session(spark):
+    rows = []
+    for i in range(100):
+        for ch, slope in (("Fp1", 1.0), ("Cz", 2.0), ("C3", 3.0)):
+            rows.append((ch, i * 1_000_000, slope * i))
+    samples = spark.createDataFrame(rows, "channel string, ts long, value double")
+    rates = {"Fp1": 1.0, "Cz": 1.0, "C3": 1.0}
+    return QuerySession(spark, samples, rates, "sess-1")
+
+
+def test_raw_window_request(session):
+    out = session.run(TimeSeriesRequest(
+        "sess-1", ["C3"], 10_000_000, 20_000_000, pixel_width=0
+    ))
+    rows = out["C3"].orderBy("ts").collect()
+    assert [r["value"] for r in rows] == [30.0 + 3 * i for i in range(10)]
+
+
+def test_montage_request(session):
+    out = session.run(TimeSeriesRequest(
+        "sess-1", ["Fp1<->Cz"], 0, 10_000_000, pixel_width=0
+    ))
+    rows = out["Fp1<->Cz"].orderBy("ts").collect()
+    assert [r["value"] for r in rows] == [float(-i) for i in range(10)]
+
+
+def test_downsample_decision(session):
+    # pixel 10 s at 1 Hz -> ratio 10 > 3 -> min/max buckets
+    out = session.run(TimeSeriesRequest(
+        "sess-1", ["C3"], 0, 100_000_000, pixel_width=10_000_000
+    ))
+    rows = out["C3"].orderBy("bucket").collect()
+    assert len(rows) == 10
+    assert rows[0]["min_val"] == 0.0 and rows[0]["max_val"] == 27.0
+    # pixel 2 s at 1 Hz -> ratio 2 <= 3 -> raw passthrough
+    out = session.run(TimeSeriesRequest(
+        "sess-1", ["C3"], 0, 100_000_000, pixel_width=2_000_000
+    ))
+    assert "bucket" not in out["C3"].columns
+
+
+def test_montage_validation_via_state(session):
+    with pytest.raises(MontageValidationError):
+        session.set_montage(MontageRequest("sess-1", "referential_vs_cz"))
+
+
+def test_filter_lifecycle(session):
+    session.handle(json.dumps({
+        "filter": "lowpass", "filterParameters": [2, 0.1], "channels": ["C3"],
+    }))
+    assert "C3" in session.state.filters
+    out = session.run(TimeSeriesRequest(
+        "sess-1", ["C3"], 0, 100_000_000, pixel_width=0
+    ))
+    assert out["C3"].count() == 100  # filtered, same cardinality
+    session.handle(json.dumps({"clearFilter": True}))
+    assert not session.state.filters
+
+
+def test_epoch_bump_on_dump(session):
+    g0 = session.job_group
+    epoch = session.handle(json.dumps({"dumpBuffer": True}))
+    assert epoch == 1
+    assert session.job_group != g0
+
+
+def test_start_at_epoch_rebase(spark, session):
+    session.package_min_ts = 50_000_000
+    out = session.run(TimeSeriesRequest(
+        "sess-1", ["C3"], 0, 10_000_000, pixel_width=0, start_at_epoch=True
+    ))
+    rows = out["C3"].orderBy("ts").collect()
+    # window shifted to [50s, 60s)
+    assert rows[0]["value"] == 3.0 * 50

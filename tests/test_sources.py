@@ -1,0 +1,104 @@
+"""Source-layer tests: legacy binary decode, value files, catalogs."""
+
+from __future__ import annotations
+
+import gzip
+import os
+import struct
+import tempfile
+
+import pytest
+
+from pennsieve_streaming_spark.sources import (
+    decode_binary_segments,
+    decode_event_files,
+    range_lookup,
+    read_value_files,
+    spans_to_ranges,
+)
+
+
+@pytest.fixture()
+def legacy_dir():
+    d = tempfile.mkdtemp(prefix="legacy_")
+    # segment files: big-endian doubles, one gzipped
+    with open(os.path.join(d, "seg_a"), "wb") as f:
+        f.write(struct.pack(">4d", 1.5, 2.5, 3.5, 4.5))
+    with open(os.path.join(d, "seg_b"), "wb") as f:
+        f.write(gzip.compress(struct.pack(">3d", 10.0, 20.0, 30.0)))
+    yield d
+
+
+@pytest.fixture()
+def event_dir():
+    d = tempfile.mkdtemp(prefix="events_")
+    recs = b"".join(struct.pack(">q", t) + bytes([k]) for t, k in
+                    [(1_000_000, 0), (2_000_000, 1), (3_500_000, 0)])
+    with open(os.path.join(d, "ev_a"), "wb") as f:
+        f.write(recs)
+    yield d
+
+
+def test_decode_binary_segments(spark, legacy_dir):
+    catalog = spark.createDataFrame(
+        [("seg_a", "ch1", 1_000_000, 2.0), ("seg_b", "ch2", 0, 4.0)],
+        "location string, channel string, lo long, rate double",
+    )
+    out = decode_binary_segments(spark, legacy_dir, catalog)
+    rows = sorted(
+        [(r["channel"], r["ts"], r["value"]) for r in out.collect()]
+    )
+    # ch1: period 500000; ch2: period 250000
+    assert rows == [
+        ("ch1", 1_000_000, 1.5), ("ch1", 1_500_000, 2.5),
+        ("ch1", 2_000_000, 3.5), ("ch1", 2_500_000, 4.5),
+        ("ch2", 0, 10.0), ("ch2", 250_000, 20.0), ("ch2", 500_000, 30.0),
+    ]
+
+
+def test_decode_event_files(spark, event_dir):
+    catalog = spark.createDataFrame(
+        [("ev_a", "u1")], "location string, channel string"
+    )
+    out = decode_event_files(spark, event_dir, catalog)
+    rows = sorted([(r["channel"], r["ts"], r["unit_class"]) for r in out.collect()])
+    assert rows == [("u1", 1_000_000, 0), ("u1", 2_000_000, 1), ("u1", 3_500_000, 0)]
+
+
+def test_read_value_files(spark):
+    d = tempfile.mkdtemp(prefix="vals_")
+    with open(os.path.join(d, "page1"), "w") as f:
+        f.write("1.0\n2.0\n3.0\n")
+    out = read_value_files(spark, d).orderBy("pos").collect()
+    assert [(r["pos"], r["value"]) for r in out] == [(0, 1.0), (1, 2.0), (2, 3.0)]
+
+
+def test_range_lookup_overlap(spark):
+    ranges = spark.createDataFrame(
+        [
+            (0, "c", 1.0, 0, 100, "f0"),
+            (1, "c", 1.0, 200, 300, "f1"),
+            (2, "c", 1.0, 400, 500, "f2"),
+            (3, "d", 1.0, 0, 1000, "f3"),
+        ],
+        "id long, channel string, rate double, lo long, hi long, location string",
+    )
+    hits = range_lookup(ranges, "c", 250, 450).collect()
+    assert [r["location"] for r in hits] == ["f1", "f2"]
+    # boundary: overlap is inclusive (range && semantics on closed ranges)
+    assert [r["location"] for r in range_lookup(ranges, "c", 100, 200).collect()] == [
+        "f0",
+        "f1",
+    ]
+
+
+def test_spans_to_ranges(spark):
+    spans = spark.createDataFrame(
+        [("c", 0, 100, 2), ("c", 500, 900, 3)],
+        "channel string, span_lo long, span_hi long, n_segments long",
+    )
+    out = spans_to_ranges(spans, 250.0).orderBy("lo").collect()
+    assert [(r["id"], r["lo"], r["hi"], r["location"]) for r in out] == [
+        (0, 0, 100, "c_0"),
+        (1, 500, 900, "c_1"),
+    ]
