@@ -210,6 +210,17 @@ def q_realtime_resample(spark, sf_dir):
     return resample_ingest_segments(segs, RT_PIXEL_US)
 
 
+def q_build_segments(spark, sf_dir):
+    """S7: Segment wire-shape assembly from the downsample output
+    (array payload — rows-only check)."""
+    from pennsieve_streaming_spark.operators import build_segments_minmax
+
+    mm = q_downsample_time(spark, sf_dir)
+    return build_segments_minmax(
+        mm, T1992, T1999, chunk_time_us=float(WEEK_US), requested_period_us=WEEK_US
+    )
+
+
 def q_range_lookup(spark, sf_dir):
     """S1/J3: overlap lookup against a ranges catalog built from the
     sessionized event spans (the reference's timeseries.ranges role)."""
@@ -349,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_butterworth_filter": q_butterworth,
         "ts_range_lookup": q_range_lookup,
         "ts_channel_minmax": q_channel_minmax,
+        "ts_build_segments": q_build_segments,
         "doc_exact_dedup": q_exact_dedup,
         "doc_token_stats": q_token_stats,
         "doc_quality_score": q_quality,

@@ -39,3 +39,9 @@ from pennsieve_streaming_spark.operators.spikes import (  # noqa: F401
 from pennsieve_streaming_spark.operators.realtime import (  # noqa: F401
     resample_ingest_segments,
 )
+from pennsieve_streaming_spark.operators.segments import (  # noqa: F401
+    build_segments_minmax,
+    build_segments_raw,
+    filter_channels_by_type,
+    to_json_rows,
+)

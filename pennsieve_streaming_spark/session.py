@@ -44,6 +44,9 @@ def get_spark(
         # read TIMESTAMP(NANOS) parquet columns (unsupported natively) as
         # LONG nanoseconds; engine code converts with `div 1000` to µs
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # concurrent query sessions share the cluster fairly (reference
+        # runs 8-wide mapAsyncUnordered per WS session — T3)
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
