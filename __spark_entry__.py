@@ -210,6 +210,18 @@ def q_realtime_resample(spark, sf_dir):
     return resample_ingest_segments(segs, RT_PIXEL_US)
 
 
+def q_spike_waveforms(spark, sf_dir):
+    """G4: min/max-resample fixed-length waveforms (the embeddings
+    arrays stand in for spike waveform blobs) to 8 pixel points via the
+    equal-cut rule."""
+    embs = _embs(spark, sf_dir)
+    arrays = embs.select(
+        F.col("vec_id").alias("spike_ts"),
+        F.col("embedding").cast("array<double>").alias("waveform"),
+    )
+    return resample_arrays_minmax(arrays, 8, key_cols=("spike_ts",))
+
+
 def q_build_segments(spark, sf_dir):
     """S7: Segment wire-shape assembly from the downsample output
     (array payload — rows-only check)."""
@@ -361,6 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_range_lookup": q_range_lookup,
         "ts_channel_minmax": q_channel_minmax,
         "ts_build_segments": q_build_segments,
+        "ts_spike_waveforms": q_spike_waveforms,
         "doc_exact_dedup": q_exact_dedup,
         "doc_token_stats": q_token_stats,
         "doc_quality_score": q_quality,
@@ -696,7 +709,10 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
                CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS DOUBLE)
                     ELSE list_sum(list_transform(toks, t -> length(t))) / CAST(len(toks) AS DOUBLE)
-               END AS avg_token_len
+               END AS avg_token_len,
+               CAST(len(regexp_extract_all(text,
+                    '''(ll|ve|re|[sdmt])| ?[\\p{{L}}]+| ?[\\p{{N}}]+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'))
+                    AS BIGINT) AS n_tokens_bpe
         FROM doc_toks
         """
 
@@ -794,6 +810,17 @@ def oracle_sql() -> dict[str, str]:
                  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
           FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
         ) WHERE hamming <= 4
+        """
+
+    sql["ts_spike_waveforms"] = """
+        SELECT spike_ts, bucket, MIN(v) AS min_val, MAX(v) AS max_val
+        FROM (
+          SELECT vec_id AS spike_ts,
+                 CAST(unnest(embedding) AS DOUBLE) AS v,
+                 CAST(FLOOR((((generate_subscripts(embedding, 1) - 1) * 2 + 1) * 8 - 1)
+                      / (len(embedding) * 2)) AS BIGINT) AS bucket
+          FROM embeddings
+        ) GROUP BY spike_ts, bucket
         """
 
     sql["emb_cosine_topk"] = """

@@ -27,5 +27,6 @@ from pennsieve_streaming_spark.llm.text import (  # noqa: F401
 )
 from pennsieve_streaming_spark.llm.similarity import (  # noqa: F401
     cosine_topk,
+    ivf_ann,
     lsh_bucketed_ann,
 )

@@ -87,6 +87,97 @@ def hyperplane_expr(vec_col: str, plane: int, dim: int) -> str:
     )
 
 
+def ivf_ann(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbor.
+
+    Train k-means centroids (MLlib, sampled at scale), assign every
+    corpus vector to its nearest centroid list, and probe only the
+    ``n_probe`` nearest lists per query — the classic IVF-Flat recall/
+    cost trade-off. All distance math after training is DataFrame
+    expressions; centroid assignment is a broadcast of n_lists small
+    arrays, so the corpus never shuffles.
+
+    Output: (query_id, neighbor_id, rank, cosine).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = embeddings.sparkSession
+    corpus = ensure_parallelism(
+        _as_double(embeddings, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
+        )
+    )
+    train = corpus.select(array_to_vector("v").alias("features"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "list_id int, c array<double>",
+    )
+
+    # nearest-centroid assignment via broadcast join + argmin
+    from pyspark.sql import Window
+
+    dist = F.expr(
+        "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS DOUBLE), (acc, d) -> acc + d)"
+    )
+    wc = Window.partitionBy("neighbor_id").orderBy("d2", "list_id")
+    assigned = (
+        corpus.join(F.broadcast(cents))
+        .withColumn("d2", dist)
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "v", "list_id")
+    )
+
+    qs = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q")
+    )
+    qdist = F.expr(
+        "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS DOUBLE), (acc, d) -> acc + d)"
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "list_id")
+    q_lists = (
+        qs.join(F.broadcast(cents))
+        .withColumn("d2", qdist)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q", "list_id")
+    )
+
+    dot = F.expr(DOT.format(a="q", b="v"))
+    nq = F.expr(DOT.format(a="q", b="q"))
+    nv = F.expr(DOT.format(a="v", b="v"))
+    scored = (
+        assigned.join(
+            F.broadcast(q_lists),
+            (assigned["list_id"] == q_lists["list_id"])
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("cosine", dot / (F.sqrt(nq) * F.sqrt(nv)))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def lsh_bucketed_ann(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -28,6 +28,11 @@ EN_STOPWORDS = [
     "for", "on", "with", "as", "at", "by", "that", "this",
 ]
 
+# GPT-2-style pretokenizer, simplified to the RE2-compatible subset
+# (no lookahead) so the DuckDB oracle matches: contractions, letter
+# runs, digit runs, punctuation runs, whitespace runs.
+BPE_PATTERN = r"'(ll|ve|re|[sdmt])| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
 
 def _marker_count_expr(markers: list[str], toks: str = "toks") -> str:
     arr = ", ".join("'" + m.replace("'", "''") + "'" for m in markers)
@@ -60,6 +65,7 @@ def token_stats(documents: DataFrame) -> DataFrame:
             "ELSE aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x) "
             "/ CAST(size(toks) AS DOUBLE) END"
         ).alias("avg_token_len"),
+        F.regexp_count("text", F.lit(BPE_PATTERN)).cast("long").alias("n_tokens_bpe"),
     )
 
 

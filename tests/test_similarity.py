@@ -1,0 +1,57 @@
+"""Similarity-search tests: exact top-k sanity plus ANN recall vs the
+brute-force ground truth."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pennsieve_streaming_spark.llm import cosine_topk, ivf_ann, lsh_bucketed_ann
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def truth(embs):
+    out = cosine_topk(embs, embs.filter(F.col("vec_id") < 10), k=5)
+    return {
+        (r["query_id"], r["neighbor_id"]) for r in out.collect()
+    }
+
+
+def test_cosine_topk_shape(embs):
+    out = cosine_topk(embs, embs.filter(F.col("vec_id") < 3), k=4).collect()
+    assert len(out) == 12
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert -1.0001 <= r["cosine"] <= 1.0001
+    for q, rows in by_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == [1, 2, 3, 4]
+        cos = [r["cosine"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert cos == sorted(cos, reverse=True)
+
+
+def test_ivf_recall(embs, truth):
+    got = ivf_ann(embs, embs.filter(F.col("vec_id") < 10), k=5,
+                  n_lists=8, n_probe=3)
+    pairs = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    recall = len(pairs & truth) / len(truth)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_lsh_ann_runs_and_is_subset_quality(embs, truth):
+    got = lsh_bucketed_ann(embs, embs.filter(F.col("vec_id") < 10), k=5,
+                           n_planes=4)
+    rows = got.collect()
+    # buckets may be sparse; whatever is returned must be ranked sanely
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["cosine"])
+    for q, cos in by_q.items():
+        assert cos == sorted(cos, reverse=True)
