@@ -43,6 +43,16 @@ TABLE_NAMES = [
 DERIVED_RATE_HZ = 10.0
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Set the runtime-settable confs the derived views depend on, so
+    they behave identically under ANY SparkSession (e.g. the driver's):
+    UTC session time (epoch-µs arithmetic must match the DuckDB
+    oracle) and nanos-as-long parquet reads (events.parquet uses
+    TIMESTAMP(NANOS), which Spark cannot read natively)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every base parquet table and register temp views."""
     out = {}
@@ -61,6 +71,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 def samples_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """samples(channel, ts, value) derived from lineitem."""
+    ensure_session_confs(spark)
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     return li.select(
         F.concat(F.lit("ch"), (F.col("l_suppkey") % 8).cast("string")).alias("channel"),
@@ -77,6 +88,7 @@ def samples_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def samples_aligned_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two time-aligned channels from orders (montage fixture)."""
+    ensure_session_confs(spark)
     o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     lead = o.select(
         F.lit("lead").alias("channel"),
@@ -93,6 +105,7 @@ def samples_aligned_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def chan_events_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """chan_events(channel, ts, value) from the events stream table."""
+    ensure_session_confs(spark)
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     # ts arrives as LONG nanos (see session.py nanosAsLong); µs = ns div 1000,
     # identical to DuckDB's epoch_us() truncation.
