@@ -210,6 +210,21 @@ def q_realtime_resample(spark, sf_dir):
     return resample_ingest_segments(segs, RT_PIXEL_US)
 
 
+def q_rollup_downsample(spark, sf_dir):
+    """Continuous-aggregate path: weekly min/max pixels answered from a
+    daily rollup (must equal the direct raw-scan downsample — the
+    oracle computes the direct form)."""
+    from pennsieve_streaming_spark.operators import build_rollup, downsample_from_rollup
+
+    s = TBL.samples_view(spark, sf_dir)
+    daily = build_rollup(
+        s.filter((F.col("ts") >= T1992) & (F.col("ts") < T1999)),
+        86_400_000_000,
+        origin_us=T1992,
+    )
+    return downsample_from_rollup(daily, 86_400_000_000, T1992, T1999, WEEK_US)
+
+
 def q_spike_waveforms(spark, sf_dir):
     """G4: min/max-resample fixed-length waveforms (the embeddings
     arrays stand in for spike waveform blobs) to 8 pixel points via the
@@ -374,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_channel_minmax": q_channel_minmax,
         "ts_build_segments": q_build_segments,
         "ts_spike_waveforms": q_spike_waveforms,
+        "ts_rollup_downsample": q_rollup_downsample,
         "doc_exact_dedup": q_exact_dedup,
         "doc_token_stats": q_token_stats,
         "doc_quality_score": q_quality,
@@ -427,6 +443,8 @@ def oracle_sql() -> dict[str, str]:
         ) GROUP BY channel, bucket
         """
     sql["ts_minmax_downsample_time"] = with_views(_downsample_time, "samples")
+    # rollup path must equal the direct computation exactly
+    sql["ts_rollup_downsample"] = with_views(_downsample_time, "samples")
 
     sql["ts_minmax_downsample_count"] = with_views(
         f"""

@@ -39,6 +39,12 @@ from pennsieve_streaming_spark.operators.spikes import (  # noqa: F401
 from pennsieve_streaming_spark.operators.realtime import (  # noqa: F401
     resample_ingest_segments,
 )
+from pennsieve_streaming_spark.operators.rollups import (  # noqa: F401
+    build_rollup,
+    choose_level,
+    downsample_from_rollup,
+    rollup_from_rollup,
+)
 from pennsieve_streaming_spark.operators.segments import (  # noqa: F401
     build_segments_minmax,
     build_segments_raw,

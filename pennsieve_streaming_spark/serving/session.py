@@ -272,6 +272,52 @@ class QuerySession:
                 out[name] = windowed
         return out
 
+    # -- unit (event/spike) path -----------------------------------------
+    def run_unit(
+        self,
+        req: TimeSeriesRequest,
+        events: DataFrame,
+        waveforms: DataFrame | None = None,
+        spike_duration_us: int | None = None,
+    ) -> dict[str, DataFrame]:
+        """Unit-channel request (reference
+        query/TimeSeriesUnitQueryRawHttp.scala): per channel either the
+        per-pixel event summary, or — when zoomed in past the
+        spike-send threshold and waveforms are available — the
+        min/max-resampled spike waveforms."""
+        from pennsieve_streaming_spark.operators.events import event_summary_fixed
+        from pennsieve_streaming_spark.operators.spikes import (
+            resample_arrays_minmax,
+            should_send_spikes,
+        )
+
+        start, end = req.start_time, req.end_time
+        out: dict[str, DataFrame] = {}
+        for name in req.virtual_channels:
+            ch_events = events.filter(events["channel"] == name)
+            send_spikes = (
+                waveforms is not None
+                and spike_duration_us is not None
+                and req.pixel_width > 0
+                and should_send_spikes(req.pixel_width, spike_duration_us)
+            )
+            if send_spikes:
+                n_points = max(1, spike_duration_us // req.pixel_width)
+                ch_wf = waveforms.filter(
+                    (waveforms["channel"] == name)
+                    & (waveforms["spike_ts"] >= start)
+                    & (waveforms["spike_ts"] <= end)
+                )
+                out[name] = resample_arrays_minmax(ch_wf, n_points)
+            elif req.pixel_width > 0:
+                out[name] = event_summary_fixed(ch_events, start, end, req.pixel_width)
+            else:
+                # raw event timestamps (reference /ts/retrieve/unit)
+                out[name] = ch_events.filter(
+                    (ch_events["ts"] >= start) & (ch_events["ts"] <= end)
+                ).select("channel", "ts")
+        return out
+
     def handle(self, raw: str):
         """Dispatch a raw protocol message (T1)."""
         req = parse_request(raw)
