@@ -210,6 +210,53 @@ def q_realtime_resample(spark, sf_dir):
     return resample_ingest_segments(segs, RT_PIXEL_US)
 
 
+def q_downsample_salted(spark, sf_dir):
+    """Skew-resistant two-stage A1 (identical results to the direct
+    operator — same oracle)."""
+    from pennsieve_streaming_spark.operators.downsample import (
+        downsample_minmax_time_salted,
+    )
+
+    s = TBL.samples_view(spark, sf_dir)
+    return downsample_minmax_time_salted(s, T1992, T1999, WEEK_US)
+
+
+def q_page_concat(spark, sf_dir):
+    """U1 page concatenation: two page scans unioned then windowed —
+    pages vanish into one time-ordered stream."""
+    s = TBL.samples_view(spark, sf_dir)
+    mid = (T1995 + T1995H2) // 2
+    page1 = window_query(s, "ch1", T1995, mid)
+    page2 = window_query(s, "ch1", mid, T1995H2)
+    return page1.unionByName(page2).orderBy("ts", "value").limit(800)
+
+
+def q_emb_norms(spark, sf_dir):
+    """Sequential-fold L2 norms (the dot-product kernel, oracle-gated)."""
+    embs = _embs(spark, sf_dir)
+    return embs.select(
+        "vec_id",
+        F.sqrt(
+            F.expr(
+                "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), "
+                "CAST(embedding AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+                "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+        ).alias("l2_norm"),
+        F.size("embedding").cast("long").alias("dim"),
+    )
+
+
+def q_dedup_filter(spark, sf_dir):
+    """End-to-end dedup: survivors after dropping LSH-verified
+    near-duplicates (jaccard >= 0.5)."""
+    from pennsieve_streaming_spark.llm.dedup import dedup_filter
+
+    docs = _docs(spark, sf_dir)
+    pairs = q_lsh_pairs(spark, sf_dir)
+    return dedup_filter(docs, pairs, 0.5).select("doc_id", "source", "lang")
+
+
 def q_rollup_downsample(spark, sf_dir):
     """Continuous-aggregate path: weekly min/max pixels answered from a
     daily rollup (must equal the direct raw-scan downsample — the
@@ -390,6 +437,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_build_segments": q_build_segments,
         "ts_spike_waveforms": q_spike_waveforms,
         "ts_rollup_downsample": q_rollup_downsample,
+        "ts_minmax_downsample_salted": q_downsample_salted,
+        "ts_page_concat": q_page_concat,
+        "emb_norms": q_emb_norms,
+        "doc_dedup_filter": q_dedup_filter,
         "doc_exact_dedup": q_exact_dedup,
         "doc_token_stats": q_token_stats,
         "doc_quality_score": q_quality,
@@ -443,8 +494,26 @@ def oracle_sql() -> dict[str, str]:
         ) GROUP BY channel, bucket
         """
     sql["ts_minmax_downsample_time"] = with_views(_downsample_time, "samples")
-    # rollup path must equal the direct computation exactly
+    # rollup and salted paths must equal the direct computation exactly
     sql["ts_rollup_downsample"] = with_views(_downsample_time, "samples")
+    sql["ts_minmax_downsample_salted"] = with_views(_downsample_time, "samples")
+
+    sql["ts_page_concat"] = with_views(
+        f"""
+        SELECT channel, ts, value FROM samples
+        WHERE channel = 'ch1' AND ts >= {T1995} AND ts < {T1995H2}
+        ORDER BY ts, value LIMIT 800
+        """,
+        "samples",
+    )
+
+    sql["emb_norms"] = """
+        SELECT vec_id,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS l2_norm,
+               CAST(len(embedding) AS BIGINT) AS dim
+        FROM embeddings
+        """
 
     sql["ts_minmax_downsample_count"] = with_views(
         f"""
@@ -816,6 +885,26 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON i.doc_a = sa.doc_id
         JOIN sizes sb ON i.doc_b = sb.doc_id
         WHERE i.inter / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.2e0
+        """
+
+    sql["doc_dedup_filter"] = f"""
+        WITH {MINHASH_PRE}, {BANDS},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ),
+        {JACCARD_TAIL},
+        dropped AS (
+          SELECT DISTINCT i.doc_b AS doc_id
+          FROM ints i
+          JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+          JOIN sizes sa ON i.doc_a = sa.doc_id
+          JOIN sizes sb ON i.doc_b = sb.doc_id
+          WHERE i.inter / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.5e0
+        )
+        SELECT doc_id, source, lang FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         """
 
     sql["doc_simhash"] = f"WITH {DOC_PRE}, {SIMHASH_CTE} SELECT doc_id, simhash FROM fp"

@@ -34,6 +34,7 @@ HEADLINE = [
     "ts_epoch_rebase",
     "ts_cut_resample",
     "ts_realtime_resample",
+    "ts_rollup_downsample",
     "doc_exact_dedup",
     "doc_token_stats",
     "doc_lang_id",
@@ -41,6 +42,8 @@ HEADLINE = [
     "doc_simhash",
     "emb_cosine_topk",
 ]
+
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
 
 def main() -> None:
@@ -56,9 +59,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(max(1, REPS)):  # min-of-N damps co-tenant noise
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -194,6 +194,24 @@ def jaccard_pairs(
     return out.select("doc_a", "doc_b", "n_a", "n_b", "inter", "jaccard")
 
 
+def dedup_filter(
+    documents: DataFrame, near_pairs: DataFrame, min_jaccard: float = 0.5
+) -> DataFrame:
+    """End-to-end dedup materialization: drop every doc that appears as
+    the higher-id member of a near-duplicate pair (keep the lowest id
+    of each duplicate cluster's pairwise relations).
+
+    Anti-join keeps the corpus side distributed; the drop list is the
+    (small) pair set. Output: the surviving documents.
+    """
+    drop = (
+        near_pairs.filter(F.col("jaccard") >= min_jaccard)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return documents.join(F.broadcast(drop), "doc_id", "left_anti")
+
+
 def simhash(shingled: DataFrame, bits: int = 32) -> DataFrame:
     """SimHash fingerprint from the shingle-hash set.
 

@@ -108,6 +108,45 @@ def downsample_minmax_count(
     return df
 
 
+def downsample_minmax_time_salted(
+    samples: DataFrame,
+    start_us: int,
+    end_us: int,
+    bucket_us: int,
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant variant of A1 for pathological hot channels.
+
+    Two-stage aggregation: first on (channel, bucket, salt) — spreading
+    one hot (channel, bucket) cell across ``salt`` reducers — then
+    merge (min of mins, max of maxes, sum of counts). min/max/count
+    re-aggregate losslessly, so results are identical to the direct
+    operator. AQE's skew handling covers joins; this covers the
+    aggregation path the reference runs per channel.
+    """
+    bucket = F.floor((F.col("ts") - F.lit(start_us)) / F.lit(bucket_us)).cast("long")
+    stage1 = (
+        samples.filter((F.col("ts") >= start_us) & (F.col("ts") < end_us))
+        .withColumn("bucket", bucket)
+        .withColumn("salt", (F.abs(F.hash("ts")) % salt))
+        .groupBy("channel", "bucket", "salt")
+        .agg(
+            F.min("value").alias("min_val"),
+            F.max("value").alias("max_val"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+    return (
+        stage1.groupBy("channel", "bucket")
+        .agg(
+            F.min("min_val").alias("min_val"),
+            F.max("max_val").alias("max_val"),
+            F.sum("n_samples").alias("n_samples"),
+        )
+        .withColumn("bucket_start", F.lit(start_us) + F.col("bucket") * F.lit(bucket_us))
+    )
+
+
 def fill_gaps(minmax: DataFrame, order_col: str = "bucket") -> DataFrame:
     """W1 gap fill (query/TimeSeriesQueryUtils.scala:77-108).
 
