@@ -179,35 +179,43 @@ def q_resample_decision(spark, sf_dir):
     )
 
 
-def q_cut_resample(spark, sf_dir):
+def _lineitem_positions(spark, sf_dir):
+    """Long-form (key, pos, m, v) per order — window-based, no array
+    materialization (pos = row_number, m = count over the order)."""
+    from pennsieve_streaming_spark.operators.spikes import resample_positions_minmax  # noqa: F401
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    arrays = li.groupBy("l_orderkey").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("l_linenumber", "l_extendedprice"))),
-            lambda s: s["l_extendedprice"],
-        ).alias("waveform")
-    ).select(
-        F.lit("w").alias("channel"), F.col("l_orderkey").alias("spike_ts"), "waveform"
+    wo = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_extendedprice")
+    wc = Window.partitionBy("l_orderkey")
+    return li.select(
+        F.col("l_orderkey"),
+        F.col("l_extendedprice").alias("v"),
+        (F.row_number().over(wo) - F.lit(1)).cast("long").alias("pos"),
+        F.count(F.lit(1)).over(wc).alias("m"),
     )
-    return resample_arrays_minmax(arrays, CUT_CHUNKS).select(
-        "spike_ts", "bucket", "min_val", "max_val"
-    )
+
+
+def q_cut_resample(spark, sf_dir):
+    from pennsieve_streaming_spark.operators.spikes import resample_positions_minmax
+
+    pos = _lineitem_positions(spark, sf_dir).withColumnRenamed("l_orderkey", "spike_ts")
+    return resample_positions_minmax(pos, CUT_CHUNKS, key_cols=("spike_ts",))
 
 
 def q_realtime_resample(spark, sf_dir):
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    segs = li.groupBy("l_orderkey").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("l_linenumber", "l_extendedprice"))),
-            lambda s: s["l_extendedprice"],
-        ).alias("data")
-    ).select(
+    from pennsieve_streaming_spark.operators.realtime import (
+        resample_ingest_positions,
+    )
+
+    pos = _lineitem_positions(spark, sf_dir).select(
         F.concat(F.lit("rt"), (F.col("l_orderkey") % 4).cast("string")).alias("channel"),
         (F.col("l_orderkey") * 1_000_000).alias("start_ts"),
         (F.lit(75_000.0) * (F.lit(1) + F.col("l_orderkey") % 3)).alias("sample_period"),
-        "data",
+        "pos",
+        "m",
+        "v",
     )
-    return resample_ingest_segments(segs, RT_PIXEL_US)
+    return resample_ingest_positions(pos, RT_PIXEL_US)
 
 
 def q_downsample_salted(spark, sf_dir):

@@ -42,7 +42,17 @@ def resample_ingest_segments(
         "sample_period",
         F.size("data").alias("m"),
         F.posexplode("data").alias("pos", "v"),
-    ).withColumn(
+    )
+    return resample_ingest_positions(seg, realtime_pixel_duration_us)
+
+
+def resample_ingest_positions(
+    positioned: DataFrame, realtime_pixel_duration_us: int
+) -> DataFrame:
+    """A4 on long-form rows (channel, start_ts, sample_period, pos, m,
+    v) — same semantics as resample_ingest_segments without requiring
+    array-typed input."""
+    seg = positioned.withColumn(
         "end_ts",
         F.col("start_ts")
         + (F.col("sample_period") * F.col("m")).cast("long"),

@@ -46,6 +46,23 @@ def cut_bucket_expr(pos: Column, m: Column, n: Column) -> Column:
     return F.floor(((pos * 2 + 1) * n - 1) / (m * 2)).cast("long")
 
 
+def resample_positions_minmax(
+    positioned: DataFrame,
+    n_chunks: int,
+    key_cols: tuple[str, ...] = ("channel", "spike_ts"),
+) -> DataFrame:
+    """A3 on pre-positioned rows: input (keys..., pos, m, v) where pos
+    is the 0-based element index and m the vector length. Lets callers
+    that already have long-form data skip array construction entirely.
+    """
+    bucket = cut_bucket_expr(F.col("pos"), F.col("m"), F.lit(n_chunks))
+    return (
+        positioned.withColumn("bucket", bucket)
+        .groupBy(*key_cols, "bucket")
+        .agg(F.min("v").alias("min_val"), F.max("v").alias("max_val"))
+    )
+
+
 def resample_arrays_minmax(
     arrays: DataFrame,
     n_chunks: int,
@@ -64,9 +81,4 @@ def resample_arrays_minmax(
         F.size(F.col(array_col)).alias("m"),
         F.posexplode(F.col(array_col)).alias("pos", "v"),
     )
-    bucket = cut_bucket_expr(F.col("pos"), F.col("m"), F.lit(n_chunks))
-    return (
-        exploded.withColumn("bucket", bucket)
-        .groupBy(*key_cols, "bucket")
-        .agg(F.min("v").alias("min_val"), F.max("v").alias("max_val"))
-    )
+    return resample_positions_minmax(exploded, n_chunks, key_cols)

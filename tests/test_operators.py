@@ -187,6 +187,60 @@ def test_downsample_time_pulse_train(spark):
         assert r["n_samples"] == 2000
 
 
+def test_downsample_count_pulse_train_reference_golden(spark):
+    """Reference ResamplingSpec golden: 200 Hz ±1 square wave (5 s
+    pulses), query duration 23 s, pixel 166646 µs → chunk size 33,
+    139 chunks; run-length pattern of identical (min,max) pairs is
+    [30, 1, 29, 1, 29, 1, 30, 1, 17] (the trailing 17 is the cut-off
+    remainder)."""
+    chunk, n_chunks, _ = resample_chunk_params(166_646, 200.0, 23_000_000)
+    assert (chunk, n_chunks) == (33, 139)
+    total = int(23_000_000 / 1e6 * 200)  # samples within the request
+    rows = [
+        ("p", i * 5000, 1.0 if (i // 1000) % 2 == 0 else -1.0)
+        for i in range(total)
+    ]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = downsample_minmax_count(df, chunk).orderBy("bucket").collect()
+    assert len(out) == n_chunks
+    pairs = [(r["min_val"], r["max_val"]) for r in out]
+    runs, prev, cnt = [], None, 0
+    for p in pairs:
+        if p == prev:
+            cnt += 1
+        else:
+            if prev is not None:
+                runs.append(cnt)
+            prev, cnt = p, 1
+    runs.append(cnt)
+    assert runs == [30, 1, 29, 1, 29, 1, 30, 1, 17]
+
+
+def test_contig_reference_golden():
+    """Reference ResamplingSpec contig golden: [(1,4),(5,8),(10,12),
+    (13,18)] with threshold 2 merges to [(1,8),(10,18)]."""
+    def contig(pairs, threshold):
+        out = []
+        for lo, hi in pairs:
+            if out and lo - out[-1][1] < threshold:
+                out[-1] = (out[-1][0], hi)
+            else:
+                out.append((lo, hi))
+        return out
+
+    assert contig([(1, 4), (5, 8), (10, 12), (13, 18)], 2) == [(1, 8), (10, 18)]
+
+
+def test_contiguous_spans_reference_golden(spark):
+    """Same golden through the Spark sessionization operator."""
+    df = spark.createDataFrame(
+        [("c", 1, 4), ("c", 5, 8), ("c", 10, 12), ("c", 13, 18)],
+        "channel string, lo long, hi long",
+    )
+    out = contiguous_spans(df, 2).orderBy("span_lo").collect()
+    assert [(r["span_lo"], r["span_hi"]) for r in out] == [(1, 8), (10, 18)]
+
+
 def test_contiguous_spans_threshold_semantics(spark):
     """Merge iff gap < threshold; gap == threshold starts a new span
     (reference combine: `(first.lo - last.hi) >= threshold` separates)."""
