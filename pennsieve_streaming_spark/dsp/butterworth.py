@@ -160,15 +160,28 @@ def butter_sos(
 # application
 # --------------------------------------------------------------------------
 
+try:  # scipy absent in this image; real clusters get the C kernel
+    from scipy.signal import sosfilt as _scipy_sosfilt
+except ImportError:  # pragma: no cover - environment-dependent
+    _scipy_sosfilt = None
+
+
 def sosfilt(
     sos: np.ndarray, x: np.ndarray, zi: np.ndarray | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Direct-form-II-transposed biquad cascade with explicit state.
 
     Returns (y, zf) where zf (shape (n_sections, 2)) can seed the next
-    chunk of the same contiguous stream.
+    chunk of the same contiguous stream. Dispatches to scipy's C kernel
+    when available (same DF2T recurrence, same state convention); the
+    pure-python fallback is exact but slower — acceptable at the
+    reference's 100k-samples-per-query limit.
     """
     n_sections = sos.shape[0]
+    if _scipy_sosfilt is not None:
+        z = np.zeros((n_sections, 2)) if zi is None else np.asarray(zi, dtype=float)
+        y, zf = _scipy_sosfilt(sos, np.asarray(x, dtype=float), zi=z)
+        return y, zf
     if zi is None:
         zi = np.zeros((n_sections, 2))
     z = zi.astype(float).copy()

@@ -31,8 +31,11 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pennsieve_streaming_spark.datamodel import DEFAULT_QUERY_LIMIT
+from pennsieve_streaming_spark.operators.rollups import downsample_from_rollup
+from pennsieve_streaming_spark.plans.router import plan_pixel_query
 from pennsieve_streaming_spark.dsp.filtering import FilterSpec, apply_filter
 from pennsieve_streaming_spark.operators.downsample import (
     downsample_minmax_time,
@@ -44,10 +47,7 @@ from pennsieve_streaming_spark.operators.montage import (
     parse_montage_name,
     validate_montage,
 )
-from pennsieve_streaming_spark.operators.window import (
-    check_query_limit,
-    window_query,
-)
+from pennsieve_streaming_spark.operators.window import window_query
 
 
 # --------------------------------------------------------------------------
@@ -173,12 +173,16 @@ class QuerySession:
         rates: dict[str, float],
         session_id: str,
         package_min_ts: int = 0,
+        rollups: dict[int, DataFrame] | None = None,
     ):
         self.spark = spark
         self.samples = samples
         self.rates = rates
         self.session_id = session_id
         self.package_min_ts = package_min_ts
+        # optional continuous-aggregate ladder: level_us -> rollup DF
+        # (plain, un-montaged channels only)
+        self.rollups = rollups or {}
         self.state = _SessionState()
 
     # -- T5: epoch-based cancellation ------------------------------------
@@ -258,10 +262,31 @@ class QuerySession:
         for name in req.virtual_channels:
             df, rate = self._channel_frame(name)
             limit = req.query_limit
-            if limit is None and req.pixel_width == 0:
-                check_query_limit(start, end, rate, DEFAULT_QUERY_LIMIT)
-            windowed = window_query(df, None, start, end, limit=limit)
+            plan = plan_pixel_query(
+                start,
+                end,
+                req.pixel_width,
+                rate,
+                rollup_levels_us=sorted(self.rollups) or None,
+                raw_limit=DEFAULT_QUERY_LIMIT if limit is None else None,
+            )
             spec = self.state.filters.get(name)
+            lead, secondary = parse_montage_name(name)
+            use_rollup = (
+                plan.path == "rollup"
+                and plan.rollup_level_us in self.rollups
+                and spec is None
+                and secondary is None
+            )
+            if use_rollup:
+                rollup = self.rollups[plan.rollup_level_us].filter(
+                    F.col("channel") == lead
+                )
+                out[name] = downsample_from_rollup(
+                    rollup, plan.rollup_level_us, start, end, req.pixel_width
+                )
+                continue
+            windowed = window_query(df, None, start, end, limit=limit)
             if spec is not None:
                 windowed = apply_filter(windowed, spec, rate)
             if req.pixel_width and should_resample(rate, req.pixel_width):

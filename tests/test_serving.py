@@ -107,6 +107,27 @@ def test_epoch_bump_on_dump(session):
     assert session.job_group != g0
 
 
+def test_rollup_routing(spark):
+    """A session with a rollup ladder answers wide pixel queries from
+    the rollup, identically to the direct raw-scan path."""
+    from pennsieve_streaming_spark.operators.rollups import build_rollup
+
+    rows = [("C3", i * 1_000_000, float(i % 97)) for i in range(7200)]
+    samples = spark.createDataFrame(rows, "channel string, ts long, value double")
+    ladder = {
+        1_000_000: build_rollup(samples, 1_000_000),
+        60_000_000: build_rollup(samples, 60_000_000),
+    }
+    with_r = QuerySession(spark, samples, {"C3": 1.0}, "r1", rollups=ladder)
+    without = QuerySession(spark, samples, {"C3": 1.0}, "r2")
+    req = TimeSeriesRequest("r", ["C3"], 0, 7200_000_000, pixel_width=600_000_000)
+    a = {(r["bucket"], r["min_val"], r["max_val"], r["n_samples"])
+         for r in with_r.run(req)["C3"].collect()}
+    b = {(r["bucket"], r["min_val"], r["max_val"], r["n_samples"])
+         for r in without.run(req)["C3"].collect()}
+    assert a == b and len(a) == 12
+
+
 def test_start_at_epoch_rebase(spark, session):
     session.package_min_ts = 50_000_000
     out = session.run(TimeSeriesRequest(
