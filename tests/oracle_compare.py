@@ -39,12 +39,16 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_value(v):
+    """Exact comparison — floats must be BIT-IDENTICAL across engines.
+
+    The derived views and oracles are engineered for this (sequential
+    folds, identical operand order/types); exact equality here means
+    any driver-side value-hash scheme matches too.
+    """
     if isinstance(v, bool):
         return bool(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
     return v
 
 

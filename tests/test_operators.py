@@ -133,6 +133,30 @@ def test_montage_golden_ramp(ramp_samples):
     assert out[0]["channel"] == "ch1<->ch2"
 
 
+def test_apply_montage_full_scheme(spark):
+    """bipolar_ant_pos over a full 10-20 channel set: every pair
+    yields a virtual channel whose value is lead - secondary."""
+    from pennsieve_streaming_spark.operators.montage import (
+        apply_montage,
+        montage_pairs,
+    )
+
+    names = sorted({c for p in MONTAGE_SCHEMES["bipolar_ant_pos"] for c in p})
+    base = {ch: float(i + 1) for i, ch in enumerate(names)}
+    rows = [
+        (ch, t * 1_000_000, base[ch] * 10 + t) for ch in names for t in range(5)
+    ]
+    samples = spark.createDataFrame(rows, "channel string, ts long, value double")
+    pairs = montage_pairs(spark, "bipolar_ant_pos")
+    out = apply_montage(samples, pairs)
+    got = {(r["channel"], r["ts"]): r["value"] for r in out.collect()}
+    assert len(got) == len(MONTAGE_SCHEMES["bipolar_ant_pos"]) * 5
+    for lead, sec in MONTAGE_SCHEMES["bipolar_ant_pos"]:
+        for t in range(5):
+            want = (base[lead] - base[sec]) * 10  # the +t offsets cancel
+            assert got[(f"{lead}<->{sec}", t * 1_000_000)] == want
+
+
 def test_montage_naming_roundtrip():
     assert montage_name("Fp1", "F7") == "Fp1<->F7"
     assert parse_montage_name("Fp1<->F7") == ("Fp1", "F7")
