@@ -265,6 +265,20 @@ def q_dedup_filter(spark, sf_dir):
     return dedup_filter(docs, pairs, 0.5).select("doc_id", "source", "lang")
 
 
+def q_interleave(spark, sf_dir):
+    """Segment payload wire order as rows: the interleaved
+    [min,max,min,max,...] stream (BaseTimeSeriesQuery.scala:86-88)
+    with explicit positions so the oracle can hash it."""
+    mm = q_downsample_time(spark, sf_dir)
+    mins = mm.select(
+        "channel", (F.col("bucket") * 2).alias("pos"), F.col("min_val").alias("v")
+    )
+    maxs = mm.select(
+        "channel", (F.col("bucket") * 2 + 1).alias("pos"), F.col("max_val").alias("v")
+    )
+    return mins.unionByName(maxs)
+
+
 def q_rollup_downsample(spark, sf_dir):
     """Continuous-aggregate path: weekly min/max pixels answered from a
     daily rollup (must equal the direct raw-scan downsample — the
@@ -447,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rollup_downsample": q_rollup_downsample,
         "ts_minmax_downsample_salted": q_downsample_salted,
         "ts_page_concat": q_page_concat,
+        "ts_interleave": q_interleave,
         "emb_norms": q_emb_norms,
         "doc_dedup_filter": q_dedup_filter,
         "doc_exact_dedup": q_exact_dedup,
@@ -505,6 +520,16 @@ def oracle_sql() -> dict[str, str]:
     # rollup and salted paths must equal the direct computation exactly
     sql["ts_rollup_downsample"] = with_views(_downsample_time, "samples")
     sql["ts_minmax_downsample_salted"] = with_views(_downsample_time, "samples")
+
+    sql["ts_interleave"] = with_views(
+        f"""
+        WITH mm AS ({_downsample_time})
+        SELECT channel, bucket * 2 AS pos, min_val AS v FROM mm
+        UNION ALL
+        SELECT channel, bucket * 2 + 1 AS pos, max_val AS v FROM mm
+        """,
+        "samples",
+    )
 
     sql["ts_page_concat"] = with_views(
         f"""

@@ -116,6 +116,34 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+def resize_images(
+    media: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Image-resize plumbing: recompute metadata + pass the payload
+    through the (stubbed) resize kernel. The Spark-side shape — narrow
+    map, payload column in/out, metadata struct rewrite — is exactly
+    what a real PIL/opencv kernel drops into.
+
+    Output: media schema with meta.width/height set to the target and
+    a ``scale_x/scale_y`` column pair recording the transform.
+    """
+    img = media.filter(F.col("kind") == "image")
+    return img.select(
+        "media_id",
+        "kind",
+        "payload",  # stub: real kernel would re-encode here
+        F.struct(
+            F.lit(target_w).alias("width"),
+            F.lit(target_h).alias("height"),
+            F.col("meta.sample_rate").alias("sample_rate"),
+            F.col("meta.n_frames").alias("n_frames"),
+            F.col("meta.format").alias("format"),
+        ).alias("meta"),
+        (F.lit(target_w) / F.greatest(F.col("meta.width"), F.lit(1))).alias("scale_x"),
+        (F.lit(target_h) / F.greatest(F.col("meta.height"), F.lit(1))).alias("scale_y"),
+    )
+
+
 def sample_frames(media: DataFrame, every_nth: int = 5) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emit one row per
     sampled frame index (decode stubbed, shapes real).

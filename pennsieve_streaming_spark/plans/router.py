@@ -23,10 +23,7 @@ from dataclasses import dataclass
 from pennsieve_streaming_spark.datamodel import DEFAULT_QUERY_LIMIT
 from pennsieve_streaming_spark.operators.downsample import should_resample
 from pennsieve_streaming_spark.operators.rollups import DEFAULT_LEVELS_US, choose_level
-from pennsieve_streaming_spark.operators.window import (
-    QueryLimitExceeded,
-    check_query_limit,
-)
+from pennsieve_streaming_spark.operators.window import check_query_limit
 
 
 @dataclass(frozen=True)
