@@ -79,6 +79,11 @@ GAP_THRESHOLD_US = 1800 * US     # 30 min session gap
 CHUNK_SIZE = 50                   # count-downsample chunk
 CUT_CHUNKS = 3                    # A3 equal-cut target
 RT_PIXEL_US = 100_000             # realtime pixel duration
+# Butterworth golden-window query (G1-G3): bounded so the DuckDB
+# recursive-CTE oracle replays the recurrence sample-by-sample
+BW_TS_END = 1_500_000             # lead channel, first 1500 samples
+BW_TYPE, BW_ORDER, BW_FREQ, BW_RATE = "lowpass", 4, 100.0, 1000.0
+ANN_PLANES, ANN_DIM, ANN_K = 8, 64, 5
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -307,14 +312,31 @@ def q_spike_waveforms(spark, sf_dir):
 
 
 def q_build_segments(spark, sf_dir):
-    """S7: Segment wire-shape assembly from the downsample output
-    (array payload — rows-only check)."""
+    """S7: Segment wire-shape assembly from the downsample output,
+    exploded to (segment metadata, pos, v) rows so every payload value
+    and its wire position is oracle-hashable (the array column itself
+    is unhashable by the driver's canonicalizer)."""
     from pennsieve_streaming_spark.operators import build_segments_minmax
 
     mm = q_downsample_time(spark, sf_dir)
-    return build_segments_minmax(
+    seg = build_segments_minmax(
         mm, T1992, T1999, chunk_time_us=float(WEEK_US), requested_period_us=WEEK_US
     )
+    return seg.select(
+        "channel_name",
+        "source",
+        "start_ts",
+        "page_start",
+        "page_end",
+        "sample_period",
+        "requested_sample_period",
+        "is_min_max",
+        "unit",
+        "unit_m",
+        "segment_type",
+        "nr_points",
+        F.posexplode("data").alias("pos", "v"),
+    ).withColumn("pos", F.col("pos").cast("long"))
 
 
 def q_range_lookup(spark, sf_dir):
@@ -339,22 +361,29 @@ def q_channel_minmax(spark, sf_dir):
 
 
 def q_butterworth(spark, sf_dir):
-    """G1-G3: per-channel Butterworth lowpass (pandas-UDF recurrence;
-    no SQL oracle — driver records the rows-only check)."""
+    """G1-G3: per-channel Butterworth lowpass over a bounded window —
+    prewarm reflection + DF2T biquad cascade, gated by a DuckDB
+    recursive-CTE oracle that replays the exact recurrence (the
+    reference pins the same semantics with a golden vector,
+    src/test/scala/com/pennsieve/streaming/FilterSpec.scala:52-65)."""
     from pennsieve_streaming_spark.dsp import FilterSpec, apply_filter
 
-    s = TBL.samples_aligned_view(spark, sf_dir).filter(F.col("channel") == "lead")
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        (F.col("channel") == "lead") & (F.col("ts") <= F.lit(BW_TS_END))
+    )
     # ts step is 1000 µs (orderkey*1000) → nominal 1000 Hz
-    return apply_filter(s, FilterSpec("lowpass", 4, 100.0), rate_hz=1000.0)
+    return apply_filter(s, FilterSpec(BW_TYPE, BW_ORDER, BW_FREQ), rate_hz=BW_RATE)
 
 
 # --- LLM-pipeline queries (documents / embeddings tables) -----------------
 
 def _docs(spark, sf_dir):
+    TBL.ensure_session_confs(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _embs(spark, sf_dir):
+    TBL.ensure_session_confs(spark)
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
@@ -733,8 +762,12 @@ def oracle_sql() -> dict[str, str]:
         ), seg3 AS (
           SELECT *,
                  end_ts - start_ts AS span,
-                 CAST(FLOOR((end_ts - start_ts) / {RT_PIXEL_US} + 0.5e0) AS BIGINT) AS chunk_count
+                 -- calculateChunks: Long division THEN Math.round(Float)
+                 -- (identity on the truncated quotient) = floor
+                 CAST(FLOOR((end_ts - start_ts) / {RT_PIXEL_US}) AS BIGINT) AS chunk_count
           FROM seg2
+          -- chunkCount = 0 => cut(data, 0) = empty resample (reference)
+          WHERE NOT (sample_period < {RT_PIXEL_US} AND (end_ts - start_ts) < {RT_PIXEL_US})
         )
         SELECT channel, start_ts, bucket, is_min_max, out_period,
                MIN(v) AS min_val, MAX(v) AS max_val
@@ -997,4 +1030,161 @@ def oracle_sql() -> dict[str, str]:
         )
         """
 
+    # --- S7 segment wire shape, exploded ------------------------------------
+    sql["ts_build_segments"] = with_views(
+        f"""
+        WITH mm AS ({_downsample_time}),
+        rr AS (
+          SELECT channel, min_val, max_val,
+                 ROW_NUMBER() OVER (PARTITION BY channel ORDER BY bucket) - 1 AS r,
+                 MIN(bucket) OVER (PARTITION BY channel) AS b0,
+                 COUNT(*) OVER (PARTITION BY channel) AS np
+          FROM mm
+        ),
+        meta AS (
+          SELECT channel AS channel_name, channel AS source,
+                 {T1992} + b0 * {WEEK_US} AS start_ts,
+                 {T1992} AS page_start, {T1999} AS page_end,
+                 CAST({WEEK_US} AS DOUBLE) AS sample_period,
+                 CAST({WEEK_US} AS DOUBLE) AS requested_sample_period,
+                 TRUE AS is_min_max, 'V' AS unit, 1000 AS unit_m,
+                 'Continuous' AS segment_type, np AS nr_points,
+                 r, min_val, max_val
+          FROM rr
+        )
+        SELECT channel_name, source, start_ts, page_start, page_end,
+               sample_period, requested_sample_period, is_min_max, unit,
+               unit_m, segment_type, nr_points, r * 2 AS pos, min_val AS v
+        FROM meta
+        UNION ALL
+        SELECT channel_name, source, start_ts, page_start, page_end,
+               sample_period, requested_sample_period, is_min_max, unit,
+               unit_m, segment_type, nr_points, r * 2 + 1 AS pos, max_val AS v
+        FROM meta
+        """,
+        "samples",
+    )
+
+    # --- A5 data-driven event summary (recursive chunk-start walk) ----------
+    # PredicateStreamChunker semantics: chunk k starts at the first
+    # unassigned event; the next chunk starts at the first event with
+    # ts >= chunk_start + pixel. Chunk starts are recursively defined,
+    # so the oracle walks them with a recursive CTE (depth = #chunks,
+    # not #events) and assigns buckets by counting starts <= ts.
+    sql["ts_event_summary_datadriven"] = f"""
+        WITH RECURSIVE chan_events AS ({TBL.DUCKDB_VIEWS['chan_events']}),
+        ev AS (
+          SELECT channel, ts,
+                 ROW_NUMBER() OVER (PARTITION BY channel ORDER BY ts, value) - 1 AS idx
+          FROM chan_events WHERE ts >= {EV_START} AND ts <= {EV_END}
+        ),
+        starts AS (
+          SELECT channel, MIN(ts) AS cs FROM ev GROUP BY channel
+          UNION ALL
+          SELECT s.channel,
+                 (SELECT MIN(e.ts) FROM ev e
+                  WHERE e.channel = s.channel AND e.ts >= s.cs + {PIXEL_EV_US})
+          FROM starts s
+          WHERE (SELECT MIN(e.ts) FROM ev e
+                 WHERE e.channel = s.channel AND e.ts >= s.cs + {PIXEL_EV_US}) IS NOT NULL
+        ),
+        bucketed AS (
+          SELECT e.channel, e.ts, e.idx,
+                 (SELECT COUNT(*) FROM starts st
+                  WHERE st.channel = e.channel AND st.cs <= e.ts) - 1 AS bucket
+          FROM ev e
+        )
+        SELECT channel, bucket, MIN(ts) AS min_time, MAX(ts) AS max_time,
+               MIN(idx) AS min_index, MAX(idx) AS max_index, COUNT(*) AS count,
+               MIN(ts) + CAST(FLOOR((MAX(ts) - MIN(ts)) / 2) AS BIGINT) AS avg_time
+        FROM bucketed GROUP BY channel, bucket
+        """
+
+    # --- G1-G3 Butterworth golden window (recursive-CTE recurrence) ---------
+    sql["ts_butterworth_filter"] = _butterworth_oracle_sql()
+
+    # --- random-hyperplane ANN ----------------------------------------------
+    sql["emb_ann_lsh"] = f"""
+        WITH planes AS (
+          SELECT p, list_transform(generate_series(0, {ANN_DIM - 1}),
+                 j -> fmod((p * {ANN_DIM} + j) * 0.6180339887498949e0, 1.0e0) - 0.5e0) AS h
+          FROM (SELECT UNNEST(generate_series(0, {ANN_PLANES - 1})) AS p)
+        ),
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        bkt AS (
+          SELECT e.vec_id,
+                 CAST(SUM(CASE WHEN list_dot_product(e.v, p.h) > 0
+                          THEN (CAST(1 AS BIGINT) << p.p) ELSE 0 END) AS BIGINT) AS bucket
+          FROM emb e CROSS JOIN planes p GROUP BY e.vec_id
+        ),
+        c AS (SELECT e.vec_id AS neighbor_id, e.v, b.bucket
+              FROM emb e JOIN bkt b ON e.vec_id = b.vec_id),
+        q AS (SELECT e.vec_id AS query_id, e.v AS qv, b.bucket
+              FROM emb e JOIN bkt b ON e.vec_id = b.vec_id WHERE e.vec_id < 20),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 list_dot_product(qv, v)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+          FROM q JOIN c ON q.bucket = c.bucket AND query_id != neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank, cosine FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored
+        ) WHERE rank <= {ANN_K}
+        """
+
     return sql
+
+
+def _dbl(v: float) -> str:
+    """Render a double so DuckDB parses it as DOUBLE (bare decimal
+    literals become exact DECIMALs, whose arithmetic diverges from
+    IEEE doubles at the last ulp)."""
+    s = repr(float(v))
+    return s if ("e" in s or "E" in s) else s + "e0"
+
+
+def _butterworth_oracle_sql() -> str:
+    """Replay apply_filter's exact recurrence in DuckDB: reflected
+    prewarm (first pad samples reversed, output discarded) followed by
+    the DF2T biquad cascade, one recursion step per sample. Bit-exact
+    vs the engine (same IEEE ops in the same order)."""
+    from pennsieve_streaming_spark.dsp.butterworth import (
+        butter_sos,
+        filter_transient_length,
+    )
+
+    sos = butter_sos(BW_ORDER, BW_FREQ, BW_RATE, BW_TYPE)
+    assert sos.shape == (2, 6), "oracle encodes a 2-section cascade"
+    pad = filter_transient_length(BW_ORDER, BW_FREQ, BW_RATE)
+    (b10, b11, b12, _, a11, a12), (b20, b21, b22, _, a21, a22) = sos
+    y1 = f"({_dbl(b10)}*s.x + r.z10)"
+    y2 = f"({_dbl(b20)}*{y1} + r.z20)"
+    return f"""
+        WITH RECURSIVE samples_aligned AS ({TBL.DUCKDB_VIEWS['samples_aligned']}),
+        inp AS (
+          SELECT ts, value, ROW_NUMBER() OVER (ORDER BY ts) - 1 AS pos
+          FROM samples_aligned WHERE channel = 'lead' AND ts <= {BW_TS_END}
+        ),
+        seq AS (
+          SELECT CAST({pad} - 1 - pos AS BIGINT) AS i, value AS x
+          FROM inp WHERE pos < {pad}
+          UNION ALL
+          SELECT CAST(pos + {pad} AS BIGINT) AS i, value AS x FROM inp
+        ),
+        rec AS (
+          SELECT CAST(-1 AS BIGINT) AS i, 0e0 AS z10, 0e0 AS z11,
+                 0e0 AS z20, 0e0 AS z21, 0e0 AS y
+          UNION ALL
+          SELECT s.i,
+                 {_dbl(b11)}*s.x - {_dbl(a11)}*{y1} + r.z11,
+                 {_dbl(b12)}*s.x - {_dbl(a12)}*{y1},
+                 {_dbl(b21)}*{y1} - {_dbl(a21)}*{y2} + r.z21,
+                 {_dbl(b22)}*{y1} - {_dbl(a22)}*{y2},
+                 {y2}
+          FROM rec r JOIN seq s ON s.i = r.i + 1
+        )
+        SELECT 'lead' AS channel, inp.ts AS ts, rec.y AS value
+        FROM rec JOIN inp ON rec.i = inp.pos + {pad}
+        """

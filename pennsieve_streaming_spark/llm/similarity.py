@@ -77,11 +77,16 @@ def hyperplane_expr(vec_col: str, plane: int, dim: int) -> str:
     Component j of plane p is ``frac((p*dim + j) * phi) - 0.5`` with
     phi the golden-ratio conjugate — a standard low-discrepancy
     sequence; fully deterministic and SQL-expressible on both engines.
+
+    All literals carry the ``D`` suffix so the arithmetic runs in
+    IEEE doubles end-to-end (Spark parses bare decimal literals as
+    DECIMAL, whose exact modulo diverges from DuckDB's double fmod at
+    the last ulp).
     """
     return (
         f"CASE WHEN aggregate(zip_with({vec_col}, "
         f"transform(sequence(0, {dim - 1}), "
-        f"j -> (({plane} * {dim} + j) * 0.6180339887498949 % 1.0) - 0.5), "
+        f"j -> (({plane} * {dim} + j) * 0.6180339887498949D % 1.0D) - 0.5D), "
         f"(x, h) -> x * h), CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0 "
         f"THEN 1 ELSE 0 END"
     )
@@ -220,7 +225,7 @@ def lsh_bucketed_ann(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )

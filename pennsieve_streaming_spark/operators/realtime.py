@@ -59,10 +59,16 @@ def resample_ingest_positions(
     )
     span = F.col("end_ts") - F.col("start_ts")
     resample = F.col("sample_period") < F.lit(realtime_pixel_duration_us)
-    # Scala Math.round(double) = floor(x + 0.5)
-    chunk_count = F.floor(span / F.lit(realtime_pixel_duration_us) + F.lit(0.5)).cast(
-        "long"
+    # calculateChunks (TimeSeriesQueryUtils.scala:237-238) divides two
+    # Longs BEFORE Math.round — round(Float) is identity on the
+    # truncated quotient, so the semantics are floor(span/pixel), not
+    # round. chunkCount == 0 (span < pixel) means cut(data, 0) → the
+    # reference emits an EMPTY resample, so those segments are dropped.
+    chunk_count = F.floor(span / F.lit(realtime_pixel_duration_us)).cast("long")
+    seg = seg.withColumn("_cc", chunk_count).filter(
+        ~(resample & (F.col("_cc") == F.lit(0)))
     )
+    chunk_count = F.col("_cc")
     seg = seg.withColumn(
         "bucket",
         F.when(resample, cut_bucket_expr(F.col("pos"), F.col("m"), chunk_count))

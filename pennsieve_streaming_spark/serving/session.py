@@ -272,11 +272,18 @@ class QuerySession:
             )
             spec = self.state.filters.get(name)
             lead, secondary = parse_montage_name(name)
+            # downsample_from_rollup's contract requires the window to
+            # sit on the rollup grid: an unaligned start would drop the
+            # straddling first bucket and shift pixel boundaries vs the
+            # direct raw-scan path. Unaligned windows fall back to the
+            # direct path (correct for any window).
             use_rollup = (
                 plan.path == "rollup"
                 and plan.rollup_level_us in self.rollups
                 and spec is None
                 and secondary is None
+                and start % plan.rollup_level_us == 0
+                and end % plan.rollup_level_us == 0
             )
             if use_rollup:
                 rollup = self.rollups[plan.rollup_level_us].filter(

@@ -37,20 +37,24 @@ def read_ingest_stream(
 
 def explode_segments_to_samples(segments: DataFrame) -> DataFrame:
     """W3 — materialize explicit timestamps at ingest:
-    ts = start_ts + round(pos * sample_period)
-    (reference QuerySequencer.scala:83-87 does this at query time; we
-    do it once at write time)."""
+    ts = start_ts + pos * round(sample_period)
+
+    The reference materializes a per-stream INTEGER period first
+    (QuerySequencer.scala:82-87 rounds 1e6/rate to a Long;
+    IngestSegmentSpec uses samplePeriod.toLong) and multiplies by the
+    position — per-sample timestamps step by a constant Long, they do
+    not accumulate fractional-period rounding. Mirror that here:
+    round the period once per segment, then ts = start + pos * period.
+    """
+    period = F.floor(F.col("sample_period") + F.lit(0.5)).cast("long")
     return segments.select(
         "channel",
         "start_ts",
-        "sample_period",
+        period.alias("period_us"),
         F.posexplode("data").alias("pos", "value"),
     ).select(
         "channel",
-        (
-            F.col("start_ts")
-            + F.floor(F.col("pos") * F.col("sample_period") + F.lit(0.5)).cast("long")
-        ).alias("ts"),
+        (F.col("start_ts") + F.col("pos") * F.col("period_us")).alias("ts"),
         "value",
     )
 

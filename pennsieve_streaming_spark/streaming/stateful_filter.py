@@ -27,7 +27,12 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
 from pennsieve_streaming_spark.datamodel import FILTER_RESET_SAMPLE_PERIODS
-from pennsieve_streaming_spark.dsp.butterworth import butter_sos, sosfilt
+from pennsieve_streaming_spark.dsp.butterworth import (
+    butter_sos,
+    filter_transient_length,
+    reflected_prewarm,
+    sosfilt,
+)
 from pennsieve_streaming_spark.dsp.filtering import FilterSpec
 
 OUTPUT_SCHEMA = T.StructType(
@@ -55,6 +60,7 @@ def stateful_filter_stream(
     sos = butter_sos(spec.order, spec.freq, rate_hz, spec.btype, spec.width)
     n_sections = sos.shape[0]
     gap_us = FILTER_RESET_SAMPLE_PERIODS / rate_hz * 1e6
+    pad = filter_transient_length(spec.order, spec.max_freq, rate_hz)
 
     def step(
         key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -69,6 +75,12 @@ def stateful_filter_stream(
         else:
             zi, last_ts = None, None
         vals = pdf["value"].to_numpy(dtype=float)
+        if zi is None and len(vals):
+            # fresh / reset state: seed with the reflected prewarm
+            # (reference applyFilterWithPadding runs whenever the
+            # cascade is clean; batch _filter_run does the same)
+            warm = reflected_prewarm(vals, pad)
+            _, zi = sosfilt(sos, warm)
         out, zf = sosfilt(sos, vals, zi=zi)
         if len(pdf):
             state.update((zf.ravel().tolist(), int(pdf["ts"].iloc[-1])))

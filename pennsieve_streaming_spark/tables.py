@@ -48,9 +48,46 @@ def ensure_session_confs(spark: SparkSession) -> None:
     they behave identically under ANY SparkSession (e.g. the driver's):
     UTC session time (epoch-µs arithmetic must match the DuckDB
     oracle) and nanos-as-long parquet reads (events.parquet uses
-    TIMESTAMP(NANOS), which Spark cannot read natively)."""
+    TIMESTAMP(NANOS), which Spark cannot read natively). Also ships
+    the engine package to executors so pandas-UDF closures resolve."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_package_shipped(spark)
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship ``pennsieve_streaming_spark`` to executor Python workers.
+
+    Pandas-UDF closures reference package functions by module path;
+    workers must be able to import them. On a real cluster this is the
+    standard ``--py-files`` deployment; doing it lazily via
+    ``addPyFile`` makes any session (driver harness, notebook, vanilla
+    ``SparkSession.builder``) self-sufficient. Idempotent per context.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_pss_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"pss_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "pennsieve_streaming_spark",
+                        os.path.relpath(full, pkg_dir),
+                    )
+                    z.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._pss_pkg_shipped = True
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -343,3 +343,60 @@ def test_event_summary_data_driven_chunking(spark):
         assert r["max_time"] == c[-1]
         assert r["count"] == len(c)
         assert r["avg_time"] == (c[0] + c[-1]) // 2
+
+
+# --------------------------------------------------------------------------
+# A4 realtime resample: calculateChunks Long-division semantics
+# --------------------------------------------------------------------------
+
+def test_realtime_chunk_count_long_division(spark):
+    """calculateChunks divides two Longs BEFORE Math.round, so
+    span=1e6 / pixel=10001 must give 99 chunks, not round(99.99)=100
+    (reference ResamplingSpec case; TimeSeriesQueryUtils.scala:237-238)."""
+    from pennsieve_streaming_spark.operators.realtime import (
+        resample_ingest_segments,
+    )
+
+    data = [float(i) for i in range(1000)]  # period 1000 µs -> span 1e6
+    segs = spark.createDataFrame(
+        [("c", 0, 1000.0, data)],
+        "channel string, start_ts long, sample_period double, data array<double>",
+    )
+    out = resample_ingest_segments(segs, 10001).collect()
+    assert len(out) == 99  # floor(1_000_000 / 10_001)
+    assert all(r["is_min_max"] for r in out)
+    assert {r["bucket"] for r in out} == set(range(99))
+
+
+def test_realtime_chunk_count_zero_emits_nothing(spark):
+    """span < pixelDuration -> chunkCount 0 -> cut(data, 0) is empty in
+    the reference; the engine must emit no rows (not a divide-by-zero
+    bucket)."""
+    from pennsieve_streaming_spark.operators.realtime import (
+        resample_ingest_segments,
+    )
+
+    segs = spark.createDataFrame(
+        [("c", 0, 50_000.0, [1.0]), ("d", 0, 200_000.0, [2.0, 3.0])],
+        "channel string, start_ts long, sample_period double, data array<double>",
+    )
+    out = resample_ingest_segments(segs, 100_000).collect()
+    # 'c' resamples with chunk_count 0 -> dropped; 'd' passes through raw
+    assert {r["channel"] for r in out} == {"d"}
+    assert all(not r["is_min_max"] for r in out)
+
+
+def test_explode_segments_integer_period(spark):
+    """Fractional sample periods must materialize as
+    ts = start + pos * round(period) — a constant integer step, not
+    per-sample rounding drift (QuerySequencer rounds 1e6/rate to Long
+    once; QuerySequencer.scala:82-87)."""
+    from pennsieve_streaming_spark.streaming import explode_segments_to_samples
+
+    segs = spark.createDataFrame(
+        [("c", 0, 4000.5, [float(i) for i in range(10)])],
+        "channel string, start_ts long, sample_period double, data array<double>",
+    )
+    ts = [r["ts"] for r in
+          explode_segments_to_samples(segs).orderBy("ts").collect()]
+    assert ts == [i * 4001 for i in range(10)]  # NOT round(i * 4000.5)

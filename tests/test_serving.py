@@ -136,3 +136,29 @@ def test_start_at_epoch_rebase(spark, session):
     rows = out["C3"].orderBy("ts").collect()
     # window shifted to [50s, 60s)
     assert rows[0]["value"] == 3.0 * 50
+
+
+def test_rollup_routing_unaligned_window_falls_back(spark):
+    """A window whose start is NOT on the rollup grid must not use the
+    rollup (the straddling first bucket would be dropped); results must
+    equal the direct path bit-for-bit."""
+    from pennsieve_streaming_spark.operators.rollups import build_rollup
+
+    rows = [("C3", i * 1_000_000, float(i % 97)) for i in range(7200)]
+    samples = spark.createDataFrame(rows, "channel string, ts long, value double")
+    ladder = {60_000_000: build_rollup(samples, 60_000_000)}
+    with_r = QuerySession(spark, samples, {"C3": 1.0}, "ru1", rollups=ladder)
+    without = QuerySession(spark, samples, {"C3": 1.0}, "ru2")
+    # start 30s: divisible by the pixel? no — and not by the 60s level
+    req = TimeSeriesRequest(
+        "r", ["C3"], 30_000_000, 6_630_000_000, pixel_width=600_000_000
+    )
+    a = sorted(
+        (r["bucket"], r["min_val"], r["max_val"], r["n_samples"])
+        for r in with_r.run(req)["C3"].collect()
+    )
+    b = sorted(
+        (r["bucket"], r["min_val"], r["max_val"], r["n_samples"])
+        for r in without.run(req)["C3"].collect()
+    )
+    assert a == b and len(a) == 11

@@ -1,6 +1,7 @@
 """Streaming stateful filter: two micro-batches must produce output
-bit-identical to one-shot filtering (state continuity), and a gap must
-reset the state."""
+bit-identical to one-shot BATCH filtering (state continuity + the same
+reflected prewarm as dsp.filtering._filter_run), and a gap must reset
+state and re-prewarm from the post-gap samples."""
 
 from __future__ import annotations
 
@@ -11,7 +12,9 @@ import tempfile
 import numpy as np
 import pytest
 
-from pennsieve_streaming_spark.dsp import FilterSpec, butter_sos, sosfilt
+from pennsieve_streaming_spark.dsp import FilterSpec, butter_sos
+from pennsieve_streaming_spark.dsp.butterworth import filter_transient_length
+from pennsieve_streaming_spark.dsp.filtering import _filter_run
 from pennsieve_streaming_spark.streaming.stateful_filter import (
     stateful_filter_stream,
 )
@@ -71,11 +74,16 @@ def test_two_batches_vs_oneshot(spark, gap):
         shutil.rmtree(d2, ignore_errors=True)
 
     sos = butter_sos(SPEC.order, SPEC.freq, FS, SPEC.btype)
+    pad = filter_transient_length(SPEC.order, SPEC.max_freq, FS)
+    assert pad <= 200  # prewarm draws only on first-batch samples
     if gap:
-        # reset: each half filtered from clean state
-        w1, _ = sosfilt(sos, x[:200])
-        w2, _ = sosfilt(sos, x[200:])
-        want = np.concatenate([w1, w2])
+        # reset: each half prewarmed + filtered independently, exactly
+        # like the batch path splits contiguous runs
+        want = np.concatenate(
+            [_filter_run(x[:200], sos, pad), _filter_run(x[200:], sos, pad)]
+        )
     else:
-        want, _ = sosfilt(sos, x)
+        # seamless: identical to one-shot batch filtering of the whole
+        # run (prewarm uses the first pad samples, all in batch 1)
+        want = _filter_run(x, sos, pad)
     np.testing.assert_allclose(got, want, atol=1e-12)
