@@ -71,10 +71,15 @@ def apply_filter(
     """Filter each channel's stream, resetting state at discontinuities
     > 100 sample periods. Input/output: (channel, ts, value).
 
-    Scale note: one shuffle on channel; within a channel the pandas
-    group sorts by ts and runs the recurrence in-order. Very long
-    channels should pre-split into (channel, span) groups upstream via
-    contiguous_spans so no single task holds a whole channel's history.
+    Scale design: one shuffle (hash on channel) + in-partition sort,
+    then a SINGLE streaming pass over Arrow batches with SOS state
+    carried across batch boundaries (``sosfilt`` zi). Peak task memory
+    is one Arrow batch plus a <= pad-sample prewarm buffer — a
+    billion-sample channel filters in bounded memory, unlike a
+    groupBy/applyInPandas formulation that materializes the whole
+    channel as one pandas group. Output is bit-identical to filtering
+    each contiguous run in one shot (chunk-continuity property,
+    tests/test_dsp.py).
     """
     sos = butter_sos(spec.order, spec.freq, rate_hz, spec.btype, spec.width)
     pad = (
@@ -84,20 +89,87 @@ def apply_filter(
     )
     gap_us = FILTER_RESET_SAMPLE_PERIODS / rate_hz * 1e6
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ts").reset_index(drop=True)
-        ts = pdf["ts"].to_numpy()
-        vals = pdf["value"].to_numpy(dtype=float)
-        # split into contiguous runs at discontinuities (reset rule)
-        breaks = np.flatnonzero(np.diff(ts) > gap_us) + 1
-        out = np.empty_like(vals)
-        for seg in np.split(np.arange(len(vals)), breaks):
-            if len(seg) == 0:
-                continue
-            out[seg] = _filter_run(vals[seg], sos, pad)
-        pdf["value"] = out
-        return pdf
+    def run_partition(batches) -> "pd.DataFrame":
+        chan = None          # channel of the open run
+        last_ts = None       # last sample ts of the open run
+        state = None         # zi once the run is warmed; None = buffering
+        buf: list[pd.DataFrame] = []   # run head awaiting prewarm
+        buf_n = 0
 
-    return samples.select("channel", "ts", "value").groupBy("channel").applyInPandas(
-        run, schema="channel string, ts long, value double"
+        def close_run():
+            """Finalize a run that ended before reaching pad samples:
+            the whole run is buffered, so the reference's short-run
+            prewarm casework applies exactly."""
+            nonlocal buf, buf_n
+            if not buf_n:
+                return None
+            pdf = pd.concat(buf, ignore_index=True)
+            vals = pdf["value"].to_numpy(dtype=float)
+            pdf["value"] = _filter_run(vals, sos, pad)
+            buf, buf_n = [], 0
+            return pdf
+
+        def feed(piece: pd.DataFrame):
+            """One contiguous piece of the current run."""
+            nonlocal state, buf, buf_n
+            if state is not None:
+                vals = piece["value"].to_numpy(dtype=float)
+                out, state_new = sosfilt(sos, vals, zi=state)
+                state = state_new
+                piece = piece.copy()
+                piece["value"] = out
+                return piece
+            buf.append(piece)
+            buf_n += len(piece)
+            if buf_n >= max(pad, 1):
+                pdf = pd.concat(buf, ignore_index=True)
+                buf, buf_n = [], 0
+                vals = pdf["value"].to_numpy(dtype=float)
+                warm = reflected_prewarm(vals, pad)
+                _, st = sosfilt(sos, warm)
+                out, state_new = sosfilt(sos, vals, zi=st)
+                state = state_new
+                pdf["value"] = out
+                return pdf
+            return None
+
+        for pdf in batches:
+            pdf = pdf[["channel", "ts", "value"]]
+            for ch, g in pdf.groupby("channel", sort=False):
+                ts = g["ts"].to_numpy()
+                if ch != chan:
+                    done = close_run()
+                    if done is not None:
+                        yield done
+                    chan, state, last_ts = ch, None, None
+                # split at discontinuities, including the batch seam
+                diffs = np.diff(ts)
+                breaks = np.flatnonzero(diffs > gap_us) + 1
+                pieces = np.split(np.arange(len(ts)), breaks)
+                for k, seg in enumerate(pieces):
+                    if len(seg) == 0:
+                        continue
+                    seam_gap = (
+                        k == 0
+                        and last_ts is not None
+                        and ts[seg[0]] - last_ts > gap_us
+                    )
+                    if (k > 0) or seam_gap:
+                        done = close_run()
+                        if done is not None:
+                            yield done
+                        state = None
+                    done = feed(g.iloc[seg])
+                    if done is not None:
+                        yield done
+                last_ts = ts[-1] if len(ts) else last_ts
+        done = close_run()
+        if done is not None:
+            yield done
+
+    return (
+        samples.select("channel", "ts", "value")
+        .repartition("channel")
+        .sortWithinPartitions("channel", "ts")
+        .mapInPandas(run_partition, schema="channel string, ts long, value double")
     )

@@ -20,6 +20,7 @@ from pennsieve_streaming_spark.dsp import (
     sos_freq_response,
     sosfilt,
 )
+from pennsieve_streaming_spark.dsp.filtering import _filter_run
 
 
 def digital_butter_expected(f, fc, fs, order):
@@ -150,3 +151,46 @@ def test_apply_filter_spark(spark):
             vals = seg["value"].to_numpy()[:n][300:]
             assert abs(_band_amplitude(vals, fs, 5.0) - 1.0) < 0.05, (ch, run_start)
             assert _band_amplitude(vals, fs, 80.0) < 0.01, (ch, run_start)
+
+
+def test_apply_filter_chunked_bit_identical(spark):
+    """The streaming mapInPandas path (state carried across small Arrow
+    batches, prewarm buffered at run starts) must equal one-shot
+    _filter_run per contiguous run BIT-FOR-BIT — including a run
+    shorter than the prewarm pad and a mid-stream reset."""
+    fs = 250.0
+    spec = FilterSpec("lowpass", 4, 30.0)
+    sos = butter_sos(spec.order, spec.freq, fs, spec.btype)
+    pad = filter_transient_length(spec.order, spec.max_freq, fs)
+    period = int(1e6 / fs)
+    rng = np.random.default_rng(11)
+    runs = {
+        # (channel, run_start) -> values; run lengths straddle pad=167
+        ("a", 0): rng.standard_normal(1000),
+        ("a", 10**10): rng.standard_normal(60),      # shorter than pad
+        ("b", 5 * 10**9): rng.standard_normal(500),
+    }
+    rows = [
+        (ch, start + i * period, float(v))
+        for (ch, start), vals in runs.items()
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        out = apply_filter(df, spec, fs).toPandas()
+    finally:
+        if old_batch is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_batch)
+
+    assert len(out) == len(rows)
+    for (ch, start), vals in runs.items():
+        seg = out[(out.channel == ch) & (out.ts >= start)
+                  & (out.ts < start + len(vals) * period)].sort_values("ts")
+        want = _filter_run(np.asarray(vals), sos, pad)
+        got = seg["value"].to_numpy()
+        assert np.array_equal(got, want), (ch, start, np.abs(got - want).max())
