@@ -84,6 +84,8 @@ RT_PIXEL_US = 100_000             # realtime pixel duration
 BW_TS_END = 1_500_000             # lead channel, first 1500 samples
 BW_TYPE, BW_ORDER, BW_FREQ, BW_RATE = "lowpass", 4, 100.0, 1000.0
 ANN_PLANES, ANN_DIM, ANN_K = 8, 64, 5
+IVF_LISTS, IVF_PROBE = 16, 2
+JACCARD_MAX_DF = 64               # hot-shingle cap for all-pairs mode
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -425,7 +427,7 @@ def q_lsh_pairs(spark, sf_dir):
 
 def q_ngram_jaccard(spark, sf_dir):
     sh = shingles(_docs(spark, sf_dir))
-    return jaccard_pairs(sh, min_jaccard=0.2)
+    return jaccard_pairs(sh, min_jaccard=0.2, max_doc_freq=JACCARD_MAX_DF)
 
 
 def q_simhash(spark, sf_dir):
@@ -444,6 +446,34 @@ def q_cosine_topk(spark, sf_dir):
 def q_ann_lsh(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     return lsh_bucketed_ann(embs, embs.filter(F.col("vec_id") < 20), k=5)
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-Flat ANN with deterministic literal centroids so the DuckDB
+    oracle replays list assignment, probing, and in-list scoring."""
+    from pennsieve_streaming_spark.llm.similarity import golden_centroids, ivf_ann
+
+    embs = _embs(spark, sf_dir)
+    return ivf_ann(
+        embs,
+        embs.filter(F.col("vec_id") < 20),
+        k=ANN_K,
+        n_lists=IVF_LISTS,
+        n_probe=IVF_PROBE,
+        centroids=golden_centroids(IVF_LISTS, ANN_DIM),
+    )
+
+
+def q_unit_range_lookup(spark, sf_dir):
+    """S2: timeseries.unit_ranges-shaped catalog lookup (count +
+    tsindex/tsblob columns; server/UnitQueryService.scala:70-78)."""
+    from pennsieve_streaming_spark.sources import range_lookup, spans_to_unit_ranges
+
+    spans = q_gap_spans(spark, sf_dir)
+    ur = spans_to_unit_ranges(spans)
+    return range_lookup(
+        ur, "purchase", EV_START + 5 * 86_400 * US, EV_START + 20 * 86_400 * US
+    )
 
 
 def q_media_features(spark, sf_dir):
@@ -505,6 +535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_near_pairs": q_simhash_pairs,
         "emb_cosine_topk": q_cosine_topk,
         "emb_ann_lsh": q_ann_lsh,
+        "emb_ann_ivf": q_ann_ivf,
+        "ts_unit_range_lookup": q_unit_range_lookup,
         "mm_media_features": q_media_features,
         "mm_frame_sample": q_frame_sample,
     }
@@ -942,9 +974,22 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON i.doc_b = sb.doc_id
         """
 
+    # all-pairs mode carries the hot-shingle document-frequency cap
+    # (pair join sees only shingles with df <= JACCARD_MAX_DF; set
+    # sizes still count everything — mirror of jaccard_pairs)
     sql["doc_ngram_jaccard"] = f"""
         WITH {DOC_PRE},
-        {JACCARD_TAIL}
+        ok_sh AS (
+          SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= {JACCARD_MAX_DF}
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        ints AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM sh a
+          JOIN ok_sh o ON a.sh = o.sh
+          JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
         SELECT i.doc_a, i.doc_b, sa.n AS n_a, sb.n AS n_b, i.inter,
                i.inter / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
         FROM ints i
@@ -1103,6 +1148,26 @@ def oracle_sql() -> dict[str, str]:
     # --- G1-G3 Butterworth golden window (recursive-CTE recurrence) ---------
     sql["ts_butterworth_filter"] = _butterworth_oracle_sql()
 
+    # --- S2 unit_ranges catalog lookup --------------------------------------
+    sql["ts_unit_range_lookup"] = with_views(
+        f"""
+        SELECT id, channel, count, lo, hi, tsindex, tsblob FROM (
+          SELECT CAST(ROW_NUMBER() OVER (PARTITION BY channel ORDER BY span_lo, span_hi) - 1 AS BIGINT) AS id,
+                 channel, n_segments AS count,
+                 span_lo AS lo, span_hi AS hi,
+                 channel || '_' || CAST(ROW_NUMBER() OVER (PARTITION BY channel ORDER BY span_lo, span_hi) - 1 AS VARCHAR) || '.tsindex' AS tsindex,
+                 channel || '_' || CAST(ROW_NUMBER() OVER (PARTITION BY channel ORDER BY span_lo, span_hi) - 1 AS VARCHAR) || '.tsblob' AS tsblob
+          FROM ({_gap_spans})
+        )
+        WHERE channel = 'purchase'
+          AND lo <= {EV_START + 20 * 86_400 * US} AND hi >= {EV_START + 5 * 86_400 * US}
+        """,
+        "chan_events",
+    )
+
+    # --- IVF ANN (fixed literal centroids) ----------------------------------
+    sql["emb_ann_ivf"] = _ivf_oracle_sql()
+
     # --- random-hyperplane ANN ----------------------------------------------
     sql["emb_ann_lsh"] = f"""
         WITH planes AS (
@@ -1143,6 +1208,59 @@ def _dbl(v: float) -> str:
     IEEE doubles at the last ulp)."""
     s = repr(float(v))
     return s if ("e" in s or "E" in s) else s + "e0"
+
+
+def _ivf_oracle_sql() -> str:
+    """Replay the IVF pipeline: literal centroids, argmin list
+    assignment via |v|² - 2v·c + |c|² (the same dot-product folds the
+    Spark side uses), n_probe lists per query, exact cosine in-list."""
+    from pennsieve_streaming_spark.llm.similarity import golden_centroids
+
+    cents = golden_centroids(IVF_LISTS, ANN_DIM)
+    rows = ", ".join(
+        f"({i}, [{', '.join(_dbl(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    d2 = (
+        "list_dot_product({v}, {v}) - 2.0e0 * list_dot_product({v}, t.c) "
+        "+ list_dot_product(t.c, t.c)"
+    )
+    return f"""
+        WITH cents AS (SELECT * FROM (VALUES {rows}) t(list_id, c)),
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        dists AS (
+          SELECT e.vec_id, t.list_id, {d2.format(v='e.v')} AS d2
+          FROM emb e CROSS JOIN cents t
+        ),
+        assigned AS (
+          SELECT vec_id AS neighbor_id, list_id FROM (
+            SELECT vec_id, list_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+            FROM dists
+          ) WHERE rn = 1
+        ),
+        qlists AS (
+          SELECT vec_id AS query_id, list_id FROM (
+            SELECT vec_id, list_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+            FROM dists WHERE vec_id < 20
+          ) WHERE rn <= {IVF_PROBE}
+        ),
+        scored AS (
+          SELECT q.query_id, a.neighbor_id,
+                 list_dot_product(qv.v, cv.v)
+                   / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cosine
+          FROM qlists q
+          JOIN assigned a ON q.list_id = a.list_id AND q.query_id != a.neighbor_id
+          JOIN emb qv ON qv.vec_id = q.query_id
+          JOIN emb cv ON cv.vec_id = a.neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank, cosine FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored
+        ) WHERE rank <= {ANN_K}
+        """
 
 
 def _butterworth_oracle_sql() -> str:

@@ -143,6 +143,7 @@ def jaccard_pairs(
     shingled: DataFrame,
     candidates: DataFrame | None = None,
     min_jaccard: float = 0.0,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard similarity per document pair.
 
@@ -150,8 +151,25 @@ def jaccard_pairs(
     verify step); otherwise all pairs sharing at least one shingle
     (the plain n-gram-Jaccard near-dup operator).
 
+    ``max_doc_freq`` (all-pairs mode): drop shingles appearing in more
+    than N documents from the pair-generating self-join — the standard
+    hot-shingle guard. One boilerplate shingle shared by 1M docs would
+    otherwise explode the join to 10¹² rows; capped, the join is
+    bounded by sum over kept shingles of df² ≤ |shingles|·N². Set sizes
+    (n_a/n_b) still count ALL shingles, so the reported jaccard is a
+    lower bound that ignores only boilerplate overlap.
+
     Output: (doc_a, doc_b, n_a, n_b, inter, jaccard).
     """
+    joinable = shingled
+    if max_doc_freq is not None and candidates is None:
+        hot = (
+            shingled.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("sh")
+        )
+        joinable = shingled.join(F.broadcast(hot), "sh", "left_anti")
     if candidates is not None:
         # verify-only-candidates: shrink the shingle table to candidate
         # docs before the self-join (semi-join keeps each candidate
@@ -162,9 +180,10 @@ def jaccard_pairs(
             .distinct()
         )
         shingled = shingled.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        joinable = shingled
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = shingled.alias("a")
-    b = shingled.alias("b")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     inter = (
         a.join(
             b,

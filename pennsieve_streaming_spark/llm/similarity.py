@@ -29,6 +29,31 @@ def _as_double(df: DataFrame, col: str) -> DataFrame:
     return df.withColumn(col, F.col(col).cast("array<double>"))
 
 
+def partial_topk(
+    scored: DataFrame, k: int, by: str = "query_id", metric: str = "cosine"
+) -> DataFrame:
+    """Narrow per-batch top-k reduction before a global rank.
+
+    Classic TopK push-down: every Arrow batch keeps only its k best
+    rows per key — anything below a batch's k-th best can never reach
+    the global top-k — so the rank shuffle moves O(partitions·k) rows
+    per key instead of the full |corpus|×|queries| scored set. Exact:
+    selection uses the same total order as the final window."""
+
+    def reduce_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(
+                [by, metric, "neighbor_id"], ascending=[True, False, True]
+            )
+            yield pdf.groupby(by, sort=False).head(k)
+
+    return scored.mapInPandas(reduce_batches, schema=scored.schema)
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -39,7 +64,9 @@ def cosine_topk(
     """Exact top-k cosine neighbors for each query vector.
 
     ``queries`` is a (small) subset of rows with the same schema;
-    it is broadcast so the corpus never shuffles.
+    it is broadcast so the corpus never shuffles, and each scan task
+    reduces its scored rows to a local top-k (``partial_topk``) before
+    the single global rank shuffle.
 
     Output: (query_id, neighbor_id, rank, cosine).
     """
@@ -65,7 +92,8 @@ def cosine_topk(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        partial_topk(scored, k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
@@ -92,6 +120,19 @@ def hyperplane_expr(vec_col: str, plane: int, dim: int) -> str:
     )
 
 
+def golden_centroids(n_lists: int, dim: int) -> list[list[float]]:
+    """Deterministic low-discrepancy centroids (plastic-number
+    sequence): engine-independent literals so an exact SQL oracle can
+    replay the full IVF pipeline. Centroid QUALITY is irrelevant to the
+    mechanics being verified (list assignment, probing, in-list
+    scoring); production callers pass k-means centroids instead."""
+    rho = 0.7548776662466927  # 1/plastic number, low-discrepancy
+    return [
+        [((i * dim + j) * rho) % 1.0 - 0.5 for j in range(dim)]
+        for i in range(n_lists)
+    ]
+
+
 def ivf_ann(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -101,45 +142,54 @@ def ivf_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbor.
 
-    Train k-means centroids (MLlib, sampled at scale), assign every
-    corpus vector to its nearest centroid list, and probe only the
-    ``n_probe`` nearest lists per query — the classic IVF-Flat recall/
-    cost trade-off. All distance math after training is DataFrame
-    expressions; centroid assignment is a broadcast of n_lists small
-    arrays, so the corpus never shuffles.
+    Train k-means centroids (MLlib, sampled at scale) — or take fixed
+    ``centroids`` for deterministic/oracle-replayable runs — assign
+    every corpus vector to its nearest centroid list, and probe only
+    the ``n_probe`` nearest lists per query — the classic IVF-Flat
+    recall/cost trade-off. All distance math after training is
+    DataFrame expressions; centroid assignment is a broadcast of
+    n_lists small arrays, so the corpus never shuffles.
+
+    Distances use the dot-product algebra ``|v|² - 2v·c + |c|²`` with
+    sequential folds, matching DuckDB's list_dot_product bit-for-bit.
 
     Output: (query_id, neighbor_id, rank, cosine).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     spark = embeddings.sparkSession
     corpus = ensure_parallelism(
         _as_double(embeddings, vec_col).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
         )
     )
-    train = corpus.select(array_to_vector("v").alias("features"))
-    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = corpus.select(array_to_vector("v").alias("features"))
+        model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
+        centroids = [[float(x) for x in c] for c in model.clusterCenters()]
     cents = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, c) for i, c in enumerate(centroids)],
         "list_id int, c array<double>",
     )
 
     # nearest-centroid assignment via broadcast join + argmin
     from pyspark.sql import Window
 
-    dist = F.expr(
-        "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), "
-        "CAST(0 AS DOUBLE), (acc, d) -> acc + d)"
-    )
+    def d2(vec: str) -> F.Column:
+        dvv = F.expr(DOT.format(a=vec, b=vec))
+        dvc = F.expr(DOT.format(a=vec, b="c"))
+        dcc = F.expr(DOT.format(a="c", b="c"))
+        return dvv - F.lit(2.0) * dvc + dcc
+
     wc = Window.partitionBy("neighbor_id").orderBy("d2", "list_id")
     assigned = (
         corpus.join(F.broadcast(cents))
-        .withColumn("d2", dist)
+        .withColumn("d2", d2("v"))
         .withColumn("rn", F.row_number().over(wc))
         .filter(F.col("rn") == 1)
         .select("neighbor_id", "v", "list_id")
@@ -148,14 +198,10 @@ def ivf_ann(
     qs = _as_double(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q")
     )
-    qdist = F.expr(
-        "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), "
-        "CAST(0 AS DOUBLE), (acc, d) -> acc + d)"
-    )
     wq = Window.partitionBy("query_id").orderBy("d2", "list_id")
     q_lists = (
         qs.join(F.broadcast(cents))
-        .withColumn("d2", qdist)
+        .withColumn("d2", d2("q"))
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= n_probe)
         .select("query_id", "q", "list_id")

@@ -7,5 +7,6 @@ from pennsieve_streaming_spark.sources.binary import (  # noqa: F401
 from pennsieve_streaming_spark.sources.catalog import (  # noqa: F401
     range_lookup,
     spans_to_ranges,
+    spans_to_unit_ranges,
 )
 from pennsieve_streaming_spark.sources.local import read_value_files  # noqa: F401

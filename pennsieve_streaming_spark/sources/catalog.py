@@ -30,6 +30,31 @@ def range_lookup(
     return df.orderBy("lo")
 
 
+def spans_to_unit_ranges(spans: DataFrame) -> DataFrame:
+    """S2: build a ``timeseries.unit_ranges``-shaped catalog from
+    contiguous event spans. Reference row shape
+    ``UnitRangeEntry(id, min, max, channel, count, tsindex, tsblob)``
+    (server/UnitQueryService.scala:70-78; H2 DDL
+    src/test/scala/com/pennsieve/streaming/TestDependencies.scala:49-57):
+    ``tsindex``/``tsblob`` are the S3 keys of the spike-time index and
+    waveform blob files for the span."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("channel").orderBy("span_lo", "span_hi")
+    seq = (F.row_number().over(w) - F.lit(1)).cast("long")
+    return spans.withColumn("id", seq).select(
+        "id",
+        "channel",
+        F.col("n_segments").alias("count"),
+        F.col("span_lo").alias("lo"),
+        F.col("span_hi").alias("hi"),
+        F.concat(F.col("channel"), F.lit("_"), F.col("id").cast("string"),
+                 F.lit(".tsindex")).alias("tsindex"),
+        F.concat(F.col("channel"), F.lit("_"), F.col("id").cast("string"),
+                 F.lit(".tsblob")).alias("tsblob"),
+    )
+
+
 def spans_to_ranges(spans: DataFrame, rate_hz: float) -> DataFrame:
     """Build a ranges catalog from contiguous spans (channel, span_lo,
     span_hi): deterministic ids via per-channel sequence numbers."""

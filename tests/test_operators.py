@@ -400,3 +400,23 @@ def test_explode_segments_integer_period(spark):
     ts = [r["ts"] for r in
           explode_segments_to_samples(segs).orderBy("ts").collect()]
     assert ts == [i * 4001 for i in range(10)]  # NOT round(i * 4000.5)
+
+
+def test_jaccard_hot_shingle_cap_bounds_join(spark):
+    """A shingle shared by every doc must not explode the all-pairs
+    join when max_doc_freq caps it; pairs then reflect only the
+    non-boilerplate overlap."""
+    from pennsieve_streaming_spark.llm.dedup import jaccard_pairs
+
+    # 30 docs all share shingle 999; docs 0/1 also share shingle 7
+    rows = [(d, 999) for d in range(30)] + [(0, 7), (1, 7)]
+    sh = spark.createDataFrame(rows, "doc_id long, sh long")
+    capped = jaccard_pairs(sh, max_doc_freq=10).collect()
+    # without the cap: C(30,2)=435 pairs; with it only (0,1) survives
+    assert len(capped) == 1
+    r = capped[0]
+    assert (r["doc_a"], r["doc_b"]) == (0, 1)
+    # sizes still count ALL shingles (jaccard is the capped lower bound)
+    assert r["n_a"] == 2 and r["n_b"] == 2 and r["inter"] == 1
+    uncapped = jaccard_pairs(sh).collect()
+    assert len(uncapped) == 435

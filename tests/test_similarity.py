@@ -55,3 +55,38 @@ def test_lsh_ann_runs_and_is_subset_quality(embs, truth):
         by_q.setdefault(r["query_id"], []).append(r["cosine"])
     for q, cos in by_q.items():
         assert cos == sorted(cos, reverse=True)
+
+
+def test_partial_topk_reduces_and_preserves_result(embs):
+    """partial_topk must leave the final top-k unchanged (exact
+    reduction) while keeping at most k rows per (batch, query)."""
+    from pennsieve_streaming_spark.llm.similarity import partial_topk
+
+    qs = embs.filter(F.col("vec_id") < 5)
+    full = cosine_topk(embs, qs, k=3).collect()
+    assert len(full) == 5 * 3
+    # the reduction itself: every batch contributes <= k rows per query
+    corpus = embs.selectExpr("vec_id AS neighbor_id",
+                             "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    q2 = qs.selectExpr("vec_id AS query_id",
+                       "CAST(embedding AS ARRAY<DOUBLE>) AS q")
+    scored = corpus.crossJoin(q2).selectExpr(
+        "query_id", "neighbor_id",
+        "aggregate(zip_with(q, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, b) -> a + b) AS cosine",
+    )
+    n_parts = scored.rdd.getNumPartitions()
+    reduced = partial_topk(scored, 3)
+    assert reduced.count() <= n_parts * 5 * 3 * 4  # 4: arrow batch slack
+    assert reduced.count() < scored.count()
+
+
+def test_ivf_fixed_centroids_deterministic(embs):
+    """golden_centroids runs must be reproducible call-to-call (the
+    oracle-replayable configuration)."""
+    from pennsieve_streaming_spark.llm.similarity import golden_centroids, ivf_ann
+
+    cents = golden_centroids(8, 64)
+    qs = embs.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, ivf_ann(embs, qs, k=3, n_lists=8, centroids=cents).collect()))
+    b = sorted(map(tuple, ivf_ann(embs, qs, k=3, n_lists=8, centroids=cents).collect()))
+    assert a == b and len(a) > 0
