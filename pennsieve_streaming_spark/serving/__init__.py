@@ -11,3 +11,7 @@ from pennsieve_streaming_spark.serving.session import (  # noqa: F401
     TimeSeriesRequest,
     parse_request,
 )
+from pennsieve_streaming_spark.serving.transport import (  # noqa: F401
+    TimeSeriesServer,
+    TransportConfig,
+)

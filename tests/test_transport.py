@@ -1,0 +1,166 @@
+"""End-to-end serving transport: reference JSON vocabulary over a real
+socket — data request round-trip, T6 buffer/flush + dump clearing,
+T7 keep-alive + idle kill, error lane."""
+
+from __future__ import annotations
+
+import asyncio
+import json
+
+import pytest
+
+from pennsieve_streaming_spark.serving import (
+    QuerySession,
+    TimeSeriesServer,
+    TransportConfig,
+)
+
+
+@pytest.fixture(scope="module")
+def samples(spark):
+    rows = [("Fp1", i * 1_000_000, float(i % 13)) for i in range(600)] + [
+        ("Cz", i * 1_000_000, float(i % 7)) for i in range(600)
+    ]
+    return spark.createDataFrame(
+        rows, "channel string, ts long, value double"
+    ).cache()
+
+
+def _factory(spark, samples):
+    def make(session_id: str) -> QuerySession:
+        return QuerySession(
+            spark, samples, {"Fp1": 1.0, "Cz": 1.0}, session_id
+        )
+
+    return make
+
+
+async def _recv_until(reader, pred, timeout=30.0):
+    """Read NDJSON messages until pred(msg) is true; returns all."""
+    msgs = []
+    async with asyncio.timeout(timeout):
+        while True:
+            line = await reader.readline()
+            assert line, f"connection closed early; got {msgs}"
+            msg = json.loads(line)
+            msgs.append(msg)
+            if pred(msg):
+                return msgs
+
+
+def _run(coro):
+    return asyncio.run(coro)
+
+
+def test_data_request_roundtrip(spark, samples):
+    async def main():
+        server = TimeSeriesServer(_factory(spark, samples))
+        port = await server.start()
+        try:
+            r, w = await asyncio.open_connection("127.0.0.1", port)
+            # install a filter, then ask for a montaged downsample
+            w.write(b'{"filter":"lowpass","filterParameters":[2,0.2],"channels":["Fp1<->Cz"]}\n')
+            await w.drain()
+            msgs = await _recv_until(r, lambda m: "ok" in m or "error" in m)
+            assert msgs[-1] == {"ok": True}
+            req = {
+                "session": "s",
+                "virtualChannels": ["Fp1<->Cz"],
+                "startTime": 0,
+                "endTime": 600_000_000,
+                "pixelWidth": 50_000_000,
+            }
+            w.write((json.dumps(req) + "\n").encode())
+            await w.drain()
+            msgs = await _recv_until(r, lambda m: "rows" in m or "error" in m)
+            data = msgs[-1]
+            assert data["channel"] == "Fp1<->Cz"
+            assert data["totalResponses"] == 1 and data["epoch"] == 0
+            assert len(data["rows"]) == 12  # 600s / 50s pixels
+            buckets = {row["bucket"] for row in data["rows"]}
+            assert buckets == set(range(12))
+            w.close()
+        finally:
+            await server.stop()
+
+    _run(main())
+
+
+def test_garbage_gets_error_not_disconnect(spark, samples):
+    async def main():
+        server = TimeSeriesServer(_factory(spark, samples))
+        port = await server.start()
+        try:
+            r, w = await asyncio.open_connection("127.0.0.1", port)
+            w.write(b'{"bogus": 1}\n')
+            await w.drain()
+            msgs = await _recv_until(r, lambda m: "error" in m)
+            assert "unparseable" in msgs[-1]["error"]
+            # connection survives: a valid request still answers
+            w.write(b'{"virtualChannels":["Fp1"],"startTime":0,"endTime":5000000,"pixelWidth":0}\n')
+            await w.drain()
+            msgs = await _recv_until(r, lambda m: "rows" in m)
+            assert len(msgs[-1]["rows"]) == 5
+            w.close()
+        finally:
+            await server.stop()
+
+    _run(main())
+
+
+def test_dump_clears_buffered_requests(spark, samples):
+    """Three requests enter the buffer (flush timer long, queue deep);
+    a dump must clear ALL of them — no rows ever arrive — and bump the
+    epoch (BufferWithEpochDumpStage global-dump semantics)."""
+
+    async def main():
+        cfg = TransportConfig(max_queue=10, flush_ms=60_000)
+        server = TimeSeriesServer(_factory(spark, samples), cfg)
+        port = await server.start()
+        try:
+            r, w = await asyncio.open_connection("127.0.0.1", port)
+            req = {
+                "virtualChannels": ["Fp1"],
+                "startTime": 0,
+                "endTime": 600_000_000,
+                "pixelWidth": 50_000_000,
+            }
+            payload = (json.dumps(req) + "\n").encode()
+            w.write(payload * 3 + b'{"dumpBuffer": true}\n')
+            await w.drain()
+            msgs = await _recv_until(r, lambda m: "dumpBuffer" in m)
+            assert msgs[-1]["dumpBuffer"] == 1
+            assert msgs[-1]["dropped"] == 3
+            assert not any("rows" in m for m in msgs)
+            w.close()
+        finally:
+            await server.stop()
+
+    _run(main())
+
+
+def test_keepalive_and_idle_kill(spark, samples):
+    async def main():
+        cfg = TransportConfig(keepalive_s=0.2, idle_timeout_s=1.0)
+        server = TimeSeriesServer(_factory(spark, samples), cfg)
+        port = await server.start()
+        try:
+            r, w = await asyncio.open_connection("127.0.0.1", port)
+            msgs = await _recv_until(r, lambda m: m.get("keepAlive") is True, 10)
+            assert msgs[-1] == {"keepAlive": True}
+            # stay silent past idle_timeout: server warns then closes
+            async with asyncio.timeout(20):
+                saw_idle, closed = False, False
+                while True:
+                    line = await r.readline()
+                    if not line:
+                        closed = True
+                        break
+                    m = json.loads(line)
+                    if "idle timeout" in m.get("error", ""):
+                        saw_idle = True
+                assert saw_idle and closed
+        finally:
+            await server.stop()
+
+    _run(main())
