@@ -67,6 +67,7 @@ def apply_filter(
     spec: FilterSpec,
     rate_hz: float,
     prewarm: bool = True,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Filter each channel's stream, resetting state at discontinuities
     > 100 sample periods. Input/output: (channel, ts, value).
@@ -80,6 +81,11 @@ def apply_filter(
     channel as one pandas group. Output is bit-identical to filtering
     each contiguous run in one shot (chunk-continuity property,
     tests/test_dsp.py).
+
+    ``num_partitions``: hash partitioning collides — with #channels ≈
+    #partitions the worst partition draws several whole channels
+    (birthday bound). Bulk jobs should over-partition to ~8× the
+    channel count; queries over a few channels can leave the default.
     """
     sos = butter_sos(spec.order, spec.freq, rate_hz, spec.btype, spec.width)
     pad = (
@@ -167,9 +173,12 @@ def apply_filter(
         if done is not None:
             yield done
 
-    return (
-        samples.select("channel", "ts", "value")
-        .repartition("channel")
-        .sortWithinPartitions("channel", "ts")
-        .mapInPandas(run_partition, schema="channel string, ts long, value double")
+    selected = samples.select("channel", "ts", "value")
+    repartitioned = (
+        selected.repartition(num_partitions, "channel")
+        if num_partitions
+        else selected.repartition("channel")
+    )
+    return repartitioned.sortWithinPartitions("channel", "ts").mapInPandas(
+        run_partition, schema="channel string, ts long, value double"
     )

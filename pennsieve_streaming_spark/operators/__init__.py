@@ -11,6 +11,7 @@ from pennsieve_streaming_spark.operators.downsample import (  # noqa: F401
     resample_chunk_params,
     downsample_minmax_time,
     downsample_minmax_count,
+    downsample_minmax_count_regular,
     fill_gaps,
 )
 from pennsieve_streaming_spark.operators.gaps import (  # noqa: F401

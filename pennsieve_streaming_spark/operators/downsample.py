@@ -90,12 +90,56 @@ def downsample_minmax_count(
     ``.take(numberOfChunks)`` with n_chunks = floor(total/chunk),
     BaseTimeSeriesQuery.scala:80-85).
 
+    **Bounded windows only**: ``row_number() OVER (PARTITION BY
+    channel)`` routes a channel's whole range through one task. That is
+    exactly the reference's own execution shape (one stream per
+    channel-request, capped at 100k samples by the query guard), and
+    the serving router never sends unbounded ranges here — it uses the
+    time-bucketed variant. For bulk jobs over regular-rate channels use
+    ``downsample_minmax_count_regular``, which derives the index
+    arithmetically and keeps full map-side parallelism.
+
     Output: (channel, bucket, min_val, max_val, n_samples).
     """
     w = Window.partitionBy("channel").orderBy("ts", "value")
     idx = F.row_number().over(w) - F.lit(1)
     df = (
         samples.withColumn("bucket", F.floor(idx / F.lit(chunk_size)).cast("long"))
+        .groupBy("channel", "bucket")
+        .agg(
+            F.min("value").alias("min_val"),
+            F.max("value").alias("max_val"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+    if drop_ragged_tail:
+        df = df.filter(F.col("n_samples") == chunk_size)
+    return df
+
+
+def downsample_minmax_count_regular(
+    samples: DataFrame,
+    chunk_size: int,
+    period_us: int,
+    drop_ragged_tail: bool = True,
+) -> DataFrame:
+    """Count-bucketed downsample for REGULAR, gap-free channels —
+    the 100×-scale path for bulk jobs.
+
+    When ``ts = t0 + i * period`` (the layout ingest materializes,
+    streaming/ingest.py), the sample index is pure arithmetic:
+    ``i = (ts - t0) / period``. No window function, no per-channel
+    sort through one task — just a broadcast of per-channel t0 and the
+    same single-shuffle groupBy as the time-bucketed variant. Equals
+    ``downsample_minmax_count`` exactly on gap-free regular input.
+
+    Output: (channel, bucket, min_val, max_val, n_samples).
+    """
+    t0 = samples.groupBy("channel").agg(F.min("ts").alias("_t0"))
+    idx = F.floor((F.col("ts") - F.col("_t0")) / F.lit(period_us)).cast("long")
+    df = (
+        samples.join(F.broadcast(t0), "channel")
+        .withColumn("bucket", F.floor(idx / F.lit(chunk_size)).cast("long"))
         .groupBy("channel", "bucket")
         .agg(
             F.min("value").alias("min_val"),

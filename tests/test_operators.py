@@ -420,3 +420,26 @@ def test_jaccard_hot_shingle_cap_bounds_join(spark):
     assert r["n_a"] == 2 and r["n_b"] == 2 and r["inter"] == 1
     uncapped = jaccard_pairs(sh).collect()
     assert len(uncapped) == 435
+
+
+def test_count_downsample_regular_fast_path(spark):
+    """On gap-free regular channels the arithmetic-index variant must
+    equal the window-based count variant exactly — and its plan must
+    contain no Window (the whole point: no per-channel sort through
+    one task)."""
+    from pennsieve_streaming_spark.operators import (
+        downsample_minmax_count,
+        downsample_minmax_count_regular,
+    )
+
+    rows = [
+        (ch, 500 + i * 4000, float((i * 7 + hash(ch)) % 101))
+        for ch in ("a", "b")
+        for i in range(1003)
+    ]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    slow = downsample_minmax_count(df, 50)
+    fast = downsample_minmax_count_regular(df, 50, period_us=4000)
+    assert sorted(map(tuple, slow.collect())) == sorted(map(tuple, fast.collect()))
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
