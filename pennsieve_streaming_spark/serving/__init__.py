@@ -15,3 +15,6 @@ from pennsieve_streaming_spark.serving.transport import (  # noqa: F401
     TimeSeriesServer,
     TransportConfig,
 )
+from pennsieve_streaming_spark.serving.ws import (  # noqa: F401
+    WebSocketTimeSeriesServer,
+)
