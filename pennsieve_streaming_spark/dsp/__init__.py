@@ -13,4 +13,5 @@ from pennsieve_streaming_spark.dsp.butterworth import (  # noqa: F401
 from pennsieve_streaming_spark.dsp.filtering import (  # noqa: F401
     FilterSpec,
     apply_filter,
+    apply_filter_bulk,
 )

@@ -194,3 +194,44 @@ def test_apply_filter_chunked_bit_identical(spark):
         want = _filter_run(np.asarray(vals), sos, pad)
         got = seg["value"].to_numpy()
         assert np.array_equal(got, want), (ch, start, np.abs(got - want).max())
+
+
+def test_apply_filter_bulk_bit_identical(spark):
+    """Lane-vectorized bulk filter == streaming apply_filter, bit for
+    bit, across many channels with gaps and unequal run lengths."""
+    from pennsieve_streaming_spark.dsp.filtering import apply_filter_bulk
+
+    fs = 250.0
+    spec = FilterSpec("highpass", 3, 20.0)
+    period = int(1e6 / fs)
+    rng = np.random.default_rng(5)
+    rows = []
+    for c in range(17):
+        t = 0
+        for run_len in (40, 300, 170):  # gaps between runs, mixed sizes
+            for i in range(run_len):
+                rows.append((f"e{c}", t + i * period, float(rng.standard_normal())))
+            t += run_len * period + 10**9
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    a = {(r["channel"], r["ts"]): r["value"]
+         for r in apply_filter(df, spec, fs).collect()}
+    b = {(r["channel"], r["ts"]): r["value"]
+         for r in apply_filter_bulk(df, spec, fs, n_groups=4).collect()}
+    assert a == b and len(a) == len(rows)
+
+
+def test_sosfilt_lanes_matches_scalar():
+    from pennsieve_streaming_spark.dsp.butterworth import sosfilt_lanes
+
+    sos = butter_sos(4, 30.0, 250.0, "lowpass")
+    rng = np.random.default_rng(9)
+    X = rng.standard_normal((7, 400))
+    YL, zf = sosfilt_lanes(sos, X)
+    for i in range(7):
+        y, z = sosfilt(sos, X[i])
+        assert np.array_equal(YL[i], y)
+        assert np.array_equal(zf[i], z)
+    # state carry across chunks, lane-wise
+    Y1, z1 = sosfilt_lanes(sos, X[:, :150])
+    Y2, _ = sosfilt_lanes(sos, X[:, 150:], zi=z1)
+    assert np.array_equal(np.hstack([Y1, Y2]), YL)
