@@ -82,3 +82,38 @@ def resample_arrays_minmax(
         F.posexplode(F.col(array_col)).alias("pos", "v"),
     )
     return resample_positions_minmax(exploded, n_chunks, key_cols)
+
+
+def waveforms_from_positions(
+    positions: DataFrame,
+    catalog: DataFrame,
+    events_indexed: DataFrame,
+    points_per_spike: int,
+) -> DataFrame:
+    """G4 waveform pairing (query/WsClient.scala:85-97): the tsblob
+    stream of doubles groups into fixed-length waveforms of
+    ``spikeDataPointCount`` points, and waveform k belongs to the k-th
+    spike timestamp of the channel's tsindex stream.
+
+    - ``positions``: (location, pos, value) from
+      ``sources.decode_binary_positions`` over tsblob files.
+    - ``catalog``: (location, channel) — the unit_ranges tsblob role.
+    - ``events_indexed``: (channel, ts, idx) — indexed spike times
+      (``events.index_events``).
+
+    Output: (channel, spike_ts, pos, m, v) — long form ready for
+    ``resample_positions_minmax`` (A3) or array collection.
+    """
+    grouped = positions.join(F.broadcast(catalog), "location").select(
+        "channel",
+        F.floor(F.col("pos") / F.lit(points_per_spike)).cast("long").alias("idx"),
+        (F.col("pos") % F.lit(points_per_spike)).alias("point"),
+        F.col("value").alias("v"),
+    )
+    return grouped.join(events_indexed, ["channel", "idx"]).select(
+        "channel",
+        F.col("ts").alias("spike_ts"),
+        F.col("point").alias("pos"),
+        F.lit(points_per_spike).cast("long").alias("m"),
+        "v",
+    )

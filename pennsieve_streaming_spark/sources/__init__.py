@@ -1,6 +1,7 @@
 """Sources: legacy binary segment decode, CSV, and catalog lookups."""
 
 from pennsieve_streaming_spark.sources.binary import (  # noqa: F401
+    decode_binary_positions,
     decode_binary_segments,
     decode_event_files,
 )

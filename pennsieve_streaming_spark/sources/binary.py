@@ -31,19 +31,10 @@ def _maybe_gunzip(buf: bytes) -> bytes:
     return buf
 
 
-def decode_binary_segments(
-    spark: SparkSession,
-    path_glob: str,
-    catalog: DataFrame,
-) -> DataFrame:
-    """Decode legacy continuous-sample files into samples rows.
-
-    ``catalog`` maps file location -> (channel, lo, rate): columns
-    (location, channel, lo, rate) — the reference's `timeseries.ranges`
-    role. Timestamps materialize as ``lo + i * round(1e6/rate)`` (W3).
-
-    Output: (channel, ts, value).
-    """
+def decode_binary_positions(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Decode BE-double files to positioned rows (location, pos, value)
+    — the shared kernel for continuous segments (S3) and spike-waveform
+    tsblob files (G4)."""
     files = spark.read.format("binaryFile").load(path_glob).select(
         F.element_at(F.split("path", "/"), -1).alias("location"), "content"
     )
@@ -60,7 +51,25 @@ def decode_binary_segments(
                 {"location": out_loc, "pos": out_pos, "value": out_val}
             )
 
-    decoded = files.mapInPandas(decode, schema="location string, pos long, value double")
+    return files.mapInPandas(
+        decode, schema="location string, pos long, value double"
+    )
+
+
+def decode_binary_segments(
+    spark: SparkSession,
+    path_glob: str,
+    catalog: DataFrame,
+) -> DataFrame:
+    """Decode legacy continuous-sample files into samples rows.
+
+    ``catalog`` maps file location -> (channel, lo, rate): columns
+    (location, channel, lo, rate) — the reference's `timeseries.ranges`
+    role. Timestamps materialize as ``lo + i * round(1e6/rate)`` (W3).
+
+    Output: (channel, ts, value).
+    """
+    decoded = decode_binary_positions(spark, path_glob)
     period = F.floor(F.lit(1e6) / F.col("rate") + F.lit(0.5)).cast("long")
     return (
         decoded.join(F.broadcast(catalog), "location")
