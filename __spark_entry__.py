@@ -85,6 +85,7 @@ BW_TS_END = 1_500_000             # lead channel, first 1500 samples
 BW_TYPE, BW_ORDER, BW_FREQ, BW_RATE = "lowpass", 4, 100.0, 1000.0
 ANN_PLANES, ANN_DIM, ANN_K = 8, 64, 5
 IVF_LISTS, IVF_PROBE = 16, 2
+EMB_NEAR_DUP_COS = 0.3            # near-dup threshold (synthetic embs)
 JACCARD_MAX_DF = 64               # hot-shingle cap for all-pairs mode
 
 
@@ -476,6 +477,17 @@ def q_unit_range_lookup(spark, sf_dir):
     )
 
 
+def q_emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (dedup flavor): hyperplane-LSH
+    blocked self-join, exact cosine >= threshold within buckets."""
+    from pennsieve_streaming_spark.llm.similarity import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(
+        _embs(spark, sf_dir), min_cosine=EMB_NEAR_DUP_COS,
+        n_planes=ANN_PLANES, dim=ANN_DIM,
+    )
+
+
 def q_media_features(spark, sf_dir):
     media = media_from_documents(_docs(spark, sf_dir))
     return extract_features(media).select("media_id", "kind", "n_bytes", "digest")
@@ -536,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_cosine_topk,
         "emb_ann_lsh": q_ann_lsh,
         "emb_ann_ivf": q_ann_ivf,
+        "emb_near_dup_pairs": q_emb_near_dup,
         "ts_unit_range_lookup": q_unit_range_lookup,
         "mm_media_features": q_media_features,
         "mm_frame_sample": q_frame_sample,
@@ -1167,6 +1180,31 @@ def oracle_sql() -> dict[str, str]:
 
     # --- IVF ANN (fixed literal centroids) ----------------------------------
     sql["emb_ann_ivf"] = _ivf_oracle_sql()
+
+    # --- embedding-cosine near-dup pairs ------------------------------------
+    sql["emb_near_dup_pairs"] = f"""
+        WITH planes AS (
+          SELECT p, list_transform(generate_series(0, {ANN_DIM - 1}),
+                 j -> fmod((p * {ANN_DIM} + j) * 0.6180339887498949e0, 1.0e0) - 0.5e0) AS h
+          FROM (SELECT UNNEST(generate_series(0, {ANN_PLANES - 1})) AS p)
+        ),
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        bkt AS (
+          SELECT e.vec_id,
+                 CAST(SUM(CASE WHEN list_dot_product(e.v, p.h) > 0
+                          THEN (CAST(1 AS BIGINT) << p.p) ELSE 0 END) AS BIGINT) AS bucket
+          FROM emb e CROSS JOIN planes p GROUP BY e.vec_id
+        )
+        SELECT id_a, id_b, cosine FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_dot_product(ea.v, eb.v)
+                   / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cosine
+          FROM bkt a
+          JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          JOIN emb ea ON ea.vec_id = a.vec_id
+          JOIN emb eb ON eb.vec_id = b.vec_id
+        ) WHERE cosine >= {EMB_NEAR_DUP_COS}e0
+        """
 
     # --- random-hyperplane ANN ----------------------------------------------
     sql["emb_ann_lsh"] = f"""

@@ -229,6 +229,50 @@ def ivf_ann(
     )
 
 
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    min_cosine: float = 0.9,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked.
+
+    The dedup flavor of similarity search: corpus self-join restricted
+    to hyperplane-LSH buckets (near-identical embeddings agree on all
+    sign bits with high probability), then exact cosine ≥ threshold
+    within the bucket. Quadratic only within buckets — the 100 TB-safe
+    formulation; feed the output to ``dedup.dedup_filter``.
+
+    Output: (id_a, id_b, cosine).
+    """
+    expr = " + ".join(
+        f"({hyperplane_expr(vec_col, p, dim)}) * {1 << p}" for p in range(n_planes)
+    )
+    bucketed = _as_double(embeddings, vec_col).withColumn(
+        "bucket", F.expr(expr).cast("long")
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    dot = F.expr(DOT.format(a="va", b="vb"))
+    na = F.expr(DOT.format(a="va", b="va"))
+    nb = F.expr(DOT.format(a="vb", b="vb"))
+    return (
+        a.join(
+            b,
+            (a["bucket"] == b["bucket"]) & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn("cosine", dot / (F.sqrt(na) * F.sqrt(nb)))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def lsh_bucketed_ann(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -164,3 +164,38 @@ def test_keepalive_and_idle_kill(spark, samples):
             await server.stop()
 
     _run(main())
+
+
+def test_concurrent_sessions_isolated(spark, samples):
+    """T2/T3: two simultaneous connections run under separate sessions
+    (FAIR scheduler pools); a dump on one must not disturb the other's
+    in-flight or future requests."""
+
+    async def main():
+        server = TimeSeriesServer(_factory(spark, samples))
+        port = await server.start()
+        try:
+            r1, w1 = await asyncio.open_connection("127.0.0.1", port)
+            r2, w2 = await asyncio.open_connection("127.0.0.1", port)
+            req = {
+                "virtualChannels": ["Cz"],
+                "startTime": 0,
+                "endTime": 20_000_000,
+                "pixelWidth": 0,
+            }
+            payload = (json.dumps(req) + "\n").encode()
+            w1.write(payload)
+            w2.write(b'{"dumpBuffer": true}\n' + payload)
+            await w1.drain()
+            await w2.drain()
+            m1 = (await _recv_until(r1, lambda m: "rows" in m))[-1]
+            m2 = (await _recv_until(r2, lambda m: "rows" in m))[-1]
+            assert len(m1["rows"]) == 20 and len(m2["rows"]) == 20
+            # session 1 stays at epoch 0; session 2's dump bumped only its own
+            assert m1["epoch"] == 0 and m2["epoch"] == 1
+            w1.close()
+            w2.close()
+        finally:
+            await server.stop()
+
+    _run(main())
