@@ -86,6 +86,7 @@ BW_TYPE, BW_ORDER, BW_FREQ, BW_RATE = "lowpass", 4, 100.0, 1000.0
 ANN_PLANES, ANN_DIM, ANN_K = 8, 64, 5
 IVF_LISTS, IVF_PROBE = 16, 2
 EMB_NEAR_DUP_COS = 0.3            # near-dup threshold (synthetic embs)
+DOC_QUALITY_TAU = 0.48            # pipeline quality gate (corpus median)
 JACCARD_MAX_DF = 64               # hot-shingle cap for all-pairs mode
 
 
@@ -477,6 +478,26 @@ def q_unit_range_lookup(spark, sf_dir):
     )
 
 
+def q_doc_pipeline(spark, sf_dir):
+    """End-to-end training-data pipeline: near-dup removal (MinHash
+    LSH, jaccard >= 0.5) ∘ quality gate ∘ language gate — the composed
+    corpus-preparation flow a 100 TB ingest would run, as ONE Spark
+    plan (dedup anti-join + two narrow score joins)."""
+    docs = _docs(spark, sf_dir)
+    q = quality_score(docs).select("doc_id", "quality")
+    lang = lang_id(docs).select("doc_id", "predicted_lang")
+    survivors = q_dedup_filter(spark, sf_dir).select("doc_id", "source")
+    return (
+        survivors.join(q, "doc_id")
+        .join(lang, "doc_id")
+        .filter(
+            (F.col("quality") >= F.lit(DOC_QUALITY_TAU))
+            & (F.col("predicted_lang") == "en")
+        )
+        .select("doc_id", "source", "predicted_lang", "quality")
+    )
+
+
 def q_emb_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (dedup flavor): hyperplane-LSH
     blocked self-join, exact cosine >= threshold within buckets."""
@@ -541,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
         "doc_minhash_signatures": q_minhash,
+        "doc_pipeline": q_doc_pipeline,
         "doc_minhash_lsh_pairs": q_lsh_pairs,
         "doc_ngram_jaccard": q_ngram_jaccard,
         "doc_simhash": q_simhash,
@@ -1029,6 +1051,33 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, source, lang FROM documents
         WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        """
+
+    sql["doc_pipeline"] = f"""
+        WITH {MINHASH_PRE}, {BANDS},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ),
+        {JACCARD_TAIL},
+        dropped AS (
+          SELECT DISTINCT i.doc_b AS doc_id
+          FROM ints i
+          JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+          JOIN sizes sa ON i.doc_a = sa.doc_id
+          JOIN sizes sb ON i.doc_b = sb.doc_id
+          WHERE i.inter / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.5e0
+        ),
+        qual AS ({sql['doc_quality_score']}),
+        lng AS ({sql['doc_lang_id']})
+        SELECT d.doc_id, d.source, lng.predicted_lang, qual.quality
+        FROM documents d
+        JOIN qual ON qual.doc_id = d.doc_id
+        JOIN lng ON lng.doc_id = d.doc_id
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+          AND qual.quality >= {DOC_QUALITY_TAU}e0
+          AND lng.predicted_lang = 'en'
         """
 
     sql["doc_simhash"] = f"WITH {DOC_PRE}, {SIMHASH_CTE} SELECT doc_id, simhash FROM fp"

@@ -311,13 +311,21 @@ class QuerySession:
         events: DataFrame,
         waveforms: DataFrame | None = None,
         spike_duration_us: int | None = None,
+        data_driven: bool = False,
     ) -> dict[str, DataFrame]:
         """Unit-channel request (reference
         query/TimeSeriesUnitQueryRawHttp.scala): per channel either the
         per-pixel event summary, or — when zoomed in past the
         spike-send threshold and waveforms are available — the
-        min/max-resampled spike waveforms."""
-        from pennsieve_streaming_spark.operators.events import event_summary_fixed
+        min/max-resampled spike waveforms.
+
+        ``data_driven=True`` uses the reference-exact chunker (chunks
+        start at their first event, PredicateStreamChunker); the
+        default aligned tumbling buckets are the scalable flavor."""
+        from pennsieve_streaming_spark.operators.events import (
+            event_summary_data_driven,
+            event_summary_fixed,
+        )
         from pennsieve_streaming_spark.operators.spikes import (
             resample_arrays_minmax,
             should_send_spikes,
@@ -342,7 +350,10 @@ class QuerySession:
                 )
                 out[name] = resample_arrays_minmax(ch_wf, n_points)
             elif req.pixel_width > 0:
-                out[name] = event_summary_fixed(ch_events, start, end, req.pixel_width)
+                summarize = (
+                    event_summary_data_driven if data_driven else event_summary_fixed
+                )
+                out[name] = summarize(ch_events, start, end, req.pixel_width)
             else:
                 # raw event timestamps (reference /ts/retrieve/unit)
                 out[name] = ch_events.filter(

@@ -44,3 +44,65 @@ def test_rollup_skipped_when_buckets_subsample():
     # 1 s rollup buckets hold <1 sample at 0.5 Hz -> direct
     p = plan_pixel_query(0, 1000 * US, 10 * US, 0.5)
     assert p.path in ("direct", "raw")
+
+
+# --------------------------------------------------------------------------
+# physical-plan shape assertions for the similarity/dedup hot paths
+# --------------------------------------------------------------------------
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cosine_topk_plan_broadcasts_and_prereduces(spark):
+    """The corpus side must never shuffle for scoring: queries are
+    broadcast, and the partial top-k reduction sits before the single
+    rank exchange."""
+    from pyspark.sql import functions as F
+
+    from pennsieve_streaming_spark.llm.similarity import cosine_topk
+
+    embs = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    df = cosine_topk(embs, embs.filter(F.col("vec_id") < 4), k=3)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan          # query side broadcast
+    assert "MapInPandas" in plan                # partial top-k reduction
+    # exactly one shuffle: the final per-query rank window
+    n_exchanges = plan.count("ShuffleExchange") or plan.count("Exchange hashpartitioning")
+    assert n_exchanges >= 1
+    before_window = plan.split("Window")[-1]
+    assert "MapInPandas" in before_window       # reduction feeds the rank
+
+
+def test_near_dup_plan_no_cartesian(spark):
+    """LSH blocking must produce an equi-join on bucket, never a
+    cartesian/broadcast nested loop over the corpus."""
+    from pennsieve_streaming_spark.llm.similarity import cosine_near_dup_pairs
+
+    embs = spark.createDataFrame(
+        [(i, [float((i * 5 + j) % 11) for j in range(8)]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(cosine_near_dup_pairs(embs, min_cosine=0.1, n_planes=4, dim=8))
+    assert "CartesianProduct" not in plan
+    assert "bucket" in plan
+
+
+def test_dedup_candidate_join_is_equi(spark):
+    """The LSH candidate join must be an equi-join on (band, band_key)."""
+    from pennsieve_streaming_spark.llm.dedup import (
+        lsh_band_keys,
+        lsh_candidate_pairs,
+        minhash_wide,
+    )
+
+    sh = spark.createDataFrame(
+        [(d, (d * 31 + k) % 97) for d in range(50) for k in range(10)],
+        "doc_id long, sh long",
+    )
+    plan = _plan(lsh_candidate_pairs(lsh_band_keys(minhash_wide(sh))))
+    assert "CartesianProduct" not in plan
+    assert "band_key" in plan
