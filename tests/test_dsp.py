@@ -235,3 +235,24 @@ def test_sosfilt_lanes_matches_scalar():
     Y1, z1 = sosfilt_lanes(sos, X[:, :150])
     Y2, _ = sosfilt_lanes(sos, X[:, 150:], zi=z1)
     assert np.array_equal(np.hstack([Y1, Y2]), YL)
+
+
+def test_reference_bandstop_golden_vector():
+    """The reference pins iirj's bandstop output on real 250 Hz data to
+    16 digits (src/test/scala/com/pennsieve/streaming/FilterSpec.scala:52-65,
+    notch order 4 at 50 Hz, width 3, zero initial state, no prewarm).
+    The pure-numpy design must reproduce it to machine precision."""
+    import os
+
+    src = "/root/reference/src/test/resources/combined.txt"
+    if not os.path.exists(src):
+        pytest.skip("reference fixture not available")
+    data = np.array([float(line) for line in open(src)])
+    golden = [
+        0.0, 1.087161635562614, 0.9029426242294433, 0.20389260356351335,
+        0.21682008432239974, 0.9644012648863328, 1.4729224362016369,
+        1.2208633250496284, 0.6931728654057703, 0.5172583945876954,
+    ]
+    sos = butter_sos(4, 50.0, 250.0, "bandstop", width=3.0)
+    out, _ = sosfilt(sos, data[: len(golden)])
+    np.testing.assert_allclose(out, golden, rtol=0, atol=3e-15)
