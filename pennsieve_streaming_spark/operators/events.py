@@ -89,6 +89,12 @@ def event_summary_data_driven(
     the chunk while ``e.ts - t0 < pixel_width``; the event that reaches
     the threshold starts the next chunk (PredicateStreamChunker emits
     the buffer *before* appending the triggering element).
+
+    ``order_cols`` defines the STREAM ORDER (both the zipWithIndex
+    numbering and the chunk walk). The default ts order is the
+    engine's canonical choice; pass a file-position column to replay
+    the reference's exact file-order behavior (its source yields
+    unsorted file order — WsClient.summaryFlow).
     """
     trimmed = index_events(
         events.filter((F.col("ts") >= start_us) & (F.col("ts") <= end_us)),
@@ -96,7 +102,8 @@ def event_summary_data_driven(
     ).select("channel", "ts", "idx")
 
     def chunk(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "idx"]).reset_index(drop=True)
+        # idx encodes the stream order chosen via order_cols
+        pdf = pdf.sort_values(["idx"]).reset_index(drop=True)
         buckets = []
         bucket = -1
         chunk_start = None

@@ -132,3 +132,74 @@ def test_unit_path_end_to_end_from_binaries(spark, tmp_path):
     got = {(r["channel"], r["spike_ts"], r["bucket"]): (r["min_val"], r["max_val"])
            for r in out}
     assert got == expected
+
+
+def test_reference_unit_data_goldens(spark):
+    """Port of UnitDataRequestSpec (src/test/scala/com/pennsieve/
+    streaming/UnitDataRequestSpec.scala:43-149) against the reference's
+    own events fixture: (a) the first spike waveform min/max-resampled
+    to 17 points, (b) the data-driven event summary (avgTime, count)
+    stream and the global index range, both in the reference's file
+    order."""
+    import os
+
+    import pytest as _pytest
+
+    src = "/root/reference/src/test/resources/events"
+    if not os.path.exists(src):
+        _pytest.skip("reference fixture not available")
+
+    from pyspark.sql import functions as F
+
+    from pennsieve_streaming_spark.operators.events import (
+        event_summary_data_driven,
+    )
+    from pennsieve_streaming_spark.operators.spikes import (
+        resample_positions_minmax,
+    )
+    from pennsieve_streaming_spark.sources import read_value_files
+
+    vals = read_value_files(spark, src)  # (location, pos, value)
+
+    # (a) spike waveforms: group the value stream per 52 points,
+    # resample each waveform to spikeDuration/pixelWidth = 1733/100 = 17
+    wf = vals.select(
+        F.floor(F.col("pos") / 52).cast("long").alias("spike_ts"),
+        (F.col("pos") % 52).alias("pos"),
+        F.lit(52).cast("long").alias("m"),
+        F.col("value").alias("v"),
+    )
+    first = (
+        resample_positions_minmax(wf, 17, key_cols=("spike_ts",))
+        .filter(F.col("spike_ts") == 0)
+        .orderBy("bucket")
+        .collect()
+    )
+    expected_first_wave = [
+        (0.0, 1.19974637e8), (1.06728613e8, 9.67618823e8),
+        (1.57007241e8, 3.17041814e8), (1.31918108e8, 5.87785243e8),
+        (1.31918108e8, 7.13118493e8), (1.80543303e8, 5.87785243e8),
+        (1.57007241e8, 9.5105654e8), (1.06728613e8, 9.67618823e8),
+        (1.06953895e8, 5.8139775e8), (1.06728613e8, 9.67618823e8),
+        (1.57007241e8, 3.17041814e8), (1.31918108e8, 5.87785243e8),
+        (1.31918108e8, 7.13118493e8), (1.80543303e8, 5.87785243e8),
+        (1.57007241e8, 9.5105654e8), (1.06728613e8, 9.67618823e8),
+        (1.1627955e8, 1.19974637e8),
+    ]
+    assert [(r["min_val"], r["max_val"]) for r in first] == expected_first_wave
+
+    # (b) event summary in file order (reference stream order), pixel
+    # width 100000 µs: golden (avgTime, count) pairs + index range
+    events = vals.select(
+        F.lit("u").alias("channel"),
+        F.col("value").cast("long").alias("ts"),
+        "pos",
+    )
+    summary = event_summary_data_driven(
+        events, 0, 2**62, 100_000, order_cols=("pos",)
+    ).orderBy("bucket").collect()
+    assert [(r["avg_time"], r["count"]) for r in summary] == [
+        (0, 1), (113464266, 2), (534781953, 947), (552674525, 300),
+    ]
+    assert summary[0]["min_index"] == 0
+    assert summary[-1]["max_index"] == 1249
