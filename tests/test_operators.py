@@ -443,3 +443,42 @@ def test_count_downsample_regular_fast_path(spark):
     assert sorted(map(tuple, slow.collect())) == sorted(map(tuple, fast.collect()))
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_reference_realtime_resample_goldens(spark):
+    """Port of the reference's resampleMessage goldens
+    (TimeSeriesFlowSpec.scala:587-644): data 1..100 at period 10000.
+    pixel 10001 -> 99 min/max chunks starting (1,1),(2,2)..;
+    pixel 30001 -> chunkCount 33, samplePeriod 1e6/33;
+    pixel == period and pixel < period -> passthrough, not min/max."""
+    from pennsieve_streaming_spark.operators.realtime import (
+        resample_ingest_segments,
+    )
+
+    data = [float(i) for i in range(1, 101)]
+    segs = spark.createDataFrame(
+        [("abc", 0, 10000.0, data)],
+        "channel string, start_ts long, sample_period double, data array<double>",
+    )
+
+    r = sorted(
+        resample_ingest_segments(segs, 10001).collect(),
+        key=lambda x: x["bucket"],
+    )
+    assert len(r) == 99 and all(x["is_min_max"] for x in r)
+    first_ten = [v for x in r[:5] for v in (x["min_val"], x["max_val"])]
+    assert first_ten == [1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 4.0, 4.0, 5.0, 5.0]
+
+    r = resample_ingest_segments(segs, 30001).collect()
+    assert {x["bucket"] for x in r} == set(range(33))
+    assert all(x["is_min_max"] for x in r)
+    period = r[0]["out_period"]
+    assert round(period * 10000) / 10000.0 == 30303.0303  # 1e6 / 33
+
+    for pixel in (10000, 1000):  # equal / finer pixel -> passthrough
+        r = sorted(
+            resample_ingest_segments(segs, pixel).collect(),
+            key=lambda x: x["bucket"],
+        )
+        assert len(r) == 100 and not any(x["is_min_max"] for x in r)
+        assert [x["min_val"] for x in r[:10]] == data[:10]
