@@ -482,3 +482,32 @@ def test_reference_realtime_resample_goldens(spark):
         )
         assert len(r) == 100 and not any(x["is_min_max"] for x in r)
         assert [x["min_val"] for x in r[:10]] == data[:10]
+
+
+def test_reference_fill_gaps_golden_vectors(spark):
+    """The exact fillGaps sequences the reference pins
+    (TimeSeriesRequestSpec.scala:59-85): clean ramps untouched,
+    disjoint-up stretches max to next min, disjoint-down pulls min
+    back, containment (either direction) untouched."""
+    cases = [
+        ([(0.0, 1.0), (1.0, 2.0), (2.0, 3.0), (3.0, 4.0)],
+         [(0.0, 1.0), (1.0, 2.0), (2.0, 3.0), (3.0, 4.0)]),
+        ([(0.0, 1.0), (1.1, 2.0), (2.1, 3.0), (3.1, 4.0)],
+         [(0.0, 1.1), (1.1, 2.1), (2.1, 3.1), (3.1, 4.0)]),
+        ([(3.0, 4.0), (2.0, 2.9)],
+         [(2.9, 4.0), (2.0, 2.9)]),
+        ([(1.0, 10.0), (2.0, 9.0)],
+         [(1.0, 10.0), (2.0, 9.0)]),
+        ([(2.0, 9.0), (1.0, 10.0)],
+         [(2.0, 9.0), (1.0, 10.0)]),
+    ]
+    for seq, want in cases:
+        df = spark.createDataFrame(
+            [("c", i, lo, hi) for i, (lo, hi) in enumerate(seq)],
+            "channel string, bucket long, min_val double, max_val double",
+        )
+        got = [
+            (r["filled_min"], r["filled_max"])
+            for r in fill_gaps(df).orderBy("bucket").collect()
+        ]
+        assert got == want, (seq, got, want)
