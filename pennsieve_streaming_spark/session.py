@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bigger Arrow batches amortize the Python round-trip on the
+        # bulk DSP paths (the 50M-sample filter probe is Arrow-bound at
+        # the 10k default); state carried across batches is tiny either
+        # way, so peak memory stays one batch per task
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.parquet.filterPushdown", "true")
         # read TIMESTAMP(NANOS) parquet columns (unsupported natively) as
         # LONG nanoseconds; engine code converts with `div 1000` to µs
