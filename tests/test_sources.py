@@ -102,3 +102,59 @@ def test_spans_to_ranges(spark):
         (0, 0, 100, "c_0"),
         (1, 500, 900, "c_1"),
     ]
+
+
+def test_reference_paginated_channel_single_stream(spark):
+    """Port of QuerySequencerSpec's pagination cases against the
+    reference's own fixtures: the two continuous pages (200 doubles
+    each, 1 Hz; page1 = [200 s, 400 s), page2 = [400 s, 600 s)) must
+    concatenate into ONE gap-free time-ordered stream with exactly the
+    files' values (U1/S5/W3 — pages vanish once ts is explicit)."""
+    import os
+
+    import pytest as _pytest
+
+    base = "/root/reference/src/test/resources"
+    if not os.path.exists(f"{base}/paginated/page1"):
+        _pytest.skip("reference fixture not available")
+
+    from pyspark.sql import functions as F
+
+    from pennsieve_streaming_spark.sources import read_value_files
+
+    vals = read_value_files(spark, f"{base}/paginated/page*")
+    catalog = spark.createDataFrame(
+        [("page1", "ch1", 200_000_000), ("page2", "ch1", 400_000_000)],
+        "location string, channel string, lo long",
+    )
+    samples = (
+        vals.join(F.broadcast(catalog), "location")
+        .select(
+            "channel",
+            (F.col("lo") + F.col("pos") * 1_000_000).alias("ts"),
+            "value",
+        )
+        .orderBy("ts")
+    )
+    rows = samples.collect()
+    expected = [
+        float(line)
+        for page in ("page1", "page2")
+        for line in open(f"{base}/paginated/{page}")
+    ]
+    assert [r["value"] for r in rows] == expected
+    ts = [r["ts"] for r in rows]
+    assert ts[0] == 200_000_000 and ts[-1] == 599_000_000
+    assert all(b - a == 1_000_000 for a, b in zip(ts, ts[1:]))
+
+    # unit flavor: event pages concatenate into one timestamp stream
+    ev = read_value_files(spark, f"{base}/paginated_events/ch1_page*")
+    got = sorted(
+        int(r["value"]) for r in ev.collect()
+    )
+    want = sorted(
+        int(line)
+        for page in ("ch1_page1", "ch1_page2")
+        for line in open(f"{base}/paginated_events/{page}")
+    )
+    assert got == want and len(got) == 400
