@@ -47,6 +47,31 @@ def materialize_samples(
     )
 
 
+def materialize_samples_bucketed(
+    samples: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = 8,
+) -> None:
+    """Write samples as a ts-BUCKETED table: ``bucketBy(n, ts)`` +
+    in-bucket sort.
+
+    Why bucket on ts: the montage zip-join (J1) is a self-join of the
+    samples table on ts. With both sides reading the same ts-bucketed,
+    ts-sorted layout, the sort-merge join needs NO exchange and NO
+    sort — the reference's positional zip re-created as a co-located
+    join (`tests/test_layout.py` asserts the plan is exchange-free).
+    Channel predicates still prune via row-group stats.
+    """
+    (
+        samples.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, "ts")
+        .sortBy("ts")
+        .saveAsTable(table)
+    )
+
+
 def read_samples(spark: SparkSession, path: str) -> DataFrame:
     """Read the materialized layout back, dropping layout columns."""
     return spark.read.parquet(path).drop("channel_bucket", "time_bucket")

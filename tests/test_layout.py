@@ -54,3 +54,34 @@ def test_pruned_scan_reads_one_partition(spark, layout_dir):
     # correctness: identical result to the unpruned filter
     want = full.filter("channel = 'ch3'").count()
     assert df.count() == want
+
+
+def test_bucketed_montage_join_is_exchange_free(spark, tmp_path):
+    """J1 co-location: over the ts-bucketed samples table, the montage
+    self-join on ts runs without any shuffle exchange — the zip-like
+    sort-merge join the layout is designed for."""
+    from pennsieve_streaming_spark.ingest import materialize_samples_bucketed
+    from pennsieve_streaming_spark.operators.montage import montage_two_channels
+
+    rows = [(ch, i * 1_000_000, float(i + (1 if ch == "lead" else 0)))
+            for ch in ("lead", "sec") for i in range(2000)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    materialize_samples_bucketed(
+        df, "samples_bucketed_t", str(tmp_path / "bkt"), n_buckets=4
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at 100 TB neither montage side is broadcastable; force the
+        # at-scale sort-merge shape so bucketing is exercised
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        tbl = spark.table("samples_bucketed_t")
+        out = montage_two_channels(tbl, "lead", "sec")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+        got = out.orderBy("ts").limit(3).collect()
+        assert [r["value"] for r in got] == [1.0, 1.0, 1.0]
+        assert out.count() == 2000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS samples_bucketed_t")
