@@ -511,3 +511,32 @@ def test_reference_fill_gaps_golden_vectors(spark):
             for r in fill_gaps(df).orderBy("bucket").collect()
         ]
         assert got == want, (seq, got, want)
+
+
+def test_reference_montage_fixture_golden(spark):
+    """Custom-montage golden from the reference flow spec
+    (TimeSeriesFlowSpec.scala:472, fixtures montage/channel{1,2}):
+    ramp 0,1,2,.. minus ramp 0,2,4,.. = 0,-1,-2,..,-10 over the
+    requested window."""
+    import os
+
+    base = "/root/reference/src/test/resources/montage"
+    if not os.path.exists(f"{base}/channel1"):
+        pytest.skip("reference fixture not available")
+
+    from pennsieve_streaming_spark.sources import read_value_files
+
+    vals = read_value_files(spark, f"{base}/channel*")
+    samples = vals.select(
+        F.when(F.col("location") == "channel1", "lead").otherwise("sec").alias("channel"),
+        (F.col("pos") * 1_000_000).alias("ts"),
+        "value",
+    )
+    out = (
+        montage_two_channels(samples, "lead", "sec")
+        .filter(F.col("ts") <= 10_000_000)
+        .orderBy("ts")
+        .collect()
+    )
+    assert [r["value"] for r in out] == [float(-i) for i in range(11)]
+    assert out[0]["channel"] == "lead<->sec"
