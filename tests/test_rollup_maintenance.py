@@ -54,3 +54,75 @@ def test_streaming_partials_fold_to_exact_rollup(spark):
     finally:
         for d in (src, out, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_full_wiring_ingest_to_served_pixel_query(spark, tmp_path):
+    """The production loop end-to-end: segment stream -> exploded
+    samples appended to the layout + streaming rollup partials ->
+    QuerySession over the read-back table with the maintained rollup
+    ladder -> an aligned wide pixel query must use the rollup path and
+    equal the direct raw-scan computation exactly."""
+    import shutil
+
+    from pennsieve_streaming_spark.serving.session import (
+        QuerySession,
+        TimeSeriesRequest,
+    )
+    from pennsieve_streaming_spark.streaming import (
+        explode_segments_to_samples,
+        read_ingest_stream,
+    )
+    from pennsieve_streaming_spark.streaming.rollup_maintenance import (
+        read_rollup,
+        start_rollup_maintenance,
+    )
+
+    seg_dir = str(tmp_path / "segs")
+    samples_dir = str(tmp_path / "samples")
+    rollup_dir = str(tmp_path / "rollup")
+
+    # 2 channels x 40 segments x 100 samples at 1 kHz
+    rows = []
+    for ch in ("a", "b"):
+        t = 0
+        for s in range(40):
+            rows.append((ch, t, 1000.0,
+                         [float((s * 100 + i) % 83) for i in range(100)]))
+            t += 100 * 1000
+    (spark.createDataFrame(
+        rows,
+        "channel string, start_ts long, sample_period double, data array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(seg_dir))
+
+    stream = read_ingest_stream(spark, seg_dir, max_files_per_trigger=4)
+    samples = explode_segments_to_samples(stream)
+    q1 = (samples.writeStream.format("parquet")
+          .option("path", samples_dir)
+          .option("checkpointLocation", str(tmp_path / "ck1"))
+          .trigger(availableNow=True).start())
+    q2 = start_rollup_maintenance(
+        samples, rollup_dir, str(tmp_path / "ck2"), level_us=100_000)
+    try:
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+    finally:
+        q1.stop()
+        q2.stop()
+
+    table = spark.read.parquet(samples_dir)
+    ladder = {100_000: read_rollup(spark, rollup_dir)}
+    with_r = QuerySession(spark, table, {"a": 1000.0, "b": 1000.0},
+                          "wired", rollups=ladder)
+    direct = QuerySession(spark, table, {"a": 1000.0, "b": 1000.0}, "direct")
+    # 4s window, 200ms pixels: aligned to the 100ms rollup grid
+    req = TimeSeriesRequest("s", ["a", "b"], 0, 4_000_000, pixel_width=200_000)
+    for name in ("a", "b"):
+        got = sorted(
+            (r["bucket"], r["min_val"], r["max_val"], r["n_samples"])
+            for r in with_r.run(req)[name].collect()
+        )
+        want = sorted(
+            (r["bucket"], r["min_val"], r["max_val"], r["n_samples"])
+            for r in direct.run(req)[name].collect()
+        )
+        assert got == want and len(got) == 20
