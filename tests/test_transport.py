@@ -199,3 +199,31 @@ def test_concurrent_sessions_isolated(spark, samples):
             await server.stop()
 
     _run(main())
+
+
+def test_over_limit_request_hits_error_lane(spark, samples):
+    """P5 through the socket: a raw request whose estimated sample
+    count exceeds the admission limit must come back as an error
+    message (the reference's query-limit rejection), leaving the
+    connection usable."""
+
+    async def main():
+        server = TimeSeriesServer(_factory(spark, samples))
+        port = await server.start()
+        try:
+            r, w = await asyncio.open_connection("127.0.0.1", port)
+            # 1.0 Hz rate, 2e11 µs window -> 200k estimated > 100k limit
+            w.write(b'{"virtualChannels":["Fp1"],"startTime":0,'
+                    b'"endTime":200000000000,"pixelWidth":0}\n')
+            await w.drain()
+            msgs = await _recv_until(r, lambda m: "error" in m)
+            assert "limit" in msgs[-1]["error"].lower()
+            w.write(b'{"virtualChannels":["Fp1"],"startTime":0,"endTime":3000000,"pixelWidth":0}\n')
+            await w.drain()
+            msgs = await _recv_until(r, lambda m: "rows" in m)
+            assert len(msgs[-1]["rows"]) == 3
+            w.close()
+        finally:
+            await server.stop()
+
+    _run(main())
