@@ -30,7 +30,11 @@ def _as_double(df: DataFrame, col: str) -> DataFrame:
 
 
 def partial_topk(
-    scored: DataFrame, k: int, by: str = "query_id", metric: str = "cosine"
+    scored: DataFrame,
+    k: int,
+    by: str = "query_id",
+    metric: str = "cosine",
+    tie: str = "neighbor_id",
 ) -> DataFrame:
     """Narrow per-batch top-k reduction before a global rank.
 
@@ -38,7 +42,8 @@ def partial_topk(
     rows per key — anything below a batch's k-th best can never reach
     the global top-k — so the rank shuffle moves O(partitions·k) rows
     per key instead of the full |corpus|×|queries| scored set. Exact:
-    selection uses the same total order as the final window."""
+    selection uses the same (metric DESC, tie ASC) total order as the
+    final window must."""
 
     def reduce_batches(batches):
         import pandas as pd
@@ -47,7 +52,7 @@ def partial_topk(
             if not len(pdf):
                 continue
             pdf = pdf.sort_values(
-                [by, metric, "neighbor_id"], ascending=[True, False, True]
+                [by, metric, tie], ascending=[True, False, True]
             )
             yield pdf.groupby(by, sort=False).head(k)
 

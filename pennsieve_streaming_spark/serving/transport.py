@@ -81,15 +81,23 @@ class Connection:
         self._work: asyncio.Queue[tuple[TimeSeriesRequest, int]] = asyncio.Queue()
 
     async def send(self, msg: dict) -> None:
-        if not self.closed.is_set():
+        if self.closed.is_set():
+            return
+        try:
             await self._send(msg)
+        except (ConnectionError, RuntimeError, OSError):
+            # peer went away mid-write: stop the session instead of
+            # letting worker/keepalive tasks die on unhandled errors
+            self.close()
 
     # -- inbound ---------------------------------------------------------
     async def handle_raw(self, raw: str) -> None:
         self.last_active = self.loop.time()
         try:
             req = parse_request(raw)
-        except (ValueError, json.JSONDecodeError) as e:
+        except Exception as e:
+            # T1 error lane: ANY malformed input (bad JSON, bad shape,
+            # wrong types) answers with an error, never a disconnect
             await self.send({"error": str(e)[:500]})
             return
         if isinstance(req, KeepAlive):
@@ -194,6 +202,30 @@ class Connection:
             self.on_close()
 
 
+# One NDJSON line / one WS frame must fit the read buffer; requests
+# larger than this answer on the error lane (or close, for WS frames).
+MAX_MESSAGE_BYTES = 16 * 1024 * 1024
+
+
+async def drive_connection(conn: Connection, recv_loop) -> None:
+    """Shared connection lifecycle for every transport: spawn the
+    timer/worker tasks, run the transport-specific receive loop, tear
+    everything down once either side is done. ``recv_loop(conn)`` is an
+    async callable that returns when the peer disconnects."""
+    tasks = [
+        asyncio.create_task(conn.worker()),
+        asyncio.create_task(conn.flusher()),
+        asyncio.create_task(conn.keepaliver()),
+        asyncio.create_task(conn.idle_watchdog()),
+    ]
+    try:
+        await recv_loop(conn)
+    finally:
+        conn.close()
+        for t in tasks:
+            t.cancel()
+
+
 class TimeSeriesServer:
     """NDJSON-over-TCP server: one QuerySession per connection.
 
@@ -223,34 +255,35 @@ class TimeSeriesServer:
                 writer.write((json.dumps(msg) + "\n").encode())
                 await writer.drain()
 
-        conn = Connection(
-            session, send, self.config, loop, on_close=writer.close
-        )
-        tasks = [
-            asyncio.create_task(conn.worker()),
-            asyncio.create_task(conn.flusher()),
-            asyncio.create_task(conn.keepaliver()),
-            asyncio.create_task(conn.idle_watchdog()),
-        ]
-        try:
+        async def recv_loop(conn: Connection) -> None:
             while not conn.closed.is_set():
                 try:
                     line = await reader.readline()
                 except ConnectionError:
+                    break
+                except ValueError:
+                    # line exceeded the stream limit: error lane, then
+                    # resync is impossible mid-line -> close politely
+                    await conn.send({"error": "message too large"})
                     break
                 if not line:
                     break
                 raw = line.decode().strip()
                 if raw:
                     await conn.handle_raw(raw)
+
+        conn = Connection(
+            session, send, self.config, loop, on_close=writer.close
+        )
+        try:
+            await drive_connection(conn, recv_loop)
         finally:
-            conn.close()
-            for t in tasks:
-                t.cancel()
             writer.close()
 
     async def start(self, host: str = "127.0.0.1", port: int = 0) -> int:
-        self._server = await asyncio.start_server(self._client, host, port)
+        self._server = await asyncio.start_server(
+            self._client, host, port, limit=MAX_MESSAGE_BYTES
+        )
         return self._server.sockets[0].getsockname()[1]
 
     async def stop(self) -> None:

@@ -24,13 +24,19 @@ from urllib.parse import parse_qs, urlparse
 
 from pennsieve_streaming_spark.serving.session import QuerySession
 from pennsieve_streaming_spark.serving.transport import (
+    MAX_MESSAGE_BYTES,
     Connection,
     TransportConfig,
+    drive_connection,
 )
 
 _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
 OP_TEXT, OP_CLOSE, OP_PING, OP_PONG = 0x1, 0x8, 0x9, 0xA
+
+
+class ProtocolError(ValueError):
+    """Client violated RFC6455 (oversized or unmasked frame)."""
 
 
 def accept_key(client_key: str) -> str:
@@ -51,8 +57,14 @@ def encode_frame(payload: bytes, opcode: int = OP_TEXT) -> bytes:
     return head + payload
 
 
-async def read_frame(reader: asyncio.StreamReader) -> tuple[int, bytes]:
-    """Read one frame; returns (opcode, unmasked payload)."""
+async def read_frame(
+    reader: asyncio.StreamReader, require_mask: bool = False
+) -> tuple[int, bytes]:
+    """Read one frame; returns (opcode, unmasked payload).
+
+    Enforces RFC6455 §5.1/§5.3: client frames must be masked, and the
+    declared length is capped so a hostile header cannot force
+    unbounded buffering."""
     b1, b2 = await reader.readexactly(2)
     opcode = b1 & 0x0F
     masked = bool(b2 & 0x80)
@@ -61,6 +73,10 @@ async def read_frame(reader: asyncio.StreamReader) -> tuple[int, bytes]:
         n = int.from_bytes(await reader.readexactly(2), "big")
     elif n == 127:
         n = int.from_bytes(await reader.readexactly(8), "big")
+    if n > MAX_MESSAGE_BYTES:
+        raise ProtocolError(f"frame of {n} bytes exceeds limit")
+    if require_mask and not masked:
+        raise ProtocolError("client frames must be masked (RFC6455 5.3)")
     mask = await reader.readexactly(4) if masked else b"\x00" * 4
     payload = bytearray(await reader.readexactly(n))
     if masked:
@@ -145,23 +161,16 @@ class WebSocketTimeSeriesServer:
                 writer.write(encode_frame(json.dumps(msg).encode()))
                 await writer.drain()
 
-        conn = Connection(
-            session, send, self.config, loop, on_close=writer.close
-        )
-        tasks = [
-            asyncio.create_task(conn.worker()),
-            asyncio.create_task(conn.flusher()),
-            asyncio.create_task(conn.keepaliver()),
-            asyncio.create_task(conn.idle_watchdog()),
-        ]
-        try:
+        async def recv_loop(conn: Connection) -> None:
             while not conn.closed.is_set():
                 try:
-                    opcode, payload = await read_frame(reader)
-                except (
-                    ConnectionError,
-                    asyncio.IncompleteReadError,
-                ):
+                    opcode, payload = await read_frame(
+                        reader, require_mask=True
+                    )
+                except (ConnectionError, asyncio.IncompleteReadError):
+                    break
+                except ProtocolError as e:
+                    await conn.send({"error": str(e)})
                     break
                 if opcode == OP_CLOSE:
                     async with lock:
@@ -178,14 +187,19 @@ class WebSocketTimeSeriesServer:
                     raw = payload.decode()
                     if raw.strip():
                         await conn.handle_raw(raw)
+
+        conn = Connection(
+            session, send, self.config, loop, on_close=writer.close
+        )
+        try:
+            await drive_connection(conn, recv_loop)
         finally:
-            conn.close()
-            for t in tasks:
-                t.cancel()
             writer.close()
 
     async def start(self, host: str = "127.0.0.1", port: int = 0) -> int:
-        self._server = await asyncio.start_server(self._client, host, port)
+        self._server = await asyncio.start_server(
+            self._client, host, port, limit=MAX_MESSAGE_BYTES
+        )
         return self._server.sockets[0].getsockname()[1]
 
     async def stop(self) -> None:

@@ -30,6 +30,21 @@ def range_lookup(
     return df.orderBy("lo")
 
 
+def _numbered_spans(spans: DataFrame) -> DataFrame:
+    """Shared catalog numbering: deterministic per-channel sequence ids
+    over (span_lo, span_hi) order, plus the `channel_id` storage-key
+    stem both catalogs derive their locations from. Keeping this in
+    one place keeps ranges and unit_ranges ids in correspondence."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("channel").orderBy("span_lo", "span_hi")
+    return spans.withColumn(
+        "id", (F.row_number().over(w) - F.lit(1)).cast("long")
+    ).withColumn(
+        "_key", F.concat(F.col("channel"), F.lit("_"), F.col("id").cast("string"))
+    )
+
+
 def spans_to_unit_ranges(spans: DataFrame) -> DataFrame:
     """S2: build a ``timeseries.unit_ranges``-shaped catalog from
     contiguous event spans. Reference row shape
@@ -38,39 +53,25 @@ def spans_to_unit_ranges(spans: DataFrame) -> DataFrame:
     src/test/scala/com/pennsieve/streaming/TestDependencies.scala:49-57):
     ``tsindex``/``tsblob`` are the S3 keys of the spike-time index and
     waveform blob files for the span."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("channel").orderBy("span_lo", "span_hi")
-    seq = (F.row_number().over(w) - F.lit(1)).cast("long")
-    return spans.withColumn("id", seq).select(
+    return _numbered_spans(spans).select(
         "id",
         "channel",
         F.col("n_segments").alias("count"),
         F.col("span_lo").alias("lo"),
         F.col("span_hi").alias("hi"),
-        F.concat(F.col("channel"), F.lit("_"), F.col("id").cast("string"),
-                 F.lit(".tsindex")).alias("tsindex"),
-        F.concat(F.col("channel"), F.lit("_"), F.col("id").cast("string"),
-                 F.lit(".tsblob")).alias("tsblob"),
+        F.concat(F.col("_key"), F.lit(".tsindex")).alias("tsindex"),
+        F.concat(F.col("_key"), F.lit(".tsblob")).alias("tsblob"),
     )
 
 
 def spans_to_ranges(spans: DataFrame, rate_hz: float) -> DataFrame:
     """Build a ranges catalog from contiguous spans (channel, span_lo,
     span_hi): deterministic ids via per-channel sequence numbers."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("channel").orderBy("span_lo", "span_hi")
-    return (
-        spans.withColumn("id", (F.row_number().over(w) - F.lit(1)).cast("long"))
-        .select(
-            "id",
-            "channel",
-            F.lit(rate_hz).alias("rate"),
-            F.col("span_lo").alias("lo"),
-            F.col("span_hi").alias("hi"),
-            F.concat(F.col("channel"), F.lit("_"), F.col("id").cast("string")).alias(
-                "location"
-            ),
-        )
+    return _numbered_spans(spans).select(
+        "id",
+        "channel",
+        F.lit(rate_hz).alias("rate"),
+        F.col("span_lo").alias("lo"),
+        F.col("span_hi").alias("hi"),
+        F.col("_key").alias("location"),
     )

@@ -63,8 +63,13 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     standard ``--py-files`` deployment; doing it lazily via
     ``addPyFile`` makes any session (driver harness, notebook, vanilla
     ``SparkSession.builder``) self-sufficient. Idempotent per context.
+    No-op under Spark Connect (no sparkContext there — ship the
+    package with ``spark.addArtifact``/--py-files at session setup).
     """
-    sc = spark.sparkContext
+    try:
+        sc = spark.sparkContext
+    except Exception:  # pragma: no cover - Spark Connect path
+        return
     if getattr(sc, "_pss_pkg_shipped", False):
         return
     import tempfile

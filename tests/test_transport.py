@@ -227,3 +227,30 @@ def test_over_limit_request_hits_error_lane(spark, samples):
             await server.stop()
 
     _run(main())
+
+
+def test_shape_invalid_json_gets_error_not_disconnect(spark, samples):
+    """Valid JSON with an invalid shape (missing startTime, scalar
+    payload) must answer on the error lane, never kill the reader."""
+
+    async def main():
+        server = TimeSeriesServer(_factory(spark, samples))
+        port = await server.start()
+        try:
+            r, w = await asyncio.open_connection("127.0.0.1", port)
+            for bad in (b'{"virtualChannels":["Fp1"]}\n', b"5\n",
+                        b'{"virtualChannels":[{"nm":"x"}],"startTime":0,"endTime":1,"pixelWidth":0}\n'):
+                w.write(bad)
+                await w.drain()
+                msgs = await _recv_until(r, lambda m: "error" in m)
+                assert "error" in msgs[-1]
+            # still alive
+            w.write(b'{"virtualChannels":["Fp1"],"startTime":0,"endTime":2000000,"pixelWidth":0}\n')
+            await w.drain()
+            msgs = await _recv_until(r, lambda m: "rows" in m)
+            assert len(msgs[-1]["rows"]) == 2
+            w.close()
+        finally:
+            await server.stop()
+
+    _run(main())

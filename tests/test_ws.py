@@ -181,3 +181,25 @@ def test_dump_over_ws(spark, samples):
             await server.stop()
 
     asyncio.run(main())
+
+
+def test_unmasked_client_frame_rejected(spark, samples):
+    """RFC6455 5.3: servers must reject unmasked client frames."""
+
+    async def main():
+        server = WebSocketTimeSeriesServer(_factory(spark, samples))
+        port = await server.start()
+        try:
+            r, w, status, *_ = await _connect(port)
+            assert "101" in status
+            payload = b'{"keepAlive": true}'
+            w.write(bytes([0x80 | OP_TEXT, len(payload)]) + payload)  # no mask
+            await w.drain()
+            async with asyncio.timeout(10):
+                _, frame = await read_frame(r)
+            assert "masked" in json.loads(frame)["error"]
+            w.close()
+        finally:
+            await server.stop()
+
+    asyncio.run(main())
