@@ -87,3 +87,31 @@ def read_rollup(spark: SparkSession, path: str) -> DataFrame:
         .drop("batch_id")
     )
     return merge_rollup_partials(partials)
+
+
+def compact_rollup(spark: SparkSession, path: str) -> None:
+    """Periodic maintenance: rewrite the partials table to one row per
+    bucket using the same fold the readers apply.
+
+    Stage-and-swap (never collect: the partials table can be
+    channels × buckets large): fold into a staging directory, then
+    swap it in. Rename is atomic on local/HDFS; object stores want a
+    versioned table format (Delta/Iceberg) instead. Compacted rows
+    carry batch_id = -1 so replay-dedup keys stay unique and further
+    appends keep folding on top.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    staging = path.rstrip("/") + "_compacting"
+    (
+        read_rollup(spark, path)
+        .withColumn("batch_id", F.lit(-1).cast("long"))
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    old = path.rstrip("/") + "_old"
+    shutil.move(path, old)
+    shutil.move(staging, path)
+    shutil.rmtree(old)

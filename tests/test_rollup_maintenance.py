@@ -126,3 +126,46 @@ def test_full_wiring_ingest_to_served_pixel_query(spark, tmp_path):
             for r in direct.run(req)[name].collect()
         )
         assert got == want and len(got) == 20
+
+
+def test_compaction_preserves_rollup_and_shrinks(spark, tmp_path):
+    """compact_rollup must leave read_rollup's answer identical while
+    reducing the partials table to one row per (channel, bucket), and
+    further appends must keep folding correctly on top."""
+    from pennsieve_streaming_spark.operators.rollups import build_rollup
+    from pennsieve_streaming_spark.streaming.rollup_maintenance import (
+        compact_rollup,
+        read_rollup,
+        rollup_partials_for_batch,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "partials")
+    rows = [("c", i * 1000, float(i % 31)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    # three "micro-batches" overlapping bucket boundaries
+    for b, (lo, hi) in enumerate([(0, 1837), (1837, 3641), (3641, 5000)]):
+        batch = df.filter((F.col("ts") >= lo * 1000) & (F.col("ts") < hi * 1000))
+        (rollup_partials_for_batch(batch, 100_000)
+         .withColumn("batch_id", F.lit(b).cast("long"))
+         .write.mode("append").parquet(path))
+
+    want = sorted(map(tuple, read_rollup(spark, path).collect()))
+    n_before = spark.read.parquet(path).count()
+    compact_rollup(spark, path)
+    assert sorted(map(tuple, read_rollup(spark, path).collect())) == want
+    n_after = spark.read.parquet(path).count()
+    assert n_after == 50 and n_before > n_after  # one row per bucket
+
+    # appends after compaction still fold exactly
+    late = df.filter(F.col("ts") >= 4_000_000)
+    (rollup_partials_for_batch(late, 100_000)
+     .withColumn("batch_id", F.lit(9).cast("long"))
+     .write.mode("append").parquet(path))
+    merged = read_rollup(spark, path)
+    direct = build_rollup(df, 100_000)
+    got = {(r["channel"], r["bucket"]): (r["min_val"], r["max_val"])
+           for r in merged.collect()}
+    exp = {(r["channel"], r["bucket"]): (r["min_val"], r["max_val"])
+           for r in direct.collect()}
+    assert got == exp
