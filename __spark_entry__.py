@@ -86,6 +86,7 @@ BW_TYPE, BW_ORDER, BW_FREQ, BW_RATE = "lowpass", 4, 100.0, 1000.0
 ANN_PLANES, ANN_DIM, ANN_K = 8, 64, 5
 IVF_LISTS, IVF_PROBE = 16, 2
 EMB_NEAR_DUP_COS = 0.3            # near-dup threshold (synthetic embs)
+PQ_M, PQ_CODES = 8, 16            # PQ subspaces / codewords
 DOC_QUALITY_TAU = 0.48            # pipeline quality gate (corpus median)
 JACCARD_MAX_DF = 64               # hot-shingle cap for all-pairs mode
 
@@ -498,6 +499,18 @@ def q_doc_pipeline(spark, sf_dir):
     )
 
 
+def q_ann_pq(spark, sf_dir):
+    """PQ asymmetric-distance ANN: corpus reduced to m-int codes, ADC
+    table-lookup scoring (the IVF-PQ memory layout for 100 TB ANN)."""
+    from pennsieve_streaming_spark.llm.similarity import pq_ann
+
+    embs = _embs(spark, sf_dir)
+    return pq_ann(
+        embs, embs.filter(F.col("vec_id") < 20),
+        k=ANN_K, m=PQ_M, n_codes=PQ_CODES, dim=ANN_DIM,
+    )
+
+
 def q_emb_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (dedup flavor): hyperplane-LSH
     blocked self-join, exact cosine >= threshold within buckets."""
@@ -570,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_cosine_topk,
         "emb_ann_lsh": q_ann_lsh,
         "emb_ann_ivf": q_ann_ivf,
+        "emb_ann_pq": q_ann_pq,
         "emb_near_dup_pairs": q_emb_near_dup,
         "ts_unit_range_lookup": q_unit_range_lookup,
         "mm_media_features": q_media_features,
@@ -1230,6 +1244,9 @@ def oracle_sql() -> dict[str, str]:
     # --- IVF ANN (fixed literal centroids) ----------------------------------
     sql["emb_ann_ivf"] = _ivf_oracle_sql()
 
+    # --- PQ ADC ANN ---------------------------------------------------------
+    sql["emb_ann_pq"] = _pq_oracle_sql()
+
     # --- embedding-cosine near-dup pairs ------------------------------------
     sql["emb_near_dup_pairs"] = f"""
         WITH planes AS (
@@ -1345,6 +1362,60 @@ def _ivf_oracle_sql() -> str:
         SELECT query_id, neighbor_id, rank, cosine FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                      ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored
+        ) WHERE rank <= {ANN_K}
+        """
+
+
+def _pq_oracle_sql() -> str:
+    """Replay PQ encode (per-subspace argmin over the literal codebook)
+    and ADC scoring in DuckDB. Sequential list_reduce folds mirror
+    Spark's aggregate() exactly (0 + t1 + ... == t1 + t2 + ...)."""
+    from pennsieve_streaming_spark.llm.similarity import golden_codebooks
+
+    subdim = ANN_DIM // PQ_M
+    cbs = golden_codebooks(PQ_M, PQ_CODES, subdim)
+    cb_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(
+                "[" + ", ".join(_dbl(x) for x in code) + "]" for code in sub
+            ) + "]"
+            for sub in cbs
+        )
+        + "]"
+    )
+    dist = (
+        f"list_reduce(list_transform(generate_series(1, {subdim}), "
+        f"j -> (v[s * {subdim} + j] - cb[s + 1][c + 1][j])"
+        f" * (v[s * {subdim} + j] - cb[s + 1][c + 1][j])), (a, b) -> a + b)"
+    )
+    dists = f"list_transform(generate_series(0, {PQ_CODES - 1}), c -> {dist})"
+    qdist = dist.replace("v[", "q[")
+    return f"""
+        WITH cbt AS (SELECT {cb_lit} AS cb),
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        enc AS (
+          SELECT vec_id AS neighbor_id,
+                 list_transform(generate_series(0, {PQ_M - 1}), s ->
+                   list_indexof({dists}, list_min({dists})) - 1) AS codes
+          FROM emb CROSS JOIN cbt
+        ),
+        qlut AS (
+          SELECT vec_id AS query_id,
+                 list_transform(generate_series(0, {PQ_M - 1}), s ->
+                   list_transform(generate_series(0, {PQ_CODES - 1}), c -> {qdist})) AS lut
+          FROM (SELECT vec_id, v AS q FROM emb WHERE vec_id < 20) CROSS JOIN cbt
+        ),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 list_reduce(list_transform(generate_series(1, {PQ_M}),
+                   s -> lut[s][codes[s] + 1]), (a, b) -> a + b) AS adc_dist
+          FROM enc CROSS JOIN qlut WHERE query_id != neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank, adc_dist FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY adc_dist, neighbor_id) AS rank
           FROM scored
         ) WHERE rank <= {ANN_K}
         """

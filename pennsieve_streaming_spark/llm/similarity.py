@@ -35,6 +35,7 @@ def partial_topk(
     by: str = "query_id",
     metric: str = "cosine",
     tie: str = "neighbor_id",
+    metric_desc: bool = True,
 ) -> DataFrame:
     """Narrow per-batch top-k reduction before a global rank.
 
@@ -52,7 +53,7 @@ def partial_topk(
             if not len(pdf):
                 continue
             pdf = pdf.sort_values(
-                [by, metric, tie], ascending=[True, False, True]
+                [by, metric, tie], ascending=[True, not metric_desc, True]
             )
             yield pdf.groupby(by, sort=False).head(k)
 
@@ -231,6 +232,141 @@ def ivf_ann(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def golden_codebooks(m: int, k: int, subdim: int) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks (one k×subdim table per subspace),
+    same low-discrepancy construction as golden_centroids with a
+    distinct constant. Production callers train per-subspace k-means
+    instead; determinism here makes the pipeline oracle-replayable."""
+    rho = 0.5698402909980532  # frac(sqrt(10)/e) — distinct from centroids
+    return [
+        [
+            [(((s * k + c) * subdim + j) * rho) % 1.0 - 0.5
+             for j in range(subdim)]
+            for c in range(k)
+        ]
+        for s in range(m)
+    ]
+
+
+def _cb_literal(codebooks: list[list[list[float]]]) -> str:
+    """Nested array<array<array<double>>> literal for Spark SQL."""
+    def arr(xs):
+        return "array(" + ", ".join(xs) + ")"
+
+    return arr(
+        arr(arr(repr(float(x)) + "D" for x in code) for code in sub)
+        for sub in codebooks
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode: split each vector into m subspaces
+    and store only the nearest-codeword index per subspace.
+
+    The 100 TB story: a 64-dim float64 embedding (512 B) becomes m
+    small ints (m bytes packed); the ANN scan then reads codes only —
+    a ~64× narrower corpus — and scoring is table lookups. Encoding is
+    a narrow map over a broadcast-literal codebook; all JVM-side.
+
+    Output: (id, codes ARRAY<INT>).
+    """
+    m = len(codebooks)
+    k = len(codebooks[0])
+    subdim = len(codebooks[0][0])
+    cb = _cb_literal(codebooks)
+    codes = (
+        f"transform(sequence(0, {m - 1}), s -> "
+        f"  array_position("
+        f"    transform(sequence(0, {k - 1}), c -> "
+        f"      aggregate(zip_with(slice(v, s * {subdim} + 1, {subdim}),"
+        f"                element_at(element_at({cb}, s + 1), c + 1),"
+        f"                (x, y) -> (x - y) * (x - y)),"
+        f"                CAST(0 AS DOUBLE), (acc, d) -> acc + d)),"
+        f"    array_min(transform(sequence(0, {k - 1}), c -> "
+        f"      aggregate(zip_with(slice(v, s * {subdim} + 1, {subdim}),"
+        f"                element_at(element_at({cb}, s + 1), c + 1),"
+        f"                (x, y) -> (x - y) * (x - y)),"
+        f"                CAST(0 AS DOUBLE), (acc, d) -> acc + d)))"
+        f"  ) - 1)"
+    )
+    return (
+        _as_double(embeddings, vec_col)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .select("id", F.expr(codes).cast("array<int>").alias("codes"))
+    )
+
+
+def pq_ann(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance ANN: encode the corpus once, score each
+    (query, code-vector) pair with ADC table lookups.
+
+    Per query, a lookup table lut[s][c] = ||q_s - codebook[s][c]||²
+    is computed from the broadcast-literal codebooks; the corpus side
+    contributes ONLY its m-int code arrays, so the scan never touches
+    raw vectors — the classic IVF-PQ memory layout (coarse IVF lists
+    compose upstream by filtering the corpus before encode).
+
+    Output: (query_id, neighbor_id, rank, adc_dist) — rank 1 = nearest
+    by quantized distance.
+    """
+    subdim = dim // m
+    if codebooks is None:
+        codebooks = golden_codebooks(m, n_codes, subdim)
+    cb = _cb_literal(codebooks)
+    corpus = pq_encode(embeddings, codebooks, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), "codes"
+    )
+    lut = (
+        f"transform(sequence(0, {m - 1}), s -> "
+        f"  transform(sequence(0, {n_codes - 1}), c -> "
+        f"    aggregate(zip_with(slice(q, s * {subdim} + 1, {subdim}),"
+        f"              element_at(element_at({cb}, s + 1), c + 1),"
+        f"              (x, y) -> (x - y) * (x - y)),"
+        f"              CAST(0 AS DOUBLE), (acc, d) -> acc + d)))"
+    )
+    qs = (
+        _as_double(queries, vec_col)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q"))
+        .withColumn("lut", F.expr(lut))
+        .select("query_id", "lut")
+    )
+    adc = (
+        "aggregate(zip_with(codes, lut, (c, l) -> element_at(l, c + 1)), "
+        "CAST(0 AS DOUBLE), (acc, d) -> acc + d)"
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_dist", F.expr(adc))
+        .select("query_id", "neighbor_id", "adc_dist")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        partial_topk(scored, k, metric="adc_dist", metric_desc=False)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
 
 

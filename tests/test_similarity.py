@@ -90,3 +90,41 @@ def test_ivf_fixed_centroids_deterministic(embs):
     a = sorted(map(tuple, ivf_ann(embs, qs, k=3, n_lists=8, centroids=cents).collect()))
     b = sorted(map(tuple, ivf_ann(embs, qs, k=3, n_lists=8, centroids=cents).collect()))
     assert a == b and len(a) > 0
+
+
+def test_pq_ann_codes_and_recall(embs):
+    """PQ: codes are bounded ints (the compressed corpus), and ADC
+    top-10 retrieves far more of the exact Euclidean top-10 than
+    chance (~2%). Uniform-random synthetic vectors are the worst case
+    for untrained codebooks (near-equidistant corpus), so the bar is
+    modest; trained per-subspace k-means raises it on real data."""
+    import numpy as np
+
+    from pennsieve_streaming_spark.llm.similarity import (
+        golden_codebooks,
+        pq_ann,
+        pq_encode,
+    )
+
+    enc = pq_encode(embs, golden_codebooks(8, 16, 8)).collect()
+    assert all(len(r["codes"]) == 8 for r in enc)
+    assert all(0 <= c < 16 for r in enc for c in r["codes"])
+
+    qs = embs.filter(F.col("vec_id") < 5)
+    got = pq_ann(embs, qs, k=10)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert all(len(v) == 10 for v in by_q.values())
+
+    rows = embs.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([list(map(float, r["embedding"])) for r in rows])
+    overlap = []
+    for q in by_q:
+        qv = X[ids == q][0]
+        d2 = ((X - qv) ** 2).sum(axis=1)
+        d2[ids == q] = np.inf
+        exact = set(ids[np.argsort(d2)[:10]].tolist())
+        overlap.append(len(set(by_q[q]) & exact))
+    assert sum(overlap) / (10 * len(overlap)) > 0.1, overlap
