@@ -422,10 +422,17 @@ def lsh_bucketed_ann(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane bucket equi-join, then
     exact cosine within the bucket. Output as cosine_topk (rank may
-    have < k rows per query when the bucket is small)."""
+    have < k rows per query when the bucket is small).
+
+    ``multi_probe=True`` additionally probes every bucket one sign-bit
+    away from the query's (n_planes extra buckets per query — the
+    standard multi-probe recall/cost dial: near-misses flip exactly
+    the hyperplanes whose dot product sits near zero). The corpus is
+    still bucketed once; only the tiny query side explodes."""
     def bucket(df: DataFrame, vc: str) -> DataFrame:
         expr = " + ".join(
             f"({hyperplane_expr(vc, p, dim)}) * {1 << p}" for p in range(n_planes)
@@ -438,6 +445,15 @@ def lsh_bucketed_ann(
     qs = bucket(_as_double(queries, vec_col), vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q"), "bucket"
     )
+    if multi_probe:
+        probes = F.expr(
+            "array_union(array(bucket), transform(sequence(0, "
+            f"{n_planes - 1}), p -> CAST(bucket ^ shiftleft(1, p) AS LONG)))"
+        )
+        qs = (
+            qs.withColumn("bucket", F.explode(probes))
+            .dropDuplicates(["query_id", "bucket"])
+        )
     dot = F.expr(DOT.format(a="q", b="v"))
     nq = F.expr(DOT.format(a="q", b="q"))
     nv = F.expr(DOT.format(a="v", b="v"))

@@ -128,3 +128,22 @@ def test_pq_ann_codes_and_recall(embs):
         exact = set(ids[np.argsort(d2)[:10]].tolist())
         overlap.append(len(set(by_q[q]) & exact))
     assert sum(overlap) / (10 * len(overlap)) > 0.1, overlap
+
+
+def test_lsh_multi_probe_expands_candidates(embs):
+    """Multi-probe must return a superset-or-equal result per query
+    (extra buckets only add candidates) and never duplicate pairs."""
+    qs = embs.filter(F.col("vec_id") < 10)
+    single = lsh_bucketed_ann(embs, qs, k=50)
+    multi = lsh_bucketed_ann(embs, qs, k=50, multi_probe=True)
+    s = {(r["query_id"], r["neighbor_id"]) for r in single.collect()}
+    mrows = multi.collect()
+    m = {(r["query_id"], r["neighbor_id"]) for r in mrows}
+    assert len(m) == len(mrows)  # no duplicate pairs
+    assert len(m) >= len(s)
+    # ranks within each query stay contiguous from 1
+    by_q = {}
+    for r in mrows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
