@@ -499,6 +499,35 @@ def q_doc_pipeline(spark, sf_dir):
     )
 
 
+def q_butterworth_bulk(spark, sf_dir):
+    """The lane-vectorized bulk filter on the same golden window —
+    must produce BIT-identical output to the streaming path, so it
+    shares the recursive-CTE oracle."""
+    from pennsieve_streaming_spark.dsp import FilterSpec, apply_filter_bulk
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        (F.col("channel") == "lead") & (F.col("ts") <= F.lit(BW_TS_END))
+    )
+    return apply_filter_bulk(s, FilterSpec(BW_TYPE, BW_ORDER, BW_FREQ), rate_hz=BW_RATE)
+
+
+def q_downsample_count_regular(spark, sf_dir):
+    """Arithmetic-index count downsample on a regular gap-free channel
+    (the bulk fast path) — equals the window-based variant, so the
+    oracle is the plain row_number formulation."""
+    from pennsieve_streaming_spark.operators import downsample_minmax_count_regular
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(F.col("channel") == "lead")
+    return downsample_minmax_count_regular(s, CHUNK_SIZE, period_us=1000)
+
+
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    return lsh_bucketed_ann(
+        embs, embs.filter(F.col("vec_id") < 20), k=5, multi_probe=True
+    )
+
+
 def q_ann_pq(spark, sf_dir):
     """PQ asymmetric-distance ANN: corpus reduced to m-int codes, ADC
     table-lookup scoring (the IVF-PQ memory layout for 100 TB ANN)."""
@@ -582,8 +611,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_near_pairs": q_simhash_pairs,
         "emb_cosine_topk": q_cosine_topk,
         "emb_ann_lsh": q_ann_lsh,
+        "emb_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "emb_ann_ivf": q_ann_ivf,
         "emb_ann_pq": q_ann_pq,
+        "ts_butterworth_filter_bulk": q_butterworth_bulk,
+        "ts_minmax_downsample_count_regular": q_downsample_count_regular,
         "emb_near_dup_pairs": q_emb_near_dup,
         "ts_unit_range_lookup": q_unit_range_lookup,
         "mm_media_features": q_media_features,
@@ -1223,6 +1255,24 @@ def oracle_sql() -> dict[str, str]:
 
     # --- G1-G3 Butterworth golden window (recursive-CTE recurrence) ---------
     sql["ts_butterworth_filter"] = _butterworth_oracle_sql()
+    # the lane-vectorized bulk operator must be bit-identical
+    sql["ts_butterworth_filter_bulk"] = sql["ts_butterworth_filter"]
+
+    # --- regular-rate count-downsample fast path ----------------------------
+    sql["ts_minmax_downsample_count_regular"] = with_views(
+        f"""
+        SELECT channel, bucket, MIN(value) AS min_val, MAX(value) AS max_val,
+               COUNT(*) AS n_samples
+        FROM (
+          SELECT channel, value,
+                 CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY channel ORDER BY ts, value) - 1)
+                      / {CHUNK_SIZE}) AS BIGINT) AS bucket
+          FROM samples_aligned WHERE channel = 'lead'
+        ) GROUP BY channel, bucket
+        HAVING COUNT(*) = {CHUNK_SIZE}
+        """,
+        "samples_aligned",
+    )
 
     # --- S2 unit_ranges catalog lookup --------------------------------------
     sql["ts_unit_range_lookup"] = with_views(
@@ -1290,6 +1340,44 @@ def oracle_sql() -> dict[str, str]:
               FROM emb e JOIN bkt b ON e.vec_id = b.vec_id),
         q AS (SELECT e.vec_id AS query_id, e.v AS qv, b.bucket
               FROM emb e JOIN bkt b ON e.vec_id = b.vec_id WHERE e.vec_id < 20),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 list_dot_product(qv, v)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+          FROM q JOIN c ON q.bucket = c.bucket AND query_id != neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank, cosine FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored
+        ) WHERE rank <= {ANN_K}
+        """
+
+    # --- multi-probe variant: query probes 1-bit-away buckets too -----------
+    sql["emb_ann_lsh_multiprobe"] = f"""
+        WITH planes AS (
+          SELECT p, list_transform(generate_series(0, {ANN_DIM - 1}),
+                 j -> fmod((p * {ANN_DIM} + j) * 0.6180339887498949e0, 1.0e0) - 0.5e0) AS h
+          FROM (SELECT UNNEST(generate_series(0, {ANN_PLANES - 1})) AS p)
+        ),
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        bkt AS (
+          SELECT e.vec_id,
+                 CAST(SUM(CASE WHEN list_dot_product(e.v, p.h) > 0
+                          THEN (CAST(1 AS BIGINT) << p.p) ELSE 0 END) AS BIGINT) AS bucket
+          FROM emb e CROSS JOIN planes p GROUP BY e.vec_id
+        ),
+        c AS (SELECT e.vec_id AS neighbor_id, e.v, b.bucket
+              FROM emb e JOIN bkt b ON e.vec_id = b.vec_id),
+        q AS (
+          SELECT query_id, qv,
+                 UNNEST(list_distinct(list_prepend(bucket,
+                   list_transform(generate_series(0, {ANN_PLANES - 1}),
+                     p -> xor(bucket, CAST(1 AS BIGINT) << p))))) AS bucket
+          FROM (SELECT e.vec_id AS query_id, e.v AS qv, b.bucket
+                FROM emb e JOIN bkt b ON e.vec_id = b.vec_id
+                WHERE e.vec_id < 20)
+        ),
         scored AS (
           SELECT query_id, neighbor_id,
                  list_dot_product(qv, v)

@@ -27,6 +27,10 @@ from pennsieve_streaming_spark.llm.text import (  # noqa: F401
 )
 from pennsieve_streaming_spark.llm.similarity import (  # noqa: F401
     cosine_topk,
+    cosine_near_dup_pairs,
     ivf_ann,
+    ivf_pq_ann,
     lsh_bucketed_ann,
+    pq_ann,
+    pq_encode,
 )

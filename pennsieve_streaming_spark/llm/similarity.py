@@ -370,6 +370,104 @@ def pq_ann(
     )
 
 
+def ivf_pq_ann(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: coarse inverted lists prune the corpus, PQ ADC scores
+    inside the probed lists — the canonical billion-vector layout
+    (both stages individually oracle-verified: emb_ann_ivf,
+    emb_ann_pq). Corpus storage per vector: one small int (list) +
+    m code ints; raw vectors are touched only at encode time.
+
+    Output: (query_id, neighbor_id, rank, adc_dist).
+    """
+    subdim = dim // m
+    centroids = golden_centroids(n_lists, dim)
+    codebooks = golden_codebooks(m, n_codes, subdim)
+    spark = embeddings.sparkSession
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "list_id int, c array<double>",
+    )
+
+    def d2(vec: str) -> F.Column:
+        dvv = F.expr(DOT.format(a=vec, b=vec))
+        dvc = F.expr(DOT.format(a=vec, b="c"))
+        dcc = F.expr(DOT.format(a="c", b="c"))
+        return dvv - F.lit(2.0) * dvc + dcc
+
+    from pyspark.sql import Window
+
+    corpus = _as_double(embeddings, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
+    )
+    wc = Window.partitionBy("neighbor_id").orderBy("d2", "list_id")
+    assigned = (
+        corpus.join(F.broadcast(cents))
+        .withColumn("d2", d2("v"))
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "list_id")
+    )
+    codes = pq_encode(embeddings, codebooks, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), "codes"
+    )
+    corpus_pq = assigned.join(codes, "neighbor_id")
+
+    qs = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q")
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "list_id")
+    cb = _cb_literal(codebooks)
+    lut = (
+        f"transform(sequence(0, {m - 1}), s -> "
+        f"  transform(sequence(0, {n_codes - 1}), c2 -> "
+        f"    aggregate(zip_with(slice(q, s * {subdim} + 1, {subdim}),"
+        f"              element_at(element_at({cb}, s + 1), c2 + 1),"
+        f"              (x, y) -> (x - y) * (x - y)),"
+        f"              CAST(0 AS DOUBLE), (acc, d) -> acc + d)))"
+    )
+    q_lists = (
+        qs.join(F.broadcast(cents))
+        .withColumn("d2", d2("q"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .withColumn("lut", F.expr(lut))
+        .select("query_id", "list_id", "lut")
+    )
+    adc = (
+        "aggregate(zip_with(codes, lut, (c, l) -> element_at(l, c + 1)), "
+        "CAST(0 AS DOUBLE), (acc, d) -> acc + d)"
+    )
+    scored = (
+        corpus_pq.join(
+            F.broadcast(q_lists),
+            (corpus_pq["list_id"] == q_lists["list_id"])
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("adc_dist", F.expr(adc))
+        .select("query_id", "neighbor_id", "adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        partial_topk(scored, k, metric="adc_dist", metric_desc=False)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     min_cosine: float = 0.9,

@@ -147,3 +147,23 @@ def test_lsh_multi_probe_expands_candidates(embs):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ivf_pq_composition(embs):
+    """IVF-PQ: results are a subset of full-scan PQ restricted to the
+    probed lists — with n_probe == n_lists (probe everything) it must
+    EQUAL pq_ann exactly."""
+    from pennsieve_streaming_spark.llm.similarity import ivf_pq_ann, pq_ann
+
+    qs = embs.filter(F.col("vec_id") < 5)
+    full = sorted(map(tuple, pq_ann(embs, qs, k=5).collect()))
+    probed_all = sorted(map(tuple, ivf_pq_ann(
+        embs, qs, k=5, n_lists=8, n_probe=8).collect()))
+    assert probed_all == full
+    # partial probing returns <= k rows per query, ranked contiguously
+    part = ivf_pq_ann(embs, qs, k=5, n_lists=8, n_probe=2).collect()
+    by_q = {}
+    for r in part:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranksks in by_q.values():
+        assert sorted(ranksks) == list(range(1, len(ranksks) + 1))
