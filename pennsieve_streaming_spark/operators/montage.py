@@ -50,7 +50,12 @@ MONTAGE_SCHEMES: dict[str, list[tuple[str, str]]] = {
 class MontageValidationError(Exception):
     """Channels required by the montage are missing from the package
     (reference TimeSeriesException.PackageMissingChannels,
-    server/Montage.scala:141-157)."""
+    server/Montage.scala:141-157). ``channel_names`` carries the
+    offending channels for the error wire shape (server/Error.scala)."""
+
+    def __init__(self, message: str, channel_names: list[str] | None = None):
+        super().__init__(message)
+        self.channel_names = channel_names or []
 
 
 def montage_name(lead: str, secondary: str | None = None) -> str:
@@ -85,7 +90,8 @@ def validate_montage(channel_names: list[str], scheme: str) -> None:
     missing = need - set(channel_names)
     if missing:
         raise MontageValidationError(
-            f"package is missing montage channels: {sorted(missing)}"
+            f"package is missing montage channels: {sorted(missing)}",
+            channel_names=sorted(missing),
         )
 
 

@@ -55,6 +55,26 @@ class TransportConfig:
     idle_timeout_s: float = 3600.0  # idle-timeout
 
 
+# engine exception -> reference error name (server/Error.scala)
+_ERROR_NAMES = {
+    "MontageValidationError": "PackageMissingChannels",
+    "QueryLimitExceeded": "UnexpectedError",
+    "ValueError": "UnexpectedError",
+    "JSONDecodeError": "UnexpectedError",
+}
+
+
+def error_json(exc: BaseException) -> dict:
+    """The reference's TimeSeriesError wire shape
+    (server/Error.scala:36-39: error name, reason, channelNames)."""
+    name = type(exc).__name__
+    return {
+        "error": _ERROR_NAMES.get(name, name),
+        "reason": str(exc)[:500],
+        "channelNames": list(getattr(exc, "channel_names", [])),
+    }
+
+
 class Connection:
     """One client connection bound to one QuerySession."""
 
@@ -98,7 +118,7 @@ class Connection:
         except Exception as e:
             # T1 error lane: ANY malformed input (bad JSON, bad shape,
             # wrong types) answers with an error, never a disconnect
-            await self.send({"error": str(e)[:500]})
+            await self.send(error_json(e))
             return
         if isinstance(req, KeepAlive):
             return
@@ -122,7 +142,7 @@ class Connection:
             self.session.handle(raw)
             await self.send({"ok": True})
         except Exception as e:  # validation errors -> error lane
-            await self.send({"error": str(e)[:500]})
+            await self.send(error_json(e))
 
     # -- T6 flush --------------------------------------------------------
     async def flush(self) -> None:
@@ -149,7 +169,7 @@ class Connection:
         except Exception as e:
             if epoch < self.session.state.epoch:
                 return  # cancellation noise from a dumped epoch
-            await self.send({"error": str(e)[:500]})
+            await self.send(error_json(e))
             return
         if epoch < self.session.state.epoch:
             return  # T5: dumped while the Spark job ran -> suppress
@@ -190,7 +210,9 @@ class Connection:
                 min(self.config.idle_timeout_s / 4.0, 1.0)
             )
             if self.loop.time() - self.last_active > self.config.idle_timeout_s:
-                await self.send({"error": "idle timeout, closing"})
+                await self.send({"error": "IdleTimeout",
+                                 "reason": "idle timeout, closing",
+                                 "channelNames": []})
                 self.close()
 
     def close(self) -> None:
@@ -261,10 +283,10 @@ class TimeSeriesServer:
                     line = await reader.readline()
                 except ConnectionError:
                     break
-                except ValueError:
+                except ValueError as e:
                     # line exceeded the stream limit: error lane, then
                     # resync is impossible mid-line -> close politely
-                    await conn.send({"error": "message too large"})
+                    await conn.send(error_json(e))
                     break
                 if not line:
                     break

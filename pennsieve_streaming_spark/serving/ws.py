@@ -28,6 +28,7 @@ from pennsieve_streaming_spark.serving.transport import (
     Connection,
     TransportConfig,
     drive_connection,
+    error_json,
 )
 
 _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
@@ -170,7 +171,7 @@ class WebSocketTimeSeriesServer:
                 except (ConnectionError, asyncio.IncompleteReadError):
                     break
                 except ProtocolError as e:
-                    await conn.send({"error": str(e)})
+                    await conn.send(error_json(e))
                     break
                 if opcode == OP_CLOSE:
                     async with lock:

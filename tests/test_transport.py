@@ -95,7 +95,8 @@ def test_garbage_gets_error_not_disconnect(spark, samples):
             w.write(b'{"bogus": 1}\n')
             await w.drain()
             msgs = await _recv_until(r, lambda m: "error" in m)
-            assert "unparseable" in msgs[-1]["error"]
+            assert msgs[-1]["error"] == "UnexpectedError"
+            assert "unparseable" in msgs[-1]["reason"]
             # connection survives: a valid request still answers
             w.write(b'{"virtualChannels":["Fp1"],"startTime":0,"endTime":5000000,"pixelWidth":0}\n')
             await w.drain()
@@ -157,7 +158,7 @@ def test_keepalive_and_idle_kill(spark, samples):
                         closed = True
                         break
                     m = json.loads(line)
-                    if "idle timeout" in m.get("error", ""):
+                    if m.get("error") == "IdleTimeout":
                         saw_idle = True
                 assert saw_idle and closed
         finally:
@@ -217,7 +218,8 @@ def test_over_limit_request_hits_error_lane(spark, samples):
                     b'"endTime":200000000000,"pixelWidth":0}\n')
             await w.drain()
             msgs = await _recv_until(r, lambda m: "error" in m)
-            assert "limit" in msgs[-1]["error"].lower()
+            assert msgs[-1]["error"] == "UnexpectedError"
+            assert "limit" in msgs[-1]["reason"].lower()
             w.write(b'{"virtualChannels":["Fp1"],"startTime":0,"endTime":3000000,"pixelWidth":0}\n')
             await w.drain()
             msgs = await _recv_until(r, lambda m: "rows" in m)
@@ -249,6 +251,30 @@ def test_shape_invalid_json_gets_error_not_disconnect(spark, samples):
             await w.drain()
             msgs = await _recv_until(r, lambda m: "rows" in m)
             assert len(msgs[-1]["rows"]) == 2
+            w.close()
+        finally:
+            await server.stop()
+
+    _run(main())
+
+
+def test_montage_error_carries_reference_wire_shape(spark, samples):
+    """Validation failures use the reference TimeSeriesError JSON shape
+    (server/Error.scala): error name, reason, channelNames."""
+
+    async def main():
+        server = TimeSeriesServer(_factory(spark, samples))
+        port = await server.start()
+        try:
+            r, w = await asyncio.open_connection("127.0.0.1", port)
+            # referential montage needs 10-20 channels this package lacks
+            w.write(b'{"montage": "bipolar_ant_pos"}\n')
+            await w.drain()
+            msgs = await _recv_until(r, lambda m: "error" in m)
+            err = msgs[-1]
+            assert err["error"] == "PackageMissingChannels"
+            assert err["channelNames"], err
+            assert "missing" in err["reason"]
             w.close()
         finally:
             await server.stop()

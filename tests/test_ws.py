@@ -197,7 +197,8 @@ def test_unmasked_client_frame_rejected(spark, samples):
             await w.drain()
             async with asyncio.timeout(10):
                 _, frame = await read_frame(r)
-            assert "masked" in json.loads(frame)["error"]
+            msg = json.loads(frame)
+            assert msg["error"] == "ProtocolError" and "masked" in msg["reason"]
             w.close()
         finally:
             await server.stop()
