@@ -86,7 +86,9 @@ BW_TYPE, BW_ORDER, BW_FREQ, BW_RATE = "lowpass", 4, 100.0, 1000.0
 ANN_PLANES, ANN_DIM, ANN_K = 8, 64, 5
 IVF_LISTS, IVF_PROBE = 16, 2
 EMB_NEAR_DUP_COS = 0.3            # near-dup threshold (synthetic embs)
+EMB_LSH_TABLES, EMB_LSH_BITS = 4, 8  # banded hyperplane LSH (B tables × r bits)
 PQ_M, PQ_CODES = 8, 16            # PQ subspaces / codewords
+IVFPQ_PROBE = 4                   # IVF-PQ coarse lists probed per query
 DOC_QUALITY_TAU = 0.48            # pipeline quality gate (corpus median)
 JACCARD_MAX_DF = 64               # hot-shingle cap for all-pairs mode
 
@@ -541,13 +543,30 @@ def q_ann_pq(spark, sf_dir):
 
 
 def q_emb_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (dedup flavor): hyperplane-LSH
-    blocked self-join, exact cosine >= threshold within buckets."""
+    """Embedding-cosine near-dup pairs (dedup flavor): BANDED
+    hyperplane-LSH blocked self-join (B independent r-bit tables,
+    candidate = agree in any table), exact cosine >= threshold on the
+    deduped candidate set."""
     from pennsieve_streaming_spark.llm.similarity import cosine_near_dup_pairs
 
     return cosine_near_dup_pairs(
         _embs(spark, sf_dir), min_cosine=EMB_NEAR_DUP_COS,
-        n_planes=ANN_PLANES, dim=ANN_DIM,
+        n_tables=EMB_LSH_TABLES, bits_per_table=EMB_LSH_BITS, dim=ANN_DIM,
+    )
+
+
+def q_ann_ivf_pq(spark, sf_dir):
+    """IVF-PQ composition: golden coarse centroids prune to n_probe
+    lists, PQ ADC scores in-list — both stages individually
+    oracle-gated (emb_ann_ivf, emb_ann_pq); this row gates the
+    composition itself."""
+    from pennsieve_streaming_spark.llm.similarity import ivf_pq_ann
+
+    embs = _embs(spark, sf_dir)
+    return ivf_pq_ann(
+        embs, embs.filter(F.col("vec_id") < 20),
+        k=ANN_K, n_lists=IVF_LISTS, n_probe=IVFPQ_PROBE,
+        m=PQ_M, n_codes=PQ_CODES, dim=ANN_DIM,
     )
 
 
@@ -614,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "emb_ann_ivf": q_ann_ivf,
         "emb_ann_pq": q_ann_pq,
+        "emb_ann_ivf_pq": q_ann_ivf_pq,
         "ts_butterworth_filter_bulk": q_butterworth_bulk,
         "ts_minmax_downsample_count_regular": q_downsample_count_regular,
         "emb_near_dup_pairs": q_emb_near_dup,
@@ -1297,28 +1317,36 @@ def oracle_sql() -> dict[str, str]:
     # --- PQ ADC ANN ---------------------------------------------------------
     sql["emb_ann_pq"] = _pq_oracle_sql()
 
-    # --- embedding-cosine near-dup pairs ------------------------------------
+    # --- IVF-PQ composition -------------------------------------------------
+    sql["emb_ann_ivf_pq"] = _ivf_pq_oracle_sql()
+
+    # --- embedding-cosine near-dup pairs (banded LSH) ------------------------
     sql["emb_near_dup_pairs"] = f"""
         WITH planes AS (
           SELECT p, list_transform(generate_series(0, {ANN_DIM - 1}),
                  j -> fmod((p * {ANN_DIM} + j) * 0.6180339887498949e0, 1.0e0) - 0.5e0) AS h
-          FROM (SELECT UNNEST(generate_series(0, {ANN_PLANES - 1})) AS p)
+          FROM (SELECT UNNEST(generate_series(0, {EMB_LSH_TABLES * EMB_LSH_BITS - 1})) AS p)
         ),
         emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        bkt AS (
-          SELECT e.vec_id,
+        keys AS (
+          SELECT e.vec_id, p.p // {EMB_LSH_BITS} AS tbl,
                  CAST(SUM(CASE WHEN list_dot_product(e.v, p.h) > 0
-                          THEN (CAST(1 AS BIGINT) << p.p) ELSE 0 END) AS BIGINT) AS bucket
-          FROM emb e CROSS JOIN planes p GROUP BY e.vec_id
+                          THEN (CAST(1 AS BIGINT) << (p.p % {EMB_LSH_BITS}))
+                          ELSE 0 END) AS BIGINT) AS k
+          FROM emb e CROSS JOIN planes p GROUP BY e.vec_id, p.p // {EMB_LSH_BITS}
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM keys a
+          JOIN keys b ON a.tbl = b.tbl AND a.k = b.k AND a.vec_id < b.vec_id
         )
         SELECT id_a, id_b, cosine FROM (
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          SELECT c.id_a, c.id_b,
                  list_dot_product(ea.v, eb.v)
                    / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cosine
-          FROM bkt a
-          JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-          JOIN emb ea ON ea.vec_id = a.vec_id
-          JOIN emb eb ON eb.vec_id = b.vec_id
+          FROM cand c
+          JOIN emb ea ON ea.vec_id = c.id_a
+          JOIN emb eb ON eb.vec_id = c.id_b
         ) WHERE cosine >= {EMB_NEAR_DUP_COS}e0
         """
 
@@ -1500,6 +1528,95 @@ def _pq_oracle_sql() -> str:
                  list_reduce(list_transform(generate_series(1, {PQ_M}),
                    s -> lut[s][codes[s] + 1]), (a, b) -> a + b) AS adc_dist
           FROM enc CROSS JOIN qlut WHERE query_id != neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank, adc_dist FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY adc_dist, neighbor_id) AS rank
+          FROM scored
+        ) WHERE rank <= {ANN_K}
+        """
+
+
+def _ivf_pq_oracle_sql() -> str:
+    """Replay the composed IVF-PQ pipeline: golden-centroid coarse
+    assignment (same d2 algebra as emb_ann_ivf), golden-codebook PQ
+    encode + per-query LUT (same construction as emb_ann_pq), ADC
+    scoring restricted to the n_probe probed lists."""
+    from pennsieve_streaming_spark.llm.similarity import (
+        golden_centroids,
+        golden_codebooks,
+    )
+
+    cents = golden_centroids(IVF_LISTS, ANN_DIM)
+    rows = ", ".join(
+        f"({i}, [{', '.join(_dbl(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    d2 = (
+        "list_dot_product({v}, {v}) - 2.0e0 * list_dot_product({v}, t.c) "
+        "+ list_dot_product(t.c, t.c)"
+    )
+    subdim = ANN_DIM // PQ_M
+    cbs = golden_codebooks(PQ_M, PQ_CODES, subdim)
+    cb_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(
+                "[" + ", ".join(_dbl(x) for x in code) + "]" for code in sub
+            ) + "]"
+            for sub in cbs
+        )
+        + "]"
+    )
+    dist = (
+        f"list_reduce(list_transform(generate_series(1, {subdim}), "
+        f"j -> (v[s * {subdim} + j] - cb[s + 1][c + 1][j])"
+        f" * (v[s * {subdim} + j] - cb[s + 1][c + 1][j])), (a, b) -> a + b)"
+    )
+    dists = f"list_transform(generate_series(0, {PQ_CODES - 1}), c -> {dist})"
+    qdist = dist.replace("v[", "q[")
+    return f"""
+        WITH cents AS (SELECT * FROM (VALUES {rows}) t(list_id, c)),
+        cbt AS (SELECT {cb_lit} AS cb),
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        dists AS (
+          SELECT e.vec_id, t.list_id, {d2.format(v='e.v')} AS d2
+          FROM emb e CROSS JOIN cents t
+        ),
+        assigned AS (
+          SELECT vec_id AS neighbor_id, list_id FROM (
+            SELECT vec_id, list_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+            FROM dists
+          ) WHERE rn = 1
+        ),
+        enc AS (
+          SELECT vec_id AS neighbor_id,
+                 list_transform(generate_series(0, {PQ_M - 1}), s ->
+                   list_indexof({dists}, list_min({dists})) - 1) AS codes
+          FROM emb CROSS JOIN cbt
+        ),
+        qlists AS (
+          SELECT vec_id AS query_id, list_id FROM (
+            SELECT vec_id, list_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+            FROM dists WHERE vec_id < 20
+          ) WHERE rn <= {IVFPQ_PROBE}
+        ),
+        qlut AS (
+          SELECT vec_id AS query_id,
+                 list_transform(generate_series(0, {PQ_M - 1}), s ->
+                   list_transform(generate_series(0, {PQ_CODES - 1}), c -> {qdist})) AS lut
+          FROM (SELECT vec_id, v AS q FROM emb WHERE vec_id < 20) CROSS JOIN cbt
+        ),
+        scored AS (
+          SELECT ql.query_id, a.neighbor_id,
+                 list_reduce(list_transform(generate_series(1, {PQ_M}),
+                   s -> lut[s][e.codes[s] + 1]), (a2, b2) -> a2 + b2) AS adc_dist
+          FROM qlists ql
+          JOIN assigned a ON ql.list_id = a.list_id AND ql.query_id != a.neighbor_id
+          JOIN enc e ON e.neighbor_id = a.neighbor_id
+          JOIN qlut u ON u.query_id = ql.query_id
         )
         SELECT query_id, neighbor_id, rank, adc_dist FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id

@@ -126,6 +126,58 @@ def hyperplane_expr(vec_col: str, plane: int, dim: int) -> str:
     )
 
 
+def _cents_literal(centroids: list[list[float]]) -> str:
+    """array<array<double>> literal for Spark SQL."""
+
+    def arr(xs):
+        return "array(" + ", ".join(xs) + ")"
+
+    return arr(arr(repr(float(x)) + "D" for x in c) for c in centroids)
+
+
+def nearest_centroid_expr(vec: str, centroids: list[list[float]]) -> str:
+    """Closed-form nearest-centroid argmin over a broadcast-literal
+    centroid table — zero joins, zero shuffles, zero windows.
+
+    Distance algebra is ``|v|² - 2v·c + |c|²`` via the same sequential
+    ``aggregate(zip_with(...))`` folds the DuckDB oracle uses, so list
+    assignment is bit-identical to the ROW_NUMBER formulation it
+    replaces. ``array_position(dists, array_min(dists)) - 1`` picks the
+    FIRST minimum, matching ``ORDER BY d2, list_id`` tie-breaking.
+
+    This is the per-row argmin pattern ``pq_encode`` already uses; at
+    1B vectors × n_lists it stays a narrow map over the corpus scan
+    instead of an n_lists×-inflated window shuffle.
+    """
+    n = len(centroids)
+    ct = _cents_literal(centroids)
+    fold = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    ci = f"element_at({ct}, i + 1)"
+    d2 = (
+        fold.format(a=vec, b=vec)
+        + " - 2.0D * "
+        + fold.format(a=vec, b=ci)
+        + " + "
+        + fold.format(a=ci, b=ci)
+    )
+    dists = f"transform(sequence(0, {n - 1}), i -> {d2})"
+    return f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
+
+
+def assign_lists(
+    corpus: DataFrame, centroids: list[list[float]], vec_col: str = "v"
+) -> DataFrame:
+    """Tag each corpus row with its nearest-centroid ``list_id`` as a
+    pure narrow projection (no Exchange, no Window — plan-asserted in
+    tests/test_similarity.py)."""
+    return corpus.withColumn(
+        "list_id", F.expr(nearest_centroid_expr(vec_col, centroids))
+    )
+
+
 def golden_centroids(n_lists: int, dim: int) -> list[list[float]]:
     """Deterministic low-discrepancy centroids (plastic-number
     sequence): engine-independent literals so an exact SQL oracle can
@@ -183,7 +235,11 @@ def ivf_ann(
         "list_id int, c array<double>",
     )
 
-    # nearest-centroid assignment via broadcast join + argmin
+    # nearest-centroid assignment: closed-form argmin over the literal
+    # centroid table — a narrow map, so the corpus never shuffles (the
+    # old broadcast-join + row_number() formulation inflated the corpus
+    # ×n_lists and windowed it back down; at 1B vectors that is a
+    # 16B-row shuffle for a per-row argmin).
     from pyspark.sql import Window
 
     def d2(vec: str) -> F.Column:
@@ -192,13 +248,8 @@ def ivf_ann(
         dcc = F.expr(DOT.format(a="c", b="c"))
         return dvv - F.lit(2.0) * dvc + dcc
 
-    wc = Window.partitionBy("neighbor_id").orderBy("d2", "list_id")
-    assigned = (
-        corpus.join(F.broadcast(cents))
-        .withColumn("d2", d2("v"))
-        .withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") == 1)
-        .select("neighbor_id", "v", "list_id")
+    assigned = assign_lists(corpus, centroids).select(
+        "neighbor_id", "v", "list_id"
     )
 
     qs = _as_double(queries, vec_col).select(
@@ -229,7 +280,8 @@ def ivf_ann(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        partial_topk(scored, k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
@@ -410,14 +462,9 @@ def ivf_pq_ann(
     corpus = _as_double(embeddings, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
     )
-    wc = Window.partitionBy("neighbor_id").orderBy("d2", "list_id")
-    assigned = (
-        corpus.join(F.broadcast(cents))
-        .withColumn("d2", d2("v"))
-        .withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") == 1)
-        .select("neighbor_id", "list_id")
-    )
+    # closed-form argmin assignment (see nearest_centroid_expr) — the
+    # corpus-side branch carries no Exchange/Window.
+    assigned = assign_lists(corpus, centroids).select("neighbor_id", "list_id")
     codes = pq_encode(embeddings, codebooks, id_col, vec_col).select(
         F.col("id").alias("neighbor_id"), "codes"
     )
@@ -471,41 +518,67 @@ def ivf_pq_ann(
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     min_cosine: float = 0.9,
-    n_planes: int = 8,
+    n_tables: int = 4,
+    bits_per_table: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, LSH-blocked.
+    """Embedding-cosine near-duplicate pairs, banded-LSH blocked.
 
-    The dedup flavor of similarity search: corpus self-join restricted
-    to hyperplane-LSH buckets (near-identical embeddings agree on all
-    sign bits with high probability), then exact cosine ≥ threshold
-    within the bucket. Quadratic only within buckets — the 100 TB-safe
-    formulation; feed the output to ``dedup.dedup_filter``.
+    The dedup flavor of similarity search, with the same banding trick
+    the MinHash side uses (``dedup.lsh_band_keys``): ``n_tables``
+    INDEPENDENT hyperplane tables of ``bits_per_table`` sign bits each
+    (table t uses planes t*r..t*r+r-1). A pair is a candidate if it
+    agrees on ALL r bits of ANY table, so recall is
+    1-(1-p^r)^B with p = 1 - theta/pi — tunable by B without shrinking
+    r — while each table still carves the corpus into 2^r buckets
+    PER TABLE whose population scales down with corpus spread. A
+    single fixed-size table (the round-2 formulation) had 2^8 buckets
+    total — quadratic blowup at 1B embeddings; banding bounds the
+    per-bucket pair count the same way it does for MinHash.
+
+    Candidate pairs are de-duplicated across tables BEFORE the exact
+    cosine join, and only (id, key) pairs flow through the explode —
+    vectors are joined back per candidate, never duplicated ×B.
 
     Output: (id_a, id_b, cosine).
     """
-    expr = " + ".join(
-        f"({hyperplane_expr(vec_col, p, dim)}) * {1 << p}" for p in range(n_planes)
+    r = bits_per_table
+    keys = "array(" + ", ".join(
+        "CAST("
+        + " + ".join(
+            f"({hyperplane_expr(vec_col, t * r + p, dim)}) * {1 << p}"
+            for p in range(r)
+        )
+        + " AS LONG)"
+        for t in range(n_tables)
+    ) + ")"
+    emb = _as_double(embeddings, vec_col)
+    tagged = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.expr(keys)).alias("tbl", "key"),
     )
-    bucketed = _as_double(embeddings, vec_col).withColumn(
-        "bucket", F.expr(expr).cast("long")
+    a = tagged.select(F.col("id").alias("id_a"), "tbl", "key")
+    b = tagged.select(F.col("id").alias("id_b"), "tbl", "key")
+    cand = (
+        a.join(
+            b,
+            (a["tbl"] == b["tbl"])
+            & (a["key"] == b["key"])
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
-    )
-    b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
-    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     dot = F.expr(DOT.format(a="va", b="vb"))
     na = F.expr(DOT.format(a="va", b="va"))
     nb = F.expr(DOT.format(a="vb", b="vb"))
     return (
-        a.join(
-            b,
-            (a["bucket"] == b["bucket"]) & (F.col("id_a") < F.col("id_b")),
-        )
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine", dot / (F.sqrt(na) * F.sqrt(nb)))
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
@@ -570,7 +643,8 @@ def lsh_bucketed_ann(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        partial_topk(scored, k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
