@@ -18,3 +18,16 @@ from pennsieve_streaming_spark.serving.transport import (  # noqa: F401
 from pennsieve_streaming_spark.serving.ws import (  # noqa: F401
     WebSocketTimeSeriesServer,
 )
+from pennsieve_streaming_spark.serving.auth import (  # noqa: F401
+    AuthError,
+    InvalidToken,
+    MissingCredentials,
+    ServiceClaimRejected,
+    authorize,
+    parse_claim,
+    sign_token,
+)
+from pennsieve_streaming_spark.serving.http import (  # noqa: F401
+    RetrieveContext,
+    RetrieveHttpServer,
+)

@@ -203,6 +203,42 @@ class QuerySession:
         """T7/T8 kill switch: cancel everything for the session."""
         self.spark.sparkContext.cancelJobGroup(self.job_group)
 
+    # -- P5: transport-level admission guard ------------------------------
+    def check_admission(
+        self, req: TimeSeriesRequest, limit: int = DEFAULT_QUERY_LIMIT
+    ) -> None:
+        """Refuse raw requests whose effective row count exceeds the
+        configured query limit BEFORE any Spark job runs (reference
+        ``overLimit``, query/TimeSeriesQueryUtils.scala:362-369).
+
+        Closes the r2 hole where a client-supplied ``queryLimit`` made
+        ``run()`` skip the planner guard entirely (``raw_limit=None``):
+        the effective collect size is min(estimated samples, explicit
+        limit), and THAT must fit the admission limit — a request with
+        ``queryLimit=10**9`` must not OOM the driver. Resampled paths
+        are bounded by pixel count and pass freely.
+        """
+        from pennsieve_streaming_spark.operators.downsample import should_resample
+        from pennsieve_streaming_spark.operators.window import QueryLimitExceeded
+
+        for name in req.virtual_channels:
+            lead, _ = parse_montage_name(name)
+            rate = self.rates.get(lead, 1.0)
+            if req.pixel_width and should_resample(rate, req.pixel_width):
+                continue  # output rows == pixel count, driver-safe
+            estimated = (req.end_time - req.start_time) / 1e6 * rate
+            effective = (
+                min(estimated, req.query_limit)
+                if req.query_limit is not None
+                else estimated
+            )
+            if effective > limit:
+                exc = QueryLimitExceeded(
+                    f"exceeded retrieval limit of {limit}"
+                )
+                exc.channel_names = [name]
+                raise exc
+
     # -- T10: filter lifecycle -------------------------------------------
     def set_filter(self, req: FilterRequest) -> None:
         order = int(req.filter_parameters[0])

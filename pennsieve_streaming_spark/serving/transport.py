@@ -165,6 +165,11 @@ class Connection:
 
     async def _execute(self, req: TimeSeriesRequest, epoch: int) -> None:
         try:
+            # admission guard BEFORE the Spark job: driver-side metadata
+            # check only (reference overLimit) — an over-limit request
+            # answers on the error lane without touching the cluster,
+            # and _run_collect never collects an unbounded raw result.
+            self.session.check_admission(req)
             results = await asyncio.to_thread(self._run_collect, req)
         except Exception as e:
             if epoch < self.session.state.epoch:

@@ -97,9 +97,13 @@ class WebSocketTimeSeriesServer:
         self,
         session_factory: Callable[[str, str | None], QuerySession],
         config: TransportConfig | None = None,
+        jwt_secret: str | None = None,
     ):
         self.session_factory = session_factory
         self.config = config or TransportConfig()
+        # reference WebServer.scala:66-79: every query route sits behind
+        # an OAuth2 bearer claim; None disables auth (embedded use)
+        self.jwt_secret = jwt_secret
         self._server: asyncio.AbstractServer | None = None
         self._n_conns = 0
 
@@ -127,6 +131,20 @@ class WebSocketTimeSeriesServer:
         key = headers.get("sec-websocket-key")
         if headers.get("upgrade", "").lower() != "websocket" or not key:
             writer.write(b"HTTP/1.1 400 Bad Request\r\n\r\nexpected upgrade")
+            return None
+        # auth BEFORE the upgrade (WebServer.scala:66-79): missing
+        # credentials / service claim -> 401, unparseable token -> 400
+        from pennsieve_streaming_spark.serving.auth import AuthError, authorize
+
+        try:
+            authorize(headers, self.jwt_secret)
+        except AuthError as e:
+            status = (
+                "401 Unauthorized" if e.status == 401 else "400 Bad Request"
+            )
+            writer.write(
+                f"HTTP/1.1 {status}\r\nContent-Length: 0\r\n\r\n".encode()
+            )
             return None
         writer.write(
             (
@@ -185,7 +203,13 @@ class WebSocketTimeSeriesServer:
                     conn.last_active = loop.time()
                     continue
                 if opcode == OP_TEXT:
-                    raw = payload.decode()
+                    try:
+                        raw = payload.decode()
+                    except UnicodeDecodeError as e:
+                        # T1 contract: malformed input answers on the
+                        # error lane, it never tears the connection down
+                        await conn.send(error_json(e))
+                        continue
                     if raw.strip():
                         await conn.handle_raw(raw)
 

@@ -204,3 +204,110 @@ def test_unmasked_client_frame_rejected(spark, samples):
             await server.stop()
 
     asyncio.run(main())
+
+
+async def _connect_with_headers(port, extra_headers: str, path="/ts/query?package=pkg42"):
+    r, w = await asyncio.open_connection("127.0.0.1", port)
+    key = base64.b64encode(os.urandom(16)).decode()
+    w.write(
+        (
+            f"GET {path} HTTP/1.1\r\n"
+            f"Host: x\r\nUpgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n"
+            f"{extra_headers}\r\n"
+        ).encode()
+    )
+    await w.drain()
+    status = (await r.readline()).decode()
+    return r, w, status
+
+
+def test_ws_auth_gate(spark, samples):
+    """Bearer auth on the upgrade (WebServer.scala:66-79): no token ->
+    401 before any upgrade; unparseable -> 400; service claim -> 401;
+    valid claim -> 101 and a working session."""
+    from pennsieve_streaming_spark.serving import sign_token
+
+    secret = "ws-secret"
+
+    async def main():
+        server = WebSocketTimeSeriesServer(
+            _factory(spark, samples), jwt_secret=secret
+        )
+        port = await server.start()
+        try:
+            _, w, status = await _connect_with_headers(port, "")
+            assert "401" in status
+            w.close()
+            _, w, status = await _connect_with_headers(
+                port, "Authorization: Bearer garbage\r\n"
+            )
+            assert "400" in status
+            w.close()
+            svc = sign_token({"type": "service"}, secret)
+            _, w, status = await _connect_with_headers(
+                port, f"Authorization: Bearer {svc}\r\n"
+            )
+            assert "401" in status
+            w.close()
+            tok = sign_token({"type": "user", "sub": "u1"}, secret)
+            r, w, status = await _connect_with_headers(
+                port, f"Authorization: Bearer {tok}\r\n"
+            )
+            assert "101" in status
+            # drain remaining handshake headers
+            while (await r.readline()).strip():
+                pass
+            req = {"virtualChannels": ["Fp1"], "startTime": 0,
+                   "endTime": 5_000_000, "pixelWidth": 0}
+            w.write(_mask_frame(json.dumps(req).encode()))
+            await w.drain()
+            async with asyncio.timeout(30):
+                while True:
+                    opcode, payload = await read_frame(r)
+                    msg = json.loads(payload)
+                    if "rows" in msg:
+                        break
+            assert len(msg["rows"]) == 5
+            w.close()
+        finally:
+            await server.stop()
+
+    asyncio.run(main())
+
+
+def test_ws_invalid_utf8_text_frame_gets_error_lane(spark, samples):
+    """ADVICE r2: a text frame with invalid UTF-8 must answer on the
+    error lane and leave the connection alive (T1 contract), not raise
+    UnicodeDecodeError out of recv_loop."""
+
+    async def main():
+        server = WebSocketTimeSeriesServer(_factory(spark, samples))
+        port = await server.start()
+        try:
+            r, w, status, headers, key = await _connect(port)
+            assert "101" in status
+            w.write(_mask_frame(b"\xff\xfe{bad utf8", OP_TEXT))
+            await w.drain()
+            async with asyncio.timeout(10):
+                opcode, payload = await read_frame(r)
+            assert opcode == OP_TEXT
+            err = json.loads(payload)
+            assert "error" in err
+            # connection still works end-to-end
+            req = {"virtualChannels": ["Fp1"], "startTime": 0,
+                   "endTime": 3_000_000, "pixelWidth": 0}
+            w.write(_mask_frame(json.dumps(req).encode()))
+            await w.drain()
+            async with asyncio.timeout(30):
+                while True:
+                    opcode, payload = await read_frame(r)
+                    msg = json.loads(payload)
+                    if "rows" in msg:
+                        break
+            assert len(msg["rows"]) == 3
+            w.close()
+        finally:
+            await server.stop()
+
+    asyncio.run(main())
