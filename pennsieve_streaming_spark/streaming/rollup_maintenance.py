@@ -78,40 +78,95 @@ def start_rollup_maintenance(
     )
 
 
-def read_rollup(spark: SparkSession, path: str) -> DataFrame:
+def read_rollup(
+    spark: SparkSession, path: str, max_batch_id: int | None = None
+) -> DataFrame:
     """Read the partials table back as an exact rollup (dedup replayed
-    batches by (batch_id, channel, bucket) first, then fold)."""
-    partials = (
-        spark.read.parquet(path)
-        .dropDuplicates(["batch_id", "channel", "bucket"])
-        .drop("batch_id")
-    )
+    batches by (batch_id, channel, bucket) first, then fold).
+
+    ``max_batch_id`` restricts the fold to batches at or below it —
+    the compaction snapshot boundary."""
+    partials = spark.read.parquet(path)
+    if max_batch_id is not None:
+        partials = partials.filter(F.col("batch_id") <= max_batch_id)
+    partials = partials.dropDuplicates(
+        ["batch_id", "channel", "bucket"]
+    ).drop("batch_id")
     return merge_rollup_partials(partials)
+
+
+def recover_compaction(path: str) -> None:
+    """Make the partials table whole after a compaction crash.
+
+    The swap below has exactly three crash states, each deterministic:
+
+    - staging + live table both present -> an aborted fold; the live
+      table is authoritative, drop the stale staging.
+    - live table MISSING, staging present -> crashed between the two
+      moves; staging holds the complete folded table, promote it.
+    - live + ``_old`` present, no staging -> crashed before the final
+      cleanup; the swap finished, drop ``_old``.
+
+    Idempotent; ``compact_rollup`` self-heals by calling this first.
+    """
+    import os
+    import shutil
+
+    staging = path.rstrip("/") + "_compacting"
+    old = path.rstrip("/") + "_old"
+    if not os.path.exists(path) and os.path.exists(staging):
+        shutil.move(staging, path)
+    if os.path.exists(path) and os.path.exists(staging):
+        shutil.rmtree(staging)
+    if os.path.exists(path) and os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def compact_rollup(spark: SparkSession, path: str) -> None:
     """Periodic maintenance: rewrite the partials table to one row per
     bucket using the same fold the readers apply.
 
-    Stage-and-swap (never collect: the partials table can be
-    channels × buckets large): fold into a staging directory, then
-    swap it in. Rename is atomic on local/HDFS; object stores want a
-    versioned table format (Delta/Iceberg) instead. Compacted rows
-    carry batch_id = -1 so replay-dedup keys stay unique and further
-    appends keep folding on top.
+    **Run with the maintenance stream STOPPED** (or between triggers):
+    partials appended after the final carry-over read below would be
+    lost in the swap. Concurrency with the stream is bounded, not
+    eliminated — a snapshot batch-id boundary carries over partials
+    appended *during* the fold, but not ones appended after it.
+
+    Crash-safe stage-and-swap (never collect: the partials table can
+    be channels × buckets large): fold batches ≤ the snapshot
+    boundary into a staging directory, carry newer partials over
+    verbatim, then swap. ``_old`` is kept until the swap fully
+    succeeds; any crash state is recoverable via
+    ``recover_compaction`` (called on entry, so a rerun self-heals).
+    ``shutil`` operates on LOCAL paths only — on HDFS/object stores
+    use a transactional table format (Delta/Iceberg) instead of this
+    directory swap. Compacted rows carry batch_id = -1 so replay-dedup
+    keys stay unique and further appends keep folding on top.
     """
     import shutil
 
-    from pyspark.sql import functions as F
-
+    recover_compaction(path)
     staging = path.rstrip("/") + "_compacting"
+    old = path.rstrip("/") + "_old"
+    row = spark.read.parquet(path).agg(F.max("batch_id")).collect()[0]
+    snap_max = row[0]
+    if snap_max is None:
+        return  # empty table: nothing to compact
     (
-        read_rollup(spark, path)
+        read_rollup(spark, path, max_batch_id=snap_max)
         .withColumn("batch_id", F.lit(-1).cast("long"))
         .write.mode("overwrite")
         .parquet(staging)
     )
-    old = path.rstrip("/") + "_old"
+    # carry over partials a live stream appended while the fold ran —
+    # they stay un-folded (the read-side fold absorbs them) instead of
+    # being silently deleted with the old directory
+    (
+        spark.read.parquet(path)
+        .filter(F.col("batch_id") > snap_max)
+        .write.mode("append")
+        .parquet(staging)
+    )
     shutil.move(path, old)
     shutil.move(staging, path)
     shutil.rmtree(old)

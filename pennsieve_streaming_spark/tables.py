@@ -76,9 +76,11 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(
-        tempfile.gettempdir(), f"pss_pkg_{os.getpid()}.zip"
-    )
+    # unpredictable, mode-0600 path: a fixed /tmp name could be
+    # pre-created or symlinked by another local user, redirecting the
+    # write or shipping foreign code to executors
+    fd, zpath = tempfile.mkstemp(prefix="pss_pkg_", suffix=".zip")
+    os.close(fd)
     with zipfile.ZipFile(zpath, "w") as z:
         for root, _dirs, files in os.walk(pkg_dir):
             if "__pycache__" in root:

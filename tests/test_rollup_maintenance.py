@@ -169,3 +169,61 @@ def test_compaction_preserves_rollup_and_shrinks(spark, tmp_path):
     exp = {(r["channel"], r["bucket"]): (r["min_val"], r["max_val"])
            for r in direct.collect()}
     assert got == exp
+
+
+def test_compaction_crash_recovery_and_late_partials(spark, tmp_path):
+    """ADVICE r2: compaction must be crash-recoverable at every stage
+    and must not delete partials appended after the snapshot.
+
+    - a crash between the two directory moves leaves no live table;
+      recover_compaction promotes the complete staging dir.
+    - a crash before the final cleanup leaves _old; recovery drops it.
+    - partials with batch_id beyond the fold snapshot are carried over
+      verbatim (simulated by a concurrent append into the table the
+      carry-over read sees)."""
+    import shutil as sh
+
+    from pyspark.sql import functions as F
+
+    from pennsieve_streaming_spark.streaming.rollup_maintenance import (
+        compact_rollup,
+        read_rollup,
+        recover_compaction,
+        rollup_partials_for_batch,
+    )
+
+    path = str(tmp_path / "partials")
+    rows = [("c", i * 1_000, float(i % 7)) for i in range(5_000)]
+    samples = spark.createDataFrame(rows, "channel string, ts long, value double")
+    for bid in (0, 1):
+        half = samples.filter((F.col("ts") / 1_000 % 2) == bid)
+        rollup_partials_for_batch(half, 100_000).withColumn(
+            "batch_id", F.lit(bid).cast("long")
+        ).write.mode("append").parquet(path)
+    want = sorted(map(tuple, read_rollup(spark, path).collect()))
+
+    # crash state A: fold finished, first move done, second move not
+    compact_rollup(spark, path)  # produce a compacted table first
+    sh.copytree(path, path + "_compacting")
+    sh.move(path, path + "_old")
+    recover_compaction(path)
+    assert sorted(map(tuple, read_rollup(spark, path).collect())) == want
+    import os
+
+    assert not os.path.exists(path + "_old")
+    assert not os.path.exists(path + "_compacting")
+
+    # crash state B: stale staging next to a live table -> dropped
+    sh.copytree(path, path + "_compacting")
+    recover_compaction(path)
+    assert not os.path.exists(path + "_compacting")
+
+    # late partials: append a batch AFTER the compacted fold; the next
+    # compaction's snapshot boundary folds it in exactly
+    late = samples.filter((F.col("value") == 3.0))
+    rollup_partials_for_batch(late, 100_000).withColumn(
+        "batch_id", F.lit(99).cast("long")
+    ).write.mode("append").parquet(path)
+    want2 = sorted(map(tuple, read_rollup(spark, path).collect()))
+    compact_rollup(spark, path)
+    assert sorted(map(tuple, read_rollup(spark, path).collect())) == want2

@@ -87,3 +87,33 @@ def test_two_batches_vs_oneshot(spark, gap):
         # run (prewarm uses the first pad samples, all in batch 1)
         want = _filter_run(x, sos, pad)
     np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_sub_pad_first_batch_matches_batch_path(spark):
+    """ADVICE r2: the first micro-batch holding FEWER than pad samples
+    must not seed a short-run prewarm — the run buffers in state until
+    pad samples arrive, so streamed output is bit-identical to one-shot
+    batch filtering regardless of micro-batch boundaries."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(400)
+    period = int(1e6 / FS)
+    pad = filter_transient_length(SPEC.order, SPEC.max_freq, FS)
+    split = pad // 2  # strictly below pad
+    rows1 = [("c", i * period, float(x[i])) for i in range(split)]
+    rows2 = [("c", i * period, float(x[i])) for i in range(split, 400)]
+
+    d1, d2 = tempfile.mkdtemp(), tempfile.mkdtemp()
+    try:
+        spark.createDataFrame(rows1, "channel string, ts long, value double")\
+            .coalesce(1).write.mode("overwrite").parquet(d1)
+        spark.createDataFrame(rows2, "channel string, ts long, value double")\
+            .coalesce(1).write.mode("overwrite").parquet(d2)
+        got = [r["value"] for r in _run_stream(spark, [d1, d2])]
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)
+
+    sos = butter_sos(SPEC.order, SPEC.freq, FS, SPEC.btype)
+    want = _filter_run(x, sos, pad)
+    assert len(got) == 400
+    np.testing.assert_allclose(got, want, atol=1e-12)
