@@ -43,7 +43,7 @@ HEADLINE = [
     "emb_cosine_topk",
 ]
 
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
 def main() -> None:
@@ -56,15 +56,19 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     queries = entry.queries()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        best = float("inf")
-        for _ in range(max(1, REPS)):  # min-of-N damps co-tenant noise
+    best: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    # Round-robin the reps (pass 1 runs every query, then pass 2, ...)
+    # instead of repeating each query back-to-back: co-tenant CPU spikes
+    # on this shared box last seconds, so consecutive reps of one query
+    # can ALL land inside a spike (r2's unexplained 2x on two unchanged
+    # queries). Interleaving puts each query's reps many seconds apart,
+    # so min-of-passes removes transient contention.
+    for _ in range(max(1, REPS)):
+        for name in HEADLINE:
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best[name] = min(best[name], time.perf_counter() - t0)
+    timings = {name: round(best[name], 4) for name in HEADLINE}
 
     total = round(sum(timings.values()), 4)
     print(

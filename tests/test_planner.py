@@ -86,9 +86,14 @@ def test_near_dup_plan_no_cartesian(spark):
         [(i, [float((i * 5 + j) % 11) for j in range(8)]) for i in range(100)],
         "vec_id long, embedding array<double>",
     )
-    plan = _plan(cosine_near_dup_pairs(embs, min_cosine=0.1, n_planes=4, dim=8))
+    plan = _plan(
+        cosine_near_dup_pairs(
+            embs, min_cosine=0.1, n_tables=2, bits_per_table=4, dim=8
+        )
+    )
     assert "CartesianProduct" not in plan
-    assert "bucket" in plan
+    # banded LSH: candidates come from an equi-join on (tbl, key)
+    assert "tbl" in plan and "key" in plan
 
 
 def test_dedup_candidate_join_is_equi(spark):
