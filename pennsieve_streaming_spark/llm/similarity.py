@@ -515,6 +515,85 @@ def ivf_pq_ann(
     )
 
 
+def hyperplane_matrix(
+    n_planes: int, dim: int, family: str = "lattice", seed: int = 0
+):
+    """Hyperplane family as a numpy (n_planes, dim) matrix.
+
+    ``family="lattice"``: component j of plane p is
+    ``frac((p*dim + j)*phi) - 0.5`` — identical to the SQL
+    ``hyperplane_expr``, so keys replay exactly in a DuckDB oracle.
+    CAVEAT: the planes are one golden-ratio progression chopped into
+    rows — a strongly correlated (near-rank-deficient) family. Fine
+    for the oracle-gated correctness path, but at scale the sign bits
+    are far from independent: a 5M-vector probe showed ~90k-vector
+    buckets surviving even at r=24 (16M nominal buckets).
+
+    ``family="random"``: iid standard-normal planes from a seeded
+    generator — the production choice; bits are genuinely independent
+    so bucket population concentrates at N/2^r. Not SQL-replayable
+    (no cross-engine RNG), hence Arrow-path only.
+    """
+    import numpy as np
+
+    if family == "random":
+        return np.random.default_rng(seed).standard_normal((n_planes, dim))
+    idx = np.arange(n_planes * dim, dtype=np.float64).reshape(n_planes, dim)
+    return (idx * 0.6180339887498949) % 1.0 - 0.5
+
+
+def banded_keys_arrow(
+    embeddings: DataFrame,
+    n_tables: int,
+    bits_per_table: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    plane_family: str = "lattice",
+    seed: int = 0,
+) -> DataFrame:
+    """(id, tbl, key) banded-LSH keys via one Arrow-batched matmul.
+
+    The SQL ``hyperplane_expr`` path evaluates B·r separate
+    ``aggregate(zip_with(...))`` folds per row — exact and
+    oracle-replayable, but ~20× slower than a single
+    ``signs = X @ H.T > 0`` over an Arrow batch. Same plane family,
+    same keys (a sign flip would need |dot| at float-sum
+    reassociation scale, ~1e-13·‖x‖ — measure-zero for real data);
+    this is the 100 TB bucketing path, asserted equal to the SQL path
+    in tests.
+    """
+    import pandas as pd
+
+    r = bits_per_table
+    H = hyperplane_matrix(n_tables * r, dim, plane_family, seed).T  # (dim, B*r)
+    weights = (1 << __import__("numpy").arange(r, dtype="int64"))
+
+    def keys(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy())  # (n, dim)
+            bits = (X @ H) > 0                      # (n, B*r)
+            ks = (
+                bits.reshape(len(pdf), n_tables, r).astype("int64") * weights
+            ).sum(axis=2)                           # (n, B)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf[id_col].to_numpy(), n_tables),
+                    "tbl": np.tile(np.arange(n_tables, dtype="int32"), len(pdf)),
+                    "key": ks.ravel(),
+                }
+            )
+
+    src = _as_double(embeddings, vec_col).select(id_col, vec_col)
+    return src.mapInPandas(
+        keys, schema=f"id {dict(src.dtypes)[id_col]}, tbl int, key long"
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     min_cosine: float = 0.9,
@@ -523,6 +602,8 @@ def cosine_near_dup_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow_keys: bool = False,
+    plane_family: str = "lattice",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, banded-LSH blocked.
 
@@ -542,23 +623,42 @@ def cosine_near_dup_pairs(
     cosine join, and only (id, key) pairs flow through the explode —
     vectors are joined back per candidate, never duplicated ×B.
 
+    Sizing rule: pick ``bits_per_table`` ≈ log2(N / target_bucket_pop)
+    so expected bucket population stays bounded as the corpus grows
+    (e.g. N=1e9, target 1k/bucket -> r=20), then pick ``n_tables`` for
+    recall — P(pair candidates) = 1-(1-p^r)^B with p = 1 - θ/π, so
+    doubling B roughly doubles the near-threshold catch rate without
+    touching bucket population. The defaults (4×8) suit ~10⁵-row test
+    corpora; at 100 TB scale r belongs in the high teens.
+
+    ``arrow_keys=True`` computes the table keys with the vectorized
+    matmul path (``banded_keys_arrow``) instead of per-plane SQL folds
+    — same plane family and keys, ~20× faster bucketing; keep the
+    default for oracle-replayable runs.
+
     Output: (id_a, id_b, cosine).
     """
     r = bits_per_table
-    keys = "array(" + ", ".join(
-        "CAST("
-        + " + ".join(
-            f"({hyperplane_expr(vec_col, t * r + p, dim)}) * {1 << p}"
-            for p in range(r)
-        )
-        + " AS LONG)"
-        for t in range(n_tables)
-    ) + ")"
     emb = _as_double(embeddings, vec_col)
-    tagged = emb.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.expr(keys)).alias("tbl", "key"),
-    )
+    if arrow_keys:
+        tagged = banded_keys_arrow(
+            embeddings, n_tables, r, dim, id_col, vec_col,
+            plane_family=plane_family,
+        )
+    else:
+        keys = "array(" + ", ".join(
+            "CAST("
+            + " + ".join(
+                f"({hyperplane_expr(vec_col, t * r + p, dim)}) * {1 << p}"
+                for p in range(r)
+            )
+            + " AS LONG)"
+            for t in range(n_tables)
+        ) + ")"
+        tagged = emb.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.expr(keys)).alias("tbl", "key"),
+        )
     a = tagged.select(F.col("id").alias("id_a"), "tbl", "key")
     b = tagged.select(F.col("id").alias("id_b"), "tbl", "key")
     cand = (

@@ -191,9 +191,13 @@ class Connection:
             )
 
     def _run_collect(self, req: TimeSeriesRequest) -> dict[str, list[dict]]:
+        # total rows are bounded by check_admission (raw paths) or by
+        # pixel counts (resampled paths); toLocalIterator additionally
+        # caps the JVM-side driver footprint at one partition at a time
+        # instead of materializing every channel's full result at once.
         out = self.session.run(req)
         return {
-            name: [row.asDict() for row in df.collect()]
+            name: [row.asDict() for row in df.toLocalIterator()]
             for name, df in out.items()
         }
 

@@ -225,3 +225,56 @@ def test_unknown_route_404(ctx):
 
     status, _ = _run(ctx, drive)
     assert status == 404
+
+
+def test_launcher_end_to_end(spark):
+    """build_engine + start_servers over the real sf0.001 tables: the
+    REST continuous route, the health route, and the WS handshake all
+    answer from one wiring (the reference WebServer composition)."""
+    import asyncio as aio
+    import base64 as b64
+    import os as _os
+
+    from pennsieve_streaming_spark.serving.launcher import (
+        build_engine,
+        start_servers,
+        stop_servers,
+    )
+
+    engine = build_engine(spark, "/root/testdata/sf0.001")
+    chan, rate = next(iter(engine.rates.items())), None
+    name = chan[0]
+    lo = engine.samples.filter(f"channel = '{name}'").agg(
+        {"ts": "min"}
+    ).collect()[0][0]
+
+    async def drive():
+        handles = await start_servers(engine)
+        try:
+            status, body = await _get(
+                handles["http"],
+                f"/ts/retrieve/continuous?start={lo}&end={lo + 10_000_000}"
+                f"&channel={name}&limit=5",
+            )
+            assert status == 200
+            rows = json.loads(body)
+            assert 0 < len(rows) <= 5
+            h_status, h_body = await _get(handles["http"], "/ts/health")
+            assert h_status == 200 and "connections" in h_body
+            # WS handshake answers 101 on the query route
+            r, w = await aio.open_connection("127.0.0.1", handles["ws"])
+            key = b64.b64encode(_os.urandom(16)).decode()
+            w.write(
+                (
+                    "GET /ts/query?package=p HTTP/1.1\r\nHost: x\r\n"
+                    "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                    f"Sec-WebSocket-Key: {key}\r\n\r\n"
+                ).encode()
+            )
+            await w.drain()
+            assert "101" in (await r.readline()).decode()
+            w.close()
+        finally:
+            await stop_servers(handles)
+
+    asyncio.run(drive())

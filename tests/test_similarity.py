@@ -233,3 +233,64 @@ def test_near_dup_banding_candidate_superset(embs):
     assert s <= b
     for r in banded.limit(50).collect():
         assert r["cosine"] >= 0.3
+
+
+def test_arrow_keys_match_sql_keys(embs):
+    """The vectorized matmul bucketing (scale path) must produce the
+    exact (id, tbl, key) set the SQL hyperplane folds produce, and the
+    end-to-end near-dup result must be identical either way."""
+    from pennsieve_streaming_spark.llm.similarity import (
+        banded_keys_arrow,
+        cosine_near_dup_pairs,
+        hyperplane_expr,
+    )
+
+    n_tables, r, dim = 3, 6, 64
+    keys_expr = "array(" + ", ".join(
+        "CAST(" + " + ".join(
+            f"({hyperplane_expr('embedding', t * r + p, dim)}) * {1 << p}"
+            for p in range(r)
+        ) + " AS LONG)"
+        for t in range(n_tables)
+    ) + ")"
+    sql_keys = {
+        (row["id"], row["tbl"], row["key"])
+        for row in embs.selectExpr("CAST(embedding AS ARRAY<DOUBLE>) AS embedding", "vec_id")
+        .select(
+            F.col("vec_id").alias("id"),
+            F.posexplode(F.expr(keys_expr)).alias("tbl", "key"),
+        )
+        .collect()
+    }
+    arrow_keys = {
+        (row["id"], row["tbl"], row["key"])
+        for row in banded_keys_arrow(embs, n_tables, r, dim).collect()
+    }
+    assert arrow_keys == sql_keys
+
+    a = cosine_near_dup_pairs(
+        embs, 0.3, n_tables=n_tables, bits_per_table=r, dim=dim
+    )
+    b = cosine_near_dup_pairs(
+        embs, 0.3, n_tables=n_tables, bits_per_table=r, dim=dim,
+        arrow_keys=True,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_random_plane_family_spreads_buckets(embs):
+    """The iid-normal plane family must spread the corpus over far
+    more buckets than the correlated lattice family at the same r —
+    the scale-quality property the 5M probe measures (NOTES_r3)."""
+    from pennsieve_streaming_spark.llm.similarity import banded_keys_arrow
+
+    def pair_mass(family):
+        return (
+            banded_keys_arrow(embs, 2, 12, 64, plane_family=family)
+            .groupBy("tbl", "key").count()
+            .agg(F.sum(F.expr("count * (count - 1) / 2")))
+            .collect()[0][0]
+        )
+
+    lattice, random = pair_mass("lattice"), pair_mass("random")
+    assert random < lattice / 2, (lattice, random)
