@@ -57,6 +57,14 @@ from pennsieve_streaming_spark.llm.hashing import (
     minhash_perm_constants,
     poly_hash_duck,
 )
+from pennsieve_streaming_spark.llm.curation import (
+    contamination,
+    mixture_weights,
+    pack_sequences,
+    repetition_stats,
+    source_best,
+    stratified_sample,
+)
 from pennsieve_streaming_spark.llm.multimodal import (
     extract_features,
     media_from_documents,
@@ -588,6 +596,39 @@ def q_event_summary_datadriven(spark, sf_dir):
     )
 
 
+# --- corpus-curation queries (llm/curation.py) ----------------------------
+
+CONTAM_BENCH_MOD = 29          # benchmark set = doc_id % 29 == 0
+SAMPLE_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.75}  # zh -> 0.0
+PACK_BUDGET = 256
+
+
+def q_repetition(spark, sf_dir):
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def q_contamination(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    return contamination(docs, bench, k=3, threshold=0.5)
+
+
+def q_stratified_sample(spark, sf_dir):
+    return stratified_sample(_docs(spark, sf_dir), SAMPLE_RATES)
+
+
+def q_pack_sequences(spark, sf_dir):
+    return pack_sequences(_docs(spark, sf_dir), budget=PACK_BUDGET)
+
+
+def q_source_best(spark, sf_dir):
+    return source_best(_docs(spark, sf_dir))
+
+
+def q_mix_weights(spark, sf_dir):
+    return mixture_weights(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ts_window_query": q_window,
@@ -640,6 +681,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_unit_range_lookup": q_unit_range_lookup,
         "mm_media_features": q_media_features,
         "mm_frame_sample": q_frame_sample,
+        "doc_repetition": q_repetition,
+        "doc_contamination": q_contamination,
+        "doc_stratified_sample": q_stratified_sample,
+        "doc_pack_sequences": q_pack_sequences,
+        "doc_source_best": q_source_best,
+        "doc_mix_weights": q_mix_weights,
     }
 
 
@@ -1010,8 +1057,9 @@ def oracle_sql() -> dict[str, str]:
         WITH base AS (
           SELECT doc_id,
                  CAST(len({TOKS}) AS BIGINT) AS n_tokens,
-                 length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                   / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+                 CASE WHEN length(text) = 0 THEN CAST(0 AS DOUBLE)
+                      ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           / CAST(length(text) AS DOUBLE) END AS alpha_ratio,
                  len(list_filter({TOKS}, t -> list_contains([{_stop_arr}], lower(t))))
                    / CAST(len({TOKS}) AS DOUBLE) AS stop_ratio
           FROM documents
@@ -1056,6 +1104,164 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["doc_fingerprint"] = f"SELECT doc_id, {PH_TEXT} AS fp FROM documents"
+
+    # --- corpus-curation oracles (llm/curation.py) -------------------------
+
+    N_TOKENS_DUCK = (
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(toks) END AS BIGINT)"
+    )
+
+    def _ngram_duck(n: int) -> str:
+        if n == 1:
+            return "toks"
+        join = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+        return (
+            f"CASE WHEN len(toks) < {n} THEN CAST([] AS VARCHAR[]) "
+            f"ELSE list_transform(generate_series(1, len(toks) - {n - 1}), "
+            f"i -> {join}) END"
+        )
+
+    def _dup_ratio_duck(n: int) -> str:
+        g = _ngram_duck(n)
+        return (
+            f"CASE WHEN length(trim(text)) = 0 OR len({g}) = 0 "
+            "THEN CAST(0 AS DOUBLE) "
+            f"ELSE CAST(1 AS DOUBLE) "
+            f"- len(list_distinct({g})) / CAST(len({g}) AS DOUBLE) END"
+        )
+
+    sql["doc_repetition"] = f"""
+        WITH doc_toks AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               {N_TOKENS_DUCK} AS n_tokens,
+               {_dup_ratio_duck(1)} AS dup_1gram_ratio,
+               {_dup_ratio_duck(2)} AS dup_2gram_ratio,
+               {_dup_ratio_duck(3)} AS dup_3gram_ratio
+        FROM doc_toks
+        """
+
+    sql["doc_contamination"] = f"""
+        WITH doc_toks AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+        grams AS (
+          SELECT doc_id, UNNEST({_ngram_duck(3)}) AS s FROM doc_toks
+        ),
+        doc_sh AS (SELECT DISTINCT doc_id, {PH_S} AS sh FROM grams),
+        bench AS (
+          SELECT DISTINCT sh FROM doc_sh WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+        ),
+        ov AS (
+          SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                 CAST(COUNT(b.sh) AS BIGINT) AS n_overlap
+          FROM doc_sh d LEFT JOIN bench b USING (sh) GROUP BY d.doc_id
+        )
+        SELECT t.doc_id,
+               COALESCE(ov.n_shingles, CAST(0 AS BIGINT)) AS n_shingles,
+               COALESCE(ov.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+               CASE WHEN COALESCE(ov.n_shingles, 0) = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE ov.n_overlap / CAST(ov.n_shingles AS DOUBLE)
+               END AS overlap_ratio,
+               (CASE WHEN COALESCE(ov.n_shingles, 0) = 0 THEN CAST(0 AS DOUBLE)
+                     ELSE ov.n_overlap / CAST(ov.n_shingles AS DOUBLE)
+                END) > 0.5 AS contaminated
+        FROM documents t LEFT JOIN ov ON t.doc_id = ov.doc_id
+        """
+
+    from pennsieve_streaming_spark.llm.curation import (
+        SAMPLE_BUCKETS,
+        SAMPLE_MOD,
+        SAMPLE_MULT,
+    )
+
+    _u = (
+        f"((((doc_id % {SAMPLE_MOD}) * {SAMPLE_MULT} + 0) % {SAMPLE_MOD}) "
+        f"% {SAMPLE_BUCKETS}) / CAST({SAMPLE_BUCKETS} AS DOUBLE)"
+    )
+    _rate = "CASE lang " + " ".join(
+        f"WHEN '{lang}' THEN CAST({rate!r} AS DOUBLE)"
+        for lang, rate in sorted(SAMPLE_RATES.items())
+    ) + " ELSE CAST(0.0 AS DOUBLE) END"
+    sql["doc_stratified_sample"] = f"""
+        SELECT doc_id, lang, source, {_u} AS sample_u
+        FROM documents
+        WHERE {_u} < ({_rate})
+        """
+
+    sql["doc_pack_sequences"] = f"""
+        WITH doc_toks AS (
+          SELECT doc_id, source, text, {TOKS} AS toks FROM documents
+        ),
+        t AS (
+          SELECT doc_id, source, {N_TOKENS_DUCK} AS n_tokens FROM doc_toks
+        ),
+        c AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) - n_tokens AS tok_offset
+          FROM t
+        )
+        SELECT doc_id, source, n_tokens, tok_offset,
+               CAST(FLOOR(tok_offset / {PACK_BUDGET}) AS BIGINT) AS start_seq,
+               CAST(CASE WHEN n_tokens = 0
+                         THEN FLOOR(tok_offset / {PACK_BUDGET})
+                         ELSE FLOOR((tok_offset + n_tokens - 1) / {PACK_BUDGET})
+                    END AS BIGINT) AS end_seq
+        FROM c
+        """
+
+    # same quality arithmetic as doc_quality_score, source retained;
+    # (quality DESC, doc_id) row_number == Spark's max(struct(q, -id))
+    sql["doc_source_best"] = f"""
+        WITH base AS (
+          SELECT doc_id, source,
+                 CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+                 CASE WHEN length(text) = 0 THEN CAST(0 AS DOUBLE)
+                      ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           / CAST(length(text) AS DOUBLE) END AS alpha_ratio,
+                 len(list_filter({TOKS}, t -> list_contains([{_stop_arr}], lower(t))))
+                   / CAST(len({TOKS}) AS DOUBLE) AS stop_ratio
+          FROM documents
+        ),
+        q AS (
+          SELECT doc_id, source,
+                 alpha_ratio * 0.5e0 + stop_ratio * 0.3e0
+                 + least(n_tokens, 200) / CAST(200.0 AS DOUBLE) * 0.2e0 AS quality
+          FROM base
+        ),
+        r AS (
+          SELECT source, doc_id, quality,
+                 row_number() OVER (
+                   PARTITION BY source ORDER BY quality DESC, doc_id
+                 ) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+          FROM q
+        )
+        SELECT source, CAST(doc_id AS BIGINT) AS keep_doc_id,
+               n_docs, quality AS best_quality
+        FROM r WHERE rn = 1
+        """
+
+    sql["doc_mix_weights"] = f"""
+        WITH doc_toks AS (SELECT source, text, {TOKS} AS toks FROM documents),
+        t AS (SELECT source, {N_TOKENS_DUCK} AS n_toks FROM doc_toks),
+        c AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+          FROM t GROUP BY source
+        ),
+        tot AS (
+          SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_sources
+          FROM c
+        )
+        SELECT source, n_docs, n_tokens,
+               n_tokens / CAST(total_tokens AS DOUBLE) AS token_share,
+               (CAST(1 AS DOUBLE) / n_sources)
+                 / (n_tokens / CAST(total_tokens AS DOUBLE)) AS weight
+        FROM c CROSS JOIN tot
+        """
 
     sql["doc_minhash_signatures"] = f"WITH {MINHASH_PRE} SELECT doc_id, j, minhash FROM mh"
 

@@ -79,9 +79,11 @@ def quality_score(documents: DataFrame) -> DataFrame:
     df = _with_toks(documents).select(
         "doc_id",
         F.expr("size(toks)").cast("long").alias("n_tokens"),
-        (
-            F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
-            / F.length("text").cast("double")
+        F.expr(
+            # guard: empty text would divide by zero (ANSI mode errors)
+            "CASE WHEN length(text) = 0 THEN CAST(0 AS DOUBLE) "
+            "ELSE length(regexp_replace(text, '[^A-Za-z]', '')) "
+            "/ CAST(length(text) AS DOUBLE) END"
         ).alias("alpha_ratio"),
         F.expr(f"{stop_expr} / CAST(size(toks) AS DOUBLE)").alias("stop_ratio"),
     )

@@ -1,0 +1,169 @@
+"""Training-data curation operators (llm/curation.py): repetition,
+contamination, stratified sampling, sequence packing, domain-best
+dedup, mixture weights."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pennsieve_streaming_spark.llm.curation import (  # noqa: E402
+    contamination,
+    mixture_weights,
+    pack_sequences,
+    repetition_stats,
+    source_best,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "a b c d e f g h", "en", "src0"),
+        (1, "x x x x x x x x", "en", "src0"),      # pure repetition
+        (2, "a b c a b c a b c", "en", "src1"),    # repeated 3-gram
+        (3, "one two", "de", "src1"),              # too short for 3-grams
+        (4, "", "de", "src2"),                     # empty
+        (5, "the quick brown fox jumps over lazy dog", "fr", "src2"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_repetition_stats(docs):
+    out = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    # all-distinct doc: no duplicate n-grams at any n
+    assert out[0]["dup_1gram_ratio"] == 0.0
+    assert out[0]["dup_3gram_ratio"] == 0.0
+    # 8x the same token: 7/8 of unigrams are repeats, 6 3-grams all equal
+    assert out[1]["dup_1gram_ratio"] == pytest.approx(7 / 8)
+    assert out[1]["dup_3gram_ratio"] == pytest.approx(5 / 6)
+    # 'a b c' x3: 9 unigrams over 3 distinct
+    assert out[2]["dup_1gram_ratio"] == pytest.approx(6 / 9)
+    assert out[2]["dup_3gram_ratio"] > 0.5
+    # short doc: no 3-grams -> ratio 0, not NaN
+    assert out[3]["dup_3gram_ratio"] == 0.0
+    # empty doc: all zeros
+    assert out[4]["n_tokens"] == 0
+    assert out[4]["dup_1gram_ratio"] == 0.0
+
+
+def test_repetition_is_shuffle_free(docs):
+    plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_contamination(spark, docs):
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f", "en", "bench")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in contamination(docs, bench).collect()}
+    # doc 0 shares 'a b c'..'d e f' (4 of its 6 shingles)
+    assert out[0]["n_shingles"] == 6
+    assert out[0]["n_overlap"] == 4
+    assert out[0]["contaminated"]
+    # doc 5 shares nothing
+    assert out[5]["n_overlap"] == 0 and not out[5]["contaminated"]
+    # short/empty docs report zero shingles, ratio 0
+    assert out[3]["n_shingles"] == 0 and out[3]["overlap_ratio"] == 0.0
+    assert out[4]["n_shingles"] == 0
+    # every document is reported exactly once
+    assert set(out) == {0, 1, 2, 3, 4, 5}
+
+
+def test_contamination_fast_hash_same_result(spark, docs):
+    """xxhash64 fast path must produce identical counts/ratios — the
+    overlap test is hash-agnostic when both sides share the hash."""
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f", "en", "bench")],
+        "doc_id long, text string, lang string, source string",
+    )
+    slow = sorted(map(tuple, contamination(docs, bench).collect()))
+    fast = sorted(map(tuple, contamination(docs, bench, fast_hash=True).collect()))
+    assert slow == fast
+
+
+def test_contamination_no_corpus_shuffle(spark, docs):
+    """The corpus side must reach the intersect via broadcast — no
+    sort-merge join, no corpus-side Exchange beyond the benchmark
+    aggregation's own tiny one."""
+    bench = docs.limit(1)
+    plan = contamination(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_stratified_sample(docs):
+    kept = stratified_sample(docs, {"en": 1.0, "de": 1.0, "fr": 1.0})
+    assert kept.count() == 6  # rate 1.0 keeps everything
+    none = stratified_sample(docs, {"en": 0.0})
+    assert none.count() == 0
+    # deterministic: two runs agree row-for-row
+    a = sorted(map(tuple, stratified_sample(docs, {"en": 0.5, "de": 0.5}).collect()))
+    b = sorted(map(tuple, stratified_sample(docs, {"en": 0.5, "de": 0.5}).collect()))
+    assert a == b
+    # salt redraws
+    c = stratified_sample(docs, {"en": 0.5}, salt=7).select("sample_u").collect()
+    d = stratified_sample(docs, {"en": 0.5}, salt=8).select("sample_u").collect()
+    assert c != d
+    plan = stratified_sample(docs, {"en": 0.5})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_pack_sequences(docs):
+    out = {r["doc_id"]: r.asDict() for r in pack_sequences(docs, budget=10).collect()}
+    # src0: doc0 (8 toks) then doc1 (8 toks): offsets 0, 8
+    assert out[0]["tok_offset"] == 0 and out[0]["start_seq"] == 0
+    assert out[0]["end_seq"] == 0          # tokens 0..7 all in seq 0
+    assert out[1]["tok_offset"] == 8
+    assert out[1]["start_seq"] == 0 and out[1]["end_seq"] == 1  # spans the cut
+    # src1: doc2 (9) then doc3 (2)
+    assert out[2]["tok_offset"] == 0 and out[3]["tok_offset"] == 9
+    # src2: empty doc4 occupies no tokens; doc5 starts at 0
+    assert out[4]["n_tokens"] == 0 and out[4]["start_seq"] == out[4]["end_seq"]
+    assert out[5]["tok_offset"] == 0
+
+
+def test_source_best(docs):
+    out = {r["source"]: r.asDict() for r in source_best(docs).collect()}
+    assert set(out) == {"src0", "src1", "src2"}
+    assert all(v["n_docs"] == 2 for v in out.values())
+    # the chosen doc has the max quality in its source group
+    from pennsieve_streaming_spark.llm.text import quality_score
+
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs.filter("length(text)>0")).collect()}
+    assert out["src0"]["keep_doc_id"] in (0, 1)
+    assert out["src0"]["best_quality"] == max(q[0], q[1])
+    assert out["src1"]["best_quality"] == max(q[2], q[3])
+
+
+def test_source_best_tie_breaks_to_min_doc_id(spark):
+    dup = spark.createDataFrame(
+        [(10, "same text here", "en", "s"), (3, "same text here", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    row = source_best(dup).collect()[0]
+    assert row["keep_doc_id"] == 3 and row["n_docs"] == 2
+
+
+def test_mixture_weights(docs):
+    rows = {r["source"]: r.asDict() for r in mixture_weights(docs).collect()}
+    assert set(rows) == {"src0", "src1", "src2"}
+    # shares sum to 1, and weight * share == target share (uniform 1/3)
+    assert sum(v["token_share"] for v in rows.values()) == pytest.approx(1.0)
+    for v in rows.values():
+        assert v["weight"] * v["token_share"] == pytest.approx(1 / 3)
+    # explicit target: all weight on src0
+    w = {r["source"]: r["weight"] for r in mixture_weights(docs, {"src0": 1.0}).collect()}
+    assert w["src1"] == 0.0 and w["src0"] > 1.0
+
+
+def test_mixture_weights_no_window_over_corpus(docs):
+    plan = mixture_weights(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
