@@ -58,9 +58,12 @@ from pennsieve_streaming_spark.llm.hashing import (
     poly_hash_duck,
 )
 from pennsieve_streaming_spark.llm.curation import (
+    block_dedup,
     contamination,
+    curate_corpus,
     mixture_weights,
     pack_sequences,
+    pii_scrub,
     repetition_stats,
     source_best,
     stratified_sample,
@@ -629,6 +632,30 @@ def q_mix_weights(spark, sf_dir):
     return mixture_weights(_docs(spark, sf_dir))
 
 
+BLOCK_TOKENS = 4
+BLOCK_MAX_DF = 2
+
+
+def q_block_dedup(spark, sf_dir):
+    return block_dedup(
+        _docs(spark, sf_dir),
+        block_tokens=BLOCK_TOKENS,
+        max_doc_freq=BLOCK_MAX_DF,
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    return pii_scrub(_docs(spark, sf_dir))
+
+
+def q_corpus_curation(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    return curate_corpus(
+        docs, bench, SAMPLE_RATES, pack_budget=PACK_BUDGET
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ts_window_query": q_window,
@@ -687,6 +714,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_sequences": q_pack_sequences,
         "doc_source_best": q_source_best,
         "doc_mix_weights": q_mix_weights,
+        "doc_block_dedup": q_block_dedup,
+        "doc_pii_scrub": q_pii_scrub,
+        "doc_corpus_curation": q_corpus_curation,
     }
 
 
@@ -1261,6 +1291,141 @@ def oracle_sql() -> dict[str, str]:
                (CAST(1 AS DOUBLE) / n_sources)
                  / (n_tokens / CAST(total_tokens AS DOUBLE)) AS weight
         FROM c CROSS JOIN tot
+        """
+
+    # --- block boilerplate dedup -------------------------------------------
+
+    B, BDF = BLOCK_TOKENS, BLOCK_MAX_DF
+    _blocks = (
+        f"CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE list_transform(generate_series(1, CAST(ceil(len(toks) / {B}.0) AS INT)), "
+        f"i -> array_to_string(list_transform("
+        f"generate_series((i - 1) * {B} + 1, least(len(toks), i * {B})), "
+        f"j -> toks[j]), ' ')) END"
+    )
+    PH_U = md5_hash64_duck("u")
+    sql["doc_block_dedup"] = f"""
+        WITH doc_toks AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+        blocks AS (
+          SELECT doc_id, {_blocks} AS units FROM doc_toks
+        ),
+        with_h AS (
+          SELECT doc_id, units,
+                 list_transform(units, u -> {PH_U}) AS hs
+          FROM blocks
+        ),
+        occ AS (
+          SELECT DISTINCT doc_id, UNNEST(hs) AS h FROM with_h
+        ),
+        dfreq AS (SELECT h, COUNT(*) AS c FROM occ GROUP BY h),
+        boiler AS (
+          SELECT COALESCE(list_sort(list(h)), CAST([] AS BIGINT[])) AS barr
+          FROM dfreq WHERE c > {BDF}
+        )
+        SELECT doc_id,
+               CAST(len(units) AS BIGINT) AS n_units,
+               CAST(len(units) - len(kept) AS BIGINT) AS n_dropped,
+               COALESCE(array_to_string(kept, ' '), '') AS clean_text
+        FROM (
+          SELECT doc_id, units,
+                 list_transform(
+                   list_filter(generate_series(1, len(units)),
+                               i -> NOT list_contains(barr, hs[i])),
+                   i -> units[i]) AS kept
+          FROM with_h CROSS JOIN boiler
+        )
+        """
+
+    # --- PII scrub ---------------------------------------------------------
+
+    from pennsieve_streaming_spark.llm.curation import PII_PATTERNS
+
+    _stages = []
+    for i, (_name, pat, repl) in enumerate(PII_PATTERNS, start=1):
+        p = pat.replace("'", "''")
+        _stages.append(
+            f"s{i} AS (SELECT doc_id, "
+            + (f"c{i - 1} + " if i > 1 else "")
+            + f"CAST(len(regexp_extract_all(t, '{p}')) AS BIGINT) AS c{i}, "
+            f"regexp_replace(t, '{p}', '{repl}', 'g') AS t FROM s{i - 1})"
+        )
+    _n = len(PII_PATTERNS)
+    sql["doc_pii_scrub"] = (
+        "WITH s0 AS (SELECT doc_id, text AS t FROM documents), "
+        + ", ".join(_stages)
+        + f" SELECT doc_id, c{_n} AS n_redactions, t AS clean_text FROM s{_n}"
+    )
+
+    # --- composed corpus curation ------------------------------------------
+
+    sql["doc_corpus_curation"] = f"""
+        WITH doc_toks AS (
+          SELECT doc_id, lang, source, text, {TOKS} AS toks FROM documents
+        ),
+        q AS (
+          SELECT doc_id,
+                 (CASE WHEN length(text) = 0 THEN CAST(0 AS DOUBLE)
+                       ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                            / CAST(length(text) AS DOUBLE) END) * 0.5e0
+                 + len(list_filter(toks, t -> list_contains([{_stop_arr}], lower(t))))
+                   / CAST(len(toks) AS DOUBLE) * 0.3e0
+                 + least(CAST(len(toks) AS BIGINT), 200)
+                   / CAST(200.0 AS DOUBLE) * 0.2e0 AS quality
+          FROM doc_toks
+        ),
+        rep AS (
+          SELECT doc_id, {_dup_ratio_duck(3)} AS dup_3gram_ratio FROM doc_toks
+        ),
+        grams AS (
+          SELECT doc_id, UNNEST({_ngram_duck(3)}) AS s FROM doc_toks
+        ),
+        doc_sh AS (SELECT DISTINCT doc_id, {PH_S} AS sh FROM grams),
+        bench AS (
+          SELECT DISTINCT sh FROM doc_sh WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+        ),
+        ov AS (
+          SELECT d.doc_id, COUNT(*) AS n_sh, COUNT(b.sh) AS n_ov
+          FROM doc_sh d LEFT JOIN bench b USING (sh) GROUP BY d.doc_id
+        ),
+        contam AS (
+          SELECT t.doc_id,
+                 CASE WHEN COALESCE(ov.n_sh, 0) = 0 THEN CAST(0 AS DOUBLE)
+                      ELSE ov.n_ov / CAST(ov.n_sh AS DOUBLE)
+                 END AS overlap_ratio
+          FROM doc_toks t LEFT JOIN ov ON t.doc_id = ov.doc_id
+        ),
+        kept AS (
+          SELECT d.doc_id, d.lang, d.source, q.quality,
+                 rep.dup_3gram_ratio, contam.overlap_ratio,
+                 {_u} AS sample_u
+          FROM doc_toks d
+          JOIN q USING (doc_id) JOIN rep USING (doc_id)
+          JOIN contam USING (doc_id)
+          WHERE {_u} < ({_rate})
+            AND q.quality >= 0.3
+            AND rep.dup_3gram_ratio <= 0.2
+            AND contam.overlap_ratio <= 0.5
+        ),
+        surv AS (
+          SELECT t.doc_id, t.source, {N_TOKENS_DUCK} AS n_tokens
+          FROM doc_toks t JOIN kept USING (doc_id)
+        ),
+        packed AS (
+          SELECT doc_id, n_tokens,
+                 CAST(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) - n_tokens AS tok_offset
+          FROM surv
+        )
+        SELECT k.doc_id, k.lang, k.source, k.quality, k.dup_3gram_ratio,
+               k.overlap_ratio, k.sample_u, p.n_tokens, p.tok_offset,
+               CAST(FLOOR(p.tok_offset / {PACK_BUDGET}) AS BIGINT) AS start_seq,
+               CAST(CASE WHEN p.n_tokens = 0
+                         THEN FLOOR(p.tok_offset / {PACK_BUDGET})
+                         ELSE FLOOR((p.tok_offset + p.n_tokens - 1) / {PACK_BUDGET})
+                    END AS BIGINT) AS end_seq
+        FROM kept k JOIN packed p USING (doc_id)
         """
 
     sql["doc_minhash_signatures"] = f"WITH {MINHASH_PRE} SELECT doc_id, j, minhash FROM mh"

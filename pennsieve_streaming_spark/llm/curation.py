@@ -255,6 +255,158 @@ def pack_sequences(
     )
 
 
+def _unit_dedup(
+    docs_units: DataFrame, max_doc_freq: int, sep: str
+) -> DataFrame:
+    """Shared engine for line/block boilerplate removal.
+
+    Input: (doc_id, units array<string>) with units in document order.
+    A unit is *boilerplate* when its document frequency (number of
+    distinct documents containing it) exceeds ``max_doc_freq``; every
+    occurrence of a boilerplate unit is removed and the survivors are
+    re-joined with ``sep``.
+
+    Scale (100 TB corpus):
+    - only 8-byte unit hashes ever shuffle (one explode of the per-doc
+      DISTINCT hash set -> groupBy count); unit *text* never leaves its
+      row.
+    - the boilerplate set (df > threshold) is Zipf-small relative to
+      the corpus; it collapses to ONE sorted-array row and broadcasts —
+      the same shape as ``contamination``'s benchmark set. Removal is
+      then a row-local array filter, no join of the corpus.
+    - reassembly is `concat_ws` inside the same projection — no window,
+      no re-sort, because units never left their document.
+
+    Output: (doc_id, n_units, n_dropped, clean_text).
+    """
+    from pennsieve_streaming_spark.llm.hashing import md5_hash64_expr
+
+    with_h = docs_units.select(
+        "doc_id",
+        "units",
+        F.expr(
+            f"transform(units, u -> {md5_hash64_expr('u')})"
+        ).alias("hs"),
+    )
+    boiler = (
+        with_h.select(
+            "doc_id", F.explode(F.expr("array_distinct(hs)")).alias("h")
+        )
+        .groupBy("h")
+        .count()
+        .where(F.col("count") > max_doc_freq)
+        .agg(F.array_sort(F.collect_list("h")).alias("boiler"))
+    )
+    # sequence(1, 0) yields [1, 0] (descending), not [] — guard the
+    # empty-units case explicitly.
+    kept = (
+        "CASE WHEN size(units) = 0 THEN array() "
+        "ELSE transform(filter(sequence(1, size(units)), "
+        "i -> NOT array_contains(boiler, element_at(hs, i))), "
+        "i -> element_at(units, i)) END"
+    )
+    sep_lit = sep.replace("\\", "\\\\").replace("'", "\\'")
+    return (
+        with_h.crossJoin(F.broadcast(boiler))
+        .select(
+            "doc_id",
+            F.expr("size(units)").cast("long").alias("n_units"),
+            F.expr(kept).alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_units",
+            (F.col("n_units") - F.expr("size(kept)")).cast("long").alias(
+                "n_dropped"
+            ),
+            F.expr(f"concat_ws('{sep_lit}', kept)").alias("clean_text"),
+        )
+    )
+
+
+def line_dedup(
+    documents: DataFrame, max_doc_freq: int = 2, sep: str = "\n"
+) -> DataFrame:
+    """CCNet-style boilerplate-line removal: drop every line that
+    appears in more than ``max_doc_freq`` distinct documents (nav bars,
+    cookie banners, license headers), preserving the order of the
+    surviving lines.
+
+    Output: (doc_id, n_units, n_dropped, clean_text).
+    """
+    sep_lit = sep.replace("\\", "\\\\").replace("'", "\\'")
+    units = documents.select(
+        "doc_id", F.expr(f"split(text, '{sep_lit}', -1)").alias("units")
+    )
+    return _unit_dedup(units, max_doc_freq, sep)
+
+
+def block_dedup(
+    documents: DataFrame, block_tokens: int = 4, max_doc_freq: int = 2
+) -> DataFrame:
+    """Boilerplate removal over non-overlapping ``block_tokens``-word
+    blocks — the line-dedup semantics for corpora without line
+    structure (each block plays the role of a line).
+
+    Blocks are built with `slice` per position — O(block) per block,
+    O(tokens) per document.
+
+    Output: (doc_id, n_units, n_dropped, clean_text).
+    """
+    b = block_tokens
+    blocks = (
+        f"CASE WHEN length(trim(text)) = 0 THEN array() "
+        f"ELSE transform(sequence(1, CAST(ceil(size(toks) / {b}.0) AS INT)), "
+        f"i -> concat_ws(' ', slice(toks, (i - 1) * {b} + 1, {b}))) END"
+    )
+    units = documents.select(
+        "doc_id", F.expr(TOKS).alias("toks"), "text"
+    ).select("doc_id", F.expr(blocks).alias("units"))
+    return _unit_dedup(units, max_doc_freq, " ")
+
+
+# (pattern, replacement) applied IN ORDER — order matters: emails are
+# scrubbed before phones so an address's digit runs can't re-match.
+# RE2-compatible subset (no lookaround, no backrefs) so Spark (Java
+# regex) and the DuckDB oracle (RE2) agree.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9() .-]{7,}[0-9]\b", "<PHONE>"),
+]
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """Regex PII redaction (emails, SSNs, IPv4s, phone-like digit
+    runs) — the scrub step a pretraining pipeline runs before packing.
+
+    Patterns apply sequentially, each to the previous stage's output,
+    and each stage's match count is taken on the text it actually saw —
+    so counts are exact even when pattern domains overlap (a phone
+    never double-counts inside an already-scrubbed email).
+
+    Output: (doc_id, n_redactions, clean_text). Pure `regexp_replace` /
+    `regexp_count` projections: one narrow map, whole-stage codegen,
+    zero shuffle at any corpus size.
+    """
+    df = documents.select("doc_id", F.col("text").alias("clean_text"))
+    total = F.lit(0).cast("long")
+    for _name, pat, repl in PII_PATTERNS:
+        total = total + F.regexp_count("clean_text", F.lit(pat)).cast("long")
+        df = df.select(
+            "doc_id",
+            total.alias("_n"),
+            F.regexp_replace("clean_text", pat, repl).alias("clean_text"),
+        )
+        total = F.col("_n")
+    return df.select(
+        "doc_id",
+        F.col("_n").alias("n_redactions"),
+        "clean_text",
+    )
+
+
 def source_best(documents: DataFrame) -> DataFrame:
     """Per-domain representative selection (URL/domain-level dedup):
     keep each source's highest-quality document, tie-broken to the
@@ -287,6 +439,72 @@ def source_best(documents: DataFrame) -> DataFrame:
             "n_docs",
             F.col("best.q").alias("best_quality"),
         )
+    )
+
+
+def curate_corpus(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    rates: dict[str, float],
+    quality_min: float = 0.3,
+    max_dup3: float = 0.2,
+    contam_threshold: float = 0.5,
+    pack_budget: int = 256,
+) -> DataFrame:
+    """The full corpus-curation pipeline as ONE Spark plan: quality
+    floor -> repetition filter -> benchmark decontamination ->
+    deterministic per-language downsampling -> sequence packing of the
+    survivors.
+
+    This is the assembly a pretraining data build runs end-to-end;
+    expressing it as a single DataFrame lets Catalyst fuse the narrow
+    stages (quality/repetition/contamination/sampling are all
+    projections + filters over one scan of `documents`) and share the
+    benchmark broadcast.
+
+    Output: (doc_id, lang, source, quality, dup_3gram_ratio,
+    overlap_ratio, sample_u, n_tokens, tok_offset, start_seq, end_seq)
+    for every document that survives all four gates, packed per source
+    shard.
+
+    Scale: the only shuffles are the equi-joins on doc_id (AQE-handled,
+    text column dropped before every join) and the per-shard packing
+    window; each filter stage is a narrow map.
+    """
+    from pennsieve_streaming_spark.llm.text import quality_score
+
+    q = quality_score(documents).select("doc_id", "quality")
+    rep = repetition_stats(documents).select("doc_id", "dup_3gram_ratio")
+    con = contamination(
+        documents, benchmark, threshold=contam_threshold
+    ).select("doc_id", "overlap_ratio")
+    sample = stratified_sample(documents, rates)
+    kept = (
+        sample.join(q, "doc_id")
+        .join(rep, "doc_id")
+        .join(con, "doc_id")
+        .where(
+            (F.col("quality") >= quality_min)
+            & (F.col("dup_3gram_ratio") <= max_dup3)
+            & (F.col("overlap_ratio") <= contam_threshold)
+        )
+    )
+    packed = pack_sequences(
+        documents.join(kept.select("doc_id"), "doc_id"),
+        budget=pack_budget,
+    )
+    return kept.join(packed.drop("source"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "source",
+        "quality",
+        "dup_3gram_ratio",
+        "overlap_ratio",
+        "sample_u",
+        "n_tokens",
+        "tok_offset",
+        "start_seq",
+        "end_seq",
     )
 
 

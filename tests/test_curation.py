@@ -13,9 +13,13 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pennsieve_streaming_spark.llm.curation import (  # noqa: E402
+    block_dedup,
     contamination,
+    curate_corpus,
+    line_dedup,
     mixture_weights,
     pack_sequences,
+    pii_scrub,
     repetition_stats,
     source_best,
     stratified_sample,
@@ -167,3 +171,142 @@ def test_mixture_weights(docs):
 def test_mixture_weights_no_window_over_corpus(docs):
     plan = mixture_weights(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
+
+
+def test_line_dedup(spark):
+    header = "COOKIE BANNER"
+    footer = "all rights reserved"
+    rows = [
+        (0, f"{header}\nunique zero\n{footer}", "en", "s"),
+        (1, f"{header}\nunique one\n{footer}", "en", "s"),
+        (2, f"{header}\nunique two\n{footer}", "en", "s"),
+        (3, "no boilerplate here\nat all", "en", "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in line_dedup(docs, max_doc_freq=2).collect()}
+    # header+footer appear in 3 docs (> 2) -> dropped everywhere
+    assert out[0]["clean_text"] == "unique zero"
+    assert out[1]["clean_text"] == "unique one"
+    assert out[0]["n_units"] == 3 and out[0]["n_dropped"] == 2
+    # untouched doc keeps every line in order
+    assert out[3]["clean_text"] == "no boilerplate here\nat all"
+    assert out[3]["n_dropped"] == 0
+    # raising the threshold keeps everything
+    loose = {r["doc_id"]: r["n_dropped"] for r in line_dedup(docs, max_doc_freq=3).collect()}
+    assert all(v == 0 for v in loose.values())
+
+
+def test_line_dedup_all_boilerplate_doc(spark):
+    rows = [(i, "same\nsame", "en", "s") for i in range(4)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = line_dedup(docs, max_doc_freq=2).collect()
+    assert all(r["clean_text"] == "" and r["n_dropped"] == 2 for r in out)
+
+
+def test_block_dedup(spark, docs):
+    out = {r["doc_id"]: r.asDict() for r in block_dedup(docs, block_tokens=4, max_doc_freq=4).collect()}
+    # nothing exceeds df=4 in this corpus -> identity reassembly
+    assert out[0]["clean_text"] == "a b c d e f g h"
+    assert out[0]["n_units"] == 2 and out[0]["n_dropped"] == 0
+    # empty doc: zero units, empty clean text (sequence(1,0) guard)
+    assert out[4]["n_units"] == 0 and out[4]["clean_text"] == ""
+    # 9 tokens -> 3 blocks, last block is the 1-token remainder
+    assert out[2]["n_units"] == 3
+
+
+def test_block_dedup_drops_common_blocks(spark):
+    rows = [(i, "common block text here tail " + f"u{i} v{i} w{i}", "en", "s") for i in range(5)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = block_dedup(docs, block_tokens=4, max_doc_freq=2).collect()
+    # the shared first block is in 5 docs -> dropped; unique tail kept
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        i = r["doc_id"]
+        assert r["clean_text"] == f"tail u{i} v{i} w{i}", r["clean_text"]
+        assert r["n_dropped"] == 1
+
+
+def test_unit_dedup_only_hashes_shuffle(spark, docs):
+    """The unit text must never shuffle: the only Exchanges in the plan
+    are the 8-byte-hash df count and its tiny boiler aggregation."""
+    plan = block_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pii_scrub(spark):
+    rows = [
+        (0, "contact bob@example.com or jane.doe+x@sub.domain.org today", "en", "s"),
+        (1, "ssn 123-45-6789 leaked", "en", "s"),
+        (2, "server at 10.0.255.1 port open", "en", "s"),
+        (3, "call +1 (555) 123-4567 now", "en", "s"),
+        (4, "clean text with no pii at all", "en", "s"),
+        (5, "", "en", "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in pii_scrub(docs).collect()}
+    assert out[0]["clean_text"] == "contact <EMAIL> or <EMAIL> today"
+    assert out[0]["n_redactions"] == 2
+    assert out[1]["clean_text"] == "ssn <SSN> leaked"
+    assert out[2]["clean_text"] == "server at <IP> port open"
+    assert out[3]["clean_text"] == "call <PHONE> now"
+    assert out[4]["clean_text"] == rows[4][1] and out[4]["n_redactions"] == 0
+    assert out[5]["n_redactions"] == 0
+
+
+def test_pii_scrub_no_double_count(spark):
+    """An email's digits must not re-match as a phone after scrubbing."""
+    docs = spark.createDataFrame(
+        [(0, "mail 555123456789@spam.com end", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    r = pii_scrub(docs).collect()[0]
+    assert r["clean_text"] == "mail <EMAIL> end"
+    assert r["n_redactions"] == 1
+
+
+def test_pii_scrub_shuffle_free(spark, docs):
+    plan = pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_curate_corpus(spark):
+    rows = []
+    for i in range(40):
+        # per-doc-unique words: zero shingle overlap with the benchmark
+        # doc (doc 0) for every other doc
+        text = " ".join(f"word{i}n{j}" for j in range(12))
+        rows.append((i, text, "en", f"s{i % 2}"))
+    # low-quality doc (no alpha), repetitive doc, and a doc overlapping the benchmark
+    rows.append((100, "1 2 3 4 5 6 7 8 9 10 11 12", "en", "s0"))
+    rows.append((101, "spam spam spam spam spam spam spam spam", "en", "s1"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    bench = docs.filter(F.col("doc_id") == 0)
+    out = curate_corpus(docs, bench, {"en": 1.0}, quality_min=0.2, pack_budget=16)
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    # the repetitive doc fails the dup-3gram gate
+    assert 101 not in got
+    # doc 0 IS the benchmark -> contaminated with itself -> dropped
+    assert 0 not in got
+    # survivors carry packing coordinates consistent per shard
+    for r in got.values():
+        assert r["start_seq"] == r["tok_offset"] // 16
+    # offsets are a proper running sum per source among survivors
+    for src in ("s0", "s1"):
+        ordered = sorted(
+            (v for v in got.values() if v["source"] == src),
+            key=lambda v: v["doc_id"],
+        )
+        off = 0
+        for v in ordered:
+            assert v["tok_offset"] == off
+            off += v["n_tokens"]
