@@ -73,7 +73,22 @@ def _ngram_expr(n: int, toks: str = "toks") -> str:
     )
 
 
-def repetition_stats(documents: DataFrame) -> DataFrame:
+def _hashed_ngram_expr(n: int, ths: str = "ths") -> str:
+    """SQL expr: array of 64-bit n-gram hashes built arithmetically
+    from per-token hashes — no n-gram *string* is ever materialized.
+    Distinct counts (hence dup ratios) equal the string formulation's
+    except on 64-bit collisions (~n²/2⁶⁵ per doc — negligible)."""
+    if n == 1:
+        return ths
+    args = ", ".join(f"element_at({ths}, i + {j})" for j in range(n))
+    return (
+        f"CASE WHEN size({ths}) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size({ths}) - {n - 1}), "
+        f"i -> xxhash64({args})) END"
+    )
+
+
+def repetition_stats(documents: DataFrame, fast: bool = False) -> DataFrame:
     """Within-document repetition signals (the Gopher-style filter):
     the fraction of word n-gram occurrences that are duplicates of an
     earlier occurrence, for n = 1, 2, 3.
@@ -87,10 +102,15 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
 
     One narrow map, no explode: the n-gram arrays live and die inside
     a single row's projection.
+
+    ``fast=True`` counts distinct 64-bit n-gram *hashes* (built
+    arithmetically from token hashes, no string concat) instead of
+    distinct n-gram strings — ~4× faster, identical ratios except on
+    64-bit collisions; keep the default for DuckDB-replayable runs.
     """
 
     def ratio(n: int) -> str:
-        g = _ngram_expr(n)
+        g = _hashed_ngram_expr(n) if fast else _ngram_expr(n)
         return (
             f"CASE WHEN length(trim(text)) = 0 OR size({g}) = 0 "
             "THEN CAST(0 AS DOUBLE) "
@@ -98,9 +118,16 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
             f"- size(array_distinct({g})) / CAST(size({g}) AS DOUBLE) END"
         )
 
-    return documents.select(
-        "doc_id", F.expr(TOKS).alias("toks"), "text"
-    ).select(
+    base = documents.select("doc_id", F.expr(TOKS).alias("toks"), "text")
+    if fast:
+        base = base.select(
+            "doc_id",
+            "text",
+            "toks",
+            F.expr("transform(toks, t -> xxhash64(t))").alias("ths"),
+        )
+
+    return base.select(
         "doc_id",
         F.expr(N_TOKENS).alias("n_tokens"),
         F.expr(ratio(1)).alias("dup_1gram_ratio"),

@@ -57,6 +57,14 @@ def test_repetition_stats(docs):
     assert out[4]["dup_1gram_ratio"] == 0.0
 
 
+def test_repetition_fast_hash_same_result(docs):
+    """Hashed-ngram fast path must reproduce the string-distinct
+    ratios exactly (collision-free on any test-size corpus)."""
+    slow = sorted(map(tuple, repetition_stats(docs).collect()))
+    fast = sorted(map(tuple, repetition_stats(docs, fast=True).collect()))
+    assert slow == fast
+
+
 def test_repetition_is_shuffle_free(docs):
     plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
