@@ -88,6 +88,19 @@ def _hashed_ngram_expr(n: int, ths: str = "ths") -> str:
     )
 
 
+def dup_ratio_expr(n: int, fast: bool = False) -> str:
+    """SQL expr for the duplicate-n-gram ratio over existing ``toks``
+    (and, when ``fast``, ``ths``) columns plus ``text``. Shared by the
+    batch and streaming curation paths."""
+    g = _hashed_ngram_expr(n) if fast else _ngram_expr(n)
+    return (
+        f"CASE WHEN length(trim(text)) = 0 OR size({g}) = 0 "
+        "THEN CAST(0 AS DOUBLE) "
+        f"ELSE CAST(1 AS DOUBLE) "
+        f"- size(array_distinct({g})) / CAST(size({g}) AS DOUBLE) END"
+    )
+
+
 def repetition_stats(documents: DataFrame, fast: bool = False) -> DataFrame:
     """Within-document repetition signals (the Gopher-style filter):
     the fraction of word n-gram occurrences that are duplicates of an
@@ -109,15 +122,6 @@ def repetition_stats(documents: DataFrame, fast: bool = False) -> DataFrame:
     64-bit collisions; keep the default for DuckDB-replayable runs.
     """
 
-    def ratio(n: int) -> str:
-        g = _hashed_ngram_expr(n) if fast else _ngram_expr(n)
-        return (
-            f"CASE WHEN length(trim(text)) = 0 OR size({g}) = 0 "
-            "THEN CAST(0 AS DOUBLE) "
-            f"ELSE CAST(1 AS DOUBLE) "
-            f"- size(array_distinct({g})) / CAST(size({g}) AS DOUBLE) END"
-        )
-
     base = documents.select("doc_id", F.expr(TOKS).alias("toks"), "text")
     if fast:
         base = base.select(
@@ -130,9 +134,33 @@ def repetition_stats(documents: DataFrame, fast: bool = False) -> DataFrame:
     return base.select(
         "doc_id",
         F.expr(N_TOKENS).alias("n_tokens"),
-        F.expr(ratio(1)).alias("dup_1gram_ratio"),
-        F.expr(ratio(2)).alias("dup_2gram_ratio"),
-        F.expr(ratio(3)).alias("dup_3gram_ratio"),
+        F.expr(dup_ratio_expr(1, fast)).alias("dup_1gram_ratio"),
+        F.expr(dup_ratio_expr(2, fast)).alias("dup_2gram_ratio"),
+        F.expr(dup_ratio_expr(3, fast)).alias("dup_3gram_ratio"),
+    )
+
+
+def shingle_hash_arr_expr(k: int, fast_hash: bool = False) -> str:
+    """SQL expr: the per-document DISTINCT word-k-shingle hash array,
+    built row-locally over an existing ``toks`` column."""
+    from pennsieve_streaming_spark.llm.hashing import md5_hash64_expr
+
+    hash_of = (lambda c: f"xxhash64({c})") if fast_hash else md5_hash64_expr
+    grams = _ngram_expr(k)
+    return f"array_distinct(transform({grams}, s -> {hash_of('s')}))"
+
+
+def benchmark_shingle_set(
+    benchmark: DataFrame, k: int = 3, fast_hash: bool = False
+) -> DataFrame:
+    """The benchmark corpus collapsed to ONE row: its sorted distinct
+    shingle-hash array (benchmarks are MBs — broadcastable)."""
+    sh_arr = shingle_hash_arr_expr(k, fast_hash)
+    return (
+        benchmark.select(F.expr(TOKS).alias("toks"))
+        .select(F.explode(F.expr(sh_arr)).alias("sh"))
+        .distinct()
+        .agg(F.array_sort(F.collect_list("sh")).alias("bench_sh"))
     )
 
 
@@ -162,17 +190,8 @@ def contamination(
     are hash-agnostic as long as the two sides agree) — ~4× faster on
     a 2M-doc probe; keep the default for DuckDB-replayable runs.
     """
-    from pennsieve_streaming_spark.llm.hashing import md5_hash64_expr
-
-    hash_of = (lambda c: f"xxhash64({c})") if fast_hash else md5_hash64_expr
-    grams = _ngram_expr(k)
-    sh_arr = f"array_distinct(transform({grams}, s -> {hash_of('s')}))"
-    bench_set = (
-        benchmark.select(F.expr(TOKS).alias("toks"))
-        .select(F.explode(F.expr(sh_arr)).alias("sh"))
-        .distinct()
-        .agg(F.array_sort(F.collect_list("sh")).alias("bench_sh"))
-    )
+    sh_arr = shingle_hash_arr_expr(k, fast_hash)
+    bench_set = benchmark_shingle_set(benchmark, k, fast_hash)
     # per-doc DISTINCT shingle-hash array, built row-locally (same
     # hash expression as dedup.shingles, but without the explode).
     docs = documents.select(
@@ -216,22 +235,33 @@ def stratified_sample(
     Scale: narrow filter, zero shuffle; pushes down past column
     pruning to the scan.
     """
-    rate_expr = "CASE lang " + " ".join(
-        f"WHEN '{lang}' THEN CAST({rate!r} AS DOUBLE)"
-        for lang, rate in sorted(rates.items())
-    ) + f" ELSE CAST({default_rate!r} AS DOUBLE) END"
-    # mod BEFORE multiplying so the product stays < 2^63 even for
-    # petabyte-scale doc_id ranges (1e9 * 2.65e9 < 9.2e18).
-    u = (
-        f"((((doc_id % {SAMPLE_MOD}) * {SAMPLE_MULT} + {salt}) "
-        f"% {SAMPLE_MOD}) % {SAMPLE_BUCKETS}) "
-        f"/ CAST({SAMPLE_BUCKETS} AS DOUBLE)"
-    )
+    rate_expr = rate_case_expr(rates, default_rate)
+    u = sample_u_expr(salt)
     return (
         documents.select(
             "doc_id", "lang", "source", F.expr(u).alias("sample_u")
         )
         .where(F.expr(f"sample_u < ({rate_expr})"))
+    )
+
+
+def rate_case_expr(rates: dict[str, float], default_rate: float = 0.0) -> str:
+    """SQL expr: the per-language sampling rate CASE over ``lang``."""
+    return "CASE lang " + " ".join(
+        f"WHEN '{lang}' THEN CAST({rate!r} AS DOUBLE)"
+        for lang, rate in sorted(rates.items())
+    ) + f" ELSE CAST({default_rate!r} AS DOUBLE) END"
+
+
+def sample_u_expr(salt: int = 0) -> str:
+    """SQL expr: the deterministic sampling coordinate in [0, 1).
+
+    mod BEFORE multiplying so the product stays < 2^63 even for
+    petabyte-scale doc_id ranges (1e9 * 2.65e9 < 9.2e18)."""
+    return (
+        f"((((doc_id % {SAMPLE_MOD}) * {SAMPLE_MULT} + {salt}) "
+        f"% {SAMPLE_MOD}) % {SAMPLE_BUCKETS}) "
+        f"/ CAST({SAMPLE_BUCKETS} AS DOUBLE)"
     )
 
 
@@ -404,6 +434,23 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+def with_pii_scrub(documents: DataFrame) -> DataFrame:
+    """``documents`` + (n_redactions, clean_text), all input columns
+    preserved — the streaming-safe keep-everything form of
+    ``pii_scrub`` (pure projections, zero shuffle)."""
+    df = documents.withColumn("clean_text", F.col("text"))
+    total = F.lit(0).cast("long")
+    for _name, pat, repl in PII_PATTERNS:
+        df = df.withColumn(
+            "_n",
+            total + F.regexp_count("clean_text", F.lit(pat)).cast("long"),
+        ).withColumn(
+            "clean_text", F.regexp_replace("clean_text", pat, repl)
+        )
+        total = F.col("_n")
+    return df.withColumnRenamed("_n", "n_redactions")
+
+
 def pii_scrub(documents: DataFrame) -> DataFrame:
     """Regex PII redaction (emails, SSNs, IPv4s, phone-like digit
     runs) — the scrub step a pretraining pipeline runs before packing.
@@ -417,20 +464,8 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
     `regexp_count` projections: one narrow map, whole-stage codegen,
     zero shuffle at any corpus size.
     """
-    df = documents.select("doc_id", F.col("text").alias("clean_text"))
-    total = F.lit(0).cast("long")
-    for _name, pat, repl in PII_PATTERNS:
-        total = total + F.regexp_count("clean_text", F.lit(pat)).cast("long")
-        df = df.select(
-            "doc_id",
-            total.alias("_n"),
-            F.regexp_replace("clean_text", pat, repl).alias("clean_text"),
-        )
-        total = F.col("_n")
-    return df.select(
-        "doc_id",
-        F.col("_n").alias("n_redactions"),
-        "clean_text",
+    return with_pii_scrub(documents).select(
+        "doc_id", "n_redactions", "clean_text"
     )
 
 
@@ -483,44 +518,65 @@ def curate_corpus(
     deterministic per-language downsampling -> sequence packing of the
     survivors.
 
-    This is the assembly a pretraining data build runs end-to-end;
-    expressing it as a single DataFrame lets Catalyst fuse the narrow
-    stages (quality/repetition/contamination/sampling are all
-    projections + filters over one scan of `documents`) and share the
-    benchmark broadcast.
+    Every gate statistic is row-local, so the whole thing is ONE scan
+    of `documents` (a join-per-stage formulation scans the corpus once
+    per stat — 11 FileScans in the plan; this formulation shows 2: the
+    corpus and the benchmark). The only shuffle is the per-shard
+    packing window over the survivors; the benchmark set rides in as a
+    1-row broadcast.
 
     Output: (doc_id, lang, source, quality, dup_3gram_ratio,
     overlap_ratio, sample_u, n_tokens, tok_offset, start_seq, end_seq)
     for every document that survives all four gates, packed per source
     shard.
-
-    Scale: the only shuffles are the equi-joins on doc_id (AQE-handled,
-    text column dropped before every join) and the per-shard packing
-    window; each filter stage is a narrow map.
     """
-    from pennsieve_streaming_spark.llm.text import quality_score
+    from pyspark.sql import Window
 
-    q = quality_score(documents).select("doc_id", "quality")
-    rep = repetition_stats(documents).select("doc_id", "dup_3gram_ratio")
-    con = contamination(
-        documents, benchmark, threshold=contam_threshold
-    ).select("doc_id", "overlap_ratio")
-    sample = stratified_sample(documents, rates)
-    kept = (
-        sample.join(q, "doc_id")
-        .join(rep, "doc_id")
-        .join(con, "doc_id")
-        .where(
-            (F.col("quality") >= quality_min)
-            & (F.col("dup_3gram_ratio") <= max_dup3)
-            & (F.col("overlap_ratio") <= contam_threshold)
+    from pennsieve_streaming_spark.llm.text import with_quality
+
+    bench_set = benchmark_shingle_set(benchmark, k=3)
+    base = (
+        with_quality(documents)
+        .withColumn("toks", F.expr(TOKS))
+        .withColumn("dup_3gram_ratio", F.expr(dup_ratio_expr(3)))
+        .withColumn("doc_sh", F.expr(shingle_hash_arr_expr(3)))
+        .withColumn("sample_u", F.expr(sample_u_expr()))
+        .crossJoin(F.broadcast(bench_set))
+        .withColumn(
+            "overlap_ratio",
+            F.expr(
+                "CASE WHEN size(doc_sh) = 0 THEN CAST(0 AS DOUBLE) "
+                "ELSE size(array_intersect(doc_sh, bench_sh)) "
+                "/ CAST(size(doc_sh) AS DOUBLE) END"
+            ),
         )
     )
-    packed = pack_sequences(
-        documents.join(kept.select("doc_id"), "doc_id"),
-        budget=pack_budget,
+    kept = base.where(
+        (F.col("sample_u") < F.expr(f"({rate_case_expr(rates)})"))
+        & (F.col("quality") >= quality_min)
+        & (F.col("dup_3gram_ratio") <= max_dup3)
+        & (F.col("overlap_ratio") <= contam_threshold)
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "quality",
+        "dup_3gram_ratio",
+        "overlap_ratio",
+        "sample_u",
+        # guarded count (whitespace-only text = 0 tokens), matching
+        # pack_sequences
+        F.expr(N_TOKENS).alias("n_tokens"),
     )
-    return kept.join(packed.drop("source"), "doc_id").select(
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = kept.withColumn(
+        "tok_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return packed.select(
         "doc_id",
         "lang",
         "source",
@@ -530,8 +586,15 @@ def curate_corpus(
         "sample_u",
         "n_tokens",
         "tok_offset",
-        "start_seq",
-        "end_seq",
+        F.expr(
+            f"CAST(FLOOR(tok_offset / {pack_budget}) AS BIGINT)"
+        ).alias("start_seq"),
+        F.expr(
+            "CAST(CASE WHEN n_tokens = 0 "
+            f"THEN FLOOR(tok_offset / {pack_budget}) "
+            f"ELSE FLOOR((tok_offset + n_tokens - 1) / {pack_budget}) "
+            "END AS BIGINT)"
+        ).alias("end_seq"),
     )
 
 

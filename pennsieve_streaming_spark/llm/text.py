@@ -69,29 +69,50 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def with_quality(documents: DataFrame) -> DataFrame:
+    """``documents`` + (n_tokens, alpha_ratio, stop_ratio, quality)
+    columns, all input columns preserved.
+
+    A pure projection — no join, no shuffle — so it applies unchanged
+    to a streaming DataFrame (the incremental corpus path in
+    ``streaming/corpus.py``). Catalyst's subexpression elimination
+    collapses the repeated ``split`` into one evaluation.
+    """
+    stop_expr = _marker_count_expr(EN_STOPWORDS, toks=TOKS)
+    return (
+        documents.withColumn(
+            "n_tokens", F.expr(f"size({TOKS})").cast("long")
+        )
+        .withColumn(
+            "alpha_ratio",
+            F.expr(
+                # guard: empty text would divide by zero (ANSI mode)
+                "CASE WHEN length(text) = 0 THEN CAST(0 AS DOUBLE) "
+                "ELSE length(regexp_replace(text, '[^A-Za-z]', '')) "
+                "/ CAST(length(text) AS DOUBLE) END"
+            ),
+        )
+        .withColumn(
+            "stop_ratio",
+            F.expr(f"{stop_expr} / CAST(size({TOKS}) AS DOUBLE)"),
+        )
+        .withColumn(
+            "quality",
+            F.col("alpha_ratio") * 0.5
+            + F.col("stop_ratio") * 0.3
+            + F.least(F.col("n_tokens"), F.lit(200)) / F.lit(200.0) * 0.2,
+        )
+    )
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Heuristic document quality in [0, 1]:
     0.5*alpha_ratio + 0.3*stopword_ratio + 0.2*min(n_tokens,200)/200.
 
     Output: (doc_id, n_tokens, alpha_ratio, stop_ratio, quality).
     """
-    stop_expr = _marker_count_expr(EN_STOPWORDS)
-    df = _with_toks(documents).select(
-        "doc_id",
-        F.expr("size(toks)").cast("long").alias("n_tokens"),
-        F.expr(
-            # guard: empty text would divide by zero (ANSI mode errors)
-            "CASE WHEN length(text) = 0 THEN CAST(0 AS DOUBLE) "
-            "ELSE length(regexp_replace(text, '[^A-Za-z]', '')) "
-            "/ CAST(length(text) AS DOUBLE) END"
-        ).alias("alpha_ratio"),
-        F.expr(f"{stop_expr} / CAST(size(toks) AS DOUBLE)").alias("stop_ratio"),
-    )
-    return df.withColumn(
-        "quality",
-        F.col("alpha_ratio") * 0.5
-        + F.col("stop_ratio") * 0.3
-        + F.least(F.col("n_tokens"), F.lit(200)) / F.lit(200.0) * 0.2,
+    return with_quality(documents).select(
+        "doc_id", "n_tokens", "alpha_ratio", "stop_ratio", "quality"
     )
 
 

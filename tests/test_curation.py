@@ -285,6 +285,18 @@ def test_pii_scrub_shuffle_free(spark, docs):
     assert "Exchange" not in plan, plan
 
 
+def test_curate_corpus_single_scan_plan(spark, docs):
+    """All gate stats are row-local: the corpus must be scanned once
+    (plus the benchmark side), with no sort-merge join anywhere and
+    only the packing window + benchmark aggregation as exchanges."""
+    out = curate_corpus(docs, docs.limit(1), {"en": 1.0})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    # docs fixture is an in-memory relation: count scan nodes of it
+    n_scans = plan.count("ExistingRDD") + plan.count("LocalTableScan")
+    assert n_scans <= 2, plan
+
+
 def test_curate_corpus(spark):
     rows = []
     for i in range(40):
