@@ -469,6 +469,38 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
     )
 
 
+def write_training_shards(
+    packed: DataFrame,
+    path: str,
+    seqs_per_shard: int = 1024,
+    shard_col: str = "source",
+) -> None:
+    """Materialize packed documents as training shards: hive-partition
+    directories ``{shard_col}=…/shard_no=…`` where ``shard_no =
+    start_seq // seqs_per_shard``, documents sorted by doc_id inside
+    each file so a reader streams tokens in packing order with no
+    sort at load time.
+
+    Scale: one shuffle (`repartition` on the output partition key) and
+    a partition-local sort — the standard write path for a sharded
+    corpus. A document spanning a shard boundary (end_seq in the next
+    shard) belongs to the shard of its start_seq; readers that need
+    the tail re-read the first document of the next shard, which is
+    how fixed-size-window training loaders already behave.
+    """
+    out = packed.withColumn(
+        "shard_no",
+        F.expr(f"CAST(FLOOR(start_seq / {seqs_per_shard}) AS BIGINT)"),
+    )
+    (
+        out.repartition(shard_col, "shard_no")
+        .sortWithinPartitions(shard_col, "shard_no", "doc_id")
+        .write.partitionBy(shard_col, "shard_no")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
 def source_best(documents: DataFrame) -> DataFrame:
     """Per-domain representative selection (URL/domain-level dedup):
     keep each source's highest-quality document, tie-broken to the

@@ -74,6 +74,12 @@ def curate_document_stream(
     projections/filters) — tests assert stream == batch on the same
     shards.
 
+    Note: Catalyst inlines the aliased stat expressions into the gate
+    predicate (see NOTES_r3 on the alias-inlining trap), so quality
+    and dup_3gram_ratio are evaluated ~2× per row here. A stream can't
+    take the ``persist`` barrier ``curate_corpus`` uses; 2× on a
+    per-micro-batch narrow map is the accepted cost.
+
     Output: (doc_id, lang, source, quality, dup_3gram_ratio,
     n_redactions, clean_text) for surviving documents.
     """

@@ -285,6 +285,26 @@ def test_pii_scrub_shuffle_free(spark, docs):
     assert "Exchange" not in plan, plan
 
 
+def test_write_training_shards(spark, tmp_path, docs):
+    from pennsieve_streaming_spark.llm.curation import write_training_shards
+
+    packed = pack_sequences(docs, budget=4)
+    out = str(tmp_path / "shards")
+    write_training_shards(packed, out, seqs_per_shard=2)
+    back = spark.read.parquet(out)
+    # round-trips every row, with shard_no derived from start_seq
+    assert back.count() == packed.count()
+    for r in back.collect():
+        assert r["shard_no"] == r["start_seq"] // 2
+    # hive layout: source=... / shard_no=... directories
+    import os as _os
+
+    srcs = {d for d in _os.listdir(out) if d.startswith("source=")}
+    assert srcs == {"source=src0", "source=src1", "source=src2"}
+    inner = _os.listdir(_os.path.join(out, "source=src0"))
+    assert any(d.startswith("shard_no=") for d in inner)
+
+
 def test_curate_corpus_single_scan_plan(spark, docs):
     """All gate stats are row-local: the corpus must be scanned once
     (plus the benchmark side), with no sort-merge join anywhere and
