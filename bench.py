@@ -55,6 +55,24 @@ def main() -> None:
     # warm up the JVM / scheduler so the first query isn't taxed
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Hot-table cache (r2 VERDICT ask #1): the serving layer keeps the
+    # base views resident across requests (QuerySession holds one
+    # samples DataFrame for its whole lifetime), so the bench measures
+    # query compute over warm tables — the deployment shape — instead
+    # of re-paying the parquet scan 17 times. Spark's CacheManager
+    # matches by logical plan, so each query's internally-built view
+    # hits these entries automatically.
+    from pennsieve_streaming_spark import tables as TBL
+
+    for base in (
+        TBL.samples_view(spark, sf_dir),
+        TBL.samples_aligned_view(spark, sf_dir),
+        TBL.chan_events_view(spark, sf_dir),
+        entry._docs(spark, sf_dir),
+        entry._embs(spark, sf_dir),
+    ):
+        base.cache().count()
+
     queries = entry.queries()
     best: dict[str, float] = {name: float("inf") for name in HEADLINE}
     # Round-robin the reps (pass 1 runs every query, then pass 2, ...)
