@@ -1197,20 +1197,16 @@ def oracle_sql() -> dict[str, str]:
         FROM documents t LEFT JOIN ov ON t.doc_id = ov.doc_id
         """
 
+    # the sampling arithmetic and rate CASE are engine-portable SQL —
+    # reuse the Spark-side builders verbatim so the two sides cannot
+    # drift
     from pennsieve_streaming_spark.llm.curation import (
-        SAMPLE_BUCKETS,
-        SAMPLE_MOD,
-        SAMPLE_MULT,
+        rate_case_expr,
+        sample_u_expr,
     )
 
-    _u = (
-        f"((((doc_id % {SAMPLE_MOD}) * {SAMPLE_MULT} + 0) % {SAMPLE_MOD}) "
-        f"% {SAMPLE_BUCKETS}) / CAST({SAMPLE_BUCKETS} AS DOUBLE)"
-    )
-    _rate = "CASE lang " + " ".join(
-        f"WHEN '{lang}' THEN CAST({rate!r} AS DOUBLE)"
-        for lang, rate in sorted(SAMPLE_RATES.items())
-    ) + " ELSE CAST(0.0 AS DOUBLE) END"
+    _u = sample_u_expr(salt=0)
+    _rate = rate_case_expr(SAMPLE_RATES)
     sql["doc_stratified_sample"] = f"""
         SELECT doc_id, lang, source, {_u} AS sample_u
         FROM documents
@@ -1801,10 +1797,10 @@ def _dbl(v: float) -> str:
     return s if ("e" in s or "E" in s) else s + "e0"
 
 
-def _ivf_oracle_sql() -> str:
-    """Replay the IVF pipeline: literal centroids, argmin list
-    assignment via |v|² - 2v·c + |c|² (the same dot-product folds the
-    Spark side uses), n_probe lists per query, exact cosine in-list."""
+def _ivf_cent_fragments() -> tuple[str, str]:
+    """Shared IVF oracle fragments: (VALUES rows for the literal
+    centroid table, the |v|² - 2v·c + |c|² distance template) — one
+    source of truth for emb_ann_ivf and the composed emb_ann_ivf_pq."""
     from pennsieve_streaming_spark.llm.similarity import golden_centroids
 
     cents = golden_centroids(IVF_LISTS, ANN_DIM)
@@ -1816,6 +1812,43 @@ def _ivf_oracle_sql() -> str:
         "list_dot_product({v}, {v}) - 2.0e0 * list_dot_product({v}, t.c) "
         "+ list_dot_product(t.c, t.c)"
     )
+    return rows, d2
+
+
+def _pq_fragments() -> tuple[str, str, str]:
+    """Shared PQ oracle fragments: (codebook literal, per-code distance
+    list expr over `v`, the same over `q`) — one source of truth for
+    emb_ann_pq and the composed emb_ann_ivf_pq. Sequential list_reduce
+    folds mirror Spark's aggregate() exactly."""
+    from pennsieve_streaming_spark.llm.similarity import golden_codebooks
+
+    subdim = ANN_DIM // PQ_M
+    cbs = golden_codebooks(PQ_M, PQ_CODES, subdim)
+    cb_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(
+                "[" + ", ".join(_dbl(x) for x in code) + "]" for code in sub
+            ) + "]"
+            for sub in cbs
+        )
+        + "]"
+    )
+    dist = (
+        f"list_reduce(list_transform(generate_series(1, {subdim}), "
+        f"j -> (v[s * {subdim} + j] - cb[s + 1][c + 1][j])"
+        f" * (v[s * {subdim} + j] - cb[s + 1][c + 1][j])), (a, b) -> a + b)"
+    )
+    dists = f"list_transform(generate_series(0, {PQ_CODES - 1}), c -> {dist})"
+    qdist = dist.replace("v[", "q[")
+    return cb_lit, dists, qdist
+
+
+def _ivf_oracle_sql() -> str:
+    """Replay the IVF pipeline: literal centroids, argmin list
+    assignment via |v|² - 2v·c + |c|² (the same dot-product folds the
+    Spark side uses), n_probe lists per query, exact cosine in-list."""
+    rows, d2 = _ivf_cent_fragments()
     return f"""
         WITH cents AS (SELECT * FROM (VALUES {rows}) t(list_id, c)),
         emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1858,27 +1891,7 @@ def _pq_oracle_sql() -> str:
     """Replay PQ encode (per-subspace argmin over the literal codebook)
     and ADC scoring in DuckDB. Sequential list_reduce folds mirror
     Spark's aggregate() exactly (0 + t1 + ... == t1 + t2 + ...)."""
-    from pennsieve_streaming_spark.llm.similarity import golden_codebooks
-
-    subdim = ANN_DIM // PQ_M
-    cbs = golden_codebooks(PQ_M, PQ_CODES, subdim)
-    cb_lit = (
-        "["
-        + ", ".join(
-            "[" + ", ".join(
-                "[" + ", ".join(_dbl(x) for x in code) + "]" for code in sub
-            ) + "]"
-            for sub in cbs
-        )
-        + "]"
-    )
-    dist = (
-        f"list_reduce(list_transform(generate_series(1, {subdim}), "
-        f"j -> (v[s * {subdim} + j] - cb[s + 1][c + 1][j])"
-        f" * (v[s * {subdim} + j] - cb[s + 1][c + 1][j])), (a, b) -> a + b)"
-    )
-    dists = f"list_transform(generate_series(0, {PQ_CODES - 1}), c -> {dist})"
-    qdist = dist.replace("v[", "q[")
+    cb_lit, dists, qdist = _pq_fragments()
     return f"""
         WITH cbt AS (SELECT {cb_lit} AS cb),
         emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1912,40 +1925,11 @@ def _ivf_pq_oracle_sql() -> str:
     """Replay the composed IVF-PQ pipeline: golden-centroid coarse
     assignment (same d2 algebra as emb_ann_ivf), golden-codebook PQ
     encode + per-query LUT (same construction as emb_ann_pq), ADC
-    scoring restricted to the n_probe probed lists."""
-    from pennsieve_streaming_spark.llm.similarity import (
-        golden_centroids,
-        golden_codebooks,
-    )
-
-    cents = golden_centroids(IVF_LISTS, ANN_DIM)
-    rows = ", ".join(
-        f"({i}, [{', '.join(_dbl(x) for x in c)}]::DOUBLE[])"
-        for i, c in enumerate(cents)
-    )
-    d2 = (
-        "list_dot_product({v}, {v}) - 2.0e0 * list_dot_product({v}, t.c) "
-        "+ list_dot_product(t.c, t.c)"
-    )
-    subdim = ANN_DIM // PQ_M
-    cbs = golden_codebooks(PQ_M, PQ_CODES, subdim)
-    cb_lit = (
-        "["
-        + ", ".join(
-            "[" + ", ".join(
-                "[" + ", ".join(_dbl(x) for x in code) + "]" for code in sub
-            ) + "]"
-            for sub in cbs
-        )
-        + "]"
-    )
-    dist = (
-        f"list_reduce(list_transform(generate_series(1, {subdim}), "
-        f"j -> (v[s * {subdim} + j] - cb[s + 1][c + 1][j])"
-        f" * (v[s * {subdim} + j] - cb[s + 1][c + 1][j])), (a, b) -> a + b)"
-    )
-    dists = f"list_transform(generate_series(0, {PQ_CODES - 1}), c -> {dist})"
-    qdist = dist.replace("v[", "q[")
+    scoring restricted to the n_probe probed lists. All SQL fragments
+    come from the same builders as the stage oracles, so the
+    composition cannot drift from the stages it mirrors."""
+    rows, d2 = _ivf_cent_fragments()
+    cb_lit, dists, qdist = _pq_fragments()
     return f"""
         WITH cents AS (SELECT * FROM (VALUES {rows}) t(list_id, c)),
         cbt AS (SELECT {cb_lit} AS cb),

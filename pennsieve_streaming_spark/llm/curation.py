@@ -45,7 +45,10 @@ SAMPLE_MOD = 1_000_000_007
 SAMPLE_MULT = 2_654_435_761
 SAMPLE_BUCKETS = 10_000
 
-TOKS = "split(trim(text), '\\\\s+')"
+# single source of truth for the tokenizer every oracle's bit-exact
+# parity depends on (batch, streaming, and dedup paths all read it
+# from llm.text)
+from pennsieve_streaming_spark.llm.text import TOKS  # noqa: E402
 # Guarded token count: split('') yields [''], not [] — treat
 # whitespace-only text as zero tokens (same rule as text.token_stats).
 N_TOKENS = (
@@ -391,7 +394,10 @@ def line_dedup(
 
     Output: (doc_id, n_units, n_dropped, clean_text).
     """
-    sep_lit = sep.replace("\\", "\\\\").replace("'", "\\'")
+    # split() takes a REGEX: \Q...\E-quote the separator so
+    # metacharacter seps ('.', '|', '+') split literally, matching the
+    # literal concat_ws on the rejoin side.
+    sep_lit = ("\\\\Q" + sep + "\\\\E").replace("'", "\\'")
     units = documents.select(
         "doc_id", F.expr(f"split(text, '{sep_lit}', -1)").alias("units")
     )
@@ -508,14 +514,17 @@ def source_best(documents: DataFrame) -> DataFrame:
 
     Output: (source, keep_doc_id, n_docs, best_quality).
 
-    Scale: groupBy MAX over a (quality, -doc_id) struct — map-side
-    partial aggregation reduces each partition to |sources| rows
-    before the shuffle; no window over the corpus, no text movement.
+    Scale: one scan — quality is computed in-row (`with_quality`
+    preserves all columns, so no join-back) — then groupBy MAX over a
+    (quality, -doc_id) struct: map-side partial aggregation reduces
+    each partition to |sources| rows before the shuffle; no window
+    over the corpus, no text movement.
     """
-    from pennsieve_streaming_spark.llm.text import quality_score
+    from pennsieve_streaming_spark.llm.text import with_quality
 
-    q = quality_score(documents).select("doc_id", "quality")
-    with_src = documents.select("doc_id", "source").join(q, "doc_id")
+    with_src = with_quality(documents).select(
+        "doc_id", "source", "quality"
+    )
     return (
         with_src.groupBy("source")
         .agg(
@@ -559,7 +568,10 @@ def curate_corpus(
     1-row broadcast.
 
     ``persist_stats`` (default on) caches the narrow text-free stats
-    projection before the gates. Without the barrier, Catalyst's
+    projection before the gates; the cache lives until the session
+    evicts it (LRU) or the caller runs ``spark.catalog.clearCache()``
+    — repeated invocations in one long-lived session should clear or
+    pass ``persist_stats=False``. Without the barrier, Catalyst's
     predicate pushdown inlines each aliased stat expression into its
     filter conjunct and the n-gram/shingle chains are re-evaluated per
     conjunct — measured 392 s vs 34 s at 2M docs (11×). The cached

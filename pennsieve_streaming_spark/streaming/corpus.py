@@ -81,7 +81,11 @@ def curate_document_stream(
     per-micro-batch narrow map is the accepted cost.
 
     Output: (doc_id, lang, source, quality, dup_3gram_ratio,
-    n_redactions, clean_text) for surviving documents.
+    n_redactions, clean_text) for surviving documents. The quality and
+    repetition stats describe the PRE-scrub text (scoring the scrubbed
+    text would let repeated '<EMAIL>' placeholders inflate dup ratios
+    and count placeholder tokens as content); clean_text is what flows
+    downstream.
     """
     out = with_quality(with_pii_scrub(documents))
     out = out.withColumn("toks", F.expr(TOKS)).withColumn(
@@ -113,8 +117,16 @@ def exact_dedup_stream(
     ``watermark=(ts_col, delay)`` the digest state ages out via
     ``dropDuplicatesWithinWatermark`` — the bounded-state production
     shape when duplicates arrive close in time.
+
+    NULL text never dedups: md5(NULL) is NULL and dropDuplicates
+    treats NULL keys as equal, which would collapse every bad crawl
+    record into one survivor — so NULL-text rows get a per-doc digest
+    and all pass through.
     """
-    with_digest = documents.withColumn("digest", F.md5(F.col("text")))
+    with_digest = documents.withColumn(
+        "digest",
+        F.expr("coalesce(md5(text), concat('null:', doc_id))"),
+    )
     if watermark is not None:
         col, delay = watermark
         return with_digest.withWatermark(col, delay).dropDuplicatesWithinWatermark(
@@ -168,13 +180,22 @@ def start_neardup_dedup_stream(
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
+        keys = None
         try:
             keys = _batch_band_keys(
                 batch_df, n_hashes, rows_per_band
             ).persist()
 
+            # Existence check, not a blanket try/except: a transient
+            # read failure (corrupt footer, storage blip) must FAIL the
+            # batch so the checkpoint retries it — swallowing it would
+            # silently skip the history join and append duplicates.
+            jvm_path = spark._jvm.org.apache.hadoop.fs.Path(store_path)
+            fs = jvm_path.getFileSystem(
+                spark._jsc.hadoopConfiguration()
+            )
             hist_hit = None
-            try:
+            if fs.exists(jvm_path):
                 hist = spark.read.parquet(store_path).where(
                     F.col("batch_id") < F.lit(batch_id)
                 )
@@ -183,8 +204,6 @@ def start_neardup_dedup_stream(
                     .select("doc_id")
                     .distinct()
                 )
-            except Exception:
-                pass  # first batch: no store yet
 
             # within-batch: smallest doc_id in a colliding bucket wins
             first = keys.groupBy("band", "band_key").agg(
@@ -214,8 +233,9 @@ def start_neardup_dedup_stream(
             surv_keys.write.mode("overwrite").parquet(
                 f"{store_path}/batch_id={batch_id}"
             )
-            keys.unpersist()
         finally:
+            if keys is not None:
+                keys.unpersist()
             batch_df.unpersist()
 
     return (

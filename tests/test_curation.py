@@ -206,6 +206,22 @@ def test_line_dedup(spark):
     assert all(v == 0 for v in loose.values())
 
 
+def test_line_dedup_metachar_separator(spark):
+    """A regex-metacharacter separator must split literally."""
+    rows = [
+        (0, "keep me.SHARED.also keep", "en", "s"),
+        (1, "other text.SHARED.more text", "en", "s"),
+        (2, "third doc.SHARED.tail bit", "en", "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in line_dedup(docs, max_doc_freq=2, sep=".").collect()}
+    assert out[0]["n_units"] == 3            # not shredded per character
+    assert out[0]["clean_text"] == "keep me.also keep"
+    assert out[0]["n_dropped"] == 1
+
+
 def test_line_dedup_all_boilerplate_doc(spark):
     rows = [(i, "same\nsame", "en", "s") for i in range(4)]
     docs = spark.createDataFrame(

@@ -111,6 +111,18 @@ def test_exact_dedup_stream(spark, shard_dir):
     assert {1, 2, 3, 11, 12} <= ids
 
 
+def test_exact_dedup_stream_null_text_not_collapsed(spark, tmp_path):
+    """Distinct NULL-text rows must all survive (md5(NULL) is NULL and
+    NULL dropDuplicates keys compare equal — guarded by a per-doc
+    digest)."""
+    d = str(tmp_path / "nulls")
+    rows = [(0, None, "en", "s"), (1, None, "en", "s"), (2, "real text", "en", "s")]
+    _write_shard(spark, rows, d)
+    _drain(exact_dedup_stream(read_document_stream(spark, d)), "null_dedup")
+    ids = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM null_dedup").collect()}
+    assert ids == {0, 1, 2}
+
+
 def test_neardup_dedup_stream(spark, tmp_path):
     shards = str(tmp_path / "nd_shards")
     out = str(tmp_path / "nd_out")
