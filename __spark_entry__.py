@@ -64,6 +64,7 @@ from pennsieve_streaming_spark.llm.curation import (
     mixture_weights,
     pack_sequences,
     pii_scrub,
+    quality_thresholds,
     repetition_stats,
     source_best,
     stratified_sample,
@@ -656,6 +657,10 @@ def q_corpus_curation(spark, sf_dir):
     )
 
 
+def q_quality_thresholds(spark, sf_dir):
+    return quality_thresholds(_docs(spark, sf_dir), drop_fraction=0.2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ts_window_query": q_window,
@@ -717,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_block_dedup": q_block_dedup,
         "doc_pii_scrub": q_pii_scrub,
         "doc_corpus_curation": q_corpus_curation,
+        "doc_quality_thresholds": q_quality_thresholds,
     }
 
 
@@ -1422,6 +1428,28 @@ def oracle_sql() -> dict[str, str]:
                          ELSE FLOOR((p.tok_offset + p.n_tokens - 1) / {PACK_BUDGET})
                     END AS BIGINT) AS end_seq
         FROM kept k JOIN packed p USING (doc_id)
+        """
+
+    # --- per-language quality thresholds -----------------------------------
+
+    sql["doc_quality_thresholds"] = f"""
+        WITH doc_toks AS (
+          SELECT doc_id, lang, text, {TOKS} AS toks FROM documents
+        ),
+        q AS (
+          SELECT lang,
+                 (CASE WHEN length(text) = 0 THEN CAST(0 AS DOUBLE)
+                       ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                            / CAST(length(text) AS DOUBLE) END) * 0.5e0
+                 + len(list_filter(toks, t -> list_contains([{_stop_arr}], lower(t))))
+                   / CAST(len(toks) AS DOUBLE) * 0.3e0
+                 + least(CAST(len(toks) AS BIGINT), 200)
+                   / CAST(200.0 AS DOUBLE) * 0.2e0 AS quality
+          FROM doc_toks
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               quantile_cont(quality, 0.2) AS q_threshold
+        FROM q GROUP BY lang
         """
 
     sql["doc_minhash_signatures"] = f"WITH {MINHASH_PRE} SELECT doc_id, j, minhash FROM mh"

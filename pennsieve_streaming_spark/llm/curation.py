@@ -475,6 +475,37 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
     )
 
 
+def quality_thresholds(
+    documents: DataFrame, drop_fraction: float = 0.2
+) -> DataFrame:
+    """Per-language adaptive quality floor (the CCNet-style
+    calibration step): the exact interpolated ``drop_fraction``
+    percentile of the quality score within each language — documents
+    below their language's threshold are the bottom ``drop_fraction``
+    of that language, so a fixed global floor doesn't over-prune
+    low-resource languages whose score distribution sits lower.
+
+    Output: (lang, n_docs, q_threshold).
+
+    Scale: one groupBy to |langs| rows. ``percentile`` is the exact
+    sort-based aggregate (bit-matchable against the oracle's
+    quantile_cont); swap ``percentile_approx`` at 100 TB where an
+    exact per-group sort is not worth it.
+    """
+    from pennsieve_streaming_spark.llm.text import with_quality
+
+    return (
+        with_quality(documents)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(f"percentile(quality, {drop_fraction!r})").alias(
+                "q_threshold"
+            ),
+        )
+    )
+
+
 def write_training_shards(
     packed: DataFrame,
     path: str,

@@ -301,6 +301,29 @@ def test_pii_scrub_shuffle_free(spark, docs):
     assert "Exchange" not in plan, plan
 
 
+def test_quality_thresholds(spark):
+    from pennsieve_streaming_spark.llm.curation import quality_thresholds
+    from pennsieve_streaming_spark.llm.text import quality_score
+
+    rows = [(i, " ".join(f"tok{i}x{j}" for j in range(i + 2)), "en" if i < 8 else "de", "s")
+            for i in range(12)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    th = {r["lang"]: r.asDict() for r in quality_thresholds(docs, 0.25).collect()}
+    assert th["en"]["n_docs"] == 8 and th["de"]["n_docs"] == 4
+    # the threshold separates ~the bottom quarter within each language
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    for lang, ids in (("en", range(8)), ("de", range(8, 12))):
+        vals = sorted(q[i] for i in ids)
+        below = sum(1 for v in vals if v < th[lang]["q_threshold"])
+        assert below <= len(vals) * 0.25 + 1
+        assert min(vals) <= th[lang]["q_threshold"] <= max(vals)
+    # monotone in drop_fraction
+    th50 = {r["lang"]: r["q_threshold"] for r in quality_thresholds(docs, 0.5).collect()}
+    assert all(th50[lg] >= th[lg]["q_threshold"] for lg in th)
+
+
 def test_write_training_shards(spark, tmp_path, docs):
     from pennsieve_streaming_spark.llm.curation import write_training_shards
 
