@@ -34,3 +34,17 @@ from pennsieve_streaming_spark.llm.similarity import (  # noqa: F401
     pq_ann,
     pq_encode,
 )
+from pennsieve_streaming_spark.llm.curation import (  # noqa: F401
+    block_dedup,
+    contamination,
+    curate_corpus,
+    line_dedup,
+    mixture_weights,
+    pack_sequences,
+    pii_scrub,
+    quality_thresholds,
+    repetition_stats,
+    source_best,
+    stratified_sample,
+    write_training_shards,
+)

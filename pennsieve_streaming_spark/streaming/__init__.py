@@ -6,3 +6,9 @@ from pennsieve_streaming_spark.streaming.ingest import (  # noqa: F401
     realtime_resample_stream,
     streaming_gap_sessions,
 )
+from pennsieve_streaming_spark.streaming.corpus import (  # noqa: F401
+    curate_document_stream,
+    exact_dedup_stream,
+    read_document_stream,
+    start_neardup_dedup_stream,
+)
