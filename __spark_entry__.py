@@ -66,6 +66,7 @@ from pennsieve_streaming_spark.llm.curation import (
     pii_scrub,
     quality_thresholds,
     repetition_stats,
+    unigram_lm_score,
     source_best,
     stratified_sample,
 )
@@ -661,6 +662,10 @@ def q_quality_thresholds(spark, sf_dir):
     return quality_thresholds(_docs(spark, sf_dir), drop_fraction=0.2)
 
 
+def q_unigram_lm(spark, sf_dir):
+    return unigram_lm_score(_docs(spark, sf_dir), k=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ts_window_query": q_window,
@@ -723,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": q_pii_scrub,
         "doc_corpus_curation": q_corpus_curation,
         "doc_quality_thresholds": q_quality_thresholds,
+        "doc_unigram_lm": q_unigram_lm,
     }
 
 
@@ -1450,6 +1456,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
                quantile_cont(quality, 0.2) AS q_threshold
         FROM q GROUP BY lang
+        """
+
+    # --- unigram LM scoring ------------------------------------------------
+    # The per-doc fold MUST replay Spark's sequential left fold in
+    # document order: list(logp ORDER BY pos) + list_reduce with a
+    # prepended 0 is exactly 0 + l1 + l2 + ... — bit-identical.
+
+    sql["doc_unigram_lm"] = f"""
+        WITH doc_toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+        tok AS (SELECT UNNEST(toks) AS t FROM doc_toks),
+        counts AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t),
+        tot AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS vocab
+          FROM counts
+        ),
+        probs AS (
+          SELECT t, ln((c + CAST(0.5 AS DOUBLE))
+                       / (total + CAST(0.5 AS DOUBLE) * vocab)) AS logp
+          FROM counts CROSS JOIN tot
+        ),
+        u AS (
+          SELECT doc_id, UNNEST(toks) AS t,
+                 UNNEST(generate_series(1, len(toks))) AS pos
+          FROM doc_toks
+        ),
+        folded AS (
+          SELECT u.doc_id,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(p.logp ORDER BY u.pos)), (a, b) -> a + b) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens
+          FROM u JOIN probs p ON u.t = p.t
+          GROUP BY u.doc_id
+        )
+        SELECT doc_id, n_tokens, s / n_tokens AS avg_logprob,
+               exp(-(s / n_tokens)) AS perplexity
+        FROM folded
         """
 
     sql["doc_minhash_signatures"] = f"WITH {MINHASH_PRE} SELECT doc_id, j, minhash FROM mh"

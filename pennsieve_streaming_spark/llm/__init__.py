@@ -46,5 +46,6 @@ from pennsieve_streaming_spark.llm.curation import (  # noqa: F401
     repetition_stats,
     source_best,
     stratified_sample,
+    unigram_lm_score,
     write_training_shards,
 )

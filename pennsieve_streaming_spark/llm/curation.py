@@ -475,6 +475,63 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
     )
 
 
+def unigram_lm_score(documents: DataFrame, k: float = 0.5) -> DataFrame:
+    """Per-document mean unigram log-likelihood under the corpus's own
+    add-k-smoothed unigram LM — the cheap stand-in for the KenLM
+    perplexity filter pretraining pipelines run (an unusually
+    low-likelihood document is noise; unusually high is boilerplate).
+
+    logp(t) = ln((count(t) + k) / (total + k·|vocab|));
+    score(doc) = mean over the doc's tokens; perplexity = exp(-score).
+
+    Output: (doc_id, n_tokens, avg_logprob, perplexity).
+
+    Scale + determinism: token counts are one groupBy over exploded
+    tokens (map-side partials, integers — exact). The trained
+    (token, logp) table then collapses to a ONE-ROW map broadcast to
+    every task, and each document folds its own token array
+    SEQUENTIALLY (left fold in document order) — no per-doc float sum
+    ever depends on partition order, so results are bit-reproducible
+    and oracle-replayable. At a 100 TB corpus the vocab map is bounded
+    by |vocab| (~10⁷ entries ≈ 10² MB broadcast); if vocab outgrows
+    that, swap the map for an explode + broadcast-join + ordered-fold
+    per doc (same numbers, heavier plan).
+    """
+    toks_tbl = documents.select(
+        "doc_id", F.explode(F.expr(TOKS)).alias("t")
+    )
+    counts = toks_tbl.groupBy("t").count()
+    totals = counts.agg(
+        F.sum("count").alias("total"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    probs = counts.crossJoin(F.broadcast(totals)).select(
+        "t",
+        F.expr(
+            f"ln((count + CAST({k!r} AS DOUBLE)) "
+            f"/ (total + CAST({k!r} AS DOUBLE) * vocab))"
+        ).alias("logp"),
+    )
+    lm = probs.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("t", "logp"))
+        ).alias("lm")
+    )
+    return (
+        documents.select("doc_id", F.expr(TOKS).alias("toks"))
+        .crossJoin(F.broadcast(lm))
+        .select(
+            "doc_id",
+            F.expr("size(toks)").cast("long").alias("n_tokens"),
+            F.expr(
+                "aggregate(transform(toks, t -> element_at(lm, t)), "
+                "CAST(0 AS DOUBLE), (a, x) -> a + x) / size(toks)"
+            ).alias("avg_logprob"),
+        )
+        .withColumn("perplexity", F.expr("exp(-avg_logprob)"))
+    )
+
+
 def quality_thresholds(
     documents: DataFrame, drop_fraction: float = 0.2
 ) -> DataFrame:

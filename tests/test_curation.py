@@ -301,6 +301,33 @@ def test_pii_scrub_shuffle_free(spark, docs):
     assert "Exchange" not in plan, plan
 
 
+def test_unigram_lm_score(spark):
+    from pennsieve_streaming_spark.llm.curation import unigram_lm_score
+
+    rows = [
+        (0, "common common common common", "en", "s"),
+        (1, "common common rare1 rare2", "en", "s"),
+        (2, "rare3 rare4 rare5 rare6", "en", "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in unigram_lm_score(docs).collect()}
+    # the all-common doc is most likely, the all-rare doc least
+    assert out[0]["avg_logprob"] > out[1]["avg_logprob"] > out[2]["avg_logprob"]
+    assert out[0]["perplexity"] < out[2]["perplexity"]
+    assert all(v["n_tokens"] == 4 for v in out.values())
+    # hand-check doc 0: count(common)=6, total=12, vocab=7
+    # -> logp = ln((6+.5)/(12+.5*7))
+    import math
+
+    assert out[0]["avg_logprob"] == pytest.approx(math.log(6.5 / 15.5))
+    # deterministic across runs (sequential in-doc fold, no partition
+    # order dependence)
+    again = {r["doc_id"]: r["avg_logprob"] for r in unigram_lm_score(docs).collect()}
+    assert all(again[i] == out[i]["avg_logprob"] for i in out)
+
+
 def test_quality_thresholds(spark):
     from pennsieve_streaming_spark.llm.curation import quality_thresholds
     from pennsieve_streaming_spark.llm.text import quality_score
