@@ -1,0 +1,176 @@
+"""Duplicate-cluster graph operators: distributed connected components.
+
+Pairwise near-dup relations (MinHash-LSH, SimHash, embedding-cosine)
+are only half of dedup: A~B and B~C must collapse into ONE cluster
+{A, B, C} with a single survivor, or chained duplicates survive in
+pairs-only dedup (drop-the-higher-id keeps C when only A~B, B~C were
+observed but A~C was not).
+
+``connected_components`` implements the alternating large-star /
+small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14 — public literature), the standard
+O(log n)-round formulation for trillion-edge graphs:
+
+- every round is two groupBy/join stages over the EDGE list only
+  (no adjacency materialization, no vertex-program framework);
+- each round strictly flattens trees toward the component minimum, so
+  convergence is logarithmic in the largest component diameter —
+  near-dup clusters are shallow, typically 2-4 rounds;
+- ``localCheckpoint`` after every round truncates the lineage so the
+  plan does not grow exponentially (the classic iterative-Spark trap);
+- the convergence test is two scalar aggregates (count + an
+  order-insensitive hash sum), not a driver-side collect of edges.
+
+At 100 TB the edge list is orders of magnitude smaller than the
+corpus (near-dup pairs are sparse), every stage is a key-partitioned
+shuffle of (long, long) rows, and AQE handles the skew of hub nodes
+(one doc duplicated a million times → one hot key per round).
+
+Reference semantics anchor: the reference has no graph operator; this
+extends the LLM-pipeline dedup surface (SURVEY.md "beyond the
+reference" mandate) so `dedup_filter`'s pairwise drop becomes a true
+cluster-level dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _edge_state(edges: DataFrame) -> tuple[int, int]:
+    """Order-insensitive digest of an edge set: (count, xor-fold of
+    row hashes — edges are kept distinct, so xor is collision-honest).
+    Two scalar aggregates — the convergence test never moves edges to
+    the driver."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    nbrs = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    m = (
+        nbrs.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("mn", "src").alias("m"))
+    )
+    return (
+        nbrs.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Canonicalize edges to point high→low, then connect every
+    smaller-or-equal neighbor (and u itself) to the minimum."""
+    canon = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    m = canon.groupBy("src").agg(F.min("dst").alias("m"))
+    with_m = canon.join(m, "src")
+    reconnect = with_m.filter(F.col("dst") != F.col("m")).select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
+    )
+    self_link = with_m.select(F.col("src"), F.col("m").alias("dst"))
+    return reconnect.union(self_link).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Component label (= minimum member id) for every node that
+    appears in ``pairs``.
+
+    Output: (doc_id, component) — component is the smallest doc_id
+    reachable through the pair relation (the canonical representative
+    min-label used by the DuckDB recursive-CTE oracle).
+    """
+    edges = pairs.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    edges = edges.localCheckpoint(eager=True)
+    state = _edge_state(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_state = _edge_state(edges)
+        if new_state == state:
+            break
+        state = new_state
+    # Converged: every edge is (node, component-min) with the root
+    # linked to itself. A final min-aggregate canonicalizes.
+    labels = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("dst").alias("dst")))
+        .groupBy("src")
+        .agg(F.min("dst").alias("component"))
+        .select(F.col("src").alias("doc_id"), "component")
+    )
+    return labels
+
+
+def components_for(
+    documents: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """Every document with its duplicate-cluster label; docs in no
+    pair are their own singleton component.
+
+    The label table is |nodes-in-pairs| rows — broadcast-sized next to
+    a 100 TB corpus — so the corpus side never shuffles.
+    """
+    labels = connected_components(pairs, src_col, dst_col)
+    return (
+        documents.select(F.col(id_col).alias("doc_id"))
+        .join(F.broadcast(labels), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+    )
+
+
+def cluster_dedup(
+    documents: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster-level dedup: keep exactly one document (the minimum id)
+    per connected duplicate cluster.
+
+    Unlike ``dedup.dedup_filter`` (drops the higher id of each PAIR),
+    this survives chained duplicates: A~B, B~C with no observed A~C
+    still collapses to {A}. Output: surviving documents (all input
+    columns) plus the cluster size ``cluster_n``.
+    """
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_n")
+    )
+    keep = labels.filter(F.col("doc_id") == F.col("component")).join(
+        sizes, "component"
+    )
+    non_rep = labels.filter(F.col("doc_id") != F.col("component")).select(
+        "doc_id"
+    )
+    return (
+        documents.join(F.broadcast(non_rep), id_col, "left_anti")
+        .join(
+            F.broadcast(keep.select("doc_id", "cluster_n")), id_col, "left"
+        )
+        .withColumn("cluster_n", F.coalesce("cluster_n", F.lit(1)))
+    )
