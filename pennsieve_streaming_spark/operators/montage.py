@@ -46,6 +46,33 @@ MONTAGE_SCHEMES: dict[str, list[tuple[str, str]]] = {
     ],
 }
 
+# Caller-supplied pairs (MontageType.CustomMontage,
+# server/Montage.scala:233-257): the scheme name is fixed, the pairs
+# arrive with the request (TSJsonSupport.scala:238 ``montageMap``).
+CUSTOM_MONTAGE = "custom"
+
+# Reference wire names (TSJsonSupport.scala:252-270) -> engine scheme
+# names; NOT_MONTAGED maps to None (clear the montage).
+WIRE_MONTAGE_NAMES: dict[str, str | None] = {
+    "NOT_MONTAGED": None,
+    "BIPOLAR_ANT_POS": "bipolar_ant_pos",
+    "BIPOLAR_TRANSVERSE": "bipolar_transverse",
+    "REFERENTIAL_VS_CZ": "referential_vs_cz",
+    "CUSTOM_MONTAGE": CUSTOM_MONTAGE,
+}
+
+
+def resolve_pairs(
+    scheme: str, custom_pairs: list[tuple[str, str]] | None = None
+) -> list[tuple[str, str]]:
+    """Pair list for a scheme name; ``custom`` uses the caller-supplied
+    pairs (CustomMontage.pairs, server/Montage.scala:236-239)."""
+    if scheme == CUSTOM_MONTAGE:
+        return list(custom_pairs or [])
+    if scheme not in MONTAGE_SCHEMES:
+        raise MontageValidationError(f"unknown montage scheme: {scheme}")
+    return MONTAGE_SCHEMES[scheme]
+
 
 class MontageValidationError(Exception):
     """Channels required by the montage are missing from the package
@@ -78,15 +105,19 @@ def parse_montage_name(name: str) -> tuple[str, str | None]:
 def montage_pairs(spark: SparkSession, scheme: str | list[tuple[str, str]]) -> DataFrame:
     """Tiny (lead, secondary, virtual_channel) dimension DataFrame —
     broadcast side of the montage join."""
-    pairs = MONTAGE_SCHEMES[scheme] if isinstance(scheme, str) else scheme
+    pairs = resolve_pairs(scheme) if isinstance(scheme, str) else scheme
     rows = [(l, s, montage_name(l, s)) for l, s in pairs]
     return spark.createDataFrame(rows, "lead string, secondary string, virtual_channel string")
 
 
-def validate_montage(channel_names: list[str], scheme: str) -> None:
+def validate_montage(
+    channel_names: list[str],
+    scheme: str,
+    custom_pairs: list[tuple[str, str]] | None = None,
+) -> None:
     """All channels referenced by the scheme must exist in the package
     (checkMontageability, server/Montage.scala:96-117)."""
-    need = {c for pair in MONTAGE_SCHEMES[scheme] for c in pair}
+    need = {c for pair in resolve_pairs(scheme, custom_pairs) for c in pair}
     missing = need - set(channel_names)
     if missing:
         raise MontageValidationError(

@@ -42,9 +42,13 @@ from pennsieve_streaming_spark.operators.downsample import (
     should_resample,
 )
 from pennsieve_streaming_spark.operators.montage import (
-    MONTAGE_SCHEMES,
+    CUSTOM_MONTAGE,
+    WIRE_MONTAGE_NAMES,
+    MontageValidationError,
+    montage_name,
     montage_two_channels,
     parse_montage_name,
+    resolve_pairs,
     validate_montage,
 )
 from pennsieve_streaming_spark.operators.window import window_query
@@ -67,8 +71,16 @@ class TimeSeriesRequest:
 
 @dataclass(frozen=True)
 class MontageRequest:
+    """Switch the session montage (TSJsonSupport.scala:235-239).
+
+    ``montage`` is a scheme name (engine snake-case or reference wire
+    name, e.g. ``CUSTOM_MONTAGE``) or None to clear; ``montage_map``
+    carries caller-supplied (lead, secondary) pairs for the custom
+    scheme (CustomMontage.updatePairs, server/Montage.scala:233-245)."""
+
     session: str
     montage: str | None               # scheme name or None to clear
+    montage_map: tuple[tuple[str, str], ...] | None = None
 
 
 @dataclass(frozen=True)
@@ -128,7 +140,14 @@ def parse_request(raw: str) -> Any:
             start_at_epoch=bool(msg.get("startAtEpoch", False)),
         )
     if "montage" in msg:
-        return MontageRequest(msg.get("session", ""), msg["montage"])
+        name = msg["montage"]
+        if name in WIRE_MONTAGE_NAMES:  # reference wire names pass through
+            name = WIRE_MONTAGE_NAMES[name]
+        mmap = msg.get("montageMap")
+        pairs = (
+            tuple((str(l), str(s)) for l, s in mmap) if mmap is not None else None
+        )
+        return MontageRequest(msg.get("session", ""), name, pairs)
     if "filter" in msg:
         return FilterRequest(
             msg.get("session", ""),
@@ -154,6 +173,9 @@ def parse_request(raw: str) -> Any:
 @dataclass
 class _SessionState:
     montage: str | None = None
+    # caller-supplied pairs when montage == CUSTOM_MONTAGE
+    # (CustomMontage._pairs, server/Montage.scala:236-245)
+    custom_pairs: list[tuple[str, str]] = field(default_factory=list)
     filters: dict[str, FilterSpec] = field(default_factory=dict)
     epoch: int = 0
 
@@ -260,10 +282,29 @@ class QuerySession:
                 self.state.filters.pop(ch, None)
 
     # -- J4: montage lifecycle -------------------------------------------
-    def set_montage(self, req: MontageRequest) -> None:
-        if req.montage is not None:
+    def set_montage(self, req: MontageRequest) -> list[dict[str, str]]:
+        """Switch the session montage; returns the virtual-channel
+        details list the reference replies with (ChannelsDetailsList,
+        WebServerSpec.scala:474-505). Custom montage takes the pairs
+        from the request's ``montageMap``
+        (CustomMontage.updatePairs, server/Montage.scala:233-245)."""
+        pairs: list[tuple[str, str]] = []
+        if req.montage == CUSTOM_MONTAGE:
+            if req.montage_map is None:
+                raise MontageValidationError(
+                    "custom montage requires a montageMap of [lead, secondary] pairs"
+                )
+            pairs = [tuple(p) for p in req.montage_map]
+            validate_montage(list(self.rates.keys()), CUSTOM_MONTAGE, pairs)
+        elif req.montage is not None:
             validate_montage(list(self.rates.keys()), req.montage)
+            pairs = resolve_pairs(req.montage)
         self.state.montage = req.montage
+        self.state.custom_pairs = pairs if req.montage == CUSTOM_MONTAGE else []
+        return [
+            {"id": f"{lead}_id", "name": montage_name(lead, sec)}
+            for lead, sec in pairs
+        ]
 
     # -- T1/T2: data request execution -----------------------------------
     def _channel_frame(self, name: str) -> tuple[DataFrame, float]:
@@ -280,10 +321,15 @@ class QuerySession:
         session filter applied first. Queries run under the session's
         job group so dump_buffer() can cancel them mid-flight."""
         if self.state.montage is not None:
-            needed = {c for p in MONTAGE_SCHEMES[self.state.montage] for c in p}
+            # montaged names must belong to the active scheme's virtual
+            # channel set (MontageType.names, server/Montage.scala:220-222)
+            allowed = {
+                montage_name(l, s)
+                for l, s in resolve_pairs(self.state.montage, self.state.custom_pairs)
+            }
             for name in req.virtual_channels:
-                lead, sec = parse_montage_name(name)
-                if sec is not None and (lead not in needed or sec not in needed):
+                _, sec = parse_montage_name(name)
+                if sec is not None and name not in allowed:
                     raise ValueError(f"{name} not part of montage {self.state.montage}")
 
         start, end = req.start_time, req.end_time
@@ -403,7 +449,7 @@ class QuerySession:
         if isinstance(req, TimeSeriesRequest):
             return self.run(req)
         if isinstance(req, MontageRequest):
-            self.set_montage(req)
+            return self.set_montage(req)
         elif isinstance(req, FilterRequest):
             self.set_filter(req)
         elif isinstance(req, ClearFilterRequest):

@@ -139,8 +139,13 @@ class Connection:
             return
         # state requests (filter/montage/clear/reset) apply immediately
         try:
-            self.session.handle(raw)
-            await self.send({"ok": True})
+            result = self.session.handle(raw)
+            if isinstance(result, list):
+                # montage switch answers with the virtual-channel list
+                # (ChannelsDetailsList, WebServerSpec.scala:493-505)
+                await self.send({"channelDetails": result})
+            else:
+                await self.send({"ok": True})
         except Exception as e:  # validation errors -> error lane
             await self.send(error_json(e))
 

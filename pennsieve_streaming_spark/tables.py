@@ -147,15 +147,40 @@ def samples_aligned_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lead.unionByName(sec)
 
 
+def epoch_micros_col(df: DataFrame, name: str):
+    """Column expression converting ``name`` to epoch-µs LONG, robust to
+    how the parquet writer typed it:
+
+    - TIMESTAMP(MICROS/MILLIS) loads as TIMESTAMP_NTZ (or TIMESTAMP) —
+      cast to LTZ under the UTC session TZ and take ``unix_micros``,
+      identical to DuckDB ``epoch_us()``.
+    - TIMESTAMP(NANOS) loads as LONG under
+      ``spark.sql.legacy.parquet.nanosAsLong`` — integer-divide by 1000,
+      identical to DuckDB's epoch_us() truncation.
+    """
+    dt = df.schema[name].dataType
+    tn = dt.typeName()
+    if tn in ("timestamp", "timestamp_ntz"):
+        return F.unix_micros(F.col(name).cast("timestamp_ltz"))
+    if tn in ("long", "bigint"):
+        return F.expr(f"{name} div 1000")
+    raise TypeError(f"column {name!r} has unsupported type {dt} for epoch-µs")
+
+
 def chan_events_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """chan_events(channel, ts, value) from the events stream table."""
+    """chan_events(channel, ts, value) from the events stream table.
+
+    The driver's testdata has shipped ``events.parquet`` with ``ts`` as
+    both TIMESTAMP(NANOS) (loads as LONG under nanosAsLong) and
+    TIMESTAMP(MICROS) (loads as TIMESTAMP_NTZ) across regenerations, so
+    the µs conversion branches on the loaded dtype instead of assuming
+    one physical type.
+    """
     ensure_session_confs(spark)
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    # ts arrives as LONG nanos (see session.py nanosAsLong); µs = ns div 1000,
-    # identical to DuckDB's epoch_us() truncation.
     return ev.select(
         F.col("event_type").alias("channel"),
-        F.expr("ts div 1000").alias("ts"),
+        epoch_micros_col(ev, "ts").alias("ts"),
         F.col("value"),
     )
 

@@ -162,3 +162,51 @@ def test_rollup_routing_unaligned_window_falls_back(spark):
         for r in without.run(req)["C3"].collect()
     )
     assert a == b and len(a) == 11
+
+def test_custom_montage_set_and_run(session):
+    """Mirror of the reference custom-montage flow
+    (WebServerSpec.scala:474-545): set CUSTOM_MONTAGE with a montageMap,
+    get the virtual-channel list back, then run a montaged request."""
+    details = session.handle(json.dumps({
+        "montage": "CUSTOM_MONTAGE",
+        "montageMap": [["Fp1", "Cz"], ["C3", "Cz"]],
+    }))
+    assert details == [
+        {"id": "Fp1_id", "name": "Fp1<->Cz"},
+        {"id": "C3_id", "name": "C3<->Cz"},
+    ]
+    assert session.state.montage == "custom"
+    out = session.run(TimeSeriesRequest(
+        "sess-1", ["C3<->Cz"], 0, 10_000_000, pixel_width=0
+    ))
+    rows = out["C3<->Cz"].orderBy("ts").collect()
+    # C3 slope 3, Cz slope 2 -> diff = i
+    assert [r["value"] for r in rows] == [float(i) for i in range(10)]
+    # a pair outside the custom map is rejected
+    with pytest.raises(ValueError):
+        session.run(TimeSeriesRequest(
+            "sess-1", ["Fp1<->C3"], 0, 10_000_000, pixel_width=0
+        ))
+
+
+def test_custom_montage_missing_channel_rejected(session):
+    with pytest.raises(MontageValidationError) as ei:
+        session.handle(json.dumps({
+            "montage": "CUSTOM_MONTAGE",
+            "montageMap": [["Fp1", "F7"]],  # F7 not in package
+        }))
+    assert "F7" in ei.value.channel_names
+
+
+def test_custom_montage_requires_map(session):
+    with pytest.raises(MontageValidationError):
+        session.handle(json.dumps({"montage": "CUSTOM_MONTAGE"}))
+
+
+def test_wire_montage_names(session):
+    from pennsieve_streaming_spark.serving.session import parse_request
+
+    r = parse_request('{"montage": "NOT_MONTAGED"}')
+    assert r.montage is None
+    r = parse_request('{"montage": "BIPOLAR_ANT_POS"}')
+    assert r.montage == "bipolar_ant_pos"

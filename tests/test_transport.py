@@ -313,3 +313,54 @@ def test_explicit_query_limit_cannot_bypass_admission(spark, samples):
             await server.stop()
 
     _run(main())
+
+
+def test_custom_montage_e2e(spark, samples):
+    """Socket mirror of WebServerSpec.scala:474-545: send CUSTOM_MONTAGE
+    with a montageMap, expect the virtual-channel details reply, then a
+    montaged data request for one of the returned names."""
+
+    async def main():
+        server = TimeSeriesServer(_factory(spark, samples))
+        port = await server.start()
+        try:
+            r, w = await asyncio.open_connection("127.0.0.1", port)
+            w.write(
+                json.dumps(
+                    {
+                        "montage": "CUSTOM_MONTAGE",
+                        "montageMap": [["Fp1", "Cz"]],
+                    }
+                ).encode()
+                + b"\n"
+            )
+            await w.drain()
+            msgs = await _recv_until(r, lambda m: "channelDetails" in m or "error" in m)
+            assert msgs[-1] == {
+                "channelDetails": [{"id": "Fp1_id", "name": "Fp1<->Cz"}]
+            }
+            req = {
+                "virtualChannels": ["Fp1<->Cz"],
+                "startTime": 0,
+                "endTime": 10_000_000,
+                "pixelWidth": 0,
+            }
+            w.write((json.dumps(req) + "\n").encode())
+            await w.drain()
+            msgs = await _recv_until(r, lambda m: "rows" in m or "error" in m)
+            data = msgs[-1]
+            assert data["channel"] == "Fp1<->Cz"
+            assert [row["value"] for row in data["rows"]] == [
+                float(i % 13 - i % 7) for i in range(10)
+            ]
+            # names outside the custom map answer on the error lane
+            bad = dict(req, virtualChannels=["Cz<->Fp1"])
+            w.write((json.dumps(bad) + "\n").encode())
+            await w.drain()
+            msgs = await _recv_until(r, lambda m: "error" in m)
+            assert "not part of montage" in msgs[-1]["reason"]
+            w.close()
+        finally:
+            await server.stop()
+
+    _run(main())
