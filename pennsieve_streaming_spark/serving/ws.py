@@ -33,7 +33,7 @@ from pennsieve_streaming_spark.serving.transport import (
 
 _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
-OP_TEXT, OP_CLOSE, OP_PING, OP_PONG = 0x1, 0x8, 0x9, 0xA
+OP_TEXT, OP_BINARY, OP_CLOSE, OP_PING, OP_PONG = 0x1, 0x2, 0x8, 0x9, 0xA
 
 
 class ProtocolError(ValueError):
@@ -109,8 +109,9 @@ class WebSocketTimeSeriesServer:
 
     async def _handshake(
         self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter
-    ) -> str | None:
-        """HTTP upgrade; returns the package id or None if rejected."""
+    ) -> tuple[str, bool] | None:
+        """HTTP upgrade; returns (package id, binary mode) or None if
+        rejected."""
         request_line = (await reader.readline()).decode().strip()
         headers: dict[str, str] = {}
         while True:
@@ -155,27 +156,46 @@ class WebSocketTimeSeriesServer:
             ).encode()
         )
         await writer.drain()
-        pkg = parse_qs(url.query).get("package", [None])[0]
-        return pkg or "default"
+        q = parse_qs(url.query)
+        pkg = q.get("package", [None])[0]
+        # reference parity mode: data messages as protobuf
+        # TimeSeriesMessage binary frames, errors/acks as JSON text
+        # (toWsMessage, server/TimeSeriesFlow.scala:431-447)
+        binary = q.get("format", [""])[0] == "binary"
+        return pkg or "default", binary
 
     async def _client(
         self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter
     ) -> None:
         try:
-            pkg = await self._handshake(reader, writer)
+            hs = await self._handshake(reader, writer)
         except (ConnectionError, asyncio.IncompleteReadError):
             writer.close()
             return
-        if pkg is None:
+        if hs is None:
             await writer.drain()
             writer.close()
             return
+        pkg, binary = hs
         self._n_conns += 1
         session = self.session_factory(f"ws-{self._n_conns}", pkg)
         loop = asyncio.get_running_loop()
         lock = asyncio.Lock()
 
         async def send(msg: dict) -> None:
+            # binary mode: data messages ride as protobuf BinaryMessage
+            # frames, everything else (errors, acks, keepalive) as JSON
+            # TextMessage — exactly the reference's toWsMessage split
+            if binary and "rows" in msg:
+                from pennsieve_streaming_spark.serving.protobuf import (
+                    data_message_to_protobuf,
+                )
+
+                payload = data_message_to_protobuf(msg).to_bytes()
+                async with lock:
+                    writer.write(encode_frame(payload, OP_BINARY))
+                    await writer.drain()
+                return
             async with lock:
                 writer.write(encode_frame(json.dumps(msg).encode()))
                 await writer.drain()

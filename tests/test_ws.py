@@ -311,3 +311,54 @@ def test_ws_invalid_utf8_text_frame_gets_error_lane(spark, samples):
             await server.stop()
 
     asyncio.run(main())
+
+
+def test_binary_protobuf_mode(spark, samples):
+    """?format=binary: data frames are protobuf TimeSeriesMessage
+    BinaryMessage (reference toWsMessage,
+    server/TimeSeriesFlow.scala:431-447); errors stay JSON text."""
+    from pennsieve_streaming_spark.serving.protobuf import TimeSeriesMessage
+    from pennsieve_streaming_spark.serving.ws import OP_BINARY
+
+    async def main():
+        server = WebSocketTimeSeriesServer(_factory(spark, samples))
+        port = await server.start()
+        try:
+            r, w, status, headers, key = await _connect(
+                port, "/ts/query?package=pkg42&format=binary"
+            )
+            assert "101" in status
+            req = {
+                "virtualChannels": ["Fp1"],
+                "startTime": 0,
+                "endTime": 10_000_000,
+                "pixelWidth": 0,
+            }
+            w.write(_mask_frame(json.dumps(req).encode()))
+            await w.drain()
+            async with asyncio.timeout(30):
+                while True:
+                    opcode, payload = await read_frame(r)
+                    if opcode == OP_BINARY:
+                        break
+            msg = TimeSeriesMessage.from_bytes(payload)
+            assert msg.segment is not None
+            assert msg.segment.channel_name == "Fp1"
+            assert msg.segment.nr_points == 10
+            assert msg.segment.data == [float(i % 13) for i in range(10)]
+            assert msg.segment.is_min_max is False
+            assert msg.total_responses == 1
+            # errors still arrive as JSON text frames
+            w.write(_mask_frame(b'{"montage": "no_such_scheme"}'))
+            await w.drain()
+            async with asyncio.timeout(30):
+                while True:
+                    opcode, payload = await read_frame(r)
+                    if opcode == OP_TEXT and b"error" in payload:
+                        break
+            assert "error" in json.loads(payload)
+            w.close()
+        finally:
+            await server.stop()
+
+    asyncio.run(main())
