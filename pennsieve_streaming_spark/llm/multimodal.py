@@ -75,29 +75,42 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
 
 
 def _fake_decode(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in for a real image/audio decode: a fixed-
-    length float vector seeded by the payload digest."""
+    """Deterministic stand-in for a non-decodable payload (no codec for
+    its format in this container): a fixed-length float vector seeded by
+    the payload digest."""
     digest = hashlib.sha256(payload).digest()
     seed = np.frombuffer(digest[:8], dtype=np.uint64)[0]
     rng = np.random.default_rng(seed)
     return rng.standard_normal(FEATURE_DIM)
 
 
+def _decode_features(payload: bytes, decode_stub: bool) -> list[float]:
+    """REAL decode for PNG payloads (pure-numpy codec, llm/png.py);
+    other formats use the deterministic stub, or raise when
+    ``decode_stub=False`` (the production hook for ffmpeg/soundfile)."""
+    from pennsieve_streaming_spark.llm import png
+
+    if png.is_png(payload):
+        return png.image_features(png.decode_png(payload), FEATURE_DIM).tolist()
+    if not decode_stub:
+        raise NotImplementedError(
+            "no codec for this payload format in this environment; "
+            "PNG decodes natively, others need ffmpeg/soundfile plugged "
+            "into _decode_features"
+        )
+    return _fake_decode(payload).tolist()
+
+
 def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Decode + featurize each media payload via mapInPandas.
 
-    Real codecs are unavailable here; with ``decode_stub=False`` this
-    raises NotImplementedError inside the task (the production hook
-    point). Output: FEATURES_SCHEMA.
+    PNG payloads get a REAL pixel decode (llm/png.py) and a 16-d pixel
+    summary feature; other formats use the content-hash stub (or raise
+    with ``decode_stub=False``). Output: FEATURES_SCHEMA.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media codecs are not available in this environment; "
-                    "plug a decoder in place of _fake_decode"
-                )
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
@@ -108,7 +121,7 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                         lambda b: hashlib.sha256(bytes(b)).hexdigest()
                     ),
                     "feature": payloads.map(
-                        lambda b: _fake_decode(bytes(b)).tolist()
+                        lambda b: _decode_features(bytes(b), decode_stub)
                     ),
                 }
             )
@@ -119,29 +132,61 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
 def resize_images(
     media: DataFrame, target_w: int = 224, target_h: int = 224
 ) -> DataFrame:
-    """Image-resize plumbing: recompute metadata + pass the payload
-    through the (stubbed) resize kernel. The Spark-side shape — narrow
-    map, payload column in/out, metadata struct rewrite — is exactly
-    what a real PIL/opencv kernel drops into.
+    """Image resize over mapInPandas: PNG payloads are REALLY decoded,
+    nearest-neighbor resized, and re-encoded (llm/png.py); payloads in
+    formats without a codec here pass through unchanged with rewritten
+    metadata (the PIL/opencv hook point).
 
     Output: media schema with meta.width/height set to the target and
     a ``scale_x/scale_y`` column pair recording the transform.
     """
     img = media.filter(F.col("kind") == "image")
-    return img.select(
-        "media_id",
-        "kind",
-        "payload",  # stub: real kernel would re-encode here
-        F.struct(
-            F.lit(target_w).alias("width"),
-            F.lit(target_h).alias("height"),
-            F.col("meta.sample_rate").alias("sample_rate"),
-            F.col("meta.n_frames").alias("n_frames"),
-            F.col("meta.format").alias("format"),
-        ).alias("meta"),
-        (F.lit(target_w) / F.greatest(F.col("meta.width"), F.lit(1))).alias("scale_x"),
-        (F.lit(target_h) / F.greatest(F.col("meta.height"), F.lit(1))).alias("scale_y"),
+    out_schema = T.StructType(
+        list(MEDIA_SCHEMA.fields)
+        + [
+            T.StructField("scale_x", T.DoubleType(), True),
+            T.StructField("scale_y", T.DoubleType(), True),
+        ]
     )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pennsieve_streaming_spark.llm import png
+
+        for pdf in batches:
+            payloads = []
+            metas = []
+            sx, sy = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                raw = bytes(payload)
+                meta = dict(meta)
+                if png.is_png(raw):
+                    arr = png.decode_png(raw)
+                    src_h = arr.shape[0]
+                    src_w = arr.shape[1]
+                    raw = png.encode_png(
+                        png.resize_nearest(arr, target_w, target_h)
+                    )
+                    meta["format"] = "png"
+                else:
+                    src_w = max(meta.get("width") or 1, 1)
+                    src_h = max(meta.get("height") or 1, 1)
+                meta["width"], meta["height"] = target_w, target_h
+                payloads.append(raw)
+                metas.append(meta)
+                sx.append(target_w / src_w)
+                sy.append(target_h / src_h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta": metas,
+                    "scale_x": sx,
+                    "scale_y": sy,
+                }
+            )
+
+    return img.mapInPandas(run, schema=out_schema)
 
 
 def sample_frames(media: DataFrame, every_nth: int = 5) -> DataFrame:
