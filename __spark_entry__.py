@@ -443,6 +443,37 @@ def q_lsh_pairs(spark, sf_dir):
     return jaccard_pairs(sh, candidates=cands)
 
 
+def q_stream_neardup(spark, sf_dir):
+    """Streaming near-dup corpus fold (streaming/corpus.py:148) driven
+    to completion and compared against batch semantics: the whole
+    corpus arrives as ONE availableNow micro-batch, so the fold's drop
+    rule (doc collides with a smaller doc_id via any shared LSH band
+    key) is exactly the batch min-doc_id band-bucket dedup the oracle
+    replays in SQL. Multi-batch history-store behavior is covered by
+    the stream tests (batch splits change winners, so it can't be
+    oracle-hashed)."""
+    import tempfile
+
+    from pennsieve_streaming_spark.streaming.corpus import (
+        read_document_stream,
+        start_neardup_dedup_stream,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
+    base = tempfile.mkdtemp(prefix="pss_stream_nd_")
+    src = f"{base}/src"
+    docs.coalesce(1).write.parquet(src)
+    stream = read_document_stream(spark, src, max_files_per_trigger=1_000)
+    q = start_neardup_dedup_stream(
+        stream, f"{base}/out", f"{base}/store", f"{base}/ckpt"
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{base}/out")
+        .select("doc_id", "lang", "source")
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     sh = shingles(_docs(spark, sf_dir))
     return jaccard_pairs(sh, min_jaccard=0.2, max_doc_freq=JACCARD_MAX_DF)
@@ -676,6 +707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so the NEWEST / least-proven queries are listed FIRST and the
     # longest-stable ts-core queries last. Keep new work at the top.
     return {
+        # round-4: streaming corpus fold, driver-verified via batch replay
+        "stream_neardup_dedup": q_stream_neardup,
         # round-3 curation operators — unchecked by the r3 driver harness
         "doc_repetition": q_repetition,
         "doc_contamination": q_contamination,
@@ -1525,6 +1558,23 @@ def oracle_sql() -> dict[str, str]:
         JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
         JOIN sizes sa ON i.doc_a = sa.doc_id
         JOIN sizes sb ON i.doc_b = sb.doc_id
+        """
+
+    # streaming fold replay (q_stream_neardup): one availableNow batch
+    # => drop rule is min-doc_id-wins per colliding LSH band bucket
+    sql["stream_neardup_dedup"] = f"""
+        WITH {MINHASH_PRE}, {BANDS},
+        firsts AS (
+          SELECT band, band_key, MIN(doc_id) AS keep_id
+          FROM bands GROUP BY band, band_key
+        ),
+        dropped AS (
+          SELECT DISTINCT b.doc_id FROM bands b
+          JOIN firsts f ON b.band = f.band AND b.band_key = f.band_key
+          WHERE b.doc_id != f.keep_id
+        )
+        SELECT d.doc_id, d.lang, d.source FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
         """
 
     # all-pairs mode carries the hot-shingle document-frequency cap

@@ -77,8 +77,16 @@ class RetrieveContext:
     query_limit: int = DEFAULT_QUERY_LIMIT
     default_gap_threshold: float = 2_000_000.0
     channels_by_package: dict[str, list[str]] = field(default_factory=dict)
+    # optional pluggable catalog backend (sources/channels.py): the
+    # GetChannelsQuery seam behind the reference's /discover routes
+    # (server/discover/DiscoverGetChannelsQuery.scala:28-39)
+    channels_query: object | None = None
 
     def channels(self, package: str) -> list[str]:
+        if self.channels_query is not None:
+            df = self.channels_query.get_channels(package)
+            name_col = "name" if "name" in df.columns else "channel"
+            return [r[name_col] for r in df.select(name_col).collect()]
         return self.channels_by_package.get(package, list(self.rates))
 
 
@@ -238,13 +246,35 @@ class RetrieveHttpServer:
 
     def _validate_montage(self, params: dict[str, str]) -> bytes:
         package = params.get("package", "")
-        names = self.ctx.channels(package)
+        names = self._channel_names(package)
         for scheme in MONTAGE_SCHEMES:
             try:
                 validate_montage(names, scheme)
             except MontageValidationError as e:
                 raise _jerr(400, e)
         return b""
+
+    def _channel_names(self, package: str) -> list[str]:
+        from pennsieve_streaming_spark.sources.channels import ChannelsError
+
+        try:
+            return self.ctx.channels(package)
+        except ChannelsError as e:
+            # NotTimeSeries / DiscoverApiError wire shapes
+            # (server/Error.scala:56-63, 126-133)
+            raise _jerr(400, e)
+
+    def _channels(self, params: dict[str, str]) -> bytes:
+        """``/discover/ts/channels?package=`` — channel listing through
+        the pluggable catalog (mirror of the reference's discover route
+        channel resolution, WebServerDiscoverRoutesSpec)."""
+        package = params.get("package", "")
+        return json.dumps(
+            {"channelDetails": [
+                {"id": f"{n}_id", "name": n}
+                for n in self._channel_names(package)
+            ]}
+        ).encode()
 
     def _health(self) -> bytes:
         now = int(time.time() * 1000)
@@ -296,6 +326,7 @@ class RetrieveHttpServer:
                 "/ts/retrieve/unit": self._unit,
                 "/ts/retrieve/segments": self._segments,
                 "/ts/validate-montage": self._validate_montage,
+                "/discover/ts/channels": self._channels,
             }
             handler = routes.get(path)
             if handler is None:

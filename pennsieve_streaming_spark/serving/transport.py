@@ -66,8 +66,10 @@ _ERROR_NAMES = {
 
 def error_json(exc: BaseException) -> dict:
     """The reference's TimeSeriesError wire shape
-    (server/Error.scala:36-39: error name, reason, channelNames)."""
-    name = type(exc).__name__
+    (server/Error.scala:36-39: error name, reason, channelNames).
+    Exceptions may carry an explicit wire ``name`` (sources/channels.py
+    errors); otherwise the class name maps through _ERROR_NAMES."""
+    name = getattr(exc, "name", None) or type(exc).__name__
     return {
         "error": _ERROR_NAMES.get(name, name),
         "reason": str(exc)[:500],
