@@ -443,6 +443,28 @@ def q_lsh_pairs(spark, sf_dir):
     return jaccard_pairs(sh, candidates=cands)
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup embedding-cluster dedup over the synthetic embeddings:
+    golden centroids so the oracle replays assignment exactly; the
+    near-dup threshold reuses the corpus-calibrated EMB_NEAR_DUP_COS."""
+    from pennsieve_streaming_spark.llm.similarity import (
+        golden_centroids,
+        semdedup,
+    )
+
+    return semdedup(
+        _embs(spark, sf_dir),
+        golden_centroids(IVF_LISTS, ANN_DIM),
+        min_cosine=EMB_NEAR_DUP_COS,
+    )
+
+
+def q_tfidf(spark, sf_dir):
+    from pennsieve_streaming_spark.llm.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 def q_stream_neardup(spark, sf_dir):
     """Streaming near-dup corpus fold (streaming/corpus.py:148) driven
     to completion and compared against batch semantics: the whole
@@ -707,7 +729,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so the NEWEST / least-proven queries are listed FIRST and the
     # longest-stable ts-core queries last. Keep new work at the top.
     return {
-        # round-4: streaming corpus fold, driver-verified via batch replay
+        # round-4: new operators first (least-proven gets the oracle)
+        "emb_semdedup": q_semdedup,
+        "doc_tfidf_top_terms": q_tfidf,
         "stream_neardup_dedup": q_stream_neardup,
         # round-3 curation operators — unchecked by the r3 driver harness
         "doc_repetition": q_repetition,
@@ -1558,6 +1582,60 @@ def oracle_sql() -> dict[str, str]:
         JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
         JOIN sizes sa ON i.doc_a = sa.doc_id
         JOIN sizes sb ON i.doc_b = sb.doc_id
+        """
+
+    # SemDeDup: same literal-centroid assignment as the IVF oracle,
+    # then min-id-wins within-cluster cosine dedup
+    _sd_rows, _sd_d2 = _ivf_cent_fragments()
+    sql["emb_semdedup"] = f"""
+        WITH cents AS (SELECT * FROM (VALUES {_sd_rows}) t(list_id, c)),
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        dists AS (
+          SELECT e.vec_id, t.list_id, {_sd_d2.format(v='e.v')} AS d2
+          FROM emb e CROSS JOIN cents t
+        ),
+        assigned AS (
+          SELECT vec_id AS id, list_id FROM (
+            SELECT vec_id, list_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+            FROM dists
+          ) WHERE rn = 1
+        ),
+        dropped AS (
+          SELECT DISTINCT b.id FROM assigned a
+          JOIN assigned b ON a.list_id = b.list_id AND a.id < b.id
+          JOIN emb ea ON ea.vec_id = a.id
+          JOIN emb eb ON eb.vec_id = b.id
+          WHERE list_dot_product(ea.v, eb.v)
+                / (sqrt(list_dot_product(ea.v, ea.v))
+                   * sqrt(list_dot_product(eb.v, eb.v))) > {EMB_NEAR_DUP_COS}
+        )
+        SELECT id, list_id FROM assigned
+        WHERE id NOT IN (SELECT id FROM dropped)
+        """
+
+    sql["doc_tfidf_top_terms"] = f"""
+        WITH docs AS (
+          SELECT doc_id, {TOKS} AS toks FROM documents
+          WHERE length(trim(text)) > 0
+        ),
+        tf AS (
+          SELECT doc_id, lower(term) AS term, COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+          GROUP BY 1, 2
+        ),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT t.doc_id, t.term, t.tf, d.df,
+                 t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS score
+          FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, df, score, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, term) AS rank
+          FROM scored
+        ) WHERE rank <= 3
         """
 
     # streaming fold replay (q_stream_neardup): one availableNow batch

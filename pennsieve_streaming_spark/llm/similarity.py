@@ -748,3 +748,54 @@ def lsh_bucketed_ann(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    min_cosine: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings, then within each cluster
+    drop every vector whose cosine to a LOWER-id cluster-mate exceeds
+    ``min_cosine`` (min-id-wins — the same deterministic survivor rule
+    the MinHash stream fold uses, so an exact SQL oracle can replay it).
+
+    Plan shape for 100 TB: cluster assignment is the zero-shuffle
+    closed-form argmin (``assign_lists``); the pairwise cosine check is
+    a self-join ON ``list_id`` — quadratic only within a cluster, and
+    production k is sized so clusters stay ~10³-10⁴ vectors
+    (k ≈ N/10⁴), keeping per-cluster work bounded as N grows. AQE's
+    skew-join split handles hot clusters. Nothing driver-side.
+
+    Output: surviving (id, list_id) rows.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    assigned = assign_lists(base, centroids, vec_col="v")
+    fold = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "list_id"
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "list_id"
+    )
+    cos = F.expr(fold.format(a="va", b="vb")) / (
+        F.sqrt(F.expr(fold.format(a="va", b="va")))
+        * F.sqrt(F.expr(fold.format(a="vb", b="vb")))
+    )
+    dropped = (
+        a.join(b, "list_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos > F.lit(min_cosine))
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return assigned.join(dropped, "id", "left_anti").select("id", "list_id")

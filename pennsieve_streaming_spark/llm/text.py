@@ -158,3 +158,45 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", F.expr(poly_hash_expr("text")).alias("fp")
     )
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tf = term count within the doc (whitespace tokens, lowercased);
+    df = number of docs containing the term; idf = ln(N / df);
+    score = tf * idf; top-k by (score DESC, term ASC) per doc.
+
+    Plan shape for 100 TB: the token explode is a narrow map; both
+    aggregations are partial-agg friendly groupBys (map-side combine
+    shrinks the shuffle to distinct (doc, term) / term cardinality);
+    the corpus size N is a broadcast one-row cross join; the per-doc
+    top-k window partitions by doc_id — max partition size is one
+    document's distinct terms, never a scale hazard.
+
+    Output: (doc_id, term, tf, df, score, rank).
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        _with_toks(documents)
+        .where(F.expr("length(trim(text)) > 0"))
+        .select("doc_id", F.explode(F.expr("transform(toks, t -> lower(t))")).alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log(F.col("n_docs") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )

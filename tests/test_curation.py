@@ -416,3 +416,46 @@ def test_curate_corpus(spark):
         for v in ordered:
             assert v["tok_offset"] == off
             off += v["n_tokens"]
+
+
+def test_tfidf_top_terms_golden(spark):
+    from pennsieve_streaming_spark.llm.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(docs, k=2).collect()
+    import math
+
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    d1 = {r.term: r for r in by_doc[1]}
+    assert d1["apple"].rank == 1
+    assert abs(d1["apple"].score - 2 * math.log(3)) < 1e-12
+    assert abs(d1["banana"].score - math.log(1.5)) < 1e-12
+    # doc 3: durian 1*ln(3)=1.10 beats cherry 2*ln(1.5)=0.81
+    d3 = sorted(by_doc[3], key=lambda r: r.rank)
+    assert d3[0].term == "durian" and d3[1].term == "cherry"
+    # k enforced
+    assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_tfidf_empty_docs_excluded(spark):
+    from pennsieve_streaming_spark.llm.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "only doc"), (2, "   ")], "doc_id long, text string"
+    )
+    rows = tfidf_top_terms(docs, k=5).collect()
+    assert {r.doc_id for r in rows} == {1}
+    # N counts ALL docs (including empty): df=1, N=2 -> ln(2)
+    import math
+
+    assert abs(rows[0].score - math.log(2)) < 1e-12

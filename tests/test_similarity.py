@@ -294,3 +294,41 @@ def test_random_plane_family_spreads_buckets(embs):
 
     lattice, random = pair_mass("lattice"), pair_mass("random")
     assert random < lattice / 2, (lattice, random)
+
+
+def test_semdedup_min_id_wins_and_no_cross_cluster(spark):
+    """SemDeDup: within a cluster the lowest id survives; near-dups of
+    it drop; identical vectors in DIFFERENT clusters both survive
+    (cluster blocking bounds the pairwise work)."""
+    from pennsieve_streaming_spark.llm.similarity import semdedup
+
+    # two orthogonal axis clusters; centroids on the axes
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (1, [1.0, 0.05]),   # cluster 0
+        (2, [1.0, 0.06]),   # near-dup of 1 -> dropped
+        (3, [1.0, -0.9]),   # cluster 0, dissimilar -> survives
+        (4, [0.05, 1.0]),   # cluster 1
+        (5, [0.06, 1.0]),   # near-dup of 4 -> dropped
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.id: r.list_id for r in semdedup(embs, cents, min_cosine=0.95).collect()}
+    assert set(out) == {1, 3, 4}
+    assert out[1] == 0 and out[3] == 0 and out[4] == 1
+
+
+def test_semdedup_assignment_is_narrow(spark):
+    """The cluster-assignment stage must stay a zero-shuffle projection
+    (closed-form argmin) — the only Exchanges in the plan belong to the
+    pairwise join/dedup, not to assignment."""
+    from pennsieve_streaming_spark.llm.similarity import (
+        assign_lists,
+        golden_centroids,
+    )
+
+    embs = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5)]) for i in range(50)],
+        "vec_id long, v array<double>",
+    )
+    plan = assign_lists(embs, golden_centroids(4, 2), vec_col="v")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
