@@ -443,6 +443,32 @@ def q_lsh_pairs(spark, sf_dir):
     return jaccard_pairs(sh, candidates=cands)
 
 
+def q_kmeans(spark, sf_dir):
+    """Two Lloyd iterations from the golden init, then the trained
+    assignment — the learned-centroid path for IVF/SemDeDup."""
+    from pennsieve_streaming_spark.llm.similarity import (
+        golden_centroids,
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    embs = _embs(spark, sf_dir)
+    cents = kmeans_fit(
+        embs,
+        IVF_LISTS,
+        ANN_DIM,
+        n_iter=2,
+        init=golden_centroids(IVF_LISTS, ANN_DIM),
+    )
+    return kmeans_assign(embs, cents)
+
+
+def q_importance_weights(spark, sf_dir):
+    from pennsieve_streaming_spark.llm.curation import importance_weights
+
+    return importance_weights(_docs(spark, sf_dir), target_lang="en")
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup embedding-cluster dedup over the synthetic embeddings:
     golden centroids so the oracle replays assignment exactly; the
@@ -730,6 +756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # longest-stable ts-core queries last. Keep new work at the top.
     return {
         # round-4: new operators first (least-proven gets the oracle)
+        "emb_kmeans": q_kmeans,
+        "doc_importance_weights": q_importance_weights,
         "emb_semdedup": q_semdedup,
         "doc_tfidf_top_terms": q_tfidf,
         "stream_neardup_dedup": q_stream_neardup,
@@ -1584,6 +1612,47 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON i.doc_b = sb.doc_id
         """
 
+    sql["emb_kmeans"] = _kmeans_oracle_sql(2)
+
+    # DSIR importance weights: two add-k unigram LMs over the shared
+    # raw vocab, per-doc sequential fold of the delta-logp map
+    sql["doc_importance_weights"] = f"""
+        WITH doc_toks AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+        tok AS (SELECT lang, UNNEST(toks) AS t FROM doc_toks),
+        counts AS (
+          SELECT t, CAST(COUNT(*) AS BIGINT) AS c_raw,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+          FROM tok GROUP BY t
+        ),
+        tot AS (
+          SELECT CAST(SUM(c_raw) AS BIGINT) AS total_raw,
+                 CAST(SUM(c_tgt) AS BIGINT) AS total_tgt,
+                 CAST(COUNT(*) AS BIGINT) AS vocab
+          FROM counts
+        ),
+        deltas AS (
+          SELECT t,
+                 ln((c_tgt + CAST(0.5 AS DOUBLE)) / (total_tgt + CAST(0.5 AS DOUBLE) * vocab))
+                 - ln((c_raw + CAST(0.5 AS DOUBLE)) / (total_raw + CAST(0.5 AS DOUBLE) * vocab)) AS delta
+          FROM counts CROSS JOIN tot
+        ),
+        u AS (
+          SELECT doc_id, UNNEST(toks) AS t,
+                 UNNEST(generate_series(1, len(toks))) AS pos
+          FROM doc_toks
+        ),
+        folded AS (
+          SELECT u.doc_id,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(d.delta ORDER BY u.pos)), (a, b) -> a + b) AS log_ratio,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens
+          FROM u JOIN deltas d ON u.t = d.t
+          GROUP BY u.doc_id
+        )
+        SELECT f.doc_id, dt.lang = 'en' AS in_target, f.n_tokens, f.log_ratio
+        FROM folded f JOIN doc_toks dt ON f.doc_id = dt.doc_id
+        """
+
     # SemDeDup: same literal-centroid assignment as the IVF oracle,
     # then min-id-wins within-cluster cosine dedup
     _sd_rows, _sd_d2 = _ivf_cent_fragments()
@@ -2055,6 +2124,58 @@ def _pq_fragments() -> tuple[str, str, str]:
     dists = f"list_transform(generate_series(0, {PQ_CODES - 1}), c -> {dist})"
     qdist = dist.replace("v[", "q[")
     return cb_lit, dists, qdist
+
+
+def _kmeans_oracle_sql(n_iter: int = 2) -> str:
+    """Replay kmeans_fit + kmeans_assign: golden init, then per
+    iteration an argmin assignment and per-dim rounded means (round to
+    9 decimals on BOTH engines kills reduction-order float noise, so
+    the centroid matrices are bit-identical). Empty clusters keep the
+    previous centroid via the left-join COALESCE."""
+    rows, d2 = _ivf_cent_fragments()
+    parts = [
+        f"WITH cents0 AS (SELECT * FROM (VALUES {rows}) t(list_id, c)),",
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+    ]
+    for i in range(n_iter):
+        parts.append(f"""
+        d{i} AS (
+          SELECT e.vec_id, t.list_id, {d2.format(v='e.v')} AS d2
+          FROM emb e CROSS JOIN cents{i} t
+        ),
+        a{i} AS (
+          SELECT vec_id, list_id FROM (
+            SELECT vec_id, list_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+            FROM d{i}
+          ) WHERE rn = 1
+        ),
+        m{i} AS (
+          SELECT list_id, j, round(AVG(x), 9) AS m
+          FROM (
+            SELECT a{i}.list_id, unnest(e.v) AS x,
+                   unnest(generate_series(1, {ANN_DIM})) AS j
+            FROM a{i} JOIN emb e USING (vec_id)
+          ) GROUP BY list_id, j
+        ),
+        cents{i + 1} AS (
+          SELECT c.list_id, COALESCE(mm.c, c.c) AS c
+          FROM cents{i} c LEFT JOIN (
+            SELECT list_id, list(m ORDER BY j) AS c FROM m{i} GROUP BY list_id
+          ) mm USING (list_id)
+        ),""")
+    parts.append(f"""
+        dfin AS (
+          SELECT e.vec_id, t.list_id, {d2.format(v='e.v')} AS d2
+          FROM emb e CROSS JOIN cents{n_iter} t
+        )
+        SELECT vec_id AS id, list_id FROM (
+          SELECT vec_id, list_id,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+          FROM dfin
+        ) WHERE rn = 1
+        """)
+    return "\n".join(parts)
 
 
 def _ivf_oracle_sql() -> str:

@@ -789,3 +789,66 @@ def mixture_weights(
         .withColumn("weight", F.expr(f"({target}) / token_share"))
         .select("source", "n_docs", "n_tokens", "token_share", "weight")
     )
+
+
+def importance_weights(
+    documents: DataFrame, target_lang: str = "en", k: float = 0.5
+) -> DataFrame:
+    """DSIR-style importance weighting (data selection via importance
+    resampling, arXiv:2302.03169, hashed-ngram variant simplified to
+    unigrams): score each document by how much more likely its tokens
+    are under the TARGET distribution (docs in ``target_lang``) than
+    under the RAW corpus distribution —
+
+      log_ratio(doc) = Σ_t [ln p_target(t) - ln p_raw(t)]
+
+    with both unigram LMs add-k smoothed over the SHARED raw vocabulary
+    (so unseen-in-target tokens get the smoothing floor, never -inf).
+    Resampling keeps documents with the largest weights; the score is
+    returned so callers pick their own cut.
+
+    Output: (doc_id, in_target, n_tokens, log_ratio).
+
+    Scale + determinism: identical shape to ``unigram_lm_score`` — two
+    integer count aggregations collapse to ONE broadcast (token ->
+    delta-logp) map, and each document folds its own token array
+    sequentially, so no float sum depends on partition order.
+    """
+    toks_tbl = documents.select(
+        "doc_id", "lang", F.explode(F.expr(TOKS)).alias("t")
+    )
+    counts = toks_tbl.groupBy("t").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, F.lit(1)).otherwise(F.lit(0))
+        ).alias("c_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("c_raw").alias("total_raw"),
+        F.sum("c_tgt").alias("total_tgt"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    kk = f"CAST({k!r} AS DOUBLE)"
+    deltas = counts.crossJoin(F.broadcast(totals)).select(
+        "t",
+        F.expr(
+            f"ln((c_tgt + {kk}) / (total_tgt + {kk} * vocab)) "
+            f"- ln((c_raw + {kk}) / (total_raw + {kk} * vocab))"
+        ).alias("delta"),
+    )
+    lm = deltas.agg(
+        F.map_from_entries(F.collect_list(F.struct("t", "delta"))).alias("lm")
+    )
+    return (
+        documents.select("doc_id", "lang", F.expr(TOKS).alias("toks"))
+        .crossJoin(F.broadcast(lm))
+        .select(
+            "doc_id",
+            (F.col("lang") == target_lang).alias("in_target"),
+            F.expr("size(toks)").cast("long").alias("n_tokens"),
+            F.expr(
+                "aggregate(transform(toks, t -> element_at(lm, t)), "
+                "CAST(0 AS DOUBLE), (a, x) -> a + x)"
+            ).alias("log_ratio"),
+        )
+    )

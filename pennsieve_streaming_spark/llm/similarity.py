@@ -799,3 +799,58 @@ def semdedup(
         .distinct()
     )
     return assigned.join(dropped, "id", "left_anti").select("id", "list_id")
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int,
+    dim: int,
+    n_iter: int = 2,
+    init: list[list[float]] | None = None,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd's k-means returning the trained centroids — the learned
+    replacement for ``golden_centroids`` in IVF / SemDeDup.
+
+    Each iteration: closed-form argmin assignment (zero-shuffle narrow
+    map) + ONE groupBy computing all ``dim`` per-cluster means as
+    column aggregates (map-side partials; shuffle carries k×dim
+    doubles). Only the k×dim centroid matrix — model state, not data —
+    ever reaches the driver. Empty clusters keep their previous
+    centroid.
+
+    Determinism across engines: float sums depend on partition order,
+    so each centroid coordinate is rounded to 9 decimals per iteration
+    — far above the ~1e-13 reduction-order noise, far below any real
+    coordinate scale — making the fitted centroids bit-identical to a
+    SQL replay (the oracle rounds identically).
+    """
+    cents = [list(c) for c in (init or golden_centroids(k, dim))]
+    base = embeddings.select(F.col(vec_col).cast("array<double>").alias("v"))
+    for _ in range(n_iter):
+        assigned = assign_lists(base, cents, vec_col="v")
+        means = (
+            assigned.groupBy("list_id")
+            .agg(*[F.avg(F.col("v")[j]).alias(f"m{j}") for j in range(dim)])
+            .collect()
+        )
+        for row in means:
+            cents[row["list_id"]] = [
+                round(float(row[f"m{j}"]), 9) for j in range(dim)
+            ]
+    return cents
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, list_id) cluster assignment under trained centroids — the
+    same zero-shuffle argmin projection the IVF scan uses."""
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    return assign_lists(base, centroids, vec_col="v").select("id", "list_id")

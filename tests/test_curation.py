@@ -459,3 +459,33 @@ def test_tfidf_empty_docs_excluded(spark):
     import math
 
     assert abs(rows[0].score - math.log(2)) < 1e-12
+
+
+def test_importance_weights_direction_and_value(spark):
+    """DSIR unigram importance: target-language docs weigh positive,
+    off-target negative; spot-check one delta by hand."""
+    import math
+
+    from pennsieve_streaming_spark.llm.curation import importance_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat", "en"),
+            (2, "the dog", "en"),
+            (3, "der hund", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r.doc_id: r for r in importance_weights(docs, "en").collect()}
+    assert rows[1].in_target and rows[2].in_target and not rows[3].in_target
+    assert rows[1].log_ratio > 0 and rows[2].log_ratio > 0
+    assert rows[3].log_ratio < 0
+    # hand-check doc 3: vocab=6 {the,cat,dog,der,hund}, raw total=6,
+    # tgt total=4; der: c_raw=1 c_tgt=0; hund same
+    k = 0.5
+    vocab, total_raw, total_tgt = 5, 6, 4
+    delta = math.log((0 + k) / (total_tgt + k * vocab)) - math.log(
+        (1 + k) / (total_raw + k * vocab)
+    )
+    assert abs(rows[3].log_ratio - 2 * delta) < 1e-12
+    assert rows[3].n_tokens == 2

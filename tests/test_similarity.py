@@ -332,3 +332,40 @@ def test_semdedup_assignment_is_narrow(spark):
     )
     plan = assign_lists(embs, golden_centroids(4, 2), vec_col="v")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_kmeans_fit_separates_clusters(spark):
+    """Two well-separated blobs: after 2 iterations the centroids land
+    on the blob means and assignment splits the blobs exactly."""
+    from pennsieve_streaming_spark.llm.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    rows = [(i, [10.0 + (i % 3) * 0.1, 0.0]) for i in range(20)] + [
+        (100 + i, [0.0, 10.0 + (i % 3) * 0.1]) for i in range(20)
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(
+        embs, 2, 2, n_iter=2, init=[[9.0, 1.0], [1.0, 9.0]]
+    )
+    # centroid 0 ends at blob A's mean, centroid 1 at blob B's
+    assert abs(cents[0][0] - (10.0 + 0.1)) < 0.05 and cents[0][1] == 0.0
+    assert cents[1][0] == 0.0 and abs(cents[1][1] - (10.0 + 0.1)) < 0.05
+    out = {r.id: r.list_id for r in kmeans_assign(embs, cents).collect()}
+    assert all(out[i] == 0 for i in range(20))
+    assert all(out[100 + i] == 1 for i in range(20))
+    # deterministic across runs (rounded model state)
+    cents2 = kmeans_fit(embs, 2, 2, n_iter=2, init=[[9.0, 1.0], [1.0, 9.0]])
+    assert cents == cents2
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    from pennsieve_streaming_spark.llm.similarity import kmeans_fit
+
+    embs = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, [1.2, 1.0])], "vec_id long, embedding array<double>"
+    )
+    cents = kmeans_fit(embs, 2, 2, n_iter=1, init=[[1.0, 1.0], [50.0, 50.0]])
+    assert cents[0] == [1.1, 1.0]
+    assert cents[1] == [50.0, 50.0]  # empty cluster unchanged
