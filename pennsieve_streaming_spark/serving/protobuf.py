@@ -384,6 +384,31 @@ def data_message_to_protobuf(msg: dict) -> TimeSeriesMessage:
     (BaseTimeSeriesQuery.scala:86-96)."""
     rows = msg["rows"]
     name = msg.get("channel", "")
+    if rows and "avg_time" in rows[0] and "count" in rows[0]:
+        # unit-path event summary -> Event message with interleaved
+        # [avgTime, count, ...] times (TimeSeriesUnitQueryRawHttp
+        # .scala:137 flatTimes; rebasing shifts only even positions)
+        ordered = sorted(rows, key=lambda r: r["avg_time"])
+        ev = Event(
+            source=name,
+            times=[int(x) for r in ordered for x in (r["avg_time"], r["count"])],
+        )
+        return TimeSeriesMessage(
+            event=ev,
+            total_responses=int(msg.get("totalResponses", 1)),
+            response_sequence_id=int(msg.get("responseSequenceId", 0)),
+        )
+    if rows and "value" not in rows[0] and "ts" in rows[0]:
+        # raw unit timestamps -> Event carrying the bare times
+        ev = Event(
+            source=name,
+            times=sorted(int(r["ts"]) for r in rows),
+        )
+        return TimeSeriesMessage(
+            event=ev,
+            total_responses=int(msg.get("totalResponses", 1)),
+            response_sequence_id=int(msg.get("responseSequenceId", 0)),
+        )
     if rows and "min_val" in rows[0]:
         ordered = sorted(rows, key=lambda r: r["bucket"])
         data = [v for r in ordered for v in (r["min_val"], r["max_val"])]

@@ -135,3 +135,32 @@ def test_engine_segment_rows_serialize(spark):
     assert back.segment.nr_points == 10
     assert len(back.segment.data) == 20  # interleaved [min,max] pairs
     assert back.segment.data[0] == 0.0 and back.segment.data[1] == 9.0
+
+
+def test_unit_rows_map_to_event_messages():
+    from pennsieve_streaming_spark.serving.protobuf import (
+        data_message_to_protobuf,
+    )
+
+    # event-summary rows -> Event with interleaved [avgTime, count]
+    msg = data_message_to_protobuf(
+        {
+            "channel": "u1",
+            "totalResponses": 2,
+            "responseSequenceId": 1,
+            "rows": [
+                {"bucket": 1, "avg_time": 500, "count": 3},
+                {"bucket": 0, "avg_time": 100, "count": 7},
+            ],
+        }
+    )
+    assert msg.segment is None and msg.event is not None
+    assert msg.event.source == "u1"
+    assert msg.event.times == [100, 7, 500, 3]
+    back = TimeSeriesMessage.from_bytes(msg.to_bytes())
+    assert back == msg
+    # raw unit timestamps -> bare times
+    msg = data_message_to_protobuf(
+        {"channel": "u1", "rows": [{"channel": "u1", "ts": 9}, {"channel": "u1", "ts": 4}]}
+    )
+    assert msg.event.times == [4, 9]

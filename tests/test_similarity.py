@@ -369,3 +369,44 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     cents = kmeans_fit(embs, 2, 2, n_iter=1, init=[[1.0, 1.0], [50.0, 50.0]])
     assert cents[0] == [1.1, 1.0]
     assert cents[1] == [50.0, 50.0]  # empty cluster unchanged
+
+
+def test_ivf_recall_improves_with_learned_centroids(spark, sf_dir):
+    """Composition check: k-means-trained centroids must not hurt IVF
+    recall vs the fixed golden init on the same probe budget (they
+    adapt the partition to the data distribution)."""
+    import os
+
+    from pennsieve_streaming_spark.llm.similarity import (
+        cosine_topk,
+        golden_centroids,
+        ivf_ann,
+        kmeans_fit,
+    )
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("no testdata")
+    embs = spark.read.parquet(path)
+    queries = embs.filter("vec_id < 10")
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(embs, queries, k=5).collect()
+    }
+
+    def recall(cents):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_ann(
+                embs, queries, k=5, n_lists=8, n_probe=2, centroids=cents
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    golden = golden_centroids(8, 64)
+    learned = kmeans_fit(embs, 8, 64, n_iter=3, init=golden)
+    r_golden, r_learned = recall(golden), recall(learned)
+    assert r_learned >= r_golden
+    assert r_learned > 0.3  # sanity: probing 2/8 lists finds real neighbors
