@@ -24,20 +24,25 @@ from pennsieve_streaming_spark.llm.text import (  # noqa: F401
     quality_score,
     lang_id,
     fingerprint,
+    tfidf_top_terms,
 )
 from pennsieve_streaming_spark.llm.similarity import (  # noqa: F401
     cosine_topk,
     cosine_near_dup_pairs,
     ivf_ann,
     ivf_pq_ann,
+    kmeans_assign,
+    kmeans_fit,
     lsh_bucketed_ann,
     pq_ann,
     pq_encode,
+    semdedup,
 )
 from pennsieve_streaming_spark.llm.curation import (  # noqa: F401
     block_dedup,
     contamination,
     curate_corpus,
+    importance_weights,
     line_dedup,
     mixture_weights,
     pack_sequences,

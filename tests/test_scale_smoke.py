@@ -1,0 +1,97 @@
+"""Scale smoke: the core operators over 10M synthesized rows.
+
+Not a micro-benchmark (the box is shared; wall-time asserts would
+flake) — this proves the plans EXECUTE at 100× the usual test
+cardinality with bounded shuffles and that aggregate invariants hold
+exactly. Run time ~30-60 s on local[32].
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+N = 10_000_000
+CHANNELS = 64
+
+
+@pytest.fixture(scope="module")
+def big_samples(spark):
+    # 64 channels x ~156k samples each, 1 kHz spacing, sawtooth values
+    return (
+        spark.range(N)
+        .select(
+            F.concat(F.lit("ch"), (F.col("id") % CHANNELS).cast("string")).alias(
+                "channel"
+            ),
+            ((F.col("id") / CHANNELS).cast("long") * 1000).alias("ts"),
+            (F.col("id") % 1013).cast("double").alias("value"),
+        )
+    )
+
+
+def test_downsample_10m(spark, big_samples):
+    per_chan = N // CHANNELS  # samples per channel
+    span_us = per_chan * 1000
+    bucket_us = span_us // 100
+    from pennsieve_streaming_spark.operators.downsample import (
+        downsample_minmax_time,
+    )
+
+    out = downsample_minmax_time(big_samples, 0, span_us, bucket_us)
+    rows = out.collect()
+    assert len(rows) == CHANNELS * 100
+    # bucket populations differ by at most 1 (1562/1563: the 1000-µs
+    # grid doesn't divide the bucket evenly) and sum exactly per channel
+    assert all(r.n_samples in (1562, 1563) for r in rows)
+    per = {}
+    for r in rows:
+        per[r.channel] = per.get(r.channel, 0) + r.n_samples
+    assert all(v == per_chan for v in per.values())
+    # min/max bounded by the sawtooth modulus
+    assert all(0.0 <= r.min_val <= r.max_val <= 1012.0 for r in rows)
+
+
+def test_gap_spans_10m(spark, big_samples):
+    """Inject one gap per channel; sessionization must find exactly 2
+    spans per channel over 10M rows."""
+    from pennsieve_streaming_spark.operators.gaps import contiguous_spans
+    from pennsieve_streaming_spark.operators.gaps import samples_to_spans
+
+    shifted = big_samples.withColumn(
+        "ts",
+        F.when(
+            F.col("ts") >= 50_000_000, F.col("ts") + F.lit(10_000_000)
+        ).otherwise(F.col("ts")),
+    )
+    spans = contiguous_spans(
+        samples_to_spans(shifted), threshold_us=5_000_000
+    ).collect()
+    assert len(spans) == CHANNELS * 2
+    per_chan = {}
+    for r in spans:
+        per_chan.setdefault(r.channel, []).append(r)
+    assert all(len(v) == 2 for v in per_chan.values())
+    assert all(
+        sum(r.n_segments for r in v) == N // CHANNELS for v in per_chan.values()
+    )
+
+
+def test_exact_dedup_10m_docs(spark):
+    """1M short docs with 100k distinct texts: digest dedup keeps
+    exactly the distinct count; text never shuffles (digest groupBy)."""
+    from pennsieve_streaming_spark.llm.dedup import exact_dedup
+
+    docs = spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc text nr "), (F.col("id") % 100_000).cast("string")).alias(
+            "text"
+        ),
+    )
+    out = exact_dedup(docs)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dup_count").alias("total"),
+    ).collect()[0]
+    assert agg.n == 100_000
+    assert agg.total == 1_000_000
