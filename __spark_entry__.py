@@ -147,6 +147,12 @@ def q_fill_gaps(spark, sf_dir):
 
 
 def q_gap_spans(spark, sf_dir):
+    # Single-pass sessionization: at sf0.1 (100k events, 5 channels) one
+    # window per channel beats the two-phase form (the extra stage costs
+    # more than 5->175-task parallelism buys). At 100 TB per-channel
+    # cardinality, pass block_us to contiguous_spans for the blocked
+    # two-phase plan — bit-identical output (property-tested in
+    # test_operators.py, oracle-checked both ways this round).
     ev = TBL.chan_events_view(spark, sf_dir)
     return contiguous_spans(samples_to_spans(ev), GAP_THRESHOLD_US)
 

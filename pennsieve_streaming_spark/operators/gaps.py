@@ -27,7 +27,9 @@ def samples_to_spans(samples: DataFrame) -> DataFrame:
     return samples.select("channel", F.col("ts").alias("lo"), F.col("ts").alias("hi"))
 
 
-def contiguous_spans(spans: DataFrame, threshold_us: int) -> DataFrame:
+def contiguous_spans(
+    spans: DataFrame, threshold_us: int, block_us: int | None = None
+) -> DataFrame:
     """Merge per-channel (lo, hi) spans whose gap is < threshold.
 
     A new span starts when ``lo - lag(hi) >= threshold`` (the reference
@@ -35,10 +37,62 @@ def contiguous_spans(spans: DataFrame, threshold_us: int) -> DataFrame:
     TimeSeriesQueryUtils.scala:316-321). Output:
     (channel, span_lo, span_hi, n_segments).
 
-    Scale note: one shuffle on channel for the window, then the groupBy
-    reuses the same partitioning (no second shuffle thanks to AQE /
-    identical keys prefix).
+    ``block_us=None``: one window pass partitioned by channel — each
+    channel's whole history routes through ONE task, fine when channel
+    count >> cores. ``block_us=<µs>``: two-phase blocked sessionization
+    for the 100 TB shape (few channels × billions of samples): phase 1
+    sessionizes within (channel, time-block) — parallelism
+    |channels|×|blocks| — phase 2 re-merges only across block
+    boundaries on the phase-1 SPAN rows (orders of magnitude fewer).
+    Identical output: block splitting only severs adjacent pairs, never
+    joins them, and phase 2 re-evaluates exactly the severed pairs with
+    the same rule.
     """
+    if block_us is not None:
+        blocked = spans.withColumn(
+            "_blk", F.floor(F.col("lo") / F.lit(int(block_us)))
+        )
+        wb = Window.partitionBy("channel", "_blk").orderBy("lo", "hi")
+        prev_hi_b = F.lag("hi").over(wb)
+        new_b = F.when(
+            prev_hi_b.isNull() | ((F.col("lo") - prev_hi_b) >= threshold_us), 1
+        ).otherwise(0)
+        phase1 = (
+            blocked.withColumn(
+                "_sid",
+                F.sum(new_b).over(
+                    wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .groupBy("channel", "_blk", "_sid")
+            .agg(
+                F.min("lo").alias("lo"),
+                F.max_by("hi", F.struct("lo", "hi")).alias("hi"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .select("channel", "lo", "hi", "_n")
+        )
+        w2 = Window.partitionBy("channel").orderBy("lo", "hi")
+        prev_hi2 = F.lag("hi").over(w2)
+        new2 = F.when(
+            prev_hi2.isNull() | ((F.col("lo") - prev_hi2) >= threshold_us), 1
+        ).otherwise(0)
+        return (
+            phase1.withColumn(
+                "_sid",
+                F.sum(new2).over(
+                    w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .groupBy("channel", "_sid")
+            .agg(
+                F.min("lo").alias("span_lo"),
+                F.max_by("hi", F.struct("lo", "hi")).alias("span_hi"),
+                F.sum("_n").alias("n_segments"),
+            )
+            .drop("_sid")
+        )
+
     w = Window.partitionBy("channel").orderBy("lo", "hi")
     prev_hi = F.lag("hi").over(w)
     new_span = F.when(

@@ -540,3 +540,34 @@ def test_reference_montage_fixture_golden(spark):
     )
     assert [r["value"] for r in out] == [float(-i) for i in range(11)]
     assert out[0]["channel"] == "lead<->sec"
+
+
+def test_blocked_sessionization_equals_single_pass(spark):
+    """Two-phase blocked contiguous_spans must equal the single-window
+    formulation on adversarial data: gaps exactly at/around the
+    threshold, spans straddling block boundaries, multiple channels."""
+    import random
+
+    from pennsieve_streaming_spark.operators.gaps import contiguous_spans
+
+    rng = random.Random(42)
+    rows = []
+    for ch in ("a", "b", "c"):
+        t = 0
+        for _ in range(500):
+            # mix of sub-threshold steps, exact-threshold, and big gaps
+            t += rng.choice([1, 5, 9, 10, 11, 40, 100])
+            dur = rng.choice([0, 3, 12])  # spans can cross block edges
+            rows.append((ch, t, t + dur))
+    spans = spark.createDataFrame(rows, "channel string, lo long, hi long")
+    single = sorted(
+        map(tuple, contiguous_spans(spans, threshold_us=10).collect())
+    )
+    for block in (7, 10, 16, 1000):
+        blocked = sorted(
+            map(
+                tuple,
+                contiguous_spans(spans, threshold_us=10, block_us=block).collect(),
+            )
+        )
+        assert blocked == single, f"block_us={block}"
