@@ -1579,8 +1579,8 @@ def oracle_sql() -> dict[str, str]:
           FROM counts
         ),
         probs AS (
-          SELECT t, ln((c + CAST(0.5 AS DOUBLE))
-                       / (total + CAST(0.5 AS DOUBLE) * vocab)) AS logp
+          SELECT t, round(ln((c + CAST(0.5 AS DOUBLE))
+                       / (total + CAST(0.5 AS DOUBLE) * vocab)), 9) AS logp
           FROM counts CROSS JOIN tot
         ),
         u AS (
@@ -1638,8 +1638,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         deltas AS (
           SELECT t,
-                 ln((c_tgt + CAST(0.5 AS DOUBLE)) / (total_tgt + CAST(0.5 AS DOUBLE) * vocab))
-                 - ln((c_raw + CAST(0.5 AS DOUBLE)) / (total_raw + CAST(0.5 AS DOUBLE) * vocab)) AS delta
+                 round(ln((c_tgt + CAST(0.5 AS DOUBLE)) / (total_tgt + CAST(0.5 AS DOUBLE) * vocab))
+                 - ln((c_raw + CAST(0.5 AS DOUBLE)) / (total_raw + CAST(0.5 AS DOUBLE) * vocab)), 9) AS delta
           FROM counts CROSS JOIN tot
         ),
         u AS (
@@ -1703,7 +1703,7 @@ def oracle_sql() -> dict[str, str]:
         n AS (SELECT COUNT(*) AS n_docs FROM documents),
         scored AS (
           SELECT t.doc_id, t.term, t.tf, d.df,
-                 t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS score
+                 t.tf * round(ln(CAST(n.n_docs AS DOUBLE) / d.df), 9) AS score
           FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
         )
         SELECT doc_id, term, tf, df, score, rank FROM (

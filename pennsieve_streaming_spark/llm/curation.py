@@ -505,11 +505,14 @@ def unigram_lm_score(documents: DataFrame, k: float = 0.5) -> DataFrame:
         F.sum("count").alias("total"),
         F.count(F.lit(1)).alias("vocab"),
     )
+    # 9-dp quantization: ln() can differ by 1 ulp between the JVM and
+    # libm on the same input, so the per-token logp is rounded before
+    # the fold to keep avg_logprob bit-replayable cross-engine.
     probs = counts.crossJoin(F.broadcast(totals)).select(
         "t",
         F.expr(
-            f"ln((count + CAST({k!r} AS DOUBLE)) "
-            f"/ (total + CAST({k!r} AS DOUBLE) * vocab))"
+            f"round(ln((count + CAST({k!r} AS DOUBLE)) "
+            f"/ (total + CAST({k!r} AS DOUBLE) * vocab)), 9)"
         ).alias("logp"),
     )
     lm = probs.agg(
@@ -829,11 +832,16 @@ def importance_weights(
         F.count(F.lit(1)).alias("vocab"),
     )
     kk = f"CAST({k!r} AS DOUBLE)"
+    # ln() is not correctly rounded and the JVM and libm can disagree
+    # in the last ulp on the same input (observed once per testdata
+    # regeneration), so each delta is quantized to 9 decimals — far
+    # above the ~1e-16 ulp noise, far below the ~1e-2 score scale —
+    # the same cross-engine replay trick kmeans_fit uses.
     deltas = counts.crossJoin(F.broadcast(totals)).select(
         "t",
         F.expr(
-            f"ln((c_tgt + {kk}) / (total_tgt + {kk} * vocab)) "
-            f"- ln((c_raw + {kk}) / (total_raw + {kk} * vocab))"
+            f"round(ln((c_tgt + {kk}) / (total_tgt + {kk} * vocab)) "
+            f"- ln((c_raw + {kk}) / (total_raw + {kk} * vocab)), 9)"
         ).alias("delta"),
     )
     lm = deltas.agg(

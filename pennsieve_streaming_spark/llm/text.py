@@ -190,8 +190,12 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
         tf.join(df_, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
+            # ln() is not correctly rounded (JVM vs libm can differ in
+            # the last ulp), so the idf is quantized to 9 decimals to
+            # keep scores bit-replayable cross-engine; tf is an exact
+            # integer so the product stays deterministic.
             "score",
-            F.col("tf") * F.log(F.col("n_docs") / F.col("df")),
+            F.col("tf") * F.expr("round(ln(n_docs / df), 9)"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))

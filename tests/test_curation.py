@@ -438,8 +438,8 @@ def test_tfidf_top_terms_golden(spark):
     # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
     d1 = {r.term: r for r in by_doc[1]}
     assert d1["apple"].rank == 1
-    assert abs(d1["apple"].score - 2 * math.log(3)) < 1e-12
-    assert abs(d1["banana"].score - math.log(1.5)) < 1e-12
+    assert abs(d1["apple"].score - 2 * round(math.log(3), 9)) < 1e-12
+    assert abs(d1["banana"].score - round(math.log(1.5), 9)) < 1e-12
     # doc 3: durian 1*ln(3)=1.10 beats cherry 2*ln(1.5)=0.81
     d3 = sorted(by_doc[3], key=lambda r: r.rank)
     assert d3[0].term == "durian" and d3[1].term == "cherry"
@@ -458,7 +458,7 @@ def test_tfidf_empty_docs_excluded(spark):
     # N counts ALL docs (including empty): df=1, N=2 -> ln(2)
     import math
 
-    assert abs(rows[0].score - math.log(2)) < 1e-12
+    assert abs(rows[0].score - round(math.log(2), 9)) < 1e-12
 
 
 def test_importance_weights_direction_and_value(spark):
@@ -484,8 +484,10 @@ def test_importance_weights_direction_and_value(spark):
     # tgt total=4; der: c_raw=1 c_tgt=0; hund same
     k = 0.5
     vocab, total_raw, total_tgt = 5, 6, 4
-    delta = math.log((0 + k) / (total_tgt + k * vocab)) - math.log(
-        (1 + k) / (total_raw + k * vocab)
+    delta = round(
+        math.log((0 + k) / (total_tgt + k * vocab))
+        - math.log((1 + k) / (total_raw + k * vocab)),
+        9,
     )
     assert abs(rows[3].log_ratio - 2 * delta) < 1e-12
     assert rows[3].n_tokens == 2
