@@ -296,6 +296,34 @@ def q_dedup_filter(spark, sf_dir):
     return dedup_filter(docs, pairs, 0.5).select("doc_id", "source", "lang")
 
 
+def _verified_pairs(spark, sf_dir, threshold=0.5):
+    """LSH-verified near-dup pairs at the dedup threshold — the edge
+    list both cluster queries consume. jaccard is an exact ratio of
+    integers, so the threshold cut is bit-identical cross-engine."""
+    return q_lsh_pairs(spark, sf_dir).filter(F.col("jaccard") >= threshold)
+
+
+def q_dup_clusters(spark, sf_dir):
+    """Duplicate-cluster labels: LSH near-dup pairs collapsed into
+    connected components (large-star/small-star), every document
+    labeled with the min doc_id reachable through the pair relation;
+    unpaired docs are their own singleton component."""
+    from pennsieve_streaming_spark.llm.graph import components_for
+
+    return components_for(_docs(spark, sf_dir), _verified_pairs(spark, sf_dir))
+
+
+def q_cluster_dedup(spark, sf_dir):
+    """Cluster-level dedup: one survivor (min doc_id) per connected
+    duplicate cluster — survives chained duplicates A~B~C that
+    pairwise dedup would let slip through."""
+    from pennsieve_streaming_spark.llm.graph import cluster_dedup
+
+    return cluster_dedup(
+        _docs(spark, sf_dir), _verified_pairs(spark, sf_dir)
+    ).select("doc_id", "source", "lang", "cluster_n")
+
+
 def q_interleave(spark, sf_dir):
     """Segment payload wire order as rows: the interleaved
     [min,max,min,max,...] stream (BaseTimeSeriesQuery.scala:86-88)
@@ -762,6 +790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # longest-stable ts-core queries last. Keep new work at the top.
     return {
         # round-4: new operators first (least-proven gets the oracle)
+        "doc_dup_clusters": q_dup_clusters,
+        "doc_cluster_dedup": q_cluster_dedup,
         "emb_kmeans": q_kmeans,
         "doc_importance_weights": q_importance_weights,
         "emb_semdedup": q_semdedup,
@@ -1616,6 +1646,67 @@ def oracle_sql() -> dict[str, str]:
         JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
         JOIN sizes sa ON i.doc_a = sa.doc_id
         JOIN sizes sb ON i.doc_b = sb.doc_id
+        """
+
+    # Connected-components cluster dedup: the same LSH pipeline cut at
+    # jaccard >= 0.5 becomes an undirected edge list; the recursive CTE
+    # computes the transitive closure, so each node's component is the
+    # minimum doc_id it can reach (identical to the large-star/
+    # small-star fixpoint). Closure is O(|component|^2) rows — fine for
+    # an oracle, which is why the engine side uses star-contraction.
+    _CLUSTER_PRE = f"""
+        WITH RECURSIVE {MINHASH_PRE}, {BANDS},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ),
+        {JACCARD_TAIL},
+        pairs AS (
+          SELECT i.doc_a, i.doc_b
+          FROM ints i
+          JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+          JOIN sizes sa ON i.doc_a = sa.doc_id
+          JOIN sizes sb ON i.doc_b = sb.doc_id
+          WHERE i.inter / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.5
+        ),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION
+          SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r
+          JOIN edges e ON r.dst = e.src
+          WHERE e.dst <> r.src
+        ),
+        comp AS (
+          SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+          FROM reach GROUP BY src
+        ),
+        full_comp AS (
+          SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        )
+        """
+
+    sql["doc_dup_clusters"] = f"""
+        {_CLUSTER_PRE}
+        SELECT doc_id, component FROM full_comp
+        """
+
+    sql["doc_cluster_dedup"] = f"""
+        {_CLUSTER_PRE},
+        csize AS (
+          SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_n
+          FROM full_comp GROUP BY component
+        )
+        SELECT d.doc_id, d.source, d.lang, s.cluster_n
+        FROM documents d
+        JOIN full_comp f ON d.doc_id = f.doc_id AND d.doc_id = f.component
+        JOIN csize s ON f.component = s.component
         """
 
     sql["emb_kmeans"] = _kmeans_oracle_sql(2)

@@ -1,0 +1,132 @@
+"""Connected-components cluster dedup (llm/graph.py).
+
+Reference semantics anchor: the reference has no graph operator; this
+is part of the LLM-pipeline dedup surface. The large-star/small-star
+implementation is checked against a plain union-find on random edge
+sets, plus shape-specific cases (chain, star, cycle, singletons) that
+exercise the convergence loop.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pennsieve_streaming_spark.llm.graph import (
+    cluster_dedup,
+    components_for,
+    connected_components,
+)
+
+
+def _pairs_df(spark, edges):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+
+
+def _labels(spark, edges):
+    out = connected_components(_pairs_df(spark, edges)).collect()
+    return {r["doc_id"]: r["component"] for r in out}
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-label per node
+    roots = {}
+    for n in parent:
+        roots[n] = find(n)
+    # root of a component is its min member by construction above?
+    # Not guaranteed by path order — normalize: min member per root.
+    comp_members = {}
+    for n, r in roots.items():
+        comp_members.setdefault(r, []).append(n)
+    return {
+        n: min(members)
+        for members in comp_members.values()
+        for n in members
+    }
+
+
+def test_chain_collapses_to_min(spark):
+    # A~B, B~C, C~D with no shortcut edges: pairs-only dedup would
+    # keep C; the component label must be 1 for all four.
+    labels = _labels(spark, [(1, 2), (2, 3), (3, 4)])
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_star_with_high_hub(spark):
+    labels = _labels(spark, [(10, 1), (10, 2), (10, 3)])
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 1}
+
+
+def test_cycle_and_two_components(spark):
+    labels = _labels(spark, [(1, 2), (2, 3), (3, 1), (7, 9)])
+    assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_self_loops_ignored(spark):
+    labels = _labels(spark, [(5, 5), (5, 6)])
+    assert labels == {5: 5, 6: 5}
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(45)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        expected = _union_find(edges)
+        got = _labels(spark, edges)
+        assert got == expected, f"trial {trial}"
+
+
+def test_components_for_adds_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(6)], "doc_id long"
+    )
+    out = components_for(docs, _pairs_df(spark, [(1, 4), (4, 5)]))
+    labels = {r["doc_id"]: r["component"] for r in out.collect()}
+    assert labels == {0: 0, 1: 1, 2: 2, 3: 3, 4: 1, 5: 1}
+
+
+def test_cluster_dedup_keeps_min_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    # chain 0~1~2 plus pair 4~5; doc 3 untouched
+    out = cluster_dedup(docs, _pairs_df(spark, [(0, 1), (1, 2), (4, 5)]))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {0, 3, 4}
+    assert rows[0]["cluster_n"] == 3
+    assert rows[3]["cluster_n"] == 1
+    assert rows[4]["cluster_n"] == 2
+    # survivor keeps its original columns
+    assert rows[0]["text"] == "text 0"
+
+
+def test_empty_pairs(spark):
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = components_for(docs, empty).collect()
+    assert {r["doc_id"]: r["component"] for r in out} == {1: 1, 2: 2}
+    survivors = cluster_dedup(docs, empty).collect()
+    assert sorted(r["doc_id"] for r in survivors) == [1, 2]
+    assert all(r["cluster_n"] == 1 for r in survivors)
