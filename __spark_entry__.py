@@ -296,6 +296,30 @@ def q_dedup_filter(spark, sf_dir):
     return dedup_filter(docs, pairs, 0.5).select("doc_id", "source", "lang")
 
 
+BM25_QUERIES = [
+    (0, "spark window agg"),
+    (1, "fast hash join"),
+    (2, "slow scan customer"),
+]
+
+
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 ranking of the corpus against a fixed query set —
+    the retrieval side of the text stack (tf/df reuse the TF-IDF
+    aggregations; the query set is broadcast)."""
+    from pennsieve_streaming_spark.llm.text import bm25_search
+
+    return bm25_search(_docs(spark, sf_dir), BM25_QUERIES, top_k=10)
+
+
+def q_inverted_index(spark, sf_dir):
+    """Full-text inverted index: term -> (df, cf, ascending posting
+    list as a comma-joined string)."""
+    from pennsieve_streaming_spark.llm.text import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir))
+
+
 def _verified_pairs(spark, sf_dir, threshold=0.5):
     """LSH-verified near-dup pairs at the dedup threshold — the edge
     list both cluster queries consume. jaccard is an exact ratio of
@@ -790,6 +814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # longest-stable ts-core queries last. Keep new work at the top.
     return {
         # round-4: new operators first (least-proven gets the oracle)
+        "doc_bm25": q_bm25,
+        "doc_inverted_index": q_inverted_index,
         "doc_dup_clusters": q_dup_clusters,
         "doc_cluster_dedup": q_cluster_dedup,
         "emb_kmeans": q_kmeans,
@@ -1646,6 +1672,60 @@ def oracle_sql() -> dict[str, str]:
         JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
         JOIN sizes sa ON i.doc_a = sa.doc_id
         JOIN sizes sb ON i.doc_b = sb.doc_id
+        """
+
+    # BM25 + inverted index share the tf/dl/df aggregation skeleton.
+    _BM25_TF = f"""
+        base AS (SELECT doc_id, {TOKS} AS toks FROM documents
+                 WHERE length(trim(text)) > 0),
+        tok AS (SELECT doc_id, lower(UNNEST(toks)) AS term FROM base),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM tok GROUP BY 1, 2)
+        """
+
+    _q_vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, qtext in BM25_QUERIES
+        for t in dict.fromkeys(qtext.lower().split())
+    )
+    sql["doc_bm25"] = f"""
+        WITH {_BM25_TF},
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+        dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        stats AS (
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+                 (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS total_dl
+        ),
+        q(query_id, term) AS (VALUES {_q_vals}),
+        matched AS (
+          SELECT q.query_id, tf.doc_id, tf.term,
+                 round(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)), 9)
+                 * (tf * (CAST(1.2 AS DOUBLE) + 1) /
+                    (tf + CAST(1.2 AS DOUBLE) * (1 - CAST(0.75 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * dl
+                       / (CAST(total_dl AS DOUBLE) / n_docs)))), 9) AS part
+          FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
+          JOIN dfq USING (term) CROSS JOIN stats
+        ),
+        scored AS (
+          SELECT query_id, doc_id,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(part ORDER BY term)), (a, x) -> a + x) AS score
+          FROM matched GROUP BY 1, 2
+        )
+        SELECT query_id, doc_id, score, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, doc_id) AS rank
+          FROM scored
+        ) WHERE rank <= 10
+        """
+
+    sql["doc_inverted_index"] = f"""
+        WITH {_BM25_TF}
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(tf) AS BIGINT) AS cf,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        FROM tf GROUP BY term
         """
 
     # Connected-components cluster dedup: the same LSH pipeline cut at

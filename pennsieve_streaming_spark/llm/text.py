@@ -204,3 +204,136 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", "score", "rank")
     )
+
+
+def inverted_index(documents: DataFrame, min_df: int = 1) -> DataFrame:
+    """Full-text inverted index: one row per term with document
+    frequency, collection frequency, and the ascending posting list.
+
+    Output: (term, df, cf, postings) — ``postings`` is the
+    comma-joined ascending doc_id list (a string, so the row stays
+    flat for wire formats and engine-portable comparison).
+
+    Scale: explode -> ONE (term, doc_id) groupBy with map-side partial
+    counts -> ONE term groupBy. The posting list concentrates a term's
+    docs into one row, so df is naturally capped by corpus size; for
+    web-scale stopwords, cap with ``min_df``'s mirror (a max_df guard)
+    upstream or shard postings by range — the aggregation itself only
+    shuffles (term, doc_id, count) triples.
+    """
+    toks = (
+        _with_toks(documents)
+        .where(F.expr("length(trim(text)) > 0"))
+        .select(
+            "doc_id",
+            F.explode(F.expr("transform(toks, t -> lower(t))")).alias("term"),
+        )
+    )
+    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("doc_id"))),
+                    lambda s: s["doc_id"].cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .where(F.col("df") >= min_df)
+    )
+
+
+def bm25_search(
+    documents: DataFrame,
+    queries: list[tuple[int, str]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Okapi BM25 ranking of every document against a small query set.
+
+    score(q, d) = sum over query terms t of
+        idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    with idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)), the standard
+    non-negative Robertson-Sparck-Jones variant.
+
+    Output: (query_id, doc_id, score, rank) for the ``top_k`` docs per
+    query (rank ties broken by ascending doc_id).
+
+    Determinism: idf and each per-term partial are quantized to 9
+    decimals (ln and division are engine-rounding-sensitive), and the
+    per-document score folds its matched terms in ascending term order
+    — never a partition-order float sum.
+
+    Scale: the query set is tiny and broadcast; the only corpus-wide
+    work is the same tf/df aggregation the TF-IDF path runs. The
+    per-query top-k window partitions by query_id — fine for a handful
+    of queries; for thousands, swap in the partial top-k pattern from
+    ``similarity.cosine_topk``.
+    """
+    from pyspark.sql import Window
+
+    spark = documents.sparkSession
+    qterms = [
+        (int(qid), t.lower())
+        for qid, qtext in queries
+        for t in dict.fromkeys(qtext.split())
+    ]
+    qdf = spark.createDataFrame(qterms, "query_id long, term string")
+
+    toks = (
+        _with_toks(documents)
+        .where(F.expr("length(trim(text)) > 0"))
+        .select(
+            "doc_id",
+            F.explode(F.expr("transform(toks, t -> lower(t))")).alias("term"),
+        )
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = documents.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).crossJoin(
+        F.broadcast(dl.agg(F.sum("dl").cast("long").alias("total_dl")))
+    )
+
+    kk1 = f"CAST({k1!r} AS DOUBLE)"
+    bb = f"CAST({b!r} AS DOUBLE)"
+    matched = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            "term",
+            F.expr(
+                f"round(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)), 9) "
+                f"* (tf * ({kk1} + 1) / "
+                f"(tf + {kk1} * (1 - {bb} + {bb} * dl / (CAST(total_dl AS DOUBLE) / n_docs)))), 9)"
+            ).alias("part"),
+        )
+    )
+    scored = (
+        matched.groupBy("query_id", "doc_id")
+        .agg(
+            F.expr(
+                "aggregate(transform(sort_array(collect_list(struct(term, part))), "
+                "s -> s.part), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
