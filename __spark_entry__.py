@@ -320,6 +320,15 @@ def q_inverted_index(spark, sf_dir):
     return inverted_index(_docs(spark, sf_dir))
 
 
+def q_substring_dup(spark, sf_dir):
+    """Exact-substring duplication profile: fraction of each document
+    covered by token 8-grams that appear in >= 2 documents (fixed-width
+    simplification of suffix-array dedup)."""
+    from pennsieve_streaming_spark.llm.dedup import duplicated_span_stats
+
+    return duplicated_span_stats(_docs(spark, sf_dir), k=8)
+
+
 def _verified_pairs(spark, sf_dir, threshold=0.5):
     """LSH-verified near-dup pairs at the dedup threshold — the edge
     list both cluster queries consume. jaccard is an exact ratio of
@@ -814,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # longest-stable ts-core queries last. Keep new work at the top.
     return {
         # round-4: new operators first (least-proven gets the oracle)
+        "doc_substring_dup": q_substring_dup,
         "doc_bm25": q_bm25,
         "doc_inverted_index": q_inverted_index,
         "doc_dup_clusters": q_dup_clusters,
@@ -1672,6 +1682,50 @@ def oracle_sql() -> dict[str, str]:
         JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
         JOIN sizes sa ON i.doc_a = sa.doc_id
         JOIN sizes sb ON i.doc_b = sb.doc_id
+        """
+
+    # Exact-substring duplication: 8-gram hashes -> distinct-doc
+    # counts -> per-doc interval union of duplicated [pos, pos+8)
+    # spans. Integers and exact ratios only.
+    _GH = md5_hash64_duck("array_to_string(toks[pos:pos+7], ' ')")
+    sql["doc_substring_dup"] = f"""
+        WITH doc_toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+        pos AS (
+          SELECT doc_id, toks,
+                 UNNEST(generate_series(1, GREATEST(len(toks) - 7, 0))) AS pos
+          FROM doc_toks
+          WHERE length(trim(array_to_string(toks, ' '))) > 0
+        ),
+        grams AS (SELECT doc_id, pos, {_GH} AS gh FROM pos),
+        dupg AS (
+          SELECT gh FROM (
+            SELECT gh, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY gh
+          ) WHERE nd >= 2
+        ),
+        dpos AS (SELECT doc_id, pos FROM grams JOIN dupg USING (gh)),
+        cov AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams,
+                 CAST(SUM(LEAST(8, COALESCE(next_pos - pos, 8))) AS BIGINT) AS dup_covered
+          FROM (
+            SELECT doc_id, pos,
+                   LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS next_pos
+            FROM dpos
+          )
+          GROUP BY doc_id
+        ),
+        nt AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(len({TOKS}) AS BIGINT) END AS n_tokens
+          FROM documents
+        )
+        SELECT nt.doc_id, nt.n_tokens,
+               CAST(COALESCE(c.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+               CAST(COALESCE(c.dup_covered, 0) AS BIGINT) AS dup_covered,
+               CASE WHEN nt.n_tokens = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE COALESCE(c.dup_covered, 0) / CAST(nt.n_tokens AS DOUBLE)
+               END AS dup_fraction
+        FROM nt LEFT JOIN cov c ON nt.doc_id = c.doc_id
         """
 
     # BM25 + inverted index share the tf/dl/df aggregation skeleton.

@@ -288,3 +288,96 @@ def simhash_near_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def duplicated_span_stats(
+    documents: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication profile (the cross-document variant
+    of suffix-array dedup from "Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022, simplified to fixed-width
+    token k-grams): for every document, how much of it is covered by
+    token spans of length ``k`` that also appear in >= ``min_docs``
+    documents.
+
+    Output: (doc_id, n_tokens, n_dup_grams, dup_covered, dup_fraction)
+    where n_dup_grams counts k-gram start positions whose gram is
+    cross-document duplicated, dup_covered is the size of the union of
+    their [pos, pos+k) intervals, and dup_fraction = dup_covered /
+    n_tokens.
+
+    Scale shape: the k-gram explode is a narrow map (k-fold row growth,
+    no shuffle); gram -> distinct-doc-count is one groupBy on the
+    64-bit gram hash with map-side partials; the dup-gram set joins
+    back on the same hash key (the exchange is reused); the interval
+    union is a per-document window whose partition is one document's
+    duplicated positions. All outputs are integers or exact integer
+    ratios - bit-stable across engines with no quantization.
+    """
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    gram = "concat_ws(' ', " + ", ".join(
+        f"element_at(toks, CAST(i + {d} AS INT))" for d in range(k)
+    ) + ")"
+    grams = (
+        ensure_parallelism(documents.select("doc_id", text_col), "doc_id")
+        .select("doc_id", F.expr(toks).alias("toks"))
+        .select(
+            "doc_id",
+            F.expr("size(toks)").cast("long").alias("n_tokens"),
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(toks) < {k} OR length(trim(concat_ws(' ', toks))) = 0 "
+                    f"THEN array() "
+                    f"ELSE transform(sequence(CAST(1 AS BIGINT), CAST(size(toks) - {k - 1} AS BIGINT)), "
+                    f"i -> struct(i AS pos, {md5_hash64_expr(gram)} AS gh)) END"
+                )
+            ).alias("pg"),
+        )
+        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gh").alias("gh"))
+    )
+    dup_grams = (
+        grams.select("gh", "doc_id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gh")
+    )
+    dup_pos = grams.join(dup_grams, "gh").select("doc_id", "pos")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    per_doc = (
+        dup_pos.withColumn(
+            "covered",
+            F.least(F.lit(k), F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(k))),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
+            F.sum("covered").cast("long").alias("dup_covered"),
+        )
+    )
+    n_toks = documents.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN length(trim({text_col})) = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST(size({toks}) AS BIGINT) END"
+        ).alias("n_tokens"),
+    )
+    return (
+        n_toks.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce("dup_covered", F.lit(0)).cast("long").alias("dup_covered"),
+            F.expr(
+                "CASE WHEN n_tokens = 0 THEN CAST(0 AS DOUBLE) "
+                "ELSE coalesce(dup_covered, 0) / CAST(n_tokens AS DOUBLE) END"
+            ).alias("dup_fraction"),
+        )
+    )

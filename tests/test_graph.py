@@ -130,3 +130,73 @@ def test_empty_pairs(spark):
     survivors = cluster_dedup(docs, empty).collect()
     assert sorted(r["doc_id"] for r in survivors) == [1, 2]
     assert all(r["cluster_n"] == 1 for r in survivors)
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication profile (llm/dedup.py duplicated_span_stats)
+# ---------------------------------------------------------------------------
+
+
+def test_substring_dup_overlapping_spans_union(spark):
+    from pennsieve_streaming_spark.llm.dedup import duplicated_span_stats
+
+    # docs 1 and 2 share the 6-token run "a b c d e f" => with k=4,
+    # duplicated grams start at pos 1,2,3 in doc 1 (overlapping); the
+    # interval union is [1, 7) = 6 tokens, not 3*4.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f x y"),
+            (2, "q a b c d e f r"),
+            (3, "nothing shared here at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicated_span_stats(docs, k=4).collect()}
+    assert out[1].n_dup_grams == 3 and out[1].dup_covered == 6
+    assert out[2].n_dup_grams == 3 and out[2].dup_covered == 6
+    assert out[3].n_dup_grams == 0 and out[3].dup_covered == 0
+    assert out[1].dup_fraction == 6 / 8
+
+
+def test_substring_dup_within_doc_repeat_not_cross_doc(spark):
+    from pennsieve_streaming_spark.llm.dedup import duplicated_span_stats
+
+    # the repeated 4-gram lives only inside doc 1 -> not a cross-doc dup
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d z z a b c d"),
+            (2, "totally other words right here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicated_span_stats(docs, k=4).collect()}
+    assert out[1].n_dup_grams == 0 and out[1].dup_covered == 0
+
+
+def test_substring_dup_short_and_empty_docs(spark):
+    from pennsieve_streaming_spark.llm.dedup import duplicated_span_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in duplicated_span_stats(docs, k=4).collect()}
+    assert out[1].n_tokens == 2 and out[1].dup_fraction == 0.0
+    assert out[2].n_tokens == 0 and out[2].dup_fraction == 0.0
+    assert out[3].n_tokens == 0
+
+
+def test_substring_dup_min_docs_threshold(spark):
+    from pennsieve_streaming_spark.llm.dedup import duplicated_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c d"),
+            (3, "a b c d"),
+        ],
+        "doc_id long, text string",
+    )
+    out3 = {r.doc_id: r for r in duplicated_span_stats(docs, k=4, min_docs=3).collect()}
+    assert all(out3[d].n_dup_grams == 1 for d in (1, 2, 3))
+    out4 = {r.doc_id: r for r in duplicated_span_stats(docs, k=4, min_docs=4).collect()}
+    assert all(out4[d].n_dup_grams == 0 for d in (1, 2, 3))
