@@ -320,6 +320,35 @@ def q_inverted_index(spark, sf_dir):
     return inverted_index(_docs(spark, sf_dir))
 
 
+def _shingle_strings(spark, sf_dir):
+    """Raw 3-token shingle strings (pre-hash) — the high-cardinality
+    column the distinct-count sketches estimate."""
+    toks = "split(trim(text), '\\\\s+')"
+    arr = (
+        f"CASE WHEN size({toks}) < 3 THEN array() "
+        f"ELSE transform(sequence(1, size({toks}) - 2), "
+        f"i -> concat_ws(' ', element_at({toks}, i), "
+        f"element_at({toks}, i + 1), element_at({toks}, i + 2))) END"
+    )
+    return _docs(spark, sf_dir).select(F.explode(F.expr(arr)).alias("s"))
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog estimate of the corpus's distinct shingle count —
+    constant-state replacement for exact COUNT(DISTINCT) at scale."""
+    from pennsieve_streaming_spark.llm.sketch import hll_distinct
+
+    return hll_distinct(_shingle_strings(spark, sf_dir), "s", p=8)
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values) estimate of the distinct shingle count
+    — integer-only sketch state, one final division."""
+    from pennsieve_streaming_spark.llm.sketch import kmv_distinct
+
+    return kmv_distinct(_shingle_strings(spark, sf_dir), "s", k=64)
+
+
 def q_substring_dup(spark, sf_dir):
     """Exact-substring duplication profile: fraction of each document
     covered by token 8-grams that appear in >= 2 documents (fixed-width
@@ -823,6 +852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # longest-stable ts-core queries last. Keep new work at the top.
     return {
         # round-4: new operators first (least-proven gets the oracle)
+        "doc_hll_distinct": q_hll_distinct,
+        "doc_kmv_distinct": q_kmv_distinct,
         "doc_substring_dup": q_substring_dup,
         "doc_bm25": q_bm25,
         "doc_inverted_index": q_inverted_index,
@@ -1682,6 +1713,68 @@ def oracle_sql() -> dict[str, str]:
         JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
         JOIN sizes sa ON i.doc_a = sa.doc_id
         JOIN sizes sb ON i.doc_b = sb.doc_id
+        """
+
+    # Distinct-count sketches over the raw shingle strings. The
+    # shingle construction mirrors _shingle_strings; every hash is the
+    # shared 60-bit md5 prefix; HLL folds registers in bucket order
+    # with exact power-of-two terms; ln is 9-dp quantized.
+    _SH_STR = """
+        doc_toks3 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                      FROM documents),
+        sstr AS (
+          SELECT UNNEST(
+            CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                 ELSE list_transform(generate_series(1, len(toks) - 2),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END
+          ) AS s
+          FROM doc_toks3
+        )
+        """
+    _ALPHA8 = round(0.7213 / (1 + 1.079 / 256), 9)
+    _PH_SS = md5_hash64_duck("s")
+    sql["doc_hll_distinct"] = f"""
+        WITH {_SH_STR},
+        h AS (SELECT {_PH_SS} AS h FROM sstr WHERE s IS NOT NULL),
+        regs AS (
+          SELECT h % 256 AS bucket,
+                 MAX(CASE WHEN h // 256 = 0 THEN 53
+                          ELSE 52 - length(bin(h // 256)) + 1 END) AS rho
+          FROM h GROUP BY 1
+        ),
+        st AS (
+          SELECT CAST(256 - COUNT(*) AS BIGINT) AS zero_buckets,
+                 list_reduce(
+                   list_prepend(CAST(256 - COUNT(*) AS DOUBLE),
+                     list(CAST(1 AS DOUBLE)
+                          / CAST((CAST(1 AS BIGINT) << rho) AS DOUBLE)
+                          ORDER BY bucket)),
+                   (a, x) -> a + x) AS z
+          FROM regs
+        )
+        SELECT CAST(256 AS BIGINT) AS m, zero_buckets,
+               round(CAST({_ALPHA8!r} AS DOUBLE) * 256 * 256 / z, 9) AS raw_estimate,
+               round(CASE WHEN CAST({_ALPHA8!r} AS DOUBLE) * 256 * 256 / z <= 2.5 * 256
+                           AND zero_buckets > 0
+                          THEN 256 * round(ln(CAST(256 AS DOUBLE) / zero_buckets), 9)
+                          ELSE CAST({_ALPHA8!r} AS DOUBLE) * 256 * 256 / z END, 9) AS estimate
+        FROM st
+        """
+
+    sql["doc_kmv_distinct"] = f"""
+        WITH {_SH_STR},
+        h AS (SELECT DISTINCT {_PH_SS} AS h FROM sstr WHERE s IS NOT NULL),
+        mins AS (
+          SELECT list(h ORDER BY h) AS mins
+          FROM (SELECT h FROM h ORDER BY h LIMIT 64)
+        )
+        SELECT CAST(64 AS BIGINT) AS k,
+               CAST(len(mins) AS BIGINT) AS n_seen,
+               CAST(mins[len(mins)] AS BIGINT) AS kth_min,
+               CASE WHEN len(mins) < 64 THEN CAST(len(mins) AS DOUBLE)
+                    ELSE round(CAST(63 AS DOUBLE) * {1 << 60}
+                               / mins[len(mins)], 9) END AS estimate
+        FROM mins
         """
 
     # Exact-substring duplication: 8-gram hashes -> distinct-doc

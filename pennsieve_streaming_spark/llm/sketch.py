@@ -1,0 +1,152 @@
+"""Cardinality sketches: HyperLogLog and KMV (k-minimum-values).
+
+At 100 TB, exact COUNT(DISTINCT) of a high-cardinality column (URLs,
+shingles, n-grams) shuffles every distinct value; a sketch reduces the
+shuffle to a constant-size state. Spark's built-in
+``approx_count_distinct`` is an opaque HLL++ whose result cannot be
+replayed by another engine, so these operators implement the sketches
+from public literature (Flajolet et al. 2007 HyperLogLog; Bar-Yossef
+et al. 2002 KMV) with the repo's engine-portable md5 hash and
+order-independent or explicitly-ordered arithmetic, making the
+estimate bit-replayable by the DuckDB oracle:
+
+- every hash is the 60-bit md5 prefix (``md5_hash64_expr``);
+- HLL register maxima are integer aggregates (order-free);
+- the HLL harmonic sum folds registers in ascending bucket order with
+  each term an EXACT power of two (``1.0 / (1 << rho)``), so the float
+  sum has a fixed operand order;
+- ln() in the small-range correction is quantized to 9 decimals (JVM
+  vs libm last-ulp divergence);
+- KMV needs no floats at all until the final single division.
+
+Both sketches aggregate to ONE row; the shuffle carries register
+states (HLL: <= 2^p rows pre-agg with map-side partial max; KMV: the
+global top-k of hashes via a single min-k aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pennsieve_streaming_spark.llm.hashing import md5_hash64_expr
+
+HASH_BITS = 60  # md5_hash64_* yields the first 15 hex digits = 60 bits
+
+
+def _alpha(m: int) -> float:
+    """Standard HLL bias constant, rounded so both engines inline the
+    identical literal."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return round(0.7213 / (1 + 1.079 / m), 9)
+
+
+def hll_distinct(
+    df: DataFrame, col_expr: str, p: int = 8
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate of ``col_expr``.
+
+    Output (one row): (m, zero_buckets, raw_estimate, estimate).
+    ``estimate`` applies the standard small-range linear-counting
+    correction (m * ln(m / zero_buckets) when raw <= 2.5m and empty
+    buckets exist).
+    """
+    m = 1 << p
+    wbits = HASH_BITS - p
+    h = md5_hash64_expr(col_expr)
+    regs = (
+        df.select(F.expr(h).alias("h"))
+        .where(F.col("h").isNotNull())
+        .select(
+            (F.col("h") % m).alias("bucket"),
+            F.expr(f"h div {m}").alias("w"),
+        )
+        .select(
+            "bucket",
+            F.expr(
+                f"CASE WHEN w = 0 THEN {wbits + 1} "
+                f"ELSE {wbits} - length(bin(w)) + 1 END"
+            ).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    alpha = _alpha(m)
+    # Z = (empty buckets contribute 2^-0 = 1) + ordered fold of exact
+    # powers of two over present buckets.
+    return regs.agg(
+        F.expr(
+            f"""
+            named_struct(
+              'zero_buckets', CAST({m} - count(1) AS BIGINT),
+              'z', aggregate(
+                     transform(sort_array(collect_list(struct(bucket, rho))),
+                               s -> CAST(1 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), s.rho) AS DOUBLE)),
+                     CAST({m} - count(1) AS DOUBLE), (a, x) -> a + x)
+            ) AS st
+            """
+        )
+    ).select(
+        F.lit(m).cast("long").alias("m"),
+        F.col("st.zero_buckets").alias("zero_buckets"),
+        F.expr(
+            f"round(CAST({alpha!r} AS DOUBLE) * {m} * {m} / st.z, 9)"
+        ).alias("raw_estimate"),
+        F.expr(
+            f"""
+            round(CASE WHEN CAST({alpha!r} AS DOUBLE) * {m} * {m} / st.z <= 2.5 * {m}
+                        AND st.zero_buckets > 0
+                       THEN {m} * round(ln(CAST({m} AS DOUBLE) / st.zero_buckets), 9)
+                       ELSE CAST({alpha!r} AS DOUBLE) * {m} * {m} / st.z END, 9)
+            """
+        ).alias("estimate"),
+    )
+
+
+def kmv_distinct(
+    df: DataFrame, col_expr: str, k: int = 64
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count estimate: keep the k
+    smallest distinct hashes; estimate = (k-1) * 2^60 / kth_min.
+
+    Pure integer state until one final division — no float
+    accumulation anywhere, so the estimate is trivially exact to
+    replay. Output (one row): (k, kth_min, n_seen, estimate); when
+    fewer than k distinct hashes exist the exact distinct count is
+    returned (n_seen < k <=> estimate is exact).
+    """
+    h = md5_hash64_expr(col_expr)
+    hashes = (
+        df.select(F.expr(h).alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+    )
+    # Global min-k via orderBy+limit — Spark plans this as
+    # TakeOrderedAndProject: each partition keeps its k smallest, the
+    # driver merges k-sized heaps. The preceding distinct() is the
+    # scale cost (it shuffles one 8-byte row per distinct value —
+    # ~1000x smaller than the raw column; when even that is too much,
+    # HLL above is the constant-state alternative).
+    mins = (
+        hashes.orderBy("h")
+        .limit(k)
+        .agg(F.expr("sort_array(collect_list(h)) AS mins"))
+    )
+    two60 = 1 << HASH_BITS
+    return mins.select(
+        F.lit(k).cast("long").alias("k"),
+        F.expr(f"CAST(size(mins) AS BIGINT)").alias("n_seen"),
+        F.expr(f"CAST(element_at(mins, CAST(size(mins) AS INT)) AS BIGINT)").alias(
+            "kth_min"
+        ),
+        F.expr(
+            f"CASE WHEN size(mins) < {k} THEN CAST(size(mins) AS DOUBLE) "
+            f"ELSE round(CAST({k} - 1 AS DOUBLE) * {two60} "
+            f"/ element_at(mins, CAST(size(mins) AS INT)), 9) END"
+        ).alias("estimate"),
+    )

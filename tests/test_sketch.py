@@ -1,0 +1,66 @@
+"""HyperLogLog + KMV distinct-count sketches (llm/sketch.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pennsieve_streaming_spark.llm.sketch import hll_distinct, kmv_distinct
+
+
+def _values(spark, n, prefix="value-"):
+    return spark.range(n).select(
+        F.concat(F.lit(prefix), F.col("id")).alias("s")
+    )
+
+
+def test_hll_large_range_accuracy(spark):
+    # m=256 -> relative error ~1.04/sqrt(256) = 6.5%; allow 3 sigma.
+    n = 5000
+    row = hll_distinct(_values(spark, n), "s", p=8).collect()[0]
+    assert row.m == 256
+    assert abs(row.estimate - n) / n < 0.20
+    # raw == corrected in the large range (no linear counting)
+    assert row.estimate == row.raw_estimate
+
+
+def test_hll_small_range_linear_counting(spark):
+    n = 20
+    row = hll_distinct(_values(spark, n), "s", p=8).collect()[0]
+    assert row.zero_buckets >= 256 - n
+    # linear counting is near-exact at n << m
+    assert abs(row.estimate - n) < 2
+
+
+def test_hll_duplicates_do_not_inflate(spark):
+    base = _values(spark, 100)
+    dup = base.union(base).union(base)
+    a = hll_distinct(base, "s", p=8).collect()[0]
+    b = hll_distinct(dup, "s", p=8).collect()[0]
+    assert a.estimate == b.estimate
+
+
+def test_hll_deterministic_across_partitionings(spark):
+    df1 = _values(spark, 3000).repartition(1)
+    df32 = _values(spark, 3000).repartition(32)
+    a = hll_distinct(df1, "s", p=8).collect()[0]
+    b = hll_distinct(df32, "s", p=8).collect()[0]
+    assert a == b
+
+
+def test_kmv_accuracy_and_exact_small(spark):
+    n = 5000
+    row = kmv_distinct(_values(spark, n), "s", k=64).collect()[0]
+    # k=64 -> sigma ~ 1/sqrt(62) = 12.7%; allow 3 sigma
+    assert abs(row.estimate - n) / n < 0.4
+    assert row.n_seen == 64
+    # below k the sketch IS the exact count
+    exact = kmv_distinct(_values(spark, 30), "s", k=64).collect()[0]
+    assert exact.n_seen == 30 and exact.estimate == 30.0
+
+
+def test_kmv_duplicates_do_not_inflate(spark):
+    base = _values(spark, 500)
+    dup = base.union(base)
+    a = kmv_distinct(base, "s", k=32).collect()[0]
+    b = kmv_distinct(dup, "s", k=32).collect()[0]
+    assert a == b
