@@ -200,3 +200,43 @@ def test_substring_dup_min_docs_threshold(spark):
     assert all(out3[d].n_dup_grams == 1 for d in (1, 2, 3))
     out4 = {r.doc_id: r for r in duplicated_span_stats(docs, k=4, min_docs=4).collect()}
     assert all(out4[d].n_dup_grams == 0 for d in (1, 2, 3))
+
+
+def test_substring_dup_random_vs_bruteforce(spark):
+    from pennsieve_streaming_spark.llm.dedup import duplicated_span_stats
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(12)]
+    k = 4
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 25))))
+        for i in range(24)
+    ]
+
+    # brute force: gram -> set of docs; per-doc interval union
+    gram_docs = {}
+    toks = {d: t.split() for d, t in docs}
+    for d, ts in toks.items():
+        for i in range(len(ts) - k + 1):
+            gram_docs.setdefault(tuple(ts[i : i + k]), set()).add(d)
+    expected = {}
+    for d, ts in toks.items():
+        pos = sorted(
+            i + 1
+            for i in range(len(ts) - k + 1)
+            if len(gram_docs[tuple(ts[i : i + k])]) >= 2
+        )
+        covered = 0
+        for j, p in enumerate(pos):
+            nxt = pos[j + 1] if j + 1 < len(pos) else p + k
+            covered += min(k, nxt - p)
+        expected[d] = (len(ts), len(pos), covered)
+
+    out = duplicated_span_stats(
+        spark.createDataFrame(docs, "doc_id long, text string"), k=k
+    ).collect()
+    for r in out:
+        n_tok, n_dup, cov = expected[r.doc_id]
+        assert r.n_tokens == n_tok, r
+        assert r.n_dup_grams == n_dup, r
+        assert r.dup_covered == cov, r

@@ -105,3 +105,22 @@ def test_bm25_multi_query_independent(spark):
     q1 = {r.doc_id for r in out if r.query_id == 1}
     assert q0 == {1}
     assert q1 == {2, 3}
+
+
+def test_bm25_random_vs_bruteforce(spark):
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"t{i}" for i in range(15)]
+    corpus = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 30)))
+        for i in range(1, 26)
+    }
+    qterms = ["t1", "t5", "t9"]
+    docs = _docs(spark, list(corpus.items()))
+    out = bm25_search(docs, [(0, " ".join(qterms))], top_k=1000).collect()
+    got = {r.doc_id: r.score for r in out}
+    ref = _bm25_ref(corpus, qterms)
+    assert set(got) == set(ref)
+    for d in ref:
+        assert abs(got[d] - ref[d]) < 1e-12, d
