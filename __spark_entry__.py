@@ -320,6 +320,30 @@ def q_inverted_index(spark, sf_dir):
     return inverted_index(_docs(spark, sf_dir))
 
 
+def q_ann_filtered(spark, sf_dir):
+    """Metadata-prefiltered exact ANN: cosine top-k over only the
+    corpus rows passing a label predicate (the vector-DB 'filtered
+    search' feature) — the filter prunes at the scan, before any
+    scoring."""
+    embs = _embs(spark, sf_dir)
+    return cosine_topk(
+        embs.filter(F.col("label") == 0),
+        embs.filter(F.col("vec_id") < 20),
+        k=5,
+    )
+
+
+def q_ann_two_stage(spark, sf_dir):
+    """Two-stage retrieval: coarse rank on the first 32 vector
+    components, exact re-rank of 40 candidates to the final top-5."""
+    from pennsieve_streaming_spark.llm.similarity import cosine_topk_two_stage
+
+    embs = _embs(spark, sf_dir)
+    return cosine_topk_two_stage(
+        embs, embs.filter(F.col("vec_id") < 20), k=5, coarse_dim=32, refine_k=40
+    )
+
+
 def _shingle_strings(spark, sf_dir):
     """Raw 3-token shingle strings (pre-hash) — the high-cardinality
     column the distinct-count sketches estimate."""
@@ -852,6 +876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # longest-stable ts-core queries last. Keep new work at the top.
     return {
         # round-4: new operators first (least-proven gets the oracle)
+        "emb_ann_filtered": q_ann_filtered,
+        "emb_ann_two_stage": q_ann_two_stage,
         "doc_hll_distinct": q_hll_distinct,
         "doc_kmv_distinct": q_kmv_distinct,
         "doc_substring_dup": q_substring_dup,
@@ -2157,6 +2183,56 @@ def oracle_sql() -> dict[str, str]:
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                      ORDER BY cosine DESC, neighbor_id) AS rank
           FROM scored
+        ) WHERE rank <= 5
+        """
+
+    sql["emb_ann_filtered"] = """
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE label = 0),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 list_dot_product(qv, v)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+          FROM q JOIN c ON query_id != neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank, cosine FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+        """
+
+    sql["emb_ann_two_stage"] = """
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        coarse AS (
+          SELECT query_id, neighbor_id, qv, v,
+                 list_dot_product(qv[1:32], v[1:32])
+                   / (sqrt(list_dot_product(qv[1:32], qv[1:32]))
+                      * sqrt(list_dot_product(v[1:32], v[1:32]))) AS coarse
+          FROM q JOIN c ON query_id != neighbor_id
+        ),
+        cand AS (
+          SELECT query_id, neighbor_id, qv, v FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY coarse DESC, neighbor_id) AS crank
+            FROM coarse
+          ) WHERE crank <= 40
+        ),
+        rescored AS (
+          SELECT query_id, neighbor_id,
+                 list_dot_product(qv, v)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+          FROM cand
+        )
+        SELECT query_id, neighbor_id, rank, cosine FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM rescored
         ) WHERE rank <= 5
         """
 

@@ -854,3 +854,77 @@ def kmeans_assign(
         F.col(vec_col).cast("array<double>").alias("v"),
     )
     return assign_lists(base, centroids, vec_col="v").select("id", "list_id")
+
+
+def cosine_topk_two_stage(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    coarse_dim: int = 16,
+    refine_k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage exact-rerank retrieval (the Matryoshka / truncated-
+    vector pattern): stage 1 ranks by cosine over only the first
+    ``coarse_dim`` components and keeps ``refine_k`` candidates per
+    query; stage 2 re-scores those candidates with the FULL vector and
+    returns the final top-k.
+
+    At scale the win is bandwidth: the coarse scan reads a
+    ``coarse_dim/dim`` slice of every vector (store the prefix as its
+    own column/file to let Parquet column pruning do this physically),
+    and the full vectors are fetched only for |queries| x refine_k
+    candidates. Both stages use the deterministic fold dot product and
+    (metric DESC, neighbor_id ASC) total order, so the result is
+    bit-replayable — and exactly equals brute force whenever the true
+    top-k survives the coarse cut (tested on the recall property).
+
+    Output: (query_id, neighbor_id, rank, cosine).
+    """
+    corpus = ensure_parallelism(
+        _as_double(embeddings, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
+        )
+    )
+    qs = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q")
+    )
+    dot_c = F.expr(
+        DOT.format(a=f"slice(q, 1, {coarse_dim})", b=f"slice(v, 1, {coarse_dim})")
+    )
+    nq_c = F.expr(
+        DOT.format(a=f"slice(q, 1, {coarse_dim})", b=f"slice(q, 1, {coarse_dim})")
+    )
+    nv_c = F.expr(
+        DOT.format(a=f"slice(v, 1, {coarse_dim})", b=f"slice(v, 1, {coarse_dim})")
+    )
+    coarse = (
+        corpus.join(F.broadcast(qs), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("coarse", dot_c / (F.sqrt(nq_c) * F.sqrt(nv_c)))
+        .select("query_id", "neighbor_id", "coarse", "q", "v")
+    )
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("coarse").desc(), F.col("neighbor_id")
+    )
+    cands = (
+        partial_topk(coarse, refine_k, metric="coarse")
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= refine_k)
+    )
+    dot = F.expr(DOT.format(a="q", b="v"))
+    nq = F.expr(DOT.format(a="q", b="q"))
+    nv = F.expr(DOT.format(a="v", b="v"))
+    rescored = cands.withColumn("cosine", dot / (F.sqrt(nq) * F.sqrt(nv))).select(
+        "query_id", "neighbor_id", "cosine"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -410,3 +410,53 @@ def test_ivf_recall_improves_with_learned_centroids(spark, sf_dir):
     r_golden, r_learned = recall(golden), recall(learned)
     assert r_learned >= r_golden
     assert r_learned > 0.3  # sanity: probing 2/8 lists finds real neighbors
+
+
+def test_two_stage_degenerate_equals_bruteforce(embs):
+    """With coarse_dim = full dim the coarse order IS the exact order,
+    so two-stage must equal cosine_topk bit-for-bit."""
+    from pennsieve_streaming_spark.llm.similarity import cosine_topk_two_stage
+
+    qs = embs.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in cosine_topk(embs, qs, k=5).collect()
+    }
+    two = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in cosine_topk_two_stage(
+            embs, qs, k=5, coarse_dim=64, refine_k=5
+        ).collect()
+    }
+    assert two == exact
+
+
+def test_two_stage_recall(embs):
+    """Truncated 32-dim coarse stage with 8x overfetch keeps most of
+    the true top-5 (these embeddings are near-random, the hardest case
+    for prefix truncation — structured/Matryoshka vectors do better)."""
+    from pennsieve_streaming_spark.llm.similarity import cosine_topk_two_stage
+
+    qs = embs.filter(F.col("vec_id") < 10)
+    truth_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(embs, qs, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_two_stage(
+            embs, qs, k=5, coarse_dim=32, refine_k=40
+        ).collect()
+    }
+    recall = len(got & truth_pairs) / len(truth_pairs)
+    assert recall >= 0.6, recall
+
+
+def test_filtered_ann_respects_predicate(embs):
+    """Prefiltered search returns neighbors only from the filtered
+    corpus, ranked exactly as brute force over that subset."""
+    sub = embs.filter(F.col("label") == 0)
+    labels = {r["vec_id"]: r["label"] for r in embs.select("vec_id", "label").collect()}
+    out = cosine_topk(sub, embs.filter(F.col("vec_id") < 10), k=5).collect()
+    assert out
+    assert all(labels[r["neighbor_id"]] == 0 for r in out)
