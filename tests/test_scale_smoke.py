@@ -95,3 +95,50 @@ def test_exact_dedup_10m_docs(spark):
     ).collect()[0]
     assert agg.n == 100_000
     assert agg.total == 1_000_000
+
+
+def test_substring_dup_2m_docs(spark):
+    """duplicated_span_stats at 2M short docs: the 8-gram explode is
+    the heaviest map in the new dedup surface (k-fold row growth);
+    every odd doc duplicates doc-1's text, so exactly the duplicated
+    half carries full coverage."""
+    from pennsieve_streaming_spark.llm.dedup import duplicated_span_stats
+
+    n = 2_000_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 2 == 1,
+            F.lit("alpha beta gamma delta epsilon zeta eta theta"),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("unique"),
+                F.col("id").cast("string"),
+                F.lit(" beta gamma delta epsilon zeta eta theta"),
+            )
+        )
+        .alias("text"),
+    )
+    out = duplicated_span_stats(docs, k=8)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("dup_fraction") == 1.0, 1).otherwise(0)).alias("full"),
+    ).collect()[0]
+    assert agg.n == n
+    # every odd doc is one shared text: full coverage for all of them
+    assert agg.full == n // 2
+
+
+def test_hll_kmv_10m_values(spark):
+    """Sketches over 10M values with 1M distinct: estimates inside
+    loose 3-sigma bands, state stays constant-size."""
+    from pennsieve_streaming_spark.llm.sketch import hll_distinct, kmv_distinct
+
+    df = spark.range(10_000_000).select(
+        F.concat(F.lit("v"), (F.col("id") % 1_000_000).cast("string")).alias("s")
+    )
+    hll = hll_distinct(df, "s", p=8).collect()[0]
+    assert abs(hll.estimate - 1_000_000) / 1_000_000 < 0.25
+    kmv = kmv_distinct(df, "s", k=64).collect()[0]
+    assert abs(kmv.estimate - 1_000_000) / 1_000_000 < 0.5
