@@ -373,6 +373,14 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct(_shingle_strings(spark, sf_dir), "s", k=64)
 
 
+def q_substring_scrub(spark, sf_dir):
+    """Remove cross-document duplicated 8-gram spans, keeping the
+    first occurrence (min doc_id owns the gram)."""
+    from pennsieve_streaming_spark.llm.dedup import scrub_duplicated_spans
+
+    return scrub_duplicated_spans(_docs(spark, sf_dir), k=8)
+
+
 def q_substring_dup(spark, sf_dir):
     """Exact-substring duplication profile: fraction of each document
     covered by token 8-grams that appear in >= 2 documents (fixed-width
@@ -881,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hll_distinct": q_hll_distinct,
         "doc_kmv_distinct": q_kmv_distinct,
         "doc_substring_dup": q_substring_dup,
+        "doc_substring_scrub": q_substring_scrub,
         "doc_bm25": q_bm25,
         "doc_inverted_index": q_inverted_index,
         "doc_dup_clusters": q_dup_clusters,
@@ -1845,6 +1854,55 @@ def oracle_sql() -> dict[str, str]:
                     ELSE COALESCE(c.dup_covered, 0) / CAST(nt.n_tokens AS DOUBLE)
                END AS dup_fraction
         FROM nt LEFT JOIN cov c ON nt.doc_id = c.doc_id
+        """
+
+    sql["doc_substring_scrub"] = f"""
+        WITH doc_toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+        pos AS (
+          SELECT doc_id, toks,
+                 UNNEST(generate_series(1, GREATEST(len(toks) - 7, 0))) AS pos
+          FROM doc_toks
+          WHERE length(trim(array_to_string(toks, ' '))) > 0
+        ),
+        grams AS (SELECT doc_id, pos, {_GH} AS gh FROM pos),
+        owners AS (
+          SELECT gh, MIN(doc_id) AS owner, COUNT(DISTINCT doc_id) AS nd
+          FROM grams GROUP BY gh
+        ),
+        dup AS (SELECT gh, owner FROM owners WHERE nd >= 2),
+        droppos AS (
+          SELECT DISTINCT doc_id, tokpos FROM (
+            SELECT g.doc_id, UNNEST(generate_series(g.pos, g.pos + 7)) AS tokpos
+            FROM grams g JOIN dup d USING (gh) WHERE g.doc_id != d.owner
+          )
+        ),
+        tokens AS (
+          SELECT doc_id, UNNEST(toks) AS token,
+                 UNNEST(generate_series(1, len(toks))) AS tokpos
+          FROM doc_toks
+          WHERE length(trim(array_to_string(toks, ' '))) > 0
+        ),
+        kept AS (
+          SELECT t.doc_id, t.token, t.tokpos
+          FROM tokens t LEFT JOIN droppos dp
+            ON t.doc_id = dp.doc_id AND t.tokpos = dp.tokpos
+          WHERE dp.doc_id IS NULL
+        ),
+        rebuilt AS (
+          SELECT doc_id, string_agg(token, ' ' ORDER BY tokpos) AS clean_text,
+                 CAST(COUNT(*) AS BIGINT) AS n_kept
+          FROM kept GROUP BY doc_id
+        ),
+        nt AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(len({TOKS}) AS BIGINT) END AS n_tokens
+          FROM documents
+        )
+        SELECT nt.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+               nt.n_tokens,
+               CAST(nt.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped
+        FROM nt LEFT JOIN rebuilt r USING (doc_id)
         """
 
     # BM25 + inverted index share the tf/dl/df aggregation skeleton.

@@ -381,3 +381,97 @@ def duplicated_span_stats(
             ).alias("dup_fraction"),
         )
     )
+
+
+def scrub_duplicated_spans(
+    documents: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """The action side of ``duplicated_span_stats``: REMOVE duplicated
+    spans, keeping the first occurrence (Lee et al. 2022 policy — the
+    minimum doc_id owning a k-gram keeps it; every other document
+    drops the tokens its duplicated spans cover).
+
+    Output: (doc_id, clean_text, n_tokens, n_dropped) — clean_text is
+    the surviving tokens re-joined with single spaces (tokenization is
+    whitespace-canonical, matching every other text operator here).
+
+    Scale: same gram aggregation as the stats operator plus one
+    bounded explode (k rows per duplicated position, distinct-ed), a
+    left-anti join on (doc_id, position), and a per-document ordered
+    re-assembly whose window partition is one document.
+    """
+    toks_expr = f"split(trim({text_col}), '\\\\s+')"
+    gram = "concat_ws(' ', " + ", ".join(
+        f"element_at(toks, CAST(i + {d} AS INT))" for d in range(k)
+    ) + ")"
+    base = (
+        ensure_parallelism(documents.select("doc_id", text_col), "doc_id")
+        .select("doc_id", F.expr(toks_expr).alias("toks"))
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) < {k} OR length(trim(concat_ws(' ', toks))) = 0 "
+                f"THEN array() "
+                f"ELSE transform(sequence(CAST(1 AS BIGINT), CAST(size(toks) - {k - 1} AS BIGINT)), "
+                f"i -> struct(i AS pos, {md5_hash64_expr(gram)} AS gh)) END"
+            )
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gh").alias("gh"))
+    owners = grams.groupBy("gh").agg(
+        F.min("doc_id").alias("owner"),
+        F.count_distinct("doc_id").alias("nd"),
+    )
+    dup = owners.filter(F.col("nd") >= min_docs).select("gh", "owner")
+    drop_pos = (
+        grams.join(dup, "gh")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {k - 1})")).alias("tokpos"),
+        )
+        .distinct()
+    )
+    tokens = base.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN length(trim(concat_ws(' ', toks))) = 0 THEN array() "
+            f"ELSE toks END"
+        ).alias("toks"),
+    ).select(
+        "doc_id",
+        F.posexplode("toks").alias("p0", "token"),
+    ).select(
+        "doc_id", (F.col("p0") + 1).cast("long").alias("tokpos"), "token"
+    )
+    kept = tokens.join(drop_pos, ["doc_id", "tokpos"], "left_anti")
+    # a fully-scrubbed doc has NO kept rows, so doc length must come
+    # from a doc-level frame, not from the surviving-token aggregate
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(sort_array(collect_list(struct(tokpos, token))), "
+            "s -> s.token), ' ') AS clean_text"
+        ),
+        F.count("token").cast("long").alias("n_kept"),
+    )
+    n_toks = documents.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN length(trim({text_col})) = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST(size({toks_expr}) AS BIGINT) END"
+        ).alias("n_tokens"),
+    )
+    return (
+        n_toks.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long").alias("n_dropped"),
+        )
+    )

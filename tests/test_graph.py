@@ -240,3 +240,54 @@ def test_substring_dup_random_vs_bruteforce(spark):
         assert r.n_tokens == n_tok, r
         assert r.n_dup_grams == n_dup, r
         assert r.dup_covered == cov, r
+
+
+def test_substring_scrub_keep_first_policy(spark):
+    from pennsieve_streaming_spark.llm.dedup import scrub_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h tail1 here"),
+            (2, "a b c d e f g h tail2 other"),
+            (3, "a b c d e f g h"),
+            (4, ""),
+            (5, "short doc only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in scrub_duplicated_spans(docs, k=8).collect()}
+    # min doc_id owns the gram: doc 1 untouched
+    assert out[1].clean_text == "a b c d e f g h tail1 here"
+    assert out[1].n_dropped == 0
+    # doc 2 loses the shared 8-gram, keeps its tail
+    assert out[2].clean_text == "tail2 other"
+    assert out[2].n_dropped == 8 and out[2].n_tokens == 10
+    # doc 3 is fully covered: scrubbed to empty but lengths preserved
+    assert out[3].clean_text == "" and out[3].n_dropped == 8 and out[3].n_tokens == 8
+    # empty and short docs untouched
+    assert out[4].clean_text == "" and out[4].n_tokens == 0 and out[4].n_dropped == 0
+    assert out[5].clean_text == "short doc only" and out[5].n_dropped == 0
+
+
+def test_substring_scrub_consistent_with_stats(spark):
+    """For docs that own none of their duplicated grams, dropped token
+    count == the stats operator's covered count."""
+    from pennsieve_streaming_spark.llm.dedup import (
+        duplicated_span_stats,
+        scrub_duplicated_spans,
+    )
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(10)]
+    docs_rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(8, 25))))
+        for i in range(15)
+    ]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    stats = {r.doc_id: r for r in duplicated_span_stats(docs, k=4).collect()}
+    scrub = {r.doc_id: r for r in scrub_duplicated_spans(docs, k=4).collect()}
+    for d in stats:
+        # scrub drops only spans NOT owned (owner keeps them), so
+        # dropped <= covered always, with equality when doc owns none
+        assert scrub[d].n_dropped <= stats[d].dup_covered
+        assert scrub[d].n_tokens == stats[d].n_tokens
