@@ -111,3 +111,59 @@ def test_dedup_candidate_join_is_equi(spark):
     plan = _plan(lsh_candidate_pairs(lsh_band_keys(minhash_wide(sh))))
     assert "CartesianProduct" not in plan
     assert "band_key" in plan
+
+
+def test_substring_dup_plan_broadcasts_dup_grams(spark):
+    """The dup-gram set (small) must broadcast back onto the gram
+    stream — no sort-merge join of two corpus-sized sides — and the
+    plan must contain no cartesian product."""
+    from pennsieve_streaming_spark.llm.dedup import duplicated_span_stats
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(30)],
+        "doc_id long, text string",
+    )
+    df = duplicated_span_stats(docs, k=8)
+    df.collect()  # let AQE finalize: the small dup-gram side demotes to broadcast
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # static plan co-partitions both sides on gh (the right 100 TB
+    # shape when the dup-gram set is itself huge); at this size AQE
+    # must have turned it into a broadcast join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_plan_query_side_broadcast(spark):
+    """Query terms, df table, and corpus stats are broadcast; the only
+    non-broadcast join key is doc_id (document lengths)."""
+    from pennsieve_streaming_spark.llm.text import bm25_search
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = _plan(bm25_search(docs, [(0, "alpha gamma")], top_k=5))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 3
+
+
+def test_hll_plan_constant_state(spark):
+    """HLL must reduce to the register groupBy (partial+final) plus
+    the single-row fold — no joins, no extra exchanges."""
+    from pennsieve_streaming_spark.llm.sketch import hll_distinct
+
+    df = spark.range(1000).selectExpr("CAST(id AS STRING) AS s")
+    plan = _plan(hll_distinct(df, "s", p=8))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_kmv_plan_take_ordered(spark):
+    """KMV's min-k must plan as TakeOrderedAndProject (per-partition
+    heaps), never a global sort."""
+    from pennsieve_streaming_spark.llm.sketch import kmv_distinct
+
+    df = spark.range(1000).selectExpr("CAST(id AS STRING) AS s")
+    plan = _plan(kmv_distinct(df, "s", k=64))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan or "SortAggregate" in plan
