@@ -373,6 +373,22 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct(_shingle_strings(spark, sf_dir), "s", k=64)
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Distilled quality classifier: logistic regression trained on
+    the corpus against the heuristic-quality gate (kmeans_fit-style
+    driver loop, one aggregation per iteration), then scored over
+    every document. The oracle replays standardization AND all ten
+    training iterations as chained SQL CTEs."""
+    from pennsieve_streaming_spark.llm.curation import (
+        quality_classifier_fit,
+        quality_classifier_score,
+    )
+
+    docs = _docs(spark, sf_dir)
+    model = quality_classifier_fit(docs, lr=2.0, n_iter=10)
+    return quality_classifier_score(docs, model)
+
+
 def q_substring_scrub(spark, sf_dir):
     """Remove cross-document duplicated 8-gram spans, keeping the
     first occurrence (min doc_id owns the gram)."""
@@ -888,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_two_stage": q_ann_two_stage,
         "doc_hll_distinct": q_hll_distinct,
         "doc_kmv_distinct": q_kmv_distinct,
+        "doc_quality_classifier": q_quality_classifier,
         "doc_substring_dup": q_substring_dup,
         "doc_substring_scrub": q_substring_scrub,
         "doc_bm25": q_bm25,
@@ -1349,6 +1366,90 @@ def oracle_sql() -> dict[str, str]:
                + least(n_tokens, 200) / CAST(200.0 AS DOUBLE) * 0.2e0 AS quality
         FROM base
         """
+
+    # Distilled quality classifier: the oracle RE-TRAINS the model in
+    # SQL — feature standardization and every gradient-ascent
+    # iteration are chained one-row CTE aggregates mirroring the
+    # kmeans-style driver loop (same 9-dp quantization points), then
+    # the final weights score the corpus.
+    def _classifier_oracle_sql(n_iter: int, lr: float, label_cut: float) -> str:
+        feats = f"""
+        feats AS (
+          SELECT doc_id,
+                 CASE WHEN length(text) = 0 THEN CAST(0 AS DOUBLE)
+                      ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           / CAST(length(text) AS DOUBLE) END AS x1,
+                 len(list_filter({TOKS}, t -> list_contains([{_stop_arr}], lower(t))))
+                   / CAST(len({TOKS}) AS DOUBLE) AS x2,
+                 least(CAST(len({TOKS}) AS BIGINT), 200)
+                   / CAST(200.0 AS DOUBLE) AS x3
+          FROM documents
+        ),
+        lbl AS (
+          SELECT doc_id, x1, x2, x3,
+                 CASE WHEN x1 * 0.5e0 + x2 * 0.3e0 + x3 * 0.2e0
+                           >= CAST({label_cut!r} AS DOUBLE)
+                      THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE)
+                 END AS y
+          FROM feats
+        ),
+        st AS (
+          SELECT round(avg(x1), 9) AS m1, round(avg(x1 * x1), 9) AS q1,
+                 round(avg(x2), 9) AS m2, round(avg(x2 * x2), 9) AS q2,
+                 round(avg(x3), 9) AS m3, round(avg(x3 * x3), 9) AS q3
+          FROM lbl
+        ),
+        sd AS (
+          SELECT m1, m2, m3,
+                 CASE WHEN round(q1 - m1 * m1, 9) > 0
+                      THEN round(sqrt(round(q1 - m1 * m1, 9)), 9)
+                      ELSE CAST(1.0 AS DOUBLE) END AS s1,
+                 CASE WHEN round(q2 - m2 * m2, 9) > 0
+                      THEN round(sqrt(round(q2 - m2 * m2, 9)), 9)
+                      ELSE CAST(1.0 AS DOUBLE) END AS s2,
+                 CASE WHEN round(q3 - m3 * m3, 9) > 0
+                      THEN round(sqrt(round(q3 - m3 * m3, 9)), 9)
+                      ELSE CAST(1.0 AS DOUBLE) END AS s3
+          FROM st
+        ),
+        it0 AS (
+          SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+                 CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3
+        )"""
+        z = (
+            "w0 + w1 * ((x1 - m1) / s1) + w2 * ((x2 - m2) / s2) "
+            "+ w3 * ((x3 - m3) / s3)"
+        )
+        sig = f"round(1 / (1 + exp(-({z}))), 9)"
+        xs = [
+            "CAST(1 AS DOUBLE)",
+            "((x1 - m1) / s1)",
+            "((x2 - m2) / s2)",
+            "((x3 - m3) / s3)",
+        ]
+        its = []
+        for k in range(n_iter):
+            ws = ", ".join(
+                f"round(any_value(w{j}) + CAST({lr!r} AS DOUBLE) "
+                f"* avg((y - {sig}) * {xs[j]}), 9) AS w{j}"
+                for j in range(4)
+            )
+            its.append(
+                f"it{k + 1} AS (SELECT {ws} "
+                f"FROM lbl CROSS JOIN it{k} CROSS JOIN sd)"
+            )
+        return f"""
+        WITH {feats},
+        {", ".join(its)}
+        SELECT doc_id,
+               x1 * 0.5e0 + x2 * 0.3e0 + x3 * 0.2e0
+                 >= CAST({label_cut!r} AS DOUBLE) AS label,
+               {sig} AS score,
+               {sig} >= CAST(0.5 AS DOUBLE) AS predicted
+        FROM lbl CROSS JOIN it{n_iter} CROSS JOIN sd
+        """
+
+    sql["doc_quality_classifier"] = _classifier_oracle_sql(10, 2.0, 0.485)
 
     _markers = {
         "en": ["the", "and", "of", "to", "in", "is", "a"],

@@ -35,6 +35,8 @@ as ``dedup.py``) so the DuckDB oracles replay results bit-exactly.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -860,3 +862,125 @@ def importance_weights(
             ).alias("log_ratio"),
         )
     )
+
+
+def _classifier_features(documents: DataFrame) -> DataFrame:
+    """(doc_id, x1=alpha_ratio, x2=stop_ratio, x3=min(n_tokens,200)/200,
+    quality) — the same heuristic signals quality_score uses, as a pure
+    projection (zero shuffle)."""
+    from pennsieve_streaming_spark.llm.text import with_quality
+
+    return with_quality(documents).select(
+        "doc_id",
+        F.col("alpha_ratio").alias("x1"),
+        F.col("stop_ratio").alias("x2"),
+        (F.least(F.col("n_tokens"), F.lit(200)) / F.lit(200.0)).alias("x3"),
+        "quality",
+    )
+
+
+def _classifier_stats(documents: DataFrame) -> tuple[list[float], list[float]]:
+    """Per-feature mean and population std (9-dp quantized) — the
+    standardization half of the model. One aggregation; returns the
+    6-float state to the driver."""
+    feats = _classifier_features(documents)
+    aggs = []
+    for j in (1, 2, 3):
+        aggs.append(F.expr(f"round(avg(x{j}), 9)").alias(f"m{j}"))
+        aggs.append(F.expr(f"round(avg(x{j} * x{j}), 9)").alias(f"s{j}"))
+    row = feats.agg(*aggs).collect()[0]
+    means, stds = [], []
+    for j in (1, 2, 3):
+        m = float(row[f"m{j}"])
+        var = round(float(row[f"s{j}"]) - m * m, 9)
+        sd = round(math.sqrt(var), 9) if var > 0 else 1.0
+        means.append(m)
+        stds.append(sd)
+    return means, stds
+
+
+def _classifier_z_expr(
+    weights: list[float], means: list[float], stds: list[float]
+) -> str:
+    """The linear score w0 + sum_j w_j * (x_j - m_j) / s_j with every
+    model constant a double literal — identical text on both engines."""
+    terms = [f"CAST({weights[0]!r} AS DOUBLE)"]
+    for j in (1, 2, 3):
+        terms.append(
+            f"CAST({weights[j]!r} AS DOUBLE) * "
+            f"((x{j} - CAST({means[j - 1]!r} AS DOUBLE)) "
+            f"/ CAST({stds[j - 1]!r} AS DOUBLE))"
+        )
+    return " + ".join(terms)
+
+
+def quality_classifier_fit(
+    documents: DataFrame,
+    label_cut: float = 0.485,
+    lr: float = 2.0,
+    n_iter: int = 10,
+) -> dict:
+    """Train a logistic-regression quality classifier on the corpus
+    itself — the distillation pattern real pipelines use: a rule-based
+    gate (here: heuristic quality >= ``label_cut``) labels the corpus,
+    and a smooth model is fitted so downstream selection can use
+    GRADED scores (sampling temperature, per-bucket quotas) instead of
+    a hard cut. Features are standardized quality signals; training is
+    full-batch gradient ascent on the logistic log-likelihood.
+
+    Each iteration is ONE aggregation computing the four gradient
+    means (map-side partials; only the 4-float model state reaches the
+    driver) — the same distributed-training shape as ``kmeans_fit``,
+    with the same determinism contract: per-document sigmoids are
+    quantized to 9 decimals (exp() is engine-rounding-sensitive) and
+    every model constant (feature means/stds, each weight update) is
+    re-quantized, so the fitted model is bit-replayable by the DuckDB
+    oracle's chained-CTE replay.
+
+    Returns {"w": [w0..w3], "mean": [m1..m3], "std": [s1..s3]}.
+    """
+    means, stds = _classifier_stats(documents)
+    feats = _classifier_features(documents).withColumn(
+        "y",
+        F.when(
+            F.col("quality") >= F.lit(label_cut), F.lit(1.0)
+        ).otherwise(F.lit(0.0)),
+    )
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(n_iter):
+        z = _classifier_z_expr(w, means, stds)
+        s9 = f"round(1 / (1 + exp(-({z}))), 9)"
+        xs = ["CAST(1 AS DOUBLE)"] + [
+            f"((x{j} - CAST({means[j - 1]!r} AS DOUBLE)) "
+            f"/ CAST({stds[j - 1]!r} AS DOUBLE))"
+            for j in (1, 2, 3)
+        ]
+        row = feats.agg(
+            *[
+                F.expr(f"avg((y - {s9}) * {xs[j]})").alias(f"g{j}")
+                for j in range(4)
+            ]
+        ).collect()[0]
+        w = [round(w[j] + lr * float(row[f"g{j}"]), 9) for j in range(4)]
+    return {"w": w, "mean": means, "std": stds}
+
+
+def quality_classifier_score(
+    documents: DataFrame,
+    model: dict,
+    label_cut: float = 0.485,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score every document under a trained classifier.
+
+    Output: (doc_id, label, score, predicted) — label is the gate the
+    model was distilled from, score the 9-dp-quantized sigmoid,
+    predicted the threshold cut. A narrow map over the corpus (the
+    whole model is ten literals in the plan)."""
+    feats = _classifier_features(documents)
+    z = _classifier_z_expr(model["w"], model["mean"], model["std"])
+    return feats.select(
+        "doc_id",
+        (F.col("quality") >= F.lit(label_cut)).alias("label"),
+        F.expr(f"round(1 / (1 + exp(-({z}))), 9)").alias("score"),
+    ).withColumn("predicted", F.col("score") >= threshold)

@@ -491,3 +491,30 @@ def test_importance_weights_direction_and_value(spark):
     )
     assert abs(rows[3].log_ratio - 2 * delta) < 1e-12
     assert rows[3].n_tokens == 2
+
+
+def test_quality_classifier_learns_the_gate(spark):
+    """Distillation sanity: on the real corpus features the logistic
+    model must reproduce the rule-based gate on >90% of documents."""
+    from pennsieve_streaming_spark.llm.curation import (
+        quality_classifier_fit,
+        quality_classifier_score,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = quality_classifier_fit(docs, lr=2.0, n_iter=10)
+    out = quality_classifier_score(docs, model)
+    rows = out.collect()
+    acc = sum(1 for r in rows if r.label == r.predicted) / len(rows)
+    assert acc > 0.9, acc
+    # scores are genuine probabilities
+    assert all(0.0 <= r.score <= 1.0 for r in rows)
+
+
+def test_quality_classifier_deterministic_across_partitionings(spark):
+    from pennsieve_streaming_spark.llm.curation import quality_classifier_fit
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m1 = quality_classifier_fit(docs.repartition(1), lr=2.0, n_iter=5)
+    m32 = quality_classifier_fit(docs.repartition(32), lr=2.0, n_iter=5)
+    assert m1 == m32
