@@ -9,6 +9,7 @@ from pennsieve_streaming_spark.llm.hashing import (  # noqa: F401
     poly_hash_duck,
 )
 from pennsieve_streaming_spark.llm.dedup import (  # noqa: F401
+    duplicated_span_stats,
     exact_dedup,
     shingles,
     minhash_signatures,
@@ -16,10 +17,22 @@ from pennsieve_streaming_spark.llm.dedup import (  # noqa: F401
     lsh_band_keys,
     lsh_candidate_pairs,
     jaccard_pairs,
+    scrub_duplicated_spans,
     simhash,
     simhash_near_pairs,
 )
+from pennsieve_streaming_spark.llm.graph import (  # noqa: F401
+    cluster_dedup,
+    components_for,
+    connected_components,
+)
+from pennsieve_streaming_spark.llm.sketch import (  # noqa: F401
+    hll_distinct,
+    kmv_distinct,
+)
 from pennsieve_streaming_spark.llm.text import (  # noqa: F401
+    bm25_search,
+    inverted_index,
     token_stats,
     quality_score,
     lang_id,
@@ -33,6 +46,7 @@ from pennsieve_streaming_spark.llm.similarity import (  # noqa: F401
     ivf_pq_ann,
     kmeans_assign,
     kmeans_fit,
+    cosine_topk_two_stage,
     lsh_bucketed_ann,
     pq_ann,
     pq_encode,
@@ -47,6 +61,8 @@ from pennsieve_streaming_spark.llm.curation import (  # noqa: F401
     mixture_weights,
     pack_sequences,
     pii_scrub,
+    quality_classifier_fit,
+    quality_classifier_score,
     quality_thresholds,
     repetition_stats,
     source_best,

@@ -12,3 +12,9 @@ from pennsieve_streaming_spark.streaming.corpus import (  # noqa: F401
     read_document_stream,
     start_neardup_dedup_stream,
 )
+from pennsieve_streaming_spark.streaming.sessionize import (  # noqa: F401
+    sessionize_stream,
+)
+from pennsieve_streaming_spark.streaming.montage import (  # noqa: F401
+    montage_stream,
+)
