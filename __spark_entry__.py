@@ -373,6 +373,22 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct(_shingle_strings(spark, sf_dir), "s", k=64)
 
 
+def q_vocab(spark, sf_dir):
+    """Frequency-ranked vocabulary build (the tokenizer table)."""
+    from pennsieve_streaming_spark.llm.text import build_vocab
+
+    return build_vocab(_docs(spark, sf_dir))
+
+
+def q_token_ids(spark, sf_dir):
+    """Documents encoded as token-id sequences under the corpus vocab
+    — the final step before tokenized training shards."""
+    from pennsieve_streaming_spark.llm.text import build_vocab, encode_token_ids
+
+    docs = _docs(spark, sf_dir)
+    return encode_token_ids(docs, build_vocab(docs))
+
+
 def q_quality_classifier(spark, sf_dir):
     """Distilled quality classifier: logistic regression trained on
     the corpus against the heuristic-quality gate (kmeans_fit-style
@@ -904,6 +920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_two_stage": q_ann_two_stage,
         "doc_hll_distinct": q_hll_distinct,
         "doc_kmv_distinct": q_kmv_distinct,
+        "doc_vocab": q_vocab,
+        "doc_token_ids": q_token_ids,
         "doc_quality_classifier": q_quality_classifier,
         "doc_substring_dup": q_substring_dup,
         "doc_substring_scrub": q_substring_scrub,
@@ -1955,6 +1973,51 @@ def oracle_sql() -> dict[str, str]:
                     ELSE COALESCE(c.dup_covered, 0) / CAST(nt.n_tokens AS DOUBLE)
                END AS dup_fraction
         FROM nt LEFT JOIN cov c ON nt.doc_id = c.doc_id
+        """
+
+    # Vocabulary build + token-id encoding: rank by (count DESC, term
+    # ASC); unknown terms encode as 0; id sequence re-joined in doc
+    # order. Integers and strings only.
+    _VOCAB = f"""
+        vbase AS (SELECT doc_id, {TOKS} AS toks FROM documents
+                  WHERE length(trim(text)) > 0),
+        vtok AS (SELECT doc_id, lower(UNNEST(toks)) AS term FROM vbase),
+        vcounts AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS count
+          FROM vtok GROUP BY term
+        ),
+        vocab AS (
+          SELECT term,
+                 CAST(ROW_NUMBER() OVER (ORDER BY count DESC, term) AS BIGINT) AS token_id,
+                 count
+          FROM vcounts
+        )
+        """
+
+    sql["doc_vocab"] = f"""
+        WITH {_VOCAB}
+        SELECT term, token_id, count FROM vocab
+        """
+
+    sql["doc_token_ids"] = f"""
+        WITH {_VOCAB},
+        ptok AS (
+          SELECT doc_id, lower(UNNEST(toks)) AS term,
+                 UNNEST(generate_series(1, len(toks))) AS pos
+          FROM vbase
+        ),
+        enc AS (
+          SELECT p.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 string_agg(CAST(COALESCE(v.token_id, 0) AS VARCHAR), ','
+                            ORDER BY p.pos) AS token_ids
+          FROM ptok p LEFT JOIN vocab v ON p.term = v.term
+          GROUP BY p.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(e.n_tokens, 0) AS BIGINT) AS n_tokens,
+               COALESCE(e.token_ids, '') AS token_ids
+        FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
         """
 
     sql["doc_substring_scrub"] = f"""

@@ -337,3 +337,88 @@ def bm25_search(
         .where(F.col("rank") <= top_k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def build_vocab(documents: DataFrame, min_count: int = 1) -> DataFrame:
+    """Frequency-ranked vocabulary: (term, token_id, count) with
+    token_id 1..|vocab| assigned by (count DESC, term ASC) — the
+    deterministic rank every tokenizer build uses; id 0 is reserved
+    for unknown terms at encode time.
+
+    Scale: the corpus-wide term count is one partial-agg groupBy; the
+    rank is a single window over the VOCAB table (|vocab| rows — 10^5
+    to 10^7 — not the corpus), which is the one intentionally
+    single-task stage; at larger vocabs swap in the two-phase
+    zipWithIndex rank.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        _with_toks(documents)
+        .where(F.expr("length(trim(text)) > 0"))
+        .select(
+            "doc_id",
+            F.explode(F.expr("transform(toks, t -> lower(t))")).alias("term"),
+        )
+    )
+    counts = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+        .where(F.col("count") >= min_count)
+    )
+    w = Window.orderBy(F.col("count").desc(), F.col("term"))
+    return counts.select(
+        "term",
+        F.row_number().over(w).cast("long").alias("token_id"),
+        "count",
+    )
+
+
+def encode_token_ids(documents: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Encode every document as its token-id sequence under ``vocab``
+    (unknown terms -> 0) — the final step before tokenized training
+    shards.
+
+    Output: (doc_id, n_tokens, token_ids) — token_ids is the
+    comma-joined id sequence in document order (flat string keeps the
+    driver contract scalar-only; shard writers consume the same rows).
+
+    Scale: one broadcast join of the vocab onto exploded positions,
+    then a per-document ordered reassembly (window partition = one
+    document).
+    """
+    tokens = (
+        _with_toks(documents)
+        .where(F.expr("length(trim(text)) > 0"))
+        .select(
+            "doc_id",
+            F.posexplode(F.expr("transform(toks, t -> lower(t))")).alias(
+                "pos", "term"
+            ),
+        )
+    )
+    encoded = (
+        tokens.join(F.broadcast(vocab.select("term", "token_id")), "term", "left")
+        .select(
+            "doc_id",
+            "pos",
+            F.coalesce("token_id", F.lit(0)).cast("long").alias("tid"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.expr(
+                "array_join(transform(sort_array(collect_list(struct(pos, tid))), "
+                "s -> CAST(s.tid AS STRING)), ',') AS token_ids"
+            ),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(encoded, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("token_ids", F.lit("")).alias("token_ids"),
+        )
+    )

@@ -124,3 +124,44 @@ def test_bm25_random_vs_bruteforce(spark):
     assert set(got) == set(ref)
     for d in ref:
         assert abs(got[d] - ref[d]) < 1e-12, d
+
+
+def test_vocab_and_encoding_golden(spark):
+    from pennsieve_streaming_spark.llm.text import build_vocab, encode_token_ids
+
+    docs = _docs(
+        spark,
+        [
+            (1, "b a b c B"),
+            (2, "a c"),
+            (3, "   "),
+        ],
+    )
+    vocab = {r.term: (r.token_id, r["count"]) for r in build_vocab(docs).collect()}
+    # counts: b=3 (lowercased), a=2, c=2 -> rank b=1, then a<c
+    assert vocab == {"b": (1, 3), "a": (2, 2), "c": (3, 2)}
+    enc = {r.doc_id: r for r in encode_token_ids(docs, build_vocab(docs)).collect()}
+    assert enc[1].token_ids == "1,2,1,3,1"
+    assert enc[1].n_tokens == 5
+    assert enc[2].token_ids == "2,3"
+    assert enc[3].token_ids == "" and enc[3].n_tokens == 0
+
+
+def test_encoding_unknown_terms_are_zero(spark):
+    from pennsieve_streaming_spark.llm.text import build_vocab, encode_token_ids
+
+    train = _docs(spark, [(1, "known words only")])
+    test = _docs(spark, [(9, "known unknown words")])
+    vocab = build_vocab(train)
+    enc = encode_token_ids(test, vocab).collect()[0]
+    ids = enc.token_ids.split(",")
+    assert len(ids) == 3
+    assert "0" in ids  # 'unknown' not in the training vocab
+
+
+def test_vocab_min_count(spark):
+    from pennsieve_streaming_spark.llm.text import build_vocab
+
+    docs = _docs(spark, [(1, "a a a b")])
+    kept = {r.term for r in build_vocab(docs, min_count=2).collect()}
+    assert kept == {"a"}
