@@ -32,6 +32,8 @@ from pennsieve_streaming_spark.llm.sketch import (  # noqa: F401
 )
 from pennsieve_streaming_spark.llm.text import (  # noqa: F401
     bm25_search,
+    build_vocab,
+    encode_token_ids,
     inverted_index,
     token_stats,
     quality_score,
