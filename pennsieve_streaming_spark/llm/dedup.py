@@ -171,16 +171,58 @@ def jaccard_pairs(
         )
         joinable = shingled.join(F.broadcast(hot), "sh", "left_anti")
     if candidates is not None:
-        # verify-only-candidates: shrink the shingle table to candidate
-        # docs before the self-join (semi-join keeps each candidate
-        # doc's FULL shingle set, so sizes/jaccard stay exact)
+        # Verify-only-candidates, set-array formulation: the pair list
+        # is known, so instead of re-joining exploded (doc, sh) rows
+        # (a 6-stage chain), materialize each candidate doc's FULL
+        # shingle set as ONE array row and intersect row-locally per
+        # pair. Exact same jaccard; shuffle = |cand docs| set rows +
+        # two pair-to-set joins (vs the exploded self-join's
+        # |cand shingle rows|) and half the stages. Pairs sharing no
+        # shingle are filtered (the groupBy formulation never emitted
+        # them).
         cand_docs = (
             candidates.select(F.col("doc_a").alias("doc_id"))
             .union(candidates.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
-        shingled = shingled.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-        joinable = shingled
+        sets = (
+            shingled.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(
+                F.collect_list("sh").alias("shs"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        out = (
+            candidates.select("doc_a", "doc_b")
+            .join(
+                sets.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("shs").alias("sa"),
+                    F.col("n").alias("n_a"),
+                ),
+                "doc_a",
+            )
+            .join(
+                sets.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("shs").alias("sb"),
+                    F.col("n").alias("n_b"),
+                ),
+                "doc_b",
+            )
+            .withColumn(
+                "inter", F.expr("size(array_intersect(sa, sb))").cast("long")
+            )
+            .filter(F.col("inter") > 0)
+            .withColumn(
+                "jaccard",
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+            )
+        )
+        if min_jaccard > 0.0:
+            out = out.filter(F.col("jaccard") >= min_jaccard)
+        return out.select("doc_a", "doc_b", "n_a", "n_b", "inter", "jaccard")
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = joinable.alias("a")
     b = joinable.alias("b")
