@@ -206,7 +206,9 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def inverted_index(documents: DataFrame, min_df: int = 1) -> DataFrame:
+def inverted_index(
+    documents: DataFrame, min_df: int = 1, max_df: int | None = None
+) -> DataFrame:
     """Full-text inverted index: one row per term with document
     frequency, collection frequency, and the ascending posting list.
 
@@ -216,10 +218,10 @@ def inverted_index(documents: DataFrame, min_df: int = 1) -> DataFrame:
 
     Scale: explode -> ONE (term, doc_id) groupBy with map-side partial
     counts -> ONE term groupBy. The posting list concentrates a term's
-    docs into one row, so df is naturally capped by corpus size; for
-    web-scale stopwords, cap with ``min_df``'s mirror (a max_df guard)
-    upstream or shard postings by range — the aggregation itself only
-    shuffles (term, doc_id, count) triples.
+    docs into one row — at web scale a stopword's postings would be a
+    giant row, so pass ``max_df`` to drop terms above a document-
+    frequency ceiling (search engines skip stopword postings anyway);
+    the aggregation itself only shuffles (term, doc_id, count) triples.
     """
     toks = (
         _with_toks(documents)
@@ -244,6 +246,7 @@ def inverted_index(documents: DataFrame, min_df: int = 1) -> DataFrame:
             ).alias("postings"),
         )
         .where(F.col("df") >= min_df)
+        .where(F.lit(max_df is None) | (F.col("df") <= F.lit(max_df or 0)))
     )
 
 

@@ -167,3 +167,23 @@ def test_kmv_plan_take_ordered(spark):
     plan = _plan(kmv_distinct(df, "s", k=64))
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan or "SortAggregate" in plan
+
+
+def test_filtered_ann_label_predicate_pushes_to_scan(spark, sf_dir):
+    """The metadata prefilter must reach the parquet scan as a pushed
+    filter — pruning happens before any vector is scored."""
+    from pennsieve_streaming_spark.llm import cosine_topk
+    from pyspark.sql import functions as F
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = cosine_topk(
+        embs.filter(F.col("label") == 0),
+        embs.filter(F.col("vec_id") < 5),
+        k=3,
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("EqualTo(label,0)" in p for p in pushed), pushed

@@ -165,3 +165,14 @@ def test_vocab_min_count(spark):
     docs = _docs(spark, [(1, "a a a b")])
     kept = {r.term for r in build_vocab(docs, min_count=2).collect()}
     assert kept == {"a"}
+
+
+def test_inverted_index_max_df_drops_stopword_postings(spark):
+    from pennsieve_streaming_spark.llm.text import inverted_index
+
+    docs = _docs(spark, [(i, f"the word{i}") for i in range(10)])
+    full = {r.term for r in inverted_index(docs).collect()}
+    assert "the" in full
+    capped = {r.term for r in inverted_index(docs, max_df=5).collect()}
+    assert "the" not in capped
+    assert len(capped) == 10  # every word{i} survives
