@@ -373,6 +373,14 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct(_shingle_strings(spark, sf_dir), "s", k=64)
 
 
+def q_bigram_lm(spark, sf_dir):
+    """Bigram conditional-likelihood scoring — one Markov order above
+    the unigram perplexity filter (catches token-order degeneracy)."""
+    from pennsieve_streaming_spark.llm.curation import bigram_lm_score
+
+    return bigram_lm_score(_docs(spark, sf_dir))
+
+
 def q_vocab(spark, sf_dir):
     """Frequency-ranked vocabulary build (the tokenizer table)."""
     from pennsieve_streaming_spark.llm.text import build_vocab
@@ -920,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_two_stage": q_ann_two_stage,
         "doc_hll_distinct": q_hll_distinct,
         "doc_kmv_distinct": q_kmv_distinct,
+        "doc_bigram_lm": q_bigram_lm,
         "doc_vocab": q_vocab,
         "doc_token_ids": q_token_ids,
         "doc_quality_classifier": q_quality_classifier,
@@ -1973,6 +1982,42 @@ def oracle_sql() -> dict[str, str]:
                     ELSE COALESCE(c.dup_covered, 0) / CAST(nt.n_tokens AS DOUBLE)
                END AS dup_fraction
         FROM nt LEFT JOIN cov c ON nt.doc_id = c.doc_id
+        """
+
+    sql["doc_bigram_lm"] = f"""
+        WITH doc_toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+        trans AS (
+          SELECT doc_id, toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] AS bg, i AS pos
+          FROM (
+            SELECT doc_id, toks,
+                   UNNEST(generate_series(1, GREATEST(len(toks) - 1, 0))) AS i
+            FROM doc_toks
+          )
+        ),
+        bgc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_bg FROM trans GROUP BY bg),
+        pc AS (
+          SELECT t, CAST(COUNT(*) AS BIGINT) AS c_prev
+          FROM (SELECT UNNEST(toks) AS t FROM doc_toks) GROUP BY t
+        ),
+        v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab FROM pc),
+        probs AS (
+          SELECT bg,
+                 round(ln((c_bg + CAST(0.5 AS DOUBLE))
+                          / (c_prev + CAST(0.5 AS DOUBLE) * vocab)), 9) AS logp
+          FROM bgc JOIN pc ON split_part(bg, ' ', 1) = pc.t CROSS JOIN v
+        ),
+        folded AS (
+          SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(p.logp ORDER BY t.pos)), (a, b) -> a + b)
+                 / COUNT(*) AS avg_logprob
+          FROM trans t JOIN probs p ON t.bg = p.bg
+          GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(f.n_transitions, 0) AS BIGINT) AS n_transitions,
+               COALESCE(f.avg_logprob, CAST(0 AS DOUBLE)) AS avg_logprob
+        FROM documents d LEFT JOIN folded f ON d.doc_id = f.doc_id
         """
 
     # Vocabulary build + token-id encoding: rank by (count DESC, term

@@ -984,3 +984,74 @@ def quality_classifier_score(
         (F.col("quality") >= F.lit(label_cut)).alias("label"),
         F.expr(f"round(1 / (1 + exp(-({z}))), 9)").alias("score"),
     ).withColumn("predicted", F.col("score") >= threshold)
+
+
+def bigram_lm_score(documents: DataFrame, k: float = 0.5) -> DataFrame:
+    """Per-document mean bigram conditional log-likelihood under the
+    corpus's own add-k-smoothed bigram LM — one Markov order above
+    ``unigram_lm_score``, catching token-order degeneracy (shuffled or
+    machine-garbled text scores near the unigram model but collapses
+    under the bigram one).
+
+    logp(t_i | t_{i-1}) = ln((c(t_{i-1} t_i) + k) / (c(t_{i-1}) + k·V))
+    with V the unigram vocabulary size; score(doc) = mean over the
+    doc's n_tokens - 1 transitions; docs with < 2 tokens report 0
+    transitions and avg_logprob 0.
+
+    Output: (doc_id, n_transitions, avg_logprob).
+
+    Scale + determinism: same shape as the unigram operator — integer
+    count aggregations collapse to ONE broadcast (bigram -> logp) map
+    (bounded by the observed-bigram count; for web-scale corpora swap
+    the map for an explode + broadcast-join + ordered-fold), and each
+    document folds its own transition array SEQUENTIALLY in document
+    order with 9-dp-quantized logp values, so no float sum depends on
+    partition order or engine.
+    """
+    doc_toks = documents.select("doc_id", F.expr(TOKS).alias("toks"))
+    bigrams_expr = (
+        "CASE WHEN size(toks) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(toks) - 1), "
+        "i -> concat_ws(' ', element_at(toks, CAST(i AS INT)), "
+        "element_at(toks, CAST(i + 1 AS INT)))) END"
+    )
+    trans = doc_toks.select(
+        "doc_id", F.explode(F.expr(bigrams_expr)).alias("bg")
+    )
+    bg_counts = trans.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    prev_counts = (
+        doc_toks.select(F.explode("toks").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c_prev"))
+    )
+    vocab = prev_counts.agg(F.count(F.lit(1)).alias("vocab"))
+    kk = f"CAST({k!r} AS DOUBLE)"
+    probs = (
+        bg_counts.withColumn(
+            "prev", F.expr("split(bg, ' ')[0]")
+        )
+        .join(prev_counts.withColumnRenamed("t", "prev"), "prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.expr(
+                f"round(ln((c_bg + {kk}) / (c_prev + {kk} * vocab)), 9)"
+            ).alias("logp"),
+        )
+    )
+    lm = probs.agg(
+        F.map_from_entries(F.collect_list(F.struct("bg", "logp"))).alias("lm")
+    )
+    return (
+        doc_toks.select("doc_id", F.expr(bigrams_expr).alias("bgs"))
+        .crossJoin(F.broadcast(lm))
+        .select(
+            "doc_id",
+            F.expr("size(bgs)").cast("long").alias("n_transitions"),
+            F.expr(
+                "CASE WHEN size(bgs) = 0 THEN CAST(0 AS DOUBLE) "
+                "ELSE aggregate(transform(bgs, b -> element_at(lm, b)), "
+                "CAST(0 AS DOUBLE), (a, x) -> a + x) / size(bgs) END"
+            ).alias("avg_logprob"),
+        )
+    )

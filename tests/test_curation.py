@@ -518,3 +518,56 @@ def test_quality_classifier_deterministic_across_partitionings(spark):
     m1 = quality_classifier_fit(docs.repartition(1), lr=2.0, n_iter=5)
     m32 = quality_classifier_fit(docs.repartition(32), lr=2.0, n_iter=5)
     assert m1 == m32
+
+
+def test_bigram_lm_score(spark):
+    from pennsieve_streaming_spark.llm.curation import bigram_lm_score
+
+    rows = [
+        (0, "a b a b a b", "en", "s"),     # dominant transitions
+        (1, "a a b b a b", "en", "s"),     # rarer transitions
+        (2, "x", "en", "s"),               # single token: no transitions
+        (3, "", "en", "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r.doc_id: r for r in bigram_lm_score(docs).collect()}
+    assert out[0].n_transitions == 5 and out[1].n_transitions == 5
+    # doc 0 uses only the common 'a b'/'b a' transitions -> higher
+    assert out[0].avg_logprob > out[1].avg_logprob
+    assert out[2].n_transitions == 0 and out[2].avg_logprob == 0.0
+    assert out[3].n_transitions == 0
+    # hand-check doc 0's first transition 'a b': c('a b')=4+... across
+    # corpus: 'a b' appears 4x (3 in doc0, 2 in doc1? recount) -> just
+    # verify determinism across partitionings instead of the count
+    again = {r.doc_id: r.avg_logprob
+             for r in bigram_lm_score(docs.repartition(32)).collect()}
+    assert all(again[d] == out[d].avg_logprob for d in again)
+
+
+def test_bigram_lm_detects_shuffled_text(spark):
+    """The motivating property: shuffling a doc's tokens leaves the
+    unigram score unchanged but drops the bigram score."""
+    import math
+
+    from pennsieve_streaming_spark.llm.curation import (
+        bigram_lm_score,
+        unigram_lm_score,
+    )
+
+    natural = "the cat sat on the mat and the dog sat on the rug"
+    toks = natural.split()  # 13 tokens
+    shuffled = " ".join(
+        toks[i] for i in [7, 2, 11, 0, 9, 4, 6, 1, 10, 3, 12, 5, 8]
+    )
+    corpus = [(i, natural, "en", "s") for i in range(8)] + [
+        (99, shuffled, "en", "s")
+    ]
+    docs = spark.createDataFrame(
+        corpus, "doc_id long, text string, lang string, source string"
+    )
+    uni = {r.doc_id: r.avg_logprob for r in unigram_lm_score(docs).collect()}
+    bi = {r.doc_id: r.avg_logprob for r in bigram_lm_score(docs).collect()}
+    assert math.isclose(uni[99], uni[0], rel_tol=1e-9)  # unigram blind
+    assert bi[99] < bi[0] - 0.5  # bigram collapses
