@@ -373,6 +373,40 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct(_shingle_strings(spark, sf_dir), "s", k=64)
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """Streaming gap-span sessionization driven to completion over the
+    events feed (availableNow): the emitted rows are every CLOSED span
+    — the batch contiguous_spans output minus each channel's one
+    still-open (latest) span, an invariant that holds wherever the
+    micro-batch boundaries fall, which is what makes this
+    oracle-replayable."""
+    import tempfile
+
+    from pennsieve_streaming_spark.streaming.sessionize import (
+        sessionize_stream,
+    )
+
+    ev = TBL.chan_events_view(spark, sf_dir)
+    spans = samples_to_spans(ev)
+    base = tempfile.mkdtemp(prefix="pss_stream_sess_")
+    src = f"{base}/src"
+    spans.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("channel string, lo long, hi long")
+        .parquet(src)
+    )
+    out = sessionize_stream(stream, GAP_THRESHOLD_US)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out")
+
+
 def q_bigram_lm(spark, sf_dir):
     """Bigram conditional-likelihood scoring — one Markov order above
     the unigram perplexity filter (catches token-order degeneracy)."""
@@ -928,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_two_stage": q_ann_two_stage,
         "doc_hll_distinct": q_hll_distinct,
         "doc_kmv_distinct": q_kmv_distinct,
+        "stream_sessionize": q_stream_sessionize,
         "doc_bigram_lm": q_bigram_lm,
         "doc_vocab": q_vocab,
         "doc_token_ids": q_token_ids,
@@ -1139,6 +1174,20 @@ def oracle_sql() -> dict[str, str]:
         ) GROUP BY channel, span_id
         """
     sql["ts_gap_spans"] = with_views(_gap_spans, "chan_events")
+
+    # streaming sessionize replay: closed spans = batch gap spans
+    # minus each channel's latest (still-open) span
+    sql["stream_sessionize"] = with_views(
+        f"""
+        SELECT channel, span_lo, span_hi, n_segments FROM (
+          SELECT channel, span_lo, span_hi, n_segments,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                    ORDER BY span_lo DESC, span_hi DESC) AS rn
+          FROM ({_gap_spans})
+        ) WHERE rn > 1
+        """,
+        "chan_events",
+    )
 
     sql["ts_sequence_numbering"] = with_views(
         f"""

@@ -55,6 +55,7 @@ from pennsieve_streaming_spark.llm.similarity import (  # noqa: F401
     semdedup,
 )
 from pennsieve_streaming_spark.llm.curation import (  # noqa: F401
+    bigram_lm_score,
     block_dedup,
     contamination,
     curate_corpus,
