@@ -940,28 +940,34 @@ def quality_classifier_fit(
     Returns {"w": [w0..w3], "mean": [m1..m3], "std": [s1..s3]}.
     """
     means, stds = _classifier_stats(documents)
+    # cache the narrow (doc_id, x1..x3, y) projection: the loop scans
+    # it n_iter times, and at corpus scale re-reading text + re-running
+    # the feature regexes per iteration would dominate training
     feats = _classifier_features(documents).withColumn(
         "y",
         F.when(
             F.col("quality") >= F.lit(label_cut), F.lit(1.0)
         ).otherwise(F.lit(0.0)),
-    )
-    w = [0.0, 0.0, 0.0, 0.0]
-    for _ in range(n_iter):
-        z = _classifier_z_expr(w, means, stds)
-        s9 = f"round(1 / (1 + exp(-({z}))), 9)"
-        xs = ["CAST(1 AS DOUBLE)"] + [
-            f"((x{j} - CAST({means[j - 1]!r} AS DOUBLE)) "
-            f"/ CAST({stds[j - 1]!r} AS DOUBLE))"
-            for j in (1, 2, 3)
-        ]
-        row = feats.agg(
-            *[
-                F.expr(f"avg((y - {s9}) * {xs[j]})").alias(f"g{j}")
-                for j in range(4)
+    ).drop("text", "quality").cache()
+    try:
+        w = [0.0, 0.0, 0.0, 0.0]
+        for _ in range(n_iter):
+            z = _classifier_z_expr(w, means, stds)
+            s9 = f"round(1 / (1 + exp(-({z}))), 9)"
+            xs = ["CAST(1 AS DOUBLE)"] + [
+                f"((x{j} - CAST({means[j - 1]!r} AS DOUBLE)) "
+                f"/ CAST({stds[j - 1]!r} AS DOUBLE))"
+                for j in (1, 2, 3)
             ]
-        ).collect()[0]
-        w = [round(w[j] + lr * float(row[f"g{j}"]), 9) for j in range(4)]
+            row = feats.agg(
+                *[
+                    F.expr(f"avg((y - {s9}) * {xs[j]})").alias(f"g{j}")
+                    for j in range(4)
+                ]
+            ).collect()[0]
+            w = [round(w[j] + lr * float(row[f"g{j}"]), 9) for j in range(4)]
+    finally:
+        feats.unpersist()
     return {"w": w, "mean": means, "std": stds}
 
 
