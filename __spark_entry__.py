@@ -373,6 +373,24 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct(_shingle_strings(spark, sf_dir), "s", k=64)
 
 
+ROLL_WINDOW_US = 7 * 86_400 * 1_000_000  # 1-week trailing window
+
+
+def q_rolling_stats(spark, sf_dir):
+    """Trailing-window per-channel stats (rolling mean/min/max over a
+    1-week RANGE frame) — exact integer-quantized sum so the windowed
+    aggregation is bit-stable under any evaluation order."""
+    from pennsieve_streaming_spark.operators.rolling import rolling_stats
+
+    s = TBL.samples_view(spark, sf_dir)
+    return rolling_stats(
+        s.filter(F.col("channel").isin("ch1", "ch3")),
+        ROLL_WINDOW_US,
+        start_us=T1995,
+        end_us=T1995H2,
+    )
+
+
 def q_stream_sessionize(spark, sf_dir):
     """Streaming gap-span sessionization driven to completion over the
     events feed (availableNow): the emitted rows are every CLOSED span
@@ -962,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_two_stage": q_ann_two_stage,
         "doc_hll_distinct": q_hll_distinct,
         "doc_kmv_distinct": q_kmv_distinct,
+        "ts_rolling_stats": q_rolling_stats,
         "stream_sessionize": q_stream_sessionize,
         "doc_bigram_lm": q_bigram_lm,
         "doc_vocab": q_vocab,
@@ -2032,6 +2051,25 @@ def oracle_sql() -> dict[str, str]:
                END AS dup_fraction
         FROM nt LEFT JOIN cov c ON nt.doc_id = c.doc_id
         """
+
+    sql["ts_rolling_stats"] = with_views(
+        f"""
+        SELECT channel, ts, value, n_window, win_min, win_max, win_sum_q,
+               CAST(win_sum_q AS DOUBLE) / 1000000 / n_window AS win_mean
+        FROM (
+          SELECT channel, ts, value,
+                 CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+                 MIN(value) OVER w AS win_min,
+                 MAX(value) OVER w AS win_max,
+                 CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER w AS BIGINT) AS win_sum_q
+          FROM samples
+          WHERE channel IN ('ch1', 'ch3') AND ts >= {T1995} AND ts < {T1995H2}
+          WINDOW w AS (PARTITION BY channel ORDER BY ts
+                       RANGE BETWEEN {ROLL_WINDOW_US} PRECEDING AND CURRENT ROW)
+        )
+        """,
+        "samples",
+    )
 
     sql["doc_bigram_lm"] = f"""
         WITH doc_toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),

@@ -571,3 +571,48 @@ def test_blocked_sessionization_equals_single_pass(spark):
             )
         )
         assert blocked == single, f"block_us={block}"
+
+
+def test_rolling_stats_golden(spark):
+    """Trailing RANGE window: hand-checked frame membership, exact
+    quantized sum, duplicate-ts peers included."""
+    from pennsieve_streaming_spark.operators.rolling import rolling_stats
+
+    rows = [
+        ("c", 0, 1.0),
+        ("c", 5, 2.5),
+        ("c", 10, -1.0),
+        ("c", 25, 4.0),      # outside the 10-unit window of ts<=10
+        ("c", 25, 6.0),      # duplicate ts: frame peer of the row above
+        ("d", 7, 100.0),     # other channel never leaks in
+    ]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = {
+        (r.channel, r.ts, r.value): r
+        for r in rolling_stats(df, window_us=10).collect()
+    }
+    r0 = out[("c", 0, 1.0)]
+    assert r0.n_window == 1 and r0.win_min == 1.0 and r0.win_mean == 1.0
+    r10 = out[("c", 10, -1.0)]
+    assert r10.n_window == 3
+    assert r10.win_min == -1.0 and r10.win_max == 2.5
+    assert r10.win_sum_q == 2_500_000
+    assert r10.win_mean == 2_500_000 / 1_000_000 / 3
+    # duplicate ts rows are peers: both ts=25 rows see both values
+    for v in (4.0, 6.0):
+        r25 = out[("c", 25, v)]
+        assert r25.n_window == 2 and r25.win_sum_q == 10_000_000
+    rd = out[("d", 7, 100.0)]
+    assert rd.n_window == 1 and rd.win_mean == 100.0
+
+
+def test_rolling_stats_time_bounds(spark):
+    from pennsieve_streaming_spark.operators.rolling import rolling_stats
+
+    rows = [("c", t, float(t)) for t in range(0, 100, 10)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = rolling_stats(df, window_us=20, start_us=30, end_us=70).collect()
+    # only ts in [30, 70) survive, and frames see only surviving rows
+    assert sorted(r.ts for r in out) == [30, 40, 50, 60]
+    first = [r for r in out if r.ts == 30][0]
+    assert first.n_window == 1  # ts 10/20 were filtered before framing
