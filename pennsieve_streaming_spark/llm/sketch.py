@@ -138,14 +138,18 @@ def kmv_distinct(
         .agg(F.expr("sort_array(collect_list(h)) AS mins"))
     )
     two60 = 1 << HASH_BITS
+    # element_at index 0 is an ANSI error — guard the empty-input case
+    # (n_seen = 0 -> kth_min NULL, estimate 0.0)
     return mins.select(
         F.lit(k).cast("long").alias("k"),
-        F.expr(f"CAST(size(mins) AS BIGINT)").alias("n_seen"),
-        F.expr(f"CAST(element_at(mins, CAST(size(mins) AS INT)) AS BIGINT)").alias(
-            "kth_min"
-        ),
+        F.expr("CAST(size(mins) AS BIGINT)").alias("n_seen"),
         F.expr(
-            f"CASE WHEN size(mins) < {k} THEN CAST(size(mins) AS DOUBLE) "
+            "CASE WHEN size(mins) = 0 THEN CAST(NULL AS BIGINT) "
+            "ELSE CAST(element_at(mins, CAST(size(mins) AS INT)) AS BIGINT) END"
+        ).alias("kth_min"),
+        F.expr(
+            f"CASE WHEN size(mins) = 0 THEN CAST(0 AS DOUBLE) "
+            f"WHEN size(mins) < {k} THEN CAST(size(mins) AS DOUBLE) "
             f"ELSE round(CAST({k} - 1 AS DOUBLE) * {two60} "
             f"/ element_at(mins, CAST(size(mins) AS INT)), 9) END"
         ).alias("estimate"),

@@ -64,3 +64,13 @@ def test_kmv_duplicates_do_not_inflate(spark):
     a = kmv_distinct(base, "s", k=32).collect()[0]
     b = kmv_distinct(dup, "s", k=32).collect()[0]
     assert a == b
+
+
+def test_sketches_empty_input(spark):
+    import pyspark.sql.functions as F
+
+    empty = spark.range(0).select(F.col("id").cast("string").alias("s"))
+    h = hll_distinct(empty, "s", p=8).collect()[0]
+    assert h.zero_buckets == 256 and h.estimate == 0.0
+    k = kmv_distinct(empty, "s", k=8).collect()[0]
+    assert k.n_seen == 0 and k.kth_min is None and k.estimate == 0.0
