@@ -49,7 +49,9 @@ from pennsieve_streaming_spark.llm.similarity import (  # noqa: F401
     kmeans_assign,
     kmeans_fit,
     cosine_topk_two_stage,
+    load_centroids,
     lsh_bucketed_ann,
+    save_centroids,
     pq_ann,
     pq_encode,
     semdedup,

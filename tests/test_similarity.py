@@ -460,3 +460,23 @@ def test_filtered_ann_respects_predicate(embs):
     out = cosine_topk(sub, embs.filter(F.col("vec_id") < 10), k=5).collect()
     assert out
     assert all(labels[r["neighbor_id"]] == 0 for r in out)
+
+
+def test_centroid_model_roundtrip(spark, embs, tmp_path):
+    """Persisted centroids reload bit-exactly and drive identical
+    assignments — the train-once / query-many index lifecycle."""
+    from pennsieve_streaming_spark.llm.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+        load_centroids,
+        save_centroids,
+    )
+
+    cents = kmeans_fit(embs, k=4, dim=64, n_iter=2)
+    path = str(tmp_path / "centroids")
+    save_centroids(spark, cents, path)
+    loaded = load_centroids(spark, path)
+    assert loaded == cents  # bit-exact doubles through parquet
+    a = sorted(map(tuple, kmeans_assign(embs, cents).collect()))
+    b = sorted(map(tuple, kmeans_assign(embs, loaded).collect()))
+    assert a == b
