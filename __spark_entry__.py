@@ -373,6 +373,16 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct(_shingle_strings(spark, sf_dir), "s", k=64)
 
 
+def q_mix_weights_temp(spark, sf_dir):
+    """Temperature-scaled (T=2) mixture weights — flattens the source
+    distribution toward uniform without hand-written targets."""
+    from pennsieve_streaming_spark.llm.curation import (
+        mixture_weights_temperature,
+    )
+
+    return mixture_weights_temperature(_docs(spark, sf_dir), temperature=2.0)
+
+
 ROLL_WINDOW_US = 7 * 86_400 * 1_000_000  # 1-week trailing window
 
 
@@ -980,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_two_stage": q_ann_two_stage,
         "doc_hll_distinct": q_hll_distinct,
         "doc_kmv_distinct": q_kmv_distinct,
+        "doc_mix_weights_temp": q_mix_weights_temp,
         "ts_rolling_stats": q_rolling_stats,
         "stream_sessionize": q_stream_sessionize,
         "doc_bigram_lm": q_bigram_lm,
@@ -1733,6 +1744,28 @@ def oracle_sql() -> dict[str, str]:
                (CAST(1 AS DOUBLE) / n_sources)
                  / (n_tokens / CAST(total_tokens AS DOUBLE)) AS weight
         FROM c CROSS JOIN tot
+        """
+
+    sql["doc_mix_weights_temp"] = f"""
+        WITH doc_toks AS (SELECT source, text, {TOKS} AS toks FROM documents),
+        t AS (SELECT source, {N_TOKENS_DUCK} AS n_toks FROM doc_toks),
+        c AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+          FROM t GROUP BY source
+        ),
+        tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM c),
+        shares AS (
+          SELECT source, n_docs, n_tokens,
+                 n_tokens / CAST(total_tokens AS DOUBLE) AS token_share,
+                 round(pow(n_tokens / CAST(total_tokens AS DOUBLE),
+                           CAST(0.5 AS DOUBLE)), 9) AS share_t
+          FROM c CROSS JOIN tot
+        ),
+        denom AS (SELECT SUM(share_t) AS d FROM shares)
+        SELECT source, n_docs, n_tokens, token_share,
+               round(share_t / d / token_share, 9) AS weight
+        FROM shares CROSS JOIN denom
         """
 
     # --- block boilerplate dedup -------------------------------------------

@@ -796,6 +796,50 @@ def mixture_weights(
     )
 
 
+def mixture_weights_temperature(
+    documents: DataFrame, temperature: float = 2.0
+) -> DataFrame:
+    """Temperature-scaled mixture weights (the multilingual-corpus
+    trick: target_share ∝ token_share^(1/T), T > 1 flattens the
+    distribution toward uniform, T → ∞ IS uniform) — the standard way
+    to upsample low-resource sources without hand-written targets.
+
+    Output: (source, n_docs, n_tokens, token_share, weight) with
+    weight = normalized(token_share^(1/T)) / token_share.
+
+    Determinism: pow() is engine-rounding-sensitive, so each scaled
+    share quantizes to 9 decimals before the (|sources|-row)
+    normalization; the final weight re-quantizes. Same one-groupBy +
+    broadcast-total shape as ``mixture_weights``.
+    """
+    inv_t = 1.0 / float(temperature)
+    counts = (
+        documents.select("source", F.expr(N_TOKENS).alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+    totals = counts.agg(F.sum("n_tokens").alias("total_tokens"))
+    shares = (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "token_share", F.expr("n_tokens / CAST(total_tokens AS DOUBLE)")
+        )
+        .withColumn(
+            "share_t",
+            F.expr(f"round(pow(token_share, CAST({inv_t!r} AS DOUBLE)), 9)"),
+        )
+    )
+    denom = shares.agg(F.sum("share_t").alias("d"))
+    return (
+        shares.crossJoin(F.broadcast(denom))
+        .withColumn("weight", F.expr("round(share_t / d / token_share, 9)"))
+        .select("source", "n_docs", "n_tokens", "token_share", "weight")
+    )
+
+
 def importance_weights(
     documents: DataFrame, target_lang: str = "en", k: float = 0.5
 ) -> DataFrame:

@@ -571,3 +571,33 @@ def test_bigram_lm_detects_shuffled_text(spark):
     bi = {r.doc_id: r.avg_logprob for r in bigram_lm_score(docs).collect()}
     assert math.isclose(uni[99], uni[0], rel_tol=1e-9)  # unigram blind
     assert bi[99] < bi[0] - 0.5  # bigram collapses
+
+
+def test_mixture_weights_temperature(spark):
+    from pennsieve_streaming_spark.llm.curation import (
+        mixture_weights_temperature,
+    )
+
+    rows = []
+    did = 0
+    for src, n_docs, toks_per in (("big", 16, 10), ("small", 2, 10)):
+        for _ in range(n_docs):
+            rows.append((did, " ".join(f"w{i}" for i in range(toks_per)), "en", src))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r.source: r.asDict() for r in
+           mixture_weights_temperature(docs, temperature=2.0).collect()}
+    # shares: big 8/9, small 1/9; T=2 scales toward uniform, so the
+    # small source is upsampled but less than full uniform would
+    assert out["small"]["weight"] > 1.0 < out["big"]["weight"] * 10
+    assert out["big"]["weight"] < 1.0
+    # effective mixture sums to 1: sum(weight * token_share) == 1
+    eff = sum(v["weight"] * v["token_share"] for v in out.values())
+    assert abs(eff - 1.0) < 1e-6
+    # T -> infinity approaches uniform (weight*share == 1/n_sources)
+    flat = {r.source: r.asDict() for r in
+            mixture_weights_temperature(docs, temperature=1e9).collect()}
+    for v in flat.values():
+        assert abs(v["weight"] * v["token_share"] - 0.5) < 1e-3
