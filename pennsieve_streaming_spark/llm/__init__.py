@@ -64,6 +64,7 @@ from pennsieve_streaming_spark.llm.curation import (  # noqa: F401
     importance_weights,
     line_dedup,
     mixture_weights,
+    mixture_weights_temperature,
     pack_sequences,
     pii_scrub,
     quality_classifier_fit,
