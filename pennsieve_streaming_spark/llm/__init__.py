@@ -28,6 +28,9 @@ from pennsieve_streaming_spark.llm.graph import (  # noqa: F401
 )
 from pennsieve_streaming_spark.llm.sketch import (  # noqa: F401
     hll_distinct,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
     kmv_distinct,
 )
 from pennsieve_streaming_spark.llm.text import (  # noqa: F401

@@ -56,56 +56,7 @@ def hll_distinct(
     correction (m * ln(m / zero_buckets) when raw <= 2.5m and empty
     buckets exist).
     """
-    m = 1 << p
-    wbits = HASH_BITS - p
-    h = md5_hash64_expr(col_expr)
-    regs = (
-        df.select(F.expr(h).alias("h"))
-        .where(F.col("h").isNotNull())
-        .select(
-            (F.col("h") % m).alias("bucket"),
-            F.expr(f"h div {m}").alias("w"),
-        )
-        .select(
-            "bucket",
-            F.expr(
-                f"CASE WHEN w = 0 THEN {wbits + 1} "
-                f"ELSE {wbits} - length(bin(w)) + 1 END"
-            ).alias("rho"),
-        )
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("rho"))
-    )
-    alpha = _alpha(m)
-    # Z = (empty buckets contribute 2^-0 = 1) + ordered fold of exact
-    # powers of two over present buckets.
-    return regs.agg(
-        F.expr(
-            f"""
-            named_struct(
-              'zero_buckets', CAST({m} - count(1) AS BIGINT),
-              'z', aggregate(
-                     transform(sort_array(collect_list(struct(bucket, rho))),
-                               s -> CAST(1 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), s.rho) AS DOUBLE)),
-                     CAST({m} - count(1) AS DOUBLE), (a, x) -> a + x)
-            ) AS st
-            """
-        )
-    ).select(
-        F.lit(m).cast("long").alias("m"),
-        F.col("st.zero_buckets").alias("zero_buckets"),
-        F.expr(
-            f"round(CAST({alpha!r} AS DOUBLE) * {m} * {m} / st.z, 9)"
-        ).alias("raw_estimate"),
-        F.expr(
-            f"""
-            round(CASE WHEN CAST({alpha!r} AS DOUBLE) * {m} * {m} / st.z <= 2.5 * {m}
-                        AND st.zero_buckets > 0
-                       THEN {m} * round(ln(CAST({m} AS DOUBLE) / st.zero_buckets), 9)
-                       ELSE CAST({alpha!r} AS DOUBLE) * {m} * {m} / st.z END, 9)
-            """
-        ).alias("estimate"),
-    )
+    return hll_estimate(hll_registers(df, col_expr, p), p)
 
 
 def kmv_distinct(
@@ -152,5 +103,76 @@ def kmv_distinct(
             f"WHEN size(mins) < {k} THEN CAST(size(mins) AS DOUBLE) "
             f"ELSE round(CAST({k} - 1 AS DOUBLE) * {two60} "
             f"/ element_at(mins, CAST(size(mins) AS INT)), 9) END"
+        ).alias("estimate"),
+    )
+
+
+def hll_registers(df: DataFrame, col_expr: str, p: int = 8) -> DataFrame:
+    """The HLL sketch STATE: (bucket, rho) register maxima. Registers
+    are the mergeable form — per-shard / per-day sketches union with
+    ``hll_merge`` and estimate exactly as if built over the combined
+    input, which is the whole point of HLL at fleet scale."""
+    m = 1 << p
+    wbits = HASH_BITS - p
+    h = md5_hash64_expr(col_expr)
+    return (
+        df.select(F.expr(h).alias("h"))
+        .where(F.col("h").isNotNull())
+        .select(
+            (F.col("h") % m).alias("bucket"),
+            F.expr(f"h div {m}").alias("w"),
+        )
+        .select(
+            "bucket",
+            F.expr(
+                f"CASE WHEN w = 0 THEN {wbits + 1} "
+                f"ELSE {wbits} - length(bin(w)) + 1 END"
+            ).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*register_sets: DataFrame) -> DataFrame:
+    """Union of HLL sketches: per-bucket max over all register sets —
+    losslessly equivalent to sketching the concatenated inputs."""
+    merged = register_sets[0]
+    for regs in register_sets[1:]:
+        merged = merged.unionByName(regs)
+    return merged.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """Estimate from a register table — same arithmetic as
+    ``hll_distinct`` (bucket-ordered fold of exact powers of two,
+    9-dp-quantized ln in the small-range correction)."""
+    m = 1 << p
+    alpha = _alpha(m)
+    return registers.agg(
+        F.expr(
+            f"""
+            named_struct(
+              'zero_buckets', CAST({m} - count(1) AS BIGINT),
+              'z', aggregate(
+                     transform(sort_array(collect_list(struct(bucket, rho))),
+                               s -> CAST(1 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), s.rho) AS DOUBLE)),
+                     CAST({m} - count(1) AS DOUBLE), (a, x) -> a + x)
+            ) AS st
+            """
+        )
+    ).select(
+        F.lit(m).cast("long").alias("m"),
+        F.col("st.zero_buckets").alias("zero_buckets"),
+        F.expr(
+            f"round(CAST({alpha!r} AS DOUBLE) * {m} * {m} / st.z, 9)"
+        ).alias("raw_estimate"),
+        F.expr(
+            f"""
+            round(CASE WHEN CAST({alpha!r} AS DOUBLE) * {m} * {m} / st.z <= 2.5 * {m}
+                        AND st.zero_buckets > 0
+                       THEN {m} * round(ln(CAST({m} AS DOUBLE) / st.zero_buckets), 9)
+                       ELSE CAST({alpha!r} AS DOUBLE) * {m} * {m} / st.z END, 9)
+            """
         ).alias("estimate"),
     )

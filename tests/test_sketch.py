@@ -74,3 +74,28 @@ def test_sketches_empty_input(spark):
     assert h.zero_buckets == 256 and h.estimate == 0.0
     k = kmv_distinct(empty, "s", k=8).collect()[0]
     assert k.n_seen == 0 and k.kth_min is None and k.estimate == 0.0
+
+
+def test_hll_merge_equals_combined(spark):
+    """Sharded sketches merged per-bucket must estimate EXACTLY what a
+    single sketch over the union estimates — HLL's mergeability, the
+    property that lets per-day/per-shard sketches roll up."""
+    from pennsieve_streaming_spark.llm.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    a = _values(spark, 2000)                      # value-0..1999
+    b = _values(spark, 3000, prefix="other-")     # disjoint
+    c = _values(spark, 2000)                      # duplicates of a
+    combined = a.union(b).union(c)
+    merged = hll_merge(
+        hll_registers(a, "s"), hll_registers(b, "s"), hll_registers(c, "s")
+    )
+    one_shot = hll_distinct(combined, "s", p=8).collect()[0]
+    via_merge = hll_estimate(merged, p=8).collect()[0]
+    assert via_merge == one_shot
+    # and hll_distinct is itself registers + estimate
+    direct = hll_estimate(hll_registers(combined, "s"), p=8).collect()[0]
+    assert direct == one_shot
