@@ -933,6 +933,8 @@ def _classifier_stats(documents: DataFrame) -> tuple[list[float], list[float]]:
         aggs.append(F.expr(f"round(avg(x{j}), 9)").alias(f"m{j}"))
         aggs.append(F.expr(f"round(avg(x{j} * x{j}), 9)").alias(f"s{j}"))
     row = feats.agg(*aggs).collect()[0]
+    if row["m1"] is None:
+        raise ValueError("quality_classifier_fit: empty corpus")
     means, stds = [], []
     for j in (1, 2, 3):
         m = float(row[f"m{j}"])

@@ -601,3 +601,13 @@ def test_mixture_weights_temperature(spark):
             mixture_weights_temperature(docs, temperature=1e9).collect()}
     for v in flat.values():
         assert abs(v["weight"] * v["token_share"] - 0.5) < 1e-3
+
+
+def test_quality_classifier_empty_corpus_raises_cleanly(spark):
+    from pennsieve_streaming_spark.llm.curation import quality_classifier_fit
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string"
+    )
+    with pytest.raises(ValueError, match="empty corpus"):
+        quality_classifier_fit(empty, n_iter=1)
