@@ -373,6 +373,24 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct(_shingle_strings(spark, sf_dir), "s", k=64)
 
 
+def q_hll_by_source(spark, sf_dir):
+    """Per-source distinct-shingle estimates — the GROUP BY form of
+    the HLL sketch (constant register state per group)."""
+    from pennsieve_streaming_spark.llm.sketch import hll_distinct_by
+
+    toks = "split(trim(text), '\\\\s+')"
+    arr = (
+        f"CASE WHEN size({toks}) < 3 THEN array() "
+        f"ELSE transform(sequence(1, size({toks}) - 2), "
+        f"i -> concat_ws(' ', element_at({toks}, i), "
+        f"element_at({toks}, i + 1), element_at({toks}, i + 2))) END"
+    )
+    pairs = _docs(spark, sf_dir).select(
+        "source", F.explode(F.expr(arr)).alias("s")
+    )
+    return hll_distinct_by(pairs, "source", "s", p=8)
+
+
 def q_mix_weights_temp(spark, sf_dir):
     """Temperature-scaled (T=2) mixture weights — flattens the source
     distribution toward uniform without hand-written targets."""
@@ -990,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_two_stage": q_ann_two_stage,
         "doc_hll_distinct": q_hll_distinct,
         "doc_kmv_distinct": q_kmv_distinct,
+        "doc_hll_by_source": q_hll_by_source,
         "doc_mix_weights_temp": q_mix_weights_temp,
         "ts_rolling_stats": q_rolling_stats,
         "stream_sessionize": q_stream_sessionize,
@@ -2017,6 +2036,46 @@ def oracle_sql() -> dict[str, str]:
           FROM regs
         )
         SELECT CAST(256 AS BIGINT) AS m, zero_buckets,
+               round(CAST({_ALPHA8!r} AS DOUBLE) * 256 * 256 / z, 9) AS raw_estimate,
+               round(CASE WHEN CAST({_ALPHA8!r} AS DOUBLE) * 256 * 256 / z <= 2.5 * 256
+                           AND zero_buckets > 0
+                          THEN 256 * round(ln(CAST(256 AS DOUBLE) / zero_buckets), 9)
+                          ELSE CAST({_ALPHA8!r} AS DOUBLE) * 256 * 256 / z END, 9) AS estimate
+        FROM st
+        """
+
+    sql["doc_hll_by_source"] = f"""
+        WITH doc_toks3g AS (
+          SELECT source, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents
+        ),
+        sstrg AS (
+          SELECT source, UNNEST(
+            CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                 ELSE list_transform(generate_series(1, len(toks) - 2),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END
+          ) AS s
+          FROM doc_toks3g
+        ),
+        h AS (SELECT source, {_PH_SS} AS h FROM sstrg WHERE s IS NOT NULL),
+        regs AS (
+          SELECT source, h % 256 AS bucket,
+                 MAX(CASE WHEN h // 256 = 0 THEN 53
+                          ELSE 52 - length(bin(h // 256)) + 1 END) AS rho
+          FROM h GROUP BY 1, 2
+        ),
+        st AS (
+          SELECT source,
+                 CAST(256 - COUNT(*) AS BIGINT) AS zero_buckets,
+                 list_reduce(
+                   list_prepend(CAST(256 - COUNT(*) AS DOUBLE),
+                     list(CAST(1 AS DOUBLE)
+                          / CAST((CAST(1 AS BIGINT) << rho) AS DOUBLE)
+                          ORDER BY bucket)),
+                   (a, x) -> a + x) AS z
+          FROM regs GROUP BY source
+        )
+        SELECT source, CAST(256 AS BIGINT) AS m, zero_buckets,
                round(CAST({_ALPHA8!r} AS DOUBLE) * 256 * 256 / z, 9) AS raw_estimate,
                round(CASE WHEN CAST({_ALPHA8!r} AS DOUBLE) * 256 * 256 / z <= 2.5 * 256
                            AND zero_buckets > 0

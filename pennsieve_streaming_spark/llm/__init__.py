@@ -28,6 +28,7 @@ from pennsieve_streaming_spark.llm.graph import (  # noqa: F401
 )
 from pennsieve_streaming_spark.llm.sketch import (  # noqa: F401
     hll_distinct,
+    hll_distinct_by,
     hll_estimate,
     hll_merge,
     hll_registers,

@@ -176,3 +176,72 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
             """
         ).alias("estimate"),
     )
+
+
+def hll_distinct_by(
+    df: DataFrame, group_col: str, col_expr: str, p: int = 8
+) -> DataFrame:
+    """Grouped HLL: one distinct-count estimate per ``group_col``
+    value (distinct URLs per domain, distinct shingles per source...)
+    — the GROUP BY form of ``hll_distinct``, sharing its register
+    arithmetic and determinism contract.
+
+    Output: (group, m, zero_buckets, raw_estimate, estimate), one row
+    per group. Shuffle carries <= |groups| x 2^p register rows with
+    map-side partial max — constant per group regardless of input
+    size.
+    """
+    m = 1 << p
+    wbits = HASH_BITS - p
+    h = md5_hash64_expr(col_expr)
+    regs = (
+        df.select(F.col(group_col).alias("grp"), F.expr(h).alias("h"))
+        .where(F.col("h").isNotNull())
+        .select(
+            "grp",
+            (F.col("h") % m).alias("bucket"),
+            F.expr(f"h div {m}").alias("w"),
+        )
+        .select(
+            "grp",
+            "bucket",
+            F.expr(
+                f"CASE WHEN w = 0 THEN {wbits + 1} "
+                f"ELSE {wbits} - length(bin(w)) + 1 END"
+            ).alias("rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    alpha = _alpha(m)
+    est = f"CAST({alpha!r} AS DOUBLE) * {m} * {m} / z"
+    return (
+        regs.groupBy("grp")
+        .agg(
+            F.expr(
+                f"""
+                named_struct(
+                  'zero_buckets', CAST({m} - count(1) AS BIGINT),
+                  'z', aggregate(
+                         transform(sort_array(collect_list(struct(bucket, rho))),
+                                   s -> CAST(1 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), s.rho) AS DOUBLE)),
+                         CAST({m} - count(1) AS DOUBLE), (a, x) -> a + x)
+                ) AS st
+                """
+            )
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.lit(m).cast("long").alias("m"),
+            F.col("st.zero_buckets").alias("zero_buckets"),
+            F.expr(f"round({est.replace('z', 'st.z')}, 9)").alias("raw_estimate"),
+            F.expr(
+                f"""
+                round(CASE WHEN {est.replace('z', 'st.z')} <= 2.5 * {m}
+                            AND st.zero_buckets > 0
+                           THEN {m} * round(ln(CAST({m} AS DOUBLE) / st.zero_buckets), 9)
+                           ELSE {est.replace('z', 'st.z')} END, 9)
+                """
+            ).alias("estimate"),
+        )
+    )

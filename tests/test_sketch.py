@@ -99,3 +99,23 @@ def test_hll_merge_equals_combined(spark):
     # and hll_distinct is itself registers + estimate
     direct = hll_estimate(hll_registers(combined, "s"), p=8).collect()[0]
     assert direct == one_shot
+
+
+def test_hll_by_source_groups_independent(spark):
+    """Grouped HLL: each group's estimate equals the single-sketch
+    estimate over that group alone."""
+    from pennsieve_streaming_spark.llm.sketch import hll_distinct_by
+    import pyspark.sql.functions as F
+
+    a = _values(spark, 1500).withColumn("g", F.lit("ga"))
+    b = _values(spark, 40, prefix="x-").withColumn("g", F.lit("gb"))
+    both = a.union(b)
+    grouped = {
+        r.g: (r.zero_buckets, r.raw_estimate, r.estimate)
+        for r in hll_distinct_by(both, "g", "s", p=8).collect()
+    }
+    for name, df in (("ga", a), ("gb", b)):
+        solo = hll_distinct(df, "s", p=8).collect()[0]
+        assert grouped[name] == (
+            solo.zero_buckets, solo.raw_estimate, solo.estimate
+        ), name
