@@ -17,12 +17,15 @@ from that exact sum with a fixed two-division expression. min/max/
 count are exact as-is. The 1e-6 quantum is the documented resolution
 of the rolling mean, far below any physiological signal scale.
 
-100 TB note: a RANGE window routes each channel through one task
-(same caveat as the count-bucket downsample); the serving path sits
-behind the 100k admission guard, and bulk jobs over few channels
-should pre-split by time block like ``contiguous_spans(block_us=...)``
-— for trailing windows the blocks must overlap by ``window_us`` and
-drop the warmup strip, a standard map-side halo.
+100 TB note: by default a RANGE window routes each channel through
+one task (same caveat as the count-bucket downsample). Pass
+``block_us`` (must be >= window_us) for the blocked-halo plan: rows
+partition into (channel, time-block) with each block's trailing
+``window_us`` strip REPLICATED into the next block as lookback halo,
+windows evaluate within (channel, block), and halo rows are dropped
+after supplying history — bit-identical output (equivalence-tested)
+at |channels| x |blocks| parallelism for the cost of one narrow
+row-replication map (halo fraction = window_us / block_us).
 """
 
 from __future__ import annotations
@@ -38,6 +41,7 @@ def rolling_stats(
     window_us: int,
     start_us: int | None = None,
     end_us: int | None = None,
+    block_us: int | None = None,
 ) -> DataFrame:
     """Trailing-window stats per sample: for each (channel, ts), the
     aggregate over that channel's samples in [ts - window_us, ts]
@@ -47,6 +51,10 @@ def rolling_stats(
     Output: (channel, ts, value, n_window, win_min, win_max,
     win_sum_q, win_mean) — win_sum_q is the exact BIGINT sum of
     1e-6-quantized values; win_mean = win_sum_q / 1e6 / n_window.
+
+    ``block_us``: opt-in blocked-halo execution (see module
+    docstring); requires block_us >= window_us so one halo strip
+    covers the full lookback.
     """
     df = samples
     if start_us is not None:
@@ -54,17 +62,45 @@ def rolling_stats(
     if end_us is not None:
         df = df.filter(F.col("ts") < end_us)
     q = F.expr(f"CAST(round(value * {QUANT}) AS BIGINT)")
-    w = (
-        Window.partitionBy("channel")
-        .orderBy("ts")
-        .rangeBetween(-int(window_us), 0)
-    )
-    return (
-        df.withColumn("_q", q)
-        .select(
+    df = df.withColumn("_q", q)
+
+    if block_us is None:
+        w = (
+            Window.partitionBy("channel")
+            .orderBy("ts")
+            .rangeBetween(-int(window_us), 0)
+        )
+        part_cols = []
+    else:
+        if block_us < window_us:
+            raise ValueError(
+                f"block_us ({block_us}) must be >= window_us ({window_us})"
+            )
+        blk = int(block_us)
+        own = df.withColumn("_blk", F.floor(F.col("ts") / blk)).withColumn(
+            "_halo", F.lit(False)
+        )
+        # the trailing window_us strip of each block doubles as the
+        # next block's lookback; halo rows never emit
+        halo = (
+            df.filter(F.col("ts") % blk >= blk - int(window_us))
+            .withColumn("_blk", F.floor(F.col("ts") / blk) + 1)
+            .withColumn("_halo", F.lit(True))
+        )
+        df = own.unionByName(halo)
+        w = (
+            Window.partitionBy("channel", "_blk")
+            .orderBy("ts")
+            .rangeBetween(-int(window_us), 0)
+        )
+        part_cols = ["_halo"]
+
+    out = (
+        df.select(
             "channel",
             "ts",
             "value",
+            *part_cols,
             F.count(F.lit(1)).over(w).cast("long").alias("n_window"),
             F.min("value").over(w).alias("win_min"),
             F.max("value").over(w).alias("win_max"),
@@ -75,3 +111,6 @@ def rolling_stats(
             F.expr(f"CAST(win_sum_q AS DOUBLE) / {QUANT} / n_window"),
         )
     )
+    if part_cols:
+        out = out.filter(~F.col("_halo")).drop("_halo")
+    return out

@@ -616,3 +616,40 @@ def test_rolling_stats_time_bounds(spark):
     assert sorted(r.ts for r in out) == [30, 40, 50, 60]
     first = [r for r in out if r.ts == 30][0]
     assert first.n_window == 1  # ts 10/20 were filtered before framing
+
+
+def test_rolling_stats_blocked_equals_single_pass(spark):
+    """The blocked-halo plan must be bit-identical to the single-pass
+    window for any block size >= window, including rows at block
+    boundaries and ties."""
+    import random
+
+    from pennsieve_streaming_spark.operators.rolling import rolling_stats
+
+    rng = random.Random(21)
+    rows = []
+    for ch in ("a", "b"):
+        t = 0
+        for _ in range(300):
+            t += rng.choice([1, 3, 7, 25, 100])
+            rows.append((ch, t, round(rng.uniform(-50, 50), 3)))
+        # exact block-boundary and duplicate-ts rows
+        rows.append((ch, 1000, 1.5))
+        rows.append((ch, 1000, 2.5))
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    single = sorted(map(tuple, rolling_stats(df, window_us=50).collect()))
+    for blk in (50, 100, 1000):
+        blocked = sorted(
+            map(tuple, rolling_stats(df, window_us=50, block_us=blk).collect())
+        )
+        assert blocked == single, f"block_us={blk}"
+
+
+def test_rolling_stats_blocked_rejects_small_block(spark):
+    import pytest
+
+    from pennsieve_streaming_spark.operators.rolling import rolling_stats
+
+    df = spark.createDataFrame([("c", 1, 1.0)], "channel string, ts long, value double")
+    with pytest.raises(ValueError, match="block_us"):
+        rolling_stats(df, window_us=100, block_us=50)
