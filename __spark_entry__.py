@@ -997,12 +997,131 @@ def q_unigram_lm(spark, sf_dir):
     return unigram_lm_score(_docs(spark, sf_dir), k=0.5).drop("perplexity")
 
 
+# ---------------------------------------------------------------------------
+# round-4b: alignment / distribution operators
+# ---------------------------------------------------------------------------
+
+GRID_INTERVAL_US = 86_400 * US          # 1-day resample grid
+GRID_CHANNELS = ("ch2", "ch5")
+RJ_BUCKET_US = 4 * GAP_THRESHOLD_US     # 2 h interval-join bucket
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 105_000.0, 50
+ZSCORE_THRESHOLD = 3.0
+CROSS_THRESHOLD = 100_000.0
+
+
+def _grid(spark, sf_dir):
+    from pennsieve_streaming_spark.operators.align import channel_grid
+
+    ch = TBL.channels_view(spark, sf_dir).filter(
+        F.col("channel").isin(*GRID_CHANNELS)
+    )
+    return ch, channel_grid(ch, GRID_INTERVAL_US)
+
+
+def q_locf_resample(spark, sf_dir):
+    """LOCF (as-of backward) fill of a uniform 1-day grid — the
+    union-window as-of join, one pass per channel, no join node."""
+    from pennsieve_streaming_spark.operators.align import asof_locf
+
+    s = TBL.samples_view(spark, sf_dir).filter(
+        F.col("channel").isin(*GRID_CHANNELS)
+    )
+    _, grid = _grid(spark, sf_dir)
+    return asof_locf(s, grid)
+
+
+def q_interp_resample(spark, sf_dir):
+    """Linear interpolation onto the same 1-day grid: prev/next neighbor
+    via one bidirectional window pass; the lerp is a fixed float
+    expression, identical text on both engines."""
+    from pennsieve_streaming_spark.operators.align import interp_resample
+
+    s = TBL.samples_view(spark, sf_dir).filter(
+        F.col("channel").isin(*GRID_CHANNELS)
+    )
+    _, grid = _grid(spark, sf_dir)
+    return interp_resample(s, grid)
+
+
+def q_span_point_join(spark, sf_dir):
+    """Interval (range) join: error events aggregated into each click
+    session span — bucketized equi-join, never a cartesian."""
+    from pennsieve_streaming_spark.operators.align import span_point_join
+
+    ev = TBL.chan_events_view(spark, sf_dir)
+    spans = contiguous_spans(
+        samples_to_spans(ev.filter(F.col("channel") == "click")),
+        GAP_THRESHOLD_US,
+    ).select("channel", "span_lo", "span_hi")
+    pts = ev.filter(F.col("channel") == "error")
+    return span_point_join(spans, pts, RJ_BUCKET_US)
+
+
+def q_value_histogram(spark, sf_dir):
+    """Per-channel fixed-width amplitude histogram (integer counts)."""
+    from pennsieve_streaming_spark.operators.stats import value_histogram
+
+    s = TBL.samples_view(spark, sf_dir)
+    return value_histogram(s, HIST_LO, HIST_HI, HIST_BINS)
+
+
+def q_zscore_outliers(spark, sf_dir):
+    """|z| > 3 artifact flags against exact quantized channel moments
+    (event stream — its value tail actually exceeds 3σ)."""
+    from pennsieve_streaming_spark.operators.stats import zscore_outliers
+
+    ev = TBL.chan_events_view(spark, sf_dir)
+    return zscore_outliers(ev, ZSCORE_THRESHOLD)
+
+
+def q_threshold_crossings(spark, sf_dir):
+    """Upward threshold-crossing counts per channel (spike-rate proxy)."""
+    from pennsieve_streaming_spark.operators.stats import threshold_crossings
+
+    s = TBL.samples_view(spark, sf_dir)
+    return threshold_crossings(s, CROSS_THRESHOLD)
+
+
+CMS_DEPTH, CMS_WIDTH = 3, 1024
+HH_THRESHOLD = 400                      # heavy-hitter min estimated count
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters over the corpus token stream —
+    d×w integer counters, broadcast lookup, min-estimate; all-integer
+    so the sketch replays bit-exactly in the oracle."""
+    from pennsieve_streaming_spark.llm.sketch import cms_heavy_hitters
+    from pennsieve_streaming_spark.llm.text import TOKS
+
+    toks = _docs(spark, sf_dir).select(F.explode(F.expr(TOKS)).alias("tok"))
+    return cms_heavy_hitters(toks, "tok", HH_THRESHOLD, CMS_DEPTH, CMS_WIDTH)
+
+
+def q_int8_quant(spark, sf_dir):
+    """Per-vector symmetric int8 scalar quantization of the embedding
+    corpus (faiss QT_8bit shape) — a pure narrow map; codes join as a
+    string to keep the row contract scalar-only."""
+    from pennsieve_streaming_spark.llm.quantize import int8_quantize
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return int8_quantize(emb)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness harness may cap how many
     # registry entries it checks per round (r3 checked the first 50 of 61),
     # so the NEWEST / least-proven queries are listed FIRST and the
     # longest-stable ts-core queries last. Keep new work at the top.
     return {
+        # round-4b: newest first (least-proven gets the oracle)
+        "doc_heavy_hitters": q_heavy_hitters,
+        "emb_int8_quant": q_int8_quant,
+        "ts_locf_resample": q_locf_resample,
+        "ts_interp_resample": q_interp_resample,
+        "ts_span_point_join": q_span_point_join,
+        "ts_value_histogram": q_value_histogram,
+        "ts_zscore_outliers": q_zscore_outliers,
+        "ts_threshold_crossings": q_threshold_crossings,
         # round-4: new operators first (least-proven gets the oracle)
         "emb_ann_filtered": q_ann_filtered,
         "emb_ann_two_stage": q_ann_two_stage,
@@ -2159,6 +2278,243 @@ def oracle_sql() -> dict[str, str]:
           WINDOW w AS (PARTITION BY channel ORDER BY ts
                        RANGE BETWEEN {ROLL_WINDOW_US} PRECEDING AND CURRENT ROW)
         )
+        """,
+        "samples",
+    )
+
+    # --- round-4b CMS / quantization oracles -------------------------
+    _H = md5_hash64_duck("tok")
+    _cms_buckets = [
+        f"((({a} * ({_H}) + {b}) % {P_MINHASH}) % {CMS_WIDTH})"
+        for a, b in minhash_perm_constants(CMS_DEPTH)
+    ]
+    _cms_cnt = " UNION ALL ".join(
+        f"SELECT {j} AS rw, {b} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt "
+        f"FROM toks GROUP BY {b}"
+        for j, b in enumerate(_cms_buckets)
+    )
+    _cms_keyed = " UNION ALL ".join(
+        f"SELECT tok AS item, {j} AS rw, {b} AS bucket FROM items"
+        for j, b in enumerate(_cms_buckets)
+    )
+    sql["doc_heavy_hitters"] = f"""
+        WITH toks AS (
+          SELECT UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          FROM documents
+        ),
+        cnt AS ({_cms_cnt}),
+        items AS (
+          SELECT DISTINCT tok FROM toks
+          WHERE tok IS NOT NULL AND length(tok) > 0
+        ),
+        keyed AS ({_cms_keyed})
+        SELECT item, CAST(MIN(cnt) AS BIGINT) AS est
+        FROM keyed k JOIN cnt c ON k.rw = c.rw AND k.bucket = c.bucket
+        GROUP BY item
+        HAVING MIN(cnt) >= {HH_THRESHOLD}
+        """
+
+    sql["emb_int8_quant"] = """
+        WITH s AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding,
+                     v -> abs(CAST(v AS DOUBLE)))) / 127.0 AS scale
+          FROM embeddings
+        ),
+        c AS (
+          SELECT vec_id, embedding, scale,
+                 CASE WHEN scale = 0
+                      THEN list_transform(embedding, v -> 0)
+                      ELSE list_transform(embedding,
+                           v -> CAST(round(CAST(v AS DOUBLE) / scale) AS INT))
+                 END AS codes_arr
+          FROM s
+        )
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS n_dims,
+               scale,
+               array_to_string(list_transform(codes_arr,
+                   c -> CAST(c AS VARCHAR)), ',') AS codes,
+               CAST(list_min(codes_arr) AS BIGINT) AS q_min,
+               CAST(list_max(codes_arr) AS BIGINT) AS q_max,
+               CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list_transform(embedding, v ->
+                           (CAST(v AS DOUBLE)
+                            - CAST(round(CAST(v AS DOUBLE) / scale) AS INT) * scale)
+                           * (CAST(v AS DOUBLE)
+                              - CAST(round(CAST(v AS DOUBLE) / scale) AS INT) * scale))),
+                         (a, b) -> a + b), 9)
+               END AS recon_err
+        FROM c
+        """
+
+    # --- round-4b alignment / distribution oracles -------------------
+    _grid_chs = ", ".join(f"'{c}'" for c in GRID_CHANNELS)
+    _grid_cte = f"""
+        grid AS (
+          SELECT channel,
+                 UNNEST(generate_series(start_ts, end_ts, {GRID_INTERVAL_US})) AS ts
+          FROM channels WHERE channel IN ({_grid_chs})
+        ),
+        u AS (
+          SELECT channel, ts, value, 0 AS is_grid FROM samples
+          WHERE channel IN ({_grid_chs})
+          UNION ALL
+          SELECT channel, ts, CAST(NULL AS DOUBLE) AS value, 1 AS is_grid FROM grid
+        )
+        """
+
+    sql["ts_locf_resample"] = with_views(
+        f"""
+        WITH {_grid_cte},
+        f AS (
+          SELECT channel, ts, is_grid,
+                 last_value(value IGNORE NULLS) OVER w AS fill,
+                 last_value(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS)
+                   OVER w AS src
+          FROM u
+          WINDOW w AS (PARTITION BY channel ORDER BY ts, is_grid, value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT channel, ts, fill AS value, src AS src_ts, ts - src AS stale_us
+        FROM f WHERE is_grid = 1
+        """,
+        "samples",
+        "channels",
+    )
+
+    sql["ts_interp_resample"] = with_views(
+        f"""
+        WITH {_grid_cte},
+        f AS (
+          SELECT channel, ts, is_grid,
+                 last_value(value IGNORE NULLS) OVER wp AS prev_v,
+                 last_value(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS)
+                   OVER wp AS prev_ts,
+                 first_value(value IGNORE NULLS) OVER wn AS next_v,
+                 first_value(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS)
+                   OVER wn AS next_ts
+          FROM u
+          WINDOW wp AS (PARTITION BY channel ORDER BY ts, is_grid, value
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wn AS (PARTITION BY channel ORDER BY ts, is_grid, value
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT channel, ts,
+               CASE WHEN prev_ts = ts THEN prev_v
+                    WHEN prev_ts IS NOT NULL AND next_ts IS NOT NULL
+                    THEN prev_v + (next_v - prev_v) *
+                         (CAST(ts - prev_ts AS DOUBLE)
+                          / CAST(next_ts - prev_ts AS DOUBLE))
+                    ELSE CAST(NULL AS DOUBLE) END AS value,
+               prev_ts, COALESCE(next_ts, -1) AS next_ts
+        FROM f WHERE is_grid = 1 AND (prev_ts = ts
+              OR (prev_ts IS NOT NULL AND next_ts IS NOT NULL))
+        """,
+        "samples",
+        "channels",
+    )
+
+    sql["ts_span_point_join"] = with_views(
+        f"""
+        WITH spans AS (
+          SELECT channel, MIN(lo) AS span_lo, MAX(hi) AS span_hi
+          FROM (
+            SELECT channel, lo, hi,
+                   SUM(new_span) OVER (PARTITION BY channel ORDER BY lo, hi
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+            FROM (
+              SELECT channel, ts AS lo, ts AS hi,
+                     CASE WHEN LAG(ts) OVER (PARTITION BY channel ORDER BY ts, ts) IS NULL
+                            OR ts - LAG(ts) OVER (PARTITION BY channel ORDER BY ts, ts)
+                               >= {GAP_THRESHOLD_US}
+                          THEN 1 ELSE 0 END AS new_span
+              FROM chan_events WHERE channel = 'click'
+            )
+          ) GROUP BY channel, span_id
+        ),
+        pts AS (
+          SELECT ts AS pt_ts, CAST(round(value * 1000000) AS BIGINT) AS q
+          FROM chan_events WHERE channel = 'error'
+        ),
+        hits AS (
+          SELECT s.channel, s.span_lo, s.span_hi,
+                 CAST(COUNT(*) AS BIGINT) AS n_points,
+                 MIN(pt_ts) AS first_pt_ts,
+                 MAX(pt_ts) AS last_pt_ts,
+                 CAST(SUM(q) AS BIGINT) AS sum_value_q
+          FROM spans s JOIN pts p
+            ON p.pt_ts >= s.span_lo AND p.pt_ts <= s.span_hi
+          GROUP BY s.channel, s.span_lo, s.span_hi
+        )
+        SELECT s.channel AS span_channel, s.span_lo, s.span_hi,
+               CAST(COALESCE(h.n_points, 0) AS BIGINT) AS n_points,
+               COALESCE(h.first_pt_ts, -1) AS first_pt_ts,
+               COALESCE(h.last_pt_ts, -1) AS last_pt_ts,
+               CAST(COALESCE(h.sum_value_q, 0) AS BIGINT) AS sum_value_q
+        FROM spans s LEFT JOIN hits h
+          ON s.channel = h.channel AND s.span_lo = h.span_lo
+             AND s.span_hi = h.span_hi
+        """,
+        "chan_events",
+    )
+
+    _hist_width = (HIST_HI - HIST_LO) / HIST_BINS
+    sql["ts_value_histogram"] = with_views(
+        f"""
+        SELECT channel, CAST(bin AS BIGINT) AS bin,
+               {HIST_LO} + CAST(bin AS BIGINT) * {_hist_width} AS bin_lo,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT channel,
+                     floor((value - {HIST_LO}) / {_hist_width}) AS bin
+              FROM samples)
+        WHERE bin >= 0 AND bin < {HIST_BINS}
+        GROUP BY channel, bin
+        """,
+        "samples",
+    )
+
+    sql["ts_zscore_outliers"] = with_views(
+        f"""
+        WITH st AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sq,
+                 CAST(SUM(CAST(round(value * value * 1000000) AS BIGINT)) AS BIGINT) AS sq2
+          FROM chan_events GROUP BY channel
+        ),
+        j AS (
+          SELECT e.channel, e.ts, e.value,
+                 CAST(sq AS DOUBLE) / 1000000 / n AS mean_
+                 , greatest(CAST(sq2 AS DOUBLE) / 1000000 / n
+                            - (CAST(sq AS DOUBLE) / 1000000 / n)
+                              * (CAST(sq AS DOUBLE) / 1000000 / n),
+                            CAST(0 AS DOUBLE)) AS var_
+          FROM chan_events e JOIN st ON e.channel = st.channel
+        )
+        SELECT channel, ts, value, (value - mean_) / sqrt(var_) AS z
+        FROM j
+        WHERE var_ > 0
+          AND abs(round((value - mean_) / sqrt(var_), 9)) > {ZSCORE_THRESHOLD}
+        """,
+        "chan_events",
+    )
+
+    sql["ts_threshold_crossings"] = with_views(
+        f"""
+        SELECT channel, CAST(SUM(x) AS BIGINT) AS n_crossings,
+               COALESCE(MIN(CASE WHEN x = 1 THEN ts END), -1) AS first_crossing_ts,
+               COALESCE(MAX(CASE WHEN x = 1 THEN ts END), -1) AS last_crossing_ts
+        FROM (
+          SELECT channel, ts,
+                 CASE WHEN LAG(value) OVER (PARTITION BY channel ORDER BY ts, value)
+                           IS NOT NULL
+                       AND LAG(value) OVER (PARTITION BY channel ORDER BY ts, value)
+                           < {CROSS_THRESHOLD}
+                       AND value >= {CROSS_THRESHOLD}
+                      THEN 1 ELSE 0 END AS x
+          FROM samples
+        ) GROUP BY channel
         """,
         "samples",
     )

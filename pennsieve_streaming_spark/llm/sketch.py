@@ -245,3 +245,104 @@ def hll_distinct_by(
             ).alias("estimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — heavy hitters
+# ---------------------------------------------------------------------------
+#
+# At 100 TB an exact token-frequency table shuffles |vocab| rows; a CMS
+# caps the shuffled state at d×w integer counters (map-side partial
+# sums make each task emit at most d×w rows), and heavy-hitter
+# candidates are then estimated by looking their buckets up in the
+# broadcast counter table. All state is integer counts under
+# deterministic hashes — the whole sketch replays bit-exactly in SQL.
+
+from pennsieve_streaming_spark.llm.hashing import P_MINHASH as CMS_P  # noqa: E402
+
+
+def _cms_bucket_exprs(item: str, depth: int, width: int) -> list[str]:
+    """SQL text of the d bucket indices for ``item`` (a column/expr
+    producing the md5-prefix hash input string): independent
+    permutations of the shared 60-bit hash, each reduced mod width."""
+    from pennsieve_streaming_spark.llm.hashing import (
+        md5_hash64_expr,
+        minhash_perm_constants,
+    )
+
+    h = md5_hash64_expr(item)
+    return [
+        f"(({a} * ({h}) + {b}) % {CMS_P}) % {width}"
+        for a, b in minhash_perm_constants(depth)
+    ]
+
+
+def cms_counters(
+    df: DataFrame, col_expr: str, depth: int = 3, width: int = 1024
+) -> DataFrame:
+    """Build the d×w counter table over ``col_expr`` occurrences.
+
+    Output: (row, bucket, cnt) for non-empty counters — at most
+    depth×width rows no matter the input size. Plan: one projection to
+    d (row, bucket) pairs per input row (an inline array explode, no
+    join) + one partial-agg groupBy whose shuffle is bounded by d×w.
+    """
+    pairs = ", ".join(
+        f"named_struct('row', {j}, 'bucket', {b})"
+        for j, b in enumerate(_cms_bucket_exprs(col_expr, depth, width))
+    )
+    return (
+        df.select(F.explode(F.expr(f"array({pairs})")).alias("rb"))
+        .select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame, items: DataFrame, col_expr: str,
+    depth: int = 3, width: int = 1024,
+) -> DataFrame:
+    """Point-estimate each item's frequency: min over the d counters it
+    hashes to (the classic CMS upper-bound estimate).
+
+    ``items`` must expose ``col_expr``; output: items' ``item`` column
+    + (est BIGINT). Plan: items explode to d (row, bucket) keys and
+    equi-join the BROADCAST counter table (≤ d×w rows), then a min per
+    item — never a shuffle of the counter side.
+    """
+    pairs = ", ".join(
+        f"named_struct('row', {j}, 'bucket', {b})"
+        for j, b in enumerate(_cms_bucket_exprs(col_expr, depth, width))
+    )
+    keyed = items.select(
+        F.expr(col_expr).alias("item"),
+        F.explode(F.expr(f"array({pairs})")).alias("rb"),
+    ).select("item", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return (
+        keyed.join(F.broadcast(counters), ["row", "bucket"])
+        .groupBy("item")
+        .agg(F.min("cnt").cast("long").alias("est"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame, col_expr: str, threshold: int,
+    depth: int = 3, width: int = 1024,
+) -> DataFrame:
+    """Heavy hitters via CMS: distinct values whose estimated count
+    meets ``threshold``. CMS estimates never under-count, so every true
+    heavy hitter survives (possible false positives by design —
+    callers verify with one exact pass over the small candidate set if
+    they need exactness).
+
+    Output: (item, est), est >= threshold.
+    """
+    counters = cms_counters(df, col_expr, depth, width)
+    distinct_items = df.select(F.expr(col_expr).alias("it")).where(
+        F.col("it").isNotNull() & (F.length("it") > 0)
+    ).distinct()
+    est = cms_estimate(counters, distinct_items, "it", depth, width)
+    return est.filter(F.col("est") >= int(threshold)).select(
+        F.col("item"), F.col("est")
+    )

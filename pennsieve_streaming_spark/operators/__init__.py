@@ -52,3 +52,14 @@ from pennsieve_streaming_spark.operators.segments import (  # noqa: F401
     filter_channels_by_type,
     to_json_rows,
 )
+from pennsieve_streaming_spark.operators.align import (  # noqa: F401
+    asof_locf,
+    channel_grid,
+    interp_resample,
+    span_point_join,
+)
+from pennsieve_streaming_spark.operators.stats import (  # noqa: F401
+    threshold_crossings,
+    value_histogram,
+    zscore_outliers,
+)

@@ -1,0 +1,138 @@
+"""Per-channel distribution / anomaly statistics: fixed-width value
+histograms, exact-moment z-score outliers, threshold crossings.
+
+Not literal reference operators (the reference aggregates only min/max
+per bucket) but the immediate next layer an EEG QC pipeline runs:
+amplitude histograms for electrode-health dashboards, z-score artifact
+flags, and threshold-crossing counts (the classic spike-rate proxy —
+the reference's NeuralPoint path serves *pre-computed* spike events;
+this derives crossing counts from the raw signal).
+
+Determinism contract: every float reduction is either exact (integer
+counts) or an integer sum of 1e-6-quantized values (associative ⇒
+partition/engine independent, the operators/rolling.py contract); the
+mean/variance/z expressions are then FIXED single expressions (each
+IEEE op correctly rounded) evaluated identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 1_000_000
+
+
+def value_histogram(
+    samples: DataFrame, lo: float, hi: float, n_bins: int
+) -> DataFrame:
+    """Fixed-width per-channel histogram of ``value`` over [lo, hi).
+
+    Output: (channel, bin, bin_lo, n) for non-empty bins; values outside
+    [lo, hi) are dropped (an explicit contract — callers add a guard
+    count if they need it). ``bin_lo`` uses the same ``lo + bin*width``
+    expression on both engines.
+
+    Plan: one map + one partial-agg groupBy to |channels|×|bins| rows —
+    shuffle payload is bounded by the bin count, not the data.
+    """
+    width = (float(hi) - float(lo)) / int(n_bins)
+    bin_col = F.floor((F.col("value") - F.lit(float(lo))) / F.lit(width))
+    return (
+        samples.withColumn("bin", bin_col)
+        .filter((F.col("bin") >= 0) & (F.col("bin") < int(n_bins)))
+        .groupBy("channel", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "channel",
+            F.col("bin").cast("long").alias("bin"),
+            (F.lit(float(lo)) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            "n",
+        )
+    )
+
+
+def zscore_outliers(samples: DataFrame, z_threshold: float) -> DataFrame:
+    """Flag samples whose |z| exceeds ``z_threshold`` against their
+    channel's full-window mean/std (population std).
+
+    Moments come from exact BIGINT sums of 1e-6-quantized ``value`` and
+    ``value²`` — bit-stable under any partitioning — then one fixed
+    float expression per row:
+
+        mean = sum_q / 1e6 / n
+        var  = sumsq_q / 1e6 / n - mean * mean   (clamped at 0)
+        z    = (value - mean) / sqrt(var)
+
+    The flag compares ``round(z, 9)`` so an engine's last-ulp wiggle in
+    the (single) sqrt/division can never flip membership; zero-variance
+    channels flag nothing (z would be NaN, and both Spark and DuckDB
+    order NaN above every number — an explicit ``var > 0`` guard keeps
+    the semantics sane and the engines in lockstep). Output:
+    (channel, ts, value, z) for flagged rows.
+
+    Plan: one partial-agg groupBy to |channels| rows, broadcast back —
+    no second shuffle of the samples.
+    """
+    q = F.expr(f"CAST(round(value * {QUANT}) AS BIGINT)")
+    q2 = F.expr(f"CAST(round(value * value * {QUANT}) AS BIGINT)")
+    stats = (
+        samples.withColumn("_q", q)
+        .withColumn("_q2", q2)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_q").cast("long").alias("_sq"),
+            F.sum("_q2").cast("long").alias("_sq2"),
+        )
+    )
+    joined = samples.join(F.broadcast(stats), "channel")
+    mean = F.expr(f"CAST(_sq AS DOUBLE) / {QUANT} / _n")
+    joined = joined.withColumn("_mean", mean)
+    var = F.expr(
+        f"greatest(CAST(_sq2 AS DOUBLE) / {QUANT} / _n - _mean * _mean, "
+        "CAST(0 AS DOUBLE))"
+    )
+    joined = joined.withColumn("_var", var)
+    zexpr = F.expr("(value - _mean) / sqrt(_var)")
+    return (
+        joined.withColumn("z", zexpr)
+        .filter(
+            (F.col("_var") > 0)
+            & (F.abs(F.round(F.col("z"), 9)) > float(z_threshold))
+        )
+        .select("channel", "ts", "value", "z")
+    )
+
+
+def threshold_crossings(samples: DataFrame, threshold: float) -> DataFrame:
+    """Count upward threshold crossings per channel: sample i crosses
+    when ``prev_value < threshold AND value >= threshold`` in
+    (ts, value) order — the reference's spike-detection convention
+    (crossing on reaching the threshold, ties-by-ts ordered by value so
+    the count is engine-independent even with duplicate timestamps).
+
+    Output: (channel, n_crossings, first_crossing_ts, last_crossing_ts)
+    — channels with zero crossings kept, extremes reported as -1
+    (NULL-free row contract).
+
+    Plan: one window pass per channel + a groupBy to |channels| rows.
+    For few-channels × deep-history the blocked-halo split (one-row
+    halo) applies as in operators/rolling.py.
+    """
+    thr = float(threshold)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    prev = F.lag("value").over(w)
+    crossed = (
+        prev.isNotNull() & (prev < thr) & (F.col("value") >= thr)
+    ).cast("int")
+    flagged = samples.withColumn("_x", crossed)
+    return flagged.groupBy("channel").agg(
+        F.sum("_x").cast("long").alias("n_crossings"),
+        F.coalesce(
+            F.min(F.when(F.col("_x") == 1, F.col("ts"))), F.lit(-1)
+        ).alias("first_crossing_ts"),
+        F.coalesce(
+            F.max(F.when(F.col("_x") == 1, F.col("ts"))), F.lit(-1)
+        ).alias("last_crossing_ts"),
+    )

@@ -1,0 +1,254 @@
+"""Goldens + property tests for the alignment (grid / LOCF / interp /
+range-join) and distribution-stats operators."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pennsieve_streaming_spark.operators.align import (
+    asof_locf,
+    channel_grid,
+    interp_resample,
+    span_point_join,
+)
+from pennsieve_streaming_spark.operators.stats import (
+    threshold_crossings,
+    value_histogram,
+    zscore_outliers,
+)
+
+
+def _samples(spark, rows):
+    return spark.createDataFrame(rows, "channel string, ts long, value double")
+
+
+def _grid_df(spark, rows):
+    return spark.createDataFrame(rows, "channel string, ts long")
+
+
+# --------------------------------------------------------------------------
+# channel_grid
+# --------------------------------------------------------------------------
+
+def test_channel_grid_basic_and_end_inclusive(spark):
+    ch = spark.createDataFrame(
+        [("a", 100, 400), ("b", 0, 99)],
+        "channel string, start_ts long, end_ts long",
+    )
+    got = sorted(
+        (r.channel, r.ts) for r in channel_grid(ch, 100).collect()
+    )
+    # a: 100,200,300,400 (end lands exactly -> included); b: 0 only
+    assert got == [("a", 100), ("a", 200), ("a", 300), ("a", 400), ("b", 0)]
+
+
+def test_channel_grid_slicing_is_transparent(spark):
+    ch = spark.createDataFrame(
+        [("a", 0, 1000)], "channel string, start_ts long, end_ts long"
+    )
+    full = sorted(r.ts for r in channel_grid(ch, 10, slice_points=7).collect())
+    assert full == list(range(0, 1001, 10))
+
+
+# --------------------------------------------------------------------------
+# asof_locf
+# --------------------------------------------------------------------------
+
+def test_locf_golden(spark):
+    s = _samples(spark, [("a", 10, 1.0), ("a", 25, 2.0), ("a", 40, 3.0)])
+    g = _grid_df(spark, [("a", 10), ("a", 20), ("a", 30), ("a", 40)])
+    got = {r.ts: (r.value, r.src_ts, r.stale_us) for r in asof_locf(s, g).collect()}
+    assert got == {
+        10: (1.0, 10, 0),   # exact hit
+        20: (1.0, 10, 10),  # carried forward
+        30: (2.0, 25, 5),
+        40: (3.0, 40, 0),
+    }
+
+
+def test_locf_duplicate_ts_max_value_wins(spark):
+    # two samples at ts=10: (ts, is_grid, value) ordering pins value=5.0
+    s = _samples(spark, [("a", 10, 2.0), ("a", 10, 5.0)])
+    g = _grid_df(spark, [("a", 15)])
+    [r] = asof_locf(s, g).collect()
+    assert (r.value, r.src_ts) == (5.0, 10)
+
+
+def test_locf_before_first_sample_is_null(spark):
+    s = _samples(spark, [("a", 100, 1.0)])
+    g = _grid_df(spark, [("a", 50), ("a", 100)])
+    got = {r.ts: r.value for r in asof_locf(s, g).collect()}
+    assert got[50] is None and got[100] == 1.0
+
+
+def test_locf_channels_are_independent(spark):
+    s = _samples(spark, [("a", 10, 1.0), ("b", 10, 9.0)])
+    g = _grid_df(spark, [("a", 20), ("b", 20)])
+    got = {r.channel: r.value for r in asof_locf(s, g).collect()}
+    assert got == {"a": 1.0, "b": 9.0}
+
+
+# --------------------------------------------------------------------------
+# interp_resample
+# --------------------------------------------------------------------------
+
+def test_interp_golden(spark):
+    s = _samples(spark, [("a", 0, 0.0), ("a", 100, 10.0)])
+    g = _grid_df(spark, [("a", 0), ("a", 25), ("a", 100)])
+    got = {r.ts: r.value for r in interp_resample(s, g).collect()}
+    assert got[0] == 0.0          # exact hit
+    assert got[25] == pytest.approx(2.5)
+    assert got[100] == 10.0       # exact hit at the end
+    # exact end hit has no following sample -> sentinel
+    rows = {r.ts: r for r in interp_resample(s, g).collect()}
+    assert rows[100].next_ts == -1
+
+
+def test_interp_boundary_rows_dropped(spark):
+    s = _samples(spark, [("a", 50, 5.0)])
+    g = _grid_df(spark, [("a", 10), ("a", 90)])
+    # neither grid point is an exact hit nor has both neighbors
+    assert interp_resample(s, g).count() == 0
+
+
+def test_interp_matches_numpy(spark):
+    import numpy as np
+
+    xs = [3, 17, 42, 99, 135]
+    vs = [1.5, -2.0, 7.25, 0.0, 3.75]
+    s = _samples(spark, [("a", x, v) for x, v in zip(xs, vs)])
+    grid_ts = list(range(3, 136, 11))
+    g = _grid_df(spark, [("a", t) for t in grid_ts])
+    got = {r.ts: r.value for r in interp_resample(s, g).collect()}
+    want = np.interp(grid_ts, xs, vs)
+    for t, w in zip(grid_ts, want):
+        assert got[t] == pytest.approx(w, abs=1e-12)
+
+
+# --------------------------------------------------------------------------
+# span_point_join
+# --------------------------------------------------------------------------
+
+def _spans(spark, rows):
+    return spark.createDataFrame(rows, "channel string, span_lo long, span_hi long")
+
+
+def test_span_point_join_golden(spark):
+    spans = _spans(spark, [("s", 0, 100), ("s", 200, 300)])
+    pts = _samples(spark, [("p", 0, 1.0), ("p", 100, 2.0), ("p", 150, 4.0), ("p", 250, 8.0)])
+    got = {
+        (r.span_lo, r.span_hi): (r.n_points, r.first_pt_ts, r.last_pt_ts, r.sum_value_q)
+        for r in span_point_join(spans, pts, 50).collect()
+    }
+    # bounds inclusive on both ends; 150 falls in no span
+    assert got == {
+        (0, 100): (2, 0, 100, 3_000_000),
+        (200, 300): (1, 250, 250, 8_000_000),
+    }
+
+
+def test_span_point_join_empty_span_kept(spark):
+    spans = _spans(spark, [("s", 0, 10)])
+    pts = _samples(spark, [("p", 500, 1.0)])
+    [r] = span_point_join(spans, pts, 100).collect()
+    assert (r.n_points, r.first_pt_ts, r.last_pt_ts, r.sum_value_q) == (0, -1, -1, 0)
+
+
+def test_span_point_join_no_duplicate_hits_across_buckets(spark):
+    # span covers many buckets; each point counted exactly once
+    spans = _spans(spark, [("s", 0, 1000)])
+    pts = _samples(spark, [("p", t, 1.0) for t in range(0, 1001, 100)])
+    [r] = span_point_join(spans, pts, 30).collect()
+    assert r.n_points == 11
+
+
+def test_span_point_join_plan_is_not_cartesian(spark):
+    spans = _spans(spark, [("s", 0, 1000)])
+    pts = _samples(spark, [("p", 5, 1.0)])
+    plan = span_point_join(spans, pts, 100)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------------------------------
+# value_histogram
+# --------------------------------------------------------------------------
+
+def test_histogram_golden_and_edges(spark):
+    s = _samples(
+        spark,
+        [("a", 0, 0.0), ("a", 1, 9.999), ("a", 2, 10.0), ("a", 3, 99.999),
+         ("a", 4, 100.0), ("a", 5, -0.001)],  # 100.0 and -0.001 out of range
+    )
+    got = {r.bin: (r.n, r.bin_lo) for r in value_histogram(s, 0.0, 100.0, 10).collect()}
+    assert got == {0: (2, 0.0), 1: (1, 10.0), 9: (1, 90.0)}
+
+
+def test_histogram_counts_sum_to_in_range_rows(spark, sf_dir):
+    from pennsieve_streaming_spark import tables as TBL
+
+    s = TBL.samples_view(spark, sf_dir)
+    h = value_histogram(s, 0.0, 105_000.0, 50)
+    total = h.agg(F.sum("n")).collect()[0][0]
+    in_range = s.filter((F.col("value") >= 0) & (F.col("value") < 105_000)).count()
+    assert total == in_range
+
+
+# --------------------------------------------------------------------------
+# zscore_outliers
+# --------------------------------------------------------------------------
+
+def test_zscore_golden(spark):
+    # channel a: nine 0.0s and one 10.0 -> mean 1, var 9, std 3
+    rows = [("a", t, 0.0) for t in range(9)] + [("a", 9, 10.0)]
+    s = _samples(spark, rows)
+    out = zscore_outliers(s, 2.5).collect()
+    assert len(out) == 1 and out[0].ts == 9
+    assert out[0].z == pytest.approx((10.0 - 1.0) / 3.0)
+
+
+def test_zscore_constant_channel_flags_nothing(spark):
+    s = _samples(spark, [("a", t, 5.0) for t in range(10)])
+    # var = 0 -> z = inf/nan guarded by round-compare; no rows expected
+    out = zscore_outliers(s, 3.0).collect()
+    assert out == []
+
+
+def test_zscore_moments_match_python(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [("a", t, round(rng.uniform(-5, 5), 3)) for t in range(200)]
+    vals = [v for _, _, v in rows]
+    mean = sum(round(v * 1e6) for v in vals) / 1e6 / len(vals)
+    var = max(sum(round(v * v * 1e6) for v in vals) / 1e6 / len(vals) - mean * mean, 0.0)
+    std = math.sqrt(var)
+    want = {t for _, t, v in rows if abs(round((v - mean) / std, 9)) > 1.5}
+    got = {r.ts for r in zscore_outliers(_samples(spark, rows), 1.5).collect()}
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# threshold_crossings
+# --------------------------------------------------------------------------
+
+def test_crossings_golden(spark):
+    s = _samples(
+        spark,
+        [("a", 0, 1.0), ("a", 1, 5.0), ("a", 2, 2.0), ("a", 3, 6.0),
+         ("a", 4, 7.0), ("b", 0, 9.0)],
+    )
+    got = {r.channel: (r.n_crossings, r.first_crossing_ts, r.last_crossing_ts)
+           for r in threshold_crossings(s, 5.0).collect()}
+    # a: crossings at ts=1 (1->5, >=) and ts=3 (2->6); 3->4 stays above.
+    # b: first sample can't cross (no prev)
+    assert got == {"a": (2, 1, 3), "b": (0, -1, -1)}
+
+
+def test_crossings_exactly_at_threshold_counts(spark):
+    s = _samples(spark, [("a", 0, 4.999), ("a", 1, 5.0)])
+    [r] = threshold_crossings(s, 5.0).collect()
+    assert r.n_crossings == 1
