@@ -1084,6 +1084,42 @@ def q_threshold_crossings(spark, sf_dir):
 
 CMS_DEPTH, CMS_WIDTH = 3, 1024
 HH_THRESHOLD = 400                      # heavy-hitter min estimated count
+SMM_CHANNELS = ("ch0", "ch4")           # streaming minmax channels
+
+
+def q_stream_minmax(spark, sf_dir):
+    """Streaming windowed min/max downsample driven to completion
+    (availableNow): event-time window + 0-delay watermark in APPEND
+    mode. The emitted rows are the batch downsample restricted to
+    windows closed by the final watermark (= max event time floored to
+    Spark's ms watermark precision) — an invariant independent of
+    micro-batch boundaries, which is what makes it oracle-replayable."""
+    import tempfile
+
+    from pennsieve_streaming_spark.streaming.downsample import (
+        stream_minmax_downsample,
+    )
+
+    s = TBL.samples_view(spark, sf_dir).filter(
+        F.col("channel").isin(*SMM_CHANNELS)
+    )
+    base = tempfile.mkdtemp(prefix="pss_stream_mm_")
+    src = f"{base}/src"
+    s.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("channel string, ts long, value double")
+        .parquet(src)
+    )
+    out = stream_minmax_downsample(stream, WEEK_US)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out")
 
 
 def q_heavy_hitters(spark, sf_dir):
@@ -1114,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # longest-stable ts-core queries last. Keep new work at the top.
     return {
         # round-4b: newest first (least-proven gets the oracle)
+        "stream_minmax_downsample": q_stream_minmax,
         "doc_heavy_hitters": q_heavy_hitters,
         "emb_int8_quant": q_int8_quant,
         "ts_locf_resample": q_locf_resample,
@@ -2278,6 +2315,28 @@ def oracle_sql() -> dict[str, str]:
           WINDOW w AS (PARTITION BY channel ORDER BY ts
                        RANGE BETWEEN {ROLL_WINDOW_US} PRECEDING AND CURRENT ROW)
         )
+        """,
+        "samples",
+    )
+
+    # --- round-4b streaming minmax replay ----------------------------
+    _smm_chs = ", ".join(f"'{c}'" for c in SMM_CHANNELS)
+    sql["stream_minmax_downsample"] = with_views(
+        f"""
+        WITH mx AS (
+          SELECT (MAX(ts) // 1000) * 1000 AS wm FROM samples
+          WHERE channel IN ({_smm_chs})
+        ),
+        agg AS (
+          SELECT channel, (ts // {WEEK_US}) * {WEEK_US} AS win_start,
+                 MIN(value) AS min_val, MAX(value) AS max_val,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM samples WHERE channel IN ({_smm_chs})
+          GROUP BY channel, (ts // {WEEK_US}) * {WEEK_US}
+        )
+        SELECT a.channel, a.win_start, a.min_val, a.max_val, a.n
+        FROM agg a CROSS JOIN mx
+        WHERE a.win_start + {WEEK_US} <= mx.wm
         """,
         "samples",
     )

@@ -85,18 +85,25 @@ def _fake_decode(payload: bytes) -> np.ndarray:
 
 
 def _decode_features(payload: bytes, decode_stub: bool) -> list[float]:
-    """REAL decode for PNG payloads (pure-numpy codec, llm/png.py);
-    other formats use the deterministic stub, or raise when
-    ``decode_stub=False`` (the production hook for ffmpeg/soundfile)."""
-    from pennsieve_streaming_spark.llm import png
+    """REAL decode for PNG payloads (pure-numpy codec, llm/png.py) and
+    WAV/PCM audio (llm/wav.py); other formats use the deterministic
+    stub, or raise when ``decode_stub=False`` (the production hook for
+    ffmpeg/pillow for the remaining codecs)."""
+    from pennsieve_streaming_spark.llm import png, wav
 
     if png.is_png(payload):
         return png.image_features(png.decode_png(payload), FEATURE_DIM).tolist()
+    if wav.is_wav(payload):
+        try:
+            samples, rate = wav.decode_wav(payload)
+            return wav.audio_features(samples, rate, FEATURE_DIM).tolist()
+        except wav.WavError:
+            pass  # malformed/non-PCM RIFF falls through to the stub
     if not decode_stub:
         raise NotImplementedError(
             "no codec for this payload format in this environment; "
-            "PNG decodes natively, others need ffmpeg/soundfile plugged "
-            "into _decode_features"
+            "PNG and WAV/PCM decode natively, others need ffmpeg/pillow "
+            "plugged into _decode_features"
         )
     return _fake_decode(payload).tolist()
 
