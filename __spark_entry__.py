@@ -1143,6 +1143,90 @@ def q_int8_quant(spark, sf_dir):
     return int8_quantize(emb)
 
 
+CORR_QUANT = 100                        # correlation value quantum (1e-2)
+PCTS = (0.5, 0.9, 0.99)
+TOPQ_K = 3                              # top-quality docs kept per language
+
+
+def q_channel_percentiles(spark, sf_dir):
+    """Exact per-channel p50/p90/p99 by explicit order statistics —
+    built-in percentile/quantile_cont float evaluation is not pinned
+    cross-engine; the explicit bracketing + fixed lerp is."""
+    from pennsieve_streaming_spark.operators.stats import channel_percentiles
+
+    return channel_percentiles(TBL.samples_view(spark, sf_dir), PCTS)
+
+
+def q_channel_correlation(spark, sf_dir):
+    """Pearson correlation matrix over all channel pairs, time-aligned
+    by LOCF onto a SHARED epoch-day grid (the per-channel grids of
+    ``channel_grid`` would not line up across channels) — exact
+    quantized-integer sums, one fixed float formula."""
+    from pennsieve_streaming_spark.operators.align import asof_locf
+    from pennsieve_streaming_spark.operators.stats import channel_correlation
+
+    s = TBL.samples_view(spark, sf_dir)
+    ch = TBL.channels_view(spark, sf_dir)
+    day = GRID_INTERVAL_US
+    bounds = ch.agg(
+        F.max("start_ts").alias("lo"), F.min("end_ts").alias("hi")
+    )
+    grid_ts = bounds.select(
+        F.explode(
+            F.expr(f"sequence(((lo + {day} - 1) div {day}) * {day}, hi, {day})")
+        ).alias("ts")
+    )
+    grid = ch.select("channel").crossJoin(F.broadcast(grid_ts))
+    aligned = asof_locf(s, grid).select("channel", "ts", "value")
+    return channel_correlation(aligned, CORR_QUANT)
+
+
+def q_token_entropy(spark, sf_dir):
+    """Per-document Shannon entropy of the token distribution (integer
+    nano-nat weights ⇒ order-free exact sum)."""
+    from pennsieve_streaming_spark.llm.text import token_entropy
+
+    return token_entropy(_docs(spark, sf_dir))
+
+
+def q_kmv_by_source(spark, sf_dir):
+    """Per-source KMV distinct-shingle estimates — the GROUP BY form of
+    the KMV sketch (two-stage salted min-k, integers until one
+    division)."""
+    from pennsieve_streaming_spark.llm.sketch import kmv_distinct_by
+
+    toks = "split(trim(text), '\\\\s+')"
+    arr = (
+        f"CASE WHEN size({toks}) < 3 THEN array() "
+        f"ELSE transform(sequence(1, size({toks}) - 2), "
+        f"i -> concat_ws(' ', element_at({toks}, i), "
+        f"element_at({toks}, i + 1), element_at({toks}, i + 2))) END"
+    )
+    pairs = _docs(spark, sf_dir).select(
+        "source", F.explode(F.expr(arr)).alias("s")
+    )
+    return kmv_distinct_by(pairs, "source", "s", k=64)
+
+
+def q_top_quality_per_lang(spark, sf_dir):
+    """Top-k highest-quality documents per language (deterministic
+    doc_id tiebreak) — the per-stratum selection step of a curation
+    pipeline."""
+    from pennsieve_streaming_spark.llm.text import (
+        quality_score,
+        top_k_per_group,
+    )
+
+    docs = _docs(spark, sf_dir)
+    q = quality_score(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    return top_k_per_group(
+        q.select("doc_id", "lang", "quality"),
+        ["lang"],
+        [F.col("quality").desc(), F.col("doc_id").asc()],
+        TOPQ_K,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness harness may cap how many
     # registry entries it checks per round (r3 checked the first 50 of 61),
@@ -1150,6 +1234,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # longest-stable ts-core queries last. Keep new work at the top.
     return {
         # round-4b: newest first (least-proven gets the oracle)
+        "ts_channel_percentiles": q_channel_percentiles,
+        "ts_channel_correlation": q_channel_correlation,
+        "doc_token_entropy": q_token_entropy,
+        "doc_kmv_by_source": q_kmv_by_source,
+        "doc_top_quality_per_lang": q_top_quality_per_lang,
         "stream_minmax_downsample": q_stream_minmax,
         "doc_heavy_hitters": q_heavy_hitters,
         "emb_int8_quant": q_int8_quant,
@@ -2318,6 +2407,200 @@ def oracle_sql() -> dict[str, str]:
         """,
         "samples",
     )
+
+    # --- round-4b percentiles / correlation / entropy / grouped KMV --
+    def _pct_terms(p: float, name: str) -> tuple[str, str]:
+        idx = f"floor(CAST({p!r} AS DOUBLE) * (n - 1))"
+        lo = f"MAX(CASE WHEN rn = {idx} THEN value END) AS _lo_{name}"
+        hi = (
+            f"MAX(CASE WHEN rn = least({idx} + 1, n - 1) THEN value END)"
+            f" AS _hi_{name}"
+        )
+        post = (
+            f"_lo_{name} + (_hi_{name} - _lo_{name}) * "
+            f"(CAST({p!r} AS DOUBLE) * (n - 1) "
+            f"- floor(CAST({p!r} AS DOUBLE) * (n - 1))) AS {name}"
+        )
+        return f"{lo}, {hi}", post
+
+    _pnames = [
+        (p, f"p{str(p).replace('0.', '').ljust(2, '0')}") for p in PCTS
+    ]
+    _pct_aggs = ", ".join(_pct_terms(p, nm)[0] for p, nm in _pnames)
+    _pct_posts = ", ".join(_pct_terms(p, nm)[1] for p, nm in _pnames)
+    sql["ts_channel_percentiles"] = with_views(
+        f"""
+        WITH ranked AS (
+          SELECT channel, value,
+                 ROW_NUMBER() OVER (PARTITION BY channel ORDER BY value, ts)
+                   - 1 AS rn,
+                 COUNT(*) OVER (PARTITION BY channel) AS n
+          FROM samples
+        ),
+        agg AS (
+          SELECT channel, CAST(MAX(n) AS BIGINT) AS n, {_pct_aggs}
+          FROM ranked GROUP BY channel
+        )
+        SELECT channel, n, {_pct_posts} FROM agg
+        """,
+        "samples",
+    )
+
+    _DAY = GRID_INTERVAL_US
+    _corr_r = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+        "* sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+        "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    _corr_pos = (
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0 AND "
+        "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+        "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0"
+    )
+    sql["ts_channel_correlation"] = with_views(
+        f"""
+        WITH b AS (
+          SELECT MAX(start_ts) AS lo, MIN(end_ts) AS hi FROM channels
+        ),
+        gb AS (
+          SELECT UNNEST(generate_series(
+            ((lo + {_DAY} - 1) // {_DAY}) * {_DAY}, hi, {_DAY})) AS ts
+          FROM b
+        ),
+        grid AS (
+          SELECT c.channel, gb.ts
+          FROM (SELECT DISTINCT channel FROM channels) c CROSS JOIN gb
+        ),
+        u AS (
+          SELECT channel, ts, value, 0 AS is_grid FROM samples
+          UNION ALL
+          SELECT channel, ts, CAST(NULL AS DOUBLE), 1 FROM grid
+        ),
+        f AS (
+          SELECT channel, ts, is_grid,
+                 last_value(value IGNORE NULLS) OVER w AS fill
+          FROM u
+          WINDOW w AS (PARTITION BY channel ORDER BY ts, is_grid, value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        vals AS (
+          SELECT channel, ts,
+                 CAST(round(fill * {CORR_QUANT}) AS BIGINT) AS xq
+          FROM f WHERE is_grid = 1
+        ),
+        pr AS (
+          SELECT a.channel AS ch_a, b2.channel AS ch_b, a.xq AS xa,
+                 b2.xq AS xb
+          FROM vals a JOIN vals b2
+            ON a.ts = b2.ts AND a.channel < b2.channel
+        ),
+        agg AS (
+          SELECT ch_a, ch_b, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(xa) AS BIGINT) AS sx,
+                 CAST(SUM(xb) AS BIGINT) AS sy,
+                 CAST(SUM(xa * xb) AS BIGINT) AS sxy,
+                 CAST(SUM(xa * xa) AS BIGINT) AS sxx,
+                 CAST(SUM(xb * xb) AS BIGINT) AS syy
+          FROM pr GROUP BY ch_a, ch_b
+        )
+        SELECT ch_a, ch_b, n,
+               CASE WHEN {_corr_pos} THEN round({_corr_r}, 9)
+                    ELSE CAST(0 AS DOUBLE) END AS r
+        FROM agg
+        """,
+        "samples",
+        "channels",
+    )
+
+    sql["doc_token_entropy"] = f"""
+        WITH toks AS (
+          SELECT doc_id, lower(t) AS term
+          FROM (SELECT doc_id,
+                       UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t
+                FROM documents)
+          WHERE length(lower(t)) > 0
+        ),
+        c AS (
+          SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+          FROM toks GROUP BY doc_id, term
+        ),
+        n AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS distinct_tokens
+          FROM c GROUP BY doc_id
+        ),
+        hq AS (
+          SELECT c.doc_id,
+                 SUM(c.c * CAST(round(ln(CAST(c.c AS DOUBLE) / n.n_tokens)
+                                      * 1000000000) AS BIGINT)) AS hq
+          FROM c JOIN n ON c.doc_id = n.doc_id GROUP BY c.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(n.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(n.distinct_tokens, 0) AS BIGINT) AS distinct_tokens,
+               COALESCE(-(CAST(hq.hq AS DOUBLE) / 1000000000) / n.n_tokens,
+                        CAST(0 AS DOUBLE)) AS entropy
+        FROM documents d
+        LEFT JOIN n ON d.doc_id = n.doc_id
+        LEFT JOIN hq ON d.doc_id = hq.doc_id
+        """
+
+    _KMV_TWO60 = 1 << 60
+    sql["doc_kmv_by_source"] = f"""
+        WITH doc_toks3g AS (
+          SELECT source, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents
+        ),
+        sstrg AS (
+          SELECT source, UNNEST(
+            CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                 ELSE list_transform(generate_series(1, len(toks) - 2),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END
+          ) AS s
+          FROM doc_toks3g
+        ),
+        h AS (
+          SELECT DISTINCT source, {md5_hash64_duck("s")} AS h
+          FROM sstrg WHERE s IS NOT NULL
+        ),
+        ranked AS (
+          SELECT source, h,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+          FROM h
+        ),
+        mins AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_seen,
+                 MAX(h) AS kth
+          FROM ranked WHERE rn <= 64 GROUP BY source
+        )
+        SELECT source AS grp, CAST(64 AS BIGINT) AS k, n_seen,
+               CASE WHEN n_seen < 64 THEN CAST(-1 AS BIGINT)
+                    ELSE CAST(kth AS BIGINT) END AS kth_min,
+               CASE WHEN n_seen = 0 THEN CAST(0 AS DOUBLE)
+                    WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE)
+                    ELSE round(CAST(63 AS DOUBLE) * {_KMV_TWO60} / kth, 9)
+               END AS estimate
+        FROM mins
+        """
+
+    sql["doc_top_quality_per_lang"] = f"""
+        WITH q AS ({sql["doc_quality_score"]}),
+        j AS (
+          SELECT q.doc_id, d.lang, q.quality
+          FROM q JOIN documents d ON q.doc_id = d.doc_id
+        ),
+        r AS (
+          SELECT doc_id, lang, quality,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                      ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS rank
+          FROM j
+        )
+        SELECT doc_id, lang, quality, rank FROM r WHERE rank <= {TOPQ_K}
+        """
 
     # --- round-4b streaming minmax replay ----------------------------
     _smm_chs = ", ".join(f"'{c}'" for c in SMM_CHANNELS)

@@ -346,3 +346,57 @@ def cms_heavy_hitters(
     return est.filter(F.col("est") >= int(threshold)).select(
         F.col("item"), F.col("est")
     )
+
+
+def kmv_distinct_by(
+    df: DataFrame, group_col: str, col_expr: str, k: int = 64,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Grouped KMV: one k-minimum-values distinct estimate per
+    ``group_col`` value — the GROUP BY form of ``kmv_distinct``, same
+    integer-only estimate arithmetic.
+
+    Output: (group, k, n_seen, kth_min, estimate) — one row per group;
+    groups with fewer than k distinct hashes report their exact count
+    (kth_min = -1 sentinel keeps the row NULL-free).
+
+    Plan (100 TB): distinct (group, hash) pairs shuffle once (8-byte
+    hash per distinct value); per-group min-k then runs in TWO bounded
+    stages — min-k within (group, salt) via sorted-slice aggregation
+    (each state ≤ k values after the slice), then a merge of the
+    ≤ n_salts × k survivors per group. No global sort, no one-task-
+    per-group window over raw values.
+    """
+    h = md5_hash64_expr(col_expr)
+    hashes = (
+        df.select(F.col(group_col).alias("grp"), F.expr(h).alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+    )
+    kk = int(k)
+    stage1 = (
+        hashes.withColumn("_salt", F.col("h") % int(n_salts))
+        .groupBy("grp", "_salt")
+        .agg(F.expr(f"slice(sort_array(collect_list(h)), 1, {kk}) AS mins"))
+    )
+    merged = (
+        stage1.select("grp", F.explode("mins").alias("h"))
+        .groupBy("grp")
+        .agg(F.expr(f"slice(sort_array(collect_list(h)), 1, {kk}) AS mins"))
+    )
+    two60 = 1 << HASH_BITS
+    return merged.select(
+        F.col("grp").alias("grp"),
+        F.lit(kk).cast("long").alias("k"),
+        F.expr("CAST(size(mins) AS BIGINT)").alias("n_seen"),
+        F.expr(
+            f"CASE WHEN size(mins) < {kk} THEN CAST(-1 AS BIGINT) "
+            "ELSE CAST(element_at(mins, CAST(size(mins) AS INT)) AS BIGINT) END"
+        ).alias("kth_min"),
+        F.expr(
+            f"CASE WHEN size(mins) = 0 THEN CAST(0 AS DOUBLE) "
+            f"WHEN size(mins) < {kk} THEN CAST(size(mins) AS DOUBLE) "
+            f"ELSE round(CAST({kk} - 1 AS DOUBLE) * {two60} "
+            f"/ element_at(mins, CAST(size(mins) AS INT)), 9) END"
+        ).alias("estimate"),
+    )

@@ -5,7 +5,7 @@ run as a single narrow map over a 100 TB documents table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pennsieve_streaming_spark.llm.hashing import poly_hash_expr
@@ -424,4 +424,86 @@ def encode_token_ids(documents: DataFrame, vocab: DataFrame) -> DataFrame:
             F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
             F.coalesce("token_ids", F.lit("")).alias("token_ids"),
         )
+    )
+
+
+def token_entropy(documents: DataFrame) -> DataFrame:
+    """Shannon entropy of each document's token distribution —
+    H = -Σ_t p_t ln p_t over lowercased whitespace tokens. Low entropy
+    flags repetitive/degenerate text (the information-theoretic cousin
+    of the Gopher repetition gates in llm/curation.py).
+
+    Determinism contract: the per-term contribution is quantized to an
+    integer nano-nat weight ``c_t * round(ln(c_t/n) * 1e9)`` so the
+    cross-term reduction is an exact BIGINT sum (order-free — no
+    ordered fold needed at all); the entropy then derives from that one
+    integer with a fixed two-division expression. ln() itself carries
+    the documented 1-ulp JVM-vs-libm hazard, absorbed by the 1e-9
+    quantization (same class as the 9-dp rounding everywhere else).
+
+    Output: (doc_id, n_tokens, distinct_tokens, entropy), entropy in
+    nats, 0 for empty docs. Plan: explode → two partial-agg groupBys
+    (term counts, then per-doc sum) — scales like token_stats.
+    """
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.expr(f"transform({TOKS}, t -> lower(t))")).alias("term"),
+    ).filter(F.length("term") > 0)
+    counts = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_doc = (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("distinct_tokens"),
+            F.collect_list(F.struct("term", "c")).alias("_tc"),
+        )
+    )
+    # Σ c_t * round(ln(c_t/n)*1e9): ln arguments depend on n, so the
+    # weight computes after n aggregates; still an order-free integer
+    # sum (aggregate over the collected terms is associative +).
+    ent_q = F.expr(
+        "aggregate(_tc, CAST(0 AS BIGINT), (acc, s) -> acc + "
+        "s.c * CAST(round(ln(CAST(s.c AS DOUBLE) / n_tokens) * 1000000000) AS BIGINT))"
+    )
+    out = per_doc.withColumn("_hq", ent_q).select(
+        "doc_id",
+        "n_tokens",
+        "distinct_tokens",
+        F.expr(
+            "CASE WHEN n_tokens = 0 THEN CAST(0 AS DOUBLE) "
+            "ELSE -(CAST(_hq AS DOUBLE) / 1000000000) / n_tokens END"
+        ).alias("entropy"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(out, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("distinct_tokens", F.lit(0)).cast("long").alias(
+                "distinct_tokens"
+            ),
+            F.coalesce("entropy", F.lit(0.0)).alias("entropy"),
+        )
+    )
+
+
+def top_k_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list, k: int
+) -> DataFrame:
+    """Generic deterministic top-k per group: ``row_number`` over the
+    given (total) ordering, keep ranks 1..k. The caller must make
+    ``order_cols`` a TOTAL order (include a unique tiebreak column) or
+    ranks are nondeterministic. Output: input columns + ``rank``.
+
+    Plan: one window pass partitioned by the group — shuffle on the
+    group key only; at |groups| >> cores this parallelizes fully
+    (the usual few-groups caveat applies, same as every ranking op).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
     )

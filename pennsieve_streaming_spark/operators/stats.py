@@ -136,3 +136,113 @@ def threshold_crossings(samples: DataFrame, threshold: float) -> DataFrame:
             F.max(F.when(F.col("_x") == 1, F.col("ts"))), F.lit(-1)
         ).alias("last_crossing_ts"),
     )
+
+
+def channel_percentiles(
+    samples: DataFrame, ps: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Exact per-channel percentiles by explicit order statistics.
+
+    Built-ins (Spark ``percentile``, DuckDB ``quantile_cont``) agree on
+    the linear-interpolation DEFINITION but not necessarily on the
+    float evaluation order, so this computes the definition explicitly:
+    rank rows per channel, pick the two bracketing order statistics for
+    each p (index ``i = floor(p*(n-1))``, fraction ``f = p*(n-1) - i``),
+    and interpolate with one fixed expression — identical on both
+    engines, bit-identical result.
+
+    Output: (channel, n, p<NN>... one column per requested percentile,
+    named p50/p90/p99-style). Plan: ONE ranking window pass per channel
+    + a groupBy to |channels| rows (conditional aggregation picks the
+    bracketing rows — no joins, no second pass).
+    """
+    w = Window.partitionBy("channel").orderBy("value", "ts")
+    ranked = samples.select(
+        "channel",
+        "value",
+        (F.row_number().over(w) - 1).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("channel")).alias("_n"),
+    )
+    aggs = [F.max("_n").cast("long").alias("n")]
+    posts = []
+    for p in ps:
+        name = f"p{str(p).replace('0.', '').ljust(2, '0')}"
+        idx = F.floor(F.lit(float(p)) * (F.col("_n") - 1))
+        nxt = F.least(idx + 1, F.col("_n") - 1)
+        aggs.append(
+            F.max(F.when(F.col("_rn") == idx, F.col("value"))).alias(f"_lo_{name}")
+        )
+        aggs.append(
+            F.max(F.when(F.col("_rn") == nxt, F.col("value"))).alias(f"_hi_{name}")
+        )
+        posts.append(
+            F.expr(
+                f"_lo_{name} + (_hi_{name} - _lo_{name}) * "
+                f"(CAST({p!r} AS DOUBLE) * (n - 1) "
+                f"- floor(CAST({p!r} AS DOUBLE) * (n - 1)))"
+            ).alias(name)
+        )
+    out = ranked.groupBy("channel").agg(*aggs)
+    return out.select("channel", "n", *posts)
+
+
+def channel_correlation(values: DataFrame, quant: int = 100) -> DataFrame:
+    """Pearson correlation for every channel pair over time-aligned
+    values (same ``ts`` grid per channel — e.g. the LOCF/interp
+    resample output, or natively-aligned feeds).
+
+    Sums run over ``quant``-quantized BIGINTs (associative ⇒
+    partition-order independent); the caller picks ``quant`` so that
+    ``n * (max|value| * quant)^2 < 2^63`` (the default 1e2 suits
+    1e5-scale amplitudes at ~1e6 aligned points — the r resolution is
+    bounded by quantization, not float noise). The r formula is then
+    one fixed double expression from those exact sums.
+
+    Output: (ch_a, ch_b, n, r) for ch_a < ch_b, r NULL-guarded to 0
+    for degenerate (zero-variance) pairs.
+
+    Plan (100 TB): the ts equi-join shuffles both sides once on ts
+    (with channel pruning pushed to the scan); the pair aggregation is
+    map-side partial to C(|channels|, 2) rows.
+    """
+    q = int(quant)
+    v = values.select(
+        "channel", "ts",
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    )
+    a = v.select(
+        F.col("channel").alias("ch_a"), "ts", F.col("xq").alias("xa")
+    )
+    b = v.select(
+        F.col("channel").alias("ch_b"), "ts", F.col("xq").alias("xb")
+    )
+    pairs = a.join(b, "ts").filter(F.col("ch_a") < F.col("ch_b"))
+    agg = pairs.groupBy("ch_a", "ch_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xa").cast("long").alias("sx"),
+        F.sum("xb").cast("long").alias("sy"),
+        F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).cast("long").alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).cast("long").alias("syy"),
+    )
+    r = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+        "* sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+        "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    denom_pos = (
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0 AND "
+        "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+        "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0"
+    )
+    return agg.select(
+        "ch_a", "ch_b", "n",
+        F.expr(
+            f"CASE WHEN {denom_pos} THEN round({r}, 9) "
+            "ELSE CAST(0 AS DOUBLE) END"
+        ).alias("r"),
+    )

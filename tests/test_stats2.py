@@ -1,0 +1,170 @@
+"""Percentiles / correlation / entropy / grouped-KMV / top-k tests."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from pennsieve_streaming_spark.llm.sketch import kmv_distinct, kmv_distinct_by
+from pennsieve_streaming_spark.llm.text import token_entropy, top_k_per_group
+from pennsieve_streaming_spark.operators.stats import (
+    channel_correlation,
+    channel_percentiles,
+)
+
+
+def _samples(spark, rows):
+    return spark.createDataFrame(rows, "channel string, ts long, value double")
+
+
+# --------------------------------------------------------------------------
+# channel_percentiles
+# --------------------------------------------------------------------------
+
+def test_percentiles_match_numpy_linear(spark):
+    rng = np.random.default_rng(5)
+    vals = rng.uniform(0, 100, size=173)
+    rows = [("a", t, float(v)) for t, v in enumerate(vals)]
+    [r] = channel_percentiles(_samples(spark, rows), (0.5, 0.9, 0.99)).collect()
+    assert r.n == 173
+    assert r.p50 == pytest.approx(np.percentile(vals, 50), abs=1e-9)
+    assert r.p90 == pytest.approx(np.percentile(vals, 90), abs=1e-9)
+    assert r.p99 == pytest.approx(np.percentile(vals, 99), abs=1e-9)
+
+
+def test_percentiles_small_and_single(spark):
+    [r] = channel_percentiles(_samples(spark, [("a", 0, 7.0)]), (0.5,)).collect()
+    assert (r.n, r.p50) == (1, 7.0)
+    [r2] = channel_percentiles(
+        _samples(spark, [("a", 0, 1.0), ("a", 1, 3.0)]), (0.5,)
+    ).collect()
+    assert r2.p50 == pytest.approx(2.0)  # midpoint interpolation
+
+
+def test_percentiles_per_channel_independent(spark):
+    rows = [("a", t, float(t)) for t in range(11)] + [("b", 0, 42.0)]
+    got = {r.channel: r.p50 for r in channel_percentiles(
+        _samples(spark, rows), (0.5,)).collect()}
+    assert got == {"a": 5.0, "b": 42.0}
+
+
+# --------------------------------------------------------------------------
+# channel_correlation
+# --------------------------------------------------------------------------
+
+def test_correlation_perfect_and_inverse(spark):
+    rows = []
+    for t in range(50):
+        rows += [("x", t, float(t)), ("y", t, 2.0 * t + 5), ("z", t, -1.0 * t)]
+    got = {(r.ch_a, r.ch_b): r.r for r in channel_correlation(
+        _samples(spark, rows), quant=1000).collect()}
+    assert got[("x", "y")] == pytest.approx(1.0, abs=1e-6)
+    assert got[("x", "z")] == pytest.approx(-1.0, abs=1e-6)
+    assert got[("y", "z")] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_correlation_matches_numpy(spark):
+    rng = np.random.default_rng(9)
+    a = rng.uniform(-5, 5, 200)
+    b = 0.6 * a + rng.uniform(-2, 2, 200)
+    rows = [("a", t, float(a[t])) for t in range(200)]
+    rows += [("b", t, float(b[t])) for t in range(200)]
+    [r] = channel_correlation(_samples(spark, rows), quant=1_000_000).collect()
+    want = np.corrcoef(a, b)[0, 1]
+    assert r.r == pytest.approx(want, abs=1e-4)  # bounded by quantization
+
+
+def test_correlation_zero_variance_guarded(spark):
+    rows = [("a", t, 1.0) for t in range(10)] + [("b", t, float(t)) for t in range(10)]
+    [r] = channel_correlation(_samples(spark, rows)).collect()
+    assert r.r == 0.0
+
+
+# --------------------------------------------------------------------------
+# token_entropy
+# --------------------------------------------------------------------------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_entropy_uniform_is_ln_k(spark):
+    [r] = token_entropy(_docs(spark, [(1, "a b c d")])).collect()
+    assert r.n_tokens == 4 and r.distinct_tokens == 4
+    assert r.entropy == pytest.approx(math.log(4), abs=1e-8)
+
+
+def test_entropy_degenerate_is_zero(spark):
+    got = {r.doc_id: r for r in token_entropy(
+        _docs(spark, [(1, "x x x x x"), (2, "")])).collect()}
+    assert got[1].entropy == pytest.approx(0.0, abs=1e-9)
+    assert got[2].n_tokens == 0 and got[2].entropy == 0.0
+
+
+def test_entropy_matches_python(spark):
+    text = "the cat sat on the mat the end"
+    [r] = token_entropy(_docs(spark, [(1, text)])).collect()
+    toks = text.split()
+    n = len(toks)
+    want = -sum(
+        (c / n) * math.log(c / n)
+        for c in {t: toks.count(t) for t in set(toks)}.values()
+    )
+    assert r.entropy == pytest.approx(want, abs=1e-7)
+
+
+# --------------------------------------------------------------------------
+# kmv_distinct_by
+# --------------------------------------------------------------------------
+
+def test_grouped_kmv_equals_solo_per_group(spark):
+    rows = [(f"g{i % 3}", f"v{j}") for i in range(3) for j in range(i * 40, i * 40 + 120)]
+    df = spark.createDataFrame(rows, "grp string, s string")
+    grouped = {
+        r.grp: (r.n_seen, r.kth_min, r.estimate)
+        for r in kmv_distinct_by(df, "grp", "s", k=16).collect()
+    }
+    for g in ["g0", "g1", "g2"]:
+        [solo] = kmv_distinct(df.filter(F.col("grp") == g), "s", k=16).collect()
+        assert grouped[g] == (solo.n_seen, solo.kth_min, round(solo.estimate, 9))
+
+
+def test_grouped_kmv_small_group_exact(spark):
+    df = spark.createDataFrame(
+        [("g", f"v{i % 5}") for i in range(50)], "grp string, s string"
+    )
+    [r] = kmv_distinct_by(df, "grp", "s", k=16).collect()
+    assert (r.n_seen, r.kth_min, r.estimate) == (5, -1, 5.0)
+
+
+def test_grouped_kmv_salt_count_invariant(spark):
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(200)], "grp string, s string"
+    )
+    a = kmv_distinct_by(df, "grp", "s", k=32, n_salts=4).collect()
+    b = kmv_distinct_by(df, "grp", "s", k=32, n_salts=64).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# --------------------------------------------------------------------------
+# top_k_per_group
+# --------------------------------------------------------------------------
+
+def test_top_k_per_group_golden(spark):
+    df = spark.createDataFrame(
+        [("en", 1, 0.9), ("en", 2, 0.8), ("en", 3, 0.8), ("en", 4, 0.1),
+         ("de", 5, 0.5)],
+        "lang string, doc_id long, q double",
+    )
+    got = sorted(
+        (r.lang, r.doc_id, r.rank)
+        for r in top_k_per_group(
+            df, ["lang"], [F.col("q").desc(), F.col("doc_id")], 2
+        ).collect()
+    )
+    # tie at q=0.8 resolves to the lower doc_id
+    assert got == [("de", 5, 1), ("en", 1, 1), ("en", 2, 2)]
