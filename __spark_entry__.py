@@ -1122,6 +1122,37 @@ def q_stream_minmax(spark, sf_dir):
     return spark.read.parquet(f"{base}/out")
 
 
+def q_stream_session_agg(spark, sf_dir):
+    """Native session_window streaming sessionization of the events
+    feed, drained with availableNow: emitted rows == batch gap-span
+    sessionization restricted to sessions closed by the final
+    watermark (last_ts + gap <= max event time floored to ms)."""
+    import tempfile
+
+    from pennsieve_streaming_spark.streaming.session_window import (
+        stream_session_agg,
+    )
+
+    ev = TBL.chan_events_view(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="pss_stream_sw_")
+    src = f"{base}/src"
+    ev.select("channel", "ts", "value").coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("channel string, ts long, value double")
+        .parquet(src)
+    )
+    out = stream_session_agg(stream, GAP_THRESHOLD_US)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out")
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Count-min-sketch heavy hitters over the corpus token stream —
     d×w integer counters, broadcast lookup, min-estimate; all-integer
@@ -1234,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # longest-stable ts-core queries last. Keep new work at the top.
     return {
         # round-4b: newest first (least-proven gets the oracle)
+        "stream_session_agg": q_stream_session_agg,
         "ts_channel_percentiles": q_channel_percentiles,
         "ts_channel_correlation": q_channel_correlation,
         "doc_token_entropy": q_token_entropy,
@@ -2406,6 +2438,38 @@ def oracle_sql() -> dict[str, str]:
         )
         """,
         "samples",
+    )
+
+    # --- round-4b native session-window streaming replay -------------
+    sql["stream_session_agg"] = with_views(
+        f"""
+        WITH mx AS (
+          SELECT (MAX(ts) // 1000) * 1000 AS wm FROM chan_events
+        ),
+        sess AS (
+          SELECT channel, MIN(lo) AS session_lo,
+                 MAX(hi) + {GAP_THRESHOLD_US} AS session_end,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 MIN(v) AS min_val, MAX(v) AS max_val
+          FROM (
+            SELECT channel, lo, hi, v,
+                   SUM(new_span) OVER (PARTITION BY channel ORDER BY lo, hi
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+            FROM (
+              SELECT channel, ts AS lo, ts AS hi, value AS v,
+                     CASE WHEN LAG(ts) OVER (PARTITION BY channel ORDER BY ts, ts) IS NULL
+                            OR ts - LAG(ts) OVER (PARTITION BY channel ORDER BY ts, ts)
+                               >= {GAP_THRESHOLD_US}
+                          THEN 1 ELSE 0 END AS new_span
+              FROM chan_events
+            )
+          ) GROUP BY channel, span_id
+        )
+        SELECT s.channel, s.session_lo, s.session_end, s.n, s.min_val,
+               s.max_val
+        FROM sess s CROSS JOIN mx WHERE s.session_end <= mx.wm
+        """,
+        "chan_events",
     )
 
     # --- round-4b percentiles / correlation / entropy / grouped KMV --
