@@ -1122,6 +1122,21 @@ def q_stream_minmax(spark, sf_dir):
     return spark.read.parquet(f"{base}/out")
 
 
+EWMA_ALPHA = 0.125  # exact binary representation — no decimal noise
+
+
+def q_ewma(spark, sf_dir):
+    """First-order IIR smoothing (EWMA) over the aligned fixture
+    channels, bounded like the Butterworth golden window so the DuckDB
+    recursive CTE replays the recurrence sample-by-sample."""
+    from pennsieve_streaming_spark.dsp.filtering import ewma_filter
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        F.col("ts") <= BW_TS_END
+    )
+    return ewma_filter(s, EWMA_ALPHA)
+
+
 def q_stream_session_agg(spark, sf_dir):
     """Native session_window streaming sessionization of the events
     feed, drained with availableNow: emitted rows == batch gap-span
@@ -1265,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # longest-stable ts-core queries last. Keep new work at the top.
     return {
         # round-4b: newest first (least-proven gets the oracle)
+        "ts_ewma": q_ewma,
         "stream_session_agg": q_stream_session_agg,
         "ts_channel_percentiles": q_channel_percentiles,
         "ts_channel_correlation": q_channel_correlation,
@@ -2439,6 +2455,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "samples",
     )
+
+    # --- round-4b EWMA recursive replay ------------------------------
+    _ew_a, _ew_b = EWMA_ALPHA, 1.0 - EWMA_ALPHA
+    sql["ts_ewma"] = f"""
+        WITH RECURSIVE samples_aligned AS
+          ({TBL.DUCKDB_VIEWS['samples_aligned']}),
+        inp AS (
+          SELECT channel, ts, value,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS pos
+          FROM samples_aligned WHERE ts <= {BW_TS_END}
+        ),
+        rec AS (
+          SELECT channel, pos, ts, value, value AS ewma
+          FROM inp WHERE pos = 0
+          UNION ALL
+          SELECT i.channel, i.pos, i.ts, i.value,
+                 {_ew_a!r} * i.value + {_ew_b!r} * r.ewma
+          FROM rec r JOIN inp i
+            ON i.channel = r.channel AND i.pos = r.pos + 1
+        )
+        SELECT channel, ts, value, ewma FROM rec
+        """
 
     # --- round-4b native session-window streaming replay -------------
     sql["stream_session_agg"] = with_views(

@@ -254,3 +254,51 @@ def apply_filter_bulk(
         .groupBy("_g")
         .applyInPandas(run, schema="channel string, ts long, value double")
     )
+
+
+def ewma_filter(samples, alpha: float):
+    """Exponentially-weighted moving average per channel — the
+    first-order IIR smoother (y_0 = x_0; y_i = α·x_i + (1-α)·y_{i-1})
+    every monitoring dashboard derives client-side, served engine-side
+    like the Butterworth path.
+
+    Sequential by nature (same class as apply_filter): runs per
+    channel via applyInPandas in (ts, value) order. The recurrence is
+    two multiplies + one add per sample in a fixed order, so the
+    DuckDB oracle replays it bit-exactly with a recursive CTE. Prefer
+    α with an exact binary representation (0.125, 0.25...) so the
+    coefficients themselves carry no decimal-conversion noise.
+
+    100 TB note: one task per channel, the reference's own execution
+    shape for stateful filters (admission-guarded upstream); for
+    unbounded histories carry state across chunks exactly as
+    ``apply_filter`` does with its sosfilt zi.
+
+    Output: (channel, ts, value, ewma).
+    """
+    import numpy as np
+    import pandas as pd
+
+    a = float(alpha)
+    b = 1.0 - a
+
+    def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "value"]).reset_index(drop=True)
+        x = pdf["value"].to_numpy(dtype=np.float64)
+        y = np.empty_like(x)
+        if len(x):
+            y[0] = x[0]
+        for i in range(1, len(x)):
+            y[i] = a * x[i] + b * y[i - 1]
+        return pd.DataFrame(
+            {
+                "channel": pdf["channel"],
+                "ts": pdf["ts"],
+                "value": pdf["value"],
+                "ewma": y,
+            }
+        )
+
+    return samples.groupBy("channel").applyInPandas(
+        run, "channel string, ts long, value double, ewma double"
+    )

@@ -256,3 +256,38 @@ def test_reference_bandstop_golden_vector():
     sos = butter_sos(4, 50.0, 250.0, "bandstop", width=3.0)
     out, _ = sosfilt(sos, data[: len(golden)])
     np.testing.assert_allclose(out, golden, rtol=0, atol=3e-15)
+
+
+def test_ewma_golden(spark):
+    from pennsieve_streaming_spark.dsp.filtering import ewma_filter
+
+    rows = [("a", 0, 8.0), ("a", 1, 0.0), ("a", 2, 16.0)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    got = {r.ts: r.ewma for r in ewma_filter(df, 0.5).collect()}
+    # y0 = 8; y1 = .5*0 + .5*8 = 4; y2 = .5*16 + .5*4 = 10
+    assert got == {0: 8.0, 1: 4.0, 2: 10.0}
+
+
+def test_ewma_channels_independent_and_partitioning_invariant(spark):
+    import numpy as np
+
+    from pennsieve_streaming_spark.dsp.filtering import ewma_filter
+
+    rng = np.random.default_rng(2)
+    rows = [
+        (ch, t, float(v))
+        for ch in ("a", "b")
+        for t, v in enumerate(rng.uniform(-3, 3, 500))
+    ]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    one = sorted(map(tuple, ewma_filter(df.coalesce(1), 0.125).collect()))
+    many = sorted(map(tuple, ewma_filter(df.repartition(13), 0.125).collect()))
+    assert one == many
+    # python replay
+    a, b = 0.125, 0.875
+    xs = [v for ch, t, v in rows if ch == "a"]
+    y = xs[0]
+    for i in range(1, len(xs)):
+        y = a * xs[i] + b * y
+    last = [r for r in one if r[0] == "a"][-1]
+    assert last[3] == y
