@@ -187,3 +187,79 @@ def test_filtered_ann_label_predicate_pushes_to_scan(spark, sf_dir):
 
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("EqualTo(label,0)" in p for p in pushed), pushed
+
+
+def test_locf_plan_single_channel_exchange_no_join(spark):
+    """LOCF is the union-window as-of: one hash exchange on channel,
+    NO join node anywhere (the whole point vs a range join)."""
+    from pennsieve_streaming_spark.operators.align import asof_locf
+
+    s = spark.createDataFrame(
+        [("a", 10, 1.0)], "channel string, ts long, value double"
+    )
+    g = spark.createDataFrame([("a", 20)], "channel string, ts long")
+    plan = asof_locf(s, g)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(channel") <= 2  # window exchange (+AQE reuse)
+
+
+def test_span_point_join_aggregation_is_partial(spark):
+    """The interval join's per-span aggregation must show a partial
+    (map-side) HashAggregate before the exchange."""
+    from pennsieve_streaming_spark.operators.align import span_point_join
+
+    spans = spark.createDataFrame(
+        [("s", 0, 100)], "channel string, span_lo long, span_hi long"
+    )
+    pts = spark.createDataFrame(
+        [("p", 5, 1.0)], "channel string, ts long, value double"
+    )
+    plan = (
+        span_point_join(spans, pts, 50)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_count" in plan or "partial" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_estimate_counter_side_broadcast(spark):
+    """CMS estimation joins the (row,bucket) keys against the counter
+    table as a BROADCAST — the counters never shuffle."""
+    from pennsieve_streaming_spark.llm.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([("x",), ("y",)], "tok string")
+    cnt = cms_counters(df, "tok", depth=3, width=64)
+    est = cms_estimate(cnt, df.distinct(), "tok", depth=3, width=64)
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_correlation_plan_no_cartesian_and_partial_sums(spark):
+    from pennsieve_streaming_spark.operators.stats import channel_correlation
+
+    v = spark.createDataFrame(
+        [("a", 0, 1.0), ("b", 0, 2.0)], "channel string, ts long, value double"
+    )
+    plan = (
+        channel_correlation(v)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan  # map-side combine on the pair sums
+
+
+def test_histogram_shuffle_bounded_by_bins(spark):
+    """Histogram aggregates with map-side partials so the exchange
+    carries at most |channels|x|bins| rows."""
+    from pennsieve_streaming_spark.operators.stats import value_histogram
+
+    s = spark.createDataFrame(
+        [("a", 0, 1.0)], "channel string, ts long, value double"
+    )
+    plan = (
+        value_histogram(s, 0.0, 10.0, 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_count" in plan or "partial" in plan

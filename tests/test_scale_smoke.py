@@ -142,3 +142,60 @@ def test_hll_kmv_10m_values(spark):
     assert abs(hll.estimate - 1_000_000) / 1_000_000 < 0.25
     kmv = kmv_distinct(df, "s", k=64).collect()[0]
     assert abs(kmv.estimate - 1_000_000) / 1_000_000 < 0.5
+
+
+def test_locf_grid_10m(spark, big_samples):
+    """LOCF over a 2.6M-point distributed grid (64 channels): the
+    sliced grid generation plus the union-window pass execute at
+    scale; every grid point lands on a sample or carries one forward
+    exactly (ts spacing is regular, so fill values are reconstructable
+    in closed form)."""
+    from pennsieve_streaming_spark.operators.align import (
+        asof_locf,
+        channel_grid,
+    )
+
+    per_chan = N // CHANNELS
+    span_us = per_chan * 1000
+    ch = (
+        big_samples.groupBy("channel")
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    )
+    grid = channel_grid(ch, span_us // 40_000, slice_points=4096)
+    out = asof_locf(big_samples, grid)
+    n_grid = grid.count()
+    assert n_grid >= 40_000 * CHANNELS
+    got = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("nulls"),
+        F.max("stale_us").alias("max_stale"),
+    ).collect()[0]
+    assert got.n == n_grid and got.nulls == 0
+    # regular 1000-µs spacing: no fill can be staler than one step
+    assert got.max_stale < 1000
+
+
+def test_span_point_join_1m_points(spark):
+    """Bucketized interval join at 1M points x 10k spans — the
+    equi-join on buckets keeps this tractable (an all-pairs plan would
+    be 1e10 comparisons)."""
+    from pennsieve_streaming_spark.operators.align import span_point_join
+
+    spans = spark.range(10_000).select(
+        F.lit("s").alias("channel"),
+        (F.col("id") * 100_000).alias("span_lo"),
+        (F.col("id") * 100_000 + 49_999).alias("span_hi"),
+    )
+    pts = spark.range(1_000_000).select(
+        F.lit("p").alias("channel"),
+        F.col("id").alias("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    out = span_point_join(spans, pts, 50_000)
+    got = out.agg(
+        F.count(F.lit(1)).alias("rows"), F.sum("n_points").alias("pts")
+    ).collect()[0]
+    assert got.rows == 10_000
+    # spans cover [k*1e5, k*1e5+49999]: the first 10 spans hold all
+    # 1M points' overlap = 10 spans x 50k points each
+    assert got.pts == 10 * 50_000
