@@ -1122,6 +1122,45 @@ def q_stream_minmax(spark, sf_dir):
     return spark.read.parquet(f"{base}/out")
 
 
+def q_emb_dim_stats(spark, sf_dir):
+    """Per-dimension embedding moments (standardization fit) — exact
+    quantized sums to |dims| rows."""
+    from pennsieve_streaming_spark.llm.quantize import embedding_dim_stats
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_dim_stats(emb)
+
+
+def q_emb_standardize(spark, sf_dir):
+    """Z-normalization end-to-end: per-vector squared L2 norm of the
+    standardized embedding (array emitted operator-level; the scalar
+    norm keeps the row contract — its dim-ordered fold is identical on
+    both engines)."""
+    from pennsieve_streaming_spark.llm.quantize import (
+        embedding_dim_stats,
+        standardize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    z = standardize_embeddings(emb, embedding_dim_stats(emb))
+    return z.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.expr(
+            "round(aggregate(embedding, CAST(0 AS DOUBLE), "
+            "(acc, v) -> acc + v * v), 9)"
+        ).alias("znorm2"),
+    )
+
+
+def q_channel_mad(spark, sf_dir):
+    """Robust per-channel scale: median + MAD via the explicit
+    order-statistic machinery."""
+    from pennsieve_streaming_spark.operators.stats import channel_mad
+
+    return channel_mad(TBL.samples_view(spark, sf_dir))
+
+
 EWMA_ALPHA = 0.125  # exact binary representation — no decimal noise
 
 
@@ -1280,6 +1319,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # longest-stable ts-core queries last. Keep new work at the top.
     return {
         # round-4b: newest first (least-proven gets the oracle)
+        "emb_dim_stats": q_emb_dim_stats,
+        "emb_standardize": q_emb_standardize,
+        "ts_channel_mad": q_channel_mad,
         "ts_ewma": q_ewma,
         "stream_session_agg": q_stream_session_agg,
         "ts_channel_percentiles": q_channel_percentiles,
@@ -2452,6 +2494,98 @@ def oracle_sql() -> dict[str, str]:
           WINDOW w AS (PARTITION BY channel ORDER BY ts
                        RANGE BETWEEN {ROLL_WINDOW_US} PRECEDING AND CURRENT ROW)
         )
+        """,
+        "samples",
+    )
+
+    # --- round-4b embedding standardization / MAD --------------------
+    _eds = """
+        el AS (
+          SELECT UNNEST(generate_series(1, len(embedding))) - 1 AS dim,
+                 UNNEST(embedding) AS v
+          FROM embeddings
+        ),
+        elq AS (
+          SELECT dim,
+                 CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS vq,
+                 CAST(round(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1000000)
+                      AS BIGINT) AS vq2
+          FROM el
+        ),
+        dagg AS (
+          SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(vq) AS BIGINT) AS sq,
+                 CAST(SUM(vq2) AS BIGINT) AS sq2
+          FROM elq GROUP BY dim
+        ),
+        dstats AS (
+          SELECT CAST(dim AS BIGINT) AS dim, n,
+                 CAST(sq AS DOUBLE) / 1000000 / n AS mean,
+                 sqrt(greatest(CAST(sq2 AS DOUBLE) / 1000000 / n
+                      - (CAST(sq AS DOUBLE) / 1000000 / n)
+                        * (CAST(sq AS DOUBLE) / 1000000 / n),
+                      CAST(0 AS DOUBLE))) AS std
+          FROM dagg
+        )
+        """
+    sql["emb_dim_stats"] = f"""
+        WITH {_eds}
+        SELECT dim, n, mean, std FROM dstats
+        """
+
+    sql["emb_standardize"] = f"""
+        WITH {_eds},
+        ev AS (
+          SELECT vec_id,
+                 UNNEST(generate_series(1, len(embedding))) - 1 AS dim,
+                 UNNEST(embedding) AS v
+          FROM embeddings
+        ),
+        zr AS (
+          SELECT ev.vec_id, ev.dim,
+                 CASE WHEN d.std = 0 THEN CAST(0 AS DOUBLE)
+                      ELSE (CAST(ev.v AS DOUBLE) - d.mean) / d.std END AS z
+          FROM ev JOIN dstats d ON ev.dim = d.dim
+        )
+        SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dims,
+               round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list(z * z ORDER BY dim)), (a, b) -> a + b), 9) AS znorm2
+        FROM zr GROUP BY vec_id
+        """
+
+    _mad_pct = (
+        "_lo + (_hi - _lo) * "
+        "(CAST(0.5 AS DOUBLE) * (n - 1) - floor(CAST(0.5 AS DOUBLE) * (n - 1)))"
+    )
+
+    def _med_sql(src: str) -> str:
+        return f"""
+          SELECT channel, CAST(MAX(n) AS BIGINT) AS n,
+                 MAX(CASE WHEN rn = floor(CAST(0.5 AS DOUBLE) * (n - 1))
+                     THEN value END) AS _lo,
+                 MAX(CASE WHEN rn = least(floor(CAST(0.5 AS DOUBLE) * (n - 1)) + 1, n - 1)
+                     THEN value END) AS _hi
+          FROM (
+            SELECT channel, value,
+                   ROW_NUMBER() OVER (PARTITION BY channel ORDER BY value, ts)
+                     - 1 AS rn,
+                   COUNT(*) OVER (PARTITION BY channel) AS n
+            FROM {src}
+          ) GROUP BY channel
+        """
+
+    sql["ts_channel_mad"] = with_views(
+        f"""
+        WITH m1 AS ({_med_sql('samples')}),
+        med AS (SELECT channel, {_mad_pct} AS median FROM m1),
+        dev AS (
+          SELECT s.channel, s.ts, abs(s.value - med.median) AS value
+          FROM samples s JOIN med ON s.channel = med.channel
+        ),
+        m2 AS ({_med_sql('dev')}),
+        madt AS (SELECT channel, n, {_mad_pct} AS mad FROM m2)
+        SELECT madt.channel, madt.n, med.median, madt.mad
+        FROM madt JOIN med ON madt.channel = med.channel
         """,
         "samples",
     )

@@ -69,3 +69,72 @@ def int8_quantize(embeddings: DataFrame) -> DataFrame:
             "recon_err",
         )
     )
+
+
+def embedding_dim_stats(embeddings: DataFrame, quant: int = 1_000_000) -> DataFrame:
+    """Per-dimension corpus statistics of the embedding column — the
+    fit step of feature standardization (z-norm), PCA preprocessing,
+    and drift monitoring.
+
+    Output: (dim, n, mean, std) — moments from exact ``quant``-quantized
+    BIGINT sums (associative ⇒ partition-order independent; with
+    |v| ≲ 10 and quant 1e6 the squared sums hold to ~1e9 vectors per
+    dimension before int64 pressure — drop quant to 1e3 beyond that),
+    then one fixed float expression. Plan: posexplode (narrow) + one
+    partial-agg groupBy to |dims| rows.
+    """
+    q = int(quant)
+    el = embeddings.select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.expr(f"CAST(round(CAST(v AS DOUBLE) * {q}) AS BIGINT)").alias("vq"),
+        F.expr(
+            f"CAST(round(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * {q}) AS BIGINT)"
+        ).alias("vq2"),
+    )
+    agg = el.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vq").cast("long").alias("sq"),
+        F.sum("vq2").cast("long").alias("sq2"),
+    )
+    return agg.select(
+        "dim",
+        "n",
+        F.expr(f"CAST(sq AS DOUBLE) / {q} / n").alias("mean"),
+        F.expr(
+            f"sqrt(greatest(CAST(sq2 AS DOUBLE) / {q} / n "
+            f"- (CAST(sq AS DOUBLE) / {q} / n) * (CAST(sq AS DOUBLE) / {q} / n), "
+            "CAST(0 AS DOUBLE)))"
+        ).alias("std"),
+    )
+
+
+def standardize_embeddings(
+    embeddings: DataFrame, dim_stats: DataFrame
+) -> DataFrame:
+    """Z-normalize each embedding against per-dimension (mean, std)
+    from :func:`embedding_dim_stats` — zero-std dimensions map to 0.
+
+    Output: (vec_id, embedding array<double>). Plan: posexplode →
+    broadcast join on the |dims|-row stats → re-assemble in position
+    order (the per-vector array is bounded by the dimensionality, so
+    the collect is safe at any corpus size).
+    """
+    el = embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select("vec_id", F.col("dim").cast("long").alias("dim"), "v")
+    joined = el.join(F.broadcast(dim_stats.select("dim", "mean", "std")), "dim")
+    z = F.expr(
+        "CASE WHEN std = 0 THEN CAST(0 AS DOUBLE) "
+        "ELSE (CAST(v AS DOUBLE) - mean) / std END"
+    )
+    return (
+        joined.select("vec_id", "dim", z.alias("z"))
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(dim, z))), s -> s.z)"
+            ).alias("embedding")
+        )
+    )

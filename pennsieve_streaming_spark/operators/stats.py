@@ -246,3 +246,34 @@ def channel_correlation(values: DataFrame, quant: int = 100) -> DataFrame:
             "ELSE CAST(0 AS DOUBLE) END"
         ).alias("r"),
     )
+
+
+def channel_mad(samples: DataFrame) -> DataFrame:
+    """Robust per-channel scale: median + MAD (median absolute
+    deviation) — the artifact-tolerant alternative to mean/std for QC
+    thresholds (a single railing electrode blows up the std but barely
+    moves the MAD).
+
+    Both medians use the explicit order-statistic interpolation of
+    :func:`channel_percentiles` (bit-identical cross-engine). Output:
+    (channel, n, median, mad).
+
+    Plan: two ranking passes per channel (the second over |x - median|
+    after a broadcast join of the |channels|-row medians) — exact, no
+    sampling; at production channel counts both windows parallelize
+    across channels.
+    """
+    med = channel_percentiles(samples, (0.5,)).select(
+        "channel", F.col("p50").alias("median")
+    )
+    dev = samples.join(F.broadcast(med), "channel").select(
+        "channel",
+        "ts",
+        F.abs(F.col("value") - F.col("median")).alias("value"),
+    )
+    mad = channel_percentiles(dev, (0.5,)).select(
+        "channel", "n", F.col("p50").alias("mad")
+    )
+    return mad.join(F.broadcast(med), "channel").select(
+        "channel", "n", "median", "mad"
+    )

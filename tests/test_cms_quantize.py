@@ -116,3 +116,64 @@ def test_int8_is_narrow_plan(spark):
     df = int8_quantize(_emb(spark, [(1, [1.0, 2.0])]))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure map, zero shuffle
+
+
+# --------------------------------------------------------------------------
+# embedding standardization
+# --------------------------------------------------------------------------
+
+def test_dim_stats_match_numpy(spark):
+    from pennsieve_streaming_spark.llm.quantize import embedding_dim_stats
+
+    rng = np.random.default_rng(4)
+    vecs = [(i, rng.uniform(-2, 2, 8).astype("float32").tolist()) for i in range(100)]
+    stats = {r.dim: (r.n, r.mean, r.std) for r in embedding_dim_stats(
+        _emb(spark, vecs)).collect()}
+    arr = np.array([v for _, v in vecs], dtype=np.float64)
+    for d in range(8):
+        n, mean, std = stats[d]
+        assert n == 100
+        assert mean == pytest.approx(arr[:, d].mean(), abs=1e-5)
+        assert std == pytest.approx(arr[:, d].std(), abs=1e-5)
+
+
+def test_standardize_zero_mean_unit_var(spark):
+    from pennsieve_streaming_spark.llm.quantize import (
+        embedding_dim_stats,
+        standardize_embeddings,
+    )
+
+    rng = np.random.default_rng(8)
+    vecs = [(i, rng.normal(3.0, 2.0, 4).astype("float32").tolist()) for i in range(200)]
+    emb = _emb(spark, vecs)
+    z = standardize_embeddings(emb, embedding_dim_stats(emb))
+    arr = np.array([r.embedding for r in z.orderBy("vec_id").collect()])
+    assert arr.shape == (200, 4)
+    assert np.abs(arr.mean(axis=0)).max() < 1e-4
+    assert np.abs(arr.std(axis=0) - 1.0).max() < 1e-4
+
+
+def test_standardize_constant_dim_maps_to_zero(spark):
+    from pennsieve_streaming_spark.llm.quantize import (
+        embedding_dim_stats,
+        standardize_embeddings,
+    )
+
+    vecs = [(i, [7.0, float(i)]) for i in range(10)]
+    emb = _emb(spark, vecs)
+    z = standardize_embeddings(emb, embedding_dim_stats(emb))
+    for r in z.collect():
+        assert r.embedding[0] == 0.0
+
+
+def test_channel_mad_golden(spark):
+    from pennsieve_streaming_spark.operators.stats import channel_mad
+
+    # values 1..9 plus a 1000 outlier (n=10): median interpolates
+    # between sorted[4]=5 and sorted[5]=6 -> 5.5; deviations |x-5.5|
+    # sorted: .5,.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,994.5 -> MAD = 2.5
+    rows = [("a", t, float(v)) for t, v in enumerate(range(1, 10))] + [("a", 99, 1000.0)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    [r] = channel_mad(df).collect()
+    assert (r.n, r.median, r.mad) == (10, 5.5, 2.5)
+    # robustness: the outlier barely moves the MAD; std would be ~297
