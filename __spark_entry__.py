@@ -1122,6 +1122,57 @@ def q_stream_minmax(spark, sf_dir):
     return spark.read.parquet(f"{base}/out")
 
 
+DECIMATE_FACTOR = 4
+ACF_LAGS_US = (GRID_INTERVAL_US, 7 * GRID_INTERVAL_US, 30 * GRID_INTERVAL_US)
+
+
+def q_decimate(spark, sf_dir):
+    """Anti-aliased downsample (lowpass + every-4th sample) over the
+    Butterworth golden window — scipy.signal.decimate semantics on the
+    engine's filter path."""
+    from pennsieve_streaming_spark.dsp import FilterSpec
+    from pennsieve_streaming_spark.dsp.filtering import decimate
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        (F.col("channel") == "lead") & (F.col("ts") <= F.lit(BW_TS_END))
+    )
+    return decimate(
+        s, FilterSpec(BW_TYPE, BW_ORDER, BW_FREQ), BW_RATE, DECIMATE_FACTOR
+    )
+
+
+def q_minhash_jaccard_est(spark, sf_dir):
+    """MinHash agreement-fraction Jaccard estimate for the LSH
+    candidate pairs — candidate verification from n_hashes integers
+    per doc instead of the full shingle sets."""
+    from pennsieve_streaming_spark.llm.dedup import minhash_jaccard_estimate
+
+    sh = shingles(_docs(spark, sf_dir))
+    sigs = minhash_signatures(sh)
+    cands = lsh_candidate_pairs(lsh_band_keys(minhash_wide(sh)))
+    return minhash_jaccard_estimate(sigs, cands)
+
+
+def q_autocorrelation(spark, sf_dir):
+    """Per-channel sample autocorrelation at 1/7/30-day lags on the
+    LOCF day grid — periodicity/drift diagnostics from exact quantized
+    sums."""
+    from pennsieve_streaming_spark.operators.align import (
+        asof_locf,
+        channel_grid,
+    )
+    from pennsieve_streaming_spark.operators.stats import (
+        channel_autocorrelation,
+    )
+
+    s = TBL.samples_view(spark, sf_dir).filter(
+        F.col("channel").isin(*GRID_CHANNELS)
+    )
+    _, grid = _grid(spark, sf_dir)
+    aligned = asof_locf(s, grid).select("channel", "ts", "value")
+    return channel_autocorrelation(aligned, ACF_LAGS_US, CORR_QUANT)
+
+
 def q_emb_dim_stats(spark, sf_dir):
     """Per-dimension embedding moments (standardization fit) — exact
     quantized sums to |dims| rows."""
@@ -1319,6 +1370,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # longest-stable ts-core queries last. Keep new work at the top.
     return {
         # round-4b: newest first (least-proven gets the oracle)
+        "ts_decimate": q_decimate,
+        "doc_minhash_jaccard_est": q_minhash_jaccard_est,
+        "ts_autocorrelation": q_autocorrelation,
         "emb_dim_stats": q_emb_dim_stats,
         "emb_standardize": q_emb_standardize,
         "ts_channel_mad": q_channel_mad,
@@ -3096,6 +3150,83 @@ def oracle_sql() -> dict[str, str]:
         ) GROUP BY channel
         """,
         "samples",
+    )
+
+    # --- round-4c decimate / jaccard-est / autocorrelation -----------
+    sql["ts_decimate"] = f"""
+        SELECT channel, ts, value FROM (
+          SELECT channel, ts, value,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS rn
+          FROM ({_butterworth_oracle_sql()})
+        ) WHERE rn % {DECIMATE_FACTOR} = 0
+        """
+
+    sql["doc_minhash_jaccard_est"] = f"""
+        WITH {MINHASH_PRE}, {BANDS},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+        ),
+        ag AS (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(SUM(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_agree,
+                 CAST(COUNT(*) AS BIGINT) AS n_hashes
+          FROM cand c
+          JOIN mh ma ON ma.doc_id = c.doc_a
+          JOIN mh mb ON mb.doc_id = c.doc_b AND mb.j = ma.j
+          GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT doc_a, doc_b, n_agree, n_hashes,
+               n_agree / CAST(n_hashes AS DOUBLE) AS jaccard_est
+        FROM ag
+        """
+
+    _acf_lags = ", ".join(str(x) for x in ACF_LAGS_US)
+    sql["ts_autocorrelation"] = with_views(
+        f"""
+        WITH {_grid_cte},
+        f AS (
+          SELECT channel, ts, is_grid,
+                 last_value(value IGNORE NULLS) OVER w AS fill
+          FROM u
+          WINDOW w AS (PARTITION BY channel ORDER BY ts, is_grid, value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        vals AS (
+          SELECT channel, ts,
+                 CAST(round(fill * {CORR_QUANT}) AS BIGINT) AS xq
+          FROM f WHERE is_grid = 1
+        ),
+        lagged AS (
+          SELECT channel, UNNEST([{_acf_lags}]) AS lag_us, ts AS ts_b, xq AS xb
+          FROM vals
+        ),
+        pr AS (
+          SELECT a.channel, l.lag_us, a.xq AS xa, l.xb
+          FROM vals a JOIN lagged l
+            ON a.channel = l.channel AND a.ts = l.ts_b - l.lag_us
+        ),
+        agg AS (
+          SELECT channel, CAST(lag_us AS BIGINT) AS lag_us,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(xa) AS BIGINT) AS sx,
+                 CAST(SUM(xb) AS BIGINT) AS sy,
+                 CAST(SUM(xa * xb) AS BIGINT) AS sxy,
+                 CAST(SUM(xa * xa) AS BIGINT) AS sxx,
+                 CAST(SUM(xb * xb) AS BIGINT) AS syy
+          FROM pr GROUP BY channel, lag_us
+        )
+        SELECT channel, lag_us, n,
+               CASE WHEN {_corr_pos} THEN round({_corr_r}, 9)
+                    ELSE CAST(0 AS DOUBLE) END AS r
+        FROM agg
+        """,
+        "samples",
+        "channels",
     )
 
     sql["doc_bigram_lm"] = f"""

@@ -302,3 +302,30 @@ def ewma_filter(samples, alpha: float):
     return samples.groupBy("channel").applyInPandas(
         run, "channel string, ts long, value double, ewma double"
     )
+
+
+def decimate(
+    samples: DataFrame,
+    spec: "FilterSpec",
+    rate_hz: float,
+    factor: int,
+) -> DataFrame:
+    """Anti-aliased downsample: Butterworth lowpass (``spec`` should
+    cut below ``rate_hz / (2*factor)``) followed by keeping every
+    ``factor``-th sample per channel in (ts, value) order — the
+    scipy.signal.decimate shape on the engine's own filter path.
+
+    Unlike the min/max pixel downsample (which preserves extremes for
+    display), decimation preserves the band-limited waveform for
+    further DSP. Output: (channel, ts, value) at 1/factor the rate.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    filtered = apply_filter(samples, spec, rate_hz)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    return (
+        filtered.withColumn("_rn", F.row_number().over(w) - 1)
+        .filter((F.col("_rn") % int(factor)) == 0)
+        .drop("_rn")
+    )

@@ -517,3 +517,42 @@ def scrub_duplicated_spans(
             .cast("long").alias("n_dropped"),
         )
     )
+
+
+def minhash_jaccard_estimate(
+    signatures: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Estimate Jaccard similarity for candidate pairs from MinHash
+    signature agreement: est = (# positions where the two signatures
+    agree) / n_hashes — the estimation step of the Broder sketch that
+    LSH banding short-circuits (verify candidates WITHOUT touching the
+    shingle sets: n_hashes integers per doc instead of the full set).
+
+    ``signatures``: exploded (doc_id, j, minhash); ``pairs``: (doc_a,
+    doc_b). Output: (doc_a, doc_b, n_agree, n_hashes, jaccard_est) —
+    all integers until the final division.
+
+    100 TB: the per-pair cost is n_hashes rows via two equi-joins on
+    doc id — independent of document length, which is the reason this
+    beats exact verification when shingle sets are large.
+    """
+    a = signatures.select(
+        F.col("doc_id").alias("doc_a"), "j", F.col("minhash").alias("mh_a")
+    )
+    b = signatures.select(
+        F.col("doc_id").alias("doc_b"), "j", F.col("minhash").alias("mh_b")
+    )
+    j = pairs.join(a, "doc_a").join(b, ["doc_b", "j"])
+    return (
+        j.groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)
+            ).cast("long").alias("n_agree"),
+            F.count(F.lit(1)).cast("long").alias("n_hashes"),
+        )
+        .withColumn(
+            "jaccard_est",
+            F.expr("n_agree / CAST(n_hashes AS DOUBLE)"),
+        )
+    )

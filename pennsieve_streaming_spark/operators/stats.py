@@ -277,3 +277,67 @@ def channel_mad(samples: DataFrame) -> DataFrame:
     return mad.join(F.broadcast(med), "channel").select(
         "channel", "n", "median", "mad"
     )
+
+
+def channel_autocorrelation(
+    values: DataFrame, lags_us: tuple[int, ...], quant: int = 100
+) -> DataFrame:
+    """Sample autocorrelation at the given time lags over time-aligned
+    per-channel values (e.g. the LOCF grid): Pearson r of the pairs
+    (v_t, v_{t+lag}) — the standard diagnostics for periodicity and
+    baseline drift.
+
+    Same determinism contract as :func:`channel_correlation` (exact
+    ``quant``-quantized BIGINT sums, one fixed float formula; pick
+    quant so n*(max|v|*quant)^2 < 2^63). Output: (channel, lag_us, n,
+    r) — r = 0 for degenerate (zero-variance) overlaps.
+
+    Plan: the lagged side explodes |lags| rows per value (narrow),
+    then ONE ts equi-join per channel and a groupBy to
+    |channels|×|lags| rows.
+    """
+    q = int(quant)
+    v = values.select(
+        "channel", "ts",
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    )
+    lag_arr = ", ".join(str(int(x)) for x in lags_us)
+    lagged = v.select(
+        "channel",
+        F.explode(F.expr(f"array({lag_arr})")).alias("lag_us"),
+        (F.col("ts")).alias("ts_b"),
+        F.col("xq").alias("xb"),
+    ).withColumn("ts", F.col("ts_b") - F.col("lag_us"))
+    j = v.select("channel", "ts", F.col("xq").alias("xa")).join(
+        lagged, ["channel", "ts"]
+    )
+    agg = j.groupBy("channel", "lag_us").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xa").cast("long").alias("sx"),
+        F.sum("xb").cast("long").alias("sy"),
+        F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).cast("long").alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).cast("long").alias("syy"),
+    )
+    r = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+        "* sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+        "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    pos = (
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0 AND "
+        "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+        "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0"
+    )
+    return agg.select(
+        "channel",
+        F.col("lag_us").cast("long").alias("lag_us"),
+        "n",
+        F.expr(
+            f"CASE WHEN {pos} THEN round({r}, 9) ELSE CAST(0 AS DOUBLE) END"
+        ).alias("r"),
+    )

@@ -168,3 +168,77 @@ def test_top_k_per_group_golden(spark):
     )
     # tie at q=0.8 resolves to the lower doc_id
     assert got == [("de", 5, 1), ("en", 1, 1), ("en", 2, 2)]
+
+
+# --------------------------------------------------------------------------
+# channel_autocorrelation
+# --------------------------------------------------------------------------
+
+def test_acf_lag0_like_self_and_period_detection(spark):
+    from pennsieve_streaming_spark.operators.stats import (
+        channel_autocorrelation,
+    )
+
+    # period-4 signal: ACF at lag 4 ~ 1, at lag 2 ~ -1
+    pat = [1.0, 0.0, -1.0, 0.0]
+    rows = [("a", t, pat[t % 4]) for t in range(400)]
+    v = spark.createDataFrame(rows, "channel string, ts long, value double")
+    got = {r.lag_us: r.r for r in channel_autocorrelation(
+        v, (2, 4), quant=1000).collect()}
+    assert got[4] == pytest.approx(1.0, abs=1e-6)
+    assert got[2] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_acf_matches_numpy_pairwise_corr(spark):
+    from pennsieve_streaming_spark.operators.stats import (
+        channel_autocorrelation,
+    )
+
+    rng = np.random.default_rng(12)
+    x = rng.uniform(-1, 1, 300)
+    rows = [("a", t, float(x[t])) for t in range(300)]
+    v = spark.createDataFrame(rows, "channel string, ts long, value double")
+    [r] = channel_autocorrelation(v, (5,), quant=1_000_000).collect()
+    want = np.corrcoef(x[:-5], x[5:])[0, 1]
+    assert r.n == 295
+    assert r.r == pytest.approx(want, abs=1e-4)
+
+
+# --------------------------------------------------------------------------
+# minhash jaccard estimate / decimate
+# --------------------------------------------------------------------------
+
+def test_minhash_estimate_identical_docs_is_one(spark):
+    from pennsieve_streaming_spark.llm.dedup import (
+        minhash_jaccard_estimate,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy dog today"),
+         (3, "entirely different words in this third document here now")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(shingles(docs))
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
+    got = {(r.doc_a, r.doc_b): r.jaccard_est
+           for r in minhash_jaccard_estimate(sigs, pairs).collect()}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] < 0.5
+
+
+def test_decimate_keeps_every_nth_of_filtered(spark):
+    from pennsieve_streaming_spark.dsp import FilterSpec, apply_filter
+    from pennsieve_streaming_spark.dsp.filtering import decimate
+
+    rows = [("a", t * 1000, float((t * 3) % 17)) for t in range(200)]
+    s = spark.createDataFrame(rows, "channel string, ts long, value double")
+    spec = FilterSpec("lowpass", 2, 100.0)
+    full = {r.ts: r.value for r in apply_filter(s, spec, rate_hz=1000.0).collect()}
+    dec = sorted((r.ts, r.value) for r in decimate(s, spec, 1000.0, 4).collect())
+    assert len(dec) == 50
+    for ts, v in dec:
+        assert v == full[ts]
+    assert [ts for ts, _ in dec] == [t * 4000 for t in range(50)]
