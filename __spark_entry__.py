@@ -1122,6 +1122,45 @@ def q_stream_minmax(spark, sf_dir):
     return spark.read.parquet(f"{base}/out")
 
 
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSONL corpus egress + ingest round trip: write the documents
+    table as JSONL, read it back under the fixed schema with the
+    PERMISSIVE quarantine column — output must equal the source table
+    exactly (the oracle is the table itself), proving the interchange
+    path is lossless for embedded newlines/quotes/unicode."""
+    import tempfile
+
+    from pennsieve_streaming_spark.sources.text import (
+        quarantine_split,
+        read_jsonl_corpus,
+        write_jsonl_corpus,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="pss_jsonl_") + "/corpus"
+    write_jsonl_corpus(docs, path, shards=4)
+    clean, _bad = quarantine_split(read_jsonl_corpus(spark, path))
+    return clean
+
+
+def q_csv_roundtrip(spark, sf_dir):
+    """CSV egress + ingest round trip (RFC-4180 quoting, multiLine
+    read) — same identity oracle as the JSONL path."""
+    import tempfile
+
+    from pennsieve_streaming_spark.sources.text import (
+        quarantine_split,
+        read_csv_corpus,
+        write_csv_corpus,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="pss_csv_") + "/corpus"
+    write_csv_corpus(docs, path, shards=4)
+    clean, _bad = quarantine_split(read_csv_corpus(spark, path))
+    return clean
+
+
 DECIMATE_FACTOR = 4
 ACF_LAGS_US = (GRID_INTERVAL_US, 7 * GRID_INTERVAL_US, 30 * GRID_INTERVAL_US)
 
@@ -1370,6 +1409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # longest-stable ts-core queries last. Keep new work at the top.
     return {
         # round-4b: newest first (least-proven gets the oracle)
+        "doc_jsonl_roundtrip": q_jsonl_roundtrip,
+        "doc_csv_roundtrip": q_csv_roundtrip,
         "ts_decimate": q_decimate,
         "doc_minhash_jaccard_est": q_minhash_jaccard_est,
         "ts_autocorrelation": q_autocorrelation,
@@ -3151,6 +3192,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "samples",
     )
+
+    # --- round-4c text-format round trips (identity oracles) ---------
+    sql["doc_jsonl_roundtrip"] = (
+        "SELECT doc_id, text, lang, source, n_chars FROM documents"
+    )
+    sql["doc_csv_roundtrip"] = sql["doc_jsonl_roundtrip"]
 
     # --- round-4c decimate / jaccard-est / autocorrelation -----------
     sql["ts_decimate"] = f"""
