@@ -252,3 +252,86 @@ def test_crossings_exactly_at_threshold_counts(spark):
     s = _samples(spark, [("a", 0, 4.999), ("a", 1, 5.0)])
     [r] = threshold_crossings(s, 5.0).collect()
     assert r.n_crossings == 1
+
+
+# --------------------------------------------------------------------------
+# randomized brute-force equivalence (several seeds, python reference)
+# --------------------------------------------------------------------------
+
+def _brute_locf(samples, grid_ts):
+    """(value, src_ts) per grid point: max-(ts,value) sample at-or-before."""
+    out = {}
+    for g in grid_ts:
+        cands = [(ts, v) for ts, v in samples if ts <= g]
+        if not cands:
+            out[g] = (None, None)
+        else:
+            ts, v = max(cands)
+            out[g] = (v, ts)
+    return out
+
+
+def test_locf_matches_brute_force_randomized(spark):
+    import random
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        n = rng.randint(1, 40)
+        samples = sorted(
+            {(rng.randint(0, 500), round(rng.uniform(-5, 5), 3)) for _ in range(n)}
+        )
+        grid_ts = sorted({rng.randint(0, 500) for _ in range(rng.randint(1, 30))})
+        s = _samples(spark, [("a", ts, v) for ts, v in samples])
+        g = _grid_df(spark, [("a", t) for t in grid_ts])
+        got = {r.ts: (r.value, r.src_ts) for r in asof_locf(s, g).collect()}
+        want = _brute_locf(samples, grid_ts)
+        assert got == want, f"seed {seed}"
+
+
+def test_interp_matches_brute_force_randomized(spark):
+    import random
+
+    for seed in range(5):
+        rng = random.Random(100 + seed)
+        # unique ts so the lerp bracket is unambiguous
+        pts = sorted({rng.randint(0, 300) for _ in range(rng.randint(2, 25))})
+        samples = [(t, round(rng.uniform(-4, 4), 3)) for t in pts]
+        grid_ts = sorted({rng.randint(0, 300) for _ in range(rng.randint(1, 25))})
+        s = _samples(spark, [("a", t, v) for t, v in samples])
+        g = _grid_df(spark, [("a", t) for t in grid_ts])
+        got = {r.ts: r.value for r in interp_resample(s, g).collect()}
+        bytes_ = dict(samples)
+        for t in grid_ts:
+            prev = [p for p in pts if p <= t]
+            nxt = [p for p in pts if p > t]
+            if prev and prev[-1] == t:
+                want = bytes_[t]
+            elif prev and nxt:
+                p0, p1 = prev[-1], nxt[0]
+                want = bytes_[p0] + (bytes_[p1] - bytes_[p0]) * (t - p0) / (p1 - p0)
+            else:
+                assert t not in got, f"seed {seed} boundary row leaked"
+                continue
+            assert got[t] == pytest.approx(want, abs=1e-12), f"seed {seed}"
+
+
+def test_span_point_join_matches_brute_force_randomized(spark):
+    import random
+
+    for seed in range(4):
+        rng = random.Random(200 + seed)
+        spans = []
+        for i in range(rng.randint(1, 10)):
+            lo = rng.randint(0, 400)
+            spans.append(("s", lo, lo + rng.randint(0, 120)))
+        spans = list({(c, lo, hi) for c, lo, hi in spans})
+        points = [("p", rng.randint(0, 600), 1.0) for _ in range(rng.randint(0, 50))]
+        sdf = _spans(spark, spans)
+        pdf = _samples(spark, points)
+        got = {
+            (r.span_lo, r.span_hi): r.n_points
+            for r in span_point_join(sdf, pdf, rng.choice([7, 50, 1000])).collect()
+        }
+        for _, lo, hi in spans:
+            want = sum(1 for _, t, _ in points if lo <= t <= hi)
+            assert got[(lo, hi)] == want, f"seed {seed}"
