@@ -1266,6 +1266,38 @@ def q_ewma(spark, sf_dir):
     return ewma_filter(s, EWMA_ALPHA)
 
 
+def q_stream_ewma(spark, sf_dir):
+    """Streaming EWMA drained with availableNow over the same bounded
+    golden window as ts_ewma — the carried one-double state reproduces
+    the batch recurrence bit-exactly (equivalence-tested across
+    micro-batch splits), so the recursive-CTE oracle gates the
+    STREAMING operator too."""
+    import tempfile
+
+    from pennsieve_streaming_spark.streaming.ewma import ewma_stream
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        F.col("ts") <= BW_TS_END
+    )
+    base = tempfile.mkdtemp(prefix="pss_stream_ewma_")
+    src = f"{base}/src"
+    s.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("channel string, ts long, value double")
+        .parquet(src)
+    )
+    q = (
+        ewma_stream(stream, EWMA_ALPHA)
+        .writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out")
+
+
 def q_stream_session_agg(spark, sf_dir):
     """Native session_window streaming sessionization of the events
     feed, drained with availableNow: emitted rows == batch gap-span
@@ -1409,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # longest-stable ts-core queries last. Keep new work at the top.
     return {
         # round-4b: newest first (least-proven gets the oracle)
+        "stream_ewma": q_stream_ewma,
         "doc_jsonl_roundtrip": q_jsonl_roundtrip,
         "doc_csv_roundtrip": q_csv_roundtrip,
         "ts_decimate": q_decimate,
@@ -2707,6 +2740,9 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT channel, ts, value, ewma FROM rec
         """
+    # streaming EWMA is bit-identical to the batch operator under the
+    # ordered-ingest contract — same oracle
+    sql["stream_ewma"] = sql["ts_ewma"]
 
     # --- round-4b native session-window streaming replay -------------
     sql["stream_session_agg"] = with_views(
