@@ -89,21 +89,35 @@ def _decode_features(payload: bytes, decode_stub: bool) -> list[float]:
     WAV/PCM audio (llm/wav.py); other formats use the deterministic
     stub, or raise when ``decode_stub=False`` (the production hook for
     ffmpeg/pillow for the remaining codecs)."""
-    from pennsieve_streaming_spark.llm import png, wav
+    from pennsieve_streaming_spark.llm import png, rawimg, wav
 
     if png.is_png(payload):
         return png.image_features(png.decode_png(payload), FEATURE_DIM).tolist()
+    if rawimg.is_bmp(payload):
+        try:
+            return png.image_features(
+                rawimg.decode_bmp(payload), FEATURE_DIM
+            ).tolist()
+        except rawimg.RawImageError:
+            pass  # compressed/exotic DIB falls through to the stub
+    if rawimg.is_netpbm(payload):
+        try:
+            return png.image_features(
+                rawimg.decode_netpbm(payload), FEATURE_DIM
+            ).tolist()
+        except rawimg.RawImageError:
+            pass
     if wav.is_wav(payload):
         try:
             samples, rate = wav.decode_wav(payload)
             return wav.audio_features(samples, rate, FEATURE_DIM).tolist()
         except wav.WavError:
-            pass  # malformed/non-PCM RIFF falls through to the stub
+            pass  # malformed/unsupported RIFF falls through to the stub
     if not decode_stub:
         raise NotImplementedError(
             "no codec for this payload format in this environment; "
-            "PNG and WAV/PCM decode natively, others need ffmpeg/pillow "
-            "plugged into _decode_features"
+            "PNG/BMP/PGM/PPM and WAV (PCM + G.711) decode natively, "
+            "others need ffmpeg/pillow plugged into _decode_features"
         )
     return _fake_decode(payload).tolist()
 

@@ -84,6 +84,14 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or raw is None:
         raise WavError("missing fmt/data chunk")
     audio_format, ch, rate, _byte_rate, _block, bits = fmt
+    if audio_format == 6:  # G.711 A-law
+        arr = _alaw_decode(np.frombuffer(raw, dtype=np.uint8))
+        n = len(arr) // ch
+        return arr[: n * ch].reshape(n, ch), rate
+    if audio_format == 7:  # G.711 µ-law
+        arr = _mulaw_decode(np.frombuffer(raw, dtype=np.uint8))
+        n = len(arr) // ch
+        return arr[: n * ch].reshape(n, ch), rate
     if audio_format != 1:
         raise WavError(f"unsupported audio format {audio_format} (PCM only)")
     if bits == 8:
@@ -123,3 +131,85 @@ def audio_features(samples: np.ndarray, rate: int, dim: int = 16) -> np.ndarray:
     if len(feat) < dim:
         feat = np.pad(feat, (0, dim - len(feat)))
     return feat[:dim]
+
+
+# ---------------------------------------------------------------------------
+# G.711 companded telephony codecs (ITU-T G.711, 1972 — public spec)
+# ---------------------------------------------------------------------------
+
+def _mulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """µ-law byte codes → float64 in (-1, 1) (CCITT expansion with the
+    16-bit-scale bias 0x84: magnitude = (((mantissa<<3) + 0x84) <<
+    exponent) - 0x84, range ±32124, normalized by 32768)."""
+    u = (~codes.astype(np.int64)) & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    lin = np.where(sign, -mag, mag).astype(np.float64)
+    return lin / 32768.0
+
+
+def _mulaw_encode(x: np.ndarray) -> np.ndarray:
+    """float in [-1, 1] → µ-law byte codes (inverse of _mulaw_decode,
+    round-trip exact on decoder-representable magnitudes)."""
+    lin = np.clip(
+        np.round(np.asarray(x, dtype=np.float64) * 32768.0), -32124, 32124
+    )
+    sign = lin < 0
+    mag = np.abs(lin).astype(np.int64) + 0x84
+    exp = (np.floor(np.log2(mag)) - 7).clip(0, 7).astype(np.int64)
+    mant = ((mag >> (exp + 3)) & 0x0F).astype(np.int64)
+    code = (np.where(sign, 0x80, 0) | (exp << 4) | mant).astype(np.int64)
+    return ((~code) & 0xFF).astype(np.uint8)
+
+
+def _alaw_decode(codes: np.ndarray) -> np.ndarray:
+    """A-law byte codes → float64 in (-1, 1) (even-bit inversion 0x55,
+    13-bit range ±32256/32768)."""
+    a = codes.astype(np.int64) ^ 0x55
+    sign = (a & 0x80) != 0
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(
+        exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0)
+    )
+    lin = np.where(sign, -mag, mag).astype(np.float64)
+    return lin / 32768.0
+
+
+def _alaw_encode(x: np.ndarray) -> np.ndarray:
+    """float in [-1, 1] → A-law byte codes (inverse of _alaw_decode)."""
+    lin = np.clip(np.round(np.asarray(x, dtype=np.float64) * 32768.0), -32767, 32767)
+    sign = lin < 0
+    mag = np.abs(lin).astype(np.int64)
+    exp = np.where(
+        mag < 256, 0, (np.floor(np.log2(np.maximum(mag, 1))) - 7).clip(1, 7)
+    ).astype(np.int64)
+    mant = np.where(
+        exp == 0, mag >> 4, (mag >> (exp + 3)) & 0x0F
+    ).astype(np.int64)
+    code = (np.where(sign, 0x80, 0) | (exp << 4) | mant).astype(np.int64)
+    return (code ^ 0x55).astype(np.uint8)
+
+
+def encode_wav_g711(samples: np.ndarray, rate: int, law: str = "mulaw") -> bytes:
+    """Encode float samples in [-1, 1] as a G.711 WAV (format 7 µ-law
+    or 6 A-law, 8 bits per sample)."""
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    flat = arr.reshape(-1)
+    if law == "mulaw":
+        raw = _mulaw_encode(flat).tobytes()
+        code = 7
+    elif law == "alaw":
+        raw = _alaw_encode(flat).tobytes()
+        code = 6
+    else:
+        raise WavError(f"unknown companding law {law!r}")
+    fmt = struct.pack("<HHIIHH", code, ch, int(rate), int(rate) * ch, ch, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", len(body)) + body
