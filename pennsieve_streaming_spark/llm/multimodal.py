@@ -89,10 +89,17 @@ def _decode_features(payload: bytes, decode_stub: bool) -> list[float]:
     WAV/PCM audio (llm/wav.py); other formats use the deterministic
     stub, or raise when ``decode_stub=False`` (the production hook for
     ffmpeg/pillow for the remaining codecs)."""
-    from pennsieve_streaming_spark.llm import png, rawimg, wav
+    from pennsieve_streaming_spark.llm import jpeg, png, rawimg, wav
 
     if png.is_png(payload):
         return png.image_features(png.decode_png(payload), FEATURE_DIM).tolist()
+    if jpeg.is_jpeg(payload):
+        try:
+            return png.image_features(
+                jpeg.decode_jpeg(payload), FEATURE_DIM
+            ).tolist()
+        except jpeg.JpegError:
+            pass  # progressive/arithmetic JPEG falls through to the stub
     if rawimg.is_bmp(payload):
         try:
             return png.image_features(
@@ -116,8 +123,9 @@ def _decode_features(payload: bytes, decode_stub: bool) -> list[float]:
     if not decode_stub:
         raise NotImplementedError(
             "no codec for this payload format in this environment; "
-            "PNG/BMP/PGM/PPM and WAV (PCM + G.711) decode natively, "
-            "others need ffmpeg/pillow plugged into _decode_features"
+            "PNG/baseline-JPEG/BMP/PGM/PPM and WAV (PCM + G.711) decode "
+            "natively, others (progressive JPEG, compressed video) need "
+            "ffmpeg/pillow plugged into _decode_features"
         )
     return _fake_decode(payload).tolist()
 
