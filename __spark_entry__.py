@@ -1251,6 +1251,22 @@ def q_channel_mad(spark, sf_dir):
     return channel_mad(TBL.samples_view(spark, sf_dir))
 
 
+BP_FREQS = (1.0, 5.0, 10.0)   # Goertzel target frequencies (Hz)
+BP_WINDOW = 500               # samples per spectral window
+
+
+def q_band_power(spark, sf_dir):
+    """Per-window Goertzel band power over the bounded golden window —
+    the single-bin DFT recurrence, replayed bit-exactly by a DuckDB
+    recursive CTE (same class as the Butterworth/EWMA oracles)."""
+    from pennsieve_streaming_spark.dsp.spectral import band_power
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        (F.col("channel") == "lead") & (F.col("ts") <= BW_TS_END)
+    )
+    return band_power(s, BP_FREQS, BW_RATE, BP_WINDOW)
+
+
 EWMA_ALPHA = 0.125  # exact binary representation — no decimal noise
 
 
@@ -1441,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # longest-stable ts-core queries last. Keep new work at the top.
     return {
         # round-4b: newest first (least-proven gets the oracle)
+        "ts_band_power": q_band_power,
         "stream_ewma": q_stream_ewma,
         "doc_jsonl_roundtrip": q_jsonl_roundtrip,
         "doc_csv_roundtrip": q_csv_roundtrip,
@@ -2717,6 +2734,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         "samples",
     )
+
+    # --- round-4c Goertzel band-power recursive replay ----------------
+    from pennsieve_streaming_spark.dsp.spectral import goertzel_coeff
+
+    def _dblit(x: float) -> str:
+        # exponent notation forces DuckDB to type the literal DOUBLE
+        # (a bare decimal literal parses as DECIMAL, and DECIMAL*DOUBLE
+        # arithmetic would diverge from the engine's recurrence)
+        r = repr(float(x))
+        return r if ("e" in r or "E" in r) else r + "e0"
+
+    _bp_vals = ", ".join(
+        f"({_dblit(f)}, {_dblit(goertzel_coeff(f, BW_RATE))})" for f in BP_FREQS
+    )
+    sql["ts_band_power"] = f"""
+        WITH RECURSIVE samples_aligned AS
+          ({TBL.DUCKDB_VIEWS['samples_aligned']}),
+        inp AS (
+          SELECT value, ROW_NUMBER() OVER (ORDER BY ts, value) - 1 AS rn
+          FROM samples_aligned WHERE channel = 'lead' AND ts <= {BW_TS_END}
+        ),
+        wininp AS (
+          SELECT CAST(rn // {BP_WINDOW} AS BIGINT) AS win,
+                 CAST(rn % {BP_WINDOW} AS BIGINT) AS pos, value AS x
+          FROM inp
+          WHERE rn < (SELECT (COUNT(*) // {BP_WINDOW}) * {BP_WINDOW} FROM inp)
+        ),
+        freqs AS (SELECT * FROM (VALUES {_bp_vals}) AS t(freq_hz, c)),
+        rec AS (
+          SELECT w.win, f.freq_hz, f.c, CAST(-1 AS BIGINT) AS pos,
+                 0e0 AS s1, 0e0 AS s2
+          FROM (SELECT DISTINCT win FROM wininp) w CROSS JOIN freqs f
+          UNION ALL
+          SELECT r.win, r.freq_hz, r.c, i.pos,
+                 i.x + r.c * r.s1 - r.s2, r.s1
+          FROM rec r JOIN wininp i ON i.win = r.win AND i.pos = r.pos + 1
+        )
+        SELECT 'lead' AS channel, win, freq_hz,
+               CAST({BP_WINDOW} AS BIGINT) AS n,
+               s1 * s1 + s2 * s2 - c * s1 * s2 AS power
+        FROM rec WHERE pos = {BP_WINDOW} - 1
+        """
 
     # --- round-4b EWMA recursive replay ------------------------------
     _ew_a, _ew_b = EWMA_ALPHA, 1.0 - EWMA_ALPHA

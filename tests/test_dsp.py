@@ -291,3 +291,50 @@ def test_ewma_channels_independent_and_partitioning_invariant(spark):
         y = a * xs[i] + b * y
     last = [r for r in one if r[0] == "a"][-1]
     assert last[3] == y
+
+
+def test_band_power_detects_tone(spark):
+    import numpy as np
+
+    from pennsieve_streaming_spark.dsp.spectral import band_power
+
+    # 10 Hz tone at 1 kHz: power concentrates at the 10 Hz bin
+    n = 1000
+    t = np.arange(n) / 1000.0
+    x = np.sin(2 * np.pi * 10.0 * t)
+    rows = [("a", i * 1000, float(v)) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    # 4/10/20 Hz are all integer DFT bins of a 500-sample window at
+    # 1 kHz (bin spacing 2 Hz) — off-bin frequencies would leak
+    got = {
+        (r.win, r.freq_hz): r.power
+        for r in band_power(df, (4.0, 10.0, 20.0), 1000.0, 500).collect()
+    }
+    for win in (0, 1):
+        assert got[(win, 10.0)] > 100 * got[(win, 4.0)]
+        assert got[(win, 10.0)] > 100 * got[(win, 20.0)]
+
+
+def test_band_power_matches_fft_bin(spark):
+    import numpy as np
+
+    from pennsieve_streaming_spark.dsp.spectral import band_power
+
+    rng = np.random.default_rng(3)
+    n = 500
+    x = rng.standard_normal(n)
+    rows = [("a", i * 1000, float(v)) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    # 10 Hz at fs=1000 over 500 samples = FFT bin k=5 exactly
+    [r] = band_power(df, (10.0,), 1000.0, 500).collect()
+    fft_power = np.abs(np.fft.rfft(x)[5]) ** 2
+    assert r.power == pytest.approx(fft_power, rel=1e-9)
+
+
+def test_band_power_ragged_tail_dropped(spark):
+    from pennsieve_streaming_spark.dsp.spectral import band_power
+
+    rows = [("a", i, float(i % 7)) for i in range(120)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = band_power(df, (10.0,), 1000.0, 50).collect()
+    assert sorted(r.win for r in out) == [0, 1]  # 20-row tail dropped
