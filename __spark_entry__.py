@@ -1251,6 +1251,20 @@ def q_channel_mad(spark, sf_dir):
     return channel_mad(TBL.samples_view(spark, sf_dir))
 
 
+PCA_ITERS = 8
+
+
+def q_pca(spark, sf_dir):
+    """Top principal component by power iteration — per-iteration
+    9-dp rounding + quantized integer sums make all 8 iterations
+    bit-replayable by the oracle's chained CTEs (the kmeans/classifier
+    replay pattern)."""
+    from pennsieve_streaming_spark.llm.pca import pca_loadings_df
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pca_loadings_df(spark, emb, ANN_DIM, PCA_ITERS)
+
+
 BP_FREQS = (1.0, 5.0, 10.0)   # Goertzel target frequencies (Hz)
 BP_WINDOW = 500               # samples per spectral window
 
@@ -1457,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # longest-stable ts-core queries last. Keep new work at the top.
     return {
         # round-4b: newest first (least-proven gets the oracle)
+        "emb_pca": q_pca,
         "ts_band_power": q_band_power,
         "stream_ewma": q_stream_ewma,
         "doc_jsonl_roundtrip": q_jsonl_roundtrip,
@@ -2733,6 +2748,50 @@ def oracle_sql() -> dict[str, str]:
         FROM madt JOIN med ON madt.channel = med.channel
         """,
         "samples",
+    )
+
+    # --- round-4c PCA chained-iteration replay ------------------------
+    import math as _math
+
+    _pca_v0 = round(1.0 / _math.sqrt(ANN_DIM), 9)
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    # g/n are each referenced twice per iteration — an 8-iteration
+    # chain would re-expand exponentially (observed as a hang).
+    _pca_parts = [
+        f"it0 AS MATERIALIZED (SELECT UNNEST(generate_series(0, {ANN_DIM - 1})) AS dim, "
+        f"CAST({_pca_v0!r} AS DOUBLE) AS v)"
+    ]
+    for _t in range(PCA_ITERS):
+        _pca_parts.append(
+            f"vl{_t} AS MATERIALIZED (SELECT list(v ORDER BY dim) AS vl FROM it{_t})"
+        )
+        _pca_parts.append(f"""d{_t} AS MATERIALIZED (
+          SELECT embedding, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1, {ANN_DIM}),
+              i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                   * vl[CAST(i AS INT)])),
+            (a, b) -> a + b) AS dot
+          FROM embeddings CROSS JOIN vl{_t})""")
+        _pca_parts.append(f"""g{_t} AS MATERIALIZED (
+          SELECT dim, CAST(SUM(c) AS BIGINT) AS s FROM (
+            SELECT UNNEST(generate_series(1, {ANN_DIM})) - 1 AS dim,
+                   UNNEST(list_transform(generate_series(1, {ANN_DIM}),
+                     i -> CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                          * dot * 1000000) AS BIGINT))) AS c
+            FROM d{_t}) GROUP BY dim)""")
+        _pca_parts.append(f"""n{_t} AS MATERIALIZED (
+          SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list((CAST(s AS DOUBLE) / 1000000) * (CAST(s AS DOUBLE) / 1000000)
+                 ORDER BY dim)),
+            (a, b) -> a + b)) AS nrm FROM g{_t})""")
+        _pca_parts.append(f"""it{_t + 1} AS MATERIALIZED (
+          SELECT dim, round((CAST(s AS DOUBLE) / 1000000) / nrm, 9) AS v
+          FROM g{_t} CROSS JOIN n{_t})""")
+    sql["emb_pca"] = (
+        "WITH " + ",\n".join(_pca_parts)
+        + f"\nSELECT CAST(dim AS BIGINT) AS dim, v AS loading, "
+        f"round((SELECT nrm FROM n{PCA_ITERS - 1}), 9) AS eigval "
+        f"FROM it{PCA_ITERS}"
     )
 
     # --- round-4c Goertzel band-power recursive replay ----------------
