@@ -1265,6 +1265,57 @@ def q_pca(spark, sf_dir):
     return pca_loadings_df(spark, emb, ANN_DIM, PCA_ITERS)
 
 
+MADZ_THRESHOLD = 3.5  # modified z-score cutoff (Iglewicz & Hoaglin)
+
+
+def q_all_but_top(spark, sf_dir):
+    """All-but-the-top post-processing (Mu & Viswanath 2018): score on
+    the fitted top component and the residual norm after removing it —
+    the fit replays via the PCA chained CTEs, the projection via the
+    same ordered folds."""
+    from pennsieve_streaming_spark.llm.pca import power_iteration_pca
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v, _ = power_iteration_pca(emb, ANN_DIM, PCA_ITERS)
+    v_lit = "array(" + ", ".join(repr(float(x)) for x in v) + ")"
+    dot = (
+        f"aggregate(zip_with(embedding, {v_lit}, "
+        "(x, w) -> CAST(x AS DOUBLE) * w), "
+        "CAST(0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    return emb.select(
+        "vec_id",
+        F.expr(f"round({dot}, 9)").alias("score"),
+        F.expr(
+            f"round(aggregate(zip_with(embedding, {v_lit}, "
+            f"(x, w) -> (CAST(x AS DOUBLE) - ({dot}) * w) "
+            f"* (CAST(x AS DOUBLE) - ({dot}) * w)), "
+            "CAST(0 AS DOUBLE), (a, b) -> a + b), 9)"
+        ).alias("resid_norm2"),
+    )
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Modified z-score outliers (0.6745*(x - median)/MAD, the
+    Iglewicz–Hoaglin rule) over the event stream — the robust
+    companion to ts_zscore_outliers, immune to the artifacts that
+    inflate the std."""
+    from pennsieve_streaming_spark.operators.stats import channel_mad
+
+    ev = TBL.chan_events_view(spark, sf_dir)
+    mad = channel_mad(ev)
+    j = ev.join(F.broadcast(mad.select("channel", "median", "mad")), "channel")
+    mz = F.expr("0.6745e0 * (value - median) / mad")
+    return (
+        j.withColumn("mz", mz)
+        .filter(
+            (F.col("mad") > 0)
+            & (F.abs(F.round(F.col("mz"), 9)) > MADZ_THRESHOLD)
+        )
+        .select("channel", "ts", "value", "mz")
+    )
+
+
 BP_FREQS = (1.0, 5.0, 10.0)   # Goertzel target frequencies (Hz)
 BP_WINDOW = 500               # samples per spectral window
 
@@ -1472,6 +1523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-4b: newest first (least-proven gets the oracle)
         "emb_pca": q_pca,
+        "emb_all_but_top": q_all_but_top,
+        "ts_mad_outliers": q_mad_outliers,
         "ts_band_power": q_band_power,
         "stream_ewma": q_stream_ewma,
         "doc_jsonl_roundtrip": q_jsonl_roundtrip,
@@ -2750,6 +2803,32 @@ def oracle_sql() -> dict[str, str]:
         "samples",
     )
 
+    sql["ts_mad_outliers"] = with_views(
+        f"""
+        WITH m1 AS ({_med_sql('chan_events')}),
+        med AS (SELECT channel, {_mad_pct} AS median FROM m1),
+        dev AS (
+          SELECT e.channel, e.ts, abs(e.value - med.median) AS value
+          FROM chan_events e JOIN med ON e.channel = med.channel
+        ),
+        m2 AS ({_med_sql('dev')}),
+        madt AS (SELECT channel, {_mad_pct} AS mad FROM m2),
+        j AS (
+          SELECT e.channel, e.ts, e.value, med.median, madt.mad
+          FROM chan_events e
+          JOIN med ON e.channel = med.channel
+          JOIN madt ON e.channel = madt.channel
+        )
+        SELECT channel, ts, value,
+               0.6745e0 * (value - median) / mad AS mz
+        FROM j
+        WHERE mad > 0
+          AND abs(round(0.6745e0 * (value - median) / mad, 9))
+              > {MADZ_THRESHOLD}
+        """,
+        "chan_events",
+    )
+
     # --- round-4c PCA chained-iteration replay ------------------------
     import math as _math
 
@@ -2792,6 +2871,31 @@ def oracle_sql() -> dict[str, str]:
         + f"\nSELECT CAST(dim AS BIGINT) AS dim, v AS loading, "
         f"round((SELECT nrm FROM n{PCA_ITERS - 1}), 9) AS eigval "
         f"FROM it{PCA_ITERS}"
+    )
+
+    _ed = f"CAST(embedding[CAST(i AS INT)] AS DOUBLE)"
+    sql["emb_all_but_top"] = (
+        "WITH " + ",\n".join(_pca_parts)
+        + f""",
+        vfin AS MATERIALIZED (
+          SELECT list(v ORDER BY dim) AS vl FROM it{PCA_ITERS}
+        ),
+        pj AS MATERIALIZED (
+          SELECT e.vec_id, e.embedding, vfin.vl,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(generate_series(1, {ANN_DIM}),
+                     i -> {_ed} * vfin.vl[CAST(i AS INT)])),
+                   (a, b) -> a + b) AS dot
+          FROM embeddings e CROSS JOIN vfin
+        )
+        SELECT vec_id, round(dot, 9) AS score,
+               round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(generate_series(1, {ANN_DIM}),
+                   i -> ({_ed} - dot * vl[CAST(i AS INT)])
+                        * ({_ed} - dot * vl[CAST(i AS INT)]))),
+                 (a, b) -> a + b), 9) AS resid_norm2
+        FROM pj
+        """
     )
 
     # --- round-4c Goertzel band-power recursive replay ----------------

@@ -69,3 +69,32 @@ def test_projection_matches_numpy_dot(spark):
         for d in range(DIM):  # same ordered fold
             want += f32[i, d] * v[d]
         assert got[i] == pytest.approx(round(want, 9), abs=1e-9)
+
+
+def test_all_but_top_residual_orthogonal(spark):
+    """Removing the top component leaves residuals ~orthogonal to it:
+    total residual energy << total energy along the planted axis."""
+    import numpy as np
+
+    arr, _ = _planted(n=200, seed=9, strength=8.0)
+    df = _emb(spark, arr)
+    v, eigval = power_iteration_pca(df, DIM, n_iter=10)
+    vlit = v
+    from pyspark.sql import functions as F
+
+    dot_expr = (
+        "aggregate(zip_with(embedding, array("
+        + ", ".join(repr(float(x)) for x in vlit)
+        + "), (x, w) -> CAST(x AS DOUBLE) * w), CAST(0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    scored = df.select(
+        F.expr(dot_expr).alias("dot"),
+        F.expr(
+            "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("norm2"),
+    ).collect()
+    total = sum(r.norm2 for r in scored)
+    along = sum(r.dot * r.dot for r in scored)
+    # the planted axis dominates: at least 90% of energy is along it
+    assert along / total > 0.9
