@@ -1421,6 +1421,33 @@ def q_heavy_hitters(spark, sf_dir):
     return cms_heavy_hitters(toks, "tok", HH_THRESHOLD, CMS_DEPTH, CMS_WIDTH)
 
 
+def q_stream_heavy_hitters(spark, sf_dir):
+    """Streaming CMS drained with availableNow: the complete-mode
+    counter aggregation's state is bounded at d×w BY CONSTRUCTION, and
+    integer counter sums are batch-boundary independent, so the final
+    heavy hitters equal the batch operator — one oracle gates both."""
+    import tempfile
+
+    from pennsieve_streaming_spark.llm.sketch import cms_estimate
+    from pennsieve_streaming_spark.llm.text import TOKS
+    from pennsieve_streaming_spark.streaming.cms import drain_cms_counters
+
+    docs = _docs(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="pss_stream_cms_")
+    toks = docs.select(F.explode(F.expr(TOKS)).alias("tok"))
+    toks.coalesce(2).write.parquet(f"{base}/src")
+    stream = spark.readStream.schema("tok string").parquet(f"{base}/src")
+    counters = drain_cms_counters(
+        spark, stream, "tok", f"{base}/ckpt", CMS_DEPTH, CMS_WIDTH,
+        query_name=f"cms_{abs(hash(base)) % 10**9}",
+    )
+    items = toks.select(F.col("tok").alias("it")).where(
+        F.col("it").isNotNull() & (F.length("it") > 0)
+    ).distinct()
+    est = cms_estimate(counters, items, "it", CMS_DEPTH, CMS_WIDTH)
+    return est.filter(F.col("est") >= HH_THRESHOLD).select("item", "est")
+
+
 def q_int8_quant(spark, sf_dir):
     """Per-vector symmetric int8 scalar quantization of the embedding
     corpus (faiss QT_8bit shape) — a pure narrow map; codes join as a
@@ -1522,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # longest-stable ts-core queries last. Keep new work at the top.
     return {
         # round-4b: newest first (least-proven gets the oracle)
+        "stream_heavy_hitters": q_stream_heavy_hitters,
         "emb_pca": q_pca,
         "emb_all_but_top": q_all_but_top,
         "ts_mad_outliers": q_mad_outliers,
@@ -3245,6 +3273,10 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY item
         HAVING MIN(cnt) >= {HH_THRESHOLD}
         """
+
+    # streaming CMS == batch CMS (associative integer counters,
+    # bounded d×w state) — same oracle
+    sql["stream_heavy_hitters"] = sql["doc_heavy_hitters"]
 
     sql["emb_int8_quant"] = """
         WITH s AS (
