@@ -1265,6 +1265,41 @@ def q_pca(spark, sf_dir):
     return pca_loadings_df(spark, emb, ANN_DIM, PCA_ITERS)
 
 
+def _user_events(spark, sf_dir):
+    TBL.ensure_session_confs(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        TBL.epoch_micros_col(ev, "ts").alias("ts"),
+        "user_id",
+        "event_type",
+    )
+
+
+def q_daily_active(spark, sf_dir):
+    """DAU over the events feed — exact distinct users per epoch day,
+    reduced to user-days before the daily rollup."""
+    from pennsieve_streaming_spark.operators.analytics import daily_active
+
+    return daily_active(_user_events(spark, sf_dir))
+
+
+def q_weekly_retention(spark, sf_dir):
+    """Week-over-week retention cohorts from deduped user-week rows."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        weekly_retention,
+    )
+
+    return weekly_retention(_user_events(spark, sf_dir))
+
+
+def q_funnel(spark, sf_dir):
+    """signup→purchase conversion funnel: first-touch to first
+    qualifying follow-up, exact integer µs delays."""
+    from pennsieve_streaming_spark.operators.analytics import funnel
+
+    return funnel(_user_events(spark, sf_dir), "signup", "purchase")
+
+
 MADZ_THRESHOLD = 3.5  # modified z-score cutoff (Iglewicz & Hoaglin)
 
 
@@ -1549,6 +1584,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # longest-stable ts-core queries last. Keep new work at the top.
     return {
         # round-4b: newest first (least-proven gets the oracle)
+        "ev_daily_active": q_daily_active,
+        "ev_weekly_retention": q_weekly_retention,
+        "ev_funnel": q_funnel,
         "stream_heavy_hitters": q_stream_heavy_hitters,
         "emb_pca": q_pca,
         "emb_all_but_top": q_all_but_top,
@@ -2856,6 +2894,69 @@ def oracle_sql() -> dict[str, str]:
         """,
         "chan_events",
     )
+
+    # --- round-4c event analytics ------------------------------------
+    _DAYU = 86_400 * US
+    _WEEKU = 7 * _DAYU
+    sql["ev_daily_active"] = f"""
+        WITH ue AS (SELECT epoch_us(ts) AS ts, user_id FROM events),
+        pu AS (
+          SELECT (ts // {_DAYU}) * {_DAYU} AS day, user_id,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM ue GROUP BY (ts // {_DAYU}) * {_DAYU}, user_id
+        )
+        SELECT day, CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS active_users
+        FROM pu GROUP BY day
+        """
+
+    sql["ev_weekly_retention"] = f"""
+        WITH uw AS (
+          SELECT DISTINCT (epoch_us(ts) // {_WEEKU}) * {_WEEKU} AS week,
+                 user_id
+          FROM events
+        ),
+        act AS (
+          SELECT week, CAST(COUNT(*) AS BIGINT) AS active
+          FROM uw GROUP BY week
+        ),
+        ret AS (
+          SELECT a.week, CAST(COUNT(*) AS BIGINT) AS retained
+          FROM uw a JOIN uw b
+            ON a.user_id = b.user_id AND b.week = a.week + {_WEEKU}
+          GROUP BY a.week
+        )
+        SELECT act.week, act.active,
+               CAST(COALESCE(ret.retained, 0) AS BIGINT) AS retained_next_week
+        FROM act LEFT JOIN ret ON act.week = ret.week
+        """
+
+    sql["ev_funnel"] = """
+        WITH ue AS (
+          SELECT epoch_us(ts) AS ts, user_id, event_type FROM events
+        ),
+        f AS (
+          SELECT user_id, MIN(ts) AS t1 FROM ue
+          WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        sa AS (
+          SELECT s.user_id, MIN(s.ts) AS t2, MAX(f.t1) AS t1
+          FROM ue s JOIN f ON s.user_id = f.user_id
+          WHERE s.event_type = 'purchase' AND s.ts > f.t1
+          GROUP BY s.user_id
+        ),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+                 CAST(COALESCE(SUM(t2 - t1), 0) AS BIGINT) AS sum_delay_us
+          FROM sa
+        ),
+        nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_first_users FROM f)
+        SELECT n_first_users, n_converted, sum_delay_us,
+               CASE WHEN n_converted = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE CAST(sum_delay_us AS DOUBLE) / n_converted
+               END AS avg_delay_us
+        FROM agg CROSS JOIN nf
+        """
 
     # --- round-4c PCA chained-iteration replay ------------------------
     import math as _math

@@ -1,0 +1,119 @@
+"""Event-stream analytics: active users, retention cohorts, funnels.
+
+The events table carries a user dimension (user_id, event_type, ts)
+the time-series core never touches; these are the classic product-
+analytics aggregations over it — the same DataFrame-first designs
+(partial-agg groupBys, broadcast small sides, no self-cartesians) as
+the rest of the engine, and each a plain-SQL replay for the oracle.
+
+100 TB notes per operator are inline; the common theme: everything
+reduces user×period first (map-side combine), so the expensive
+shuffles carry distinct-user-per-period rows, never raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+US = 1_000_000
+DAY_US = 86_400 * US
+WEEK_US = 7 * DAY_US
+
+
+def daily_active(events: DataFrame) -> DataFrame:
+    """(day epoch-µs, n_events, active_users) — DAU with exact distinct
+    counts. Plan: one groupBy on (day, user) to dedup (map-side
+    partials), then a count per day — the shuffle carries user-days,
+    not events. For extreme cardinalities swap the exact distinct for
+    ``llm/sketch.hll_distinct_by`` (same day key, constant state).
+    """
+    days = events.select(
+        F.expr(f"(ts div {DAY_US}) * {DAY_US}").alias("day"),
+        F.col("user_id"),
+    )
+    per_user = days.groupBy("day", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    return per_user.groupBy("day").agg(
+        F.sum("_n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("active_users"),
+    )
+
+
+def weekly_retention(events: DataFrame) -> DataFrame:
+    """(week, active, retained_next_week) — users active in week w who
+    are also active in week w+1. Plan: distinct (week, user) rows
+    self-join on (user, week+1) — both sides are the deduped
+    user-week table (orders of magnitude below raw events), equi-join
+    on (user_id, week), partial-agg counts.
+    """
+    uw = (
+        events.select(
+            F.expr(f"(ts div {WEEK_US}) * {WEEK_US}").alias("week"),
+            F.col("user_id"),
+        )
+        .distinct()
+    )
+    nxt = uw.select(
+        (F.col("week") - WEEK_US).alias("week"), F.col("user_id")
+    )
+    joined = uw.join(nxt, ["week", "user_id"], "left_semi")
+    active = uw.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("active")
+    )
+    retained = joined.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("retained_next_week")
+    )
+    return active.join(retained, "week", "left").select(
+        "week",
+        "active",
+        F.coalesce("retained_next_week", F.lit(0)).cast("long").alias(
+            "retained_next_week"
+        ),
+    )
+
+
+def funnel(
+    events: DataFrame, first_step: str, second_step: str
+) -> DataFrame:
+    """Two-step conversion funnel: users whose earliest ``first_step``
+    event is later followed by a ``second_step`` event (strictly
+    after). One row: (n_first_users, n_converted, sum_delay_us,
+    avg_delay_us) — the delay is first-to-first, exact integer µs
+    sums so the average replays bit-exactly.
+
+    Plan: per-user min-ts for each step (one partial-agg groupBy per
+    step over the filtered scan), broadcast-friendly join on user_id,
+    then a one-row aggregate. No window over raw events.
+    """
+    firsts = (
+        events.filter(F.col("event_type") == first_step)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    # earliest second-step event strictly after t1: conditional min
+    # over the equi-join of per-user firsts with the second-step scan
+    sec_after = (
+        events.filter(F.col("event_type") == second_step)
+        .select("user_id", F.col("ts").alias("ts2"))
+        .join(firsts, "user_id")
+        .filter(F.col("ts2") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts2").alias("t2"), F.max("t1").alias("t1"))
+    )
+    conv = sec_after.select((F.col("t2") - F.col("t1")).alias("delay"))
+    agg = conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.coalesce(F.sum("delay"), F.lit(0)).cast("long").alias("sum_delay_us"),
+    )
+    nf = firsts.agg(F.count(F.lit(1)).cast("long").alias("n_first_users"))
+    return agg.crossJoin(F.broadcast(nf)).select(
+        "n_first_users",
+        "n_converted",
+        "sum_delay_us",
+        F.expr(
+            "CASE WHEN n_converted = 0 THEN CAST(0 AS DOUBLE) "
+            "ELSE CAST(sum_delay_us AS DOUBLE) / n_converted END"
+        ).alias("avg_delay_us"),
+    )

@@ -1,0 +1,67 @@
+"""Event-analytics goldens: DAU, retention, funnel."""
+
+from __future__ import annotations
+
+from pennsieve_streaming_spark.operators.analytics import (
+    DAY_US,
+    WEEK_US,
+    daily_active,
+    funnel,
+    weekly_retention,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "ts long, user_id long, event_type string"
+    )
+
+
+def test_daily_active_golden(spark):
+    rows = [
+        (0, 1, "view"), (10, 1, "view"), (20, 2, "view"),      # day 0: u1,u2
+        (DAY_US + 5, 1, "view"),                                # day 1: u1
+    ]
+    got = {r.day: (r.n_events, r.active_users)
+           for r in daily_active(_ev(spark, rows)).collect()}
+    assert got == {0: (3, 2), DAY_US: (1, 1)}
+
+
+def test_weekly_retention_golden(spark):
+    rows = [
+        (0, 1, "v"), (0, 2, "v"),                  # week 0: u1,u2
+        (WEEK_US, 1, "v"),                          # week 1: u1 (retained)
+        (2 * WEEK_US, 3, "v"),                      # week 2: u3
+    ]
+    got = {r.week: (r.active, r.retained_next_week)
+           for r in weekly_retention(_ev(spark, rows)).collect()}
+    assert got == {0: (2, 1), WEEK_US: (1, 0), 2 * WEEK_US: (1, 0)}
+
+
+def test_funnel_golden(spark):
+    rows = [
+        (100, 1, "signup"), (500, 1, "purchase"),   # converts, delay 400
+        (100, 2, "signup"),                         # no purchase
+        (100, 3, "purchase"), (900, 3, "signup"),   # purchase BEFORE signup
+        (0, 4, "signup"), (50, 4, "purchase"), (80, 4, "purchase"),  # first qualifying = 50
+    ]
+    [r] = funnel(_ev(spark, rows), "signup", "purchase").collect()
+    assert r.n_first_users == 4
+    assert r.n_converted == 2          # users 1 and 4; user 3's purchase precedes signup
+    assert r.sum_delay_us == 400 + 50
+    assert r.avg_delay_us == 225.0
+
+
+def test_funnel_no_conversions(spark):
+    rows = [(0, 1, "signup"), (10, 2, "signup")]
+    [r] = funnel(_ev(spark, rows), "signup", "purchase").collect()
+    assert (r.n_first_users, r.n_converted, r.sum_delay_us, r.avg_delay_us) == (
+        2, 0, 0, 0.0,
+    )
+
+
+def test_funnel_equal_ts_not_counted(spark):
+    # strictly-after rule: purchase at the same µs as signup doesn't count
+    rows = [(100, 1, "signup"), (100, 1, "purchase")]
+    [r] = funnel(_ev(spark, rows), "signup", "purchase").collect()
+    assert r.n_converted == 0
