@@ -538,6 +538,20 @@ def q_cluster_dedup(spark, sf_dir):
     ).select("doc_id", "source", "lang", "cluster_n")
 
 
+def q_pagerank(spark, sf_dir):
+    """PageRank centrality over the LSH-verified near-dup graph:
+    which copy in a duplicate neighborhood is the canonical one.
+    Integer-scaled deterministic formulation (rank mass as BIGINT,
+    floor-division edge shares, exact BIGINT receive sums) so the
+    3-iteration fixpoint is bit-identical across engines and
+    partitionings; dangling mass redistributes uniformly."""
+    from pennsieve_streaming_spark.llm.graph import pagerank
+
+    return pagerank(
+        _docs(spark, sf_dir), _verified_pairs(spark, sf_dir), n_iter=3
+    )
+
+
 def q_interleave(spark, sf_dir):
     """Segment payload wire order as rows: the interleaved
     [min,max,min,max,...] stream (BaseTimeSeriesQuery.scala:86-88)
@@ -1583,7 +1597,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so the NEWEST / least-proven queries are listed FIRST and the
     # longest-stable ts-core queries last. Keep new work at the top.
     return {
-        # round-4b: newest first (least-proven gets the oracle)
+        # round-4c: newest first (least-proven gets the oracle)
+        "doc_pagerank": q_pagerank,
+        # round-4b
         "ev_daily_active": q_daily_active,
         "ev_weekly_retention": q_weekly_retention,
         "ev_funnel": q_funnel,
@@ -3910,6 +3926,53 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d
         JOIN full_comp f ON d.doc_id = f.doc_id AND d.doc_id = f.component
         JOIN csize s ON f.component = s.component
+        """
+
+    # PageRank over the verified near-dup graph: integer-mass replay.
+    # Ranks are BIGINT 1e9-scaled, edge shares are floor divisions
+    # (`//` == Spark `div`), receive sums are exact BIGINT adds; the
+    # only float math is the per-row scalar damping expression written
+    # identically on both engines (exponent-notation literals — bare
+    # decimals parse DECIMAL in DuckDB and silently diverge).
+    _pr_iters = []
+    for _k in range(1, 4):
+        _p = _k - 1
+        _pr_iters.append(
+            f"""
+        recv{_k} AS (
+          SELECT e.dst AS doc_id, SUM(r.rank_i // g.outdeg) AS recv_i
+          FROM r{_p} r JOIN edges e ON r.doc_id = e.src
+          JOIN pr_deg g ON g.src = e.src
+          GROUP BY e.dst
+        ),
+        dang{_k} AS (
+          SELECT COALESCE(SUM(r.rank_i), 0) AS dm_i
+          FROM r{_p} r LEFT JOIN pr_deg g ON g.src = r.doc_id
+          WHERE g.src IS NULL
+        ),
+        r{_k} AS (
+          SELECT d.doc_id,
+                 CAST(round((1e0 - 8.5e-1) * 1e9 / CAST(nn.n AS DOUBLE)
+                      + 8.5e-1 * (CAST(a.dm_i AS DOUBLE) / CAST(nn.n AS DOUBLE)
+                                  + CAST(COALESCE(v.recv_i, 0) AS DOUBLE))) AS BIGINT) AS rank_i
+          FROM documents d CROSS JOIN nn CROSS JOIN dang{_k} a
+          LEFT JOIN recv{_k} v ON v.doc_id = d.doc_id
+        )"""
+        )
+    sql["doc_pagerank"] = f"""
+        {_CLUSTER_PRE},
+        pr_deg AS (
+          SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+          FROM edges GROUP BY src
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        r0 AS (
+          SELECT d.doc_id,
+                 CAST(round(1e9 / CAST(nn.n AS DOUBLE)) AS BIGINT) AS rank_i
+          FROM documents d CROSS JOIN nn
+        ),
+        {",".join(_pr_iters)}
+        SELECT doc_id, CAST(rank_i AS DOUBLE) / 1e9 AS pr FROM r3
         """
 
     sql["emb_kmeans"] = _kmeans_oracle_sql(2)

@@ -144,6 +144,101 @@ def components_for(
     )
 
 
+PR_SCALE = 10**9
+
+
+def pagerank(
+    documents: DataFrame,
+    pairs: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 3,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """Deterministic PageRank over the (undirected) near-dup pair
+    graph: centrality of a document inside its duplicate neighborhood
+    — the standard "which copy is canonical" signal when min-id-wins
+    is too crude (the most-linked variant, not the lowest id, is the
+    one a curation pipeline usually wants to keep).
+
+    Determinism contract (the whole point of this formulation): ranks
+    are carried as BIGINT mass scaled by 1e9, per-edge contributions
+    are integer floor-division shares (``rank_i div outdeg``), and
+    every per-node receive is an exact BIGINT sum — so the result is
+    independent of partitioning, join order, and engine (no float
+    accumulation anywhere inside an iteration). The only float ops are
+    per-row scalar expressions replayed verbatim by the DuckDB oracle.
+    Dangling mass (nodes with no edges) is redistributed uniformly,
+    the textbook treatment.
+
+    Output: (doc_id, pr) for every document; pr is the final rank
+    (ranks sum to ~1 up to integer-floor leakage).
+
+    Scale: per iteration one edge-list join + one BIGINT-sum shuffle
+    keyed on dst; the vertex table joins the (sparse) receive table
+    broadcast-style and the dangling mass is ONE scalar row
+    cross-joined in. ``localCheckpoint`` truncates lineage per
+    iteration (same pattern as ``connected_components``). Edge list
+    ≪ corpus for near-dup graphs, so at 100 TB the shuffles move only
+    (long, long) rows.
+    """
+    verts = documents.select(F.col(id_col).cast("long").alias("doc_id"))
+    e = pairs.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n_docs = verts.count()
+    n_d = F.lit(float(n_docs))
+    d = F.lit(float(damping))
+    scale = F.lit(float(PR_SCALE))
+
+    ranks = verts.select(
+        "doc_id", F.round(scale / n_d).cast("long").alias("rank_i")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            ranks.join(edges, ranks["doc_id"] == edges["src"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("doc_id"),
+                F.expr("rank_i div outdeg").alias("ci"),
+            )
+        )
+        recv = contrib.groupBy("doc_id").agg(F.sum("ci").alias("recv_i"))
+        dang = (
+            ranks.join(deg, ranks["doc_id"] == deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank_i"), F.lit(0)).cast("long").alias("dm_i"))
+        )
+        ranks = (
+            verts.join(recv, "doc_id", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "doc_id",
+                F.round(
+                    (F.lit(1.0) - d) * scale / n_d
+                    + d
+                    * (
+                        F.col("dm_i").cast("double") / n_d
+                        + F.coalesce(F.col("recv_i"), F.lit(0)).cast("double")
+                    )
+                )
+                .cast("long")
+                .alias("rank_i"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        "doc_id", (F.col("rank_i").cast("double") / scale).alias("pr")
+    )
+
+
 def cluster_dedup(
     documents: DataFrame,
     pairs: DataFrame,

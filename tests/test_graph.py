@@ -291,3 +291,84 @@ def test_substring_scrub_consistent_with_stats(spark):
         # dropped <= covered always, with equality when doc owns none
         assert scrub[d].n_dropped <= stats[d].dup_covered
         assert scrub[d].n_tokens == stats[d].n_tokens
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def _py_pagerank(n_docs, edges, damping=0.85, n_iter=3, scale=10**9):
+    """Pure-Python replay of the integer-mass PageRank recurrence —
+    the same arithmetic the Spark operator and DuckDB oracle run, so
+    agreement must be exact (not approximate)."""
+    sym = set()
+    for a, b in edges:
+        if a != b:
+            sym.add((a, b))
+            sym.add((b, a))
+    outdeg = {}
+    for s, _ in sym:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    nodes = list(range(n_docs))
+    rank = {v: int(round(1e9 / float(n_docs))) for v in nodes}
+    for _ in range(n_iter):
+        recv = {v: 0 for v in nodes}
+        for s, t in sym:
+            recv[t] += rank[s] // outdeg[s]
+        dm = sum(rank[v] for v in nodes if v not in outdeg)
+        rank = {
+            v: int(
+                round(
+                    (1.0 - damping) * float(scale) / float(n_docs)
+                    + damping * (float(dm) / float(n_docs) + float(recv[v]))
+                )
+            )
+            for v in nodes
+        }
+    return {v: rank[v] / float(scale) for v in nodes}
+
+
+def _spark_pagerank(spark, n_docs, edges, **kw):
+    from pennsieve_streaming_spark.llm.graph import pagerank
+
+    docs = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    out = pagerank(docs, _pairs_df(spark, edges), **kw).collect()
+    return {r["doc_id"]: r["pr"] for r in out}
+
+
+def test_pagerank_matches_integer_replay_random(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 30
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(5, 40))
+        ]
+        got = _spark_pagerank(spark, n, edges)
+        want = _py_pagerank(n, edges)
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_pagerank_no_edges_is_uniform(spark):
+    got = _spark_pagerank(spark, 8, [])
+    assert len(set(got.values())) == 1
+    # all mass conserved up to integer floors
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_star_center_ranks_highest(spark):
+    # star 0-1, 0-2, 0-3, 0-4 plus isolated 5..9
+    edges = [(0, i) for i in range(1, 5)]
+    got = _spark_pagerank(spark, 10, edges)
+    assert got[0] == max(got.values())
+    # leaves are symmetric
+    assert len({got[i] for i in range(1, 5)}) == 1
+    # isolated nodes rank below every star member
+    assert got[5] < min(got[i] for i in range(5))
+
+
+def test_pagerank_mass_conserved(spark):
+    rng = random.Random(3)
+    edges = [(rng.randrange(20), rng.randrange(20)) for _ in range(25)]
+    got = _spark_pagerank(spark, 20, edges)
+    # floor-division leaks at most 1 unit per (node, edge) pair per
+    # iteration — total stays within a loose integer-leak budget
+    assert 0.99 < sum(got.values()) <= 1.0 + 1e-9
