@@ -1284,9 +1284,30 @@ def _user_events(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.select(
         TBL.epoch_micros_col(ev, "ts").alias("ts"),
+        "event_id",
         "user_id",
         "event_type",
     )
+
+
+def q_event_transitions(spark, sf_dir):
+    """Top-20 event-type transition bigrams over the per-user
+    (ts, event_id)-ordered event path."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        event_transitions,
+    )
+
+    return event_transitions(_user_events(spark, sf_dir), k=20)
+
+
+def q_inter_event_gaps(spark, sf_dir):
+    """Per-type inter-arrival stats (exact integer µs sums/extremes)
+    attributed to the earlier event of each consecutive pair."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        inter_event_gaps,
+    )
+
+    return inter_event_gaps(_user_events(spark, sf_dir))
 
 
 def q_daily_active(spark, sf_dir):
@@ -1599,6 +1620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-4c: newest first (least-proven gets the oracle)
         "doc_pagerank": q_pagerank,
+        "ev_event_transitions": q_event_transitions,
+        "ev_inter_event_gaps": q_inter_event_gaps,
         # round-4b
         "ev_daily_active": q_daily_active,
         "ev_weekly_retention": q_weekly_retention,
@@ -2914,6 +2937,47 @@ def oracle_sql() -> dict[str, str]:
     # --- round-4c event analytics ------------------------------------
     _DAYU = 86_400 * US
     _WEEKU = 7 * _DAYU
+    sql["ev_event_transitions"] = """
+        WITH ue AS (
+          SELECT epoch_us(ts) AS ts, event_id, user_id, event_type
+          FROM events
+        ),
+        seq AS (
+          SELECT event_type AS src_type,
+                 LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS dst_type
+          FROM ue
+        )
+        SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE dst_type IS NOT NULL
+        GROUP BY src_type, dst_type
+        ORDER BY n_transitions DESC, src_type, dst_type
+        LIMIT 20
+        """
+
+    sql["ev_inter_event_gaps"] = """
+        WITH ue AS (
+          SELECT epoch_us(ts) AS ts, event_id, user_id, event_type
+          FROM events
+        ),
+        g AS (
+          SELECT event_type,
+                 LEAD(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) - ts AS gap
+          FROM ue
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+               CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+               CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+               CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS avg_gap_us
+        FROM g WHERE gap IS NOT NULL
+        GROUP BY event_type
+        """
+
     sql["ev_daily_active"] = f"""
         WITH ue AS (SELECT epoch_us(ts) AS ts, user_id FROM events),
         pu AS (

@@ -74,6 +74,67 @@ def weekly_retention(events: DataFrame) -> DataFrame:
     )
 
 
+def event_transitions(events: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k event-type transitions (Markov bigrams of the per-user
+    event path): (src_type, dst_type, n_transitions), ordered by count
+    desc with (src, dst) tie-break so the cut is deterministic.
+
+    The per-user sequence is totally ordered by (ts, event_id) —
+    event_id breaks same-µs ties, so the path (and therefore the
+    counts) is a pure function of the data, not of partitioning.
+
+    Plan: one window shuffle keyed on user_id (per-user partitions are
+    tiny at any scale — parallelism is |users|), a groupBy that
+    collapses to at most |types|² rows with map-side partials, then a
+    global top-k that plans as TakeOrderedAndProject (per-partition
+    heads merged on the driver, never a full sort).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("event_type").alias("src_type"),
+        F.col("next_type").alias("dst_type"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    return counts.orderBy(
+        F.desc("n_transitions"), "src_type", "dst_type"
+    ).limit(k)
+
+
+def inter_event_gaps(events: DataFrame) -> DataFrame:
+    """Per-event-type inter-arrival statistics: for each consecutive
+    pair in a user's (ts, event_id)-ordered path, the gap to the next
+    event is attributed to the EARLIER event's type. Output:
+    (event_type, n_gaps, sum_gap_us, min_gap_us, max_gap_us,
+    avg_gap_us) — sums/extremes are exact integer µs, the average is
+    one float division of exact integers so it replays bit-identically.
+
+    Plan: same single user-keyed window shuffle as
+    ``event_transitions``, then a partial-agg groupBy down to |types|
+    rows. Nothing float accumulates.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("gap", F.lead("ts").over(w) - F.col("ts"))
+        .filter(F.col("gap").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap").cast("long").alias("sum_gap_us"),
+        F.min("gap").cast("long").alias("min_gap_us"),
+        F.max("gap").cast("long").alias("max_gap_us"),
+        (F.sum("gap").cast("double") / F.count(F.lit(1))).alias("avg_gap_us"),
+    )
+
+
 def funnel(
     events: DataFrame, first_step: str, second_step: str
 ) -> DataFrame:

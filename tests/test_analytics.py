@@ -65,3 +65,66 @@ def test_funnel_equal_ts_not_counted(spark):
     rows = [(100, 1, "signup"), (100, 1, "purchase")]
     [r] = funnel(_ev(spark, rows), "signup", "purchase").collect()
     assert r.n_converted == 0
+
+
+def _ev_id(spark, rows):
+    return spark.createDataFrame(
+        rows, "ts long, event_id long, user_id long, event_type string"
+    )
+
+
+def test_event_transitions_golden(spark):
+    from pennsieve_streaming_spark.operators.analytics import (
+        event_transitions,
+    )
+
+    rows = [
+        (0, 1, 1, "view"), (10, 2, 1, "cart"), (20, 3, 1, "buy"),
+        (0, 4, 2, "view"), (10, 5, 2, "cart"),
+        (0, 6, 3, "view"), (5, 7, 3, "view"),
+        # same-µs tie for user 4: event_id orders it -> view->cart
+        (0, 9, 4, "cart"), (0, 8, 4, "view"),
+    ]
+    got = {(r.src_type, r.dst_type): r.n_transitions
+           for r in event_transitions(_ev_id(spark, rows), k=10).collect()}
+    assert got == {
+        ("view", "cart"): 3,
+        ("cart", "buy"): 1,
+        ("view", "view"): 1,
+    }
+
+
+def test_event_transitions_topk_tie_order(spark):
+    from pennsieve_streaming_spark.operators.analytics import (
+        event_transitions,
+    )
+
+    # two transitions with equal counts: (a->b) and (c->d); k=1 must
+    # keep the lexicographically smaller (a, b)
+    rows = [
+        (0, 1, 1, "a"), (1, 2, 1, "b"),
+        (0, 3, 2, "c"), (1, 4, 2, "d"),
+    ]
+    out = event_transitions(_ev_id(spark, rows), k=1).collect()
+    assert [(r.src_type, r.dst_type) for r in out] == [("a", "b")]
+
+
+def test_inter_event_gaps_golden(spark):
+    from pennsieve_streaming_spark.operators.analytics import (
+        inter_event_gaps,
+    )
+
+    rows = [
+        (0, 1, 1, "view"), (100, 2, 1, "cart"), (300, 3, 1, "view"),
+        (1000, 4, 2, "view"), (1010, 5, 2, "view"),
+    ]
+    got = {r.event_type: (r.n_gaps, r.sum_gap_us, r.min_gap_us,
+                          r.max_gap_us, r.avg_gap_us)
+           for r in inter_event_gaps(_ev_id(spark, rows)).collect()}
+    # gaps attributed to the EARLIER event's type:
+    #   u1: view->cart 100, cart->view 200; u2: view->view 10
+    # view gaps: 100 (u1 first) and 10 (u2) ; cart gaps: 200
+    assert got == {
+        "view": (2, 110, 10, 100, 55.0),
+        "cart": (1, 200, 200, 200, 200.0),
+    }
