@@ -99,6 +99,7 @@ BW_TYPE, BW_ORDER, BW_FREQ, BW_RATE = "lowpass", 4, 100.0, 1000.0
 ANN_PLANES, ANN_DIM, ANN_K = 8, 64, 5
 IVF_LISTS, IVF_PROBE = 16, 2
 EMB_NEAR_DUP_COS = 0.3            # near-dup threshold (synthetic embs)
+EMB_SAMPLE_CAP = 20               # per-cluster cap for cluster_sample
 EMB_LSH_TABLES, EMB_LSH_BITS = 4, 8  # banded hyperplane LSH (B tables × r bits)
 PQ_M, PQ_CODES = 8, 16            # PQ subspaces / codewords
 IVFPQ_PROBE = 4                   # IVF-PQ coarse lists probed per query
@@ -1136,6 +1137,64 @@ def q_stream_minmax(spark, sf_dir):
     return spark.read.parquet(f"{base}/out")
 
 
+def q_cluster_sample(spark, sf_dir):
+    """Cluster-balanced deterministic subsample: nearest golden
+    centroid per vector (narrow-map argmin), at most EMB_SAMPLE_CAP
+    vectors kept per cluster by multiplicative-hash order."""
+    from pennsieve_streaming_spark.llm.similarity import (
+        cluster_sample,
+        golden_centroids,
+    )
+
+    return cluster_sample(
+        _embs(spark, sf_dir),
+        golden_centroids(IVF_LISTS, ANN_DIM),
+        cap=EMB_SAMPLE_CAP,
+    )
+
+
+def q_ann_recall(spark, sf_dir):
+    """ANN index-quality evaluation: recall@k of the hyperplane-LSH
+    index against the exact cosine top-k ground truth, per query.
+    Both sides are the already-oracle-gated queries, so the metric's
+    own replay composes their SQL verbatim."""
+    ann = q_ann_lsh(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    per_q = exact.select("query_id").distinct()
+    return (
+        per_q.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.lit(ANN_K)
+            ).alias("recall"),
+        )
+    )
+
+
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC corpus egress + ingest round trip under the pinned schema —
+    identity oracle, proving the columnar interchange path is lossless
+    (unicode, NULLs, embedded newlines)."""
+    import tempfile
+
+    from pennsieve_streaming_spark.sources.columnar import (
+        read_orc_corpus,
+        write_orc_corpus,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="pss_orc_") + "/corpus"
+    write_orc_corpus(docs, path, shards=4)
+    return read_orc_corpus(spark, path)
+
+
 def q_jsonl_roundtrip(spark, sf_dir):
     """JSONL corpus egress + ingest round trip: write the documents
     table as JSONL, read it back under the fixed schema with the
@@ -1622,6 +1681,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pagerank": q_pagerank,
         "ev_event_transitions": q_event_transitions,
         "ev_inter_event_gaps": q_inter_event_gaps,
+        "emb_cluster_sample": q_cluster_sample,
+        "emb_ann_recall": q_ann_recall,
+        "doc_orc_roundtrip": q_orc_roundtrip,
         # round-4b
         "ev_daily_active": q_daily_active,
         "ev_weekly_retention": q_weekly_retention,
@@ -3669,6 +3731,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, text, lang, source, n_chars FROM documents"
     )
     sql["doc_csv_roundtrip"] = sql["doc_jsonl_roundtrip"]
+    sql["doc_orc_roundtrip"] = sql["doc_jsonl_roundtrip"]
 
     # --- round-4c decimate / jaccard-est / autocorrelation -----------
     sql["ts_decimate"] = f"""
@@ -4505,6 +4568,53 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY cosine DESC, neighbor_id) AS rank
           FROM scored
         ) WHERE rank <= {ANN_K}
+        """
+
+    # --- ANN recall@k eval: LSH index vs exact top-k ground truth -----------
+    # Composes the two already-gated oracle queries verbatim as derived
+    # tables — the metric has no arithmetic of its own beyond one exact
+    # integer count and one float division.
+    sql["emb_ann_recall"] = f"""
+        SELECT e.query_id,
+               CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+               CAST(COUNT(a.neighbor_id) AS DOUBLE) / {ANN_K} AS recall
+        FROM ({sql["emb_cosine_topk"]}) e
+        LEFT JOIN ({sql["emb_ann_lsh"]}) a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id
+        """
+
+    # --- cluster-balanced deterministic sampling -----------------------------
+    from pennsieve_streaming_spark.llm.curation import (
+        SAMPLE_MOD as _SAMPLE_MOD,
+        SAMPLE_MULT as _SAMPLE_MULT,
+    )
+
+    _cs_rows, _cs_d2 = _ivf_cent_fragments()
+    sql["emb_cluster_sample"] = f"""
+        WITH cents AS (SELECT * FROM (VALUES {_cs_rows}) t(list_id, c)),
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        dists AS (
+          SELECT e.vec_id, t.list_id, {_cs_d2.format(v='e.v')} AS d2
+          FROM emb e CROSS JOIN cents t
+        ),
+        assigned AS (
+          SELECT vec_id, list_id FROM (
+            SELECT vec_id, list_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+            FROM dists
+          ) WHERE rn = 1
+        ),
+        keyed AS (
+          SELECT vec_id, list_id,
+                 ((((vec_id + 0) % {_SAMPLE_MOD}) * {_SAMPLE_MULT}) % {_SAMPLE_MOD}) AS u
+          FROM assigned
+        )
+        SELECT vec_id, list_id, pick FROM (
+          SELECT vec_id, list_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY list_id ORDER BY u, vec_id) AS BIGINT) AS pick
+          FROM keyed
+        ) WHERE pick <= {EMB_SAMPLE_CAP}
         """
 
     # --- multi-probe variant: query probes 1-bit-away buckets too -----------

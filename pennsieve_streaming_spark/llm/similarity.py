@@ -947,3 +947,58 @@ def load_centroids(spark, path: str) -> list[list[float]]:
     """Reload a ``save_centroids`` model table in list_id order."""
     rows = spark.read.parquet(path).orderBy("list_id").collect()
     return [list(r["centroid"]) for r in rows]
+
+
+def cluster_sample(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    cap: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: int = 0,
+) -> DataFrame:
+    """Cluster-balanced deterministic sampling: assign every vector to
+    its nearest centroid (narrow-map argmin, no shuffle), then keep at
+    most ``cap`` vectors per cluster — the standard diversity-preserving
+    subsample for training-set curation (cap the over-dense modes, keep
+    the tails whole).
+
+    Selection inside a cluster is by a deterministic integer hash
+    coordinate of (id, salt) — the same multiplicative-hash family as
+    ``curation.sample_u_expr`` — so reruns, retries, and the DuckDB
+    oracle pick the identical rows; ``salt`` redraws the sample.
+
+    Output: (vec_id, list_id, pick) for kept rows; pick is the 1-based
+    within-cluster selection rank.
+
+    Scale: assignment is exchange-free; the cap needs one shuffle keyed
+    on list_id with per-partition size = |cluster| (bounded by cluster
+    granularity — production picks k so clusters are ~1e4-1e6 rows, and
+    AQE skew-split covers a degenerate hot cluster).
+    """
+    from pyspark.sql import Window
+
+    from pennsieve_streaming_spark.llm.curation import (
+        SAMPLE_MOD,
+        SAMPLE_MULT,
+    )
+
+    corpus = _as_double(embeddings, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    assigned = assign_lists(corpus, centroids, vec_col="v").select(
+        "vec_id", "list_id"
+    )
+    # salt folds into the multiplicand (not an additive shift — adding
+    # a constant preserves the relative hash ORDER modulo wraparound,
+    # which would make every salt pick nearly the same rows)
+    u = F.expr(
+        f"((((vec_id + {salt}) % {SAMPLE_MOD}) * {SAMPLE_MULT}) % {SAMPLE_MOD})"
+    )
+    w = Window.partitionBy("list_id").orderBy("u", "vec_id")
+    return (
+        assigned.withColumn("u", u)
+        .withColumn("pick", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick") <= cap)
+        .select("vec_id", "list_id", "pick")
+    )

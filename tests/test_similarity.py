@@ -480,3 +480,49 @@ def test_centroid_model_roundtrip(spark, embs, tmp_path):
     a = sorted(map(tuple, kmeans_assign(embs, cents).collect()))
     b = sorted(map(tuple, kmeans_assign(embs, loaded).collect()))
     assert a == b
+
+
+def test_cluster_sample_cap_and_determinism(spark):
+    import random
+
+    from pennsieve_streaming_spark.llm.similarity import (
+        cluster_sample,
+        golden_centroids,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = golden_centroids(4, 8)
+    out = cluster_sample(embs, cents, cap=10).collect()
+    by_list = {}
+    for r in out:
+        by_list.setdefault(r.list_id, []).append(r)
+    for lid, members in by_list.items():
+        assert len(members) <= 10
+        assert sorted(r.pick for r in members) == list(
+            range(1, len(members) + 1)
+        )
+    # deterministic: a rerun picks the identical set
+    again = cluster_sample(embs, cents, cap=10).collect()
+    assert {(r.vec_id, r.list_id, r.pick) for r in again} == {
+        (r.vec_id, r.list_id, r.pick) for r in out
+    }
+    # a different salt redraws (statistically certain to differ here)
+    redraw = cluster_sample(embs, cents, cap=10, salt=99).collect()
+    assert {r.vec_id for r in redraw} != {r.vec_id for r in out}
+
+
+def test_cluster_sample_small_clusters_kept_whole(spark):
+    from pennsieve_streaming_spark.llm.similarity import (
+        cluster_sample,
+        golden_centroids,
+    )
+
+    rows = [(i, [float(i)] * 4) for i in range(5)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cluster_sample(embs, golden_centroids(2, 4), cap=100).collect()
+    # cap above population: every vector survives
+    assert len(out) == 5

@@ -67,3 +67,25 @@ def test_jsonl_type_mismatch_quarantined(spark):
         f.write('{"doc_id": "NOT_A_NUMBER", "text": "x", "lang": "en", "source": "w", "n_chars": 1}\n')
     _clean, bad = quarantine_split(read_jsonl_corpus(spark, path))
     assert bad.count() == 1
+
+
+def test_orc_roundtrip_lossless(spark, tmp_path):
+    from pennsieve_streaming_spark.sources.columnar import (
+        read_orc_corpus,
+        write_orc_corpus,
+    )
+
+    rows = [
+        (1, 'line1\nline2', "en", "web", 11),
+        (2, 'quote " comma , end', "de", "book", 19),
+        (3, "unicode é中文 \U0001f600", "zh", "web", 10),
+        (4, "", "en", "api", 0),
+        (5, None, None, "x", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "orc_corpus")
+    write_orc_corpus(docs, path, shards=2)
+    back = read_orc_corpus(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, rows))
