@@ -1625,6 +1625,34 @@ def q_channel_correlation(spark, sf_dir):
     return channel_correlation(aligned, CORR_QUANT)
 
 
+XCORR_LAGS_US = (-7 * GRID_INTERVAL_US, 0, 7 * GRID_INTERVAL_US)
+
+
+def q_cross_correlation(spark, sf_dir):
+    """Cross-correlogram over channel pairs at signed ±7-day lags on
+    the shared LOCF day grid — lead/lag coupling between channels,
+    exact quantized-integer sums."""
+    from pennsieve_streaming_spark.operators.align import asof_locf
+    from pennsieve_streaming_spark.operators.stats import (
+        channel_cross_correlation,
+    )
+
+    s = TBL.samples_view(spark, sf_dir)
+    ch = TBL.channels_view(spark, sf_dir)
+    day = GRID_INTERVAL_US
+    bounds = ch.agg(
+        F.max("start_ts").alias("lo"), F.min("end_ts").alias("hi")
+    )
+    grid_ts = bounds.select(
+        F.explode(
+            F.expr(f"sequence(((lo + {day} - 1) div {day}) * {day}, hi, {day})")
+        ).alias("ts")
+    )
+    grid = ch.select("channel").crossJoin(F.broadcast(grid_ts))
+    aligned = asof_locf(s, grid).select("channel", "ts", "value")
+    return channel_cross_correlation(aligned, XCORR_LAGS_US, CORR_QUANT)
+
+
 def q_token_entropy(spark, sf_dir):
     """Per-document Shannon entropy of the token distribution (integer
     nano-nat weights ⇒ order-free exact sum)."""
@@ -1681,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pagerank": q_pagerank,
         "ev_event_transitions": q_event_transitions,
         "ev_inter_event_gaps": q_inter_event_gaps,
+        "ts_cross_correlation": q_cross_correlation,
         "emb_cluster_sample": q_cluster_sample,
         "emb_ann_recall": q_ann_recall,
         "doc_orc_roundtrip": q_orc_roundtrip,
@@ -3369,6 +3398,67 @@ def oracle_sql() -> dict[str, str]:
           FROM pr GROUP BY ch_a, ch_b
         )
         SELECT ch_a, ch_b, n,
+               CASE WHEN {_corr_pos} THEN round({_corr_r}, 9)
+                    ELSE CAST(0 AS DOUBLE) END AS r
+        FROM agg
+        """,
+        "samples",
+        "channels",
+    )
+
+    _xcorr_lags = ", ".join(str(x) for x in XCORR_LAGS_US)
+    sql["ts_cross_correlation"] = with_views(
+        f"""
+        WITH b AS (
+          SELECT MAX(start_ts) AS lo, MIN(end_ts) AS hi FROM channels
+        ),
+        gb AS (
+          SELECT UNNEST(generate_series(
+            ((lo + {_DAY} - 1) // {_DAY}) * {_DAY}, hi, {_DAY})) AS ts
+          FROM b
+        ),
+        grid AS (
+          SELECT c.channel, gb.ts
+          FROM (SELECT DISTINCT channel FROM channels) c CROSS JOIN gb
+        ),
+        u AS (
+          SELECT channel, ts, value, 0 AS is_grid FROM samples
+          UNION ALL
+          SELECT channel, ts, CAST(NULL AS DOUBLE), 1 FROM grid
+        ),
+        f AS (
+          SELECT channel, ts, is_grid,
+                 last_value(value IGNORE NULLS) OVER w AS fill
+          FROM u
+          WINDOW w AS (PARTITION BY channel ORDER BY ts, is_grid, value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        vals AS (
+          SELECT channel, ts,
+                 CAST(round(fill * {CORR_QUANT}) AS BIGINT) AS xq
+          FROM f WHERE is_grid = 1
+        ),
+        lagged AS (
+          SELECT channel, UNNEST([{_xcorr_lags}]) AS lag_us,
+                 ts AS ts_b, xq AS xb
+          FROM vals
+        ),
+        pr AS (
+          SELECT a.channel AS ch_a, l.channel AS ch_b,
+                 CAST(l.lag_us AS BIGINT) AS lag_us, a.xq AS xa, l.xb
+          FROM vals a JOIN lagged l
+            ON a.ts = l.ts_b - l.lag_us AND a.channel < l.channel
+        ),
+        agg AS (
+          SELECT ch_a, ch_b, lag_us, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(xa) AS BIGINT) AS sx,
+                 CAST(SUM(xb) AS BIGINT) AS sy,
+                 CAST(SUM(xa * xb) AS BIGINT) AS sxy,
+                 CAST(SUM(xa * xa) AS BIGINT) AS sxx,
+                 CAST(SUM(xb * xb) AS BIGINT) AS syy
+          FROM pr GROUP BY ch_a, ch_b, lag_us
+        )
+        SELECT ch_a, ch_b, lag_us, n,
                CASE WHEN {_corr_pos} THEN round({_corr_r}, 9)
                     ELSE CAST(0 AS DOUBLE) END AS r
         FROM agg

@@ -341,3 +341,70 @@ def channel_autocorrelation(
             f"CASE WHEN {pos} THEN round({r}, 9) ELSE CAST(0 AS DOUBLE) END"
         ).alias("r"),
     )
+
+
+def channel_cross_correlation(
+    values: DataFrame, lags_us: tuple[int, ...], quant: int = 100
+) -> DataFrame:
+    """Cross-correlation between channel PAIRS at signed time lags:
+    Pearson r of (a_t, b_{t+lag}) for every ch_a < ch_b — lead/lag
+    coupling diagnostics (which electrode sees the wave first, does
+    one sensor trail another by a day). Signed lags cover both
+    directions of the asymmetric cross-correlogram without duplicating
+    the pair set.
+
+    Same determinism contract as :func:`channel_correlation`: exact
+    ``quant``-quantized BIGINT sums (associative, partition-order
+    free), one fixed double formula, r = 0 for degenerate overlaps.
+    Output: (ch_a, ch_b, lag_us, n, r).
+
+    Plan (100 TB): the lag explode is narrow (|lags| rows per value),
+    then ONE ts equi-join (both sides shuffle on ts once) and a
+    partial-agg groupBy down to C(|channels|,2)×|lags| rows. The join
+    is on ts alone so all pairs share one shuffle — with channel
+    pruning pushed to the scan, the join input is |channels|×|grid|,
+    not pairs×|grid|.
+    """
+    q = int(quant)
+    v = values.select(
+        "channel", "ts",
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    )
+    a = v.select(F.col("channel").alias("ch_a"), "ts", F.col("xq").alias("xa"))
+    lag_arr = ", ".join(str(int(x)) for x in lags_us)
+    b = v.select(
+        F.col("channel").alias("ch_b"),
+        F.explode(F.expr(f"array({lag_arr})")).alias("lag_us"),
+        F.col("ts").alias("ts_b"),
+        F.col("xq").alias("xb"),
+    ).withColumn("ts", F.col("ts_b") - F.col("lag_us"))
+    j = a.join(b, "ts").filter(F.col("ch_a") < F.col("ch_b"))
+    agg = j.groupBy("ch_a", "ch_b", "lag_us").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xa").cast("long").alias("sx"),
+        F.sum("xb").cast("long").alias("sy"),
+        F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).cast("long").alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).cast("long").alias("syy"),
+    )
+    r = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+        "* sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+        "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    denom_pos = (
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0 AND "
+        "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+        "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0"
+    )
+    return agg.select(
+        "ch_a", "ch_b", F.col("lag_us").cast("long").alias("lag_us"), "n",
+        F.expr(
+            f"CASE WHEN {denom_pos} THEN round({r}, 9) "
+            "ELSE CAST(0 AS DOUBLE) END"
+        ).alias("r"),
+    )

@@ -242,3 +242,32 @@ def test_decimate_keeps_every_nth_of_filtered(spark):
     for ts, v in dec:
         assert v == full[ts]
     assert [ts for ts, _ in dec] == [t * 4000 for t in range(50)]
+
+
+def test_cross_correlation_detects_shift(spark):
+    """ch_b is ch_a delayed by exactly 2 ticks: r at lag +2 must be ~1
+    and dominate the other lags; the zero-variance guard yields r=0."""
+    import math
+
+    from pennsieve_streaming_spark.operators.stats import (
+        channel_cross_correlation,
+    )
+
+    n = 60
+    rows = []
+    for t in range(n):
+        v = math.sin(t * 0.7) * 10
+        rows.append(("a", t * 100, v))
+        rows.append(("b", (t + 2) * 100, v))      # b trails a by 2 ticks
+        rows.append(("flat", t * 100, 5.0))        # zero variance
+    vals = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = channel_cross_correlation(vals, (-200, 0, 200), quant=1000)
+    got = {(r.ch_a, r.ch_b, r.lag_us): (r.n, r.r) for r in out.collect()}
+    # (a, b) at lag +200: b's value at t+200 equals a's at t -> r == 1
+    assert got[("a", "b", 200)][1] > 0.999999
+    assert got[("a", "b", 200)][1] > got[("a", "b", 0)][1]
+    assert got[("a", "b", 200)][1] > got[("a", "b", -200)][1]
+    # degenerate channel pairs are guarded to 0
+    assert got[("a", "flat", 0)][1] == 0.0
+    # overlap counts shrink with |lag|
+    assert got[("a", "b", 0)][0] == 58  # b spans ticks 2..61 vs a 0..59
