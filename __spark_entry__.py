@@ -1461,6 +1461,21 @@ def q_band_power(spark, sf_dir):
     return band_power(s, BP_FREQS, BW_RATE, BP_WINDOW)
 
 
+PS_BINS, PS_WINDOW, PS_QUANT = 8, 100, 10**6
+
+
+def q_power_spectrum(spark, sf_dir):
+    """Full low-bin DFT power spectrum per (channel, window) — the
+    codegen-only direct form (quantized-integer dot products against
+    literal basis tables), complementing the Goertzel recurrence."""
+    from pennsieve_streaming_spark.dsp.spectral import power_spectrum
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        F.col("ts") <= F.lit(BW_TS_END)
+    )
+    return power_spectrum(s, PS_BINS, PS_WINDOW, PS_QUANT)
+
+
 EWMA_ALPHA = 0.125  # exact binary representation — no decimal noise
 
 
@@ -1710,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_event_transitions": q_event_transitions,
         "ev_inter_event_gaps": q_inter_event_gaps,
         "ts_cross_correlation": q_cross_correlation,
+        "ts_power_spectrum": q_power_spectrum,
         "emb_cluster_sample": q_cluster_sample,
         "emb_ann_recall": q_ann_recall,
         "doc_orc_roundtrip": q_orc_roundtrip,
@@ -3211,6 +3227,44 @@ def oracle_sql() -> dict[str, str]:
     _bp_vals = ", ".join(
         f"({_dblit(f)}, {_dblit(goertzel_coeff(f, BW_RATE))})" for f in BP_FREQS
     )
+    from pennsieve_streaming_spark.dsp.spectral import dft_tables
+
+    _ps_cos, _ps_sin = dft_tables(PS_BINS, PS_WINDOW)
+    _ps_cos_lit = "[" + ", ".join(_dblit(c) for c in _ps_cos) + "]::DOUBLE[]"
+    _ps_sin_lit = "[" + ", ".join(_dblit(s) for s in _ps_sin) + "]::DOUBLE[]"
+    sql["ts_power_spectrum"] = f"""
+        WITH samples_aligned AS
+          ({TBL.DUCKDB_VIEWS['samples_aligned']}),
+        tabs AS (SELECT {_ps_cos_lit} AS cos_t, {_ps_sin_lit} AS sin_t),
+        rk AS (
+          SELECT channel, value,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS rn
+          FROM samples_aligned WHERE ts <= {BW_TS_END}
+        ),
+        ex AS (
+          SELECT channel, rn // {PS_WINDOW} AS win, rn % {PS_WINDOW} AS pos,
+                 value, UNNEST(generate_series(1, {PS_BINS})) AS bin
+          FROM rk
+        ),
+        ct AS (
+          SELECT e.channel, e.win, CAST(e.bin AS BIGINT) AS bin,
+                 CAST(round(e.value * t.cos_t[(e.bin - 1) * {PS_WINDOW} + e.pos + 1] * {PS_QUANT}) AS BIGINT) AS ci,
+                 CAST(round(e.value * t.sin_t[(e.bin - 1) * {PS_WINDOW} + e.pos + 1] * {PS_QUANT}) AS BIGINT) AS si
+          FROM ex e CROSS JOIN tabs t
+        ),
+        agg AS (
+          SELECT channel, win, bin, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(ci) AS BIGINT) AS sc, CAST(SUM(si) AS BIGINT) AS ss
+          FROM ct GROUP BY channel, win, bin
+        )
+        SELECT channel, win, bin, n,
+               CAST(sc AS HUGEINT) * sc + CAST(ss AS HUGEINT) * ss AS energy_q2,
+               (CAST(sc AS DOUBLE) / {PS_QUANT}) * (CAST(sc AS DOUBLE) / {PS_QUANT})
+                 + (CAST(ss AS DOUBLE) / {PS_QUANT}) * (CAST(ss AS DOUBLE) / {PS_QUANT}) AS power
+        FROM agg WHERE n = {PS_WINDOW}
+        """
+
     sql["ts_band_power"] = f"""
         WITH RECURSIVE samples_aligned AS
           ({TBL.DUCKDB_VIEWS['samples_aligned']}),

@@ -83,3 +83,122 @@ def band_power(
         run,
         "channel string, win long, freq_hz double, n long, power double",
     )
+
+
+def dft_tables(
+    n_bins: int, window_samples: int
+) -> tuple[list[float], list[float]]:
+    """Flat (bin-major) DFT basis tables: cos/sin(2*pi*k*pos/N) for
+    k = 1..n_bins, pos = 0..N-1 — generated once in Python so BOTH
+    engines consume the identical float literals (engine cos()/sin()
+    are libm-vs-JVM divergent at the last ulp; literals are not)."""
+    ws = int(window_samples)
+    cos_t, sin_t = [], []
+    for k in range(1, int(n_bins) + 1):
+        for p in range(ws):
+            ang = 2.0 * math.pi * k * p / ws
+            cos_t.append(math.cos(ang))
+            sin_t.append(math.sin(ang))
+    return cos_t, sin_t
+
+
+def power_spectrum(
+    samples: DataFrame,
+    n_bins: int,
+    window_samples: int,
+    quant: int = 10**6,
+) -> DataFrame:
+    """Per-(channel, window) DFT power spectrum at bins 1..n_bins —
+    the full low-frequency spectrum, where :func:`band_power` probes
+    chosen frequencies.
+
+    Unlike the Goertzel path (a sequential recurrence that needs
+    ``applyInPandas``), the direct form is two dot products per bin —
+    expressible entirely in built-in column functions, so the whole
+    operator stays inside WholeStageCodegen with NO Python worker.
+    Determinism: each product x·basis is quantized to a BIGINT before
+    summing (exact, associative ⇒ partition/order free); the only
+    float math is the final per-group power expression, replayed
+    verbatim by the oracle. Power = (Σx·cos/q)² + (Σx·sin/q)², i.e.
+    |DFT_k|² of the quantized signal.
+
+    Windows are consecutive ``window_samples``-row chunks per channel
+    in (ts, value) order; ragged tails are dropped. Output: (channel,
+    win, bin, n, power).
+
+    Scale: one row-ranking window per channel, an ×n_bins narrow
+    explode, then a map-side-partial groupBy to
+    |channels|×|windows|×n_bins rows. At production sampling rates
+    windows are independent — parallelism is unbounded by channel
+    count, unlike the per-channel recurrence operators.
+    """
+    ws = int(window_samples)
+    nb = int(n_bins)
+    q = int(quant)
+    cos_t, sin_t = dft_tables(nb, ws)
+    cos_arr = F.array(*[F.lit(float(c)) for c in cos_t])
+    sin_arr = F.array(*[F.lit(float(s)) for s in sin_t])
+
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    ranked = (
+        samples.withColumn("_rn", F.row_number().over(w) - 1)
+        .withColumn("win", F.floor(F.col("_rn") / ws))
+        .withColumn("pos", F.col("_rn") % ws)
+    )
+    exploded = ranked.select(
+        "channel",
+        "win",
+        "pos",
+        "value",
+        F.explode(F.expr(f"sequence(1, {nb})")).alias("bin"),
+    ).select(
+        "channel",
+        "win",
+        F.col("bin").cast("long").alias("bin"),
+        F.round(
+            F.col("value")
+            * F.element_at(cos_arr, ((F.col("bin") - 1) * ws + F.col("pos") + 1).cast("int"))
+            * q
+        )
+        .cast("long")
+        .alias("ci"),
+        F.round(
+            F.col("value")
+            * F.element_at(sin_arr, ((F.col("bin") - 1) * ws + F.col("pos") + 1).cast("int"))
+            * q
+        )
+        .cast("long")
+        .alias("si"),
+    )
+    agg = exploded.groupBy("channel", "win", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ci").cast("long").alias("sc"),
+        F.sum("si").cast("long").alias("ss"),
+    )
+    # |DFT|² as an EXACT integer in quant² units (19-digit decimals
+    # keep the squares exact; the sum stays well under 38 digits), then
+    # ONE correctly-rounded cast + ONE division for the float view —
+    # round(x, 9) at 1e12 magnitudes is sub-ulp and NOT cross-engine
+    # stable, so no round() appears anywhere here.
+    energy = (
+        "CAST(sc AS DECIMAL(19, 0)) * CAST(sc AS DECIMAL(19, 0)) "
+        "+ CAST(ss AS DECIMAL(19, 0)) * CAST(ss AS DECIMAL(19, 0))"
+    )
+    # the float view divides the BIGINT sums FIRST (exact-int → double
+    # is correctly rounded for |sum| < 2^53, guaranteed by the quant
+    # contract), then squares and adds — every op individually
+    # correctly rounded, so both engines land on the identical double.
+    # (Deriving it from energy_q2 instead would hit DuckDB's
+    # not-correctly-rounded HUGEINT→DOUBLE cast above 2^64.)
+    power = (
+        f"(CAST(sc AS DOUBLE) / {q}) * (CAST(sc AS DOUBLE) / {q}) "
+        f"+ (CAST(ss AS DOUBLE) / {q}) * (CAST(ss AS DOUBLE) / {q})"
+    )
+    return agg.filter(F.col("n") == ws).select(
+        "channel",
+        "win",
+        "bin",
+        "n",
+        F.expr(energy).cast("decimal(38,0)").alias("energy_q2"),
+        F.expr(power).alias("power"),
+    )

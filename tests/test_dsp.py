@@ -338,3 +338,50 @@ def test_band_power_ragged_tail_dropped(spark):
     df = spark.createDataFrame(rows, "channel string, ts long, value double")
     out = band_power(df, (10.0,), 1000.0, 50).collect()
     assert sorted(r.win for r in out) == [0, 1]  # 20-row tail dropped
+
+
+# ------------------------------------------------------------ power spectrum
+
+
+def test_power_spectrum_matches_numpy_dft(spark):
+    """Direct-form DFT power vs numpy.fft on the same window: equal to
+    quantization tolerance; ragged tail dropped; pure-codegen plan."""
+    import math
+
+    import numpy as np
+
+    from pennsieve_streaming_spark.dsp.spectral import power_spectrum
+
+    ws, nb = 32, 4
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal(ws * 2 + 7) * 10).round(3)  # 2 full + ragged
+    rows = [("c", i * 1000, float(v)) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = power_spectrum(df, n_bins=nb, window_samples=ws, quant=10**6)
+    got = {(r.win, r.bin): r.power for r in out.collect()}
+    assert len(got) == 2 * nb  # ragged third window dropped
+    for win in (0, 1):
+        seg = x[win * ws:(win + 1) * ws]
+        spec = np.fft.fft(seg)
+        for k in range(1, nb + 1):
+            want = abs(spec[k]) ** 2
+            assert math.isclose(got[(win, k)], want, rel_tol=1e-4), (
+                win, k, got[(win, k)], want
+            )
+    # stays JVM-side: no Python evaluation node in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_power_spectrum_dc_free_constant_signal(spark):
+    """Bins 1..B of a constant signal carry zero power (basis rows are
+    orthogonal to DC)."""
+    from pennsieve_streaming_spark.dsp.spectral import power_spectrum
+
+    rows = [("c", i * 10, 7.5) for i in range(64)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = power_spectrum(df, n_bins=3, window_samples=64, quant=10**6).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.power < 1e-6
+        assert int(r.energy_q2) <= 10**7  # quantization residue only
