@@ -1349,6 +1349,19 @@ def _user_events(spark, sf_dir):
     )
 
 
+SESSION_GAP_US = 1800 * 1_000_000  # 30-minute inactivity boundary
+
+
+def q_user_sessions(spark, sf_dir):
+    """Inactivity-gap sessionization of per-user event paths (lag +
+    cumulative-flag), all-integer output."""
+    from pennsieve_streaming_spark.operators.analytics import user_sessions
+
+    return user_sessions(_user_events(spark, sf_dir), SESSION_GAP_US).drop(
+        "sess"
+    )
+
+
 def q_event_transitions(spark, sf_dir):
     """Top-20 event-type transition bigrams over the per-user
     (ts, event_id)-ordered event path."""
@@ -1724,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pagerank": q_pagerank,
         "ev_event_transitions": q_event_transitions,
         "ev_inter_event_gaps": q_inter_event_gaps,
+        "ev_user_sessions": q_user_sessions,
         "ts_cross_correlation": q_cross_correlation,
         "ts_power_spectrum": q_power_spectrum,
         "emb_cluster_sample": q_cluster_sample,
@@ -3044,6 +3058,30 @@ def oracle_sql() -> dict[str, str]:
     # --- round-4c event analytics ------------------------------------
     _DAYU = 86_400 * US
     _WEEKU = 7 * _DAYU
+    sql["ev_user_sessions"] = f"""
+        WITH ue AS (
+          SELECT epoch_us(ts) AS ts, event_id, user_id FROM events
+        ),
+        flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN ts - LAG(ts) OVER w > {SESSION_GAP_US}
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM ue
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        keyed AS (
+          SELECT user_id, ts,
+                 SUM(new_sess) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+          FROM flagged
+        )
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(ts) - MIN(ts) AS duration_us
+        FROM keyed GROUP BY user_id, sess
+        """
+
     sql["ev_event_transitions"] = """
         WITH ue AS (
           SELECT epoch_us(ts) AS ts, event_id, user_id, event_type

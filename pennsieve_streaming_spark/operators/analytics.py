@@ -178,3 +178,44 @@ def funnel(
             "ELSE CAST(sum_delay_us AS DOUBLE) / n_converted END"
         ).alias("avg_delay_us"),
     )
+
+
+def user_sessions(events: DataFrame, gap_us: int) -> DataFrame:
+    """Inactivity-gap sessionization of the user event stream: a new
+    session starts when a user is idle longer than ``gap_us``. One row
+    per session: (user_id, session_start, session_end, n_events,
+    duration_us) — all integers, so the replay is exact.
+
+    This is the product-analytics sibling of the channel-sample
+    ``contiguous_spans`` sessionizer (gaps.py): same lag + cumulative-
+    flag technique, but keyed on users and driven by the inactivity
+    threshold rather than sampling cadence.
+
+    Plan: one window shuffle keyed on user_id (per-user event counts
+    are small at any corpus size), then a groupBy on the derived
+    session key with map-side partials. |users| bounds parallelism —
+    effectively unbounded at scale.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select("user_id", "ts", "event_id").withColumn(
+        "new_sess",
+        F.when(
+            (F.col("ts") - F.lag("ts").over(w)) > gap_us, F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    keyed = flagged.withColumn(
+        "sess",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return keyed.groupBy("user_id", "sess").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("ts") - F.min("ts")).alias("duration_us"),
+    ).select(
+        "user_id", "session_start", "session_end", "n_events", "duration_us"
+    )

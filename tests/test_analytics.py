@@ -128,3 +128,39 @@ def test_inter_event_gaps_golden(spark):
         "view": (2, 110, 10, 100, 55.0),
         "cart": (1, 200, 200, 200, 200.0),
     }
+
+
+def test_user_sessions_golden(spark):
+    from pennsieve_streaming_spark.operators.analytics import user_sessions
+
+    rows = [
+        # user 1: two sessions split by a 1000µs idle gap
+        (0, 1, 1, "v"), (100, 2, 1, "v"), (200, 3, 1, "v"),
+        (2000, 4, 1, "v"), (2100, 5, 1, "v"),
+        # user 2: single-event session
+        (50, 6, 2, "v"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "ts long, event_id long, user_id long, event_type string"
+    )
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.duration_us)
+        for r in user_sessions(ev, gap_us=1000).collect()
+    )
+    assert got == [
+        (1, 0, 200, 3, 200),
+        (1, 2000, 2100, 2, 100),
+        (2, 50, 50, 1, 0),
+    ]
+
+
+def test_user_sessions_gap_boundary_is_exclusive(spark):
+    from pennsieve_streaming_spark.operators.analytics import user_sessions
+
+    # gap EXACTLY equal to the threshold does NOT split
+    rows = [(0, 1, 1, "v"), (1000, 2, 1, "v"), (2001, 3, 1, "v")]
+    ev = spark.createDataFrame(
+        rows, "ts long, event_id long, user_id long, event_type string"
+    )
+    got = user_sessions(ev, gap_us=1000).collect()
+    assert len(got) == 2  # 0..1000 together; 2001 splits (1001 > 1000)
