@@ -1653,6 +1653,19 @@ def q_channel_correlation(spark, sf_dir):
     return channel_correlation(aligned, CORR_QUANT)
 
 
+PEAK_HEIGHT, PEAK_PROM = 90_000.0, 5_000.0
+
+
+def q_detect_peaks(spark, sf_dir):
+    """Local-maximum peaks per channel above height/prominence gates
+    (plateau-first convention, edges excluded)."""
+    from pennsieve_streaming_spark.operators.stats import detect_peaks
+
+    return detect_peaks(
+        TBL.samples_view(spark, sf_dir), PEAK_HEIGHT, PEAK_PROM
+    )
+
+
 XCORR_LAGS_US = (-7 * GRID_INTERVAL_US, 0, 7 * GRID_INTERVAL_US)
 
 
@@ -1740,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_user_sessions": q_user_sessions,
         "ts_cross_correlation": q_cross_correlation,
         "ts_power_spectrum": q_power_spectrum,
+        "ts_detect_peaks": q_detect_peaks,
         "emb_cluster_sample": q_cluster_sample,
         "emb_ann_recall": q_ann_recall,
         "doc_orc_roundtrip": q_orc_roundtrip,
@@ -3496,6 +3510,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "samples",
         "channels",
+    )
+
+    sql["ts_detect_peaks"] = with_views(
+        f"""
+        WITH x AS (
+          SELECT channel, ts, value,
+                 LAG(value) OVER w AS prev, LEAD(value) OVER w AS nxt
+          FROM samples
+          WINDOW w AS (PARTITION BY channel ORDER BY ts, value)
+        )
+        SELECT channel, ts, value,
+               value - GREATEST(prev, nxt) AS rise
+        FROM x
+        WHERE prev IS NOT NULL AND nxt IS NOT NULL
+          AND value > prev AND value >= nxt
+          AND value > {_dblit(PEAK_HEIGHT)}
+          AND value - GREATEST(prev, nxt) >= {_dblit(PEAK_PROM)}
+        """,
+        "samples",
     )
 
     _xcorr_lags = ", ".join(str(x) for x in XCORR_LAGS_US)

@@ -408,3 +408,43 @@ def channel_cross_correlation(
             "ELSE CAST(0 AS DOUBLE) END"
         ).alias("r"),
     )
+
+
+def detect_peaks(
+    samples: DataFrame, min_height: float, min_prominence: float = 0.0
+) -> DataFrame:
+    """Local-maximum peak detection per channel: a sample is a peak if
+    it strictly exceeds its predecessor, is >= its successor (plateau
+    convention: the FIRST sample of a flat top is the peak), clears
+    ``min_height``, and rises at least ``min_prominence`` above the
+    greater of its two neighbors' minima (the cheap 1-neighborhood
+    prominence proxy — full watershed prominence needs a span scan the
+    spike extractor already covers).
+
+    Edge rows (no predecessor/successor) are never peaks. Output:
+    (channel, ts, value, rise) where rise = value - max(prev, next).
+
+    All comparisons on raw doubles — no arithmetic accumulates, so the
+    replay is trivially exact. Plan: one per-channel window pass
+    (lag + lead in the same frame), predicate-only after that.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    x = (
+        samples.select("channel", "ts", "value")
+        .withColumn("prev", F.lag("value").over(w))
+        .withColumn("nxt", F.lead("value").over(w))
+    )
+    rise = F.col("value") - F.greatest("prev", "nxt")
+    return (
+        x.filter(
+            F.col("prev").isNotNull()
+            & F.col("nxt").isNotNull()
+            & (F.col("value") > F.col("prev"))
+            & (F.col("value") >= F.col("nxt"))
+            & (F.col("value") > min_height)
+            & (rise >= min_prominence)
+        )
+        .select("channel", "ts", "value", rise.alias("rise"))
+    )

@@ -271,3 +271,24 @@ def test_cross_correlation_detects_shift(spark):
     assert got[("a", "flat", 0)][1] == 0.0
     # overlap counts shrink with |lag|
     assert got[("a", "b", 0)][0] == 58  # b spans ticks 2..61 vs a 0..59
+
+
+def test_detect_peaks_golden(spark):
+    from pennsieve_streaming_spark.operators.stats import detect_peaks
+
+    vals = [0, 5, 3, 8, 8, 2, 9, 1, 4]   # plateau at 8,8; edge 4 not a peak
+    rows = [("c", i * 10, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    got = {(r.ts, r.value): r.rise for r in detect_peaks(df, 0.0).collect()}
+    # peaks: 5 (rise 2), first 8 of the plateau (rise 5? prev=3,next=8 ->
+    # greatest=8 -> rise 0), 9 (prev 2, next 1 -> rise 7)
+    assert set(got) == {(10, 5.0), (30, 8.0), (60, 9.0)}
+    assert got[(10, 5.0)] == 2.0
+    assert got[(30, 8.0)] == 0.0     # plateau: neighbor equals the peak
+    assert got[(60, 9.0)] == 7.0
+    # prominence gate drops the plateau peak
+    prom = detect_peaks(df, 0.0, min_prominence=1.0).collect()
+    assert {(r.ts, r.value) for r in prom} == {(10, 5.0), (60, 9.0)}
+    # height gate
+    high = detect_peaks(df, 8.5).collect()
+    assert {(r.ts, r.value) for r in high} == {(60, 9.0)}
