@@ -502,6 +502,15 @@ def q_substring_scrub(spark, sf_dir):
     return scrub_duplicated_spans(_docs(spark, sf_dir), k=8)
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) fingerprint selection: rightmost-min-of-window
+    over 5-gram hashes, window 4 — packed-integer window-min so the
+    tie rule is engine-independent."""
+    from pennsieve_streaming_spark.llm.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=5, window=4)
+
+
 def q_substring_dup(spark, sf_dir):
     """Exact-substring duplication profile: fraction of each document
     covered by token 8-grams that appear in >= 2 documents (fixed-width
@@ -1754,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_cross_correlation": q_cross_correlation,
         "ts_power_spectrum": q_power_spectrum,
         "ts_detect_peaks": q_detect_peaks,
+        "doc_winnow_fingerprints": q_winnow_fingerprints,
         "emb_cluster_sample": q_cluster_sample,
         "emb_ann_recall": q_ann_recall,
         "doc_orc_roundtrip": q_orc_roundtrip,
@@ -2891,6 +2901,33 @@ def oracle_sql() -> dict[str, str]:
     # Exact-substring duplication: 8-gram hashes -> distinct-doc
     # counts -> per-doc interval union of duplicated [pos, pos+8)
     # spans. Integers and exact ratios only.
+    _WGH = md5_hash64_duck("array_to_string(toks[pos:pos+4], ' ')")
+    sql["doc_winnow_fingerprints"] = f"""
+        WITH doc_toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+        pos AS (
+          SELECT doc_id, toks,
+                 UNNEST(generate_series(1, GREATEST(len(toks) - 4, 0))) AS pos
+          FROM doc_toks
+          WHERE length(trim(array_to_string(toks, ' '))) > 0
+        ),
+        grams AS (SELECT doc_id, pos, {_WGH} AS gh FROM pos),
+        packed AS (
+          SELECT doc_id, pos,
+                 (gh % {1 << 40}) * {1 << 23} + ({(1 << 23) - 1} - pos) AS key
+          FROM grams
+        ),
+        sel AS (
+          SELECT doc_id,
+                 MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+          FROM packed
+        )
+        SELECT DISTINCT doc_id, {(1 << 23) - 1} - (mk % {1 << 23}) AS pos,
+               mk // {1 << 23} AS fp
+        FROM sel WHERE rn >= 4
+        """
+
     _GH = md5_hash64_duck("array_to_string(toks[pos:pos+7], ' ')")
     sql["doc_substring_dup"] = f"""
         WITH doc_toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),

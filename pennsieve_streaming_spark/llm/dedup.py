@@ -556,3 +556,83 @@ def minhash_jaccard_estimate(
             F.expr("n_agree / CAST(n_hashes AS DOUBLE)"),
         )
     )
+
+
+def winnow_fingerprints(
+    documents: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003 — the MOSS algorithm): from each sliding window of
+    ``window`` consecutive token-``k``-gram hashes, select the minimum
+    (rightmost on ties); the distinct selected (position, hash) set is
+    the fingerprint. Guarantees any shared run of ``window + k - 1``
+    tokens yields at least one shared fingerprint, at ~2/(window+1)
+    sample density — the local-coverage property plain 0-mod-p hash
+    sampling lacks.
+
+    Determinism/portability: gram hash is the shared md5-prefix
+    integer; the min-with-rightmost-tie is ONE integer window-min by
+    packing (hash mod 2^40) into the high bits and (2^23-1 - pos) into
+    the low bits — no argmin/min_by (whose tie order engines leave
+    undefined). Positions must stay < 2^23 (8M tokens/doc — far above
+    any training document; violators would need a wider packing).
+
+    Output: (doc_id, pos, fp) — pos is the 1-based gram start, fp the
+    40-bit selected hash.
+
+    Scale: the gram explode is narrow; ranking/min windows partition
+    per document. One shuffle on doc_id, then distinct within the same
+    partitioning — at 100 TB this is strictly lighter than the MinHash
+    signature pass.
+    """
+    from pyspark.sql import Window as W
+
+    ws = int(window)
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    gram = "concat_ws(' ', " + ", ".join(
+        f"element_at(toks, CAST(i + {d} AS INT))" for d in range(int(k))
+    ) + ")"
+    grams = (
+        ensure_parallelism(documents.select("doc_id", text_col), "doc_id")
+        .select("doc_id", F.expr(toks).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(toks) < {k} OR length(trim(concat_ws(' ', toks))) = 0 "
+                    f"THEN array() "
+                    f"ELSE transform(sequence(CAST(1 AS BIGINT), CAST(size(toks) - {k - 1} AS BIGINT)), "
+                    f"i -> struct(i AS pos, {md5_hash64_expr(gram)} AS gh)) END"
+                )
+            ).alias("pg"),
+        )
+        .select(
+            "doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gh").alias("gh")
+        )
+    )
+    packed = grams.select(
+        "doc_id",
+        "pos",
+        F.expr(
+            f"(gh % {1 << 40}) * {1 << 23} + ({(1 << 23) - 1} - pos)"
+        ).alias("key"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    sel = (
+        packed.withColumn(
+            "mk", F.min("key").over(w.rowsBetween(-(ws - 1), 0))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") >= ws)  # full windows only
+        .select(
+            "doc_id",
+            (F.lit((1 << 23) - 1) - F.col("mk") % (1 << 23)).alias("pos"),
+            F.expr(f"mk div {1 << 23}").alias("fp"),
+        )
+        .distinct()
+    )
+    return sel

@@ -176,3 +176,67 @@ def test_inverted_index_max_df_drops_stopword_postings(spark):
     capped = {r.term for r in inverted_index(docs, max_df=5).collect()}
     assert "the" not in capped
     assert len(capped) == 10  # every word{i} survives
+
+
+# -------------------------------------------------------------- winnowing
+
+
+def _winnow_py(tokens, k, w):
+    """Reference winnowing per the SIGMOD'03 paper: rightmost min of
+    each window of k-gram hashes (same md5-prefix-int hash family)."""
+    import hashlib
+
+    def h(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % (1 << 40)
+
+    grams = [
+        h(" ".join(tokens[i:i + k])) for i in range(len(tokens) - k + 1)
+    ]
+    sel = set()
+    for e in range(w - 1, len(grams)):
+        win = grams[e - w + 1:e + 1]
+        m = min(win)
+        # rightmost occurrence of the min
+        off = max(i for i, v in enumerate(win) if v == m)
+        sel.add((e - w + 1 + off + 1, m))  # 1-based gram pos
+    return sel
+
+
+def test_winnow_matches_reference_implementation(spark):
+    import random
+
+    from pennsieve_streaming_spark.llm.dedup import winnow_fingerprints
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for d in range(10):
+        n = rng.randrange(3, 40)
+        rows.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(docs, k=3, window=4).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    for d, text in rows:
+        toks = text.split()
+        want = _winnow_py(toks, 3, 4) if len(toks) >= 3 else set()
+        assert got.get(d, set()) == want, f"doc {d}"
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Any shared token run of window + k - 1 tokens must produce at
+    least one shared fingerprint between the two documents."""
+    from pennsieve_streaming_spark.llm.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, "x1 x2 x3 " + shared + " y1 y2"),
+        (2, "z9 z8 " + shared + " q5 q6 q7"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_fingerprints(docs, k=5, window=4).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    # shared run length 8 == window + k - 1 -> guaranteed overlap
+    assert fps[1] & fps[2]
