@@ -1663,6 +1663,33 @@ def q_channel_correlation(spark, sf_dir):
 
 
 PEAK_HEIGHT, PEAK_PROM = 90_000.0, 5_000.0
+QP_LO, QP_HI = 1_000.0, 100_000.0  # calibrated quality envelope
+
+
+def q_winnow_overlap(spark, sf_dir):
+    """MOSS-style near-dup pairs by winnowing-fingerprint overlap with
+    containment scoring (catches embedded-document duplication)."""
+    from pennsieve_streaming_spark.llm.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        _docs(spark, sf_dir), k=5, window=4, min_shared=2, max_df=50
+    )
+
+
+def q_hourly_profile(spark, sf_dir):
+    """Typical-day seasonal profile: per (channel, hour-of-day) count
+    and exact-quantized mean."""
+    from pennsieve_streaming_spark.operators.stats import hourly_profile
+
+    return hourly_profile(TBL.samples_view(spark, sf_dir), CORR_QUANT)
+
+
+def q_quality_profile(spark, sf_dir):
+    """Ingest validation screen: per-channel row/NULL/dup-ts counts and
+    range violations against the calibrated envelope."""
+    from pennsieve_streaming_spark.operators.stats import quality_profile
+
+    return quality_profile(TBL.samples_view(spark, sf_dir), QP_LO, QP_HI)
 
 
 def q_detect_peaks(spark, sf_dir):
@@ -1764,6 +1791,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_power_spectrum": q_power_spectrum,
         "ts_detect_peaks": q_detect_peaks,
         "doc_winnow_fingerprints": q_winnow_fingerprints,
+        "doc_winnow_overlap": q_winnow_overlap,
+        "ts_hourly_profile": q_hourly_profile,
+        "ts_quality_profile": q_quality_profile,
         "emb_cluster_sample": q_cluster_sample,
         "emb_ann_recall": q_ann_recall,
         "doc_orc_roundtrip": q_orc_roundtrip,
@@ -2927,6 +2957,67 @@ def oracle_sql() -> dict[str, str]:
                mk // {1 << 23} AS fp
         FROM sel WHERE rn >= 4
         """
+
+    sql["doc_winnow_overlap"] = f"""
+        WITH wf AS ({sql["doc_winnow_fingerprints"]}),
+        fps AS (SELECT DISTINCT doc_id, fp FROM wf),
+        sizes AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
+          FROM fps GROUP BY doc_id
+        ),
+        kept AS (
+          SELECT fps.doc_id, fps.fp FROM fps
+          JOIN (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50) c
+            USING (fp)
+        ),
+        shared AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2
+        )
+        SELECT s.doc_a, s.doc_b, s.n_shared,
+               CAST(s.n_shared AS DOUBLE)
+                 / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE) AS containment
+        FROM shared s
+        JOIN sizes sa ON s.doc_a = sa.doc_id
+        JOIN sizes sb ON s.doc_b = sb.doc_id
+        """
+
+    sql["ts_hourly_profile"] = with_views(
+        f"""
+        SELECT channel, (ts % {86400 * 1_000_000}) // {3600 * 1_000_000} AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(value * {CORR_QUANT}) AS BIGINT)) AS BIGINT) AS sum_q,
+               CAST(SUM(CAST(round(value * {CORR_QUANT}) AS BIGINT)) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * {CORR_QUANT}) AS mean
+        FROM samples
+        GROUP BY channel, (ts % {86400 * 1_000_000}) // {3600 * 1_000_000}
+        """,
+        "samples",
+    )
+
+    sql["ts_quality_profile"] = with_views(
+        f"""
+        WITH per_ts AS (
+          SELECT channel, ts, CAST(COUNT(*) AS BIGINT) AS c,
+                 CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+                 CAST(SUM(CASE WHEN value < 1e3 THEN 1 ELSE 0 END) AS BIGINT) AS below,
+                 CAST(SUM(CASE WHEN value > 1e5 THEN 1 ELSE 0 END) AS BIGINT) AS above,
+                 MIN(value) AS vmin, MAX(value) AS vmax
+          FROM samples GROUP BY channel, ts
+        )
+        SELECT channel, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(nulls) AS BIGINT) AS n_null,
+               CAST(SUM(c - 1) AS BIGINT) AS n_dup_ts,
+               CAST(SUM(below) AS BIGINT) AS n_below,
+               CAST(SUM(above) AS BIGINT) AS n_above,
+               MIN(ts) AS ts_min, MAX(ts) AS ts_max,
+               MIN(vmin) AS v_min, MAX(vmax) AS v_max
+        FROM per_ts GROUP BY channel
+        """,
+        "samples",
+    )
 
     _GH = md5_hash64_duck("array_to_string(toks[pos:pos+7], ' ')")
     sql["doc_substring_dup"] = f"""

@@ -636,3 +636,67 @@ def winnow_fingerprints(
         .distinct()
     )
     return sel
+
+
+def winnow_overlap_pairs(
+    documents: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidate pairs by winnowing-fingerprint overlap — the
+    MOSS similarity report: documents sharing >= ``min_shared``
+    selected fingerprints, scored by containment (shared / smaller
+    fingerprint set), the asymmetric measure that catches one document
+    EMBEDDING another where plain Jaccard dilutes away.
+
+    Fingerprints occurring in more than ``max_df`` documents are
+    dropped before the self-join (the hot-shingle guard every
+    shingle-join operator here uses — boilerplate fingerprints would
+    otherwise quadratically explode the join; the cap is documented
+    behavior, not a silent truncation).
+
+    Output: (doc_a, doc_b, n_shared, containment) with doc_a < doc_b;
+    containment = n_shared / min(|fp_a|, |fp_b|) — a ratio of exact
+    integers.
+
+    Scale: the join is on the fingerprint value with per-key fan-out
+    <= max_df, so candidate volume is sum(df²) bounded by |fp|·max_df;
+    per-doc counts broadcast back. Same shape as the LSH band join.
+    """
+    fps = winnow_fingerprints(documents, k, window, text_col).select(
+        "doc_id", "fp"
+    ).distinct()
+    sizes = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp")
+    )
+    df_cap = fps.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    ).filter(F.col("df") <= max_df)
+    kept = fps.join(df_cap.select("fp"), "fp")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("na", "nb").cast("double")
+            ).alias("containment"),
+        )
+    )

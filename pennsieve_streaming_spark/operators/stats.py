@@ -448,3 +448,89 @@ def detect_peaks(
         )
         .select("channel", "ts", "value", rise.alias("rise"))
     )
+
+
+HOUR_US = 3600 * 1_000_000
+PROFILE_DAY_US = 24 * HOUR_US
+
+
+def hourly_profile(samples: DataFrame, quant: int = 100) -> DataFrame:
+    """Seasonal "typical day" profile per channel: for each hour-of-day
+    bucket, the sample count and mean value — baseline material for
+    rhythm-aware anomaly screens and capacity planning.
+
+    The mean comes from an exact BIGINT sum of ``quant``-quantized
+    values (associative, partition-free) divided once — the same
+    contract as :func:`channel_correlation`. Output: (channel, hour,
+    n, sum_q, mean) with hour in 0..23.
+
+    Plan: pure map + one partial-agg groupBy to |channels|×24 rows.
+    """
+    q = int(quant)
+    return (
+        samples.select(
+            "channel",
+            F.expr(f"(ts % {PROFILE_DAY_US}) div {HOUR_US}").alias("hour"),
+            F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("vq"),
+        )
+        .groupBy("channel", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("vq").cast("long").alias("sum_q"),
+        )
+        .select(
+            "channel",
+            "hour",
+            "n",
+            "sum_q",
+            (
+                F.col("sum_q").cast("double")
+                / (F.col("n").cast("double") * q)
+            ).alias("mean"),
+        )
+    )
+
+
+def quality_profile(
+    samples: DataFrame, lo: float, hi: float
+) -> DataFrame:
+    """Ingest data-quality validation per channel — the "expectations"
+    screen a 100 TB pipeline runs before trusting a feed: row count,
+    NULL values, duplicate timestamps, and range violations against
+    the calibrated [lo, hi] envelope, plus the observed ts/value
+    extremes.
+
+    Output: (channel, n, n_null, n_dup_ts, n_below, n_above, ts_min,
+    ts_max, v_min, v_max) — all exact integers/raw extremes, no float
+    accumulation.
+
+    Plan: one groupBy on (channel, ts) for the duplicate count folded
+    into the same pass as the per-channel aggregate via a two-level
+    rollup — shuffles carry (channel, ts) rows once, then |channels|
+    rows. Everything is map-side partial.
+    """
+    per_ts = samples.groupBy("channel", "ts").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("nulls"),
+        F.sum(F.when(F.col("value") < lo, 1).otherwise(0))
+        .cast("long")
+        .alias("below"),
+        F.sum(F.when(F.col("value") > hi, 1).otherwise(0))
+        .cast("long")
+        .alias("above"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    return per_ts.groupBy("channel").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("nulls").cast("long").alias("n_null"),
+        F.sum(F.col("c") - 1).cast("long").alias("n_dup_ts"),
+        F.sum("below").cast("long").alias("n_below"),
+        F.sum("above").cast("long").alias("n_above"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+        F.min("vmin").alias("v_min"),
+        F.max("vmax").alias("v_max"),
+    )

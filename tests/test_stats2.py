@@ -292,3 +292,39 @@ def test_detect_peaks_golden(spark):
     # height gate
     high = detect_peaks(df, 8.5).collect()
     assert {(r.ts, r.value) for r in high} == {(60, 9.0)}
+
+
+def test_hourly_profile_golden(spark):
+    from pennsieve_streaming_spark.operators.stats import (
+        HOUR_US,
+        hourly_profile,
+    )
+
+    rows = [
+        ("c", 0 * HOUR_US, 10.0), ("c", 0 * HOUR_US + 500, 20.0),
+        ("c", 5 * HOUR_US, 7.5),
+        ("c", 24 * HOUR_US, 30.0),  # next day, same hour-0 bucket
+    ]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    got = {r.hour: (r.n, r.sum_q, r.mean)
+           for r in hourly_profile(df, quant=100).collect()}
+    assert got == {0: (3, 6000, 20.0), 5: (1, 750, 7.5)}
+
+
+def test_quality_profile_golden(spark):
+    from pennsieve_streaming_spark.operators.stats import quality_profile
+
+    rows = [
+        ("c", 0, 5.0), ("c", 0, 6.0),          # duplicate ts
+        ("c", 10, None),                        # NULL value
+        ("c", 20, -1.0),                        # below
+        ("c", 30, 999.0),                       # above
+        ("d", 0, 50.0),
+    ]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    got = {r.channel: r for r in quality_profile(df, 0.0, 100.0).collect()}
+    c = got["c"]
+    assert (c.n, c.n_null, c.n_dup_ts, c.n_below, c.n_above) == (5, 1, 1, 1, 1)
+    assert (c.ts_min, c.ts_max, c.v_min, c.v_max) == (0, 30, -1.0, 999.0)
+    d = got["d"]
+    assert (d.n, d.n_null, d.n_dup_ts, d.n_below, d.n_above) == (1, 0, 0, 0, 0)

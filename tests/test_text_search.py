@@ -240,3 +240,24 @@ def test_winnow_shared_run_guarantee(spark):
         fps.setdefault(r.doc_id, set()).add(r.fp)
     # shared run length 8 == window + k - 1 -> guaranteed overlap
     assert fps[1] & fps[2]
+
+
+def test_winnow_overlap_containment(spark):
+    """A document fully embedded in a larger one scores containment
+    1.0 when the host preserves every winnowed fingerprint region."""
+    from pennsieve_streaming_spark.llm.dedup import winnow_overlap_pairs
+
+    core = " ".join(f"tok{i}" for i in range(30))
+    rows = [
+        (1, core),
+        (2, "pre1 pre2 pre3 " + core + " post1 post2"),
+        (3, "completely different words entirely here now ok then"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_overlap_pairs(docs, k=5, window=4, min_shared=1).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in out}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    # every fingerprint of doc 1 interior should recur in doc 2
+    assert r.containment >= 0.8
+    assert not any(3 in p for p in pairs)
