@@ -1666,6 +1666,22 @@ PEAK_HEIGHT, PEAK_PROM = 90_000.0, 5_000.0
 QP_LO, QP_HI = 1_000.0, 100_000.0  # calibrated quality envelope
 
 
+SEASONAL_Z = 1.25  # demo cutoff: synthetic data is uniform (max mz ~1.35);
+                   # production callers pass the standard 3.5
+
+
+def q_seasonal_outliers(spark, sf_dir):
+    """Day-of-week-aware robust outliers: modified z-score against the
+    per-(channel, weekday) median/MAD baseline."""
+    from pennsieve_streaming_spark.operators.stats import (
+        seasonal_mad_outliers,
+    )
+
+    return seasonal_mad_outliers(
+        TBL.samples_view(spark, sf_dir), z=SEASONAL_Z
+    )
+
+
 def q_winnow_overlap(spark, sf_dir):
     """MOSS-style near-dup pairs by winnowing-fingerprint overlap with
     containment scoring (catches embedded-document duplication)."""
@@ -1792,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_detect_peaks": q_detect_peaks,
         "doc_winnow_fingerprints": q_winnow_fingerprints,
         "doc_winnow_overlap": q_winnow_overlap,
+        "ts_seasonal_outliers": q_seasonal_outliers,
         "ts_hourly_profile": q_hourly_profile,
         "ts_quality_profile": q_quality_profile,
         "emb_cluster_sample": q_cluster_sample,
@@ -3167,6 +3184,54 @@ def oracle_sql() -> dict[str, str]:
         madt AS (SELECT channel, n, {_mad_pct} AS mad FROM m2)
         SELECT madt.channel, madt.n, med.median, madt.mad
         FROM madt JOIN med ON madt.channel = med.channel
+        """,
+        "samples",
+    )
+
+    def _pmed_sql(src: str) -> str:
+        return f"""
+          SELECT channel, phase, CAST(MAX(n) AS BIGINT) AS n,
+                 MAX(CASE WHEN rn = floor(CAST(0.5 AS DOUBLE) * (n - 1))
+                     THEN value END) AS _lo,
+                 MAX(CASE WHEN rn = least(floor(CAST(0.5 AS DOUBLE) * (n - 1)) + 1, n - 1)
+                     THEN value END) AS _hi
+          FROM (
+            SELECT channel, phase, value,
+                   ROW_NUMBER() OVER (PARTITION BY channel, phase
+                       ORDER BY value, ts) - 1 AS rn,
+                   COUNT(*) OVER (PARTITION BY channel, phase) AS n
+            FROM {src}
+          ) GROUP BY channel, phase
+        """
+
+    sql["ts_seasonal_outliers"] = with_views(
+        f"""
+        WITH keyed AS (
+          SELECT channel, (ts // {86_400_000_000}) % 7 AS phase, ts, value
+          FROM samples
+        ),
+        m1 AS ({_pmed_sql('keyed')}),
+        med AS (SELECT channel, phase, {_mad_pct} AS median FROM m1),
+        dev AS (
+          SELECT k.channel, k.phase, k.ts,
+                 abs(k.value - med.median) AS value
+          FROM keyed k JOIN med
+            ON k.channel = med.channel AND k.phase = med.phase
+        ),
+        m2 AS ({_pmed_sql('dev')}),
+        madt AS (SELECT channel, phase, {_mad_pct} AS mad FROM m2),
+        j AS (
+          SELECT k.channel, k.phase, k.ts, k.value, med.median, madt.mad
+          FROM keyed k
+          JOIN med ON k.channel = med.channel AND k.phase = med.phase
+          JOIN madt ON k.channel = madt.channel AND k.phase = madt.phase
+        )
+        SELECT channel, phase, ts, value,
+               0.6745e0 * (value - median) / mad AS mz
+        FROM j
+        WHERE mad > 0
+          AND abs(round(0.6745e0 * (value - median) / mad, 9))
+              > {SEASONAL_Z}
         """,
         "samples",
     )

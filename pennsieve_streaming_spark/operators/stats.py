@@ -534,3 +534,84 @@ def quality_profile(
         F.min("vmin").alias("v_min"),
         F.max("vmax").alias("v_max"),
     )
+
+
+def seasonal_mad_outliers(
+    samples: DataFrame,
+    z: float = 3.5,
+    bucket_us: int = PROFILE_DAY_US,
+    period: int = 7,
+) -> DataFrame:
+    """Seasonality-aware robust outliers: the Iglewicz–Hoaglin modified
+    z-score evaluated against the (channel, phase) baseline, where
+    phase = (ts div bucket_us) mod period — day-of-week by default.
+    A Sunday reading is judged against Sundays: the screen that keeps
+    weekly rhythm from masquerading as anomaly (or masking one).
+
+    Both the phase median and the phase MAD use the explicit
+    order-statistic interpolation (:func:`channel_percentiles`
+    contract) so the baseline is bit-identical cross-engine; the score
+    is one fixed float expression and the gate compares its 9-dp
+    rounding, exactly like the global ``channel_mad`` screen.
+
+    Output: (channel, phase, ts, value, mz) for flagged rows.
+
+    Plan: two ranking passes partitioned by (channel, phase) —
+    |channels|×period partitions, so parallelism exceeds the global
+    screen's — then broadcast joins of the baseline tables.
+    """
+    keyed = samples.select(
+        "channel",
+        F.expr(f"(ts div {int(bucket_us)}) % {int(period)}").alias("phase"),
+        "ts",
+        "value",
+    )
+
+    def _phase_median(df: DataFrame, out: str) -> DataFrame:
+        w = Window.partitionBy("channel", "phase").orderBy("value", "ts")
+        ranked = df.select(
+            "channel",
+            "phase",
+            "value",
+            (F.row_number().over(w) - 1).alias("_rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("channel", "phase"))
+            .alias("_n"),
+        )
+        idx = F.floor(F.lit(0.5) * (F.col("_n") - 1))
+        nxt = F.least(idx + 1, F.col("_n") - 1)
+        agg = ranked.groupBy("channel", "phase").agg(
+            F.max("_n").cast("long").alias("n"),
+            F.max(F.when(F.col("_rn") == idx, F.col("value"))).alias("_lo"),
+            F.max(F.when(F.col("_rn") == nxt, F.col("value"))).alias("_hi"),
+        )
+        return agg.select(
+            "channel",
+            "phase",
+            F.expr(
+                "_lo + (_hi - _lo) * (CAST(0.5 AS DOUBLE) * (n - 1) "
+                "- floor(CAST(0.5 AS DOUBLE) * (n - 1)))"
+            ).alias(out),
+        )
+
+    med = _phase_median(keyed, "median")
+    dev = keyed.join(F.broadcast(med), ["channel", "phase"]).select(
+        "channel",
+        "phase",
+        "ts",
+        F.abs(F.col("value") - F.col("median")).alias("value"),
+    )
+    mad = _phase_median(dev, "mad")
+    j = (
+        keyed.join(F.broadcast(med), ["channel", "phase"])
+        .join(F.broadcast(mad), ["channel", "phase"])
+    )
+    mz = F.expr("0.6745e0 * (value - median) / mad")
+    return (
+        j.withColumn("mz", mz)
+        .filter(
+            (F.col("mad") > 0)
+            & (F.abs(F.round(F.col("mz"), 9)) > float(z))
+        )
+        .select("channel", "phase", "ts", "value", "mz")
+    )

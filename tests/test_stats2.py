@@ -328,3 +328,40 @@ def test_quality_profile_golden(spark):
     assert (c.ts_min, c.ts_max, c.v_min, c.v_max) == (0, 30, -1.0, 999.0)
     d = got["d"]
     assert (d.n, d.n_null, d.n_dup_ts, d.n_below, d.n_above) == (1, 0, 0, 0, 0)
+
+
+def test_seasonal_mad_outliers_vs_global(spark):
+    """A weekly rhythm (high Sundays) plus one flat-day spike: the
+    global screen flags every Sunday; the seasonal screen flags ONLY
+    the injected spike."""
+    from pennsieve_streaming_spark.operators.stats import (
+        PROFILE_DAY_US,
+        seasonal_mad_outliers,
+    )
+
+    rows = []
+    for day in range(70):
+        phase = day % 7
+        base = 100.0 if phase == 0 else 10.0   # Sundays run hot
+        noise = (day * 7919 % 13) * 0.1        # deterministic jitter
+        rows.append(("c", day * PROFILE_DAY_US, base + noise))
+    # inject one anomalous Wednesday (phase 3)
+    rows.append(("c", (70 + 3) * PROFILE_DAY_US, 80.0))
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = seasonal_mad_outliers(df, z=3.5).collect()
+    flagged = {(r.phase, r.value) for r in out}
+    assert (3, 80.0) in flagged
+    # no Sunday is flagged despite being 10x the weekly median
+    assert not any(p == 0 for p, _ in flagged)
+
+
+def test_seasonal_mad_outliers_zero_mad_guarded(spark):
+    from pennsieve_streaming_spark.operators.stats import (
+        PROFILE_DAY_US,
+        seasonal_mad_outliers,
+    )
+
+    # constant per phase -> MAD 0 -> nothing flagged, no NaN rows
+    rows = [("c", d * PROFILE_DAY_US, float(d % 7)) for d in range(28)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    assert seasonal_mad_outliers(df, z=0.1).collect() == []
