@@ -1666,6 +1666,48 @@ PEAK_HEIGHT, PEAK_PROM = 90_000.0, 5_000.0
 QP_LO, QP_HI = 1_000.0, 100_000.0  # calibrated quality envelope
 
 
+def q_stream_quality(spark, sf_dir):
+    """Streaming ingest-quality monitor drained with availableNow:
+    single complete-mode agg, |channels|-bounded state; associative
+    counters make the drain equal the batch single-pass profile."""
+    import tempfile
+
+    from pennsieve_streaming_spark.streaming.quality import (
+        drain_quality_profile,
+    )
+
+    s = TBL.samples_view(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="pss_stream_q_")
+    s.coalesce(2).write.parquet(f"{base}/src")
+    stream = spark.readStream.schema(
+        "channel string, ts long, value double"
+    ).parquet(f"{base}/src")
+    return drain_quality_profile(
+        spark, stream, QP_LO, QP_HI, f"{base}/ckpt",
+        query_name=f"qprof_{abs(hash(base)) % 10**9}",
+    )
+
+
+def q_kmeans_inertia(spark, sf_dir):
+    """Per-cluster inertia of the golden-centroid model: quantized
+    BIGINT d² sums — the elbow/drift metric for the IVF quantizer."""
+    from pennsieve_streaming_spark.llm.similarity import (
+        golden_centroids,
+        kmeans_inertia,
+    )
+
+    return kmeans_inertia(
+        _embs(spark, sf_dir), golden_centroids(IVF_LISTS, ANN_DIM)
+    )
+
+
+def q_dedup_stats(spark, sf_dir):
+    """Per-source dedup health rollup (exact content digests)."""
+    from pennsieve_streaming_spark.llm.dedup import dedup_stats
+
+    return dedup_stats(_docs(spark, sf_dir))
+
+
 SEASONAL_Z = 1.25  # demo cutoff: synthetic data is uniform (max mz ~1.35);
                    # production callers pass the standard 3.5
 
@@ -1809,6 +1851,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_fingerprints": q_winnow_fingerprints,
         "doc_winnow_overlap": q_winnow_overlap,
         "ts_seasonal_outliers": q_seasonal_outliers,
+        "stream_quality_profile": q_stream_quality,
+        "emb_kmeans_inertia": q_kmeans_inertia,
+        "doc_dedup_stats": q_dedup_stats,
         "ts_hourly_profile": q_hourly_profile,
         "ts_quality_profile": q_quality_profile,
         "emb_cluster_sample": q_cluster_sample,
@@ -3202,6 +3247,31 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) OVER (PARTITION BY channel, phase) AS n
             FROM {src}
           ) GROUP BY channel, phase
+        """
+
+    sql["stream_quality_profile"] = with_views(
+        """
+        SELECT channel, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               CAST(SUM(CASE WHEN value < 1e3 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+               CAST(SUM(CASE WHEN value > 1e5 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+               MIN(ts) AS ts_min, MAX(ts) AS ts_max,
+               MIN(value) AS v_min, MAX(value) AS v_max
+        FROM samples GROUP BY channel
+        """,
+        "samples",
+    )
+
+    sql["doc_dedup_stats"] = """
+        WITH per_digest AS (
+          SELECT source, md5(text) AS digest, CAST(COUNT(*) AS BIGINT) AS c
+          FROM documents GROUP BY source, md5(text)
+        )
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_unique,
+               CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dups,
+               CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_rate
+        FROM per_digest GROUP BY source
         """
 
     sql["ts_seasonal_outliers"] = with_views(
@@ -5023,6 +5093,32 @@ def oracle_sql() -> dict[str, str]:
                  CAST(ROW_NUMBER() OVER (PARTITION BY list_id ORDER BY u, vec_id) AS BIGINT) AS pick
           FROM keyed
         ) WHERE pick <= {EMB_SAMPLE_CAP}
+        """
+
+    # --- golden-model inertia (elbow/drift metric) ---------------------------
+    sql["emb_kmeans_inertia"] = f"""
+        WITH cents AS (SELECT * FROM (VALUES {_cs_rows}) t(list_id, c)),
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        dists AS (
+          SELECT e.vec_id, t.list_id, {_cs_d2.format(v='e.v')} AS d2
+          FROM emb e CROSS JOIN cents t
+        ),
+        assigned AS (
+          SELECT vec_id, list_id, d2 FROM (
+            SELECT vec_id, list_id, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+            FROM dists
+          ) WHERE rn = 1
+        ),
+        dq AS (
+          SELECT list_id,
+                 CAST(round(d2 * 1000000000) AS BIGINT) AS d2q
+          FROM assigned
+        )
+        SELECT list_id, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(d2q) AS BIGINT) AS inertia_q,
+               CAST(SUM(d2q) AS DOUBLE) / 1000000000 AS inertia
+        FROM dq GROUP BY list_id
         """
 
     # --- multi-probe variant: query probes 1-bit-away buckets too -----------

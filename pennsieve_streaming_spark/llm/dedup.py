@@ -700,3 +700,31 @@ def winnow_overlap_pairs(
             ).alias("containment"),
         )
     )
+
+
+def dedup_stats(documents: DataFrame, by: str = "source") -> DataFrame:
+    """Dedup reporting rollup: per ``by``-group document count,
+    distinct-content count, duplicate count and rate — the per-source
+    health dashboard a curation run publishes after exact dedup.
+
+    Output: (source, n_docs, n_unique, n_dups, dup_rate) — counts are
+    exact integers; dup_rate is one float division.
+
+    Scale: a (by, digest) groupBy with map-side partials (the digest
+    keeps text out of the shuffle), then a |groups|-row rollup —
+    strictly cheaper than the dedup itself.
+    """
+    per_digest = (
+        documents.withColumn("digest", F.md5(F.col("text")))
+        .groupBy(F.col(by).alias("source"), "digest")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return per_digest.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        (F.sum("c") - F.count(F.lit(1))).cast("long").alias("n_dups"),
+        (
+            (F.sum("c") - F.count(F.lit(1))).cast("double")
+            / F.sum("c").cast("double")
+        ).alias("dup_rate"),
+    )

@@ -1002,3 +1002,59 @@ def cluster_sample(
         .filter(F.col("pick") <= cap)
         .select("vec_id", "list_id", "pick")
     )
+
+
+def kmeans_inertia(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    quant: int = 10**9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster inertia (within-cluster sum of squared distances) of
+    a centroid model — the standard clustering-quality / elbow metric,
+    and the drift monitor for a deployed IVF coarse quantizer.
+
+    Each point's d² uses the same sequential dot-product folds as the
+    assignment (bit-identical cross-engine), is quantized to a BIGINT
+    in 1/``quant`` units, and sums exactly — so total inertia is
+    independent of partitioning. Output: (list_id, n, inertia_q,
+    inertia) where inertia = inertia_q / quant.
+
+    Scale: narrow-map assignment + one partial-agg groupBy to k rows.
+    """
+    corpus = _as_double(embeddings, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    assigned = assign_lists(corpus, centroids, vec_col="v")
+    ct = _cents_literal(centroids)
+    fold = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    ci = "element_at(" + ct + ", list_id + 1)"
+    d2 = (
+        fold.format(a="v", b="v")
+        + " - 2.0D * "
+        + fold.format(a="v", b=ci)
+        + " + "
+        + fold.format(a=ci, b=ci)
+    )
+    q = int(quant)
+    dq = assigned.select(
+        "list_id",
+        F.expr(f"CAST(round(({d2}) * {q}) AS BIGINT)").alias("d2q"),
+    )
+    return (
+        dq.groupBy("list_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("d2q").cast("long").alias("inertia_q"),
+        )
+        .select(
+            "list_id",
+            "n",
+            "inertia_q",
+            (F.col("inertia_q").cast("double") / q).alias("inertia"),
+        )
+    )

@@ -526,3 +526,26 @@ def test_cluster_sample_small_clusters_kept_whole(spark):
     out = cluster_sample(embs, golden_centroids(2, 4), cap=100).collect()
     # cap above population: every vector survives
     assert len(out) == 5
+
+
+def test_kmeans_inertia_improves_with_training(spark):
+    """Trained centroids must not have higher total inertia than the
+    golden init — and the metric is exactly reproducible."""
+    import random
+
+    from pennsieve_streaming_spark.llm.similarity import (
+        golden_centroids,
+        kmeans_fit,
+        kmeans_inertia,
+    )
+
+    rng = random.Random(23)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    init = golden_centroids(4, 8)
+    trained = kmeans_fit(embs, 4, 8, n_iter=2, init=init)
+    i0 = sum(r.inertia_q for r in kmeans_inertia(embs, init).collect())
+    i1 = sum(r.inertia_q for r in kmeans_inertia(embs, trained).collect())
+    assert i1 <= i0
+    again = sum(r.inertia_q for r in kmeans_inertia(embs, init).collect())
+    assert again == i0

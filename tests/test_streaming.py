@@ -122,3 +122,35 @@ def test_streaming_gap_sessions(spark, segment_dir):
             assert r["span_hi"] > r["span_lo"]
     finally:
         shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+def test_stream_quality_profile_split_invariant(spark, tmp_path):
+    """Draining the quality monitor over ANY file split equals the
+    batch single-pass profile (associative counters)."""
+    from pennsieve_streaming_spark.streaming.quality import (
+        drain_quality_profile,
+    )
+
+    rows = [
+        ("a", 0, 5.0), ("a", 10, None), ("a", 20, -3.0),
+        ("b", 5, 120.0), ("b", 15, 50.0), ("a", 30, 60.0),
+    ]
+    # two uneven file slices
+    df1 = spark.createDataFrame(rows[:2], "channel string, ts long, value double")
+    df2 = spark.createDataFrame(rows[2:], "channel string, ts long, value double")
+    src = str(tmp_path / "src")
+    df1.coalesce(1).write.mode("append").parquet(src)
+    df2.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "channel string, ts long, value double"
+    ).parquet(src)
+    out = drain_quality_profile(
+        spark, stream, 0.0, 100.0, str(tmp_path / "ckpt"),
+        query_name="qprof_test",
+    )
+    got = {r.channel: r for r in out.collect()}
+    a = got["a"]
+    assert (a.n, a.n_null, a.n_below, a.n_above) == (4, 1, 1, 0)
+    assert (a.ts_min, a.ts_max, a.v_min, a.v_max) == (0, 30, -3.0, 60.0)
+    b = got["b"]
+    assert (b.n, b.n_null, b.n_below, b.n_above) == (2, 0, 0, 1)
