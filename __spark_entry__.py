@@ -1666,6 +1666,14 @@ PEAK_HEIGHT, PEAK_PROM = 90_000.0, 5_000.0
 QP_LO, QP_HI = 1_000.0, 100_000.0  # calibrated quality envelope
 
 
+def q_change_points(spark, sf_dir):
+    """CUSUM level-shift change point per channel: integer-scaled
+    prefix-sum deviation argmax (earliest-ts ties)."""
+    from pennsieve_streaming_spark.operators.stats import change_points
+
+    return change_points(TBL.samples_view(spark, sf_dir), CORR_QUANT)
+
+
 def q_stream_quality(spark, sf_dir):
     """Streaming ingest-quality monitor drained with availableNow:
     single complete-mode agg, |channels|-bounded state; associative
@@ -1852,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_overlap": q_winnow_overlap,
         "ts_seasonal_outliers": q_seasonal_outliers,
         "stream_quality_profile": q_stream_quality,
+        "ts_change_points": q_change_points,
         "emb_kmeans_inertia": q_kmeans_inertia,
         "doc_dedup_stats": q_dedup_stats,
         "ts_hourly_profile": q_hourly_profile,
@@ -3248,6 +3257,38 @@ def oracle_sql() -> dict[str, str]:
             FROM {src}
           ) GROUP BY channel, phase
         """
+
+    sql["ts_change_points"] = with_views(
+        f"""
+        WITH cum AS (
+          SELECT channel, ts,
+                 CAST(ROW_NUMBER() OVER w AS BIGINT) AS i,
+                 SUM(CAST(round(value * {CORR_QUANT}) AS BIGINT)) OVER
+                   (PARTITION BY channel ORDER BY ts, value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_i,
+                 COUNT(*) OVER (PARTITION BY channel) AS n,
+                 SUM(CAST(round(value * {CORR_QUANT}) AS BIGINT)) OVER
+                   (PARTITION BY channel) AS s_n
+          FROM samples
+          WINDOW w AS (PARTITION BY channel ORDER BY ts, value)
+        ),
+        dev AS (
+          SELECT channel, ts, i, CAST(n AS BIGINT) AS n, s_i, s_n,
+                 CAST(n AS BIGINT) * s_i - i * s_n AS dev_scaled
+          FROM cum WHERE i < n
+        ),
+        best AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY channel
+                      ORDER BY abs(dev_scaled) DESC, ts) AS _rk
+          FROM dev
+        )
+        SELECT channel, ts, i AS split_i, n, dev_scaled,
+               (CAST(s_n - s_i AS DOUBLE) / CAST(n - i AS DOUBLE)
+                - CAST(s_i AS DOUBLE) / CAST(i AS DOUBLE)) / {CORR_QUANT} AS shift
+        FROM best WHERE _rk = 1
+        """,
+        "samples",
+    )
 
     sql["stream_quality_profile"] = with_views(
         """

@@ -615,3 +615,74 @@ def seasonal_mad_outliers(
         )
         .select("channel", "phase", "ts", "value", "mz")
     )
+
+
+def change_points(samples: DataFrame, quant: int = 100) -> DataFrame:
+    """Single level-shift change-point estimate per channel: the
+    CUSUM argmax — the index where the prefix sum deviates most from
+    the straight line joining 0 to the channel total, i.e. the maximum
+    of |S_i - (i/n)·S_n|, the classic estimator for one mean shift.
+
+    Exactness: with ``quant``-quantized BIGINT values the deviation is
+    scaled by n to stay integral — dev_i = n·S_i - i·S_n — so the
+    argmax (ties → earliest ts) is a pure integer computation,
+    independent of partitioning and engine. Output: (channel, ts,
+    split_i, n, dev_scaled, shift) where shift is the mean difference
+    after/before the split (two float divisions of exact integers).
+
+    Overflow bound: |dev_scaled| <= n·Σ|xq| — callers size quant so
+    n²·max|x|·quant < 2^63 (1e5-amplitude daily data for three
+    centuries fits at quant=100).
+
+    Plan: one per-channel cumsum window + one per-channel argmax
+    window (same partitioning, one shuffle), then a |channels|-row
+    result. At scale the blocked two-phase form of `contiguous_spans`
+    applies identically if a single channel's history exceeds one
+    task.
+    """
+    from pyspark.sql import Window
+
+    q = int(quant)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    cum = (
+        samples.select(
+            "channel", "ts", "value",
+            F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+        )
+        .withColumn(
+            "i", F.row_number().over(w).cast("long")
+        )
+        .withColumn(
+            "s_i",
+            F.sum("xq").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("channel"))
+        )
+        .withColumn(
+            "s_n", F.sum("xq").over(Window.partitionBy("channel"))
+        )
+    )
+    dev = cum.withColumn(
+        "dev_scaled", F.col("n") * F.col("s_i") - F.col("i") * F.col("s_n")
+    ).filter(F.col("i") < F.col("n"))  # a split needs both sides non-empty
+    pick = Window.partitionBy("channel").orderBy(
+        F.abs(F.col("dev_scaled")).desc(), "ts"
+    )
+    best = dev.withColumn("_rk", F.row_number().over(pick)).filter(
+        F.col("_rk") == 1
+    )
+    shift = (
+        f"(CAST(s_n - s_i AS DOUBLE) / CAST(n - i AS DOUBLE)"
+        f" - CAST(s_i AS DOUBLE) / CAST(i AS DOUBLE)) / {q}"
+    )
+    return best.select(
+        "channel",
+        "ts",
+        F.col("i").alias("split_i"),
+        "n",
+        "dev_scaled",
+        F.expr(shift).alias("shift"),
+    )

@@ -365,3 +365,29 @@ def test_seasonal_mad_outliers_zero_mad_guarded(spark):
     rows = [("c", d * PROFILE_DAY_US, float(d % 7)) for d in range(28)]
     df = spark.createDataFrame(rows, "channel string, ts long, value double")
     assert seasonal_mad_outliers(df, z=0.1).collect() == []
+
+
+def test_change_points_finds_injected_shift(spark):
+    from pennsieve_streaming_spark.operators.stats import change_points
+
+    rows = []
+    for i in range(200):
+        v = 10.0 if i < 120 else 25.0     # shift at index 120 (1-based i=120)
+        v += (i * 37 % 7) * 0.01           # deterministic jitter
+        rows.append(("c", i * 1000, v))
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    [r] = change_points(df, quant=100).collect()
+    assert r.split_i == 120                # last pre-shift row
+    assert 14.5 < r.shift < 15.5
+    assert r.n == 200
+
+
+def test_change_points_constant_signal_zero_dev(spark):
+    from pennsieve_streaming_spark.operators.stats import change_points
+
+    rows = [("c", i * 10, 5.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    [r] = change_points(df, quant=100).collect()
+    assert r.dev_scaled == 0
+    # earliest-ts tie rule: the degenerate argmax lands on the first row
+    assert r.split_i == 1
