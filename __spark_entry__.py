@@ -1666,6 +1666,34 @@ PEAK_HEIGHT, PEAK_PROM = 90_000.0, 5_000.0
 QP_LO, QP_HI = 1_000.0, 100_000.0  # calibrated quality envelope
 
 
+def q_cohort_matrix(spark, sf_dir):
+    """Full retention cohort triangle by first-active week, tracked
+    8 weeks out (deduped user-week joins only)."""
+    from pennsieve_streaming_spark.operators.analytics import cohort_matrix
+
+    return cohort_matrix(_user_events(spark, sf_dir), max_weeks=8)
+
+
+def q_langid_confusion(spark, sf_dir):
+    """Lang-ID evaluation confusion matrix: labeled lang × predicted
+    lang counts plus per-cell share of the labeled row."""
+    pred = q_lang_id(spark, sf_dir).select("lang", "predicted_lang")
+    per_lang = pred.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lang")
+    )
+    cells = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return cells.join(F.broadcast(per_lang), "lang").select(
+        "lang",
+        "predicted_lang",
+        "n",
+        (F.col("n").cast("double") / F.col("n_lang").cast("double")).alias(
+            "share"
+        ),
+    )
+
+
 def q_change_points(spark, sf_dir):
     """CUSUM level-shift change point per channel: integer-scaled
     prefix-sum deviation argmax (earliest-ts ties)."""
@@ -1861,6 +1889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_seasonal_outliers": q_seasonal_outliers,
         "stream_quality_profile": q_stream_quality,
         "ts_change_points": q_change_points,
+        "ev_cohort_matrix": q_cohort_matrix,
+        "doc_langid_confusion": q_langid_confusion,
         "emb_kmeans_inertia": q_kmeans_inertia,
         "doc_dedup_stats": q_dedup_stats,
         "ts_hourly_profile": q_hourly_profile,
@@ -3256,6 +3286,52 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) OVER (PARTITION BY channel, phase) AS n
             FROM {src}
           ) GROUP BY channel, phase
+        """
+
+    _WK = 7 * 86_400 * 1_000_000
+    sql["ev_cohort_matrix"] = f"""
+        WITH uw AS (
+          SELECT DISTINCT (epoch_us(ts) // {_WK}) * {_WK} AS week,
+                 user_id
+          FROM events
+        ),
+        first AS (
+          SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+        ),
+        sizes AS (
+          SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+          FROM first GROUP BY cohort_week
+        ),
+        joined AS (
+          SELECT f.cohort_week,
+                 (u.week - f.cohort_week) // {_WK} AS week_n
+          FROM uw u JOIN first f ON u.user_id = f.user_id
+          WHERE (u.week - f.cohort_week) // {_WK} <= 8
+        ),
+        ret AS (
+          SELECT cohort_week, week_n, CAST(COUNT(*) AS BIGINT) AS retained
+          FROM joined GROUP BY cohort_week, week_n
+        )
+        SELECT r.cohort_week, r.week_n, s.cohort_size, r.retained,
+               CAST(r.retained AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+        FROM ret r JOIN sizes s ON r.cohort_week = s.cohort_week
+        """
+
+    sql["doc_langid_confusion"] = f"""
+        WITH pred AS (
+          SELECT lang, predicted_lang FROM ({sql["doc_lang_id"]})
+        ),
+        per_lang AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+          FROM pred GROUP BY lang
+        ),
+        cells AS (
+          SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+          FROM pred GROUP BY lang, predicted_lang
+        )
+        SELECT c.lang, c.predicted_lang, c.n,
+               CAST(c.n AS DOUBLE) / CAST(p.n_lang AS DOUBLE) AS share
+        FROM cells c JOIN per_lang p ON c.lang = p.lang
         """
 
     sql["ts_change_points"] = with_views(

@@ -219,3 +219,45 @@ def user_sessions(events: DataFrame, gap_us: int) -> DataFrame:
     ).select(
         "user_id", "session_start", "session_end", "n_events", "duration_us"
     )
+
+
+def cohort_matrix(events: DataFrame, max_weeks: int = 8) -> DataFrame:
+    """Full retention cohort triangle: users grouped by their FIRST
+    active week (the cohort), tracked for ``max_weeks`` following
+    weeks. Output: (cohort_week, week_n, cohort_size, retained,
+    retention) for week_n in 0..max_weeks — week_n = 0 rows carry
+    retained == cohort_size; retention is one exact-integer division.
+
+    Plan: one groupBy to per-user first weeks, one distinct to
+    user-weeks, an equi-join on user_id (both sides deduped — orders
+    of magnitude below raw events), then a partial-agg rollup to
+    |weeks|×max_weeks rows.
+    """
+    uw = (
+        events.select(
+            F.expr(f"(ts div {WEEK_US}) * {WEEK_US}").alias("week"),
+            F.col("user_id"),
+        )
+        .distinct()
+    )
+    first = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    joined = uw.join(first, "user_id").select(
+        "cohort_week",
+        F.expr(f"(week - cohort_week) div {WEEK_US}").alias("week_n"),
+    ).filter(F.col("week_n") <= max_weeks)
+    ret = joined.groupBy("cohort_week", "week_n").agg(
+        F.count(F.lit(1)).cast("long").alias("retained")
+    )
+    return ret.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_n",
+        "cohort_size",
+        "retained",
+        (
+            F.col("retained").cast("double")
+            / F.col("cohort_size").cast("double")
+        ).alias("retention"),
+    )

@@ -164,3 +164,28 @@ def test_user_sessions_gap_boundary_is_exclusive(spark):
     )
     got = user_sessions(ev, gap_us=1000).collect()
     assert len(got) == 2  # 0..1000 together; 2001 splits (1001 > 1000)
+
+
+def test_cohort_matrix_golden(spark):
+    from pennsieve_streaming_spark.operators.analytics import (
+        WEEK_US,
+        cohort_matrix,
+    )
+
+    rows = [
+        # cohort week 0: u1 (stays 2 weeks), u2 (week 0 only)
+        (0, 1, "v"), (0, 2, "v"),
+        (WEEK_US + 5, 1, "v"),
+        (2 * WEEK_US, 1, "v"),
+        # cohort week 1: u3
+        (WEEK_US, 3, "v"),
+    ]
+    ev = spark.createDataFrame(rows, "ts long, user_id long, event_type string")
+    got = {(r.cohort_week, r.week_n): (r.cohort_size, r.retained, r.retention)
+           for r in cohort_matrix(ev, max_weeks=8).collect()}
+    assert got == {
+        (0, 0): (2, 2, 1.0),
+        (0, 1): (2, 1, 0.5),
+        (0, 2): (2, 1, 0.5),
+        (WEEK_US, 0): (1, 1, 1.0),
+    }
