@@ -1666,6 +1666,44 @@ PEAK_HEIGHT, PEAK_PROM = 90_000.0, 5_000.0
 QP_LO, QP_HI = 1_000.0, 100_000.0  # calibrated quality envelope
 
 
+def q_stream_distinct_events(spark, sf_dir):
+    """Streaming idempotent admission drained with availableNow: the
+    admitted event_id set equals batch DISTINCT — duplicated source
+    files notwithstanding (the writer doubles one slice)."""
+    import tempfile
+
+    from pennsieve_streaming_spark.streaming.dedup_events import (
+        drain_distinct_events,
+    )
+
+    ev = _user_events(spark, sf_dir).select("event_id")
+    base = tempfile.mkdtemp(prefix="pss_stream_dd_")
+    # simulate at-least-once delivery: write the feed, then append a
+    # duplicate slice of it
+    ev.coalesce(2).write.parquet(f"{base}/src")
+    ev.limit(200).coalesce(1).write.mode("append").parquet(f"{base}/src")
+    stream = spark.readStream.schema("event_id long").parquet(f"{base}/src")
+    return drain_distinct_events(
+        spark, stream, f"{base}/ckpt",
+        query_name=f"dd_{abs(hash(base)) % 10**9}",
+    )
+
+
+HQ_LO, HQ_HI, HQ_BINS = 0.0, 110_000.0, 220  # grid: width 500, covers data
+
+
+def q_hist_quantiles(spark, sf_dir):
+    """Mergeable histogram-sketch quantiles (error ≤ one bin width):
+    the bounded-state alternative to the exact ranking percentiles."""
+    from pennsieve_streaming_spark.operators.stats import (
+        histogram_quantiles,
+    )
+
+    return histogram_quantiles(
+        TBL.samples_view(spark, sf_dir), HQ_LO, HQ_HI, HQ_BINS
+    )
+
+
 def q_cohort_matrix(spark, sf_dir):
     """Full retention cohort triangle by first-active week, tracked
     8 weeks out (deduped user-week joins only)."""
@@ -1890,6 +1928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_quality_profile": q_stream_quality,
         "ts_change_points": q_change_points,
         "ev_cohort_matrix": q_cohort_matrix,
+        "ts_hist_quantiles": q_hist_quantiles,
+        "stream_distinct_events": q_stream_distinct_events,
         "doc_langid_confusion": q_langid_confusion,
         "emb_kmeans_inertia": q_kmeans_inertia,
         "doc_dedup_stats": q_dedup_stats,
@@ -3287,6 +3327,45 @@ def oracle_sql() -> dict[str, str]:
             FROM {src}
           ) GROUP BY channel, phase
         """
+
+    sql["stream_distinct_events"] = "SELECT DISTINCT event_id FROM events"
+
+    _hq_w = (HQ_HI - HQ_LO) / HQ_BINS  # 500.0
+    _hq_cols = []
+    for _p in (0.5, 0.9, 0.99):
+        _nm = f"q{str(_p).replace('0.', '').ljust(2, '0')}"
+        _rk = f"CAST(ceil(CAST({_p!r} AS DOUBLE) * total) AS BIGINT)"
+        _hq_cols.append(
+            f"MAX(CASE WHEN cum >= {_rk} AND before < {_rk} THEN "
+            f"bin_lo + {_hq_w!r}e0 * (CAST({_rk} - before AS DOUBLE) "
+            f"/ CAST(n AS DOUBLE)) END) AS {_nm}"
+        )
+    sql["ts_hist_quantiles"] = with_views(
+        f"""
+        WITH hist AS (
+          SELECT channel, bin,
+                 {HQ_LO!r}e0 + bin * {_hq_w!r}e0 AS bin_lo,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM (
+            SELECT channel,
+                   CAST(floor((value - {HQ_LO!r}e0) / {_hq_w!r}e0) AS BIGINT) AS bin
+            FROM samples
+          ) WHERE bin >= 0 AND bin < {HQ_BINS}
+          GROUP BY channel, bin
+        ),
+        cum AS (
+          SELECT channel, bin, bin_lo, n,
+                 SUM(n) OVER (PARTITION BY channel ORDER BY bin) AS cum,
+                 SUM(n) OVER (PARTITION BY channel) AS total,
+                 SUM(n) OVER (PARTITION BY channel ORDER BY bin) - n AS before
+          FROM hist
+        )
+        SELECT channel, CAST(MAX(total) AS BIGINT) AS n,
+               {", ".join(_hq_cols)}
+        FROM cum GROUP BY channel
+        """,
+        "samples",
+    )
 
     _WK = 7 * 86_400 * 1_000_000
     sql["ev_cohort_matrix"] = f"""

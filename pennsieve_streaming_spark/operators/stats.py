@@ -686,3 +686,55 @@ def change_points(samples: DataFrame, quant: int = 100) -> DataFrame:
         "dev_scaled",
         F.expr(shift).alias("shift"),
     )
+
+
+def histogram_quantiles(
+    samples: DataFrame,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Mergeable approximate quantiles from the fixed-grid histogram —
+    the bounded-state alternative to :func:`channel_percentiles` when
+    exact ranking is too expensive or the data arrives in shards/
+    streams: histograms merge by adding counters (associative), and
+    the quantile reads off the cumulative distribution with linear
+    interpolation inside the winning bucket. Error ≤ one bin width by
+    construction.
+
+    Engine-portable: bucket counts are exact integers; the quantile
+    expression is one fixed float formula per p — target rank
+    r = ceil(p·n), bucket b with cum ≥ r, then
+    ``bin_lo + width·(r - cum_before)/count_b``. Values outside
+    [lo, hi) are dropped (the histogram's documented contract).
+
+    Output: (channel, n, q<NN>... one column per p).
+
+    Scale: map + ONE partial-agg groupBy to |channels|×n_bins rows,
+    then a |channels|-row pivot — no ranking pass over the data, state
+    bounded by the grid. Matches the merge test: per-shard histograms
+    summed == combined histogram.
+    """
+    width = (float(hi) - float(lo)) / int(n_bins)
+    hist = value_histogram(samples, lo, hi, n_bins)
+    w = Window.partitionBy("channel").orderBy("bin")
+    cum = (
+        hist.withColumn("cum", F.sum("n").over(w))
+        .withColumn(
+            "total", F.sum("n").over(Window.partitionBy("channel"))
+        )
+        .withColumn("before", F.col("cum") - F.col("n"))
+    )
+    aggs = [F.max("total").cast("long").alias("n")]
+    for p in ps:
+        name = f"q{str(p).replace('0.', '').ljust(2, '0')}"
+        rank = F.expr(f"CAST(ceil(CAST({p!r} AS DOUBLE) * total) AS BIGINT)")
+        is_win = (F.col("cum") >= rank) & (F.col("before") < rank)
+        qexpr = (
+            F.col("bin_lo")
+            + F.lit(width)
+            * ((rank - F.col("before")).cast("double") / F.col("n").cast("double"))
+        )
+        aggs.append(F.max(F.when(is_win, qexpr)).alias(name))
+    return cum.groupBy("channel").agg(*aggs)

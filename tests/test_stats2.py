@@ -391,3 +391,32 @@ def test_change_points_constant_signal_zero_dev(spark):
     assert r.dev_scaled == 0
     # earliest-ts tie rule: the degenerate argmax lands on the first row
     assert r.split_i == 1
+
+
+def test_histogram_quantiles_error_bound_and_merge(spark):
+    """Sketch quantiles within one bin width of the exact percentiles;
+    per-shard histograms summed == combined histogram (mergeability)."""
+    from pennsieve_streaming_spark.operators.stats import (
+        channel_percentiles,
+        histogram_quantiles,
+        value_histogram,
+    )
+
+    rows = [("c", i, float((i * 7919) % 1000)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    [sk] = histogram_quantiles(df, 0.0, 1000.0, 50, ps=(0.5, 0.9)).collect()
+    [ex] = channel_percentiles(df, ps=(0.5, 0.9)).collect()
+    width = 1000.0 / 50
+    assert abs(sk.q50 - ex.p50) <= width
+    assert abs(sk.q90 - ex.p90) <= width
+    assert sk.n == 2000
+    # mergeability: shard histograms add up to the combined histogram
+    h_all = {(r.channel, r.bin): r.n
+             for r in value_histogram(df, 0.0, 1000.0, 50).collect()}
+    half1 = spark.createDataFrame(rows[:1000], "channel string, ts long, value double")
+    half2 = spark.createDataFrame(rows[1000:], "channel string, ts long, value double")
+    merged = {}
+    for half in (half1, half2):
+        for r in value_histogram(half, 0.0, 1000.0, 50).collect():
+            merged[(r.channel, r.bin)] = merged.get((r.channel, r.bin), 0) + r.n
+    assert merged == h_all

@@ -154,3 +154,23 @@ def test_stream_quality_profile_split_invariant(spark, tmp_path):
     assert (a.ts_min, a.ts_max, a.v_min, a.v_max) == (0, 30, -3.0, 60.0)
     b = got["b"]
     assert (b.n, b.n_null, b.n_below, b.n_above) == (2, 0, 0, 1)
+
+
+def test_stream_distinct_events_dedups_across_batches(spark, tmp_path):
+    """Duplicates arriving in LATER micro-batches are still suppressed
+    (cross-batch state), and each key is emitted exactly once."""
+    from pennsieve_streaming_spark.streaming.dedup_events import (
+        drain_distinct_events,
+    )
+
+    src = str(tmp_path / "src")
+    d1 = spark.createDataFrame([(1,), (2,), (3,)], "event_id long")
+    d2 = spark.createDataFrame([(2,), (3,), (4,)], "event_id long")  # overlaps
+    d1.coalesce(1).write.mode("append").parquet(src)
+    d2.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("event_id long").parquet(src)
+    out = drain_distinct_events(
+        spark, stream, str(tmp_path / "ckpt"), query_name="dd_test"
+    )
+    ids = sorted(r.event_id for r in out.collect())
+    assert ids == [1, 2, 3, 4]
