@@ -1666,6 +1666,17 @@ PEAK_HEIGHT, PEAK_PROM = 90_000.0, 5_000.0
 QP_LO, QP_HI = 1_000.0, 100_000.0  # calibrated quality envelope
 
 
+SOURCE_CAP = 15  # per-source cap (20 sources × ~25 docs at sf0.01)
+
+
+def q_source_cap(spark, sf_dir):
+    """Per-source document cap (the per-domain cap of web curation) —
+    deterministic multiplicative-hash selection."""
+    from pennsieve_streaming_spark.llm.curation import source_cap
+
+    return source_cap(_docs(spark, sf_dir), cap=SOURCE_CAP)
+
+
 def q_stream_distinct_events(spark, sf_dir):
     """Streaming idempotent admission drained with availableNow: the
     admitted event_id set equals batch DISTINCT — duplicated source
@@ -1930,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_cohort_matrix": q_cohort_matrix,
         "ts_hist_quantiles": q_hist_quantiles,
         "stream_distinct_events": q_stream_distinct_events,
+        "doc_source_cap": q_source_cap,
         "doc_langid_confusion": q_langid_confusion,
         "emb_kmeans_inertia": q_kmeans_inertia,
         "doc_dedup_stats": q_dedup_stats,
@@ -3329,6 +3341,21 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["stream_distinct_events"] = "SELECT DISTINCT event_id FROM events"
+
+    from pennsieve_streaming_spark.llm.curation import (
+        SAMPLE_MOD as _SC_MOD,
+        SAMPLE_MULT as _SC_MULT,
+    )
+
+    sql["doc_source_cap"] = f"""
+        SELECT doc_id, source, lang, pick FROM (
+          SELECT doc_id, source, lang,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY (((doc_id + 0) % {_SC_MOD}) * {_SC_MULT}) % {_SC_MOD},
+                            doc_id) AS BIGINT) AS pick
+          FROM documents
+        ) WHERE pick <= {SOURCE_CAP}
+        """
 
     _hq_w = (HQ_HI - HQ_LO) / HQ_BINS  # 500.0
     _hq_cols = []

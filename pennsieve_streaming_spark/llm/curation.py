@@ -1107,3 +1107,35 @@ def bigram_lm_score(documents: DataFrame, k: float = 0.5) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+def source_cap(
+    documents: DataFrame, cap: int, salt: int = 0
+) -> DataFrame:
+    """Per-source document cap — the per-domain cap of web-corpus
+    curation (no single domain may dominate the mix): keep at most
+    ``cap`` documents per source, selected by the deterministic
+    multiplicative-hash order (same family as `sample_u_expr`; the
+    salt folds into the multiplicand so each salt is a genuine
+    redraw, not an order-preserving shift).
+
+    Output: (doc_id, source, lang, pick) for kept rows; pick is the
+    1-based within-source selection rank.
+
+    Scale: one window shuffle keyed on source. Web-scale hot domains
+    make single sources large; production splits the rank with the
+    blocked two-phase trick (rank within (source, doc_id-range) block,
+    offset by block totals) — the cap semantics are unchanged.
+    """
+    u = (
+        f"((((doc_id + {int(salt)}) % {SAMPLE_MOD}) * {SAMPLE_MULT}) "
+        f"% {SAMPLE_MOD})"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.expr(u), "doc_id")
+    return (
+        documents.select("doc_id", "source", "lang")
+        .withColumn("pick", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick") <= int(cap))
+    )

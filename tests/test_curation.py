@@ -611,3 +611,26 @@ def test_quality_classifier_empty_corpus_raises_cleanly(spark):
     )
     with pytest.raises(ValueError, match="empty corpus"):
         quality_classifier_fit(empty, n_iter=1)
+
+
+def test_source_cap_respects_cap_and_redraws(spark):
+    from pennsieve_streaming_spark.llm.curation import source_cap
+
+    rows = [(i, f"s{i % 3}", "en", f"text {i}", 6) for i in range(90)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string, n_chars long"
+    )
+    out = source_cap(docs, cap=10).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.pick)
+    assert set(by_src) == {"s0", "s1", "s2"}
+    for picks in by_src.values():
+        assert sorted(picks) == list(range(1, 11))
+    # deterministic rerun; salted redraw differs
+    again = {(r.doc_id,) for r in source_cap(docs, cap=10).collect()}
+    assert again == {(r.doc_id,) for r in out}
+    redraw = {(r.doc_id,) for r in source_cap(docs, cap=10, salt=7).collect()}
+    assert redraw != again
+    # cap above population keeps everything
+    assert source_cap(docs, cap=100).count() == 90
