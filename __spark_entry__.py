@@ -1416,6 +1416,25 @@ def q_funnel(spark, sf_dir):
     return funnel(_user_events(spark, sf_dir), "signup", "purchase")
 
 
+FUNNEL_STEPS = ["signup", "view", "purchase"]
+
+
+def q_funnel_steps(spark, sf_dir):
+    """3-step ordered funnel (signup → view → purchase), greedy
+    earliest-match semantics; per-step completion counts."""
+    from pennsieve_streaming_spark.operators.analytics import funnel_steps
+
+    return funnel_steps(_user_events(spark, sf_dir), FUNNEL_STEPS)
+
+
+def q_last_touch(spark, sf_dir):
+    """Last-touch attribution of purchases to the most recent prior
+    non-purchase event type."""
+    from pennsieve_streaming_spark.operators.analytics import last_touch
+
+    return last_touch(_user_events(spark, sf_dir), "purchase")
+
+
 MADZ_THRESHOLD = 3.5  # modified z-score cutoff (Iglewicz & Hoaglin)
 
 
@@ -1942,6 +1961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_hist_quantiles": q_hist_quantiles,
         "stream_distinct_events": q_stream_distinct_events,
         "doc_source_cap": q_source_cap,
+        "ev_funnel_steps": q_funnel_steps,
+        "ev_last_touch": q_last_touch,
         "doc_langid_confusion": q_langid_confusion,
         "emb_kmeans_inertia": q_kmeans_inertia,
         "doc_dedup_stats": q_dedup_stats,
@@ -3393,6 +3414,57 @@ def oracle_sql() -> dict[str, str]:
         """,
         "samples",
     )
+
+    _fs = FUNNEL_STEPS
+    sql["ev_funnel_steps"] = f"""
+        WITH ue AS (
+          SELECT epoch_us(ts) AS ts, user_id, event_type FROM events
+        ),
+        s0 AS (
+          SELECT user_id, MIN(ts) AS t FROM ue
+          WHERE event_type = '{_fs[0]}' GROUP BY user_id
+        ),
+        s1 AS (
+          SELECT u.user_id, MIN(u.ts) AS t
+          FROM ue u JOIN s0 ON u.user_id = s0.user_id
+          WHERE u.event_type = '{_fs[1]}' AND u.ts > s0.t
+          GROUP BY u.user_id
+        ),
+        s2 AS (
+          SELECT u.user_id, MIN(u.ts) AS t
+          FROM ue u JOIN s1 ON u.user_id = s1.user_id
+          WHERE u.event_type = '{_fs[2]}' AND u.ts > s1.t
+          GROUP BY u.user_id
+        )
+        SELECT CAST(0 AS BIGINT) AS step_idx, '{_fs[0]}' AS step,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s0) AS n_users
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), '{_fs[1]}',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s1)
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), '{_fs[2]}',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+        """
+
+    sql["ev_last_touch"] = """
+        WITH ue AS (
+          SELECT epoch_us(ts) AS ts, event_id, user_id, event_type
+          FROM events
+        ),
+        tagged AS (
+          SELECT user_id, ts, event_id, event_type,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                            THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prior_touch
+          FROM ue
+        )
+        SELECT COALESCE(prior_touch, 'none') AS touch_type,
+               CAST(COUNT(*) AS BIGINT) AS n_conversions
+        FROM tagged WHERE event_type = 'purchase'
+        GROUP BY COALESCE(prior_touch, 'none')
+        """
 
     _WK = 7 * 86_400 * 1_000_000
     sql["ev_cohort_matrix"] = f"""

@@ -261,3 +261,78 @@ def cohort_matrix(events: DataFrame, max_weeks: int = 8) -> DataFrame:
             / F.col("cohort_size").cast("double")
         ).alias("retention"),
     )
+
+
+def funnel_steps(events: DataFrame, steps: list[str]) -> DataFrame:
+    """N-step ordered funnel: per step k, how many users completed
+    steps[0..k] in strict time order (each step's event strictly after
+    the previous step's matched event; matching is earliest-possible,
+    the standard greedy funnel semantics). Output: (step_idx, step,
+    n_users) for every step, including 0 for unreached tail steps.
+
+    Plan: K-1 chained equi-joins on user_id — every side is a per-user
+    min-ts aggregate (|users| rows, not events), so each join is
+    broadcast-friendly; no window over raw events.
+    """
+    cur = (
+        events.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    counts = [cur.count()]
+    for step in steps[1:]:
+        nxt = (
+            events.filter(F.col("event_type") == step)
+            .select("user_id", F.col("ts").alias("ts_n"))
+            .join(cur, "user_id")
+            .filter(F.col("ts_n") > F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("ts_n").alias("t"))
+        )
+        cur = nxt
+        counts.append(cur.count())
+    spark = events.sparkSession
+    rows = [
+        (i, steps[i], int(counts[i])) for i in range(len(steps))
+    ]
+    return spark.createDataFrame(
+        rows, "step_idx long, step string, n_users long"
+    )
+
+
+def last_touch(
+    events: DataFrame, conversion: str
+) -> DataFrame:
+    """Last-touch attribution: for every ``conversion`` event, the
+    type of the user's most recent STRICTLY-prior event (any
+    non-conversion type). Conversions with no prior touch attribute to
+    'none'. Output: (touch_type, n_conversions).
+
+    Plan: one per-user ordered window (last non-conversion type seen
+    so far via a conditional running max on (ts, event_id)-packed
+    keys), then a groupBy to |types| rows — no self-join of events.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = events.select(
+        "user_id", "ts", "event_id", "event_type"
+    ).withColumn(
+        "prior_touch",
+        F.last(
+            F.when(F.col("event_type") != conversion, F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    conv = tagged.filter(F.col("event_type") == conversion)
+    return (
+        conv.select(
+            F.coalesce("prior_touch", F.lit("none")).alias("touch_type")
+        )
+        .groupBy("touch_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
+    )

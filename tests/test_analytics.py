@@ -189,3 +189,41 @@ def test_cohort_matrix_golden(spark):
         (0, 2): (2, 1, 0.5),
         (WEEK_US, 0): (1, 1, 1.0),
     }
+
+
+def test_funnel_steps_golden(spark):
+    from pennsieve_streaming_spark.operators.analytics import funnel_steps
+
+    rows = [
+        # u1 completes all three in order
+        (0, 1, 1, "a"), (10, 2, 1, "b"), (20, 3, 1, "c"),
+        # u2 does a then c (skips b): stops at step 0
+        (0, 4, 2, "a"), (10, 5, 2, "c"),
+        # u3 does b before a: b must be AFTER a -> stops at step 0
+        (0, 6, 3, "b"), (10, 7, 3, "a"),
+        # u4 never starts
+        (0, 8, 4, "c"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "ts long, event_id long, user_id long, event_type string"
+    )
+    got = {r.step_idx: r.n_users
+           for r in funnel_steps(ev, ["a", "b", "c"]).collect()}
+    assert got == {0: 3, 1: 1, 2: 1}
+
+
+def test_last_touch_golden(spark):
+    from pennsieve_streaming_spark.operators.analytics import last_touch
+
+    rows = [
+        (0, 1, 1, "ad"), (10, 2, 1, "email"), (20, 3, 1, "purchase"),
+        (0, 4, 2, "purchase"),                      # no prior touch
+        (0, 5, 3, "ad"), (10, 6, 3, "purchase"),
+        (20, 7, 3, "purchase"),                      # ad still last touch
+    ]
+    ev = spark.createDataFrame(
+        rows, "ts long, event_id long, user_id long, event_type string"
+    )
+    got = {r.touch_type: r.n_conversions
+           for r in last_touch(ev, "purchase").collect()}
+    assert got == {"email": 1, "none": 1, "ad": 2}
