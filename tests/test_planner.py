@@ -263,3 +263,76 @@ def test_histogram_shuffle_bounded_by_bins(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "partial_count" in plan or "partial" in plan
+
+
+def test_winnow_overlap_plan_no_cartesian(spark):
+    """The fingerprint self-join must be an equi-join on fp (bounded
+    per-key fan-out via the df cap), never a cartesian product."""
+    from pennsieve_streaming_spark.llm.dedup import winnow_overlap_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    plan = _plan(winnow_overlap_pairs(docs, k=3, window=2, min_shared=1))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin [fp" in plan or "hashJoin" in plan.lower()
+
+
+def test_pagerank_lineage_truncated_per_iteration(spark):
+    """Each iteration localCheckpoints, so the final plan is a FLAT
+    scan of materialized state — no join tree growing with n_iter (the
+    classic iterative-Spark lineage explosion). Five iterations must
+    produce the same plan shape as one."""
+    from pennsieve_streaming_spark.llm.graph import pagerank
+
+    docs = spark.range(10).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    p1 = _plan(pagerank(docs, pairs, n_iter=1))
+    p5 = _plan(pagerank(docs, pairs, n_iter=5))
+    for plan in (p1, p5):
+        assert "Scan ExistingRDD" in plan
+        assert "Join" not in plan and "CartesianProduct" not in plan
+    assert abs(len(p5) - len(p1)) < 80  # no per-iteration plan growth
+
+
+def test_cluster_sample_assignment_is_narrow(spark):
+    """Centroid assignment adds no Exchange beyond the single
+    per-cluster ranking window shuffle."""
+    from pennsieve_streaming_spark.llm.similarity import (
+        cluster_sample,
+        golden_centroids,
+    )
+
+    embs = spark.createDataFrame(
+        [(1, [0.1] * 4), (2, [0.2] * 4)], "vec_id long, embedding array<float>"
+    )
+    plan = _plan(cluster_sample(embs, golden_centroids(2, 4), cap=5))
+    # exactly one hashpartitioning exchange: the list_id ranking window
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_event_transitions_plan_take_ordered(spark):
+    """Global top-k must plan as TakeOrderedAndProject, not a full
+    sort."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        event_transitions,
+    )
+
+    ev = spark.createDataFrame(
+        [(0, 1, 1, "a"), (1, 2, 1, "b")],
+        "ts long, event_id long, user_id long, event_type string",
+    )
+    plan = _plan(event_transitions(ev, k=5))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_power_spectrum_no_python_and_partial_agg(spark):
+    from pennsieve_streaming_spark.dsp.spectral import power_spectrum
+
+    s = spark.createDataFrame(
+        [("c", 0, 1.0)], "channel string, ts long, value double"
+    )
+    plan = _plan(power_spectrum(s, n_bins=2, window_samples=4))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial" in plan
