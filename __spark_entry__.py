@@ -1734,6 +1734,21 @@ def q_hist_quantiles(spark, sf_dir):
     )
 
 
+PSI_SPLIT_TS = 900_000_000_000_000  # mid-corpus reference/current split
+
+
+def q_distribution_drift(spark, sf_dir):
+    """PSI drift alarm per channel between the pre/post split windows
+    on the shared value grid (add-half smoothing, 9-dp ln terms)."""
+    from pennsieve_streaming_spark.operators.stats import (
+        distribution_drift,
+    )
+
+    return distribution_drift(
+        TBL.samples_view(spark, sf_dir), PSI_SPLIT_TS, HQ_LO, HQ_HI, 22
+    )
+
+
 def q_cohort_matrix(spark, sf_dir):
     """Full retention cohort triangle by first-active week, tracked
     8 weeks out (deduped user-week joins only)."""
@@ -1963,6 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_cap": q_source_cap,
         "ev_funnel_steps": q_funnel_steps,
         "ev_last_touch": q_last_touch,
+        "ts_distribution_drift": q_distribution_drift,
         "doc_langid_confusion": q_langid_confusion,
         "emb_kmeans_inertia": q_kmeans_inertia,
         "doc_dedup_stats": q_dedup_stats,
@@ -3465,6 +3481,55 @@ def oracle_sql() -> dict[str, str]:
         FROM tagged WHERE event_type = 'purchase'
         GROUP BY COALESCE(prior_touch, 'none')
         """
+
+    _psi_nb = 22
+    _psi_w = (HQ_HI - HQ_LO) / _psi_nb
+    _psi_p = (
+        f"(CAST(c_ref AS DOUBLE) + 5e-1) / (CAST(n_ref AS DOUBLE) + 5e-1 * {_psi_nb})"
+    )
+    _psi_q = (
+        f"(CAST(c_cur AS DOUBLE) + 5e-1) / (CAST(n_cur AS DOUBLE) + 5e-1 * {_psi_nb})"
+    )
+    sql["ts_distribution_drift"] = with_views(
+        f"""
+        WITH counts AS (
+          SELECT channel,
+                 CAST(floor((value - {HQ_LO!r}e0) / {_psi_w!r}e0) AS BIGINT) AS bin,
+                 CAST(SUM(CASE WHEN ts < {PSI_SPLIT_TS} THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+                 CAST(SUM(CASE WHEN ts < {PSI_SPLIT_TS} THEN 0 ELSE 1 END) AS BIGINT) AS c_cur
+          FROM samples
+          WHERE floor((value - {HQ_LO!r}e0) / {_psi_w!r}e0) >= 0
+            AND floor((value - {HQ_LO!r}e0) / {_psi_w!r}e0) < {_psi_nb}
+          GROUP BY channel, CAST(floor((value - {HQ_LO!r}e0) / {_psi_w!r}e0) AS BIGINT)
+        ),
+        grid AS (
+          SELECT c.channel, b.bin
+          FROM (SELECT DISTINCT channel FROM counts) c
+          CROSS JOIN (SELECT UNNEST(generate_series(0, {_psi_nb - 1})) AS bin) b
+        ),
+        cells AS (
+          SELECT g.channel, g.bin,
+                 COALESCE(c.c_ref, 0) AS c_ref, COALESCE(c.c_cur, 0) AS c_cur
+          FROM grid g LEFT JOIN counts c
+            ON g.channel = c.channel AND g.bin = c.bin
+        ),
+        tot AS (
+          SELECT channel, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+                 CAST(SUM(c_cur) AS BIGINT) AS n_cur
+          FROM cells GROUP BY channel
+        ),
+        terms AS (
+          SELECT f.channel, t.n_ref, t.n_cur,
+                 CAST(round((round({_psi_p} - {_psi_q}, 9)
+                   * round(ln(({_psi_p}) / ({_psi_q})), 9)) * 1000000000) AS BIGINT) AS tq
+          FROM cells f JOIN tot t ON f.channel = t.channel
+        )
+        SELECT channel, MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur,
+               CAST(SUM(tq) AS DOUBLE) / 1e9 AS psi
+        FROM terms GROUP BY channel
+        """,
+        "samples",
+    )
 
     _WK = 7 * 86_400 * 1_000_000
     sql["ev_cohort_matrix"] = f"""

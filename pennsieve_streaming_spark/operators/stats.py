@@ -738,3 +738,74 @@ def histogram_quantiles(
         )
         aggs.append(F.max(F.when(is_win, qexpr)).alias(name))
     return cum.groupBy("channel").agg(*aggs)
+
+
+def distribution_drift(
+    samples: DataFrame,
+    split_ts: int,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Population Stability Index between the reference window
+    (ts < split_ts) and the current window (ts >= split_ts), per
+    channel — the standard production drift alarm (rule of thumb:
+    PSI < 0.1 stable, > 0.25 action).
+
+    PSI = Σ_bins (p_i - q_i) · ln(p_i / q_i), with add-half smoothing
+    ((c_i + 0.5) / (n + 0.5·bins)) so empty bins never divide by zero.
+
+    Determinism: ln() is not correctly rounded in either engine, so
+    each bin's term is rounded to 9 dp and quantized to a 1e-9 BIGINT
+    before the (order-free, exact) sum — the same contract as the
+    unigram-LM scores. Output: (channel, n_ref, n_cur, psi).
+
+    Plan: one map + ONE groupBy to |channels|×bins counter rows
+    (counting both windows in the same pass via conditional sums),
+    then a |channels|-row reduce. The drift check costs one scan.
+    """
+    width = (float(hi) - float(lo)) / int(n_bins)
+    nb = int(n_bins)
+    bin_col = F.floor((F.col("value") - F.lit(float(lo))) / F.lit(width))
+    counts = (
+        samples.withColumn("bin", bin_col)
+        .filter((F.col("bin") >= 0) & (F.col("bin") < nb))
+        .withColumn("is_ref", (F.col("ts") < split_ts).cast("long"))
+        .groupBy("channel", "bin")
+        .agg(
+            F.sum("is_ref").cast("long").alias("c_ref"),
+            F.sum(F.lit(1) - F.col("is_ref")).cast("long").alias("c_cur"),
+        )
+    )
+    # densify: every (channel, bin) cell participates, observed or not
+    chans = counts.select("channel").distinct()
+    grid = chans.crossJoin(
+        counts.sparkSession.range(nb).select(F.col("id").alias("bin"))
+    )
+    full = grid.join(counts, ["channel", "bin"], "left").select(
+        "channel",
+        "bin",
+        F.coalesce("c_ref", F.lit(0)).cast("long").alias("c_ref"),
+        F.coalesce("c_cur", F.lit(0)).cast("long").alias("c_cur"),
+    )
+    tot = full.groupBy("channel").agg(
+        F.sum("c_ref").cast("long").alias("n_ref"),
+        F.sum("c_cur").cast("long").alias("n_cur"),
+    )
+    j = full.join(F.broadcast(tot), "channel")
+    term = (
+        f"round((CAST(c_ref AS DOUBLE) + 5e-1) / (CAST(n_ref AS DOUBLE) + 5e-1 * {nb}) "
+        f"- (CAST(c_cur AS DOUBLE) + 5e-1) / (CAST(n_cur AS DOUBLE) + 5e-1 * {nb}), 9) "
+        f"* round(ln(((CAST(c_ref AS DOUBLE) + 5e-1) / (CAST(n_ref AS DOUBLE) + 5e-1 * {nb})) "
+        f"/ ((CAST(c_cur AS DOUBLE) + 5e-1) / (CAST(n_cur AS DOUBLE) + 5e-1 * {nb}))), 9)"
+    )
+    termq = f"CAST(round(({term}) * 1000000000) AS BIGINT)"
+    return (
+        j.withColumn("tq", F.expr(termq))
+        .groupBy("channel")
+        .agg(
+            F.max("n_ref").cast("long").alias("n_ref"),
+            F.max("n_cur").cast("long").alias("n_cur"),
+            (F.sum("tq").cast("double") / F.lit(1e9)).alias("psi"),
+        )
+    )

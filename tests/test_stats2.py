@@ -420,3 +420,34 @@ def test_histogram_quantiles_error_bound_and_merge(spark):
         for r in value_histogram(half, 0.0, 1000.0, 50).collect():
             merged[(r.channel, r.bin)] = merged.get((r.channel, r.bin), 0) + r.n
     assert merged == h_all
+
+
+def test_distribution_drift_detects_shift(spark):
+    from pennsieve_streaming_spark.operators.stats import distribution_drift
+
+    rows = []
+    for i in range(1000):
+        # stable channel: same distribution both windows
+        rows.append(("stable", i, float((i * 7919) % 100)))
+        # drifting channel: second window shifts up by 50
+        v = float((i * 7919) % 100) + (50.0 if i >= 500 else 0.0)
+        rows.append(("drift", i, v))
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    got = {r.channel: r for r in
+           distribution_drift(df, split_ts=500, lo=0.0, hi=200.0, n_bins=20)
+           .collect()}
+    assert got["stable"].psi < 0.05
+    assert got["drift"].psi > 0.5
+    assert got["drift"].n_ref == 500 and got["drift"].n_cur == 500
+
+
+def test_distribution_drift_empty_window_smoothed(spark):
+    from pennsieve_streaming_spark.operators.stats import distribution_drift
+
+    # everything in the reference window: PSI finite (smoothing), no div0
+    rows = [("c", i, float(i % 10)) for i in range(100)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    [r] = distribution_drift(df, split_ts=10**9, lo=0.0, hi=10.0,
+                             n_bins=5).collect()
+    import math
+    assert math.isfinite(r.psi) and r.n_cur == 0
