@@ -1734,6 +1734,22 @@ def q_hist_quantiles(spark, sf_dir):
     )
 
 
+def q_corpus_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (90/5/5): a pure
+    function of doc_id, stable under corpus growth."""
+    from pennsieve_streaming_spark.llm.curation import corpus_split
+
+    return corpus_split(_docs(spark, sf_dir))
+
+
+def q_winsorize(spark, sf_dir):
+    """Percentile winsorization: clamp to the per-channel [p05, p95]
+    envelope, flagging clipped rows."""
+    from pennsieve_streaming_spark.operators.stats import winsorize
+
+    return winsorize(TBL.samples_view(spark, sf_dir))
+
+
 PSI_SPLIT_TS = 900_000_000_000_000  # mid-corpus reference/current split
 
 
@@ -1979,6 +1995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_funnel_steps": q_funnel_steps,
         "ev_last_touch": q_last_touch,
         "ts_distribution_drift": q_distribution_drift,
+        "ts_winsorize": q_winsorize,
+        "doc_corpus_split": q_corpus_split,
         "doc_langid_confusion": q_langid_confusion,
         "emb_kmeans_inertia": q_kmeans_inertia,
         "doc_dedup_stats": q_dedup_stats,
@@ -2705,6 +2723,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang, source, {_u} AS sample_u
         FROM documents
         WHERE {_u} < ({_rate})
+        """
+
+    sql["doc_corpus_split"] = f"""
+        SELECT doc_id, source, lang, {_u} AS sample_u,
+               CASE WHEN {_u} < CAST(0.05 AS DOUBLE) THEN 'val'
+                    WHEN {_u} < CAST(0.1 AS DOUBLE) THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents
         """
 
     sql["doc_pack_sequences"] = f"""
@@ -4061,6 +4087,34 @@ def oracle_sql() -> dict[str, str]:
           FROM ranked GROUP BY channel
         )
         SELECT channel, n, {_pct_posts} FROM agg
+        """,
+        "samples",
+    )
+
+    _ws_aggs = ", ".join(
+        _pct_terms(p, nm)[0] for p, nm in ((0.05, "p05"), (0.95, "p95"))
+    )
+    _ws_posts = ", ".join(
+        _pct_terms(p, nm)[1] for p, nm in ((0.05, "p05"), (0.95, "p95"))
+    )
+    sql["ts_winsorize"] = with_views(
+        f"""
+        WITH ranked AS (
+          SELECT channel, value,
+                 ROW_NUMBER() OVER (PARTITION BY channel ORDER BY value, ts)
+                   - 1 AS rn,
+                 COUNT(*) OVER (PARTITION BY channel) AS n
+          FROM samples
+        ),
+        agg AS (
+          SELECT channel, CAST(MAX(n) AS BIGINT) AS n, {_ws_aggs}
+          FROM ranked GROUP BY channel
+        ),
+        cuts AS (SELECT channel, {_ws_posts} FROM agg)
+        SELECT s.channel, s.ts, s.value,
+               LEAST(GREATEST(s.value, c.p05), c.p95) AS clamped,
+               s.value != LEAST(GREATEST(s.value, c.p05), c.p95) AS was_clipped
+        FROM samples s JOIN cuts c ON s.channel = c.channel
         """,
         "samples",
     )

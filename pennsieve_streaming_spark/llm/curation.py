@@ -1139,3 +1139,36 @@ def source_cap(
         .withColumn("pick", F.row_number().over(w).cast("long"))
         .filter(F.col("pick") <= int(cap))
     )
+
+
+def corpus_split(
+    documents: DataFrame,
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the split is a pure
+    function of (doc_id, salt) — the property that keeps eval sets
+    stable across reruns, engines, and incremental corpus additions
+    (a document's split never changes when other documents arrive,
+    unlike any rand()- or partition-dependent scheme).
+
+    Output: (doc_id, source, lang, sample_u, split) with split in
+    {'train', 'val', 'test'}.
+
+    Scale: narrow map, zero shuffle, pushes past column pruning.
+    """
+    u = sample_u_expr(salt)
+    vf = float(val_frac)
+    tf = float(test_frac)
+    split = (
+        f"CASE WHEN sample_u < CAST({vf!r} AS DOUBLE) THEN 'val' "
+        f"WHEN sample_u < CAST({vf + tf!r} AS DOUBLE) THEN 'test' "
+        f"ELSE 'train' END"
+    )
+    return (
+        documents.select(
+            "doc_id", "source", "lang", F.expr(u).alias("sample_u")
+        )
+        .withColumn("split", F.expr(split))
+    )

@@ -809,3 +809,38 @@ def distribution_drift(
             (F.sum("tq").cast("double") / F.lit(1e9)).alias("psi"),
         )
     )
+
+
+def winsorize(
+    samples: DataFrame, p_lo: float = 0.05, p_hi: float = 0.95
+) -> DataFrame:
+    """Winsorization: clamp each channel's values to its [p_lo, p_hi]
+    percentile envelope — the standard artifact-taming preprocessing
+    before moment-based operators (a railing electrode stops dragging
+    means/correlations without dropping rows).
+
+    Cut points use the explicit order-statistic interpolation
+    (:func:`channel_percentiles` — bit-identical cross-engine); the
+    clamp is pure comparisons. Output: (channel, ts, value, clamped,
+    was_clipped).
+
+    Plan: one ranking pass for the |channels|-row cut table, broadcast
+    back over the scan — the data shuffles zero times.
+    """
+    pct = channel_percentiles(samples, (p_lo, p_hi))
+    lo_name = f"p{str(p_lo).replace('0.', '').ljust(2, '0')}"
+    hi_name = f"p{str(p_hi).replace('0.', '').ljust(2, '0')}"
+    cuts = pct.select(
+        "channel",
+        F.col(lo_name).alias("_lo"),
+        F.col(hi_name).alias("_hi"),
+    )
+    j = samples.join(F.broadcast(cuts), "channel")
+    clamped = F.least(F.greatest(F.col("value"), F.col("_lo")), F.col("_hi"))
+    return j.select(
+        "channel",
+        "ts",
+        "value",
+        clamped.alias("clamped"),
+        (F.col("value") != clamped).alias("was_clipped"),
+    )

@@ -634,3 +634,23 @@ def test_source_cap_respects_cap_and_redraws(spark):
     assert redraw != again
     # cap above population keeps everything
     assert source_cap(docs, cap=100).count() == 90
+
+
+def test_corpus_split_stable_under_growth(spark):
+    """A document's split assignment never changes when the corpus
+    grows — the property rand()/randomSplit cannot give."""
+    from pennsieve_streaming_spark.llm.curation import corpus_split
+
+    mk = lambda n: spark.createDataFrame(
+        [(i, f"s{i % 3}", "en", f"text {i}", 6) for i in range(n)],
+        "doc_id long, source string, lang string, text string, n_chars long",
+    )
+    small = {r.doc_id: r.split for r in corpus_split(mk(100)).collect()}
+    big = {r.doc_id: r.split for r in corpus_split(mk(1000)).collect()}
+    for d, s in small.items():
+        assert big[d] == s
+    # fractions roughly honored at n=1000
+    from collections import Counter
+    c = Counter(big.values())
+    assert 20 <= c["val"] <= 90 and 20 <= c["test"] <= 90
+    assert c["train"] > 800

@@ -451,3 +451,18 @@ def test_distribution_drift_empty_window_smoothed(spark):
                              n_bins=5).collect()
     import math
     assert math.isfinite(r.psi) and r.n_cur == 0
+
+
+def test_winsorize_clamps_tails_only(spark):
+    from pennsieve_streaming_spark.operators.stats import winsorize
+
+    rows = [("c", i, float(i)) for i in range(100)]  # 0..99
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = {r.ts: r for r in winsorize(df, 0.05, 0.95).collect()}
+    assert len(out) == 100
+    # p05 of 0..99 (n-1 interpolation) = 4.95; p95 = 94.05
+    assert not out[50].was_clipped and out[50].clamped == 50.0
+    assert out[0].was_clipped and abs(out[0].clamped - 4.95) < 1e-9
+    assert out[99].was_clipped and abs(out[99].clamped - 94.05) < 1e-9
+    n_clip = sum(1 for r in out.values() if r.was_clipped)
+    assert n_clip == 10  # 5 on each tail
