@@ -1734,6 +1734,19 @@ def q_hist_quantiles(spark, sf_dir):
     )
 
 
+XC_LAG_US = 6 * 3600 * 1_000_000   # ±6 h correlogram span
+XC_BIN_US = 3600 * 1_000_000       # 1 h bins
+
+
+def q_event_xcorr(spark, sf_dir):
+    """Point-process cross-correlogram between event channels
+    (bucketized interval join, exact integer lag bins)."""
+    from pennsieve_streaming_spark.operators.events import event_xcorr
+
+    ev = TBL.chan_events_view(spark, sf_dir).select("channel", "ts")
+    return event_xcorr(ev, XC_LAG_US, XC_BIN_US)
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic train/val/test assignment (90/5/5): a pure
     function of doc_id, stable under corpus growth."""
@@ -1997,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_distribution_drift": q_distribution_drift,
         "ts_winsorize": q_winsorize,
         "doc_corpus_split": q_corpus_split,
+        "ts_event_xcorr": q_event_xcorr,
         "doc_langid_confusion": q_langid_confusion,
         "emb_kmeans_inertia": q_kmeans_inertia,
         "doc_dedup_stats": q_dedup_stats,
@@ -4097,6 +4111,25 @@ def oracle_sql() -> dict[str, str]:
     _ws_posts = ", ".join(
         _pct_terms(p, nm)[1] for p, nm in ((0.05, "p05"), (0.95, "p95"))
     )
+    sql["ts_event_xcorr"] = with_views(
+        f"""
+        WITH ev AS (SELECT channel, ts FROM chan_events),
+        pairs AS (
+          SELECT a.channel AS ch_a, b.channel AS ch_b, b.ts - a.ts AS dt
+          FROM ev a JOIN ev b
+            ON a.channel < b.channel
+           AND b.ts - a.ts >= -{XC_LAG_US} AND b.ts - a.ts < {XC_LAG_US}
+        )
+        SELECT ch_a, ch_b, (dt + {XC_LAG_US}) // {XC_BIN_US} AS lag_bin,
+               ((dt + {XC_LAG_US}) // {XC_BIN_US}) * {XC_BIN_US}
+                 - {XC_LAG_US} AS lag_lo_us,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs
+        GROUP BY ch_a, ch_b, (dt + {XC_LAG_US}) // {XC_BIN_US}
+        """,
+        "chan_events",
+    )
+
     sql["ts_winsorize"] = with_views(
         f"""
         WITH ranked AS (

@@ -118,3 +118,58 @@ def event_summary_data_driven(
     schema = "channel string, ts long, idx long, bucket long"
     chunked = trimmed.groupBy("channel").applyInPandas(chunk, schema=schema)
     return _summary_agg(chunked, "channel", "bucket")
+
+
+def event_xcorr(
+    events: DataFrame, max_lag_us: int, bin_us: int
+) -> DataFrame:
+    """Point-process cross-correlogram between event channels: for
+    every channel pair (a < b), the histogram of time differences
+    t_b - t_a for event pairs within ±``max_lag_us``, in ``bin_us``
+    bins — the spike-train correlation analysis run downstream of the
+    reference's NeuralPoint event streams (the reference serves the
+    spike times; this computes the correlogram engine-side).
+
+    All integer arithmetic: lag_bin = (t_b - t_a + L) div bin over
+    [-L, L), exact counts. Output: (ch_a, ch_b, lag_bin, lag_lo_us, n)
+    for non-empty bins; lag_lo_us = lag_bin*bin - L is the bin's left
+    edge.
+
+    Plan: bucketized interval join — each left event joins only the
+    three L-width time buckets that can contain partners (explode ×3
+    is narrow), so candidate volume is pair-density bounded, never
+    |events|². Then one partial-agg groupBy to
+    C(|channels|,2)×(2L/bin) rows.
+    """
+    L = int(max_lag_us)
+    b = int(bin_us)
+    left = events.select(
+        F.col("channel").alias("ch_a"),
+        F.col("ts").alias("ts_a"),
+        F.explode(
+            F.expr(f"array(ts div {L} - 1, ts div {L}, ts div {L} + 1)")
+        ).alias("bk"),
+    )
+    right = events.select(
+        F.col("channel").alias("ch_b"),
+        F.col("ts").alias("ts_b"),
+        F.expr(f"ts div {L}").alias("bk"),
+    )
+    pairs = (
+        left.join(right, "bk")
+        .filter(F.col("ch_a") < F.col("ch_b"))
+        .withColumn("dt", F.col("ts_b") - F.col("ts_a"))
+        .filter((F.col("dt") >= -L) & (F.col("dt") < L))
+    )
+    return (
+        pairs.withColumn("lag_bin", F.expr(f"(dt + {L}) div {b}"))
+        .groupBy("ch_a", "ch_b", "lag_bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "ch_a",
+            "ch_b",
+            "lag_bin",
+            (F.col("lag_bin") * b - L).alias("lag_lo_us"),
+            "n",
+        )
+    )

@@ -653,3 +653,42 @@ def test_rolling_stats_blocked_rejects_small_block(spark):
     df = spark.createDataFrame([("c", 1, 1.0)], "channel string, ts long, value double")
     with pytest.raises(ValueError, match="block_us"):
         rolling_stats(df, window_us=100, block_us=50)
+
+
+def test_event_xcorr_matches_bruteforce(spark):
+    """Bucketized interval join == O(n²) brute force on a random
+    two-channel point process, including the half-open lag edge."""
+    import random
+
+    from pennsieve_streaming_spark.operators.events import event_xcorr
+
+    rng = random.Random(31)
+    rows = [("a", rng.randrange(0, 10_000)) for _ in range(120)]
+    rows += [("b", rng.randrange(0, 10_000)) for _ in range(130)]
+    ev = spark.createDataFrame(rows, "channel string, ts long")
+    L, B = 500, 100
+    got = {(r.ch_a, r.ch_b, r.lag_bin): (r.lag_lo_us, r.n)
+           for r in event_xcorr(ev, L, B).collect()}
+    want = {}
+    ta = [t for c, t in rows if c == "a"]
+    tb = [t for c, t in rows if c == "b"]
+    for x in ta:
+        for y in tb:
+            dt = y - x
+            if -L <= dt < L:
+                k = (dt + L) // B
+                want[("a", "b", k)] = want.get(("a", "b", k), 0) + 1
+    assert {k: v[1] for k, v in got.items()} == want
+    for (ca, cb, k), (lag_lo, _) in got.items():
+        assert lag_lo == k * B - L
+
+
+def test_event_xcorr_plan_no_cartesian(spark):
+    from pennsieve_streaming_spark.operators.events import event_xcorr
+
+    ev = spark.createDataFrame([("a", 0), ("b", 10)], "channel string, ts long")
+    plan = (
+        event_xcorr(ev, 100, 10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
