@@ -1734,6 +1734,14 @@ def q_hist_quantiles(spark, sf_dir):
     )
 
 
+def q_zipf_fit(spark, sf_dir):
+    """Zipf slope/intercept of the corpus vocabulary (quantized OLS
+    over 9-dp ln terms)."""
+    from pennsieve_streaming_spark.llm.text import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir))
+
+
 XC_LAG_US = 6 * 3600 * 1_000_000   # ±6 h correlogram span
 XC_BIN_US = 3600 * 1_000_000       # 1 h bins
 
@@ -2011,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_winsorize": q_winsorize,
         "doc_corpus_split": q_corpus_split,
         "ts_event_xcorr": q_event_xcorr,
+        "doc_zipf_fit": q_zipf_fit,
         "doc_langid_confusion": q_langid_confusion,
         "emb_kmeans_inertia": q_kmeans_inertia,
         "doc_dedup_stats": q_dedup_stats,
@@ -2737,6 +2746,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang, source, {_u} AS sample_u
         FROM documents
         WHERE {_u} < ({_rate})
+        """
+
+    _zq = 10**6
+    _zslope = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    sql["doc_zipf_fit"] = f"""
+        WITH tok AS (
+          SELECT UNNEST({TOKS}) AS t FROM documents
+        ),
+        counts AS (
+          SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tok WHERE length(t) > 0 GROUP BY t
+        ),
+        ranked AS (
+          SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, t) AS BIGINT) AS r
+          FROM counts
+        ),
+        xy AS (
+          SELECT CAST(round(round(ln(CAST(r AS DOUBLE)), 9) * {_zq}) AS BIGINT) AS xq,
+                 CAST(round(round(ln(CAST(c AS DOUBLE)), 9) * {_zq}) AS BIGINT) AS yq
+          FROM ranked
+        ),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+                 CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+                 CAST(SUM(xq * xq) AS BIGINT) AS sxx
+          FROM xy
+        )
+        SELECT n AS n_terms, round({_zslope}, 9) AS slope,
+               round((CAST(sy AS DOUBLE) / {_zq} - round({_zslope}, 9)
+                 * CAST(sx AS DOUBLE) / {_zq}) / n, 9) AS intercept
+        FROM agg
         """
 
     sql["doc_corpus_split"] = f"""

@@ -507,3 +507,62 @@ def top_k_per_group(
         df.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= int(k))
     )
+
+
+def zipf_fit(documents: DataFrame, quant: int = 10**6) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope/intercept
+    of ln(freq) against ln(rank) — the one-number corpus health
+    statistic (natural text runs slope ≈ -1; template/boilerplate
+    corpora flatten it, degenerate repetition steepens it).
+
+    Determinism: ln() is engine-divergent at the last ulp, so each
+    term's (x, y) = (ln rank, ln freq) is rounded to 9 dp and
+    quantized to BIGINT in 1/``quant`` units; all five OLS sums are
+    then exact. The slope/intercept formula is the same fixed-double
+    shape as the Pearson r operators. Quant bound: with |ln| < 50,
+    Σx·y < vocab · (50·quant)² — 1e6 keeps a 1e8-term vocabulary
+    inside 2^63.
+
+    Output: one row (n_terms, slope, intercept).
+
+    Scale: token counts reduce map-side; the global rank sorts the
+    VOCABULARY (orders of magnitude below the corpus; for 1e9-term
+    vocabularies use the two-phase range-partitioned rank — the fit
+    only needs (rank, freq), not stable row identity).
+    """
+    q = int(quant)
+    counts = (
+        documents.select(F.explode(F.expr(TOKS)).alias("t"))
+        .filter(F.length("t") > 0)
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ranked = counts.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.desc("c"), "t")).cast("long"),
+    )
+    xy = ranked.select(
+        F.expr(f"CAST(round(round(ln(CAST(r AS DOUBLE)), 9) * {q}) AS BIGINT)").alias("xq"),
+        F.expr(f"CAST(round(round(ln(CAST(c AS DOUBLE)), 9) * {q}) AS BIGINT)").alias("yq"),
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("long").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxx"),
+    )
+    slope = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    return agg.select(
+        F.col("n").alias("n_terms"),
+        F.expr(f"round({slope}, 9)").alias("slope"),
+        F.expr(
+            f"round((CAST(sy AS DOUBLE) / {q} - round({slope}, 9) "
+            f"* CAST(sx AS DOUBLE) / {q}) / n, 9)"
+        ).alias("intercept"),
+    )

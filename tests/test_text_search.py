@@ -261,3 +261,28 @@ def test_winnow_overlap_containment(spark):
     # every fingerprint of doc 1 interior should recur in doc 2
     assert r.containment >= 0.8
     assert not any(3 in p for p in pairs)
+
+
+def test_zipf_fit_recovers_power_law(spark):
+    """A synthetic corpus with freq(rank) = C / rank must fit slope
+    ≈ -1; numpy polyfit on the same (ln r, ln c) points agrees."""
+    import math
+
+    import numpy as np
+
+    from pennsieve_streaming_spark.llm.text import zipf_fit
+
+    # term_i appears floor(1000/i) times
+    words = []
+    for i in range(1, 60):
+        words += [f"w{i:03d}"] * (1000 // i)
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    [r] = zipf_fit(docs).collect()
+    assert r.n_terms == 59
+    xs = [math.log(i) for i in range(1, 60)]
+    ys = [math.log(1000 // i) for i in range(1, 60)]
+    want_slope, want_icpt = np.polyfit(xs, ys, 1)
+    assert abs(r.slope - want_slope) < 1e-3
+    assert abs(r.intercept - want_icpt) < 2e-1
