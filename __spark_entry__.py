@@ -1734,6 +1734,26 @@ def q_hist_quantiles(spark, sf_dir):
     )
 
 
+BURST_BUCKET_US = 86_400 * 1_000_000
+BURST_Z = 2.0
+
+
+def q_rate_bursts(spark, sf_dir):
+    """Poisson burst screen over per-day event-channel rates."""
+    from pennsieve_streaming_spark.operators.events import rate_bursts
+
+    ev = TBL.chan_events_view(spark, sf_dir).select("channel", "ts")
+    return rate_bursts(ev, BURST_BUCKET_US, BURST_Z)
+
+
+def q_key_skew(spark, sf_dir):
+    """Hot-key skew report for the events user_id key — the pre-join
+    salting diagnostic."""
+    from pennsieve_streaming_spark.operators.events import key_skew_report
+
+    return key_skew_report(_user_events(spark, sf_dir), "user_id", top_k=10)
+
+
 def q_zipf_fit(spark, sf_dir):
     """Zipf slope/intercept of the corpus vocabulary (quantized OLS
     over 9-dp ln terms)."""
@@ -2020,6 +2040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_corpus_split": q_corpus_split,
         "ts_event_xcorr": q_event_xcorr,
         "doc_zipf_fit": q_zipf_fit,
+        "ev_rate_bursts": q_rate_bursts,
+        "ev_key_skew": q_key_skew,
         "doc_langid_confusion": q_langid_confusion,
         "emb_kmeans_inertia": q_kmeans_inertia,
         "doc_dedup_stats": q_dedup_stats,
@@ -4157,6 +4179,40 @@ def oracle_sql() -> dict[str, str]:
     _ws_posts = ", ".join(
         _pct_terms(p, nm)[1] for p, nm in ((0.05, "p05"), (0.95, "p95"))
     )
+    _bl = "CAST(total AS DOUBLE) / CAST(n_buckets AS DOUBLE)"
+    _bz = f"(CAST(n AS DOUBLE) - {_bl}) / sqrt({_bl})"
+    sql["ev_rate_bursts"] = with_views(
+        f"""
+        WITH per_bucket AS (
+          SELECT channel, (ts // {BURST_BUCKET_US}) * {BURST_BUCKET_US} AS bucket_ts,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM chan_events GROUP BY channel, (ts // {BURST_BUCKET_US}) * {BURST_BUCKET_US}
+        ),
+        base AS (
+          SELECT channel, CAST(SUM(n) AS BIGINT) AS total,
+                 CAST((MAX(bucket_ts) - MIN(bucket_ts)) / {BURST_BUCKET_US} + 1 AS BIGINT) AS n_buckets
+          FROM per_bucket GROUP BY channel
+        )
+        SELECT p.channel, p.bucket_ts, p.n, {_bz} AS z
+        FROM per_bucket p JOIN base USING (channel)
+        WHERE round({_bz}, 9) > {BURST_Z!r}
+        """,
+        "chan_events",
+    )
+
+    sql["ev_key_skew"] = """
+        WITH counts AS (
+          SELECT CAST(user_id AS VARCHAR) AS key,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY CAST(user_id AS VARCHAR)
+        ),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+        SELECT key, n, CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key) AS BIGINT) AS rank
+        FROM counts CROSS JOIN tot
+        ORDER BY n DESC, key LIMIT 10
+        """
+
     sql["ts_event_xcorr"] = with_views(
         f"""
         WITH ev AS (SELECT channel, ts FROM chan_events),

@@ -173,3 +173,85 @@ def event_xcorr(
             "n",
         )
     )
+
+
+def rate_bursts(
+    events: DataFrame, bucket_us: int, z_threshold: float
+) -> DataFrame:
+    """Event-rate burst detection: per (channel, time bucket) counts
+    scored against the channel's mean bucket rate under the Poisson
+    approximation, z = (c - λ) / sqrt(λ) — the classic seizure-burst /
+    traffic-spike screen over point-event feeds.
+
+    λ = total/n_buckets uses the OBSERVED bucket span (first to last
+    occupied bucket inclusive), so silence inside the span counts
+    toward the baseline but leading/trailing void does not. Counts are
+    exact integers; z is one fixed float expression, gated on its 9-dp
+    rounding. Output: (channel, bucket_ts, n, z) for flagged buckets.
+
+    Plan: one partial-agg groupBy to occupied (channel, bucket) rows,
+    a |channels|-row baseline broadcast back — two scans of nothing
+    but counter rows.
+    """
+    b = int(bucket_us)
+    per_bucket = (
+        events.select(
+            "channel", F.expr(f"(ts div {b}) * {b}").alias("bucket_ts")
+        )
+        .groupBy("channel", "bucket_ts")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    base = per_bucket.groupBy("channel").agg(
+        F.sum("n").cast("long").alias("total"),
+        (
+            (F.max("bucket_ts") - F.min("bucket_ts")) / b + 1
+        ).cast("long").alias("n_buckets"),
+    )
+    j = per_bucket.join(F.broadcast(base), "channel")
+    lam = "CAST(total AS DOUBLE) / CAST(n_buckets AS DOUBLE)"
+    z = f"(CAST(n AS DOUBLE) - {lam}) / sqrt({lam})"
+    return (
+        j.withColumn("z", F.expr(z))
+        .filter(F.expr(f"round({z}, 9)") > float(z_threshold))
+        .select("channel", "bucket_ts", "n", "z")
+    )
+
+
+def key_skew_report(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """Shuffle-skew diagnostic for a prospective join/groupBy key: the
+    top-k hottest key values with their absolute counts and share of
+    all rows — the report you run BEFORE a 100 TB join to decide
+    whether a key needs salting or AQE skew-split (one key holding >1%
+    of a petabyte is a straggler task).
+
+    Output: (key, n, share, rank) ordered hottest-first with
+    deterministic (count desc, key) tie-break.
+
+    Plan: one map-side-partial groupBy to |distinct keys| rows, a
+    broadcast of the 1-row total, and a TakeOrderedAndProject top-k —
+    the diagnostic never shuffles more than the key cardinality.
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .orderBy(F.desc("n"), "key")
+        .limit(int(top_k))
+        .select(
+            "key",
+            "n",
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+                "share"
+            ),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("n"), "key")
+            ).cast("long"),
+        )
+    )

@@ -692,3 +692,29 @@ def test_event_xcorr_plan_no_cartesian(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_rate_bursts_flags_injected_burst(spark):
+    from pennsieve_streaming_spark.operators.events import rate_bursts
+
+    rows = []
+    for bucket in range(50):
+        n = 40 if bucket == 30 else 10   # burst in bucket 30
+        for i in range(n):
+            rows.append(("c", bucket * 1000 + i))
+    ev = spark.createDataFrame(rows, "channel string, ts long")
+    out = rate_bursts(ev, bucket_us=1000, z_threshold=3.0).collect()
+    assert [(r.channel, r.bucket_ts, r.n) for r in out] == [("c", 30000, 40)]
+    assert out[0].z > 5
+
+
+def test_key_skew_report_golden(spark):
+    from pennsieve_streaming_spark.operators.events import key_skew_report
+
+    rows = [(1,)] * 50 + [(2,)] * 30 + [(3,)] * 15 + [(4,)] * 5
+    df = spark.createDataFrame(rows, "user_id long")
+    out = key_skew_report(df, "user_id", top_k=3).collect()
+    assert [(r.key, r.n, r.rank) for r in out] == [
+        ("1", 50, 1), ("2", 30, 2), ("3", 15, 3)
+    ]
+    assert abs(out[0].share - 0.5) < 1e-12
