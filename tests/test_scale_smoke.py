@@ -199,3 +199,46 @@ def test_span_point_join_1m_points(spark):
     # spans cover [k*1e5, k*1e5+49999]: the first 10 spans hold all
     # 1M points' overlap = 10 spans x 50k points each
     assert got.pts == 10 * 50_000
+
+
+def test_event_xcorr_1m_events(spark):
+    """Bucketized correlogram over 1M events × 4 channels: candidate
+    volume stays pair-density bounded (the plan never goes cartesian)
+    and total pair counts match the closed form on a uniform grid."""
+    from pennsieve_streaming_spark.operators.events import event_xcorr
+
+    n = 1_000_000
+    ev = spark.range(n).select(
+        F.concat(F.lit("e"), (F.col("id") % 4).cast("string")).alias("channel"),
+        ((F.col("id") / 4).cast("long") * 100).alias("ts"),
+    )
+    out = event_xcorr(ev, max_lag_us=1000, bin_us=200)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = out.collect()
+    # 6 channel pairs x 10 bins, all occupied on the uniform grid
+    assert len(rows) == 60
+    total_pairs = sum(r.n for r in rows)
+    # each of 250k grid ticks contributes ~20 in-window partners per
+    # ordered pair of distinct channels (edge ticks a few less)
+    assert 0.95 * 6 * 250_000 * 19 < total_pairs < 6 * 250_000 * 20
+
+
+def test_pagerank_200k_edges(spark):
+    """PageRank over a 200k-edge ring+chords graph: 3 iterations
+    complete, mass conserved within integer-floor leakage."""
+    from pennsieve_streaming_spark.llm.graph import pagerank
+
+    n = 100_000
+    docs = spark.range(n).withColumnRenamed("id", "doc_id")
+    ring = spark.range(n).select(
+        F.col("id").alias("doc_a"),
+        ((F.col("id") + 1) % n).alias("doc_b"),
+    )
+    chords = spark.range(n).select(
+        F.col("id").alias("doc_a"),
+        ((F.col("id") * 7919 + 13) % n).alias("doc_b"),
+    )
+    pr = pagerank(docs, ring.union(chords), n_iter=3)
+    total = pr.agg(F.sum("pr")).collect()[0][0]
+    assert 0.98 < total <= 1.0 + 1e-9
