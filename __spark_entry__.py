@@ -1738,6 +1738,26 @@ BURST_BUCKET_US = 86_400 * 1_000_000
 BURST_Z = 2.0
 
 
+EMB_OUT_Z = 1.01  # standardized-norm outlier gate; uniform synthetic
+                  # vectors span 0.977-1.021 so this flags the top
+                  # decile (production embeddings use ~1.5)
+
+
+def q_emb_outliers(spark, sf_dir):
+    """Embedding outlier screen: ||z(v)||/sqrt(d) above the gate."""
+    from pennsieve_streaming_spark.llm.quantize import (
+        embedding_dim_stats,
+        embedding_outliers,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    return embedding_outliers(
+        emb, embedding_dim_stats(emb), EMB_OUT_Z
+    )
+
+
 def q_rate_bursts(spark, sf_dir):
     """Poisson burst screen over per-day event-channel rates."""
     from pennsieve_streaming_spark.operators.events import rate_bursts
@@ -2042,6 +2062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_zipf_fit": q_zipf_fit,
         "ev_rate_bursts": q_rate_bursts,
         "ev_key_skew": q_key_skew,
+        "emb_outliers": q_emb_outliers,
         "doc_langid_confusion": q_langid_confusion,
         "emb_kmeans_inertia": q_kmeans_inertia,
         "doc_dedup_stats": q_dedup_stats,
@@ -3430,6 +3451,31 @@ def oracle_sql() -> dict[str, str]:
                round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                      list(z * z ORDER BY dim)), (a, b) -> a + b), 9) AS znorm2
         FROM zr GROUP BY vec_id
+        """
+
+    sql["emb_outliers"] = f"""
+        WITH {_eds},
+        ev AS (
+          SELECT vec_id,
+                 UNNEST(generate_series(1, len(embedding))) - 1 AS dim,
+                 UNNEST(embedding) AS v
+          FROM embeddings
+        ),
+        zr AS (
+          SELECT ev.vec_id, ev.dim,
+                 CASE WHEN d.std = 0 THEN CAST(0 AS DOUBLE)
+                      ELSE (CAST(ev.v AS DOUBLE) - d.mean) / d.std END AS z
+          FROM ev JOIN dstats d ON ev.dim = d.dim
+        ),
+        scored AS (
+          SELECT vec_id,
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list(z * z ORDER BY dim)), (a, b) -> a + b)
+                      / CAST(COUNT(*) AS DOUBLE)) AS score
+          FROM zr GROUP BY vec_id
+        )
+        SELECT vec_id, score FROM scored
+        WHERE round(score, 9) > {EMB_OUT_Z!r}
         """
 
     _mad_pct = (

@@ -138,3 +138,34 @@ def standardize_embeddings(
             ).alias("embedding")
         )
     )
+
+
+def embedding_outliers(
+    embeddings: DataFrame,
+    dim_stats: DataFrame,
+    z_threshold: float,
+) -> DataFrame:
+    """Embedding-space outlier screen: vectors whose standardized
+    Mahalanobis-diagonal distance (the L2 norm of the z-normalized
+    vector, scaled by 1/sqrt(d)) exceeds ``z_threshold`` — broken
+    encoders, padding artifacts and off-manifold rows surface here
+    before they poison ANN indexes or k-means fits.
+
+    The norm is a sequential fold over the standardized array (same
+    determinism contract as every dot product here); the gate compares
+    the score's 9-dp rounding. Output: (vec_id, score) for flagged
+    rows, score = ||z(v)||₂ / sqrt(d).
+
+    Plan: standardization is a broadcast of |dims| stats; the score is
+    a narrow map — zero extra shuffles over the scan.
+    """
+    std = standardize_embeddings(embeddings, dim_stats)
+    score = (
+        "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + x * x) / size(embedding))"
+    )
+    return (
+        std.withColumn("score", F.expr(score))
+        .filter(F.expr(f"round({score}, 9)") > float(z_threshold))
+        .select("vec_id", "score")
+    )

@@ -177,3 +177,24 @@ def test_channel_mad_golden(spark):
     [r] = channel_mad(df).collect()
     assert (r.n, r.median, r.mad) == (10, 5.5, 2.5)
     # robustness: the outlier barely moves the MAD; std would be ~297
+
+
+def test_embedding_outliers_flags_injected_artifact(spark):
+    from pennsieve_streaming_spark.llm.quantize import (
+        embedding_dim_stats,
+        embedding_outliers,
+    )
+
+    import random
+
+    rng = random.Random(41)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)
+    ]
+    rows.append((999, [25.0] * 16))  # broken encoder row
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_outliers(
+        embs, embedding_dim_stats(embs), z_threshold=3.0
+    ).collect()
+    assert [r.vec_id for r in out] == [999]
+    assert out[0].score > 3.0
