@@ -1795,6 +1795,15 @@ def q_event_xcorr(spark, sf_dir):
     return event_xcorr(ev, XC_LAG_US, XC_BIN_US)
 
 
+def q_event_autocorr(spark, sf_dir):
+    """Single-channel event autocorrelogram (positive lags, exact
+    integer bins)."""
+    from pennsieve_streaming_spark.operators.events import event_autocorr
+
+    ev = TBL.chan_events_view(spark, sf_dir).select("channel", "ts")
+    return event_autocorr(ev, XC_LAG_US, XC_BIN_US)
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic train/val/test assignment (90/5/5): a pure
     function of doc_id, stable under corpus growth."""
@@ -2063,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_rate_bursts": q_rate_bursts,
         "ev_key_skew": q_key_skew,
         "emb_outliers": q_emb_outliers,
+        "ts_event_autocorr": q_event_autocorr,
         "doc_langid_confusion": q_langid_confusion,
         "emb_kmeans_inertia": q_kmeans_inertia,
         "doc_dedup_stats": q_dedup_stats,
@@ -4274,6 +4284,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n
         FROM pairs
         GROUP BY ch_a, ch_b, (dt + {XC_LAG_US}) // {XC_BIN_US}
+        """,
+        "chan_events",
+    )
+
+    sql["ts_event_autocorr"] = with_views(
+        f"""
+        WITH ev AS (SELECT channel, ts FROM chan_events),
+        pairs AS (
+          SELECT a.channel, b.ts - a.ts AS dt
+          FROM ev a JOIN ev b
+            ON a.channel = b.channel
+           AND b.ts - a.ts > 0 AND b.ts - a.ts <= {XC_LAG_US}
+        )
+        SELECT channel, (dt - 1) // {XC_BIN_US} AS lag_bin,
+               ((dt - 1) // {XC_BIN_US}) * {XC_BIN_US} AS lag_lo_us,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs GROUP BY channel, (dt - 1) // {XC_BIN_US}
         """,
         "chan_events",
     )

@@ -255,3 +255,47 @@ def key_skew_report(
             ).cast("long"),
         )
     )
+
+
+def event_autocorr(
+    events: DataFrame, max_lag_us: int, bin_us: int
+) -> DataFrame:
+    """Point-process AUTOcorrelogram: for each channel, the histogram
+    of time differences between its own event pairs within
+    (0, ``max_lag_us``) — refractory-period and burst-rhythm structure
+    of a single spike train (positive lags only; the correlogram is
+    symmetric and the zero-lag self-pair is excluded by construction).
+
+    Same bucketized interval join and exact integer bins as
+    :func:`event_xcorr`. Output: (channel, lag_bin, lag_lo_us, n).
+    """
+    L = int(max_lag_us)
+    b = int(bin_us)
+    left = events.select(
+        F.col("channel"),
+        F.col("ts").alias("ts_a"),
+        F.explode(
+            F.expr(f"array(ts div {L}, ts div {L} + 1)")
+        ).alias("bk"),
+    )
+    right = events.select(
+        "channel",
+        F.col("ts").alias("ts_b"),
+        F.expr(f"ts div {L}").alias("bk"),
+    )
+    pairs = (
+        left.join(right, ["channel", "bk"])
+        .withColumn("dt", F.col("ts_b") - F.col("ts_a"))
+        .filter((F.col("dt") > 0) & (F.col("dt") <= L))
+    )
+    return (
+        pairs.withColumn("lag_bin", F.expr(f"(dt - 1) div {b}"))
+        .groupBy("channel", "lag_bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "channel",
+            "lag_bin",
+            (F.col("lag_bin") * b).alias("lag_lo_us"),
+            "n",
+        )
+    )

@@ -718,3 +718,22 @@ def test_key_skew_report_golden(spark):
         ("1", 50, 1), ("2", 30, 2), ("3", 15, 3)
     ]
     assert abs(out[0].share - 0.5) < 1e-12
+
+
+def test_event_autocorr_matches_bruteforce(spark):
+    import random
+
+    from pennsieve_streaming_spark.operators.events import event_autocorr
+
+    rng = random.Random(53)
+    ts = sorted(rng.sample(range(0, 5000), 150))
+    ev = spark.createDataFrame([("a", t) for t in ts], "channel string, ts long")
+    L, B = 400, 100
+    got = {r.lag_bin: r.n for r in event_autocorr(ev, L, B).collect()}
+    want = {}
+    for i, x in enumerate(ts):
+        for y in ts[i + 1:]:
+            dt = y - x
+            if 0 < dt <= L:
+                want[(dt - 1) // B] = want.get((dt - 1) // B, 0) + 1
+    assert got == want
