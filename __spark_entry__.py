@@ -1795,6 +1795,15 @@ def q_event_xcorr(spark, sf_dir):
     return event_xcorr(ev, XC_LAG_US, XC_BIN_US)
 
 
+def q_flatline_runs(spark, sf_dir):
+    """Stuck-sensor QC: maximal identical-value runs >= 2 per channel
+    over the event-channel feed (the synthetic samples never repeat;
+    the coarser event values do)."""
+    from pennsieve_streaming_spark.operators.gaps import flatline_runs
+
+    return flatline_runs(TBL.chan_events_view(spark, sf_dir), min_run=2)
+
+
 def q_event_autocorr(spark, sf_dir):
     """Single-channel event autocorrelogram (positive lags, exact
     integer bins)."""
@@ -2073,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_key_skew": q_key_skew,
         "emb_outliers": q_emb_outliers,
         "ts_event_autocorr": q_event_autocorr,
+        "ts_flatline_runs": q_flatline_runs,
         "doc_langid_confusion": q_langid_confusion,
         "emb_kmeans_inertia": q_kmeans_inertia,
         "doc_dedup_stats": q_dedup_stats,
@@ -4284,6 +4294,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n
         FROM pairs
         GROUP BY ch_a, ch_b, (dt + {XC_LAG_US}) // {XC_BIN_US}
+        """,
+        "chan_events",
+    )
+
+    sql["ts_flatline_runs"] = with_views(
+        """
+        WITH flagged AS (
+          SELECT channel, ts, value,
+                 CASE WHEN LAG(value) OVER w IS NULL
+                        OR LAG(value) OVER w != value
+                      THEN 1 ELSE 0 END AS new_run
+          FROM chan_events
+          WINDOW w AS (PARTITION BY channel ORDER BY ts, value)
+        ),
+        keyed AS (
+          SELECT channel, ts, value,
+                 SUM(new_run) OVER (PARTITION BY channel
+                     ORDER BY ts, value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM flagged
+        )
+        SELECT channel, MIN(value) AS value, MIN(ts) AS run_start,
+               MAX(ts) AS run_end, CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM keyed GROUP BY channel, run
+        HAVING COUNT(*) >= 2
         """,
         "chan_events",
     )

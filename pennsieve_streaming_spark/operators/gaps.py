@@ -124,3 +124,52 @@ def number_sequentially(spans: DataFrame, order_col: str = "span_lo") -> DataFra
     return spans.withColumn(
         "sequence_id", (F.row_number().over(w) - F.lit(1)).cast("long")
     ).withColumn("total_requests", F.count(F.lit(1)).over(wc))
+
+
+def flatline_runs(
+    samples: DataFrame, min_run: int = 3
+) -> DataFrame:
+    """Stuck-sensor detection: maximal runs of >= ``min_run``
+    consecutive IDENTICAL values per channel — the railed-electrode /
+    frozen-transducer QC screen (a healthy physical signal never
+    repeats exactly; a DC-railed or disconnected one does nothing
+    else).
+
+    Runs are maximal in (ts, value) order: a run starts where the
+    value differs from its predecessor (lag + cumulative-flag
+    sessionization, the `contiguous_spans` technique keyed on value
+    changes instead of time gaps). Output: (channel, value, run_start,
+    run_end, run_len) for qualifying runs — all exact.
+
+    Plan: one per-channel window pass + a groupBy on the derived run
+    key; parallelism |channels|, blocked two-phase split applies as in
+    `contiguous_spans` for single-channel deep histories.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    flagged = samples.select("channel", "ts", "value").withColumn(
+        "new_run",
+        F.when(
+            F.lag("value").over(w).isNull()
+            | (F.lag("value").over(w) != F.col("value")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    keyed = flagged.withColumn(
+        "run",
+        F.sum("new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        keyed.groupBy("channel", "run")
+        .agg(
+            F.min("value").alias("value"),
+            F.min("ts").alias("run_start"),
+            F.max("ts").alias("run_end"),
+            F.count(F.lit(1)).cast("long").alias("run_len"),
+        )
+        .filter(F.col("run_len") >= int(min_run))
+        .select("channel", "value", "run_start", "run_end", "run_len")
+    )

@@ -737,3 +737,23 @@ def test_event_autocorr_matches_bruteforce(spark):
             if 0 < dt <= L:
                 want[(dt - 1) // B] = want.get((dt - 1) // B, 0) + 1
     assert got == want
+
+
+def test_flatline_runs_golden(spark):
+    from pennsieve_streaming_spark.operators.gaps import flatline_runs
+
+    vals = [1.0, 5.0, 5.0, 5.0, 2.0, 2.0, 7.0, 7.0, 7.0, 7.0]
+    rows = [("c", i * 10, v) for i, v in enumerate(vals)]
+    rows.append(("d", 0, 9.9))  # healthy single sample
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    got = sorted(
+        (r.channel, r.value, r.run_start, r.run_end, r.run_len)
+        for r in flatline_runs(df, min_run=2).collect()
+    )
+    assert got == [
+        ("c", 2.0, 40, 50, 2),
+        ("c", 5.0, 10, 30, 3),
+        ("c", 7.0, 60, 90, 4),
+    ]
+    # min_run gate
+    assert flatline_runs(df, min_run=4).count() == 1
