@@ -1795,6 +1795,13 @@ def q_event_xcorr(spark, sf_dir):
     return event_xcorr(ev, XC_LAG_US, XC_BIN_US)
 
 
+def q_stickiness(spark, sf_dir):
+    """DAU over trailing-30-day MAU per active day."""
+    from pennsieve_streaming_spark.operators.analytics import stickiness
+
+    return stickiness(_user_events(spark, sf_dir), window_days=30)
+
+
 def q_flatline_runs(spark, sf_dir):
     """Stuck-sensor QC: maximal identical-value runs >= 2 per channel
     over the event-channel feed (the synthetic samples never repeat;
@@ -2083,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_outliers": q_emb_outliers,
         "ts_event_autocorr": q_event_autocorr,
         "ts_flatline_runs": q_flatline_runs,
+        "ev_stickiness": q_stickiness,
         "doc_langid_confusion": q_langid_confusion,
         "emb_kmeans_inertia": q_kmeans_inertia,
         "doc_dedup_stats": q_dedup_stats,
@@ -4297,6 +4305,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "chan_events",
     )
+
+    _DU = 86_400 * 1_000_000
+    sql["ev_stickiness"] = f"""
+        WITH ud AS (
+          SELECT DISTINCT (epoch_us(ts) // {_DU}) * {_DU} AS day, user_id
+          FROM events
+        ),
+        dau AS (
+          SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+        ),
+        supported AS (
+          SELECT DISTINCT
+                 UNNEST(generate_series(day, day + 29 * {_DU}, {_DU})) AS day,
+                 user_id
+          FROM ud
+        ),
+        mau AS (
+          SELECT day, CAST(COUNT(*) AS BIGINT) AS mau
+          FROM supported GROUP BY day
+        )
+        SELECT d.day, d.dau, m.mau,
+               CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE) AS stickiness
+        FROM dau d JOIN mau m ON d.day = m.day
+        """
 
     sql["ts_flatline_runs"] = with_views(
         """

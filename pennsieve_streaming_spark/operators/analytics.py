@@ -336,3 +336,50 @@ def last_touch(
         .groupBy("touch_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
     )
+
+
+def stickiness(events: DataFrame, window_days: int = 30) -> DataFrame:
+    """DAU/MAU stickiness: for every active day, the distinct users
+    that day over the distinct users of the trailing ``window_days``
+    window — the engagement ratio product teams track daily.
+
+    Plan: raw events reduce to distinct user-days first; each user-day
+    then supports the ``window_days`` future day-buckets it counts
+    toward (a narrow ×window explode of the DEDUPED user-day table —
+    orders of magnitude below events), and one distinct-count per day
+    closes it. Only days with activity are emitted (mau > 0 by
+    construction; dau = 0 days are skipped, the standard dashboard
+    convention).
+
+    Output: (day, dau, mau, stickiness) — stickiness = dau/mau, one
+    float division of exact integers.
+    """
+    ud = (
+        events.select(
+            F.expr(f"(ts div {DAY_US}) * {DAY_US}").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    supported = ud.select(
+        F.explode(
+            F.expr(
+                f"sequence(day, day + {int(window_days) - 1} * {DAY_US}, {DAY_US})"
+            )
+        ).alias("day"),
+        "user_id",
+    ).distinct()
+    mau = supported.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("mau")
+    )
+    return dau.join(mau, "day").select(
+        "day",
+        "dau",
+        "mau",
+        (F.col("dau").cast("double") / F.col("mau").cast("double")).alias(
+            "stickiness"
+        ),
+    )

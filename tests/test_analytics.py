@@ -227,3 +227,28 @@ def test_last_touch_golden(spark):
     got = {r.touch_type: r.n_conversions
            for r in last_touch(ev, "purchase").collect()}
     assert got == {"email": 1, "none": 1, "ad": 2}
+
+
+def test_stickiness_golden(spark):
+    from pennsieve_streaming_spark.operators.analytics import (
+        DAY_US,
+        stickiness,
+    )
+
+    rows = [
+        (0, 1, 1, "v"), (0, 2, 2, "v"),                 # day 0: u1,u2
+        (DAY_US, 3, 1, "v"),                             # day 1: u1
+        (40 * DAY_US, 4, 3, "v"),                        # day 40: u3 only
+    ]
+    ev = spark.createDataFrame(
+        rows, "ts long, event_id long, user_id long, event_type string"
+    )
+    got = {r.day: (r.dau, r.mau, r.stickiness)
+           for r in stickiness(ev, window_days=30).collect()}
+    # day 0: trailing window holds only day-0 users
+    assert got[0] == (2, 2, 1.0)
+    # day 1: dau 1 (u1), mau 2 (u1,u2 from day 0..1)
+    assert got[DAY_US] == (1, 2, 0.5)
+    # day 40: days 11..40 contain only u3
+    assert got[40 * DAY_US] == (1, 1, 1.0)
+    assert set(got) == {0, DAY_US, 40 * DAY_US}  # inactive days skipped
