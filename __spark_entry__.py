@@ -628,7 +628,9 @@ def q_build_segments(spark, sf_dir):
         "segment_type",
         "nr_points",
         F.posexplode("data").alias("pos", "v"),
-    ).withColumn("pos", F.col("pos").cast("long"))
+    ).withColumn("pos", F.col("pos").cast("long")).withColumn(
+        "unit_m", F.col("unit_m").cast("long")
+    )
 
 
 def q_range_lookup(spark, sf_dir):
@@ -669,6 +671,20 @@ def q_butterworth(spark, sf_dir):
 
 # --- LLM-pipeline queries (documents / embeddings tables) -----------------
 
+def _as_long(df, *cols):
+    """Upcast INT columns to BIGINT at the comparison layer.
+
+    The driver's value hash is dtype-sensitive; the oracle-type fence
+    (tests/oracle_compare.py) admits only VARCHAR/BIGINT/DOUBLE/BOOLEAN,
+    so library operators that naturally emit 32-bit ints (list ids,
+    signature row indices, hamming distances) are widened here — in the
+    registry wrapper, not in the operator — to keep library schemas
+    untouched."""
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("long"))
+    return df
+
+
 def _docs(spark, sf_dir):
     TBL.ensure_session_confs(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -700,7 +716,16 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_minhash(spark, sf_dir):
-    return minhash_signatures(shingles(_docs(spark, sf_dir)))
+    return _as_long(
+        minhash_signatures(shingles(_docs(spark, sf_dir))), "j"
+    )
+
+
+# Hot-bucket skew guard for LSH candidate generation: buckets larger
+# than this switch to star pairing (see lsh_candidate_pairs). The
+# oracle SQL replays the identical cap, so parity holds even when a
+# corpus actually trips it.
+LSH_MAX_BUCKET = 50
 
 
 def q_lsh_pairs(spark, sf_dir):
@@ -710,7 +735,9 @@ def q_lsh_pairs(spark, sf_dir):
     # candidate cache eagerly so the verify plan reuses it instead of
     # recomputing the LSH pipeline per subtree.
     sh = shingles(_docs(spark, sf_dir)).cache()
-    cands = lsh_candidate_pairs(lsh_band_keys(minhash_wide(sh))).cache()
+    cands = lsh_candidate_pairs(
+        lsh_band_keys(minhash_wide(sh)), max_bucket_size=LSH_MAX_BUCKET
+    ).cache()
     cands.count()
     return jaccard_pairs(sh, candidates=cands)
 
@@ -732,7 +759,7 @@ def q_kmeans(spark, sf_dir):
         n_iter=2,
         init=golden_centroids(IVF_LISTS, ANN_DIM),
     )
-    return kmeans_assign(embs, cents)
+    return _as_long(kmeans_assign(embs, cents), "list_id")
 
 
 def q_importance_weights(spark, sf_dir):
@@ -750,10 +777,13 @@ def q_semdedup(spark, sf_dir):
         semdedup,
     )
 
-    return semdedup(
-        _embs(spark, sf_dir),
-        golden_centroids(IVF_LISTS, ANN_DIM),
-        min_cosine=EMB_NEAR_DUP_COS,
+    return _as_long(
+        semdedup(
+            _embs(spark, sf_dir),
+            golden_centroids(IVF_LISTS, ANN_DIM),
+            min_cosine=EMB_NEAR_DUP_COS,
+        ),
+        "list_id",
     )
 
 
@@ -804,7 +834,10 @@ def q_simhash(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    return simhash_near_pairs(simhash(shingles(_docs(spark, sf_dir))))
+    return _as_long(
+        simhash_near_pairs(simhash(shingles(_docs(spark, sf_dir)))),
+        "hamming",
+    )
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -1155,10 +1188,13 @@ def q_cluster_sample(spark, sf_dir):
         golden_centroids,
     )
 
-    return cluster_sample(
-        _embs(spark, sf_dir),
-        golden_centroids(IVF_LISTS, ANN_DIM),
-        cap=EMB_SAMPLE_CAP,
+    return _as_long(
+        cluster_sample(
+            _embs(spark, sf_dir),
+            golden_centroids(IVF_LISTS, ANN_DIM),
+            cap=EMB_SAMPLE_CAP,
+        ),
+        "list_id",
     )
 
 
@@ -1270,7 +1306,9 @@ def q_minhash_jaccard_est(spark, sf_dir):
 
     sh = shingles(_docs(spark, sf_dir))
     sigs = minhash_signatures(sh)
-    cands = lsh_candidate_pairs(lsh_band_keys(minhash_wide(sh)))
+    cands = lsh_candidate_pairs(
+        lsh_band_keys(minhash_wide(sh)), max_bucket_size=LSH_MAX_BUCKET
+    )
     return minhash_jaccard_estimate(sigs, cands)
 
 
@@ -1514,7 +1552,12 @@ def q_power_spectrum(spark, sf_dir):
     s = TBL.samples_aligned_view(spark, sf_dir).filter(
         F.col("ts") <= F.lit(BW_TS_END)
     )
-    return power_spectrum(s, PS_BINS, PS_WINDOW, PS_QUANT)
+    # energy_q2 is DECIMAL(38,0) in Spark but HUGEINT in the DuckDB
+    # oracle — stringify on both engines so the value hash is
+    # dtype-stable (both render the same plain integer digits).
+    return power_spectrum(s, PS_BINS, PS_WINDOW, PS_QUANT).withColumn(
+        "energy_q2", F.col("energy_q2").cast("string")
+    )
 
 
 EWMA_ALPHA = 0.125  # exact binary representation — no decimal noise
@@ -1917,8 +1960,11 @@ def q_kmeans_inertia(spark, sf_dir):
         kmeans_inertia,
     )
 
-    return kmeans_inertia(
-        _embs(spark, sf_dir), golden_centroids(IVF_LISTS, ANN_DIM)
+    return _as_long(
+        kmeans_inertia(
+            _embs(spark, sf_dir), golden_centroids(IVF_LISTS, ANN_DIM)
+        ),
+        "list_id",
     )
 
 
@@ -2558,6 +2604,32 @@ def oracle_sql() -> dict[str, str]:
         )
         """
 
+    # Capped candidate generation — replays lsh_candidate_pairs'
+    # max_bucket_size semantics: small buckets all-pairs, oversized
+    # buckets star-paired to the min-doc_id anchor.
+    CAND_CAPPED = f"""
+        bstats AS (
+          SELECT band, band_key, COUNT(*) AS bn, MIN(doc_id) AS anchor
+          FROM bands GROUP BY band, band_key
+        ),
+        keyed AS (
+          SELECT b.doc_id, b.band, b.band_key, s.bn, s.anchor
+          FROM bands b JOIN bstats s USING (band, band_key)
+        ),
+        cand AS (
+          SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM keyed a JOIN keyed b
+              ON a.band = b.band AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id
+            WHERE a.bn <= {LSH_MAX_BUCKET}
+            UNION ALL
+            SELECT anchor AS doc_a, doc_id AS doc_b FROM keyed
+            WHERE bn > {LSH_MAX_BUCKET} AND doc_id > anchor
+          )
+        )
+        """
+
     JACCARD_TAIL = """
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         ints AS (
@@ -3155,15 +3227,13 @@ def oracle_sql() -> dict[str, str]:
         FROM folded
         """
 
-    sql["doc_minhash_signatures"] = f"WITH {MINHASH_PRE} SELECT doc_id, j, minhash FROM mh"
+    sql["doc_minhash_signatures"] = (
+        f"WITH {MINHASH_PRE} "
+        "SELECT doc_id, CAST(j AS BIGINT) AS j, minhash FROM mh"
+    )
 
     sql["doc_minhash_lsh_pairs"] = f"""
-        WITH {MINHASH_PRE}, {BANDS},
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-        ),
+        WITH {MINHASH_PRE}, {BANDS}, {CAND_CAPPED},
         {JACCARD_TAIL}
         SELECT i.doc_a, i.doc_b, sa.n AS n_a, sb.n AS n_b, i.inter,
                i.inter / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
@@ -3775,7 +3845,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         dev AS (
           SELECT channel, ts, i, CAST(n AS BIGINT) AS n, s_i, s_n,
-                 CAST(n AS BIGINT) * s_i - i * s_n AS dev_scaled
+                 -- DuckDB promotes BIGINT*BIGINT to HUGEINT; Spark's result
+                 -- is LONG — cast back so the compared dtypes agree.
+                 CAST(CAST(n AS BIGINT) * s_i - i * s_n AS BIGINT) AS dev_scaled
           FROM cum WHERE i < n
         ),
         best AS (
@@ -4116,7 +4188,8 @@ def oracle_sql() -> dict[str, str]:
           FROM ct GROUP BY channel, win, bin
         )
         SELECT channel, win, bin, n,
-               CAST(sc AS HUGEINT) * sc + CAST(ss AS HUGEINT) * ss AS energy_q2,
+               CAST(CAST(sc AS HUGEINT) * sc + CAST(ss AS HUGEINT) * ss
+                    AS VARCHAR) AS energy_q2,
                (CAST(sc AS DOUBLE) / {PS_QUANT}) * (CAST(sc AS DOUBLE) / {PS_QUANT})
                  + (CAST(ss AS DOUBLE) / {PS_QUANT}) * (CAST(ss AS DOUBLE) / {PS_QUANT}) AS power
         FROM agg WHERE n = {PS_WINDOW}
@@ -4838,7 +4911,8 @@ def oracle_sql() -> dict[str, str]:
     sql["ts_value_histogram"] = with_views(
         f"""
         SELECT channel, CAST(bin AS BIGINT) AS bin,
-               {HIST_LO} + CAST(bin AS BIGINT) * {_hist_width} AS bin_lo,
+               CAST({HIST_LO} AS DOUBLE)
+                 + CAST(bin AS BIGINT) * CAST({_hist_width} AS DOUBLE) AS bin_lo,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM (SELECT channel,
                      floor((value - {HIST_LO}) / {_hist_width}) AS bin
@@ -4911,13 +4985,7 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sql["doc_minhash_jaccard_est"] = f"""
-        WITH {MINHASH_PRE}, {BANDS},
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.band_key = b.band_key
-               AND a.doc_id < b.doc_id
-        ),
+        WITH {MINHASH_PRE}, {BANDS}, {CAND_CAPPED},
         ag AS (
           SELECT c.doc_a, c.doc_b,
                  CAST(SUM(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END)
@@ -5146,7 +5214,7 @@ def oracle_sql() -> dict[str, str]:
                    list(part ORDER BY term)), (a, x) -> a + x) AS score
           FROM matched GROUP BY 1, 2
         )
-        SELECT query_id, doc_id, score, rank FROM (
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                      ORDER BY score DESC, doc_id) AS rank
           FROM scored
@@ -5336,7 +5404,7 @@ def oracle_sql() -> dict[str, str]:
                 / (sqrt(list_dot_product(ea.v, ea.v))
                    * sqrt(list_dot_product(eb.v, eb.v))) > {EMB_NEAR_DUP_COS}
         )
-        SELECT id, list_id FROM assigned
+        SELECT id, CAST(list_id AS BIGINT) AS list_id FROM assigned
         WHERE id NOT IN (SELECT id FROM dropped)
         """
 
@@ -5459,7 +5527,7 @@ def oracle_sql() -> dict[str, str]:
         bkt AS (SELECT doc_id, simhash, simhash >> 20 AS bucket FROM fp)
         SELECT doc_a, doc_b, hamming FROM (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
           FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
         ) WHERE hamming <= 4
         """
@@ -5576,7 +5644,8 @@ def oracle_sql() -> dict[str, str]:
                  {T1992} AS page_start, {T1999} AS page_end,
                  CAST({WEEK_US} AS DOUBLE) AS sample_period,
                  CAST({WEEK_US} AS DOUBLE) AS requested_sample_period,
-                 TRUE AS is_min_max, 'V' AS unit, 1000 AS unit_m,
+                 TRUE AS is_min_max, 'V' AS unit,
+                 CAST(1000 AS BIGINT) AS unit_m,
                  'Continuous' AS segment_type, np AS nr_points,
                  r, min_val, max_val
           FROM rr
@@ -5777,7 +5846,7 @@ def oracle_sql() -> dict[str, str]:
                  ((((vec_id + 0) % {_SAMPLE_MOD}) * {_SAMPLE_MULT}) % {_SAMPLE_MOD}) AS u
           FROM assigned
         )
-        SELECT vec_id, list_id, pick FROM (
+        SELECT vec_id, CAST(list_id AS BIGINT) AS list_id, pick FROM (
           SELECT vec_id, list_id,
                  CAST(ROW_NUMBER() OVER (PARTITION BY list_id ORDER BY u, vec_id) AS BIGINT) AS pick
           FROM keyed
@@ -5804,7 +5873,8 @@ def oracle_sql() -> dict[str, str]:
                  CAST(round(d2 * 1000000000) AS BIGINT) AS d2q
           FROM assigned
         )
-        SELECT list_id, CAST(COUNT(*) AS BIGINT) AS n,
+        SELECT CAST(list_id AS BIGINT) AS list_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(d2q) AS BIGINT) AS inertia_q,
                CAST(SUM(d2q) AS DOUBLE) / 1000000000 AS inertia
         FROM dq GROUP BY list_id
@@ -5949,7 +6019,7 @@ def _kmeans_oracle_sql(n_iter: int = 2) -> str:
           SELECT e.vec_id, t.list_id, {d2.format(v='e.v')} AS d2
           FROM emb e CROSS JOIN cents{n_iter} t
         )
-        SELECT vec_id AS id, list_id FROM (
+        SELECT vec_id AS id, CAST(list_id AS BIGINT) AS list_id FROM (
           SELECT vec_id, list_id,
                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
           FROM dfin

@@ -123,20 +123,76 @@ def lsh_band_keys(
     ).select("doc_id", F.col("band").cast("long").alias("band"), "band_key")
 
 
-def lsh_candidate_pairs(band_keys: DataFrame) -> DataFrame:
-    """Distinct candidate pairs: docs sharing any (band, band_key)."""
-    a = band_keys.alias("a")
-    b = band_keys.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+def lsh_candidate_pairs(
+    band_keys: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Distinct candidate pairs: docs sharing any (band, band_key).
+
+    ``max_bucket_size`` is the hot-bucket skew guard. A degenerate
+    corpus (boilerplate band — e.g. 10k identical docs) puts every doc
+    in ONE (band, band_key) bucket, and the uncapped self-join emits
+    |bucket|²/2 rows: 10⁸ pairs from 10k docs, a scale-killer at 100 TB.
+    With a cap, buckets larger than ``max_bucket_size`` switch from
+    all-pairs to STAR pairing — every member pairs with the bucket's
+    minimum doc_id only — which emits O(|bucket|) rows while preserving
+    exactly the property downstream dedup needs: all members of the
+    bucket stay connected through the anchor, so duplicate-cluster
+    membership (connected components / drop-higher-id) is unchanged.
+    Only the non-anchor pair *listings* inside oversized buckets are
+    elided, and those pairs are near-certain duplicates anyway (they
+    collided on a full band). Small buckets are exhaustively paired —
+    output is identical to the uncapped form whenever no bucket
+    exceeds the cap.
+
+    Plan: bucket stats come from one partial-agg groupBy (map-side
+    combine absorbs the hot key), joined back on (band, band_key) —
+    a 1-row-per-key build side, so the join cannot explode and AQE's
+    skew-split applies cleanly. The all-pairs branch then self-joins
+    only rows from buckets ≤ cap: per-bucket output is ≤ cap², giving
+    a hard bound of |buckets|·cap² candidate rows.
+    """
+    if max_bucket_size is None:
+        a = band_keys.alias("a")
+        b = band_keys.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    cap = int(max_bucket_size)
+    stats = band_keys.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("_bn"),
+        F.min("doc_id").alias("_anchor"),
     )
+    keyed = band_keys.join(stats, ["band", "band_key"])
+    small = keyed.filter(F.col("_bn") <= cap).select(
+        "band", "band_key", "doc_id"
+    )
+    a = small.alias("a")
+    b = small.alias("b")
+    small_pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    star_pairs = (
+        keyed.filter((F.col("_bn") > cap) & (F.col("doc_id") > F.col("_anchor")))
+        .select(
+            F.col("_anchor").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+    )
+    return small_pairs.union(star_pairs).distinct()
 
 
 def jaccard_pairs(

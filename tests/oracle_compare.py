@@ -59,8 +59,32 @@ def _norm_rows(columns, rows):
     )
 
 
+# The only DuckDB result types whose value hash is stable against the
+# Spark side under a dtype-sensitive canonicalizer (pandas conversion).
+# HUGEINT/DECIMAL/INTEGER outputs have burned us (r3/r4 driver reds) —
+# fence the whole class: every compared oracle column must be one of
+# these, widened/stringified in the oracle SQL itself.
+HASH_STABLE_TYPES = {"VARCHAR", "BIGINT", "DOUBLE", "BOOLEAN"}
+
+
+def assert_oracle_types(con, sql: str, name: str = "") -> None:
+    """Assert every output column of the oracle query has a
+    hash-stable type (VARCHAR/BIGINT/DOUBLE/BOOLEAN)."""
+    rel = con.sql(f"SELECT * FROM ({sql}) LIMIT 0")
+    offenders = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t) not in HASH_STABLE_TYPES
+    ]
+    assert not offenders, (
+        f"{name}: oracle emits hash-hazard column types {offenders}; "
+        f"cast to one of {sorted(HASH_STABLE_TYPES)} in the oracle SQL"
+    )
+
+
 def compare(spark_df, con, sql: str, name: str = "") -> None:
     """Assert spark result == duckdb result (order-insensitive)."""
+    assert_oracle_types(con, sql, name)
     spark_rows = [tuple(r) for r in spark_df.collect()]
     spark_cols = spark_df.columns
     res = con.execute(sql)

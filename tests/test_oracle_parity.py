@@ -11,10 +11,24 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry_mod  # noqa: E402
-from tests.oracle_compare import compare, duckdb_conn  # noqa: E402
+from tests.oracle_compare import (  # noqa: E402
+    assert_oracle_types,
+    compare,
+    duckdb_conn,
+)
 
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    """Parity runs at the driver's gate SF (0.01) by default so local
+    green == driver green by construction; override with
+    SPARK_GRAFT_PARITY_SF_DIR=/root/testdata/sf0.001 for quick runs."""
+    return os.environ.get(
+        "SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.01"
+    )
 
 
 @pytest.fixture(scope="module")
@@ -22,6 +36,20 @@ def con(sf_dir):
     c = duckdb_conn(sf_dir)
     yield c
     c.close()
+
+
+def test_oracle_output_types():
+    """Every oracle's output columns must be hash-stable types
+    (VARCHAR/BIGINT/DOUBLE/BOOLEAN) — HUGEINT/DECIMAL/INTEGER results
+    hash differently from the Spark side under the driver's
+    dtype-sensitive canonicalizer. DuckDB-only (LIMIT 0), so this
+    fences the whole class in seconds."""
+    c = duckdb_conn("/root/testdata/sf0.001")
+    try:
+        for name in sorted(ORACLES):
+            assert_oracle_types(c, ORACLES[name], name)
+    finally:
+        c.close()
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES.keys()))

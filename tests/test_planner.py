@@ -113,6 +113,74 @@ def test_dedup_candidate_join_is_equi(spark):
     assert "band_key" in plan
 
 
+def test_lsh_degenerate_corpus_bucket_cap(spark):
+    """Skew guard: 10k docs landing in ONE (band, band_key) bucket must
+    NOT produce an all-pairs (≈5·10⁷-row) join — the capped form emits
+    one star pair per non-anchor member and keeps every member
+    connected to the bucket anchor."""
+    from pennsieve_streaming_spark.llm.dedup import lsh_candidate_pairs
+
+    n = 10_000
+    band_keys = spark.range(n).selectExpr(
+        "id AS doc_id", "CAST(0 AS LONG) AS band", "CAST(42 AS LONG) AS band_key"
+    )
+    pairs = lsh_candidate_pairs(band_keys, max_bucket_size=50)
+    rows = pairs.collect()
+    # star: exactly n-1 pairs, all anchored at the min doc_id
+    assert len(rows) == n - 1
+    assert all(r.doc_a == 0 for r in rows)
+    assert sorted(r.doc_b for r in rows) == list(range(1, n))
+
+
+def test_lsh_bucket_cap_noop_below_cap(spark):
+    """When no bucket exceeds the cap, the capped form must return the
+    exact same candidate set as the uncapped all-pairs form."""
+    from pennsieve_streaming_spark.llm.dedup import (
+        lsh_band_keys,
+        lsh_candidate_pairs,
+        minhash_wide,
+    )
+
+    sh = spark.createDataFrame(
+        [(d, (d * 31 + k) % 97) for d in range(50) for k in range(10)],
+        "doc_id long, sh long",
+    )
+    bk = lsh_band_keys(minhash_wide(sh))
+    capped = sorted(
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(bk, max_bucket_size=1000).collect()
+    )
+    uncapped = sorted(
+        (r.doc_a, r.doc_b) for r in lsh_candidate_pairs(bk).collect()
+    )
+    assert capped == uncapped and len(capped) > 0
+
+
+def test_lsh_bucket_cap_preserves_connectivity(spark):
+    """Oversized buckets lose pair *listings* but never cluster
+    membership: every member of a hot bucket remains reachable from
+    the anchor, and small buckets stay exhaustively paired."""
+    from pennsieve_streaming_spark.llm.dedup import lsh_candidate_pairs
+
+    rows = (
+        # hot bucket: docs 0-99 share (0, 7)
+        [(d, 0, 7) for d in range(100)]
+        # small bucket: docs 200-203 share (1, 9)
+        + [(d, 1, 9) for d in range(200, 204)]
+    )
+    bk = spark.createDataFrame(rows, "doc_id long, band long, band_key long")
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(bk, max_bucket_size=10).collect()
+    }
+    hot = {p for p in pairs if p[0] < 200}
+    small = {p for p in pairs if p[0] >= 200}
+    assert hot == {(0, d) for d in range(1, 100)}
+    assert small == {
+        (a, b) for a in range(200, 204) for b in range(a + 1, 204)
+    }
+
+
 def test_substring_dup_plan_broadcasts_dup_grams(spark):
     """The dup-gram set (small) must broadcast back onto the gram
     stream — no sort-merge join of two corpus-sized sides — and the
