@@ -835,7 +835,10 @@ def q_simhash(spark, sf_dir):
 
 def q_simhash_pairs(spark, sf_dir):
     return _as_long(
-        simhash_near_pairs(simhash(shingles(_docs(spark, sf_dir)))),
+        simhash_near_pairs(
+            simhash(shingles(_docs(spark, sf_dir))),
+            max_bucket_size=LSH_MAX_BUCKET,
+        ),
         "hamming",
     )
 
@@ -5522,13 +5525,42 @@ def oracle_sql() -> dict[str, str]:
 
     sql["doc_simhash"] = f"WITH {DOC_PRE}, {SIMHASH_CTE} SELECT doc_id, simhash FROM fp"
 
+    # Banded SimHash blocking — replays simhash_near_pairs' pigeonhole
+    # bands (max_hamming+1 bands => any pair within hamming 4 collides
+    # in at least one band) and its hot-bucket star cap.
+    from pennsieve_streaming_spark.llm.dedup import simhash_bands as _sb_layout
+
+    _sb_selects = "\n          UNION ALL ".join(
+        f"SELECT doc_id, simhash, CAST({i} AS BIGINT) AS band, "
+        f"(simhash >> {lo}) & {(1 << wd) - 1} AS band_key FROM fp"
+        for i, lo, wd in _sb_layout(32, 5)
+    )
     sql["doc_simhash_near_pairs"] = f"""
         WITH {DOC_PRE}, {SIMHASH_CTE},
-        bkt AS (SELECT doc_id, simhash, simhash >> 20 AS bucket FROM fp)
-        SELECT doc_a, doc_b, hamming FROM (
+        skeys AS (
+          {_sb_selects}
+        ),
+        sstats AS (
+          SELECT band, band_key, COUNT(*) AS bn, MIN(doc_id) AS anchor,
+                 arg_min(simhash, doc_id) AS anchor_sh
+          FROM skeys GROUP BY band, band_key
+        ),
+        skeyed AS (
+          SELECT k.doc_id, k.simhash, k.band, k.band_key,
+                 s.bn, s.anchor, s.anchor_sh
+          FROM skeys k JOIN sstats s USING (band, band_key)
+        )
+        SELECT DISTINCT doc_a, doc_b, hamming FROM (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-          FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+          FROM skeyed a JOIN skeyed b
+            ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+          WHERE a.bn <= {LSH_MAX_BUCKET}
+          UNION ALL
+          SELECT anchor AS doc_a, doc_id AS doc_b,
+                 CAST(bit_count(xor(simhash, anchor_sh)) AS BIGINT) AS hamming
+          FROM skeyed WHERE bn > {LSH_MAX_BUCKET} AND doc_id > anchor
         ) WHERE hamming <= 4
         """
 

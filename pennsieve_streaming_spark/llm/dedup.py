@@ -356,35 +356,121 @@ def simhash(shingled: DataFrame, bits: int = 32) -> DataFrame:
     return wide.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_near_pairs(
-    fingerprints: DataFrame, max_hamming: int = 4, prefix_bits: int = 12
-) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` of
-    the fingerprint (LSH-style blocking — near-dups almost always agree
-    on the prefix), then popcount(xor) <= max_hamming within buckets.
+def simhash_bands(bits: int, n_bands: int) -> list[tuple[int, int, int]]:
+    """Contiguous band layout (band, lo_bit, width), high bits first,
+    widths as even as possible. Shared by the Spark operator and the
+    oracle-SQL builder so both block identically."""
+    base, extra = divmod(bits, n_bands)
+    out = []
+    hi = bits
+    for i in range(n_bands):
+        wd = base + (1 if i < extra else 0)
+        out.append((i, hi - wd, wd))
+        hi -= wd
+    return out
 
-    Output: (doc_a, doc_b, hamming).
+
+def simhash_near_pairs(
+    fingerprints: DataFrame,
+    max_hamming: int = 4,
+    bits: int = 32,
+    n_bands: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash with BANDED blocking: split the
+    ``bits``-bit fingerprint into ``n_bands`` contiguous bands
+    (default ``max_hamming + 1``) and bucket on every (band, band
+    bits) — the classic pigeonhole guarantee: a pair within hamming
+    distance ``max_hamming`` has at most ``max_hamming`` differing
+    bits, so with ``max_hamming + 1`` bands at least one band is
+    bit-identical and the pair collides there. (The earlier
+    single-prefix blocking silently missed any near-dup differing
+    inside the top prefix — zero-recall for a whole class.)
+
+    ``max_bucket_size`` is the same hot-bucket skew guard as
+    :func:`lsh_candidate_pairs`: oversized buckets star-pair against
+    the bucket's min-doc_id anchor (O(n) rows, connectivity kept)
+    instead of all-pairs (O(n²)); the anchor's fingerprint rides along
+    via min_by so the star branch still computes exact hamming.
+
+    Output: (doc_a, doc_b, hamming) with hamming <= max_hamming,
+    distinct across bands.
+
+    Plan: the band explode is a narrow stack (n_bands-fold row growth,
+    no shuffle); candidates come from one equi-join on (band,
+    band_key); the cap's stats groupBy is map-side partial-agg with a
+    1-row-per-key join back — bounded like the MinHash-LSH path.
     """
-    shift = 32 - prefix_bits
-    bucketed = fingerprints.withColumn(
-        "bucket", F.shiftright(F.col("simhash"), shift)
+    if n_bands is None:
+        n_bands = int(max_hamming) + 1
+    layout = simhash_bands(bits, n_bands)
+    stack = ", ".join(
+        f"CAST({i} AS LONG), (shiftright(simhash, {lo}) & {(1 << wd) - 1})"
+        for i, lo, wd in layout
     )
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    return (
+    keys = fingerprints.selectExpr(
+        "doc_id", "simhash", f"stack({n_bands}, {stack}) AS (band, band_key)"
+    )
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).alias("hamming")
+    if max_bucket_size is None:
+        a = keys.alias("a")
+        b = keys.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                hamming,
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
+    cap = int(max_bucket_size)
+    stats = keys.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("_bn"),
+        F.min("doc_id").alias("_anchor"),
+        F.min_by("simhash", "doc_id").alias("_anchor_sh"),
+    )
+    keyed = keys.join(stats, ["band", "band_key"])
+    small = keyed.filter(F.col("_bn") <= cap).select(
+        "band", "band_key", "doc_id", "simhash"
+    )
+    a = small.alias("a")
+    b = small.alias("b")
+    small_pairs = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            hamming,
+        )
+    )
+    star_pairs = (
+        keyed.filter((F.col("_bn") > cap) & (F.col("doc_id") > F.col("_anchor")))
+        .select(
+            F.col("_anchor").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col("simhash").bitwiseXOR(F.col("_anchor_sh"))
             ).alias("hamming"),
         )
+    )
+    return (
+        small_pairs.union(star_pairs)
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

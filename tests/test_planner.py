@@ -181,6 +181,50 @@ def test_lsh_bucket_cap_preserves_connectivity(spark):
     }
 
 
+def test_simhash_banded_recall_prefix_diff(spark):
+    """Pigeonhole recall: a near-dup pair whose differing bits all fall
+    inside the OLD top-12 prefix (bits 31..20) was invisible to
+    single-prefix blocking; the 5-band layout must find it, for every
+    placement of <=4 differing bits."""
+    from pennsieve_streaming_spark.llm.dedup import simhash_near_pairs
+
+    base = 0b1010_1100_0011_0101_1001_0110_1010_0101
+    # pairs differing in bits spread across the word, incl. all-in-prefix
+    cases = [
+        (1, 2, base, base ^ (1 << 28) ^ (1 << 22)),          # both in top-12
+        (3, 4, base, base ^ (1 << 31) ^ (1 << 25) ^ (1 << 21)),  # 3 in top-12
+        (5, 6, base, base ^ (1 << 30) ^ (1 << 19) ^ (1 << 7) ^ (1 << 0)),
+        (7, 8, base, base),                                   # identical
+    ]
+    rows = []
+    for a_id, b_id, fa, fb in cases:
+        rows.append((a_id, fa))
+        rows.append((b_id, fb))
+    fp = spark.createDataFrame(rows, "doc_id long, simhash long")
+    found = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_pairs(fp, max_hamming=4).collect()
+    }
+    assert found[(1, 2)] == 2
+    assert found[(3, 4)] == 3
+    assert found[(5, 6)] == 4
+    assert found[(7, 8)] == 0
+
+
+def test_simhash_banded_bucket_cap(spark):
+    """Hot SimHash band buckets star-pair like the MinHash-LSH path:
+    n identical fingerprints produce n-1 anchor pairs, not n²/2."""
+    from pennsieve_streaming_spark.llm.dedup import simhash_near_pairs
+
+    n = 2000
+    fp = spark.range(n).selectExpr(
+        "id AS doc_id", "CAST(123456789 AS LONG) AS simhash"
+    )
+    rows = simhash_near_pairs(fp, max_bucket_size=20).collect()
+    assert len(rows) == n - 1
+    assert all(r.doc_a == 0 and r.hamming == 0 for r in rows)
+
+
 def test_substring_dup_plan_broadcasts_dup_grams(spark):
     """The dup-gram set (small) must broadcast back onto the gram
     stream — no sort-merge join of two corpus-sized sides — and the
