@@ -1205,8 +1205,11 @@ def q_ann_recall(spark, sf_dir):
     """ANN index-quality evaluation: recall@k of the hyperplane-LSH
     index against the exact cosine top-k ground truth, per query.
     Both sides are the already-oracle-gated queries, so the metric's
-    own replay composes their SQL verbatim."""
-    ann = q_ann_lsh(spark, sf_dir).select("query_id", "neighbor_id")
+    own replay composes their SQL verbatim. The ann side is
+    deduplicated on BOTH engines so the metric is independent of join
+    multiplicity (a duplicate (query_id, neighbor_id) row would
+    overcount in the oracle's COUNT-over-LEFT-JOIN otherwise)."""
+    ann = q_ann_lsh(spark, sf_dir).select("query_id", "neighbor_id").distinct()
     exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
     hits = (
         exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
@@ -2935,7 +2938,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE {_u} < ({_rate})
         """
 
-    _zq = 10**6
+    _zq = 10**3  # must match zipf_fit's default quant (BIGINT-safe bound)
     _zslope = (
         "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
         "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
@@ -5888,7 +5891,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
                CAST(COUNT(a.neighbor_id) AS DOUBLE) / {ANN_K} AS recall
         FROM ({sql["emb_cosine_topk"]}) e
-        LEFT JOIN ({sql["emb_ann_lsh"]}) a
+        LEFT JOIN (SELECT DISTINCT query_id, neighbor_id
+                   FROM ({sql["emb_ann_lsh"]})) a
           ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
         GROUP BY e.query_id
         """

@@ -1115,9 +1115,12 @@ def source_cap(
     """Per-source document cap — the per-domain cap of web-corpus
     curation (no single domain may dominate the mix): keep at most
     ``cap`` documents per source, selected by the deterministic
-    multiplicative-hash order (same family as `sample_u_expr`; the
-    salt folds into the multiplicand so each salt is a genuine
-    redraw, not an order-preserving shift).
+    multiplicative-hash order (same family as `sample_u_expr`). The
+    salt is an additive pre-hash shift — (doc_id + salt) rotates the
+    fixed circular hash order, so different salts select rotated arcs
+    of one permutation: deterministic and replayable, but not
+    independent redraws. Derive SAMPLE_MULT from the salt if genuine
+    independence across salts is required.
 
     Output: (doc_id, source, lang, pick) for kept rows; pick is the
     1-based within-source selection rank.

@@ -989,9 +989,12 @@ def cluster_sample(
     assigned = assign_lists(corpus, centroids, vec_col="v").select(
         "vec_id", "list_id"
     )
-    # salt folds into the multiplicand (not an additive shift — adding
-    # a constant preserves the relative hash ORDER modulo wraparound,
-    # which would make every salt pick nearly the same rows)
+    # salt is an additive PRE-hash shift: (id + salt) rotates the
+    # fixed circular multiplicative-hash order, so different salts
+    # select rotated arcs of ONE permutation — deterministic and
+    # replayable, but NOT independent redraws (two salts' samples can
+    # overlap heavily for small caps). Callers needing independent
+    # permutations should derive SAMPLE_MULT from the salt instead.
     u = F.expr(
         f"((((vec_id + {salt}) % {SAMPLE_MOD}) * {SAMPLE_MULT}) % {SAMPLE_MOD})"
     )

@@ -509,7 +509,7 @@ def top_k_per_group(
     )
 
 
-def zipf_fit(documents: DataFrame, quant: int = 10**6) -> DataFrame:
+def zipf_fit(documents: DataFrame, quant: int = 10**3) -> DataFrame:
     """Zipf's-law fit over the corpus vocabulary: OLS slope/intercept
     of ln(freq) against ln(rank) — the one-number corpus health
     statistic (natural text runs slope ≈ -1; template/boilerplate
@@ -519,9 +519,11 @@ def zipf_fit(documents: DataFrame, quant: int = 10**6) -> DataFrame:
     term's (x, y) = (ln rank, ln freq) is rounded to 9 dp and
     quantized to BIGINT in 1/``quant`` units; all five OLS sums are
     then exact. The slope/intercept formula is the same fixed-double
-    shape as the Pearson r operators. Quant bound: with |ln| < 50,
-    Σx·y < vocab · (50·quant)² — 1e6 keeps a 1e8-term vocabulary
-    inside 2^63.
+    shape as the Pearson r operators. Quant bound: the Σx² / Σx·y
+    accumulators grow as vocab · (|ln|·quant)² with |ln| < 50, so the
+    BIGINT ceiling requires vocab · (50·quant)² < 2^63 ≈ 9.2e18 —
+    quant=1e3 bounds a 1e8-term vocabulary at 2.5e17 (quant=1e6 would
+    overflow past a ~100k-term vocabulary: 1e5·(5e7)² = 2.5e20).
 
     Output: one row (n_terms, slope, intercept).
 

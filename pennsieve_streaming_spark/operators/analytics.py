@@ -272,16 +272,23 @@ def funnel_steps(events: DataFrame, steps: list[str]) -> DataFrame:
 
     Plan: K-1 chained equi-joins on user_id — every side is a per-user
     min-ts aggregate (|users| rows, not events), so each join is
-    broadcast-friendly; no window over raw events.
+    broadcast-friendly; no window over raw events. All K step counts
+    fold into ONE job: each stage's per-user frame is tagged with its
+    step_idx and unioned, so a single groupBy action computes every
+    count (K scheduler round-trips and K driver-side .count() calls
+    would not scale to long funnels), with a broadcast step-name dim
+    filling unreached tail steps with 0.
     """
     cur = (
         events.filter(F.col("event_type") == steps[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("t"))
     )
-    counts = [cur.count()]
-    for step in steps[1:]:
-        nxt = (
+    stages = [
+        cur.select(F.lit(0).cast("long").alias("step_idx"), "user_id")
+    ]
+    for i, step in enumerate(steps[1:], start=1):
+        cur = (
             events.filter(F.col("event_type") == step)
             .select("user_id", F.col("ts").alias("ts_n"))
             .join(cur, "user_id")
@@ -289,14 +296,23 @@ def funnel_steps(events: DataFrame, steps: list[str]) -> DataFrame:
             .groupBy("user_id")
             .agg(F.min("ts_n").alias("t"))
         )
-        cur = nxt
-        counts.append(cur.count())
+        stages.append(
+            cur.select(F.lit(i).cast("long").alias("step_idx"), "user_id")
+        )
+    reached = stages[0]
+    for s in stages[1:]:
+        reached = reached.unionByName(s)
+    counts = reached.groupBy("step_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
     spark = events.sparkSession
-    rows = [
-        (i, steps[i], int(counts[i])) for i in range(len(steps))
-    ]
-    return spark.createDataFrame(
-        rows, "step_idx long, step string, n_users long"
+    dim = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(steps)], "step_idx long, step string"
+    )
+    return dim.join(counts, "step_idx", "left").select(
+        "step_idx",
+        "step",
+        F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("n_users"),
     )
 
 

@@ -268,6 +268,14 @@ def event_autocorr(
 
     Same bucketized interval join and exact integer bins as
     :func:`event_xcorr`. Output: (channel, lag_bin, lag_lo_us, n).
+
+    Bin convention: lag_bin = (dt - 1) div bin_us, so bin k covers the
+    half-open-on-the-LEFT interval (k·bin_us, (k+1)·bin_us] — dt equal
+    to an exact bin boundary lands in the LOWER bin, and ``lag_lo_us``
+    = k·bin_us is therefore an EXCLUSIVE left edge. (This differs from
+    :func:`event_xcorr`, whose lag_lo_us is an inclusive left edge of
+    [k·bin_us, (k+1)·bin_us); autocorr shifts by one because dt = 0 is
+    excluded while dt = max_lag_us is included.)
     """
     L = int(max_lag_us)
     b = int(bin_us)

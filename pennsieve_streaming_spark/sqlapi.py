@@ -16,9 +16,10 @@ API (same logical plans underneath).
 
 from __future__ import annotations
 
-import os
+import posixpath
 
 from pyspark.sql import SparkSession
+from pyspark.sql.utils import AnalysisException
 
 from pennsieve_streaming_spark import tables as TBL
 
@@ -44,7 +45,16 @@ def register_views(
     add("chan_events", TBL.chan_events_view(spark, sf_dir))
     add("samples_aligned", TBL.samples_aligned_view(spark, sf_dir))
     for t in RAW_TABLES:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            add(t, spark.read.parquet(p))
+        p = posixpath.join(sf_dir, f"{t}.parquet")
+        # Attempt the read rather than os.path.exists: sf_dir may be a
+        # remote URI (s3://, hdfs://) that Spark can read but the local
+        # filesystem cannot see. PATH_NOT_FOUND surfaces as
+        # AnalysisException; missing optional tables are skipped either
+        # way.
+        try:
+            df = spark.read.parquet(p)
+            df.schema  # force resolution so a missing path raises here
+        except AnalysisException:
+            continue
+        add(t, df)
     return names
