@@ -3,13 +3,16 @@
 The last image format on the multimodal stub list. Scope matches the
 overwhelming majority of real-world JPEGs:
 
-- decode: baseline sequential DCT (SOF0), 8-bit samples, Huffman
-  coding, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 subsampling,
-  restart intervals, byte stuffing;
+- decode: baseline sequential DCT (SOF0) AND progressive DCT (SOF2,
+  spectral selection + successive approximation per T.81 Annex G),
+  8-bit samples, Huffman coding, grayscale or YCbCr with 4:4:4 /
+  4:2:2 / 4:2:0 subsampling, restart intervals, byte stuffing;
 - encode: baseline 4:4:4 (or grayscale) with the T.81 Annex K
   example quantization + Huffman tables, quality scaling per the
   public IJG curve — enough to generate real test corpora and
-  round-trip the decoder.
+  round-trip the decoder — plus a progressive (SOF2) fixture encoder
+  exercising every Annex G scan kind (DC/AC first + refinement,
+  EOB runs with embedded correction bits).
 
 Everything is public-spec arithmetic: zigzag order, the 8x8 type-II
 DCT basis, the JFIF full-range BT.601 color transform. The entropy
@@ -216,7 +219,9 @@ def _extend(v: int, t: int) -> int:
 # ---------------------------------------------------------------------------
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF → HxWx3 uint8 RGB (grayscale replicated)."""
+    """Baseline or progressive JFIF → HxWx3 uint8 RGB (grayscale
+    replicated). Progressive (SOF2) covers both spectral selection and
+    successive approximation, per ITU T.81 Annex G."""
     if not is_jpeg(data):
         raise JpegError("not a JPEG payload")
     pos = 2
@@ -224,6 +229,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     restart_interval = 0
+    prog_coeffs = None  # ci -> (by, bx, 64) zigzag-order accumulators
+    n_prog_scans = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise JpegError(f"marker expected at {pos}")
@@ -256,41 +263,72 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 values = list(seg[p + 17 : p + 17 + nv])
                 huff[(tc, th)] = _build_decode_table(bits, values)
                 p += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             _prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             comps = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError(f"unsupported SOF marker 0x{marker:02X} "
-                            "(baseline sequential only)")
+                            "(baseline sequential + progressive only)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
             ns = seg[0]
-            sel = {}
+            scan_start = pos + seg_len
+            if not frame["progressive"]:
+                sel = {}
+                for i in range(ns):
+                    cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                    sel[cs] = (tables >> 4, tables & 0x0F)
+                return _decode_scan(
+                    data, scan_start, frame, sel, qt, huff, restart_interval
+                )
+            # progressive: accumulate this scan's coefficient bits
+            sel_list = []
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
-                sel[cs] = (tables >> 4, tables & 0x0F)
-            scan_start = pos + seg_len
-            return _decode_scan(
-                data, scan_start, frame, sel, qt, huff, restart_interval
+                ci = next(
+                    idx for idx, c in enumerate(frame["comps"])
+                    if c["id"] == cs
+                )
+                sel_list.append((ci, tables >> 4, tables & 0x0F))
+            ss, se, ahl = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 0x0F
+            if prog_coeffs is None:
+                prog_coeffs = _prog_alloc(frame)
+            pos = _decode_scan_progressive(
+                data, scan_start, frame, sel_list, ss, se, ah, al,
+                huff, restart_interval, prog_coeffs,
             )
+            n_prog_scans += 1
+            continue
         pos += seg_len
+    if prog_coeffs is not None and n_prog_scans:
+        # de-zigzag the accumulated coefficients, then shared tail
+        nat = {}
+        for ci, zz in prog_coeffs.items():
+            blk = np.zeros_like(zz)
+            blk[..., ZIGZAG] = zz
+            nat[ci] = blk.reshape(zz.shape[0], zz.shape[1], 8, 8)
+        return _reconstruct(frame, nat, qt)
     raise JpegError("no scan found")
 
 
-def _decode_scan(data, pos, frame, sel, qt, huff, restart_interval):
-    # De-stuff entropy bytes up to the next real marker, splitting
-    # into restart chunks AS WE GO — restart markers are only
-    # recognizable in the stuffed stream (after de-stuffing, a
-    # legitimate 0xFF data byte followed by a 0xD0-range byte would be
-    # indistinguishable from a marker).
+def _destuff(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """De-stuff entropy bytes up to the next real marker, splitting
+    into restart chunks AS WE GO — restart markers are only
+    recognizable in the stuffed stream (after de-stuffing, a
+    legitimate 0xFF data byte followed by a 0xD0-range byte would be
+    indistinguishable from a marker). Returns (chunks, next_marker_pos)
+    where next_marker_pos points at the 0xFF of the terminating
+    marker."""
     chunks: list[bytes] = []
     cur = bytearray()
     p = pos
@@ -311,6 +349,194 @@ def _decode_scan(data, pos, frame, sel, qt, huff, restart_interval):
         cur.append(b)
         p += 1
     chunks.append(bytes(cur))
+    return chunks, p
+
+
+def _frame_geometry(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _comp_blocks(frame, c, hmax, vmax):
+    """Non-interleaved scan geometry (T.81 A.2.2): a single-component
+    scan covers ceil(comp_samples / 8) blocks of that component's own
+    sample grid — MCU padding blocks are excluded."""
+    comp_w = -(-(frame["w"] * c["h"]) // hmax)
+    comp_h = -(-(frame["h"] * c["v"]) // vmax)
+    return -(-comp_h // 8), -(-comp_w // 8)
+
+
+def _prog_alloc(frame):
+    """Zigzag-order coefficient accumulators sized to the full MCU
+    grid (interleaved DC scans cover padding blocks too)."""
+    _, _, mcus_x, mcus_y = _frame_geometry(frame)
+    return {
+        ci: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
+        for ci, c in enumerate(frame["comps"])
+    }
+
+
+def _decode_scan_progressive(
+    data, pos, frame, sel_list, ss, se, ah, al, huff, restart_interval,
+    coeffs,
+):
+    """One progressive scan (T.81 Annex G): DC or AC band, first pass
+    (ah == 0) or refinement (ah > 0). Returns the position of the
+    marker terminating the scan's entropy data.
+
+    Scan kinds:
+    - DC first       (ss == 0, ah == 0): Huffman DC diffs, << al
+    - DC refinement  (ss == 0, ah > 0): one raw bit per block -> bit al
+    - AC first       (ss > 0, ah == 0): run/size with EOB-run symbols,
+                                        coefficients << al
+    - AC refinement  (ss > 0, ah > 0): newly-significant coefficients
+      plus embedded correction bits for already-nonzero history
+    """
+    chunks, nxt = _destuff(data, pos)
+    comps = frame["comps"]
+    hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
+
+    if ss == 0:
+        if se != 0:
+            raise JpegError("DC scan must have Se == 0")
+        # DC scans may interleave several components (MCU order) or
+        # cover one component's own block grid.
+        if len(sel_list) > 1:
+            units = []
+            for mcu in range(mcus_x * mcus_y):
+                my, mx = divmod(mcu, mcus_x)
+                mcu_units = []
+                for ci, dc_t, _ in sel_list:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            mcu_units.append(
+                                (ci, my * c["v"] + by, mx * c["h"] + bx, dc_t)
+                            )
+                units.append(mcu_units)
+        else:
+            ci, dc_t, _ = sel_list[0]
+            bh, bw = _comp_blocks(frame, comps[ci], hmax, vmax)
+            units = [
+                [(ci, by, bx, dc_t)]
+                for by in range(bh)
+                for bx in range(bw)
+            ]
+        per_chunk = restart_interval if restart_interval else len(units)
+        done = 0
+        for chunk in chunks:
+            if done >= len(units):
+                break
+            reader = _BitReader(chunk)
+            preds = {ci: 0 for ci, _, _ in sel_list}
+            for unit in units[done : done + per_chunk]:
+                for ci, by, bx, dc_t in unit:
+                    zz = coeffs[ci][by, bx]
+                    if ah == 0:
+                        t = reader.decode_symbol(huff[(0, dc_t)])
+                        diff = _extend(reader.read_bits(t), t)
+                        preds[ci] += diff
+                        zz[0] = preds[ci] << al
+                    else:
+                        if reader.read_bit():
+                            zz[0] |= 1 << al
+                done += 1
+        return nxt
+
+    # AC scan: exactly one component, non-interleaved block order
+    if len(sel_list) != 1:
+        raise JpegError("AC progressive scan must be single-component")
+    ci, _, ac_t = sel_list[0]
+    act = huff[(1, ac_t)]
+    bh, bw = _comp_blocks(frame, comps[ci], hmax, vmax)
+    blocks = [(by, bx) for by in range(bh) for bx in range(bw)]
+    per_chunk = restart_interval if restart_interval else len(blocks)
+    p1, m1 = 1 << al, -1 << al
+    done = 0
+    for chunk in chunks:
+        if done >= len(blocks):
+            break
+        reader = _BitReader(chunk)
+        eobrun = 0
+        for by, bx in blocks[done : done + per_chunk]:
+            zz = coeffs[ci][by, bx]
+            if ah == 0:  # AC first pass
+                if eobrun > 0:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        rs = reader.decode_symbol(act)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.read_bits(r)
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        if k > se:
+                            raise JpegError("AC run overflow")
+                        zz[k] = _extend(reader.read_bits(s), s) << al
+                        k += 1
+            else:  # AC refinement (T.81 G.2.3 / libjpeg shape)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = reader.decode_symbol(act)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r != 15:
+                                # full run here (no -1): the current
+                                # block consumes one in the post-step
+                                # below AFTER its remaining correction
+                                # bits are read
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.read_bits(r)
+                                break
+                            val = 0  # ZRL: pass 16 zero-history coeffs
+                        else:
+                            if s != 1:
+                                raise JpegError(
+                                    "AC refinement size must be 1"
+                                )
+                            val = p1 if reader.read_bit() else m1
+                        # advance past r zero-history positions,
+                        # emitting correction bits on nonzero ones
+                        while k <= se:
+                            if zz[k] != 0:
+                                if reader.read_bit() and not (zz[k] & p1):
+                                    zz[k] += p1 if zz[k] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    if val:
+                                        zz[k] = val
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                if eobrun > 0:
+                    # block absorbed by the EOB run: correction bits
+                    # for every remaining nonzero history coefficient
+                    while k <= se:
+                        if zz[k] != 0:
+                            if reader.read_bit() and not (zz[k] & p1):
+                                zz[k] += p1 if zz[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+            done += 1
+    return nxt
+
+
+def _decode_scan(data, pos, frame, sel, qt, huff, restart_interval):
+    chunks, _ = _destuff(data, pos)
 
     comps = frame["comps"]
     h_img, w_img = frame["h"], frame["w"]
@@ -365,7 +591,18 @@ def _decode_scan(data, pos, frame, sel, qt, huff, restart_interval):
                         ] = nat.reshape(8, 8)
             mcu += 1
 
-    # vectorized: dequantize + IDCT + level shift per component
+    return _reconstruct(frame, coeffs, qt)
+
+
+def _reconstruct(frame, coeffs, qt):
+    """Dequantize + IDCT + level shift + chroma upsample + color
+    convert natural-order coefficient blocks (dict ci -> (by, bx, 8, 8)
+    int64) into HxWx3 uint8 RGB. Shared by the baseline and
+    progressive paths."""
+    comps = frame["comps"]
+    h_img, w_img = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
     for ci, c in enumerate(comps):
         qtbl = np.zeros(64, dtype=np.int64)
@@ -599,5 +836,240 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += bytes(wtr.buf)
+    out += b"\xff\xd9"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (4:4:4, Annex K tables, spectral selection +
+# successive approximation — exercises every T.81 Annex G scan kind)
+# ---------------------------------------------------------------------------
+
+# Progressive AC scans emit EOBn symbols (0x10..0xE0) that the Annex K
+# sequential tables do not define, so the progressive encoder ships its
+# own table: every (run, size) symbol for run 0..15, size 0..10 at a
+# flat 8-bit code length — 176 codes in a 256-slot space satisfies the
+# Kraft inequality, making this a valid (if uncompressed-ish) canonical
+# Huffman table. A fixture encoder optimizes for coverage, not ratio.
+PROG_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(11)],
+)
+
+
+def _emit_eobrun(w: _BitWriter, ac_tbl, eobrun: int, be: list[int]) -> int:
+    """Flush a pending EOB run plus its buffered correction bits."""
+    if eobrun:
+        r = eobrun.bit_length() - 1
+        code, length = ac_tbl[r << 4]
+        w.write(code, length)
+        if r:
+            w.write(eobrun - (1 << r), r)
+        for b in be:
+            w.write(b, 1)
+        be.clear()
+    return 0
+
+
+def _encode_ac_first(w, ac_tbl, blocks_zz, ss, se, al):
+    """AC first pass over one component's zigzag blocks (row-major)."""
+    eobrun = 0
+    be: list[int] = []  # unused in first pass; shared signature
+    for zz in blocks_zz:
+        run = 0
+        for k in range(ss, se + 1):
+            t = int(zz[k])
+            a = abs(t) >> al
+            if a == 0:
+                run += 1
+                continue
+            eobrun = _emit_eobrun(w, ac_tbl, eobrun, be)
+            while run > 15:
+                code, length = ac_tbl[0xF0]
+                w.write(code, length)
+                run -= 16
+            s = a.bit_length()
+            code, length = ac_tbl[(run << 4) | s]
+            w.write(code, length)
+            w.write(a if t >= 0 else (a ^ ((1 << s) - 1)), s)
+            run = 0
+        if run > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _emit_eobrun(w, ac_tbl, eobrun, be)
+    _emit_eobrun(w, ac_tbl, eobrun, be)
+
+
+def _encode_ac_refine(w, ac_tbl, blocks_zz, ss, se, al):
+    """AC refinement pass (T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine):
+    newly-significant coefficients as run/1 symbols with sign bits;
+    correction bits for already-nonzero history, buffered so they land
+    right after the symbol (or EOB run) that precedes them."""
+    eobrun = 0
+    be: list[int] = []  # correction bits riding on the pending EOB run
+    for zz in blocks_zz:
+        ab = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eob_pos = -1  # index (into band) of last newly-significant coeff
+        for i, a in enumerate(ab):
+            if a == 1:
+                eob_pos = i
+        run = 0
+        br: list[int] = []  # correction bits since the last symbol
+        for i, a in enumerate(ab):
+            if a == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eob_pos:
+                eobrun = _emit_eobrun(w, ac_tbl, eobrun, be)
+                code, length = ac_tbl[0xF0]
+                w.write(code, length)
+                run -= 16
+                for b in br:
+                    w.write(b, 1)
+                br.clear()
+            if a > 1:  # history-nonzero: one correction bit
+                br.append(a & 1)
+                continue
+            # newly significant (a == 1)
+            eobrun = _emit_eobrun(w, ac_tbl, eobrun, be)
+            code, length = ac_tbl[(run << 4) | 1]
+            w.write(code, length)
+            w.write(1 if int(zz[ss + i]) >= 0 else 0, 1)
+            for b in br:
+                w.write(b, 1)
+            br.clear()
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            be.extend(br)
+            if eobrun == 0x7FFF:
+                eobrun = _emit_eobrun(w, ac_tbl, eobrun, be)
+    _emit_eobrun(w, ac_tbl, eobrun, be)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 85,
+    dc_al: int = 1,
+    ac_al: int = 1,
+    band_split: int = 6,
+) -> bytes:
+    """HxW (gray) or HxWx3 (RGB) uint8 → progressive (SOF2) JFIF bytes.
+
+    Scan script (covers every Annex G scan kind the decoder handles):
+      1. DC, all components interleaved, Al=dc_al
+      2. per component: AC band [1, band_split-1], Al=ac_al (first)
+      3. per component: AC band [band_split, 63], Al=ac_al (first)
+      4. per component: AC refinements of both bands down to Al=0
+      5. DC refinements down to Al=0 (1 raw bit/block)
+
+    4:4:4 only — every component shares the full-resolution block grid
+    (subsampling belongs to the baseline encoder; progressive here
+    exists to prove the decode path, reference parity:
+    pennsieve media handling treats progressive JPEG as opaque until
+    decode).
+    """
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    ql = _quality_scale(STD_LUMA_Q, quality)
+    qc = _quality_scale(STD_CHROMA_Q, quality)
+    qts = [ql] + ([qc] if not gray else [])
+    hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+    comps_zz = []
+    for pi, pl in enumerate(planes):
+        nat = _plane_blocks(_pad_plane(pl, hp, wp), ql if pi == 0 else qc)
+        by, bx = nat.shape[0], nat.shape[1]
+        zz = nat.reshape(by, bx, 64)[..., ZIGZAG]
+        comps_zz.append(zz.reshape(by * bx, 64))
+    n_blocks = comps_zz[0].shape[0]
+
+    enc_dc = [_build_encode_table(*DC_LUMA), _build_encode_table(*DC_CHROMA)]
+    enc_ac_prog = _build_encode_table(*PROG_AC)  # shared by all comps
+    nc = len(planes)
+    scans: list[tuple[bytes, bytes]] = []  # (SOS header body, entropy)
+
+    def sos_body(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            td = (0 if cid == 1 else 1) if ss == 0 else 0
+            body += bytes([cid, td << 4])  # Ta = 0: shared PROG_AC
+        return body + bytes([ss, se, (ah << 4) | al])
+
+    # 1. DC first scan, interleaved, point transform dc_al
+    wtr = _BitWriter()
+    preds = [0] * nc
+    for bi in range(n_blocks):
+        for pi in range(nc):
+            v = int(comps_zz[pi][bi][0]) >> dc_al
+            diff = v - preds[pi]
+            preds[pi] = v
+            t = abs(diff).bit_length()
+            code, length = enc_dc[0 if pi == 0 else 1][t]
+            wtr.write(code, length)
+            if t:
+                wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    wtr.flush()
+    scans.append((sos_body(list(range(1, nc + 1)), 0, 0, 0, dc_al),
+                  bytes(wtr.buf)))
+
+    # 2-3. AC first scans per component, two spectral bands
+    bands = [(1, band_split - 1), (band_split, 63)]
+    for pi in range(nc):
+        for ss, se in bands:
+            wtr = _BitWriter()
+            _encode_ac_first(wtr, enc_ac_prog, comps_zz[pi], ss, se, ac_al)
+            wtr.flush()
+            scans.append((sos_body([pi + 1], ss, se, 0, ac_al),
+                          bytes(wtr.buf)))
+    # 4. AC refinements down to Al=0
+    for al in range(ac_al - 1, -1, -1):
+        for pi in range(nc):
+            for ss, se in bands:
+                wtr = _BitWriter()
+                _encode_ac_refine(
+                    wtr, enc_ac_prog, comps_zz[pi], ss, se, al
+                )
+                wtr.flush()
+                scans.append((sos_body([pi + 1], ss, se, al + 1, al),
+                              bytes(wtr.buf)))
+    # 5. DC refinements down to Al=0 (raw bits, interleaved)
+    for al in range(dc_al - 1, -1, -1):
+        wtr = _BitWriter()
+        for bi in range(n_blocks):
+            for pi in range(nc):
+                wtr.write((int(comps_zz[pi][bi][0]) >> al) & 1, 1)
+        wtr.flush()
+        scans.append((sos_body(list(range(1, nc + 1)), 0, 0, al + 1, al),
+                      bytes(wtr.buf)))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for qi, q in enumerate(qts):
+        out += seg(0xDB, bytes([qi]) + bytes(int(x) for x in q.reshape(64)[ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC2, sof)
+    tables = [(0, 0, DC_LUMA), (1, 0, PROG_AC)]
+    if nc > 1:
+        tables += [(0, 1, DC_CHROMA)]
+    for tc, th, (bits, values) in tables:
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(values))
+    for body, entropy in scans:
+        out += seg(0xDA, body) + entropy
     out += b"\xff\xd9"
     return out

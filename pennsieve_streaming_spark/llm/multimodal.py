@@ -99,7 +99,8 @@ def _decode_features(payload: bytes, decode_stub: bool) -> list[float]:
                 jpeg.decode_jpeg(payload), FEATURE_DIM
             ).tolist()
         except jpeg.JpegError:
-            pass  # progressive/arithmetic JPEG falls through to the stub
+            pass  # arithmetic-coded/lossless JPEG falls through to the
+            # stub (baseline AND progressive now decode natively)
     if rawimg.is_bmp(payload):
         try:
             return png.image_features(
@@ -123,9 +124,10 @@ def _decode_features(payload: bytes, decode_stub: bool) -> list[float]:
     if not decode_stub:
         raise NotImplementedError(
             "no codec for this payload format in this environment; "
-            "PNG/baseline-JPEG/BMP/PGM/PPM and WAV (PCM + G.711) decode "
-            "natively, others (progressive JPEG, compressed video) need "
-            "ffmpeg/pillow plugged into _decode_features"
+            "PNG/JPEG (baseline + progressive)/BMP/PGM/PPM and WAV "
+            "(PCM + G.711) decode natively, others (arithmetic-coded "
+            "JPEG, compressed video/audio) need ffmpeg/pillow plugged "
+            "into _decode_features"
         )
     return _fake_decode(payload).tolist()
 

@@ -88,15 +88,59 @@ def test_ff_data_bytes_not_mistaken_for_restarts():
     assert _psnr(out, img) > 30
 
 
-def test_rejects_progressive_and_garbage():
+def test_rejects_invalid_scan_scripts_and_garbage():
     with pytest.raises(jpeg.JpegError):
         jpeg.decode_jpeg(b"not a jpeg")
     img = _blocky(16, 16)
     data = bytearray(jpeg.encode_jpeg(img, 90))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # pretend progressive SOF2
-    with pytest.raises(jpeg.JpegError):
+    data[i + 1] = 0xC2  # SOF2 + a baseline Ss=0..Se=63 scan is an
+    with pytest.raises(jpeg.JpegError):  # invalid progressive script
         jpeg.decode_jpeg(bytes(data))
+
+
+def test_progressive_roundtrip_matches_baseline():
+    """Progressive encode -> decode must be PIXEL-EXACT vs the baseline
+    path: both quantize to identical coefficients, so spectral
+    selection + successive approximation must reassemble every bit."""
+    img = _photo(37, 53, seed=7, noise=20.0)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 85))
+    for dc_al, ac_al, split in [(1, 1, 6), (0, 0, 10), (2, 2, 4), (1, 2, 33)]:
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(
+                img, 85, dc_al=dc_al, ac_al=ac_al, band_split=split
+            )
+        )
+        assert np.array_equal(prog, base), (dc_al, ac_al, split)
+
+
+def test_progressive_grayscale_and_fuzz():
+    rng = np.random.default_rng(99)
+    g = rng.integers(0, 256, (24, 17)).astype(np.uint8)
+    assert np.array_equal(
+        jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(g, 70)),
+        jpeg.decode_jpeg(jpeg.encode_jpeg(g, 70)),
+    )
+    for seed in range(6):
+        r = np.random.default_rng(seed)
+        h, w = int(r.integers(8, 40)), int(r.integers(8, 40))
+        img = r.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        q = int(r.integers(30, 96))
+        assert np.array_equal(
+            jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, q)),
+            jpeg.decode_jpeg(jpeg.encode_jpeg(img, q)),
+        ), seed
+
+
+def test_progressive_eob_run_paths():
+    """A mostly-flat image drives long EOB runs (EOBn symbols with
+    extra bits) through both the first-pass and refinement decoders."""
+    img = np.full((64, 64, 3), 128, dtype=np.uint8)
+    img[0, 0] = [255, 0, 0]  # one busy block among many all-zero-AC ones
+    assert np.array_equal(
+        jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, 85)),
+        jpeg.decode_jpeg(jpeg.encode_jpeg(img, 85)),
+    )
 
 
 def test_spark_decodes_jpeg(spark):
