@@ -89,8 +89,14 @@ def _decode_features(payload: bytes, decode_stub: bool) -> list[float]:
     WAV/PCM audio (llm/wav.py); other formats use the deterministic
     stub, or raise when ``decode_stub=False`` (the production hook for
     ffmpeg/pillow for the remaining codecs)."""
-    from pennsieve_streaming_spark.llm import jpeg, png, rawimg, wav
+    from pennsieve_streaming_spark.llm import jpeg, png, rawimg, video, wav
 
+    if video.is_avi(payload):
+        try:
+            frames, fps = video.decode_avi_mjpeg(payload)
+            return video.video_features(frames, fps, FEATURE_DIM).tolist()
+        except (video.VideoError, jpeg.JpegError):
+            pass  # non-MJPEG AVI falls through to the stub
     if png.is_png(payload):
         return png.image_features(png.decode_png(payload), FEATURE_DIM).tolist()
     if jpeg.is_jpeg(payload):
@@ -124,9 +130,10 @@ def _decode_features(payload: bytes, decode_stub: bool) -> list[float]:
     if not decode_stub:
         raise NotImplementedError(
             "no codec for this payload format in this environment; "
-            "PNG/JPEG (baseline + progressive)/BMP/PGM/PPM and WAV "
-            "(PCM + G.711) decode natively, others (arithmetic-coded "
-            "JPEG, compressed video/audio) need ffmpeg/pillow plugged "
+            "PNG/JPEG (baseline + progressive)/BMP/PGM/PPM images, WAV "
+            "(PCM + G.711 + IMA ADPCM) audio, and MJPEG/AVI video "
+            "decode natively; others (arithmetic-coded JPEG, "
+            "inter-frame video codecs) need ffmpeg/pillow plugged "
             "into _decode_features"
         )
     return _fake_decode(payload).tolist()
