@@ -43,7 +43,10 @@ HEADLINE = [
     "emb_cosine_topk",
 ]
 
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+# min-of-5 interleaved passes: the shared box shows ±50% co-tenant
+# spikes lasting seconds; 5 passes put ~2 min between a query's reps,
+# so the min reliably escapes transient contention (PLANS_r5.md).
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
 
 
 def main() -> None:

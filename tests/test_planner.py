@@ -181,6 +181,29 @@ def test_lsh_bucket_cap_preserves_connectivity(spark):
     }
 
 
+def test_lsh_capped_plan_shape(spark):
+    """The capped candidate path must stay equi-join-only: no
+    cartesian product, and the bucket-stats side joins back on
+    (band, band_key) — one row per key, so the join cannot explode."""
+    from pennsieve_streaming_spark.llm.dedup import (
+        lsh_band_keys,
+        lsh_candidate_pairs,
+        minhash_wide,
+    )
+
+    sh = spark.createDataFrame(
+        [(d, (d * 31 + k) % 97) for d in range(50) for k in range(10)],
+        "doc_id long, sh long",
+    )
+    plan = _plan(
+        lsh_candidate_pairs(
+            lsh_band_keys(minhash_wide(sh)), max_bucket_size=50
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "band_key" in plan and "_bn" in plan
+
+
 def test_simhash_banded_recall_prefix_diff(spark):
     """Pigeonhole recall: a near-dup pair whose differing bits all fall
     inside the OLD top-12 prefix (bits 31..20) was invisible to
