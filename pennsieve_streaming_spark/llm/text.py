@@ -349,13 +349,11 @@ def build_vocab(documents: DataFrame, min_count: int = 1) -> DataFrame:
     for unknown terms at encode time.
 
     Scale: the corpus-wide term count is one partial-agg groupBy; the
-    rank is a single window over the VOCAB table (|vocab| rows — 10^5
-    to 10^7 — not the corpus), which is the one intentionally
-    single-task stage; at larger vocabs swap in the two-phase
-    zipWithIndex rank.
+    token-id rank uses the two-phase range-partitioned rank
+    (`util.global_rank`) — exact row_number semantics with NO
+    single-task global window, so a 1e9-term vocabulary ranks in
+    parallel.
     """
-    from pyspark.sql import Window
-
     toks = (
         _with_toks(documents)
         .where(F.expr("length(trim(text)) > 0"))
@@ -369,12 +367,11 @@ def build_vocab(documents: DataFrame, min_count: int = 1) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("count"))
         .where(F.col("count") >= min_count)
     )
-    w = Window.orderBy(F.col("count").desc(), F.col("term"))
-    return counts.select(
-        "term",
-        F.row_number().over(w).cast("long").alias("token_id"),
-        "count",
-    )
+    from pennsieve_streaming_spark.util import global_rank
+
+    return global_rank(
+        counts, [F.col("count").desc(), F.col("term")], out_col="token_id"
+    ).select("term", "token_id", "count")
 
 
 def encode_token_ids(documents: DataFrame, vocab: DataFrame) -> DataFrame:
@@ -528,10 +525,12 @@ def zipf_fit(documents: DataFrame, quant: int = 10**3) -> DataFrame:
     Output: one row (n_terms, slope, intercept).
 
     Scale: token counts reduce map-side; the global rank sorts the
-    VOCABULARY (orders of magnitude below the corpus; for 1e9-term
-    vocabularies use the two-phase range-partitioned rank — the fit
-    only needs (rank, freq), not stable row identity).
+    VOCABULARY via the two-phase range-partitioned rank
+    (`util.global_rank`) — no single-task global window, so even a
+    1e9-term vocabulary ranks in parallel.
     """
+    from pennsieve_streaming_spark.util import global_rank
+
     q = int(quant)
     counts = (
         documents.select(F.explode(F.expr(TOKS)).alias("t"))
@@ -539,10 +538,7 @@ def zipf_fit(documents: DataFrame, quant: int = 10**3) -> DataFrame:
         .groupBy("t")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    ranked = counts.withColumn(
-        "r",
-        F.row_number().over(Window.orderBy(F.desc("c"), "t")).cast("long"),
-    )
+    ranked = global_rank(counts, [F.desc("c"), "t"], out_col="r")
     xy = ranked.select(
         F.expr(f"CAST(round(round(ln(CAST(r AS DOUBLE)), 9) * {q}) AS BIGINT)").alias("xq"),
         F.expr(f"CAST(round(round(ln(CAST(c AS DOUBLE)), 9) * {q}) AS BIGINT)").alias("yq"),

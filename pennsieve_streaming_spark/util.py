@@ -27,3 +27,78 @@ def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
     if current < max(2, target // 2):
         return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
     return df
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols,
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ``row_number`` over a TOTAL order without the
+    single-task global window.
+
+    ``Window.orderBy(...)`` with no partition key funnels every row
+    through ONE task — fine for a 1e5-row vocabulary, fatal for a
+    1e9-term one. This is the standard two-phase rank instead:
+
+    1. ``repartitionByRange`` on the order columns (partition i's keys
+       all sort before partition i+1's);
+    2. ``row_number`` within each partition (parallel);
+    3. offset each partition's local ranks by the cumulative counts of
+       the partitions before it — a |partitions|-row driver-side fold,
+       bounded like a centroid load, NOT a data collect.
+
+    ``order_cols`` must define a total order (include a unique
+    tiebreak column) or ranks of ties become partition-placement
+    dependent. Result is bit-identical to the single-task window under
+    a total order.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    n = num_partitions
+    if n is None:
+        try:
+            n = spark.sparkContext.defaultParallelism
+        except Exception:  # pragma: no cover - Spark Connect path
+            n = 64
+    parted = df.repartitionByRange(n, *order_cols).withColumn(
+        "_gr_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_gr_pid").orderBy(*order_cols)
+    # Materialize ONCE: repartitionByRange samples its boundaries per
+    # job, so letting the sizes job and the caller's job re-execute the
+    # exchange independently could place rows in different partitions
+    # than the offsets were computed from. localCheckpoint pins one
+    # partitioning both reads share (same trick as the
+    # connected-components loop in llm/graph.py).
+    local = parted.withColumn(
+        "_gr_lrank", F.row_number().over(w)
+    ).localCheckpoint()
+    sizes = sorted(
+        (
+            (r["_gr_pid"], r["_gr_cnt"])
+            for r in local.groupBy("_gr_pid")
+            .agg(F.count(F.lit(1)).alias("_gr_cnt"))
+            .collect()
+        ),
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, cnt in sizes:
+        offsets[pid] = acc
+        acc += cnt
+    if not offsets:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    omap = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    return (
+        local.withColumn(
+            out_col,
+            (F.col("_gr_lrank") + omap[F.col("_gr_pid")]).cast("long"),
+        )
+        .drop("_gr_pid", "_gr_lrank")
+    )

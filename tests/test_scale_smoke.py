@@ -242,3 +242,38 @@ def test_pagerank_200k_edges(spark):
     pr = pagerank(docs, ring.union(chords), n_iter=3)
     total = pr.agg(F.sum("pr")).collect()[0][0]
     assert 0.98 < total <= 1.0 + 1e-9
+
+
+def test_global_rank_matches_single_task_window(spark):
+    """util.global_rank must be bit-identical to the single-task
+    Window.orderBy row_number under a total order — including with
+    heavy duplication in the primary sort key — while running as a
+    range-partitioned parallel plan."""
+    from pyspark.sql import Window
+
+    from pennsieve_streaming_spark.util import global_rank
+
+    df = spark.range(100_000).selectExpr(
+        "id", "id % 97 AS c", "concat('t', id) AS t"
+    )
+    order = [F.desc("c"), "t"]
+    want = {
+        (r.id, r.rk)
+        for r in df.withColumn(
+            "rk", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    got = {
+        (r.id, r.rank)
+        for r in global_rank(df, order, num_partitions=16).collect()
+    }
+    assert got == want
+
+
+def test_global_rank_empty_and_tiny(spark):
+    from pennsieve_streaming_spark.util import global_rank
+
+    empty = spark.range(0).selectExpr("id AS c")
+    assert global_rank(empty, ["c"]).count() == 0
+    one = global_rank(spark.range(1).selectExpr("id AS c"), ["c"]).collect()
+    assert one[0].rank == 1
