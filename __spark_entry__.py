@@ -2107,6 +2107,122 @@ def q_top_quality_per_lang(spark, sf_dir):
     )
 
 
+# --- round-5b additions ----------------------------------------------------
+
+TOP_PATHS_STEPS, TOP_PATHS_K = 3, 20
+WSAMPLE_N = 100                  # weighted-sample draw size
+LTOB_BUCKET = 50                 # samples per LTOB bucket
+SAX_WINDOW, SAX_SEGMENTS = 64, 8
+CONT_MIN = 0.2                   # containment pair floor
+FUZZY_TAU = 0.5                  # fuzzy-contamination est threshold
+BENCH_MOD, BENCH_REM = 10, 7     # benchmark split: doc_id % 10 == 7
+
+
+def q_top_paths(spark, sf_dir):
+    """Top-20 3-step event-type paths of the per-user ordered event
+    sequence (clickstream journey mining)."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        top_event_paths,
+    )
+
+    return top_event_paths(
+        _user_events(spark, sf_dir), steps=TOP_PATHS_STEPS, k=TOP_PATHS_K
+    )
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Exact-size weighted sample without replacement (A-ES keys over
+    a deterministic per-doc uniform; weight = n_chars)."""
+    from pennsieve_streaming_spark.llm.curation import weighted_sample
+
+    return weighted_sample(_docs(spark, sf_dir), n=WSAMPLE_N)
+
+
+def q_ltob_downsample(spark, sf_dir):
+    """Largest-Triangle-One-Bucket visual downsample of one channel —
+    integer-exact area argmax per bucket."""
+    from pennsieve_streaming_spark.operators.downsample import (
+        downsample_ltob,
+    )
+
+    s = TBL.samples_view(spark, sf_dir).filter(F.col("channel") == "ch3")
+    return downsample_ltob(s, LTOB_BUCKET)
+
+
+def q_sax_words(spark, sf_dir):
+    """SAX symbolization: z-normalized PAA over 64-sample windows,
+    8 segments, 4-letter alphabet."""
+    from pennsieve_streaming_spark.operators.sax import sax_words
+
+    return sax_words(
+        TBL.samples_view(spark, sf_dir), SAX_WINDOW, SAX_SEGMENTS
+    )
+
+
+def q_welch_psd(spark, sf_dir):
+    """Welch PSD: cross-window average of the Goertzel periodograms
+    over the bounded golden window (exact integer cross-window sum)."""
+    from pennsieve_streaming_spark.dsp.spectral import welch_psd
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        (F.col("channel") == "lead") & (F.col("ts") <= BW_TS_END)
+    )
+    return welch_psd(s, BP_FREQS, BW_RATE, BP_WINDOW)
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of backward join: each event probes the latest sample
+    at-or-before its (rebased) timestamp on its mapped channel. The
+    oracle is DuckDB's native ASOF LEFT JOIN; the engine side is the
+    union-window pass (align.asof_join)."""
+    from pennsieve_streaming_spark.operators.align import asof_join
+
+    TBL.ensure_session_confs(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    span = T1999 - T1992
+    probes = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("ch"), (F.length("event_type") % 8).cast("string")
+        ).alias("channel"),
+        (TBL.epoch_micros_col(ev, "ts") % span + T1992).alias("ts"),
+    )
+    s = (
+        TBL.samples_view(spark, sf_dir)
+        .groupBy("channel", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return asof_join(s, probes)
+
+
+def q_ngram_containment(spark, sf_dir):
+    """Exact shingle-set containment pairs (asymmetric near-dup: short
+    doc swallowed by long doc), hot-shingle df cap as in jaccard."""
+    from pennsieve_streaming_spark.llm.dedup import containment_pairs
+
+    return containment_pairs(
+        shingles(_docs(spark, sf_dir)),
+        max_doc_freq=JACCARD_MAX_DF,
+        min_containment=CONT_MIN,
+    )
+
+
+def q_contamination_fuzzy(spark, sf_dir):
+    """MinHash-LSH decontamination of the corpus split against the
+    benchmark split (doc_id % 10 == 7): banded-collision candidates,
+    signature-agreement similarity estimate, per-corpus-doc verdict."""
+    from pennsieve_streaming_spark.llm.curation import contamination_fuzzy
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(
+        F.col("doc_id") % BENCH_MOD == F.lit(BENCH_REM)
+    )
+    corpus = docs.filter(
+        F.col("doc_id") % BENCH_MOD != F.lit(BENCH_REM)
+    )
+    return contamination_fuzzy(corpus, bench, threshold=FUZZY_TAU)
+
+
 # Round-5 rotation: the driver's correctness gate samples the FIRST 50
 # registry entries, so this front list holds the 50 queries never yet
 # covered by a CORRECTNESS_r* record (r1-r4 covered 100 of 154; the 4
@@ -2151,6 +2267,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so the NEWEST / least-proven queries are listed FIRST and the
     # longest-stable ts-core queries last. Keep new work at the top.
     q = {
+        # round-5b: newest — kept OUT of the first-50 positions this
+        # round so the rotation still covers the never-checked set;
+        # front-load these in the r6 rotation.
+        "ev_top_paths": q_top_paths,
+        "doc_weighted_sample": q_weighted_sample,
+        "ts_ltob_downsample": q_ltob_downsample,
+        "ts_sax_words": q_sax_words,
+        "ts_welch_psd": q_welch_psd,
+        "ts_asof_join": q_asof_join,
+        "doc_ngram_containment": q_ngram_containment,
+        "doc_contamination_fuzzy": q_contamination_fuzzy,
         # round-4c: newest first (least-proven gets the oracle)
         "doc_pagerank": q_pagerank,
         "ev_event_transitions": q_event_transitions,
@@ -5993,6 +6120,219 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY cosine DESC, neighbor_id) AS rank
           FROM scored
         ) WHERE rank <= {ANN_K}
+        """
+
+    # --- round-5b oracles --------------------------------------------------
+
+    sql["ev_top_paths"] = """
+        WITH ev AS (
+          SELECT epoch_us(ts) AS ts, event_id, user_id, event_type
+          FROM events
+        ),
+        led AS (
+          SELECT event_type AS t0,
+                 LEAD(event_type, 1) OVER w AS t1,
+                 LEAD(event_type, 2) OVER w AS t2
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT t0 || '>' || t1 || '>' || t2 AS path,
+               CAST(COUNT(*) AS BIGINT) AS n_paths
+        FROM led WHERE t2 IS NOT NULL
+        GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20
+        """
+
+    from pennsieve_streaming_spark.llm.curation import (
+        SAMPLE_MOD as _WS_MOD,
+        SAMPLE_MULT as _WS_MULT,
+    )
+
+    _ws_u = (
+        f"((((doc_id % {_WS_MOD}) * {_WS_MULT} + 0) % {_WS_MOD}) + 1) "
+        f"/ CAST({_WS_MOD} AS DOUBLE)"
+    )
+    sql["doc_weighted_sample"] = f"""
+        SELECT doc_id, CAST(GREATEST(n_chars, 1) AS BIGINT) AS weight,
+               round(ln({_ws_u}) / CAST(GREATEST(n_chars, 1) AS DOUBLE), 9)
+                 AS skey
+        FROM documents
+        ORDER BY skey DESC, doc_id LIMIT {WSAMPLE_N}
+        """
+
+    _ltob_area = (
+        "CAST(round(abs(CAST(x0 - ts2 AS DOUBLE) * (value - y0) "
+        "- CAST(x0 - ts AS DOUBLE) * (y2 - y0))) AS BIGINT)"
+    )
+    sql["ts_ltob_downsample"] = with_views(
+        f"""
+        SELECT channel, bucket, ts, value, area_q FROM (
+          SELECT channel, bucket, ts, value, area_q,
+                 ROW_NUMBER() OVER (PARTITION BY channel, bucket
+                     ORDER BY area_q DESC, ts, value) AS pk
+          FROM (
+            SELECT channel, CAST(rn // {LTOB_BUCKET} AS BIGINT) AS bucket,
+                   ts, value,
+                   CASE WHEN x0 IS NULL OR ts2 IS NULL THEN CAST(-1 AS BIGINT)
+                        ELSE {_ltob_area} END AS area_q
+            FROM (
+              SELECT channel, ts, value,
+                     ROW_NUMBER() OVER w - 1 AS rn,
+                     LAG(ts) OVER w AS x0, LAG(value) OVER w AS y0,
+                     LEAD(ts) OVER w AS ts2, LEAD(value) OVER w AS y2
+              FROM samples WHERE channel = 'ch3'
+              WINDOW w AS (PARTITION BY channel ORDER BY ts, value)
+            )
+          )
+        ) WHERE pk = 1
+        """,
+        "samples",
+    )
+
+    from pennsieve_streaming_spark.operators.sax import (
+        QUANT as _SAX_Q,
+        sax_symbol_case,
+        seg_z_expr,
+        window_stats_exprs,
+    )
+
+    _sax_mean, _sax_std = window_stats_exprs(SAX_WINDOW)
+    _sax_seg_len = SAX_WINDOW // SAX_SEGMENTS
+    _sax_sym = sax_symbol_case(seg_z_expr(_sax_seg_len))
+    sql["ts_sax_words"] = with_views(
+        f"""
+        WITH r AS (
+          SELECT channel,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS rn,
+                 CAST(round(value * {_SAX_Q}) AS BIGINT) AS vq
+          FROM samples
+        ),
+        g AS (
+          SELECT channel, CAST(rn // {SAX_WINDOW} AS BIGINT) AS win,
+                 CAST((rn % {SAX_WINDOW}) // {_sax_seg_len} AS BIGINT) AS seg,
+                 vq
+          FROM r
+        ),
+        segs AS (
+          SELECT channel, win, seg, CAST(SUM(vq) AS BIGINT) AS ssum,
+                 CAST(SUM(vq * vq) AS BIGINT) AS ssq, COUNT(*) AS scnt
+          FROM g GROUP BY 1, 2, 3
+        ),
+        wins AS (
+          SELECT channel, win, {_sax_mean} AS mean, {_sax_std} AS std
+          FROM (
+            SELECT channel, win, CAST(SUM(ssum) AS BIGINT) AS sx,
+                   CAST(SUM(ssq) AS BIGINT) AS sxx, SUM(scnt) AS n
+            FROM segs GROUP BY 1, 2
+          ) WHERE n = {SAX_WINDOW}
+        ),
+        sy AS (
+          SELECT s.channel, s.win, s.seg, w.mean, w.std, {_sax_sym} AS sym
+          FROM segs s JOIN wins w
+            ON s.channel = w.channel AND s.win = w.win
+        )
+        SELECT channel, win, MIN(mean) AS mean, MIN(std) AS std,
+               string_agg(sym, '' ORDER BY seg) AS sax_word
+        FROM sy GROUP BY channel, win
+        """,
+        "samples",
+    )
+
+    sql["ts_welch_psd"] = f"""
+        SELECT channel, freq_hz, n_windows, sum_power_q,
+               CAST(sum_power_q AS DOUBLE) / CAST(n_windows AS DOUBLE)
+                 AS avg_power
+        FROM (
+          SELECT channel, freq_hz, CAST(COUNT(*) AS BIGINT) AS n_windows,
+                 CAST(SUM(CAST(round(power) AS BIGINT)) AS BIGINT)
+                   AS sum_power_q
+          FROM ({sql["ts_band_power"]}) GROUP BY channel, freq_hz
+        )
+        """
+
+    _asof_span = T1999 - T1992
+    sql["ts_asof_join"] = with_views(
+        f"""
+        WITH s AS (
+          SELECT channel, ts, MAX(value) AS value
+          FROM samples GROUP BY channel, ts
+        ),
+        p AS (
+          SELECT event_id,
+                 'ch' || CAST(length(event_type) % 8 AS VARCHAR) AS channel,
+                 epoch_us(ts) % {_asof_span} + {T1992} AS ts
+          FROM events
+        )
+        SELECT p.event_id, p.channel, p.ts AS probe_ts,
+               COALESCE(s.value, CAST(0 AS DOUBLE)) AS value,
+               CAST(COALESCE(s.ts, -1) AS BIGINT) AS src_ts,
+               CAST(COALESCE(p.ts - s.ts, -1) AS BIGINT) AS stale_us,
+               s.ts IS NOT NULL AS matched
+        FROM p ASOF LEFT JOIN s
+          ON p.channel = s.channel AND s.ts <= p.ts
+        """,
+        "samples",
+    )
+
+    sql["doc_ngram_containment"] = f"""
+        WITH {DOC_PRE},
+        ok_sh AS (
+          SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= {JACCARD_MAX_DF}
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        ints AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM sh a
+          JOIN ok_sh o ON a.sh = o.sh
+          JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT i.doc_a, i.doc_b, CAST(sa.n AS BIGINT) AS n_a,
+               CAST(sb.n AS BIGINT) AS n_b, CAST(i.inter AS BIGINT) AS inter,
+               i.inter / CAST(sa.n AS DOUBLE) AS cont_a,
+               i.inter / CAST(sb.n AS DOUBLE) AS cont_b
+        FROM ints i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE GREATEST(i.inter / CAST(sa.n AS DOUBLE),
+                       i.inter / CAST(sb.n AS DOUBLE)) >= {CONT_MIN}e0
+        """
+
+    sql["doc_contamination_fuzzy"] = f"""
+        WITH {MINHASH_PRE}, {BANDS},
+        corpus AS (
+          SELECT doc_id FROM documents
+          WHERE doc_id % {BENCH_MOD} != {BENCH_REM}
+        ),
+        cb AS (SELECT * FROM bands WHERE doc_id % {BENCH_MOD} != {BENCH_REM}),
+        bb AS (
+          SELECT doc_id AS bench_id, band, band_key FROM bands
+          WHERE doc_id % {BENCH_MOD} = {BENCH_REM}
+        ),
+        cand AS (
+          SELECT DISTINCT c.doc_id, b.bench_id
+          FROM cb c JOIN bb b USING (band, band_key)
+        ),
+        ag AS (
+          SELECT c.doc_id, c.bench_id,
+                 SUM(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END)
+                   / CAST(16 AS DOUBLE) AS est
+          FROM cand c
+          JOIN mh ma ON ma.doc_id = c.doc_id
+          JOIN mh mb ON mb.doc_id = c.bench_id AND mb.j = ma.j
+          GROUP BY 1, 2
+        ),
+        hits AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
+                 MAX(est) AS max_jaccard_est
+          FROM ag GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(h.n_bench_hits, 0) AS BIGINT) AS n_bench_hits,
+               COALESCE(h.max_jaccard_est, CAST(0 AS DOUBLE))
+                 AS max_jaccard_est,
+               COALESCE(h.max_jaccard_est, CAST(0 AS DOUBLE)) >= {FUZZY_TAU}e0
+                 AS contaminated
+        FROM corpus d LEFT JOIN hits h USING (doc_id)
         """
 
     return sql

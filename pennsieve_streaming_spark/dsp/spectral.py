@@ -202,3 +202,48 @@ def power_spectrum(
         F.expr(energy).cast("decimal(38,0)").alias("energy_q2"),
         F.expr(power).alias("power"),
     )
+
+
+def welch_psd(
+    samples: DataFrame,
+    freqs_hz: tuple[float, ...],
+    rate_hz: float,
+    window_samples: int,
+) -> DataFrame:
+    """Welch power-spectral-density estimate (Welch 1967, rectangular
+    window, non-overlapping segments): the average of the per-segment
+    Goertzel periodograms of :func:`band_power` — variance of the raw
+    periodogram drops by ~1/K over K segments, the standard spectral
+    estimator for long recordings.
+
+    Determinism: per-window powers are already bit-identical across
+    engines (the recursive-CTE oracle class); each is rounded to
+    BIGINT before the cross-window average, so the sum is exact and
+    the mean is one float division — no float fold across windows.
+    (Powers here are O(N²·x²); round-to-integer loses < 1e-15
+    relative.)
+
+    Output: (channel, freq_hz, n_windows, sum_power_q, avg_power).
+
+    Scale: inherits band_power's |channels|×|windows| parallelism and
+    adds one map-side-partial groupBy down to |channels|×|freqs| rows.
+    """
+    bp = band_power(samples, freqs_hz, rate_hz, window_samples)
+    return (
+        bp.select(
+            "channel",
+            "freq_hz",
+            F.expr("CAST(round(power) AS BIGINT)").alias("pq"),
+        )
+        .groupBy("channel", "freq_hz")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum("pq").cast("long").alias("sum_power_q"),
+        )
+        .withColumn(
+            "avg_power",
+            F.expr(
+                "CAST(sum_power_q AS DOUBLE) / CAST(n_windows AS DOUBLE)"
+            ),
+        )
+    )

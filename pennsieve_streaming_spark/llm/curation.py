@@ -46,6 +46,11 @@ from pyspark.sql import functions as F
 SAMPLE_MOD = 1_000_000_007
 SAMPLE_MULT = 2_654_435_761
 SAMPLE_BUCKETS = 10_000
+# weighted_sample salt stride: a large additive step so distinct salts
+# land far apart on the hash circle (a +1 shift would vanish under the
+# 9-decimal key rounding); still a rotation of ONE permutation, not an
+# independent redraw (see cluster_sample's docstring for the recipe).
+SALT_STRIDE = 888_888_877
 
 # single source of truth for the tokenizer every oracle's bit-exact
 # parity depends on (batch, streaming, and dedup paths all read it
@@ -1174,4 +1179,137 @@ def corpus_split(
             "doc_id", "source", "lang", F.expr(u).alias("sample_u")
         )
         .withColumn("split", F.expr(split))
+    )
+
+
+def weighted_sample(
+    documents: DataFrame,
+    n: int = 100,
+    weight_expr: str = "GREATEST(n_chars, 1)",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006, A-ES): each document draws u in (0, 1] as a pure
+    function of (doc_id, salt) and ranks by key = ln(u) / w; the global
+    top-``n`` keys are an exact weighted sample without replacement.
+
+    Unlike rejection/rate sampling (:func:`stratified_sample`), the
+    output size is exactly ``n`` and inclusion probability scales with
+    the document weight — the primitive behind "sample 10M docs
+    proportional to quality score" corpus draws.
+
+    Output: (doc_id, weight, skey), ordered top-n by (skey desc,
+    doc_id); ``skey`` = round(ln(u)/w, 9) — engine ln() diverges at
+    the last ulp (libm vs JVM StrictMath), so the key is rounded to 9
+    decimals on BOTH engines before ordering (the bigram-LM/zipf logp
+    convention); doc_id breaks any resulting tie identically.
+
+    Scale: zero shuffle — the top-n plans as TakeOrderedAndProject
+    (per-partition heaps merged on the driver); the corpus is scanned
+    once with only (doc_id, weight cols) read.
+    """
+    u = (
+        f"((((doc_id % {SAMPLE_MOD}) * {SAMPLE_MULT} "
+        f"+ {salt} * {SALT_STRIDE}) % {SAMPLE_MOD}) + 1) "
+        f"/ CAST({SAMPLE_MOD} AS DOUBLE)"
+    )
+    return (
+        documents.select(
+            "doc_id",
+            F.expr(f"CAST({weight_expr} AS BIGINT)").alias("weight"),
+            F.expr(
+                f"round(ln({u}) / CAST({weight_expr} AS DOUBLE), 9)"
+            ).alias("skey"),
+        )
+        .orderBy(F.desc("skey"), "doc_id")
+        .limit(int(n))
+    )
+
+
+def contamination_fuzzy(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+) -> DataFrame:
+    """MinHash-LSH benchmark decontamination: flag corpus documents
+    whose estimated Jaccard similarity to ANY benchmark document
+    reaches ``threshold`` — the fuzzy-dedup analogue of
+    :func:`contamination` (which needs exact shingle overlap, so a
+    lightly paraphrased eval document slips through it).
+
+    Candidate (corpus, benchmark) pairs come from banded-signature
+    collisions (any shared (band, band_key)); each candidate's
+    similarity is then estimated as the signature agreement fraction
+    (the unbiased MinHash Jaccard estimator) — corpus docs with no
+    colliding band report 0 hits / 0.0.
+
+    Output: one row per CORPUS document — (doc_id, n_bench_hits,
+    max_jaccard_est, contaminated).
+
+    Scale: the benchmark side (eval suites: MBs) collapses to a tiny
+    band-key table and a tiny signature table, both broadcast — the
+    100 TB corpus is shuffled ONCE (the per-doc minhash groupBy) and
+    joined map-side; candidate volume is bounded by |corpus docs| ×
+    |bench docs that share a band|, and per-corpus-doc aggregation
+    keeps the verify join's output at candidate cardinality. No
+    corpus self-join exists in this plan at all.
+    """
+    from pennsieve_streaming_spark.llm.dedup import (
+        lsh_band_keys,
+        minhash_wide,
+        shingles,
+    )
+
+    corp_mh = minhash_wide(shingles(documents), n_hashes)
+    bench_mh = minhash_wide(shingles(benchmark), n_hashes)
+    corp_bands = lsh_band_keys(corp_mh)
+    bench_bands = lsh_band_keys(bench_mh).select(
+        F.col("doc_id").alias("bench_id"), "band", "band_key"
+    )
+    cands = (
+        corp_bands.join(F.broadcast(bench_bands), ["band", "band_key"])
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    n = sum(1 for c in corp_mh.columns if c.startswith("mh_"))
+    agree = sum(
+        F.when(F.col(f"mh_{j}") == F.col(f"bmh_{j}"), 1).otherwise(0)
+        for j in range(n)
+    )
+    bench_sig = F.broadcast(
+        bench_mh.select(
+            F.col("doc_id").alias("bench_id"),
+            *[F.col(f"mh_{j}").alias(f"bmh_{j}") for j in range(n)],
+        )
+    )
+    est = (
+        cands.join(corp_mh, "doc_id")
+        .join(bench_sig, "bench_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            (agree.cast("double") / F.lit(float(n))).alias("est"),
+        )
+    )
+    hits = est.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+        F.max("est").alias("max_jaccard_est"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bench_hits", F.lit(0)).cast("long").alias(
+                "n_bench_hits"
+            ),
+            F.coalesce("max_jaccard_est", F.lit(0.0)).alias(
+                "max_jaccard_est"
+            ),
+            (
+                F.coalesce("max_jaccard_est", F.lit(0.0))
+                >= F.lit(float(threshold))
+            ).alias("contaminated"),
+        )
     )

@@ -870,3 +870,66 @@ def dedup_stats(documents: DataFrame, by: str = "source") -> DataFrame:
             / F.sum("c").cast("double")
         ).alias("dup_rate"),
     )
+
+
+def containment_pairs(
+    shingled: DataFrame,
+    max_doc_freq: int | None = None,
+    min_containment: float = 0.0,
+) -> DataFrame:
+    """Exact shingle-set CONTAINMENT per document pair: cont_a =
+    |A∩B| / |A| (and symmetrically cont_b) — the asymmetric near-dup
+    measure that catches a short document swallowed whole by a long
+    one, which symmetric Jaccard dilutes toward 0 (Broder 1997
+    distinguishes resemblance vs containment for exactly this case).
+
+    Same join shape and ``max_doc_freq`` hot-shingle guard as
+    :func:`jaccard_pairs` all-pairs mode (set sizes count ALL
+    shingles; only pair *generation* drops boilerplate shingles, so
+    reported containment is a lower bound ignoring boilerplate
+    overlap). ``min_containment`` filters on max(cont_a, cont_b).
+
+    Output: (doc_a, doc_b, n_a, n_b, inter, cont_a, cont_b).
+    """
+    joinable = shingled
+    if max_doc_freq is not None:
+        hot = (
+            shingled.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("sh")
+        )
+        joinable = shingled.join(F.broadcast(hot), "sh", "left_anti")
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = joinable.alias("a")
+    b = joinable.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n", "n_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n", "n_b"
+            ),
+            "doc_b",
+        )
+        .withColumn("cont_a", F.col("inter") / F.col("n_a"))
+        .withColumn("cont_b", F.col("inter") / F.col("n_b"))
+    )
+    if min_containment > 0.0:
+        out = out.filter(
+            F.greatest("cont_a", "cont_b") >= F.lit(min_containment)
+        )
+    return out.select(
+        "doc_a", "doc_b", "n_a", "n_b", "inter", "cont_a", "cont_b"
+    )

@@ -253,3 +253,73 @@ def span_point_join(
             ),
         )
     )
+
+
+def asof_join(
+    samples: DataFrame,
+    probes: DataFrame,
+    payload_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """As-of backward join: for each probe row, the latest sample
+    at-or-before its timestamp on the same channel — "what was the
+    sensor reading when this event fired", the kdb ``aj`` / pandas
+    ``merge_asof`` primitive.
+
+    ``probes``: (channel, ts, *payload_cols); ``samples``: (channel,
+    ts, value). Callers must ensure at most one sample per (channel,
+    ts) (pre-aggregate otherwise) so "the" as-of value is well defined
+    — that is also what makes the DuckDB ``ASOF JOIN`` oracle
+    deterministic.
+
+    Output: (*payload_cols, channel, probe_ts, value, src_ts,
+    stale_us, matched) — probes before a channel's first sample get
+    matched = false, value 0.0 and -1 ts/stale (NULL-free row
+    contract).
+
+    Plan: the :func:`asof_locf` union-window trick generalized to
+    carry probe payload columns — ONE window pass per channel over the
+    unioned rows, no join, no UDF. Probe rows order AFTER the sample
+    at an equal timestamp (is_probe breaks the tie), giving the
+    inclusive ``sample_ts <= probe_ts`` as-of semantics. At scale the
+    (channel) partitioning parallelizes across channels; few-channels
+    × deep-history splits with the rolling.py blocked-halo pattern
+    (lookback is one preceding sample row).
+    """
+    pay = list(payload_cols)
+    s = samples.select(
+        "channel",
+        "ts",
+        "value",
+        F.lit(0).alias("is_probe"),
+        *[F.lit(None).cast("long").alias(c) for c in pay],
+    )
+    p = probes.select(
+        "channel",
+        "ts",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("is_probe"),
+        *pay,
+    )
+    w = (
+        Window.partitionBy("channel")
+        .orderBy("ts", "is_probe", "value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = s.unionByName(p)
+    src_ts = F.when(F.col("is_probe") == 0, F.col("ts"))
+    return (
+        u.withColumn("_fill", F.last("value", ignorenulls=True).over(w))
+        .withColumn("_src", F.last(src_ts, ignorenulls=True).over(w))
+        .filter(F.col("is_probe") == 1)
+        .select(
+            *pay,
+            "channel",
+            F.col("ts").alias("probe_ts"),
+            F.coalesce(F.col("_fill"), F.lit(0.0)).alias("value"),
+            F.coalesce(F.col("_src"), F.lit(-1)).alias("src_ts"),
+            F.coalesce(F.col("ts") - F.col("_src"), F.lit(-1)).alias(
+                "stale_us"
+            ),
+            F.col("_src").isNotNull().alias("matched"),
+        )
+    )

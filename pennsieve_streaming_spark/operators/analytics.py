@@ -399,3 +399,40 @@ def stickiness(events: DataFrame, window_days: int = 30) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+def top_event_paths(
+    events: DataFrame, steps: int = 3, k: int = 20
+) -> DataFrame:
+    """Top-k most frequent ``steps``-long event-type paths (consecutive
+    runs of the per-user (ts, event_id)-ordered event sequence) — the
+    n-step generalization of :func:`event_transitions` used for user
+    journey / clickstream path mining.
+
+    Output: (path, n_paths) where ``path`` is the '>'-joined type
+    string (e.g. 'view>click>purchase'); ordered by count desc with a
+    path tie-break so the top-k cut is deterministic.
+
+    Plan: ONE window shuffle keyed on user_id producing ``steps - 1``
+    leads in the same pass (Spark collapses same-window leads into a
+    single WindowExec), a map-side-partial groupBy bounded by |types|^k
+    rows, and a TakeOrderedAndProject top-k — no full sort, no join.
+    At 100 TB the window parallelism is |users| and the aggregate is
+    tiny; nothing else shuffles.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    df = events.select("user_id", "ts", "event_id", "event_type")
+    parts = [F.col("event_type")]
+    for i in range(1, int(steps)):
+        df = df.withColumn(f"_t{i}", F.lead("event_type", i).over(w))
+        parts.append(F.col(f"_t{i}"))
+    df = df.filter(parts[-1].isNotNull())
+    return (
+        df.select(F.concat_ws(">", *parts).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "path")
+        .limit(int(k))
+    )

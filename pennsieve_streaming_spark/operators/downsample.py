@@ -245,3 +245,62 @@ def interleave_minmax(minmax: DataFrame, order_col: str = "bucket") -> DataFrame
             ).alias("data")
         )
     )
+
+
+def downsample_ltob(samples: DataFrame, bucket_samples: int) -> DataFrame:
+    """Largest-Triangle-One-Bucket downsample (Steinarsson 2013, the
+    one-bucket variant of LTTB): rank samples per channel, cut into
+    ``bucket_samples``-row buckets, and keep from each bucket the point
+    whose triangle with its IMMEDIATE neighbors has the largest
+    effective area — the visual-salience downsampler plotting clients
+    use when min/max envelopes over-plot.
+
+    Unlike LTTB proper, LTOB's area uses the fixed adjacent points, so
+    every bucket decides independently — embarrassingly parallel, no
+    sequential dependency on the previously selected point (which is
+    what makes LTTB unshardable).
+
+    Determinism contract: the doubled area ``|(x0-x2)(y1-y0) -
+    (x0-x1)(y2-y0)|`` is computed in a fixed expression over
+    already-bit-identical inputs and rounded to BIGINT, so the
+    per-bucket argmax (area desc, then ts, value) is an integer
+    comparison on both engines. Channel endpoints (no lag/lead) carry
+    area -1: never chosen over an interior point, but still emitted
+    when alone in their bucket.
+
+    Output: (channel, bucket, ts, value, area_q).
+
+    Plan: one window shuffle on (channel) for the ranking + neighbor
+    lags (same pass), then a per-(channel, bucket) argmax row_number —
+    Spark plans both windows in a single exchange. At scale
+    parallelism is |channels|; few-channels × deep-history splits with
+    the rolling.py blocked-halo pattern (lag/lead lookback is 1 row).
+    """
+    bs = int(bucket_samples)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    area = (
+        "CAST(round(abs(CAST(x0 - ts2 AS DOUBLE) * (value - y0) "
+        "- CAST(x0 - ts AS DOUBLE) * (y2 - y0))) AS BIGINT)"
+    )
+    ranked = (
+        samples.withColumn("_rn", F.row_number().over(w) - 1)
+        .withColumn("x0", F.lag("ts").over(w))
+        .withColumn("y0", F.lag("value").over(w))
+        .withColumn("ts2", F.lead("ts").over(w))
+        .withColumn("y2", F.lead("value").over(w))
+        .withColumn("bucket", F.floor(F.col("_rn") / bs))
+        .withColumn(
+            "area_q",
+            F.when(
+                F.col("x0").isNull() | F.col("ts2").isNull(), F.lit(-1)
+            ).otherwise(F.expr(area)),
+        )
+    )
+    pick = Window.partitionBy("channel", "bucket").orderBy(
+        F.desc("area_q"), "ts", "value"
+    )
+    return (
+        ranked.withColumn("_pk", F.row_number().over(pick))
+        .filter(F.col("_pk") == 1)
+        .select("channel", "bucket", "ts", "value", "area_q")
+    )

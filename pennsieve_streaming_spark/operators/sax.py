@@ -1,0 +1,137 @@
+"""SAX symbolization (Lin, Keogh et al. 2003): z-normalized
+Piecewise-Aggregate-Approximation windows mapped to a small alphabet —
+the classic symbolic representation behind time-series motif discovery,
+anomaly detection (HOT SAX) and indexing at scale.
+
+The reference engine serves raw samples only; SAX is the standard
+downstream representation an analytics engine precomputes so that
+motif / similarity scans run over short strings instead of raw floats.
+
+Algorithm per (channel, window of ``window_samples`` rows in (ts,
+value) order):
+
+1. quantize values to BIGINT (``round(value * QUANT)``) so every
+   aggregate is an exact integer sum (engine-independent fold order);
+2. PAA: cut the window into ``n_segments`` equal runs, segment mean =
+   exact segment sum / segment length;
+3. z-normalize segment means with the window mean/std, both derived
+   from the exact sums in ONE fixed float expression;
+4. map each z to a symbol via the N(0,1) quartile breakpoints
+   (±0.6744897501960817, 0) → alphabet 'a'..'d'; a zero-variance
+   window maps every segment to 'c' (z = 0 by convention).
+
+Determinism: every float op is a fixed expression over exact BIGINTs,
+so the DuckDB oracle replays bit-identically; symbol boundaries
+compare bit-identical doubles against shared literals. QUANT = 100
+keeps sum-of-squares < 2^63 for windows ≤ 64 at |value| ≤ 1e7.
+
+Plan / scale: one window shuffle on (channel) for the ranking, then
+two partial-agg groupBys (segment, then window) and one broadcast-size
+join back of window stats to segments. Parallelism is
+|channels|×|windows|; ragged tails are dropped (count-downsample
+convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 100  # value quantum: exact BIGINT sums, sum-of-squares < 2^63
+
+BREAK_HI = "0.6744897501960817"  # N(0,1) upper quartile
+BREAK_LO = "-0.6744897501960817"
+
+
+def sax_symbol_case(z_expr: str) -> str:
+    """Shared CASE text mapping a z-score expression to 'a'..'d'
+    (identical in Spark SQL and DuckDB — parity by construction)."""
+    return (
+        f"CASE WHEN std = 0 THEN 'c' "
+        f"WHEN {z_expr} < {BREAK_LO} THEN 'a' "
+        f"WHEN {z_expr} < 0 THEN 'b' "
+        f"WHEN {z_expr} < {BREAK_HI} THEN 'c' "
+        f"ELSE 'd' END"
+    )
+
+
+def window_stats_exprs(window_samples: int) -> tuple[str, str]:
+    """(mean, std) expression texts over exact sums sx/sxx, shared
+    verbatim by both engines."""
+    n = int(window_samples)
+    q = QUANT
+    mean = f"CAST(sx AS DOUBLE) / ({n} * {q}.0)"
+    var = (
+        f"GREATEST(CAST(sxx AS DOUBLE) / ({n} * {q}.0 * {q}.0) "
+        f"- ({mean}) * ({mean}), 0.0)"
+    )
+    return mean, f"sqrt({var})"
+
+
+def seg_z_expr(seg_samples: int) -> str:
+    """z-score expression for a segment's exact sum ``ssum`` given
+    window ``mean``/``std`` columns — shared verbatim by both engines."""
+    return (
+        f"(CAST(ssum AS DOUBLE) / ({int(seg_samples)} * {QUANT}.0) - mean) / std"
+    )
+
+
+def sax_words(
+    samples: DataFrame,
+    window_samples: int = 64,
+    n_segments: int = 8,
+) -> DataFrame:
+    """Per-(channel, window) SAX word. Output: (channel, win, mean,
+    std, sax_word); windows shorter than ``window_samples`` (ragged
+    tails) are dropped."""
+    ws, ns = int(window_samples), int(n_segments)
+    assert ws % ns == 0, "window_samples must divide into n_segments"
+    seg_len = ws // ns
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    ranked = samples.select(
+        "channel",
+        "ts",
+        "value",
+        (F.row_number().over(w) - 1).alias("_rn"),
+    ).select(
+        "channel",
+        F.floor(F.col("_rn") / ws).alias("win"),
+        F.floor((F.col("_rn") % ws) / seg_len).alias("seg"),
+        F.expr(f"CAST(round(value * {QUANT}) AS BIGINT)").alias("vq"),
+    )
+    segs = ranked.groupBy("channel", "win", "seg").agg(
+        F.sum("vq").alias("ssum"),
+        F.sum(F.expr("vq * vq")).alias("ssq"),
+        F.count(F.lit(1)).alias("scnt"),
+    )
+    mean_e, std_e = window_stats_exprs(ws)
+    wins = (
+        segs.groupBy("channel", "win")
+        .agg(
+            F.sum("ssum").alias("sx"),
+            F.sum("ssq").alias("sxx"),
+            F.sum("scnt").alias("n"),
+        )
+        .filter(F.col("n") == ws)
+        .select(
+            "channel",
+            "win",
+            F.expr(mean_e).alias("mean"),
+            F.expr(std_e).alias("std"),
+        )
+    )
+    sym = sax_symbol_case(seg_z_expr(seg_len))
+    worded = (
+        segs.join(wins, ["channel", "win"])
+        .withColumn("sym", F.expr(sym))
+        .groupBy("channel", "win")
+        .agg(
+            F.first("mean").alias("mean"),
+            F.first("std").alias("std"),
+            F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(struct(seg, sym))), s -> s.sym), '')"
+            ).alias("sax_word"),
+        )
+    )
+    return worded.select("channel", "win", "mean", "std", "sax_word")

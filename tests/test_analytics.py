@@ -252,3 +252,48 @@ def test_stickiness_golden(spark):
     # day 40: days 11..40 contain only u3
     assert got[40 * DAY_US] == (1, 1, 1.0)
     assert set(got) == {0, DAY_US, 40 * DAY_US}  # inactive days skipped
+
+
+def test_top_event_paths_golden(spark):
+    from pennsieve_streaming_spark.operators.analytics import (
+        top_event_paths,
+    )
+
+    rows = [
+        (0, 1, 1, "a"), (1, 2, 1, "b"), (2, 3, 1, "c"), (3, 4, 1, "a"),
+        # user 1 path a>b>c>a -> triples a>b>c, b>c>a
+        (0, 5, 2, "a"), (1, 6, 2, "b"), (2, 7, 2, "c"),
+        # user 2 -> a>b>c again
+        (0, 8, 3, "x"), (1, 9, 3, "y"),  # too short, no triple
+    ]
+    ev = spark.createDataFrame(
+        rows, "ts long, event_id long, user_id long, event_type string"
+    )
+    got = [(r.path, r.n_paths) for r in top_event_paths(ev, 3, 10).collect()]
+    assert got == [("a>b>c", 2), ("b>c>a", 1)]
+
+
+def test_top_event_paths_same_us_ordered_by_event_id(spark):
+    from pennsieve_streaming_spark.operators.analytics import (
+        top_event_paths,
+    )
+
+    rows = [(5, 11, 1, "b"), (5, 10, 1, "a"), (5, 12, 1, "c")]
+    ev = spark.createDataFrame(
+        rows, "ts long, event_id long, user_id long, event_type string"
+    )
+    got = [(r.path, r.n_paths) for r in top_event_paths(ev, 3, 10).collect()]
+    assert got == [("a>b>c", 1)]
+
+
+def test_top_event_paths_plans_as_takeordered(spark):
+    from pennsieve_streaming_spark.operators.analytics import (
+        top_event_paths,
+    )
+
+    ev = spark.createDataFrame(
+        [(0, 1, 1, "a")],
+        "ts long, event_id long, user_id long, event_type string",
+    )
+    plan = top_event_paths(ev, 3, 10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
