@@ -2195,6 +2195,31 @@ def q_asof_join(spark, sf_dir):
     return asof_join(s, probes)
 
 
+def q_asof_join_blocked(spark, sf_dir):
+    """Same as-of join on the blocked-halo plan: windows evaluate
+    within (channel, 26-week block) with a carry-in halo, so few
+    channels × deep history parallelizes at |channels|×|blocks|.
+    Shares ts_asof_join's oracle — blocked must be bit-identical."""
+    from pennsieve_streaming_spark.operators.align import asof_join
+
+    TBL.ensure_session_confs(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    span = T1999 - T1992
+    probes = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("ch"), (F.length("event_type") % 8).cast("string")
+        ).alias("channel"),
+        (TBL.epoch_micros_col(ev, "ts") % span + T1992).alias("ts"),
+    )
+    s = (
+        TBL.samples_view(spark, sf_dir)
+        .groupBy("channel", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return asof_join(s, probes, block_us=26 * WEEK_US)
+
+
 def q_ngram_containment(spark, sf_dir):
     """Exact shingle-set containment pairs (asymmetric near-dup: short
     doc swallowed by long doc), hot-shingle df cap as in jaccard."""
@@ -2223,41 +2248,46 @@ def q_contamination_fuzzy(spark, sf_dir):
     return contamination_fuzzy(corpus, bench, threshold=FUZZY_TAU)
 
 
-# Round-5 rotation: the driver's correctness gate samples the FIRST 50
-# registry entries, so this front list holds the 50 queries never yet
-# covered by a CORRECTNESS_r* record (r1-r4 covered 100 of 154; the 4
-# remaining never-checked — doc_cluster_dedup, doc_hll_distinct,
-# stream_sessionize, ts_rolling_stats — were independently re-verified
-# by the r4 judge, so they yield their slots). Positions 51-52 are the
-# two r4 hash-red queries (type-fixed this round) so any cap > 50
-# re-checks them next.
-_R5_FRONT = [
-    "ts_autocorrelation", "emb_dim_stats", "emb_standardize",
-    "ts_channel_mad", "ts_ewma", "stream_session_agg",
-    "ts_channel_percentiles", "ts_channel_correlation",
-    "doc_token_entropy", "doc_kmv_by_source", "doc_top_quality_per_lang",
-    "stream_minmax_downsample", "doc_heavy_hitters", "emb_int8_quant",
-    "ts_locf_resample", "ts_interp_resample", "ts_span_point_join",
-    "ts_value_histogram", "ts_zscore_outliers", "ts_threshold_crossings",
-    "emb_ann_filtered", "emb_ann_two_stage", "doc_kmv_distinct",
-    "doc_hll_by_source", "doc_mix_weights_temp", "doc_bigram_lm",
-    "doc_vocab", "doc_token_ids", "doc_quality_classifier",
-    "doc_substring_dup", "doc_substring_scrub", "doc_bm25",
-    "doc_inverted_index", "doc_dup_clusters", "emb_kmeans",
-    "doc_importance_weights", "emb_semdedup", "doc_tfidf_top_terms",
-    "stream_neardup_dedup", "doc_repetition", "doc_contamination",
-    "doc_stratified_sample", "doc_pack_sequences", "doc_source_best",
-    "doc_mix_weights", "doc_block_dedup", "doc_pii_scrub",
-    "doc_corpus_curation", "doc_quality_thresholds", "doc_unigram_lm",
-    # r4 hash-reds, type-fixed in r5:
+# Round-6 rotation: the driver's correctness gate samples the FIRST 50
+# registry entries. r1-r5 drove 150 of the 162 registry queries green;
+# this rotation front-loads the final 12 never-driver-sampled queries
+# (closing coverage to 162/162), then the post-fix never-re-checked
+# pair, then everything touched this round, then the oldest-checked
+# r4c batch as filler.
+_R6_FRONT = [
+    # Positions 1-12: the 12 registry queries the driver has NEVER
+    # sampled (r5 judge-verified MATCH, but the hard signal should
+    # touch them once — after this rotation every registry query has
+    # a driver-green row).
+    "ts_asof_join", "ts_ltob_downsample", "ts_sax_words", "ts_welch_psd",
+    "ev_top_paths", "doc_weighted_sample", "doc_ngram_containment",
+    "doc_contamination_fuzzy", "doc_cluster_dedup", "doc_hll_distinct",
+    "stream_sessionize", "ts_rolling_stats",
+    # 13-14: r4 hash-reds, type-fixed in r5, judge-green but the r5
+    # rotation parked them at 51-52 — never driver-green post-fix.
     "ts_power_spectrum", "ts_change_points",
-    # changed this round (skew caps / type widening) — high re-check value:
-    "doc_minhash_lsh_pairs", "doc_simhash_near_pairs",
-    "doc_minhash_jaccard_est", "ts_build_segments",
-    "emb_cluster_sample", "emb_kmeans_inertia", "doc_minhash_signatures",
-    # never-checked but judge-green in r4:
-    "doc_cluster_dedup", "doc_hll_distinct", "stream_sessionize",
-    "ts_rolling_stats",
+    # 15: K-collect fix landed r5, judge-green, driver last saw r4.
+    "ev_funnel_steps",
+    # 16-19: align/simhash family touched THIS round (blocked-halo,
+    # payload-type fix, second-anchor star cap) — re-check value.
+    "ts_locf_resample", "ts_interp_resample", "ts_span_point_join",
+    "doc_simhash_near_pairs",
+    # round-6 additions slot in here (newest first).
+    "ts_asof_join_blocked", "stream_asof_join",
+    # Fill to >50 with the oldest driver-checked set (r4c batch,
+    # last driver-green in r4).
+    "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
+    "ev_user_sessions", "ts_cross_correlation", "ts_detect_peaks",
+    "doc_winnow_fingerprints", "doc_winnow_overlap",
+    "ts_seasonal_outliers", "stream_quality_profile", "ev_cohort_matrix",
+    "ts_hist_quantiles", "stream_distinct_events", "doc_source_cap",
+    "ev_last_touch", "ts_distribution_drift", "ts_winsorize",
+    "doc_corpus_split", "ts_event_xcorr", "doc_zipf_fit",
+    "ev_rate_bursts", "ev_key_skew", "emb_outliers",
+    "ts_event_autocorr", "ts_flatline_runs", "ev_stickiness",
+    "doc_langid_confusion", "emb_kmeans_inertia", "doc_dedup_stats",
+    "ts_hourly_profile", "ts_quality_profile", "emb_cluster_sample",
+    "emb_ann_recall", "doc_orc_roundtrip",
 ]
 
 
@@ -2267,9 +2297,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so the NEWEST / least-proven queries are listed FIRST and the
     # longest-stable ts-core queries last. Keep new work at the top.
     q = {
-        # round-5b: newest — kept OUT of the first-50 positions this
-        # round so the rotation still covers the never-checked set;
-        # front-load these in the r6 rotation.
+        # round-6: blocked-halo + streaming variants (front-loaded via
+        # _R6_FRONT so the driver gates them this round).
+        "ts_asof_join_blocked": q_asof_join_blocked,
+        # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
         "ts_ltob_downsample": q_ltob_downsample,
@@ -2443,7 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_page_concat": q_page_concat,
         "ts_interleave": q_interleave,
     }
-    ordered = {k: q[k] for k in _R5_FRONT}
+    ordered = {k: q[k] for k in _R6_FRONT if k in q}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
 
@@ -6127,7 +6158,7 @@ def oracle_sql() -> dict[str, str]:
     sql["ev_top_paths"] = """
         WITH ev AS (
           SELECT epoch_us(ts) AS ts, event_id, user_id, event_type
-          FROM events
+          FROM events WHERE event_type IS NOT NULL
         ),
         led AS (
           SELECT event_type AS t0,
@@ -6272,6 +6303,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "samples",
     )
+    # blocked-halo execution must be bit-identical to the global pass
+    sql["ts_asof_join_blocked"] = sql["ts_asof_join"]
 
     sql["doc_ngram_containment"] = f"""
         WITH {DOC_PRE},

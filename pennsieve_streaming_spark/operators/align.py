@@ -93,7 +93,115 @@ def _union_grid_samples(samples: DataFrame, grid: DataFrame) -> DataFrame:
     return s.unionByName(g)
 
 
-def asof_locf(samples: DataFrame, grid: DataFrame) -> DataFrame:
+def _blocked_halo_union(
+    u: DataFrame, block_us: int, flag: str, look_ahead: bool = False
+) -> DataFrame:
+    """Split the unioned as-of rows into (channel, time-block)
+    partitions with carry halos, so a window partitioned on
+    (channel, _blk) reproduces the global per-channel pass
+    bit-identically at |channels|×|blocks| parallelism.
+
+    Unlike rolling.py's bounded-lookback halo (replicate the trailing
+    ``window_us`` strip), as-of lookback is ONE preceding sample at
+    unbounded distance — a fixed time strip can't carry it across an
+    arbitrarily long gap. Instead each block gets the *carry-in*: the
+    latest sample from any earlier block (max (ts, value) struct,
+    matching the (ts, is_grid, value) window order's duplicate-ts
+    winner), computed distributedly as per-block partial-agg summaries
+    followed by one tiny window pass over 1-row-per-block summaries
+    (the two-phase pattern of util.global_rank: heavy rows stay
+    distributed, only O(|blocks|) summary rows funnel per channel).
+    With ``look_ahead`` (interpolation) each block also gets the
+    *carry-back*: the earliest sample from any later block (min
+    struct). Halo rows carry ``flag = 0`` (sample side), NULL for any
+    payload column, and ``_halo = true`` so they supply history without
+    ever emitting; their genuine ts sorts them before (carry-in) /
+    after (carry-back) every native row of the block.
+
+    Returns ``u`` + (_blk, _halo) columns with halo rows appended;
+    callers window on (channel, _blk) and drop ``_halo`` rows.
+    """
+    blk = int(block_us)
+    if blk <= 0:
+        raise ValueError(f"block_us must be positive, got {block_us}")
+    extra = [c for c in u.columns if c not in ("channel", "ts", "value", flag)]
+    extra_types = {c: u.schema[c].dataType for c in extra}
+
+    samples = u.filter(F.col(flag) == 0).select("channel", "ts", "value")
+    per_blk = samples.groupBy(
+        "channel", F.floor(F.col("ts") / blk).alias("_b")
+    ).agg(
+        F.max(F.struct("ts", "value")).alias("_last"),
+        F.min(F.struct("ts", "value")).alias("_first"),
+    )
+    targets = u.select(
+        "channel", F.floor(F.col("ts") / blk).alias("_b")
+    ).distinct()
+
+    struct_t = "struct<ts:bigint,value:double>"
+    merged = per_blk.select(
+        "channel",
+        "_b",
+        F.lit(1).alias("_is_s"),
+        F.col("_last").cast(struct_t).alias("_last"),
+        F.col("_first").cast(struct_t).alias("_first"),
+    ).unionByName(
+        targets.select(
+            "channel",
+            "_b",
+            F.lit(0).alias("_is_s"),
+            F.lit(None).cast(struct_t).alias("_last"),
+            F.lit(None).cast(struct_t).alias("_first"),
+        )
+    )
+    # carry-in: summaries sort AFTER the target at the same block index
+    # ((b,1) ≤ (t,0) ⇔ b < t), so 'last ignorenulls' over the preceding
+    # frame sees strictly-earlier blocks only.
+    w_prev = (
+        Window.partitionBy("channel")
+        .orderBy("_b", "_is_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn(
+        "_prev", F.last("_last", ignorenulls=True).over(w_prev)
+    )
+    if look_ahead:
+        # carry-back: summaries sort BEFORE the target at the same
+        # block ((b,1desc) ≥ (t,0) ⇔ b > t), so 'first ignorenulls'
+        # over the following frame sees strictly-later blocks only.
+        w_next = (
+            Window.partitionBy("channel")
+            .orderBy("_b", F.desc("_is_s"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = carried.withColumn(
+            "_next", F.first("_first", ignorenulls=True).over(w_next)
+        )
+    carried = carried.filter(F.col("_is_s") == 0)
+
+    def halo_rows(struct_col: str) -> DataFrame:
+        return carried.filter(F.col(struct_col).isNotNull()).select(
+            "channel",
+            F.col(f"{struct_col}.ts").alias("ts"),
+            F.col(f"{struct_col}.value").alias("value"),
+            F.lit(0).alias(flag),
+            *[F.lit(None).cast(extra_types[c]).alias(c) for c in extra],
+            F.col("_b").alias("_blk"),
+            F.lit(True).alias("_halo"),
+        )
+
+    native = u.withColumn("_blk", F.floor(F.col("ts") / blk)).withColumn(
+        "_halo", F.lit(False)
+    )
+    out = native.unionByName(halo_rows("_prev"))
+    if look_ahead:
+        out = out.unionByName(halo_rows("_next"))
+    return out
+
+
+def asof_locf(
+    samples: DataFrame, grid: DataFrame, block_us: int | None = None
+) -> DataFrame:
     """Last-observation-carried-forward fill of ``grid`` timestamps from
     ``samples`` — equivalently, an as-of backward join of grid onto
     samples per channel.
@@ -104,32 +212,42 @@ def asof_locf(samples: DataFrame, grid: DataFrame) -> DataFrame:
 
     Plan: ONE window pass per channel over the unioned rows (no join).
     At production channel counts the (channel) partitioning parallelizes
-    fully; for few-channels × deep-history, pre-split on time blocks
-    with a one-sample halo (the rolling.py blocked-halo pattern applies
-    verbatim since LOCF lookback is exactly one preceding sample).
+    fully; for few-channels × deep-history pass ``block_us`` for the
+    blocked-halo plan (:func:`_blocked_halo_union`): windows evaluate
+    within (channel, time-block) with a carry-in halo, bit-identical
+    output (equivalence-tested) at |channels|×|blocks| parallelism.
     """
+    u = _union_grid_samples(samples, grid)
+    if block_us is None:
+        part = ["channel"]
+    else:
+        u = _blocked_halo_union(u, block_us, "is_grid")
+        part = ["channel", "_blk"]
     w = (
-        Window.partitionBy("channel")
+        Window.partitionBy(*part)
         .orderBy("ts", "is_grid", "value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    u = _union_grid_samples(samples, grid)
     src_ts = F.when(F.col("is_grid") == 0, F.col("ts"))
-    return (
+    out = (
         u.withColumn("_fill", F.last("value", ignorenulls=True).over(w))
         .withColumn("_src", F.last(src_ts, ignorenulls=True).over(w))
         .filter(F.col("is_grid") == 1)
-        .select(
-            "channel",
-            "ts",
-            F.col("_fill").alias("value"),
-            F.col("_src").alias("src_ts"),
-            (F.col("ts") - F.col("_src")).alias("stale_us"),
-        )
+    )
+    if block_us is not None:
+        out = out.filter(~F.col("_halo"))
+    return out.select(
+        "channel",
+        "ts",
+        F.col("_fill").alias("value"),
+        F.col("_src").alias("src_ts"),
+        (F.col("ts") - F.col("_src")).alias("stale_us"),
     )
 
 
-def interp_resample(samples: DataFrame, grid: DataFrame) -> DataFrame:
+def interp_resample(
+    samples: DataFrame, grid: DataFrame, block_us: int | None = None
+) -> DataFrame:
     """Linear interpolation of ``samples`` onto ``grid`` timestamps.
 
     For each grid point: ``prev`` = latest sample at-or-before, ``next``
@@ -144,20 +262,27 @@ def interp_resample(samples: DataFrame, grid: DataFrame) -> DataFrame:
       missing ``next_ts`` on an exact-hit row reports as -1 so the
       output is NULL-free (hashable/sortable row contract).
 
-    Same single per-channel window pass as :func:`asof_locf`.
+    Same single per-channel window pass as :func:`asof_locf`;
+    ``block_us`` opts into the blocked-halo plan with BOTH a carry-in
+    (lookback) and carry-back (lookahead) halo per block.
     """
     ob = ["ts", "is_grid", "value"]
+    u = _union_grid_samples(samples, grid)
+    if block_us is None:
+        part = ["channel"]
+    else:
+        u = _blocked_halo_union(u, block_us, "is_grid", look_ahead=True)
+        part = ["channel", "_blk"]
     wp = (
-        Window.partitionBy("channel")
+        Window.partitionBy(*part)
         .orderBy(*ob)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wn = (
-        Window.partitionBy("channel")
+        Window.partitionBy(*part)
         .orderBy(*ob)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    u = _union_grid_samples(samples, grid)
     sample_ts = F.when(F.col("is_grid") == 0, F.col("ts"))
     out = (
         u.withColumn("prev_v", F.last("value", ignorenulls=True).over(wp))
@@ -259,6 +384,7 @@ def asof_join(
     samples: DataFrame,
     probes: DataFrame,
     payload_cols: tuple[str, ...] = ("event_id",),
+    block_us: int | None = None,
 ) -> DataFrame:
     """As-of backward join: for each probe row, the latest sample
     at-or-before its timestamp on the same channel — "what was the
@@ -282,16 +408,21 @@ def asof_join(
     at an equal timestamp (is_probe breaks the tie), giving the
     inclusive ``sample_ts <= probe_ts`` as-of semantics. At scale the
     (channel) partitioning parallelizes across channels; few-channels
-    × deep-history splits with the rolling.py blocked-halo pattern
-    (lookback is one preceding sample row).
+    × deep-history passes ``block_us`` for the blocked-halo plan
+    (:func:`_blocked_halo_union` — carry-in halo per (channel, block),
+    bit-identical output at |channels|×|blocks| parallelism).
     """
     pay = list(payload_cols)
+    # Sample-side payload placeholders must carry the probes' actual
+    # column types (not a hardcoded long) or unionByName fails for any
+    # non-long payload (e.g. a string id).
+    pay_types = {c: probes.schema[c].dataType for c in pay}
     s = samples.select(
         "channel",
         "ts",
         "value",
         F.lit(0).alias("is_probe"),
-        *[F.lit(None).cast("long").alias(c) for c in pay],
+        *[F.lit(None).cast(pay_types[c]).alias(c) for c in pay],
     )
     p = probes.select(
         "channel",
@@ -300,12 +431,17 @@ def asof_join(
         F.lit(1).alias("is_probe"),
         *pay,
     )
+    u = s.unionByName(p)
+    if block_us is None:
+        part = ["channel"]
+    else:
+        u = _blocked_halo_union(u, block_us, "is_probe")
+        part = ["channel", "_blk"]
     w = (
-        Window.partitionBy("channel")
+        Window.partitionBy(*part)
         .orderBy("ts", "is_probe", "value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    u = s.unionByName(p)
     src_ts = F.when(F.col("is_probe") == 0, F.col("ts"))
     return (
         u.withColumn("_fill", F.last("value", ignorenulls=True).over(w))

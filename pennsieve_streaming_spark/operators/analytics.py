@@ -423,7 +423,13 @@ def top_event_paths(
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    df = events.select("user_id", "ts", "event_id", "event_type")
+    # Drop NULL event_type rows up front: concat_ws silently skips
+    # NULLs (emitting a shortened 'a>c' path) while a '||'-style SQL
+    # oracle propagates NULL — filtering first makes both engines see
+    # the same windows, so parity holds even on NULL-bearing corpora.
+    df = events.select("user_id", "ts", "event_id", "event_type").filter(
+        F.col("event_type").isNotNull()
+    )
     parts = [F.col("event_type")]
     for i in range(1, int(steps)):
         df = df.withColumn(f"_t{i}", F.lead("event_type", i).over(w))

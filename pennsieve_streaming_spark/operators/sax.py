@@ -23,7 +23,10 @@ value) order):
 Determinism: every float op is a fixed expression over exact BIGINTs,
 so the DuckDB oracle replays bit-identically; symbol boundaries
 compare bit-identical doubles against shared literals. QUANT = 100
-keeps sum-of-squares < 2^63 for windows ≤ 64 at |value| ≤ 1e7.
+keeps sum-of-squares < 2^63 for windows ≤ 64 at |value| ≤ ~3.8e6
+(64·(3.8e6·100)² ≈ 9.2e18 ≈ 2^63−1); beyond that Spark's BIGINT sum
+wraps while DuckDB's HUGEINT errors — widen the accumulator to
+DECIMAL(38,0) (the power_spectrum pattern) if a corpus exceeds it.
 
 Plan / scale: one window shuffle on (channel) for the ranking, then
 two partial-agg groupBys (segment, then window) and one broadcast-size

@@ -335,3 +335,98 @@ def test_span_point_join_matches_brute_force_randomized(spark):
         for _, lo, hi in spans:
             want = sum(1 for _, t, _ in points if lo <= t <= hi)
             assert got[(lo, hi)] == want, f"seed {seed}"
+
+
+# --------------------------------------------------------------------------
+# blocked-halo execution: bit-identical to the global per-channel pass
+# --------------------------------------------------------------------------
+
+def _rand_asof_data(seed):
+    import random
+
+    rng = random.Random(seed)
+    # deep history with long empty gaps so some blocks have no samples
+    # (the carry-in must cross multiple empty blocks) and duplicate ts
+    samples = []
+    for _ in range(rng.randint(3, 60)):
+        t = rng.choice([rng.randint(0, 80), rng.randint(400, 1000)])
+        samples.append((rng.choice("ab"), t, round(rng.uniform(-5, 5), 3)))
+    grid = sorted(
+        {(rng.choice("ab"), rng.randint(0, 1000)) for _ in range(rng.randint(1, 40))}
+    )
+    return samples, grid
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_locf_blocked_equals_global(spark):
+    cols = ["channel", "ts", "value", "src_ts", "stale_us"]
+    for seed in range(4):
+        samples, grid = _rand_asof_data(seed)
+        s = _samples(spark, samples)
+        g = _grid_df(spark, grid)
+        base = _rows(asof_locf(s, g), cols)
+        for block_us in (64, 100, 5000):
+            got = _rows(asof_locf(s, g, block_us=block_us), cols)
+            assert got == base, f"seed {seed} block {block_us}"
+
+
+def test_interp_blocked_equals_global(spark):
+    cols = ["channel", "ts", "value", "prev_ts", "next_ts"]
+    for seed in range(4):
+        samples, grid = _rand_asof_data(50 + seed)
+        s = _samples(spark, samples)
+        g = _grid_df(spark, grid)
+        base = _rows(interp_resample(s, g), cols)
+        for block_us in (64, 100, 5000):
+            got = _rows(interp_resample(s, g, block_us=block_us), cols)
+            assert got == base, f"seed {seed} block {block_us}"
+
+
+def test_asof_join_blocked_equals_global_and_string_payload(spark):
+    from pennsieve_streaming_spark.operators.align import asof_join
+
+    import random
+
+    cols = ["tag", "channel", "probe_ts", "value", "src_ts", "stale_us", "matched"]
+    for seed in range(4):
+        rng = random.Random(300 + seed)
+        samples, grid = _rand_asof_data(900 + seed)
+        # unique (channel, ts) per the asof_join precondition
+        samples = list({(c, t): (c, t, v) for c, t, v in samples}.values())
+        s = _samples(spark, samples)
+        probes = spark.createDataFrame(
+            [(c, t, f"e{i}") for i, (c, t) in enumerate(grid)],
+            "channel string, ts long, tag string",
+        )
+        base = _rows(asof_join(s, probes, payload_cols=("tag",)), cols)
+        got = _rows(
+            asof_join(s, probes, payload_cols=("tag",), block_us=128), cols
+        )
+        assert got == base, f"seed {seed}"
+        # string payload survives (placeholder cast derives from probes)
+        assert any(isinstance(r[0], str) for r in got)
+
+
+def test_blocked_plan_partitions_on_channel_and_block(spark):
+    """The blocked window must key on (channel, _blk) — that's the
+    whole point (|channels|x|blocks| parallelism)."""
+    samples, grid = _rand_asof_data(7)
+    s = _samples(spark, samples)
+    g = _grid_df(spark, grid)
+    plan = (
+        asof_locf(s, g, block_us=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "_blk" in plan
+    windows = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert any("_blk" in ln for ln in windows)
+
+
+def test_blocked_rejects_nonpositive_block(spark):
+    s = _samples(spark, [("a", 0, 1.0)])
+    g = _grid_df(spark, [("a", 5)])
+    with pytest.raises(ValueError):
+        asof_locf(s, g, block_us=0).collect()
