@@ -2220,6 +2220,57 @@ def q_asof_join_blocked(spark, sf_dir):
     return asof_join(s, probes, block_us=26 * WEEK_US)
 
 
+def q_stream_asof_join(spark, sf_dir):
+    """Streaming as-of join driven to completion (availableNow) over
+    the same sample/probe feeds as ts_asof_join: per-channel last
+    sample carried in applyInPandasWithState state, one tiny (ts,
+    value) tuple per channel. A single availableNow batch satisfies
+    the in-order arrival contract trivially, so the emitted rows equal
+    the batch operator's output — the same DuckDB ASOF JOIN oracle."""
+    import tempfile
+
+    from pennsieve_streaming_spark.streaming.asof import asof_join_stream
+
+    TBL.ensure_session_confs(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    span = T1999 - T1992
+    probes = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("ch"), (F.length("event_type") % 8).cast("string")
+        ).alias("channel"),
+        (TBL.epoch_micros_col(ev, "ts") % span + T1992).alias("ts"),
+    )
+    s = (
+        TBL.samples_view(spark, sf_dir)
+        .groupBy("channel", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    base = tempfile.mkdtemp(prefix="pss_stream_asof_")
+    s.coalesce(1).write.parquet(f"{base}/s")
+    probes.select("channel", "ts", "event_id").coalesce(1).write.parquet(
+        f"{base}/p"
+    )
+    s_stream = (
+        spark.readStream.schema("channel string, ts long, value double")
+        .parquet(f"{base}/s")
+    )
+    p_stream = (
+        spark.readStream.schema("channel string, ts long, event_id long")
+        .parquet(f"{base}/p")
+    )
+    out = asof_join_stream(s_stream, p_stream)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out")
+
+
 def q_ngram_containment(spark, sf_dir):
     """Exact shingle-set containment pairs (asymmetric near-dup: short
     doc swallowed by long doc), hot-shingle df cap as in jaccard."""
@@ -2300,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6: blocked-halo + streaming variants (front-loaded via
         # _R6_FRONT so the driver gates them this round).
         "ts_asof_join_blocked": q_asof_join_blocked,
+        "stream_asof_join": q_stream_asof_join,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -5744,12 +5796,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         sstats AS (
           SELECT band, band_key, COUNT(*) AS bn, MIN(doc_id) AS anchor,
-                 arg_min(simhash, doc_id) AS anchor_sh
+                 arg_min(simhash, doc_id) AS anchor_sh,
+                 MAX(doc_id) AS anchor2,
+                 arg_max(simhash, doc_id) AS anchor2_sh
           FROM skeys GROUP BY band, band_key
         ),
         skeyed AS (
           SELECT k.doc_id, k.simhash, k.band, k.band_key,
-                 s.bn, s.anchor, s.anchor_sh
+                 s.bn, s.anchor, s.anchor_sh, s.anchor2, s.anchor2_sh
           FROM skeys k JOIN sstats s USING (band, band_key)
         )
         SELECT DISTINCT doc_a, doc_b, hamming FROM (
@@ -5763,6 +5817,10 @@ def oracle_sql() -> dict[str, str]:
           SELECT anchor AS doc_a, doc_id AS doc_b,
                  CAST(bit_count(xor(simhash, anchor_sh)) AS BIGINT) AS hamming
           FROM skeyed WHERE bn > {LSH_MAX_BUCKET} AND doc_id > anchor
+          UNION ALL
+          SELECT doc_id AS doc_a, anchor2 AS doc_b,
+                 CAST(bit_count(xor(simhash, anchor2_sh)) AS BIGINT) AS hamming
+          FROM skeyed WHERE bn > {LSH_MAX_BUCKET} AND doc_id < anchor2
         ) WHERE hamming <= 4
         """
 
@@ -6303,8 +6361,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "samples",
     )
-    # blocked-halo execution must be bit-identical to the global pass
+    # blocked-halo and streaming execution must be bit-identical to the
+    # global batch pass — all three share one oracle
     sql["ts_asof_join_blocked"] = sql["ts_asof_join"]
+    sql["stream_asof_join"] = sql["ts_asof_join"]
 
     sql["doc_ngram_containment"] = f"""
         WITH {DOC_PRE},

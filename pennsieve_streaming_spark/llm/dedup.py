@@ -437,6 +437,8 @@ def simhash_near_pairs(
         F.count(F.lit(1)).alias("_bn"),
         F.min("doc_id").alias("_anchor"),
         F.min_by("simhash", "doc_id").alias("_anchor_sh"),
+        F.max("doc_id").alias("_anchor2"),
+        F.max_by("simhash", "doc_id").alias("_anchor2_sh"),
     )
     keyed = keys.join(stats, ["band", "band_key"])
     small = keyed.filter(F.col("_bn") <= cap).select(
@@ -457,18 +459,30 @@ def simhash_near_pairs(
             hamming,
         )
     )
-    star_pairs = (
-        keyed.filter((F.col("_bn") > cap) & (F.col("doc_id") > F.col("_anchor")))
-        .select(
-            F.col("_anchor").alias("doc_a"),
-            F.col("doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("simhash").bitwiseXOR(F.col("_anchor_sh"))
-            ).alias("hamming"),
-        )
+    over = keyed.filter(F.col("_bn") > cap)
+    star_pairs = over.filter(F.col("doc_id") > F.col("_anchor")).select(
+        F.col("_anchor").alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.bit_count(
+            F.col("simhash").bitwiseXOR(F.col("_anchor_sh"))
+        ).alias("hamming"),
+    )
+    # Second star against the MAX-doc_id anchor: a member whose
+    # distance to the min anchor exceeds max_hamming would otherwise
+    # list NO pair even when genuinely near a non-anchor member; a
+    # second, maximally-separated anchor halves that residual at the
+    # same O(|bucket|) cost (the two anchors pair with each other via
+    # the first star, so connectivity is still one component).
+    star2_pairs = over.filter(F.col("doc_id") < F.col("_anchor2")).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("_anchor2").alias("doc_b"),
+        F.bit_count(
+            F.col("simhash").bitwiseXOR(F.col("_anchor2_sh"))
+        ).alias("hamming"),
     )
     return (
         small_pairs.union(star_pairs)
+        .union(star2_pairs)
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )

@@ -19,6 +19,7 @@ from __future__ import annotations
 import posixpath
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
 from pennsieve_streaming_spark import tables as TBL
@@ -57,4 +58,62 @@ def register_views(
         except AnalysisException:
             continue
         add(t, df)
+    return names
+
+
+def register_operator_views(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str = "",
+    ltob_bucket_samples: int = 16,
+    sax_window_samples: int = 64,
+    sax_segments: int = 8,
+    welch_freqs_hz: tuple[float, ...] = (1.0, 2.0, 4.0),
+    welch_rate_hz: float = 256.0,
+    welch_window_samples: int = 64,
+    asof_probe_events: bool = True,
+) -> list[str]:
+    """Register the derived-OPERATOR results as temp views, so a SQL
+    user can query LTOB/SAX/Welch/as-of outputs without touching the
+    Python API: ``SELECT * FROM ltob WHERE channel = 'ch3'``.
+
+    Parameterized operators get one view at the given defaults; other
+    parameterizations compose in Python and register the same way
+    (views are lazy logical plans — registering costs nothing, and
+    Catalyst prunes/pushes down through them exactly as through the
+    DataFrame API; the plan test pins that for the window-free paths).
+
+    Views: ``ltob`` (downsample_ltob), ``sax`` (sax_words), ``welch``
+    (welch_psd), and — when ``asof_probe_events`` — ``asof_events``
+    (each channel-mapped event joined as-of against the sample feed).
+    """
+    from pennsieve_streaming_spark.dsp.spectral import welch_psd
+    from pennsieve_streaming_spark.operators.align import asof_join
+    from pennsieve_streaming_spark.operators.downsample import (
+        downsample_ltob,
+    )
+    from pennsieve_streaming_spark.operators.sax import sax_words
+
+    names: list[str] = []
+
+    def add(name: str, df) -> None:
+        df.createOrReplaceTempView(prefix + name)
+        names.append(prefix + name)
+
+    samples = TBL.samples_view(spark, sf_dir)
+    add("ltob", downsample_ltob(samples, ltob_bucket_samples))
+    add("sax", sax_words(samples, sax_window_samples, sax_segments))
+    add(
+        "welch",
+        welch_psd(samples, welch_freqs_hz, welch_rate_hz, welch_window_samples),
+    )
+    if asof_probe_events:
+        ev = TBL.chan_events_view(spark, sf_dir)
+        probes = ev.select(
+            "channel", F.col("ts"), F.col("ts").alias("event_ts")
+        )
+        uniq = samples.groupBy("channel", "ts").agg(
+            F.max("value").alias("value")
+        )
+        add("asof_events", asof_join(uniq, probes, payload_cols=("event_ts",)))
     return names

@@ -14,19 +14,27 @@ def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
     partitions) this is a no-op — no shuffle is added.
     """
     spark = df.sparkSession
-    try:
+    # Feature check, not try/except: a classic JVM-backed DataFrame has
+    # _jdf; a Spark Connect DataFrame does not. The normal path never
+    # touches a Connect-unsupported attribute.
+    if hasattr(df, "_jdf"):
         target = spark.sparkContext.defaultParallelism
-        # classic API only: plan→RDD conversion is cheap here (no job
-        # runs), but the attribute does not exist under Spark Connect
+        # plan→RDD conversion is cheap here (no job runs)
         current = df.rdd.getNumPartitions()
-    except Exception:  # pragma: no cover - Spark Connect path
-        # Connect: partition count is not observable; repartitioning to
-        # the default parallelism is a safe no-op-ish choice for the
-        # small inputs this guard exists for.
-        return df.repartition(*key_cols) if key_cols else df
-    if current < max(2, target // 2):
-        return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
-    return df
+        if current < max(2, target // 2):
+            return (
+                df.repartition(target, *key_cols)
+                if key_cols
+                else df.repartition(target)
+            )
+        return df
+    # Connect: the partition count is not observable client-side; size
+    # to the session's shuffle-partition target — a safe choice for the
+    # small under-partitioned inputs this guard exists for.
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return (
+        df.repartition(target, *key_cols) if key_cols else df.repartition(target)
+    )
 
 
 def global_rank(
@@ -60,10 +68,10 @@ def global_rank(
     spark = df.sparkSession
     n = num_partitions
     if n is None:
-        try:
+        if hasattr(df, "_jdf"):
             n = spark.sparkContext.defaultParallelism
-        except Exception:  # pragma: no cover - Spark Connect path
-            n = 64
+        else:  # Spark Connect: conf-driven target, no context access
+            n = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
     parted = df.repartitionByRange(n, *order_cols).withColumn(
         "_gr_pid", F.spark_partition_id()
     )

@@ -236,7 +236,8 @@ def test_simhash_banded_recall_prefix_diff(spark):
 
 def test_simhash_banded_bucket_cap(spark):
     """Hot SimHash band buckets star-pair like the MinHash-LSH path:
-    n identical fingerprints produce n-1 anchor pairs, not n²/2."""
+    n identical fingerprints produce 2n-3 two-star anchor pairs
+    ((min, i) plus (i, max), overlapping in (min, max)), not n²/2."""
     from pennsieve_streaming_spark.llm.dedup import simhash_near_pairs
 
     n = 2000
@@ -244,8 +245,39 @@ def test_simhash_banded_bucket_cap(spark):
         "id AS doc_id", "CAST(123456789 AS LONG) AS simhash"
     )
     rows = simhash_near_pairs(fp, max_bucket_size=20).collect()
-    assert len(rows) == n - 1
-    assert all(r.doc_a == 0 and r.hamming == 0 for r in rows)
+    assert len(rows) == 2 * n - 3
+    assert all(
+        (r.doc_a == 0 or r.doc_b == n - 1) and r.hamming == 0 for r in rows
+    )
+
+
+def test_simhash_cap_second_anchor_recall(spark):
+    """Planted pair whose near neighbor is NOT the min-doc anchor: doc
+    98 is > max_hamming from the bucket's min anchor (so the first
+    star lists nothing for it) but hamming-1 from doc 99, the MAX-doc
+    anchor — the second star must surface (98, 99)."""
+    from pennsieve_streaming_spark.llm.dedup import simhash_near_pairs
+
+    s = 0b1010_1100_0011_0101_1001_0110_1010_0101
+    # 32-bit 5-band layout: b0=25-31, b1=18-24, b2=12-17, b3=6-11,
+    # b4=0-5. t keeps band 4 equal to s (the shared bucket) but
+    # differs from s in 6 bits spread over bands 0-3.
+    t = s ^ (1 << 30) ^ (1 << 27) ^ (1 << 22) ^ (1 << 19) ^ (1 << 14) ^ (1 << 8)
+    # 98 differs from 99 by ONE bit in each of bands 0-3 (hamming 4),
+    # so the pair collides ONLY in band 4's oversized bucket — the
+    # all-pairs small-bucket path can never find it.
+    d98 = t ^ (1 << 31) ^ (1 << 24) ^ (1 << 17) ^ (1 << 11)
+    rows = [(i, s) for i in range(21)] + [(98, d98), (99, t)]
+    fp = spark.createDataFrame(rows, "doc_id long, simhash long")
+    found = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_pairs(fp, max_bucket_size=10).collect()
+    }
+    assert found[(98, 99)] == 4
+    # sanity: both planted docs are far from the min anchor's
+    # fingerprint, so the first star lists neither
+    assert bin(s ^ d98).count("1") > 4 and bin(s ^ t).count("1") > 4
+    assert not any(98 in p or 99 in p for p in found if p != (98, 99))
 
 
 def test_substring_dup_plan_broadcasts_dup_grams(spark):

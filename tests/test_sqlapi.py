@@ -41,3 +41,60 @@ def test_pruning_pushes_through_views(spark):
     assert "ReadSchema: struct<doc_id:bigint>" in plan
     # predicate pushdown reaches the parquet scan
     assert "LessThan(doc_id,5)" in plan or "doc_id" in plan.split("PushedFilters: [")[1].split("]")[0]
+
+
+def test_operator_views_match_python_api(spark):
+    from pennsieve_streaming_spark.operators.downsample import downsample_ltob
+    from pennsieve_streaming_spark.operators.sax import sax_words
+    from pennsieve_streaming_spark.sqlapi import register_operator_views
+
+    names = register_operator_views(spark, SF, prefix="o1_")
+    assert {"o1_ltob", "o1_sax", "o1_welch", "o1_asof_events"} <= set(names)
+
+    got = spark.sql(
+        "SELECT * FROM o1_ltob WHERE channel = 'ch3'"
+    ).collect()
+    want = (
+        downsample_ltob(TBL.samples_view(spark, SF), 16)
+        .filter(F.col("channel") == "ch3")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    got_sax = spark.sql(
+        "SELECT channel, win, sax_word FROM o1_sax WHERE channel = 'ch1'"
+    ).collect()
+    want_sax = (
+        sax_words(TBL.samples_view(spark, SF))
+        .filter(F.col("channel") == "ch1")
+        .select("channel", "win", "sax_word")
+        .collect()
+    )
+    assert sorted(map(tuple, got_sax)) == sorted(map(tuple, want_sax))
+
+    # welch + asof_events resolve and return rows
+    assert spark.sql("SELECT COUNT(*) AS n FROM o1_welch").collect()[0].n > 0
+    assert (
+        spark.sql("SELECT COUNT(*) AS n FROM o1_asof_events").collect()[0].n
+        > 0
+    )
+
+
+def test_operator_view_channel_filter_pushes_to_scan(spark):
+    """A channel predicate over the ltob view must cross the view hop
+    AND the window (channel is the partition key) down to the scan —
+    the view layer may not cost a full-table read."""
+    from pennsieve_streaming_spark.sqlapi import register_operator_views
+
+    register_operator_views(spark, SF, prefix="o2_")
+    q = spark.sql("SELECT * FROM o2_ltob WHERE channel = 'ch3'")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # channel is a COMPUTED column in the samples view, so it can't
+    # enter PushedFilters (parquet row-group skipping) — the property
+    # that matters is that the predicate crossed the view hop and BOTH
+    # window passes down to the scan node (DataFilters), so only ch3's
+    # rows ever enter the windows.
+    data_filters = [
+        seg.split("]")[0] for seg in plan.split("DataFilters: [")[1:]
+    ]
+    assert any("ch3" in p for p in data_filters), plan
