@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""sf1-equivalent scale smoke: replicate the sf0.1 inputs 10x and run
+the three heaviest headline queries, printing per-query seconds and
+asserting the plan shapes stayed the intended ones (no cartesian,
+broadcast query side, capped LSH buckets).
+
+The driver testdata tops out at sf0.1, so the 10x factor comes from
+replicating rows with shifted keys — documents get a per-replica
+token prefix (so the corpus is near-dup-rich rather than 10 exact
+copies, which exercises both the banded join AND the hot-bucket cap),
+embeddings keep their vectors under shifted vec_ids (the query side
+stays replica 0, so top-k scans a 10x corpus), and lineitem orders
+shift l_orderkey (10x channels x positions for the ingest resample).
+
+Run: python scale_smoke_sf1.py   (~a few minutes on local[32])
+Output: one JSON line {"queries": {...}, "factor": 10, "sf_base": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pennsieve_streaming_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+ID_STRIDE = 10_000_000
+
+
+def _replicate(df, id_cols, factor):
+    """Union ``factor`` shifted copies via a 1-col range crossJoin
+    (broadcast scalar grid — the narrow replication idiom, no driver
+    loop)."""
+    reps = df.sparkSession.range(factor).select(F.col("id").alias("_rep"))
+    out = df.crossJoin(F.broadcast(reps))
+    for c in id_cols:
+        out = out.withColumn(c, F.col(c) + F.col("_rep") * ID_STRIDE)
+    return out
+
+
+def _force(df) -> float:
+    t0 = time.monotonic()
+    df.write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main() -> None:
+    spark = get_spark("pss-scale-smoke")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
+    results: dict[str, float] = {}
+    plans: dict[str, str] = {}
+
+    # --- doc_minhash_lsh_pairs at 10x ------------------------------------
+    from pennsieve_streaming_spark.llm import (
+        jaccard_pairs,
+        lsh_band_keys,
+        lsh_candidate_pairs,
+        minhash_wide,
+        shingles,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs10 = _replicate(docs, ["doc_id"], FACTOR).withColumn(
+        "text", F.concat(F.lit("r"), F.col("_rep").cast("string"), F.lit(" "), "text")
+    ).drop("_rep")
+    sh = shingles(docs10).cache()
+    cands = lsh_candidate_pairs(
+        lsh_band_keys(minhash_wide(sh)), max_bucket_size=50
+    ).cache()
+    t0 = time.monotonic()
+    n_cands = cands.count()
+    verified = jaccard_pairs(sh, candidates=cands)
+    results["doc_minhash_lsh_pairs"] = (time.monotonic() - t0) + _force(verified)
+    plans["doc_minhash_lsh_pairs"] = _plan(verified)
+    sh.unpersist()
+    cands.unpersist()
+
+    # --- ts_realtime_resample at 10x -------------------------------------
+    from pyspark.sql import Window
+
+    from pennsieve_streaming_spark.operators.realtime import (
+        resample_ingest_positions,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    li10 = _replicate(li, ["l_orderkey"], FACTOR).drop("_rep")
+    wo = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_extendedprice"
+    )
+    wc = Window.partitionBy("l_orderkey")
+    pos = li10.select(
+        "l_orderkey",
+        F.col("l_extendedprice").alias("v"),
+        F.row_number().over(wo).alias("pos"),
+        F.count(F.lit(1)).over(wc).alias("m"),
+    ).select(
+        F.concat(F.lit("rt"), (F.col("l_orderkey") % 4).cast("string")).alias(
+            "channel"
+        ),
+        (F.col("l_orderkey") * 1_000_000).alias("start_ts"),
+        (F.lit(75_000.0) * (F.lit(1) + F.col("l_orderkey") % 3)).alias(
+            "sample_period"
+        ),
+        "pos",
+        "m",
+        "v",
+    )
+    rt = resample_ingest_positions(pos, 250_000)
+    results["ts_realtime_resample"] = _force(rt)
+    plans["ts_realtime_resample"] = _plan(rt)
+
+    # --- emb_cosine_topk at 10x ------------------------------------------
+    from pennsieve_streaming_spark.llm.similarity import cosine_topk
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    embs10 = _replicate(embs, ["vec_id"], FACTOR).drop("_rep")
+    topk = cosine_topk(embs10, embs10.filter(F.col("vec_id") < 20), k=5)
+    results["emb_cosine_topk"] = _force(topk)
+    plans["emb_cosine_topk"] = _plan(topk)
+
+    # --- plan-shape guards (the 100x design evidence) ---------------------
+    problems = []
+    for name, plan in plans.items():
+        if "CartesianProduct" in plan:
+            problems.append(f"{name}: CartesianProduct")
+    if "_bn" not in plans["doc_minhash_lsh_pairs"]:
+        problems.append("lsh: bucket-cap stats missing from plan")
+    if "BroadcastExchange" not in plans["emb_cosine_topk"]:
+        problems.append("topk: query side not broadcast")
+    if "WindowGroupLimit" not in plans["emb_cosine_topk"]:
+        problems.append("topk: partial top-k pushdown missing")
+
+    print(
+        json.dumps(
+            {
+                "metric": "scale_smoke_10x_total",
+                "value": round(sum(results.values()), 4),
+                "unit": "sec",
+                "queries": {k: round(v, 4) for k, v in results.items()},
+                "factor": FACTOR,
+                "sf_base": 0.1,
+                "lsh_candidates": n_cands,
+                "plan_problems": problems,
+            }
+        )
+    )
+    if problems:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -92,9 +92,13 @@ def test_operator_view_channel_filter_pushes_to_scan(spark):
     # channel is a COMPUTED column in the samples view, so it can't
     # enter PushedFilters (parquet row-group skipping) — the property
     # that matters is that the predicate crossed the view hop and BOTH
-    # window passes down to the scan node (DataFilters), so only ch3's
-    # rows ever enter the windows.
-    data_filters = [
-        seg.split("]")[0] for seg in plan.split("DataFilters: [")[1:]
+    # window passes down to the scan node, so only ch3's rows ever
+    # enter the windows. Two valid scan shapes: a FileScan with the
+    # predicate in DataFilters, or (when another test in the shared
+    # session has cached the samples view) an InMemoryTableScan with
+    # the predicate in its pushed-filter list.
+    scan_lines = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln or "InMemoryTableScan" in ln
     ]
-    assert any("ch3" in p for p in data_filters), plan
+    assert any("ch3" in ln for ln in scan_lines), plan
