@@ -1425,6 +1425,16 @@ def q_event_transitions(spark, sf_dir):
     return event_transitions(_user_events(spark, sf_dir), k=20)
 
 
+def q_markov_entropy(spark, sf_dir):
+    """Per-source-type transition entropy of the event Markov chain —
+    exact nano-nat integer sums (token_entropy's determinism class)."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        markov_entropy,
+    )
+
+    return markov_entropy(_user_events(spark, sf_dir))
+
+
 def q_inter_event_gaps(spark, sf_dir):
     """Per-type inter-arrival stats (exact integer µs sums/extremes)
     attributed to the earlier event of each consecutive pair."""
@@ -1579,6 +1589,23 @@ def q_ewma(spark, sf_dir):
         F.col("ts") <= BW_TS_END
     )
     return ewma_filter(s, EWMA_ALPHA)
+
+
+HOLT_ALPHA = 0.25   # exact binary representations — no decimal noise
+HOLT_BETA = 0.125
+
+
+def q_holt_smoothing(spark, sf_dir):
+    """Holt double-exponential smoothing (level + trend) — the
+    drift-aware EWMA extension; same recursive-CTE oracle class, the
+    CTE carries (level, trend) and recomputes the level inside the
+    trend expression with the identical IEEE op sequence."""
+    from pennsieve_streaming_spark.dsp.filtering import holt_filter
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        F.col("ts") <= BW_TS_END
+    )
+    return holt_filter(s, HOLT_ALPHA, HOLT_BETA)
 
 
 def q_stream_ewma(spark, sf_dir):
@@ -2325,6 +2352,7 @@ _R6_FRONT = [
     "doc_simhash_near_pairs",
     # round-6 additions slot in here (newest first).
     "ts_asof_join_blocked", "stream_asof_join",
+    "ts_holt_smoothing", "ev_markov_entropy",
     # Fill to >50 with the oldest driver-checked set (r4c batch,
     # last driver-green in r4).
     "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
@@ -2352,6 +2380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # _R6_FRONT so the driver gates them this round).
         "ts_asof_join_blocked": q_asof_join_blocked,
         "stream_asof_join": q_stream_asof_join,
+        "ts_holt_smoothing": q_holt_smoothing,
+        "ev_markov_entropy": q_markov_entropy,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -4249,6 +4279,39 @@ def oracle_sql() -> dict[str, str]:
         LIMIT 20
         """
 
+    sql["ev_markov_entropy"] = """
+        WITH ue AS (
+          SELECT epoch_us(ts) AS ts, event_id, user_id, event_type
+          FROM events WHERE event_type IS NOT NULL
+        ),
+        seq AS (
+          SELECT event_type AS src_type,
+                 LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS dst_type
+          FROM ue
+        ),
+        c AS (
+          SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS c
+          FROM seq WHERE dst_type IS NOT NULL
+          GROUP BY src_type, dst_type
+        ),
+        n AS (
+          SELECT src_type, CAST(SUM(c) AS BIGINT) AS n_out,
+                 CAST(COUNT(*) AS BIGINT) AS distinct_dst
+          FROM c GROUP BY src_type
+        ),
+        hq AS (
+          SELECT c.src_type,
+                 SUM(c.c * CAST(round(ln(CAST(c.c AS DOUBLE) / n.n_out)
+                                      * 1000000000) AS BIGINT)) AS hq
+          FROM c JOIN n USING (src_type) GROUP BY c.src_type
+        )
+        SELECT n.src_type, n.n_out, n.distinct_dst,
+               -(CAST(hq.hq AS DOUBLE) / 1000000000) / n.n_out AS entropy
+        FROM n JOIN hq USING (src_type)
+        """
+
     sql["ev_inter_event_gaps"] = """
         WITH ue AS (
           SELECT epoch_us(ts) AS ts, event_id, user_id, event_type
@@ -4506,6 +4569,36 @@ def oracle_sql() -> dict[str, str]:
     # streaming EWMA is bit-identical to the batch operator under the
     # ordered-ingest contract — same oracle
     sql["stream_ewma"] = sql["ts_ewma"]
+
+    _h_a, _h_b = HOLT_ALPHA, 1.0 - HOLT_ALPHA
+    _h_g, _h_d = HOLT_BETA, 1.0 - HOLT_BETA
+    # the trend expression recomputes the new level with the IDENTICAL
+    # IEEE op sequence the level column uses — same bits by construction
+    _h_lvl = f"{_h_a!r} * i.value + {_h_b!r} * (r.level + r.trend)"
+    sql["ts_holt_smoothing"] = f"""
+        WITH RECURSIVE samples_aligned AS
+          ({TBL.DUCKDB_VIEWS['samples_aligned']}),
+        inp AS (
+          SELECT channel, ts, value,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS pos
+          FROM samples_aligned WHERE ts <= {BW_TS_END}
+        ),
+        rec AS (
+          SELECT channel, pos, ts, value, value AS level,
+                 CAST(0.0 AS DOUBLE) AS trend
+          FROM inp WHERE pos = 0
+          UNION ALL
+          SELECT i.channel, i.pos, i.ts, i.value,
+                 {_h_lvl},
+                 {_h_g!r} * (({_h_lvl}) - r.level) + {_h_d!r} * r.trend
+          FROM rec r JOIN inp i
+            ON i.channel = r.channel AND i.pos = r.pos + 1
+        )
+        SELECT channel, ts, value, level, trend,
+               level + trend AS forecast
+        FROM rec
+        """
 
     # --- round-4b native session-window streaming replay -------------
     sql["stream_session_agg"] = with_views(

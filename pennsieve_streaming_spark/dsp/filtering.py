@@ -304,6 +304,70 @@ def ewma_filter(samples, alpha: float):
     )
 
 
+def holt_filter(samples, alpha: float, beta: float):
+    """Holt double-exponential smoothing (level + trend) per channel —
+    the standard drift-aware extension of :func:`ewma_filter` used for
+    short-horizon forecasting / baseline tracking (Holt 1957):
+
+        l_0 = x_0,  t_0 = 0.0
+        l_i = α·x_i + (1−α)·(l_{i−1} + t_{i−1})
+        t_i = β·(l_i − l_{i−1}) + (1−β)·t_{i−1}
+
+    Sequential by nature (same class as ewma_filter): per channel via
+    applyInPandas in (ts, value) order. Every step is a fixed sequence
+    of IEEE ops, so the DuckDB oracle replays it bit-exactly with a
+    recursive CTE carrying (level, trend); the oracle recomputes l_i
+    inside the trend expression with the IDENTICAL op sequence, which
+    yields the identical double. Prefer α/β with exact binary
+    representations (0.25, 0.125) so the coefficients carry no
+    decimal-conversion noise.
+
+    100 TB note: one task per channel (admission-guarded upstream,
+    the reference's own stateful-filter execution shape); unbounded
+    histories chunk with (level, trend) carried as state exactly like
+    apply_filter's sosfilt zi.
+
+    Output: (channel, ts, value, level, trend, forecast) with
+    forecast = level + trend (the one-step-ahead prediction).
+    """
+    import numpy as np
+    import pandas as pd
+
+    a = float(alpha)
+    b = 1.0 - a
+    g = float(beta)
+    d = 1.0 - g
+
+    def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "value"]).reset_index(drop=True)
+        x = pdf["value"].to_numpy(dtype=np.float64)
+        lvl = np.empty_like(x)
+        trd = np.empty_like(x)
+        if len(x):
+            lvl[0] = x[0]
+            trd[0] = 0.0
+        for i in range(1, len(x)):
+            l_new = a * x[i] + b * (lvl[i - 1] + trd[i - 1])
+            trd[i] = g * (l_new - lvl[i - 1]) + d * trd[i - 1]
+            lvl[i] = l_new
+        return pd.DataFrame(
+            {
+                "channel": pdf["channel"],
+                "ts": pdf["ts"],
+                "value": pdf["value"],
+                "level": lvl,
+                "trend": trd,
+                "forecast": lvl + trd,
+            }
+        )
+
+    return samples.groupBy("channel").applyInPandas(
+        run,
+        "channel string, ts long, value double, level double, "
+        "trend double, forecast double",
+    )
+
+
 def decimate(
     samples: DataFrame,
     spec: "FilterSpec",

@@ -401,6 +401,64 @@ def stickiness(events: DataFrame, window_days: int = 30) -> DataFrame:
     )
 
 
+def markov_entropy(events: DataFrame) -> DataFrame:
+    """Per-source-type transition entropy of the event Markov chain —
+    H(dst | src) = -Σ_d p_d ln p_d over the next-event-type
+    distribution of each src type. Low entropy = predictable flows
+    (funnels), high entropy = scattered navigation; the event-path
+    cousin of llm/text.token_entropy's repetition gate.
+
+    Determinism contract (token_entropy's): each destination
+    contributes the integer nano-nat weight ``c_d * round(ln(c_d/n) *
+    1e9)`` so the cross-destination reduction is an exact order-free
+    BIGINT sum; entropy derives from that one integer with a fixed
+    two-division expression. NULL event_type rows are dropped up front
+    (the top_event_paths convention, so SQL '||'/LEAD oracles see the
+    same windows).
+
+    Output: (src_type, n_out, distinct_dst, entropy) — n_out =
+    outgoing transitions, entropy in nats.
+
+    Plan: one window shuffle on user_id (per-user partitions), a
+    groupBy collapsing to ≤ |types|² rows with map-side partials, then
+    a |types|-row aggregate — nothing after the window touches more
+    than |types|² rows at any scale.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .filter(F.col("event_type").isNotNull())
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("event_type").alias("src_type"),
+        F.col("next_type").alias("dst_type"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    per_src = counts.groupBy("src_type").agg(
+        F.sum("c").cast("long").alias("n_out"),
+        F.count(F.lit(1)).cast("long").alias("distinct_dst"),
+        F.collect_list(F.struct("dst_type", "c")).alias("_dc"),
+    )
+    ent_q = F.expr(
+        "aggregate(_dc, CAST(0 AS BIGINT), (acc, s) -> acc + "
+        "s.c * CAST(round(ln(CAST(s.c AS DOUBLE) / n_out) * 1000000000) AS BIGINT))"
+    )
+    return (
+        per_src.withColumn("_hq", ent_q)
+        .select(
+            "src_type",
+            "n_out",
+            "distinct_dst",
+            (-(F.col("_hq").cast("double") / 1_000_000_000) / F.col("n_out")).alias(
+                "entropy"
+            ),
+        )
+    )
+
+
 def top_event_paths(
     events: DataFrame, steps: int = 3, k: int = 20
 ) -> DataFrame:

@@ -297,3 +297,53 @@ def test_top_event_paths_plans_as_takeordered(spark):
     )
     plan = top_event_paths(ev, 3, 10)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_markov_entropy_golden(spark):
+    import math
+
+    from pennsieve_streaming_spark.operators.analytics import markov_entropy
+
+    # user 1: a->b, b->a, a->b   user 2: a->c
+    # src a: {b:2, c:1} n=3; src b: {a:1} n=1 (deterministic -> H=0)
+    rows = [
+        (0, 1, 10, "a"), (1, 1, 11, "b"), (2, 1, 12, "a"), (3, 1, 13, "b"),
+        (0, 2, 20, "a"), (1, 2, 21, "c"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "ts long, user_id long, event_id long, event_type string"
+    )
+    got = {
+        r.src_type: (r.n_out, r.distinct_dst, r.entropy)
+        for r in markov_entropy(ev).collect()
+    }
+    assert got["b"] == (1, 1, -0.0) or got["b"] == (1, 1, 0.0)
+    n, dd, h = got["a"]
+    assert (n, dd) == (3, 2)
+    want = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
+    assert abs(h - want) < 1e-6
+
+
+def test_markov_entropy_uniform_is_ln_k_and_null_dropped(spark):
+    import math
+
+    from pennsieve_streaming_spark.operators.analytics import markov_entropy
+
+    # src 'u' fans out uniformly to 4 types; a NULL event_type row in
+    # the middle must not create or break transitions
+    rows = []
+    for u, dst in enumerate(("p", "q", "r", "s")):
+        rows.append((0, u, u * 10, "u"))
+        rows.append((1, u, u * 10 + 1, dst))
+    rows.append((0, 99, 990, "u"))
+    rows.append((1, 99, 991, None))
+    rows.append((2, 99, 992, "p"))
+    ev = spark.createDataFrame(
+        rows, "ts long, user_id long, event_id long, event_type string"
+    )
+    got = {r.src_type: r for r in markov_entropy(ev).collect()}
+    # user 99's path with the NULL dropped is u->p: adds one more u->p
+    assert got["u"].n_out == 5 and got["u"].distinct_dst == 4
+    probs = [2 / 5, 1 / 5, 1 / 5, 1 / 5]
+    want = -sum(p * math.log(p) for p in probs)
+    assert abs(got["u"].entropy - want) < 1e-6

@@ -385,3 +385,60 @@ def test_power_spectrum_dc_free_constant_signal(spark):
     for r in out:
         assert r.power < 1e-6
         assert int(r.energy_q2) <= 10**7  # quantization residue only
+
+
+def test_holt_golden(spark):
+    from pennsieve_streaming_spark.dsp.filtering import holt_filter
+
+    rows = [("a", 0, 8.0), ("a", 1, 0.0), ("a", 2, 16.0)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    got = {
+        r.ts: (r.level, r.trend, r.forecast)
+        for r in holt_filter(df, 0.5, 0.5).collect()
+    }
+    # l0=8, t0=0
+    # l1 = .5*0 + .5*(8+0) = 4;   t1 = .5*(4-8)  + .5*0  = -2
+    # l2 = .5*16 + .5*(4-2) = 9;  t2 = .5*(9-4)  + .5*-2 = 1.5
+    assert got == {0: (8.0, 0.0, 8.0), 1: (4.0, -2.0, 2.0), 2: (9.0, 1.5, 10.5)}
+
+
+def test_holt_tracks_linear_drift_exactly_in_steady_state(spark):
+    import numpy as np
+
+    from pennsieve_streaming_spark.dsp.filtering import holt_filter
+
+    # on a pure ramp the converged forecast equals the next value —
+    # the property EWMA lacks (it lags a ramp forever)
+    rows = [("r", t, float(2 * t)) for t in range(400)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = sorted(
+        (r.ts, r.forecast) for r in holt_filter(df, 0.25, 0.125).collect()
+    )
+    tail = [abs(f - 2 * (t + 1)) for t, f in out[-50:]]
+    assert max(tail) < 1e-6
+
+
+def test_holt_partitioning_invariant_and_matches_python(spark):
+    import numpy as np
+
+    from pennsieve_streaming_spark.dsp.filtering import holt_filter
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (ch, t, float(v))
+        for ch in ("a", "b")
+        for t, v in enumerate(rng.uniform(-3, 3, 400))
+    ]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    one = sorted(map(tuple, holt_filter(df.coalesce(1), 0.25, 0.125).collect()))
+    many = sorted(map(tuple, holt_filter(df.repartition(13), 0.25, 0.125).collect()))
+    assert one == many
+    a, b, g, d = 0.25, 0.75, 0.125, 0.875
+    xs = [v for ch, t, v in rows if ch == "b"]
+    lvl, trd = xs[0], 0.0
+    for i in range(1, len(xs)):
+        l_new = a * xs[i] + b * (lvl + trd)
+        trd = g * (l_new - lvl) + d * trd
+        lvl = l_new
+    last = [r for r in one if r[0] == "b"][-1]
+    assert last[3] == lvl and last[4] == trd
