@@ -1640,6 +1640,38 @@ def q_stream_ewma(spark, sf_dir):
     return spark.read.parquet(f"{base}/out")
 
 
+def q_stream_holt(spark, sf_dir):
+    """Streaming Holt smoothing drained with availableNow over the
+    same bounded golden window as ts_holt_smoothing — the carried
+    (level, trend) state reproduces the batch recurrence bit-exactly
+    (equivalence-tested across micro-batch splits), so the
+    recursive-CTE oracle gates the STREAMING operator too."""
+    import tempfile
+
+    from pennsieve_streaming_spark.streaming.holt import holt_stream
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        F.col("ts") <= BW_TS_END
+    )
+    base = tempfile.mkdtemp(prefix="pss_stream_holt_")
+    src = f"{base}/src"
+    s.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("channel string, ts long, value double")
+        .parquet(src)
+    )
+    q = (
+        holt_stream(stream, HOLT_ALPHA, HOLT_BETA)
+        .writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out")
+
+
 def q_stream_session_agg(spark, sf_dir):
     """Native session_window streaming sessionization of the events
     feed, drained with availableNow: emitted rows == batch gap-span
@@ -2352,7 +2384,7 @@ _R6_FRONT = [
     "doc_simhash_near_pairs",
     # round-6 additions slot in here (newest first).
     "ts_asof_join_blocked", "stream_asof_join",
-    "ts_holt_smoothing", "ev_markov_entropy",
+    "ts_holt_smoothing", "ev_markov_entropy", "stream_holt",
     # Fill to >50 with the oldest driver-checked set (r4c batch,
     # last driver-green in r4).
     "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
@@ -2382,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_asof_join": q_stream_asof_join,
         "ts_holt_smoothing": q_holt_smoothing,
         "ev_markov_entropy": q_markov_entropy,
+        "stream_holt": q_stream_holt,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -4599,6 +4632,9 @@ def oracle_sql() -> dict[str, str]:
                level + trend AS forecast
         FROM rec
         """
+    # streaming Holt is bit-identical to the batch operator under the
+    # ordered-ingest contract — same oracle
+    sql["stream_holt"] = sql["ts_holt_smoothing"]
 
     # --- round-4b native session-window streaming replay -------------
     sql["stream_session_agg"] = with_views(
