@@ -47,30 +47,34 @@ def ewma_stream(samples_stream: DataFrame, alpha: float) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         (channel,) = key
         y_prev = state.get[0] if state.exists else None
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(["ts", "value"]).reset_index(drop=True)
-            x = pdf["value"].to_numpy(dtype=np.float64)
-            y = np.empty_like(x)
-            start = 0
-            if y_prev is None:
-                y[0] = x[0]
-                y_prev = y[0]
-                start = 1
-            for i in range(start, len(x)):
-                y_prev = a * x[i] + b * y_prev
-                y[i] = y_prev
-            yield pd.DataFrame(
-                {
-                    "channel": channel,
-                    "ts": pdf["ts"],
-                    "value": pdf["value"],
-                    "ewma": y,
-                }
-            )
-        if y_prev is not None:
-            state.update((float(y_prev),))
+        # Concatenate the batch's Arrow chunks and sort ONCE: chunk
+        # delivery order within a group is not a documented ordering
+        # guarantee, and a recurrence consumed out of order would
+        # silently diverge from the batch operator (the
+        # stateful_filter/holt/sessionize convention).
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(["ts", "value"]).reset_index(drop=True)
+        x = pdf["value"].to_numpy(dtype=np.float64)
+        y = np.empty_like(x)
+        start = 0
+        if y_prev is None:
+            y[0] = x[0]
+            y_prev = y[0]
+            start = 1
+        for i in range(start, len(x)):
+            y_prev = a * x[i] + b * y_prev
+            y[i] = y_prev
+        state.update((float(y_prev),))
+        yield pd.DataFrame(
+            {
+                "channel": channel,
+                "ts": pdf["ts"],
+                "value": pdf["value"],
+                "ewma": y,
+            }
+        )
 
     return samples_stream.groupBy("channel").applyInPandasWithState(
         step,
