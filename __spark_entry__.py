@@ -2589,7 +2589,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_page_concat": q_page_concat,
         "ts_interleave": q_interleave,
     }
-    ordered = {k: q[k] for k in _R6_FRONT if k in q}
+    # Loud lookup on purpose: a misspelled or stale rotation entry must
+    # KeyError at registry build, not silently shrink the first-50
+    # correctness-gate window.
+    ordered = {k: q[k] for k in _R6_FRONT}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
 
@@ -4335,9 +4338,12 @@ def oracle_sql() -> dict[str, str]:
           FROM c GROUP BY src_type
         ),
         hq AS (
+          -- HUGEINT product: c can reach 1e9+ where c*|ln p|*1e9
+          -- exceeds 2^63 (the Spark side sums in DECIMAL(38,0))
           SELECT c.src_type,
-                 SUM(c.c * CAST(round(ln(CAST(c.c AS DOUBLE) / n.n_out)
-                                      * 1000000000) AS BIGINT)) AS hq
+                 SUM(CAST(c.c AS HUGEINT)
+                     * CAST(round(ln(CAST(c.c AS DOUBLE) / n.n_out)
+                                  * 1000000000) AS BIGINT)) AS hq
           FROM c JOIN n USING (src_type) GROUP BY c.src_type
         )
         SELECT n.src_type, n.n_out, n.distinct_dst,

@@ -411,10 +411,15 @@ def markov_entropy(events: DataFrame) -> DataFrame:
     Determinism contract (token_entropy's): each destination
     contributes the integer nano-nat weight ``c_d * round(ln(c_d/n) *
     1e9)`` so the cross-destination reduction is an exact order-free
-    BIGINT sum; entropy derives from that one integer with a fixed
-    two-division expression. NULL event_type rows are dropped up front
-    (the top_event_paths convention, so SQL '||'/LEAD oracles see the
-    same windows).
+    integer sum; entropy derives from that one integer with a fixed
+    cast-and-divide expression. Unlike token_entropy (per-document
+    counts, always small), a global (src, dst) count can reach 1e9+,
+    where ``c · |ln p| · 1e9`` exceeds 2^63 — so the accumulator is
+    DECIMAL(38,0) (the power_spectrum widening), exact to 1e38, and
+    the oracle sums in HUGEINT; both engines cast the identical exact
+    integer to DOUBLE at the end. NULL event_type rows are dropped up
+    front (the top_event_paths convention, so SQL '||'/LEAD oracles
+    see the same windows).
 
     Output: (src_type, n_out, distinct_dst, entropy) — n_out =
     outgoing transitions, entropy in nats.
@@ -443,8 +448,9 @@ def markov_entropy(events: DataFrame) -> DataFrame:
         F.collect_list(F.struct("dst_type", "c")).alias("_dc"),
     )
     ent_q = F.expr(
-        "aggregate(_dc, CAST(0 AS BIGINT), (acc, s) -> acc + "
-        "s.c * CAST(round(ln(CAST(s.c AS DOUBLE) / n_out) * 1000000000) AS BIGINT))"
+        "aggregate(_dc, CAST(0 AS DECIMAL(38,0)), (acc, s) -> acc + "
+        "CAST(s.c AS DECIMAL(38,0)) * "
+        "CAST(round(ln(CAST(s.c AS DOUBLE) / n_out) * 1000000000) AS DECIMAL(38,0)))"
     )
     return (
         per_src.withColumn("_hq", ent_q)

@@ -82,12 +82,29 @@ def asof_join_stream(
         ]
     )
     pay_types = {f.name: f.dataType for f in pay_fields}
+
+    def _neutral(dt):
+        # Sample-side payload placeholders must NOT be NULL for integral
+        # types: a nullable int64 column crosses Arrow→pandas as
+        # float64 inside applyInPandasWithState, silently rounding ids
+        # above 2^53 (snowflake ids corrupt). A zero fill keeps the
+        # pandas dtype int64 — exact at all 64 bits — and is invisible:
+        # sample rows' payload is never read or emitted. Non-integral
+        # types (string/float/etc.) survive NULLs exactly.
+        if isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            return F.lit(0).cast(dt)
+        if isinstance(dt, T.BooleanType):
+            return F.lit(False)
+        return F.lit(None).cast(dt)
+
     s = samples_stream.select(
         "channel",
         "ts",
         "value",
         F.lit(0).alias("is_probe"),
-        *[F.lit(None).cast(pay_types[c]).alias(c) for c in pay],
+        *[_neutral(pay_types[c]).alias(c) for c in pay],
     )
     p = probes_stream.select(
         "channel",

@@ -14,6 +14,11 @@ def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
     partitions) this is a no-op — no shuffle is added.
     """
     spark = df.sparkSession
+    # Streaming DataFrames have _jdf but raise on .rdd — the guard is
+    # meaningless for a stream anyway (partition counts are per-batch),
+    # so pass it through untouched.
+    if getattr(df, "isStreaming", False):
+        return df
     # Feature check, not try/except: a classic JVM-backed DataFrame has
     # _jdf; a Spark Connect DataFrame does not. The normal path never
     # touches a Connect-unsupported attribute.

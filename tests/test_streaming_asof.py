@@ -195,3 +195,44 @@ def test_string_payload_roundtrip(spark):
         shutil.rmtree(p_src, ignore_errors=True)
     assert len(rows) == 1
     assert rows[0]["label"] == "tag-a" and rows[0]["value"] == 4.0
+
+
+def test_int64_payload_exact_above_2_53(spark):
+    """A nullable int64 payload column crosses Arrow->pandas as float64
+    and silently rounds ids above 2^53; the sample-side zero-fill must
+    keep the column int64-exact end to end."""
+    big = (1 << 53) + 1
+    s_src = tempfile.mkdtemp(prefix="asof_big_s_")
+    p_src = tempfile.mkdtemp(prefix="asof_big_p_")
+    _write(spark, [("z", 10, 4.0)], "channel string, ts long, value double", s_src)
+    _write(
+        spark,
+        [("z", 20, big)],
+        "channel string, ts long, event_id long",
+        p_src,
+    )
+    s_stream = (
+        spark.readStream.schema("channel string, ts long, value double")
+        .parquet(s_src)
+    )
+    p_stream = (
+        spark.readStream.schema("channel string, ts long, event_id long")
+        .parquet(p_src)
+    )
+    out = asof_join_stream(s_stream, p_stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asof_stream_big")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM asof_stream_big").collect()
+    finally:
+        q.stop()
+        shutil.rmtree(s_src, ignore_errors=True)
+        shutil.rmtree(p_src, ignore_errors=True)
+    assert len(rows) == 1
+    assert rows[0]["event_id"] == big  # would be 2^53 under float64
+    assert rows[0]["value"] == 4.0 and rows[0]["matched"] is True
