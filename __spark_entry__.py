@@ -981,6 +981,34 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+def q_image_dhash(spark, sf_dir):
+    """64-bit perceptual difference hash per media item — integer
+    block-sum comparisons, engine-exact; the synthetic luminance field
+    makes the REAL dhash64 kernel oracle-replayable (llm/imagehash)."""
+    from pennsieve_streaming_spark.llm.imagehash import dhash_synthetic
+
+    return dhash_synthetic(_docs(spark, sf_dir))
+
+
+def q_dhash_near_pairs(spark, sf_dir):
+    """Image near-dup pairs: the SimHash banded machinery applied to
+    the 64-bit dHash (5 bands, pigeonhole over hamming<=4) — image
+    bytes never shuffle, only 8-byte hashes do. Synthetic field has
+    mod-256 identical-image groups, the duplicate shape dedup exists
+    to catch."""
+    from pennsieve_streaming_spark.llm.imagehash import dhash_synthetic
+
+    dh = dhash_synthetic(_docs(spark, sf_dir)).select(
+        F.col("media_id").alias("doc_id"), F.col("dhash").alias("simhash")
+    )
+    p = simhash_near_pairs(dh, max_hamming=4, bits=64)
+    return p.select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
 def q_event_summary_datadriven(spark, sf_dir):
     ev = TBL.chan_events_view(spark, sf_dir)
     return event_summary_data_driven(
@@ -2385,6 +2413,7 @@ _R6_FRONT = [
     # round-6 additions slot in here (newest first).
     "ts_asof_join_blocked", "stream_asof_join",
     "ts_holt_smoothing", "ev_markov_entropy", "stream_holt",
+    "mm_image_dhash", "mm_dhash_near_pairs",
     # Fill to >50 with the oldest driver-checked set (r4c batch,
     # last driver-green in r4).
     "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
@@ -2415,6 +2444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_holt_smoothing": q_holt_smoothing,
         "ev_markov_entropy": q_markov_entropy,
         "stream_holt": q_stream_holt,
+        "mm_image_dhash": q_image_dhash,
+        "mm_dhash_near_pairs": q_dhash_near_pairs,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -6044,6 +6075,69 @@ def oracle_sql() -> dict[str, str]:
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                sha256(text) AS digest
         FROM documents
+        """
+
+    from pennsieve_streaming_spark.llm.imagehash import (
+        GRID_H as _IH_H,
+        GRID_W as _IH_W,
+        SYN_A as _IH_A,
+        SYN_B as _IH_B,
+        SYN_C as _IH_C,
+        SYN_MOD as _IH_M,
+    )
+    from pennsieve_streaming_spark.llm.dedup import simhash_bands
+
+    # dHash over the synthetic luminance field: integer block sums and
+    # shifts only, so DuckDB replays the numpy kernel bit-for-bit. The
+    # HUGEINT sum wraps to the signed-int64 bit pattern at the end
+    # (bit 63 is the sign bit on the Spark side).
+    _dhash_cte = f"""
+        px AS (
+          SELECT doc_id, i, j,
+                 (doc_id * {_IH_A} + i * {_IH_B} + j * {_IH_C}) % {_IH_M} AS v
+          FROM documents,
+               UNNEST(generate_series(0, {_IH_H - 1})) AS ti(i),
+               UNNEST(generate_series(0, {_IH_W - 1})) AS tj(j)
+        ),
+        cells AS (
+          SELECT doc_id, i // 2 AS r, j // 2 AS c, SUM(v) AS s
+          FROM px GROUP BY 1, 2, 3
+        ),
+        dh AS (
+          SELECT a.doc_id AS media_id,
+                 CAST(CASE WHEN hu >= (CAST(1 AS HUGEINT) << 63)
+                           THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END
+                      AS BIGINT) AS dhash
+          FROM (
+            SELECT a.doc_id,
+                   SUM(CASE WHEN a.s > b.s
+                            THEN CAST(1 AS HUGEINT) << (a.r * 8 + a.c)
+                            ELSE CAST(0 AS HUGEINT) END) AS hu
+            FROM cells a JOIN cells b
+              ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+            GROUP BY a.doc_id
+          ) a(doc_id, hu)
+        )
+    """
+    sql["mm_image_dhash"] = f"""
+        WITH {_dhash_cte}
+        SELECT media_id, dhash FROM dh
+        """
+
+    _ih_bands = " UNION ALL ".join(
+        f"SELECT media_id, dhash, CAST({band} AS BIGINT) AS band, "
+        f"(dhash >> {lo}) & {(1 << wd) - 1} AS band_key FROM dh"
+        for band, lo, wd in simhash_bands(64, 5)
+    )
+    sql["mm_dhash_near_pairs"] = f"""
+        WITH {_dhash_cte},
+        keys AS ({_ih_bands})
+        SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+               CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        FROM keys a JOIN keys b
+          ON a.band = b.band AND a.band_key = b.band_key
+             AND a.media_id < b.media_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
         """
 
     sql["mm_frame_sample"] = """

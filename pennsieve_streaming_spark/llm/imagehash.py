@@ -1,0 +1,115 @@
+"""Perceptual image hashing (dHash) for multimodal near-dup detection.
+
+The image analogue of SimHash text dedup: a 64-bit difference hash
+over a block-averaged grayscale thumbnail (Krawetz's dHash — the
+public-domain standard for scalable image near-dup screening). Two
+re-encodes / mild crops / brightness shifts of the same picture land
+within a few bits of hamming distance, so the whole text near-dup
+machinery (banded blocking, hot-bucket caps, hamming verify —
+llm/dedup.simhash_near_pairs) applies verbatim to the image corpus by
+feeding it (media_id, dhash) instead of (doc_id, simhash).
+
+Exactness contract: the hash compares BLOCK SUMS, not means — blocks
+are equal-sized so the comparison is identical, and integer sums are
+engine-exact (no division, no float). That makes the hash replayable
+bit-for-bit by a SQL oracle on any deterministic pixel source, which
+is how the registry gates it: the oracle query runs the same grid
+arithmetic in DuckDB over the synthetic luminance field, while the
+REAL decode path (PNG/JPEG/BMP via llm/png, llm/jpeg, llm/rawimg)
+feeds actual pixels through the identical ``dhash64`` kernel
+(unit-tested: brightness invariance, gradient orientation, decode
+round-trip).
+
+Grid: GRID_H×GRID_W = 16×18 pixels block-averaged 2×2 into 8×9 cells;
+bit k = r*8 + c is set iff sum(cell[r][c]) > sum(cell[r][c+1]) for
+r in 0..7, c in 0..7 — 64 bits, stored as a signed int64 (bit 63 is
+the sign bit; banding masks after arithmetic shifts extract fields
+correctly on both engines).
+
+Scale shape: the hash is a narrow per-row map (mapInPandas over Arrow
+batches, no shuffle); pair mining shuffles only the 8-byte hashes
+through the banded equi-join — image bytes never shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+GRID_H = 16
+GRID_W = 18
+CELL = 2  # block edge: 16x18 -> 8x9 cells
+ROWS = GRID_H // CELL   # 8
+COLS = GRID_W // CELL   # 9
+
+
+def dhash64(gray: "np.ndarray") -> int:
+    """64-bit difference hash of a grayscale image (any H×W ≥ grid).
+
+    The image is first box-resized to GRID_H×GRID_W by integer block
+    sums (exact: each target pixel is the sum of its source block —
+    requires H, W divisible by the grid for exactness; callers resize
+    or crop first, the synthetic path emits the grid size directly),
+    then 2×2 cell sums are compared left-to-right.
+    """
+    g = np.asarray(gray, dtype=np.int64)
+    h, w = g.shape
+    if (h, w) != (GRID_H, GRID_W):
+        if h % GRID_H or w % GRID_W:
+            raise ValueError(
+                f"image {h}x{w} not divisible by grid {GRID_H}x{GRID_W}"
+            )
+        g = g.reshape(GRID_H, h // GRID_H, GRID_W, w // GRID_W).sum(
+            axis=(1, 3)
+        )
+    cells = g.reshape(ROWS, CELL, COLS, CELL).sum(axis=(1, 3))
+    bits = cells[:, :-1] > cells[:, 1:]  # 8x8
+    val = 0
+    for r in range(ROWS):
+        for c in range(COLS - 1):
+            if bits[r, c]:
+                val |= 1 << (r * 8 + c)
+    if val >= 1 << 63:  # store as signed int64 (bit 63 = sign bit)
+        val -= 1 << 64
+    return val
+
+
+# Synthetic luminance field for the oracle-gated registry query: a
+# deterministic pure-arithmetic pixel source both engines can emit.
+# pixel(i, j) = (doc_id*31 + i*7 + j*13) mod 256 — docs congruent
+# mod 256 render IDENTICAL images (hamming-0 duplicate groups), the
+# realistic shape image dedup exists to catch.
+SYN_A, SYN_B, SYN_C, SYN_MOD = 31, 7, 13, 256
+
+
+def synthetic_gray(doc_id: int) -> "np.ndarray":
+    i = np.arange(GRID_H).reshape(-1, 1)
+    j = np.arange(GRID_W).reshape(1, -1)
+    return (doc_id * SYN_A + i * SYN_B + j * SYN_C) % SYN_MOD
+
+
+def dhash_synthetic(documents: DataFrame) -> DataFrame:
+    """(doc_id) → (media_id, dhash) over the synthetic luminance field
+    — the oracle-gated plumbing proof; swap ``synthetic_gray`` for a
+    decoded frame (llm/multimodal.extract_features path) for real
+    corpora. Narrow mapInPandas, no shuffle."""
+
+    def run(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "dhash": np.fromiter(
+                        (dhash64(synthetic_gray(int(d))) for d in ids),
+                        dtype=np.int64,
+                        count=len(ids),
+                    ),
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        run, "media_id long, dhash long"
+    )

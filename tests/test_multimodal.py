@@ -60,3 +60,77 @@ def test_frame_sampling_bounds(media):
     for r in frames:
         assert r["frame_idx"] <= max(n_frames[r["media_id"]] - 1, 0)
         assert r["frame_idx"] % 5 == 0
+
+
+# --------------------------------------------------------------------------
+# perceptual dHash (llm/imagehash)
+# --------------------------------------------------------------------------
+
+def test_dhash_brightness_invariant():
+    import numpy as np
+
+    from pennsieve_streaming_spark.llm.imagehash import dhash64, synthetic_gray
+
+    g = synthetic_gray(7)
+    assert dhash64(g) == dhash64(g + 17)  # global brightness shift
+    assert dhash64(g) == dhash64(g * 1)   # identity sanity
+
+
+def test_dhash_gradient_orientation():
+    import numpy as np
+
+    from pennsieve_streaming_spark.llm.imagehash import (
+        GRID_H,
+        GRID_W,
+        dhash64,
+    )
+
+    inc = np.tile(np.arange(GRID_W), (GRID_H, 1))       # brightens rightward
+    dec = inc[:, ::-1].copy()                            # brightens leftward
+    assert dhash64(inc) == 0          # every left cell < right cell
+    # every left cell > right cell: all 8x8 comparison bits set
+    want = 0
+    for r in range(8):
+        for c in range(8):
+            want |= 1 << (r * 8 + c)
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert dhash64(dec) == want
+
+
+def test_dhash_block_resize_consistent():
+    import numpy as np
+
+    from pennsieve_streaming_spark.llm.imagehash import dhash64, synthetic_gray
+
+    g = synthetic_gray(42)
+    up = np.kron(g, np.ones((2, 2), dtype=np.int64))  # 32x36 upsample
+    assert dhash64(up) == dhash64(g)
+    import pytest
+
+    with pytest.raises(ValueError):
+        dhash64(np.zeros((17, 18), dtype=np.int64))
+
+
+def test_dhash_sign_bit_roundtrip():
+    import numpy as np
+
+    from pennsieve_streaming_spark.llm.imagehash import dhash64
+
+    # a decreasing gradient sets bit 63 (r=7, c=7) -> negative int64
+    inc = np.tile(np.arange(18), (16, 1))
+    v = dhash64(inc[:, ::-1].copy())
+    assert v < 0 and np.int64(v) == v
+
+
+def test_dhash_synthetic_duplicate_groups(spark):
+    from pyspark.sql import functions as F
+
+    from pennsieve_streaming_spark.llm.imagehash import dhash_synthetic
+
+    docs = spark.range(520).selectExpr("id AS doc_id")
+    dh = dhash_synthetic(docs)
+    # docs congruent mod 256 render identical images -> identical hash
+    rows = {r.media_id: r.dhash for r in dh.collect()}
+    assert rows[3] == rows[3 + 256]
+    assert rows[10] == rows[10 + 256]
