@@ -462,6 +462,23 @@ def q_bigram_lm(spark, sf_dir):
     return bigram_lm_score(_docs(spark, sf_dir))
 
 
+BPE_K = 8
+BPE_MIN_COUNT = 2
+
+
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training: the top-8 learned merges over the
+    corpus word-frequency table — Sennrich get_stats/merge semantics
+    (overlapping pair counts, greedy left-to-right merge via the
+    relational run-parity rule), replayed exactly by an 8-stage
+    unrolled DuckDB oracle. All-integer, no quantization."""
+    from pennsieve_streaming_spark.llm.text import bpe_merges
+
+    return bpe_merges(
+        _docs(spark, sf_dir), n_merges=BPE_K, min_count=BPE_MIN_COUNT
+    )
+
+
 def q_vocab(spark, sf_dir):
     """Frequency-ranked vocabulary build (the tokenizer table)."""
     from pennsieve_streaming_spark.llm.text import build_vocab
@@ -2413,7 +2430,7 @@ _R6_FRONT = [
     # round-6 additions slot in here (newest first).
     "ts_asof_join_blocked", "stream_asof_join",
     "ts_holt_smoothing", "ev_markov_entropy", "stream_holt",
-    "mm_image_dhash", "mm_dhash_near_pairs",
+    "mm_image_dhash", "mm_dhash_near_pairs", "doc_bpe_merges",
     # Fill to >50 with the oldest driver-checked set (r4c batch,
     # last driver-green in r4).
     "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
@@ -2446,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_holt": q_stream_holt,
         "mm_image_dhash": q_image_dhash,
         "mm_dhash_near_pairs": q_dhash_near_pairs,
+        "doc_bpe_merges": q_bpe_merges,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -5522,6 +5540,81 @@ def oracle_sql() -> dict[str, str]:
           FROM vcounts
         )
         """
+
+    # --- BPE tokenizer training: k-stage unrolled replay --------------
+    # Each stage: overlapping pair counts over the previous token
+    # state, deterministic best pair (n DESC, l, r), greedy merge via
+    # the run-parity rule (a match position merges iff its offset
+    # within its contiguous island of matches is even — only l==r can
+    # produce contiguous matches), then dense re-numbering. Empty best
+    # (corpus out of pairs) leaves the state unchanged and contributes
+    # no output row, matching the Spark loop's early break.
+    _bpe_stages = [
+        f"""
+        bpe_words AS MATERIALIZED (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+            SELECT lower(t) AS word
+            FROM (SELECT UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t
+                  FROM documents)
+            WHERE length(lower(t)) > 0
+          ) GROUP BY word HAVING COUNT(*) >= {BPE_MIN_COUNT}
+        ),
+        bs0 AS MATERIALIZED (
+          SELECT word, cnt, CAST(i - 1 AS BIGINT) AS pos,
+                 substr(word, CAST(i AS INTEGER), 1) AS tok
+          FROM bpe_words, UNNEST(generate_series(1, length(word))) AS t(i)
+        )"""
+    ]
+    for _bi in range(1, BPE_K + 1):
+        _bp = f"bs{_bi - 1}"
+        _bpe_stages.append(f"""
+        bpr{_bi} AS MATERIALIZED (
+          SELECT a.tok AS l, b.tok AS r, CAST(SUM(a.cnt) AS BIGINT) AS n
+          FROM {_bp} a JOIN {_bp} b
+            ON a.word = b.word AND b.pos = a.pos + 1
+          GROUP BY 1, 2
+        ),
+        bb{_bi} AS MATERIALIZED (SELECT l, r, n FROM bpr{_bi} ORDER BY n DESC, l, r LIMIT 1),
+        bm{_bi} AS MATERIALIZED (
+          SELECT a.word, a.pos
+          FROM {_bp} a JOIN {_bp} nb
+            ON a.word = nb.word AND nb.pos = a.pos + 1
+          JOIN bb{_bi} ON a.tok = bb{_bi}.l AND nb.tok = bb{_bi}.r
+        ),
+        bg{_bi} AS MATERIALIZED (
+          SELECT word, pos FROM (
+            SELECT word, pos,
+                   pos - MIN(pos) OVER (PARTITION BY word, island) AS off
+            FROM (SELECT word, pos,
+                         pos - ROW_NUMBER() OVER (PARTITION BY word
+                                                  ORDER BY pos) AS island
+                  FROM bm{_bi})
+          ) WHERE off % 2 = 0
+        ),
+        bs{_bi} AS MATERIALIZED (
+          SELECT word, cnt,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) - 1
+                      AS BIGINT) AS pos,
+                 tok
+          FROM (
+            SELECT s.word, s.cnt, s.pos,
+                   CASE WHEN g.pos IS NOT NULL THEN s.tok || nx.tok
+                        ELSE s.tok END AS tok
+            FROM {_bp} s
+            LEFT JOIN bg{_bi} g ON s.word = g.word AND s.pos = g.pos
+            LEFT JOIN {_bp} nx ON s.word = nx.word AND nx.pos = s.pos + 1
+            WHERE NOT EXISTS (SELECT 1 FROM bg{_bi} g2
+                              WHERE g2.word = s.word AND g2.pos = s.pos - 1)
+          )
+        )""")
+    _bpe_out = " UNION ALL ".join(
+        f"SELECT CAST({_bi} AS BIGINT) AS it, l AS left_tok, r AS right_tok, "
+        f"n AS pair_count FROM bb{_bi}"
+        for _bi in range(1, BPE_K + 1)
+    )
+    sql["doc_bpe_merges"] = (
+        "WITH " + ",".join(_bpe_stages) + "\n" + _bpe_out
+    )
 
     sql["doc_vocab"] = f"""
         WITH {_VOCAB}

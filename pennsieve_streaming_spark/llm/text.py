@@ -564,3 +564,119 @@ def zipf_fit(documents: DataFrame, quant: int = 10**3) -> DataFrame:
             f"* CAST(sx AS DOUBLE) / {q}) / n, 9)"
         ).alias("intercept"),
     )
+
+
+def bpe_merges(
+    documents: DataFrame, n_merges: int = 8, min_count: int = 1
+) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016 "Neural Machine
+    Translation of Rare Words with Subword Units", the reference
+    get_stats/merge loop): learn the top ``n_merges`` byte-pair merges
+    over the corpus word-frequency table.
+
+    Exactness spec (shared verbatim by the unrolled DuckDB oracle):
+
+    - pair counts are OVERLAPPING adjacent counts weighted by word
+      frequency (get_stats convention: 'a a a' contributes (a,a)
+      twice);
+    - the winning pair maximizes count, ties broken (left ASC,
+      right ASC) — fully deterministic;
+    - the merge applies GREEDY LEFT-TO-RIGHT (the reference regex
+      replace): relationally, a match position merges iff its offset
+      within its contiguous island of match positions is even — only
+      ``l == r`` can produce contiguous matches, and run parity is
+      exactly the greedy scan's behavior ('a a a a' → [aa, aa],
+      'a a a' → [aa, a]);
+    - every count is an integer — bit-stable across engines with no
+      quantization.
+
+    Output: (it, left_tok, right_tok, pair_count) for it = 1..k
+    (fewer if the corpus runs out of pairs).
+
+    Plan / scale: the heavy fan-out is ONE pass (corpus → word counts,
+    a partial-agg groupBy); the k iterations then operate on the
+    BOUNDED (word, pos, tok) table — |vocab| × avg word length rows,
+    millions not billions at any corpus scale — with per-iteration
+    window passes partitioned by word and a 1-ROW driver collect for
+    the winning pair (model state, like a centroid pull). State is
+    localCheckpoint-ed per iteration to truncate the 8-deep lineage
+    (the llm/graph.py loop trick).
+    """
+    spark = documents.sparkSession
+    words = (
+        documents.select(
+            F.explode(F.expr(f"transform({TOKS}, t -> lower(t))")).alias(
+                "word"
+            )
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= int(min_count))
+    )
+    state = words.select(
+        "word",
+        "cnt",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i"),
+    ).select(
+        "word",
+        "cnt",
+        (F.col("i") - 1).cast("long").alias("pos"),
+        F.expr("substring(word, i, 1)").alias("tok"),
+    ).localCheckpoint()
+
+    w = Window.partitionBy("word").orderBy("pos")
+    merges: list[tuple[int, str, str, int]] = []
+    for it in range(1, int(n_merges) + 1):
+        st = state.withColumn("nxt", F.lead("tok").over(w))
+        pairs = (
+            st.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("tok").alias("l"), F.col("nxt").alias("r"))
+            .agg(F.sum("cnt").cast("long").alias("n"))
+        )
+        best = pairs.orderBy(F.desc("n"), "l", "r").limit(1).collect()
+        if not best:
+            break
+        l, r, n = best[0]["l"], best[0]["r"], best[0]["n"]
+        merges.append((it, l, r, int(n)))
+        m = st.filter((F.col("tok") == l) & (F.col("nxt") == r)).select(
+            "word", "pos"
+        )
+        # greedy non-overlap: islands of contiguous match positions,
+        # keep even offsets from each island start
+        isl = m.withColumn(
+            "island", F.col("pos") - F.row_number().over(w)
+        )
+        wisl = Window.partitionBy("word", "island")
+        mp = (
+            isl.withColumn(
+                "off", F.col("pos") - F.min("pos").over(wisl)
+            )
+            .filter(F.col("off") % 2 == 0)
+            .select("word", "pos")
+        )
+        mflag = mp.withColumn("_m", F.lit(True))
+        cons = mp.select(
+            "word", (F.col("pos") + 1).alias("pos")
+        ).withColumn("_c", F.lit(True))
+        rebuilt = (
+            st.join(mflag, ["word", "pos"], "left")
+            .join(cons, ["word", "pos"], "left")
+            .filter(F.col("_c").isNull())
+            .withColumn(
+                "tok",
+                F.when(
+                    F.col("_m").isNotNull(),
+                    F.concat(F.col("tok"), F.col("nxt")),
+                ).otherwise(F.col("tok")),
+            )
+        )
+        state = rebuilt.select(
+            "word",
+            "cnt",
+            (F.row_number().over(w) - 1).cast("long").alias("pos"),
+            "tok",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "it long, left_tok string, right_tok string, pair_count long"
+    )

@@ -286,3 +286,90 @@ def test_zipf_fit_recovers_power_law(spark):
     want_slope, want_icpt = np.polyfit(xs, ys, 1)
     assert abs(r.slope - want_slope) < 1e-3
     assert abs(r.intercept - want_icpt) < 2e-1
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training (llm/text.bpe_merges)
+# --------------------------------------------------------------------------
+
+def _ref_bpe(texts, k):
+    """Sennrich reference loop: overlapping pair counts, greedy
+    left-to-right merge, (n DESC, l, r) tie-break."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.split():
+            words[w.lower()] += 1
+    state = {w: list(w) for w in words}
+    out = []
+    for it in range(1, k + 1):
+        stats = Counter()
+        for w, toks in state.items():
+            for a, b in zip(toks, toks[1:]):
+                stats[(a, b)] += words[w]
+        if not stats:
+            break
+        (l, r), n = sorted(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        out.append((it, l, r, n))
+        for w, toks in state.items():
+            merged, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(toks[i])
+                    i += 1
+            state[w] = merged
+    return out
+
+
+def test_bpe_matches_reference_impl(spark):
+    from pennsieve_streaming_spark.llm.text import bpe_merges
+
+    texts = [
+        "the cat sat on the mat",
+        "the hat of the cat",
+        "aaaa aaa banana bandana",
+        "low lower lowest newer newest",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.it, r.left_tok, r.right_tok, r.pair_count)
+        for r in bpe_merges(docs, n_merges=10).orderBy("it").collect()
+    ]
+    assert got == _ref_bpe(texts, 10)
+
+
+def test_bpe_run_parity_greedy(spark):
+    """'a a a a' must merge to [aa, aa] (5+ raw pair count, 2 merges),
+    'aaa' to [aa, a] — the greedy left-to-right convention, where the
+    relational run-parity rule earns its keep."""
+    from pennsieve_streaming_spark.llm.text import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaa aa")], "doc_id long, text string"
+    )
+    got = [
+        (r.it, r.left_tok, r.right_tok, r.pair_count)
+        for r in bpe_merges(docs, n_merges=2).orderBy("it").collect()
+    ]
+    # iter 1: (a,a) with overlapping count 3+2+1 = 6
+    assert got[0] == (1, "a", "a", 6)
+    # after greedy merge: aaaa->[aa,aa], aaa->[aa,a], aa->[aa]
+    # iter 2 pairs: (aa,aa)=1, (aa,a)=1 -> tie broken by (l, r): (aa,a)
+    assert got[1] == (2, "aa", "a", 1)
+
+
+def test_bpe_exhausts_pairs_early(spark):
+    from pennsieve_streaming_spark.llm.text import bpe_merges
+
+    docs = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
+    got = bpe_merges(docs, n_merges=5).collect()
+    # one merge (a,b) then single-token words -> no pairs -> stop
+    assert len(got) == 1 and (got[0].left_tok, got[0].right_tok) == ("a", "b")
