@@ -479,6 +479,17 @@ def q_bpe_merges(spark, sf_dir):
     )
 
 
+def q_bpe_word_tokens(spark, sf_dir):
+    """The BPE tokenizer table: every vocab word's segmentation after
+    the 8 learned merges (= the training loop's final state; the
+    oracle replay's last unrolled stage is this table verbatim)."""
+    from pennsieve_streaming_spark.llm.text import bpe_word_tokens
+
+    return bpe_word_tokens(
+        _docs(spark, sf_dir), n_merges=BPE_K, min_count=BPE_MIN_COUNT
+    )
+
+
 def q_vocab(spark, sf_dir):
     """Frequency-ranked vocabulary build (the tokenizer table)."""
     from pennsieve_streaming_spark.llm.text import build_vocab
@@ -2431,6 +2442,7 @@ _R6_FRONT = [
     "ts_asof_join_blocked", "stream_asof_join",
     "ts_holt_smoothing", "ev_markov_entropy", "stream_holt",
     "mm_image_dhash", "mm_dhash_near_pairs", "doc_bpe_merges",
+    "doc_bpe_word_tokens",
     # Fill to >50 with the oldest driver-checked set (r4c batch,
     # last driver-green in r4).
     "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
@@ -2464,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_dhash": q_image_dhash,
         "mm_dhash_near_pairs": q_dhash_near_pairs,
         "doc_bpe_merges": q_bpe_merges,
+        "doc_bpe_word_tokens": q_bpe_word_tokens,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -5614,6 +5627,11 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["doc_bpe_merges"] = (
         "WITH " + ",".join(_bpe_stages) + "\n" + _bpe_out
+    )
+    # the tokenizer table = the replay's final state, verbatim
+    sql["doc_bpe_word_tokens"] = (
+        "WITH " + ",".join(_bpe_stages)
+        + f"\nSELECT word, cnt, pos, tok FROM bs{BPE_K}"
     )
 
     sql["doc_vocab"] = f"""

@@ -567,8 +567,11 @@ def zipf_fit(documents: DataFrame, quant: int = 10**3) -> DataFrame:
 
 
 def bpe_merges(
-    documents: DataFrame, n_merges: int = 8, min_count: int = 1
-) -> DataFrame:
+    documents: DataFrame,
+    n_merges: int = 8,
+    min_count: int = 1,
+    return_state: bool = False,
+):
     """BPE tokenizer training (Sennrich et al. 2016 "Neural Machine
     Translation of Rare Words with Subword Units", the reference
     get_stats/merge loop): learn the top ``n_merges`` byte-pair merges
@@ -677,6 +680,27 @@ def bpe_merges(
             (F.row_number().over(w) - 1).cast("long").alias("pos"),
             "tok",
         ).localCheckpoint()
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         merges, "it long, left_tok string, right_tok string, pair_count long"
     )
+    if return_state:
+        return merges_df, state
+    return merges_df
+
+
+def bpe_word_tokens(
+    documents: DataFrame, n_merges: int = 8, min_count: int = 1
+) -> DataFrame:
+    """The tokenizer TABLE: each vocabulary word's segmentation after
+    the ``n_merges`` learned merges — i.e. :func:`bpe_merges`'s final
+    training state, which under the sequential-greedy convention IS
+    the corpus encoding (encode any word by lookup; OOV falls back to
+    characters). Output: (word, cnt, pos, tok).
+
+    Oracle-exact by construction: the DuckDB replay's last unrolled
+    stage is this table.
+    """
+    _, state = bpe_merges(
+        documents, n_merges=n_merges, min_count=min_count, return_state=True
+    )
+    return state.select("word", "cnt", "pos", "tok")
