@@ -134,3 +134,33 @@ def test_dhash_synthetic_duplicate_groups(spark):
     rows = {r.media_id: r.dhash for r in dh.collect()}
     assert rows[3] == rows[3 + 256]
     assert rows[10] == rows[10 + 256]
+
+
+def test_dhash_over_real_png_decode():
+    """End-to-end real plumbing: encode a gradient as an actual PNG,
+    decode it with llm/png, gray it, dHash it — and the hash must be
+    invariant to a PNG-roundtripped brightness shift, the property
+    perceptual near-dup screening relies on."""
+    import numpy as np
+
+    from pennsieve_streaming_spark.llm.imagehash import dhash64
+    from pennsieve_streaming_spark.llm.png import decode_png, encode_png
+
+    h, w = 32, 36  # 2x the 16x18 grid -> exact block reduction
+    base = (
+        np.tile(np.arange(w, dtype=np.int64) * 5, (h, 1))
+        + np.arange(h, dtype=np.int64).reshape(-1, 1)
+    ) % 200
+    rgb = np.stack([base, base, base], axis=-1).astype(np.uint8)
+    decoded = decode_png(encode_png(rgb))
+    gray = decoded.astype(np.int64).sum(axis=-1) // 3
+    h1 = dhash64(gray)
+
+    brighter = np.clip(rgb.astype(np.int64) + 40, 0, 255).astype(np.uint8)
+    gray2 = decode_png(encode_png(brighter)).astype(np.int64).sum(axis=-1) // 3
+    h2 = dhash64(gray2)
+    assert h1 == h2  # brightness shift survives the PNG round trip
+
+    # a genuinely different image (inverted gradient) lands far away
+    h3 = dhash64(255 - base)
+    assert bin((h1 ^ h3) & ((1 << 64) - 1)).count("1") > 16
