@@ -1029,7 +1029,9 @@ def q_dhash_near_pairs(spark, sf_dir):
     dh = dhash_synthetic(_docs(spark, sf_dir)).select(
         F.col("media_id").alias("doc_id"), F.col("dhash").alias("simhash")
     )
-    p = simhash_near_pairs(dh, max_hamming=4, bits=64)
+    p = simhash_near_pairs(
+        dh, max_hamming=4, bits=64, max_bucket_size=LSH_MAX_BUCKET
+    )
     return p.select(
         F.col("doc_a").alias("media_a"),
         F.col("doc_b").alias("media_b"),
@@ -6061,11 +6063,21 @@ def oracle_sql() -> dict[str, str]:
     # in at least one band) and its hot-bucket star cap.
     from pennsieve_streaming_spark.llm.dedup import simhash_bands as _sb_layout
 
-    _sb_selects = "\n          UNION ALL ".join(
-        f"SELECT doc_id, simhash, CAST({i} AS BIGINT) AS band, "
-        f"(simhash >> {lo}) & {(1 << wd) - 1} AS band_key FROM fp"
-        for i, lo, wd in _sb_layout(32, 5)
-    )
+    def _band_selects(table, id_col, hash_col, bits, n_bands):
+        """Shared band-key extraction SQL (one UNION ALL arm per band)
+        — the single source of truth for BOTH banded-hash oracles
+        (text SimHash at 32 bits, image dHash at 64), so a layout
+        change can never update one and miss the other. Arithmetic
+        shift + mask extracts fields correctly on signed hashes in
+        both engines (probed)."""
+        return "\n          UNION ALL ".join(
+            f"SELECT {id_col}, {hash_col}, CAST({i} AS BIGINT) AS band, "
+            f"({hash_col} >> {lo}) & {(1 << wd) - 1} AS band_key "
+            f"FROM {table}"
+            for i, lo, wd in _sb_layout(bits, n_bands)
+        )
+
+    _sb_selects = _band_selects("fp", "doc_id", "simhash", 32, 5)
     sql["doc_simhash_near_pairs"] = f"""
         WITH {DOC_PRE}, {SIMHASH_CTE},
         skeys AS (
@@ -6196,7 +6208,6 @@ def oracle_sql() -> dict[str, str]:
         SYN_C as _IH_C,
         SYN_MOD as _IH_M,
     )
-    from pennsieve_streaming_spark.llm.dedup import simhash_bands
 
     # dHash over the synthetic luminance field: integer block sums and
     # shifts only, so DuckDB replays the numpy kernel bit-for-bit. The
@@ -6235,20 +6246,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT media_id, dhash FROM dh
         """
 
-    _ih_bands = " UNION ALL ".join(
-        f"SELECT media_id, dhash, CAST({band} AS BIGINT) AS band, "
-        f"(dhash >> {lo}) & {(1 << wd) - 1} AS band_key FROM dh"
-        for band, lo, wd in simhash_bands(64, 5)
-    )
+    # capped two-star replay, same structure as doc_simhash_near_pairs
+    # — the synthetic field's mod-256 identical-hash groups are exactly
+    # the hot buckets the cap exists for at corpus scale
     sql["mm_dhash_near_pairs"] = f"""
         WITH {_dhash_cte},
-        keys AS ({_ih_bands})
-        SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
-               CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
-        FROM keys a JOIN keys b
-          ON a.band = b.band AND a.band_key = b.band_key
-             AND a.media_id < b.media_id
-        WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
+        keys AS ({_band_selects("dh", "media_id", "dhash", 64, 5)}),
+        kstats AS (
+          SELECT band, band_key, COUNT(*) AS bn, MIN(media_id) AS anchor,
+                 arg_min(dhash, media_id) AS anchor_sh,
+                 MAX(media_id) AS anchor2,
+                 arg_max(dhash, media_id) AS anchor2_sh
+          FROM keys GROUP BY band, band_key
+        ),
+        kk AS (
+          SELECT k.media_id, k.dhash, k.band, k.band_key,
+                 s.bn, s.anchor, s.anchor_sh, s.anchor2, s.anchor2_sh
+          FROM keys k JOIN kstats s USING (band, band_key)
+        )
+        SELECT DISTINCT media_a, media_b, hamming FROM (
+          SELECT a.media_id AS media_a, b.media_id AS media_b,
+                 CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+          FROM kk a JOIN kk b
+            ON a.band = b.band AND a.band_key = b.band_key
+               AND a.media_id < b.media_id
+          WHERE a.bn <= {LSH_MAX_BUCKET}
+          UNION ALL
+          SELECT anchor AS media_a, media_id AS media_b,
+                 CAST(bit_count(xor(dhash, anchor_sh)) AS BIGINT) AS hamming
+          FROM kk WHERE bn > {LSH_MAX_BUCKET} AND media_id > anchor
+          UNION ALL
+          SELECT media_id AS media_a, anchor2 AS media_b,
+                 CAST(bit_count(xor(dhash, anchor2_sh)) AS BIGINT) AS hamming
+          FROM kk WHERE bn > {LSH_MAX_BUCKET} AND media_id < anchor2
+        ) WHERE hamming <= 4
         """
 
     sql["mm_frame_sample"] = """

@@ -67,9 +67,24 @@ def asof_join_stream(
     types derive from the probes' schema (any column type works).
     """
     pay = list(payload_cols)
-    pay_fields = [
-        T.StructField(c, probes_stream.schema[c].dataType) for c in pay
-    ]
+    pay_types = {c: probes_stream.schema[c].dataType for c in pay}
+    # A nullable int64 column crosses Arrow→pandas as float64 inside
+    # applyInPandasWithState, silently rounding ids above 2^53
+    # (snowflake ids corrupt) — and NULLs can come from EITHER side:
+    # the sample-side placeholders, or a probe row whose payload is
+    # genuinely NULL (one such row poisons the whole chunk's dtype).
+    # Integral payloads therefore round-trip the pandas boundary as
+    # STRINGS (object dtype — exact at all 64 bits, NULL-preserving)
+    # and cast back to their declared type on the way out.
+    integral = {
+        c
+        for c, dt in pay_types.items()
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+    }
+    inner_types = {
+        c: (T.StringType() if c in integral else pay_types[c]) for c in pay
+    }
+    pay_fields = [T.StructField(c, inner_types[c]) for c in pay]
     out_schema = T.StructType(
         pay_fields
         + [
@@ -81,37 +96,20 @@ def asof_join_stream(
             T.StructField("matched", T.BooleanType()),
         ]
     )
-    pay_types = {f.name: f.dataType for f in pay_fields}
-
-    def _neutral(dt):
-        # Sample-side payload placeholders must NOT be NULL for integral
-        # types: a nullable int64 column crosses Arrow→pandas as
-        # float64 inside applyInPandasWithState, silently rounding ids
-        # above 2^53 (snowflake ids corrupt). A zero fill keeps the
-        # pandas dtype int64 — exact at all 64 bits — and is invisible:
-        # sample rows' payload is never read or emitted. Non-integral
-        # types (string/float/etc.) survive NULLs exactly.
-        if isinstance(
-            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-        ):
-            return F.lit(0).cast(dt)
-        if isinstance(dt, T.BooleanType):
-            return F.lit(False)
-        return F.lit(None).cast(dt)
 
     s = samples_stream.select(
         "channel",
         "ts",
         "value",
         F.lit(0).alias("is_probe"),
-        *[_neutral(pay_types[c]).alias(c) for c in pay],
+        *[F.lit(None).cast(inner_types[c]).alias(c) for c in pay],
     )
     p = probes_stream.select(
         "channel",
         "ts",
         F.lit(None).cast("double").alias("value"),
         F.lit(1).alias("is_probe"),
-        *pay,
+        *[F.col(c).cast(inner_types[c]).alias(c) for c in pay],
     )
     u = s.unionByName(p)
 
@@ -156,10 +154,15 @@ def asof_join_stream(
         if out["channel"]:
             yield pd.DataFrame(out)
 
-    return u.groupBy("channel").applyInPandasWithState(
+    out = u.groupBy("channel").applyInPandasWithState(
         step,
         out_schema,
         STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,
     )
+    # restore integral payloads to their declared types (exact: string
+    # → long never loses bits, unlike the float64 detour)
+    for c in integral:
+        out = out.withColumn(c, F.col(c).cast(pay_types[c]))
+    return out

@@ -199,15 +199,17 @@ def test_string_payload_roundtrip(spark):
 
 def test_int64_payload_exact_above_2_53(spark):
     """A nullable int64 payload column crosses Arrow->pandas as float64
-    and silently rounds ids above 2^53; the sample-side zero-fill must
-    keep the column int64-exact end to end."""
+    and silently rounds ids above 2^53; the string round-trip must keep
+    the column int64-exact end to end — including when a genuinely
+    NULL probe payload shares the micro-batch (one NULL used to poison
+    the whole chunk's dtype to float64)."""
     big = (1 << 53) + 1
     s_src = tempfile.mkdtemp(prefix="asof_big_s_")
     p_src = tempfile.mkdtemp(prefix="asof_big_p_")
     _write(spark, [("z", 10, 4.0)], "channel string, ts long, value double", s_src)
     _write(
         spark,
-        [("z", 20, big)],
+        [("z", 20, big), ("z", 25, None)],
         "channel string, ts long, event_id long",
         p_src,
     )
@@ -233,6 +235,8 @@ def test_int64_payload_exact_above_2_53(spark):
         q.stop()
         shutil.rmtree(s_src, ignore_errors=True)
         shutil.rmtree(p_src, ignore_errors=True)
-    assert len(rows) == 1
-    assert rows[0]["event_id"] == big  # would be 2^53 under float64
-    assert rows[0]["value"] == 4.0 and rows[0]["matched"] is True
+    by_ts = {r["probe_ts"]: r for r in rows}
+    assert len(rows) == 2
+    assert by_ts[20]["event_id"] == big  # would be 2^53 under float64
+    assert by_ts[20]["value"] == 4.0 and by_ts[20]["matched"] is True
+    assert by_ts[25]["event_id"] is None  # NULL payload preserved
