@@ -490,6 +490,32 @@ def q_bpe_word_tokens(spark, sf_dir):
     )
 
 
+def q_bpe_token_ids(spark, sf_dir):
+    """End-to-end BPE corpus encode: each doc's subword-id sequence
+    under the trained tokenizer (OOV words fall back to characters,
+    unknown chars to id 0) — collapsed to the doc_token_ids CSV row
+    contract. The oracle rebuilds the same encode from the unrolled
+    training replay's final stage."""
+    from pennsieve_streaming_spark.llm.text import bpe_encode
+
+    docs = _docs(spark, sf_dir)
+    enc = bpe_encode(docs, n_merges=BPE_K, min_count=BPE_MIN_COUNT)
+    agg = enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_subtokens"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(seq, "
+            "token_id))), s -> CAST(s.token_id AS STRING)), ',')"
+        ).alias("token_ids"),
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_subtokens"), F.lit(0)).cast("long").alias(
+            "n_subtokens"
+        ),
+        F.coalesce(F.col("token_ids"), F.lit("")).alias("token_ids"),
+    )
+
+
 def q_vocab(spark, sf_dir):
     """Frequency-ranked vocabulary build (the tokenizer table)."""
     from pennsieve_streaming_spark.llm.text import build_vocab
@@ -2444,7 +2470,7 @@ _R6_FRONT = [
     "ts_asof_join_blocked", "stream_asof_join",
     "ts_holt_smoothing", "ev_markov_entropy", "stream_holt",
     "mm_image_dhash", "mm_dhash_near_pairs", "doc_bpe_merges",
-    "doc_bpe_word_tokens",
+    "doc_bpe_word_tokens", "doc_bpe_token_ids",
     # Fill to >50 with the oldest driver-checked set (r4c batch,
     # last driver-green in r4).
     "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
@@ -2479,6 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_dhash_near_pairs": q_dhash_near_pairs,
         "doc_bpe_merges": q_bpe_merges,
         "doc_bpe_word_tokens": q_bpe_word_tokens,
+        "doc_bpe_token_ids": q_bpe_token_ids,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -5634,6 +5661,48 @@ def oracle_sql() -> dict[str, str]:
     sql["doc_bpe_word_tokens"] = (
         "WITH " + ",".join(_bpe_stages)
         + f"\nSELECT word, cnt, pos, tok FROM bs{BPE_K}"
+    )
+    # full corpus encode from that state: in-vocab words take their
+    # trained segmentation, OOV words fall back to characters, ids
+    # rank the token inventory (freq DESC, tok), unknown chars -> 0
+    sql["doc_bpe_token_ids"] = (
+        "WITH " + ",".join(_bpe_stages) + f""",
+        binv AS (
+          SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok)
+                           AS BIGINT) AS token_id
+          FROM (SELECT tok, CAST(SUM(cnt) AS BIGINT) AS freq
+                FROM bs{BPE_K} GROUP BY tok)
+        ),
+        bdw AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS widx, lower(toks[i]) AS word
+          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents),
+               UNNEST(generate_series(1, len(toks))) AS t(i)
+          WHERE length(lower(toks[i])) > 0
+        ),
+        binvoc AS (
+          SELECT d.doc_id, d.widx, s.pos, s.tok
+          FROM bdw d JOIN bs{BPE_K} s ON s.word = d.word
+        ),
+        boov AS (
+          SELECT d.doc_id, d.widx, CAST(i - 1 AS BIGINT) AS pos,
+                 substr(d.word, CAST(i AS INTEGER), 1) AS tok
+          FROM bdw d, UNNEST(generate_series(1, length(d.word))) AS t(i)
+          WHERE NOT EXISTS (SELECT 1 FROM bs{BPE_K} s WHERE s.word = d.word)
+        ),
+        ballt AS (SELECT * FROM binvoc UNION ALL SELECT * FROM boov),
+        benc AS (
+          SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_subtokens,
+                 string_agg(CAST(COALESCE(v.token_id, 0) AS VARCHAR), ','
+                            ORDER BY a.widx, a.pos) AS token_ids
+          FROM ballt a LEFT JOIN binv v ON a.tok = v.tok
+          GROUP BY a.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(e.n_subtokens, 0) AS BIGINT) AS n_subtokens,
+               COALESCE(e.token_ids, '') AS token_ids
+        FROM documents d LEFT JOIN benc e ON d.doc_id = e.doc_id
+        """
     )
 
     sql["doc_vocab"] = f"""

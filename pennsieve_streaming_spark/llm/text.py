@@ -704,3 +704,88 @@ def bpe_word_tokens(
         documents, n_merges=n_merges, min_count=min_count, return_state=True
     )
     return state.select("word", "cnt", "pos", "tok")
+
+
+def bpe_encode(
+    documents: DataFrame, n_merges: int = 8, min_count: int = 1
+) -> DataFrame:
+    """End-to-end corpus tokenization with the trained BPE: every
+    document becomes its subword-id sequence — the final artifact a
+    training-data pipeline ships.
+
+    Each doc's words (in order) look up their segmentation in the
+    :func:`bpe_word_tokens` table; out-of-vocabulary words (below
+    ``min_count`` — never seen by training) fall back to character
+    tokens, the standard BPE encode behavior for unseen words under
+    the sequential-greedy convention (characters are the merge-0
+    state). Subword ids rank the trained token inventory by
+    (frequency DESC, token ASC) via the two-phase
+    ``util.global_rank`` (no single-task window); OOV characters
+    absent from the inventory get id 0 (the unk id, build_vocab's
+    convention).
+
+    Output: (doc_id, seq, token_id, tok) — ``seq`` is the 0-based
+    position in the doc's subword sequence.
+
+    Plan / scale: doc words join the BOUNDED word→subtokens table on
+    word (broadcast-able: |vocab|×avg-subwords rows); the OOV path is
+    a narrow char explode after a broadcast anti-join; ids attach by
+    a second bounded join on tok. The only corpus-sized shuffles are
+    the per-doc sequence window (partitioned by doc_id) and the word
+    explode itself.
+    """
+    from pennsieve_streaming_spark.util import global_rank
+
+    _, state = bpe_merges(
+        documents, n_merges=n_merges, min_count=min_count, return_state=True
+    )
+    # trained token inventory, frequency-ranked (id 1..|inventory|)
+    inventory = global_rank(
+        state.groupBy("tok").agg(F.sum("cnt").cast("long").alias("freq")),
+        [F.desc("freq"), F.asc("tok")],
+        out_col="token_id",
+    ).select("tok", F.col("token_id").cast("long").alias("token_id"))
+
+    dw = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"transform({TOKS}, t -> lower(t))")
+        ).alias("widx", "word"),
+    ).filter(F.length("word") > 0)
+
+    seg = state.select("word", "pos", "tok")
+    in_vocab = dw.join(seg, "word").select("doc_id", "widx", "pos", "tok")
+    oov = (
+        dw.join(seg.select("word").distinct(), "word", "left_anti")
+        .select(
+            "doc_id",
+            "widx",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i"),
+            "word",
+        )
+        .select(
+            "doc_id",
+            "widx",
+            (F.col("i") - 1).cast("long").alias("pos"),
+            F.expr("substring(word, i, 1)").alias("tok"),
+        )
+    )
+    seq_w = Window.partitionBy("doc_id").orderBy("widx", "pos")
+    return (
+        in_vocab.unionByName(oov)
+        .join(inventory, "tok", "left")
+        .select(
+            "doc_id",
+            F.row_number().over(seq_w).cast("long").alias("_seq_tmp"),
+            F.coalesce(F.col("token_id"), F.lit(0)).cast("long").alias(
+                "token_id"
+            ),
+            "tok",
+        )
+        .select(
+            "doc_id",
+            (F.col("_seq_tmp") - 1).alias("seq"),
+            "token_id",
+            "tok",
+        )
+    )

@@ -373,3 +373,70 @@ def test_bpe_exhausts_pairs_early(spark):
     got = bpe_merges(docs, n_merges=5).collect()
     # one merge (a,b) then single-token words -> no pairs -> stop
     assert len(got) == 1 and (got[0].left_tok, got[0].right_tok) == ("a", "b")
+
+
+def test_bpe_encode_matches_reference(spark):
+    from pennsieve_streaming_spark.llm.text import bpe_encode
+
+    texts = ["low lower lowest", "new newer newest", "low new"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    k = 6
+    got = {}
+    for r in bpe_encode(docs, n_merges=k, min_count=2).collect():
+        got.setdefault(r.doc_id, []).append((r.seq, r.token_id, r.tok))
+    for v in got.values():
+        v.sort()
+
+    # python reference: train (min_count=2), segment, rank inventory
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.split():
+            words[w.lower()] += 1
+    trained = {w: c for w, c in words.items() if c >= 2}
+    state = {w: list(w) for w in trained}
+    for _ in range(k):
+        stats = Counter()
+        for w, toks in state.items():
+            for a, b in zip(toks, toks[1:]):
+                stats[(a, b)] += trained[w]
+        if not stats:
+            break
+        (l, r), _n = sorted(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        for w, toks in state.items():
+            merged, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(toks[i])
+                    i += 1
+            state[w] = merged
+    freq = Counter()
+    for w, toks in state.items():
+        for t in toks:
+            freq[t] += trained[w]
+    inv = {
+        t: i + 1
+        for i, (t, _) in enumerate(
+            sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+    }
+    want = {}
+    for d, text in enumerate(texts):
+        seq = 0
+        out = []
+        for w in text.split():
+            w = w.lower()
+            toks = state.get(w, list(w))  # OOV -> characters
+            for t in toks:
+                out.append((seq, inv.get(t, 0), t))
+                seq += 1
+        want[d] = out
+    assert got == want
