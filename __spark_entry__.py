@@ -761,6 +761,21 @@ def q_quality(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir))
 
 
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum ordering: the corpus ranked easiest-first by the
+    heuristic quality score — an exact total order (quality is
+    bit-identical cross-engine, doc_id breaks ties) materialized with
+    the two-phase util.global_rank, never a single-task window."""
+    from pennsieve_streaming_spark.util import global_rank
+
+    q = quality_score(_docs(spark, sf_dir)).select("doc_id", "quality")
+    return global_rank(
+        q, [F.desc("quality"), F.asc("doc_id")], out_col="rank"
+    ).select(
+        "doc_id", "quality", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_lang_id(spark, sf_dir):
     return lang_id(_docs(spark, sf_dir))
 
@@ -2470,7 +2485,7 @@ _R6_FRONT = [
     "ts_asof_join_blocked", "stream_asof_join",
     "ts_holt_smoothing", "ev_markov_entropy", "stream_holt",
     "mm_image_dhash", "mm_dhash_near_pairs", "doc_bpe_merges",
-    "doc_bpe_word_tokens", "doc_bpe_token_ids",
+    "doc_bpe_word_tokens", "doc_bpe_token_ids", "doc_curriculum_order",
     # Fill to >50 with the oldest driver-checked set (r4c batch,
     # last driver-green in r4).
     "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
@@ -2506,6 +2521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_merges": q_bpe_merges,
         "doc_bpe_word_tokens": q_bpe_word_tokens,
         "doc_bpe_token_ids": q_bpe_token_ids,
+        "doc_curriculum_order": q_curriculum_order,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -3106,6 +3122,14 @@ def oracle_sql() -> dict[str, str]:
                alpha_ratio * 0.5e0 + stop_ratio * 0.3e0
                + least(n_tokens, 200) / CAST(200.0 AS DOUBLE) * 0.2e0 AS quality
         FROM base
+        """
+
+    sql["doc_curriculum_order"] = f"""
+        WITH q AS ({sql["doc_quality_score"]})
+        SELECT doc_id, quality,
+               CAST(ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id)
+                    AS BIGINT) AS rank
+        FROM q
         """
 
     # Distilled quality classifier: the oracle RE-TRAINS the model in
