@@ -503,3 +503,37 @@ def test_power_spectrum_no_python_and_partial_agg(spark):
     plan = _plan(power_spectrum(s, n_bins=2, window_samples=4))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial" in plan
+
+
+def test_dhash_pairs_plan_capped_no_cartesian(spark):
+    """The image near-dup path must keep the SimHash shapes: band-key
+    equi-join (never cartesian) and the hot-bucket stats cap in the
+    plan."""
+    from pyspark.sql import functions as F
+
+    from pennsieve_streaming_spark.llm.dedup import simhash_near_pairs
+    from pennsieve_streaming_spark.llm.imagehash import dhash_synthetic
+
+    docs = spark.range(600).selectExpr("id AS doc_id")
+    dh = dhash_synthetic(docs).select(
+        F.col("media_id").alias("doc_id"), F.col("dhash").alias("simhash")
+    )
+    df = simhash_near_pairs(dh, max_hamming=4, bits=64, max_bucket_size=50)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "_bn" in plan  # the bucket-size cap reached the plan
+
+
+def test_bpe_encode_plan_no_cartesian_and_partial_aggs(spark):
+    """The distributed BPE encode path (the merges table itself is a
+    bounded driver-built artifact) must stay equi-join/window shaped:
+    no cartesian anywhere, aggregates map-side partial."""
+    from pennsieve_streaming_spark.llm.text import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat here") for i in range(30)],
+        "doc_id long, text string",
+    )
+    eplan = _plan(bpe_encode(docs, n_merges=2))
+    assert "CartesianProduct" not in eplan
+    assert "partial_count" in eplan or "HashAggregate" in eplan
