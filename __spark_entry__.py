@@ -516,6 +516,23 @@ def q_bpe_token_ids(spark, sf_dir):
     )
 
 
+HOLT_ANOM_K = 2.0
+
+
+def q_holt_anomalies(spark, sf_dir):
+    """Model-based anomaly detection: one-step-ahead Holt forecast
+    residuals outside the per-channel median ± k·MAD envelope.
+    Residuals are bit-exact (recursive-CTE class) and the envelope
+    uses the explicit order-statistic interpolation, so the flag set
+    is engine-identical with no quantization."""
+    from pennsieve_streaming_spark.dsp.filtering import holt_anomalies
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        F.col("ts") <= BW_TS_END
+    )
+    return holt_anomalies(s, HOLT_ALPHA, HOLT_BETA, k=HOLT_ANOM_K)
+
+
 def q_vocab(spark, sf_dir):
     """Frequency-ranked vocabulary build (the tokenizer table)."""
     from pennsieve_streaming_spark.llm.text import build_vocab
@@ -2486,6 +2503,7 @@ _R6_FRONT = [
     "ts_holt_smoothing", "ev_markov_entropy", "stream_holt",
     "mm_image_dhash", "mm_dhash_near_pairs", "doc_bpe_merges",
     "doc_bpe_word_tokens", "doc_bpe_token_ids", "doc_curriculum_order",
+    "ts_holt_anomalies",
     # Fill to >50 with the oldest driver-checked set (r4c batch,
     # last driver-green in r4).
     "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
@@ -2522,6 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_word_tokens": q_bpe_word_tokens,
         "doc_bpe_token_ids": q_bpe_token_ids,
         "doc_curriculum_order": q_curriculum_order,
+        "ts_holt_anomalies": q_holt_anomalies,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -4756,6 +4775,56 @@ def oracle_sql() -> dict[str, str]:
     # streaming Holt is bit-identical to the batch operator under the
     # ordered-ingest contract — same oracle
     sql["stream_holt"] = sql["ts_holt_smoothing"]
+
+    def _rmed_sql(src: str) -> str:
+        """Per-channel median of ``src(channel, ts, value)`` via the
+        explicit order-statistic interpolation (channel_mad's class)."""
+        return f"""
+          SELECT channel, CAST(MAX(n) AS BIGINT) AS n,
+                 MAX(CASE WHEN rn = floor(CAST(0.5 AS DOUBLE) * (n - 1))
+                     THEN value END) AS _lo,
+                 MAX(CASE WHEN rn = least(floor(CAST(0.5 AS DOUBLE) * (n - 1)) + 1, n - 1)
+                     THEN value END) AS _hi
+          FROM (
+            SELECT channel, value,
+                   ROW_NUMBER() OVER (PARTITION BY channel ORDER BY value, ts)
+                     - 1 AS rn,
+                   COUNT(*) OVER (PARTITION BY channel) AS n
+            FROM {src}
+          ) GROUP BY channel
+        """
+
+    _rmed_pct = (
+        "(_lo + (_hi - _lo) * "
+        "(CAST(0.5 AS DOUBLE) * (n - 1) - floor(CAST(0.5 AS DOUBLE) * (n - 1))))"
+    )
+    sql["ts_holt_anomalies"] = f"""
+        WITH hrec AS ({sql["ts_holt_smoothing"]}),
+        hl AS (
+          SELECT channel, ts, value,
+                 LAG(forecast) OVER (PARTITION BY channel
+                                     ORDER BY ts, value) AS pred
+          FROM hrec
+        ),
+        rr AS (
+          SELECT channel, ts, value, pred, value - pred AS residual
+          FROM hl WHERE pred IS NOT NULL
+        ),
+        hm1 AS ({_rmed_sql("(SELECT channel, ts, residual AS value FROM rr)")}),
+        hmed AS (SELECT channel, {_rmed_pct} AS med FROM hm1),
+        hdev AS (
+          SELECT rr.channel, rr.ts, abs(rr.residual - hmed.med) AS value
+          FROM rr JOIN hmed ON rr.channel = hmed.channel
+        ),
+        hm2 AS ({_rmed_sql("hdev")}),
+        hmadt AS (SELECT channel, {_rmed_pct} AS mad FROM hm2)
+        SELECT rr.channel, rr.ts, rr.value, rr.pred, rr.residual,
+               hmed.med, hmadt.mad
+        FROM rr
+        JOIN hmed ON rr.channel = hmed.channel
+        JOIN hmadt ON rr.channel = hmadt.channel
+        WHERE abs(rr.residual - hmed.med) > {HOLT_ANOM_K!r} * hmadt.mad
+        """
 
     # --- round-4b native session-window streaming replay -------------
     sql["stream_session_agg"] = with_views(

@@ -393,3 +393,67 @@ def decimate(
         .filter((F.col("_rn") % int(factor)) == 0)
         .drop("_rn")
     )
+
+
+def holt_anomalies(samples, alpha: float, beta: float, k: float = 2.0):
+    """Model-based anomaly detection: flag samples whose one-step-ahead
+    Holt forecast error falls outside a robust per-channel envelope —
+    the classic forecasting-residual detector (a drifting baseline is
+    absorbed by the model, so only genuine surprises flag, unlike the
+    raw z-score/MAD screens in operators/stats.py).
+
+    residual_i = value_i − forecast_{i−1} (the prediction made BEFORE
+    seeing value_i; each channel's first sample has no prediction and
+    is exempt). The envelope is median ± k·MAD of the residuals, both
+    via the explicit order-statistic interpolation of
+    ``channel_percentiles`` (bit-identical cross-engine); residuals
+    themselves are bit-exact (fixed-op-order recurrence), so the flag
+    comparison is engine-identical with no quantization.
+
+    Output (flagged rows only): (channel, ts, value, pred, residual,
+    med, mad).
+
+    Plan: the sequential part is the per-channel Holt pass; everything
+    after is windows + two ranking passes + broadcast joins of
+    |channels|-row envelopes.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pennsieve_streaming_spark.operators.stats import (
+        channel_percentiles,
+    )
+
+    h = holt_filter(samples, alpha, beta)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    r = (
+        h.withColumn("pred", F.lag("forecast").over(w))
+        .filter(F.col("pred").isNotNull())
+        .select(
+            "channel",
+            "ts",
+            "value",
+            "pred",
+            (F.col("value") - F.col("pred")).alias("residual"),
+        )
+    )
+    med = channel_percentiles(
+        r.select("channel", "ts", F.col("residual").alias("value")), (0.5,)
+    ).select("channel", F.col("p50").alias("med"))
+    dev = r.join(F.broadcast(med), "channel").select(
+        "channel",
+        "ts",
+        F.abs(F.col("residual") - F.col("med")).alias("value"),
+    )
+    mad = channel_percentiles(dev, (0.5,)).select(
+        "channel", F.col("p50").alias("mad")
+    )
+    return (
+        r.join(F.broadcast(med), "channel")
+        .join(F.broadcast(mad), "channel")
+        .filter(
+            F.abs(F.col("residual") - F.col("med"))
+            > F.lit(float(k)) * F.col("mad")
+        )
+        .select("channel", "ts", "value", "pred", "residual", "med", "mad")
+    )

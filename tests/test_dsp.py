@@ -442,3 +442,30 @@ def test_holt_partitioning_invariant_and_matches_python(spark):
         lvl = l_new
     last = [r for r in one if r[0] == "b"][-1]
     assert last[3] == lvl and last[4] == trd
+
+
+def test_holt_anomalies_flags_spike_not_noisy_ramp(spark):
+    import numpy as np
+
+    from pennsieve_streaming_spark.dsp.filtering import holt_anomalies
+
+    # noisy linear ramp with one injected spike: the model absorbs the
+    # drift, the MAD envelope absorbs the noise, and only the spike
+    # neighborhood flags. (A NOISELESS ramp is the degenerate case:
+    # steady-state residuals -> 0 exactly, so MAD ~ 0 and the
+    # convergence transient itself flags — correct for a data-derived
+    # envelope, which is why the test uses realistic noise.)
+    rng = np.random.default_rng(3)
+    vals = 2.0 * np.arange(400) + rng.normal(0, 1.0, 400)
+    vals[220] = 10_000.0
+    rows = [("r", t, float(v)) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    got = sorted(
+        r.ts for r in holt_anomalies(df, 0.25, 0.125, k=3.0).collect()
+    )
+    assert 220 in got
+    # the spike + its re-convergence tail and the model's startup
+    # transient may flag; the ramp body is quiet (few flags elsewhere,
+    # bounded overall rate)
+    body = [t for t in got if t >= 20 and not 210 <= t <= 280]
+    assert len(body) <= 8 and len(got) < 100
