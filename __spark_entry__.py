@@ -1672,6 +1672,24 @@ def q_band_power(spark, sf_dir):
     return band_power(s, BP_FREQS, BW_RATE, BP_WINDOW)
 
 
+AF_FREQS = (20.0, 40.0, 60.0, 80.0, 120.0, 160.0, 240.0, 320.0, 400.0)
+AF_WINDOW = 100               # samples per fingerprint frame
+
+
+def q_audio_fingerprint(spark, sf_dir):
+    """Philips-style robust audio fingerprint: per-frame sign bits of
+    time×frequency band-energy deltas over the Goertzel energies — the
+    audio analogue of mm_image_dhash, engine-identical because the
+    energies are recursive-CTE bit-exact and everything after is
+    subtraction/comparison/integer packing."""
+    from pennsieve_streaming_spark.dsp.spectral import audio_fingerprint
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        (F.col("channel") == "lead") & (F.col("ts") <= BW_TS_END)
+    )
+    return audio_fingerprint(s, AF_FREQS, BW_RATE, AF_WINDOW)
+
+
 PS_BINS, PS_WINDOW, PS_QUANT = 8, 100, 10**6
 
 
@@ -2503,7 +2521,7 @@ _R6_FRONT = [
     "ts_holt_smoothing", "ev_markov_entropy", "stream_holt",
     "mm_image_dhash", "mm_dhash_near_pairs", "doc_bpe_merges",
     "doc_bpe_word_tokens", "doc_bpe_token_ids", "doc_curriculum_order",
-    "ts_holt_anomalies",
+    "ts_holt_anomalies", "mm_audio_fingerprint",
     # Fill to >50 with the oldest driver-checked set (r4c batch,
     # last driver-green in r4).
     "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
@@ -2541,6 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_token_ids": q_bpe_token_ids,
         "doc_curriculum_order": q_curriculum_order,
         "ts_holt_anomalies": q_holt_anomalies,
+        "mm_audio_fingerprint": q_audio_fingerprint,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -4715,6 +4734,57 @@ def oracle_sql() -> dict[str, str]:
                CAST({BP_WINDOW} AS BIGINT) AS n,
                s1 * s1 + s2 * s2 - c * s1 * s2 AS power
         FROM rec WHERE pos = {BP_WINDOW} - 1
+        """
+
+    # --- audio fingerprint: band-power replay + delta/lag/pack --------
+    _af_vals = ", ".join(
+        f"({_dblit(f)}, {_dblit(goertzel_coeff(f, BW_RATE))}, {i})"
+        for i, f in enumerate(AF_FREQS)
+    )
+    sql["mm_audio_fingerprint"] = f"""
+        WITH RECURSIVE samples_aligned AS
+          ({TBL.DUCKDB_VIEWS['samples_aligned']}),
+        inp AS (
+          SELECT value, ROW_NUMBER() OVER (ORDER BY ts, value) - 1 AS rn
+          FROM samples_aligned WHERE channel = 'lead' AND ts <= {BW_TS_END}
+        ),
+        wininp AS (
+          SELECT CAST(rn // {AF_WINDOW} AS BIGINT) AS win,
+                 CAST(rn % {AF_WINDOW} AS BIGINT) AS pos, value AS x
+          FROM inp
+          WHERE rn < (SELECT (COUNT(*) // {AF_WINDOW}) * {AF_WINDOW} FROM inp)
+        ),
+        freqs AS (SELECT * FROM (VALUES {_af_vals}) AS t(freq_hz, c, band)),
+        rec AS (
+          SELECT w.win, f.freq_hz, f.c, CAST(f.band AS BIGINT) AS band,
+                 CAST(-1 AS BIGINT) AS pos, 0e0 AS s1, 0e0 AS s2
+          FROM (SELECT DISTINCT win FROM wininp) w CROSS JOIN freqs f
+          UNION ALL
+          SELECT r.win, r.freq_hz, r.c, r.band, i.pos,
+                 i.x + r.c * r.s1 - r.s2, r.s1
+          FROM rec r JOIN wininp i ON i.win = r.win AND i.pos = r.pos + 1
+        ),
+        bp AS (
+          SELECT win, band, s1 * s1 + s2 * s2 - c * s1 * s2 AS power
+          FROM rec WHERE pos = {AF_WINDOW} - 1
+        ),
+        d AS (
+          SELECT hi.win, hi.band, hi.power - lo.power AS d
+          FROM bp hi JOIN bp lo
+            ON hi.win = lo.win AND lo.band = hi.band + 1
+        ),
+        e AS (
+          SELECT win, band, d,
+                 LAG(d) OVER (PARTITION BY band ORDER BY win) AS dprev
+          FROM d
+        )
+        SELECT 'lead' AS channel, win,
+               CAST(COUNT(*) AS BIGINT) AS n_bits,
+               CAST(SUM(CASE WHEN d - dprev > 0
+                             THEN CAST(1 AS BIGINT) << CAST(band AS INTEGER)
+                             ELSE 0 END) AS BIGINT) AS fp
+        FROM e WHERE dprev IS NOT NULL
+        GROUP BY win
         """
 
     # --- round-4b EWMA recursive replay ------------------------------

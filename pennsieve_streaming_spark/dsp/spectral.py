@@ -247,3 +247,74 @@ def welch_psd(
             ),
         )
     )
+
+
+def audio_fingerprint(
+    samples: DataFrame,
+    freqs_hz: tuple[float, ...],
+    rate_hz: float,
+    window_samples: int,
+) -> DataFrame:
+    """Philips-style robust audio fingerprint (Haitsma & Kalker 2002,
+    "A Highly Robust Audio Fingerprinting System"): per frame, one bit
+    per adjacent band pair from the sign of the time-and-frequency
+    energy difference —
+
+        bit(w, b) = [ (E[w][b]   − E[w][b+1])
+                    − (E[w−1][b] − E[w−1][b+1]) > 0 ]
+
+    packed into a ``len(freqs)−1``-bit integer sub-fingerprint per
+    frame. Near-identical audio (re-encode, level shift) flips few
+    bits, so hamming-based near-dup search over the fingerprints rides
+    the same banded machinery as SimHash/dHash.
+
+    Determinism: band energies come from :func:`band_power`'s Goertzel
+    recurrence — bit-exact cross-engine — and everything after is
+    subtraction, comparison and integer packing, so the fingerprint is
+    engine-identical with no quantization. Frames are ``band_power``'s
+    fixed-count windows; each channel's first frame has no predecessor
+    and is dropped.
+
+    Output: (channel, win, n_bits, fp).
+
+    Plan: the Goertzel pass parallelizes over |channels|×|windows|;
+    the delta is a self-join on (channel, win) at band+1 (both sides
+    the small per-window energy table), the frame delta one lag window
+    per (channel, band), and the pack a groupBy to one row per frame.
+    """
+    order = {float(f): i for i, f in enumerate(freqs_hz)}
+    bp = band_power(samples, freqs_hz, rate_hz, window_samples)
+    idx_map = F.create_map(
+        *[x for f, i in order.items() for x in (F.lit(f), F.lit(i))]
+    )
+    b = bp.select(
+        "channel",
+        "win",
+        idx_map[F.col("freq_hz")].cast("long").alias("band"),
+        "power",
+    )
+    hi = b.alias("hi")
+    lo = b.alias("lo")
+    d = hi.join(
+        lo,
+        (F.col("hi.channel") == F.col("lo.channel"))
+        & (F.col("hi.win") == F.col("lo.win"))
+        & (F.col("lo.band") == F.col("hi.band") + 1),
+    ).select(
+        F.col("hi.channel").alias("channel"),
+        F.col("hi.win").alias("win"),
+        F.col("hi.band").alias("band"),
+        (F.col("hi.power") - F.col("lo.power")).alias("d"),
+    )
+    wlag = Window.partitionBy("channel", "band").orderBy("win")
+    e = d.withColumn("dprev", F.lag("d").over(wlag)).filter(
+        F.col("dprev").isNotNull()
+    )
+    bit = (F.col("d") - F.col("dprev")) > 0
+    weight = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(band AS INT))")
+    return e.groupBy("channel", "win").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bits"),
+        F.sum(F.when(bit, weight).otherwise(F.lit(0).cast("long")))
+        .cast("long")
+        .alias("fp"),
+    )

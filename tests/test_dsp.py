@@ -469,3 +469,42 @@ def test_holt_anomalies_flags_spike_not_noisy_ramp(spark):
     # bounded overall rate)
     body = [t for t in got if t >= 20 and not 210 <= t <= 280]
     assert len(body) <= 8 and len(got) < 100
+
+
+def test_audio_fingerprint_level_invariant_and_discriminative(spark):
+    import numpy as np
+
+    from pennsieve_streaming_spark.dsp.spectral import audio_fingerprint
+
+    rng = np.random.default_rng(12)
+    n = 800
+    sig = (
+        np.sin(2 * np.pi * 40 * np.arange(n) / 1000.0)
+        + 0.5 * np.sin(2 * np.pi * 160 * np.arange(n) / 1000.0)
+        + 0.1 * rng.normal(0, 1, n)
+    )
+    freqs = (20.0, 40.0, 60.0, 80.0, 120.0, 160.0, 240.0, 320.0, 400.0)
+
+    def fp_of(x):
+        df = spark.createDataFrame(
+            [("a", t * 1000, float(v)) for t, v in enumerate(x)],
+            "channel string, ts long, value double",
+        )
+        return {
+            r.win: r.fp
+            for r in audio_fingerprint(df, freqs, 1000.0, 100).collect()
+        }
+
+    base = fp_of(sig)
+    assert len(base) == 7 and all(0 <= v < (1 << 8) for v in base.values())
+    # volume change: energies scale uniformly, every sign bit survives
+    assert fp_of(2.5 * sig) == base
+    # a genuinely different signal lands far away in hamming
+    other = fp_of(
+        np.sin(2 * np.pi * 320 * np.arange(n) / 1000.0)
+        + 0.1 * rng.normal(0, 1, n)
+    )
+    dist = sum(
+        bin(base[w] ^ other[w]).count("1") for w in base
+    )
+    assert dist > 8
