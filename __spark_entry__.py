@@ -1081,7 +1081,12 @@ def q_dhash_near_pairs(spark, sf_dir):
     the 64-bit dHash (5 bands, pigeonhole over hamming<=4) — image
     bytes never shuffle, only 8-byte hashes do. Synthetic field has
     mod-256 identical-image groups, the duplicate shape dedup exists
-    to catch."""
+    to catch. Capped-listing semantics (same documented contract as
+    doc_simhash_near_pairs): inside a >cap bucket only the two-star
+    anchor pairs are LISTED — every member stays connected through
+    the anchors (cluster membership unchanged), but a direct pair
+    between two non-anchor members is transitive, not listed. The
+    oracle replays the identical cap."""
     from pennsieve_streaming_spark.llm.imagehash import dhash_synthetic
 
     dh = dhash_synthetic(_docs(spark, sf_dir)).select(

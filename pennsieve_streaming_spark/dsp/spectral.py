@@ -282,10 +282,13 @@ def audio_fingerprint(
     the small per-window energy table), the frame delta one lag window
     per (channel, band), and the pack a groupBy to one row per frame.
     """
-    order = {float(f): i for i, f in enumerate(freqs_hz)}
     bp = band_power(samples, freqs_hz, rate_hz, window_samples)
     idx_map = F.create_map(
-        *[x for f, i in order.items() for x in (F.lit(f), F.lit(i))]
+        *[
+            x
+            for i, f in enumerate(freqs_hz)
+            for x in (F.lit(float(f)), F.lit(i))
+        ]
     )
     b = bp.select(
         "channel",
