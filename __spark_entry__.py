@@ -1811,6 +1811,63 @@ def q_stream_holt(spark, sf_dir):
     return spark.read.parquet(f"{base}/out")
 
 
+# Per-channel (mu0, k, h) control limits calibrated offline on the
+# golden window (lead: mean 246k / sd 144k; sec: mean 743 / sd 431) —
+# slack ~ sigma/2, decision limit ~ 4 sigma, round constants so the
+# literals are exactly representable in both engines' parsers.
+CUSUM_PARAMS = {
+    "lead": (250000.0, 75000.0, 600000.0),
+    "sec": (750.0, 220.0, 1800.0),
+}
+
+
+def q_cusum_monitor(spark, sf_dir):
+    """Two-sided tabular CUSUM control monitor (Page 1954): per-channel
+    running g+/g- mean-shift statistics with alarm-and-reset at the
+    per-channel decision limit — the sequential online counterpart of
+    the offline ts_change_points argmax, O(1) state per channel; the
+    recursive-CTE oracle replays the clamp-at-zero recurrence
+    bit-exactly (ewma/holt class)."""
+    from pennsieve_streaming_spark.dsp.filtering import cusum_monitor
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        F.col("ts") <= BW_TS_END
+    )
+    return cusum_monitor(s, CUSUM_PARAMS)
+
+
+def q_stream_cusum(spark, sf_dir):
+    """Streaming CUSUM monitor drained with availableNow over the same
+    bounded golden window as ts_cusum_monitor — the carried post-reset
+    (g+, g-) state reproduces the batch recurrence bit-exactly
+    (equivalence-tested across micro-batch splits), so the
+    recursive-CTE oracle gates the STREAMING operator too."""
+    import tempfile
+
+    from pennsieve_streaming_spark.streaming.cusum import cusum_stream
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        F.col("ts") <= BW_TS_END
+    )
+    base = tempfile.mkdtemp(prefix="pss_stream_cusum_")
+    src = f"{base}/src"
+    s.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("channel string, ts long, value double")
+        .parquet(src)
+    )
+    q = (
+        cusum_stream(stream, CUSUM_PARAMS)
+        .writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out")
+
+
 def q_stream_session_agg(spark, sf_dir):
     """Native session_window streaming sessionization of the events
     feed, drained with availableNow: emitted rows == batch gap-span
@@ -2527,6 +2584,8 @@ _R6_FRONT = [
     "mm_image_dhash", "mm_dhash_near_pairs", "doc_bpe_merges",
     "doc_bpe_word_tokens", "doc_bpe_token_ids", "doc_curriculum_order",
     "ts_holt_anomalies", "mm_audio_fingerprint",
+    # round-6b additions (this session — never driver-sampled).
+    "ts_cusum_monitor", "stream_cusum",
     # Fill to >50 with the oldest driver-checked set (r4c batch,
     # last driver-green in r4).
     "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
@@ -2565,6 +2624,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_curriculum_order": q_curriculum_order,
         "ts_holt_anomalies": q_holt_anomalies,
         "mm_audio_fingerprint": q_audio_fingerprint,
+        # round-6b
+        "ts_cusum_monitor": q_cusum_monitor,
+        "stream_cusum": q_stream_cusum,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -4850,6 +4912,56 @@ def oracle_sql() -> dict[str, str]:
     # streaming Holt is bit-identical to the batch operator under the
     # ordered-ingest contract — same oracle
     sql["stream_holt"] = sql["ts_holt_smoothing"]
+
+    # --- CUSUM control monitor: recursive replay (ewma/holt class) ---
+    _cu_vals = ", ".join(
+        f"('{c}', {m!r}::DOUBLE, {k!r}::DOUBLE, {h!r}::DOUBLE)"
+        for c, (m, k, h) in sorted(CUSUM_PARAMS.items())
+    )
+    _cu_chans = ", ".join(f"'{c}'" for c in sorted(CUSUM_PARAMS))
+    # pre-reset statistics, recomputed with the IDENTICAL op sequence
+    # everywhere they appear — same doubles by construction
+    _cu_gp = (
+        "CASE WHEN (r.cgp + (i.value - p.mu0)) - p.k > 0e0 "
+        "THEN (r.cgp + (i.value - p.mu0)) - p.k ELSE 0e0 END"
+    )
+    _cu_gn = (
+        "CASE WHEN (r.cgn + (p.mu0 - i.value)) - p.k > 0e0 "
+        "THEN (r.cgn + (p.mu0 - i.value)) - p.k ELSE 0e0 END"
+    )
+    _cu_alarm = f"(({_cu_gp}) > p.h OR ({_cu_gn}) > p.h)"
+    sql["ts_cusum_monitor"] = f"""
+        WITH RECURSIVE samples_aligned AS
+          ({TBL.DUCKDB_VIEWS['samples_aligned']}),
+        inp AS (
+          SELECT channel, ts, value,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS pos
+          FROM samples_aligned
+          WHERE ts <= {BW_TS_END} AND channel IN ({_cu_chans})
+        ),
+        p AS (SELECT * FROM (VALUES {_cu_vals}) AS t(channel, mu0, k, h)),
+        rec AS (
+          SELECT channel, CAST(-1 AS BIGINT) AS pos,
+                 CAST(NULL AS BIGINT) AS ts, CAST(NULL AS DOUBLE) AS value,
+                 0e0 AS gpos, 0e0 AS gneg, FALSE AS alarm,
+                 0e0 AS cgp, 0e0 AS cgn
+          FROM (SELECT DISTINCT channel FROM inp)
+          UNION ALL
+          SELECT i.channel, i.pos, i.ts, i.value,
+                 {_cu_gp}, {_cu_gn}, {_cu_alarm},
+                 CASE WHEN {_cu_alarm} THEN 0e0 ELSE {_cu_gp} END,
+                 CASE WHEN {_cu_alarm} THEN 0e0 ELSE {_cu_gn} END
+          FROM rec r
+          JOIN inp i ON i.channel = r.channel AND i.pos = r.pos + 1
+          JOIN p ON p.channel = i.channel
+        )
+        SELECT channel, ts, value, gpos, gneg, alarm
+        FROM rec WHERE pos >= 0
+        """
+    # streaming CUSUM is bit-identical to the batch operator under the
+    # ordered-ingest contract — same oracle
+    sql["stream_cusum"] = sql["ts_cusum_monitor"]
 
     def _rmed_sql(src: str) -> str:
         """Per-channel median of ``src(channel, ts, value)`` via the

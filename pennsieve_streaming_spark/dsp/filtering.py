@@ -457,3 +457,81 @@ def holt_anomalies(samples, alpha: float, beta: float, k: float = 2.0):
         )
         .select("channel", "ts", "value", "pred", "residual", "med", "mad")
     )
+
+
+def cusum_monitor(samples, params: dict):
+    """Tabular (two-sided) CUSUM control monitor (Page 1954, "Continuous
+    Inspection Schemes"): per channel, the running one-sided sums
+
+        g+_i = max(0, g+_{i-1} + (x_i - mu0) - k)
+        g-_i = max(0, g-_{i-1} + (mu0 - x_i) - k)
+
+    with an alarm when either statistic exceeds the decision limit
+    ``h``, after which BOTH sums reset to 0 and detection restarts —
+    the classic online mean-shift detector, the sequential counterpart
+    of the offline CUSUM argmax in operators/stats.change_points
+    (which locates ONE retrospective change; this one monitors forever
+    with O(1) state).
+
+    ``params`` maps channel -> (mu0, k, h): the in-control mean, the
+    slack (typically sigma/2) and the decision limit (typically 4-5
+    sigma), calibrated offline per channel. Channels without an entry
+    are dropped (only calibrated channels are monitored — the
+    admission convention of the stateful-filter family).
+
+    Determinism: the recurrence is a fixed IEEE op sequence
+    ``((g + (x - mu0)) - k)`` clamped at 0.0, so a DuckDB recursive
+    CTE replays it bit-exactly (the ewma/holt oracle class). Emitted
+    g+/g- are the PRE-reset values; the carried state is post-reset.
+
+    100 TB note: one task per channel (the stateful-filter execution
+    shape, admission-guarded upstream); unbounded histories carry
+    (g+, g-) across chunks exactly like apply_filter's sosfilt zi —
+    the streaming twin (streaming/cusum.cusum_stream) does precisely
+    that per micro-batch.
+
+    Output: (channel, ts, value, gpos, gneg, alarm).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    cfg = {str(c): (float(m), float(k), float(h)) for c, (m, k, h) in params.items()}
+
+    def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "value"]).reset_index(drop=True)
+        mu0, k, h = cfg[pdf["channel"].iloc[0]]
+        x = pdf["value"].to_numpy(dtype=np.float64)
+        gpos = np.empty_like(x)
+        gneg = np.empty_like(x)
+        alarm = np.empty(len(x), dtype=bool)
+        gp = gn = 0.0
+        for i in range(len(x)):
+            raw_gp = (gp + (x[i] - mu0)) - k
+            e_gp = raw_gp if raw_gp > 0.0 else 0.0
+            raw_gn = (gn + (mu0 - x[i])) - k
+            e_gn = raw_gn if raw_gn > 0.0 else 0.0
+            a = e_gp > h or e_gn > h
+            gpos[i], gneg[i], alarm[i] = e_gp, e_gn, a
+            gp, gn = (0.0, 0.0) if a else (e_gp, e_gn)
+        return pd.DataFrame(
+            {
+                "channel": pdf["channel"],
+                "ts": pdf["ts"],
+                "value": pdf["value"],
+                "gpos": gpos,
+                "gneg": gneg,
+                "alarm": alarm,
+            }
+        )
+
+    return (
+        samples.filter(F.col("channel").isin(list(cfg)))
+        .groupBy("channel")
+        .applyInPandas(
+            run,
+            "channel string, ts long, value double, gpos double, "
+            "gneg double, alarm boolean",
+        )
+    )
