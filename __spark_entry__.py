@@ -1556,6 +1556,25 @@ def q_markov_entropy(spark, sf_dir):
     return markov_entropy(_user_events(spark, sf_dir))
 
 
+def q_rfm_scores(spark, sf_dir):
+    """RFM customer segmentation: per-user recency/frequency/monetary
+    metrics bucketed into quintiles (1 = best) — NTILE semantics
+    computed via three two-phase global ranks + the closed-form bucket
+    rule, never a single-task window; monetary is the exact
+    cent-quantized BIGINT sum."""
+    from pennsieve_streaming_spark.operators.analytics import rfm_scores
+
+    TBL.ensure_session_confs(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rfm_scores(
+        ev.select(
+            TBL.epoch_micros_col(ev, "ts").alias("ts"),
+            "user_id",
+            "value",
+        )
+    )
+
+
 def q_inter_event_gaps(spark, sf_dir):
     """Per-type inter-arrival stats (exact integer µs sums/extremes)
     attributed to the earlier event of each consecutive pair."""
@@ -2585,7 +2604,7 @@ _R6_FRONT = [
     "doc_bpe_word_tokens", "doc_bpe_token_ids", "doc_curriculum_order",
     "ts_holt_anomalies", "mm_audio_fingerprint",
     # round-6b additions (this session — never driver-sampled).
-    "ts_cusum_monitor", "stream_cusum",
+    "ts_cusum_monitor", "stream_cusum", "ev_rfm",
     # Fill to >50 with the oldest driver-checked set (r4c batch,
     # last driver-green in r4).
     "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
@@ -2627,6 +2646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6b
         "ts_cusum_monitor": q_cusum_monitor,
         "stream_cusum": q_stream_cusum,
+        "ev_rfm": q_rfm_scores,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -4569,6 +4589,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT n.src_type, n.n_out, n.distinct_dst,
                -(CAST(hq.hq AS DOUBLE) / 1000000000) / n.n_out AS entropy
         FROM n JOIN hq USING (src_type)
+        """
+
+    sql["ev_rfm"] = """
+        WITH pu AS (
+          SELECT user_id,
+                 MAX(epoch_us(ts)) AS last_ts,
+                 CAST(COUNT(*) AS BIGINT) AS frequency,
+                 CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_q
+          FROM events GROUP BY user_id
+        ),
+        r AS (
+          SELECT user_id, frequency, monetary_q,
+                 CAST(((SELECT MAX(last_ts) FROM pu) - last_ts)
+                      // 86400000000 AS BIGINT) AS recency_days
+          FROM pu
+        ),
+        s AS (
+          SELECT *,
+                 NTILE(5) OVER (ORDER BY recency_days, user_id) AS r_score,
+                 NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+                 NTILE(5) OVER (ORDER BY monetary_q DESC, user_id) AS m_score
+          FROM r
+        )
+        SELECT user_id, recency_days, frequency, monetary_q,
+               CAST(monetary_q AS DOUBLE) / 100 AS monetary,
+               CAST(r_score AS BIGINT) AS r_score,
+               CAST(f_score AS BIGINT) AS f_score,
+               CAST(m_score AS BIGINT) AS m_score,
+               CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+        FROM s
         """
 
     sql["ev_inter_event_gaps"] = """

@@ -506,3 +506,85 @@ def top_event_paths(
         .orderBy(F.desc("n_paths"), "path")
         .limit(int(k))
     )
+
+
+def rfm_scores(events: DataFrame, buckets: int = 5) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer scoring — the
+    classic marketing segmentation: per user, days since last event,
+    event count, and cent-quantized value sum, each bucketed into
+    ``buckets`` quantile groups (1 = best: most recent / most frequent
+    / highest spend).
+
+    The quantile bucket is NTILE semantics (first ``n mod k`` groups
+    get one extra row), but computed WITHOUT the single-task global
+    window NTILE needs: each metric gets an exact two-phase
+    ``util.global_rank`` (range partition + local row_number + offset
+    fold) over the per-user table, and the bucket derives from the
+    rank with the closed form
+
+        r0 = rank-1; q = n // k; rem = n mod k; cut = rem*(q+1)
+        bucket = r0 // (q+1) + 1            if r0 < cut
+                 rem + 1 + (r0 - cut) // q  otherwise
+
+    — bit-identical to NTILE(k) under a total order (user_id breaks
+    ties), all-integer, engine-independent. The per-user table is
+    orders of magnitude smaller than events, so three rank passes over
+    it are cheap at any scale; |users| = 1e9 would funnel through ONE
+    task under a window NTILE.
+
+    Monetary uses the sax-class cent quantization
+    ``SUM(CAST(round(value*100) AS BIGINT))`` so the cross-row sum is
+    an exact integer in both engines.
+
+    Output: (user_id, recency_days, frequency, monetary_q, monetary,
+    r_score, f_score, m_score, rfm) with rfm = r*100 + f*10 + m.
+    """
+    from pennsieve_streaming_spark.util import global_rank
+
+    k = int(buckets)
+    per_user = events.groupBy("user_id").agg(
+        F.max("ts").alias("_last_ts"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("monetary_q"),
+    )
+    ref = per_user.agg(
+        F.max("_last_ts").alias("_ref_ts"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    u = per_user.crossJoin(F.broadcast(ref)).withColumn(
+        "recency_days",
+        F.expr(f"CAST((_ref_ts - _last_ts) div {DAY_US} AS BIGINT)"),
+    )
+    u = global_rank(u, [F.asc("recency_days"), F.asc("user_id")], "_rr")
+    u = global_rank(u, [F.desc("frequency"), F.asc("user_id")], "_fr")
+    u = global_rank(u, [F.desc("monetary_q"), F.asc("user_id")], "_mr")
+
+    def ntile(rank_col: str) -> F.Column:
+        return F.expr(
+            f"CAST(CASE WHEN {rank_col} - 1 < (_n % {k}) * (_n div {k} + 1) "
+            f"THEN ({rank_col} - 1) div (_n div {k} + 1) + 1 "
+            f"ELSE (_n % {k}) + 1 + "
+            f"({rank_col} - 1 - (_n % {k}) * (_n div {k} + 1)) div (_n div {k}) "
+            f"END AS BIGINT)"
+        )
+
+    return (
+        u.withColumn("r_score", ntile("_rr"))
+        .withColumn("f_score", ntile("_fr"))
+        .withColumn("m_score", ntile("_mr"))
+        .select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary_q",
+            (F.col("monetary_q").cast("double") / 100).alias("monetary"),
+            "r_score",
+            "f_score",
+            "m_score",
+            (
+                F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+            ).cast("long").alias("rfm"),
+        )
+    )

@@ -347,3 +347,39 @@ def test_markov_entropy_uniform_is_ln_k_and_null_dropped(spark):
     probs = [2 / 5, 1 / 5, 1 / 5, 1 / 5]
     want = -sum(p * math.log(p) for p in probs)
     assert abs(got["u"].entropy - want) < 1e-6
+
+
+def test_rfm_ntile_closed_form_matches_reference(spark):
+    """The closed-form bucket rule must equal NTILE(k) semantics for
+    uneven splits (n mod k != 0), exact splits, and n < k (every row
+    its own bucket)."""
+    from pennsieve_streaming_spark.operators.analytics import rfm_scores
+
+    def ref_ntile(n, k, r0):
+        q, rem = divmod(n, k)
+        cut = rem * (q + 1)
+        if r0 < cut:
+            return r0 // (q + 1) + 1
+        return rem + 1 + (r0 - cut) // q
+
+    for n in (3, 5, 12, 17):
+        # users 0..n-1, one event each at distinct days, spend = rank
+        rows = [
+            (u, u * 86_400_000_000, float(u + 1)) for u in range(n)
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id long, ts long, value double"
+        )
+        got = {r.user_id: r for r in rfm_scores(ev, buckets=5).collect()}
+        assert len(got) == n
+        for u in range(n):
+            r = got[u]
+            # recency order: newest user (largest ts) ranks first
+            assert r.recency_days == (n - 1 - u)
+            assert r.r_score == ref_ntile(n, 5, n - 1 - u)
+            # frequency all tie at 1 -> user_id order breaks ties
+            assert r.f_score == ref_ntile(n, 5, u)
+            # monetary: largest spend ranks first
+            assert r.m_score == ref_ntile(n, 5, n - 1 - u)
+            assert r.monetary_q == (u + 1) * 100
+            assert r.rfm == r.r_score * 100 + r.f_score * 10 + r.m_score
