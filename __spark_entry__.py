@@ -1556,6 +1556,18 @@ def q_markov_entropy(spark, sf_dir):
     return markov_entropy(_user_events(spark, sf_dir))
 
 
+def q_linear_attribution(spark, sf_dir):
+    """Linear multi-touch attribution of purchases: each conversion
+    splits one credit unit equally over the touches in its
+    inter-conversion segment — exact BIGINT nano-credit sums, no
+    order-dependent float fold."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        linear_attribution,
+    )
+
+    return linear_attribution(_user_events(spark, sf_dir), "purchase")
+
+
 def q_rfm_scores(spark, sf_dir):
     """RFM customer segmentation: per-user recency/frequency/monetary
     metrics bucketed into quintiles (1 = best) — NTILE semantics
@@ -2605,6 +2617,7 @@ _R6_FRONT = [
     "ts_holt_anomalies", "mm_audio_fingerprint",
     # round-6b additions (this session — never driver-sampled).
     "ts_cusum_monitor", "stream_cusum", "ev_rfm",
+    "ev_attribution_linear",
     # Fill to >50 with the oldest driver-checked set (r4c batch,
     # last driver-green in r4).
     "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
@@ -2647,6 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_cusum_monitor": q_cusum_monitor,
         "stream_cusum": q_stream_cusum,
         "ev_rfm": q_rfm_scores,
+        "ev_attribution_linear": q_linear_attribution,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -4589,6 +4603,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT n.src_type, n.n_out, n.distinct_dst,
                -(CAST(hq.hq AS DOUBLE) / 1000000000) / n.n_out AS entropy
         FROM n JOIN hq USING (src_type)
+        """
+
+    sql["ev_attribution_linear"] = """
+        WITH ue AS (
+          SELECT epoch_us(ts) AS ts, event_id, user_id, event_type
+          FROM events
+        ),
+        base AS (
+          SELECT user_id, ts, event_id, event_type,
+                 COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS seg
+          FROM ue
+        ),
+        touches AS (
+          SELECT user_id, seg, event_type,
+                 CAST(COUNT(*) AS BIGINT) AS c_t
+          FROM base WHERE event_type <> 'purchase'
+          GROUP BY user_id, seg, event_type
+        ),
+        tn AS (
+          SELECT *, CAST(SUM(c_t) OVER (PARTITION BY user_id, seg)
+                         AS BIGINT) AS n_seg
+          FROM touches
+        ),
+        j AS (
+          SELECT COALESCE(t.event_type, 'none') AS touch_type,
+                 COALESCE(t.c_t, 1) AS c_t,
+                 COALESCE(t.n_seg, 1) AS n_seg
+          FROM (SELECT user_id, seg FROM base
+                WHERE event_type = 'purchase') c
+          LEFT JOIN tn t ON t.user_id = c.user_id AND t.seg = c.seg
+        )
+        SELECT touch_type,
+               CAST(COUNT(*) AS BIGINT) AS n_conversions,
+               CAST(SUM(c_t * CAST(round(1000000000e0 /
+                    CAST(n_seg AS DOUBLE)) AS BIGINT)) AS BIGINT)
+                 AS credit_q,
+               CAST(SUM(c_t * CAST(round(1000000000e0 /
+                    CAST(n_seg AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+                 / 1000000000 AS credit
+        FROM j GROUP BY touch_type
         """
 
     sql["ev_rfm"] = """

@@ -588,3 +588,78 @@ def rfm_scores(events: DataFrame, buckets: int = 5) -> DataFrame:
             ).cast("long").alias("rfm"),
         )
     )
+
+
+def linear_attribution(events: DataFrame, conversion: str) -> DataFrame:
+    """Linear (equal-weight) multi-touch attribution — the fairness
+    counterpart of :func:`last_touch`: every ``conversion`` event
+    splits one unit of credit EQUALLY across all touch events in its
+    attribution segment (the events after the user's previous
+    conversion and before this one). Conversions with no prior touch
+    in their segment credit 'none'; NULL event types are not touches
+    (the top_event_paths NULL convention).
+
+    Determinism: per-touch credit is the integer nano-credit
+    ``round(1e9 / n_seg)`` (one double division + round, identical in
+    both engines), so cross-conversion accumulation is an exact BIGINT
+    sum — no float fold whose result depends on aggregation order.
+    The emitted ``credit`` is one cast-and-divide at the end.
+
+    Plan: segment ids from ONE per-user ordered window (running count
+    of prior conversions); touches collapse to (user, seg, type)
+    counts with map-side partials; segment sizes via a window over
+    that already-aggregated table (per-user segments are small — no
+    skew); one equi-join of conversions to their segment's touch
+    counts; final groupBy to |types| rows. Events are never
+    self-joined row-to-row.
+
+    Output: (touch_type, n_conversions, credit_q, credit) where
+    n_conversions = conversions crediting the type and credit sums to
+    ~#conversions over all types (exact up to the 1e-9 quantum).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = events.select(
+        "user_id", "ts", "event_id", "event_type"
+    ).withColumn(
+        "seg",
+        F.count(F.when(F.col("event_type") == conversion, 1)).over(w),
+    )
+    touches = (
+        base.filter(F.col("event_type") != conversion)
+        .groupBy("user_id", "seg", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_t"))
+    )
+    wseg = Window.partitionBy("user_id", "seg")
+    touches = touches.withColumn(
+        "n_seg", F.sum("c_t").over(wseg).cast("long")
+    )
+    convs = base.filter(F.col("event_type") == conversion).select(
+        "user_id", "seg"
+    )
+    j = convs.join(touches, ["user_id", "seg"], "left").select(
+        F.coalesce(F.col("event_type"), F.lit("none")).alias("touch_type"),
+        F.coalesce(F.col("c_t"), F.lit(1).cast("long")).alias("c_t"),
+        F.coalesce(F.col("n_seg"), F.lit(1).cast("long")).alias("n_seg"),
+    )
+    return (
+        j.withColumn(
+            "rq",
+            F.expr(
+                "CAST(round(1000000000e0 / CAST(n_seg AS DOUBLE)) AS BIGINT)"
+            ),
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.sum(F.col("c_t") * F.col("rq")).cast("long").alias("credit_q"),
+        )
+        .withColumn(
+            "credit", F.col("credit_q").cast("double") / 1_000_000_000
+        )
+    )

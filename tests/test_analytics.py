@@ -383,3 +383,42 @@ def test_rfm_ntile_closed_form_matches_reference(spark):
             assert r.m_score == ref_ntile(n, 5, n - 1 - u)
             assert r.monetary_q == (u + 1) * 100
             assert r.rfm == r.r_score * 100 + r.f_score * 10 + r.m_score
+
+
+def test_linear_attribution_segments_and_credit(spark):
+    from pennsieve_streaming_spark.operators.analytics import (
+        linear_attribution,
+    )
+
+    rows = [
+        # user 1: touches a,a,b -> purchase; touch c -> purchase
+        (1, 0, 0, "a"), (1, 1, 1, "a"), (1, 2, 2, "b"),
+        (1, 3, 3, "purchase"),
+        (1, 4, 4, "c"), (1, 5, 5, "purchase"),
+        # user 2: purchase with NO prior touch -> 'none'
+        (2, 0, 6, "purchase"),
+        # user 2: trailing touch with no later conversion -> ignored
+        (2, 1, 7, "a"),
+        # user 3: NULL type is not a touch; purchase credits 'none'
+        (3, 0, 8, None), (3, 1, 9, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, event_type string"
+    )
+    got = {
+        r.touch_type: r
+        for r in linear_attribution(ev, "purchase").collect()
+    }
+    third = round(1e9 / 3)
+    # a: 2/3 of conversion 1
+    assert got["a"].n_conversions == 1
+    assert got["a"].credit_q == 2 * third
+    assert got["b"].credit_q == 1 * third
+    # c: all of conversion 2
+    assert got["c"].credit_q == 1_000_000_000
+    # two no-touch conversions
+    assert got["none"].n_conversions == 2
+    assert got["none"].credit_q == 2_000_000_000
+    # credit mass ~= #conversions (4), exact to the rounding quantum
+    total = sum(r.credit_q for r in got.values())
+    assert abs(total - 4_000_000_000) <= 4
