@@ -778,6 +778,18 @@ def q_quality(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir))
 
 
+def q_source_kl(spark, sf_dir):
+    """Per-source KL divergence of the unigram distribution vs the
+    corpus mix (dataset-mixing diagnostic) — exact nano-nat integer
+    sums in DECIMAL(38,0)/HUGEINT (markov_entropy's determinism
+    class)."""
+    from pennsieve_streaming_spark.llm.curation import (
+        source_kl_divergence,
+    )
+
+    return source_kl_divergence(_docs(spark, sf_dir))
+
+
 def q_curriculum_order(spark, sf_dir):
     """Curriculum ordering: the corpus ranked easiest-first by the
     heuristic quality score — an exact total order (quality is
@@ -2617,7 +2629,7 @@ _R6_FRONT = [
     "ts_holt_anomalies", "mm_audio_fingerprint",
     # round-6b additions (this session — never driver-sampled).
     "ts_cusum_monitor", "stream_cusum", "ev_rfm",
-    "ev_attribution_linear",
+    "ev_attribution_linear", "doc_source_kl",
     # Fill to >50 with the oldest driver-checked set (r4c batch,
     # last driver-green in r4).
     "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
@@ -2661,6 +2673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cusum": q_stream_cusum,
         "ev_rfm": q_rfm_scores,
         "ev_attribution_linear": q_linear_attribution,
+        "doc_source_kl": q_source_kl,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -3802,6 +3815,48 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, n_tokens, s / n_tokens AS avg_logprob
         FROM folded
+        """
+
+    sql["doc_source_kl"] = r"""
+        WITH tok AS (
+          SELECT source,
+                 UNNEST(regexp_split_to_array(trim(text), '\s+')) AS t
+          FROM documents
+        ),
+        st AS (
+          SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c_ts
+          FROM tok GROUP BY source, t
+        ),
+        ct AS (
+          SELECT t, CAST(SUM(c_ts) AS BIGINT) AS c_t FROM st GROUP BY t
+        ),
+        ns AS (
+          SELECT source, CAST(SUM(c_ts) AS BIGINT) AS n_s,
+                 CAST(COUNT(*) AS BIGINT) AS n_terms
+          FROM st GROUP BY source
+        ),
+        nn AS (SELECT CAST(SUM(c_ts) AS BIGINT) AS big_n FROM st),
+        terms AS (
+          -- HUGEINT weights: the Spark side sums the identical exact
+          -- integers in DECIMAL(38,0) (markov_entropy's class)
+          SELECT st.source,
+                 CAST(st.c_ts AS HUGEINT)
+                 * (CAST(round(ln(CAST(st.c_ts AS DOUBLE)
+                                  / CAST(ns.n_s AS DOUBLE))
+                               * 1000000000) AS BIGINT)
+                    - CAST(round(ln(CAST(ct.c_t AS DOUBLE)
+                                    / CAST(nn.big_n AS DOUBLE))
+                                 * 1000000000) AS BIGINT)) AS w
+          FROM st
+          JOIN ct USING (t)
+          JOIN ns USING (source)
+          CROSS JOIN nn
+        )
+        SELECT ns.source, ns.n_s AS n_tokens, ns.n_terms,
+               (CAST(SUM(t2.w) AS DOUBLE) / 1000000000) / ns.n_s AS kl
+        FROM terms t2
+        JOIN ns ON ns.source = t2.source
+        GROUP BY ns.source, ns.n_s, ns.n_terms
         """
 
     sql["doc_minhash_signatures"] = (

@@ -1313,3 +1313,71 @@ def contamination_fuzzy(
             ).alias("contaminated"),
         )
     )
+
+
+def source_kl_divergence(documents: DataFrame) -> DataFrame:
+    """Per-source KL divergence KL(P_source || P_corpus) of the
+    whitespace-unigram distributions — the dataset-mixing diagnostic:
+    a source far from the corpus mix shifts the blend when its weight
+    changes (domain skew), one near zero is redundant with the mix.
+    Uses raw ML estimates (no smoothing): every source term exists in
+    the corpus by construction, so the divergence is finite.
+
+        KL(s) = sum_t (c_ts/n_s) * ln( (c_ts/n_s) / (c_t/N) )
+
+    Determinism (markov_entropy's nano-nat class): each term carries
+    the integer weight ``c_ts * (round(ln(c_ts/n_s)*1e9) -
+    round(ln(c_t/N)*1e9))`` so the cross-term reduction is an exact
+    order-free integer sum in DECIMAL(38,0) (c_ts can be huge at
+    corpus scale), and the divergence derives from that one integer
+    with a fixed cast-divide-divide expression.
+
+    Output: (source, n_tokens, n_terms, kl) — kl in nats.
+
+    Scale: explode -> (source, t) counts with map-side partials; the
+    corpus-marginal join is t-to-t (both sides already aggregated, no
+    row blowup); per-source totals broadcast (|sources| rows); final
+    groupBy to |sources| rows. Token text shuffles once, counts after.
+    """
+    toks = documents.select(
+        "source", F.explode(F.expr(TOKS)).alias("t")
+    )
+    st = toks.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ts")
+    )
+    ct = st.groupBy("t").agg(F.sum("c_ts").cast("long").alias("c_t"))
+    ns = st.groupBy("source").agg(
+        F.sum("c_ts").cast("long").alias("n_s"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    big_n = st.agg(F.sum("c_ts").cast("long").alias("big_n"))
+    j = (
+        st.join(ct, "t")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(big_n))
+    )
+    term = F.expr(
+        "CAST(c_ts AS DECIMAL(38,0)) * "
+        "CAST(round(ln(CAST(c_ts AS DOUBLE) / CAST(n_s AS DOUBLE)) "
+        "           * 1000000000) AS DECIMAL(38,0)) - "
+        "CAST(c_ts AS DECIMAL(38,0)) * "
+        "CAST(round(ln(CAST(c_t AS DOUBLE) / CAST(big_n AS DOUBLE)) "
+        "           * 1000000000) AS DECIMAL(38,0))"
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.max("n_terms").alias("n_terms"),
+            F.sum(term).alias("_klq"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_terms",
+            (
+                (F.col("_klq").cast("double") / 1_000_000_000)
+                / F.col("n_tokens")
+            ).alias("kl"),
+        )
+    )

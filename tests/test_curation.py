@@ -654,3 +654,38 @@ def test_corpus_split_stable_under_growth(spark):
     c = Counter(big.values())
     assert 20 <= c["val"] <= 90 and 20 <= c["test"] <= 90
     assert c["train"] > 800
+
+
+def test_source_kl_divergence_zero_and_skew(spark):
+    """A source with the corpus's own distribution has KL ~ 0; a
+    skewed source is strictly positive; nano-nat quantization keeps
+    |error| < a few e-9."""
+    from pennsieve_streaming_spark.llm.curation import (
+        source_kl_divergence,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # two sources with the SAME distribution {a:2, b:1} -> the
+            # corpus marginal equals each source -> KL = 0 exactly
+            (1, "a a b", "s1"),
+            (2, "a a b", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in source_kl_divergence(docs).collect()}
+    assert got["s1"].n_tokens == 3 and got["s1"].n_terms == 2
+    assert abs(got["s1"].kl) < 1e-8 and abs(got["s2"].kl) < 1e-8
+
+    import math
+
+    docs2 = spark.createDataFrame(
+        [(1, "a a a a", "skew"), (2, "a b a b", "mix")],
+        "doc_id long, text string, source string",
+    )
+    got2 = {r.source: r for r in source_kl_divergence(docs2).collect()}
+    # corpus: a=6/8, b=2/8. skew: a=1 -> KL = ln(1/(3/4)) = ln(4/3)
+    assert abs(got2["skew"].kl - math.log(4 / 3)) < 1e-6
+    # mix: a=1/2, b=1/2 -> 0.5 ln(.5/.75) + 0.5 ln(.5/.25)
+    want = 0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)
+    assert abs(got2["mix"].kl - want) < 1e-6
