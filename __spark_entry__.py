@@ -2305,6 +2305,22 @@ def q_winnow_overlap(spark, sf_dir):
     )
 
 
+TREND_WIN_US = 28 * 86_400_000_000   # 4-week trend segments
+TREND_X_US = 86_400_000_000          # x = day offset within segment
+
+
+def q_trend_segments(spark, sf_dir):
+    """Piecewise-linear trend summary: exact OLS slope per (channel,
+    4-week window) with x = in-window day offset — integer-quantized
+    sums, DECIMAL(38,0)/HUGEINT exact normal-equation products, sign
+    of the numerator classifies rising/falling."""
+    from pennsieve_streaming_spark.operators.stats import trend_segments
+
+    return trend_segments(
+        TBL.samples_view(spark, sf_dir), TREND_WIN_US, TREND_X_US
+    )
+
+
 def q_hourly_profile(spark, sf_dir):
     """Typical-day seasonal profile: per (channel, hour-of-day) count
     and exact-quantized mean."""
@@ -2629,7 +2645,7 @@ _R6_FRONT = [
     "ts_holt_anomalies", "mm_audio_fingerprint",
     # round-6b additions (this session — never driver-sampled).
     "ts_cusum_monitor", "stream_cusum", "ev_rfm",
-    "ev_attribution_linear", "doc_source_kl",
+    "ev_attribution_linear", "doc_source_kl", "ts_trend_segments",
     # Fill to >50 with the oldest driver-checked set (r4c batch,
     # last driver-green in r4).
     "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
@@ -2674,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_rfm": q_rfm_scores,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
+        "ts_trend_segments": q_trend_segments,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -4042,6 +4059,42 @@ def oracle_sql() -> dict[str, str]:
                  / (CAST(COUNT(*) AS DOUBLE) * {CORR_QUANT}) AS mean
         FROM samples
         GROUP BY channel, (ts % {86400 * 1_000_000}) // {3600 * 1_000_000}
+        """,
+        "samples",
+    )
+
+    sql["ts_trend_segments"] = with_views(
+        f"""
+        WITH g AS (
+          SELECT channel, (ts // {TREND_WIN_US}) * {TREND_WIN_US} AS win_start,
+                 (ts - (ts // {TREND_WIN_US}) * {TREND_WIN_US})
+                   // {TREND_X_US} AS x,
+                 CAST(round(value * 100) AS BIGINT) AS vq
+          FROM samples
+        ),
+        a AS (
+          SELECT channel, win_start, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(vq) AS BIGINT) AS sy,
+                 CAST(SUM(x * vq) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM g GROUP BY channel, win_start
+        ),
+        d AS (
+          SELECT *,
+                 CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+                   - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS num,
+                 CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+                   - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS den
+          FROM a
+        )
+        SELECT channel, win_start, n,
+               (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) / 100 AS slope,
+               (CAST(sy AS DOUBLE) / 100) / n AS mean_value,
+               CASE WHEN num > 0 THEN 'rising'
+                    WHEN num < 0 THEN 'falling'
+                    ELSE 'flat' END AS direction
+        FROM d WHERE n >= 2 AND den > 0
         """,
         "samples",
     )

@@ -844,3 +844,79 @@ def winsorize(
         clamped.alias("clamped"),
         (F.col("value") != clamped).alias("was_clipped"),
     )
+
+
+def trend_segments(
+    samples: DataFrame,
+    win_us: int,
+    x_unit_us: int,
+    quant: int = 100,
+    min_n: int = 2,
+) -> DataFrame:
+    """Piecewise-linear trend summary: per (channel, fixed time
+    window), the exact OLS slope of value against the in-window time
+    offset — the segment-level "is this channel drifting up or down"
+    rollup (the fixed-window cousin of the zipf_fit regression,
+    change_points' quantization class).
+
+    Exactness: values quantize to ``vq = round(value·quant)`` and the
+    x coordinate to ``(ts - win_start) div x_unit_us`` (small
+    integers), so Sx/Sy/Sxy/Sxx are exact BIGINT sums and the OLS
+    numerator/denominator ``n·Sxy − Sx·Sy`` / ``n·Sxx − Sx²`` are
+    exact DECIMAL(38,0) (HUGEINT in the oracle) products — the slope
+    and direction are engine-independent. Windows with fewer than
+    ``min_n`` samples or zero x-variance (all samples in one x unit)
+    are dropped (their slope is undefined).
+
+    Output: (channel, win_start, n, slope, mean_value, direction)
+    with slope in value units per x unit and direction the exact
+    integer sign of the numerator.
+
+    Plan: one groupBy (channel, win) with map-side partials — |rows|
+    → |channels·windows|; embarrassingly parallel at any scale, no
+    windows, no joins.
+    """
+    q = int(quant)
+    wu, xu = int(win_us), int(x_unit_us)
+    g = (
+        samples.select(
+            "channel",
+            F.expr(f"(ts div {wu}) * {wu}").alias("win_start"),
+            F.expr(f"(ts - (ts div {wu}) * {wu}) div {xu}").alias("x"),
+            F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("vq"),
+        )
+        .groupBy("channel", "win_start")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("vq").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("vq")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+    )
+    num = (
+        "CAST(n AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0)) "
+        "- CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))"
+    )
+    den = (
+        "CAST(n AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0)) "
+        "- CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))"
+    )
+    return (
+        g.withColumn("_num", F.expr(num))
+        .withColumn("_den", F.expr(den))
+        .filter((F.col("n") >= int(min_n)) & (F.col("_den") > 0))
+        .select(
+            "channel",
+            "win_start",
+            "n",
+            F.expr(
+                f"(CAST(_num AS DOUBLE) / CAST(_den AS DOUBLE)) / {q}"
+            ).alias("slope"),
+            F.expr(f"(CAST(sy AS DOUBLE) / {q}) / n").alias("mean_value"),
+            F.expr(
+                "CASE WHEN _num > 0 THEN 'rising' "
+                "WHEN _num < 0 THEN 'falling' ELSE 'flat' END"
+            ).alias("direction"),
+        )
+    )

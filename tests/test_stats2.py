@@ -466,3 +466,29 @@ def test_winsorize_clamps_tails_only(spark):
     assert out[99].was_clipped and abs(out[99].clamped - 94.05) < 1e-9
     n_clip = sum(1 for r in out.values() if r.was_clipped)
     assert n_clip == 10  # 5 on each tail
+
+
+def test_trend_segments_exact_ols(spark):
+    """Hand-checked OLS on a perfect ramp and a degenerate window."""
+    from pennsieve_streaming_spark.operators.stats import trend_segments
+
+    rows = [
+        # channel up: value = 2*x + 1 on days 0..3 of one window
+        ("up", 0, 1.0), ("up", 10, 3.0), ("up", 20, 5.0), ("up", 30, 7.0),
+        # channel one-x: all samples in a single x unit -> dropped
+        ("onex", 100, 1.0), ("onex", 105, 9.0),
+        # channel down: value = -x within a later window (win_start 1000)
+        ("down", 1000, 0.0), ("down", 1010, -1.0), ("down", 1020, -2.0),
+    ]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    # win = 1000 time units, x unit = 10 -> x = 0..3
+    got = {
+        (r.channel, r.win_start): r
+        for r in trend_segments(df, 1000, 10).collect()
+    }
+    assert ("onex", 0) not in got  # zero x-variance dropped
+    up = got[("up", 0)]
+    assert up.n == 4 and up.direction == "rising"
+    assert abs(up.slope - 2.0) < 1e-12 and abs(up.mean_value - 4.0) < 1e-12
+    down = got[("down", 1000)]
+    assert down.direction == "falling" and abs(down.slope + 1.0) < 1e-12
