@@ -2473,6 +2473,17 @@ def q_sax_words(spark, sf_dir):
     )
 
 
+def q_sax_motifs(spark, sf_dir):
+    """SAX motif discovery: the 3 most frequent SAX words per channel
+    (dominant shapes) with exact support counts — deterministic
+    (count DESC, word ASC) ranking over the bounded word table."""
+    from pennsieve_streaming_spark.operators.sax import sax_motifs
+
+    return sax_motifs(
+        TBL.samples_view(spark, sf_dir), SAX_WINDOW, SAX_SEGMENTS
+    )
+
+
 def q_welch_psd(spark, sf_dir):
     """Welch PSD: cross-window average of the Goertzel periodograms
     over the bounded golden window (exact integer cross-window sum)."""
@@ -2646,6 +2657,7 @@ _R6_FRONT = [
     # round-6b additions (this session — never driver-sampled).
     "ts_cusum_monitor", "stream_cusum", "ev_rfm",
     "ev_attribution_linear", "doc_source_kl", "ts_trend_segments",
+    "ts_sax_motifs",
     # Fill to >50 with the oldest driver-checked set (r4c batch,
     # last driver-green in r4).
     "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
@@ -2691,6 +2703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
+        "ts_sax_motifs": q_sax_motifs,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -7261,6 +7274,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "samples",
     )
+
+    sql["ts_sax_motifs"] = f"""
+        WITH c AS (
+          SELECT channel, sax_word, CAST(COUNT(*) AS BIGINT) AS motif_count
+          FROM ({sql["ts_sax_words"]}) GROUP BY channel, sax_word
+        ),
+        t AS (
+          SELECT channel, CAST(SUM(motif_count) AS BIGINT) AS n_windows
+          FROM c GROUP BY channel
+        ),
+        r AS (
+          SELECT c.channel, c.sax_word, t.n_windows, c.motif_count,
+                 ROW_NUMBER() OVER (PARTITION BY c.channel
+                     ORDER BY c.motif_count DESC, c.sax_word) AS rank
+          FROM c JOIN t USING (channel)
+        )
+        SELECT channel, sax_word, n_windows, motif_count,
+               CAST(motif_count AS DOUBLE) / n_windows AS share,
+               CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 3
+        """
 
     sql["ts_welch_psd"] = f"""
         SELECT channel, freq_hz, n_windows, sum_power_q,

@@ -138,3 +138,50 @@ def sax_words(
         )
     )
     return worded.select("channel", "win", "mean", "std", "sax_word")
+
+
+def sax_motifs(
+    samples: DataFrame,
+    window_samples: int = 64,
+    n_segments: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Motif discovery over the SAX symbolization (Lin & Keogh 2002's
+    intended use): the ``k`` most frequent SAX words per channel — the
+    channel's dominant shapes — with their support. Deterministic
+    ranking: count DESC, then word ASC (a total order; word is unique
+    within channel after the groupBy).
+
+    Output: (channel, sax_word, n_windows, motif_count, share, rank).
+
+    Plan: rides :func:`sax_words` (per-channel window pass), then two
+    map-side-partial groupBys down to |channels|×|words| rows and a
+    per-channel rank window over that already-collapsed table —
+    |words| <= alphabet^segments is bounded, so the window never sees
+    big partitions.
+    """
+    w = sax_words(samples, window_samples, n_segments)
+    c = w.groupBy("channel", "sax_word").agg(
+        F.count(F.lit(1)).cast("long").alias("motif_count")
+    )
+    t = c.groupBy("channel").agg(
+        F.sum("motif_count").cast("long").alias("n_windows")
+    )
+    wr = Window.partitionBy("channel").orderBy(
+        F.desc("motif_count"), F.asc("sax_word")
+    )
+    return (
+        c.join(t, "channel")
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "channel",
+            "sax_word",
+            "n_windows",
+            "motif_count",
+            (
+                F.col("motif_count").cast("double") / F.col("n_windows")
+            ).alias("share"),
+            "rank",
+        )
+    )

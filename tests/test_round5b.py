@@ -242,3 +242,30 @@ def test_contamination_fuzzy_benchmark_side_broadcast(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_sax_motifs_ranking_and_share(spark):
+    """Deterministic motif ranking: count DESC then word ASC; share
+    over the channel's complete windows only."""
+    from pennsieve_streaming_spark.operators.sax import sax_motifs
+
+    # 4-sample windows, 2 segments; channel 'c' gets 3 identical
+    # low-high windows, 1 high-low window, and a ragged tail (dropped)
+    rows = []
+    t = 0
+    for _ in range(3):
+        for v in (0.0, 0.0, 10.0, 10.0):
+            rows.append(("c", t, v)); t += 1
+    for v in (10.0, 10.0, 0.0, 0.0):
+        rows.append(("c", t, v)); t += 1
+    rows.append(("c", t, 5.0))  # ragged tail
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    got = sax_motifs(df, 4, 2, k=3).collect()
+    assert [r.rank for r in sorted(got, key=lambda r: r.rank)] == [1, 2]
+    top = next(r for r in got if r.rank == 1)
+    second = next(r for r in got if r.rank == 2)
+    assert top.motif_count == 3 and second.motif_count == 1
+    assert top.n_windows == 4 and abs(top.share - 0.75) < 1e-12
+    assert top.sax_word != second.sax_word
+    # the low-high word z-normalizes to (below mean, above mean)
+    assert top.sax_word[0] < top.sax_word[-1]
