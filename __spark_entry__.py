@@ -1738,6 +1738,31 @@ def q_audio_fingerprint(spark, sf_dir):
     return audio_fingerprint(s, AF_FREQS, BW_RATE, AF_WINDOW)
 
 
+def q_audio_match_pairs(spark, sf_dir):
+    """H&K fingerprint matching: the level-shifted re-encode of the
+    lead channel (2x + 10) is recovered as a near-dup of the original
+    — exact sub-fingerprint posting hits (df-capped buckets) propose
+    the pair, aligned per-frame hamming scores it; audio bytes never
+    shuffle, only 8-byte sub-fingerprints do."""
+    from pennsieve_streaming_spark.dsp.spectral import (
+        audio_fingerprint,
+        fingerprint_match_pairs,
+    )
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        (F.col("channel") == "lead") & (F.col("ts") <= BW_TS_END)
+    ).select("channel", "ts", "value")
+    x = s.select(
+        F.lit("leadx").alias("channel"),
+        "ts",
+        F.expr("value * 2e0 + 1e1").alias("value"),
+    )
+    fp = audio_fingerprint(
+        s.unionByName(x), AF_FREQS, BW_RATE, AF_WINDOW
+    )
+    return fingerprint_match_pairs(fp)
+
+
 PS_BINS, PS_WINDOW, PS_QUANT = 8, 100, 10**6
 
 
@@ -2657,7 +2682,7 @@ _R6_FRONT = [
     # round-6b additions (this session — never driver-sampled).
     "ts_cusum_monitor", "stream_cusum", "ev_rfm",
     "ev_attribution_linear", "doc_source_kl", "ts_trend_segments",
-    "ts_sax_motifs",
+    "ts_sax_motifs", "mm_audio_match_pairs",
     # Fill to >50 with the oldest driver-checked set (r4c batch,
     # last driver-green in r4).
     "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
@@ -2704,6 +2729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
         "ts_sax_motifs": q_sax_motifs,
+        "mm_audio_match_pairs": q_audio_match_pairs,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -5081,6 +5107,102 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 0 END) AS BIGINT) AS fp
         FROM e WHERE dprev IS NOT NULL
         GROUP BY win
+        """
+
+    # --- audio match pairs: two-channel fingerprint replay + H&K
+    # posting-hit candidates + aligned hamming verify -----------------
+    sql["mm_audio_match_pairs"] = f"""
+        WITH RECURSIVE samples_aligned AS
+          ({TBL.DUCKDB_VIEWS['samples_aligned']}),
+        src AS (
+          SELECT 'lead' AS channel, ts, value FROM samples_aligned
+          WHERE channel = 'lead' AND ts <= {BW_TS_END}
+          UNION ALL
+          SELECT 'leadx' AS channel, ts, value * 2e0 + 1e1 AS value
+          FROM samples_aligned
+          WHERE channel = 'lead' AND ts <= {BW_TS_END}
+        ),
+        inp AS (
+          SELECT channel, value,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS rn,
+                 COUNT(*) OVER (PARTITION BY channel) AS cnt
+          FROM src
+        ),
+        wininp AS (
+          SELECT channel, CAST(rn // {AF_WINDOW} AS BIGINT) AS win,
+                 CAST(rn % {AF_WINDOW} AS BIGINT) AS pos, value AS x
+          FROM inp WHERE rn < (cnt // {AF_WINDOW}) * {AF_WINDOW}
+        ),
+        freqs AS (SELECT * FROM (VALUES {_af_vals}) AS t(freq_hz, c, band)),
+        rec AS (
+          SELECT w.channel, w.win, f.freq_hz, f.c,
+                 CAST(f.band AS BIGINT) AS band,
+                 CAST(-1 AS BIGINT) AS pos, 0e0 AS s1, 0e0 AS s2
+          FROM (SELECT DISTINCT channel, win FROM wininp) w
+          CROSS JOIN freqs f
+          UNION ALL
+          SELECT r.channel, r.win, r.freq_hz, r.c, r.band, i.pos,
+                 i.x + r.c * r.s1 - r.s2, r.s1
+          FROM rec r JOIN wininp i
+            ON i.channel = r.channel AND i.win = r.win
+           AND i.pos = r.pos + 1
+        ),
+        bp AS (
+          SELECT channel, win, band,
+                 s1 * s1 + s2 * s2 - c * s1 * s2 AS power
+          FROM rec WHERE pos = {AF_WINDOW} - 1
+        ),
+        d AS (
+          SELECT hi.channel, hi.win, hi.band, hi.power - lo.power AS d
+          FROM bp hi JOIN bp lo
+            ON hi.channel = lo.channel AND hi.win = lo.win
+           AND lo.band = hi.band + 1
+        ),
+        e AS (
+          SELECT channel, win, band, d,
+                 LAG(d) OVER (PARTITION BY channel, band ORDER BY win)
+                   AS dprev
+          FROM d
+        ),
+        fps AS (
+          SELECT channel, win,
+                 CAST(SUM(CASE WHEN d - dprev > 0
+                               THEN CAST(1 AS BIGINT)
+                                      << CAST(band AS INTEGER)
+                               ELSE 0 END) AS BIGINT) AS fp
+          FROM e WHERE dprev IS NOT NULL
+          GROUP BY channel, win
+        ),
+        sizes AS (
+          SELECT win, fp, COUNT(*) AS m FROM fps GROUP BY win, fp
+        ),
+        ok AS (
+          SELECT f.channel, f.win, f.fp
+          FROM fps f JOIN sizes s ON s.win = f.win AND s.fp = f.fp
+          WHERE s.m <= 32
+        ),
+        cand AS (
+          SELECT DISTINCT a.channel AS channel_a, b.channel AS channel_b
+          FROM ok a JOIN ok b
+            ON a.win = b.win AND a.fp = b.fp AND a.channel < b.channel
+        ),
+        al AS (
+          SELECT c.channel_a, c.channel_b, fa.win,
+                 fa.fp AS fp_a, fb.fp AS fp_b
+          FROM cand c
+          JOIN fps fa ON fa.channel = c.channel_a
+          JOIN fps fb ON fb.channel = c.channel_b AND fb.win = fa.win
+        )
+        SELECT channel_a, channel_b,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(SUM(CASE WHEN fp_a = fp_b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS matched_frames,
+               CAST(SUM(bit_count(xor(fp_a, fp_b))) AS BIGINT)
+                 AS sum_hamming,
+               CAST(SUM(bit_count(xor(fp_a, fp_b))) AS DOUBLE)
+                 / COUNT(*) AS mean_hamming
+        FROM al GROUP BY channel_a, channel_b
         """
 
     # --- round-4b EWMA recursive replay ------------------------------

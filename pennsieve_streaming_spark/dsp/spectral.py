@@ -321,3 +321,83 @@ def audio_fingerprint(
         .cast("long")
         .alias("fp"),
     )
+
+
+def fingerprint_match_pairs(
+    fingerprints: DataFrame, bucket_cap: int = 32
+) -> DataFrame:
+    """Haitsma-Kalker fingerprint MATCHING: near-dup audio pairs from
+    the per-frame sub-fingerprints of :func:`audio_fingerprint` — the
+    H&K lookup primitive (an exact sub-fingerprint hit at some frame)
+    proposes candidates, and the aligned frame-by-frame hamming
+    distance scores them (re-encodes / level shifts flip few bits, so
+    true matches score near zero).
+
+    Scale guards: a (win, fp) posting bucket larger than
+    ``bucket_cap`` is dropped before the self-join — a sub-fingerprint
+    shared by that many items at the same frame is non-discriminative
+    (the hot-shingle df cap of doc_ngram_jaccard applied to audio),
+    bounding the candidate join at |buckets|·cap². Only 8-byte hashes
+    shuffle; audio bytes never move. The aligned verify joins each
+    candidate pair's two fingerprint SEQUENCES via the broadcast pair
+    list — no all-pairs frame join ever forms.
+
+    Output: (channel_a, channel_b, n_frames, matched_frames,
+    sum_hamming, mean_hamming) for pairs sharing >= 1 surviving
+    posting; n_frames counts frames where BOTH sides have a
+    sub-fingerprint.
+    """
+    keyed = fingerprints.select("channel", "win", "fp")
+    sizes = keyed.groupBy("win", "fp").agg(
+        F.count(F.lit(1)).alias("_m")
+    )
+    ok = keyed.join(
+        sizes.filter(F.col("_m") <= int(bucket_cap)), ["win", "fp"]
+    ).select("channel", "win", "fp")
+    a, b = ok.alias("a"), ok.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.win") == F.col("b.win"))
+            & (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.channel") < F.col("b.channel")),
+        )
+        .select(
+            F.col("a.channel").alias("channel_a"),
+            F.col("b.channel").alias("channel_b"),
+        )
+        .distinct()
+    )
+    fa = keyed.select(
+        F.col("channel").alias("channel_a"),
+        "win",
+        F.col("fp").alias("fp_a"),
+    )
+    fb = keyed.select(
+        F.col("channel").alias("channel_b"),
+        "win",
+        F.col("fp").alias("fp_b"),
+    )
+    j = (
+        F.broadcast(cand)
+        .join(fa, "channel_a")
+        .join(fb, ["channel_b", "win"])
+    )
+    return (
+        j.groupBy("channel_a", "channel_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.sum(
+                F.when(F.col("fp_a") == F.col("fp_b"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("matched_frames"),
+            F.sum(F.expr("bit_count(fp_a ^ fp_b)"))
+            .cast("long")
+            .alias("sum_hamming"),
+        )
+        .withColumn(
+            "mean_hamming",
+            F.col("sum_hamming").cast("double") / F.col("n_frames"),
+        )
+    )

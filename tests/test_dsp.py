@@ -508,3 +508,34 @@ def test_audio_fingerprint_level_invariant_and_discriminative(spark):
         bin(base[w] ^ other[w]).count("1") for w in base
     )
     assert dist > 8
+
+
+def test_fingerprint_match_pairs_hamming_and_cap(spark):
+    """Candidates need an exact posting hit in an un-capped bucket;
+    aligned scoring counts matched frames and hamming over frames both
+    sides share."""
+    from pennsieve_streaming_spark.dsp.spectral import (
+        fingerprint_match_pairs,
+    )
+
+    rows = [
+        # A and B: exact hit at win 0; differ by 2 bits at win 1;
+        # B lacks win 2 (A's extra frame must not count)
+        ("A", 0, 8, 0b1010), ("B", 0, 8, 0b1010),
+        ("A", 1, 8, 0b1100), ("B", 1, 8, 0b0101),  # xor=0b1001 -> 2 bits
+        ("A", 2, 8, 0b1111),
+        # C and D only collide in a HOT bucket at win 9 (cap 2 below,
+        # 3 members) -> no candidate pair
+        ("C", 9, 8, 7), ("D", 9, 8, 7), ("E", 9, 8, 7),
+    ]
+    fp = spark.createDataFrame(
+        rows, "channel string, win long, n_bits long, fp long"
+    )
+    got = {
+        (r.channel_a, r.channel_b): r
+        for r in fingerprint_match_pairs(fp, bucket_cap=2).collect()
+    }
+    assert set(got) == {("A", "B")}
+    ab = got[("A", "B")]
+    assert ab.n_frames == 2 and ab.matched_frames == 1
+    assert ab.sum_hamming == 2 and abs(ab.mean_hamming - 1.0) < 1e-12
