@@ -1763,6 +1763,20 @@ def q_audio_match_pairs(spark, sf_dir):
     return fingerprint_match_pairs(fp)
 
 
+def q_coherence(spark, sf_dir):
+    """Welch-averaged magnitude-squared coherence between the two
+    time-aligned channels at DFT bins 1..8 — the EEG connectivity
+    metric; per-window BIGINT cross-spectral terms from the shared
+    quantized-DFT sums, exact integer window averages, one fixed
+    float expression at the end."""
+    from pennsieve_streaming_spark.dsp.spectral import msc_coherence
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        F.col("ts") <= BW_TS_END
+    )
+    return msc_coherence(s, "lead", "sec", PS_BINS, PS_WINDOW, PS_QUANT)
+
+
 PS_BINS, PS_WINDOW, PS_QUANT = 8, 100, 10**6
 
 
@@ -2682,7 +2696,7 @@ _R6_FRONT = [
     # round-6b additions (this session — never driver-sampled).
     "ts_cusum_monitor", "stream_cusum", "ev_rfm",
     "ev_attribution_linear", "doc_source_kl", "ts_trend_segments",
-    "ts_sax_motifs", "mm_audio_match_pairs",
+    "ts_sax_motifs", "mm_audio_match_pairs", "ts_coherence",
     # Fill to >50 with the oldest driver-checked set (r4c batch,
     # last driver-green in r4).
     "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
@@ -2730,6 +2744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_trend_segments": q_trend_segments,
         "ts_sax_motifs": q_sax_motifs,
         "mm_audio_match_pairs": q_audio_match_pairs,
+        "ts_coherence": q_coherence,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -5027,6 +5042,67 @@ def oracle_sql() -> dict[str, str]:
                (CAST(sc AS DOUBLE) / {PS_QUANT}) * (CAST(sc AS DOUBLE) / {PS_QUANT})
                  + (CAST(ss AS DOUBLE) / {PS_QUANT}) * (CAST(ss AS DOUBLE) / {PS_QUANT}) AS power
         FROM agg WHERE n = {PS_WINDOW}
+        """
+
+    # --- magnitude-squared coherence: shared DFT-sum replay, paired
+    # channels, per-window BIGINT cross terms, exact window average --
+    _coh_d = f"CAST({{0}} AS DOUBLE) / {PS_QUANT}"
+    _c_sca, _c_ssa = _coh_d.format("sc_a"), _coh_d.format("ss_a")
+    _c_scb, _c_ssb = _coh_d.format("sc_b"), _coh_d.format("ss_b")
+    sql["ts_coherence"] = f"""
+        WITH samples_aligned AS
+          ({TBL.DUCKDB_VIEWS['samples_aligned']}),
+        tabs AS (SELECT {_ps_cos_lit} AS cos_t, {_ps_sin_lit} AS sin_t),
+        rk AS (
+          SELECT channel, value,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS rn
+          FROM samples_aligned WHERE ts <= {BW_TS_END}
+        ),
+        ex AS (
+          SELECT channel, rn // {PS_WINDOW} AS win, rn % {PS_WINDOW} AS pos,
+                 value, UNNEST(generate_series(1, {PS_BINS})) AS bin
+          FROM rk
+        ),
+        ct AS (
+          SELECT e.channel, e.win, CAST(e.bin AS BIGINT) AS bin,
+                 CAST(round(e.value * t.cos_t[(e.bin - 1) * {PS_WINDOW} + e.pos + 1] * {PS_QUANT}) AS BIGINT) AS ci,
+                 CAST(round(e.value * t.sin_t[(e.bin - 1) * {PS_WINDOW} + e.pos + 1] * {PS_QUANT}) AS BIGINT) AS si
+          FROM ex e CROSS JOIN tabs t
+        ),
+        agg AS (
+          SELECT channel, win, bin, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(ci) AS BIGINT) AS sc, CAST(SUM(si) AS BIGINT) AS ss
+          FROM ct GROUP BY channel, win, bin
+        ),
+        j AS (
+          SELECT a.bin,
+                 CAST(round(({_c_sca}) * ({_c_scb})
+                          + ({_c_ssa}) * ({_c_ssb})) AS BIGINT) AS re_q,
+                 CAST(round(({_c_ssa}) * ({_c_scb})
+                          - ({_c_sca}) * ({_c_ssb})) AS BIGINT) AS im_q,
+                 CAST(round(({_c_sca}) * ({_c_sca})
+                          + ({_c_ssa}) * ({_c_ssa})) AS BIGINT) AS pa_q,
+                 CAST(round(({_c_scb}) * ({_c_scb})
+                          + ({_c_ssb}) * ({_c_ssb})) AS BIGINT) AS pb_q
+          FROM (SELECT win, bin, sc AS sc_a, ss AS ss_a FROM agg
+                WHERE channel = 'lead' AND n = {PS_WINDOW}) a
+          JOIN (SELECT win, bin, sc AS sc_b, ss AS ss_b FROM agg
+                WHERE channel = 'sec' AND n = {PS_WINDOW}) b
+            USING (win, bin)
+        )
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(re_q) AS BIGINT) AS sum_re_q,
+               CAST(SUM(im_q) AS BIGINT) AS sum_im_q,
+               CAST(SUM(pa_q) AS BIGINT) AS sum_pa_q,
+               CAST(SUM(pb_q) AS BIGINT) AS sum_pb_q,
+               CASE WHEN SUM(pa_q) <= 0 OR SUM(pb_q) <= 0
+                    THEN CAST(NULL AS DOUBLE) ELSE
+               (CAST(SUM(re_q) AS DOUBLE) * CAST(SUM(re_q) AS DOUBLE)
+                + CAST(SUM(im_q) AS DOUBLE) * CAST(SUM(im_q) AS DOUBLE))
+               / (CAST(SUM(pa_q) AS DOUBLE) * CAST(SUM(pb_q) AS DOUBLE))
+               END AS coherence
+        FROM j GROUP BY bin
         """
 
     sql["ts_band_power"] = f"""

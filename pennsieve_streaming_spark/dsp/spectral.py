@@ -102,36 +102,19 @@ def dft_tables(
     return cos_t, sin_t
 
 
-def power_spectrum(
+def dft_sums(
     samples: DataFrame,
     n_bins: int,
     window_samples: int,
     quant: int = 10**6,
 ) -> DataFrame:
-    """Per-(channel, window) DFT power spectrum at bins 1..n_bins —
-    the full low-frequency spectrum, where :func:`band_power` probes
-    chosen frequencies.
-
-    Unlike the Goertzel path (a sequential recurrence that needs
-    ``applyInPandas``), the direct form is two dot products per bin —
-    expressible entirely in built-in column functions, so the whole
-    operator stays inside WholeStageCodegen with NO Python worker.
-    Determinism: each product x·basis is quantized to a BIGINT before
-    summing (exact, associative ⇒ partition/order free); the only
-    float math is the final per-group power expression, replayed
-    verbatim by the oracle. Power = (Σx·cos/q)² + (Σx·sin/q)², i.e.
-    |DFT_k|² of the quantized signal.
-
-    Windows are consecutive ``window_samples``-row chunks per channel
-    in (ts, value) order; ragged tails are dropped. Output: (channel,
-    win, bin, n, power).
-
-    Scale: one row-ranking window per channel, an ×n_bins narrow
-    explode, then a map-side-partial groupBy to
-    |channels|×|windows|×n_bins rows. At production sampling rates
-    windows are independent — parallelism is unbounded by channel
-    count, unlike the per-channel recurrence operators.
-    """
+    """The shared quantized-DFT stage of :func:`power_spectrum` and
+    :func:`msc_coherence`: per (channel, window, bin), the exact
+    BIGINT sums of the quantized products x·cos / x·sin against the
+    literal basis tables — every term ``round(value·basis·quant)`` is
+    an integer, so the sums are associative and partition/order free.
+    Output: (channel, win, bin, n, sc, ss); ragged windows keep their
+    n for the caller to filter."""
     ws = int(window_samples)
     nb = int(n_bins)
     q = int(quant)
@@ -170,11 +153,46 @@ def power_spectrum(
         .cast("long")
         .alias("si"),
     )
-    agg = exploded.groupBy("channel", "win", "bin").agg(
+    return exploded.groupBy("channel", "win", "bin").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("ci").cast("long").alias("sc"),
         F.sum("si").cast("long").alias("ss"),
     )
+
+
+def power_spectrum(
+    samples: DataFrame,
+    n_bins: int,
+    window_samples: int,
+    quant: int = 10**6,
+) -> DataFrame:
+    """Per-(channel, window) DFT power spectrum at bins 1..n_bins —
+    the full low-frequency spectrum, where :func:`band_power` probes
+    chosen frequencies.
+
+    Unlike the Goertzel path (a sequential recurrence that needs
+    ``applyInPandas``), the direct form is two dot products per bin —
+    expressible entirely in built-in column functions, so the whole
+    operator stays inside WholeStageCodegen with NO Python worker.
+    Determinism: each product x·basis is quantized to a BIGINT before
+    summing (exact, associative ⇒ partition/order free); the only
+    float math is the final per-group power expression, replayed
+    verbatim by the oracle. Power = (Σx·cos/q)² + (Σx·sin/q)², i.e.
+    |DFT_k|² of the quantized signal.
+
+    Windows are consecutive ``window_samples``-row chunks per channel
+    in (ts, value) order; ragged tails are dropped. Output: (channel,
+    win, bin, n, power).
+
+    Scale: one row-ranking window per channel, an ×n_bins narrow
+    explode, then a map-side-partial groupBy to
+    |channels|×|windows|×n_bins rows. At production sampling rates
+    windows are independent — parallelism is unbounded by channel
+    count, unlike the per-channel recurrence operators.
+    """
+    agg = dft_sums(samples, n_bins, window_samples, quant)
+    ws = int(window_samples)
+    q = int(quant)
     # |DFT|² as an EXACT integer in quant² units (19-digit decimals
     # keep the squares exact; the sum stays well under 38 digits), then
     # ONE correctly-rounded cast + ONE division for the float view —
@@ -399,5 +417,101 @@ def fingerprint_match_pairs(
         .withColumn(
             "mean_hamming",
             F.col("sum_hamming").cast("double") / F.col("n_frames"),
+        )
+    )
+
+
+def msc_coherence(
+    samples: DataFrame,
+    channel_a: str,
+    channel_b: str,
+    n_bins: int,
+    window_samples: int,
+    quant: int = 10**6,
+) -> DataFrame:
+    """Welch-averaged magnitude-squared coherence between two
+    time-aligned channels (Carter 1987) — THE spectral connectivity
+    metric of EEG analysis:
+
+        C_xy(f) = |avg_w S_xy(w,f)|² / (avg_w S_xx(w,f) · avg_w S_yy(w,f))
+
+    with S_xy the per-window cross-spectrum X·conj(Y) from the
+    quantized-DFT sums of :func:`dft_sums`. Coherence near 1 = the
+    channels are linearly coupled at that frequency across windows;
+    the window-averaging is what makes it a coherence ESTIMATE rather
+    than trivially 1.
+
+    Determinism (welch_psd's class): per-window cross terms
+    re/im/pa/pb derive from exact-integer DFT sums via a fixed float
+    expression, are rounded to BIGINT per window (sub-1e-15 relative
+    at these magnitudes), and the cross-WINDOW reduction is an exact
+    integer sum — the final coherence is one fixed expression over
+    four exact integers. Windows where either channel is ragged are
+    dropped (inner join on complete windows).
+
+    Output: (bin, n_windows, sum_re_q, sum_im_q, sum_pa_q, sum_pb_q,
+    coherence).
+
+    Scale: rides dft_sums' |channels|×|windows|×bins parallelism; the
+    pairing is an equi-join of two already-collapsed sum tables on
+    (win, bin); final groupBy to |bins| rows.
+    """
+    ws = int(window_samples)
+    q = int(quant)
+    sums = dft_sums(samples, n_bins, window_samples, quant).filter(
+        F.col("n") == ws
+    )
+    a = sums.filter(F.col("channel") == channel_a).select(
+        "win",
+        "bin",
+        F.col("sc").alias("sc_a"),
+        F.col("ss").alias("ss_a"),
+    )
+    b = sums.filter(F.col("channel") == channel_b).select(
+        "win",
+        "bin",
+        F.col("sc").alias("sc_b"),
+        F.col("ss").alias("ss_b"),
+    )
+    dq = f"CAST({{0}} AS DOUBLE) / {q}"
+    sca, ssa = dq.format("sc_a"), dq.format("ss_a")
+    scb, ssb = dq.format("sc_b"), dq.format("ss_b")
+    j = a.join(b, ["win", "bin"]).select(
+        "bin",
+        F.expr(
+            f"CAST(round(({sca}) * ({scb}) + ({ssa}) * ({ssb})) AS BIGINT)"
+        ).alias("re_q"),
+        F.expr(
+            f"CAST(round(({ssa}) * ({scb}) - ({sca}) * ({ssb})) AS BIGINT)"
+        ).alias("im_q"),
+        F.expr(
+            f"CAST(round(({sca}) * ({sca}) + ({ssa}) * ({ssa})) AS BIGINT)"
+        ).alias("pa_q"),
+        F.expr(
+            f"CAST(round(({scb}) * ({scb}) + ({ssb}) * ({ssb})) AS BIGINT)"
+        ).alias("pb_q"),
+    )
+    return (
+        j.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum("re_q").cast("long").alias("sum_re_q"),
+            F.sum("im_q").cast("long").alias("sum_im_q"),
+            F.sum("pa_q").cast("long").alias("sum_pa_q"),
+            F.sum("pb_q").cast("long").alias("sum_pb_q"),
+        )
+        .withColumn(
+            # zero auto-power (a bin with no signal on either side) has
+            # undefined coherence -> NULL, explicitly, in BOTH engines
+            # (ANSI Spark errors on /0; DuckDB would emit inf/nan)
+            "coherence",
+            F.expr(
+                "CASE WHEN sum_pa_q <= 0 OR sum_pb_q <= 0 "
+                "THEN CAST(NULL AS DOUBLE) ELSE "
+                "(CAST(sum_re_q AS DOUBLE) * CAST(sum_re_q AS DOUBLE) "
+                "+ CAST(sum_im_q AS DOUBLE) * CAST(sum_im_q AS DOUBLE)) "
+                "/ (CAST(sum_pa_q AS DOUBLE) * CAST(sum_pb_q AS DOUBLE)) "
+                "END"
+            ),
         )
     )

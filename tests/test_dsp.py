@@ -539,3 +539,38 @@ def test_fingerprint_match_pairs_hamming_and_cap(spark):
     ab = got[("A", "B")]
     assert ab.n_frames == 2 and ab.matched_frames == 1
     assert ab.sum_hamming == 2 and abs(ab.mean_hamming - 1.0) < 1e-12
+
+
+def test_msc_coherence_identical_and_independent(spark):
+    """Coherence of a channel with an exact scaled copy is 1 at every
+    bin regardless of window count; sign-flipping the copy per window
+    destroys the cross-window phase and drags coherence far below 1."""
+    import math
+
+    from pennsieve_streaming_spark.dsp.spectral import msc_coherence
+
+    n, ws = 64, 16
+    rows = []
+    for t in range(n):
+        v = math.sin(2 * math.pi * 2 * t / ws) + 2.0 * math.cos(
+            2 * math.pi * 5 * t / ws
+        )
+        rows.append(("x", t, v))
+        rows.append(("y", t, 0.5 * v))
+        # z flips sign every other window -> avg cross-spectrum ~ 0
+        flip = -1.0 if (t // ws) % 2 else 1.0
+        rows.append(("z", t, flip * v))
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    same = {
+        r.bin: r for r in msc_coherence(df, "x", "y", 6, ws).collect()
+    }
+    assert len(same) == 6 and all(r.n_windows == 4 for r in same.values())
+    for b, r in same.items():
+        if r.sum_pa_q > 0:  # bins with signal: exact linear relation
+            assert abs(r.coherence - 1.0) < 1e-9, (b, r.coherence)
+        else:  # zero auto-power -> coherence undefined -> NULL
+            assert r.coherence is None
+    flipped = {
+        r.bin: r for r in msc_coherence(df, "x", "z", 6, ws).collect()
+    }
+    assert flipped[2].coherence < 0.1 and flipped[5].coherence < 0.1
