@@ -1568,6 +1568,18 @@ def q_markov_entropy(spark, sf_dir):
     return markov_entropy(_user_events(spark, sf_dir))
 
 
+def q_ab_conversion(spark, sf_dir):
+    """Two-proportion A/B conversion test over hash-assigned variants
+    (user_id % 2): exact integer counts, one fixed float expression
+    for rates and the pooled z statistic (IEEE sqrt is correctly
+    rounded, so the double is engine-identical)."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        ab_conversion_test,
+    )
+
+    return ab_conversion_test(_user_events(spark, sf_dir), "purchase")
+
+
 def q_linear_attribution(spark, sf_dir):
     """Linear multi-touch attribution of purchases: each conversion
     splits one credit unit equally over the touches in its
@@ -2697,6 +2709,7 @@ _R6_FRONT = [
     "ts_cusum_monitor", "stream_cusum", "ev_rfm",
     "ev_attribution_linear", "doc_source_kl", "ts_trend_segments",
     "ts_sax_motifs", "mm_audio_match_pairs", "ts_coherence",
+    "ev_ab_conversion",
     # Fill to >50 with the oldest driver-checked set (r4c batch,
     # last driver-green in r4).
     "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
@@ -2745,6 +2758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_sax_motifs": q_sax_motifs,
         "mm_audio_match_pairs": q_audio_match_pairs,
         "ts_coherence": q_coherence,
+        "ev_ab_conversion": q_ab_conversion,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -4765,6 +4779,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT n.src_type, n.n_out, n.distinct_dst,
                -(CAST(hq.hq AS DOUBLE) / 1000000000) / n.n_out AS entropy
         FROM n JOIN hq USING (src_type)
+        """
+
+    sql["ev_ab_conversion"] = """
+        WITH pu AS (
+          SELECT user_id,
+                 MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+          FROM events GROUP BY user_id
+        ),
+        one AS (
+          SELECT
+            CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN user_id % 2 = 0 THEN converted ELSE 0 END)
+                 AS BIGINT) AS conv_a,
+            CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_b,
+            CAST(SUM(CASE WHEN user_id % 2 = 1 THEN converted ELSE 0 END)
+                 AS BIGINT) AS conv_b
+          FROM pu
+        )
+        SELECT n_a, conv_a, n_b, conv_b,
+               CASE WHEN n_a > 0 THEN CAST(conv_a AS DOUBLE) / n_a END
+                 AS rate_a,
+               CASE WHEN n_b > 0 THEN CAST(conv_b AS DOUBLE) / n_b END
+                 AS rate_b,
+               CASE WHEN n_a > 0 AND n_b > 0
+                     AND conv_a + conv_b > 0
+                     AND conv_a + conv_b < n_a + n_b
+                    THEN (CAST(conv_a AS DOUBLE) / n_a
+                          - CAST(conv_b AS DOUBLE) / n_b)
+                    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1e0 / n_a + 1e0 / n_b)) END AS z
+        FROM one
         """
 
     sql["ev_attribution_linear"] = """

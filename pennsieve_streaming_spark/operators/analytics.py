@@ -663,3 +663,69 @@ def linear_attribution(events: DataFrame, conversion: str) -> DataFrame:
             "credit", F.col("credit_q").cast("double") / 1_000_000_000
         )
     )
+
+
+def ab_conversion_test(events: DataFrame, conversion: str) -> DataFrame:
+    """Two-proportion A/B conversion test: users hash-assigned to
+    variants A/B (``user_id % 2`` — the deterministic bucket
+    assignment every experimentation platform uses), per-variant
+    conversion rate (users with >= 1 ``conversion`` event over users),
+    and the pooled two-proportion z statistic
+
+        z = (pA - pB) / sqrt(p(1-p)(1/nA + 1/nB)),  p = pooled rate.
+
+    Determinism: the four underlying counts are exact integers; every
+    float after is ONE fixed expression over them (IEEE sqrt is
+    correctly rounded, so both engines produce the identical double).
+    Degenerate splits (an empty variant, or pooled rate 0/1 => zero
+    variance) yield z = NULL explicitly.
+
+    Output: one row (n_a, conv_a, n_b, conv_b, rate_a, rate_b, z).
+
+    Plan: events collapse to per-user conversion flags (one groupBy
+    with map-side partials), then a 2-row variant rollup and a 1-row
+    conditional-sum pivot — nothing after the first groupBy exceeds
+    |users| rows, and the final stages are constant-size.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == conversion, 1).otherwise(0)
+        ).alias("converted")
+    )
+    flagged = per_user.select(
+        (F.col("user_id") % 2).alias("variant"), "converted"
+    )
+    one = flagged.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    return one.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.expr(
+            "CASE WHEN n_a > 0 THEN CAST(conv_a AS DOUBLE) / n_a END"
+        ).alias("rate_a"),
+        F.expr(
+            "CASE WHEN n_b > 0 THEN CAST(conv_b AS DOUBLE) / n_b END"
+        ).alias("rate_b"),
+        F.expr(
+            "CASE WHEN n_a > 0 AND n_b > 0 "
+            "AND conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b "
+            "THEN (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) "
+            "/ sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) "
+            "* (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) "
+            "* (1e0 / n_a + 1e0 / n_b)) END"
+        ).alias("z"),
+    )

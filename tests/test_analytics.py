@@ -422,3 +422,36 @@ def test_linear_attribution_segments_and_credit(spark):
     # credit mass ~= #conversions (4), exact to the rounding quantum
     total = sum(r.credit_q for r in got.values())
     assert abs(total - 4_000_000_000) <= 4
+
+
+def test_ab_conversion_counts_and_degenerate_z(spark):
+    from pennsieve_streaming_spark.operators.analytics import (
+        ab_conversion_test,
+    )
+
+    # variant A (even ids): users 0,2,4 — 2 convert; variant B (odd):
+    # users 1,3 — 0 convert
+    rows = [
+        (0, 0, 0, "purchase"), (2, 0, 1, "purchase"), (2, 1, 2, "view"),
+        (4, 0, 3, "view"),
+        (1, 0, 4, "view"), (3, 0, 5, "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, event_type string"
+    )
+    r = ab_conversion_test(ev, "purchase").collect()[0]
+    assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (3, 2, 2, 0)
+    assert abs(r.rate_a - 2 / 3) < 1e-12 and r.rate_b == 0.0
+    import math
+
+    p = 2 / 5
+    want = (2 / 3 - 0.0) / math.sqrt(p * (1 - p) * (1 / 3 + 1 / 2))
+    assert abs(r.z - want) < 1e-12
+
+    # all users convert -> zero pooled variance -> z NULL
+    ev2 = spark.createDataFrame(
+        [(0, 0, 0, "purchase"), (1, 0, 1, "purchase")],
+        "user_id long, ts long, event_id long, event_type string",
+    )
+    r2 = ab_conversion_test(ev2, "purchase").collect()[0]
+    assert r2.z is None and r2.rate_a == 1.0 and r2.rate_b == 1.0
