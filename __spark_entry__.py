@@ -1079,6 +1079,16 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+def q_image_phash(spark, sf_dir):
+    """64-bit DCT perceptual hash (pHash) per media item: integer
+    bilinear DCT forms against Python-quantized basis tables, lower
+    median of the 8x8 low-frequency block as the bit threshold —
+    every step exact integers, oracle-replayable (llm/imagehash)."""
+    from pennsieve_streaming_spark.llm.imagehash import phash_synthetic
+
+    return phash_synthetic(_docs(spark, sf_dir))
+
+
 def q_image_dhash(spark, sf_dir):
     """64-bit perceptual difference hash per media item — integer
     block-sum comparisons, engine-exact; the synthetic luminance field
@@ -2709,7 +2719,7 @@ _R6_FRONT = [
     "ts_cusum_monitor", "stream_cusum", "ev_rfm",
     "ev_attribution_linear", "doc_source_kl", "ts_trend_segments",
     "ts_sax_motifs", "mm_audio_match_pairs", "ts_coherence",
-    "ev_ab_conversion",
+    "ev_ab_conversion", "mm_image_phash",
     # Fill to >50 with the oldest driver-checked set (r4c batch,
     # last driver-green in r4).
     "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
@@ -2759,6 +2769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_match_pairs": q_audio_match_pairs,
         "ts_coherence": q_coherence,
         "ev_ab_conversion": q_ab_conversion,
+        "mm_image_phash": q_image_phash,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -7069,6 +7080,64 @@ def oracle_sql() -> dict[str, str]:
     sql["mm_image_dhash"] = f"""
         WITH {_dhash_cte}
         SELECT media_id, dhash FROM dh
+        """
+
+    # pHash: integer DCT bilinear forms against the Python-quantized
+    # basis literals, lower-median threshold — the numpy kernel
+    # replayed relationally (coef value order is engine-independent,
+    # so the ROW_NUMBER median tie-break never affects the VALUE)
+    from pennsieve_streaming_spark.llm.imagehash import (
+        _BI as _PH_BI,
+        _BJ as _PH_BJ,
+    )
+
+    _ph_bi = (
+        "[" + ", ".join(str(int(x)) for x in _PH_BI.reshape(-1))
+        + "]::BIGINT[]"
+    )
+    _ph_bj = (
+        "[" + ", ".join(str(int(x)) for x in _PH_BJ.reshape(-1))
+        + "]::BIGINT[]"
+    )
+    sql["mm_image_phash"] = f"""
+        WITH px2 AS (
+          SELECT doc_id, i, j,
+                 (doc_id * {_IH_A} + i * {_IH_B} + j * {_IH_C}) % {_IH_M}
+                   AS pv
+          FROM documents,
+               UNNEST(generate_series(0, {_IH_H - 1})) AS ti(i),
+               UNNEST(generate_series(0, {_IH_W - 1})) AS tj(j)
+        ),
+        tabs AS (SELECT {_ph_bi} AS bi, {_ph_bj} AS bj),
+        coef AS (
+          SELECT doc_id, u, v,
+                 CAST(SUM(pv * t.bi[u * {_IH_H} + i + 1]
+                             * t.bj[v * {_IH_W} + j + 1]) AS BIGINT)
+                   AS coef
+          FROM px2 CROSS JOIN tabs t,
+               UNNEST(generate_series(0, 7)) AS tu(u),
+               UNNEST(generate_series(0, 7)) AS tv(v)
+          GROUP BY doc_id, u, v
+        ),
+        med AS (
+          SELECT doc_id, coef AS med FROM (
+            SELECT doc_id, coef,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY coef) AS rn
+            FROM coef) WHERE rn = 32
+        )
+        SELECT hx.doc_id AS media_id,
+               CAST(CASE WHEN hu >= (CAST(1 AS HUGEINT) << 63)
+                         THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END
+                    AS BIGINT) AS phash
+        FROM (
+          SELECT c.doc_id,
+                 SUM(CASE WHEN c.coef > m.med
+                          THEN CAST(1 AS HUGEINT) << (c.u * 8 + c.v)
+                          ELSE CAST(0 AS HUGEINT) END) AS hu
+          FROM coef c JOIN med m USING (doc_id)
+          GROUP BY c.doc_id
+        ) hx(doc_id, hu)
         """
 
     # capped two-star replay, same structure as doc_simhash_near_pairs

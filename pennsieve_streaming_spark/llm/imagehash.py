@@ -113,3 +113,89 @@ def dhash_synthetic(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id").mapInPandas(
         run, "media_id long, dhash long"
     )
+
+
+# --- pHash: DCT perceptual hash -------------------------------------
+#
+# The robust cousin of dHash (Krawetz's pHash writeup; Zauner 2010
+# "Implementation and Benchmarking of Perceptual Image Hash
+# Functions"): a 2-D DCT-II of the thumbnail, keep the 8x8
+# low-frequency block, set bit (u*8+v) iff coef > median(block).
+# Survives blur/resize/gamma better than dHash because the bits live
+# in the frequency domain.
+#
+# Exactness contract (power_spectrum's trick): the DCT basis is
+# quantized ONCE in Python to integer tables round(cos(*)*PH_Q), so
+# every coefficient is an exact integer bilinear form Bi @ g @ Bj^T —
+# engine-replayable bit-for-bit, no float anywhere. The median is the
+# lower median (32nd smallest of 64), an order statistic of integers.
+# Overflow: |coef| <= 16*18*255*PH_Q^2 ~ 7.3e16 < 2^63.
+
+PH_BLOCK = 8
+PH_Q = 1_000_000
+
+
+def dct_basis_q(n: int) -> "np.ndarray":
+    """Integer-quantized DCT-II basis rows u=0..PH_BLOCK-1 over a
+    length-``n`` axis: B[u][i] = round(cos(pi*(2i+1)*u/(2n)) * PH_Q).
+    Generated once in Python so BOTH engines consume identical
+    integers (engine cos() is libm-vs-JVM divergent at the last
+    ulp)."""
+    u = np.arange(PH_BLOCK).reshape(-1, 1).astype(np.float64)
+    i = np.arange(n).reshape(1, -1).astype(np.float64)
+    return np.round(
+        np.cos(np.pi * (2.0 * i + 1.0) * u / (2.0 * n)) * PH_Q
+    ).astype(np.int64)
+
+
+_BI = dct_basis_q(GRID_H)   # 8 x 16
+_BJ = dct_basis_q(GRID_W)   # 8 x 18
+
+
+def phash64(gray: "np.ndarray") -> int:
+    """64-bit DCT perceptual hash of a GRID_H x GRID_W grayscale
+    image (callers block-resize first, as with :func:`dhash64`)."""
+    g = np.asarray(gray, dtype=np.int64)
+    h, w = g.shape
+    if (h, w) != (GRID_H, GRID_W):
+        if h % GRID_H or w % GRID_W:
+            raise ValueError(
+                f"image {h}x{w} not divisible by grid {GRID_H}x{GRID_W}"
+            )
+        g = g.reshape(GRID_H, h // GRID_H, GRID_W, w // GRID_W).sum(
+            axis=(1, 3)
+        )
+    coef = _BI @ g @ _BJ.T          # 8x8, exact int64
+    flat = coef.reshape(-1)
+    med = int(np.sort(flat)[PH_BLOCK * PH_BLOCK // 2 - 1])  # lower median
+    val = 0
+    for k in range(PH_BLOCK * PH_BLOCK):
+        if int(flat[k]) > med:
+            val |= 1 << k
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def phash_synthetic(documents: DataFrame) -> DataFrame:
+    """(doc_id) → (media_id, phash) over the synthetic luminance field
+    — oracle-gated plumbing proof, same contract as
+    :func:`dhash_synthetic`. Narrow mapInPandas, no shuffle."""
+
+    def run(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "phash": np.fromiter(
+                        (phash64(synthetic_gray(int(d))) for d in ids),
+                        dtype=np.int64,
+                        count=len(ids),
+                    ),
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        run, "media_id long, phash long"
+    )

@@ -164,3 +164,45 @@ def test_dhash_over_real_png_decode():
     # a genuinely different image (inverted gradient) lands far away
     h3 = dhash64(255 - base)
     assert bin((h1 ^ h3) & ((1 << 64) - 1)).count("1") > 16
+
+
+def test_phash_kernel_properties():
+    """DCT pHash: locality (one-pixel tweak flips few bits), distinct
+    structures land far apart, block-resize path consistent, signed
+    packing round-trips bit 63."""
+    import numpy as np
+
+    from pennsieve_streaming_spark.llm.imagehash import (
+        GRID_H,
+        GRID_W,
+        phash64,
+        synthetic_gray,
+    )
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    base = synthetic_gray(7)
+    tweak = base.copy()
+    tweak[3, 5] += 4  # tiny local perturbation
+    assert ham(phash64(base), phash64(tweak)) <= 6
+    # structurally different fields differ in many bits
+    other = (base * base + 37) % 256
+    assert ham(phash64(base), phash64(other)) >= 16
+    # 2x block-resize reduces to the same grid: hash of the upscaled
+    # image equals hash of the base (block sums scale uniformly by 4,
+    # scaling every DCT coef AND the median by 4 -> identical bits)
+    up = np.kron(base, np.ones((2, 2), dtype=np.int64))
+    assert phash64(up) == phash64(base)
+    # signed int64 round-trip
+    for d in range(40):
+        v = phash64(synthetic_gray(d))
+        assert -(2**63) <= v < 2**63
+
+
+def test_phash_synthetic_duplicate_groups(spark):
+    from pennsieve_streaming_spark.llm.imagehash import phash_synthetic
+
+    docs = spark.range(300).selectExpr("id AS doc_id")
+    rows = {r.media_id: r.phash for r in phash_synthetic(docs).collect()}
+    assert rows[3] == rows[3 + 256] and rows[20] == rows[20 + 256]
