@@ -2436,6 +2436,31 @@ def q_cross_correlation(spark, sf_dir):
     return channel_cross_correlation(aligned, XCORR_LAGS_US, CORR_QUANT)
 
 
+def q_granger_screen(spark, sf_dir):
+    """Granger-style lead-lag causality screen over directed channel
+    pairs on the shared LOCF day grid: does x's yesterday improve the
+    prediction of y's today beyond y's own yesterday — closed-form
+    lag-1 regression from exact BIGINT moments, expression text shared
+    verbatim with the oracle (operators/stats.G_*)."""
+    from pennsieve_streaming_spark.operators.align import asof_locf
+    from pennsieve_streaming_spark.operators.stats import granger_screen
+
+    s = TBL.samples_view(spark, sf_dir)
+    ch = TBL.channels_view(spark, sf_dir)
+    day = GRID_INTERVAL_US
+    bounds = ch.agg(
+        F.max("start_ts").alias("lo"), F.min("end_ts").alias("hi")
+    )
+    grid_ts = bounds.select(
+        F.explode(
+            F.expr(f"sequence(((lo + {day} - 1) div {day}) * {day}, hi, {day})")
+        ).alias("ts")
+    )
+    grid = ch.select("channel").crossJoin(F.broadcast(grid_ts))
+    aligned = asof_locf(s, grid).select("channel", "ts", "value")
+    return granger_screen(aligned, day, CORR_QUANT)
+
+
 def q_token_entropy(spark, sf_dir):
     """Per-document Shannon entropy of the token distribution (integer
     nano-nat weights ⇒ order-free exact sum)."""
@@ -2719,7 +2744,7 @@ _R6_FRONT = [
     "ts_cusum_monitor", "stream_cusum", "ev_rfm",
     "ev_attribution_linear", "doc_source_kl", "ts_trend_segments",
     "ts_sax_motifs", "mm_audio_match_pairs", "ts_coherence",
-    "ev_ab_conversion", "mm_image_phash",
+    "ev_ab_conversion", "mm_image_phash", "ts_granger_screen",
     # Fill to >50 with the oldest driver-checked set (r4c batch,
     # last driver-green in r4).
     "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
@@ -2770,6 +2795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_coherence": q_coherence,
         "ev_ab_conversion": q_ab_conversion,
         "mm_image_phash": q_image_phash,
+        "ts_granger_screen": q_granger_screen,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -5861,6 +5887,79 @@ def oracle_sql() -> dict[str, str]:
         SELECT ch_a, ch_b, lag_us, n,
                CASE WHEN {_corr_pos} THEN round({_corr_r}, 9)
                     ELSE CAST(0 AS DOUBLE) END AS r
+        FROM agg
+        """,
+        "samples",
+        "channels",
+    )
+
+    # Granger screen: same LOCF-day-grid CTE, lag-1 self-joins, and
+    # the IMPORTED G_* expression strings (guaranteed text identity
+    # with the Spark side)
+    from pennsieve_streaming_spark.operators.stats import (
+        G_BETA_AR as _G_BAR,
+        G_BETA_X as _G_BX,
+        G_PARTIAL_R as _G_PR,
+    )
+
+    sql["ts_granger_screen"] = with_views(
+        f"""
+        WITH b AS (
+          SELECT MAX(start_ts) AS lo, MIN(end_ts) AS hi FROM channels
+        ),
+        gb AS (
+          SELECT UNNEST(generate_series(
+            ((lo + {_DAY} - 1) // {_DAY}) * {_DAY}, hi, {_DAY})) AS ts
+          FROM b
+        ),
+        grid AS (
+          SELECT c.channel, gb.ts
+          FROM (SELECT DISTINCT channel FROM channels) c CROSS JOIN gb
+        ),
+        u AS (
+          SELECT channel, ts, value, 0 AS is_grid FROM samples
+          UNION ALL
+          SELECT channel, ts, CAST(NULL AS DOUBLE), 1 FROM grid
+        ),
+        f AS (
+          SELECT channel, ts, is_grid,
+                 last_value(value IGNORE NULLS) OVER w AS fill
+          FROM u
+          WINDOW w AS (PARTITION BY channel ORDER BY ts, is_grid, value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        vals AS (
+          SELECT channel, ts,
+                 CAST(round(fill * {CORR_QUANT}) AS BIGINT) AS xq
+          FROM f WHERE is_grid = 1
+        ),
+        yl AS (
+          SELECT c.channel AS ch_dst, c.ts, c.xq AS yq, p.xq AS y1q
+          FROM vals c JOIN vals p
+            ON p.channel = c.channel AND p.ts + {_DAY} = c.ts
+        ),
+        rws AS (
+          SELECT x.channel AS ch_src, y.ch_dst, y.yq, y.y1q, x.xq AS x1q
+          FROM yl y JOIN vals x
+            ON x.ts + {_DAY} = y.ts AND x.channel <> y.ch_dst
+        ),
+        agg AS (
+          SELECT ch_src, ch_dst, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(yq) AS BIGINT) AS sy,
+                 CAST(SUM(y1q) AS BIGINT) AS sy1,
+                 CAST(SUM(x1q) AS BIGINT) AS sx1,
+                 CAST(SUM(yq * yq) AS BIGINT) AS syy,
+                 CAST(SUM(y1q * y1q) AS BIGINT) AS sy1y1,
+                 CAST(SUM(x1q * x1q) AS BIGINT) AS sx1x1,
+                 CAST(SUM(yq * y1q) AS BIGINT) AS syy1,
+                 CAST(SUM(yq * x1q) AS BIGINT) AS syx1,
+                 CAST(SUM(y1q * x1q) AS BIGINT) AS sy1x1
+          FROM rws GROUP BY ch_src, ch_dst
+        )
+        SELECT ch_src, ch_dst, n,
+               {_G_BAR} AS beta_ar,
+               {_G_BX} AS beta_x,
+               {_G_PR} AS partial_r
         FROM agg
         """,
         "samples",

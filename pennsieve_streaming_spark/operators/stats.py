@@ -920,3 +920,127 @@ def trend_segments(
             ).alias("direction"),
         )
     )
+
+
+# Shared expression text for granger_screen: __spark_entry__ imports
+# these for the DuckDB oracle so both engines evaluate the IDENTICAL
+# float op sequence over the identical BIGINT moments (the
+# channel_cross_correlation determinism contract, with the moment
+# algebra factored into named sub-expressions).
+_G_A = (
+    "(CAST(n AS DOUBLE) * CAST(sy1y1 AS DOUBLE) "
+    "- CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE))"
+)
+_G_B = (
+    "(CAST(n AS DOUBLE) * CAST(sy1x1 AS DOUBLE) "
+    "- CAST(sy1 AS DOUBLE) * CAST(sx1 AS DOUBLE))"
+)
+_G_C = (
+    "(CAST(n AS DOUBLE) * CAST(sx1x1 AS DOUBLE) "
+    "- CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE))"
+)
+_G_D = (
+    "(CAST(n AS DOUBLE) * CAST(syy1 AS DOUBLE) "
+    "- CAST(sy AS DOUBLE) * CAST(sy1 AS DOUBLE))"
+)
+_G_E = (
+    "(CAST(n AS DOUBLE) * CAST(syx1 AS DOUBLE) "
+    "- CAST(sy AS DOUBLE) * CAST(sx1 AS DOUBLE))"
+)
+_G_F = (
+    "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+    "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
+G_BETA_AR = f"CASE WHEN {_G_A} > 0 THEN round({_G_D} / {_G_A}, 9) END"
+G_DEN2 = f"({_G_A} * {_G_C} - {_G_B} * {_G_B})"
+G_BETA_X = (
+    f"CASE WHEN {G_DEN2} > 0 THEN "
+    f"round(({_G_A} * {_G_E} - {_G_B} * {_G_D}) / {G_DEN2}, 9) END"
+)
+G_PARTIAL_R = (
+    f"CASE WHEN {G_DEN2} > 0 AND ({_G_A} * {_G_F} - {_G_D} * {_G_D}) > 0 "
+    f"THEN round(({_G_A} * {_G_E} - {_G_B} * {_G_D}) "
+    f"/ (sqrt({G_DEN2}) * sqrt({_G_A} * {_G_F} - {_G_D} * {_G_D})), 9) END"
+)
+
+
+def granger_screen(
+    values: DataFrame, step_us: int, quant: int = 100
+) -> DataFrame:
+    """Granger-style lead-lag causality screen on a uniform grid: for
+    every DIRECTED channel pair x→y, regress y_t on (y_{t-1}, x_{t-1})
+    and report whether x's past adds predictive power over y's own —
+    the lag-1 Granger test's regression, reduced to closed form:
+
+        beta_ar    AR(1)-only coefficient D/A (the restricted model)
+        beta_x     x_{t-1}'s coefficient in the full model,
+                   (AE − BD) / (AC − B²)
+        partial_r  partial correlation of x_{t-1} with y_t given
+                   y_{t-1}, (AE − BD) / sqrt((AC − B²)(AF − D²))
+
+    with A..F the n²-scaled central co-moments of (y_t, y_{t-1},
+    x_{t-1}). ``values`` must be a uniform ``step_us`` grid per
+    channel (asof_locf output — the cross_correlation input contract).
+
+    Determinism: the ten raw moments are exact quantized BIGINT sums
+    (bound: n·(max|v|·quant)² < 2^63 — the CORR_QUANT/day-grid
+    envelope); everything after is ONE fixed float expression per
+    statistic (shared verbatim with the oracle via the G_* strings),
+    rounded to 9 dp. Degenerate variances yield NULL explicitly.
+
+    Output: (ch_src, ch_dst, n, beta_ar, beta_x, partial_r) — ch_src
+    is the candidate driver x.
+
+    Plan (100 TB): one ts-equi self-join on the already-aligned grid
+    (all directed pairs share one shuffle on ts, the xcorr shape),
+    then a map-side-partial groupBy to |pairs| rows; callers restrict
+    the channel set (or pre-filter candidate pairs) when |channels|²
+    outgrows the result budget.
+    """
+    q = int(quant)
+    step = int(step_us)
+    v = values.select(
+        "channel",
+        "ts",
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    )
+    cur = v.select(
+        F.col("channel").alias("ch_dst"), "ts", F.col("xq").alias("yq")
+    )
+    prv = v.select(
+        "channel",
+        (F.col("ts") + step).alias("ts"),
+        F.col("xq").alias("lagq"),
+    )
+    yl = cur.join(
+        prv.select(
+            F.col("channel").alias("ch_dst"), "ts", F.col("lagq").alias("y1q")
+        ),
+        ["ch_dst", "ts"],
+    )
+    rows = yl.join(
+        prv.select(
+            F.col("channel").alias("ch_src"), "ts", F.col("lagq").alias("x1q")
+        ),
+        "ts",
+    ).filter(F.col("ch_src") != F.col("ch_dst"))
+    agg = rows.groupBy("ch_src", "ch_dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum("y1q").cast("long").alias("sy1"),
+        F.sum("x1q").cast("long").alias("sx1"),
+        F.sum(F.col("yq") * F.col("yq")).cast("long").alias("syy"),
+        F.sum(F.col("y1q") * F.col("y1q")).cast("long").alias("sy1y1"),
+        F.sum(F.col("x1q") * F.col("x1q")).cast("long").alias("sx1x1"),
+        F.sum(F.col("yq") * F.col("y1q")).cast("long").alias("syy1"),
+        F.sum(F.col("yq") * F.col("x1q")).cast("long").alias("syx1"),
+        F.sum(F.col("y1q") * F.col("x1q")).cast("long").alias("sy1x1"),
+    )
+    return agg.select(
+        "ch_src",
+        "ch_dst",
+        "n",
+        F.expr(G_BETA_AR).alias("beta_ar"),
+        F.expr(G_BETA_X).alias("beta_x"),
+        F.expr(G_PARTIAL_R).alias("partial_r"),
+    )

@@ -492,3 +492,36 @@ def test_trend_segments_exact_ols(spark):
     assert abs(up.slope - 2.0) < 1e-12 and abs(up.mean_value - 4.0) < 1e-12
     down = got[("down", 1000)]
     assert down.direction == "falling" and abs(down.slope + 1.0) < 1e-12
+
+
+def test_granger_screen_detects_directed_coupling(spark):
+    """y follows x with one step of lag (y_t = x_{t-1}): the x->y
+    direction shows |partial_r| ~ 1 and beta_x ~ 1; an independent
+    channel shows partial_r ~ 0 against both."""
+    import numpy as np
+
+    from pennsieve_streaming_spark.operators.stats import granger_screen
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 100, 240)
+    z = rng.uniform(0, 100, 240)
+    rows = []
+    for t in range(240):
+        rows.append(("x", t * 10, float(x[t])))
+        # y is EXACTLY x lagged one grid step (plus tiny offset)
+        rows.append(("y", t * 10, float(x[t - 1]) if t else 0.0))
+        rows.append(("z", t * 10, float(z[t])))
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    got = {
+        (r.ch_src, r.ch_dst): r
+        for r in granger_screen(df, 10, quant=100).collect()
+    }
+    assert len(got) == 6  # all directed pairs
+    xy = got[("x", "y")]
+    assert xy.n == 239
+    assert abs(xy.beta_x - 1.0) < 1e-3 and abs(xy.partial_r) > 0.999
+    # reverse direction: y's past is x's past-past — far weaker
+    assert abs(got[("y", "x")].partial_r) < 0.5
+    # independent channel: no predictive power either way
+    assert abs(got[("z", "y")].partial_r) < 0.3
+    assert abs(got[("z", "x")].partial_r) < 0.3
