@@ -1345,6 +1345,12 @@ def source_kl_divergence(documents: DataFrame) -> DataFrame:
     st = toks.groupBy("source", "t").agg(
         F.count(F.lit(1)).cast("long").alias("c_ts")
     )
+    if hasattr(st, "_jdf"):
+        # st feeds FOUR subtrees (itself, ct, ns, big_n) — pin it once
+        # so the tokenize+count pass runs once, not four times (the
+        # graph.py/global_rank materialization pattern; |source×vocab|
+        # rows, orders of magnitude below the token stream)
+        st = st.localCheckpoint()
     ct = st.groupBy("t").agg(F.sum("c_ts").cast("long").alias("c_t"))
     ns = st.groupBy("source").agg(
         F.sum("c_ts").cast("long").alias("n_s"),

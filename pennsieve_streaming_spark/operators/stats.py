@@ -1004,6 +1004,11 @@ def granger_screen(
         "ts",
         F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
     )
+    if hasattr(v, "_jdf"):
+        # v feeds three join legs (cur + two lag copies); pin the
+        # upstream grid/LOCF pass once instead of recomputing it per
+        # leg (graph.py/global_rank materialization pattern)
+        v = v.localCheckpoint()
     cur = v.select(
         F.col("channel").alias("ch_dst"), "ts", F.col("xq").alias("yq")
     )
