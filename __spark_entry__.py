@@ -1785,6 +1785,19 @@ def q_audio_match_pairs(spark, sf_dir):
     return fingerprint_match_pairs(fp)
 
 
+def q_spectral_entropy(spark, sf_dir):
+    """Spectral entropy per (channel, window): Shannon entropy of the
+    normalized DFT power distribution (spectral flatness — white
+    noise → ln(bins), pure tone → 0); welch-class BIGINT power
+    quantization + nano-nat integer entropy weights."""
+    from pennsieve_streaming_spark.dsp.spectral import spectral_entropy
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        F.col("ts") <= BW_TS_END
+    )
+    return spectral_entropy(s, PS_BINS, PS_WINDOW, PS_QUANT)
+
+
 def q_coherence(spark, sf_dir):
     """Welch-averaged magnitude-squared coherence between the two
     time-aligned channels at DFT bins 1..8 — the EEG connectivity
@@ -2745,6 +2758,7 @@ _R6_FRONT = [
     "ev_attribution_linear", "doc_source_kl", "ts_trend_segments",
     "ts_sax_motifs", "mm_audio_match_pairs", "ts_coherence",
     "ev_ab_conversion", "mm_image_phash", "ts_granger_screen",
+    "ts_spectral_entropy",
     # Fill to >50 with the oldest driver-checked set (r4c batch,
     # last driver-green in r4).
     "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
@@ -2796,6 +2810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_ab_conversion": q_ab_conversion,
         "mm_image_phash": q_image_phash,
         "ts_granger_screen": q_granger_screen,
+        "ts_spectral_entropy": q_spectral_entropy,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -5128,6 +5143,35 @@ def oracle_sql() -> dict[str, str]:
                (CAST(sc AS DOUBLE) / {PS_QUANT}) * (CAST(sc AS DOUBLE) / {PS_QUANT})
                  + (CAST(ss AS DOUBLE) / {PS_QUANT}) * (CAST(ss AS DOUBLE) / {PS_QUANT}) AS power
         FROM agg WHERE n = {PS_WINDOW}
+        """
+
+    # --- spectral entropy: power-spectrum replay + nano-nat weights --
+    sql["ts_spectral_entropy"] = f"""
+        WITH pq AS (
+          SELECT channel, win, CAST(round(power) AS BIGINT) AS pq
+          FROM ({sql["ts_power_spectrum"]})
+          WHERE CAST(round(power) AS BIGINT) > 0
+        ),
+        g AS (
+          SELECT channel, win, CAST(COUNT(*) AS BIGINT) AS n_bins_nz,
+                 CAST(SUM(pq) AS BIGINT) AS total_pq
+          FROM pq GROUP BY channel, win
+        ),
+        h AS (
+          -- SEQUENTIAL pq-ordered fold (unigram_lm's class): the
+          -- same term order as the Spark array_sort+aggregate fold
+          SELECT p.channel, p.win,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list((CAST(p.pq AS DOUBLE) / CAST(g.total_pq AS DOUBLE))
+                        * round(ln(CAST(p.pq AS DOUBLE)
+                                   / CAST(g.total_pq AS DOUBLE)), 9)
+                        ORDER BY p.pq)), (a, b) -> a + b) AS acc
+          FROM pq p JOIN g USING (channel, win)
+          GROUP BY p.channel, p.win
+        )
+        SELECT g.channel, g.win, g.n_bins_nz, g.total_pq,
+               -h.acc AS entropy
+        FROM g JOIN h USING (channel, win)
         """
 
     # --- magnitude-squared coherence: shared DFT-sum replay, paired

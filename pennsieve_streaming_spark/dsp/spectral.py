@@ -515,3 +515,59 @@ def msc_coherence(
             ),
         )
     )
+
+
+def spectral_entropy(
+    samples: DataFrame,
+    n_bins: int,
+    window_samples: int,
+    quant: int = 10**6,
+) -> DataFrame:
+    """Spectral entropy per (channel, window): Shannon entropy of the
+    normalized DFT power distribution over bins 1..n_bins — the
+    classic spectral-flatness feature (white noise → ln(n_bins), a
+    pure tone → 0); used for EEG vigilance staging and audio segment
+    classification.
+
+    Determinism (unigram_lm's ordered-fold class on welch_psd's
+    quantization): per-bin powers round to BIGINT (sub-1e-15 relative
+    at these magnitudes); each bin's term (pq/total)·round(ln(pq/
+    total), 9) is a fixed float expression over exact integers, and
+    the cross-bin reduction is a SEQUENTIAL left fold over the
+    pq-sorted list — the same order in both engines, so no
+    aggregation-order divergence. (The nano-nat integer-sum trick is
+    NOT usable here: pq·ln-weight reaches ~1e25, and casting such a
+    128-bit integer to DOUBLE is not correctly rounded in DuckDB —
+    the power_spectrum HUGEINT→DOUBLE hazard.) Zero-power bins
+    contribute 0 (the p·ln p limit) and are dropped before the ln.
+
+    Output: (channel, win, n_bins_nz, total_pq, entropy) — entropy in
+    nats, n_bins_nz = bins with nonzero quantized power.
+
+    Scale: rides power_spectrum's |channels|×|windows|×bins
+    parallelism; one further map-side-partial groupBy down to
+    |channels|×|windows| rows.
+    """
+    bp = power_spectrum(samples, n_bins, window_samples, quant)
+    pq = bp.select(
+        "channel",
+        "win",
+        F.expr("CAST(round(power) AS BIGINT)").alias("pq"),
+    ).filter(F.col("pq") > 0)
+    g = pq.groupBy("channel", "win").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins_nz"),
+        F.sum("pq").cast("long").alias("total_pq"),
+        F.array_sort(F.collect_list("pq")).alias("_ps"),
+    )
+    fold = F.expr(
+        "aggregate(_ps, CAST(0 AS DOUBLE), (acc, p) -> acc + "
+        "(CAST(p AS DOUBLE) / CAST(total_pq AS DOUBLE)) * "
+        "round(ln(CAST(p AS DOUBLE) / CAST(total_pq AS DOUBLE)), 9))"
+    )
+    return g.withColumn("_h", fold).select(
+        "channel",
+        "win",
+        "n_bins_nz",
+        "total_pq",
+        (-F.col("_h")).alias("entropy"),
+    )

@@ -574,3 +574,34 @@ def test_msc_coherence_identical_and_independent(spark):
         r.bin: r for r in msc_coherence(df, "x", "z", 6, ws).collect()
     }
     assert flipped[2].coherence < 0.1 and flipped[5].coherence < 0.1
+
+
+def test_spectral_entropy_tone_vs_noise(spark):
+    """A pure tone concentrates power in one bin -> entropy ~ 0; a
+    white-ish broadband signal spreads it -> entropy near ln(n_bins)."""
+    import math
+
+    import numpy as np
+
+    from pennsieve_streaming_spark.dsp.spectral import spectral_entropy
+
+    ws, nb = 32, 6
+    rng = np.random.default_rng(11)
+    rows = []
+    for t in range(ws * 3):
+        rows.append(
+            ("tone", t, 1000.0 * math.sin(2 * math.pi * 3 * t / ws))
+        )
+        rows.append(("noise", t, float(rng.uniform(-1000, 1000))))
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    got = {
+        (r.channel, r.win): r
+        for r in spectral_entropy(df, nb, ws, quant=10**6).collect()
+    }
+    for w in range(3):
+        tone = got[("tone", w)]
+        # bin-3 tone: >99.99% of quantized power in one bin
+        assert tone.entropy < 0.01
+        noise = got[("noise", w)]
+        assert noise.entropy > 0.5 * math.log(nb)
+        assert noise.n_bins_nz == nb
