@@ -516,6 +516,38 @@ def q_bpe_token_ids(spark, sf_dir):
     )
 
 
+def q_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility per language: subword tokens emitted per
+    whitespace word under the trained BPE — the standard
+    tokenizer-quality / language-equity metric (high fertility = the
+    tokenizer fragments that language). Exact integer token/word
+    sums, one float division; the oracle composes the gated
+    doc_bpe_token_ids replay."""
+    from pennsieve_streaming_spark.llm.text import TOKS, bpe_encode
+
+    docs = _docs(spark, sf_dir)
+    enc = bpe_encode(docs, n_merges=BPE_K, min_count=BPE_MIN_COUNT)
+    per_doc = enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sub")
+    )
+    words = docs.select(
+        "doc_id", "lang", F.expr(f"size({TOKS})").cast("long").alias("n_words")
+    )
+    return (
+        words.join(per_doc, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subtokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.expr("CAST(n_subtokens AS DOUBLE) / n_words"),
+        )
+    )
+
+
 HOLT_ANOM_K = 2.0
 
 
@@ -2758,7 +2790,7 @@ _R6_FRONT = [
     "ev_attribution_linear", "doc_source_kl", "ts_trend_segments",
     "ts_sax_motifs", "mm_audio_match_pairs", "ts_coherence",
     "ev_ab_conversion", "mm_image_phash", "ts_granger_screen",
-    "ts_spectral_entropy",
+    "ts_spectral_entropy", "doc_bpe_fertility",
     # Fill to >50 with the oldest driver-checked set (r4c batch,
     # last driver-green in r4).
     "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
@@ -2811,6 +2843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_phash": q_image_phash,
         "ts_granger_screen": q_granger_screen,
         "ts_spectral_entropy": q_spectral_entropy,
+        "doc_bpe_fertility": q_bpe_fertility,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -6614,6 +6647,24 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN benc e ON d.doc_id = e.doc_id
         """
     )
+
+    sql["doc_bpe_fertility"] = f"""
+        WITH enc AS (SELECT * FROM ({sql["doc_bpe_token_ids"]})),
+        w AS (
+          SELECT doc_id, lang,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                      AS BIGINT) AS n_words
+          FROM documents
+        )
+        SELECT w.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(w.n_words) AS BIGINT) AS n_words,
+               CAST(SUM(e.n_subtokens) AS BIGINT) AS n_subtokens,
+               CAST(SUM(e.n_subtokens) AS DOUBLE) / SUM(w.n_words)
+                 AS fertility
+        FROM w JOIN enc e USING (doc_id)
+        WHERE e.n_subtokens > 0
+        GROUP BY w.lang
+        """
 
     sql["doc_vocab"] = f"""
         WITH {_VOCAB}
