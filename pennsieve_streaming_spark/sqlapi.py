@@ -83,16 +83,19 @@ def register_operator_views(
     Catalyst prunes/pushes down through them exactly as through the
     DataFrame API; the plan test pins that for the window-free paths).
 
-    Views: ``ltob`` (downsample_ltob), ``sax`` (sax_words), ``welch``
-    (welch_psd), and — when ``asof_probe_events`` — ``asof_events``
-    (each channel-mapped event joined as-of against the sample feed).
+    Views: ``ltob`` (downsample_ltob), ``sax`` (sax_words),
+    ``sax_motifs`` (sax_motifs), ``welch`` (welch_psd),
+    ``trend_segments`` (4-week OLS trends), and — when
+    ``asof_probe_events`` — ``asof_events`` (each channel-mapped
+    event joined as-of against the sample feed).
     """
     from pennsieve_streaming_spark.dsp.spectral import welch_psd
     from pennsieve_streaming_spark.operators.align import asof_join
     from pennsieve_streaming_spark.operators.downsample import (
         downsample_ltob,
     )
-    from pennsieve_streaming_spark.operators.sax import sax_words
+    from pennsieve_streaming_spark.operators.sax import sax_motifs, sax_words
+    from pennsieve_streaming_spark.operators.stats import trend_segments
 
     names: list[str] = []
 
@@ -103,6 +106,14 @@ def register_operator_views(
     samples = TBL.samples_view(spark, sf_dir)
     add("ltob", downsample_ltob(samples, ltob_bucket_samples))
     add("sax", sax_words(samples, sax_window_samples, sax_segments))
+    add(
+        "sax_motifs",
+        sax_motifs(samples, sax_window_samples, sax_segments),
+    )
+    add(
+        "trend_segments",
+        trend_segments(samples, 28 * 86_400_000_000, 86_400_000_000),
+    )
     add(
         "welch",
         welch_psd(samples, welch_freqs_hz, welch_rate_hz, welch_window_samples),

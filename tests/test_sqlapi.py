@@ -72,12 +72,22 @@ def test_operator_views_match_python_api(spark):
     )
     assert sorted(map(tuple, got_sax)) == sorted(map(tuple, want_sax))
 
-    # welch + asof_events resolve and return rows
+    # welch + asof_events + the round-6b views resolve and return rows
     assert spark.sql("SELECT COUNT(*) AS n FROM o1_welch").collect()[0].n > 0
     assert (
         spark.sql("SELECT COUNT(*) AS n FROM o1_asof_events").collect()[0].n
         > 0
     )
+    assert {"o1_sax_motifs", "o1_trend_segments"} <= set(names)
+    m = spark.sql(
+        "SELECT channel, sax_word, rank FROM o1_sax_motifs WHERE rank = 1"
+    ).collect()
+    assert m and all(r.rank == 1 for r in m)
+    t = spark.sql(
+        "SELECT direction, COUNT(*) AS n FROM o1_trend_segments "
+        "GROUP BY direction"
+    ).collect()
+    assert sum(r.n for r in t) > 0
 
 
 def test_operator_view_channel_filter_pushes_to_scan(spark):
