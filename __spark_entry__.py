@@ -2427,6 +2427,30 @@ def q_trend_segments(spark, sf_dir):
     )
 
 
+def q_stream_trend(spark, sf_dir):
+    """Streaming trend segments drained with availableNow: the OLS
+    moment aggregation runs as a single complete-mode streaming agg
+    (associative integer sums ⇒ drain == batch), and the shared
+    closed-form finish makes the output bit-identical to
+    ts_trend_segments — one batch SQL oracle gates both."""
+    import tempfile
+
+    from pennsieve_streaming_spark.streaming.trend import (
+        drain_trend_segments,
+    )
+
+    s = TBL.samples_view(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="pss_stream_tr_")
+    s.coalesce(2).write.parquet(f"{base}/src")
+    stream = spark.readStream.schema(
+        "channel string, ts long, value double"
+    ).parquet(f"{base}/src")
+    return drain_trend_segments(
+        spark, stream, TREND_WIN_US, TREND_X_US, f"{base}/ckpt",
+        query_name=f"trseg_{abs(hash(base)) % 10**9}",
+    )
+
+
 def q_hourly_profile(spark, sf_dir):
     """Typical-day seasonal profile: per (channel, hour-of-day) count
     and exact-quantized mean."""
@@ -2790,7 +2814,7 @@ _R6_FRONT = [
     "ev_attribution_linear", "doc_source_kl", "ts_trend_segments",
     "ts_sax_motifs", "mm_audio_match_pairs", "ts_coherence",
     "ev_ab_conversion", "mm_image_phash", "ts_granger_screen",
-    "ts_spectral_entropy", "doc_bpe_fertility",
+    "ts_spectral_entropy", "doc_bpe_fertility", "stream_trend",
     # Fill to >50 with the oldest driver-checked set (r4c batch,
     # last driver-green in r4).
     "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
@@ -2844,6 +2868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_granger_screen": q_granger_screen,
         "ts_spectral_entropy": q_spectral_entropy,
         "doc_bpe_fertility": q_bpe_fertility,
+        "stream_trend": q_stream_trend,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -4251,6 +4276,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "samples",
     )
+
+    # streaming trend segments drain == batch (associative moments,
+    # shared finish) — same oracle
+    sql["stream_trend"] = sql["ts_trend_segments"]
 
     sql["ts_quality_profile"] = with_views(
         f"""

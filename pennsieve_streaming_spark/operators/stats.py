@@ -894,6 +894,17 @@ def trend_segments(
             F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
         )
     )
+    return finish_trend_segments(g, quant=q, min_n=min_n)
+
+
+def finish_trend_segments(
+    g: DataFrame, quant: int = 100, min_n: int = 2
+) -> DataFrame:
+    """The closed-form OLS finish over a (channel, win_start, n, sx,
+    sy, sxy, sxx) moment table — shared by :func:`trend_segments` and
+    the streaming drain (streaming/trend.py), so both paths evaluate
+    the identical expressions over the identical exact integers."""
+    q = int(quant)
     num = (
         "CAST(n AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0)) "
         "- CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))"

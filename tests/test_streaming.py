@@ -174,3 +174,42 @@ def test_stream_distinct_events_dedups_across_batches(spark, tmp_path):
     )
     ids = sorted(r.event_id for r in out.collect())
     assert ids == [1, 2, 3, 4]
+
+
+def test_stream_trend_drain_equals_batch(spark, tmp_path):
+    """Multi-file availableNow drain of the trend-moment aggregation
+    equals batch trend_segments (associative moments + shared
+    finish)."""
+    import numpy as np
+    import pandas as pd
+
+    from pennsieve_streaming_spark.operators.stats import trend_segments
+    from pennsieve_streaming_spark.streaming.trend import (
+        drain_trend_segments,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for ch in ("a", "b"):
+        for t in range(400):
+            rows.append((ch, t * 7, float(rng.uniform(0, 50) + t * 0.1)))
+    pdf = pd.DataFrame(rows, columns=["channel", "ts", "value"])
+    src = str(tmp_path / "src")
+    # two files -> two micro-batch candidates
+    spark.createDataFrame(pdf.iloc[:500]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(pdf.iloc[500:]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(
+        "channel string, ts long, value double"
+    ).parquet(src)
+    got = drain_trend_segments(
+        spark, stream, 700, 70, str(tmp_path / "ckpt"),
+        query_name="trseg_test",
+    ).collect()
+    df = spark.createDataFrame(pdf)
+    want = trend_segments(df, 700, 70).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(want) > 0
