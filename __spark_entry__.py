@@ -1300,6 +1300,20 @@ def q_value_histogram(spark, sf_dir):
     return value_histogram(s, HIST_LO, HIST_HI, HIST_BINS)
 
 
+DG_BINS = 22  # amplitude bins of the density display grid
+
+
+def q_density_grid(spark, sf_dir):
+    """2-D time×amplitude density rollup (heat-map display product):
+    per (channel, 4-week bucket, value bin) counts with edge-bin
+    clamping — one partial-agg groupBy, embarrassingly parallel."""
+    from pennsieve_streaming_spark.operators.stats import density_grid
+
+    return density_grid(
+        TBL.samples_view(spark, sf_dir), TREND_WIN_US, HQ_LO, HQ_HI, DG_BINS
+    )
+
+
 def q_zscore_outliers(spark, sf_dir):
     """|z| > 3 artifact flags against exact quantized channel moments
     (event stream — its value tail actually exceeds 3σ)."""
@@ -2815,6 +2829,7 @@ _R6_FRONT = [
     "ts_sax_motifs", "mm_audio_match_pairs", "ts_coherence",
     "ev_ab_conversion", "mm_image_phash", "ts_granger_screen",
     "ts_spectral_entropy", "doc_bpe_fertility", "stream_trend",
+    "ts_density_grid",
     # Fill to >50 with the oldest driver-checked set (r4c batch,
     # last driver-green in r4).
     "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
@@ -2869,6 +2884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_spectral_entropy": q_spectral_entropy,
         "doc_bpe_fertility": q_bpe_fertility,
         "stream_trend": q_stream_trend,
+        "ts_density_grid": q_density_grid,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -4280,6 +4296,28 @@ def oracle_sql() -> dict[str, str]:
     # streaming trend segments drain == batch (associative moments,
     # shared finish) — same oracle
     sql["stream_trend"] = sql["ts_trend_segments"]
+
+    _dg_w = (HQ_HI - HQ_LO) / DG_BINS
+    _dg_raw = (
+        f"CAST(floor((value - {HQ_LO!r}e0) / {_dg_w!r}e0) AS BIGINT)"
+    )
+    sql["ts_density_grid"] = with_views(
+        f"""
+        WITH b AS (
+          SELECT channel,
+                 (ts // {TREND_WIN_US}) * {TREND_WIN_US} AS t_bucket,
+                 CASE WHEN {_dg_raw} < 0 THEN 0
+                      WHEN {_dg_raw} > {DG_BINS - 1} THEN {DG_BINS - 1}
+                      ELSE {_dg_raw} END AS bin
+          FROM samples
+        )
+        SELECT channel, t_bucket, bin,
+               {HQ_LO!r}e0 + bin * {_dg_w!r}e0 AS bin_lo,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM b GROUP BY channel, t_bucket, bin
+        """,
+        "samples",
+    )
 
     sql["ts_quality_profile"] = with_views(
         f"""

@@ -1060,3 +1060,54 @@ def granger_screen(
         F.expr(G_BETA_X).alias("beta_x"),
         F.expr(G_PARTIAL_R).alias("partial_r"),
     )
+
+
+def density_grid(
+    samples: DataFrame,
+    t_bucket_us: int,
+    v_lo: float,
+    v_hi: float,
+    v_bins: int,
+) -> DataFrame:
+    """2-D time×amplitude density rollup: per (channel, time bucket,
+    value bin) sample counts — the heat-map display product (EEG
+    review density plots, dashboard "waveform over months" views)
+    where a line plot of raw samples would alias. The time-evolving
+    extension of :func:`value_histogram`'s per-channel 1-D histogram.
+
+    Out-of-range values clamp into the edge bins (the display
+    convention: extremes stay visible at the border rather than
+    vanishing). All arithmetic is integer bucketing on exact inputs —
+    engine-identical.
+
+    Output: (channel, t_bucket, bin, bin_lo, n).
+
+    Scale: ONE map + partial-agg groupBy to |channels|×|buckets|×bins
+    rows — embarrassingly parallel, no windows, no joins; the shape
+    every rollup-serving path wants at 100 TB.
+    """
+    tb = int(t_bucket_us)
+    nb = int(v_bins)
+    w = (float(v_hi) - float(v_lo)) / nb
+    raw_bin = f"CAST(floor((value - {v_lo!r}e0) / {w!r}e0) AS BIGINT)"
+    clamped = (
+        f"CASE WHEN {raw_bin} < 0 THEN 0 "
+        f"WHEN {raw_bin} > {nb - 1} THEN {nb - 1} "
+        f"ELSE {raw_bin} END"
+    )
+    return (
+        samples.select(
+            "channel",
+            F.expr(f"(ts div {tb}) * {tb}").alias("t_bucket"),
+            F.expr(clamped).alias("bin"),
+        )
+        .groupBy("channel", "t_bucket", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "channel",
+            "t_bucket",
+            "bin",
+            F.expr(f"{v_lo!r}e0 + bin * {w!r}e0").alias("bin_lo"),
+            "n",
+        )
+    )

@@ -525,3 +525,25 @@ def test_granger_screen_detects_directed_coupling(spark):
     # independent channel: no predictive power either way
     assert abs(got[("z", "y")].partial_r) < 0.3
     assert abs(got[("z", "x")].partial_r) < 0.3
+
+
+def test_density_grid_clamps_and_counts(spark):
+    from pennsieve_streaming_spark.operators.stats import density_grid
+
+    rows = [
+        ("c", 0, -5.0),    # below range -> bin 0
+        ("c", 1, 0.0),     # bin 0
+        ("c", 2, 15.0),    # bin 1 (width 10 over [0, 40), 4 bins)
+        ("c", 3, 99.0),    # above range -> bin 3
+        ("c", 1000, 25.0), # next time bucket, bin 2
+    ]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    got = {
+        (r.t_bucket, r.bin): (r.n, r.bin_lo)
+        for r in density_grid(df, 1000, 0.0, 40.0, 4).collect()
+    }
+    assert got[(0, 0)] == (2, 0.0)
+    assert got[(0, 1)] == (1, 10.0)
+    assert got[(0, 3)] == (1, 30.0)
+    assert got[(1000, 2)] == (1, 20.0)
+    assert len(got) == 4
