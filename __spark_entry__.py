@@ -2808,16 +2808,9 @@ _R6_FRONT = [
     "ev_top_paths", "doc_weighted_sample", "doc_ngram_containment",
     "doc_contamination_fuzzy", "doc_cluster_dedup", "doc_hll_distinct",
     "stream_sessionize", "ts_rolling_stats",
-    # 13-14: r4 hash-reds, type-fixed in r5, judge-green but the r5
-    # rotation parked them at 51-52 — never driver-green post-fix.
-    "ts_power_spectrum", "ts_change_points",
-    # 15: K-collect fix landed r5, judge-green, driver last saw r4.
-    "ev_funnel_steps",
-    # 16-19: align/simhash family touched THIS round (blocked-halo,
-    # payload-type fix, second-anchor star cap) — re-check value.
-    "ts_locf_resample", "ts_interp_resample", "ts_span_point_join",
-    "doc_simhash_near_pairs",
-    # round-6 additions slot in here (newest first).
+    # round-6 additions slot in here (newest first) — every one is
+    # never-driver-sampled, so they take priority over the recheck
+    # block (which has at least one driver-green row already).
     "ts_asof_join_blocked", "stream_asof_join",
     "ts_holt_smoothing", "ev_markov_entropy", "stream_holt",
     "mm_image_dhash", "mm_dhash_near_pairs", "doc_bpe_merges",
@@ -2830,6 +2823,12 @@ _R6_FRONT = [
     "ev_ab_conversion", "mm_image_phash", "ts_granger_screen",
     "ts_spectral_entropy", "doc_bpe_fertility", "stream_trend",
     "ts_density_grid",
+    # Recheck block (driver-green before, re-verification value only):
+    # r4 hash-reds type-fixed in r5, the r5 funnel fix, and the
+    # align/simhash family touched this round.
+    "ts_power_spectrum", "ts_change_points", "ev_funnel_steps",
+    "ts_locf_resample", "ts_interp_resample", "ts_span_point_join",
+    "doc_simhash_near_pairs",
     # Fill to >50 with the oldest driver-checked set (r4c batch,
     # last driver-green in r4).
     "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
