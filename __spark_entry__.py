@@ -872,6 +872,60 @@ def q_lsh_pairs(spark, sf_dir):
     return jaccard_pairs(sh, candidates=cands)
 
 
+LSH_EVAL_TAU = 0.2  # the ngram-jaccard near-dup gate
+
+
+def q_lsh_eval(spark, sf_dir):
+    """MinHash-LSH index-quality evaluation (the text-dedup analogue
+    of emb_ann_recall): candidate precision (how much of the banded
+    candidate set survives the >= tau verify) and recall against the
+    exact df-capped Jaccard ground truth. Exact integer counts, one
+    fixed float division each; the oracle composes both gated
+    queries' SQL verbatim."""
+    sh = shingles(_docs(spark, sf_dir)).cache()
+    cands = lsh_candidate_pairs(
+        lsh_band_keys(minhash_wide(sh)), max_bucket_size=LSH_MAX_BUCKET
+    ).cache()
+    cands.count()
+    pred = jaccard_pairs(sh, candidates=cands)
+    truth = jaccard_pairs(
+        sh, min_jaccard=LSH_EVAL_TAU, max_doc_freq=JACCARD_MAX_DF
+    )
+    a = pred.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum(
+            F.when(F.col("jaccard") >= LSH_EVAL_TAU, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_pred"),
+    )
+    b = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    c = (
+        pred.filter(F.col("jaccard") >= LSH_EVAL_TAU)
+        .select("doc_a", "doc_b")
+        .join(truth.select("doc_a", "doc_b"), ["doc_a", "doc_b"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    return (
+        a.crossJoin(b)
+        .crossJoin(c)
+        .select(
+            "n_candidates",
+            "n_pred",
+            "n_truth",
+            "n_hit",
+            F.expr(
+                "CASE WHEN n_candidates > 0 THEN "
+                "CAST(n_pred AS DOUBLE) / n_candidates END"
+            ).alias("cand_precision"),
+            F.expr(
+                "CASE WHEN n_truth > 0 THEN "
+                "CAST(n_hit AS DOUBLE) / n_truth END"
+            ).alias("recall"),
+        )
+    )
+
+
 def q_kmeans(spark, sf_dir):
     """Two Lloyd iterations from the golden init, then the trained
     assignment — the learned-centroid path for IVF/SemDeDup."""
@@ -2822,7 +2876,7 @@ _R6_FRONT = [
     "ts_sax_motifs", "mm_audio_match_pairs", "ts_coherence",
     "ev_ab_conversion", "mm_image_phash", "ts_granger_screen",
     "ts_spectral_entropy", "doc_bpe_fertility", "stream_trend",
-    "ts_density_grid",
+    "ts_density_grid", "doc_lsh_eval",
     # Recheck block (driver-green before, re-verification value only):
     # r4 hash-reds type-fixed in r5, the r5 funnel fix, and the
     # align/simhash family touched this round.
@@ -2884,6 +2938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_fertility": q_bpe_fertility,
         "stream_trend": q_stream_trend,
         "ts_density_grid": q_density_grid,
+        "doc_lsh_eval": q_lsh_eval,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -7103,6 +7158,31 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON i.doc_a = sa.doc_id
         JOIN sizes sb ON i.doc_b = sb.doc_id
         WHERE i.inter / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.2e0
+        """
+
+    # LSH index-quality eval: composes the two gated SQLs verbatim
+    sql["doc_lsh_eval"] = f"""
+        WITH pred AS (SELECT * FROM ({sql["doc_minhash_lsh_pairs"]})),
+        truth AS (SELECT * FROM ({sql["doc_ngram_jaccard"]})),
+        a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                 CAST(SUM(CASE WHEN jaccard >= 2e-1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_pred
+          FROM pred
+        ),
+        b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+        c AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+          FROM (SELECT doc_a, doc_b FROM pred WHERE jaccard >= 2e-1) p
+          JOIN (SELECT doc_a, doc_b FROM truth) t USING (doc_a, doc_b)
+        )
+        SELECT a.n_candidates, a.n_pred, b.n_truth, c.n_hit,
+               CASE WHEN a.n_candidates > 0 THEN
+                 CAST(a.n_pred AS DOUBLE) / a.n_candidates END
+                 AS cand_precision,
+               CASE WHEN b.n_truth > 0 THEN
+                 CAST(c.n_hit AS DOUBLE) / b.n_truth END AS recall
+        FROM a, b, c
         """
 
     sql["doc_dedup_filter"] = f"""
