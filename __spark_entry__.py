@@ -1775,6 +1775,20 @@ def q_last_touch(spark, sf_dir):
     return last_touch(_user_events(spark, sf_dir), "purchase")
 
 
+def q_session_stats(spark, sf_dir):
+    """Corpus-wide session-length summary: exact interpolated
+    p50/p90/p99 + mean of inactivity-gap session durations — global
+    order statistics via the two-phase rank, never a single-task
+    window."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        session_duration_stats,
+    )
+
+    return session_duration_stats(
+        _user_events(spark, sf_dir), SESSION_GAP_US
+    )
+
+
 MADZ_THRESHOLD = 3.5  # modified z-score cutoff (Iglewicz & Hoaglin)
 
 
@@ -2876,7 +2890,7 @@ _R6_FRONT = [
     "ts_sax_motifs", "mm_audio_match_pairs", "ts_coherence",
     "ev_ab_conversion", "mm_image_phash", "ts_granger_screen",
     "ts_spectral_entropy", "doc_bpe_fertility", "stream_trend",
-    "ts_density_grid", "doc_lsh_eval",
+    "ts_density_grid", "doc_lsh_eval", "ev_session_stats",
     # Recheck block (driver-green before, re-verification value only):
     # r4 hash-reds type-fixed in r5, the r5 funnel fix, and the
     # align/simhash family touched this round.
@@ -2939,6 +2953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_trend": q_stream_trend,
         "ts_density_grid": q_density_grid,
         "doc_lsh_eval": q_lsh_eval,
+        "ev_session_stats": q_session_stats,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -4930,6 +4945,47 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n_events,
                MAX(ts) - MIN(ts) AS duration_us
         FROM keyed GROUP BY user_id, sess
+        """
+
+    _ss_parts = []
+    for _p in (0.5, 0.9, 0.99):
+        _nm = f"p{str(_p).replace('0.', '').ljust(2, '0')}"
+        _idx = f"CAST(floor(CAST({_p!r} AS DOUBLE) * (t.n - 1)) AS BIGINT)"
+        _nxt = f"least({_idx} + 1, t.n - 1)"
+        _ss_parts.append(
+            f"MAX(CASE WHEN r.r0 = {_idx} THEN r.duration_us END)"
+            f" AS _lo_{_nm}, "
+            f"MAX(CASE WHEN r.r0 = {_nxt} THEN r.duration_us END)"
+            f" AS _hi_{_nm}"
+        )
+    _ss_posts = ", ".join(
+        f"_lo_p{_n} + (_hi_p{_n} - _lo_p{_n}) * "
+        f"(CAST({_p!r} AS DOUBLE) * (n_sessions - 1) "
+        f"- floor(CAST({_p!r} AS DOUBLE) * (n_sessions - 1))) AS p{_n}"
+        for _p, _n in ((0.5, "50"), (0.9, "90"), (0.99, "99"))
+    )
+    sql["ev_session_stats"] = f"""
+        WITH s AS (SELECT * FROM ({sql["ev_user_sessions"]})),
+        t AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(duration_us) AS BIGINT) AS sdur
+          FROM s
+        ),
+        r AS (
+          SELECT duration_us,
+                 ROW_NUMBER() OVER (ORDER BY duration_us, user_id,
+                                    session_start) - 1 AS r0
+          FROM s
+        ),
+        sel AS (
+          SELECT t.n AS n_sessions, t.sdur AS _sdur,
+                 {", ".join(_ss_parts)}
+          FROM r, t GROUP BY t.n, t.sdur
+        )
+        SELECT n_sessions,
+               CAST(_sdur AS DOUBLE) / n_sessions AS mean_us,
+               {_ss_posts}
+        FROM sel
         """
 
     sql["ev_event_transitions"] = """

@@ -729,3 +729,75 @@ def ab_conversion_test(events: DataFrame, conversion: str) -> DataFrame:
             "* (1e0 / n_a + 1e0 / n_b)) END"
         ).alias("z"),
     )
+
+
+def session_duration_stats(
+    events: DataFrame, gap_us: int, ps: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Corpus-wide session-length summary: exact interpolated
+    percentiles and mean of the :func:`user_sessions` durations — the
+    engagement-distribution panel every product dashboard opens with.
+
+    The percentile is the channel_percentiles order-statistic
+    interpolation, but the ranking is GLOBAL over all sessions — so it
+    runs on the two-phase ``util.global_rank`` (range partition +
+    offset fold) instead of an all-rows single-task window; |sessions|
+    can reach |users|×days at scale.
+
+    Determinism: durations are exact integer µs; each percentile picks
+    two bracketing order statistics under a total order (duration,
+    user_id, session_start) and interpolates with one fixed float
+    expression; the mean is one division of exact integers.
+
+    Output: one row (n_sessions, mean_us, p50, p90, p99).
+    """
+    from pennsieve_streaming_spark.util import global_rank
+
+    s = user_sessions(events, gap_us).select(
+        "user_id", "session_start", "duration_us"
+    )
+    ranked = global_rank(
+        s,
+        [F.asc("duration_us"), F.asc("user_id"), F.asc("session_start")],
+        "_r",
+    )
+    tot = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("duration_us").cast("long").alias("sdur"),
+    )
+    j = ranked.crossJoin(F.broadcast(tot))
+    aggs = [
+        F.max("n").cast("long").alias("n_sessions"),
+        F.max("sdur").cast("long").alias("_sdur"),
+    ]
+    posts = []
+    for p in ps:
+        name = f"p{str(p).replace('0.', '').ljust(2, '0')}"
+        idx = F.expr(f"CAST(floor(CAST({p!r} AS DOUBLE) * (n - 1)) AS BIGINT)")
+        nxt = F.expr(
+            f"least(CAST(floor(CAST({p!r} AS DOUBLE) * (n - 1)) AS BIGINT)"
+            " + 1, n - 1)"
+        )
+        aggs.append(
+            F.max(F.when(F.col("_r") - 1 == idx, F.col("duration_us"))).alias(
+                f"_lo_{name}"
+            )
+        )
+        aggs.append(
+            F.max(F.when(F.col("_r") - 1 == nxt, F.col("duration_us"))).alias(
+                f"_hi_{name}"
+            )
+        )
+        posts.append(
+            F.expr(
+                f"_lo_{name} + (_hi_{name} - _lo_{name}) * "
+                f"(CAST({p!r} AS DOUBLE) * (n_sessions - 1) "
+                f"- floor(CAST({p!r} AS DOUBLE) * (n_sessions - 1)))"
+            ).alias(name)
+        )
+    out = j.agg(*aggs)
+    return out.select(
+        "n_sessions",
+        F.expr("CAST(_sdur AS DOUBLE) / n_sessions").alias("mean_us"),
+        *posts,
+    )

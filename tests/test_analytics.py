@@ -455,3 +455,26 @@ def test_ab_conversion_counts_and_degenerate_z(spark):
     )
     r2 = ab_conversion_test(ev2, "purchase").collect()[0]
     assert r2.z is None and r2.rate_a == 1.0 and r2.rate_b == 1.0
+
+
+def test_session_duration_stats_exact_percentiles(spark):
+    """Hand-checked percentile interpolation over known durations."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        session_duration_stats,
+    )
+
+    # 5 single-session users with durations 0, 10, 20, 30, 40
+    rows = []
+    eid = 0
+    for u, d in enumerate([0, 10, 20, 30, 40]):
+        rows.append((u, 0, eid, "a")); eid += 1
+        if d:
+            rows.append((u, d, eid, "b")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, event_type string"
+    )
+    r = session_duration_stats(ev, gap_us=1000).collect()[0]
+    assert r.n_sessions == 5 and abs(r.mean_us - 20.0) < 1e-12
+    assert abs(r.p50 - 20.0) < 1e-12     # exact middle
+    assert abs(r.p90 - 36.0) < 1e-12     # 0.9*4 = 3.6 -> 30 + .6*10
+    assert abs(r.p99 - 39.6) < 1e-9      # 0.99*4 = 3.96
