@@ -872,6 +872,28 @@ def q_lsh_pairs(spark, sf_dir):
     return jaccard_pairs(sh, candidates=cands)
 
 
+def q_jaccard_histogram(spark, sf_dir):
+    """Pair-similarity histogram: df-capped exact Jaccard pairs
+    bucketed into 10 similarity deciles — the threshold-tuning panel
+    for dedup (where does the near-dup mass sit). Integer bucketing
+    of an identically-computed double; j = 1.0 clamps into the top
+    decile."""
+    sh = shingles(_docs(spark, sf_dir))
+    pairs = jaccard_pairs(sh, max_doc_freq=JACCARD_MAX_DF)
+    return (
+        pairs.select(
+            F.expr(
+                "least(CAST(floor(jaccard * 10) AS BIGINT), 9)"
+            ).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn(
+            "j_lo", F.expr("CAST(decile AS DOUBLE) / 10")
+        )
+    )
+
+
 LSH_EVAL_TAU = 0.2  # the ngram-jaccard near-dup gate
 
 
@@ -2891,6 +2913,7 @@ _R6_FRONT = [
     "ev_ab_conversion", "mm_image_phash", "ts_granger_screen",
     "ts_spectral_entropy", "doc_bpe_fertility", "stream_trend",
     "ts_density_grid", "doc_lsh_eval", "ev_session_stats",
+    "doc_jaccard_histogram",
     # Recheck block (driver-green before, re-verification value only):
     # r4 hash-reds type-fixed in r5, the r5 funnel fix, and the
     # align/simhash family touched this round.
@@ -2954,6 +2977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_density_grid": q_density_grid,
         "doc_lsh_eval": q_lsh_eval,
         "ev_session_stats": q_session_stats,
+        "doc_jaccard_histogram": q_jaccard_histogram,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -7214,6 +7238,34 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON i.doc_a = sa.doc_id
         JOIN sizes sb ON i.doc_b = sb.doc_id
         WHERE i.inter / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.2e0
+        """
+
+    # similarity-decile histogram over the df-capped exact pairs (the
+    # ngram_jaccard SQL minus its >= tau gate)
+    sql["doc_jaccard_histogram"] = f"""
+        WITH {DOC_PRE},
+        ok_sh AS (
+          SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= {JACCARD_MAX_DF}
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        ints AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM sh a
+          JOIN ok_sh o ON a.sh = o.sh
+          JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        j AS (
+          SELECT least(CAST(floor(
+                   (i.inter / CAST(sa.n + sb.n - i.inter AS DOUBLE)) * 10
+                 ) AS BIGINT), 9) AS decile
+          FROM ints i
+          JOIN sizes sa ON i.doc_a = sa.doc_id
+          JOIN sizes sb ON i.doc_b = sb.doc_id
+        )
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(decile AS DOUBLE) / 10 AS j_lo
+        FROM j GROUP BY decile
         """
 
     # LSH index-quality eval: composes the two gated SQLs verbatim
