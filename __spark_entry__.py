@@ -1948,6 +1948,46 @@ def q_coherence(spark, sf_dir):
     return msc_coherence(s, "lead", "sec", PS_BINS, PS_WINDOW, PS_QUANT)
 
 
+AF_SHIFT_SAMPLES = 500        # query clip starts 5 frames into the db
+AF_MAX_LAG = 20
+
+
+def q_audio_offset_search(spark, sf_dir):
+    """H&K fingerprint search with unknown offset: a level-shifted
+    query clip cut 5 frames into the lead channel is located by
+    posting-hit lag votes (deterministic argmax) + aligned hamming
+    verify — the 'identify this snippet' primitive; the true lag wins
+    on the lead channel."""
+    from pennsieve_streaming_spark.dsp.spectral import (
+        audio_fingerprint,
+        fingerprint_offset_search,
+    )
+    from pyspark.sql import Window
+
+    s_all = TBL.samples_aligned_view(spark, sf_dir).filter(
+        F.col("ts") <= BW_TS_END
+    ).select("channel", "ts", "value")
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    qsrc = (
+        s_all.filter(F.col("channel") == "lead")
+        .withColumn("_rn", F.row_number().over(w) - 1)
+        .filter(F.col("_rn") >= AF_SHIFT_SAMPLES)
+        .select(
+            F.lit("q").alias("channel"),
+            "ts",
+            F.expr("value * 2e0 + 1e1").alias("value"),
+        )
+    )
+    fp = audio_fingerprint(
+        s_all.unionByName(qsrc), AF_FREQS, BW_RATE, AF_WINDOW
+    )
+    return fingerprint_offset_search(
+        fp.filter(F.col("channel") != "q"),
+        fp.filter(F.col("channel") == "q"),
+        AF_MAX_LAG,
+    )
+
+
 PS_BINS, PS_WINDOW, PS_QUANT = 8, 100, 10**6
 
 
@@ -2913,7 +2953,7 @@ _R6_FRONT = [
     "ev_ab_conversion", "mm_image_phash", "ts_granger_screen",
     "ts_spectral_entropy", "doc_bpe_fertility", "stream_trend",
     "ts_density_grid", "doc_lsh_eval", "ev_session_stats",
-    "doc_jaccard_histogram",
+    "doc_jaccard_histogram", "mm_audio_offset_search",
     # Recheck block (driver-green before, re-verification value only):
     # r4 hash-reds type-fixed in r5, the r5 funnel fix, and the
     # align/simhash family touched this round.
@@ -2978,6 +3018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lsh_eval": q_lsh_eval,
         "ev_session_stats": q_session_stats,
         "doc_jaccard_histogram": q_jaccard_histogram,
+        "mm_audio_offset_search": q_audio_offset_search,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -5643,6 +5684,118 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(bit_count(xor(fp_a, fp_b))) AS DOUBLE)
                  / COUNT(*) AS mean_hamming
         FROM al GROUP BY channel_a, channel_b
+        """
+
+    # --- audio offset search: three-channel fingerprint replay + lag
+    # votes + deterministic argmax + aligned hamming ------------------
+    sql["mm_audio_offset_search"] = f"""
+        WITH RECURSIVE samples_aligned AS
+          ({TBL.DUCKDB_VIEWS['samples_aligned']}),
+        src AS (
+          SELECT channel, ts, value FROM samples_aligned
+          WHERE channel IN ('lead', 'sec') AND ts <= {BW_TS_END}
+          UNION ALL
+          SELECT 'q' AS channel, ts, value * 2e0 + 1e1 AS value
+          FROM (
+            SELECT ts, value,
+                   ROW_NUMBER() OVER (ORDER BY ts, value) - 1 AS rn
+            FROM samples_aligned
+            WHERE channel = 'lead' AND ts <= {BW_TS_END}
+          ) WHERE rn >= {AF_SHIFT_SAMPLES}
+        ),
+        inp AS (
+          SELECT channel, value,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS rn,
+                 COUNT(*) OVER (PARTITION BY channel) AS cnt
+          FROM src
+        ),
+        wininp AS (
+          SELECT channel, CAST(rn // {AF_WINDOW} AS BIGINT) AS win,
+                 CAST(rn % {AF_WINDOW} AS BIGINT) AS pos, value AS x
+          FROM inp WHERE rn < (cnt // {AF_WINDOW}) * {AF_WINDOW}
+        ),
+        freqs AS (SELECT * FROM (VALUES {_af_vals}) AS t(freq_hz, c, band)),
+        rec AS (
+          SELECT w.channel, w.win, f.freq_hz, f.c,
+                 CAST(f.band AS BIGINT) AS band,
+                 CAST(-1 AS BIGINT) AS pos, 0e0 AS s1, 0e0 AS s2
+          FROM (SELECT DISTINCT channel, win FROM wininp) w
+          CROSS JOIN freqs f
+          UNION ALL
+          SELECT r.channel, r.win, r.freq_hz, r.c, r.band, i.pos,
+                 i.x + r.c * r.s1 - r.s2, r.s1
+          FROM rec r JOIN wininp i
+            ON i.channel = r.channel AND i.win = r.win
+           AND i.pos = r.pos + 1
+        ),
+        bp AS (
+          SELECT channel, win, band,
+                 s1 * s1 + s2 * s2 - c * s1 * s2 AS power
+          FROM rec WHERE pos = {AF_WINDOW} - 1
+        ),
+        d AS (
+          SELECT hi.channel, hi.win, hi.band, hi.power - lo.power AS d
+          FROM bp hi JOIN bp lo
+            ON hi.channel = lo.channel AND hi.win = lo.win
+           AND lo.band = hi.band + 1
+        ),
+        e AS (
+          SELECT channel, win, band, d,
+                 LAG(d) OVER (PARTITION BY channel, band ORDER BY win)
+                   AS dprev
+          FROM d
+        ),
+        fps AS (
+          SELECT channel, win,
+                 CAST(SUM(CASE WHEN d - dprev > 0
+                               THEN CAST(1 AS BIGINT)
+                                      << CAST(band AS INTEGER)
+                               ELSE 0 END) AS BIGINT) AS fp
+          FROM e WHERE dprev IS NOT NULL
+          GROUP BY channel, win
+        ),
+        sizes AS (
+          SELECT fp, COUNT(*) AS m FROM fps
+          WHERE channel <> 'q' GROUP BY fp
+        ),
+        ok AS (
+          SELECT f.channel, f.win, f.fp
+          FROM fps f JOIN sizes s USING (fp)
+          WHERE f.channel <> 'q' AND s.m <= 1024
+        ),
+        qf AS (SELECT win AS q_win, fp AS q_fp FROM fps
+               WHERE channel = 'q'),
+        hits AS (
+          SELECT o.channel, o.win - q.q_win AS lag
+          FROM ok o JOIN qf q ON o.fp = q.q_fp
+          WHERE abs(o.win - q.q_win) <= {AF_MAX_LAG}
+        ),
+        votes AS (
+          SELECT channel, lag, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM hits GROUP BY channel, lag
+        ),
+        best AS (
+          SELECT channel, lag, n_hits FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY channel
+                ORDER BY n_hits DESC, lag) AS rk
+            FROM votes) WHERE rk = 1
+        ),
+        al AS (
+          SELECT b.channel, b.lag, b.n_hits, dd.fp, q.q_fp
+          FROM best b
+          JOIN fps dd ON dd.channel = b.channel
+          JOIN qf q ON dd.win = q.q_win + b.lag
+        )
+        SELECT channel, CAST(lag AS BIGINT) AS lag, n_hits,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(SUM(CASE WHEN fp = q_fp THEN 1 ELSE 0 END)
+                    AS BIGINT) AS matched_frames,
+               CAST(SUM(bit_count(xor(fp, q_fp))) AS BIGINT)
+                 AS sum_hamming,
+               CAST(SUM(bit_count(xor(fp, q_fp))) AS DOUBLE)
+                 / COUNT(*) AS mean_hamming
+        FROM al GROUP BY channel, lag, n_hits
         """
 
     # --- round-4b EWMA recursive replay ------------------------------

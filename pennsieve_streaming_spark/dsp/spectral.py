@@ -571,3 +571,85 @@ def spectral_entropy(
         "total_pq",
         (-F.col("_h")).alias("entropy"),
     )
+
+
+def fingerprint_offset_search(
+    db_fp: DataFrame,
+    query_fp: DataFrame,
+    max_lag: int,
+    bucket_cap: int = 1024,
+) -> DataFrame:
+    """Haitsma-Kalker SEARCH with unknown time offset: given a query
+    clip's sub-fingerprint sequence, find each database channel's best
+    alignment — the "identify this snippet" primitive (the offset
+    dimension :func:`fingerprint_match_pairs` fixes at zero).
+
+    Stage 1 (posting hits): query frames join database frames on exact
+    sub-fingerprint equality — the H&K inverted-index lookup — and
+    every hit votes for its implied lag ``db_win − query_win``
+    (bounded by ``max_lag``). Database postings for one fp value are
+    df-capped at ``bucket_cap`` (a sub-fingerprint appearing in that
+    many frames is non-discriminative — silence/DC frames).
+
+    Stage 2 (deterministic argmax): the top-voted lag per channel
+    (ties → smallest lag) via a per-channel rank over the already
+    collapsed (channel, lag) vote table.
+
+    Stage 3 (aligned verify): frame-by-frame hamming at the winning
+    lag over the broadcast winner list.
+
+    Output: (channel, lag, n_hits, n_frames, matched_frames,
+    sum_hamming, mean_hamming) — one row per database channel with at
+    least one in-range posting hit.
+
+    Scale: only 8-byte sub-fingerprints shuffle; votes collapse to
+    |channels|×(2·max_lag+1) rows before the rank; the verify joins
+    each channel's sequence once against the (broadcast) winner row.
+    """
+    db = db_fp.select("channel", "win", "fp")
+    qf = query_fp.select(
+        F.col("win").alias("q_win"), F.col("fp").alias("q_fp")
+    )
+    sizes = db.groupBy("fp").agg(F.count(F.lit(1)).alias("_m"))
+    ok = db.join(
+        sizes.filter(F.col("_m") <= int(bucket_cap)), "fp"
+    ).select("channel", "win", "fp")
+    hits = (
+        ok.join(qf, ok["fp"] == qf["q_fp"])
+        .select(
+            "channel", (F.col("win") - F.col("q_win")).alias("lag")
+        )
+        .filter(F.abs(F.col("lag")) <= int(max_lag))
+    )
+    votes = hits.groupBy("channel", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    wr = Window.partitionBy("channel").orderBy(
+        F.desc("n_hits"), F.asc("lag")
+    )
+    best = (
+        votes.withColumn("_rk", F.row_number().over(wr))
+        .filter(F.col("_rk") == 1)
+        .select("channel", "lag", "n_hits")
+    )
+    aligned = (
+        F.broadcast(best)
+        .join(db, "channel")
+        .join(qf, F.col("win") == F.col("q_win") + F.col("lag"))
+    )
+    return (
+        aligned.groupBy("channel", "lag", "n_hits")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.sum(F.when(F.col("fp") == F.col("q_fp"), 1).otherwise(0))
+            .cast("long")
+            .alias("matched_frames"),
+            F.sum(F.expr("bit_count(fp ^ q_fp)"))
+            .cast("long")
+            .alias("sum_hamming"),
+        )
+        .withColumn(
+            "mean_hamming",
+            F.col("sum_hamming").cast("double") / F.col("n_frames"),
+        )
+    )

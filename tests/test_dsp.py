@@ -605,3 +605,33 @@ def test_spectral_entropy_tone_vs_noise(spark):
         noise = got[("noise", w)]
         assert noise.entropy > 0.5 * math.log(nb)
         assert noise.n_bins_nz == nb
+
+
+def test_fingerprint_offset_search_votes_and_verify(spark):
+    from pennsieve_streaming_spark.dsp.spectral import (
+        fingerprint_offset_search,
+    )
+
+    # db channel A: frames 0..9 with fp = win; query = A's frames
+    # 3..7 (fp 3..7) at q_win 0..4 -> every hit votes lag 3
+    db = [("A", w, 8, w) for w in range(10)]
+    # channel B: constant fp 99 everywhere -> hits only if query has 99
+    db += [("B", w, 8, 99) for w in range(10)]
+    q = [(i, 8, i + 3) for i in range(5)]
+    db_fp = spark.createDataFrame(
+        db, "channel string, win long, n_bits long, fp long"
+    )
+    q_fp = spark.createDataFrame(q, "win long, n_bits long, fp long")
+    got = {
+        r.channel: r
+        for r in fingerprint_offset_search(db_fp, q_fp, 20).collect()
+    }
+    assert set(got) == {"A"}
+    a = got["A"]
+    assert a.lag == 3 and a.n_hits == 5
+    assert a.n_frames == 5 and a.matched_frames == 5 and a.sum_hamming == 0
+    # df cap: capping at 0 removes all postings -> no results
+    assert (
+        fingerprint_offset_search(db_fp, q_fp, 20, bucket_cap=0).count()
+        == 0
+    )
