@@ -2954,12 +2954,16 @@ _R6_FRONT = [
     "ts_spectral_entropy", "doc_bpe_fertility", "stream_trend",
     "ts_density_grid", "doc_lsh_eval", "ev_session_stats",
     "doc_jaccard_histogram", "mm_audio_offset_search",
-    # Recheck block (driver-green before, re-verification value only):
-    # r4 hash-reds type-fixed in r5, the r5 funnel fix, and the
-    # align/simhash family touched this round.
+    # Recheck block (driver-green before, re-verification value only),
+    # highest value first: r4 hash-reds type-fixed in r5, the r5
+    # funnel fix, then the align/simhash family touched this round.
+    # Entries past position 50 yield their slot to this session's
+    # never-checked additions — locf/interp are the safest to defer
+    # (default path untouched by the opt-in blocked-halo; green in
+    # every full-sweep this session).
     "ts_power_spectrum", "ts_change_points", "ev_funnel_steps",
-    "ts_locf_resample", "ts_interp_resample", "ts_span_point_join",
-    "doc_simhash_near_pairs",
+    "doc_simhash_near_pairs", "ts_span_point_join",
+    "ts_locf_resample", "ts_interp_resample",
     # Fill to >50 with the oldest driver-checked set (r4c batch,
     # last driver-green in r4).
     "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
