@@ -1,8 +1,12 @@
 #!/usr/bin/env python
 """sf1-equivalent scale smoke: replicate the sf0.1 inputs 10x and run
-the three heaviest headline queries, printing per-query seconds and
+the heaviest headline queries (LSH pairs, realtime resample, cosine
+top-k) plus the round-6b heavy additions (source-KL over a 10x token
+stream, RFM over 10x users through three two-phase ranks, the Granger
+screen over a 10x-density LOCF grid), printing per-query seconds and
 asserting the plan shapes stayed the intended ones (no cartesian,
-broadcast query side, capped LSH buckets).
+broadcast query side, capped LSH buckets). Timings for operators with
+eager localCheckpoint stages include construction.
 
 The driver testdata tops out at sf0.1, so the 10x factor comes from
 replicating rows with shifted keys — documents get a per-replica
@@ -128,6 +132,58 @@ def main() -> None:
     topk = cosine_topk(embs10, embs10.filter(F.col("vec_id") < 20), k=5)
     results["emb_cosine_topk"] = _force(topk)
     plans["emb_cosine_topk"] = _plan(topk)
+
+    # --- doc_source_kl at 10x (token stream 10x, one pinned pass) ---------
+    from pennsieve_streaming_spark.llm.curation import source_kl_divergence
+
+    docs10b = _replicate(docs, ["doc_id"], FACTOR).withColumn(
+        "text",
+        F.concat(F.lit("r"), F.col("_rep").cast("string"), F.lit(" "), "text"),
+    ).drop("_rep")
+    t0 = time.monotonic()  # localCheckpoint materializes eagerly
+    kl = source_kl_divergence(docs10b)
+    results["doc_source_kl"] = (time.monotonic() - t0) + _force(kl)
+    plans["doc_source_kl"] = _plan(kl)
+
+    # --- ev_rfm at 10x users (three two-phase rank passes) ----------------
+    from pennsieve_streaming_spark.operators.analytics import rfm_scores
+    from pennsieve_streaming_spark import tables as TBL
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev10 = _replicate(ev, ["user_id", "event_id"], FACTOR).drop("_rep")
+    t0 = time.monotonic()  # three eager global_rank checkpoints
+    rfm = rfm_scores(
+        ev10.select(
+            TBL.epoch_micros_col(ev10, "ts").alias("ts"), "user_id", "value"
+        )
+    )
+    results["ev_rfm"] = (time.monotonic() - t0) + _force(rfm)
+    plans["ev_rfm"] = _plan(rfm)
+
+    # --- ts_granger_screen at 10x sample density --------------------------
+    from pennsieve_streaming_spark.operators.align import asof_locf
+    from pennsieve_streaming_spark.operators.stats import granger_screen
+
+    day = 86_400_000_000
+    s10 = (
+        TBL.samples_view(spark, SF_DIR)
+        .crossJoin(F.broadcast(
+            spark.range(FACTOR).select(F.col("id").alias("_rep"))
+        ))
+        .select("channel", (F.col("ts") + F.col("_rep")).alias("ts"), "value")
+    )
+    ch = TBL.channels_view(spark, SF_DIR)
+    bounds = ch.agg(F.max("start_ts").alias("lo"), F.min("end_ts").alias("hi"))
+    grid_ts = bounds.select(
+        F.explode(
+            F.expr(f"sequence(((lo + {day} - 1) div {day}) * {day}, hi, {day})")
+        ).alias("ts")
+    )
+    grid = ch.select("channel").crossJoin(F.broadcast(grid_ts))
+    t0 = time.monotonic()  # eager grid/LOCF checkpoint
+    gr = granger_screen(asof_locf(s10, grid).select("channel", "ts", "value"), day, 100)
+    results["ts_granger_screen"] = (time.monotonic() - t0) + _force(gr)
+    plans["ts_granger_screen"] = _plan(gr)
 
     # --- plan-shape guards (the 100x design evidence) ---------------------
     problems = []
