@@ -796,7 +796,10 @@ def session_duration_stats(
             ).alias(name)
         )
     out = j.agg(*aggs)
-    return out.select(
+    # a global agg over an empty input still yields one all-NULL row;
+    # the relational replay yields zero rows — drop it so both engines
+    # agree on empty corpora
+    return out.filter(F.col("n_sessions").isNotNull()).select(
         "n_sessions",
         F.expr("CAST(_sdur AS DOUBLE) / n_sessions").alias("mean_us"),
         *posts,
