@@ -2624,14 +2624,12 @@ def q_detect_peaks(spark, sf_dir):
 XCORR_LAGS_US = (-7 * GRID_INTERVAL_US, 0, 7 * GRID_INTERVAL_US)
 
 
-def q_cross_correlation(spark, sf_dir):
-    """Cross-correlogram over channel pairs at signed ±7-day lags on
-    the shared LOCF day grid — lead/lag coupling between channels,
-    exact quantized-integer sums."""
+def _locf_day_grid(spark, sf_dir):
+    """The shared LOCF day-grid construction (ONE definition for
+    q_cross_correlation and q_granger_screen — its rounding rule must
+    match both queries' oracle CTEs exactly): every channel filled
+    onto the ceil-to-day grid over [MAX(start_ts), MIN(end_ts)]."""
     from pennsieve_streaming_spark.operators.align import asof_locf
-    from pennsieve_streaming_spark.operators.stats import (
-        channel_cross_correlation,
-    )
 
     s = TBL.samples_view(spark, sf_dir)
     ch = TBL.channels_view(spark, sf_dir)
@@ -2645,8 +2643,20 @@ def q_cross_correlation(spark, sf_dir):
         ).alias("ts")
     )
     grid = ch.select("channel").crossJoin(F.broadcast(grid_ts))
-    aligned = asof_locf(s, grid).select("channel", "ts", "value")
-    return channel_cross_correlation(aligned, XCORR_LAGS_US, CORR_QUANT)
+    return asof_locf(s, grid).select("channel", "ts", "value")
+
+
+def q_cross_correlation(spark, sf_dir):
+    """Cross-correlogram over channel pairs at signed ±7-day lags on
+    the shared LOCF day grid — lead/lag coupling between channels,
+    exact quantized-integer sums."""
+    from pennsieve_streaming_spark.operators.stats import (
+        channel_cross_correlation,
+    )
+
+    return channel_cross_correlation(
+        _locf_day_grid(spark, sf_dir), XCORR_LAGS_US, CORR_QUANT
+    )
 
 
 def q_granger_screen(spark, sf_dir):
@@ -2655,23 +2665,11 @@ def q_granger_screen(spark, sf_dir):
     prediction of y's today beyond y's own yesterday — closed-form
     lag-1 regression from exact BIGINT moments, expression text shared
     verbatim with the oracle (operators/stats.G_*)."""
-    from pennsieve_streaming_spark.operators.align import asof_locf
     from pennsieve_streaming_spark.operators.stats import granger_screen
 
-    s = TBL.samples_view(spark, sf_dir)
-    ch = TBL.channels_view(spark, sf_dir)
-    day = GRID_INTERVAL_US
-    bounds = ch.agg(
-        F.max("start_ts").alias("lo"), F.min("end_ts").alias("hi")
+    return granger_screen(
+        _locf_day_grid(spark, sf_dir), GRID_INTERVAL_US, CORR_QUANT
     )
-    grid_ts = bounds.select(
-        F.explode(
-            F.expr(f"sequence(((lo + {day} - 1) div {day}) * {day}, hi, {day})")
-        ).alias("ts")
-    )
-    grid = ch.select("channel").crossJoin(F.broadcast(grid_ts))
-    aligned = asof_locf(s, grid).select("channel", "ts", "value")
-    return granger_screen(aligned, day, CORR_QUANT)
 
 
 def q_token_entropy(spark, sf_dir):

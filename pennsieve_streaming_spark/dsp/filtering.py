@@ -459,6 +459,29 @@ def holt_anomalies(samples, alpha: float, beta: float, k: float = 2.0):
     )
 
 
+def cusum_walk(values, mu0: float, k: float, h: float, gp: float, gn: float):
+    """The ONE clamp-at-zero CUSUM recurrence shared by the batch
+    operator and the streaming twin (streaming/cusum.py) — the
+    bit-exactness contract (same fixed IEEE op sequence as the DuckDB
+    recursive CTE) lives in exactly one place. Returns the per-sample
+    (gpos, gneg, alarm) arrays plus the post-reset carry pair."""
+    import numpy as np
+
+    x = np.asarray(values, dtype=np.float64)
+    gpos = np.empty_like(x)
+    gneg = np.empty_like(x)
+    alarm = np.empty(len(x), dtype=bool)
+    for i in range(len(x)):
+        raw_gp = (gp + (x[i] - mu0)) - k
+        e_gp = raw_gp if raw_gp > 0.0 else 0.0
+        raw_gn = (gn + (mu0 - x[i])) - k
+        e_gn = raw_gn if raw_gn > 0.0 else 0.0
+        a = e_gp > h or e_gn > h
+        gpos[i], gneg[i], alarm[i] = e_gp, e_gn, a
+        gp, gn = (0.0, 0.0) if a else (e_gp, e_gn)
+    return gpos, gneg, alarm, float(gp), float(gn)
+
+
 def cusum_monitor(samples, params: dict):
     """Tabular (two-sided) CUSUM control monitor (Page 1954, "Continuous
     Inspection Schemes"): per channel, the running one-sided sums
@@ -492,7 +515,6 @@ def cusum_monitor(samples, params: dict):
 
     Output: (channel, ts, value, gpos, gneg, alarm).
     """
-    import numpy as np
     import pandas as pd
 
     from pyspark.sql import functions as F
@@ -502,19 +524,9 @@ def cusum_monitor(samples, params: dict):
     def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(["ts", "value"]).reset_index(drop=True)
         mu0, k, h = cfg[pdf["channel"].iloc[0]]
-        x = pdf["value"].to_numpy(dtype=np.float64)
-        gpos = np.empty_like(x)
-        gneg = np.empty_like(x)
-        alarm = np.empty(len(x), dtype=bool)
-        gp = gn = 0.0
-        for i in range(len(x)):
-            raw_gp = (gp + (x[i] - mu0)) - k
-            e_gp = raw_gp if raw_gp > 0.0 else 0.0
-            raw_gn = (gn + (mu0 - x[i])) - k
-            e_gn = raw_gn if raw_gn > 0.0 else 0.0
-            a = e_gp > h or e_gn > h
-            gpos[i], gneg[i], alarm[i] = e_gp, e_gn, a
-            gp, gn = (0.0, 0.0) if a else (e_gp, e_gn)
+        gpos, gneg, alarm, _, _ = cusum_walk(
+            pdf["value"], mu0, k, h, 0.0, 0.0
+        )
         return pd.DataFrame(
             {
                 "channel": pdf["channel"],

@@ -1332,6 +1332,14 @@ def source_kl_divergence(documents: DataFrame) -> DataFrame:
     corpus scale), and the divergence derives from that one integer
     with a fixed cast-divide-divide expression.
 
+    Bit-parity envelope: the final integer→DOUBLE cast is correctly
+    rounded on both engines only while |sum| < 2^64 (DuckDB's
+    128-bit→DOUBLE cast is not correctly rounded beyond — the
+    documented power_spectrum hazard), i.e. up to ~2.5e8 tokens per
+    source at |w| ≈ 7e10 per token. Past that the Spark result is
+    still exact to the integer sum; only the last ulp of the REPLAYED
+    kl may differ.
+
     Output: (source, n_tokens, n_terms, kl) — kl in nats.
 
     Scale: explode -> (source, t) counts with map-side partials; the

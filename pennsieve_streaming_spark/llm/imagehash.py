@@ -152,9 +152,23 @@ _BI = dct_basis_q(GRID_H)   # 8 x 16
 _BJ = dct_basis_q(GRID_W)   # 8 x 18
 
 
+# Exactness envelope for phash64's int64 bilinear form: |coef| <=
+# GRID_H*GRID_W * max|g| * PH_Q^2 must stay under 2^63, so the
+# block-sum magnitude (block_area * 255 for 8-bit input) is capped —
+# numpy int64 matmul wraps SILENTLY past it (a 192x216 bright image
+# would corrupt the hash without this guard).
+PH_MAX_CELL = (2**63 - 1) // (GRID_H * GRID_W * PH_Q * PH_Q)  # 32023
+
+
 def phash64(gray: "np.ndarray") -> int:
     """64-bit DCT perceptual hash of a GRID_H x GRID_W grayscale
-    image (callers block-resize first, as with :func:`dhash64`)."""
+    image (callers block-resize first, as with :func:`dhash64`).
+
+    Inputs larger than the grid block-reduce by integer sums; the
+    reduction factor is bounded so every DCT coefficient stays an
+    exact int64 (see ``PH_MAX_CELL`` — ~125x area, i.e. up to roughly
+    176x198 8-bit pixels). Larger sources must be pre-resized; the
+    guard raises instead of silently wrapping."""
     g = np.asarray(gray, dtype=np.int64)
     h, w = g.shape
     if (h, w) != (GRID_H, GRID_W):
@@ -164,6 +178,12 @@ def phash64(gray: "np.ndarray") -> int:
             )
         g = g.reshape(GRID_H, h // GRID_H, GRID_W, w // GRID_W).sum(
             axis=(1, 3)
+        )
+    peak = int(np.abs(g).max()) if g.size else 0
+    if peak > PH_MAX_CELL:
+        raise ValueError(
+            f"phash64 cell magnitude {peak} exceeds the int64-exact "
+            f"envelope {PH_MAX_CELL}; pre-resize the image"
         )
     coef = _BI @ g @ _BJ.T          # 8x8, exact int64
     flat = coef.reshape(-1)

@@ -761,8 +761,11 @@ def session_duration_stats(
         [F.asc("duration_us"), F.asc("user_id"), F.asc("session_start")],
         "_r",
     )
-    tot = s.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
+    # totals from the already-checkpointed ranked table (max rank = n),
+    # NOT from s — aggregating s would re-run the whole sessionization
+    # window pass a second time
+    tot = ranked.agg(
+        F.max("_r").cast("long").alias("n"),
         F.sum("duration_us").cast("long").alias("sdur"),
     )
     j = ranked.crossJoin(F.broadcast(tot))

@@ -876,9 +876,24 @@ def trend_segments(
     → |channels·windows|; embarrassingly parallel at any scale, no
     windows, no joins.
     """
+    return finish_trend_segments(
+        trend_moments(samples, win_us, x_unit_us, quant),
+        quant=int(quant),
+        min_n=min_n,
+    )
+
+
+def trend_moments(
+    samples: DataFrame, win_us: int, x_unit_us: int, quant: int = 100
+) -> DataFrame:
+    """The per-(channel, window) OLS moment aggregation shared by
+    :func:`trend_segments` and the streaming twin
+    (streaming/trend.stream_trend_moments wraps this) — ONE
+    definition so the batch==streaming bit-identity contract can't
+    drift. Output: (channel, win_start, n, sx, sy, sxy, sxx)."""
     q = int(quant)
     wu, xu = int(win_us), int(x_unit_us)
-    g = (
+    return (
         samples.select(
             "channel",
             F.expr(f"(ts div {wu}) * {wu}").alias("win_start"),
@@ -894,7 +909,6 @@ def trend_segments(
             F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
         )
     )
-    return finish_trend_segments(g, quant=q, min_n=min_n)
 
 
 def finish_trend_segments(

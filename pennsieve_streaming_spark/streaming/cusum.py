@@ -26,6 +26,7 @@ from typing import Any, Iterable, Iterator
 import numpy as np
 import pandas as pd
 
+from pennsieve_streaming_spark.dsp.filtering import cusum_walk
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -75,20 +76,11 @@ def cusum_stream(samples_stream: DataFrame, params: dict) -> DataFrame:
         if rows.empty:
             return
         rows = rows.sort_values(["ts", "value"]).reset_index(drop=True)
-        x = rows["value"].to_numpy(dtype=np.float64)
-        gpos = np.empty_like(x)
-        gneg = np.empty_like(x)
-        alarm = np.empty(len(x), dtype=bool)
         gp, gn = state.get if state.exists else (0.0, 0.0)
-        for i in range(len(x)):
-            raw_gp = (gp + (x[i] - mu0)) - k
-            e_gp = raw_gp if raw_gp > 0.0 else 0.0
-            raw_gn = (gn + (mu0 - x[i])) - k
-            e_gn = raw_gn if raw_gn > 0.0 else 0.0
-            a = e_gp > h or e_gn > h
-            gpos[i], gneg[i], alarm[i] = e_gp, e_gn, a
-            gp, gn = (0.0, 0.0) if a else (e_gp, e_gn)
-        state.update((float(gp), float(gn)))
+        gpos, gneg, alarm, gp, gn = cusum_walk(
+            rows["value"], mu0, k, h, gp, gn
+        )
+        state.update((gp, gn))
         yield pd.DataFrame(
             {
                 "channel": rows["channel"],

@@ -22,25 +22,12 @@ def stream_trend_moments(
     samples_stream: DataFrame, win_us: int, x_unit_us: int, quant: int = 100
 ) -> DataFrame:
     """Live per-(channel, window) OLS moments (single streaming agg,
-    bounded state)."""
-    q = int(quant)
-    wu, xu = int(win_us), int(x_unit_us)
-    return (
-        samples_stream.select(
-            "channel",
-            F.expr(f"(ts div {wu}) * {wu}").alias("win_start"),
-            F.expr(f"(ts - (ts div {wu}) * {wu}) div {xu}").alias("x"),
-            F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("vq"),
-        )
-        .groupBy("channel", "win_start")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("x").cast("long").alias("sx"),
-            F.sum("vq").cast("long").alias("sy"),
-            F.sum(F.col("x") * F.col("vq")).cast("long").alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        )
-    )
+    bounded state) — the SHARED operators/stats.trend_moments builder
+    applied to the streaming frame, so the batch and streaming moment
+    expressions are one definition by construction."""
+    from pennsieve_streaming_spark.operators.stats import trend_moments
+
+    return trend_moments(samples_stream, win_us, x_unit_us, quant)
 
 
 def drain_trend_segments(

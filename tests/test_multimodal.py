@@ -206,3 +206,19 @@ def test_phash_synthetic_duplicate_groups(spark):
     docs = spark.range(300).selectExpr("id AS doc_id")
     rows = {r.media_id: r.phash for r in phash_synthetic(docs).collect()}
     assert rows[3] == rows[3 + 256] and rows[20] == rows[20 + 256]
+
+
+def test_phash_overflow_guard_raises():
+    """Block-resized inputs past the int64-exact envelope must raise,
+    not silently wrap (numpy matmul wraps without error)."""
+    import numpy as np
+    import pytest
+
+    from pennsieve_streaming_spark.llm.imagehash import phash64
+
+    big = np.full((192, 216), 255, dtype=np.int64)  # 12x12 blocks
+    with pytest.raises(ValueError, match="envelope"):
+        phash64(big)
+    # well inside the envelope still works (10x11 blocks, area 110)
+    ok = np.full((160, 198), 255, dtype=np.int64)
+    assert isinstance(phash64(ok), int)
