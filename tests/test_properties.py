@@ -88,3 +88,101 @@ def test_reflected_prewarm_length_and_values(n, req):
         assert set(out).issubset(set(x))  # only source values (or repeats)
     else:
         assert (out == 0).all()
+
+
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    k=st.integers(min_value=1, max_value=12),
+)
+def test_rfm_ntile_closed_form_matches_definition(n, k):
+    """bucket = f(rank, n, k) must reproduce NTILE(k) semantics for
+    EVERY (n, k): buckets 1..min(n,k); first n mod k buckets one row
+    larger; monotone non-decreasing in rank."""
+
+    def bucket(r0):
+        q, rem = divmod(n, k)
+        cut = rem * (q + 1)
+        if r0 < cut:
+            return r0 // (q + 1) + 1
+        return rem + 1 + (r0 - cut) // q
+
+    sizes = {}
+    prev = 0
+    for r0 in range(n):
+        b = bucket(r0)
+        assert 1 <= b <= min(n, k)
+        assert b >= prev
+        prev = b
+        sizes[b] = sizes.get(b, 0) + 1
+    q, rem = divmod(n, k)
+    for b, c in sizes.items():
+        want = (q + 1) if b <= rem else q
+        assert c == want or (q == 0 and c == 1)
+
+
+@given(
+    xs=st.lists(
+        st.floats(
+            min_value=-100, max_value=100,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1, max_size=120,
+    ),
+    splits=st.integers(min_value=1, max_value=5),
+    mu0=st.floats(min_value=-5, max_value=5),
+)
+def test_cusum_walk_chunked_equals_whole(xs, splits, mu0):
+    """The shared CUSUM kernel must be exactly resumable: walking the
+    series in chunks with carried state equals one whole-series walk
+    bit-for-bit (the streaming contract), and the statistics are
+    always >= 0 with resets after every alarm."""
+    import numpy as np
+
+    from pennsieve_streaming_spark.dsp.filtering import cusum_walk
+
+    k, h = 0.5, 6.0
+    whole = cusum_walk(xs, mu0, k, h, 0.0, 0.0)
+    per = max(1, len(xs) // splits)
+    gp = gn = 0.0
+    parts = []
+    for i in range(0, len(xs), per):
+        gpos, gneg, alarm, gp, gn = cusum_walk(
+            xs[i : i + per], mu0, k, h, gp, gn
+        )
+        parts.append((gpos, gneg, alarm))
+    cat = tuple(np.concatenate([p[j] for p in parts]) for j in range(3))
+    assert (cat[0] == whole[0]).all()
+    assert (cat[1] == whole[1]).all()
+    assert (cat[2] == whole[2]).all()
+    assert (whole[0] >= 0).all() and (whole[1] >= 0).all()
+    for i in range(len(xs) - 1):
+        if whole[2][i]:  # post-alarm restart: next stat from 0 carry
+            nxt = cusum_walk([xs[i + 1]], mu0, k, h, 0.0, 0.0)
+            assert whole[0][i + 1] == nxt[0][0]
+            assert whole[1][i + 1] == nxt[1][0]
+
+
+@given(
+    pix=st.lists(
+        st.integers(min_value=0, max_value=255),
+        min_size=288, max_size=288,
+    ),
+    scale=st.sampled_from([1, 2, 3]),
+    bright=st.integers(min_value=0, max_value=40),
+)
+@settings(max_examples=30, deadline=None)
+def test_phash_scale_invariance_property(pix, scale, bright):
+    """pHash is exactly invariant to integer upscaling (uniform block
+    sums scale coefs AND median together) and within a few bits under
+    a global brightness shift (only DC and the median can move)."""
+    import numpy as np
+
+    from pennsieve_streaming_spark.llm.imagehash import phash64
+
+    g = np.array(pix, dtype=np.int64).reshape(16, 18)
+    base = phash64(g)
+    up = np.kron(g, np.ones((scale, scale), dtype=np.int64))
+    assert phash64(up) == base
+    shifted = phash64(g + bright)
+    ham = bin((base ^ shifted) & (2**64 - 1)).count("1")
+    assert ham <= 16  # DC bit + median-crossing bits only
