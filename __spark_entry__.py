@@ -1494,6 +1494,35 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_ann_recall_multiprobe(spark, sf_dir):
+    """Recall@k of the MULTIPROBE hyperplane-LSH index against the
+    exact top-k ground truth — completes the ANN eval matrix next to
+    emb_ann_recall (single-probe): the standard recall-vs-probes
+    trade-off panel. Same multiplicity-independent dedup contract."""
+    ann = (
+        q_ann_lsh_multiprobe(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    per_q = exact.select("query_id").distinct()
+    return (
+        per_q.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.lit(ANN_K)
+            ).alias("recall"),
+        )
+    )
+
+
 def q_orc_roundtrip(spark, sf_dir):
     """ORC corpus egress + ingest round trip under the pinned schema —
     identity oracle, proving the columnar interchange path is lossless
@@ -2952,6 +2981,7 @@ _R6_FRONT = [
     "ts_spectral_entropy", "doc_bpe_fertility", "stream_trend",
     "ts_density_grid", "doc_lsh_eval", "ev_session_stats",
     "doc_jaccard_histogram", "mm_audio_offset_search",
+    "emb_ann_recall_multiprobe",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3021,6 +3051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_session_stats": q_session_stats,
         "doc_jaccard_histogram": q_jaccard_histogram,
         "mm_audio_offset_search": q_audio_offset_search,
+        "emb_ann_recall_multiprobe": q_ann_recall_multiprobe,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -8080,6 +8111,17 @@ def oracle_sql() -> dict[str, str]:
         """
 
     # --- round-5b oracles --------------------------------------------------
+
+    sql["emb_ann_recall_multiprobe"] = f"""
+        SELECT e.query_id,
+               CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+               CAST(COUNT(a.neighbor_id) AS DOUBLE) / {ANN_K} AS recall
+        FROM ({sql["emb_cosine_topk"]}) e
+        LEFT JOIN (SELECT DISTINCT query_id, neighbor_id
+                   FROM ({sql["emb_ann_lsh_multiprobe"]})) a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id
+        """
 
     sql["ev_top_paths"] = """
         WITH ev AS (
