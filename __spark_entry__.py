@@ -2624,6 +2624,23 @@ def q_stream_trend(spark, sf_dir):
     )
 
 
+HURST_SCALES = (64, 128, 256, 512)
+HURST_QUANT = 10
+
+
+def q_hurst_rs(spark, sf_dir):
+    """Hurst exponent per channel by rescaled-range analysis: exact
+    integer R (n-scaled cumulative deviations) over exact integer
+    scaled variance per window, 1e-6-quantized window averages, and a
+    zipf-class quantized-OLS fit of ln(R/S) against ln(n) — the
+    long-memory diagnostic, fully engine-replayable."""
+    from pennsieve_streaming_spark.operators.stats import hurst_rs
+
+    return hurst_rs(
+        TBL.samples_view(spark, sf_dir), HURST_SCALES, HURST_QUANT
+    )
+
+
 def q_hourly_profile(spark, sf_dir):
     """Typical-day seasonal profile: per (channel, hour-of-day) count
     and exact-quantized mean."""
@@ -2981,7 +2998,7 @@ _R6_FRONT = [
     "ts_spectral_entropy", "doc_bpe_fertility", "stream_trend",
     "ts_density_grid", "doc_lsh_eval", "ev_session_stats",
     "doc_jaccard_histogram", "mm_audio_offset_search",
-    "emb_ann_recall_multiprobe",
+    "emb_ann_recall_multiprobe", "ts_hurst_rs",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3052,6 +3069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jaccard_histogram": q_jaccard_histogram,
         "mm_audio_offset_search": q_audio_offset_search,
         "emb_ann_recall_multiprobe": q_ann_recall_multiprobe,
+        "ts_hurst_rs": q_hurst_rs,
         # round-5b
         "ev_top_paths": q_top_paths,
         "doc_weighted_sample": q_weighted_sample,
@@ -4420,6 +4438,85 @@ def oracle_sql() -> dict[str, str]:
                  / (CAST(COUNT(*) AS DOUBLE) * {CORR_QUANT}) AS mean
         FROM samples
         GROUP BY channel, (ts % {86400 * 1_000_000}) // {3600 * 1_000_000}
+        """,
+        "samples",
+    )
+
+    _hu_arr = ", ".join(str(int(n)) for n in HURST_SCALES)
+    _hu_slope = (
+        "(CAST(n_scales AS DOUBLE) * CAST(sxy AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        "(CAST(n_scales AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    _hu_guard = (
+        "n_scales >= 2 AND CAST(n_scales AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0"
+    )
+    sql["ts_hurst_rs"] = with_views(
+        f"""
+        WITH rk AS (
+          SELECT channel,
+                 CAST(round(value * {HURST_QUANT}) AS BIGINT) AS xq,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS rn
+          FROM samples
+        ),
+        ex AS (
+          SELECT channel, CAST(scale AS BIGINT) AS scale,
+                 rn // scale AS win, rn % scale AS pos, xq
+          FROM rk, UNNEST([{_hu_arr}]) AS t(scale)
+        ),
+        d AS (
+          SELECT channel, scale, win, pos + 1 AS i, xq,
+                 SUM(xq) OVER (PARTITION BY channel, scale, win
+                     ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS s_i,
+                 SUM(xq) OVER (PARTITION BY channel, scale, win) AS s_n,
+                 SUM(xq * xq) OVER (PARTITION BY channel, scale, win)
+                   AS sxx,
+                 COUNT(*) OVER (PARTITION BY channel, scale, win) AS nw
+          FROM ex
+        ),
+        g AS (
+          SELECT channel, scale, win,
+                 CAST(MAX(scale * s_i - i * s_n)
+                      - MIN(scale * s_i - i * s_n) AS BIGINT) AS rq,
+                 CAST(MAX(scale * sxx - s_n * s_n) AS BIGINT) AS den2
+          FROM d WHERE nw = scale GROUP BY channel, scale, win
+        ),
+        r2 AS (
+          SELECT channel, scale, CAST(COUNT(*) AS BIGINT) AS n_w,
+                 CAST(SUM(CAST(round((CAST(rq AS DOUBLE)
+                     / sqrt(CAST(den2 AS DOUBLE))) * 1000000) AS BIGINT))
+                     AS BIGINT) AS srs
+          FROM g WHERE den2 > 0 GROUP BY channel, scale
+        ),
+        pts AS (
+          SELECT channel,
+                 CAST(round(round(ln(CAST(scale AS DOUBLE)), 9) * 1000)
+                      AS BIGINT) AS xp,
+                 CAST(round(round(ln((CAST(srs AS DOUBLE) / 1000000)
+                                     / n_w), 9) * 1000) AS BIGINT) AS yp
+          FROM r2
+        ),
+        agg AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_scales,
+                 CAST(SUM(xp) AS BIGINT) AS sx,
+                 CAST(SUM(yp) AS BIGINT) AS sy,
+                 CAST(SUM(xp * yp) AS BIGINT) AS sxy,
+                 CAST(SUM(xp * xp) AS BIGINT) AS sxx
+          FROM pts GROUP BY channel
+        )
+        SELECT channel, n_scales,
+               CASE WHEN {_hu_guard} THEN round({_hu_slope}, 9) END
+                 AS hurst,
+               CASE WHEN {_hu_guard} THEN
+                 round((CAST(sy AS DOUBLE) / 1000 - round({_hu_slope}, 9)
+                 * CAST(sx AS DOUBLE) / 1000) / n_scales, 9) END
+                 AS intercept
+        FROM agg
         """,
         "samples",
     )

@@ -1125,3 +1125,148 @@ def density_grid(
             "n",
         )
     )
+
+
+def hurst_rs(
+    samples: DataFrame,
+    scales: tuple[int, ...] = (64, 128, 256, 512),
+    quant: int = 10,
+) -> DataFrame:
+    """Hurst exponent per channel by rescaled-range (R/S) analysis
+    (Hurst 1951; Mandelbrot & Wallis 1969) — the long-memory
+    diagnostic (H≈0.5 memoryless, H>0.5 persistent/trending, H<0.5
+    mean-reverting); a standard EEG/finance signal statistic.
+
+    Per (channel, scale n, window): the cumulative deviation from the
+    window mean scaled by n to stay integral (change_points' trick) —
+    ``devq_i = n·S_i − i·S_n`` — gives the exact integer range
+    ``Rq = max(devq) − min(devq)``, and the population variance
+    scales to the exact integer ``den2 = n·Sxx − Sx²``; the classic
+    ratio collapses to
+
+        R/S = Rq / sqrt(den2)
+
+    (both n·quant scalings cancel) — ONE float division over two
+    exact integers. Per (channel, scale) the window R/S values are
+    1e-6-quantized before averaging (exact integer sum), and H is the
+    zipf_fit-class quantized-OLS slope of ln(mean R/S) against ln(n).
+
+    Overflow bound: n·Sxx ≤ n²·(max|v|·quant)² must stay under 2^63
+    — quant=10 bounds |v| ≤ ~6e5 at n = 512.
+
+    Output: (channel, n_scales, hurst, intercept). Scales without a
+    complete window (or with zero variance) drop out; channels with
+    < 2 surviving scales emit NULL hurst.
+
+    Plan: ONE row-ranking window per channel, a narrow ×|scales|
+    explode, per-(channel, scale, win) window pass (cum + totals
+    share one partitioning), then two map-side-partial rollups down
+    to |channels| rows. No joins, no single-task windows.
+    """
+    q = int(quant)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    ranked = samples.select(
+        "channel",
+        "ts",
+        "value",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    )
+    arr = ", ".join(str(int(n)) for n in scales)
+    ex = ranked.select(
+        "channel",
+        "rn",
+        "xq",
+        F.explode(F.expr(f"array({arr})")).alias("scale"),
+    ).select(
+        "channel",
+        F.col("scale").cast("long").alias("scale"),
+        (F.col("rn") / F.col("scale")).cast("long").alias("win"),
+        (F.col("rn") % F.col("scale")).alias("pos"),
+        "xq",
+    )
+    cum = (
+        Window.partitionBy("channel", "scale", "win")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = Window.partitionBy("channel", "scale", "win")
+    d = (
+        ex.withColumn("s_i", F.sum("xq").over(cum).cast("long"))
+        .withColumn("i", (F.col("pos") + 1).cast("long"))
+        .withColumn("s_n", F.sum("xq").over(full).cast("long"))
+        .withColumn(
+            "sxx", F.sum(F.col("xq") * F.col("xq")).over(full).cast("long")
+        )
+        .withColumn("nw", F.count(F.lit(1)).over(full).cast("long"))
+    )
+    g = (
+        d.filter(F.col("nw") == F.col("scale"))
+        .withColumn(
+            "devq",
+            (F.col("scale") * F.col("s_i") - F.col("i") * F.col("s_n")).cast(
+                "long"
+            ),
+        )
+        .groupBy("channel", "scale", "win")
+        .agg(
+            (F.max("devq") - F.min("devq")).cast("long").alias("rq"),
+            (
+                F.max(F.col("scale") * F.col("sxx") - F.col("s_n") * F.col("s_n"))
+            )
+            .cast("long")
+            .alias("den2"),
+        )
+        .filter(F.col("den2") > 0)
+        .withColumn(
+            "rsq",
+            F.expr(
+                "CAST(round((CAST(rq AS DOUBLE) "
+                "/ sqrt(CAST(den2 AS DOUBLE))) * 1000000) AS BIGINT)"
+            ),
+        )
+    )
+    sc = g.groupBy("channel", "scale").agg(
+        F.count(F.lit(1)).cast("long").alias("n_w"),
+        F.sum("rsq").cast("long").alias("srs"),
+    )
+    pts = sc.select(
+        "channel",
+        F.expr(
+            "CAST(round(round(ln(CAST(scale AS DOUBLE)), 9) * 1000) "
+            "AS BIGINT)"
+        ).alias("xp"),
+        F.expr(
+            "CAST(round(round(ln((CAST(srs AS DOUBLE) / 1000000) / n_w), 9)"
+            " * 1000) AS BIGINT)"
+        ).alias("yp"),
+    )
+    agg = pts.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scales"),
+        F.sum("xp").cast("long").alias("sx"),
+        F.sum("yp").cast("long").alias("sy"),
+        F.sum(F.col("xp") * F.col("yp")).cast("long").alias("sxy"),
+        F.sum(F.col("xp") * F.col("xp")).cast("long").alias("sxx"),
+    )
+    slope = (
+        "(CAST(n_scales AS DOUBLE) * CAST(sxy AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        "(CAST(n_scales AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    guard = (
+        "n_scales >= 2 AND CAST(n_scales AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0"
+    )
+    return agg.select(
+        "channel",
+        "n_scales",
+        F.expr(
+            f"CASE WHEN {guard} THEN round({slope}, 9) END"
+        ).alias("hurst"),
+        F.expr(
+            f"CASE WHEN {guard} THEN "
+            f"round((CAST(sy AS DOUBLE) / 1000 - round({slope}, 9) "
+            f"* CAST(sx AS DOUBLE) / 1000) / n_scales, 9) END"
+        ).alias("intercept"),
+    )

@@ -547,3 +547,29 @@ def test_density_grid_clamps_and_counts(spark):
     assert got[(0, 3)] == (1, 30.0)
     assert got[(1000, 2)] == (1, 20.0)
     assert len(got) == 4
+
+
+def test_hurst_rs_distinguishes_memory_classes(spark):
+    """H ~ 0.5-0.65 for iid noise; H near 1 for a persistent trending
+    series (cumulative walk with drift); both within R/S small-sample
+    bias bands."""
+    import numpy as np
+
+    from pennsieve_streaming_spark.operators.stats import hurst_rs
+
+    rng = np.random.default_rng(7)
+    rows = []
+    walk = 0.0
+    for t in range(2048):
+        rows.append(("iid", t, float(rng.uniform(-1000, 1000))))
+        walk += rng.uniform(0.5, 1.5) * 100
+        rows.append(("trend", t, float(walk)))
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    got = {
+        r.channel: r
+        for r in hurst_rs(df, scales=(64, 128, 256, 512), quant=10).collect()
+    }
+    assert got["iid"].n_scales == 4 and got["trend"].n_scales == 4
+    assert 0.35 < got["iid"].hurst < 0.72
+    assert got["trend"].hurst > 0.85
+    assert got["trend"].hurst > got["iid"].hurst + 0.2
