@@ -4492,6 +4492,8 @@ def oracle_sql() -> dict[str, str]:
                      / sqrt(CAST(den2 AS DOUBLE))) * 1000000) AS BIGINT))
                      AS BIGINT) AS srs
           FROM g WHERE den2 > 0 GROUP BY channel, scale
+          HAVING SUM(CAST(round((CAST(rq AS DOUBLE)
+              / sqrt(CAST(den2 AS DOUBLE))) * 1000000) AS BIGINT)) > 0
         ),
         pts AS (
           SELECT channel,

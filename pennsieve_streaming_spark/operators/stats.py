@@ -1229,7 +1229,10 @@ def hurst_rs(
     sc = g.groupBy("channel", "scale").agg(
         F.count(F.lit(1)).cast("long").alias("n_w"),
         F.sum("rsq").cast("long").alias("srs"),
-    )
+    ).filter(F.col("srs") > 0)  # ln() guard: a scale whose every
+    # window R/S rounds to zero (pathologically coarse quantization)
+    # would feed ln(0) -> -inf -> ANSI cast error; dropped identically
+    # in the oracle
     pts = sc.select(
         "channel",
         F.expr(
