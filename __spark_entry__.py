@@ -1977,6 +1977,23 @@ def q_coherence(spark, sf_dir):
     return msc_coherence(s, "lead", "sec", PS_BINS, PS_WINDOW, PS_QUANT)
 
 
+def q_plv(spark, sf_dir):
+    """Phase-locking value between the two time-aligned channels at
+    DFT bins 1..8 — coherence's amplitude-blind sibling (Lachaux
+    1999): every complete window contributes a UNIT cross-spectrum
+    phasor (1e9-quantized fixed expression over the exact BIGINT
+    re/im), the cross-window reduction is an exact integer sum, and
+    PLV is one fixed float expression at the end."""
+    from pennsieve_streaming_spark.dsp.spectral import phase_locking_value
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        F.col("ts") <= BW_TS_END
+    )
+    return phase_locking_value(
+        s, "lead", "sec", PS_BINS, PS_WINDOW, PS_QUANT
+    )
+
+
 AF_SHIFT_SAMPLES = 500        # query clip starts 5 frames into the db
 AF_MAX_LAG = 20
 
@@ -2999,6 +3016,8 @@ _R6_FRONT = [
     "ts_density_grid", "doc_lsh_eval", "ev_session_stats",
     "doc_jaccard_histogram", "mm_audio_offset_search",
     "emb_ann_recall_multiprobe", "ts_hurst_rs",
+    # round-6c additions (third session — never driver-sampled).
+    "ts_plv",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3057,6 +3076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_sax_motifs": q_sax_motifs,
         "mm_audio_match_pairs": q_audio_match_pairs,
         "ts_coherence": q_coherence,
+        "ts_plv": q_plv,
         "ev_ab_conversion": q_ab_conversion,
         "mm_image_phash": q_image_phash,
         "ts_granger_screen": q_granger_screen,
@@ -5640,6 +5660,65 @@ def oracle_sql() -> dict[str, str]:
                / (CAST(SUM(pa_q) AS DOUBLE) * CAST(SUM(pb_q) AS DOUBLE))
                END AS coherence
         FROM j GROUP BY bin
+        """
+
+    _plv_mag = (
+        "sqrt(CAST(re_q AS DOUBLE) * CAST(re_q AS DOUBLE) "
+        "+ CAST(im_q AS DOUBLE) * CAST(im_q AS DOUBLE))"
+    )
+    sql["ts_plv"] = f"""
+        WITH samples_aligned AS
+          ({TBL.DUCKDB_VIEWS['samples_aligned']}),
+        tabs AS (SELECT {_ps_cos_lit} AS cos_t, {_ps_sin_lit} AS sin_t),
+        rk AS (
+          SELECT channel, value,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS rn
+          FROM samples_aligned WHERE ts <= {BW_TS_END}
+        ),
+        ex AS (
+          SELECT channel, rn // {PS_WINDOW} AS win, rn % {PS_WINDOW} AS pos,
+                 value, UNNEST(generate_series(1, {PS_BINS})) AS bin
+          FROM rk
+        ),
+        ct AS (
+          SELECT e.channel, e.win, CAST(e.bin AS BIGINT) AS bin,
+                 CAST(round(e.value * t.cos_t[(e.bin - 1) * {PS_WINDOW} + e.pos + 1] * {PS_QUANT}) AS BIGINT) AS ci,
+                 CAST(round(e.value * t.sin_t[(e.bin - 1) * {PS_WINDOW} + e.pos + 1] * {PS_QUANT}) AS BIGINT) AS si
+          FROM ex e CROSS JOIN tabs t
+        ),
+        agg AS (
+          SELECT channel, win, bin, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(ci) AS BIGINT) AS sc, CAST(SUM(si) AS BIGINT) AS ss
+          FROM ct GROUP BY channel, win, bin
+        ),
+        j AS (
+          SELECT a.bin,
+                 CAST(round(({_c_sca}) * ({_c_scb})
+                          + ({_c_ssa}) * ({_c_ssb})) AS BIGINT) AS re_q,
+                 CAST(round(({_c_ssa}) * ({_c_scb})
+                          - ({_c_sca}) * ({_c_ssb})) AS BIGINT) AS im_q
+          FROM (SELECT win, bin, sc AS sc_a, ss AS ss_a FROM agg
+                WHERE channel = 'lead' AND n = {PS_WINDOW}) a
+          JOIN (SELECT win, bin, sc AS sc_b, ss AS ss_b FROM agg
+                WHERE channel = 'sec' AND n = {PS_WINDOW}) b
+            USING (win, bin)
+        ),
+        u AS (
+          SELECT bin,
+                 CAST(round(CAST(re_q AS DOUBLE) / ({_plv_mag})
+                      * 1000000000) AS BIGINT) AS ure_q,
+                 CAST(round(CAST(im_q AS DOUBLE) / ({_plv_mag})
+                      * 1000000000) AS BIGINT) AS uim_q
+          FROM j WHERE NOT (re_q = 0 AND im_q = 0)
+        )
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(ure_q) AS BIGINT) AS sum_ure_q,
+               CAST(SUM(uim_q) AS BIGINT) AS sum_uim_q,
+               sqrt(CAST(SUM(ure_q) AS DOUBLE) * CAST(SUM(ure_q) AS DOUBLE)
+                + CAST(SUM(uim_q) AS DOUBLE) * CAST(SUM(uim_q) AS DOUBLE))
+               / (CAST(COUNT(*) AS DOUBLE) * 1000000000) AS plv
+        FROM u GROUP BY bin
         """
 
     sql["ts_band_power"] = f"""

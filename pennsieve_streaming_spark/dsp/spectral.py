@@ -653,3 +653,96 @@ def fingerprint_offset_search(
             F.col("sum_hamming").cast("double") / F.col("n_frames"),
         )
     )
+
+
+def phase_locking_value(
+    samples: DataFrame,
+    channel_a: str,
+    channel_b: str,
+    n_bins: int,
+    window_samples: int,
+    quant: int = 10**6,
+    phasor_quant: int = 10**9,
+) -> DataFrame:
+    """Phase-locking value between two time-aligned channels (Lachaux
+    et al. 1999) — the OTHER canonical EEG connectivity metric next to
+    :func:`msc_coherence`:
+
+        PLV(f) = | avg_w  e^{i·Δφ(w,f)} |
+
+    where Δφ(w,f) is the phase of the per-window cross-spectrum
+    S_xy(w,f) = X·conj(Y).  Coherence weights windows by amplitude;
+    PLV normalizes every window to a UNIT phasor first, so it measures
+    pure phase consistency — amplitude bursts can't fake coupling.
+
+    Determinism (coherence's class, plus one normalization step):
+    per-window re/im derive from the exact-integer DFT sums of
+    :func:`dft_sums` via a fixed float expression and round to BIGINT
+    (sub-1e-15 relative at these magnitudes); the unit phasor
+    (re, im)/|S_xy| is one fixed expression over those two integers,
+    quantized to ``phasor_quant`` (±1e9 envelope, exactly
+    representable); the cross-window reduction is an exact BIGINT sum;
+    the final PLV is one fixed expression over two exact integers.
+    Windows with a zero quantized cross-spectrum (no common signal —
+    the phase is undefined) are dropped identically in both engines.
+
+    Output: (bin, n_windows, sum_ure_q, sum_uim_q, plv), plv in
+    [0, 1].
+
+    Scale: identical to msc_coherence — dft_sums'
+    |channels|×|windows|×bins parallelism, one equi-join of two
+    collapsed sum tables on (win, bin), final groupBy to |bins| rows.
+    """
+    ws = int(window_samples)
+    q = int(quant)
+    pq = int(phasor_quant)
+    sums = dft_sums(samples, n_bins, window_samples, quant).filter(
+        F.col("n") == ws
+    )
+    a = sums.filter(F.col("channel") == channel_a).select(
+        "win", "bin", F.col("sc").alias("sc_a"), F.col("ss").alias("ss_a")
+    )
+    b = sums.filter(F.col("channel") == channel_b).select(
+        "win", "bin", F.col("sc").alias("sc_b"), F.col("ss").alias("ss_b")
+    )
+    dq = f"CAST({{0}} AS DOUBLE) / {q}"
+    sca, ssa = dq.format("sc_a"), dq.format("ss_a")
+    scb, ssb = dq.format("sc_b"), dq.format("ss_b")
+    j = a.join(b, ["win", "bin"]).select(
+        "bin",
+        F.expr(
+            f"CAST(round(({sca}) * ({scb}) + ({ssa}) * ({ssb})) AS BIGINT)"
+        ).alias("re_q"),
+        F.expr(
+            f"CAST(round(({ssa}) * ({scb}) - ({sca}) * ({ssb})) AS BIGINT)"
+        ).alias("im_q"),
+    ).filter(~((F.col("re_q") == 0) & (F.col("im_q") == 0)))
+    mag = (
+        "sqrt(CAST(re_q AS DOUBLE) * CAST(re_q AS DOUBLE) "
+        "+ CAST(im_q AS DOUBLE) * CAST(im_q AS DOUBLE))"
+    )
+    u = j.select(
+        "bin",
+        F.expr(
+            f"CAST(round(CAST(re_q AS DOUBLE) / ({mag}) * {pq}) AS BIGINT)"
+        ).alias("ure_q"),
+        F.expr(
+            f"CAST(round(CAST(im_q AS DOUBLE) / ({mag}) * {pq}) AS BIGINT)"
+        ).alias("uim_q"),
+    )
+    return (
+        u.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum("ure_q").cast("long").alias("sum_ure_q"),
+            F.sum("uim_q").cast("long").alias("sum_uim_q"),
+        )
+        .withColumn(
+            "plv",
+            F.expr(
+                "sqrt(CAST(sum_ure_q AS DOUBLE) * CAST(sum_ure_q AS DOUBLE) "
+                "+ CAST(sum_uim_q AS DOUBLE) * CAST(sum_uim_q AS DOUBLE)) "
+                f"/ (CAST(n_windows AS DOUBLE) * {pq})"
+            ),
+        )
+    )

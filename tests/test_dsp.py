@@ -635,3 +635,42 @@ def test_fingerprint_offset_search_votes_and_verify(spark):
         fingerprint_offset_search(db_fp, q_fp, 20, bucket_cap=0).count()
         == 0
     )
+
+
+def test_plv_locked_vs_flipped_phase(spark):
+    """PLV of a channel with a scaled copy is 1 at signal bins (zero
+    cross-power bins drop out entirely); sign-flipping the copy every
+    other window alternates the phase by pi, so the unit phasors
+    cancel pairwise and PLV collapses to ~0 — and, unlike coherence,
+    amplitude bursts cannot rescue it (window 2's 100x burst changes
+    nothing because every window is normalized to a unit phasor)."""
+    import math
+
+    from pennsieve_streaming_spark.dsp.spectral import phase_locking_value
+
+    n, ws = 64, 16
+    rows = []
+    for t in range(n):
+        v = math.sin(2 * math.pi * 2 * t / ws) + 2.0 * math.cos(
+            2 * math.pi * 5 * t / ws
+        )
+        burst = 100.0 if (t // ws) == 2 else 1.0
+        rows.append(("x", t, v))
+        rows.append(("y", t, 0.5 * burst * v))
+        flip = -1.0 if (t // ws) % 2 else 1.0
+        rows.append(("z", t, flip * v))
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    same = {
+        r.bin: r
+        for r in phase_locking_value(df, "x", "y", 6, ws).collect()
+    }
+    # zero-cross-power bins are dropped, not NULL
+    assert set(same) == {2, 5}
+    for b, r in same.items():
+        assert r.n_windows == 4
+        assert abs(r.plv - 1.0) < 1e-6, (b, r.plv)
+    flipped = {
+        r.bin: r
+        for r in phase_locking_value(df, "x", "z", 6, ws).collect()
+    }
+    assert flipped[2].plv < 1e-6 and flipped[5].plv < 1e-6
