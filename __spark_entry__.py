@@ -1994,6 +1994,24 @@ def q_plv(spark, sf_dir):
     )
 
 
+DTW_SEG_LEN, DTW_MAX_SEGS, DTW_QUANT = 64, 16, 10**6
+
+
+def q_dtw_distance(spark, sf_dir):
+    """All-pairs elastic channel similarity: exact-integer DTW over
+    per-channel PAA sketches (64-row segments, ≤16 per channel) —
+    the alignment-tolerant distance lockstep correlation can't give;
+    integer DP end-to-end, cell-by-cell recursive-CTE oracle."""
+    from pennsieve_streaming_spark.operators.dtw import (
+        dtw_channel_distances,
+    )
+
+    return dtw_channel_distances(
+        TBL.samples_view(spark, sf_dir), DTW_SEG_LEN, DTW_MAX_SEGS,
+        DTW_QUANT,
+    )
+
+
 AF_SHIFT_SAMPLES = 500        # query clip starts 5 frames into the db
 AF_MAX_LAG = 20
 
@@ -3017,7 +3035,7 @@ _R6_FRONT = [
     "doc_jaccard_histogram", "mm_audio_offset_search",
     "emb_ann_recall_multiprobe", "ts_hurst_rs",
     # round-6c additions (third session — never driver-sampled).
-    "ts_plv",
+    "ts_plv", "ts_dtw_distance",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3077,6 +3095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_match_pairs": q_audio_match_pairs,
         "ts_coherence": q_coherence,
         "ts_plv": q_plv,
+        "ts_dtw_distance": q_dtw_distance,
         "ev_ab_conversion": q_ab_conversion,
         "mm_image_phash": q_image_phash,
         "ts_granger_screen": q_granger_screen,
@@ -5719,6 +5738,67 @@ def oracle_sql() -> dict[str, str]:
                 + CAST(SUM(uim_q) AS DOUBLE) * CAST(SUM(uim_q) AS DOUBLE))
                / (CAST(COUNT(*) AS DOUBLE) * 1000000000) AS plv
         FROM u GROUP BY bin
+        """
+
+    _dtw_inf = 1 << 62
+    sql["ts_dtw_distance"] = f"""
+        WITH RECURSIVE samples AS ({TBL.DUCKDB_VIEWS['samples']}),
+        rk AS (
+          SELECT channel,
+                 CAST(round(value * {DTW_QUANT}) AS BIGINT) AS xq,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS rn
+          FROM samples
+        ),
+        paa AS (
+          SELECT channel, rn // {DTW_SEG_LEN} AS seg,
+                 CAST(round(CAST(SUM(xq) AS DOUBLE) / {DTW_SEG_LEN})
+                      AS BIGINT) AS pq
+          FROM rk WHERE rn < {DTW_SEG_LEN * DTW_MAX_SEGS}
+          GROUP BY channel, rn // {DTW_SEG_LEN}
+          HAVING COUNT(*) = {DTW_SEG_LEN}
+        ),
+        arrs AS (
+          SELECT channel, list(pq ORDER BY seg) AS vals,
+                 CAST(COUNT(*) AS BIGINT) AS n_segs
+          FROM paa GROUP BY channel
+        ),
+        pairs AS (
+          SELECT a.channel AS ca, b.channel AS cb,
+                 a.n_segs AS la, b.n_segs AS lb,
+                 a.vals AS va, b.vals AS vb
+          FROM arrs a JOIN arrs b ON a.channel < b.channel
+        ),
+        rec AS (
+          -- cell-by-cell DP walk: state = (i, j) plus the finished
+          -- previous DP row and the growing current row (lists are
+          -- 1-indexed; position p holds column j = p-1); the virtual
+          -- row 0 is [0, INF, ...] giving the standard boundary.
+          SELECT ca, cb, la, lb, va, vb,
+                 CAST(0 AS BIGINT) AS i, lb AS j,
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(lb),
+                     x -> CAST({_dtw_inf} AS BIGINT))) AS prev,
+                 CAST(NULL AS BIGINT[]) AS cur
+          FROM pairs
+          UNION ALL
+          SELECT ca, cb, la, lb, va, vb,
+                 CASE WHEN j < lb THEN i ELSE i + 1 END AS i,
+                 CASE WHEN j < lb THEN j + 1 ELSE CAST(0 AS BIGINT) END
+                   AS j,
+                 CASE WHEN j < lb THEN prev
+                      WHEN i = 0 THEN prev ELSE cur END AS prev,
+                 CASE WHEN j < lb THEN list_append(cur,
+                        abs(va[i] - vb[j + 1])
+                        + least(prev[j + 2], prev[j + 1], cur[j + 1]))
+                      ELSE [CAST({_dtw_inf} AS BIGINT)] END AS cur
+          FROM rec WHERE NOT (i = la AND j = lb)
+        )
+        SELECT ca AS channel_a, cb AS channel_b, la, lb,
+               cur[lb + 1] AS dtw_q,
+               CAST(cur[lb + 1] AS DOUBLE)
+                 / ({DTW_QUANT} * CAST(la + lb AS DOUBLE)) AS dtw_norm
+        FROM rec WHERE i = la AND j = lb
         """
 
     sql["ts_band_power"] = f"""
