@@ -2740,6 +2740,16 @@ def q_cross_correlation(spark, sf_dir):
     )
 
 
+def q_ar2_model(spark, sf_dir):
+    """Per-channel AR(2) Yule-Walker model on the shared LOCF day
+    grid: lag-1/lag-2 autoregressive coefficients and innovation
+    variance from eleven exact BIGINT moments; expression text shared
+    verbatim with the oracle (operators/stats.ar2_exprs)."""
+    from pennsieve_streaming_spark.operators.stats import ar2_yule_walker
+
+    return ar2_yule_walker(_locf_day_grid(spark, sf_dir), CORR_QUANT)
+
+
 def q_granger_screen(spark, sf_dir):
     """Granger-style lead-lag causality screen over directed channel
     pairs on the shared LOCF day grid: does x's yesterday improve the
@@ -3035,7 +3045,7 @@ _R6_FRONT = [
     "doc_jaccard_histogram", "mm_audio_offset_search",
     "emb_ann_recall_multiprobe", "ts_hurst_rs",
     # round-6c additions (third session — never driver-sampled).
-    "ts_plv", "ts_dtw_distance",
+    "ts_plv", "ts_dtw_distance", "ts_ar2_model",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3096,6 +3106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_coherence": q_coherence,
         "ts_plv": q_plv,
         "ts_dtw_distance": q_dtw_distance,
+        "ts_ar2_model": q_ar2_model,
         "ev_ab_conversion": q_ab_conversion,
         "mm_image_phash": q_image_phash,
         "ts_granger_screen": q_granger_screen,
@@ -6682,6 +6693,72 @@ def oracle_sql() -> dict[str, str]:
                {_G_BAR} AS beta_ar,
                {_G_BX} AS beta_x,
                {_G_PR} AS partial_r
+        FROM agg
+        """,
+        "samples",
+        "channels",
+    )
+
+    from pennsieve_streaming_spark.operators.stats import ar2_exprs
+
+    _a2 = ar2_exprs(CORR_QUANT)
+    sql["ts_ar2_model"] = with_views(
+        f"""
+        WITH b AS (
+          SELECT MAX(start_ts) AS lo, MIN(end_ts) AS hi FROM channels
+        ),
+        gb AS (
+          SELECT UNNEST(generate_series(
+            ((lo + {_DAY} - 1) // {_DAY}) * {_DAY}, hi, {_DAY})) AS ts
+          FROM b
+        ),
+        grid AS (
+          SELECT c.channel, gb.ts
+          FROM (SELECT DISTINCT channel FROM channels) c CROSS JOIN gb
+        ),
+        u AS (
+          SELECT channel, ts, value, 0 AS is_grid FROM samples
+          UNION ALL
+          SELECT channel, ts, CAST(NULL AS DOUBLE), 1 FROM grid
+        ),
+        f AS (
+          SELECT channel, ts, is_grid,
+                 last_value(value IGNORE NULLS) OVER w AS fill
+          FROM u
+          WINDOW w AS (PARTITION BY channel ORDER BY ts, is_grid, value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        vals AS (
+          SELECT channel, ts,
+                 CAST(round(fill * {CORR_QUANT}) AS BIGINT) AS yq
+          FROM f WHERE is_grid = 1
+        ),
+        lagged AS (
+          SELECT channel, ts, yq,
+                 LAG(yq, 1) OVER (PARTITION BY channel ORDER BY ts) AS y1,
+                 LAG(yq, 2) OVER (PARTITION BY channel ORDER BY ts) AS y2
+          FROM vals
+        ),
+        agg AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(yq) AS BIGINT) AS sy,
+                 CAST(SUM(yq * yq) AS BIGINT) AS s0,
+                 CAST(COUNT(y1) AS BIGINT) AS n1,
+                 CAST(COALESCE(SUM(yq * y1), 0) AS BIGINT) AS s1,
+                 CAST(COALESCE(SUM(CASE WHEN y1 IS NOT NULL THEN yq END),
+                      0) AS BIGINT) AS sb1,
+                 CAST(COALESCE(SUM(y1), 0) AS BIGINT) AS sa1,
+                 CAST(COUNT(y2) AS BIGINT) AS n2,
+                 CAST(COALESCE(SUM(yq * y2), 0) AS BIGINT) AS s2,
+                 CAST(COALESCE(SUM(CASE WHEN y2 IS NOT NULL THEN yq END),
+                      0) AS BIGINT) AS sb2,
+                 CAST(COALESCE(SUM(y2), 0) AS BIGINT) AS sa2
+          FROM lagged GROUP BY channel
+        )
+        SELECT channel, n,
+               {_a2['phi1']} AS phi1,
+               {_a2['phi2']} AS phi2,
+               {_a2['sigma2_q']} AS sigma2_q
         FROM agg
         """,
         "samples",

@@ -1273,3 +1273,115 @@ def hurst_rs(
             f"* CAST(sx AS DOUBLE) / 1000) / n_scales, 9) END"
         ).alias("intercept"),
     )
+
+
+def ar2_exprs(quant: int) -> dict[str, str]:
+    """The AR(2) Yule-Walker closed-form expression strings, shared
+    verbatim between the Spark operator and the DuckDB oracle (the
+    granger G_* structural-identity discipline). Inputs are the nine
+    exact BIGINT moment columns (n, sy, s0, n1, s1, sa1, sb1, n2, s2,
+    sa2, sb2); ``quant`` scales sigma2 back to value units."""
+    q = int(quant)
+    m = "(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+    c0 = f"((CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE)) - {m} * {m})"
+    c1 = (
+        f"((CAST(s1 AS DOUBLE) - {m} * (CAST(sa1 AS DOUBLE) "
+        f"+ CAST(sb1 AS DOUBLE)) + CAST(n1 AS DOUBLE) * {m} * {m}) "
+        "/ CAST(n AS DOUBLE))"
+    )
+    c2 = (
+        f"((CAST(s2 AS DOUBLE) - {m} * (CAST(sa2 AS DOUBLE) "
+        f"+ CAST(sb2 AS DOUBLE)) + CAST(n2 AS DOUBLE) * {m} * {m}) "
+        "/ CAST(n AS DOUBLE))"
+    )
+    den = f"({c0} * {c0} - {c1} * {c1})"
+    phi1_raw = f"({c1} * ({c0} - {c2}) / {den})"
+    phi2_raw = f"(({c0} * {c2} - {c1} * {c1}) / {den})"
+    guard = f"n >= 3 AND {den} > 0"
+    return {
+        "phi1": f"CASE WHEN {guard} THEN round({phi1_raw}, 9) END",
+        "phi2": f"CASE WHEN {guard} THEN round({phi2_raw}, 9) END",
+        # sigma2 is ~(value range)² — far too large for round(·, 9)
+        # (9-dp rounding below the double's ulp is engine-dependent;
+        # the ts_value_histogram hazard class), so it ships as an
+        # exact BIGINT in milli-value-units² instead
+        "sigma2_q": (
+            f"CASE WHEN {guard} THEN "
+            f"CAST(round(({c0} - {phi1_raw} * {c1} - {phi2_raw} * {c2}) "
+            f"/ ({q}.0 * {q}.0) * 1000) AS BIGINT) END"
+        ),
+    }
+
+
+def ar2_yule_walker(values: DataFrame, quant: int = 100) -> DataFrame:
+    """Per-channel AR(2) model by Yule-Walker (Yule 1927; Walker
+    1931): solve
+
+        [c0 c1] [phi1]   [c1]
+        [c1 c0] [phi2] = [c2]
+
+    for the lag-1/lag-2 autoregressive coefficients, with c_k the
+    biased (1/n) sample autocovariances of the uniform-grid series —
+    the classic "how much does the channel's own recent past explain
+    it" model, and the order-2 extension of :func:`granger_screen`'s
+    restricted AR(1). ``sigma2_q`` is the innovation variance
+    c0 − phi1·c1 − phi2·c2 in milli-value-units² (exact BIGINT — the
+    magnitude is too large for stable 9-dp rounding) — the
+    one-step-ahead forecast error floor.
+
+    ``values`` must be a uniform per-channel grid (asof_locf output,
+    the granger/xcorr input contract).
+
+    Determinism: eleven exact quantized-BIGINT moments (overflow
+    envelope: n·(max|v|·quant)² < 2^63 — the CORR_QUANT day-grid
+    envelope), then ONE fixed float expression per statistic, shared
+    verbatim with the oracle via :func:`ar2_exprs`, rounded to 9 dp.
+    Degenerate series (n < 3 or zero variance) yield NULL explicitly.
+
+    Output: (channel, n, phi1, phi2, sigma2_q).
+
+    Plan (100 TB): two lag windows per channel over the bounded grid
+    (one partitioning, no joins), then a map-side-partial groupBy to
+    |channels| rows.
+    """
+    q = int(quant)
+    w = Window.partitionBy("channel").orderBy("ts")
+    d = (
+        values.select(
+            "channel",
+            "ts",
+            F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("yq"),
+        )
+        .withColumn("y1", F.lag("yq", 1).over(w))
+        .withColumn("y2", F.lag("yq", 2).over(w))
+    )
+    z = F.lit(0).cast("long")
+    agg = d.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("yq") * F.col("yq")).cast("long").alias("s0"),
+        F.count("y1").cast("long").alias("n1"),
+        F.coalesce(F.sum(F.col("yq") * F.col("y1")), z)
+        .cast("long")
+        .alias("s1"),
+        F.coalesce(F.sum(F.when(F.col("y1").isNotNull(), F.col("yq"))), z)
+        .cast("long")
+        .alias("sb1"),
+        F.coalesce(F.sum("y1"), z).cast("long").alias("sa1"),
+        F.count("y2").cast("long").alias("n2"),
+        F.coalesce(F.sum(F.col("yq") * F.col("y2")), z)
+        .cast("long")
+        .alias("s2"),
+        F.coalesce(F.sum(F.when(F.col("y2").isNotNull(), F.col("yq"))), z)
+        .cast("long")
+        .alias("sb2"),
+        F.coalesce(F.sum("y2"), z).cast("long").alias("sa2"),
+    )
+    e = ar2_exprs(q)
+    return agg.select(
+        "channel",
+        "n",
+        F.expr(e["phi1"]).alias("phi1"),
+        F.expr(e["phi2"]).alias("phi2"),
+        F.expr(e["sigma2_q"]).alias("sigma2_q"),
+    )

@@ -573,3 +573,37 @@ def test_hurst_rs_distinguishes_memory_classes(spark):
     assert 0.35 < got["iid"].hurst < 0.72
     assert got["trend"].hurst > 0.85
     assert got["trend"].hurst > got["iid"].hurst + 0.2
+
+
+def test_ar2_yule_walker_recovers_planted_process(spark):
+    """Planted AR(2) with known coefficients: Yule-Walker recovers
+    (phi1, phi2) to within sampling error; a white-noise channel's
+    coefficients sit near zero; a 2-point channel yields NULLs."""
+    import math
+
+    from pennsieve_streaming_spark.operators.stats import ar2_yule_walker
+
+    phi1, phi2, n = 0.6, -0.3, 2000
+    rows = []
+    y1 = y2 = 0.0
+    w1 = w2 = 0.0
+    for t in range(n):
+        # deterministic pseudo-noise (zero-mean, bounded)
+        e = math.sin(t * 12.9898) * 43758.5453
+        e = (e - math.floor(e)) - 0.5
+        y = phi1 * y1 + phi2 * y2 + e
+        rows.append(("ar", t * 10, y))
+        y2, y1 = y1, y
+        w = math.sin(t * 78.233) * 24634.6345
+        w = (w - math.floor(w)) - 0.5
+        rows.append(("wn", t * 10, w))
+        w2, w1 = w1, w
+    rows += [("tiny", 0, 1.0), ("tiny", 10, 2.0)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = {r.channel: r for r in ar2_yule_walker(df, 1000).collect()}
+    assert abs(out["ar"].phi1 - phi1) < 0.08
+    assert abs(out["ar"].phi2 - phi2) < 0.08
+    assert abs(out["wn"].phi1) < 0.08 and abs(out["wn"].phi2) < 0.08
+    assert out["tiny"].phi1 is None and out["tiny"].sigma2_q is None
+    # innovation variance of the planted process ≈ var(e) = 1/12
+    assert abs(out["ar"].sigma2_q / 1000 - 1 / 12) < 0.02
