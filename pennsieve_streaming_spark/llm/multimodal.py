@@ -89,7 +89,7 @@ def _decode_features(payload: bytes, decode_stub: bool) -> list[float]:
     WAV/PCM audio (llm/wav.py); other formats use the deterministic
     stub, or raise when ``decode_stub=False`` (the production hook for
     ffmpeg/pillow for the remaining codecs)."""
-    from pennsieve_streaming_spark.llm import jpeg, png, rawimg, video, wav
+    from pennsieve_streaming_spark.llm import gif, jpeg, png, rawimg, video, wav
 
     if video.is_avi(payload):
         try:
@@ -99,6 +99,12 @@ def _decode_features(payload: bytes, decode_stub: bool) -> list[float]:
             pass  # non-MJPEG AVI falls through to the stub
     if png.is_png(payload):
         return png.image_features(png.decode_png(payload), FEATURE_DIM).tolist()
+    if gif.is_gif(payload):
+        try:
+            frame, _n_frames = gif.decode_gif(payload)
+            return png.image_features(frame, FEATURE_DIM).tolist()
+        except gif.GifError:
+            pass  # malformed/exotic GIF falls through to the stub
     if jpeg.is_jpeg(payload):
         try:
             return png.image_features(
@@ -130,7 +136,7 @@ def _decode_features(payload: bytes, decode_stub: bool) -> list[float]:
     if not decode_stub:
         raise NotImplementedError(
             "no codec for this payload format in this environment; "
-            "PNG/JPEG (baseline + progressive)/BMP/PGM/PPM images, WAV "
+            "PNG/GIF/JPEG (baseline + progressive)/BMP/PGM/PPM images, WAV "
             "(PCM + G.711 + IMA ADPCM) audio, and MJPEG/AVI video "
             "decode natively; others (arithmetic-coded JPEG, "
             "inter-frame video codecs) need ffmpeg/pillow plugged "
