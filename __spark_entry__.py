@@ -2512,6 +2512,30 @@ def q_distribution_drift(spark, sf_dir):
     )
 
 
+def q_stream_drift(spark, sf_dir):
+    """Streaming PSI drift monitor drained with availableNow: the
+    per-(channel, bin) ref/cur counters run as one complete-mode
+    streaming agg (associative conditional sums ⇒ drain == batch) and
+    the shared densify+PSI finish makes the output bit-identical to
+    ts_distribution_drift — one batch SQL oracle gates both."""
+    import tempfile
+
+    from pennsieve_streaming_spark.streaming.drift import (
+        drain_distribution_drift,
+    )
+
+    s = TBL.samples_view(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="pss_stream_dr_")
+    s.coalesce(2).write.parquet(f"{base}/src")
+    stream = spark.readStream.schema(
+        "channel string, ts long, value double"
+    ).parquet(f"{base}/src")
+    return drain_distribution_drift(
+        spark, stream, PSI_SPLIT_TS, HQ_LO, HQ_HI, 22, f"{base}/ckpt",
+        query_name=f"drift_{abs(hash(base)) % 10**9}",
+    )
+
+
 def q_cohort_matrix(spark, sf_dir):
     """Full retention cohort triangle by first-active week, tracked
     8 weeks out (deduped user-week joins only)."""
@@ -3045,7 +3069,7 @@ _R6_FRONT = [
     "doc_jaccard_histogram", "mm_audio_offset_search",
     "emb_ann_recall_multiprobe", "ts_hurst_rs",
     # round-6c additions (third session — never driver-sampled).
-    "ts_plv", "ts_dtw_distance", "ts_ar2_model",
+    "ts_plv", "ts_dtw_distance", "ts_ar2_model", "stream_drift",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3113,6 +3137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_spectral_entropy": q_spectral_entropy,
         "doc_bpe_fertility": q_bpe_fertility,
         "stream_trend": q_stream_trend,
+        "stream_drift": q_stream_drift,
         "ts_density_grid": q_density_grid,
         "doc_lsh_eval": q_lsh_eval,
         "ev_session_stats": q_session_stats,
@@ -4612,6 +4637,9 @@ def oracle_sql() -> dict[str, str]:
     # streaming trend segments drain == batch (associative moments,
     # shared finish) — same oracle
     sql["stream_trend"] = sql["ts_trend_segments"]
+    # streaming drift: the counters are associative and the finish is
+    # shared, so the batch PSI oracle gates the streaming operator too
+    # (assigned after ts_distribution_drift is defined below)
 
     _dg_w = (HQ_HI - HQ_LO) / DG_BINS
     _dg_raw = (
@@ -5003,6 +5031,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "samples",
     )
+    sql["stream_drift"] = sql["ts_distribution_drift"]
 
     _WK = 7 * 86_400 * 1_000_000
     sql["ev_cohort_matrix"] = f"""

@@ -764,10 +764,23 @@ def distribution_drift(
     (counting both windows in the same pass via conditional sums),
     then a |channels|-row reduce. The drift check costs one scan.
     """
+    return finish_distribution_drift(
+        drift_bin_counts(samples, split_ts, lo, hi, n_bins), n_bins
+    )
+
+
+def drift_bin_counts(
+    samples: DataFrame, split_ts: int, lo: float, hi: float, n_bins: int
+) -> DataFrame:
+    """The (channel, bin, c_ref, c_cur) counter table feeding
+    :func:`distribution_drift` — both window counts in one pass via
+    conditional sums. The counts are associative, so the SAME builder
+    runs as a complete-mode streaming aggregation (streaming/drift.py)
+    with drain == batch by construction."""
     width = (float(hi) - float(lo)) / int(n_bins)
     nb = int(n_bins)
     bin_col = F.floor((F.col("value") - F.lit(float(lo))) / F.lit(width))
-    counts = (
+    return (
         samples.withColumn("bin", bin_col)
         .filter((F.col("bin") >= 0) & (F.col("bin") < nb))
         .withColumn("is_ref", (F.col("ts") < split_ts).cast("long"))
@@ -777,6 +790,13 @@ def distribution_drift(
             F.sum(F.lit(1) - F.col("is_ref")).cast("long").alias("c_cur"),
         )
     )
+
+
+def finish_distribution_drift(counts: DataFrame, n_bins: int) -> DataFrame:
+    """Densify + smooth + fold the counter table into per-channel PSI
+    (the shared batch/streaming finish — identical fixed expressions
+    over identical exact integers)."""
+    nb = int(n_bins)
     # densify: every (channel, bin) cell participates, observed or not
     chans = counts.select("channel").distinct()
     grid = chans.crossJoin(

@@ -213,3 +213,50 @@ def test_stream_trend_drain_equals_batch(spark, tmp_path):
     want = trend_segments(df, 700, 70).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert len(want) > 0
+
+
+def test_stream_drift_drain_equals_batch(spark, tmp_path):
+    """Multi-file availableNow drain of the PSI counter aggregation
+    equals batch distribution_drift (associative counters + shared
+    densify/PSI finish), including channels with empty bins and an
+    all-reference channel."""
+    import numpy as np
+    import pandas as pd
+
+    from pennsieve_streaming_spark.operators.stats import (
+        distribution_drift,
+    )
+    from pennsieve_streaming_spark.streaming.drift import (
+        drain_distribution_drift,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for ch, shift in (("a", 0.0), ("b", 30.0)):
+        for t in range(600):
+            # ts >= 5000 is the "current" window; channel b drifts
+            v = rng.uniform(0, 60) + (shift if t * 10 >= 5000 else 0.0)
+            rows.append((ch, t * 10, float(v)))
+    for t in range(50):  # all-reference channel (n_cur = 0)
+        rows.append(("refonly", t, float(rng.uniform(0, 60))))
+    pdf = pd.DataFrame(rows, columns=["channel", "ts", "value"])
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf.iloc[:700]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(pdf.iloc[700:]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(
+        "channel string, ts long, value double"
+    ).parquet(src)
+    got = drain_distribution_drift(
+        spark, stream, 5000, 0.0, 100.0, 10, str(tmp_path / "ckpt"),
+        query_name="drift_test",
+    ).collect()
+    df = spark.createDataFrame(pdf)
+    want = distribution_drift(df, 5000, 0.0, 100.0, 10).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    by_ch = {r.channel: r for r in got}
+    assert by_ch["b"].psi > by_ch["a"].psi  # planted drift detected
+    assert by_ch["refonly"].n_cur == 0
