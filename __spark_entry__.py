@@ -2683,6 +2683,22 @@ def q_stream_trend(spark, sf_dir):
     )
 
 
+SE_WINDOW, SE_M, SE_RFRAC, SE_QUANT = 128, 2, 0.2, 100
+
+
+def q_sample_entropy(spark, sf_dir):
+    """Per-(channel, 128-sample window) sample entropy — the EEG/HRV
+    complexity measure: exact integer Chebyshev template-match counts
+    (m=2 vs 3) under a bit-exact IQR-derived tolerance, one fixed
+    −ln(A/B) at the end."""
+    from pennsieve_streaming_spark.operators.stats import sample_entropy
+
+    return sample_entropy(
+        TBL.samples_view(spark, sf_dir), SE_WINDOW, SE_M, SE_RFRAC,
+        SE_QUANT,
+    )
+
+
 HURST_SCALES = (64, 128, 256, 512)
 HURST_QUANT = 10
 
@@ -3070,6 +3086,7 @@ _R6_FRONT = [
     "emb_ann_recall_multiprobe", "ts_hurst_rs",
     # round-6c additions (third session — never driver-sampled).
     "ts_plv", "ts_dtw_distance", "ts_ar2_model", "stream_drift",
+    "ts_sample_entropy",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3131,6 +3148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_plv": q_plv,
         "ts_dtw_distance": q_dtw_distance,
         "ts_ar2_model": q_ar2_model,
+        "ts_sample_entropy": q_sample_entropy,
         "ev_ab_conversion": q_ab_conversion,
         "mm_image_phash": q_image_phash,
         "ts_granger_screen": q_granger_screen,
@@ -6354,6 +6372,80 @@ def oracle_sql() -> dict[str, str]:
           FROM ranked GROUP BY channel
         )
         SELECT channel, n, {_pct_posts} FROM agg
+        """,
+        "samples",
+    )
+
+    _se_aggs = ", ".join(
+        _pct_terms(p, nm)[0] for p, nm in ((0.25, "p25"), (0.75, "p75"))
+    )
+    _se_posts = ", ".join(
+        _pct_terms(p, nm)[1] for p, nm in ((0.25, "p25"), (0.75, "p75"))
+    )
+    _se_last = SE_WINDOW - SE_M - 1  # last valid template start
+    sql["ts_sample_entropy"] = with_views(
+        f"""
+        WITH rk0 AS (
+          SELECT channel, value,
+                 ROW_NUMBER() OVER (PARTITION BY channel ORDER BY value, ts)
+                   - 1 AS rn,
+                 COUNT(*) OVER (PARTITION BY channel) AS n
+          FROM samples
+        ),
+        tol0 AS (
+          SELECT channel, CAST(MAX(n) AS BIGINT) AS n, {_se_aggs}
+          FROM rk0 GROUP BY channel
+        ),
+        tol1 AS (SELECT channel, {_se_posts} FROM tol0),
+        tol AS (
+          SELECT channel,
+                 CAST(round({SE_RFRAC!r} * (p75 - p25) * {SE_QUANT})
+                      AS BIGINT) AS r_q
+          FROM tol1
+        ),
+        rk AS (
+          SELECT channel,
+                 CAST(round(value * {SE_QUANT}) AS BIGINT) AS xq,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS rn
+          FROM samples
+        ),
+        t AS (
+          SELECT channel, rn // {SE_WINDOW} AS win, rn % {SE_WINDOW} AS pos,
+                 xq,
+                 LEAD(xq, 1) OVER (PARTITION BY channel, rn // {SE_WINDOW}
+                     ORDER BY rn) AS x1,
+                 LEAD(xq, 2) OVER (PARTITION BY channel, rn // {SE_WINDOW}
+                     ORDER BY rn) AS x2,
+                 COUNT(*) OVER (PARTITION BY channel, rn // {SE_WINDOW})
+                   AS nw
+          FROM rk
+        ),
+        tc AS (SELECT * FROM t WHERE nw = {SE_WINDOW}),
+        pairs AS (
+          SELECT a.channel, a.win,
+                 GREATEST(abs(a.xq - b.xq), abs(a.x1 - b.x1)) AS c2,
+                 GREATEST(abs(a.xq - b.xq), abs(a.x1 - b.x1),
+                          abs(a.x2 - b.x2)) AS c3
+          FROM tc a JOIN tc b
+            ON a.channel = b.channel AND a.win = b.win AND b.pos > a.pos
+          WHERE a.pos <= {_se_last} AND b.pos <= {_se_last}
+        ),
+        cnt AS (
+          SELECT p.channel, CAST(p.win AS BIGINT) AS win,
+                 CAST({SE_WINDOW} AS BIGINT) AS n, t2.r_q,
+                 CAST(SUM(CASE WHEN p.c2 <= t2.r_q THEN 1 ELSE 0 END)
+                      AS BIGINT) AS b_count,
+                 CAST(SUM(CASE WHEN p.c3 <= t2.r_q THEN 1 ELSE 0 END)
+                      AS BIGINT) AS a_count
+          FROM pairs p JOIN tol t2 USING (channel)
+          GROUP BY p.channel, p.win, t2.r_q
+        )
+        SELECT channel, win, n, r_q, b_count, a_count,
+               CASE WHEN a_count > 0 AND b_count > 0 THEN
+                 round(-ln(CAST(a_count AS DOUBLE)
+                           / CAST(b_count AS DOUBLE)), 9) END AS sampen
+        FROM cnt
         """,
         "samples",
     )

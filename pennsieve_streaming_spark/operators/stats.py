@@ -1405,3 +1405,137 @@ def ar2_yule_walker(values: DataFrame, quant: int = 100) -> DataFrame:
         F.expr(e["phi2"]).alias("phi2"),
         F.expr(e["sigma2_q"]).alias("sigma2_q"),
     )
+
+
+def sampen_counts(x: "np.ndarray", m: int, r: int) -> tuple[int, int]:
+    """Exact SampEn template-match counts for one window: over starts
+    i<j in 0..n−m−1, B = #(chebyshev distance of the length-m
+    templates ≤ r), A = same for length m+1. Integer comparisons only
+    — the kernel both the Spark path and the goldens call."""
+    import numpy as np
+
+    n = len(x)
+    nt = n - m  # common start range 0..n-m-1 for both lengths
+    if nt < 2:
+        return 0, 0
+    d0 = np.abs(x[:, None] - x[None, :])
+
+    def cheb(length: int) -> np.ndarray:
+        s = n - length + 1  # starts 0..n-length
+        c = d0[:s, :s]
+        for k in range(1, length):
+            c = np.maximum(c, d0[k : k + s, k : k + s])
+        return c
+
+    cms = cheb(m)[:nt, :nt]
+    cm1 = cheb(m + 1)  # already exactly nt×nt
+    iu = np.triu_indices(nt, k=1)
+    b = int((cms[iu] <= r).sum())
+    a = int((cm1[iu] <= r).sum())
+    return b, a
+
+
+def sample_entropy(
+    samples: DataFrame,
+    window_samples: int = 128,
+    m: int = 2,
+    r_frac: float = 0.2,
+    quant: int = 100,
+) -> DataFrame:
+    """Sample entropy per (channel, window) (Richman & Moorman 2000)
+    — THE standard EEG/HRV signal-complexity measure:
+
+        SampEn(m, r) = −ln(A / B)
+
+    with B the count of start pairs whose length-m templates match
+    within Chebyshev tolerance r and A the same for length m+1. Low
+    SampEn = self-similar/regular signal; high = unpredictable.
+
+    Tolerance: the classic convention is r = 0.2·std; to stay
+    engine-exact this uses the bit-exact per-channel IQR instead —
+    ``r_q = round(r_frac · (p75 − p25) · quant)`` from
+    :func:`channel_percentiles`' explicit order statistics — an
+    integer Chebyshev gate (documented IQR variant; IQR ≈ 1.35·std
+    for Gaussian data, so r_frac keeps its usual meaning).
+
+    Determinism: quantized BIGINT values, integer distance
+    comparisons, exact integer counts; the only float is the final
+    −ln(A/B), one fixed expression rounded to 9 dp. Incomplete
+    trailing windows are dropped (the dft_sums contract); windows
+    with A = 0 or B = 0 emit NULL sampen explicitly.
+
+    Output: (channel, win, n, r_q, b_count, a_count, sampen).
+
+    Scale: one ranking window per channel + a broadcast |channels|-row
+    tolerance join; the O(W²) match count runs per (channel, window)
+    inside Arrow batches — embarrassingly parallel, W fixed at 128.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ws = int(window_samples)
+    q = int(quant)
+    mm = int(m)
+    pct = channel_percentiles(samples, (0.25, 0.75)).select(
+        "channel",
+        F.expr(
+            f"CAST(round({float(r_frac)} * (p75 - p25) * {q}) AS BIGINT)"
+        ).alias("r_q"),
+    )
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    ranked = (
+        samples.select(
+            "channel",
+            "ts",
+            "value",
+            (F.row_number().over(w) - 1).alias("_rn"),
+            F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+        )
+        .withColumn("win", (F.col("_rn") / ws).cast("long"))
+        .withColumn("pos", (F.col("_rn") % ws).cast("long"))
+        .join(F.broadcast(pct), "channel")
+    )
+
+    def run(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) != ws:  # ragged tail window
+            return pd.DataFrame(
+                {
+                    "channel": pd.Series([], dtype=str),
+                    "win": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "r_q": pd.Series([], dtype="int64"),
+                    "b_count": pd.Series([], dtype="int64"),
+                    "a_count": pd.Series([], dtype="int64"),
+                }
+            )
+        x = (
+            pdf.sort_values("pos")["xq"].to_numpy(dtype=np.int64)
+        )
+        rq = int(pdf["r_q"].iloc[0])
+        b, a = sampen_counts(x, mm, rq)
+        return pd.DataFrame(
+            {
+                "channel": [key[0]],
+                "win": [int(key[1])],
+                "n": [ws],
+                "r_q": [rq],
+                "b_count": [b],
+                "a_count": [a],
+            }
+        )
+
+    counts = ranked.groupBy("channel", "win").applyInPandas(
+        run,
+        schema=(
+            "channel string, win long, n long, r_q long, "
+            "b_count long, a_count long"
+        ),
+    )
+    return counts.withColumn(
+        "sampen",
+        F.expr(
+            "CASE WHEN a_count > 0 AND b_count > 0 THEN "
+            "round(-ln(CAST(a_count AS DOUBLE) "
+            "/ CAST(b_count AS DOUBLE)), 9) END"
+        ),
+    )

@@ -607,3 +607,51 @@ def test_ar2_yule_walker_recovers_planted_process(spark):
     assert out["tiny"].phi1 is None and out["tiny"].sigma2_q is None
     # innovation variance of the planted process ≈ var(e) = 1/12
     assert abs(out["ar"].sigma2_q / 1000 - 1 / 12) < 0.02
+
+
+def test_sampen_kernel_matches_brute_force():
+    import numpy as np
+
+    from pennsieve_streaming_spark.operators.stats import sampen_counts
+
+    def brute(x, m, r):
+        nt = len(x) - m
+        b = a = 0
+        for i in range(nt):
+            for j in range(i + 1, nt):
+                if max(abs(x[i + k] - x[j + k]) for k in range(m)) <= r:
+                    b += 1
+                if max(abs(x[i + k] - x[j + k]) for k in range(m + 1)) <= r:
+                    a += 1
+        return b, a
+
+    rng = np.random.default_rng(3)
+    for _ in range(25):
+        x = rng.integers(0, 10, size=int(rng.integers(5, 40))).astype(
+            np.int64
+        )
+        m, r = int(rng.integers(1, 4)), int(rng.integers(0, 5))
+        assert sampen_counts(x, m, r) == brute(x, m, r)
+
+
+def test_sample_entropy_orders_regular_below_random(spark):
+    """A periodic signal is more predictable than pseudo-noise of the
+    same amplitude: SampEn(periodic) < SampEn(noise). A constant
+    channel has A == B ⇒ SampEn exactly 0."""
+    import math
+
+    from pennsieve_streaming_spark.operators.stats import sample_entropy
+
+    rows = []
+    for t in range(128):
+        rows.append(("sine", t, 100.0 * math.sin(2 * math.pi * t / 16)))
+        e = math.sin(t * 12.9898) * 43758.5453
+        rows.append(("noise", t, 200.0 * ((e - math.floor(e)) - 0.5)))
+        rows.append(("flat", t, 42.0))
+    rows.append(("sine", 200, 1.0))  # ragged 1-row window -> dropped
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = {r.channel: r for r in sample_entropy(df, 128, 2, 0.2, 100).collect()}
+    assert set(out) == {"sine", "noise", "flat"}  # ragged tail gone
+    assert out["flat"].sampen == 0.0
+    assert out["sine"].sampen < out["noise"].sampen
+    assert out["noise"].b_count > 0
