@@ -2683,6 +2683,24 @@ def q_stream_trend(spark, sf_dir):
     )
 
 
+KB_S, KB_GAMMA = 2.0, 0.3   # burst rate scaling / entry cost (data-
+#                             exercised: 136 bursts at sf0.01, 0 at γ=1)
+
+
+def q_kleinberg_bursts(spark, sf_dir):
+    """Kleinberg 2-state burst detection over each event channel's
+    inter-arrival gaps: integer forward/backward DP on 1e-9-quantized
+    gap costs, burst intervals from the per-gap optimal states —
+    two-recursive-CTE oracle (the Butterworth recurrence class)."""
+    from pennsieve_streaming_spark.operators.bursts import (
+        kleinberg_bursts,
+    )
+
+    return kleinberg_bursts(
+        TBL.chan_events_view(spark, sf_dir), KB_S, KB_GAMMA
+    )
+
+
 SE_WINDOW, SE_M, SE_RFRAC, SE_QUANT = 128, 2, 0.2, 100
 
 
@@ -3086,7 +3104,7 @@ _R6_FRONT = [
     "emb_ann_recall_multiprobe", "ts_hurst_rs",
     # round-6c additions (third session — never driver-sampled).
     "ts_plv", "ts_dtw_distance", "ts_ar2_model", "stream_drift",
-    "ts_sample_entropy",
+    "ts_sample_entropy", "ev_kleinberg_bursts",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3149,6 +3167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_dtw_distance": q_dtw_distance,
         "ts_ar2_model": q_ar2_model,
         "ts_sample_entropy": q_sample_entropy,
+        "ev_kleinberg_bursts": q_kleinberg_bursts,
         "ev_ab_conversion": q_ab_conversion,
         "mm_image_phash": q_image_phash,
         "ts_granger_screen": q_granger_screen,
@@ -6456,6 +6475,92 @@ def oracle_sql() -> dict[str, str]:
     _ws_posts = ", ".join(
         _pct_terms(p, nm)[1] for p, nm in ((0.05, "p05"), (0.95, "p95"))
     )
+    sql["ev_kleinberg_bursts"] = f"""
+        WITH RECURSIVE chan_events AS
+          ({TBL.DUCKDB_VIEWS['chan_events']}),
+        g0 AS (
+          SELECT channel, ts,
+                 LAG(ts) OVER (PARTITION BY channel ORDER BY ts) AS prev_ts
+          FROM chan_events
+        ),
+        gaps AS (
+          SELECT channel, prev_ts AS gap_start_ts, ts AS gap_end_ts,
+                 ts - prev_ts AS x,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, prev_ts) - 1 AS i
+          FROM g0 WHERE prev_ts IS NOT NULL
+        ),
+        pr AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(MAX(gap_end_ts) - MIN(gap_start_ts) AS BIGINT) AS span
+          FROM gaps GROUP BY channel
+          HAVING COUNT(*) >= 2
+             AND MAX(gap_end_ts) - MIN(gap_start_ts) > 0
+        ),
+        pp AS (
+          SELECT channel, n,
+                 CAST(n AS DOUBLE) / CAST(span AS DOUBLE) AS lam0,
+                 {KB_S!r} * (CAST(n AS DOUBLE) / CAST(span AS DOUBLE))
+                   AS lam1,
+                 CAST(round(ln(CAST(n AS DOUBLE) / CAST(span AS DOUBLE))
+                      * 1000000000) AS BIGINT) AS lnq0,
+                 CAST(round(ln({KB_S!r} * (CAST(n AS DOUBLE)
+                      / CAST(span AS DOUBLE))) * 1000000000) AS BIGINT)
+                   AS lnq1,
+                 CAST(round({KB_GAMMA!r} * ln(CAST(n AS DOUBLE))
+                      * 1000000000) AS BIGINT) AS trans_q
+          FROM pr
+        ),
+        cg AS (
+          SELECT g.channel, g.i, g.gap_start_ts, g.gap_end_ts,
+                 CAST(round(p.lam0 * g.x * 1000000000) AS BIGINT) - p.lnq0
+                   AS c0,
+                 CAST(round(p.lam1 * g.x * 1000000000) AS BIGINT) - p.lnq1
+                   AS c1,
+                 p.trans_q, p.n
+          FROM gaps g JOIN pp p USING (channel)
+        ),
+        fwd AS (
+          SELECT channel, i, c0 AS f0, trans_q + c1 AS f1
+          FROM cg WHERE i = 0
+          UNION ALL
+          SELECT c.channel, c.i,
+                 LEAST(r.f0, r.f1) + c.c0 AS f0,
+                 LEAST(r.f0 + c.trans_q, r.f1) + c.c1 AS f1
+          FROM fwd r JOIN cg c
+            ON c.channel = r.channel AND c.i = r.i + 1
+        ),
+        bwd AS (
+          SELECT channel, n - 1 AS i, CAST(0 AS BIGINT) AS b0,
+                 CAST(0 AS BIGINT) AS b1
+          FROM pp
+          UNION ALL
+          SELECT r.channel, r.i - 1 AS i,
+                 LEAST(c.c0 + r.b0, c.trans_q + c.c1 + r.b1) AS b0,
+                 LEAST(c.c0 + r.b0, c.c1 + r.b1) AS b1
+          FROM bwd r JOIN cg c
+            ON c.channel = r.channel AND c.i = r.i
+          WHERE r.i > 0
+        ),
+        st AS (
+          SELECT c.channel, c.i, c.gap_start_ts, c.gap_end_ts
+          FROM cg c
+          JOIN fwd f ON f.channel = c.channel AND f.i = c.i
+          JOIN bwd b ON b.channel = c.channel AND b.i = c.i
+          WHERE f.f1 + b.b1 < f.f0 + b.b0
+        ),
+        isl AS (
+          SELECT channel, i, gap_start_ts, gap_end_ts,
+                 i - ROW_NUMBER() OVER (PARTITION BY channel ORDER BY i)
+                   AS grp
+          FROM st
+        )
+        SELECT channel, CAST(MIN(gap_start_ts) AS BIGINT) AS start_ts,
+               CAST(MAX(gap_end_ts) AS BIGINT) AS end_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps
+        FROM isl GROUP BY channel, grp
+        """
+
     _bl = "CAST(total AS DOUBLE) / CAST(n_buckets AS DOUBLE)"
     _bz = f"(CAST(n AS DOUBLE) - {_bl}) / sqrt({_bl})"
     sql["ev_rate_bursts"] = with_views(
