@@ -1148,6 +1148,21 @@ def q_ann_pq(spark, sf_dir):
     )
 
 
+def q_pq_distortion(spark, sf_dir):
+    """Per-subspace PQ reconstruction MSE — the quantization-quality
+    panel for the compressed-vector ANN path (1e-9-quantized exact
+    error sums over the golden codebooks)."""
+    from pennsieve_streaming_spark.llm.similarity import (
+        golden_codebooks,
+        pq_distortion,
+    )
+
+    return pq_distortion(
+        _embs(spark, sf_dir),
+        golden_codebooks(PQ_M, PQ_CODES, ANN_DIM // PQ_M),
+    )
+
+
 def q_emb_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (dedup flavor): BANDED
     hyperplane-LSH blocked self-join (B independent r-bit tables,
@@ -3104,7 +3119,7 @@ _R6_FRONT = [
     "emb_ann_recall_multiprobe", "ts_hurst_rs",
     # round-6c additions (third session — never driver-sampled).
     "ts_plv", "ts_dtw_distance", "ts_ar2_model", "stream_drift",
-    "ts_sample_entropy", "ev_kleinberg_bursts",
+    "ts_sample_entropy", "ev_kleinberg_bursts", "emb_pq_distortion",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3318,6 +3333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "emb_ann_ivf": q_ann_ivf,
         "emb_ann_pq": q_ann_pq,
+        "emb_pq_distortion": q_pq_distortion,
         "emb_ann_ivf_pq": q_ann_ivf_pq,
         "emb_near_dup_pairs": q_emb_near_dup,
         # documents / dedup
@@ -8493,6 +8509,7 @@ def oracle_sql() -> dict[str, str]:
 
     # --- PQ ADC ANN ---------------------------------------------------------
     sql["emb_ann_pq"] = _pq_oracle_sql()
+    sql["emb_pq_distortion"] = _pq_distortion_oracle_sql()
 
     # --- IVF-PQ composition -------------------------------------------------
     sql["emb_ann_ivf_pq"] = _ivf_pq_oracle_sql()
@@ -9104,6 +9121,32 @@ def _pq_oracle_sql() -> str:
                      ORDER BY adc_dist, neighbor_id) AS rank
           FROM scored
         ) WHERE rank <= {ANN_K}
+        """
+
+
+def _pq_distortion_oracle_sql() -> str:
+    """Replay the per-subspace nearest-codeword squared error over the
+    same _pq_fragments distance lists, 1e-9-quantized before the exact
+    per-subspace sum (mirrors llm/similarity.pq_distortion)."""
+    cb_lit, dists, _ = _pq_fragments()
+    return f"""
+        WITH cbt AS (SELECT {cb_lit} AS cb),
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+        per AS (
+          SELECT ss.s AS subspace,
+                 CAST(round(list_min({dists}) * 1000000000) AS BIGINT)
+                   AS errq
+          FROM emb CROSS JOIN cbt
+          CROSS JOIN (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS s)
+            ss
+        )
+        SELECT CAST(subspace AS BIGINT) AS subspace,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(errq) AS BIGINT) AS sum_errq,
+               round(CAST(SUM(errq) AS DOUBLE)
+                     / (CAST(COUNT(*) AS DOUBLE) * 1000000000), 9) AS mse
+        FROM per GROUP BY subspace
         """
 
 

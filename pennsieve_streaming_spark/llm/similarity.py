@@ -1061,3 +1061,70 @@ def kmeans_inertia(
             (F.col("inertia_q").cast("double") / q).alias("inertia"),
         )
     )
+
+
+def pq_distortion(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 10**9,
+) -> DataFrame:
+    """Per-subspace PQ reconstruction distortion — the quantization-
+    quality panel for :func:`pq_ann` (the text-dedup q_lsh_eval /
+    ANN-recall counterpart for the compressed-vector path): for every
+    vector the squared distance to its NEAREST codeword (exactly the
+    error the ADC scan later absorbs), averaged per subspace.
+
+        mse_s = mean_x ||x_s − cb_s[argmin]||²
+
+    High mse_s = that subspace's codebook is too coarse for the data
+    (re-train with larger k or re-balance the subspace split).
+
+    Determinism: the per-vector subspace error is the same sequential
+    zip_with/aggregate fold as the encode (one fixed float chain),
+    1e-9-quantized to BIGINT per vector; the cross-vector reduction
+    is an exact integer sum; mse is one fixed expression at the end.
+
+    Output: (subspace, n, sum_errq, mse).
+
+    Scale: narrow map over the broadcast codebook literal + one
+    partial-agg groupBy to m rows — the corpus never shuffles.
+    """
+    m = len(codebooks)
+    k = len(codebooks[0])
+    subdim = len(codebooks[0][0])
+    q = int(quant)
+    cb = _cb_literal(codebooks)
+    dist_list = (
+        f"transform(sequence(0, {k - 1}), c -> "
+        f"  aggregate(zip_with(slice(v, s * {subdim} + 1, {subdim}),"
+        f"            element_at(element_at({cb}, s + 1), c + 1),"
+        f"            (x, y) -> (x - y) * (x - y)),"
+        f"            CAST(0 AS DOUBLE), (acc, d) -> acc + d))"
+    )
+    errs = (
+        f"transform(sequence(0, {m - 1}), s -> "
+        f"CAST(round(array_min({dist_list}) * {q}) AS BIGINT))"
+    )
+    per = (
+        _as_double(embeddings, vec_col)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .select(F.posexplode(F.expr(errs)).alias("subspace", "errq"))
+    )
+    return (
+        per.groupBy("subspace")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("errq").cast("long").alias("sum_errq"),
+        )
+        .select(
+            F.col("subspace").cast("long").alias("subspace"),
+            "n",
+            "sum_errq",
+            F.expr(
+                f"round(CAST(sum_errq AS DOUBLE) "
+                f"/ (CAST(n AS DOUBLE) * {q}), 9)"
+            ).alias("mse"),
+        )
+    )

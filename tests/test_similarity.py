@@ -549,3 +549,27 @@ def test_kmeans_inertia_improves_with_training(spark):
     assert i1 <= i0
     again = sum(r.inertia_q for r in kmeans_inertia(embs, init).collect())
     assert again == i0
+
+
+def test_pq_distortion_exact_and_zero_for_codewords(spark):
+    """Vectors that ARE codewords quantize losslessly (mse 0); a
+    vector offset by delta in one subspace pays exactly delta² there
+    and 0 elsewhere."""
+    from pennsieve_streaming_spark.llm.similarity import pq_distortion
+
+    # m=2 subspaces, k=2 codes, subdim=2
+    cbs = [
+        [[0.0, 0.0], [1.0, 1.0]],
+        [[2.0, 2.0], [5.0, 5.0]],
+    ]
+    rows = [
+        (1, [0.0, 0.0, 2.0, 2.0]),      # both subspaces on codewords
+        (2, [1.0, 1.0, 5.0, 5.0]),      # both on the other codewords
+        (3, [0.3, 0.0, 2.0, 2.0]),      # 0.09 error in subspace 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.subspace: r for r in pq_distortion(df, cbs).collect()}
+    assert out[0].n == 3 and out[1].n == 3
+    assert out[1].sum_errq == 0 and out[1].mse == 0.0
+    assert out[0].sum_errq == round(0.09 * 1e9)
+    assert abs(out[0].mse - 0.03) < 1e-9
