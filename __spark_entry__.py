@@ -572,6 +572,19 @@ def q_vocab(spark, sf_dir):
     return build_vocab(_docs(spark, sf_dir))
 
 
+CL_MIN_COUNT, CL_MIN_PMI = 3, 0.3   # 40 collocations at sf0.01 (0 at pmi>=2 on this
+#                                     independent-draw corpus) — both filters exercised
+
+
+def q_collocations(spark, sf_dir):
+    """PMI collocation mining: adjacent bigrams that co-occur far
+    above chance (exact counts, one fixed-expression PMI, rounded
+    threshold) — the phrase-promotion pass of a tokenizer pipeline."""
+    from pennsieve_streaming_spark.llm.text import collocations
+
+    return collocations(_docs(spark, sf_dir), CL_MIN_COUNT, CL_MIN_PMI)
+
+
 def q_token_ids(spark, sf_dir):
     """Documents encoded as token-id sequences under the corpus vocab
     — the final step before tokenized training shards."""
@@ -3120,6 +3133,7 @@ _R6_FRONT = [
     # round-6c additions (third session — never driver-sampled).
     "ts_plv", "ts_dtw_distance", "ts_ar2_model", "stream_drift",
     "ts_sample_entropy", "ev_kleinberg_bursts", "emb_pq_distortion",
+    "doc_collocations",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3289,6 +3303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": q_stream_sessionize,
         "doc_bigram_lm": q_bigram_lm,
         "doc_vocab": q_vocab,
+        "doc_collocations": q_collocations,
         "doc_token_ids": q_token_ids,
         "doc_quality_classifier": q_quality_classifier,
         "doc_substring_dup": q_substring_dup,
@@ -7434,6 +7449,46 @@ def oracle_sql() -> dict[str, str]:
         "samples",
         "channels",
     )
+
+    sql["doc_collocations"] = f"""
+        WITH doc_toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+        trans AS (
+          SELECT toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]
+                   AS bg
+          FROM (
+            SELECT doc_id, toks,
+                   UNNEST(generate_series(1, GREATEST(len(toks) - 1, 0)))
+                     AS i
+            FROM doc_toks
+          )
+        ),
+        bgc AS (
+          SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_ab
+          FROM trans GROUP BY bg
+        ),
+        uni AS (
+          SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT UNNEST(toks) AS t FROM doc_toks) GROUP BY t
+        ),
+        tot AS (
+          SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n1,
+                 (SELECT CAST(SUM(c_ab) AS BIGINT) FROM bgc) AS n2
+        )
+        SELECT bg AS bigram, c_ab, ua.c AS c_a, ub.c AS c_b,
+               round(ln((CAST(c_ab AS DOUBLE) * CAST(n1 AS DOUBLE)
+                 * CAST(n1 AS DOUBLE)) / (CAST(n2 AS DOUBLE)
+                 * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))), 9)
+                 AS pmi
+        FROM bgc
+        JOIN uni ua ON split_part(bg, ' ', 1) = ua.t
+        JOIN uni ub ON split_part(bg, ' ', 2) = ub.t
+        CROSS JOIN tot
+        WHERE c_ab >= {CL_MIN_COUNT}
+          AND round(ln((CAST(c_ab AS DOUBLE) * CAST(n1 AS DOUBLE)
+                * CAST(n1 AS DOUBLE)) / (CAST(n2 AS DOUBLE)
+                * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))), 9)
+              > {CL_MIN_PMI!r}
+        """
 
     sql["doc_bigram_lm"] = f"""
         WITH doc_toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),

@@ -789,3 +789,80 @@ def bpe_encode(
             "tok",
         )
     )
+
+
+def collocations(
+    documents: DataFrame, min_count: int = 5, min_pmi: float = 2.0
+) -> DataFrame:
+    """Corpus collocation mining by pointwise mutual information
+    (Church & Hanks 1990) — the classic phrase-discovery pass a
+    tokenizer/vocab pipeline runs to promote multi-word units:
+
+        PMI(a, b) = ln( p(ab) / (p(a)·p(b)) )
+                  = ln( (c_ab·N1²) / (N2·c_a·c_b) )
+
+    with c_ab the adjacent-bigram count, c_a/c_b unigram counts, N1
+    total tokens, N2 total bigrams. High-PMI frequent pairs are
+    phrases ("new york"); frequent-but-low-PMI pairs are chance
+    co-occurrences of common words.
+
+    Emits every bigram with ``c_ab ≥ min_count`` and rounded PMI
+    strictly above ``min_pmi`` — a deterministic SET (no top-k rank
+    ties). All counts are exact integers; PMI is ONE fixed float
+    expression (evaluated in DOUBLE — the integer product would
+    overflow BIGINT at web scale) rounded to 9 dp, and the threshold
+    compares the ROUNDED value (the rate-burst convention, so the
+    boundary is engine-stable).
+
+    Output: (bigram, c_ab, c_a, c_b, pmi).
+
+    Scale: two token-stream groupBys (partial-agg) + two joins keyed
+    on single tokens; the unigram side is vocabulary-sized and
+    broadcastable; nothing quadratic.
+    """
+    mc = int(min_count)
+    doc_toks = documents.select("doc_id", F.expr(TOKS).alias("toks"))
+    bigrams_expr = (
+        "CASE WHEN size(toks) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(toks) - 1), "
+        "i -> concat_ws(' ', element_at(toks, CAST(i AS INT)), "
+        "element_at(toks, CAST(i + 1 AS INT)))) END"
+    )
+    bg = (
+        doc_toks.select(F.explode(F.expr(bigrams_expr)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    uni = (
+        doc_toks.select(F.explode("toks").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    totals = (
+        uni.agg(F.sum("c").cast("long").alias("n1"))
+        .crossJoin(bg.agg(F.sum("c_ab").cast("long").alias("n2")))
+    )
+    pmi = (
+        "round(ln((CAST(c_ab AS DOUBLE) * CAST(n1 AS DOUBLE) "
+        "* CAST(n1 AS DOUBLE)) / (CAST(n2 AS DOUBLE) "
+        "* CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))), 9)"
+    )
+    return (
+        bg.filter(F.col("c_ab") >= mc)
+        .withColumn("ta", F.expr("split(bg, ' ')[0]"))
+        .withColumn("tb", F.expr("split(bg, ' ')[1]"))
+        .join(
+            F.broadcast(uni.select(F.col("t").alias("ta"),
+                                   F.col("c").alias("c_a"))),
+            "ta",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("t").alias("tb"),
+                                   F.col("c").alias("c_b"))),
+            "tb",
+        )
+        .crossJoin(F.broadcast(totals))
+        .withColumn("pmi", F.expr(pmi))
+        .filter(F.col("pmi") > float(min_pmi))
+        .select(F.col("bg").alias("bigram"), "c_ab", "c_a", "c_b", "pmi")
+    )

@@ -440,3 +440,32 @@ def test_bpe_encode_matches_reference(spark):
                 seq += 1
         want[d] = out
     assert got == want
+
+
+def test_collocations_pmi_semantics(spark):
+    """A phrase pair occurring only together gets the maximal PMI for
+    its frequency; a pair of independent common words lands near 0 and
+    falls below the threshold; min_count gates rare pairs."""
+    import math
+
+    # 20 docs: "alpha beta" always adjacent (phrase), "x"/"y" common
+    # but paired randomly, "rare pair" appears twice only
+    rows = []
+    for i in range(20):
+        rows.append((i, "alpha beta x y x y"))
+    rows.append((100, "rare pair"))
+    rows.append((101, "rare pair"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from pennsieve_streaming_spark.llm.text import collocations
+
+    out = {r.bigram: r for r in collocations(df, 3, 0.5).collect()}
+    assert "alpha beta" in out
+    r = out["alpha beta"]
+    assert r.c_ab == 20 and r.c_a == 20 and r.c_b == 20
+    # exact PMI: ln(c_ab*N1^2 / (N2*c_a*c_b))
+    n1 = 20 * 6 + 4
+    n2 = 20 * 5 + 2
+    want = round(math.log(20 * n1 * n1 / (n2 * 20 * 20)), 9)
+    assert abs(r.pmi - want) < 1e-9
+    assert "rare pair" not in out          # min_count = 3 > 2
+    assert all(b != "y x" or out[b].pmi < 1.0 for b in out)
