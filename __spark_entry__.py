@@ -653,6 +653,18 @@ def q_dup_clusters(spark, sf_dir):
     return components_for(_docs(spark, sf_dir), _verified_pairs(spark, sf_dir))
 
 
+def q_lp_communities(spark, sf_dir):
+    """Deterministic synchronous label propagation over the verified
+    near-dup graph (3 rounds, count-then-min-label argmax) — the
+    community view next to the connectivity view of doc_dup_clusters;
+    unrolled-CTE oracle (the PageRank iteration pattern)."""
+    from pennsieve_streaming_spark.llm.graph import label_propagation
+
+    return label_propagation(
+        _docs(spark, sf_dir), _verified_pairs(spark, sf_dir), n_rounds=3
+    )
+
+
 def q_cluster_dedup(spark, sf_dir):
     """Cluster-level dedup: one survivor (min doc_id) per connected
     duplicate cluster — survives chained duplicates A~B~C that
@@ -3133,7 +3145,7 @@ _R6_FRONT = [
     # round-6c additions (third session — never driver-sampled).
     "ts_plv", "ts_dtw_distance", "ts_ar2_model", "stream_drift",
     "ts_sample_entropy", "ev_kleinberg_bursts", "emb_pq_distortion",
-    "doc_collocations",
+    "doc_collocations", "doc_lp_communities",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3311,6 +3323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25": q_bm25,
         "doc_inverted_index": q_inverted_index,
         "doc_dup_clusters": q_dup_clusters,
+        "doc_lp_communities": q_lp_communities,
         "doc_cluster_dedup": q_cluster_dedup,
         "emb_kmeans": q_kmeans,
         "doc_importance_weights": q_importance_weights,
@@ -7861,6 +7874,36 @@ def oracle_sql() -> dict[str, str]:
     sql["doc_dup_clusters"] = f"""
         {_CLUSTER_PRE}
         SELECT doc_id, component FROM full_comp
+        """
+
+    # Label propagation: unrolled synchronous rounds over the same
+    # verified-pair edge list (count DESC, label ASC argmax; isolated
+    # nodes carry their label via the LEFT JOIN coalesce).
+    _lp_rounds = []
+    for _r in range(1, 4):
+        _p = _r - 1
+        _lp_rounds.append(f"""
+        r{_r}c AS (
+          SELECT e.src AS u, l.label, CAST(COUNT(*) AS BIGINT) AS c
+          FROM edges e JOIN l{_p} l ON l.id = e.dst
+          GROUP BY e.src, l.label
+        ),
+        r{_r}b AS (
+          SELECT u, label FROM (
+            SELECT u, label, ROW_NUMBER() OVER (PARTITION BY u
+                ORDER BY c DESC, label) AS rn
+            FROM r{_r}c
+          ) WHERE rn = 1
+        ),
+        l{_r} AS (
+          SELECT l.id, COALESCE(b.label, l.label) AS label
+          FROM l{_p} l LEFT JOIN r{_r}b b ON b.u = l.id
+        )""")
+    sql["doc_lp_communities"] = f"""
+        {_CLUSTER_PRE},
+        l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents),
+        {",".join(_lp_rounds)}
+        SELECT id AS doc_id, CAST(label AS BIGINT) AS community FROM l3
         """
 
     sql["doc_cluster_dedup"] = f"""

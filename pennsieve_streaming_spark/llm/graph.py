@@ -34,7 +34,7 @@ cluster-level dedup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -268,4 +268,71 @@ def cluster_dedup(
             F.broadcast(keep.select("doc_id", "cluster_n")), id_col, "left"
         )
         .withColumn("cluster_n", F.coalesce("cluster_n", F.lit(1)))
+    )
+
+
+def label_propagation(
+    documents: DataFrame,
+    pairs: DataFrame,
+    n_rounds: int = 3,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    undirected near-dup pair graph — community detection next to
+    :func:`connected_components`' pure connectivity: each round every
+    node adopts the most frequent label among its NEIGHBORS (ties →
+    smallest label; isolated nodes keep their own), so weakly-bridged
+    clusters separate where components would merge them.
+
+    Determinism (the non-standard part — textbook LPA is random-order
+    and random-tie): synchronous rounds, a fixed round count, and the
+    (count DESC, label ASC) argmax make every round a pure function of
+    the previous labeling — partition/engine independent, and the
+    DuckDB oracle replays the rounds as unrolled CTEs (the PageRank
+    iteration pattern).
+
+    Output: (doc_id, community) for every document.
+
+    Scale: per round one edge-list join keyed on dst + one groupBy on
+    (node, label) + one per-node argmax window (bounded by degree,
+    never corpus-wide); labels are localCheckpoint-pinned per round
+    (the connected-components lineage rule).
+    """
+    nodes = documents.select(F.col(id_col).alias("id")).distinct()
+    und = (
+        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .union(
+            pairs.select(
+                F.col(dst_col).alias("u"), F.col(src_col).alias("v")
+            )
+        )
+        .distinct()
+    )
+    labels = nodes.withColumn("label", F.col("id"))
+    win = Window.partitionBy("u").orderBy(
+        F.desc("cnt"), F.asc("label")
+    )
+    for _ in range(int(n_rounds)):
+        if hasattr(labels, "_jdf"):
+            labels = labels.localCheckpoint()
+        cand = (
+            und.join(
+                labels.select(F.col("id").alias("v"), "label"), "v"
+            )
+            .groupBy("u", "label")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        best = (
+            cand.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("id"), F.col("label").alias("nl"))
+        )
+        labels = labels.join(best, "id", "left").select(
+            "id", F.coalesce("nl", "label").alias("label")
+        )
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("label").cast("long").alias("community"),
     )

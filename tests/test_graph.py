@@ -372,3 +372,46 @@ def test_pagerank_mass_conserved(spark):
     # floor-division leaks at most 1 unit per (node, edge) pair per
     # iteration — total stays within a loose integer-leak budget
     assert 0.99 < sum(got.values()) <= 1.0 + 1e-9
+
+
+def test_label_propagation_splits_bridged_clusters(spark):
+    """Two 4-cliques joined by a single bridge edge: connected
+    components merge them into one; 3-round LPA keeps two communities
+    (the bridge can't outvote the cliques). Isolated nodes keep their
+    own label."""
+    from pennsieve_streaming_spark.llm.graph import (
+        components_for,
+        label_propagation,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(9)], "doc_id long"
+    )
+    cliq1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    cliq2 = [(a, b) for a in range(4, 8) for b in range(a + 1, 8)]
+    bridge = [(3, 4)]
+    pairs = spark.createDataFrame(
+        cliq1 + cliq2 + bridge, "doc_a long, doc_b long"
+    )
+    comp = {r.doc_id: r.component for r in components_for(docs, pairs).collect()}
+    assert len({comp[i] for i in range(8)}) == 1  # one component
+    lp = {r.doc_id: r.community for r in label_propagation(docs, pairs).collect()}
+    assert len({lp[i] for i in range(4)}) == 1
+    assert len({lp[i] for i in range(4, 8)}) == 1
+    assert lp[0] != lp[7]          # communities stay separate
+    assert lp[8] == 8              # isolated node keeps its label
+
+
+def test_label_propagation_tie_breaks_to_min_label(spark):
+    """A node with two equally frequent neighbor labels adopts the
+    smaller one — the deterministic tie rule."""
+    from pennsieve_streaming_spark.llm.graph import label_propagation
+
+    docs = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 3)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.community for r in
+           label_propagation(docs, pairs, n_rounds=1).collect()}
+    # node 3 sees labels {1, 2} once each -> adopts 1
+    assert out[3] == 1
