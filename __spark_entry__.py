@@ -3006,6 +3006,33 @@ def q_asof_join(spark, sf_dir):
     return asof_join(s, probes)
 
 
+ETA_L_US, ETA_BIN_US = 43_200_000_000, 3_600_000_000  # ±12 h, 1 h bins
+
+
+def q_event_triggered_avg(spark, sf_dir):
+    """Peri-event signal average (evoked response / PSTH): samples
+    within ±12 h of each mapped, rebased event averaged per
+    (channel, hourly offset bin) — the bucketized-interval join shape,
+    exact quantized per-bin sums."""
+    from pennsieve_streaming_spark.operators.events import (
+        event_triggered_average,
+    )
+
+    TBL.ensure_session_confs(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    span = T1999 - T1992
+    triggers = ev.select(
+        F.concat(
+            F.lit("ch"), (F.length("event_type") % 8).cast("string")
+        ).alias("channel"),
+        (TBL.epoch_micros_col(ev, "ts") % span + T1992).alias("ts"),
+    )
+    return event_triggered_average(
+        TBL.samples_view(spark, sf_dir), triggers, ETA_L_US, ETA_BIN_US,
+        CORR_QUANT,
+    )
+
+
 def q_asof_join_blocked(spark, sf_dir):
     """Same as-of join on the blocked-halo plan: windows evaluate
     within (channel, 26-week block) with a carry-in halo, so few
@@ -3145,7 +3172,7 @@ _R6_FRONT = [
     # round-6c additions (third session — never driver-sampled).
     "ts_plv", "ts_dtw_distance", "ts_ar2_model", "stream_drift",
     "ts_sample_entropy", "ev_kleinberg_bursts", "emb_pq_distortion",
-    "doc_collocations", "doc_lp_communities",
+    "doc_collocations", "doc_lp_communities", "ts_event_triggered_avg",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3230,6 +3257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_sax_words": q_sax_words,
         "ts_welch_psd": q_welch_psd,
         "ts_asof_join": q_asof_join,
+        "ts_event_triggered_avg": q_event_triggered_avg,
         "doc_ngram_containment": q_ngram_containment,
         "doc_contamination_fuzzy": q_contamination_fuzzy,
         # round-4c: newest first (least-proven gets the oracle)
@@ -8972,6 +9000,45 @@ def oracle_sql() -> dict[str, str]:
     # global batch pass — all three share one oracle
     sql["ts_asof_join_blocked"] = sql["ts_asof_join"]
     sql["stream_asof_join"] = sql["ts_asof_join"]
+
+    sql["ts_event_triggered_avg"] = with_views(
+        f"""
+        WITH trig AS (
+          SELECT 'ch' || CAST(length(event_type) % 8 AS VARCHAR)
+                   AS channel,
+                 epoch_us(ts) % {_asof_span} + {T1992} AS ev_ts
+          FROM events
+        ),
+        smp AS (
+          SELECT channel, ts,
+                 CAST(round(value * {CORR_QUANT}) AS BIGINT) AS xq,
+                 ts // {ETA_L_US} AS bk
+          FROM samples
+        ),
+        tx AS (
+          SELECT channel, ev_ts,
+                 UNNEST([ev_ts // {ETA_L_US} - 1, ev_ts // {ETA_L_US},
+                         ev_ts // {ETA_L_US} + 1]) AS bk
+          FROM trig
+        ),
+        j AS (
+          SELECT t.channel, s.ts - t.ev_ts AS dt, s.xq
+          FROM tx t JOIN smp s ON s.channel = t.channel AND s.bk = t.bk
+          WHERE s.ts - t.ev_ts >= -{ETA_L_US}
+            AND s.ts - t.ev_ts < {ETA_L_US}
+        )
+        SELECT channel, CAST((dt + {ETA_L_US}) // {ETA_BIN_US} AS BIGINT)
+                 AS off_bin,
+               CAST(((dt + {ETA_L_US}) // {ETA_BIN_US}) * {ETA_BIN_US}
+                 - {ETA_L_US} AS BIGINT) AS off_lo_us,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               round(CAST(SUM(xq) AS DOUBLE)
+                     / (CAST(COUNT(*) AS DOUBLE) * {CORR_QUANT}), 9)
+                 AS mean_value
+        FROM j GROUP BY channel, (dt + {ETA_L_US}) // {ETA_BIN_US}
+        """,
+        "samples",
+    )
 
     sql["doc_ngram_containment"] = f"""
         WITH {DOC_PRE},

@@ -307,3 +307,78 @@ def event_autocorr(
             "n",
         )
     )
+
+
+def event_triggered_average(
+    samples: DataFrame,
+    triggers: DataFrame,
+    max_offset_us: int,
+    bin_us: int,
+    quant: int = 100,
+) -> DataFrame:
+    """Peri-event signal average — the evoked-response / PSTH operator
+    of every EEG/ephys pipeline: for each trigger event, collect the
+    signal's samples within ±``max_offset_us`` on the SAME channel,
+    bucket them by offset from the trigger, and average per
+    (channel, offset bin). A consistent deflection around offset 0 is
+    the event-locked response; the reference serves the raw samples
+    and the NeuralPoint event times separately and leaves exactly this
+    computation to the client.
+
+    ``triggers`` is (channel, ts); ``samples`` is (channel, ts,
+    value). Offsets are sample_ts − trigger_ts in [−L, L), binned as
+    ``(dt + L) div bin_us``.
+
+    Determinism: integer offset binning; per-bin sums are exact
+    BIGINT sums of ``round(value·quant)``; the mean is one fixed
+    float expression rounded to 9 dp (value-scale magnitudes — ulp
+    far below the rounding step).
+
+    Output: (channel, off_bin, off_lo_us, n, mean_value) for
+    non-empty bins.
+
+    Plan (the event_xcorr bucketized-interval shape): each trigger
+    explodes into the three L-width time buckets that can hold its
+    window — candidate volume is density-bounded, never
+    |triggers|×|samples|; then one partial-agg groupBy to
+    |channels|×(2L/bin) rows.
+    """
+    L = int(max_offset_us)
+    b = int(bin_us)
+    q = int(quant)
+    trig = triggers.select(
+        "channel",
+        F.col("ts").alias("ev_ts"),
+        F.explode(
+            F.expr(f"array(ts div {L} - 1, ts div {L}, ts div {L} + 1)")
+        ).alias("bk"),
+    )
+    smp = samples.select(
+        "channel",
+        "ts",
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+        F.expr(f"ts div {L}").alias("bk"),
+    )
+    j = (
+        trig.join(smp, ["channel", "bk"])
+        .withColumn("dt", F.col("ts") - F.col("ev_ts"))
+        .filter((F.col("dt") >= -L) & (F.col("dt") < L))
+    )
+    return (
+        j.withColumn("off_bin", F.expr(f"(dt + {L}) div {b}"))
+        .groupBy("channel", "off_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("xq").cast("long").alias("sxq"),
+        )
+        .select(
+            "channel",
+            "off_bin",
+            (F.col("off_bin") * b - L).cast("long").alias("off_lo_us"),
+            "n",
+            F.expr(
+                f"round(CAST(sxq AS DOUBLE) "
+                f"/ (CAST(n AS DOUBLE) * {q}), 9)"
+            ).alias("mean_value"),
+        )
+    )

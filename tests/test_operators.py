@@ -757,3 +757,33 @@ def test_flatline_runs_golden(spark):
     ]
     # min_run gate
     assert flatline_runs(df, min_run=4).count() == 1
+
+
+def test_event_triggered_average_locks_to_response(spark):
+    """A signal with a deterministic bump exactly +2 bins after every
+    trigger shows the bump in that offset bin only; samples outside
+    ±L of any trigger never contribute; a trigger on a channel with
+    no samples contributes nothing."""
+    from pennsieve_streaming_spark.operators.events import (
+        event_triggered_average,
+    )
+
+    L, B = 100, 10
+    samples, triggers = [], []
+    for k in range(5):
+        t0 = 1000 + k * 10_000  # triggers far apart (windows disjoint)
+        triggers.append(("c1", t0))
+        for off in range(-L, L, B):
+            v = 9.0 if off == 20 else 1.0  # bump at +2 bins
+            samples.append(("c1", t0 + off, v))
+    samples.append(("c1", 500_000, 77.0))   # far from any trigger
+    triggers.append(("empty", 1234))        # channel with no samples
+    s = spark.createDataFrame(samples, "channel string, ts long, value double")
+    tr = spark.createDataFrame(triggers, "channel string, ts long")
+    out = {r.off_bin: r for r in
+           event_triggered_average(s, tr, L, B, 100).collect()}
+    assert len(out) == 2 * L // B
+    for ob, r in out.items():
+        assert r.n == 5 and r.channel == "c1"
+        assert r.off_lo_us == ob * B - L
+        assert r.mean_value == (9.0 if r.off_lo_us == 20 else 1.0)
