@@ -1227,6 +1227,15 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+def q_image_quality(spark, sf_dir):
+    """Per-media quality metrics: RMS contrast² and variance of
+    Laplacian (the autofocus/blur score) — exact integer sums over
+    the synthetic luminance field via the REAL quality_stats kernel."""
+    from pennsieve_streaming_spark.llm.imagehash import quality_synthetic
+
+    return quality_synthetic(_docs(spark, sf_dir))
+
+
 def q_image_phash(spark, sf_dir):
     """64-bit DCT perceptual hash (pHash) per media item: integer
     bilinear DCT forms against Python-quantized basis tables, lower
@@ -3173,6 +3182,7 @@ _R6_FRONT = [
     "ts_plv", "ts_dtw_distance", "ts_ar2_model", "stream_drift",
     "ts_sample_entropy", "ev_kleinberg_bursts", "emb_pq_distortion",
     "doc_collocations", "doc_lp_communities", "ts_event_triggered_avg",
+    "mm_image_quality",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3238,6 +3248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_kleinberg_bursts": q_kleinberg_bursts,
         "ev_ab_conversion": q_ab_conversion,
         "mm_image_phash": q_image_phash,
+        "mm_image_quality": q_image_quality,
         "ts_granger_screen": q_granger_screen,
         "ts_spectral_entropy": q_spectral_entropy,
         "doc_bpe_fertility": q_bpe_fertility,
@@ -8417,6 +8428,51 @@ def oracle_sql() -> dict[str, str]:
     sql["mm_image_dhash"] = f"""
         WITH {_dhash_cte}
         SELECT media_id, dhash FROM dh
+        """
+
+    _ihg = f"(doc_id * {_IH_A} + {{i}} * {_IH_B} + {{j}} * {_IH_C}) % {_IH_M}"
+    _ih_lap = (
+        f"4 * ({_ihg.format(i='i', j='j')}) "
+        f"- ({_ihg.format(i='(i - 1)', j='j')}) "
+        f"- ({_ihg.format(i='(i + 1)', j='j')}) "
+        f"- ({_ihg.format(i='i', j='(j - 1)')}) "
+        f"- ({_ihg.format(i='i', j='(j + 1)')})"
+    )
+    sql["mm_image_quality"] = f"""
+        WITH px AS (
+          SELECT doc_id, i, j, {_ihg.format(i='i', j='j')} AS v
+          FROM documents,
+               UNNEST(generate_series(0, {_IH_H - 1})) AS ti(i),
+               UNNEST(generate_series(0, {_IH_W - 1})) AS tj(j)
+        ),
+        gstats AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+                 CAST(SUM(v) AS BIGINT) AS sg,
+                 CAST(SUM(v * v) AS BIGINT) AS sg2,
+                 CAST(MAX(v) - MIN(v) AS BIGINT) AS grange
+          FROM px GROUP BY doc_id
+        ),
+        lap AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lap,
+                 CAST(SUM(l) AS BIGINT) AS sl,
+                 CAST(SUM(l * l) AS BIGINT) AS sl2
+          FROM (
+            SELECT doc_id, {_ih_lap} AS l
+            FROM documents,
+                 UNNEST(generate_series(1, {_IH_H - 2})) AS ti(i),
+                 UNNEST(generate_series(1, {_IH_W - 2})) AS tj(j)
+          ) GROUP BY doc_id
+        )
+        SELECT g.doc_id AS media_id, g.n_px, g.grange,
+               round((CAST(g.n_px AS DOUBLE) * CAST(g.sg2 AS DOUBLE)
+                 - CAST(g.sg AS DOUBLE) * CAST(g.sg AS DOUBLE))
+                 / (CAST(g.n_px AS DOUBLE) * CAST(g.n_px AS DOUBLE)), 9)
+                 AS contrast_var,
+               round((CAST(p.n_lap AS DOUBLE) * CAST(p.sl2 AS DOUBLE)
+                 - CAST(p.sl AS DOUBLE) * CAST(p.sl AS DOUBLE))
+                 / (CAST(p.n_lap AS DOUBLE) * CAST(p.n_lap AS DOUBLE)), 9)
+                 AS lap_var
+        FROM gstats g JOIN lap p ON g.doc_id = p.doc_id
         """
 
     # pHash: integer DCT bilinear forms against the Python-quantized

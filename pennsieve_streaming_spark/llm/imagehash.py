@@ -37,6 +37,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 GRID_H = 16
 GRID_W = 18
@@ -218,4 +219,79 @@ def phash_synthetic(documents: DataFrame) -> DataFrame:
 
     return documents.select("doc_id").mapInPandas(
         run, "media_id long, phash long"
+    )
+
+
+def quality_stats(gray: "np.ndarray") -> tuple[int, int, int, int, int, int, int]:
+    """Exact integer image-quality sums over one grayscale frame:
+    (n_px, sum_g, sum_g2, grange, n_lap, sum_lap, sum_lap2) — the
+    inputs to RMS contrast (global variance) and the
+    variance-of-Laplacian focus/blur measure (Pech-Pacheco et al.
+    2000, the standard autofocus operator). Integer arithmetic only."""
+    g = gray.astype(np.int64)
+    n = int(g.size)
+    sg = int(g.sum())
+    sg2 = int((g * g).sum())
+    grange = int(g.max() - g.min())
+    lap = (
+        4 * g[1:-1, 1:-1]
+        - g[:-2, 1:-1]
+        - g[2:, 1:-1]
+        - g[1:-1, :-2]
+        - g[1:-1, 2:]
+    )
+    return n, sg, sg2, grange, int(lap.size), int(lap.sum()), int(
+        (lap * lap).sum()
+    )
+
+
+def quality_synthetic(documents: DataFrame) -> DataFrame:
+    """(doc_id) → per-media quality metrics over the synthetic
+    luminance field (the dhash_synthetic plumbing contract: the REAL
+    :func:`quality_stats` kernel, oracle-replayable because the field
+    is a closed form — swap in decoded frames for real corpora).
+
+    Output: (media_id, n_px, grange, contrast_var, lap_var) with
+    contrast_var = (n·Σg² − (Σg)²)/n² (RMS contrast²) and
+    lap_var = (nl·ΣL² − (ΣL)²)/nl² (variance of Laplacian — low =
+    blurry/flat, high = sharp detail), both one fixed float
+    expression over exact BIGINTs, rounded to 9 dp."""
+
+    def run(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            rows = [quality_stats(synthetic_gray(int(d))) for d in ids]
+            arr = np.asarray(rows, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_px": arr[:, 0],
+                    "sg": arr[:, 1],
+                    "sg2": arr[:, 2],
+                    "grange": arr[:, 3],
+                    "n_lap": arr[:, 4],
+                    "sl": arr[:, 5],
+                    "sl2": arr[:, 6],
+                }
+            )
+
+    sums = documents.select("doc_id").mapInPandas(
+        run,
+        "media_id long, n_px long, sg long, sg2 long, grange long, "
+        "n_lap long, sl long, sl2 long",
+    )
+    return sums.select(
+        "media_id",
+        "n_px",
+        "grange",
+        F.expr(
+            "round((CAST(n_px AS DOUBLE) * CAST(sg2 AS DOUBLE) "
+            "- CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) "
+            "/ (CAST(n_px AS DOUBLE) * CAST(n_px AS DOUBLE)), 9)"
+        ).alias("contrast_var"),
+        F.expr(
+            "round((CAST(n_lap AS DOUBLE) * CAST(sl2 AS DOUBLE) "
+            "- CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)) "
+            "/ (CAST(n_lap AS DOUBLE) * CAST(n_lap AS DOUBLE)), 9)"
+        ).alias("lap_var"),
     )

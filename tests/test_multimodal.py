@@ -222,3 +222,35 @@ def test_phash_overflow_guard_raises():
     # well inside the envelope still works (10x11 blocks, area 110)
     ok = np.full((160, 198), 255, dtype=np.int64)
     assert isinstance(phash64(ok), int)
+
+
+def test_quality_stats_blur_and_flat_semantics():
+    """The Laplacian-variance focus measure drops under blur and is
+    exactly 0 for flat and linear-gradient fields (Laplacian kills
+    affine terms); contrast follows the global value spread."""
+    import numpy as np
+
+    from pennsieve_streaming_spark.llm.imagehash import quality_stats
+
+    rng = np.random.default_rng(9)
+    sharp = rng.integers(0, 256, size=(16, 18)).astype(np.int64)
+    # 3x3 box blur (valid region) — recompute on the blurred interior
+    k = np.ones((3, 3), dtype=np.int64)
+    blurred = np.zeros((14, 16), dtype=np.int64)
+    for di in range(3):
+        for dj in range(3):
+            blurred += sharp[di : di + 14, dj : dj + 16]
+    blurred //= 9
+
+    def lap_var(img):
+        n, sg, sg2, gr, nl, sl, sl2 = quality_stats(img)
+        return (nl * sl2 - sl * sl) / (nl * nl)
+
+    assert lap_var(blurred) < lap_var(sharp) / 2
+    flat = np.full((8, 8), 77, dtype=np.int64)
+    n, sg, sg2, gr, nl, sl, sl2 = quality_stats(flat)
+    assert gr == 0 and nl * sl2 - sl * sl == 0
+    grad = np.add.outer(np.arange(8), 2 * np.arange(8)).astype(np.int64)
+    _, _, _, gr2, nl2, slg, sl2g = quality_stats(grad)
+    assert nl2 * sl2g - slg * slg == 0  # affine field -> zero Laplacian
+    assert gr2 == 7 + 2 * 7
