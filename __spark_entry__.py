@@ -2847,6 +2847,21 @@ def q_cross_correlation(spark, sf_dir):
     )
 
 
+def q_seasonal_decompose(spark, sf_dir):
+    """Classical additive decomposition on the LOCF day grid:
+    centered 7-day moving-average trend, day-of-week seasonal means
+    of the n-scaled integer detrended values, residual from the
+    rounded components — the dashboard decomposition whose residual
+    feeds anomaly detection."""
+    from pennsieve_streaming_spark.operators.stats import (
+        seasonal_decompose,
+    )
+
+    return seasonal_decompose(
+        _locf_day_grid(spark, sf_dir), GRID_INTERVAL_US, 7, CORR_QUANT
+    )
+
+
 def q_ar2_model(spark, sf_dir):
     """Per-channel AR(2) Yule-Walker model on the shared LOCF day
     grid: lag-1/lag-2 autoregressive coefficients and innovation
@@ -3182,7 +3197,7 @@ _R6_FRONT = [
     "ts_plv", "ts_dtw_distance", "ts_ar2_model", "stream_drift",
     "ts_sample_entropy", "ev_kleinberg_bursts", "emb_pq_distortion",
     "doc_collocations", "doc_lp_communities", "ts_event_triggered_avg",
-    "mm_image_quality",
+    "mm_image_quality", "ts_seasonal_decompose",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3244,6 +3259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_plv": q_plv,
         "ts_dtw_distance": q_dtw_distance,
         "ts_ar2_model": q_ar2_model,
+        "ts_seasonal_decompose": q_seasonal_decompose,
         "ts_sample_entropy": q_sample_entropy,
         "ev_kleinberg_bursts": q_kleinberg_bursts,
         "ev_ab_conversion": q_ab_conversion,
@@ -7069,6 +7085,71 @@ def oracle_sql() -> dict[str, str]:
                {_a2['phi2']} AS phi2,
                {_a2['sigma2_q']} AS sigma2_q
         FROM agg
+        """,
+        "samples",
+        "channels",
+    )
+
+    _sd_trend = f"round(CAST(st AS DOUBLE) / (7 * {CORR_QUANT}), 9)"
+    _sd_seasonal = (
+        f"round(CAST(sdq AS DOUBLE) / (CAST(c AS DOUBLE) * 7 "
+        f"* {CORR_QUANT}), 9)"
+    )
+    sql["ts_seasonal_decompose"] = with_views(
+        f"""
+        WITH b AS (
+          SELECT MAX(start_ts) AS lo, MIN(end_ts) AS hi FROM channels
+        ),
+        gb AS (
+          SELECT UNNEST(generate_series(
+            ((lo + {_DAY} - 1) // {_DAY}) * {_DAY}, hi, {_DAY})) AS ts
+          FROM b
+        ),
+        grid AS (
+          SELECT c.channel, gb.ts
+          FROM (SELECT DISTINCT channel FROM channels) c CROSS JOIN gb
+        ),
+        u AS (
+          SELECT channel, ts, value, 0 AS is_grid FROM samples
+          UNION ALL
+          SELECT channel, ts, CAST(NULL AS DOUBLE), 1 FROM grid
+        ),
+        f AS (
+          SELECT channel, ts, is_grid,
+                 last_value(value IGNORE NULLS) OVER w AS fill
+          FROM u
+          WINDOW w AS (PARTITION BY channel ORDER BY ts, is_grid, value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        vals AS (
+          SELECT channel, ts, fill AS value,
+                 CAST(round(fill * {CORR_QUANT}) AS BIGINT) AS yq
+          FROM f WHERE is_grid = 1
+        ),
+        d AS (
+          SELECT channel, ts, value, yq,
+                 CAST(SUM(yq) OVER wm AS BIGINT) AS st,
+                 CAST(COUNT(yq) OVER wm AS BIGINT) AS nw,
+                 CAST((ts // {_DAY}) % 7 AS BIGINT) AS phase
+          FROM vals
+          WINDOW wm AS (PARTITION BY channel ORDER BY ts
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        dd AS (
+          SELECT *, CAST(7 * yq - st AS BIGINT) AS dq
+          FROM d WHERE nw = 7
+        ),
+        seas AS (
+          SELECT channel, phase, CAST(SUM(dq) AS BIGINT) AS sdq,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM dd GROUP BY channel, phase
+        )
+        SELECT dd.channel, dd.ts, dd.phase,
+               {_sd_trend} AS trend,
+               {_sd_seasonal} AS seasonal,
+               round(dd.value - {_sd_trend} - {_sd_seasonal}, 9) AS resid
+        FROM dd JOIN seas ON dd.channel = seas.channel
+                         AND dd.phase = seas.phase
         """,
         "samples",
         "channels",

@@ -1539,3 +1539,80 @@ def sample_entropy(
             "/ CAST(b_count AS DOUBLE)), 9) END"
         ),
     )
+
+
+def seasonal_decompose(
+    values: DataFrame, step_us: int, period: int = 7, quant: int = 100
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method of Macaulay 1931 — STL's simpler ancestor) on a uniform
+    per-channel grid:
+
+        trend_t    = centered ``period``-point moving average
+        seasonal_p = mean over the channel of (y_t − trend_t) at
+                     phase p = (t/step) mod period
+        resid_t    = y_t − trend_t − seasonal_t
+
+    — the day-of-week (period=7 on the day grid) decomposition every
+    monitoring dashboard draws; the residual is what the anomaly
+    operators should be fed (a Monday spike is seasonality, not an
+    incident).
+
+    Determinism: the moving sum and the n-scaled detrended value
+    ``dq = period·yq − S`` are exact BIGINTs (change_points' scaling
+    trick — no division inside the aggregation); phase means are
+    exact integer sums; trend/seasonal/resid are fixed float
+    expressions over those integers, rounded to 9 dp, with resid
+    derived from the ROUNDED components so the decomposition adds up
+    exactly on the emitted values. Edge rows without a complete
+    centered window drop out (explicit contract).
+
+    Output: (channel, ts, phase, trend, seasonal, resid).
+
+    Plan: one per-channel centered-window pass + a |channels|×period
+    phase table joined back broadcast — two scans' worth of work, no
+    data-scale shuffle beyond the per-channel partitioning.
+    """
+    q = int(quant)
+    P = int(period)
+    step = int(step_us)
+    half = P // 2
+    wm = (
+        Window.partitionBy("channel")
+        .orderBy("ts")
+        .rowsBetween(-half, half)
+    )
+    d = (
+        values.select(
+            "channel",
+            "ts",
+            "value",
+            F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("yq"),
+        )
+        .withColumn("st", F.sum("yq").over(wm).cast("long"))
+        .withColumn("nw", F.count("yq").over(wm).cast("long"))
+        .filter(F.col("nw") == P)
+        .withColumn("dq", (P * F.col("yq") - F.col("st")).cast("long"))
+        .withColumn("phase", F.expr(f"(ts div {step}) % {P}").cast("long"))
+    )
+    seas = d.groupBy("channel", "phase").agg(
+        F.sum("dq").cast("long").alias("sdq"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    trend = f"round(CAST(st AS DOUBLE) / ({P} * {q}), 9)"
+    seasonal = (
+        f"round(CAST(sdq AS DOUBLE) / (CAST(c AS DOUBLE) * {P} * {q}), 9)"
+    )
+    return (
+        d.join(F.broadcast(seas), ["channel", "phase"])
+        .select(
+            "channel",
+            "ts",
+            "phase",
+            F.expr(trend).alias("trend"),
+            F.expr(seasonal).alias("seasonal"),
+            F.expr(
+                f"round(value - {trend} - {seasonal}, 9)"
+            ).alias("resid"),
+        )
+    )

@@ -655,3 +655,30 @@ def test_sample_entropy_orders_regular_below_random(spark):
     assert out["flat"].sampen == 0.0
     assert out["sine"].sampen < out["noise"].sampen
     assert out["noise"].b_count > 0
+
+
+def test_seasonal_decompose_recovers_planted_components(spark):
+    """trend+weekly+noise-free series: the centered-7 MA recovers the
+    linear trend exactly away from edges, the phase means recover the
+    planted weekly pattern (centered), and residuals vanish; edge
+    rows without a full window drop."""
+    from pennsieve_streaming_spark.operators.stats import (
+        seasonal_decompose,
+    )
+
+    step = 10
+    weekly = [5.0, -3.0, 0.0, 2.0, -4.0, 1.0, -1.0]  # sums to 0
+    rows = []
+    for t in range(28):
+        rows.append(("c", t * step, 100.0 + 2.0 * t + weekly[t % 7]))
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = {r.ts: r for r in
+           seasonal_decompose(df, step, 7, 1000).collect()}
+    # 28 rows minus 3 at each edge
+    assert len(out) == 22
+    assert 0 not in out and 270 not in out
+    for ts, r in out.items():
+        t = ts // step
+        assert abs(r.trend - (100.0 + 2.0 * t)) < 1e-6, (t, r.trend)
+        assert abs(r.seasonal - weekly[t % 7]) < 1e-6
+        assert abs(r.resid) < 1e-6
