@@ -823,6 +823,15 @@ def _embs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def q_novelty(spark, sf_dir):
+    """Per-document shingle novelty vs the corpus prefix (min-doc_id
+    first-occurrence): the curriculum/boilerplate signal — exact
+    counts over the shared shingle table, one fixed-expression ratio."""
+    from pennsieve_streaming_spark.llm.dedup import shingle_novelty
+
+    return shingle_novelty(_docs(spark, sf_dir))
+
+
 def q_exact_dedup(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
@@ -1077,6 +1086,42 @@ def q_simhash_pairs(spark, sf_dir):
 def q_cosine_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     return cosine_topk(embs, embs.filter(F.col("vec_id") < 20), k=5)
+
+
+TRUNC_DIM = 16  # matryoshka prefix: first 16 of the 64 dims
+
+
+def q_truncation_recall(spark, sf_dir):
+    """Matryoshka truncation eval: recall@k of the exact top-k under
+    the FIRST 16 dims against the full-64-dim exact truth — the
+    quality-vs-4× cost trade the two-stage rerank (emb_ann_two_stage)
+    exploits, measured directly. Composes two gated SQLs."""
+    embs = _embs(spark, sf_dir)
+    tr = embs.select(
+        "vec_id",
+        F.expr(f"slice(embedding, 1, {TRUNC_DIM})").alias("embedding"),
+    )
+    trunc = cosine_topk(tr, tr.filter(F.col("vec_id") < 20), k=5).select(
+        "query_id", "neighbor_id"
+    )
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(trunc, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            (F.coalesce("n_hit", F.lit(0)).cast("double") / F.lit(5)).alias(
+                "recall"
+            ),
+        )
+    )
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -3197,7 +3242,8 @@ _R6_FRONT = [
     "ts_plv", "ts_dtw_distance", "ts_ar2_model", "stream_drift",
     "ts_sample_entropy", "ev_kleinberg_bursts", "emb_pq_distortion",
     "doc_collocations", "doc_lp_communities", "ts_event_triggered_avg",
-    "mm_image_quality", "ts_seasonal_decompose",
+    "mm_image_quality", "ts_seasonal_decompose", "emb_truncation_recall",
+    "doc_novelty",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3324,6 +3370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_quality_profile": q_quality_profile,
         "emb_cluster_sample": q_cluster_sample,
         "emb_ann_recall": q_ann_recall,
+        "emb_truncation_recall": q_truncation_recall,
         "doc_orc_roundtrip": q_orc_roundtrip,
         # round-4b
         "ev_daily_active": q_daily_active,
@@ -3422,6 +3469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # documents / dedup
         "doc_dedup_filter": q_dedup_filter,
         "doc_exact_dedup": q_exact_dedup,
+        "doc_novelty": q_novelty,
         "doc_token_stats": q_token_stats,
         "doc_quality_score": q_quality,
         "doc_lang_id": q_lang_id,
@@ -8853,6 +8901,36 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY e.query_id
         """
 
+    _trunc_topk = f"""
+        WITH q AS (SELECT vec_id AS query_id,
+                          (CAST(embedding AS DOUBLE[]))[1:{TRUNC_DIM}] AS qv
+                   FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id AS neighbor_id,
+                     (CAST(embedding AS DOUBLE[]))[1:{TRUNC_DIM}] AS v
+              FROM embeddings),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 list_dot_product(qv, v)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(v, v))) AS cosine
+          FROM q JOIN c ON query_id != neighbor_id
+        )
+        SELECT query_id, neighbor_id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+        """
+    sql["emb_truncation_recall"] = f"""
+        SELECT e.query_id,
+               CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+               CAST(COUNT(a.neighbor_id) AS DOUBLE) / 5 AS recall
+        FROM ({sql["emb_cosine_topk"]}) e
+        LEFT JOIN ({_trunc_topk}) a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id
+        """
+
     # --- cluster-balanced deterministic sampling -----------------------------
     from pennsieve_streaming_spark.llm.curation import (
         SAMPLE_MOD as _SAMPLE_MOD,
@@ -9176,6 +9254,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "samples",
     )
+
+    sql["doc_novelty"] = f"""
+        WITH {DOC_PRE},
+        fst AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh),
+        per AS (
+          SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                 CAST(SUM(CASE WHEN f.first_doc = s.doc_id
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+          FROM sh s JOIN fst f USING (sh) GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+               CASE WHEN p.n_shingles IS NULL OR p.n_shingles = 0
+                    THEN CAST(NULL AS DOUBLE)
+                    ELSE round(CAST(p.n_novel AS DOUBLE)
+                               / CAST(p.n_shingles AS DOUBLE), 9) END
+                 AS novelty
+        FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+        """
 
     sql["doc_ngram_containment"] = f"""
         WITH {DOC_PRE},

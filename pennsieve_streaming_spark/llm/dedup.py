@@ -947,3 +947,55 @@ def containment_pairs(
     return out.select(
         "doc_a", "doc_b", "n_a", "n_b", "inter", "cont_a", "cont_b"
     )
+
+
+def shingle_novelty(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct k-shingles whose FIRST corpus occurrence (minimum doc_id
+    — the deterministic stand-in for ingest order) is this document.
+    The standard curriculum/ordering signal: novelty ≈ 1 is fresh
+    content, novelty ≈ 0 is recombined boilerplate — finer-grained
+    than near-dup pairing because it scores every document against
+    the whole corpus prefix, not against one partner.
+
+    Determinism: exact integer counts over the shared shingle table;
+    the ratio is one fixed expression rounded to 9 dp. Documents too
+    short to shingle emit (0, 0, NULL) explicitly.
+
+    Output: (doc_id, n_shingles, n_novel, novelty).
+
+    Scale: one groupBy on the shingle hash (partial-agg; only 8-byte
+    hashes shuffle) + a join back on the same key + a per-doc rollup
+    — the exact-dedup shape, nothing quadratic.
+    """
+    sh = shingles(documents, k)
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias(
+                "n_shingles"
+            ),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.expr(
+                "CASE WHEN n_shingles IS NULL OR n_shingles = 0 "
+                "THEN CAST(NULL AS DOUBLE) "
+                "ELSE round(CAST(n_novel AS DOUBLE) "
+                "/ CAST(n_shingles AS DOUBLE), 9) END"
+            ).alias("novelty"),
+        )
+    )

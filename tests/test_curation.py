@@ -689,3 +689,24 @@ def test_source_kl_divergence_zero_and_skew(spark):
     # mix: a=1/2, b=1/2 -> 0.5 ln(.5/.75) + 0.5 ln(.5/.25)
     want = 0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)
     assert abs(got2["mix"].kl - want) < 1e-6
+
+
+def test_shingle_novelty_orders_fresh_before_copied(spark):
+    """First doc is fully novel; an exact copy later has novelty 0; a
+    half-recombined doc sits in between; a too-short doc emits NULL."""
+    from pennsieve_streaming_spark.llm.dedup import shingle_novelty
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),      # exact copy
+        (3, "alpha beta gamma NEW words here entirely"),  # partial reuse
+        (4, "too short"),                                 # < 3 tokens... 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in shingle_novelty(df, 3).collect()}
+    assert out[1].novelty == 1.0 and out[1].n_shingles == 4
+    assert out[2].novelty == 0.0 and out[2].n_novel == 0
+    assert 0.0 < out[3].novelty < 1.0
+    # "alpha beta gamma" was seen in doc 1 -> not novel for doc 3
+    assert out[3].n_novel == out[3].n_shingles - 1
+    assert out[4].n_shingles == 0 and out[4].novelty is None
