@@ -2858,25 +2858,12 @@ XCORR_LAGS_US = (-7 * GRID_INTERVAL_US, 0, 7 * GRID_INTERVAL_US)
 
 
 def _locf_day_grid(spark, sf_dir):
-    """The shared LOCF day-grid construction (ONE definition for
-    q_cross_correlation and q_granger_screen — its rounding rule must
-    match both queries' oracle CTEs exactly): every channel filled
-    onto the ceil-to-day grid over [MAX(start_ts), MIN(end_ts)]."""
-    from pennsieve_streaming_spark.operators.align import asof_locf
-
-    s = TBL.samples_view(spark, sf_dir)
-    ch = TBL.channels_view(spark, sf_dir)
-    day = GRID_INTERVAL_US
-    bounds = ch.agg(
-        F.max("start_ts").alias("lo"), F.min("end_ts").alias("hi")
-    )
-    grid_ts = bounds.select(
-        F.explode(
-            F.expr(f"sequence(((lo + {day} - 1) div {day}) * {day}, hi, {day})")
-        ).alias("ts")
-    )
-    grid = ch.select("channel").crossJoin(F.broadcast(grid_ts))
-    return asof_locf(s, grid).select("channel", "ts", "value")
+    """The shared LOCF day-grid construction (ONE definition — now
+    pennsieve_streaming_spark.tables.locf_day_grid, so the sqlapi
+    views use the same rounding rule the grid-family oracles
+    replicate): every channel filled onto the ceil-to-day grid over
+    [MAX(start_ts), MIN(end_ts)]."""
+    return TBL.locf_day_grid(spark, sf_dir, GRID_INTERVAL_US)
 
 
 def q_cross_correlation(spark, sf_dir):

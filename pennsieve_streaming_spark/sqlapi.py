@@ -127,4 +127,22 @@ def register_operator_views(
             F.max("value").alias("value")
         )
         add("asof_events", asof_join(uniq, probes, payload_cols=("event_ts",)))
+
+    # round-6c operator views (same lazy-logical-plan contract)
+    from pennsieve_streaming_spark.operators.bursts import kleinberg_bursts
+    from pennsieve_streaming_spark.operators.dtw import (
+        dtw_channel_distances,
+    )
+    from pennsieve_streaming_spark.operators.stats import (
+        ar2_yule_walker,
+        sample_entropy,
+        seasonal_decompose,
+    )
+
+    add("sample_entropy", sample_entropy(samples))
+    add("dtw_distances", dtw_channel_distances(samples))
+    add("event_bursts", kleinberg_bursts(TBL.chan_events_view(spark, sf_dir)))
+    grid = TBL.locf_day_grid(spark, sf_dir)
+    add("ar2", ar2_yule_walker(grid))
+    add("seasonal", seasonal_decompose(grid, 86_400 * 1_000_000))
     return names

@@ -235,3 +235,29 @@ def with_views(sql: str, *names: str) -> str:
     if stripped.upper().startswith("WITH "):
         return f"WITH {ctes}, {stripped[5:]}"
     return f"WITH {ctes} {sql}"
+
+
+def locf_day_grid(
+    spark: SparkSession, sf_dir: str, day_us: int = 86_400 * 1_000_000
+) -> DataFrame:
+    """Every channel LOCF-filled onto the shared ceil-to-day grid over
+    [MAX(start_ts), MIN(end_ts)] — the uniform-grid input contract of
+    the correlation/Granger/AR/seasonal family. ONE definition (the
+    entry-file oracles replicate its rounding rule verbatim)."""
+    from pennsieve_streaming_spark.operators.align import asof_locf
+
+    s = samples_view(spark, sf_dir)
+    ch = channels_view(spark, sf_dir)
+    bounds = ch.agg(
+        F.max("start_ts").alias("lo"), F.min("end_ts").alias("hi")
+    )
+    grid_ts = bounds.select(
+        F.explode(
+            F.expr(
+                f"sequence(((lo + {day_us} - 1) div {day_us}) * {day_us}, "
+                f"hi, {day_us})"
+            )
+        ).alias("ts")
+    )
+    grid = ch.select("channel").crossJoin(F.broadcast(grid_ts))
+    return asof_locf(s, grid).select("channel", "ts", "value")

@@ -89,6 +89,23 @@ def test_operator_views_match_python_api(spark):
     ).collect()
     assert sum(r.n for r in t) > 0
 
+    # round-6c views resolve and return sane rows
+    assert {
+        "o1_sample_entropy", "o1_dtw_distances", "o1_event_bursts",
+        "o1_ar2", "o1_seasonal",
+    } <= set(names)
+    se = spark.sql(
+        "SELECT COUNT(*) AS n FROM o1_sample_entropy WHERE n = 128"
+    ).collect()
+    assert se[0].n > 0
+    d = spark.sql(
+        "SELECT COUNT(*) AS n FROM o1_dtw_distances "
+        "WHERE channel_a < channel_b"
+    ).collect()
+    assert d[0].n > 0
+    a2 = spark.sql("SELECT COUNT(*) AS n FROM o1_ar2").collect()
+    assert a2[0].n > 0
+
 
 def test_operator_view_channel_filter_pushes_to_scan(spark):
     """A channel predicate over the ltob view must cross the view hop
