@@ -1470,6 +1470,28 @@ def q_value_histogram(spark, sf_dir):
     return value_histogram(s, HIST_LO, HIST_HI, HIST_BINS)
 
 
+def q_stream_histogram(spark, sf_dir):
+    """Streaming amplitude histogram drained with availableNow: the
+    shared value_histogram builder as one complete-mode agg
+    (associative counts ⇒ drain == batch); the batch oracle gates it."""
+    import tempfile
+
+    from pennsieve_streaming_spark.streaming.histogram import (
+        drain_value_histogram,
+    )
+
+    s = TBL.samples_view(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="pss_stream_vh_")
+    s.coalesce(2).write.parquet(f"{base}/src")
+    stream = spark.readStream.schema(
+        "channel string, ts long, value double"
+    ).parquet(f"{base}/src")
+    return drain_value_histogram(
+        spark, stream, HIST_LO, HIST_HI, HIST_BINS, f"{base}/ckpt",
+        query_name=f"vh_{abs(hash(base)) % 10**9}",
+    )
+
+
 DG_BINS = 22  # amplitude bins of the density display grid
 
 
@@ -3230,7 +3252,7 @@ _R6_FRONT = [
     "ts_sample_entropy", "ev_kleinberg_bursts", "emb_pq_distortion",
     "doc_collocations", "doc_lp_communities", "ts_event_triggered_avg",
     "mm_image_quality", "ts_seasonal_decompose", "emb_truncation_recall",
-    "doc_novelty",
+    "doc_novelty", "stream_histogram",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3391,6 +3413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_interp_resample": q_interp_resample,
         "ts_span_point_join": q_span_point_join,
         "ts_value_histogram": q_value_histogram,
+        "stream_histogram": q_stream_histogram,
         "ts_zscore_outliers": q_zscore_outliers,
         "ts_threshold_crossings": q_threshold_crossings,
         # round-4: new operators first (least-proven gets the oracle)
@@ -7495,6 +7518,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "samples",
     )
+    # streaming histogram: associative counts + shared builder ⇒ the
+    # batch oracle gates the drained stream too
+    sql["stream_histogram"] = sql["ts_value_histogram"]
 
     sql["ts_zscore_outliers"] = with_views(
         f"""

@@ -260,3 +260,43 @@ def test_stream_drift_drain_equals_batch(spark, tmp_path):
     by_ch = {r.channel: r for r in got}
     assert by_ch["b"].psi > by_ch["a"].psi  # planted drift detected
     assert by_ch["refonly"].n_cur == 0
+
+
+def test_stream_histogram_drain_equals_batch(spark, tmp_path):
+    """Multi-file availableNow drain of the histogram counters equals
+    batch value_histogram, including out-of-range rows dropped on
+    both paths."""
+    import numpy as np
+    import pandas as pd
+
+    from pennsieve_streaming_spark.operators.stats import value_histogram
+    from pennsieve_streaming_spark.streaming.histogram import (
+        drain_value_histogram,
+    )
+
+    rng = np.random.default_rng(4)
+    rows = [
+        (ch, int(t), float(v))
+        for ch in ("a", "b")
+        for t, v in enumerate(rng.uniform(-20, 120, size=300))
+    ]
+    pdf = pd.DataFrame(rows, columns=["channel", "ts", "value"])
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf.iloc[:350]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(pdf.iloc[350:]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(
+        "channel string, ts long, value double"
+    ).parquet(src)
+    got = drain_value_histogram(
+        spark, stream, 0.0, 100.0, 10, str(tmp_path / "ckpt"),
+        query_name="vh_test",
+    ).collect()
+    want = value_histogram(
+        spark.createDataFrame(pdf), 0.0, 100.0, 10
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert sum(r.n for r in got) < len(rows)  # out-of-range dropped
