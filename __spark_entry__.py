@@ -2710,6 +2710,20 @@ def q_stream_quality(spark, sf_dir):
     )
 
 
+def q_silhouette(spark, sf_dir):
+    """Per-cluster simplified silhouette of the golden-centroid model
+    — separation next to inertia's compactness; exact quantized
+    per-vector scores, corpus never shuffles."""
+    from pennsieve_streaming_spark.llm.similarity import (
+        golden_centroids,
+        kmeans_silhouette,
+    )
+
+    return kmeans_silhouette(
+        _embs(spark, sf_dir), golden_centroids(IVF_LISTS, ANN_DIM)
+    )
+
+
 def q_kmeans_inertia(spark, sf_dir):
     """Per-cluster inertia of the golden-centroid model: quantized
     BIGINT d² sums — the elbow/drift metric for the IVF quantizer."""
@@ -3252,7 +3266,7 @@ _R6_FRONT = [
     "ts_sample_entropy", "ev_kleinberg_bursts", "emb_pq_distortion",
     "doc_collocations", "doc_lp_communities", "ts_event_triggered_avg",
     "mm_image_quality", "ts_seasonal_decompose", "emb_truncation_recall",
-    "doc_novelty", "stream_histogram",
+    "doc_novelty", "stream_histogram", "emb_silhouette",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3374,6 +3388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_stickiness": q_stickiness,
         "doc_langid_confusion": q_langid_confusion,
         "emb_kmeans_inertia": q_kmeans_inertia,
+        "emb_silhouette": q_silhouette,
         "doc_dedup_stats": q_dedup_stats,
         "ts_hourly_profile": q_hourly_profile,
         "ts_quality_profile": q_quality_profile,
@@ -8978,6 +8993,47 @@ def oracle_sql() -> dict[str, str]:
         """
 
     # --- golden-model inertia (elbow/drift metric) ---------------------------
+    _sil_rows, _sil_d2 = _ivf_cent_fragments()
+    _sil_dB = "sqrt(greatest(dB, 0.0e0))"
+    _sil_dA = "sqrt(greatest(dA, 0.0e0))"
+    sql["emb_silhouette"] = f"""
+        WITH cents AS (SELECT * FROM (VALUES {_sil_rows}) t(list_id, c)),
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+        dists AS (
+          SELECT e.vec_id, t.list_id, {_sil_d2.format(v='e.v')} AS d2
+          FROM emb e CROSS JOIN cents t
+        ),
+        two AS (
+          SELECT vec_id, list_id, d2,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY d2, list_id) AS rn
+          FROM dists
+        ),
+        asg AS (SELECT vec_id, list_id FROM two WHERE rn = 1),
+        dd AS (
+          SELECT vec_id,
+                 MAX(CASE WHEN rn = 1 THEN d2 END) AS dA,
+                 MAX(CASE WHEN rn = 2 THEN d2 END) AS dB
+          FROM two WHERE rn <= 2 GROUP BY vec_id
+        ),
+        per AS (
+          SELECT a.list_id,
+                 CASE WHEN {_sil_dB} > 0.0e0 THEN
+                   CAST(round(({_sil_dB} - {_sil_dA}) / {_sil_dB}
+                        * 1000000000) AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END AS sq
+          FROM asg a JOIN dd USING (vec_id)
+        )
+        SELECT CAST(list_id AS BIGINT) AS list_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(sq) AS BIGINT) AS sum_sq,
+               round(CAST(SUM(sq) AS DOUBLE)
+                     / (CAST(COUNT(*) AS DOUBLE) * 1000000000), 9)
+                 AS mean_sil
+        FROM per GROUP BY list_id
+        """
+
     sql["emb_kmeans_inertia"] = f"""
         WITH cents AS (SELECT * FROM (VALUES {_cs_rows}) t(list_id, c)),
         emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

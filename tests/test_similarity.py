@@ -573,3 +573,23 @@ def test_pq_distortion_exact_and_zero_for_codewords(spark):
     assert out[1].sum_errq == 0 and out[1].mse == 0.0
     assert out[0].sum_errq == round(0.09 * 1e9)
     assert abs(out[0].mse - 0.03) < 1e-9
+
+
+def test_kmeans_silhouette_separates_tight_from_boundary(spark):
+    """Two far-apart centroids: points on a centroid score ~1, a
+    point midway scores near 0; the exact s = (d2-d1)/d2 value is
+    pinned for a hand-placed point."""
+    from pennsieve_streaming_spark.llm.similarity import kmeans_silhouette
+
+    cents = [[0.0, 0.0], [10.0, 0.0]]
+    rows = [
+        (1, [0.0, 0.0]),    # on centroid 0: d1=0, d2=10 -> s=1
+        (2, [10.0, 0.0]),   # on centroid 1 -> s=1
+        (3, [4.0, 0.0]),    # d1=4, d2=6 -> s=1/3, cluster 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.list_id: r for r in kmeans_silhouette(df, cents).collect()}
+    assert out[0].n == 2 and out[1].n == 1
+    assert out[1].mean_sil == 1.0
+    want = (1.0 + (6.0 - 4.0) / 6.0) / 2
+    assert abs(out[0].mean_sil - want) < 1e-8
