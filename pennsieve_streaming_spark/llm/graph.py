@@ -310,6 +310,12 @@ def label_propagation(
         )
         .distinct()
     )
+    if hasattr(und, "_jdf"):
+        # the edge list re-enters every round (and its two union
+        # branches would otherwise replay the upstream near-dup
+        # pipeline twice per round) — pin it once (the source_kl
+        # shared-subtree rule)
+        und = und.localCheckpoint()
     labels = nodes.withColumn("label", F.col("id"))
     win = Window.partitionBy("u").orderBy(
         F.desc("cnt"), F.asc("label")
