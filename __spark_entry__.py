@@ -2171,6 +2171,21 @@ def q_audio_offset_search(spark, sf_dir):
 PS_BINS, PS_WINDOW, PS_QUANT = 8, 100, 10**6
 
 
+TH_FUND, TH_NHARM = 2, 3  # fundamental bin 2; harmonics at bins 4, 6
+
+
+def q_harmonics(spark, sf_dir):
+    """Total harmonic distortion per (channel, window): harmonic
+    power (bins 4, 6) over the fundamental (bin 2) from the quantized
+    power spectrum — the signal-purity / mains-contamination check."""
+    from pennsieve_streaming_spark.dsp.spectral import harmonic_distortion
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        F.col("ts") <= F.lit(BW_TS_END)
+    )
+    return harmonic_distortion(s, TH_FUND, TH_NHARM, PS_WINDOW, PS_QUANT)
+
+
 def q_power_spectrum(spark, sf_dir):
     """Full low-bin DFT power spectrum per (channel, window) — the
     codegen-only direct form (quantized-integer dot products against
@@ -2561,6 +2576,18 @@ def q_zipf_fit(spark, sf_dir):
 
 XC_LAG_US = 6 * 3600 * 1_000_000   # ±6 h correlogram span
 XC_BIN_US = 3600 * 1_000_000       # 1 h bins
+
+
+def q_dispersion(spark, sf_dir):
+    """Fano factor (variance/mean of bucket counts, empty buckets
+    included via the closed-form bucket count) per event channel —
+    the one-number Poisson/burstiness test pairing with
+    ev_kleinberg_bursts."""
+    from pennsieve_streaming_spark.operators.events import dispersion_index
+
+    return dispersion_index(
+        TBL.chan_events_view(spark, sf_dir), BURST_BUCKET_US
+    )
 
 
 def q_event_xcorr(spark, sf_dir):
@@ -3266,7 +3293,8 @@ _R6_FRONT = [
     "ts_sample_entropy", "ev_kleinberg_bursts", "emb_pq_distortion",
     "doc_collocations", "doc_lp_communities", "ts_event_triggered_avg",
     "mm_image_quality", "ts_seasonal_decompose", "emb_truncation_recall",
-    "doc_novelty", "stream_histogram", "emb_silhouette",
+    "doc_novelty", "stream_histogram", "emb_silhouette", "ts_harmonics",
+    "ev_dispersion",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3363,6 +3391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_user_sessions": q_user_sessions,
         "ts_cross_correlation": q_cross_correlation,
         "ts_power_spectrum": q_power_spectrum,
+        "ts_harmonics": q_harmonics,
         "ts_detect_peaks": q_detect_peaks,
         "doc_winnow_fingerprints": q_winnow_fingerprints,
         "doc_winnow_overlap": q_winnow_overlap,
@@ -3381,6 +3410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_event_xcorr": q_event_xcorr,
         "doc_zipf_fit": q_zipf_fit,
         "ev_rate_bursts": q_rate_bursts,
+        "ev_dispersion": q_dispersion,
         "ev_key_skew": q_key_skew,
         "emb_outliers": q_emb_outliers,
         "ts_event_autocorr": q_event_autocorr,
@@ -5840,6 +5870,30 @@ def oracle_sql() -> dict[str, str]:
         FROM agg WHERE n = {PS_WINDOW}
         """
 
+    _th_bins = ", ".join(
+        str(TH_FUND * h) for h in range(1, TH_NHARM + 1)
+    )
+    sql["ts_harmonics"] = f"""
+        WITH ps AS (
+          SELECT channel, win, bin, CAST(round(power) AS BIGINT) AS pq
+          FROM ({sql["ts_power_spectrum"]})
+          WHERE bin IN ({_th_bins})
+        ),
+        g AS (
+          SELECT channel, win,
+                 CAST(SUM(CASE WHEN bin = {TH_FUND} THEN pq ELSE 0 END)
+                      AS BIGINT) AS fund_pq,
+                 CAST(SUM(CASE WHEN bin <> {TH_FUND} THEN pq ELSE 0 END)
+                      AS BIGINT) AS harm_pq
+          FROM ps GROUP BY channel, win
+        )
+        SELECT channel, win, fund_pq, harm_pq,
+               CASE WHEN fund_pq > 0 THEN
+                 round(sqrt(CAST(harm_pq AS DOUBLE)
+                            / CAST(fund_pq AS DOUBLE)), 9) END AS thd
+        FROM g
+        """
+
     # --- spectral entropy: power-spectrum replay + nano-nat weights --
     sql["ts_spectral_entropy"] = f"""
         WITH pq AS (
@@ -6731,6 +6785,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(gap_end_ts) AS BIGINT) AS end_ts,
                CAST(COUNT(*) AS BIGINT) AS n_gaps
         FROM isl GROUP BY channel, grp
+        """
+
+    sql["ev_dispersion"] = f"""
+        WITH chan_events AS ({TBL.DUCKDB_VIEWS['chan_events']}),
+        per AS (
+          SELECT channel, ts // {BURST_BUCKET_US} AS bk,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM chan_events GROUP BY channel, ts // {BURST_BUCKET_US}
+        ),
+        g AS (
+          SELECT channel,
+                 CAST(MAX(bk) - MIN(bk) + 1 AS BIGINT) AS n_buckets,
+                 CAST(SUM(n) AS BIGINT) AS total,
+                 CAST(SUM(n * n) AS BIGINT) AS sum_sq
+          FROM per GROUP BY channel
+        )
+        SELECT channel, n_buckets, total, sum_sq,
+               round((CAST(n_buckets AS DOUBLE) * CAST(sum_sq AS DOUBLE)
+                 - CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+                 / (CAST(n_buckets AS DOUBLE) * CAST(total AS DOUBLE)), 9)
+                 AS dispersion
+        FROM g
         """
 
     _bl = "CAST(total AS DOUBLE) / CAST(n_buckets AS DOUBLE)"

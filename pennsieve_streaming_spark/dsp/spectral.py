@@ -746,3 +746,63 @@ def phase_locking_value(
             ),
         )
     )
+
+
+def harmonic_distortion(
+    samples: DataFrame,
+    fundamental_bin: int,
+    n_harmonics: int,
+    window_samples: int,
+    quant: int = 10**6,
+) -> DataFrame:
+    """Total harmonic distortion per (channel, window): power at the
+    harmonics of a fundamental bin relative to the fundamental,
+
+        THD = sqrt( Σ_{h=2..H} P(h·k) / P(k) )
+
+    — the classic signal-purity / line-noise metric (a 50/60 Hz mains
+    contamination check is THD at the mains bin; an amplifier
+    saturation check is THD of the test tone).
+
+    Determinism (spectral_entropy's quantization): per-bin powers from
+    :func:`power_spectrum` round to BIGINT; the harmonic sum is an
+    exact integer sum; THD is one fixed float expression, NULL when
+    the fundamental power rounds to zero (undefined, explicitly, in
+    both engines).
+
+    Output: (channel, win, fund_pq, harm_pq, thd).
+
+    Scale: rides power_spectrum's codegen-only shape + one
+    partial-agg rollup to |channels|×|windows| rows.
+    """
+    k = int(fundamental_bin)
+    H = int(n_harmonics)
+    bins = [k * h for h in range(1, H + 1)]
+    bp = power_spectrum(
+        samples, max(bins), window_samples, quant
+    ).filter(F.col("bin").isin(bins))
+    g = (
+        bp.select(
+            "channel",
+            "win",
+            "bin",
+            F.expr("CAST(round(power) AS BIGINT)").alias("pq"),
+        )
+        .groupBy("channel", "win")
+        .agg(
+            F.sum(F.when(F.col("bin") == k, F.col("pq")).otherwise(0))
+            .cast("long")
+            .alias("fund_pq"),
+            F.sum(F.when(F.col("bin") != k, F.col("pq")).otherwise(0))
+            .cast("long")
+            .alias("harm_pq"),
+        )
+    )
+    return g.withColumn(
+        "thd",
+        F.expr(
+            "CASE WHEN fund_pq > 0 THEN "
+            "round(sqrt(CAST(harm_pq AS DOUBLE) "
+            "/ CAST(fund_pq AS DOUBLE)), 9) END"
+        ),
+    )

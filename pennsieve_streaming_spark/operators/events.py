@@ -382,3 +382,48 @@ def event_triggered_average(
             ).alias("mean_value"),
         )
     )
+
+
+def dispersion_index(events: DataFrame, bucket_us: int) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio, the Fano factor)
+    of per-bucket event counts per channel — the one-number Poisson
+    test: D ≈ 1 for a memoryless stream, D > 1 over-dispersed
+    (bursty — :func:`operators.bursts.kleinberg_bursts` then finds
+    WHERE), D < 1 under-dispersed (regular/refractory, the neural
+    spike-train signature).
+
+    Empty buckets inside the channel's span COUNT (they carry the
+    zeros the variance needs); the bucket count is the closed-form
+    span/bucket+1, so no bucket densify join is required:
+
+        D = (B·Σn² − S²) / (B·S)
+
+    over exact integers (B buckets, S total events, Σn² over
+    non-empty buckets — empty ones add 0).
+
+    Output: (channel, n_buckets, total, sum_sq, dispersion);
+    channels with zero events in span drop out (S=0 undefined).
+
+    Plan: one map + two partial-agg groupBys down to |channels| rows.
+    """
+    b = int(bucket_us)
+    per = (
+        events.select(
+            "channel", F.expr(f"ts div {b}").alias("bk")
+        )
+        .groupBy("channel", "bk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    g = per.groupBy("channel").agg(
+        (F.max("bk") - F.min("bk") + 1).cast("long").alias("n_buckets"),
+        F.sum("n").cast("long").alias("total"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
+    )
+    return g.withColumn(
+        "dispersion",
+        F.expr(
+            "round((CAST(n_buckets AS DOUBLE) * CAST(sum_sq AS DOUBLE) "
+            "- CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) "
+            "/ (CAST(n_buckets AS DOUBLE) * CAST(total AS DOUBLE)), 9)"
+        ),
+    )

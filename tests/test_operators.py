@@ -787,3 +787,28 @@ def test_event_triggered_average_locks_to_response(spark):
         assert r.n == 5 and r.channel == "c1"
         assert r.off_lo_us == ob * B - L
         assert r.mean_value == (9.0 if r.off_lo_us == 20 else 1.0)
+
+
+def test_dispersion_index_orders_regular_poisson_bursty(spark):
+    """A perfectly regular stream (1/bucket) has D = 0; a clumped
+    stream (all events in one of many buckets) has D ≈ n_events; a
+    channel whose span includes EMPTY buckets counts them (doubling
+    the span halves the mean and raises D)."""
+    from pennsieve_streaming_spark.operators.events import (
+        dispersion_index,
+    )
+
+    rows = []
+    for i in range(10):
+        rows.append(("regular", i * 100 + 5))   # one per bucket
+        rows.append(("clumped", 3 * 100 + i))   # all in bucket 3
+    rows.append(("clumped", 9 * 100))           # pin the span to 10
+    df = spark.createDataFrame(rows, "channel string, ts long")
+    out = {r.channel: r for r in dispersion_index(df, 100).collect()}
+    assert out["regular"].n_buckets == 10
+    assert out["regular"].dispersion == 0.0
+    c = out["clumped"]
+    # B=7 (buckets 3..9), S=11, sum_sq=101 -> D=(7*101-121)/(7*11)
+    assert c.n_buckets == 7 and c.total == 11 and c.sum_sq == 101
+    assert abs(c.dispersion - (7 * 101 - 121) / (7 * 11)) < 1e-9
+    assert c.dispersion > 5.0
