@@ -2171,6 +2171,22 @@ def q_audio_offset_search(spark, sf_dir):
 PS_BINS, PS_WINDOW, PS_QUANT = 8, 100, 10**6
 
 
+BB_BIN, BB_MULT, BB_MINW = 3, 2, 2  # 20 bursts at sf0.01; 0 at mult=4
+
+
+def q_band_bursts(spark, sf_dir):
+    """Spindle-style band-limited burst detection over the sample
+    feed: ≥2 consecutive windows with bin-3 power above 2× the
+    channel's lower-median window power — integer end-to-end
+    (quantized powers, order-statistic baseline, exact comparison)."""
+    from pennsieve_streaming_spark.dsp.spectral import band_bursts
+
+    return band_bursts(
+        TBL.samples_view(spark, sf_dir), BB_BIN, PS_WINDOW, BB_MULT,
+        BB_MINW, PS_QUANT,
+    )
+
+
 TH_FUND, TH_NHARM = 2, 3  # fundamental bin 2; harmonics at bins 4, 6
 
 
@@ -3294,7 +3310,7 @@ _R6_FRONT = [
     "doc_collocations", "doc_lp_communities", "ts_event_triggered_avg",
     "mm_image_quality", "ts_seasonal_decompose", "emb_truncation_recall",
     "doc_novelty", "stream_histogram", "emb_silhouette", "ts_harmonics",
-    "ev_dispersion",
+    "ev_dispersion", "ts_band_bursts",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3392,6 +3408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_cross_correlation": q_cross_correlation,
         "ts_power_spectrum": q_power_spectrum,
         "ts_harmonics": q_harmonics,
+        "ts_band_bursts": q_band_bursts,
         "ts_detect_peaks": q_detect_peaks,
         "doc_winnow_fingerprints": q_winnow_fingerprints,
         "doc_winnow_overlap": q_winnow_overlap,
@@ -5869,6 +5886,72 @@ def oracle_sql() -> dict[str, str]:
                  + (CAST(ss AS DOUBLE) / {PS_QUANT}) * (CAST(ss AS DOUBLE) / {PS_QUANT}) AS power
         FROM agg WHERE n = {PS_WINDOW}
         """
+
+    sql["ts_band_bursts"] = with_views(
+        f"""
+        WITH rk AS (
+          SELECT channel, value,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS rn
+          FROM samples
+        ),
+        tabs AS (SELECT {_ps_cos_lit} AS cos_t, {_ps_sin_lit} AS sin_t),
+        ex AS (
+          SELECT channel, rn // {PS_WINDOW} AS win, rn % {PS_WINDOW} AS pos,
+                 value
+          FROM rk
+        ),
+        ct AS (
+          SELECT e.channel, e.win,
+                 CAST(round(e.value * t.cos_t[({BB_BIN} - 1) * {PS_WINDOW} + e.pos + 1] * {PS_QUANT}) AS BIGINT) AS ci,
+                 CAST(round(e.value * t.sin_t[({BB_BIN} - 1) * {PS_WINDOW} + e.pos + 1] * {PS_QUANT}) AS BIGINT) AS si
+          FROM ex e CROSS JOIN tabs t
+        ),
+        agg AS (
+          SELECT channel, win, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(ci) AS BIGINT) AS sc, CAST(SUM(si) AS BIGINT) AS ss
+          FROM ct GROUP BY channel, win
+        ),
+        pw AS (
+          SELECT channel, win,
+                 CAST(round((CAST(sc AS DOUBLE) / {PS_QUANT})
+                     * (CAST(sc AS DOUBLE) / {PS_QUANT})
+                     + (CAST(ss AS DOUBLE) / {PS_QUANT})
+                     * (CAST(ss AS DOUBLE) / {PS_QUANT})) AS BIGINT) AS pq
+          FROM agg WHERE n = {PS_WINDOW}
+        ),
+        rkd AS (
+          SELECT channel, win, pq,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY pq, win) AS rn,
+                 COUNT(*) OVER (PARTITION BY channel) AS nw
+          FROM pw
+        ),
+        med AS (
+          SELECT channel, CAST(MAX(pq) AS BIGINT) AS med_pq
+          FROM rkd WHERE rn = (nw + 1) // 2 GROUP BY channel
+        ),
+        hot AS (
+          SELECT p.channel, p.win, p.pq, m.med_pq
+          FROM pw p JOIN med m ON p.channel = m.channel
+          WHERE p.pq > {BB_MULT} * m.med_pq
+        ),
+        isl AS (
+          SELECT channel, win, pq, med_pq,
+                 win - ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY win) AS grp
+          FROM hot
+        )
+        SELECT channel, CAST(MIN(win) AS BIGINT) AS start_win,
+               CAST(MAX(win) AS BIGINT) AS end_win,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(MAX(pq) AS BIGINT) AS max_pq,
+               CAST(MAX(med_pq) AS BIGINT) AS med_pq
+        FROM isl GROUP BY channel, grp
+        HAVING COUNT(*) >= {BB_MINW}
+        """,
+        "samples",
+    )
 
     _th_bins = ", ".join(
         str(TH_FUND * h) for h in range(1, TH_NHARM + 1)

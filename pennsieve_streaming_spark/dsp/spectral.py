@@ -806,3 +806,71 @@ def harmonic_distortion(
             "/ CAST(fund_pq AS DOUBLE)), 9) END"
         ),
     )
+
+
+def band_bursts(
+    samples: DataFrame,
+    target_bin: int,
+    window_samples: int,
+    mult: int = 4,
+    min_windows: int = 2,
+    quant: int = 10**6,
+) -> DataFrame:
+    """Band-limited burst (spindle-style) detection: runs of
+    consecutive windows whose power at ``target_bin`` exceeds
+    ``mult`` × the channel's median window power at that bin, lasting
+    at least ``min_windows`` windows — the classic sleep-spindle /
+    oscillatory-event detector (power in a narrow band, sustained,
+    well above the channel's own baseline).
+
+    Determinism: integer end-to-end — per-window powers round to
+    BIGINT (spectral_entropy's quantization), the baseline is the
+    LOWER MEDIAN (an order statistic of integers, the pHash rule),
+    and the threshold test is the exact integer comparison
+    ``pq > mult·med`` (no float ratio anywhere).
+
+    Output: one row per burst — (channel, start_win, end_win,
+    n_windows, max_pq, med_pq).
+
+    Scale: rides power_spectrum's codegen shape; the median rank and
+    the islands pass are per-channel windows over |windows|-sized
+    data (already collapsed), never raw samples.
+    """
+    tb = int(target_bin)
+    m = int(mult)
+    pq = (
+        power_spectrum(samples, tb, window_samples, quant)
+        .filter(F.col("bin") == tb)
+        .select(
+            "channel",
+            "win",
+            F.expr("CAST(round(power) AS BIGINT)").alias("pq"),
+        )
+    )
+    wr = Window.partitionBy("channel").orderBy("pq", "win")
+    ranked = pq.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "nw", F.count(F.lit(1)).over(Window.partitionBy("channel"))
+    )
+    med = (
+        ranked.filter(F.col("rn") == F.expr("(nw + 1) div 2"))
+        .groupBy("channel")
+        .agg(F.max("pq").cast("long").alias("med_pq"))
+    )
+    hot = (
+        pq.join(F.broadcast(med), "channel")
+        .filter(F.col("pq") > m * F.col("med_pq"))
+    )
+    iw = Window.partitionBy("channel").orderBy("win")
+    return (
+        hot.withColumn("grp", F.col("win") - F.row_number().over(iw))
+        .groupBy("channel", "grp")
+        .agg(
+            F.min("win").cast("long").alias("start_win"),
+            F.max("win").cast("long").alias("end_win"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.max("pq").cast("long").alias("max_pq"),
+            F.max("med_pq").cast("long").alias("med_pq"),
+        )
+        .filter(F.col("n_windows") >= int(min_windows))
+        .drop("grp")
+    )

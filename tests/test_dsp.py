@@ -674,3 +674,28 @@ def test_plv_locked_vs_flipped_phase(spark):
         for r in phase_locking_value(df, "x", "z", 6, ws).collect()
     }
     assert flipped[2].plv < 1e-6 and flipped[5].plv < 1e-6
+
+
+def test_band_bursts_detects_sustained_tone_runs(spark):
+    """A channel with a bin-2 tone amplified 10x during windows 4-6
+    (and a single hot window at 10, below min_windows) yields exactly
+    one burst [4, 6]; a flat-amplitude channel yields none."""
+    import math
+
+    from pennsieve_streaming_spark.dsp.spectral import band_bursts
+
+    ws, nwin = 16, 12
+    rows = []
+    for wn in range(nwin):
+        boost = 10.0 if 4 <= wn <= 6 else (10.0 if wn == 10 else 1.0)
+        for p in range(ws):
+            t = wn * ws + p
+            v = boost * math.sin(2 * math.pi * 2 * p / ws)
+            rows.append(("hot", t, v))
+            rows.append(("flat", t, math.sin(2 * math.pi * 2 * p / ws)))
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = band_bursts(df, 2, ws, mult=4, min_windows=2).collect()
+    assert len(out) == 1
+    b = out[0]
+    assert b.channel == "hot" and b.start_win == 4 and b.end_win == 6
+    assert b.n_windows == 3 and b.max_pq > 16 * b.med_pq
