@@ -1483,6 +1483,10 @@ def sample_entropy(
         ).alias("r_q"),
     )
     w = Window.partitionBy("channel").orderBy("ts", "value")
+    wins_per_batch = 64  # Arrow-group grain: per-(channel, window)
+    # groups pay ~1 ms of pandas overhead each, which dominates at
+    # scale (measured: 47k windows → 51 s); batching 64 windows per
+    # group amortizes it while keeping |channels|×|blocks| parallelism
     ranked = (
         samples.select(
             "channel",
@@ -1493,38 +1497,36 @@ def sample_entropy(
         )
         .withColumn("win", (F.col("_rn") / ws).cast("long"))
         .withColumn("pos", (F.col("_rn") % ws).cast("long"))
+        .withColumn("_blk", (F.col("win") / wins_per_batch).cast("long"))
         .join(F.broadcast(pct), "channel")
     )
 
     def run(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
-        if len(pdf) != ws:  # ragged tail window
-            return pd.DataFrame(
-                {
-                    "channel": pd.Series([], dtype=str),
-                    "win": pd.Series([], dtype="int64"),
-                    "n": pd.Series([], dtype="int64"),
-                    "r_q": pd.Series([], dtype="int64"),
-                    "b_count": pd.Series([], dtype="int64"),
-                    "a_count": pd.Series([], dtype="int64"),
-                }
-            )
-        x = (
-            pdf.sort_values("pos")["xq"].to_numpy(dtype=np.int64)
-        )
         rq = int(pdf["r_q"].iloc[0])
-        b, a = sampen_counts(x, mm, rq)
+        pdf = pdf.sort_values(["win", "pos"])
+        chans, wins, bs, as_ = [], [], [], []
+        for win, g in pdf.groupby("win", sort=True):
+            if len(g) != ws:  # ragged tail window
+                continue
+            b, a = sampen_counts(
+                g["xq"].to_numpy(dtype=np.int64), mm, rq
+            )
+            chans.append(key[0])
+            wins.append(int(win))
+            bs.append(b)
+            as_.append(a)
         return pd.DataFrame(
             {
-                "channel": [key[0]],
-                "win": [int(key[1])],
-                "n": [ws],
-                "r_q": [rq],
-                "b_count": [b],
-                "a_count": [a],
+                "channel": pd.Series(chans, dtype=str),
+                "win": pd.Series(wins, dtype="int64"),
+                "n": pd.Series([ws] * len(wins), dtype="int64"),
+                "r_q": pd.Series([rq] * len(wins), dtype="int64"),
+                "b_count": pd.Series(bs, dtype="int64"),
+                "a_count": pd.Series(as_, dtype="int64"),
             }
         )
 
-    counts = ranked.groupBy("channel", "win").applyInPandas(
+    counts = ranked.groupBy("channel", "_blk").applyInPandas(
         run,
         schema=(
             "channel string, win long, n long, r_q long, "

@@ -185,6 +185,20 @@ def main() -> None:
     results["ts_granger_screen"] = (time.monotonic() - t0) + _force(gr)
     plans["ts_granger_screen"] = _plan(gr)
 
+    # --- doc_novelty at 10x (first-occurrence join over 10x shingles) -----
+    from pennsieve_streaming_spark.llm.dedup import shingle_novelty
+
+    nov = shingle_novelty(docs10)
+    results["doc_novelty"] = _force(nov)
+    plans["doc_novelty"] = _plan(nov)
+
+    # --- ts_sample_entropy at 10x sample density --------------------------
+    from pennsieve_streaming_spark.operators.stats import sample_entropy
+
+    se = sample_entropy(s10, 128, 2, 0.2, 100)
+    results["ts_sample_entropy"] = _force(se)
+    plans["ts_sample_entropy"] = _plan(se)
+
     # --- plan-shape guards (the 100x design evidence) ---------------------
     problems = []
     for name, plan in plans.items():
