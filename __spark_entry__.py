@@ -2874,6 +2874,20 @@ def q_kleinberg_bursts(spark, sf_dir):
     )
 
 
+def q_hjorth(spark, sf_dir):
+    """Hjorth activity/mobility/complexity per (channel, 128-sample
+    window) — the classic EEG descriptor triple from exact windowed
+    difference variances; activity ships as BIGINT milli-units (the
+    ar2 sigma2 magnitude rule)."""
+    from pennsieve_streaming_spark.operators.stats import (
+        hjorth_parameters,
+    )
+
+    return hjorth_parameters(
+        TBL.samples_view(spark, sf_dir), SE_WINDOW, SE_QUANT
+    )
+
+
 SE_WINDOW, SE_M, SE_RFRAC, SE_QUANT = 128, 2, 0.2, 100
 
 
@@ -3310,7 +3324,7 @@ _R6_FRONT = [
     "doc_collocations", "doc_lp_communities", "ts_event_triggered_avg",
     "mm_image_quality", "ts_seasonal_decompose", "emb_truncation_recall",
     "doc_novelty", "stream_histogram", "emb_silhouette", "ts_harmonics",
-    "ev_dispersion", "ts_band_bursts",
+    "ev_dispersion", "ts_band_bursts", "ts_hjorth",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3374,6 +3388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_ar2_model": q_ar2_model,
         "ts_seasonal_decompose": q_seasonal_decompose,
         "ts_sample_entropy": q_sample_entropy,
+        "ts_hjorth": q_hjorth,
         "ev_kleinberg_bursts": q_kleinberg_bursts,
         "ev_ab_conversion": q_ab_conversion,
         "mm_image_phash": q_image_phash,
@@ -6774,6 +6789,70 @@ def oracle_sql() -> dict[str, str]:
                  round(-ln(CAST(a_count AS DOUBLE)
                            / CAST(b_count AS DOUBLE)), 9) END AS sampen
         FROM cnt
+        """,
+        "samples",
+    )
+
+    _hj_v0 = (
+        "((CAST(n AS DOUBLE) * CAST(ss0 AS DOUBLE) "
+        "- CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)) "
+        "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+    )
+    _hj_v1 = (
+        "((CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE) "
+        "- CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) "
+        "/ (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)))"
+    )
+    _hj_v2 = (
+        "((CAST(n2 AS DOUBLE) * CAST(ss2 AS DOUBLE) "
+        "- CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) "
+        "/ (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)))"
+    )
+    sql["ts_hjorth"] = with_views(
+        f"""
+        WITH rk AS (
+          SELECT channel,
+                 CAST(round(value * {SE_QUANT}) AS BIGINT) AS xq,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS rn
+          FROM samples
+        ),
+        t AS (
+          SELECT channel, rn // {SE_WINDOW} AS win, rn % {SE_WINDOW} AS pos,
+                 xq,
+                 xq - LAG(xq) OVER (PARTITION BY channel, rn // {SE_WINDOW}
+                     ORDER BY rn) AS d1
+          FROM rk
+        ),
+        t2 AS (
+          SELECT channel, win, pos, xq, d1,
+                 d1 - LAG(d1) OVER (PARTITION BY channel, win
+                     ORDER BY pos) AS d2
+          FROM t
+        ),
+        g AS (
+          SELECT channel, CAST(win AS BIGINT) AS win,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(xq) AS BIGINT) AS s0,
+                 CAST(SUM(xq * xq) AS BIGINT) AS ss0,
+                 CAST(COUNT(d1) AS BIGINT) AS n1,
+                 CAST(COALESCE(SUM(d1), 0) AS BIGINT) AS s1,
+                 CAST(COALESCE(SUM(d1 * d1), 0) AS BIGINT) AS ss1,
+                 CAST(COUNT(d2) AS BIGINT) AS n2,
+                 CAST(COALESCE(SUM(d2), 0) AS BIGINT) AS s2,
+                 CAST(COALESCE(SUM(d2 * d2), 0) AS BIGINT) AS ss2
+          FROM t2 GROUP BY channel, win
+          HAVING COUNT(*) = {SE_WINDOW}
+        )
+        SELECT channel, win, n,
+               CAST(round({_hj_v0} / ({SE_QUANT}.0 * {SE_QUANT}.0) * 1000)
+                    AS BIGINT) AS activity_mq,
+               CASE WHEN {_hj_v0} > 0 THEN
+                 round(sqrt({_hj_v1} / {_hj_v0}), 9) END AS mobility,
+               CASE WHEN {_hj_v0} > 0 AND {_hj_v1} > 0 THEN
+                 round(sqrt({_hj_v2} / {_hj_v1})
+                       / sqrt({_hj_v1} / {_hj_v0}), 9) END AS complexity
+        FROM g
         """,
         "samples",
     )

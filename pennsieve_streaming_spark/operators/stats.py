@@ -1618,3 +1618,94 @@ def seasonal_decompose(
             ).alias("resid"),
         )
     )
+
+
+def hjorth_parameters(
+    samples: DataFrame, window_samples: int = 128, quant: int = 100
+) -> DataFrame:
+    """Hjorth parameters per (channel, window) (Hjorth 1970) — THE
+    classic EEG descriptor triple, computed from the variances of the
+    signal and its first/second differences:
+
+        activity   = var(x)            (signal power)
+        mobility   = sqrt(var(Δx) / var(x))      (mean frequency proxy)
+        complexity = mobility(Δx) / mobility(x)  (bandwidth proxy)
+
+    Determinism: six exact BIGINT sums per window (quantized values
+    and their exact integer first/second differences via in-window
+    lags); mobility/complexity are O(1) ratios — fixed float
+    expressions rounded to 9 dp; activity is value²-scale (too large
+    for stable 9-dp rounding — the ar2 sigma2 rule) and ships as
+    BIGINT milli-units. Zero-variance guards yield NULL explicitly.
+    Ragged tail windows are dropped.
+
+    Output: (channel, win, n, activity_mq, mobility, complexity).
+
+    Plan: one row-ranking window per channel + two in-window lags on
+    the same partitioning + one partial-agg groupBy to
+    |channels|×|windows| rows.
+    """
+    ws = int(window_samples)
+    q = int(quant)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    ranked = (
+        samples.select(
+            "channel",
+            "ts",
+            "value",
+            (F.row_number().over(w) - 1).alias("_rn"),
+            F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+        )
+        .withColumn("win", (F.col("_rn") / ws).cast("long"))
+        .withColumn("pos", (F.col("_rn") % ws).cast("long"))
+    )
+    iw = Window.partitionBy("channel", "win").orderBy("pos")
+    d = ranked.withColumn(
+        "d1", F.col("xq") - F.lag("xq").over(iw)
+    ).withColumn("d2", F.col("d1") - F.lag("d1").over(iw))
+    z = F.lit(0).cast("long")
+    g = d.groupBy("channel", "win").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("s0"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("ss0"),
+        F.count("d1").cast("long").alias("n1"),
+        F.coalesce(F.sum("d1"), z).cast("long").alias("s1"),
+        F.coalesce(F.sum(F.col("d1") * F.col("d1")), z)
+        .cast("long")
+        .alias("ss1"),
+        F.count("d2").cast("long").alias("n2"),
+        F.coalesce(F.sum("d2"), z).cast("long").alias("s2"),
+        F.coalesce(F.sum(F.col("d2") * F.col("d2")), z)
+        .cast("long")
+        .alias("ss2"),
+    ).filter(F.col("n") == ws)
+    v0 = (
+        "((CAST(n AS DOUBLE) * CAST(ss0 AS DOUBLE) "
+        "- CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)) "
+        "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+    )
+    v1 = (
+        "((CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE) "
+        "- CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) "
+        "/ (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)))"
+    )
+    v2 = (
+        "((CAST(n2 AS DOUBLE) * CAST(ss2 AS DOUBLE) "
+        "- CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) "
+        "/ (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)))"
+    )
+    return g.select(
+        "channel",
+        "win",
+        "n",
+        F.expr(
+            f"CAST(round({v0} / ({q}.0 * {q}.0) * 1000) AS BIGINT)"
+        ).alias("activity_mq"),
+        F.expr(
+            f"CASE WHEN {v0} > 0 THEN round(sqrt({v1} / {v0}), 9) END"
+        ).alias("mobility"),
+        F.expr(
+            f"CASE WHEN {v0} > 0 AND {v1} > 0 THEN "
+            f"round(sqrt({v2} / {v1}) / sqrt({v1} / {v0}), 9) END"
+        ).alias("complexity"),
+    )

@@ -682,3 +682,30 @@ def test_seasonal_decompose_recovers_planted_components(spark):
         assert abs(r.trend - (100.0 + 2.0 * t)) < 1e-6, (t, r.trend)
         assert abs(r.seasonal - weekly[t % 7]) < 1e-6
         assert abs(r.resid) < 1e-6
+
+
+def test_hjorth_frequency_ordering_and_goldens(spark):
+    """A fast oscillation has higher mobility than a slow one of the
+    same amplitude (mobility ≈ mean frequency proxy: for a pure
+    sinusoid mobility = 2·sin(π·f/fs)); a pure sinusoid's complexity
+    ≈ 1; a constant window yields NULL mobility."""
+    import math
+
+    from pennsieve_streaming_spark.operators.stats import (
+        hjorth_parameters,
+    )
+
+    ws = 128
+    rows = []
+    for t in range(ws):
+        rows.append(("slow", t, 1000.0 * math.sin(2 * math.pi * 4 * t / ws)))
+        rows.append(("fast", t, 1000.0 * math.sin(2 * math.pi * 16 * t / ws)))
+        rows.append(("flat", t, 5.0))
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = {r.channel: r for r in hjorth_parameters(df, ws, 100).collect()}
+    assert out["fast"].mobility > 2.5 * out["slow"].mobility
+    for ch, f in (("slow", 4), ("fast", 16)):
+        want = 2.0 * math.sin(math.pi * f / ws)
+        assert abs(out[ch].mobility - want) < 0.05 * want, (ch, want)
+        assert abs(out[ch].complexity - 1.0) < 0.05
+    assert out["flat"].mobility is None and out["flat"].activity_mq == 0
