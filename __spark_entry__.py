@@ -2594,6 +2594,15 @@ XC_LAG_US = 6 * 3600 * 1_000_000   # ±6 h correlogram span
 XC_BIN_US = 3600 * 1_000_000       # 1 h bins
 
 
+def q_interarrival_ks(spark, sf_dir):
+    """KS goodness-of-fit of inter-arrival gaps vs the channel's own
+    exponential — the distributional Poisson test next to the Fano
+    factor; fixed-expression CDF terms, exact MAX selection."""
+    from pennsieve_streaming_spark.operators.events import interarrival_ks
+
+    return interarrival_ks(TBL.chan_events_view(spark, sf_dir))
+
+
 def q_dispersion(spark, sf_dir):
     """Fano factor (variance/mean of bucket counts, empty buckets
     included via the closed-form bucket count) per event channel —
@@ -3324,7 +3333,7 @@ _R6_FRONT = [
     "doc_collocations", "doc_lp_communities", "ts_event_triggered_avg",
     "mm_image_quality", "ts_seasonal_decompose", "emb_truncation_recall",
     "doc_novelty", "stream_histogram", "emb_silhouette", "ts_harmonics",
-    "ev_dispersion", "ts_band_bursts", "ts_hjorth",
+    "ev_dispersion", "ts_band_bursts", "ts_hjorth", "ev_interarrival_ks",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3443,6 +3452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_zipf_fit": q_zipf_fit,
         "ev_rate_bursts": q_rate_bursts,
         "ev_dispersion": q_dispersion,
+        "ev_interarrival_ks": q_interarrival_ks,
         "ev_key_skew": q_key_skew,
         "emb_outliers": q_emb_outliers,
         "ts_event_autocorr": q_event_autocorr,
@@ -6947,6 +6957,54 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(gap_end_ts) AS BIGINT) AS end_ts,
                CAST(COUNT(*) AS BIGINT) AS n_gaps
         FROM isl GROUP BY channel, grp
+        """
+
+    _ks_f = "(1.0e0 - exp(-lam * CAST(x AS DOUBLE)))"
+    sql["ev_interarrival_ks"] = f"""
+        WITH chan_events AS ({TBL.DUCKDB_VIEWS['chan_events']}),
+        g0 AS (
+          SELECT channel, ts,
+                 LAG(ts) OVER (PARTITION BY channel ORDER BY ts)
+                   AS prev_ts
+          FROM chan_events
+        ),
+        gaps AS (
+          SELECT channel, prev_ts AS a, ts AS b, ts - prev_ts AS x
+          FROM g0 WHERE prev_ts IS NOT NULL
+        ),
+        pr AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(MAX(b) - MIN(a) AS BIGINT) AS span
+          FROM gaps GROUP BY channel
+          HAVING COUNT(*) >= 2 AND MAX(b) - MIN(a) > 0
+        ),
+        pp AS (
+          SELECT channel, n,
+                 CAST(n AS DOUBLE) / CAST(span AS DOUBLE) AS lam
+          FROM pr
+        ),
+        rk2 AS (
+          SELECT g.channel, p.n, p.lam, g.x,
+                 ROW_NUMBER() OVER (PARTITION BY g.channel
+                     ORDER BY g.x, g.b, g.a) AS i
+          FROM gaps g JOIN pp p USING (channel)
+        ),
+        d AS (
+          SELECT channel, n, lam,
+                 round(greatest(
+                   CAST(i AS DOUBLE) / CAST(n AS DOUBLE) - {_ks_f},
+                   {_ks_f} - CAST(i - 1 AS DOUBLE) / CAST(n AS DOUBLE)
+                 ), 9) AS dt
+          FROM rk2
+        ),
+        agg2 AS (
+          SELECT channel, CAST(MAX(n) AS BIGINT) AS n, MAX(lam) AS lam,
+                 MAX(dt) AS ks_stat
+          FROM d GROUP BY channel
+        )
+        SELECT channel, n, lam, ks_stat,
+               ks_stat > 1.358e0 / sqrt(CAST(n AS DOUBLE)) AS rejected
+        FROM agg2
         """
 
     sql["ev_dispersion"] = f"""

@@ -427,3 +427,80 @@ def dispersion_index(events: DataFrame, bucket_us: int) -> DataFrame:
             "/ (CAST(n_buckets AS DOUBLE) * CAST(total AS DOUBLE)), 9)"
         ),
     )
+
+
+def interarrival_ks(events: DataFrame, alpha_c: float = 1.358) -> DataFrame:
+    """Kolmogorov-Smirnov goodness-of-fit of each channel's
+    inter-arrival gaps against the exponential distribution with the
+    channel's own rate λ = n/span — the distributional Poisson test
+    completing the panel (``dispersion_index`` tests the second
+    moment; this tests the whole CDF):
+
+        D_n = max_i max( i/n − F(x_(i)),  F(x_(i)) − (i−1)/n ),
+        F(x) = 1 − e^{−λx}
+
+    with ``rejected`` = D_n > c/√n (c = 1.358 ≈ the α = 0.05
+    asymptotic critical value; estimating λ from the data makes the
+    test conservative — the standard Lilliefors caveat, documented).
+
+    Determinism: gaps are exact µs integers; λ and every per-row
+    D-term are fixed float expressions (terms rounded to 9 dp before
+    the exact MAX selection); the rejection compares the rounded D
+    against the fixed critical expression.
+
+    Output: (channel, n, lam, ks_stat, rejected); channels with < 2
+    gaps or zero span drop out.
+
+    Plan: one lag window + one per-channel rank over the collapsed
+    gap rows + a partial-agg rollup to |channels| rows.
+    """
+    w = Window.partitionBy("channel").orderBy("ts")
+    gaps = (
+        events.select("channel", "ts")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "channel",
+            F.col("prev_ts").alias("a"),
+            F.col("ts").alias("b"),
+            (F.col("ts") - F.col("prev_ts")).alias("x"),
+        )
+    )
+    params = (
+        gaps.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.max("b") - F.min("a")).cast("long").alias("span"),
+        )
+        .filter((F.col("n") >= 2) & (F.col("span") > 0))
+        .withColumn(
+            "lam", F.expr("CAST(n AS DOUBLE) / CAST(span AS DOUBLE)")
+        )
+    )
+    rw = Window.partitionBy("channel").orderBy("x", "b", "a")
+    ranked = (
+        gaps.join(F.broadcast(params), "channel")
+        .withColumn("i", F.row_number().over(rw))
+    )
+    term = (
+        "round(greatest("
+        "CAST(i AS DOUBLE) / CAST(n AS DOUBLE) "
+        "- (1.0D - exp(-lam * CAST(x AS DOUBLE))), "
+        "(1.0D - exp(-lam * CAST(x AS DOUBLE))) "
+        "- CAST(i - 1 AS DOUBLE) / CAST(n AS DOUBLE)), 9)"
+    )
+    g = (
+        ranked.withColumn("d", F.expr(term))
+        .groupBy("channel")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("lam").alias("lam"),
+            F.max("d").alias("ks_stat"),
+        )
+    )
+    return g.withColumn(
+        "rejected",
+        F.expr(
+            f"ks_stat > {float(alpha_c)!r} / sqrt(CAST(n AS DOUBLE))"
+        ),
+    )

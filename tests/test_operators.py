@@ -812,3 +812,33 @@ def test_dispersion_index_orders_regular_poisson_bursty(spark):
     assert c.n_buckets == 7 and c.total == 11 and c.sum_sq == 101
     assert abs(c.dispersion - (7 * 101 - 121) / (7 * 11)) < 1e-9
     assert c.dispersion > 5.0
+
+
+def test_interarrival_ks_rejects_regular_accepts_exponential(spark):
+    """A metronome stream (all gaps equal) is maximally un-exponential
+    (D -> e^-1 as n grows) and rejected; gaps drawn from an actual
+    exponential pass; the tiny-channel guards drop."""
+    import math
+    import numpy as np
+
+    from pennsieve_streaming_spark.operators.events import interarrival_ks
+
+    rows = []
+    t = 0
+    for i in range(400):   # regular: every gap exactly 1000
+        rows.append(("metronome", i * 1000))
+    rng = np.random.default_rng(8)
+    t = 0
+    for g in rng.exponential(1000.0, size=400):
+        t += max(1, int(g))
+        rows.append(("poisson", t))
+    rows.append(("tiny", 5))
+    df = spark.createDataFrame(rows, "channel string, ts long")
+    out = {r.channel: r for r in interarrival_ks(df).collect()}
+    assert "tiny" not in out
+    m = out["metronome"]
+    # all mass at x = 1000, lambda = n/span ~ 1/1000: the empirical
+    # CDF jumps 0 -> 1 at x=1000, so D = max(F, 1-F) = F ≈ 1 - 1/e
+    assert abs(m.ks_stat - (1.0 - math.exp(-m.lam * 1000.0))) < 0.01
+    assert m.rejected
+    assert not out["poisson"].rejected
