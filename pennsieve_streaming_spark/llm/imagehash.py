@@ -259,6 +259,8 @@ def quality_synthetic(documents: DataFrame) -> DataFrame:
 
     def run(batches):
         for pdf in batches:
+            if pdf.empty:  # empty Arrow batch: (0,)-shaped asarray
+                continue   # would break the [:, k] column slicing
             ids = pdf["doc_id"].to_numpy()
             rows = [quality_stats(synthetic_gray(int(d))) for d in ids]
             arr = np.asarray(rows, dtype=np.int64)

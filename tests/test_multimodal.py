@@ -254,3 +254,16 @@ def test_quality_stats_blur_and_flat_semantics():
     _, _, _, gr2, nl2, slg, sl2g = quality_stats(grad)
     assert nl2 * sl2g - slg * slg == 0  # affine field -> zero Laplacian
     assert gr2 == 7 + 2 * 7
+
+
+def test_quality_synthetic_survives_empty_partitions(spark):
+    """A 1-row input spread over 8 partitions exercises the empty
+    Arrow-batch path (a (0,)-shaped asarray would break the column
+    slicing without the guard)."""
+    from pennsieve_streaming_spark.llm.imagehash import quality_synthetic
+
+    docs = spark.createDataFrame(
+        [(1, "x")], "doc_id long, text string"
+    ).repartition(8)
+    rows = quality_synthetic(docs).collect()
+    assert len(rows) == 1 and rows[0].n_px == 288
