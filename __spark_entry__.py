@@ -2171,6 +2171,24 @@ def q_audio_offset_search(spark, sf_dir):
 PS_BINS, PS_WINDOW, PS_QUANT = 8, 100, 10**6
 
 
+PAC_SLOW, PAC_FAST = 1, 6
+
+
+def q_pac(spark, sf_dir):
+    """Phase-amplitude coupling per channel (Tort modulation index,
+    octant-binned): slow-bin DFT phase octant (pure integer
+    comparisons on exact BIGINT sums — no atan2) vs fast-bin power
+    mass; ordered-fold entropy finish."""
+    from pennsieve_streaming_spark.dsp.spectral import (
+        phase_amplitude_coupling,
+    )
+
+    return phase_amplitude_coupling(
+        TBL.samples_view(spark, sf_dir), PAC_SLOW, PAC_FAST, PS_WINDOW,
+        PS_QUANT,
+    )
+
+
 BB_BIN, BB_MULT, BB_MINW = 3, 2, 2  # 20 bursts at sf0.01; 0 at mult=4
 
 
@@ -3334,6 +3352,7 @@ _R6_FRONT = [
     "mm_image_quality", "ts_seasonal_decompose", "emb_truncation_recall",
     "doc_novelty", "stream_histogram", "emb_silhouette", "ts_harmonics",
     "ev_dispersion", "ts_band_bursts", "ts_hjorth", "ev_interarrival_ks",
+    "ts_pac",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3433,6 +3452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_power_spectrum": q_power_spectrum,
         "ts_harmonics": q_harmonics,
         "ts_band_bursts": q_band_bursts,
+        "ts_pac": q_pac,
         "ts_detect_peaks": q_detect_peaks,
         "doc_winnow_fingerprints": q_winnow_fingerprints,
         "doc_winnow_overlap": q_winnow_overlap,
@@ -5911,6 +5931,81 @@ def oracle_sql() -> dict[str, str]:
                  + (CAST(ss AS DOUBLE) / {PS_QUANT}) * (CAST(ss AS DOUBLE) / {PS_QUANT}) AS power
         FROM agg WHERE n = {PS_WINDOW}
         """
+
+    _pac_pw = (
+        f"(CAST(fc AS DOUBLE) / {PS_QUANT}) * (CAST(fc AS DOUBLE) / {PS_QUANT}) "
+        f"+ (CAST(fs AS DOUBLE) / {PS_QUANT}) * (CAST(fs AS DOUBLE) / {PS_QUANT})"
+    )
+    _pac_ln8 = "2.0794415416798357"
+    sql["ts_pac"] = with_views(
+        f"""
+        WITH rk AS (
+          SELECT channel, value,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS rn
+          FROM samples
+        ),
+        tabs AS (SELECT {_ps_cos_lit} AS cos_t, {_ps_sin_lit} AS sin_t),
+        ex AS (
+          SELECT channel, rn // {PS_WINDOW} AS win, rn % {PS_WINDOW} AS pos,
+                 value, UNNEST([{PAC_SLOW}, {PAC_FAST}]) AS bin
+          FROM rk
+        ),
+        ct AS (
+          SELECT e.channel, e.win, CAST(e.bin AS BIGINT) AS bin,
+                 CAST(round(e.value * t.cos_t[(e.bin - 1) * {PS_WINDOW} + e.pos + 1] * {PS_QUANT}) AS BIGINT) AS ci,
+                 CAST(round(e.value * t.sin_t[(e.bin - 1) * {PS_WINDOW} + e.pos + 1] * {PS_QUANT}) AS BIGINT) AS si
+          FROM ex e CROSS JOIN tabs t
+        ),
+        agg AS (
+          SELECT channel, win, bin, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(ci) AS BIGINT) AS sc, CAST(SUM(si) AS BIGINT) AS ss
+          FROM ct GROUP BY channel, win, bin
+        ),
+        pv AS (
+          SELECT channel, win,
+                 MAX(CASE WHEN bin = {PAC_SLOW} THEN sc END) AS re,
+                 MAX(CASE WHEN bin = {PAC_SLOW} THEN ss END) AS im,
+                 MAX(CASE WHEN bin = {PAC_FAST} THEN sc END) AS fc,
+                 MAX(CASE WHEN bin = {PAC_FAST} THEN ss END) AS fs
+          FROM agg WHERE n = {PS_WINDOW} GROUP BY channel, win
+        ),
+        oc AS (
+          SELECT channel,
+                 CAST(CASE WHEN im < 0 THEN 4 ELSE 0 END
+                    + CASE WHEN re < 0 THEN 2 ELSE 0 END
+                    + CASE WHEN abs(im) > abs(re) THEN 1 ELSE 0 END
+                   AS BIGINT) AS octant,
+                 CAST(round({_pac_pw}) AS BIGINT) AS aq
+          FROM pv
+        ),
+        om AS (
+          SELECT channel, octant, CAST(COUNT(*) AS BIGINT) AS nw,
+                 CAST(SUM(aq) AS BIGINT) AS mq
+          FROM oc WHERE aq > 0 GROUP BY channel, octant
+        ),
+        gg AS (
+          SELECT channel, CAST(SUM(nw) AS BIGINT) AS n_windows_used,
+                 CAST(COUNT(*) AS BIGINT) AS n_octants_nz,
+                 CAST(SUM(mq) AS BIGINT) AS total_aq
+          FROM om GROUP BY channel
+        ),
+        h AS (
+          SELECT o.channel,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list((CAST(o.mq AS DOUBLE) / CAST(g.total_aq AS DOUBLE))
+                        * round(ln(CAST(o.mq AS DOUBLE)
+                                   / CAST(g.total_aq AS DOUBLE)), 9)
+                        ORDER BY o.octant)), (a, b) -> a + b) AS acc
+          FROM om o JOIN gg g USING (channel)
+          GROUP BY o.channel
+        )
+        SELECT g.channel, g.n_windows_used, g.n_octants_nz, g.total_aq,
+               round(({_pac_ln8} - -h.acc) / {_pac_ln8}, 9) AS mi
+        FROM gg g JOIN h USING (channel)
+        """,
+        "samples",
+    )
 
     sql["ts_band_bursts"] = with_views(
         f"""

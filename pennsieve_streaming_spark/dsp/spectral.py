@@ -874,3 +874,107 @@ def band_bursts(
         .filter(F.col("n_windows") >= int(min_windows))
         .drop("grp")
     )
+
+
+def phase_amplitude_coupling(
+    samples: DataFrame,
+    slow_bin: int,
+    fast_bin: int,
+    window_samples: int,
+    quant: int = 10**6,
+) -> DataFrame:
+    """Phase-amplitude coupling per channel: the Tort 2010 modulation
+    index with the phase axis binned into OCTANTS —
+
+        MI = (ln 8 − H(p)) / ln 8,
+        p_o = Σ_{w: octant(w)=o} A_fast(w) / Σ_w A_fast(w)
+
+    where each window contributes its slow-bin DFT phase (which
+    octant the phasor points into) and its fast-bin power. MI near 0
+    = the fast amplitude ignores the slow phase; MI near 1 = the
+    fast rhythm fires only at one slow phase — the nested-oscillation
+    signature (theta-gamma coupling and sleep-spindle/slow-wave
+    nesting are the canonical EEG uses).
+
+    The octant trick is what makes this exact: the conventional
+    formulation bins atan2(im, re) — a libm call with no cross-engine
+    rounding guarantee — while the octant index
+
+        4·[im < 0] + 2·[re < 0] + [|im| > |re|]
+
+    is pure integer comparisons on the exact BIGINT DFT sums. Masses
+    are exact integer sums of quantized fast powers; H folds the ≤8
+    octant terms in fixed octant order (the spectral_entropy
+    sequential-fold class, 9-dp ln terms); MI is one fixed expression.
+    Windows whose fast power rounds to zero carry no mass (and drop
+    from n_windows_used identically in both engines).
+
+    Output: (channel, n_windows_used, n_octants_nz, total_aq, mi).
+
+    Scale: rides dft_sums' parallelism; one conditional-agg pivot per
+    (channel, window), a groupBy to |channels|×8 rows, a |channels|-row
+    finish.
+    """
+    ws = int(window_samples)
+    q = int(quant)
+    sb, fb = int(slow_bin), int(fast_bin)
+    sums = dft_sums(samples, max(sb, fb), window_samples, quant).filter(
+        F.col("n") == ws
+    )
+    pv = (
+        sums.filter(F.col("bin").isin([sb, fb]))
+        .groupBy("channel", "win")
+        .agg(
+            F.max(F.when(F.col("bin") == sb, F.col("sc")))
+            .cast("long")
+            .alias("re"),
+            F.max(F.when(F.col("bin") == sb, F.col("ss")))
+            .cast("long")
+            .alias("im"),
+            F.max(F.when(F.col("bin") == fb, F.col("sc")))
+            .cast("long")
+            .alias("fc"),
+            F.max(F.when(F.col("bin") == fb, F.col("ss")))
+            .cast("long")
+            .alias("fs"),
+        )
+    )
+    power = (
+        f"(CAST(fc AS DOUBLE) / {q}) * (CAST(fc AS DOUBLE) / {q}) "
+        f"+ (CAST(fs AS DOUBLE) / {q}) * (CAST(fs AS DOUBLE) / {q})"
+    )
+    octs = pv.select(
+        "channel",
+        F.expr(
+            "CASE WHEN im < 0 THEN 4 ELSE 0 END "
+            "+ CASE WHEN re < 0 THEN 2 ELSE 0 END "
+            "+ CASE WHEN abs(im) > abs(re) THEN 1 ELSE 0 END"
+        ).cast("long").alias("octant"),
+        F.expr(f"CAST(round({power}) AS BIGINT)").alias("aq"),
+    ).filter(F.col("aq") > 0)
+    om = octs.groupBy("channel", "octant").agg(
+        F.count(F.lit(1)).cast("long").alias("nw"),
+        F.sum("aq").cast("long").alias("mq"),
+    )
+    g = om.groupBy("channel").agg(
+        F.sum("nw").cast("long").alias("n_windows_used"),
+        F.count(F.lit(1)).cast("long").alias("n_octants_nz"),
+        F.sum("mq").cast("long").alias("total_aq"),
+        F.array_sort(F.collect_list(F.struct("octant", "mq"))).alias("_om"),
+    )
+    fold = F.expr(
+        "aggregate(_om, CAST(0 AS DOUBLE), (acc, s) -> acc + "
+        "(CAST(s.mq AS DOUBLE) / CAST(total_aq AS DOUBLE)) * "
+        "round(ln(CAST(s.mq AS DOUBLE) / CAST(total_aq AS DOUBLE)), 9))"
+    )
+    ln8 = "2.0794415416798357"  # ln(8), shared literal
+    return (
+        g.withColumn("_h", -fold)
+        .select(
+            "channel",
+            "n_windows_used",
+            "n_octants_nz",
+            "total_aq",
+            F.expr(f"round(({ln8} - _h) / {ln8}, 9)").alias("mi"),
+        )
+    )

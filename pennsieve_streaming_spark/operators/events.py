@@ -404,6 +404,11 @@ def dispersion_index(events: DataFrame, bucket_us: int) -> DataFrame:
     Output: (channel, n_buckets, total, sum_sq, dispersion);
     channels with zero events in span drop out (S=0 undefined).
 
+    Overflow envelope: Σn² ≤ S², so a single channel must stay under
+    ~3e9 events for the BIGINT sum (the worst case is all events in
+    one bucket) — widen sum_sq to DECIMAL(38,0)/HUGEINT (the
+    power_spectrum pattern) for corpora beyond that.
+
     Plan: one map + two partial-agg groupBys down to |channels| rows.
     """
     b = int(bucket_us)

@@ -699,3 +699,38 @@ def test_band_bursts_detects_sustained_tone_runs(spark):
     b = out[0]
     assert b.channel == "hot" and b.start_win == 4 and b.end_win == 6
     assert b.n_windows == 3 and b.max_pq > 16 * b.med_pq
+
+
+def test_pac_detects_planted_nesting(spark):
+    """A channel whose fast-bin amplitude fires only when the slow
+    phase points into one octant has MI near 1; a channel whose fast
+    amplitude is constant across slow phases has MI near 0."""
+    import math
+
+    from pennsieve_streaming_spark.dsp.spectral import (
+        phase_amplitude_coupling,
+    )
+
+    ws, nwin = 32, 32
+    rows = []
+    for wn in range(nwin):
+        # slow phase rotates across windows: 16 even offsets cover
+        # every octant twice
+        ph = 2 * math.pi * (wn % 16) / 16
+        # coupled: fast tone only at one slow phase
+        gate = 1.0 if (wn % 16) == 0 else 0.01
+        for p in range(ws):
+            slow = 100.0 * math.sin(2 * math.pi * p / ws + ph)
+            fast_c = gate * 50.0 * math.sin(2 * math.pi * 8 * p / ws)
+            fast_u = 50.0 * math.sin(2 * math.pi * 8 * p / ws)
+            rows.append(("coupled", wn * ws + p, slow + fast_c))
+            rows.append(("uniform", wn * ws + p, slow + fast_u))
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = {
+        r.channel: r
+        for r in phase_amplitude_coupling(df, 1, 8, ws).collect()
+    }
+    assert out["coupled"].mi > 0.5
+    assert out["uniform"].mi < 0.05
+    assert out["uniform"].n_octants_nz == 8
+    assert out["coupled"].mi > 10 * out["uniform"].mi
