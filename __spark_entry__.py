@@ -1272,6 +1272,16 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+def q_gif_roundtrip(spark, sf_dir):
+    """GIF LZW codec proven through the driver gate: encode the
+    synthetic luminance field, decode it back, emit exact pixel sums
+    — the oracle recomputes them from the field's closed form, so any
+    codec bit error is a gate mismatch."""
+    from pennsieve_streaming_spark.llm.gif import gif_roundtrip_stats
+
+    return gif_roundtrip_stats(_docs(spark, sf_dir))
+
+
 def q_image_quality(spark, sf_dir):
     """Per-media quality metrics: RMS contrast² and variance of
     Laplacian (the autofocus/blur score) — exact integer sums over
@@ -3352,7 +3362,7 @@ _R6_FRONT = [
     "mm_image_quality", "ts_seasonal_decompose", "emb_truncation_recall",
     "doc_novelty", "stream_histogram", "emb_silhouette", "ts_harmonics",
     "ev_dispersion", "ts_band_bursts", "ts_hjorth", "ev_interarrival_ks",
-    "ts_pac",
+    "ts_pac", "mm_gif_roundtrip",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3421,6 +3431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_ab_conversion": q_ab_conversion,
         "mm_image_phash": q_image_phash,
         "mm_image_quality": q_image_quality,
+        "mm_gif_roundtrip": q_gif_roundtrip,
         "ts_granger_screen": q_granger_screen,
         "ts_spectral_entropy": q_spectral_entropy,
         "doc_bpe_fertility": q_bpe_fertility,
@@ -8976,6 +8987,24 @@ def oracle_sql() -> dict[str, str]:
     sql["mm_image_dhash"] = f"""
         WITH {_dhash_cte}
         SELECT media_id, dhash FROM dh
+        """
+
+    sql["mm_gif_roundtrip"] = f"""
+        WITH px AS (
+          SELECT doc_id,
+                 (doc_id * {_IH_A} + i * {_IH_B} + j * {_IH_C}) % {_IH_M}
+                   AS v
+          FROM documents,
+               UNNEST(generate_series(0, {_IH_H - 1})) AS ti(i),
+               UNNEST(generate_series(0, {_IH_W - 1})) AS tj(j)
+        )
+        SELECT doc_id AS media_id,
+               CAST({_IH_W} AS BIGINT) AS width,
+               CAST({_IH_H} AS BIGINT) AS height,
+               CAST(1 AS BIGINT) AS n_frames,
+               CAST(SUM(v) AS BIGINT) AS sum_gq,
+               CAST(SUM(v * v) AS BIGINT) AS sum_gq2
+        FROM px GROUP BY doc_id
         """
 
     _ihg = f"(doc_id * {_IH_A} + {{i}} * {_IH_B} + {{j}} * {_IH_C}) % {_IH_M}"

@@ -251,3 +251,45 @@ def encode_gif(img: np.ndarray) -> bytes:
         blocks += chunk
     blocks.append(0)
     return head + gct + desc + bytes(blocks) + b"\x3b"
+
+
+def gif_roundtrip_stats(documents):
+    """(doc_id) → per-media stats of the DECODED pixels after a full
+    GIF encode→decode round trip of the synthetic luminance field —
+    the oracle-gated proof of the LZW codec itself: the DuckDB oracle
+    computes the same sums from the field's closed form, so any
+    encoder/decoder bit error surfaces as a driver-gate mismatch
+    (the dhash_synthetic plumbing contract applied to the codec).
+
+    Output: (media_id, width, height, n_frames, sum_gq, sum_gq2) —
+    dimensions from the decoded frame, exact integer pixel sums.
+    """
+    import pandas as pd
+
+    from pennsieve_streaming_spark.llm.imagehash import synthetic_gray
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {
+                "media_id": [], "width": [], "height": [],
+                "n_frames": [], "sum_gq": [], "sum_gq2": [],
+            }
+            for d in pdf["doc_id"]:
+                img = synthetic_gray(int(d)).astype(np.uint8)
+                frame, nf = decode_gif(encode_gif(img))
+                g = frame[:, :, 0].astype(np.int64)  # grayscale GCT
+                out["media_id"].append(int(d))
+                out["height"].append(int(frame.shape[0]))
+                out["width"].append(int(frame.shape[1]))
+                out["n_frames"].append(int(nf))
+                out["sum_gq"].append(int(g.sum()))
+                out["sum_gq2"].append(int((g * g).sum()))
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id").mapInPandas(
+        run,
+        "media_id long, width long, height long, n_frames long, "
+        "sum_gq long, sum_gq2 long",
+    )
