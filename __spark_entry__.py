@@ -3156,6 +3156,18 @@ def q_sax_motifs(spark, sf_dir):
     )
 
 
+def q_sax_discords(spark, sf_dir):
+    """SAX discord discovery (HOT SAX rarity heuristic): the windows
+    whose SAX word is among the channel's 3 rarest — anomaly
+    candidates ranked count ASC, word ASC over the bounded word
+    table."""
+    from pennsieve_streaming_spark.operators.sax import sax_discords
+
+    return sax_discords(
+        TBL.samples_view(spark, sf_dir), SAX_WINDOW, SAX_SEGMENTS
+    )
+
+
 def q_welch_psd(spark, sf_dir):
     """Welch PSD: cross-window average of the Goertzel periodograms
     over the bounded golden window (exact integer cross-window sum)."""
@@ -3363,6 +3375,8 @@ _R6_FRONT = [
     "doc_novelty", "stream_histogram", "emb_silhouette", "ts_harmonics",
     "ev_dispersion", "ts_band_bursts", "ts_hjorth", "ev_interarrival_ks",
     "ts_pac", "mm_gif_roundtrip",
+    # round-6d additions (fourth session — never driver-sampled).
+    "ts_sax_discords",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3419,6 +3433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
         "ts_sax_motifs": q_sax_motifs,
+        "ts_sax_discords": q_sax_discords,
         "mm_audio_match_pairs": q_audio_match_pairs,
         "ts_coherence": q_coherence,
         "ts_plv": q_plv,
@@ -9663,6 +9678,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(motif_count AS DOUBLE) / n_windows AS share,
                CAST(rank AS BIGINT) AS rank
         FROM r WHERE rank <= 3
+        """
+
+    sql["ts_sax_discords"] = f"""
+        WITH w AS ({sql["ts_sax_words"]}),
+        c AS (
+          SELECT channel, sax_word, CAST(COUNT(*) AS BIGINT) AS word_count
+          FROM w GROUP BY channel, sax_word
+        ),
+        r AS (
+          SELECT channel, sax_word, word_count,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY word_count ASC, sax_word) AS BIGINT) AS rank
+          FROM c
+        )
+        SELECT w.channel, w.win, w.sax_word, r.word_count, r.rank
+        FROM w JOIN r ON w.channel = r.channel AND w.sax_word = r.sax_word
+        WHERE r.rank <= 3
         """
 
     sql["ts_welch_psd"] = f"""

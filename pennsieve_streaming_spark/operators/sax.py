@@ -140,6 +140,50 @@ def sax_words(
     return worded.select("channel", "win", "mean", "std", "sax_word")
 
 
+def sax_discords(
+    samples: DataFrame,
+    window_samples: int = 64,
+    n_segments: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Discord discovery over the SAX symbolization — the HOT SAX
+    heuristic (Keogh, Lin & Fu 2005): windows whose SAX word is among
+    the channel's ``k`` RAREST words are the anomaly candidates (the
+    magic-word ordering HOT SAX uses to prioritize its search). The
+    motif query's mirror image: rarity instead of support.
+
+    Deterministic ranking: word count ASC, then word ASC (a total
+    order over the per-channel word table); every window carrying a
+    top-k-rare word is emitted, so ties at the same count surface all
+    their instances.
+
+    Output: (channel, win, sax_word, word_count, rank) — ``rank`` is
+    the rarity rank of the word (1 = rarest), ``word_count`` its
+    channel support.
+
+    Plan / scale: rides :func:`sax_words` (one per-channel window
+    pass), collapses to the bounded |channels|×|words| table for the
+    rarity rank (alphabet^segments caps it), then one broadcast-size
+    join back to the word table — the heavy window table never passes
+    through a rank window.
+    """
+    w = sax_words(samples, window_samples, n_segments)
+    c = w.groupBy("channel", "sax_word").agg(
+        F.count(F.lit(1)).cast("long").alias("word_count")
+    )
+    wr = Window.partitionBy("channel").orderBy(
+        F.asc("word_count"), F.asc("sax_word")
+    )
+    rare = (
+        c.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= int(k))
+    )
+    return (
+        w.join(F.broadcast(rare), ["channel", "sax_word"])
+        .select("channel", "win", "sax_word", "word_count", "rank")
+    )
+
+
 def sax_motifs(
     samples: DataFrame,
     window_samples: int = 64,

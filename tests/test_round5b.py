@@ -89,6 +89,40 @@ def test_sax_ragged_tail_dropped(spark):
     assert len(out) == 1 and out[0].win == 0
 
 
+def test_sax_discords_surface_rare_shape(spark):
+    from pennsieve_streaming_spark.operators.sax import sax_discords
+
+    # 4 flat windows ('cccccccc') + 1 step window ('aaaadddd'): the
+    # step is the rarest word -> rank 1; flat is rank 2.
+    rows = [("c", t, 1.0) for t in range(256)]
+    rows += [
+        ("c", 256 + t, -1.0 if t < 32 else 1.0) for t in range(64)
+    ]
+    out = sax_discords(_samples(spark, rows), 64, 8, k=1).collect()
+    assert len(out) == 1
+    assert (out[0].win, out[0].sax_word, out[0].word_count, out[0].rank) == (
+        4, "aaaadddd", 1, 1
+    )
+
+
+def test_sax_discords_ties_emit_all_instances(spark):
+    from pennsieve_streaming_spark.operators.sax import sax_discords
+
+    # two words, each supported twice: tie at count 2 is broken word
+    # ASC, and BOTH windows of the rank-1 word are emitted.
+    rows = []
+    for w in range(2):  # two flat windows
+        rows += [("c", w * 64 + t, 1.0) for t in range(64)]
+    for w in range(2, 4):  # two step windows
+        rows += [
+            ("c", w * 64 + t, -1.0 if t < 32 else 1.0) for t in range(64)
+        ]
+    out = sax_discords(_samples(spark, rows), 64, 8, k=1).collect()
+    assert sorted((r.win, r.sax_word, r.rank) for r in out) == [
+        (2, "aaaadddd", 1), (3, "aaaadddd", 1)
+    ]
+
+
 # --- Welch -------------------------------------------------------------------
 
 def test_welch_psd_averages_window_powers(spark):
