@@ -2926,6 +2926,46 @@ def q_hjorth(spark, sf_dir):
 
 
 SE_WINDOW, SE_M, SE_RFRAC, SE_QUANT = 128, 2, 0.2, 100
+BS_MIN_RUN = 4
+
+
+def q_line_length(spark, sf_dir):
+    """Line length (coastline) + median-crossing rate per (channel,
+    128-sample window) — the cheapest EEG seizure-screen feature pair:
+    exact BIGINT Σ|Δxq| and exact integer strict sign flips about the
+    channel-median order statistic."""
+    from pennsieve_streaming_spark.operators.stats import (
+        line_length_features,
+    )
+
+    return line_length_features(
+        TBL.samples_view(spark, sf_dir), SE_WINDOW, SE_QUANT
+    )
+
+
+def q_tkeo_energy(spark, sf_dir):
+    """Mean Teager-Kaiser energy per (channel, 128-sample window) —
+    the nonlinear energy operator ψ = x² − x₋·x₊, the classic
+    spike-detection signal; exact BIGINT per-window sums, mean as
+    BIGINT milli-units (the hjorth activity magnitude rule)."""
+    from pennsieve_streaming_spark.operators.stats import tkeo_energy
+
+    return tkeo_energy(TBL.samples_view(spark, sf_dir), SE_WINDOW, SE_QUANT)
+
+
+def q_burst_suppression(spark, sf_dir):
+    """Burst-suppression ratio per (channel, 128-sample window): the
+    anesthesia-EEG monitor metric — fraction of samples inside runs of
+    ≥4 consecutive below-half-median amplitudes; all-integer
+    (order-stat threshold, gaps-and-islands runs), one fixed final
+    division."""
+    from pennsieve_streaming_spark.operators.stats import (
+        burst_suppression,
+    )
+
+    return burst_suppression(
+        TBL.samples_view(spark, sf_dir), SE_WINDOW, SE_QUANT, BS_MIN_RUN
+    )
 
 
 def q_sample_entropy(spark, sf_dir):
@@ -3376,7 +3416,8 @@ _R6_FRONT = [
     "ev_dispersion", "ts_band_bursts", "ts_hjorth", "ev_interarrival_ks",
     "ts_pac", "mm_gif_roundtrip",
     # round-6d additions (fourth session — never driver-sampled).
-    "ts_sax_discords",
+    "ts_sax_discords", "ts_line_length", "ts_tkeo_energy",
+    "ts_burst_suppression",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3442,6 +3483,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_seasonal_decompose": q_seasonal_decompose,
         "ts_sample_entropy": q_sample_entropy,
         "ts_hjorth": q_hjorth,
+        "ts_line_length": q_line_length,
+        "ts_tkeo_energy": q_tkeo_energy,
+        "ts_burst_suppression": q_burst_suppression,
         "ev_kleinberg_bursts": q_kleinberg_bursts,
         "ev_ab_conversion": q_ab_conversion,
         "mm_image_phash": q_image_phash,
@@ -6984,6 +7028,141 @@ def oracle_sql() -> dict[str, str]:
                  round(sqrt({_hj_v2} / {_hj_v1})
                        / sqrt({_hj_v1} / {_hj_v0}), 9) END AS complexity
         FROM g
+        """,
+        "samples",
+    )
+
+    sql["ts_line_length"] = with_views(
+        f"""
+        WITH rk AS (
+          SELECT channel, ts, value,
+                 CAST(round(value * {SE_QUANT}) AS BIGINT) AS xq,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS rn
+          FROM samples
+        ),
+        cnt AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n FROM rk
+          GROUP BY channel
+        ),
+        medr AS (
+          SELECT channel, xq,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY xq, ts, value) AS ar
+          FROM rk
+        ),
+        med AS (
+          SELECT m.channel, m.xq AS med_q
+          FROM medr m JOIN cnt c ON m.channel = c.channel
+          WHERE m.ar = (c.n + 1) // 2
+        ),
+        t AS (
+          SELECT r.channel, r.rn // {SE_WINDOW} AS win, r.xq, m.med_q,
+                 LAG(r.xq) OVER (PARTITION BY r.channel,
+                     r.rn // {SE_WINDOW} ORDER BY r.rn) AS prev
+          FROM rk r JOIN med m ON r.channel = m.channel
+        ),
+        g AS (
+          SELECT channel, CAST(win AS BIGINT) AS win,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COALESCE(SUM(ABS(xq - prev)), 0) AS BIGINT) AS ll_q,
+                 CAST(COALESCE(SUM(CASE WHEN (prev - med_q) * (xq - med_q)
+                     < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS crossings
+          FROM t GROUP BY channel, win
+          HAVING COUNT(*) = {SE_WINDOW}
+        )
+        SELECT channel, win, n, ll_q,
+               CAST(ll_q AS DOUBLE) / {SE_QUANT} AS line_length,
+               crossings,
+               CAST(crossings AS DOUBLE) / (n - 1) AS zcr
+        FROM g
+        """,
+        "samples",
+    )
+
+    sql["ts_tkeo_energy"] = with_views(
+        f"""
+        WITH rk AS (
+          SELECT channel, ts, value,
+                 CAST(round(value * {SE_QUANT}) AS BIGINT) AS xq,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS rn
+          FROM samples
+        ),
+        t AS (
+          SELECT channel, rn // {SE_WINDOW} AS win, xq,
+                 xq * xq - LAG(xq) OVER w * LEAD(xq) OVER w AS psi
+          FROM rk
+          WINDOW w AS (PARTITION BY channel, rn // {SE_WINDOW}
+                       ORDER BY rn)
+        ),
+        g AS (
+          SELECT channel, CAST(win AS BIGINT) AS win,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(psi) AS BIGINT) AS n_valid,
+                 CAST(COALESCE(SUM(psi), 0) AS BIGINT) AS tkeo_sum_q
+          FROM t GROUP BY channel, win
+          HAVING COUNT(*) = {SE_WINDOW}
+        )
+        SELECT channel, win, n_valid, tkeo_sum_q,
+               CAST(round(CAST(tkeo_sum_q AS DOUBLE)
+                    / ({SE_QUANT}.0 * {SE_QUANT}.0) / n_valid * 1000)
+                    AS BIGINT) AS tkeo_mq
+        FROM g
+        """,
+        "samples",
+    )
+
+    sql["ts_burst_suppression"] = with_views(
+        f"""
+        WITH rk AS (
+          SELECT channel, ts, value,
+                 abs(CAST(round(value * {SE_QUANT}) AS BIGINT)) AS aq,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS rn
+          FROM samples
+        ),
+        cnt AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n FROM rk
+          GROUP BY channel
+        ),
+        medr AS (
+          SELECT channel, aq,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY aq, ts, value) AS ar
+          FROM rk
+        ),
+        med AS (
+          SELECT m.channel, m.aq AS med_q
+          FROM medr m JOIN cnt c ON m.channel = c.channel
+          WHERE m.ar = (c.n + 1) // 2
+        ),
+        flg AS (
+          SELECT r.channel, r.rn, (2 * r.aq < m.med_q) AS supp
+          FROM rk r JOIN med m ON r.channel = m.channel
+        ),
+        grp AS (
+          SELECT channel, rn, supp,
+                 CASE WHEN supp THEN rn - ROW_NUMBER() OVER (
+                     PARTITION BY channel, supp ORDER BY rn) END AS g
+          FROM flg
+        ),
+        runs AS (
+          SELECT channel, g, COUNT(*) AS run_len
+          FROM grp WHERE supp GROUP BY channel, g
+        ),
+        mk AS (
+          SELECT gr.channel, gr.rn,
+                 CASE WHEN gr.supp AND r.run_len >= {BS_MIN_RUN}
+                      THEN 1 ELSE 0 END AS in_run
+          FROM grp gr LEFT JOIN runs r
+            ON gr.channel = r.channel AND gr.g = r.g
+        )
+        SELECT channel, CAST(rn // {SE_WINDOW} AS BIGINT) AS win,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(in_run) AS BIGINT) AS suppressed_n,
+               CAST(SUM(in_run) AS DOUBLE) / COUNT(*) AS bsr
+        FROM mk GROUP BY channel, rn // {SE_WINDOW}
         """,
         "samples",
     )

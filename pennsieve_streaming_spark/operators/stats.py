@@ -1709,3 +1709,252 @@ def hjorth_parameters(
             f"round(sqrt({v2} / {v1}) / sqrt({v1} / {v0}), 9) END"
         ).alias("complexity"),
     )
+
+
+def line_length_features(
+    samples: DataFrame, window_samples: int = 128, quant: int = 100
+) -> DataFrame:
+    """Line length + zero-crossing rate per (channel, window) — the
+    two cheapest and most-used EEG seizure-screen features (line
+    length, a.k.a. "coastline", is Esteller et al. 2001's accumulated
+    |Δx|; ZCR is the classic dominant-frequency proxy). The reference
+    serves raw/downsampled signal only (`TimeSeriesQueryService`) and
+    leaves feature extraction to clients; at 100 TB these run where
+    the data lives.
+
+    Determinism: quantized values ⇒ the per-window line length is an
+    exact BIGINT sum of |Δxq| (order-free); crossings are counted
+    about the CHANNEL MEDIAN (the standard centering for signals with
+    DC offset — a raw all-positive signal has zero literal
+    zero-crossings), where the median is the k-th-smallest xq order
+    statistic (k = ⌊(n+1)/2⌋ — one exact integer, no even-count
+    averaging) and a crossing is the strict integer sign flip
+    (xq_prev − med)·(xq − med) < 0 (touching the median never
+    counts); the float columns are single fixed divisions. Envelope:
+    the crossing product (xq−med)·(xq_prev−med) binds — safe to
+    |value| ≈ 1.5e7 at quant=100 (the line-length sum is safe far
+    beyond that).
+
+    Output: (channel, win, n, ll_q, line_length, crossings, zcr);
+    ragged tail windows are dropped (the hjorth rule).
+
+    Plan: two per-channel window passes (position rank; median order
+    statistic over a |channels|-row broadcast) + one in-window lag +
+    one partial-agg groupBy to |channels|×|windows| rows — the
+    hjorth_parameters shape plus the burst_suppression threshold
+    table.
+    """
+    ws = int(window_samples)
+    q = int(quant)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    ranked = (
+        samples.select(
+            "channel",
+            "ts",
+            "value",
+            (F.row_number().over(w) - 1).alias("_rn"),
+            F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+        )
+        .withColumn("win", (F.col("_rn") / ws).cast("long"))
+        .withColumn("pos", (F.col("_rn") % ws).cast("long"))
+    )
+    aw = Window.partitionBy("channel").orderBy("xq", "ts", "value")
+    cnt = ranked.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    med = (
+        ranked.withColumn("_ar", F.row_number().over(aw).cast("long"))
+        .join(F.broadcast(cnt), "channel")
+        .filter(F.expr("_ar = (_n + 1) div 2"))
+        .select("channel", F.col("xq").alias("med_q"))
+    )
+    iw = Window.partitionBy("channel", "win").orderBy("pos")
+    d = (
+        ranked.join(F.broadcast(med), "channel")
+        .withColumn("_prev", F.lag("xq").over(iw))
+    )
+    z = F.lit(0).cast("long")
+    g = (
+        d.groupBy("channel", "win")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum(F.abs(F.col("xq") - F.col("_prev"))), z)
+            .cast("long")
+            .alias("ll_q"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("_prev") - F.col("med_q"))
+                        * (F.col("xq") - F.col("med_q"))
+                        < 0,
+                        1,
+                    ).otherwise(0)
+                ),
+                z,
+            )
+            .cast("long")
+            .alias("crossings"),
+        )
+        .filter(F.col("n") == ws)
+    )
+    return g.select(
+        "channel",
+        "win",
+        "n",
+        "ll_q",
+        F.expr(f"CAST(ll_q AS DOUBLE) / {q}").alias("line_length"),
+        "crossings",
+        F.expr("CAST(crossings AS DOUBLE) / (n - 1)").alias("zcr"),
+    )
+
+
+def tkeo_energy(
+    samples: DataFrame, window_samples: int = 128, quant: int = 100
+) -> DataFrame:
+    """Mean Teager-Kaiser energy per (channel, window) — the
+    nonlinear energy operator ψ[x]ₙ = xₙ² − xₙ₋₁·xₙ₊₁ (Kaiser 1990),
+    the standard EEG/EMG spike-detection preprocessor: unlike plain
+    power it weights amplitude AND instantaneous frequency, so brief
+    high-frequency transients stand out. Complements
+    `operators/spikes.py` (which extracts waveforms around
+    already-detected events) by computing the detection signal itself.
+
+    Determinism: ψ on quantized values is exact BIGINT per position
+    (xq² − prev·next), the window sum is an exact order-free BIGINT
+    sum over the ws−2 interior positions, and the mean ships as
+    BIGINT milli-units of value² (the hjorth activity / ar2 sigma2
+    magnitude rule — value²-scale floats don't round stably at 9 dp).
+    Envelope: |ψ| ≤ 2·max|xq|² ⇒ sums safe to |value| ≈ 2e7 at
+    quant=100 — wider signals need a smaller quant.
+
+    Output: (channel, win, n_valid, tkeo_sum_q, tkeo_mq).
+
+    Plan: per-channel ranking window + lag/lead on the in-window
+    partitioning + one partial-agg groupBy — hjorth's shape.
+    """
+    ws = int(window_samples)
+    q = int(quant)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    ranked = (
+        samples.select(
+            "channel",
+            "ts",
+            "value",
+            (F.row_number().over(w) - 1).alias("_rn"),
+            F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+        )
+        .withColumn("win", (F.col("_rn") / ws).cast("long"))
+        .withColumn("pos", (F.col("_rn") % ws).cast("long"))
+    )
+    iw = Window.partitionBy("channel", "win").orderBy("pos")
+    d = ranked.withColumn(
+        "_psi",
+        F.col("xq") * F.col("xq")
+        - F.lag("xq").over(iw) * F.lead("xq").over(iw),
+    )
+    g = (
+        ranked.groupBy("channel", "win")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") == ws)
+        .drop("n")
+        .join(
+            d.groupBy("channel", "win").agg(
+                F.count("_psi").cast("long").alias("n_valid"),
+                F.coalesce(F.sum("_psi"), F.lit(0).cast("long"))
+                .cast("long")
+                .alias("tkeo_sum_q"),
+            ),
+            ["channel", "win"],
+        )
+    )
+    return g.select(
+        "channel",
+        "win",
+        "n_valid",
+        "tkeo_sum_q",
+        F.expr(
+            f"CAST(round(CAST(tkeo_sum_q AS DOUBLE) "
+            f"/ ({q}.0 * {q}.0) / n_valid * 1000) AS BIGINT)"
+        ).alias("tkeo_mq"),
+    )
+
+
+def burst_suppression(
+    samples: DataFrame,
+    window_samples: int = 128,
+    quant: int = 100,
+    min_run: int = 4,
+) -> DataFrame:
+    """Burst-suppression ratio per (channel, window) — the anesthesia
+    /coma EEG monitor metric: the fraction of each window's samples
+    that lie inside a SUPPRESSION run (≥ ``min_run`` consecutive
+    samples with amplitude below half the channel's median |value|).
+    Isolated low-amplitude samples are not suppression; the run-length
+    requirement is what distinguishes BSR from a plain histogram.
+
+    Determinism — all-integer end to end: the threshold is an order
+    statistic (k-th smallest |xq|, k = ⌊(n+1)/2⌋ — a single exact
+    integer both engines agree on, no even-count averaging), the
+    "below half" test is the integer comparison 2·|xq| < med_q, runs
+    come from gaps-and-islands arithmetic on exact row numbers, and
+    run lengths / counts are exact integer aggregates. The only float
+    is the final fixed division.
+
+    Output: (channel, win, n, suppressed_n, bsr). All windows emit
+    (ragged tail included — suppression at the recording tail is
+    clinically the interesting part). Runs may cross window
+    boundaries; each window counts its own member samples.
+
+    Plan: two per-channel window passes (global rank; islands grouping
+    over the suppressed subset) + two partial-agg groupBys. The
+    per-channel threshold table is |channels| rows, broadcast back.
+    """
+    ws = int(window_samples)
+    q = int(quant)
+    mr = int(min_run)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    ranked = samples.select(
+        "channel",
+        "ts",
+        "value",
+        (F.row_number().over(w) - 1).alias("_rn"),
+        F.expr(f"abs(CAST(round(value * {q}) AS BIGINT))").alias("aq"),
+    )
+    aw = Window.partitionBy("channel").orderBy("aq", "ts", "value")
+    cnt = ranked.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    med = (
+        ranked.withColumn("_ar", F.row_number().over(aw).cast("long"))
+        .join(F.broadcast(cnt), "channel")
+        .filter(F.expr("_ar = (_n + 1) div 2"))
+        .select("channel", F.col("aq").alias("med_q"))
+    )
+    flg = ranked.join(F.broadcast(med), "channel").withColumn(
+        "_supp", F.expr("2 * aq < med_q")
+    )
+    sw = Window.partitionBy("channel", "_supp").orderBy("_rn")
+    grp = flg.withColumn(
+        "_grp",
+        F.when(F.col("_supp"), F.col("_rn") - F.row_number().over(sw)),
+    )
+    rw = Window.partitionBy("channel", "_grp")
+    marked = grp.withColumn(
+        "_in_run",
+        F.col("_supp") & (F.count(F.lit(1)).over(rw) >= mr),
+    )
+    g = marked.withColumn("win", (F.col("_rn") / ws).cast("long")).groupBy(
+        "channel", "win"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("_in_run").cast("long")).cast("long").alias(
+            "suppressed_n"
+        ),
+    )
+    return g.select(
+        "channel",
+        "win",
+        "n",
+        "suppressed_n",
+        F.expr("CAST(suppressed_n AS DOUBLE) / n").alias("bsr"),
+    )

@@ -1,0 +1,182 @@
+"""Unit goldens for the round-6d amplitude-domain EEG features:
+line length / median-crossing rate, Teager-Kaiser energy, and
+burst-suppression ratio."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _samples(spark, rows):
+    return spark.createDataFrame(rows, "channel string, ts long, value double")
+
+
+# --- line length + median crossings -----------------------------------------
+
+def test_line_length_golden(spark):
+    from pennsieve_streaming_spark.operators.stats import (
+        line_length_features,
+    )
+
+    # xq = [200, -100, 100, -200]; sorted [-200, -100, 100, 200],
+    # k = (4+1)//2 = 2 -> med_q = -100.
+    # ll_q = |−300| + |200| + |−300| = 800 -> line_length 8.0.
+    # (x−med) = [300, 0, 200, −100]: one strict sign flip (200·−100).
+    rows = [("c", 0, 2.0), ("c", 1, -1.0), ("c", 2, 1.0), ("c", 3, -2.0)]
+    out = line_length_features(_samples(spark, rows), 4, 100).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n, r.ll_q, r.line_length, r.crossings) == (4, 800, 8.0, 1)
+    assert abs(r.zcr - 1 / 3) < 1e-12
+
+
+def test_line_length_flat_signal_zero(spark):
+    from pennsieve_streaming_spark.operators.stats import (
+        line_length_features,
+    )
+
+    rows = [("c", t, 5.0) for t in range(8)]
+    out = line_length_features(_samples(spark, rows), 8, 100).collect()
+    assert len(out) == 1
+    assert (out[0].ll_q, out[0].crossings) == (0, 0)
+
+
+def test_line_length_ragged_tail_dropped(spark):
+    from pennsieve_streaming_spark.operators.stats import (
+        line_length_features,
+    )
+
+    rows = [("c", t, float(t)) for t in range(10)]  # 1 full + tail 2
+    out = line_length_features(_samples(spark, rows), 8, 100).collect()
+    assert [r.win for r in out] == [0]
+
+
+def test_line_length_median_centering_positive_signal(spark):
+    from pennsieve_streaming_spark.operators.stats import (
+        line_length_features,
+    )
+
+    # All-positive alternating signal: literal zero-crossings would be
+    # 0, but the median-centered count sees every flip about med.
+    # xq alternates 1000, 3000; med (k=4th of 8 sorted) = 1000 ->
+    # (x−med) alternates 0, 2000: products all 0 -> no strict flips.
+    # Shift one sample below: [10,30,10,30,5,30,10,30]
+    # sorted xq: [500,1000,1000,1000,3000,3000,3000,3000], k=4 ->
+    # med=1000; x-med: [0,2000,0,2000,-500,2000,0,2000] -> strict
+    # flips at (2000,-500) and (-500,2000) = 2 crossings.
+    vals = [10.0, 30.0, 10.0, 30.0, 5.0, 30.0, 10.0, 30.0]
+    rows = [("c", t, v) for t, v in enumerate(vals)]
+    out = line_length_features(_samples(spark, rows), 8, 100).collect()
+    assert out[0].crossings == 2
+
+
+# --- Teager-Kaiser energy ----------------------------------------------------
+
+def test_tkeo_constant_signal_zero(spark):
+    from pennsieve_streaming_spark.operators.stats import tkeo_energy
+
+    rows = [("c", t, 7.0) for t in range(8)]
+    out = tkeo_energy(_samples(spark, rows), 8, 100).collect()
+    assert len(out) == 1
+    assert (out[0].n_valid, out[0].tkeo_sum_q, out[0].tkeo_mq) == (6, 0, 0)
+
+
+def test_tkeo_linear_ramp_unit_energy(spark):
+    from pennsieve_streaming_spark.operators.stats import tkeo_energy
+
+    # x_n = n: psi = n² − (n−1)(n+1) = 1 per interior sample, scaled
+    # by quant² -> mean TKEO = 1.0 -> 1000 milli-units exactly.
+    rows = [("c", t, float(t)) for t in range(16)]
+    out = tkeo_energy(_samples(spark, rows), 16, 100).collect()
+    assert len(out) == 1
+    assert (out[0].n_valid, out[0].tkeo_sum_q, out[0].tkeo_mq) == (
+        14, 14 * 100 * 100, 1000,
+    )
+
+
+def test_tkeo_spike_dominates_power(spark):
+    from pennsieve_streaming_spark.operators.stats import tkeo_energy
+
+    # A single-sample spike on a flat background: TKEO flags the
+    # transient with energy ≈ spike² while plain variance dilutes it.
+    base = [1.0] * 16
+    base[8] = 50.0
+    rows = [("c", t, v) for t, v in enumerate(base)]
+    out = tkeo_energy(_samples(spark, rows), 16, 100).collect()
+    # psi at the spike = 50² − 1·1 = 2499 (quant²-scaled); the two
+    # neighbours contribute 1 − 1·50 = −49 each.
+    assert out[0].tkeo_sum_q == (2499 - 49 - 49) * 100 * 100
+
+
+def test_tkeo_ragged_tail_dropped(spark):
+    from pennsieve_streaming_spark.operators.stats import tkeo_energy
+
+    rows = [("c", t, float(t)) for t in range(20)]  # one full 16 + 4
+    out = tkeo_energy(_samples(spark, rows), 16, 100).collect()
+    assert [r.win for r in out] == [0]
+
+
+# --- burst suppression -------------------------------------------------------
+
+def test_burst_suppression_counts_runs_only(spark):
+    from pennsieve_streaming_spark.operators.stats import (
+        burst_suppression,
+    )
+
+    # 32 samples: high background 10.0 (aq=1000, med=1000), one run
+    # of 6 low samples (0.1 -> 2·10 < 1000 suppressed) and one
+    # isolated low sample. min_run=4: only the 6-run counts.
+    vals = [10.0] * 32
+    for t in range(8, 14):
+        vals[t] = 0.1
+    vals[20] = 0.1
+    rows = [("c", t, v) for t, v in enumerate(vals)]
+    out = {r.win: r for r in
+           burst_suppression(_samples(spark, rows), 16, 100, 4).collect()}
+    assert out[0].suppressed_n == 6 and out[0].n == 16
+    assert abs(out[0].bsr - 6 / 16) < 1e-12
+    assert out[1].suppressed_n == 0
+
+
+def test_burst_suppression_run_crosses_window_boundary(spark):
+    from pennsieve_streaming_spark.operators.stats import (
+        burst_suppression,
+    )
+
+    # Run of 6 straddling the window edge (positions 14..19 over
+    # ws=16): 2 samples land in win 0, 4 in win 1 — each window
+    # counts its own members of the same run.
+    vals = [10.0] * 32
+    for t in range(14, 20):
+        vals[t] = 0.1
+    rows = [("c", t, v) for t, v in enumerate(vals)]
+    out = {r.win: r for r in
+           burst_suppression(_samples(spark, rows), 16, 100, 4).collect()}
+    assert out[0].suppressed_n == 2
+    assert out[1].suppressed_n == 4
+
+
+def test_burst_suppression_short_runs_never_count(spark):
+    from pennsieve_streaming_spark.operators.stats import (
+        burst_suppression,
+    )
+
+    vals = [10.0] * 16
+    vals[3] = vals[4] = vals[5] = 0.1  # run of 3 < min_run 4
+    rows = [("c", t, v) for t, v in enumerate(vals)]
+    out = burst_suppression(_samples(spark, rows), 16, 100, 4).collect()
+    assert out[0].suppressed_n == 0 and out[0].bsr == 0.0
+
+
+def test_burst_suppression_tail_window_included(spark):
+    from pennsieve_streaming_spark.operators.stats import (
+        burst_suppression,
+    )
+
+    # 20 samples, ws=16: tail window of 4 IS emitted (suppression at
+    # the recording tail matters), fully suppressed.
+    vals = [10.0] * 16 + [0.1] * 4
+    rows = [("c", t, v) for t, v in enumerate(vals)]
+    out = {r.win: r for r in
+           burst_suppression(_samples(spark, rows), 16, 100, 4).collect()}
+    assert out[1].n == 4 and out[1].suppressed_n == 4 and out[1].bsr == 1.0
