@@ -1879,6 +1879,20 @@ def q_linear_attribution(spark, sf_dir):
     return linear_attribution(_user_events(spark, sf_dir), "purchase")
 
 
+def q_gini(spark, sf_dir):
+    """Gini coefficient of per-user activity per event type — the
+    power-user concentration number; within-type ranks via ONE
+    two-phase global rank + broadcast offsets (no single-task window),
+    DECIMAL(38,0) weighted sum, one fixed float finish."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        gini_concentration,
+    )
+
+    TBL.ensure_session_confs(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return gini_concentration(ev.select("event_type", "user_id"))
+
+
 def q_rfm_scores(spark, sf_dir):
     """RFM customer segmentation: per-user recency/frequency/monetary
     metrics bucketed into quintiles (1 = best) — NTILE semantics
@@ -3417,7 +3431,7 @@ _R6_FRONT = [
     "ts_pac", "mm_gif_roundtrip",
     # round-6d additions (fourth session — never driver-sampled).
     "ts_sax_discords", "ts_line_length", "ts_tkeo_energy",
-    "ts_burst_suppression",
+    "ts_burst_suppression", "ev_gini",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3470,6 +3484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_cusum_monitor": q_cusum_monitor,
         "stream_cusum": q_stream_cusum,
         "ev_rfm": q_rfm_scores,
+        "ev_gini": q_gini,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -5766,6 +5781,32 @@ def oracle_sql() -> dict[str, str]:
                     CAST(n_seg AS DOUBLE)) AS BIGINT)) AS DOUBLE)
                  / 1000000000 AS credit
         FROM j GROUP BY touch_type
+        """
+
+    sql["ev_gini"] = """
+        WITH c AS (
+          SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY event_type, user_id
+        ),
+        r AS (
+          SELECT event_type, user_id, c,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY c, user_id) AS BIGINT) AS i
+          FROM c
+        ),
+        t AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(c) AS BIGINT) AS total_events,
+                 SUM(CAST(2 * i - 1 AS HUGEINT) * c) AS num0,
+                 SUM(CAST(c AS HUGEINT)) AS sc
+          FROM r GROUP BY event_type
+        )
+        SELECT event_type, n_users, total_events,
+               CAST(num0 - n_users * sc AS DOUBLE)
+                 / (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE))
+                 AS gini
+        FROM t
         """
 
     sql["ev_rfm"] = """

@@ -807,3 +807,64 @@ def session_duration_stats(
         F.expr("CAST(_sdur AS DOUBLE) / n_sessions").alias("mean_us"),
         *posts,
     )
+
+
+def gini_concentration(events: DataFrame) -> DataFrame:
+    """Gini coefficient of per-user activity concentration, per event
+    type — the standard inequality measure product teams use to answer
+    "is this feature carried by a few power users?" (G = 0 everyone
+    equal, G → 1 a single user dominates). Pairs with
+    ``key_skew_report`` (which ranks hot keys) by giving the one-number
+    distributional summary.
+
+    Using the rank form over counts sorted ascending (x_i the i-th
+    smallest user count):
+
+        G = Σᵢ (2i − n − 1)·xᵢ / (n · Σ xᵢ)
+
+    Determinism + scale: per-(type, user) counts are exact integers;
+    the within-type rank comes from ONE two-phase `util.global_rank`
+    over (event_type, count, user_id) — a total order — minus each
+    type's broadcast rank offset, so no single-task window exists even
+    at 10⁹ users. The weighted sum accumulates in DECIMAL(38,0)
+    (i·x can pass 2⁶³ at web scale; the markov_entropy class) and the
+    final Gini is one fixed float expression. The DECIMAL→DOUBLE cast
+    is exact below 2⁵³ (the source_kl replay envelope — beyond ~9e15
+    the last ulp is engine-dependent, documented not silent).
+
+    Output: (event_type, n_users, total_events, gini).
+    """
+    from pennsieve_streaming_spark.util import global_rank
+
+    counts = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ranked = global_rank(
+        counts,
+        [F.asc("event_type"), F.asc("c"), F.asc("user_id")],
+        "_gr",
+    )
+    offs = ranked.groupBy("event_type").agg(
+        F.min("_gr").cast("long").alias("_o"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("c").cast("long").alias("total_events"),
+    )
+    j = ranked.join(F.broadcast(offs), "event_type").withColumn(
+        "_i", (F.col("_gr") - F.col("_o") + 1).cast("long")
+    )
+    g = j.groupBy("event_type", "n_users", "total_events").agg(
+        F.sum(
+            F.expr(
+                "CAST(2 * _i - n_users - 1 AS DECIMAL(38,0)) * c"
+            )
+        ).alias("_num")
+    )
+    return g.select(
+        "event_type",
+        "n_users",
+        "total_events",
+        F.expr(
+            "CAST(_num AS DOUBLE) / (CAST(n_users AS DOUBLE) "
+            "* CAST(total_events AS DOUBLE))"
+        ).alias("gini"),
+    )

@@ -180,3 +180,50 @@ def test_burst_suppression_tail_window_included(spark):
     out = {r.win: r for r in
            burst_suppression(_samples(spark, rows), 16, 100, 4).collect()}
     assert out[1].n == 4 and out[1].suppressed_n == 4 and out[1].bsr == 1.0
+
+
+# --- Gini concentration ------------------------------------------------------
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "event_type string, user_id long")
+
+
+def test_gini_uniform_is_zero(spark):
+    from pennsieve_streaming_spark.operators.analytics import (
+        gini_concentration,
+    )
+
+    rows = [("a", u) for u in range(5) for _ in range(3)]
+    out = gini_concentration(_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_users, r.total_events, r.gini) == (5, 15, 0.0)
+
+
+def test_gini_single_dominant_user(spark):
+    from pennsieve_streaming_spark.operators.analytics import (
+        gini_concentration,
+    )
+
+    # counts [1, 1, 1, 1, 96]: G = Σ(2i−n−1)x / (n·Σx)
+    # = (−4·1 −2·1 +0·1 +2·1 +4·96) / (5·100) = 380/500 = 0.76
+    rows = [("a", u) for u in range(4)]
+    rows += [("a", 99)] * 96
+    r = gini_concentration(_events(spark, rows)).collect()[0]
+    assert abs(r.gini - 0.76) < 1e-12
+
+
+def test_gini_per_type_independent(spark):
+    from pennsieve_streaming_spark.operators.analytics import (
+        gini_concentration,
+    )
+
+    # type "a" uniform (G=0), type "b" concentrated — the shared
+    # global rank must not leak ranks across types.
+    rows = [("a", u) for u in range(4)]
+    rows += [("b", 1)] * 9 + [("b", 2)]
+    out = {r.event_type: r for r in
+           gini_concentration(_events(spark, rows)).collect()}
+    assert out["a"].gini == 0.0
+    # b: counts [1, 9], n=2: (−1·1 + 1·9) / (2·10) = 0.4
+    assert abs(out["b"].gini - 0.4) < 1e-12
