@@ -1412,6 +1412,25 @@ def q_unigram_lm(spark, sf_dir):
     return unigram_lm_score(_docs(spark, sf_dir), k=0.5).drop("perplexity")
 
 
+def q_readability(spark, sf_dir):
+    """Flesch reading ease + Flesch-Kincaid grade per document:
+    exact integer word/sentence/vowel-group counts, fixed float score
+    expressions shared verbatim with the oracle; no shuffle, no UDF."""
+    from pennsieve_streaming_spark.llm.text import readability
+
+    return readability(_docs(spark, sf_dir))
+
+
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split: corpus ranked by the bit-exact
+    unigram avg_logprob (DESC) and cut into NTILE(3) equal-mass
+    buckets via the two-phase global rank + closed-form bucket rule —
+    never a single-task window."""
+    from pennsieve_streaming_spark.llm.curation import perplexity_buckets
+
+    return perplexity_buckets(_docs(spark, sf_dir), 3, 0.5)
+
+
 # ---------------------------------------------------------------------------
 # round-4b: alignment / distribution operators
 # ---------------------------------------------------------------------------
@@ -1891,6 +1910,18 @@ def q_gini(spark, sf_dir):
     TBL.ensure_session_confs(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return gini_concentration(ev.select("event_type", "user_id"))
+
+
+def q_assoc_rules(spark, sf_dir):
+    """Association rules a -> b over per-user event-type baskets
+    (pair-depth market-basket mining): exact BIGINT basket counts,
+    co-partitioned self-join with bounded per-user fan-out, fixed
+    float support/confidence/lift finishes shared with the oracle."""
+    from pennsieve_streaming_spark.operators.analytics import assoc_rules
+
+    TBL.ensure_session_confs(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return assoc_rules(ev.select("user_id", "event_type"), 5)
 
 
 def q_rfm_scores(spark, sf_dir):
@@ -2982,6 +3013,20 @@ def q_burst_suppression(spark, sf_dir):
     )
 
 
+def q_permutation_entropy(spark, sf_dir):
+    """Permutation entropy per (channel, 128-sample window) — the
+    Bandt-Pompe ordinal-pattern complexity measure (order 3,
+    position-stable tie-breaks): exact integer pattern counts, the
+    nano-nat entropy fold, ln(6) as a shared Python literal."""
+    from pennsieve_streaming_spark.operators.stats import (
+        permutation_entropy,
+    )
+
+    return permutation_entropy(
+        TBL.samples_view(spark, sf_dir), SE_WINDOW, SE_QUANT
+    )
+
+
 def q_sample_entropy(spark, sf_dir):
     """Per-(channel, 128-sample window) sample entropy — the EEG/HRV
     complexity measure: exact integer Chebyshev template-match counts
@@ -3432,6 +3477,9 @@ _R6_FRONT = [
     # round-6d additions (fourth session — never driver-sampled).
     "ts_sax_discords", "ts_line_length", "ts_tkeo_energy",
     "ts_burst_suppression", "ev_gini",
+    # round-6e additions (fifth session — never driver-sampled).
+    "doc_perplexity_buckets", "ts_permutation_entropy",
+    "ev_assoc_rules", "doc_readability",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3478,6 +3526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_word_tokens": q_bpe_word_tokens,
         "doc_bpe_token_ids": q_bpe_token_ids,
         "doc_curriculum_order": q_curriculum_order,
+        "doc_perplexity_buckets": q_perplexity_buckets,
+        "doc_readability": q_readability,
         "ts_holt_anomalies": q_holt_anomalies,
         "mm_audio_fingerprint": q_audio_fingerprint,
         # round-6b
@@ -3485,6 +3535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cusum": q_stream_cusum,
         "ev_rfm": q_rfm_scores,
         "ev_gini": q_gini,
+        "ev_assoc_rules": q_assoc_rules,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -3497,6 +3548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_ar2_model": q_ar2_model,
         "ts_seasonal_decompose": q_seasonal_decompose,
         "ts_sample_entropy": q_sample_entropy,
+        "ts_permutation_entropy": q_permutation_entropy,
         "ts_hjorth": q_hjorth,
         "ts_line_length": q_line_length,
         "ts_tkeo_energy": q_tkeo_energy,
@@ -4674,6 +4726,58 @@ def oracle_sql() -> dict[str, str]:
         FROM folded
         """
 
+    # CCNet head/middle/tail: NTILE(3) over the bit-exact unigram LM
+    # likelihood (DESC = most fluent first). The Spark side reproduces
+    # NTILE via the two-phase global rank + closed-form bucket rule
+    # (the ev_rfm equivalence class), so native NTILE here is a true
+    # independent check of the whole chain.
+    sql["doc_perplexity_buckets"] = f"""
+        WITH lm AS ({sql["doc_unigram_lm"]}),
+        b AS (
+          SELECT doc_id, n_tokens, avg_logprob,
+                 CAST(NTILE(3) OVER (ORDER BY avg_logprob DESC, doc_id)
+                      AS BIGINT) AS bucket
+          FROM lm
+        )
+        SELECT doc_id, n_tokens, avg_logprob, bucket,
+               CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS split
+        FROM b
+        """
+
+    # Readability: integer word/sentence/vowel-group counts mirrored
+    # regex-for-regex; the two score finishes are imported from the
+    # operator module verbatim.
+    from pennsieve_streaming_spark.llm.text import (
+        RD_FK_GRADE as _RD_FK,
+        RD_FLESCH as _RD_FL,
+    )
+
+    sql["doc_readability"] = f"""
+        WITH d AS (
+          SELECT doc_id, text, {TOKS} AS toks FROM documents
+        ),
+        c AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(len(toks) AS BIGINT) END AS n_words,
+                 GREATEST(CAST(1 AS BIGINT), CAST(len(list_filter(
+                     regexp_split_to_array(text, '[.!?]+'),
+                     s -> length(trim(s)) > 0)) AS BIGINT)) AS n_sentences,
+                 CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                      AS BIGINT)
+                 + CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(len(list_filter(toks,
+                            t -> NOT regexp_matches(lower(t), '[aeiouy]')))
+                          AS BIGINT) END AS n_syllables
+          FROM d
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               {_RD_FL} AS flesch,
+               {_RD_FK} AS fk_grade
+        FROM c
+        """
+
     sql["doc_source_kl"] = r"""
         WITH tok AS (
           SELECT source,
@@ -5807,6 +5911,47 @@ def oracle_sql() -> dict[str, str]:
                  / (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE))
                  AS gini
         FROM t
+        """
+
+    from pennsieve_streaming_spark.operators.analytics import (
+        AR_CONFIDENCE as _AR_C,
+        AR_LIFT as _AR_L,
+        AR_SUPPORT as _AR_S,
+    )
+
+    sql["ev_assoc_rules"] = f"""
+        WITH baskets AS (
+          SELECT DISTINCT user_id, event_type FROM events
+        ),
+        nu AS (
+          SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM baskets
+        ),
+        item AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_item
+          FROM baskets GROUP BY event_type
+        ),
+        pairs AS (
+          SELECT a.event_type AS antecedent, b.event_type AS consequent,
+                 CAST(COUNT(*) AS BIGINT) AS n_ab
+          FROM baskets a JOIN baskets b ON a.user_id = b.user_id
+          WHERE a.event_type <> b.event_type
+          GROUP BY a.event_type, b.event_type
+          HAVING COUNT(*) >= 5
+        ),
+        j AS (
+          SELECT p.antecedent, p.consequent, p.n_ab,
+                 ia.n_item AS n_a, ib.n_item AS n_b, nu.n_users
+          FROM pairs p
+          JOIN item ia ON ia.event_type = p.antecedent
+          JOIN item ib ON ib.event_type = p.consequent
+          CROSS JOIN nu
+        )
+        SELECT antecedent, consequent, n_ab, n_a, n_b, n_users,
+               {_AR_S} AS support,
+               {_AR_C} AS confidence,
+               {_AR_L} AS lift
+        FROM j
         """
 
     sql["ev_rfm"] = """
@@ -7116,6 +7261,57 @@ def oracle_sql() -> dict[str, str]:
                CAST(ll_q AS DOUBLE) / {SE_QUANT} AS line_length,
                crossings,
                CAST(crossings AS DOUBLE) / (n - 1) AS zcr
+        FROM g
+        """,
+        "samples",
+    )
+
+    # Permutation entropy: the pattern CASE and the nano-nat entropy
+    # fold are imported from the operator module VERBATIM (the
+    # granger shared-expression discipline) — both engines classify
+    # and fold with the identical text.
+    from pennsieve_streaming_spark.operators.stats import (
+        PE_NORM as _PE_NORM,
+        PE_PATTERN_T as _PE_PAT,
+    )
+
+    _pe_cnt = ",\n                 ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN pat = {i} THEN 1 ELSE 0 END), 0)"
+        f" AS BIGINT) AS c{i}"
+        for i in range(6)
+    )
+    sql["ts_permutation_entropy"] = with_views(
+        f"""
+        WITH rk AS (
+          SELECT channel, ts, value,
+                 CAST(round(value * {SE_QUANT}) AS BIGINT) AS xq,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS rn
+          FROM samples
+        ),
+        t AS (
+          SELECT channel, rn // {SE_WINDOW} AS win, xq,
+                 LEAD(xq, 1) OVER (PARTITION BY channel,
+                     rn // {SE_WINDOW} ORDER BY rn) AS nb,
+                 LEAD(xq, 2) OVER (PARTITION BY channel,
+                     rn // {SE_WINDOW} ORDER BY rn) AS nc
+          FROM rk
+        ),
+        p AS (
+          SELECT channel, win,
+                 {_PE_PAT.format(a="xq", b="nb", c="nc")} AS pat
+          FROM t
+        ),
+        g AS (
+          SELECT channel, CAST(win AS BIGINT) AS win,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(pat) AS BIGINT) AS nt,
+                 {_pe_cnt}
+          FROM p GROUP BY channel, win
+          HAVING COUNT(*) = {SE_WINDOW}
+        )
+        SELECT channel, win, n, nt, c0, c1, c2, c3, c4, c5,
+               {_PE_NORM} AS pe_norm
         FROM g
         """,
         "samples",

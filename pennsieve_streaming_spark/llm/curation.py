@@ -1395,3 +1395,55 @@ def source_kl_divergence(documents: DataFrame) -> DataFrame:
             ).alias("kl"),
         )
     )
+
+
+def perplexity_buckets(
+    documents: DataFrame, buckets: int = 3, k: float = 0.5
+) -> DataFrame:
+    """CCNet-style quality split (Wenzek et al. 2020): rank the corpus
+    by language-model likelihood and cut it into equal-mass buckets —
+    bucket 1 ("head") the most-fluent documents, the last ("tail") the
+    least. CCNet trains KenLM; this rides :func:`unigram_lm_score`
+    (the same stand-in the rest of the curation layer uses), ordering
+    by the bit-exact ``avg_logprob`` DESC (high likelihood = low
+    perplexity = head). The derived exp() perplexity never enters the
+    ordering (1-ulp libm divergence — the documented unigram_lm rule).
+
+    Bucket assignment is NTILE semantics without the single-task
+    global window: one two-phase ``util.global_rank`` over
+    (avg_logprob DESC, doc_id) + the rfm_scores closed-form bucket
+    rule — bit-identical to NTILE(k), all-integer, scalable to 10⁹
+    docs.
+
+    Output: (doc_id, n_tokens, avg_logprob, bucket, split) with split
+    ∈ {'head','middle','tail'} for the default 3 buckets (bucket
+    numbers label 'b<i>' otherwise).
+    """
+    from pennsieve_streaming_spark.util import global_rank
+
+    nb = int(buckets)
+    scored = unigram_lm_score(documents, k).drop("perplexity")
+    tot = scored.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    u = scored.crossJoin(F.broadcast(tot))
+    u = global_rank(
+        u, [F.desc("avg_logprob"), F.asc("doc_id")], "_pr"
+    )
+    bucket = F.expr(
+        f"CAST(CASE WHEN _pr - 1 < (_n % {nb}) * (_n div {nb} + 1) "
+        f"THEN (_pr - 1) div (_n div {nb} + 1) + 1 "
+        f"ELSE (_n % {nb}) + 1 + "
+        f"(_pr - 1 - (_n % {nb}) * (_n div {nb} + 1)) div (_n div {nb}) "
+        f"END AS BIGINT)"
+    )
+    if nb == 3:
+        split = F.expr(
+            "CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
+            "ELSE 'tail' END"
+        )
+    else:
+        split = F.expr("concat('b', CAST(bucket AS STRING))")
+    return (
+        u.withColumn("bucket", bucket)
+        .withColumn("split", split)
+        .select("doc_id", "n_tokens", "avg_logprob", "bucket", "split")
+    )

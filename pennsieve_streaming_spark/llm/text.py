@@ -866,3 +866,69 @@ def collocations(
         .filter(F.col("pmi") > float(min_pmi))
         .select(F.col("bg").alias("bigram"), "c_ab", "c_a", "c_b", "pmi")
     )
+
+
+# Fixed float finishes for readability, shared verbatim with the
+# DuckDB oracle. The constants are decimal literals both engines
+# parse to the identical double; inputs are exact BIGINTs, so each
+# score is one deterministic IEEE expression chain.
+RD_FLESCH = (
+    "CASE WHEN n_words > 0 THEN "
+    "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences) "
+    "- 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) END"
+)
+RD_FK_GRADE = (
+    "CASE WHEN n_words > 0 THEN "
+    "0.39 * (CAST(n_words AS DOUBLE) / n_sentences) "
+    "+ 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59 END"
+)
+
+
+def readability(documents: DataFrame) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document
+    (Flesch 1948; Kincaid et al. 1975) — the classic readability pair
+    every web-corpus quality filter ships next to the stopword/length
+    heuristics (`quality_score`). Syllables use the standard
+    vowel-group approximation: maximal ``[aeiouy]+`` runs per
+    lowercased token, with vowel-less tokens counting one syllable
+    (every word has at least one). Sentences are maximal non-empty
+    segments between ``[.!?]`` terminators, floored at 1 so
+    unpunctuated text is one long sentence rather than a div-by-zero.
+
+    Determinism: words / sentences / syllable groups are exact
+    integer counts from regexes both engines evaluate identically;
+    the two scores are single fixed float expressions (RD_* shared
+    verbatim with the oracle). Empty documents emit NULL scores.
+
+    Scale: embarrassingly parallel — one projection, no shuffle, no
+    UDF; the regex work is whole-stage-codegen JVM string ops.
+
+    Output: (doc_id, n_words, n_sentences, n_syllables, flesch,
+    fk_grade).
+    """
+    d = _with_toks(documents)
+    counted = d.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(size(toks) AS BIGINT) END"
+        ).alias("n_words"),
+        F.expr(
+            "greatest(CAST(1 AS BIGINT), CAST(size(filter("
+            "split(text, '[.!?]+'), s -> length(trim(s)) > 0)) AS BIGINT))"
+        ).alias("n_sentences"),
+        F.expr(
+            "CAST(regexp_count(lower(text), '[aeiouy]+') AS BIGINT) "
+            "+ CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(size(filter(toks, "
+            "t -> regexp_count(lower(t), '[aeiouy]') = 0)) AS BIGINT) END"
+        ).alias("n_syllables"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(RD_FLESCH).alias("flesch"),
+        F.expr(RD_FK_GRADE).alias("fk_grade"),
+    )

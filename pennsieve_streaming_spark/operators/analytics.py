@@ -868,3 +868,82 @@ def gini_concentration(events: DataFrame) -> DataFrame:
             "* CAST(total_events AS DOUBLE))"
         ).alias("gini"),
     )
+
+
+# Fixed float finishes for association rules, shared verbatim with the
+# DuckDB oracle (the granger shared-expression discipline). Inputs are
+# exact BIGINTs, so each metric is one deterministic IEEE expression.
+AR_SUPPORT = "CAST(n_ab AS DOUBLE) / n_users"
+AR_CONFIDENCE = "CAST(n_ab AS DOUBLE) / n_a"
+AR_LIFT = (
+    "(CAST(n_ab AS DOUBLE) * CAST(n_users AS DOUBLE)) "
+    "/ (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+)
+
+
+def assoc_rules(events: DataFrame, min_support_users: int = 5) -> DataFrame:
+    """Association rules over per-user event-type baskets — the
+    market-basket staple (the pair-depth output surface of Apriori /
+    FP-Growth): a user's basket is the SET of event types they ever
+    emitted; every ordered rule ``a -> b`` (a != b) whose pair support
+    reaches ``min_support_users`` users ships with support,
+    confidence and lift. Lift > 1 is the cross-feature-adoption
+    signal product teams act on; confidence is the directional
+    recommendation strength.
+
+    Determinism: basket membership is a distinct projection; all four
+    counts (n_ab, n_a, n_b, n_users) are exact BIGINTs; the three
+    metrics are single fixed float expressions (AR_* shared verbatim
+    with the oracle).
+
+    Scale: baskets dedup to at most |users| x |types| rows via one
+    partial-agg distinct; the self-join is co-partitioned on user_id
+    (both sides shuffle once on the same key) with per-user fan-out
+    bounded by |types|^2 — no skew beyond the bounded basket width;
+    item counts and the 1-row user total broadcast back. Never a
+    cartesian, never a collect.
+
+    Output: (antecedent, consequent, n_ab, n_a, n_b, n_users,
+    support, confidence, lift).
+    """
+    ms = int(min_support_users)
+    baskets = events.select("user_id", "event_type").distinct()
+    n_users = baskets.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    item = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    a = baskets.select("user_id", F.col("event_type").alias("antecedent"))
+    b = baskets.select("user_id", F.col("event_type").alias("consequent"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= ms)
+    )
+    out = (
+        pairs.join(
+            F.broadcast(item.withColumnRenamed("event_type", "antecedent")),
+            "antecedent",
+        )
+        .withColumnRenamed("n_item", "n_a")
+        .join(
+            F.broadcast(item.withColumnRenamed("event_type", "consequent")),
+            "consequent",
+        )
+        .withColumnRenamed("n_item", "n_b")
+        .crossJoin(F.broadcast(n_users))
+    )
+    return out.select(
+        "antecedent",
+        "consequent",
+        "n_ab",
+        "n_a",
+        "n_b",
+        "n_users",
+        F.expr(AR_SUPPORT).alias("support"),
+        F.expr(AR_CONFIDENCE).alias("confidence"),
+        F.expr(AR_LIFT).alias("lift"),
+    )

@@ -1958,3 +1958,116 @@ def burst_suppression(
         "suppressed_n",
         F.expr("CAST(suppressed_n AS DOUBLE) / n").alias("bsr"),
     )
+
+
+# Ordinal pattern of a (a, b, c) triple under POSITION-STABLE ranking
+# (ties broken by earlier index first, the Bandt-Pompe convention for
+# quantized data): pure integer comparisons, shared verbatim with the
+# DuckDB oracle so both engines classify identically. The cascade is
+# exhaustive over the 6 permutations; a NULL c (window tail) yields
+# NULL, never ELSE.
+PE_PATTERN_T = (
+    "CASE WHEN {c} IS NULL THEN NULL "
+    "WHEN {a} <= {b} AND {b} <= {c} THEN 0 "
+    "WHEN {a} <= {b} AND {a} <= {c} THEN 1 "
+    "WHEN {a} <= {b} THEN 2 "
+    "WHEN {a} <= {c} THEN 3 "
+    "WHEN {b} <= {c} THEN 4 ELSE 5 END"
+)
+
+# ln(3!) as a PYTHON-evaluated literal so both engines normalize by
+# the bit-identical double (the power_spectrum literal-table rule).
+PE_LN6 = repr(__import__("math").log(6.0))
+
+# Normalized Shannon entropy over the 6 pattern counts c0..c5 with
+# nt = c0+..+c5 triples: the nano-nat integer-sum class
+# (markov_entropy) — each term's ln is 1e9-quantized to BIGINT so the
+# 6-term fold is exact integer arithmetic, then ONE fixed float
+# division chain. Envelope: |w| <= ln(nt)*1e9 and c_i <= nt, so the
+# sum binds at nt*ln(nt)*1e9 — safe to nt ~ 4e8 triples per window
+# (windows are 128 samples; never approached).
+_PE_TERMS = " + ".join(
+    f"(CASE WHEN c{i} > 0 THEN c{i} * CAST(round(ln(CAST(c{i} AS DOUBLE)"
+    f" / nt) * 1000000000) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for i in range(6)
+)
+PE_NORM = (
+    f"CASE WHEN nt > 0 THEN -CAST(({_PE_TERMS}) AS DOUBLE) "
+    f"/ (CAST(nt AS DOUBLE) * 1000000000.0 * {PE_LN6}) END"
+)
+
+
+def permutation_entropy(
+    samples: DataFrame, window_samples: int = 128, quant: int = 100
+) -> DataFrame:
+    """Permutation entropy per (channel, window) — Bandt & Pompe
+    (2002)'s ordinal-pattern complexity, the standard
+    anesthesia-depth / seizure EEG measure next to SampEn and the
+    Hjorth triple: embed each window as overlapping order-3 triples,
+    count the 6 ordinal patterns, and take the normalized Shannon
+    entropy of the pattern distribution (1 = white noise, 0 = strict
+    monotone). Robust to amplitude scaling and offset by
+    construction — only comparisons enter. The reference serves raw
+    signal only (`TimeSeriesQueryService`); at 100 TB the complexity
+    screen runs where the data lives.
+
+    Determinism: patterns are integer comparisons on quantized values
+    with position-stable tie-breaks (PE_PATTERN_T, shared verbatim
+    with the oracle); counts are exact integer aggregates; the
+    entropy is the nano-nat integer fold (PE_NORM — markov_entropy's
+    class) with ln(6) as a Python-evaluated literal, so both engines
+    emit the bit-identical double.
+
+    Output: (channel, win, n, nt, c0..c5, pe_norm); ragged tail
+    windows are dropped (the hjorth rule). Triples never cross window
+    boundaries (each window is classified standalone).
+
+    Plan: one per-channel window pass (position rank), two in-window
+    leads, one partial-agg groupBy to |channels|x|windows| rows — the
+    line_length shape without the median side-table.
+    """
+    ws = int(window_samples)
+    q = int(quant)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    ranked = (
+        samples.select(
+            "channel",
+            "ts",
+            "value",
+            (F.row_number().over(w) - 1).alias("_rn"),
+            F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+        )
+        .withColumn("win", (F.col("_rn") / ws).cast("long"))
+        .withColumn("pos", (F.col("_rn") % ws).cast("long"))
+    )
+    iw = Window.partitionBy("channel", "win").orderBy("pos")
+    t = (
+        ranked.withColumn("_b", F.lead("xq", 1).over(iw))
+        .withColumn("_c", F.lead("xq", 2).over(iw))
+        .withColumn(
+            "_pat",
+            F.expr(PE_PATTERN_T.format(a="xq", b="_b", c="_c")),
+        )
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("_pat").cast("long").alias("nt"),
+    ]
+    for i in range(6):
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("_pat") == i, 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"c{i}")
+        )
+    g = t.groupBy("channel", "win").agg(*aggs).filter(F.col("n") == ws)
+    return g.select(
+        "channel",
+        "win",
+        "n",
+        "nt",
+        *[f"c{i}" for i in range(6)],
+        F.expr(PE_NORM).alias("pe_norm"),
+    )

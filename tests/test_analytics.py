@@ -478,3 +478,28 @@ def test_session_duration_stats_exact_percentiles(spark):
     assert abs(r.p50 - 20.0) < 1e-12     # exact middle
     assert abs(r.p90 - 36.0) < 1e-12     # 0.9*4 = 3.6 -> 30 + .6*10
     assert abs(r.p99 - 39.6) < 1e-9      # 0.99*4 = 3.96
+
+
+def test_assoc_rules_lift_direction(spark):
+    """Planted co-adoption: users 0-7 all have both A and B; C is
+    carried by a disjoint user set -> lift(A->B) > 1, lift(A->C)
+    absent (zero pair support); confidence is directional."""
+    from pennsieve_streaming_spark.operators.analytics import assoc_rules
+
+    rows = []
+    for u in range(8):
+        rows += [(u, "A"), (u, "B"), (u, "B")]   # dup event -> same basket
+    for u in range(8, 16):
+        rows += [(u, "C")]
+    rows += [(16, "B")]                           # B without A
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {(r.antecedent, r.consequent): r for r in assoc_rules(ev, 5).collect()}
+
+    ab = out[("A", "B")]
+    assert (ab.n_ab, ab.n_a, ab.n_b, ab.n_users) == (8, 8, 9, 17)
+    assert ab.confidence == 1.0                    # every A-user has B
+    assert ab.lift == 8 * 17 / (8 * 9.0)           # > 1
+    ba = out[("B", "A")]
+    assert ba.confidence == 8 / 9                  # one B-only user
+    assert ("A", "C") not in out and ("C", "A") not in out
+    assert ab.support == 8 / 17

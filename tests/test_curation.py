@@ -710,3 +710,81 @@ def test_shingle_novelty_orders_fresh_before_copied(spark):
     # "alpha beta gamma" was seen in doc 1 -> not novel for doc 3
     assert out[3].n_novel == out[3].n_shingles - 1
     assert out[4].n_shingles == 0 and out[4].novelty is None
+
+
+def test_perplexity_buckets_ntile_equivalence(spark):
+    """Closed-form bucket = f(rank, n, k) must equal engine NTILE for
+    both uneven (10 % 3) and n < k splits, with head = most fluent."""
+    from pyspark.sql import Window
+
+    from pennsieve_streaming_spark.llm.curation import perplexity_buckets
+
+    words = ["the", "of", "and", "to", "in", "qq", "zz", "xx"]
+    rows = [
+        (i, " ".join(words[: 2 + (i * 3) % 7] * (1 + i % 4)))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = perplexity_buckets(df, 3).collect()
+    ref = {
+        r.doc_id: r.nt
+        for r in perplexity_buckets(df, 3)
+        .withColumn(
+            "nt",
+            F.ntile(3).over(
+                Window.orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+            ),
+        )
+        .collect()
+    }
+    assert {r.doc_id: r.bucket for r in out} == ref
+    by_split = {r.split for r in out}
+    assert by_split == {"head", "middle", "tail"}
+    # equal-mass: 10 rows over 3 buckets -> sizes (4, 3, 3)
+    sizes = sorted(
+        [sum(1 for r in out if r.bucket == b) for b in (1, 2, 3)],
+        reverse=True,
+    )
+    assert sizes == [4, 3, 3]
+    # head = highest avg_logprob block
+    head_min = min(r.avg_logprob for r in out if r.bucket == 1)
+    mid_max = max(r.avg_logprob for r in out if r.bucket == 2)
+    assert head_min >= mid_max
+
+    # n < k: every doc its own bucket, no div-by-zero in the closed form
+    small = spark.createDataFrame(rows[:2], "doc_id long, text string")
+    out2 = perplexity_buckets(small, 5).collect()
+    assert sorted(r.bucket for r in out2) == [1, 2]
+    assert {r.split for r in out2} <= {"b1", "b2", "b3", "b4", "b5"}
+
+
+def test_readability_golden(spark):
+    """Hand-counted Flesch/FK on punctuated text; unpunctuated text
+    floors at one sentence; empty docs emit NULL scores."""
+    from pennsieve_streaming_spark.llm.text import readability
+
+    rows = [
+        (1, "The cat sat. The dog ran!"),
+        (2, "no terminal punctuation here"),
+        (3, ""),
+        (4, "xyz qq"),  # vowel-less tokens still count one syllable
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in readability(df).collect()}
+
+    r1 = out[1]
+    # words=6, sentences=2, syllable groups: the/cat/sat/the/dog/ran = 6
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (6, 2, 6)
+    assert abs(r1.flesch - (206.835 - 1.015 * 3.0 - 84.6 * 1.0)) < 1e-12
+    assert abs(r1.fk_grade - (0.39 * 3.0 + 11.8 * 1.0 - 15.59)) < 1e-12
+
+    r2 = out[2]
+    assert r2.n_sentences == 1 and r2.n_words == 4
+
+    r3 = out[3]
+    assert r3.n_words == 0 and r3.flesch is None and r3.fk_grade is None
+
+    r4 = out[4]
+    # "xyz" and "qq" have no vowel groups -> 1 syllable each
+    assert (r4.n_words, r4.n_syllables) == (2, 2)

@@ -227,3 +227,78 @@ def test_gini_per_type_independent(spark):
     assert out["a"].gini == 0.0
     # b: counts [1, 9], n=2: (−1·1 + 1·9) / (2·10) = 0.4
     assert abs(out["b"].gini - 0.4) < 1e-12
+
+
+# --- permutation entropy -----------------------------------------------------
+
+def test_permutation_entropy_monotone_is_zero(spark):
+    from pennsieve_streaming_spark.operators.stats import (
+        permutation_entropy,
+    )
+
+    rows = [("c", t, float(t)) for t in range(8)]
+    out = permutation_entropy(_samples(spark, rows), 8, 100).collect()
+    assert len(out) == 1
+    r = out[0]
+    # every triple is ascending -> all 6 counts on pattern 0
+    assert (r.n, r.nt, r.c0) == (8, 6, 6)
+    assert (r.c1, r.c2, r.c3, r.c4, r.c5) == (0, 0, 0, 0, 0)
+    assert r.pe_norm == 0.0
+
+
+def test_permutation_entropy_alternating(spark):
+    from pennsieve_streaming_spark.operators.stats import (
+        permutation_entropy,
+    )
+    import math
+
+    # x = [0, 1, 0, 1, 0, 1, 0, 1]: triples alternate between
+    # (0,1,0) -> a<=b, b>c, a<=c (tie, earlier wins) -> pattern 1
+    # (1,0,1) -> a>b, a<=c (tie) ... a<=c is 1<=1 true -> pattern 3
+    rows = [("c", t, float(t % 2)) for t in range(8)]
+    out = permutation_entropy(_samples(spark, rows), 8, 100).collect()
+    r = out[0]
+    assert (r.c1, r.c3) == (3, 3)
+    assert r.c0 == r.c2 == r.c4 == r.c5 == 0
+    # two equal-mass patterns -> H = ln 2, normalized by ln 6
+    expected = math.log(2) / math.log(6)
+    assert abs(r.pe_norm - expected) < 1e-6
+
+
+def test_permutation_entropy_all_patterns_uniform(spark):
+    from pennsieve_streaming_spark.operators.stats import (
+        permutation_entropy,
+    )
+
+    # one window per pattern id x 6, each window built to realize a
+    # single known ordinal pattern repeated (window = 3 samples would
+    # give one triple; use ws=3)
+    seqs = {
+        0: [1.0, 2.0, 3.0],   # a<=b<=c
+        1: [1.0, 3.0, 2.0],   # a<=c<b
+        2: [2.0, 3.0, 1.0],   # c<a<=b
+        3: [2.0, 1.0, 3.0],   # b<a<=c
+        4: [3.0, 1.0, 2.0],   # b<=c<a
+        5: [3.0, 2.0, 1.0],   # c<b<a
+    }
+    rows = []
+    for pid, seq in seqs.items():
+        for t, v in enumerate(seq):
+            rows.append((f"ch{pid}", t, v))
+    out = permutation_entropy(_samples(spark, rows), 3, 100).collect()
+    assert len(out) == 6
+    for r in out:
+        pid = int(r.channel[2:])
+        counts = [r.c0, r.c1, r.c2, r.c3, r.c4, r.c5]
+        assert counts[pid] == 1 and sum(counts) == 1, (r.channel, counts)
+        assert r.pe_norm == 0.0
+
+
+def test_permutation_entropy_ragged_tail_dropped(spark):
+    from pennsieve_streaming_spark.operators.stats import (
+        permutation_entropy,
+    )
+
+    rows = [("c", t, float(t * t % 7)) for t in range(11)]
+    out = permutation_entropy(_samples(spark, rows), 8, 100).collect()
+    assert len(out) == 1 and out[0].win == 0
