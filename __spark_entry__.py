@@ -1272,6 +1272,17 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+def q_video_scene_cuts(spark, sf_dir):
+    """Scene-cut detection through the REAL MJPEG AVI codec path:
+    each synthetic clip plants one hard cut at 4 + doc_id % 5; encode
+    → decode → frame-diff detector must recover exactly it (median-
+    adaptive threshold); the oracle recomputes the planted position
+    from the closed form."""
+    from pennsieve_streaming_spark.llm.video import scene_cut_synthetic
+
+    return scene_cut_synthetic(_docs(spark, sf_dir))
+
+
 def q_gif_roundtrip(spark, sf_dir):
     """GIF LZW codec proven through the driver gate: encode the
     synthetic luminance field, decode it back, emit exact pixel sums
@@ -3479,7 +3490,7 @@ _R6_FRONT = [
     "ts_burst_suppression", "ev_gini",
     # round-6e additions (fifth session — never driver-sampled).
     "doc_perplexity_buckets", "ts_permutation_entropy",
-    "ev_assoc_rules", "doc_readability",
+    "ev_assoc_rules", "doc_readability", "mm_video_scene_cuts",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3558,6 +3569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_phash": q_image_phash,
         "mm_image_quality": q_image_quality,
         "mm_gif_roundtrip": q_gif_roundtrip,
+        "mm_video_scene_cuts": q_video_scene_cuts,
         "ts_granger_screen": q_granger_screen,
         "ts_spectral_entropy": q_spectral_entropy,
         "doc_bpe_fertility": q_bpe_fertility,
@@ -9436,6 +9448,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(v) AS BIGINT) AS sum_gq,
                CAST(SUM(v * v) AS BIGINT) AS sum_gq2
         FROM px GROUP BY doc_id
+        """
+
+    # Scene cuts: the clip construction plants exactly one cut per
+    # doc at 4 + doc_id % 5 over SC_FRAMES frames; the Spark side must
+    # re-derive it through the full encode→decode→detect pipeline.
+    from pennsieve_streaming_spark.llm.video import SC_FRAMES as _SC_F
+
+    sql["mm_video_scene_cuts"] = f"""
+        SELECT doc_id AS media_id,
+               CAST({_SC_F} AS BIGINT) AS n_frames,
+               CAST(4 + doc_id % 5 AS BIGINT) AS cut_idx
+        FROM documents
         """
 
     _ihg = f"(doc_id * {_IH_A} + {{i}} * {_IH_B} + {{j}} * {_IH_C}) % {_IH_M}"

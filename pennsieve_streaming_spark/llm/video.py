@@ -168,3 +168,91 @@ def encode_avi_mjpeg(
     movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# Synthetic clip geometry for the driver-gated scene-cut query: a
+# smooth luminance gradient (near-losslessly JPEG-compressible) with
+# ONE planted hard cut (+SC_SHIFT luma) at frame 4 + doc_id % 5 and a
+# +-1 alternating per-frame flicker so the within-scene diff path is
+# data-exercised. No value reaches 255, so the cut magnitude survives
+# the codec intact.
+SC_FRAMES, SC_H, SC_W, SC_SHIFT = 12, 32, 32, 60
+
+
+def synthetic_clip(doc_id: int):
+    """(doc_id) → (frames, cut_idx): the deterministic MJPEG test
+    clip. Gradient base 10+doc_id%20 .. ~153; scene 2 adds SC_SHIFT."""
+    cut = 4 + int(doc_id) % 5
+    a = 10 + int(doc_id) % 20
+    i = np.arange(SC_H)[:, None]
+    j = np.arange(SC_W)[None, :]
+    g = (i * 64) // SC_H + (j * 64) // SC_W + a
+    frames = []
+    for k in range(SC_FRAMES):
+        v = (g + (SC_SHIFT if k >= cut else 0) + (k % 2)).astype(np.uint8)
+        frames.append(np.stack([v, v, v], axis=-1))
+    return frames, cut
+
+
+def scene_cuts(
+    frames: list[np.ndarray], mult: float = 4.0, abs_floor: float = 5.0
+) -> list[int]:
+    """Frame-difference scene-cut detection: d_k = mean |luma_k −
+    luma_{k−1}|; frame k starts a new scene when d_k exceeds
+    ``mult × median(d) + abs_floor`` — the median (lower order
+    statistic) adapts the threshold to the clip's own motion level,
+    the absolute floor keeps static clips (median 0) from dividing
+    into noise. The shot-boundary baseline every video-dedup /
+    frame-sampling pipeline starts from.
+    """
+    if len(frames) < 2:
+        return []
+    luma = [
+        0.299 * f[..., 0].astype(np.float64)
+        + 0.587 * f[..., 1]
+        + 0.114 * f[..., 2]
+        for f in frames
+    ]
+    d = [
+        float(np.mean(np.abs(luma[k] - luma[k - 1])))
+        for k in range(1, len(frames))
+    ]
+    med = sorted(d)[(len(d) - 1) // 2]
+    thr = mult * med + abs_floor
+    return [k + 1 for k, dk in enumerate(d) if dk > thr]
+
+
+def scene_cut_synthetic(documents) -> "DataFrame":
+    """(doc_id) → detected scene cuts of each synthetic clip after a
+    FULL MJPEG AVI encode→decode round trip — the codec-path analogue
+    of gif_roundtrip_stats: the clip construction plants exactly one
+    hard cut at 4 + doc_id % 5, the REAL pipeline (encode_avi_mjpeg →
+    decode_avi_mjpeg → scene_cuts) must recover it, and the DuckDB
+    oracle recomputes the planted position from the closed form — a
+    codec bit error, a luma regression, or a detector break all
+    surface as a driver-gate mismatch. Only codec-robust integers are
+    emitted (the lossy JPEG pixel values never are).
+
+    Output: (media_id, n_frames, cut_idx).
+    """
+    import pandas as pd
+
+    from pennsieve_streaming_spark.util import ensure_parallelism
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {"media_id": [], "n_frames": [], "cut_idx": []}
+            for d in pdf["doc_id"]:
+                frames, _ = synthetic_clip(int(d))
+                dec, _fps = decode_avi_mjpeg(encode_avi_mjpeg(frames))
+                for c in scene_cuts(dec):
+                    out["media_id"].append(int(d))
+                    out["n_frames"].append(len(dec))
+                    out["cut_idx"].append(int(c))
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(
+        documents.select("doc_id"), "doc_id"
+    ).mapInPandas(run, "media_id long, n_frames long, cut_idx long")

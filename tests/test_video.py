@@ -78,3 +78,54 @@ def test_spark_mjpeg_decode(spark):
     want = video.video_features(frames, fps, FEATURE_DIM)
     assert row.feature == pytest.approx(list(want))
     assert row.feature[0] == 6.0  # real frame count, not the stub
+
+
+# --- scene cuts ---------------------------------------------------------------
+
+def test_scene_cuts_kernel_plants_and_statics():
+    import numpy as np
+
+    from pennsieve_streaming_spark.llm.video import scene_cuts
+
+    def gray(v, n=3):
+        f = np.full((8, 8, 3), v, np.uint8)
+        return [f.copy() for _ in range(n)]
+
+    # static clip: no cuts
+    assert scene_cuts(gray(50, 6)) == []
+    # one hard jump at frame 3
+    clip = gray(50, 3) + gray(140, 3)
+    assert scene_cuts(clip) == [3]
+    # two cuts
+    clip = gray(30, 3) + gray(120, 3) + gray(210, 3)
+    assert scene_cuts(clip) == [3, 6]
+    # short clip edge
+    assert scene_cuts(gray(50, 1)) == []
+
+
+def test_scene_cuts_median_adaptive_threshold():
+    import numpy as np
+
+    from pennsieve_streaming_spark.llm.video import scene_cuts
+
+    # steady motion of +8 luma per frame (d=8 each); one +80 jump.
+    frames = []
+    v = 20
+    for k in range(10):
+        v += 80 if k == 6 else 8
+        frames.append(np.full((8, 8, 3), v, np.uint8))
+    # median d = 8 -> thr = 4*8+5 = 37; only the jump (d=88) passes
+    assert scene_cuts(frames) == [6]
+
+
+def test_scene_cut_synthetic_roundtrip(spark):
+    from pennsieve_streaming_spark.llm.video import scene_cut_synthetic
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(12)], "doc_id long"
+    )
+    out = {r.media_id: r for r in scene_cut_synthetic(docs).collect()}
+    assert len(out) == 12  # exactly one cut per clip
+    for d, r in out.items():
+        assert r.cut_idx == 4 + d % 5
+        assert r.n_frames == 12
