@@ -3024,6 +3024,16 @@ def q_burst_suppression(spark, sf_dir):
     )
 
 
+def q_lz_complexity(spark, sf_dir):
+    """Lempel-Ziv (LZ76) complexity per (channel, 128-sample window):
+    median-binarized exact phrase parsing (integer end-to-end; the
+    oracle replays the parse phrase-by-phrase in a recursive CTE),
+    normalized by the log2(ws)/n literal."""
+    from pennsieve_streaming_spark.operators.stats import lz_complexity
+
+    return lz_complexity(TBL.samples_view(spark, sf_dir), SE_WINDOW, SE_QUANT)
+
+
 def q_permutation_entropy(spark, sf_dir):
     """Permutation entropy per (channel, 128-sample window) — the
     Bandt-Pompe ordinal-pattern complexity measure (order 3,
@@ -3491,6 +3501,7 @@ _R6_FRONT = [
     # round-6e additions (fifth session — never driver-sampled).
     "doc_perplexity_buckets", "ts_permutation_entropy",
     "ev_assoc_rules", "doc_readability", "mm_video_scene_cuts",
+    "ts_lz_complexity",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3560,6 +3571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_seasonal_decompose": q_seasonal_decompose,
         "ts_sample_entropy": q_sample_entropy,
         "ts_permutation_entropy": q_permutation_entropy,
+        "ts_lz_complexity": q_lz_complexity,
         "ts_hjorth": q_hjorth,
         "ts_line_length": q_line_length,
         "ts_tkeo_energy": q_tkeo_energy,
@@ -7328,6 +7340,65 @@ def oracle_sql() -> dict[str, str]:
         """,
         "samples",
     )
+
+    # LZ76 complexity: the recursive CTE consumes exactly one phrase
+    # per recursion step — p advances by the shortest non-reproducible
+    # extension's length (list_max over candidate lengths whose
+    # substring occurs in the prefix ending one char before the
+    # phrase's end; self-overlap allowed), the kernel's parse
+    # replayed verbatim. log2(ws) is a Python-evaluated literal.
+    _lz_log2 = repr(__import__("math").log2(SE_WINDOW))
+    sql["ts_lz_complexity"] = f"""
+        WITH RECURSIVE samples AS ({TBL.DUCKDB_VIEWS['samples']}),
+        rk AS (
+          SELECT channel,
+                 CAST(round(value * {SE_QUANT}) AS BIGINT) AS xq,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS rn
+          FROM samples
+        ),
+        wpos AS (
+          SELECT channel, rn // {SE_WINDOW} AS win, rn % {SE_WINDOW} AS pos,
+                 xq,
+                 ROW_NUMBER() OVER (PARTITION BY channel,
+                     rn // {SE_WINDOW} ORDER BY xq, rn % {SE_WINDOW})
+                   AS ar
+          FROM rk
+        ),
+        med AS (
+          SELECT channel, win, xq AS med_q FROM wpos
+          WHERE ar = ({SE_WINDOW} + 1) // 2
+        ),
+        bits AS (
+          SELECT w.channel, CAST(w.win AS BIGINT) AS win,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN w.xq > m.med_q THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ones,
+                 string_agg(CASE WHEN w.xq > m.med_q THEN '1' ELSE '0'
+                     END, '' ORDER BY w.pos) AS s
+          FROM wpos w JOIN med m ON w.channel = m.channel
+               AND w.win = m.win
+          GROUP BY w.channel, w.win
+          HAVING COUNT(*) = {SE_WINDOW}
+        ),
+        lz AS (
+          SELECT channel, win, n, ones, s, 1 AS p, 0 AS c FROM bits
+          UNION ALL
+          SELECT channel, win, n, ones, s,
+                 p + LEAST(
+                   COALESCE(list_max(list_filter(
+                     generate_series(1, CAST(n AS INTEGER) - p + 1),
+                     L -> position(substr(s, p, L)
+                          IN substr(s, 1, p + L - 2)) > 0)) + 1, 1),
+                   CAST(n AS INTEGER) - p + 1) AS p,
+                 c + 1 AS c
+          FROM lz WHERE p <= n
+        )
+        SELECT channel, win, n, ones,
+               CAST(c AS BIGINT) AS c_phrases,
+               CAST(c AS DOUBLE) * {_lz_log2} / n AS lz_norm
+        FROM lz WHERE p = n + 1
+        """
 
     sql["ts_tkeo_energy"] = with_views(
         f"""

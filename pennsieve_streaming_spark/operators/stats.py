@@ -2071,3 +2071,107 @@ def permutation_entropy(
         *[f"c{i}" for i in range(6)],
         F.expr(PE_NORM).alias("pe_norm"),
     )
+
+
+def lz76_phrase_count(bits: str) -> int:
+    """Exhaustive-history LZ76 phrase count (Lempel & Ziv 1976, via
+    the production parsing of Kaspar & Schuster 1987): each phrase is
+    the shortest extension not occurring as a substring of everything
+    before its END (self-overlap allowed); the trailing phrase counts
+    even when reproducible. The kernel the Spark path, the goldens,
+    and (re-expressed as a recursive CTE) the DuckDB oracle all
+    share semantically.
+    """
+    n = len(bits)
+    p = 0
+    c = 0
+    while p < n:
+        L = 1
+        while p + L <= n and bits[p : p + L] in bits[: p + L - 1]:
+            L += 1
+        c += 1
+        p += min(L, n - p)
+    return c
+
+
+def lz_complexity(
+    samples: DataFrame, window_samples: int = 128, quant: int = 100
+) -> DataFrame:
+    """Lempel-Ziv complexity per (channel, window) — the EEG
+    compressibility measure (Lempel & Ziv 1976; the standard
+    anesthesia/consciousness-level metric next to permutation
+    entropy and BSR): binarize the window about its own median and
+    count LZ76 phrases; random signals approach n/log2(n) phrases,
+    regular ones stay near 2.
+
+    Determinism — all-integer until one fixed division: quantized
+    BIGINT values; the binarization threshold is the window's LOWER
+    MEDIAN order statistic (k = (ws+1) div 2-th smallest, one exact
+    integer, no even-count averaging) with ties-to-zero (xq > med);
+    the phrase count is exact integer string parsing (the kernel
+    above, replayed phrase-by-phrase by the oracle's recursive CTE);
+    the normalized score is c · log2(ws) / n with log2(ws) a
+    Python-evaluated literal.
+
+    Output: (channel, win, n, ones, c_phrases, lz_norm); ragged tail
+    windows are dropped (the hjorth rule).
+
+    Scale: one per-channel ranking window, then the parsing runs per
+    (channel, 64-window block) inside Arrow batches (the
+    sample_entropy grain — ~1 ms pandas overhead amortized over 64
+    windows); embarrassingly parallel, O(c·n²) string work bounded by
+    ws = 128.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ws = int(window_samples)
+    q = int(quant)
+    kmed = (ws + 1) // 2
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    wins_per_batch = 64
+    ranked = (
+        samples.select(
+            "channel",
+            "ts",
+            "value",
+            (F.row_number().over(w) - 1).alias("_rn"),
+            F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+        )
+        .withColumn("win", (F.col("_rn") / ws).cast("long"))
+        .withColumn("pos", (F.col("_rn") % ws).cast("long"))
+        .withColumn("_blk", (F.col("win") / wins_per_batch).cast("long"))
+    )
+
+    def run(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["win", "pos"])
+        wins, ones, cs = [], [], []
+        for win, g in pdf.groupby("win", sort=True):
+            if len(g) != ws:
+                continue
+            xq = g["xq"].to_numpy(dtype=np.int64)
+            med = int(np.sort(xq)[kmed - 1])
+            b = (xq > med).astype(np.uint8)
+            bits = "".join("1" if v else "0" for v in b)
+            wins.append(int(win))
+            ones.append(int(b.sum()))
+            cs.append(lz76_phrase_count(bits))
+        return pd.DataFrame(
+            {
+                "channel": pd.Series([key[0]] * len(wins), dtype=str),
+                "win": pd.Series(wins, dtype="int64"),
+                "n": pd.Series([ws] * len(wins), dtype="int64"),
+                "ones": pd.Series(ones, dtype="int64"),
+                "c_phrases": pd.Series(cs, dtype="int64"),
+            }
+        )
+
+    counts = ranked.groupBy("channel", "_blk").applyInPandas(
+        run,
+        schema="channel string, win long, n long, ones long, c_phrases long",
+    )
+    log2ws = repr(__import__("math").log2(ws))
+    return counts.withColumn(
+        "lz_norm",
+        F.expr(f"CAST(c_phrases AS DOUBLE) * {log2ws} / n"),
+    )

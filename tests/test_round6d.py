@@ -302,3 +302,68 @@ def test_permutation_entropy_ragged_tail_dropped(spark):
     rows = [("c", t, float(t * t % 7)) for t in range(11)]
     out = permutation_entropy(_samples(spark, rows), 8, 100).collect()
     assert len(out) == 1 and out[0].win == 0
+
+
+# --- Lempel-Ziv complexity ----------------------------------------------------
+
+def _lz76_kaspar_schuster(s: str) -> int:
+    """Independent reference: the Kaspar & Schuster (1987) pointer
+    algorithm, structurally different from the kernel's phrase parse."""
+    n = len(s)
+    if n == 0:
+        return 0
+    c, l, i, k, k_max = 1, 1, 0, 1, 1
+    while True:
+        if l + k - 1 >= n:
+            c += 1
+            break
+        if s[i + k - 1] == s[l + k - 1]:
+            k += 1
+        else:
+            k_max = max(k_max, k)
+            i += 1
+            if i == l:
+                c += 1
+                l += k_max
+                if l + 1 > n:
+                    break
+                i, k, k_max = 0, 1, 1
+            else:
+                k = 1
+    return c
+
+
+def test_lz76_kernel_vs_independent_reference():
+    import random
+
+    from pennsieve_streaming_spark.operators.stats import (
+        lz76_phrase_count,
+    )
+
+    assert lz76_phrase_count("0" * 16) == 2
+    assert lz76_phrase_count("01" * 8) == 3
+    assert lz76_phrase_count("0001101001000101") == 6  # K&S's example
+    rng = random.Random(11)
+    for trial in range(40):
+        n = rng.randrange(2, 160)
+        s = "".join(rng.choice("01") for _ in range(n))
+        assert lz76_phrase_count(s) == _lz76_kaspar_schuster(s), s
+
+
+def test_lz_complexity_windows(spark):
+    from pennsieve_streaming_spark.operators.stats import lz_complexity
+
+    rows = []
+    # channel "flat": constant -> bits all 0 -> c = 2
+    rows += [("flat", t, 5.0) for t in range(8)]
+    # channel "alt": alternating about the median -> c = 3
+    rows += [("alt", t, float(t % 2)) for t in range(8)]
+    # ragged tail on "alt" (3 extra samples) must be dropped
+    rows += [("alt", 8 + t, 9.0) for t in range(3)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = {r.channel: r for r in lz_complexity(df, 8, 100).collect()}
+    assert len(out) == 2
+    assert (out["flat"].c_phrases, out["flat"].ones) == (2, 0)
+    # median of [0,1]*4 is 0 (lower), bits = 01010101 -> ones 4, c 3
+    assert (out["alt"].c_phrases, out["alt"].ones) == (3, 4)
+    assert out["alt"].lz_norm == 3 * 3.0 / 8  # log2(8) literal
