@@ -1423,6 +1423,15 @@ def q_unigram_lm(spark, sf_dir):
     return unigram_lm_score(_docs(spark, sf_dir), k=0.5).drop("perplexity")
 
 
+def q_rake_keywords(spark, sf_dir):
+    """Top-3 RAKE keyphrases per document: stopword-delimited phrase
+    islands, degree/frequency word scores (one BIGINT division each),
+    position-ordered phrase-score fold."""
+    from pennsieve_streaming_spark.llm.text import rake_keywords
+
+    return rake_keywords(_docs(spark, sf_dir), 3)
+
+
 def q_readability(spark, sf_dir):
     """Flesch reading ease + Flesch-Kincaid grade per document:
     exact integer word/sentence/vowel-group counts, fixed float score
@@ -3501,7 +3510,7 @@ _R6_FRONT = [
     # round-6e additions (fifth session — never driver-sampled).
     "doc_perplexity_buckets", "ts_permutation_entropy",
     "ev_assoc_rules", "doc_readability", "mm_video_scene_cuts",
-    "ts_lz_complexity",
+    "ts_lz_complexity", "doc_rake_keywords",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3550,6 +3559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_curriculum_order": q_curriculum_order,
         "doc_perplexity_buckets": q_perplexity_buckets,
         "doc_readability": q_readability,
+        "doc_rake_keywords": q_rake_keywords,
         "ts_holt_anomalies": q_holt_anomalies,
         "mm_audio_fingerprint": q_audio_fingerprint,
         # round-6b
@@ -4767,6 +4777,74 @@ def oracle_sql() -> dict[str, str]:
                CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                     ELSE 'tail' END AS split
         FROM b
+        """
+
+    # RAKE: word scores are single BIGINT/BIGINT divisions; the
+    # phrase score folds member scores in POSITION order via
+    # list_reduce (the unigram_lm sequential-fold class); ranking
+    # ties break on the phrase text, a total order.
+    sql["doc_rake_keywords"] = f"""
+        WITH d AS (
+          SELECT doc_id, {TOKS} AS toks FROM documents
+          WHERE length(trim(text)) > 0
+        ),
+        tok AS (
+          SELECT doc_id, lower(UNNEST(toks)) AS w,
+                 UNNEST(generate_series(1, len(toks))) - 1 AS pos
+          FROM d
+        ),
+        ns AS (
+          SELECT doc_id, w, pos FROM tok
+          WHERE NOT list_contains([{_stop_arr}], w) AND w <> ''
+        ),
+        ph AS (
+          SELECT doc_id, w, pos,
+                 pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY pos) AS grp
+          FROM ns
+        ),
+        plen AS (
+          SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS n_words
+          FROM ph GROUP BY doc_id, grp
+        ),
+        phl AS (
+          SELECT ph.doc_id, ph.w, ph.pos, ph.grp, plen.n_words
+          FROM ph JOIN plen ON ph.doc_id = plen.doc_id
+               AND ph.grp = plen.grp
+        ),
+        wst AS (
+          SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS freq,
+                 CAST(SUM(n_words) AS BIGINT) AS deg
+          FROM phl GROUP BY doc_id, w
+        ),
+        sc AS (
+          SELECT phl.doc_id, phl.grp, phl.pos, phl.w, phl.n_words,
+                 CAST(wst.deg AS DOUBLE) / wst.freq AS wscore
+          FROM phl JOIN wst ON phl.doc_id = wst.doc_id
+               AND phl.w = wst.w
+        ),
+        phr AS (
+          SELECT doc_id, grp,
+                 string_agg(w, ' ' ORDER BY pos) AS phrase,
+                 MAX(n_words) AS n_words,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(wscore ORDER BY pos)), (a, b) -> a + b) AS score
+          FROM sc GROUP BY doc_id, grp
+        ),
+        uq AS (
+          SELECT doc_id, phrase,
+                 CAST(MAX(n_words) AS BIGINT) AS n_words,
+                 MAX(score) AS score
+          FROM phr GROUP BY doc_id, phrase
+        ),
+        r AS (
+          SELECT doc_id, phrase, n_words, score,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, phrase) AS BIGINT) AS rank
+          FROM uq
+        )
+        SELECT doc_id, phrase, n_words, score, rank FROM r
+        WHERE rank <= 3
         """
 
     # Readability: integer word/sentence/vowel-group counts mirrored

@@ -932,3 +932,82 @@ def readability(documents: DataFrame) -> DataFrame:
         F.expr(RD_FLESCH).alias("flesch"),
         F.expr(RD_FK_GRADE).alias("fk_grade"),
     )
+
+
+def rake_keywords(documents: DataFrame, k: int = 3) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — the unsupervised
+    per-document keyphrase baseline: candidate phrases are maximal
+    runs of non-stopword tokens; each word scores degree/frequency
+    (degree = total length of the phrases it appears in — co-occurring
+    words inherit their phrases' weight); a phrase scores the sum of
+    its member word scores; the top ``k`` phrases per document ship.
+
+    Determinism: freq and degree are exact integer aggregates; each
+    word score is one BIGINT/BIGINT division (bit-identical IEEE in
+    both engines); the phrase score folds the member scores in
+    POSITION order (the unigram_lm sequential-fold class), so no
+    order-dependent float summation exists; ranking ties break on the
+    phrase text.
+
+    Scale: tokens explode once; phrase islands come from a per-doc
+    window (documents are bounded-length rows, so the per-doc
+    partition is bounded); word stats are one partial-agg groupBy on
+    (doc_id, word); the fold runs over collected per-phrase structs
+    (phrases are short by construction). Only (doc_id, word/phrase)
+    rows ever shuffle.
+
+    Output: (doc_id, phrase, n_words, score, rank), rank 1..k per doc.
+    """
+    from pyspark.sql import Window
+
+    kk = int(k)
+    stop = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    toks = documents.filter(F.expr("length(trim(text)) > 0")).select(
+        "doc_id",
+        F.posexplode(F.expr(f"transform({TOKS}, t -> lower(t))")).alias(
+            "pos", "w"
+        ),
+    )
+    nonstop = toks.filter(
+        F.expr(f"NOT array_contains(array({stop}), w) AND w <> ''")
+    )
+    dw = Window.partitionBy("doc_id").orderBy("pos")
+    ph = nonstop.withColumn(
+        "grp", F.col("pos") - F.row_number().over(dw)
+    )
+    plen = ph.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words")
+    )
+    ph = ph.join(plen, ["doc_id", "grp"])
+    wstats = ph.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("n_words").cast("long").alias("deg"),
+    )
+    scored = ph.join(wstats, ["doc_id", "w"]).withColumn(
+        "wscore", F.expr("CAST(deg AS DOUBLE) / freq")
+    )
+    phrases = scored.groupBy("doc_id", "grp").agg(
+        F.expr(
+            "concat_ws(' ', transform(sort_array(collect_list("
+            "struct(pos, w))), e -> e.w))"
+        ).alias("phrase"),
+        F.max("n_words").alias("n_words"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list("
+            "struct(pos, wscore))), e -> e.wscore), "
+            "CAST(0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("score"),
+    )
+    # duplicate phrases in one doc collapse to one candidate (they
+    # score identically by construction)
+    uniq = phrases.groupBy("doc_id", "phrase").agg(
+        F.max("n_words").alias("n_words"), F.max("score").alias("score")
+    )
+    rw = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("phrase")
+    )
+    return (
+        uniq.withColumn("rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rank") <= kk)
+        .select("doc_id", "phrase", "n_words", "score", "rank")
+    )

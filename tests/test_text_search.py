@@ -469,3 +469,43 @@ def test_collocations_pmi_semantics(spark):
     assert abs(r.pmi - want) < 1e-9
     assert "rare pair" not in out          # min_count = 3 > 2
     assert all(b != "y x" or out[b].pmi < 1.0 for b in out)
+
+
+def test_rake_keywords_golden(spark):
+    """Hand-computed RAKE: degree counts phrase lengths with
+    multiplicity; the co-occurring word lifts its phrases; ties break
+    on phrase text; stopword-only docs vanish."""
+    from pennsieve_streaming_spark.llm.text import rake_keywords
+
+    rows = [
+        (1, "deep learning of the deep network"),
+        (2, "the of and"),            # all stopwords -> no phrases
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = rake_keywords(df, 3).collect()
+    d1 = sorted(
+        [(r.phrase, r.n_words, r.score, r.rank) for r in out if r.doc_id == 1]
+    )
+    # freq: deep 2, learning 1, network 1; deg: deep 4, learning 2,
+    # network 2 -> wscores 2.0 each -> both phrases score 4.0
+    assert d1 == [
+        ("deep learning", 2, 4.0, 1),
+        ("deep network", 2, 4.0, 2),
+    ]
+    assert not [r for r in out if r.doc_id == 2]
+    d3 = [r for r in out if r.doc_id == 3]
+    assert len(d3) == 1 and d3[0].phrase == "solo" and d3[0].score == 1.0
+
+
+def test_rake_keywords_case_folding(spark):
+    from pennsieve_streaming_spark.llm.text import rake_keywords
+
+    df = spark.createDataFrame(
+        [(1, "Graph THE graph")], "doc_id long, text string"
+    )
+    out = rake_keywords(df, 3).collect()
+    # "Graph" and "graph" are one word; two 1-word phrases collapse
+    assert len(out) == 1
+    r = out[0]
+    assert (r.phrase, r.score) == ("graph", 1.0)
