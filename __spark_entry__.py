@@ -1088,6 +1088,17 @@ def q_cosine_topk(spark, sf_dir):
     return cosine_topk(embs, embs.filter(F.col("vec_id") < 20), k=5)
 
 
+def q_mips_topk(spark, sf_dir):
+    """Exact top-5 maximum-inner-product neighbors per query vector —
+    the unnormalized retrieval score (dual-encoder / recommender
+    ranking); queries broadcast, corpus never shuffles, partial top-k
+    before the single exchange (the cosine_topk plan shape)."""
+    from pennsieve_streaming_spark.llm.similarity import mips_topk
+
+    embs = _embs(spark, sf_dir)
+    return mips_topk(embs, embs.filter(F.col("vec_id") < 20), k=5)
+
+
 TRUNC_DIM = 16  # matryoshka prefix: first 16 of the 64 dims
 
 
@@ -3510,7 +3521,7 @@ _R6_FRONT = [
     # round-6e additions (fifth session — never driver-sampled).
     "doc_perplexity_buckets", "ts_permutation_entropy",
     "ev_assoc_rules", "doc_readability", "mm_video_scene_cuts",
-    "ts_lz_complexity", "doc_rake_keywords",
+    "ts_lz_complexity", "doc_rake_keywords", "emb_mips_topk",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3747,6 +3758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embeddings / ANN
         "emb_norms": q_emb_norms,
         "emb_cosine_topk": q_cosine_topk,
+        "emb_mips_topk": q_mips_topk,
         "emb_ann_lsh": q_ann_lsh,
         "emb_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "emb_ann_ivf": q_ann_ivf,
@@ -9473,6 +9485,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, rank, cosine FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                      ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+        """
+
+    sql["emb_mips_topk"] = """
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 list_dot_product(qv, v) AS dot
+          FROM q JOIN c ON query_id != neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank, dot FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY dot DESC, neighbor_id) AS rank
           FROM scored
         ) WHERE rank <= 5
         """

@@ -1211,3 +1211,50 @@ def kmeans_silhouette(
             ).alias("mean_sil"),
         )
     )
+
+
+def mips_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k MAXIMUM INNER PRODUCT neighbors per query — the
+    score retrieval systems actually rank by when embeddings carry
+    meaningful norms (recommendation / dual-encoder retrieval), where
+    cosine's normalization throws the popularity/confidence signal
+    away. Same plan shape as :func:`cosine_topk`: queries broadcast,
+    corpus never shuffles, per-task ``partial_topk`` before the one
+    global rank exchange.
+
+    Determinism: the dot product is the sequential index-order fold
+    (DOT, shared with every oracle); no normalization, so the only
+    floats are the fold itself.
+
+    Output: (query_id, neighbor_id, rank, dot).
+    """
+    corpus = ensure_parallelism(
+        _as_double(embeddings, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
+        )
+    )
+    qs = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q")
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dot", F.expr(DOT.format(a="q", b="v")))
+        .select("query_id", "neighbor_id", "dot")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial_topk(scored, k, metric="dot")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dot")
+    )

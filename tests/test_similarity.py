@@ -593,3 +593,20 @@ def test_kmeans_silhouette_separates_tight_from_boundary(spark):
     assert out[1].mean_sil == 1.0
     want = (1.0 + (6.0 - 4.0) / 6.0) / 2
     assert abs(out[0].mean_sil - want) < 1e-8
+
+
+def test_mips_topk_ranks_by_raw_dot_not_cosine(spark):
+    """A high-norm vector must win MIPS even when a unit vector wins
+    cosine — the signal normalization erases."""
+    from pennsieve_streaming_spark.llm.similarity import mips_topk
+
+    rows = [
+        (0, [1.0, 0.0]),            # query
+        (1, [0.9, 0.1]),            # near-unit, cosine-best
+        (2, [10.0, -4.0]),          # big norm, dot-best
+        (3, [0.0, 1.0]),            # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mips_topk(df, df.filter("vec_id = 0"), k=2).collect()
+    got = [(r.rank, r.neighbor_id, r.dot) for r in sorted(out, key=lambda r: r.rank)]
+    assert got == [(1, 2, 10.0), (2, 1, 0.9)]
