@@ -1917,6 +1917,16 @@ def q_ab_conversion(spark, sf_dir):
     return ab_conversion_test(_user_events(spark, sf_dir), "purchase")
 
 
+def q_ab_srm(spark, sf_dir):
+    """Sample-ratio-mismatch guardrail per exposure surface: exposed
+    users per event_type split by the hash assignment must be 50/50;
+    exact integer counts, one fixed chi-square expression, flag vs
+    the 3.841 chi-square(1) literal."""
+    from pennsieve_streaming_spark.operators.analytics import ab_srm_check
+
+    return ab_srm_check(_user_events(spark, sf_dir))
+
+
 def q_linear_attribution(spark, sf_dir):
     """Linear multi-touch attribution of purchases: each conversion
     splits one credit unit equally over the touches in its
@@ -3522,6 +3532,7 @@ _R6_FRONT = [
     "doc_perplexity_buckets", "ts_permutation_entropy",
     "ev_assoc_rules", "doc_readability", "mm_video_scene_cuts",
     "ts_lz_complexity", "doc_rake_keywords", "emb_mips_topk",
+    "ev_ab_srm",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3579,6 +3590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_rfm": q_rfm_scores,
         "ev_gini": q_gini,
         "ev_assoc_rules": q_assoc_rules,
+        "ev_ab_srm": q_ab_srm,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -5921,6 +5933,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT n.src_type, n.n_out, n.distinct_dst,
                -(CAST(hq.hq AS DOUBLE) / 1000000000) / n.n_out AS entropy
         FROM n JOIN hq USING (src_type)
+        """
+
+    from pennsieve_streaming_spark.operators.analytics import (
+        SRM_CHI2 as _SRM_CHI2,
+        SRM_CRIT as _SRM_CRIT,
+    )
+
+    sql["ev_ab_srm"] = f"""
+        WITH exposed AS (
+          SELECT DISTINCT event_type, user_id FROM events
+        ),
+        g AS (
+          SELECT event_type,
+                 CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_total
+          FROM exposed GROUP BY event_type
+        )
+        SELECT event_type, n_a, n_b, n_total,
+               {_SRM_CHI2} AS chi2,
+               {_SRM_CHI2} > {_SRM_CRIT} AS srm
+        FROM g
         """
 
     sql["ev_ab_conversion"] = """

@@ -947,3 +947,55 @@ def assoc_rules(events: DataFrame, min_support_users: int = 5) -> DataFrame:
         F.expr(AR_CONFIDENCE).alias("confidence"),
         F.expr(AR_LIFT).alias("lift"),
     )
+
+
+# Fixed float finish for the SRM chi-square (1 df, equal-split null):
+# with d = n_a − n/2, chi² = d²/E_a + d²/E_b = 4d²/n. Shared verbatim
+# with the oracle; 3.841 is the 95% chi²(1) critical value literal.
+SRM_CHI2 = (
+    "CASE WHEN n_total > 0 THEN "
+    "4.0 * (CAST(n_a AS DOUBLE) - CAST(n_total AS DOUBLE) / 2) "
+    "* (CAST(n_a AS DOUBLE) - CAST(n_total AS DOUBLE) / 2) "
+    "/ n_total END"
+)
+SRM_CRIT = "3.841"
+
+
+def ab_srm_check(events: DataFrame) -> DataFrame:
+    """Sample-ratio-mismatch guardrail per exposure surface — THE
+    experimentation health check that must pass before any A/B
+    readout (a biased assignment invalidates ev_ab_conversion's z
+    test): for each event_type, the users exposed to it split by the
+    hash assignment (user_id % 2) should be 50/50; the chi-square
+    statistic against that null flags broken bucketing, bot traffic,
+    or logging loss.
+
+    Determinism: exposure is a distinct projection; the two variant
+    counts are exact BIGINTs; chi² is one fixed float expression
+    (SRM_CHI2) and the flag one comparison against the 3.841 literal
+    (95% chi²(1)).
+
+    Scale: one partial-agg distinct on (event_type, user_id), one
+    groupBy to |event_types| rows. Nothing after the dedup exceeds
+    the type cardinality.
+
+    Output: (event_type, n_a, n_b, n_total, chi2, srm).
+    """
+    exposed = events.select("event_type", "user_id").distinct()
+    g = exposed.groupBy("event_type").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    return g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "n_total",
+        F.expr(SRM_CHI2).alias("chi2"),
+        F.expr(f"{SRM_CHI2} > {SRM_CRIT}").alias("srm"),
+    )

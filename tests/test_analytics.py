@@ -503,3 +503,27 @@ def test_assoc_rules_lift_direction(spark):
     assert ba.confidence == 8 / 9                  # one B-only user
     assert ("A", "C") not in out and ("C", "A") not in out
     assert ab.support == 8 / 17
+
+
+def test_ab_srm_flags_planted_mismatch(spark):
+    """An 80/20 split must trip the chi-square guardrail; a 50/50
+    surface must not; duplicate events never double-count a user."""
+    from pennsieve_streaming_spark.operators.analytics import ab_srm_check
+
+    rows = []
+    # "good": users 0..19 exposed (10 even / 10 odd), with dup events
+    for u in range(20):
+        rows += [(u, "good"), (u, "good")]
+    # "broken": 16 even users, 4 odd -> d=6, chi2 = 4*36/20 = 7.2
+    for u in range(0, 32, 2):
+        rows.append((u, "broken"))
+    for u in (1, 3, 5, 7):
+        rows.append((u, "broken"))
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {r.event_type: r for r in ab_srm_check(ev).collect()}
+
+    good = out["good"]
+    assert (good.n_a, good.n_b, good.chi2, good.srm) == (10, 10, 0.0, False)
+    broken = out["broken"]
+    assert (broken.n_a, broken.n_b, broken.n_total) == (16, 4, 20)
+    assert abs(broken.chi2 - 7.2) < 1e-12 and broken.srm is True
