@@ -1313,6 +1313,15 @@ def q_image_quality(spark, sf_dir):
     return quality_synthetic(_docs(spark, sf_dir))
 
 
+def q_image_ssim(spark, sf_dir):
+    """Global SSIM between each synthetic field and its planted
+    contrast/2 +40 degradation: exact BIGINT pixel moments (oracle
+    replays the closed form), one shared fixed SSIM expression."""
+    from pennsieve_streaming_spark.llm.imagehash import ssim_synthetic
+
+    return ssim_synthetic(_docs(spark, sf_dir))
+
+
 def q_image_phash(spark, sf_dir):
     """64-bit DCT perceptual hash (pHash) per media item: integer
     bilinear DCT forms against Python-quantized basis tables, lower
@@ -3532,7 +3541,7 @@ _R6_FRONT = [
     "doc_perplexity_buckets", "ts_permutation_entropy",
     "ev_assoc_rules", "doc_readability", "mm_video_scene_cuts",
     "ts_lz_complexity", "doc_rake_keywords", "emb_mips_topk",
-    "ev_ab_srm",
+    "ev_ab_srm", "mm_image_ssim",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3612,6 +3621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_kleinberg_bursts": q_kleinberg_bursts,
         "ev_ab_conversion": q_ab_conversion,
         "mm_image_phash": q_image_phash,
+        "mm_image_ssim": q_image_ssim,
         "mm_image_quality": q_image_quality,
         "mm_gif_roundtrip": q_gif_roundtrip,
         "mm_video_scene_cuts": q_video_scene_cuts,
@@ -9674,6 +9684,38 @@ def oracle_sql() -> dict[str, str]:
                CAST({_SC_F} AS BIGINT) AS n_frames,
                CAST(4 + doc_id % 5 AS BIGINT) AS cut_idx
         FROM documents
+        """
+
+    # SSIM: the degradation and the SSIM finish are both imported from
+    # the operator module verbatim; the sums replay the closed form.
+    from pennsieve_streaming_spark.llm.imagehash import (
+        SSIM_DEGRADE as _SSIM_DEG,
+        SSIM_EXPR as _SSIM_EXPR,
+    )
+
+    sql["mm_image_ssim"] = f"""
+        WITH px AS (
+          SELECT doc_id,
+                 (doc_id * {_IH_A} + i * {_IH_B} + j * {_IH_C}) % {_IH_M}
+                   AS x
+          FROM documents,
+               UNNEST(generate_series(0, {_IH_H - 1})) AS ti(i),
+               UNNEST(generate_series(0, {_IH_W - 1})) AS tj(j)
+        ),
+        deg AS (SELECT doc_id, x, {_SSIM_DEG} AS y FROM px),
+        g AS (
+          SELECT doc_id AS media_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_px,
+                 CAST(SUM(x) AS BIGINT) AS sum_x,
+                 CAST(SUM(y) AS BIGINT) AS sum_y,
+                 CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+                 CAST(SUM(y * y) AS BIGINT) AS sum_yy,
+                 CAST(SUM(x * y) AS BIGINT) AS sum_xy
+          FROM deg GROUP BY doc_id
+        )
+        SELECT media_id, n_px, sum_x, sum_y, sum_xx, sum_yy, sum_xy,
+               {_SSIM_EXPR} AS ssim
+        FROM g
         """
 
     _ihg = f"(doc_id * {_IH_A} + {{i}} * {_IH_B} + {{j}} * {_IH_C}) % {_IH_M}"

@@ -297,3 +297,86 @@ def quality_synthetic(documents: DataFrame) -> DataFrame:
             "/ (CAST(n_lap AS DOUBLE) * CAST(n_lap AS DOUBLE)), 9)"
         ).alias("lap_var"),
     )
+
+
+# Global SSIM (Wang et al. 2004, single-window variant) as ONE fixed
+# float expression over five exact BIGINT pixel sums — shared verbatim
+# with the DuckDB oracle. C1 = (0.01*255)^2, C2 = (0.03*255)^2 as
+# decimal literals (Spark's DECIMAL parse casts to the same nearest
+# double DuckDB parses directly). Population variances (/N).
+_SSIM_MX = "(CAST(sum_x AS DOUBLE) / n_px)"
+_SSIM_MY = "(CAST(sum_y AS DOUBLE) / n_px)"
+SSIM_EXPR = (
+    f"((2 * {_SSIM_MX} * {_SSIM_MY} + 6.5025) "
+    f"* (2 * (CAST(sum_xy AS DOUBLE) / n_px - {_SSIM_MX} * {_SSIM_MY}) "
+    f"+ 58.5225)) "
+    f"/ (({_SSIM_MX} * {_SSIM_MX} + {_SSIM_MY} * {_SSIM_MY} + 6.5025) "
+    f"* (CAST(sum_xx AS DOUBLE) / n_px - {_SSIM_MX} * {_SSIM_MX} "
+    f"+ CAST(sum_yy AS DOUBLE) / n_px - {_SSIM_MY} * {_SSIM_MY} "
+    f"+ 58.5225))"
+)
+
+# The planted degradation for the driver-gated query: halve contrast,
+# +40 brightness — integer-exact (no clipping: x <= 255 -> y <= 167),
+# so the oracle replays it closed-form.
+SSIM_DEGRADE = "x // 2 + 40"
+
+
+def ssim_sums(x: "np.ndarray", y: "np.ndarray"):
+    """Exact integer sums feeding SSIM_EXPR — the kernel both the
+    Spark path and the goldens call."""
+    xl = x.astype(np.int64)
+    yl = y.astype(np.int64)
+    return (
+        int(xl.size),
+        int(xl.sum()),
+        int(yl.sum()),
+        int((xl * xl).sum()),
+        int((yl * yl).sum()),
+        int((xl * yl).sum()),
+    )
+
+
+def ssim_synthetic(documents: DataFrame) -> DataFrame:
+    """(doc_id) → global SSIM between the synthetic luminance field
+    and its planted degradation (contrast/2, +40 brightness) — the
+    full-reference image-quality metric next to the no-reference pair
+    (quality_synthetic): the luminance term penalizes the shift, the
+    contrast term the halving, the structure term stays ~1 (same
+    pattern). All five moments are exact BIGINT sums the oracle
+    replays from the field's closed form; SSIM is the one shared
+    fixed expression. Swap the degraded field for a second decoded
+    frame for real corpora (the dhash_synthetic plumbing contract).
+
+    Output: (media_id, n_px, sum_x, sum_y, sum_xx, sum_yy, sum_xy,
+    ssim).
+    """
+    from pyspark.sql import functions as F
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {
+                "media_id": [], "n_px": [], "sum_x": [], "sum_y": [],
+                "sum_xx": [], "sum_yy": [], "sum_xy": [],
+            }
+            for d in pdf["doc_id"]:
+                x = synthetic_gray(int(d))
+                y = x // 2 + 40
+                n, sx, sy, sxx, syy, sxy = ssim_sums(x, y)
+                out["media_id"].append(int(d))
+                out["n_px"].append(n)
+                out["sum_x"].append(sx)
+                out["sum_y"].append(sy)
+                out["sum_xx"].append(sxx)
+                out["sum_yy"].append(syy)
+                out["sum_xy"].append(sxy)
+            yield pd.DataFrame(out)
+
+    sums = documents.select("doc_id").mapInPandas(
+        run,
+        "media_id long, n_px long, sum_x long, sum_y long, "
+        "sum_xx long, sum_yy long, sum_xy long",
+    )
+    return sums.withColumn("ssim", F.expr(SSIM_EXPR))

@@ -267,3 +267,41 @@ def test_quality_synthetic_survives_empty_partitions(spark):
     ).repartition(8)
     rows = quality_synthetic(docs).collect()
     assert len(rows) == 1 and rows[0].n_px == 288
+
+
+def test_ssim_identity_and_degradation_ordering(spark):
+    """SSIM(x, x) = 1 exactly; the planted degradation lands strictly
+    below 1; sums match an independent numpy evaluation of the Wang
+    formula."""
+    import numpy as np
+
+    from pennsieve_streaming_spark.llm.imagehash import (
+        ssim_synthetic,
+        ssim_sums,
+        synthetic_gray,
+    )
+
+    docs = spark.createDataFrame([(0,), (7,)], "doc_id long")
+    out = {r.media_id: r for r in ssim_synthetic(docs).collect()}
+    for d, r in out.items():
+        assert 0.0 < r.ssim < 1.0
+        x = synthetic_gray(d).astype(np.float64)
+        y = np.floor(x / 2) + 40
+        n = x.size
+        mx, my = x.mean(), y.mean()
+        vx, vy = (x * x).mean() - mx * mx, (y * y).mean() - my * my
+        cov = (x * y).mean() - mx * my
+        ref = ((2 * mx * my + 6.5025) * (2 * cov + 58.5225)) / (
+            (mx * mx + my * my + 6.5025) * (vx + vy + 58.5225)
+        )
+        assert abs(r.ssim - ref) < 1e-9, (d, r.ssim, ref)
+
+    # identity: plug x = y sums into the same formula -> exactly 1
+    x = synthetic_gray(3)
+    n, sx, sy, sxx, syy, sxy = ssim_sums(x, x)
+    mx = sx / n
+    vx = sxx / n - mx * mx
+    ssim_id = ((2 * mx * mx + 6.5025) * (2 * vx + 58.5225)) / (
+        (2 * mx * mx + 6.5025) * (2 * vx + 58.5225)
+    )
+    assert ssim_id == 1.0
