@@ -3063,6 +3063,24 @@ def q_burst_suppression(spark, sf_dir):
     )
 
 
+UP_PERIODS = (21_600_000_000, 43_200_000_000, 86_400_000_000,
+              604_800_000_000)  # 6h, 12h, 1d, 7d candidate periods
+UP_K = 256
+
+
+def q_uneven_periodogram(spark, sf_dir):
+    """Schuster periodogram at 6h/12h/1d/7d candidate periods over
+    the RAW uneven timestamps (the gap-tolerant Lomb-Scargle-style
+    screen the dense-grid DFT family cannot express): median-centered
+    BIGINT values x shared integer phase-bin trig literals -> exact
+    order-free sums, one fixed float power expression."""
+    from pennsieve_streaming_spark.dsp.spectral import uneven_periodogram
+
+    return uneven_periodogram(
+        TBL.samples_view(spark, sf_dir), UP_PERIODS, UP_K, SE_QUANT
+    )
+
+
 def q_lz_complexity(spark, sf_dir):
     """Lempel-Ziv (LZ76) complexity per (channel, 128-sample window):
     median-binarized exact phrase parsing (integer end-to-end; the
@@ -3541,7 +3559,7 @@ _R6_FRONT = [
     "doc_perplexity_buckets", "ts_permutation_entropy",
     "ev_assoc_rules", "doc_readability", "mm_video_scene_cuts",
     "ts_lz_complexity", "doc_rake_keywords", "emb_mips_topk",
-    "ev_ab_srm", "mm_image_ssim",
+    "ev_ab_srm", "mm_image_ssim", "ts_uneven_periodogram",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3614,6 +3632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_sample_entropy": q_sample_entropy,
         "ts_permutation_entropy": q_permutation_entropy,
         "ts_lz_complexity": q_lz_complexity,
+        "ts_uneven_periodogram": q_uneven_periodogram,
         "ts_hjorth": q_hjorth,
         "ts_line_length": q_line_length,
         "ts_tkeo_energy": q_tkeo_energy,
@@ -7472,6 +7491,63 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT channel, win, n, nt, c0, c1, c2, c3, c4, c5,
                {_PE_NORM} AS pe_norm
+        FROM g
+        """,
+        "samples",
+    )
+
+    # Uneven-timestamp periodogram: identical integer phase-bin trig
+    # literals (phase_tables) and the shared power finish; the median
+    # centering mirrors ts_line_length's order statistic.
+    from pennsieve_streaming_spark.dsp.spectral import (
+        periodogram_power_expr as _up_power,
+        phase_tables as _up_tables,
+    )
+
+    _up_cq, _up_sq = _up_tables(UP_K)
+    _up_p = ", ".join(str(int(p)) for p in UP_PERIODS)
+    sql["ts_uneven_periodogram"] = with_views(
+        f"""
+        WITH rk AS (
+          SELECT channel, ts, value,
+                 CAST(round(value * {SE_QUANT}) AS BIGINT) AS xq
+          FROM samples
+        ),
+        cnt AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n FROM rk
+          GROUP BY channel
+        ),
+        medr AS (
+          SELECT channel, xq, ts, value,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY xq, ts, value) AS ar
+          FROM rk
+        ),
+        med AS (
+          SELECT m.channel, m.xq AS med_q
+          FROM medr m JOIN cnt c ON m.channel = c.channel
+          WHERE m.ar = (c.n + 1) // 2
+        ),
+        pp AS (SELECT UNNEST([{_up_p}]) AS period_us),
+        ctab AS (SELECT [{", ".join(str(v) for v in _up_cq)}] AS cq,
+                        [{", ".join(str(v) for v in _up_sq)}] AS sq),
+        t AS (
+          SELECT r.channel, p.period_us, (r.xq - m.med_q) AS xc,
+                 CAST((r.ts % p.period_us) * {UP_K} // p.period_us
+                      AS INTEGER) AS idx
+          FROM rk r JOIN med m ON r.channel = m.channel
+          CROSS JOIN pp p
+        ),
+        g AS (
+          SELECT channel, CAST(period_us AS BIGINT) AS period_us,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(xc * cq[idx + 1]) AS BIGINT) AS sc,
+                 CAST(SUM(xc * sq[idx + 1]) AS BIGINT) AS ss
+          FROM t CROSS JOIN ctab
+          GROUP BY channel, period_us
+        )
+        SELECT channel, period_us, n, sc, ss,
+               {_up_power(SE_QUANT)} AS power
         FROM g
         """,
         "samples",

@@ -978,3 +978,120 @@ def phase_amplitude_coupling(
             F.expr(f"round(({ln8} - _h) / {ln8}, 9)").alias("mi"),
         )
     )
+
+
+def phase_tables(k: int = 256, quant: int = 10**6) -> tuple[list[int], list[int]]:
+    """Quantized phase-binned trig tables for the UNEVEN-timestamp
+    periodogram: ``round(cos/sin(2*pi*m/k) * quant)`` for m = 0..k-1,
+    generated once in Python so both engines consume the identical
+    INTEGER literals — after this every product and sum is exact
+    BIGINT arithmetic."""
+    cq = [int(round(math.cos(2.0 * math.pi * m / k) * quant)) for m in range(k)]
+    sq = [int(round(math.sin(2.0 * math.pi * m / k) * quant)) for m in range(k)]
+    return cq, sq
+
+
+def periodogram_power_expr(quant: int) -> str:
+    """The fixed float finish of :func:`uneven_periodogram` over the
+    exact BIGINT sums (sc, ss, n) — shared verbatim with the oracle."""
+    denom = f"({int(quant)}.0 * 1000000.0 * n)"
+    return (
+        f"(CAST(sc AS DOUBLE) / {denom}) * (CAST(sc AS DOUBLE) / {denom})"
+        f" + (CAST(ss AS DOUBLE) / {denom}) * (CAST(ss AS DOUBLE) / {denom})"
+    )
+
+
+def uneven_periodogram(
+    samples: DataFrame,
+    periods_us: tuple = (21_600_000_000, 43_200_000_000,
+                         86_400_000_000, 604_800_000_000),
+    k: int = 256,
+    quant: int = 100,
+) -> DataFrame:
+    """Schuster periodogram at candidate periods over RAW, UNEVENLY
+    SPACED timestamps — the gap-tolerant periodicity screen the
+    index-based :func:`dft_sums` family cannot express (it assumes a
+    dense per-window sample grid; real recordings have dropouts and
+    irregular rates — Lomb 1976 / Scargle 1982 is the classical fix,
+    and this is its Schuster |Σ x·e^{−iωt}|²/n² form):
+
+        power(P) = (Σ xc·cos(2π·(ts mod P)/P) / (q_trig·q·n))²
+                 + (the sine sum likewise)²
+
+    Determinism: values quantize to BIGINT (xq), centered by the
+    per-channel MEDIAN order statistic (exact integer detrending —
+    without it the DC mass of a positive-valued series swamps every
+    line); the phase maps to one of ``k`` bins by integer arithmetic
+    ((ts mod P)·k div P); the trig factors are the shared INTEGER
+    literal tables (phase_tables), so sc/ss are exact order-free
+    BIGINT sums and the power is one fixed float expression.
+    Envelope: |xc·cq| ≤ 2·10⁷·quant·10⁶ ⇒ sums are BIGINT-safe to
+    ~4×10⁵ samples/channel at |value| ≤ 2·10⁵, quant=100 — wider
+    corpora need a smaller quant (the welch_psd rule).
+
+    Output: (channel, period_us, n, sc, ss, power) — one row per
+    channel × candidate period.
+
+    Plan: the median side-table (two per-channel window passes, the
+    line_length shape) + ONE partial-agg groupBy per channel
+    computing all 2·|periods| sums at once (no explode — the scan is
+    read once), then a constant-width stack to rows. |channels| rows
+    ever shuffle.
+    """
+    kk = int(k)
+    q = int(quant)
+    cq, sq = phase_tables(kk)
+    cos_arr = "array(" + ", ".join(str(v) + "L" for v in cq) + ")"
+    sin_arr = "array(" + ", ".join(str(v) + "L" for v in sq) + ")"
+
+    ranked = samples.select(
+        "channel",
+        "ts",
+        "value",
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    )
+    aw = Window.partitionBy("channel").orderBy("xq", "ts", "value")
+    cnt = ranked.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    med = (
+        ranked.withColumn("_ar", F.row_number().over(aw).cast("long"))
+        .join(F.broadcast(cnt), "channel")
+        .filter(F.expr("_ar = (_n + 1) div 2"))
+        .select("channel", F.col("xq").alias("med_q"))
+    )
+    d = ranked.join(F.broadcast(med), "channel").withColumn(
+        "xc", F.col("xq") - F.col("med_q")
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for p in periods_us:
+        idx = f"CAST((ts % {int(p)}) * {kk} div {int(p)} AS INT)"
+        aggs.append(
+            F.sum(F.expr(f"xc * element_at({cos_arr}, {idx} + 1)"))
+            .cast("long")
+            .alias(f"sc_{int(p)}")
+        )
+        aggs.append(
+            F.sum(F.expr(f"xc * element_at({sin_arr}, {idx} + 1)"))
+            .cast("long")
+            .alias(f"ss_{int(p)}")
+        )
+    g = d.groupBy("channel").agg(*aggs)
+    stack = ", ".join(
+        f"{int(p)}L, sc_{int(p)}, ss_{int(p)}" for p in periods_us
+    )
+    rows = g.select(
+        "channel",
+        "n",
+        F.expr(
+            f"stack({len(periods_us)}, {stack}) AS (period_us, sc, ss)"
+        ),
+    )
+    return rows.select(
+        "channel",
+        "period_us",
+        "n",
+        "sc",
+        "ss",
+        F.expr(periodogram_power_expr(q)).alias("power"),
+    )

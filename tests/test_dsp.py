@@ -734,3 +734,43 @@ def test_pac_detects_planted_nesting(spark):
     assert out["uniform"].mi < 0.05
     assert out["uniform"].n_octants_nz == 8
     assert out["coupled"].mi > 10 * out["uniform"].mi
+
+
+def test_uneven_periodogram_finds_planted_period(spark):
+    """A daily sinusoid sampled at IRREGULAR times must put its power
+    at the 1-day candidate, orders above the off-periods — the
+    gap-tolerance the dense-grid DFT family lacks."""
+    import math
+    import random
+
+    from pennsieve_streaming_spark.dsp.spectral import uneven_periodogram
+
+    day = 86_400_000_000
+    rng = random.Random(5)
+    rows = []
+    t = 0
+    for _ in range(600):
+        t += rng.randrange(1_000_000_000, 9_000_000_000)  # uneven gaps
+        v = 100.0 * math.sin(2 * math.pi * (t % day) / day)
+        rows.append(("c", t, v))
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = {
+        r.period_us: r.power
+        for r in uneven_periodogram(df, (day // 4, day, 7 * day), 256, 100)
+        .collect()
+    }
+    assert out[day] > 100 * out[day // 4]
+    assert out[day] > 100 * out[7 * day]
+    # amplitude recovery: |X|/n for a sine of amplitude A is ~A/2
+    assert abs(out[day] ** 0.5 - 50.0) < 5.0
+
+
+def test_uneven_periodogram_median_centering_kills_dc(spark):
+    """A constant signal (pure DC) must show ~zero power everywhere —
+    the median centering removes the offset exactly."""
+    from pennsieve_streaming_spark.dsp.spectral import uneven_periodogram
+
+    rows = [("c", 1_000_000_000 * (t * t + 3), 42.5) for t in range(50)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    for r in uneven_periodogram(df, (86_400_000_000,), 256, 100).collect():
+        assert r.sc == 0 and r.ss == 0 and r.power == 0.0
