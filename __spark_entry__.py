@@ -1817,6 +1817,27 @@ def q_autocorrelation(spark, sf_dir):
     return channel_autocorrelation(aligned, ACF_LAGS_US, CORR_QUANT)
 
 
+LB_LAGS_US = tuple(GRID_INTERVAL_US * k for k in range(1, 6))
+
+
+def q_ljungbox(spark, sf_dir):
+    """Ljung-Box whiteness test per channel over the LOCF day grid
+    (lags 1..5 days): bit-identical pairwise-Pearson ACFs, exact
+    overlap counts, one fixed-order Q expression vs the chi-square(5)
+    literal — the residual diagnostic of the AR/Holt/seasonal family."""
+    from pennsieve_streaming_spark.operators.align import asof_locf
+    from pennsieve_streaming_spark.operators.stats import (
+        ljung_box_whiteness,
+    )
+
+    s = TBL.samples_view(spark, sf_dir).filter(
+        F.col("channel").isin(*GRID_CHANNELS)
+    )
+    _, grid = _grid(spark, sf_dir)
+    aligned = asof_locf(s, grid).select("channel", "ts", "value")
+    return ljung_box_whiteness(aligned, LB_LAGS_US, CORR_QUANT)
+
+
 def q_emb_dim_stats(spark, sf_dir):
     """Per-dimension embedding moments (standardization fit) — exact
     quantized sums to |dims| rows."""
@@ -3560,6 +3581,7 @@ _R6_FRONT = [
     "ev_assoc_rules", "doc_readability", "mm_video_scene_cuts",
     "ts_lz_complexity", "doc_rake_keywords", "emb_mips_topk",
     "ev_ab_srm", "mm_image_ssim", "ts_uneven_periodogram",
+    "ts_ljungbox",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3633,6 +3655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_permutation_entropy": q_permutation_entropy,
         "ts_lz_complexity": q_lz_complexity,
         "ts_uneven_periodogram": q_uneven_periodogram,
+        "ts_ljungbox": q_ljungbox,
         "ts_hjorth": q_hjorth,
         "ts_line_length": q_line_length,
         "ts_tkeo_energy": q_tkeo_energy,
@@ -8743,9 +8766,12 @@ def oracle_sql() -> dict[str, str]:
         FROM ag
         """
 
-    _acf_lags = ", ".join(str(x) for x in ACF_LAGS_US)
-    sql["ts_autocorrelation"] = with_views(
-        f"""
+    def _acf_core(lags) -> str:
+        """Shared CTE chain (grid -> LOCF -> lagged pairs -> moment
+        agg) of the ACF family; ts_ljungbox composes the same body
+        with its own lag set."""
+        lag_arr = ", ".join(str(int(x)) for x in lags)
+        return f"""
         WITH {_grid_cte},
         f AS (
           SELECT channel, ts, is_grid,
@@ -8760,7 +8786,7 @@ def oracle_sql() -> dict[str, str]:
           FROM f WHERE is_grid = 1
         ),
         lagged AS (
-          SELECT channel, UNNEST([{_acf_lags}]) AS lag_us, ts AS ts_b, xq AS xb
+          SELECT channel, UNNEST([{lag_arr}]) AS lag_us, ts AS ts_b, xq AS xb
           FROM vals
         ),
         pr AS (
@@ -8777,11 +8803,48 @@ def oracle_sql() -> dict[str, str]:
                  CAST(SUM(xa * xa) AS BIGINT) AS sxx,
                  CAST(SUM(xb * xb) AS BIGINT) AS syy
           FROM pr GROUP BY channel, lag_us
+        ),
+        acf AS (
+          SELECT channel, lag_us, n,
+                 CASE WHEN {_corr_pos} THEN round({_corr_r}, 9)
+                      ELSE CAST(0 AS DOUBLE) END AS r
+          FROM agg
         )
-        SELECT channel, lag_us, n,
-               CASE WHEN {_corr_pos} THEN round({_corr_r}, 9)
-                    ELSE CAST(0 AS DOUBLE) END AS r
-        FROM agg
+        """
+
+    sql["ts_autocorrelation"] = with_views(
+        f"""
+        {_acf_core(ACF_LAGS_US)}
+        SELECT channel, lag_us, n, r FROM acf
+        """,
+        "samples",
+        "channels",
+    )
+
+    from pennsieve_streaming_spark.operators.stats import (
+        LB_CRIT_5 as _LB_CRIT,
+        lb_q_expr as _lb_q,
+    )
+
+    _lb_piv = ",\n                 ".join(
+        f"MAX(CASE WHEN lag_us = {int(lag)} THEN r END) AS r{k},\n"
+        f"                 MAX(CASE WHEN lag_us = {int(lag)} THEN n END)"
+        f" AS n{k}"
+        for k, lag in enumerate(LB_LAGS_US, start=1)
+    )
+    sql["ts_ljungbox"] = with_views(
+        f"""
+        {_acf_core(LB_LAGS_US)},
+        piv AS (
+          SELECT channel,
+                 {_lb_piv}
+          FROM acf GROUP BY channel
+        ),
+        tt AS (SELECT *, CAST(n1 + 1 AS BIGINT) AS n_total FROM piv)
+        SELECT channel, n_total, r1, r2, r3, r4, r5,
+               {_lb_q(5)} AS q_stat,
+               {_lb_q(5)} > {_LB_CRIT} AS nonwhite
+        FROM tt
         """,
         "samples",
         "channels",

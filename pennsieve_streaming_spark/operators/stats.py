@@ -2175,3 +2175,72 @@ def lz_complexity(
         "lz_norm",
         F.expr(f"CAST(c_phrases AS DOUBLE) * {log2ws} / n"),
     )
+
+
+def lb_q_expr(h: int) -> str:
+    """The Ljung-Box Q statistic as ONE fixed float expression over
+    the pivoted per-lag columns (r1..rh 9-dp-rounded ACFs, n1..nh
+    exact overlap counts) and n_total — shared verbatim with the
+    oracle. Term order is the lag order, so the h-term float fold is
+    deterministic."""
+    terms = " + ".join(f"r{k} * r{k} / n{k}" for k in range(1, int(h) + 1))
+    return (
+        f"CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 2) "
+        f"* ({terms})"
+    )
+
+
+LB_CRIT_5 = "11.070"  # chi-square(5) 95% critical value literal
+
+
+def ljung_box_whiteness(
+    values: DataFrame,
+    lags_us: tuple,
+    quant: int = 100,
+) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test per channel (Ljung & Box
+    1978) over a CONTIGUOUS uniform grid (the locf_day_grid
+    contract): Q = n(n+2)·Σ_k r_k²/(n−k); Q above the chi-square(h)
+    critical value rejects "white noise" — the standard residual
+    diagnostic after any of the model fits in this family (AR(2),
+    Holt, seasonal decompose).
+
+    Variant note (documented): r_k is the PAIRWISE-PEARSON lagged
+    autocorrelation :func:`channel_autocorrelation` computes (exact
+    quantized sums, 9-dp rounding), not the fixed-full-series-mean
+    estimator — identical under stationarity to O(1/n), and
+    engine-exact where the classical form's n²-scaled integer sums
+    would overflow BIGINT.
+
+    Determinism: every r_k is bit-identical by the ACF contract; the
+    per-lag overlap counts n_k are exact; on the contiguous grid
+    n_total = n_1 + 1 by construction (no second grid pass); Q is one
+    fixed-order float expression (lb_q_expr) and the flag one
+    comparison against the chi-square literal.
+
+    Output: (channel, n_total, r1..rh, q_stat, nonwhite).
+    """
+    h = len(lags_us)
+    acf = channel_autocorrelation(values, tuple(lags_us), quant)
+    aggs = []
+    for k, lag in enumerate(lags_us, start=1):
+        aggs.append(
+            F.max(F.when(F.col("lag_us") == int(lag), F.col("r"))).alias(
+                f"r{k}"
+            )
+        )
+        aggs.append(
+            F.max(F.when(F.col("lag_us") == int(lag), F.col("n"))).alias(
+                f"n{k}"
+            )
+        )
+    g = acf.groupBy("channel").agg(*aggs)
+    g = g.withColumn("n_total", F.expr("n1 + 1"))
+    q = lb_q_expr(h)
+    return g.select(
+        "channel",
+        "n_total",
+        *[f"r{k}" for k in range(1, h + 1)],
+        F.expr(q).alias("q_stat"),
+        F.expr(f"{q} > {LB_CRIT_5}").alias("nonwhite"),
+    )

@@ -199,6 +199,20 @@ def main() -> None:
     results["ts_sample_entropy"] = _force(se)
     plans["ts_sample_entropy"] = _plan(se)
 
+    # --- ts_lz_complexity at 10x sample density ----------------------------
+    from pennsieve_streaming_spark.operators.stats import lz_complexity
+
+    lz = lz_complexity(s10, 128, 100)
+    results["ts_lz_complexity"] = _force(lz)
+    plans["ts_lz_complexity"] = _plan(lz)
+
+    # --- mm_video_scene_cuts at 10x clips (codec-bound mapInPandas) -------
+    from pennsieve_streaming_spark.llm.video import scene_cut_synthetic
+
+    cuts = scene_cut_synthetic(docs10.select("doc_id"))
+    results["mm_video_scene_cuts"] = _force(cuts)
+    plans["mm_video_scene_cuts"] = _plan(cuts)
+
     # --- plan-shape guards (the 100x design evidence) ---------------------
     problems = []
     for name, plan in plans.items():

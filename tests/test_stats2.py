@@ -709,3 +709,35 @@ def test_hjorth_frequency_ordering_and_goldens(spark):
         assert abs(out[ch].mobility - want) < 0.05 * want, (ch, want)
         assert abs(out[ch].complexity - 1.0) < 0.05
     assert out["flat"].mobility is None and out["flat"].activity_mq == 0
+
+
+def test_ljung_box_separates_ar_from_noise(spark):
+    """A strongly autocorrelated walk must reject whiteness; an
+    alternating +-1 series (r1 = -1) also rejects; Q composes the
+    pivoted ACFs exactly as the shared expression says."""
+    from pennsieve_streaming_spark.operators.stats import (
+        ljung_box_whiteness,
+    )
+
+    day = 86_400_000_000
+    rows = []
+    # "trend": monotonically rising -> r_k ~ 1 at all lags -> huge Q
+    for t in range(60):
+        rows.append(("trend", t * day, float(t)))
+    # "alt": deterministic alternation -> |r_k| = 1 -> huge Q too
+    for t in range(60):
+        rows.append(("alt", t * day, float(1 if t % 2 else -1)))
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    lags = tuple(day * k for k in range(1, 6))
+    out = {r.channel: r for r in ljung_box_whiteness(df, lags, 100).collect()}
+
+    tr = out["trend"]
+    assert tr.n_total == 60 and tr.nonwhite is True
+    assert tr.r1 > 0.99
+    alt = out["alt"]
+    assert alt.nonwhite is True and alt.r1 == -1.0 and alt.r2 == 1.0
+    # Q recomputed from the emitted columns matches the column
+    q = tr.n_total * (tr.n_total + 2) * sum(
+        getattr(tr, f"r{k}") ** 2 / (tr.n_total - k) for k in range(1, 6)
+    )
+    assert abs(q - tr.q_stat) < 1e-9
