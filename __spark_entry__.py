@@ -3102,6 +3102,16 @@ def q_uneven_periodogram(spark, sf_dir):
     )
 
 
+def q_higher_moments(spark, sf_dir):
+    """Windowed skewness + excess kurtosis per (channel, 128-sample
+    window): exact BIGINT mean, position-ordered double folds for the
+    central moments (the ordered-fold class — x^4 overflows BIGINT
+    and 128-bit casts aren't correctly rounded), fixed final ratios."""
+    from pennsieve_streaming_spark.operators.stats import higher_moments
+
+    return higher_moments(TBL.samples_view(spark, sf_dir), SE_WINDOW, SE_QUANT)
+
+
 def q_lz_complexity(spark, sf_dir):
     """Lempel-Ziv (LZ76) complexity per (channel, 128-sample window):
     median-binarized exact phrase parsing (integer end-to-end; the
@@ -3581,7 +3591,7 @@ _R6_FRONT = [
     "ev_assoc_rules", "doc_readability", "mm_video_scene_cuts",
     "ts_lz_complexity", "doc_rake_keywords", "emb_mips_topk",
     "ev_ab_srm", "mm_image_ssim", "ts_uneven_periodogram",
-    "ts_ljungbox",
+    "ts_ljungbox", "ts_higher_moments",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3656,6 +3666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_lz_complexity": q_lz_complexity,
         "ts_uneven_periodogram": q_uneven_periodogram,
         "ts_ljungbox": q_ljungbox,
+        "ts_higher_moments": q_higher_moments,
         "ts_hjorth": q_hjorth,
         "ts_line_length": q_line_length,
         "ts_tkeo_energy": q_tkeo_energy,
@@ -7515,6 +7526,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT channel, win, n, nt, c0, c1, c2, c3, c4, c5,
                {_PE_NORM} AS pe_norm
         FROM g
+        """,
+        "samples",
+    )
+
+    # Higher moments: the mean and every fold term are imported from
+    # hm_exprs verbatim; DuckDB transforms then list_reduces — the
+    # identical left fold Spark's aggregate() runs.
+    from pennsieve_streaming_spark.operators.stats import (
+        hm_exprs as _hm_exprs,
+    )
+
+    _hm = _hm_exprs(SE_QUANT)
+    _hm_fold = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(xs, x -> {term})), (a, b) -> a + b)"
+    )
+    sql["ts_higher_moments"] = with_views(
+        f"""
+        WITH rk AS (
+          SELECT channel,
+                 CAST(round(value * {SE_QUANT}) AS BIGINT) AS xq,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS rn
+          FROM samples
+        ),
+        g AS (
+          SELECT channel, CAST(rn // {SE_WINDOW} AS BIGINT) AS win,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(xq) AS BIGINT) AS sx,
+                 list(xq ORDER BY rn % {SE_WINDOW}) AS xs
+          FROM rk GROUP BY channel, rn // {SE_WINDOW}
+          HAVING COUNT(*) = {SE_WINDOW}
+        ),
+        m AS (
+          SELECT channel, win, n,
+                 {_hm["mean"]} AS mean,
+                 {_hm_fold.format(term=_hm["t2"])} / n AS m2,
+                 {_hm_fold.format(term=_hm["t3"])} / n AS _m3,
+                 {_hm_fold.format(term=_hm["t4"])} / n AS _m4
+          FROM g
+        )
+        SELECT channel, win, n, mean, m2,
+               {_hm["skew"]} AS skewness,
+               {_hm["kurt"]} AS kurtosis_excess
+        FROM m
         """,
         "samples",
     )

@@ -2244,3 +2244,94 @@ def ljung_box_whiteness(
         F.expr(q).alias("q_stat"),
         F.expr(f"{q} > {LB_CRIT_5}").alias("nonwhite"),
     )
+
+
+def hm_exprs(quant: int) -> dict:
+    """Shared expression fragments of :func:`higher_moments` — the
+    oracle imports these verbatim so both engines fold the identical
+    doubles in the identical order. ``mean`` reads the (sx, n) BIGINT
+    columns; the t-terms are per-element lambda bodies over ``x``."""
+    q = int(quant)
+    mean = f"(CAST(sx AS DOUBLE) / ({q}.0 * n))"
+    dev = f"(CAST(x AS DOUBLE) / {q}.0 - {mean})"
+    t2 = f"({dev} * {dev})"
+    return {
+        "mean": mean,
+        "t2": t2,
+        "t3": f"({t2} * {dev})",
+        "t4": f"({t2} * {t2})",
+        "skew": (
+            "CASE WHEN m2 > 0 THEN round(_m3 / (sqrt(m2) * sqrt(m2) "
+            "* sqrt(m2)), 9) END"
+        ),
+        "kurt": "CASE WHEN m2 > 0 THEN round(_m4 / (m2 * m2) - 3.0, 9) END",
+    }
+
+
+def higher_moments(
+    samples: DataFrame, window_samples: int = 128, quant: int = 100
+) -> DataFrame:
+    """Skewness and excess kurtosis per (channel, window) — the
+    amplitude-asymmetry / tail-heaviness pair completing the windowed
+    feature panel (variance lives in hjorth activity): spikes push
+    kurtosis, asymmetric bursts push skew.
+
+    Determinism — the ORDERED-FOLD class (spectral_entropy's rule):
+    x³/x⁴ magnitudes overflow BIGINT and 128-bit sums hit DuckDB's
+    not-correctly-rounded DECIMAL→DOUBLE cast, so instead the window
+    mean is the exact double Sx/(q·n) from BIGINT sums, and the
+    central moments m2/m3/m4 are SEQUENTIAL position-ordered double
+    folds of (xq/q − mean)^k — both engines fold the identical
+    doubles in the identical order (Spark ``aggregate`` over the
+    pos-sorted collected window; DuckDB ``list_reduce`` over
+    ``list(... ORDER BY pos)``). The final ratios are single fixed
+    expressions; zero-variance windows emit NULL explicitly.
+
+    Output: (channel, win, n, mean, m2, skewness, kurtosis_excess);
+    ragged tails dropped (the hjorth rule).
+
+    Plan: one per-channel ranking window, one groupBy collecting each
+    window (bounded at ws rows) — |channels|x|windows| rows out.
+    """
+    ws = int(window_samples)
+    q = int(quant)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    ranked = (
+        samples.select(
+            "channel",
+            "ts",
+            "value",
+            (F.row_number().over(w) - 1).alias("_rn"),
+            F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+        )
+        .withColumn("win", (F.col("_rn") / ws).cast("long"))
+        .withColumn("pos", (F.col("_rn") % ws).cast("long"))
+    )
+    g = ranked.groupBy("channel", "win").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.expr(
+            "transform(sort_array(collect_list(struct(pos, xq))), "
+            "e -> e.xq)"
+        ).alias("xs"),
+    ).filter(F.col("n") == ws)
+    e = hm_exprs(q)
+    fold = "aggregate(xs, CAST(0 AS DOUBLE), (a, x) -> a + {term})"
+    out = g.select(
+        "channel",
+        "win",
+        "n",
+        F.expr(e["mean"]).alias("mean"),
+        F.expr(fold.format(term=e["t2"]) + " / n").alias("m2"),
+        F.expr(fold.format(term=e["t3"]) + " / n").alias("_m3"),
+        F.expr(fold.format(term=e["t4"]) + " / n").alias("_m4"),
+    )
+    return out.select(
+        "channel",
+        "win",
+        "n",
+        "mean",
+        "m2",
+        F.expr(e["skew"]).alias("skewness"),
+        F.expr(e["kurt"]).alias("kurtosis_excess"),
+    )

@@ -741,3 +741,25 @@ def test_ljung_box_separates_ar_from_noise(spark):
         getattr(tr, f"r{k}") ** 2 / (tr.n_total - k) for k in range(1, 6)
     )
     assert abs(q - tr.q_stat) < 1e-9
+
+
+def test_higher_moments_golden(spark):
+    """Analytic pins: a +-1 square wave has skew 0, excess kurtosis
+    -2 (the two-point-distribution extreme); one upward spike skews
+    positive; a constant window emits NULLs."""
+    from pennsieve_streaming_spark.operators.stats import higher_moments
+
+    rows = []
+    rows += [("sq", t, float(1 if t % 2 else -1)) for t in range(8)]
+    rows += [("spike", t, 100.0 if t == 3 else 0.0) for t in range(8)]
+    rows += [("flat", t, 7.0) for t in range(8)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = {r.channel: r for r in higher_moments(df, 8, 100).collect()}
+
+    sq = out["sq"]
+    assert (sq.mean, sq.m2) == (0.0, 1.0)
+    assert sq.skewness == 0.0 and sq.kurtosis_excess == -2.0
+    assert out["spike"].skewness > 1.5
+    flat = out["flat"]
+    assert flat.m2 == 0.0
+    assert flat.skewness is None and flat.kurtosis_excess is None
