@@ -551,6 +551,18 @@ def q_bpe_fertility(spark, sf_dir):
 HOLT_ANOM_K = 2.0
 
 
+def q_holt_backtest(spark, sf_dir):
+    """Rolling-origin one-step Holt backtest per channel: bit-exact
+    residuals quantized per row to BIGINT, exact order-free MAE/MAPE
+    sums, fixed final divisions."""
+    from pennsieve_streaming_spark.dsp.filtering import holt_backtest
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        F.col("ts") <= BW_TS_END
+    )
+    return holt_backtest(s, HOLT_ALPHA, HOLT_BETA)
+
+
 def q_holt_anomalies(spark, sf_dir):
     """Model-based anomaly detection: one-step-ahead Holt forecast
     residuals outside the per-channel median ± k·MAD envelope.
@@ -3591,7 +3603,7 @@ _R6_FRONT = [
     "ev_assoc_rules", "doc_readability", "mm_video_scene_cuts",
     "ts_lz_complexity", "doc_rake_keywords", "emb_mips_topk",
     "ev_ab_srm", "mm_image_ssim", "ts_uneven_periodogram",
-    "ts_ljungbox", "ts_higher_moments",
+    "ts_ljungbox", "ts_higher_moments", "ts_holt_backtest",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3667,6 +3679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_uneven_periodogram": q_uneven_periodogram,
         "ts_ljungbox": q_ljungbox,
         "ts_higher_moments": q_higher_moments,
+        "ts_holt_backtest": q_holt_backtest,
         "ts_hjorth": q_hjorth,
         "ts_line_length": q_line_length,
         "ts_tkeo_energy": q_tkeo_energy,
@@ -7122,6 +7135,38 @@ def oracle_sql() -> dict[str, str]:
     # streaming Holt is bit-identical to the batch operator under the
     # ordered-ingest contract — same oracle
     sql["stream_holt"] = sql["ts_holt_smoothing"]
+
+    # Holt backtest: composes the gated recursion, lags the forecast
+    # one step, quantizes each bit-exact residual to BIGINT so the
+    # channel accumulations are exact order-free integer sums.
+    sql["ts_holt_backtest"] = f"""
+        WITH h AS ({sql["ts_holt_smoothing"]}),
+        e AS (
+          SELECT channel, value,
+                 LAG(forecast) OVER (PARTITION BY channel
+                     ORDER BY ts, value) AS pf
+          FROM h
+        ),
+        q AS (
+          SELECT channel,
+                 CAST(round(abs(value - pf) * 1000000) AS BIGINT) AS ae_q,
+                 CASE WHEN value <> 0 THEN CAST(round(abs(value - pf)
+                     / abs(value) * 1000000000) AS BIGINT) END AS ape_q
+          FROM e WHERE pf IS NOT NULL
+        ),
+        g AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_steps,
+                 CAST(COUNT(ape_q) AS BIGINT) AS n_nonzero,
+                 CAST(SUM(ae_q) AS BIGINT) AS sae_q,
+                 CAST(SUM(ape_q) AS BIGINT) AS sape_q
+          FROM q GROUP BY channel
+        )
+        SELECT channel, n_steps, n_nonzero, sae_q,
+               CAST(sae_q AS DOUBLE) / (1000000.0 * n_steps) AS mae,
+               CASE WHEN n_nonzero > 0 THEN CAST(sape_q AS DOUBLE)
+                    / (1000000000.0 * n_nonzero) END AS mape
+        FROM g
+        """
 
     # --- CUSUM control monitor: recursive replay (ewma/holt class) ---
     _cu_vals = ", ".join(

@@ -547,3 +547,60 @@ def cusum_monitor(samples, params: dict):
             "gneg double, alarm boolean",
         )
     )
+
+
+def holt_backtest(samples, alpha: float, beta: float):
+    """Rolling-origin one-step backtest of the Holt forecaster — the
+    accuracy scorecard (MAE / MAPE) that tells an operator whether
+    the (α, β) pair tracks a channel before they trust
+    holt_anomalies' envelope: every sample i ≥ 1 is predicted by the
+    state built from samples < i (forecast_{i−1} = l_{i−1} +
+    t_{i−1}), exactly the definition of an honest backtest — no
+    leakage by construction.
+
+    Determinism: each residual is bit-exact (the Holt recursive-CTE
+    contract); |e| and |e|/|x| quantize per-row to BIGINT (1e6 /
+    1e9), so the per-channel accumulations are exact order-free
+    integer sums (the nano-nat class) and the final MAE/MAPE are
+    single fixed divisions. Zero-valued actuals are excluded from
+    MAPE (counted in n_total − n_nonzero).
+
+    Output: (channel, n_steps, n_nonzero, sae_q, mae, mape).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    h = holt_filter(samples, alpha, beta)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    e = h.withColumn("_pf", F.lag("forecast").over(w)).filter(
+        F.col("_pf").isNotNull()
+    )
+    e = e.withColumn(
+        "_ae_q",
+        F.expr("CAST(round(abs(value - _pf) * 1000000) AS BIGINT)"),
+    ).withColumn(
+        "_ape_q",
+        F.expr(
+            "CASE WHEN value <> 0 THEN CAST(round(abs(value - _pf) "
+            "/ abs(value) * 1000000000) AS BIGINT) END"
+        ),
+    )
+    g = e.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_steps"),
+        F.count("_ape_q").cast("long").alias("n_nonzero"),
+        F.sum("_ae_q").cast("long").alias("sae_q"),
+        F.sum("_ape_q").cast("long").alias("_sape_q"),
+    )
+    return g.select(
+        "channel",
+        "n_steps",
+        "n_nonzero",
+        "sae_q",
+        F.expr(
+            "CAST(sae_q AS DOUBLE) / (1000000.0 * n_steps)"
+        ).alias("mae"),
+        F.expr(
+            "CASE WHEN n_nonzero > 0 THEN CAST(_sape_q AS DOUBLE) "
+            "/ (1000000000.0 * n_nonzero) END"
+        ).alias("mape"),
+    )

@@ -774,3 +774,29 @@ def test_uneven_periodogram_median_centering_kills_dc(spark):
     df = spark.createDataFrame(rows, "channel string, ts long, value double")
     for r in uneven_periodogram(df, (86_400_000_000,), 256, 100).collect():
         assert r.sc == 0 and r.ss == 0 and r.power == 0.0
+
+
+def test_holt_backtest_perfect_trend_converges(spark):
+    """On an exact linear ramp the Holt state converges to the true
+    slope, so late one-step errors shrink toward zero; MAE on a pure
+    ramp is far below the naive last-value baseline (which errs by
+    the slope each step)."""
+    from pennsieve_streaming_spark.dsp.filtering import holt_backtest
+
+    rows = [("c", t, 10.0 + 2.0 * t) for t in range(200)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = holt_backtest(df, 0.25, 0.125).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_steps == 199 and r.n_nonzero == 199
+    assert r.mae < 2.0      # naive baseline MAE would be ~2.0 (the slope)
+    assert r.mape is not None and r.mape < 0.02
+
+
+def test_holt_backtest_zero_actuals_excluded_from_mape(spark):
+    from pennsieve_streaming_spark.dsp.filtering import holt_backtest
+
+    rows = [("c", 0, 5.0), ("c", 1, 0.0), ("c", 2, 5.0)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    r = holt_backtest(df, 0.25, 0.125).collect()[0]
+    assert r.n_steps == 2 and r.n_nonzero == 1
