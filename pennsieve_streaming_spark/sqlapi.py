@@ -145,4 +145,17 @@ def register_operator_views(
     grid = TBL.locf_day_grid(spark, sf_dir)
     add("ar2", ar2_yule_walker(grid))
     add("seasonal", seasonal_decompose(grid, 86_400 * 1_000_000))
+
+    # round-6e operator views
+    from pennsieve_streaming_spark.dsp.spectral import uneven_periodogram
+    from pennsieve_streaming_spark.operators.stats import (
+        higher_moments,
+        lz_complexity,
+        permutation_entropy,
+    )
+
+    add("perm_entropy", permutation_entropy(samples))
+    add("lz_complexity", lz_complexity(samples))
+    add("higher_moments", higher_moments(samples))
+    add("periodogram", uneven_periodogram(samples))
     return names

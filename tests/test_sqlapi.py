@@ -129,3 +129,33 @@ def test_operator_view_channel_filter_pushes_to_scan(spark):
         if "FileScan" in ln or "InMemoryTableScan" in ln
     ]
     assert any("ch3" in ln for ln in scan_lines), plan
+
+
+def test_round6e_views_registered_and_queryable(spark):
+    """The fifth-session operator views answer SQL with the expected
+    schemas (lazy logical plans — this exercises registration + one
+    small aggregate through each)."""
+    import pennsieve_streaming_spark.sqlapi as sqlapi
+
+    names = sqlapi.register_operator_views(
+        spark, "/root/testdata/sf0.001", prefix="r6e_"
+    )
+    for v in ("r6e_perm_entropy", "r6e_lz_complexity",
+              "r6e_higher_moments", "r6e_periodogram"):
+        assert v in names
+    pe = spark.sql(
+        "SELECT count(*) AS n, min(pe_norm) AS lo FROM r6e_perm_entropy"
+    ).collect()[0]
+    assert pe.n > 0 and pe.lo >= 0.0
+    lz = spark.sql(
+        "SELECT max(c_phrases) AS c FROM r6e_lz_complexity"
+    ).collect()[0]
+    assert lz.c >= 2
+    hm = spark.sql(
+        "SELECT count(*) AS n FROM r6e_higher_moments WHERE m2 > 0"
+    ).collect()[0]
+    assert hm.n > 0
+    pg = spark.sql(
+        "SELECT count(*) AS n FROM r6e_periodogram WHERE power >= 0"
+    ).collect()[0]
+    assert pg.n > 0
