@@ -3114,6 +3114,23 @@ def q_uneven_periodogram(spark, sf_dir):
     )
 
 
+RQA_WINDOW = 64
+
+
+def q_rqa(spark, sf_dir):
+    """Recurrence quantification per (channel, 64-sample window):
+    recurrence rate + determinism (diagonal-line mass) from integer
+    pair comparisons under the bit-exact IQR tolerance — all
+    DataFrame ops, no kernel."""
+    from pennsieve_streaming_spark.operators.stats import (
+        recurrence_quantification,
+    )
+
+    return recurrence_quantification(
+        TBL.samples_view(spark, sf_dir), RQA_WINDOW, SE_RFRAC, SE_QUANT, 2
+    )
+
+
 def q_higher_moments(spark, sf_dir):
     """Windowed skewness + excess kurtosis per (channel, 128-sample
     window): exact BIGINT mean, position-ordered double folds for the
@@ -3603,7 +3620,7 @@ _R6_FRONT = [
     "ev_assoc_rules", "doc_readability", "mm_video_scene_cuts",
     "ts_lz_complexity", "doc_rake_keywords", "emb_mips_topk",
     "ev_ab_srm", "mm_image_ssim", "ts_uneven_periodogram",
-    "ts_ljungbox", "ts_higher_moments", "ts_holt_backtest",
+    "ts_ljungbox", "ts_higher_moments", "ts_holt_backtest", "ts_rqa",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3680,6 +3697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_ljungbox": q_ljungbox,
         "ts_higher_moments": q_higher_moments,
         "ts_holt_backtest": q_holt_backtest,
+        "ts_rqa": q_rqa,
         "ts_hjorth": q_hjorth,
         "ts_line_length": q_line_length,
         "ts_tkeo_energy": q_tkeo_energy,
@@ -7408,6 +7426,87 @@ def oracle_sql() -> dict[str, str]:
                  round(-ln(CAST(a_count AS DOUBLE)
                            / CAST(b_count AS DOUBLE)), 9) END AS sampen
         FROM cnt
+        """,
+        "samples",
+    )
+
+    # RQA: recurrent pairs under the same IQR tolerance, diagonal
+    # lines via gaps-and-islands on exact positions; zero-recurrence
+    # windows report rr = 0, det NULL (the left-join-back rule).
+    _rqa_np = RQA_WINDOW * (RQA_WINDOW - 1) // 2
+    sql["ts_rqa"] = with_views(
+        f"""
+        WITH rk0 AS (
+          SELECT channel, value,
+                 ROW_NUMBER() OVER (PARTITION BY channel ORDER BY value, ts)
+                   - 1 AS rn,
+                 COUNT(*) OVER (PARTITION BY channel) AS n
+          FROM samples
+        ),
+        tol0 AS (
+          SELECT channel, CAST(MAX(n) AS BIGINT) AS n, {_se_aggs}
+          FROM rk0 GROUP BY channel
+        ),
+        tol1 AS (SELECT channel, {_se_posts} FROM tol0),
+        tol AS (
+          SELECT channel,
+                 CAST(round({SE_RFRAC!r} * (p75 - p25) * {SE_QUANT})
+                      AS BIGINT) AS r_q
+          FROM tol1
+        ),
+        rk AS (
+          SELECT channel,
+                 CAST(round(value * {SE_QUANT}) AS BIGINT) AS xq,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS rn
+          FROM samples
+        ),
+        t AS (
+          SELECT channel, rn // {RQA_WINDOW} AS win,
+                 rn % {RQA_WINDOW} AS pos, xq,
+                 COUNT(*) OVER (PARTITION BY channel, rn // {RQA_WINDOW})
+                   AS nw
+          FROM rk
+        ),
+        tc AS (SELECT * FROM t WHERE nw = {RQA_WINDOW}),
+        rec AS (
+          SELECT a.channel, a.win, a.pos AS pi, b.pos - a.pos AS d
+          FROM tc a JOIN tc b
+            ON a.channel = b.channel AND a.win = b.win AND b.pos > a.pos
+          JOIN tol ON tol.channel = a.channel
+          WHERE abs(a.xq - b.xq) <= tol.r_q
+        ),
+        runs AS (
+          SELECT channel, win, d,
+                 pi - ROW_NUMBER() OVER (PARTITION BY channel, win, d
+                     ORDER BY pi) AS grp
+          FROM rec
+        ),
+        rlen AS (
+          SELECT channel, win, CAST(COUNT(*) AS BIGINT) AS len
+          FROM runs GROUP BY channel, win, d, grp
+        ),
+        agg AS (
+          SELECT channel, win,
+                 CAST(SUM(len) AS BIGINT) AS n_rec,
+                 CAST(COALESCE(SUM(CASE WHEN len >= 2 THEN len END), 0)
+                      AS BIGINT) AS n_det
+          FROM rlen GROUP BY channel, win
+        ),
+        wins AS (
+          SELECT channel, win FROM tc GROUP BY channel, win
+        )
+        SELECT w.channel, CAST(w.win AS BIGINT) AS win,
+               CAST({RQA_WINDOW} AS BIGINT) AS n, tol.r_q,
+               CAST({_rqa_np} AS BIGINT) AS n_pairs,
+               CAST(COALESCE(a.n_rec, 0) AS BIGINT) AS n_rec,
+               CAST(COALESCE(a.n_det, 0) AS BIGINT) AS n_det,
+               CAST(COALESCE(a.n_rec, 0) AS DOUBLE) / {_rqa_np} AS rr,
+               CASE WHEN COALESCE(a.n_rec, 0) > 0
+                    THEN CAST(a.n_det AS DOUBLE) / a.n_rec END AS det
+        FROM wins w
+        JOIN tol ON tol.channel = w.channel
+        LEFT JOIN agg a ON a.channel = w.channel AND a.win = w.win
         """,
         "samples",
     )

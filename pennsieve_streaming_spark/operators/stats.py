@@ -2335,3 +2335,115 @@ def higher_moments(
         F.expr(e["skew"]).alias("skewness"),
         F.expr(e["kurt"]).alias("kurtosis_excess"),
     )
+
+
+def recurrence_quantification(
+    samples: DataFrame,
+    window_samples: int = 64,
+    r_frac: float = 0.2,
+    quant: int = 100,
+    l_min: int = 2,
+) -> DataFrame:
+    """Recurrence quantification per (channel, window) — RQA (Webber
+    & Zbilut 1994; Marwan 2007), the nonlinear-dynamics companion to
+    SampEn: of all sample pairs i<j in a window, the RECURRENT ones
+    lie within tolerance (|x_i − x_j| ≤ r), and DETERMINISM is the
+    fraction of recurrent points sitting on diagonal line structures
+    of length ≥ ``l_min`` (consecutive i along a fixed lag j−i) —
+    periodic signals show DET → 1, uncorrelated noise DET → 0 at
+    matched recurrence rates.
+
+    Determinism (engine sense): quantized BIGINT values; the
+    tolerance is the bit-exact per-channel IQR gate
+    ``r_q = round(r_frac·(p75−p25)·quant)`` (sample_entropy's
+    convention); recurrence is an integer comparison; diagonal lines
+    come from gaps-and-islands arithmetic on exact positions; RR/DET
+    are single fixed divisions.
+
+    Output: (channel, win, n, r_q, n_pairs, n_rec, n_det, rr, det) —
+    ``det`` NULL when no pair recurs.
+
+    Plan: ONE self-join per (channel, window) key — ws²/2 pairs per
+    window, bounded by ws = 64 — then two partial-agg groupBys
+    (diagonal islands, window rollup). All JVM-side DataFrame ops; no
+    UDF, no kernel. At 100 TB the pair blowup is per-window constant
+    (2016 rows per 64-sample window), embarrassingly parallel across
+    (channel, window) keys.
+    """
+    ws = int(window_samples)
+    q = int(quant)
+    lm = int(l_min)
+    pct = channel_percentiles(samples, (0.25, 0.75)).select(
+        "channel",
+        F.expr(
+            f"CAST(round({float(r_frac)} * (p75 - p25) * {q}) AS BIGINT)"
+        ).alias("r_q"),
+    )
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    ranked = (
+        samples.select(
+            "channel",
+            "ts",
+            "value",
+            (F.row_number().over(w) - 1).alias("_rn"),
+            F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+        )
+        .withColumn("win", (F.col("_rn") / ws).cast("long"))
+        .withColumn("pos", (F.col("_rn") % ws).cast("long"))
+        .join(F.broadcast(pct), "channel")
+    )
+    full = ranked.groupBy("channel", "win").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).filter(F.col("n") == ws)
+    rk = ranked.join(full, ["channel", "win"])
+    a = rk.select(
+        "channel", "win", "n", "r_q",
+        F.col("pos").alias("pi"), F.col("xq").alias("xi"),
+    )
+    b = rk.select(
+        "channel", "win",
+        F.col("pos").alias("pj"), F.col("xq").alias("xj"),
+    )
+    rec = (
+        a.join(b, ["channel", "win"])
+        .filter(F.col("pj") > F.col("pi"))
+        .filter(F.abs(F.col("xi") - F.col("xj")) <= F.col("r_q"))
+        .select(
+            "channel", "win", "n", "r_q", "pi",
+            (F.col("pj") - F.col("pi")).alias("d"),
+        )
+    )
+    dw = Window.partitionBy("channel", "win", "d").orderBy("pi")
+    runs = rec.withColumn(
+        "_grp", F.col("pi") - F.row_number().over(dw)
+    )
+    rlen = runs.groupBy("channel", "win", "n", "r_q", "d", "_grp").agg(
+        F.count(F.lit(1)).cast("long").alias("_len")
+    )
+    agg = rlen.groupBy("channel", "win").agg(
+        F.sum("_len").cast("long").alias("n_rec"),
+        F.coalesce(
+            F.sum(F.when(F.col("_len") >= lm, F.col("_len"))), F.lit(0)
+        ).cast("long").alias("n_det"),
+    )
+    # zero-recurrence windows still report (rr = 0) — left join back
+    g = (
+        full.join(F.broadcast(pct), "channel")
+        .join(agg, ["channel", "win"], "left")
+        .fillna(0, subset=["n_rec", "n_det"])
+    )
+    return g.select(
+        "channel",
+        "win",
+        "n",
+        "r_q",
+        F.expr("n * (n - 1) div 2").cast("long").alias("n_pairs"),
+        "n_rec",
+        "n_det",
+        F.expr(
+            "CAST(n_rec AS DOUBLE) / (n * (n - 1) div 2)"
+        ).alias("rr"),
+        F.expr(
+            "CASE WHEN n_rec > 0 THEN CAST(n_det AS DOUBLE) / n_rec END"
+        ).alias("det"),
+    )

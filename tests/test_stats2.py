@@ -763,3 +763,30 @@ def test_higher_moments_golden(spark):
     flat = out["flat"]
     assert flat.m2 == 0.0
     assert flat.skewness is None and flat.kurtosis_excess is None
+
+
+def test_rqa_periodic_vs_spread(spark):
+    """A period-2 alternation recurs on every even diagonal and every
+    recurrent point sits in a long line -> DET = 1 with high RR; a
+    strictly spread-out ramp (each value far from every other) recurs
+    nowhere -> RR = 0, DET NULL."""
+    from pennsieve_streaming_spark.operators.stats import (
+        recurrence_quantification,
+    )
+
+    rows = []
+    rows += [("per", t, float(t % 2)) for t in range(8)]
+    rows += [("ramp", t, float(100 * t)) for t in range(8)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = {
+        r.channel: r
+        for r in recurrence_quantification(df, 8, 0.2, 100, 2).collect()
+    }
+    per = out["per"]
+    # tolerance: IQR of {0,1} -> r_q = round(0.2*1*100) = 20 < 100,
+    # so only equal values recur: pairs with even d -> 4+3+2+1 wait:
+    # d=2: 6 pairs, d=4: 4, d=6: 2 -> 12 recurrent of 28
+    assert per.n_pairs == 28 and per.n_rec == 12
+    assert per.det == 1.0 and abs(per.rr - 12 / 28) < 1e-12
+    ramp = out["ramp"]
+    assert ramp.n_rec == 0 and ramp.rr == 0.0 and ramp.det is None
