@@ -3211,6 +3211,15 @@ def q_quality_profile(spark, sf_dir):
     return quality_profile(TBL.samples_view(spark, sf_dir), QP_LO, QP_HI)
 
 
+def q_isi_cv(spark, sf_dir):
+    """Inter-spike-interval CV + Goh-Barabasi burstiness per channel
+    over the gated peak set: exact second-floored BIGINT gap moments,
+    fixed float finishes shared with the oracle."""
+    from pennsieve_streaming_spark.operators.stats import isi_stats
+
+    return isi_stats(TBL.samples_view(spark, sf_dir), PEAK_HEIGHT, PEAK_PROM)
+
+
 def q_detect_peaks(spark, sf_dir):
     """Local-maximum peaks per channel above height/prominence gates
     (plateau-first convention, edges excluded)."""
@@ -3621,6 +3630,7 @@ _R6_FRONT = [
     "ts_lz_complexity", "doc_rake_keywords", "emb_mips_topk",
     "ev_ab_srm", "mm_image_ssim", "ts_uneven_periodogram",
     "ts_ljungbox", "ts_higher_moments", "ts_holt_backtest", "ts_rqa",
+    "ts_isi_cv",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3698,6 +3708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_higher_moments": q_higher_moments,
         "ts_holt_backtest": q_holt_backtest,
         "ts_rqa": q_rqa,
+        "ts_isi_cv": q_isi_cv,
         "ts_hjorth": q_hjorth,
         "ts_line_length": q_line_length,
         "ts_tkeo_energy": q_tkeo_energy,
@@ -8313,6 +8324,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "samples",
     )
+
+    # ISI panel: composes the gated peak SQL; gaps floor to seconds,
+    # the CV/burstiness finishes import from the operator verbatim.
+    from pennsieve_streaming_spark.operators.stats import (
+        ISI_BURSTINESS as _ISI_B,
+        ISI_CV as _ISI_CV,
+        ISI_MEAN as _ISI_M,
+    )
+
+    sql["ts_isi_cv"] = f"""
+        WITH pk AS ({sql["ts_detect_peaks"]}),
+        g AS (
+          SELECT channel,
+                 (ts - LAG(ts) OVER (PARTITION BY channel
+                     ORDER BY ts, value)) // 1000000 AS g_s
+          FROM pk
+        ),
+        agg AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_isi,
+                 CAST(SUM(g_s) AS BIGINT) AS sum_s,
+                 CAST(SUM(g_s * g_s) AS BIGINT) AS sum_s2,
+                 CAST(MIN(g_s) AS BIGINT) AS min_s,
+                 CAST(MAX(g_s) AS BIGINT) AS max_s
+          FROM g WHERE g_s IS NOT NULL GROUP BY channel
+        )
+        SELECT channel, n_isi, sum_s, sum_s2, min_s, max_s,
+               {_ISI_M} AS mean_s,
+               {_ISI_CV} AS cv,
+               {_ISI_B} AS burstiness
+        FROM agg
+        """
 
     _xcorr_lags = ", ".join(str(x) for x in XCORR_LAGS_US)
     sql["ts_cross_correlation"] = with_views(

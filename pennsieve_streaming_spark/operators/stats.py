@@ -2447,3 +2447,65 @@ def recurrence_quantification(
             "CASE WHEN n_rec > 0 THEN CAST(n_det AS DOUBLE) / n_rec END"
         ).alias("det"),
     )
+
+
+# Fixed float finishes for the ISI panel, shared verbatim with the
+# oracle. Inputs are exact BIGINT second-resolution gap sums.
+ISI_MEAN = "CAST(sum_s AS DOUBLE) / n_isi"
+ISI_CV = (
+    "CASE WHEN sum_s > 0 AND n_isi > 1 THEN "
+    "sqrt(CAST(n_isi AS DOUBLE) * CAST(sum_s2 AS DOUBLE) "
+    "- CAST(sum_s AS DOUBLE) * CAST(sum_s AS DOUBLE)) / sum_s END"
+)
+ISI_BURSTINESS = f"CASE WHEN {ISI_CV} IS NOT NULL THEN ({ISI_CV} - 1) / ({ISI_CV} + 1) END"
+
+
+def isi_stats(
+    samples: DataFrame, min_height: float, min_prominence: float = 0.0
+) -> DataFrame:
+    """Inter-spike-interval statistics per channel — the regularity
+    scorecard neuroscience reads off a spike train (Softky & Koch
+    1993): the coefficient of variation of the intervals between
+    detected peaks (CV ≈ 0 metronome, ≈ 1 Poisson, > 1 bursty) and
+    the Goh-Barabási burstiness index B = (CV−1)/(CV+1). Composes the
+    gated :func:`detect_peaks` (same height/prominence gates), so the
+    peak set is engine-identical by that contract.
+
+    Determinism: intervals are exact µs BIGINTs floored to SECOND
+    resolution (``div 1_000_000`` — the squared sum stays BIGINT-safe
+    to ~10⁴ peaks × 4-month gaps; µs² would overflow at day-scale
+    gaps); the moments are exact integer sums; CV/burstiness are
+    single fixed expressions (ISI_*, shared with the oracle).
+
+    Output: (channel, n_isi, sum_s, sum_s2, min_s, max_s, mean_s, cv,
+    burstiness); channels with < 2 peaks emit nothing, CV NULL when
+    n_isi < 2 or the gaps sum to zero seconds.
+
+    Plan: the detect_peaks window pass, one more per-channel lag, one
+    partial-agg groupBy to |channels| rows.
+    """
+    pk = detect_peaks(samples, min_height, min_prominence)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    g = (
+        pk.withColumn("_prev", F.lag("ts").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .withColumn("g_s", F.expr("(ts - _prev) div 1000000"))
+    )
+    agg = g.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_isi"),
+        F.sum("g_s").cast("long").alias("sum_s"),
+        F.sum(F.expr("g_s * g_s")).cast("long").alias("sum_s2"),
+        F.min("g_s").cast("long").alias("min_s"),
+        F.max("g_s").cast("long").alias("max_s"),
+    )
+    return agg.select(
+        "channel",
+        "n_isi",
+        "sum_s",
+        "sum_s2",
+        "min_s",
+        "max_s",
+        F.expr(ISI_MEAN).alias("mean_s"),
+        F.expr(ISI_CV).alias("cv"),
+        F.expr(ISI_BURSTINESS).alias("burstiness"),
+    )

@@ -790,3 +790,37 @@ def test_rqa_periodic_vs_spread(spark):
     assert per.det == 1.0 and abs(per.rr - 12 / 28) < 1e-12
     ramp = out["ramp"]
     assert ramp.n_rec == 0 and ramp.rr == 0.0 and ramp.det is None
+
+
+def test_isi_cv_metronome_vs_bursty(spark):
+    """A metronome spike train has CV = 0 (burstiness -1); a bursty
+    train (tight doublets separated by long silences) has CV > 1
+    (burstiness > 0)."""
+    from pennsieve_streaming_spark.operators.stats import isi_stats
+
+    def spike_train(channel, times):
+        rows = []
+        t_all = set(times)
+        end = max(times) + 2_000_000
+        for t in range(0, end + 1, 1_000_000):
+            rows.append((channel, t, 10.0 if t in t_all else 0.0))
+        return rows
+
+    sec = 1_000_000
+    metro = spike_train("metro", [10 * sec * k for k in range(1, 8)])
+    bursty_times = []
+    for k in range(4):
+        base = 60 * sec * (k + 1)
+        bursty_times += [base, base + 2 * sec]
+    bursty = spike_train("bursty", bursty_times)
+    df = spark.createDataFrame(
+        metro + bursty, "channel string, ts long, value double"
+    )
+    out = {r.channel: r for r in isi_stats(df, 5.0, 0.0).collect()}
+
+    m = out["metro"]
+    assert m.n_isi == 6 and m.cv == 0.0 and m.burstiness == -1.0
+    assert m.mean_s == 10.0 and m.min_s == m.max_s == 10
+    b = out["bursty"]
+    assert b.cv > 1.0 and b.burstiness > 0.0
+    assert b.min_s == 2
