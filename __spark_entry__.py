@@ -3141,6 +3141,32 @@ def q_higher_moments(spark, sf_dir):
     return higher_moments(TBL.samples_view(spark, sf_dir), SE_WINDOW, SE_QUANT)
 
 
+def q_stream_periodogram(spark, sf_dir):
+    """Streaming periodicity monitor drained with availableNow: the
+    trig sums run as one complete-mode aggregation (associative
+    BIGINT sums => drain == batch), centered on the batch-median
+    calibration table, finished by the SHARED finish_periodogram —
+    the batch oracle gates both."""
+    import tempfile
+
+    from pennsieve_streaming_spark.streaming.periodogram import (
+        batch_centers,
+        drain_periodogram,
+    )
+
+    s = TBL.samples_view(spark, sf_dir)
+    centers = batch_centers(s, SE_QUANT)
+    base = tempfile.mkdtemp(prefix="pss_stream_pg_")
+    s.coalesce(2).write.parquet(f"{base}/src")
+    stream = spark.readStream.schema(
+        "channel string, ts long, value double"
+    ).parquet(f"{base}/src")
+    return drain_periodogram(
+        spark, stream, centers, UP_PERIODS, f"{base}/ckpt", UP_K,
+        SE_QUANT, query_name=f"pgm_{abs(hash(base)) % 10**9}",
+    )
+
+
 def q_lz_complexity(spark, sf_dir):
     """Lempel-Ziv (LZ76) complexity per (channel, 128-sample window):
     median-binarized exact phrase parsing (integer end-to-end; the
@@ -3630,7 +3656,7 @@ _R6_FRONT = [
     "ts_lz_complexity", "doc_rake_keywords", "emb_mips_topk",
     "ev_ab_srm", "mm_image_ssim", "ts_uneven_periodogram",
     "ts_ljungbox", "ts_higher_moments", "ts_holt_backtest", "ts_rqa",
-    "ts_isi_cv",
+    "ts_isi_cv", "stream_periodogram",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3709,6 +3735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_holt_backtest": q_holt_backtest,
         "ts_rqa": q_rqa,
         "ts_isi_cv": q_isi_cv,
+        "stream_periodogram": q_stream_periodogram,
         "ts_hjorth": q_hjorth,
         "ts_line_length": q_line_length,
         "ts_tkeo_energy": q_tkeo_energy,
@@ -7786,6 +7813,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "samples",
     )
+
+    # Streaming periodogram drains to the identical table (associative
+    # sums + shared finish + batch-median calibration centers).
+    sql["stream_periodogram"] = sql["ts_uneven_periodogram"]
 
     # LZ76 complexity: the recursive CTE consumes exactly one phrase
     # per recursion step — p advances by the shortest non-reproducible

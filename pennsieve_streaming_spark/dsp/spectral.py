@@ -1040,10 +1040,6 @@ def uneven_periodogram(
     """
     kk = int(k)
     q = int(quant)
-    cq, sq = phase_tables(kk)
-    cos_arr = "array(" + ", ".join(str(v) + "L" for v in cq) + ")"
-    sin_arr = "array(" + ", ".join(str(v) + "L" for v in sq) + ")"
-
     ranked = samples.select(
         "channel",
         "ts",
@@ -1063,6 +1059,24 @@ def uneven_periodogram(
     d = ranked.join(F.broadcast(med), "channel").withColumn(
         "xc", F.col("xq") - F.col("med_q")
     )
+    return finish_periodogram(
+        periodogram_sums(d, periods_us, kk), periods_us, q
+    )
+
+
+def periodogram_sums(
+    centered: DataFrame, periods_us: tuple, k: int = 256
+) -> DataFrame:
+    """The ASSOCIATIVE stage of the periodogram — one groupBy per
+    channel over (ts, xc) rows producing all 2·|periods| exact BIGINT
+    trig sums at once. Associativity is what makes the streaming
+    variant exact: any complete-mode drain of this aggregation equals
+    the batch aggregation over the same rows (the trend_moments
+    contract)."""
+    kk = int(k)
+    cq, sq = phase_tables(kk)
+    cos_arr = "array(" + ", ".join(str(v) + "L" for v in cq) + ")"
+    sin_arr = "array(" + ", ".join(str(v) + "L" for v in sq) + ")"
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     for p in periods_us:
         idx = f"CAST((ts % {int(p)}) * {kk} div {int(p)} AS INT)"
@@ -1076,11 +1090,20 @@ def uneven_periodogram(
             .cast("long")
             .alias(f"ss_{int(p)}")
         )
-    g = d.groupBy("channel").agg(*aggs)
+    return centered.groupBy("channel").agg(*aggs)
+
+
+def finish_periodogram(
+    sums: DataFrame, periods_us: tuple, quant: int = 100
+) -> DataFrame:
+    """Stack the wide sums to rows and apply the shared power finish
+    — identical expressions over identical exact integers, so batch
+    and drained-streaming outputs are bit-identical."""
+    q = int(quant)
     stack = ", ".join(
         f"{int(p)}L, sc_{int(p)}, ss_{int(p)}" for p in periods_us
     )
-    rows = g.select(
+    rows = sums.select(
         "channel",
         "n",
         F.expr(
