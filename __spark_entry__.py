@@ -3191,6 +3191,24 @@ def q_permutation_entropy(spark, sf_dir):
     )
 
 
+MSE_SCALES = (1, 2, 4)
+
+
+def q_multiscale_entropy(spark, sf_dir):
+    """Multiscale entropy (Costa 2002): SampEn of the coarse-grained
+    series at scales 1/2/4 — integer coarse SUMS with the tolerance
+    scaled by s (exact equivalent of mean-comparisons under the fixed
+    original-series IQR tolerance)."""
+    from pennsieve_streaming_spark.operators.stats import (
+        multiscale_entropy,
+    )
+
+    return multiscale_entropy(
+        TBL.samples_view(spark, sf_dir), MSE_SCALES, SE_WINDOW, SE_M,
+        SE_RFRAC, SE_QUANT,
+    )
+
+
 def q_sample_entropy(spark, sf_dir):
     """Per-(channel, 128-sample window) sample entropy — the EEG/HRV
     complexity measure: exact integer Chebyshev template-match counts
@@ -3656,7 +3674,7 @@ _R6_FRONT = [
     "ts_lz_complexity", "doc_rake_keywords", "emb_mips_topk",
     "ev_ab_srm", "mm_image_ssim", "ts_uneven_periodogram",
     "ts_ljungbox", "ts_higher_moments", "ts_holt_backtest", "ts_rqa",
-    "ts_isi_cv", "stream_periodogram",
+    "ts_isi_cv", "stream_periodogram", "ts_multiscale_entropy",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3736,6 +3754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rqa": q_rqa,
         "ts_isi_cv": q_isi_cv,
         "stream_periodogram": q_stream_periodogram,
+        "ts_multiscale_entropy": q_multiscale_entropy,
         "ts_hjorth": q_hjorth,
         "ts_line_length": q_line_length,
         "ts_tkeo_energy": q_tkeo_energy,
@@ -7545,6 +7564,88 @@ def oracle_sql() -> dict[str, str]:
         FROM wins w
         JOIN tol ON tol.channel = w.channel
         LEFT JOIN agg a ON a.channel = w.channel AND a.win = w.win
+        """,
+        "samples",
+    )
+
+    # Multiscale entropy: per-scale coarse-SUM chains over the shared
+    # rk/tol CTEs, UNION ALL'd; tolerance = r_q1 * scale (sum-domain
+    # equivalent of the fixed original-series tolerance).
+    _mse_ctes = []
+    _mse_branches = []
+    for _s in MSE_SCALES:
+        _mse_ctes.append(f"""
+        coarse{_s} AS (
+          SELECT channel, rn // {_s} AS ci,
+                 CAST(SUM(xq) AS BIGINT) AS cq
+          FROM rk GROUP BY channel, rn // {_s}
+          HAVING COUNT(*) = {_s}
+        ),
+        t{_s} AS (
+          SELECT channel, ci // {SE_WINDOW} AS win,
+                 ci % {SE_WINDOW} AS pos, cq,
+                 LEAD(cq, 1) OVER (PARTITION BY channel,
+                     ci // {SE_WINDOW} ORDER BY ci) AS x1,
+                 LEAD(cq, 2) OVER (PARTITION BY channel,
+                     ci // {SE_WINDOW} ORDER BY ci) AS x2,
+                 COUNT(*) OVER (PARTITION BY channel, ci // {SE_WINDOW})
+                   AS nw
+          FROM coarse{_s}
+        ),
+        tc{_s} AS (SELECT * FROM t{_s} WHERE nw = {SE_WINDOW})""")
+        _mse_branches.append(f"""
+        SELECT p.channel, CAST({_s} AS BIGINT) AS scale,
+               CAST(p.win AS BIGINT) AS win,
+               CAST({SE_WINDOW} AS BIGINT) AS n,
+               CAST(t2.r_q1 * {_s} AS BIGINT) AS r_q,
+               CAST(SUM(CASE WHEN p.c2 <= t2.r_q1 * {_s} THEN 1 ELSE 0
+                   END) AS BIGINT) AS b_count,
+               CAST(SUM(CASE WHEN p.c3 <= t2.r_q1 * {_s} THEN 1 ELSE 0
+                   END) AS BIGINT) AS a_count
+        FROM (
+          SELECT a.channel, a.win,
+                 GREATEST(abs(a.cq - b.cq), abs(a.x1 - b.x1)) AS c2,
+                 GREATEST(abs(a.cq - b.cq), abs(a.x1 - b.x1),
+                          abs(a.x2 - b.x2)) AS c3
+          FROM tc{_s} a JOIN tc{_s} b
+            ON a.channel = b.channel AND a.win = b.win AND b.pos > a.pos
+          WHERE a.pos <= {_se_last} AND b.pos <= {_se_last}
+        ) p JOIN tol t2 USING (channel)
+        GROUP BY p.channel, p.win, t2.r_q1""")
+    sql["ts_multiscale_entropy"] = with_views(
+        f"""
+        WITH rk0 AS (
+          SELECT channel, value,
+                 ROW_NUMBER() OVER (PARTITION BY channel ORDER BY value, ts)
+                   - 1 AS rn,
+                 COUNT(*) OVER (PARTITION BY channel) AS n
+          FROM samples
+        ),
+        tol0 AS (
+          SELECT channel, CAST(MAX(n) AS BIGINT) AS n, {_se_aggs}
+          FROM rk0 GROUP BY channel
+        ),
+        tol1 AS (SELECT channel, {_se_posts} FROM tol0),
+        tol AS (
+          SELECT channel,
+                 CAST(round({SE_RFRAC!r} * (p75 - p25) * {SE_QUANT})
+                      AS BIGINT) AS r_q1
+          FROM tol1
+        ),
+        rk AS (
+          SELECT channel,
+                 CAST(round(value * {SE_QUANT}) AS BIGINT) AS xq,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS rn
+          FROM samples
+        ),
+        {",".join(_mse_ctes)},
+        u AS ({" UNION ALL ".join(_mse_branches)})
+        SELECT channel, scale, win, n, r_q, b_count, a_count,
+               CASE WHEN a_count > 0 AND b_count > 0 THEN
+                 round(-ln(CAST(a_count AS DOUBLE)
+                           / CAST(b_count AS DOUBLE)), 9) END AS sampen
+        FROM u
         """,
         "samples",
     )

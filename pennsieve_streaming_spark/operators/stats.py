@@ -2509,3 +2509,125 @@ def isi_stats(
         F.expr(ISI_CV).alias("cv"),
         F.expr(ISI_BURSTINESS).alias("burstiness"),
     )
+
+
+def multiscale_entropy(
+    samples: DataFrame,
+    scales: tuple = (1, 2, 4),
+    window_samples: int = 128,
+    m: int = 2,
+    r_frac: float = 0.2,
+    quant: int = 100,
+) -> DataFrame:
+    """Multiscale entropy (Costa et al. 2002) — SampEn of the
+    coarse-grained series at each scale: white noise loses entropy as
+    the scale grows, 1/f-like physiological complexity holds it, so
+    the MSE CURVE separates signals single-scale SampEn confuses. The
+    standard consciousness/aging/heart-rate panel on top of
+    :func:`sample_entropy`.
+
+    Coarse-graining at scale s averages s consecutive samples; to
+    stay integer-exact this compares the s-SUMS instead and scales
+    the tolerance by s (equivalent comparisons: |mean_i − mean_j| ≤ r
+    ⟺ |sum_i − sum_j| ≤ s·r) — the Costa convention of one tolerance
+    from the ORIGINAL series (the bit-exact per-channel IQR gate)
+    held fixed across scales. Incomplete trailing coarse groups drop;
+    windows are ``window_samples`` COARSE points at every scale (the
+    standard formulation — deeper scales cover s× the raw span).
+
+    Output: sample_entropy's columns plus a leading ``scale`` BIGINT:
+    (channel, scale, win, n, r_q, b_count, a_count, sampen).
+
+    Plan: per scale, one extra partial-agg groupBy (the coarse sums)
+    in front of the sample_entropy shape; scales union at the end
+    (|scales| is 3 — a bounded fan-out of independent branches).
+    """
+    import numpy as np
+    import pandas as pd
+
+    ws = int(window_samples)
+    q = int(quant)
+    mm = int(m)
+    pct = channel_percentiles(samples, (0.25, 0.75)).select(
+        "channel",
+        F.expr(
+            f"CAST(round({float(r_frac)} * (p75 - p25) * {q}) AS BIGINT)"
+        ).alias("r_q1"),
+    )
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    ranked = samples.select(
+        "channel",
+        "ts",
+        "value",
+        (F.row_number().over(w) - 1).alias("_rn"),
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    )
+    wins_per_batch = 64
+    out = None
+    for s in scales:
+        ss = int(s)
+        coarse = (
+            ranked.withColumn("_ci", (F.col("_rn") / ss).cast("long"))
+            .groupBy("channel", "_ci")
+            .agg(
+                F.sum("xq").cast("long").alias("cq"),
+                F.count(F.lit(1)).cast("long").alias("_cn"),
+            )
+            .filter(F.col("_cn") == ss)
+        )
+        graded = (
+            coarse.withColumn("win", (F.col("_ci") / ws).cast("long"))
+            .withColumn("pos", (F.col("_ci") % ws).cast("long"))
+            .withColumn("_blk", (F.col("win") / wins_per_batch).cast("long"))
+            .join(F.broadcast(pct), "channel")
+            .withColumn("r_q", F.col("r_q1") * ss)
+        )
+
+        def make_run(_ss):
+            def run(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+                rq = int(pdf["r_q"].iloc[0])
+                pdf = pdf.sort_values(["win", "pos"])
+                wins, bs, as_ = [], [], []
+                for win, g in pdf.groupby("win", sort=True):
+                    if len(g) != ws:
+                        continue
+                    b, a = sampen_counts(
+                        g["cq"].to_numpy(dtype=np.int64), mm, rq
+                    )
+                    wins.append(int(win))
+                    bs.append(b)
+                    as_.append(a)
+                return pd.DataFrame(
+                    {
+                        "channel": pd.Series(
+                            [key[0]] * len(wins), dtype=str
+                        ),
+                        "scale": pd.Series(
+                            [_ss] * len(wins), dtype="int64"
+                        ),
+                        "win": pd.Series(wins, dtype="int64"),
+                        "n": pd.Series([ws] * len(wins), dtype="int64"),
+                        "r_q": pd.Series([rq] * len(wins), dtype="int64"),
+                        "b_count": pd.Series(bs, dtype="int64"),
+                        "a_count": pd.Series(as_, dtype="int64"),
+                    }
+                )
+
+            return run
+
+        counts = graded.groupBy("channel", "_blk").applyInPandas(
+            make_run(ss),
+            schema=(
+                "channel string, scale long, win long, n long, "
+                "r_q long, b_count long, a_count long"
+            ),
+        )
+        out = counts if out is None else out.unionByName(counts)
+    return out.withColumn(
+        "sampen",
+        F.expr(
+            "CASE WHEN a_count > 0 AND b_count > 0 THEN "
+            "round(-ln(CAST(a_count AS DOUBLE) "
+            "/ CAST(b_count AS DOUBLE)), 9) END"
+        ),
+    )

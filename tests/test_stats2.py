@@ -824,3 +824,37 @@ def test_isi_cv_metronome_vs_bursty(spark):
     b = out["bursty"]
     assert b.cv > 1.0 and b.burstiness > 0.0
     assert b.min_s == 2
+
+
+def test_multiscale_entropy_white_noise_decays(spark):
+    """Costa's separation: white noise loses entropy as the scale
+    grows (coarse-graining averages independent draws toward the
+    mean); scale-1 equals plain sample_entropy on the same data."""
+    import random
+
+    from pennsieve_streaming_spark.operators.stats import (
+        multiscale_entropy,
+        sample_entropy,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        ("c", t, float(rng.randrange(-500, 501)) / 10.0)
+        for t in range(1024)
+    ]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = multiscale_entropy(df, (1, 2, 4), 128, 2, 0.2, 100).collect()
+    by_scale = {}
+    for r in out:
+        by_scale.setdefault(r.scale, []).append(r.sampen)
+    mean = {s: sum(v) / len(v) for s, v in by_scale.items() if all(v)}
+    assert mean[1] > mean[2] > mean[4]
+
+    # scale 1 == plain sample_entropy bit-for-bit
+    se = {
+        (r.channel, r.win): (r.b_count, r.a_count, r.sampen)
+        for r in sample_entropy(df, 128, 2, 0.2, 100).collect()
+    }
+    for r in out:
+        if r.scale == 1:
+            assert se[(r.channel, r.win)] == (r.b_count, r.a_count, r.sampen)
