@@ -1959,6 +1959,18 @@ def q_ab_conversion(spark, sf_dir):
     return ab_conversion_test(_user_events(spark, sf_dir), "purchase")
 
 
+def q_conversion_lag(spark, sf_dir):
+    """Time-to-convert distribution: first-event -> first-purchase
+    lag per converting user, exact integer microseconds, global
+    p50/p90 via two-phase-rank order statistics + one fixed
+    interpolation expression."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        conversion_lag_stats,
+    )
+
+    return conversion_lag_stats(_user_events(spark, sf_dir), "purchase")
+
+
 def q_ab_srm(spark, sf_dir):
     """Sample-ratio-mismatch guardrail per exposure surface: exposed
     users per event_type split by the hash assignment must be 50/50;
@@ -3675,6 +3687,7 @@ _R6_FRONT = [
     "ev_ab_srm", "mm_image_ssim", "ts_uneven_periodogram",
     "ts_ljungbox", "ts_higher_moments", "ts_holt_backtest", "ts_rqa",
     "ts_isi_cv", "stream_periodogram", "ts_multiscale_entropy",
+    "ev_conversion_lag",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3733,6 +3746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_gini": q_gini,
         "ev_assoc_rules": q_assoc_rules,
         "ev_ab_srm": q_ab_srm,
+        "ev_conversion_lag": q_conversion_lag,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -6028,6 +6042,54 @@ def oracle_sql() -> dict[str, str]:
         SELECT n_sessions,
                CAST(_sdur AS DOUBLE) / n_sessions AS mean_us,
                {_ss_posts}
+        FROM sel
+        """
+
+    _cl_parts = []
+    for _p in (0.5, 0.9):
+        _nm = f"p{str(_p).replace('0.', '').ljust(2, '0')}"
+        _idx = f"CAST(floor(CAST({_p!r} AS DOUBLE) * (t.n - 1)) AS BIGINT)"
+        _nxt = f"least({_idx} + 1, t.n - 1)"
+        _cl_parts.append(
+            f"MAX(CASE WHEN r.r0 = {_idx} THEN r.lag_us END)"
+            f" AS _lo_{_nm}, "
+            f"MAX(CASE WHEN r.r0 = {_nxt} THEN r.lag_us END)"
+            f" AS _hi_{_nm}"
+        )
+    _cl_posts = ", ".join(
+        f"_lo_p{_n} + (_hi_p{_n} - _lo_p{_n}) * "
+        f"(CAST({_p!r} AS DOUBLE) * (n_converted - 1) "
+        f"- floor(CAST({_p!r} AS DOUBLE) * (n_converted - 1))) AS p{_n}"
+        for _p, _n in ((0.5, "50"), (0.9, "90"))
+    )
+    sql["ev_conversion_lag"] = f"""
+        WITH per AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'purchase'
+                     THEN epoch_us(ts) END)
+                 - MIN(epoch_us(ts)) AS lag_us
+          FROM events GROUP BY user_id
+          HAVING MIN(CASE WHEN event_type = 'purchase'
+                     THEN epoch_us(ts) END) IS NOT NULL
+        ),
+        t AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(lag_us) AS BIGINT) AS slag
+          FROM per
+        ),
+        r AS (
+          SELECT lag_us,
+                 ROW_NUMBER() OVER (ORDER BY lag_us, user_id) - 1 AS r0
+          FROM per
+        ),
+        sel AS (
+          SELECT t.n AS n_converted, t.slag AS _slag,
+                 {", ".join(_cl_parts)}
+          FROM r, t GROUP BY t.n, t.slag
+        )
+        SELECT n_converted,
+               CAST(_slag AS DOUBLE) / n_converted AS mean_us,
+               {_cl_posts}
         FROM sel
         """
 

@@ -999,3 +999,84 @@ def ab_srm_check(events: DataFrame) -> DataFrame:
         F.expr(SRM_CHI2).alias("chi2"),
         F.expr(f"{SRM_CHI2} > {SRM_CRIT}").alias("srm"),
     )
+
+
+def conversion_lag_stats(
+    events: DataFrame,
+    conversion: str = "purchase",
+    ps: tuple = (0.5, 0.9),
+) -> DataFrame:
+    """Time-to-convert distribution — the funnel-velocity number next
+    to ev_funnel's volume: per converting user, the lag from their
+    FIRST event of any kind to their FIRST ``conversion`` event;
+    summarized as exact interpolated percentiles + mean. Slow p90
+    lag is the activation-problem signal conversion RATE hides.
+
+    Determinism + scale: the per-user rollup is one partial-agg
+    groupBy (two conditional MINs — no sessionization pass); lags are
+    exact integer µs; ranking is GLOBAL over converting users, so it
+    runs on the two-phase ``util.global_rank``, never a single-task
+    window; percentiles are the channel_percentiles order-statistic
+    interpolation under the total order (lag_us, user_id); the mean
+    is one division of exact integers.
+
+    Output: one row (n_converted, mean_us, p50, p90); empty when no
+    user converts (both engines agree — the session_stats rule).
+    """
+    from pennsieve_streaming_spark.util import global_rank
+
+    per = (
+        events.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("_first_ts"),
+            F.min(
+                F.when(F.col("event_type") == conversion, F.col("ts"))
+            ).alias("_conv_ts"),
+        )
+        .filter(F.col("_conv_ts").isNotNull())
+        .select(
+            "user_id",
+            (F.col("_conv_ts") - F.col("_first_ts")).alias("lag_us"),
+        )
+    )
+    ranked = global_rank(per, [F.asc("lag_us"), F.asc("user_id")], "_r")
+    tot = ranked.agg(
+        F.max("_r").cast("long").alias("n"),
+        F.sum("lag_us").cast("long").alias("slag"),
+    )
+    j = ranked.crossJoin(F.broadcast(tot))
+    aggs = [
+        F.max("n").cast("long").alias("n_converted"),
+        F.max("slag").cast("long").alias("_slag"),
+    ]
+    posts = []
+    for p in ps:
+        name = f"p{str(p).replace('0.', '').ljust(2, '0')}"
+        idx = F.expr(f"CAST(floor(CAST({p!r} AS DOUBLE) * (n - 1)) AS BIGINT)")
+        nxt = F.expr(
+            f"least(CAST(floor(CAST({p!r} AS DOUBLE) * (n - 1)) AS BIGINT)"
+            " + 1, n - 1)"
+        )
+        aggs.append(
+            F.max(F.when(F.col("_r") - 1 == idx, F.col("lag_us"))).alias(
+                f"_lo_{name}"
+            )
+        )
+        aggs.append(
+            F.max(F.when(F.col("_r") - 1 == nxt, F.col("lag_us"))).alias(
+                f"_hi_{name}"
+            )
+        )
+        posts.append(
+            F.expr(
+                f"_lo_{name} + (_hi_{name} - _lo_{name}) * "
+                f"(CAST({p!r} AS DOUBLE) * (n_converted - 1) "
+                f"- floor(CAST({p!r} AS DOUBLE) * (n_converted - 1)))"
+            ).alias(name)
+        )
+    out = j.agg(*aggs)
+    return out.filter(F.col("n_converted").isNotNull()).select(
+        "n_converted",
+        F.expr("CAST(_slag AS DOUBLE) / n_converted").alias("mean_us"),
+        *posts,
+    )

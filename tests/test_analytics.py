@@ -527,3 +527,36 @@ def test_ab_srm_flags_planted_mismatch(spark):
     broken = out["broken"]
     assert (broken.n_a, broken.n_b, broken.n_total) == (16, 4, 20)
     assert abs(broken.chi2 - 7.2) < 1e-12 and broken.srm is True
+
+
+def test_conversion_lag_golden(spark):
+    """Hand-built lags [0, 10, 20, 100] seconds: p50 interpolates
+    between 10 and 20; a user who never converts is excluded; a user
+    whose first event IS the purchase has lag 0."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        conversion_lag_stats,
+    )
+
+    sec = 1_000_000
+    rows = [
+        (1, 0, "purchase"),                 # lag 0
+        (2, 0, "click"), (2, 10 * sec, "purchase"),
+        (3, 0, "click"), (3, 20 * sec, "purchase"),
+        (4, 0, "click"), (4, 100 * sec, "purchase"),
+        (5, 0, "click"), (5, 50 * sec, "click"),   # never converts
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    out = conversion_lag_stats(ev, "purchase").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_converted == 4
+    assert r.mean_us == (0 + 10 + 20 + 100) * sec / 4
+    # sorted lags [0,10,20,100]s: p50 at 0.5*3=1.5 -> 10 + 0.5*(20-10)
+    assert r.p50 == 15 * sec
+    # p90 at 0.9*3=2.7 -> 20 + 0.7*(100-20) = 76
+    assert abs(r.p90 - 76 * sec) < 1e-6
+
+    none = conversion_lag_stats(
+        ev.filter("event_type <> 'purchase'"), "purchase"
+    ).collect()
+    assert none == []
