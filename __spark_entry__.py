@@ -3203,6 +3203,21 @@ def q_permutation_entropy(spark, sf_dir):
     )
 
 
+HAAR_LEVELS = 4
+
+
+def q_haar_energy(spark, sf_dir):
+    """Haar wavelet detail-energy profile per (channel, 128-sample
+    window, level 1..4): exact +-1-signed BIGINT block sums squared,
+    one fixed energy/share division — the multiresolution complement
+    of the Fourier band powers."""
+    from pennsieve_streaming_spark.operators.stats import haar_energy
+
+    return haar_energy(
+        TBL.samples_view(spark, sf_dir), SE_WINDOW, HAAR_LEVELS, SE_QUANT
+    )
+
+
 MSE_SCALES = (1, 2, 4)
 
 
@@ -3687,7 +3702,7 @@ _R6_FRONT = [
     "ev_ab_srm", "mm_image_ssim", "ts_uneven_periodogram",
     "ts_ljungbox", "ts_higher_moments", "ts_holt_backtest", "ts_rqa",
     "ts_isi_cv", "stream_periodogram", "ts_multiscale_entropy",
-    "ev_conversion_lag",
+    "ev_conversion_lag", "ts_haar_energy",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3769,6 +3784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_isi_cv": q_isi_cv,
         "stream_periodogram": q_stream_periodogram,
         "ts_multiscale_entropy": q_multiscale_entropy,
+        "ts_haar_energy": q_haar_energy,
         "ts_hjorth": q_hjorth,
         "ts_line_length": q_line_length,
         "ts_tkeo_energy": q_tkeo_energy,
@@ -7626,6 +7642,62 @@ def oracle_sql() -> dict[str, str]:
         FROM wins w
         JOIN tol ON tol.channel = w.channel
         LEFT JOIN agg a ON a.channel = w.channel AND a.win = w.win
+        """,
+        "samples",
+    )
+
+    # Haar energy: ±1-signed block sums, square AFTER the block sum
+    # (two-stage aggregation on both engines), totals joined back.
+    _haar_lv = ", ".join(str(i) for i in range(1, HAAR_LEVELS + 1))
+    sql["ts_haar_energy"] = with_views(
+        f"""
+        WITH rk AS (
+          SELECT channel,
+                 CAST(round(value * {SE_QUANT}) AS BIGINT) AS xq,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS rn
+          FROM samples
+        ),
+        wfull AS (
+          SELECT channel, rn // {SE_WINDOW} AS win,
+                 rn % {SE_WINDOW} AS pos, xq,
+                 COUNT(*) OVER (PARTITION BY channel, rn // {SE_WINDOW})
+                   AS nw
+          FROM rk
+        ),
+        tc AS (SELECT * FROM wfull WHERE nw = {SE_WINDOW}),
+        e AS (
+          SELECT channel, win, UNNEST([{_haar_lv}]) AS level, pos, xq
+          FROM tc
+        ),
+        sb AS (
+          SELECT channel, win, level, pos // (1 << level) AS blk,
+                 CASE WHEN (pos // (1 << (level - 1))) % 2 = 0
+                      THEN xq ELSE -xq END AS sx
+          FROM e
+        ),
+        blocks AS (
+          SELECT channel, win, level, blk,
+                 CAST(SUM(sx) AS BIGINT) AS d
+          FROM sb GROUP BY channel, win, level, blk
+        ),
+        g AS (
+          SELECT channel, CAST(win AS BIGINT) AS win,
+                 CAST(level AS BIGINT) AS level,
+                 CAST(COUNT(*) AS BIGINT) AS n_details,
+                 CAST(SUM(d * d) AS BIGINT) AS energy_q
+          FROM blocks GROUP BY channel, win, level
+        ),
+        tot AS (
+          SELECT channel, win, CAST(SUM(energy_q) AS BIGINT) AS tot_q
+          FROM g GROUP BY channel, win
+        )
+        SELECT g.channel, g.win, g.level, g.n_details, g.energy_q,
+               CAST(g.energy_q AS DOUBLE)
+                 / ({SE_QUANT}.0 * {SE_QUANT}.0) AS energy,
+               CASE WHEN t.tot_q > 0 THEN
+                 CAST(g.energy_q AS DOUBLE) / t.tot_q END AS rel_energy
+        FROM g JOIN tot t ON g.channel = t.channel AND g.win = t.win
         """,
         "samples",
     )

@@ -858,3 +858,36 @@ def test_multiscale_entropy_white_noise_decays(spark):
     for r in out:
         if r.scale == 1:
             assert se[(r.channel, r.win)] == (r.b_count, r.a_count, r.sampen)
+
+
+def test_haar_energy_scale_localization(spark):
+    """A +-1 alternation at the sample scale puts ALL detail energy
+    at level 1; a period-4 square wave puts it at level 2; a constant
+    window has zero energy everywhere (rel_energy NULL)."""
+    from pennsieve_streaming_spark.operators.stats import haar_energy
+
+    rows = []
+    rows += [("alt", t, float(1 if t % 2 else -1)) for t in range(8)]
+    rows += [("sq4", t, float(1 if t % 4 < 2 else -1)) for t in range(8)]
+    rows += [("flat", t, 3.0) for t in range(8)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = {}
+    for r in haar_energy(df, 8, 3, 100).collect():
+        out[(r.channel, r.level)] = r
+
+    # alt: d at level 1 = x0 - x1 = +-200 per pair -> E1 = 4*200^2
+    assert out[("alt", 1)].energy_q == 4 * 200 * 200
+    assert out[("alt", 2)].energy_q == 0 and out[("alt", 3)].energy_q == 0
+    assert out[("alt", 1)].rel_energy == 1.0
+    assert out[("alt", 1)].energy == 4 * 200 * 200 / 10000.0
+
+    # sq4: level-1 pairs are equal -> 0; level 2 blocks (1,1,-1,-1)
+    # -> d = 400 per block, 2 blocks -> E2 = 2*400^2; level 3 cancels
+    assert out[("sq4", 1)].energy_q == 0
+    assert out[("sq4", 2)].energy_q == 2 * 400 * 400
+    assert out[("sq4", 3)].energy_q == 0
+    assert out[("sq4", 2)].rel_energy == 1.0
+
+    for lv in (1, 2, 3):
+        r = out[("flat", lv)]
+        assert r.energy_q == 0 and r.rel_energy is None
