@@ -3291,6 +3291,22 @@ def q_isi_cv(spark, sf_dir):
     return isi_stats(TBL.samples_view(spark, sf_dir), PEAK_HEIGHT, PEAK_PROM)
 
 
+CFAR_TRAIN, CFAR_GUARD, CFAR_NUM, CFAR_DEN = 8, 2, 3, 1
+
+
+def q_cfar_peaks(spark, sf_dir):
+    """CA-CFAR adaptive detection per channel: a cell fires when its
+    amplitude exceeds 3x the mean of 16 surrounding training cells
+    (2 guard cells each side); integer cross-multiplied predicate,
+    exact window-frame sums, one fixed score division."""
+    from pennsieve_streaming_spark.operators.stats import cfar_peaks
+
+    return cfar_peaks(
+        TBL.samples_view(spark, sf_dir), CFAR_TRAIN, CFAR_GUARD,
+        CFAR_NUM, CFAR_DEN, SE_QUANT,
+    )
+
+
 def q_detect_peaks(spark, sf_dir):
     """Local-maximum peaks per channel above height/prominence gates
     (plateau-first convention, edges excluded)."""
@@ -3702,7 +3718,7 @@ _R6_FRONT = [
     "ev_ab_srm", "mm_image_ssim", "ts_uneven_periodogram",
     "ts_ljungbox", "ts_higher_moments", "ts_holt_backtest", "ts_rqa",
     "ts_isi_cv", "stream_periodogram", "ts_multiscale_entropy",
-    "ev_conversion_lag", "ts_haar_energy",
+    "ev_conversion_lag", "ts_haar_energy", "ts_cfar_peaks",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3785,6 +3801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_periodogram": q_stream_periodogram,
         "ts_multiscale_entropy": q_multiscale_entropy,
         "ts_haar_energy": q_haar_energy,
+        "ts_cfar_peaks": q_cfar_peaks,
         "ts_hjorth": q_hjorth,
         "ts_line_length": q_line_length,
         "ts_tkeo_energy": q_tkeo_energy,
@@ -8587,6 +8604,46 @@ def oracle_sql() -> dict[str, str]:
           AND value > prev AND value >= nxt
           AND value > {_dblit(PEAK_HEIGHT)}
           AND value - GREATEST(prev, nxt) >= {_dblit(PEAK_PROM)}
+        """,
+        "samples",
+    )
+
+    # CA-CFAR: exact frame sums over the same (ts, value) sort; the
+    # integer cross-multiplied predicate needs no shared float text.
+    sql["ts_cfar_peaks"] = with_views(
+        f"""
+        WITH x AS (
+          SELECT channel, ts, value,
+                 abs(CAST(round(value * {SE_QUANT}) AS BIGINT)) AS aq
+          FROM samples
+        ),
+        fr AS (
+          SELECT channel, ts, value, aq,
+                 COALESCE(SUM(aq) OVER (PARTITION BY channel
+                   ORDER BY ts, value ROWS BETWEEN {CFAR_GUARD + CFAR_TRAIN}
+                   PRECEDING AND {CFAR_GUARD + 1} PRECEDING), 0) AS s_lo,
+                 COUNT(*) OVER (PARTITION BY channel
+                   ORDER BY ts, value ROWS BETWEEN {CFAR_GUARD + CFAR_TRAIN}
+                   PRECEDING AND {CFAR_GUARD + 1} PRECEDING) AS n_lo,
+                 COALESCE(SUM(aq) OVER (PARTITION BY channel
+                   ORDER BY ts, value ROWS BETWEEN {CFAR_GUARD + 1}
+                   FOLLOWING AND {CFAR_GUARD + CFAR_TRAIN} FOLLOWING), 0)
+                   AS s_hi,
+                 COUNT(*) OVER (PARTITION BY channel
+                   ORDER BY ts, value ROWS BETWEEN {CFAR_GUARD + 1}
+                   FOLLOWING AND {CFAR_GUARD + CFAR_TRAIN} FOLLOWING)
+                   AS n_hi
+          FROM x
+        )
+        SELECT channel, ts, value, aq,
+               CAST(s_lo + s_hi AS BIGINT) AS train_sum,
+               CASE WHEN s_lo + s_hi > 0 THEN
+                 CAST(aq * {2 * CFAR_TRAIN} AS DOUBLE) / (s_lo + s_hi)
+               END AS score
+        FROM fr
+        WHERE n_lo = {CFAR_TRAIN} AND n_hi = {CFAR_TRAIN}
+          AND aq * {2 * CFAR_TRAIN} * {CFAR_DEN}
+              > {CFAR_NUM} * (s_lo + s_hi)
         """,
         "samples",
     )

@@ -2727,3 +2727,74 @@ def haar_energy(
             "CAST(energy_q AS DOUBLE) / _tot_q END"
         ).alias("rel_energy"),
     )
+
+
+def cfar_peaks(
+    samples: DataFrame,
+    train: int = 8,
+    guard: int = 2,
+    factor_num: int = 3,
+    factor_den: int = 1,
+    quant: int = 100,
+) -> DataFrame:
+    """Cell-averaging CFAR detection per channel (Finn & Johnson
+    1968) — the constant-false-alarm-rate detector radar and spike
+    pipelines use when the noise floor DRIFTS: a sample fires when
+    its amplitude exceeds ``factor`` × the mean amplitude of its
+    2×``train`` surrounding training cells, with ``guard`` cells each
+    side excluded so the event's own energy doesn't raise its own
+    threshold. The adaptive-local-baseline complement of the global
+    gates in detect_peaks / zscore_outliers.
+
+    Determinism — all-integer: quantized |xq| amplitudes; the
+    training sums are exact BIGINT window-frame sums; the detection
+    test cross-multiplies (aq · n_train · factor_den >
+    factor_num · train_sum) so no division enters the predicate; the
+    emitted score is one fixed float division. Edge cells with an
+    incomplete training window never fire (the conventional CA-CFAR
+    edge rule).
+
+    Output: (channel, ts, value, aq, train_sum, score) for firing
+    cells only; score = (aq · n_train) / train_sum (NULL only when
+    the local floor is exactly zero — those fire whenever aq > 0).
+
+    Plan: one per-channel window pass with four frame aggregates in
+    the same sort — no joins, no self-join, predicate-only after.
+    """
+    t = int(train)
+    gd = int(guard)
+    q = int(quant)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    lo = w.rowsBetween(-(gd + t), -(gd + 1))
+    hi = w.rowsBetween(gd + 1, gd + t)
+    x = samples.select(
+        "channel",
+        "ts",
+        "value",
+        F.expr(f"abs(CAST(round(value * {q}) AS BIGINT))").alias("aq"),
+    )
+    x = (
+        x.withColumn("_s_lo", F.coalesce(F.sum("aq").over(lo), F.lit(0)))
+        .withColumn("_n_lo", F.count(F.lit(1)).over(lo))
+        .withColumn("_s_hi", F.coalesce(F.sum("aq").over(hi), F.lit(0)))
+        .withColumn("_n_hi", F.count(F.lit(1)).over(hi))
+    )
+    fired = x.filter(
+        (F.col("_n_lo") == t)
+        & (F.col("_n_hi") == t)
+        & (
+            F.col("aq") * (2 * t) * factor_den
+            > factor_num * (F.col("_s_lo") + F.col("_s_hi"))
+        )
+    )
+    return fired.select(
+        "channel",
+        "ts",
+        "value",
+        "aq",
+        (F.col("_s_lo") + F.col("_s_hi")).cast("long").alias("train_sum"),
+        F.expr(
+            f"CASE WHEN _s_lo + _s_hi > 0 THEN "
+            f"CAST(aq * {2 * t} AS DOUBLE) / (_s_lo + _s_hi) END"
+        ).alias("score"),
+    )

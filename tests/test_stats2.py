@@ -891,3 +891,31 @@ def test_haar_energy_scale_localization(spark):
     for lv in (1, 2, 3):
         r = out[("flat", lv)]
         assert r.energy_q == 0 and r.rel_energy is None
+
+
+def test_cfar_adapts_to_drifting_floor(spark):
+    """A spike of fixed size fires on a quiet floor but NOT on a loud
+    floor of the same shape — the constant-false-alarm property a
+    global threshold can't give; edge cells never fire."""
+    from pennsieve_streaming_spark.operators.stats import cfar_peaks
+
+    rows = []
+    # quiet region: floor 1.0, spike 10.0 at t=15 (needs 10 cells
+    # each side for a full training window)
+    for t in range(31):
+        rows.append(("c", t, 10.0 if t == 15 else 1.0))
+    # loud region (same channel, later): floor 8.0, same 10.0 "spike"
+    for t in range(40, 71):
+        rows.append(("c", t, 10.0 if t == 55 else 8.0))
+    # edge spike: huge value at t=0 must NOT fire (incomplete window)
+    rows.append(("e", 0, 1000.0))
+    for t in range(1, 12):
+        rows.append(("e", t, 1.0))
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = cfar_peaks(df, 8, 2, 3, 1, 100).collect()
+    fired = {(r.channel, r.ts) for r in out}
+    assert ("c", 15) in fired            # 10 vs mean 1 -> fires
+    assert ("c", 55) not in fired        # 10 vs mean 8 -> under 3x
+    assert not any(ch == "e" for ch, _ in fired)
+    r15 = next(r for r in out if r.ts == 15)
+    assert r15.score == 10.0             # aq*16 / (16*100): 1000*16/1600
