@@ -3291,6 +3291,21 @@ def q_isi_cv(spark, sf_dir):
     return isi_stats(TBL.samples_view(spark, sf_dir), PEAK_HEIGHT, PEAK_PROM)
 
 
+HRV_NN_S = 3600  # pNN threshold: one hour at this train's day scale
+
+
+def q_hrv_metrics(spark, sf_dir):
+    """RMSSD + pNN over the gated peak train: exact second-floored
+    BIGINT successive-difference moments (ms squares overflow at
+    month-scale gaps), fixed float finishes — beat-to-beat
+    variability next to ts_isi_cv's total variance."""
+    from pennsieve_streaming_spark.operators.stats import hrv_metrics
+
+    return hrv_metrics(
+        TBL.samples_view(spark, sf_dir), PEAK_HEIGHT, PEAK_PROM, HRV_NN_S
+    )
+
+
 CFAR_TRAIN, CFAR_GUARD, CFAR_NUM, CFAR_DEN = 8, 2, 3, 1
 
 
@@ -3719,6 +3734,7 @@ _R6_FRONT = [
     "ts_ljungbox", "ts_higher_moments", "ts_holt_backtest", "ts_rqa",
     "ts_isi_cv", "stream_periodogram", "ts_multiscale_entropy",
     "ev_conversion_lag", "ts_haar_energy", "ts_cfar_peaks",
+    "ts_hrv_metrics",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3802,6 +3818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_multiscale_entropy": q_multiscale_entropy,
         "ts_haar_energy": q_haar_energy,
         "ts_cfar_peaks": q_cfar_peaks,
+        "ts_hrv_metrics": q_hrv_metrics,
         "ts_hjorth": q_hjorth,
         "ts_line_length": q_line_length,
         "ts_tkeo_energy": q_tkeo_energy,
@@ -8676,6 +8693,39 @@ def oracle_sql() -> dict[str, str]:
                {_ISI_M} AS mean_s,
                {_ISI_CV} AS cv,
                {_ISI_B} AS burstiness
+        FROM agg
+        """
+
+    from pennsieve_streaming_spark.operators.stats import (
+        HRV_PNN50 as _HRV_P,
+        HRV_RMSSD as _HRV_R,
+    )
+
+    sql["ts_hrv_metrics"] = f"""
+        WITH pk AS ({sql["ts_detect_peaks"]}),
+        g AS (
+          SELECT channel,
+                 (ts - LAG(ts) OVER w) // 1000000 AS g_s,
+                 ts, value
+          FROM pk
+          WINDOW w AS (PARTITION BY channel ORDER BY ts, value)
+        ),
+        d AS (
+          SELECT channel,
+                 g_s - LAG(g_s) OVER (PARTITION BY channel
+                     ORDER BY ts, value) AS dd
+          FROM g WHERE g_s IS NOT NULL
+        ),
+        agg AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_diffs,
+                 CAST(SUM(dd * dd) AS BIGINT) AS sum_d2,
+                 CAST(SUM(CASE WHEN abs(dd) > {HRV_NN_S} THEN 1 ELSE 0
+                     END) AS BIGINT) AS nn50
+          FROM d WHERE dd IS NOT NULL GROUP BY channel
+        )
+        SELECT channel, n_diffs, sum_d2, nn50,
+               {_HRV_R} AS rmssd_s,
+               {_HRV_P} AS pnn
         FROM agg
         """
 

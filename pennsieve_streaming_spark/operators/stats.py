@@ -2798,3 +2798,79 @@ def cfar_peaks(
             f"CAST(aq * {2 * t} AS DOUBLE) / (_s_lo + _s_hi) END"
         ).alias("score"),
     )
+
+
+# Fixed float finishes for the HRV panel, shared verbatim with the
+# oracle. Inputs are exact BIGINT second-resolution difference
+# moments.
+HRV_RMSSD = (
+    "CASE WHEN n_diffs > 0 THEN "
+    "sqrt(CAST(sum_d2 AS DOUBLE) / n_diffs) END"
+)
+HRV_PNN50 = (
+    "CASE WHEN n_diffs > 0 THEN "
+    "CAST(nn50 AS DOUBLE) / n_diffs END"
+)
+
+
+def hrv_metrics(
+    samples: DataFrame,
+    min_height: float,
+    min_prominence: float = 0.0,
+    nn_threshold_s: int = 3600,
+) -> DataFrame:
+    """Short-term variability metrics over the gated peak train — the
+    HRV pair every wearable ships (Task Force of ESC/NASPE 1996):
+    RMSSD (root-mean-square of SUCCESSIVE interval differences — the
+    vagal-tone proxy) and pNN (fraction of successive differences
+    exceeding ``nn_threshold_s`` — the conventional 50 ms at ECG
+    rates; this train's peaks are day-scale, so the driver-gated
+    parameterization uses one hour). Complements :func:`isi_stats` (whose CV reads
+    TOTAL variance): RMSSD/pNN50 read beat-to-beat change, so a slow
+    drift with steady beats scores near zero here while inflating CV.
+
+    Determinism: peaks are engine-identical (the detect_peaks
+    contract); intervals floor to exact SECOND BIGINTs
+    (millisecond squares overflow BIGINT at this train's month-scale
+    gaps — the isi_stats envelope rule, one unit coarser); the difference moments
+    are exact integer sums; RMSSD/pNN50 are single fixed expressions
+    (HRV_*, shared with the oracle) — IEEE sqrt is correctly rounded.
+
+    Output: (channel, n_diffs, sum_d2, nn50, rmssd_s, pnn);
+    channels with < 3 peaks emit nothing.
+
+    Plan: the detect_peaks window pass + two per-channel lags + one
+    partial-agg groupBy to |channels| rows.
+    """
+    pk = detect_peaks(samples, min_height, min_prominence)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    g = (
+        pk.withColumn("_prev", F.lag("ts").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .withColumn("g_s", F.expr("(ts - _prev) div 1000000"))
+    )
+    d = (
+        g.withColumn("_pg", F.lag("g_s").over(w))
+        .filter(F.col("_pg").isNotNull())
+        .withColumn("dd", F.col("g_s") - F.col("_pg"))
+    )
+    agg = d.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_diffs"),
+        F.sum(F.expr("dd * dd")).cast("long").alias("sum_d2"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN abs(dd) > {int(nn_threshold_s)} "
+                f"THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("nn50"),
+    )
+    return agg.select(
+        "channel",
+        "n_diffs",
+        "sum_d2",
+        "nn50",
+        F.expr(HRV_RMSSD).alias("rmssd_s"),
+        F.expr(HRV_PNN50).alias("pnn"),
+    )

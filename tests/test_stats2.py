@@ -919,3 +919,40 @@ def test_cfar_adapts_to_drifting_floor(spark):
     assert not any(ch == "e" for ch, _ in fired)
     r15 = next(r for r in out if r.ts == 15)
     assert r15.score == 10.0             # aq*16 / (16*100): 1000*16/1600
+
+
+def test_hrv_drift_vs_jitter(spark):
+    """A slowly drifting but beat-steady train scores RMSSD ~0 while
+    a jittery train with the SAME total variance scores high — the
+    successive-difference property CV can't see; pNN counts only
+    above-threshold jumps."""
+    from pennsieve_streaming_spark.operators.stats import hrv_metrics
+
+    sec = 1_000_000
+
+    def train(channel, gaps_s):
+        rows, t = [], 0
+        times = []
+        for g in gaps_s:
+            t += g * sec
+            times.append(t)
+        tset = set(times)
+        for tt in range(0, max(times) + 2 * sec, sec):
+            rows.append((channel, tt, 10.0 if tt in tset else 0.0))
+        return rows
+
+    # drift: gaps 100,101,...,107 (successive diffs all 1 s)
+    drift = train("drift", [100 + k for k in range(8)])
+    # jitter: alternating 90/114 (same mean-ish, diffs +-24)
+    jitter = train("jitter", [90, 114] * 4)
+    df = spark.createDataFrame(
+        drift + jitter, "channel string, ts long, value double"
+    )
+    out = {
+        r.channel: r
+        for r in hrv_metrics(df, 5.0, 0.0, nn_threshold_s=20).collect()
+    }
+    d, j = out["drift"], out["jitter"]
+    assert d.rmssd_s == 1.0 and d.pnn == 0.0        # |dd| = 1 always
+    assert j.rmssd_s == 24.0 and j.pnn == 1.0        # |dd| = 24 > 20
+    assert d.n_diffs == j.n_diffs == 6
