@@ -1455,6 +1455,18 @@ def q_unigram_lm(spark, sf_dir):
     return unigram_lm_score(_docs(spark, sf_dir), k=0.5).drop("perplexity")
 
 
+CHUNK_SIZE, CHUNK_STRIDE = 32, 24
+
+
+def q_chunk_passages(spark, sf_dir):
+    """RAG passage chunking: overlapping 32-token windows every 24
+    tokens, trailing fully-covered runts skipped — pure integer
+    window arithmetic, one narrow explode, no shuffle."""
+    from pennsieve_streaming_spark.llm.text import chunk_passages
+
+    return chunk_passages(_docs(spark, sf_dir), CHUNK_SIZE, CHUNK_STRIDE)
+
+
 def q_rake_keywords(spark, sf_dir):
     """Top-3 RAKE keyphrases per document: stopword-delimited phrase
     islands, degree/frequency word scores (one BIGINT division each),
@@ -3734,7 +3746,7 @@ _R6_FRONT = [
     "ts_ljungbox", "ts_higher_moments", "ts_holt_backtest", "ts_rqa",
     "ts_isi_cv", "stream_periodogram", "ts_multiscale_entropy",
     "ev_conversion_lag", "ts_haar_energy", "ts_cfar_peaks",
-    "ts_hrv_metrics",
+    "ts_hrv_metrics", "doc_chunk_passages",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3784,6 +3796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_perplexity_buckets": q_perplexity_buckets,
         "doc_readability": q_readability,
         "doc_rake_keywords": q_rake_keywords,
+        "doc_chunk_passages": q_chunk_passages,
         "ts_holt_anomalies": q_holt_anomalies,
         "mm_audio_fingerprint": q_audio_fingerprint,
         # round-6b
@@ -5016,6 +5029,30 @@ def oracle_sql() -> dict[str, str]:
                CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                     ELSE 'tail' END AS split
         FROM b
+        """
+
+    # Passage chunking: pure integer slicing on both engines.
+    sql["doc_chunk_passages"] = f"""
+        WITH d AS (
+          SELECT doc_id, {TOKS} AS toks, len({TOKS}) AS n
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        e AS (
+          SELECT doc_id, toks, n,
+                 UNNEST(generate_series(0,
+                     CAST((n - 1) // {CHUNK_STRIDE} AS BIGINT))) AS k
+          FROM d
+        )
+        SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+               CAST(k * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+               CAST(len(toks[CAST(k * {CHUNK_STRIDE} + 1 AS INT):
+                   CAST(k * {CHUNK_STRIDE} + {CHUNK_SIZE} AS INT)])
+                 AS BIGINT) AS n_chunk_tokens,
+               array_to_string(toks[CAST(k * {CHUNK_STRIDE} + 1 AS INT):
+                   CAST(k * {CHUNK_STRIDE} + {CHUNK_SIZE} AS INT)], ' ')
+                 AS chunk_text
+        FROM e
+        WHERE k = 0 OR (k - 1) * {CHUNK_STRIDE} + {CHUNK_SIZE} < n
         """
 
     # RAKE: word scores are single BIGINT/BIGINT divisions; the

@@ -1011,3 +1011,49 @@ def rake_keywords(documents: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= kk)
         .select("doc_id", "phrase", "n_words", "score", "rank")
     )
+
+
+def chunk_passages(
+    documents: DataFrame, size: int = 32, stride: int = 24
+) -> DataFrame:
+    """Overlapping-window passage chunker — the retrieval/embedding
+    pipeline's first stage (every RAG index and long-document
+    embedder runs one): token windows of ``size`` starting every
+    ``stride`` tokens, so consecutive chunks overlap by
+    ``size − stride`` tokens of context. A chunk is emitted only if
+    it contributes tokens the previous chunk didn't (the trailing
+    fully-covered runt is skipped); chunk 0 always emits, so no
+    non-empty document vanishes.
+
+    Determinism: pure integer window arithmetic over the token array
+    — start k·stride emits iff k = 0 or (k−1)·stride + size <
+    n_tokens; both engines slice the identical arrays.
+
+    Scale: one narrow explode of ≤ ⌈n/stride⌉ rows per document — no
+    shuffle at all; the chunk table feeds straight into the
+    embedding/minhash stages.
+
+    Output: (doc_id, chunk_id, start_tok, n_chunk_tokens, chunk_text).
+    """
+    sz = int(size)
+    st = int(stride)
+    d = _with_toks(documents).filter(
+        F.expr("length(trim(text)) > 0")
+    ).select("doc_id", "toks", F.expr("size(toks)").alias("_n"))
+    e = d.select(
+        "doc_id",
+        "_n",
+        "toks",
+        F.explode(
+            F.expr(f"sequence(0, CAST((_n - 1) div {st} AS INT))")
+        ).alias("k"),
+    ).filter(F.expr(f"k = 0 OR (k - 1) * {st} + {sz} < _n"))
+    return e.select(
+        "doc_id",
+        F.col("k").cast("long").alias("chunk_id"),
+        (F.col("k") * st).cast("long").alias("start_tok"),
+        F.expr(f"CAST(size(slice(toks, k * {st} + 1, {sz})) AS BIGINT)")
+        .alias("n_chunk_tokens"),
+        F.expr(f"concat_ws(' ', slice(toks, k * {st} + 1, {sz}))")
+        .alias("chunk_text"),
+    )

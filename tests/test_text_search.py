@@ -509,3 +509,41 @@ def test_rake_keywords_case_folding(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.phrase, r.score) == ("graph", 1.0)
+
+
+def test_chunk_passages_coverage_and_overlap(spark):
+    """Every token is covered, consecutive chunks overlap by
+    size - stride, the fully-covered runt is skipped, and short docs
+    yield exactly one chunk."""
+    from pennsieve_streaming_spark.llm.text import chunk_passages
+
+    words = [f"w{i}" for i in range(50)]
+    rows = [
+        (1, " ".join(words)),          # 50 tokens
+        (2, "a b c"),                  # 3 tokens -> one chunk
+        (3, ""),                       # empty -> nothing
+        (4, " ".join(f"x{i}" for i in range(32))),  # exactly one window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_passages(df, 8, 6).collect()
+
+    d1 = sorted(
+        [r for r in out if r.doc_id == 1], key=lambda r: r.chunk_id
+    )
+    # starts 0,6,...,42 emit; 48 is NOT emitted (42+8=50 covers all)
+    assert [r.start_tok for r in d1] == [0, 6, 12, 18, 24, 30, 36, 42]
+    assert all(r.n_chunk_tokens == 8 for r in d1)
+    # overlap: chunk k starts 2 tokens before chunk k-1 ends
+    assert d1[1].chunk_text.split()[:2] == words[6:8]
+    # full coverage: union of [start, start+8) spans 0..50
+    covered = set()
+    for r in d1:
+        covered.update(range(r.start_tok, r.start_tok + r.n_chunk_tokens))
+    assert covered == set(range(50))
+
+    d2 = [r for r in out if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].n_chunk_tokens == 3
+    assert not [r for r in out if r.doc_id == 3]
+
+    out4 = chunk_passages(df.filter("doc_id = 4"), 32, 24).collect()
+    assert len(out4) == 1 and out4[0].n_chunk_tokens == 32
