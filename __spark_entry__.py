@@ -3321,6 +3321,18 @@ def q_hrv_metrics(spark, sf_dir):
 CFAR_TRAIN, CFAR_GUARD, CFAR_NUM, CFAR_DEN = 8, 2, 3, 1
 
 
+def q_randomness_tests(spark, sf_dir):
+    """Turning-point + Wald-Wolfowitz runs tests per channel: exact
+    integer extrema/run counts under quantized comparisons, two fixed
+    z finishes — the nonparametric whiteness panel beside
+    ts_ljungbox."""
+    from pennsieve_streaming_spark.operators.stats import (
+        randomness_tests,
+    )
+
+    return randomness_tests(TBL.samples_view(spark, sf_dir), SE_QUANT)
+
+
 def q_cfar_peaks(spark, sf_dir):
     """CA-CFAR adaptive detection per channel: a cell fires when its
     amplitude exceeds 3x the mean of 16 surrounding training cells
@@ -3746,7 +3758,7 @@ _R6_FRONT = [
     "ts_ljungbox", "ts_higher_moments", "ts_holt_backtest", "ts_rqa",
     "ts_isi_cv", "stream_periodogram", "ts_multiscale_entropy",
     "ev_conversion_lag", "ts_haar_energy", "ts_cfar_peaks",
-    "ts_hrv_metrics", "doc_chunk_passages",
+    "ts_hrv_metrics", "doc_chunk_passages", "ts_randomness_tests",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3832,6 +3844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_haar_energy": q_haar_energy,
         "ts_cfar_peaks": q_cfar_peaks,
         "ts_hrv_metrics": q_hrv_metrics,
+        "ts_randomness_tests": q_randomness_tests,
         "ts_hjorth": q_hjorth,
         "ts_line_length": q_line_length,
         "ts_tkeo_energy": q_tkeo_energy,
@@ -8658,6 +8671,67 @@ def oracle_sql() -> dict[str, str]:
           AND value > prev AND value >= nxt
           AND value > {_dblit(PEAK_HEIGHT)}
           AND value - GREATEST(prev, nxt) >= {_dblit(PEAK_PROM)}
+        """,
+        "samples",
+    )
+
+    # Randomness panel: exact integer counts, the two z finishes
+    # imported verbatim.
+    from pennsieve_streaming_spark.operators.stats import (
+        RUNS_Z as _RUNS_Z,
+        TP_Z as _TP_Z,
+    )
+
+    sql["ts_randomness_tests"] = with_views(
+        f"""
+        WITH rk AS (
+          SELECT channel, ts, value,
+                 CAST(round(value * {SE_QUANT}) AS BIGINT) AS xq
+          FROM samples
+        ),
+        cnt AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n FROM rk
+          GROUP BY channel
+        ),
+        medr AS (
+          SELECT channel, xq,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY xq, ts, value) AS ar
+          FROM rk
+        ),
+        med AS (
+          SELECT m.channel, m.xq AS med_q
+          FROM medr m JOIN cnt c ON m.channel = c.channel
+          WHERE m.ar = (c.n + 1) // 2
+        ),
+        x AS (
+          SELECT r.channel, r.xq, m.med_q,
+                 LAG(r.xq) OVER w AS prev, LEAD(r.xq) OVER w AS nxt,
+                 (r.xq > m.med_q) AS above,
+                 LAG(r.xq > m.med_q) OVER w AS pabove
+          FROM rk r JOIN med m ON r.channel = m.channel
+          WINDOW w AS (PARTITION BY r.channel ORDER BY r.ts, r.value)
+        ),
+        g AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN prev IS NOT NULL AND nxt IS NOT NULL
+                     AND ((prev < xq AND xq > nxt)
+                          OR (prev > xq AND xq < nxt))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS turning_points,
+                 CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_above,
+                 CAST(SUM(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_below,
+                 CAST(1 + SUM(CASE WHEN pabove IS NOT NULL
+                     AND above <> pabove THEN 1 ELSE 0 END) AS BIGINT)
+                   AS runs
+          FROM x GROUP BY channel
+        )
+        SELECT channel, n, turning_points,
+               {_TP_Z} AS tp_z,
+               n_above, n_below, runs,
+               {_RUNS_Z} AS runs_z
+        FROM g
         """,
         "samples",
     )

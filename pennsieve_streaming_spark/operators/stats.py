@@ -2874,3 +2874,117 @@ def hrv_metrics(
         F.expr(HRV_RMSSD).alias("rmssd_s"),
         F.expr(HRV_PNN50).alias("pnn"),
     )
+
+
+# Fixed float finishes for the randomness panel, shared verbatim with
+# the oracle. Inputs are exact BIGINT counts.
+TP_Z = (
+    "CASE WHEN n >= 4 THEN "
+    "(CAST(turning_points AS DOUBLE) "
+    "- 2.0 * CAST(n - 2 AS DOUBLE) / 3.0) "
+    "/ sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0) END"
+)
+# every chain starts from an explicit DOUBLE cast: a bare 2.0 literal
+# is DECIMAL to Spark's parser, and DECIMAL division rounds at
+# decimal scale where DuckDB's double math rounds at binary scale —
+# a sub-9dp divergence the driver's hash sees (caught live here).
+_RW = "(2.0 * CAST(n_above AS DOUBLE) * n_below)"
+RUNS_Z = (
+    f"CASE WHEN n_above > 0 AND n_below > 0 AND n > 1 "
+    f"AND {_RW} * ({_RW} - n) > 0 "
+    f"THEN (CAST(runs AS DOUBLE) - (1.0 + {_RW} / n)) "
+    f"/ sqrt({_RW} * ({_RW} - n) "
+    f"/ (CAST(n AS DOUBLE) * n * (n - 1))) END"
+)
+
+
+def randomness_tests(samples: DataFrame, quant: int = 100) -> DataFrame:
+    """Classical nonparametric randomness panel per channel — the two
+    textbook tests that complement ts_ljungbox's parametric Q:
+
+    - **turning-point test** (Kendall): count of strict local extrema
+      T; under i.i.d. noise E[T] = 2(n−2)/3, Var = (16n−29)/90 —
+      too few turns ⇒ trend/smoothness, too many ⇒ negative serial
+      correlation;
+    - **Wald-Wolfowitz runs test** about the channel median: the
+      number of runs R of above/below-median signs vs its exact
+      two-color expectation.
+
+    Determinism: quantized BIGINT comparisons only (ties break toward
+    "not a turn" / "below" identically on both engines — the median
+    is the usual lower order statistic); all counts exact integers;
+    both z finishes are single fixed expressions (TP_Z / RUNS_Z).
+
+    Output: (channel, n, turning_points, tp_z, n_above, n_below,
+    runs, runs_z).
+
+    Plan: one per-channel sort window (lag+lead+median rank share the
+    same partitioning) + one partial-agg groupBy to |channels| rows.
+    """
+    q = int(quant)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    ranked = samples.select(
+        "channel",
+        "ts",
+        "value",
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    )
+    aw = Window.partitionBy("channel").orderBy("xq", "ts", "value")
+    cnt = ranked.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    med = (
+        ranked.withColumn("_ar", F.row_number().over(aw).cast("long"))
+        .join(F.broadcast(cnt), "channel")
+        .filter(F.expr("_ar = (_n + 1) div 2"))
+        .select("channel", F.col("xq").alias("med_q"))
+    )
+    x = (
+        ranked.join(F.broadcast(med), "channel")
+        .withColumn("_prev", F.lag("xq").over(w))
+        .withColumn("_next", F.lead("xq").over(w))
+        .withColumn("_above", F.expr("xq > med_q"))
+        .withColumn(
+            "_pabove",
+            F.lag(F.expr("xq > med_q")).over(w),
+        )
+    )
+    g = x.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.expr(
+                "CASE WHEN _prev IS NOT NULL AND _next IS NOT NULL "
+                "AND ((_prev < xq AND xq > _next) "
+                "OR (_prev > xq AND xq < _next)) THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("turning_points"),
+        F.sum(F.expr("CASE WHEN _above THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_above"),
+        F.sum(F.expr("CASE WHEN _above THEN 0 ELSE 1 END"))
+        .cast("long")
+        .alias("n_below"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.expr(
+                    "CASE WHEN _pabove IS NOT NULL AND _above <> _pabove "
+                    "THEN 1 ELSE 0 END"
+                )
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    return g.select(
+        "channel",
+        "n",
+        "turning_points",
+        F.expr(TP_Z).alias("tp_z"),
+        "n_above",
+        "n_below",
+        "runs",
+        F.expr(RUNS_Z).alias("runs_z"),
+    )

@@ -956,3 +956,28 @@ def test_hrv_drift_vs_jitter(spark):
     assert d.rmssd_s == 1.0 and d.pnn == 0.0        # |dd| = 1 always
     assert j.rmssd_s == 24.0 and j.pnn == 1.0        # |dd| = 24 > 20
     assert d.n_diffs == j.n_diffs == 6
+
+
+def test_randomness_tests_separate_structure_from_noise(spark):
+    """A monotone ramp has ZERO turning points (tp_z strongly
+    negative) and exactly 2 runs; a +-1 alternation maxes both counts
+    (n-2 turns, n runs); z signs match."""
+    from pennsieve_streaming_spark.operators.stats import (
+        randomness_tests,
+    )
+
+    n = 60
+    rows = []
+    rows += [("ramp", t, float(t)) for t in range(n)]
+    rows += [("alt", t, float(1 if t % 2 else -1)) for t in range(n)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = {r.channel: r for r in randomness_tests(df, 100).collect()}
+
+    ramp = out["ramp"]
+    assert ramp.turning_points == 0 and ramp.tp_z < -5
+    assert ramp.runs == 2 and ramp.runs_z < -5
+    assert ramp.n_above + ramp.n_below == n
+
+    alt = out["alt"]
+    assert alt.turning_points == n - 2 and alt.tp_z > 5
+    assert alt.runs == n and alt.runs_z > 5
