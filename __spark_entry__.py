@@ -1971,6 +1971,20 @@ def q_ab_conversion(spark, sf_dir):
     return ab_conversion_test(_user_events(spark, sf_dir), "purchase")
 
 
+def q_user_entropy(spark, sf_dir):
+    """Per-user behavioral entropy over event types (nano-nat exact
+    integer folds, 1e9-quantized logs both engines), normalized by
+    ln(distinct types) — the explorer-vs-specialist segmentation
+    signal."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        user_behavior_entropy,
+    )
+
+    TBL.ensure_session_confs(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return user_behavior_entropy(ev.select("user_id", "event_type"))
+
+
 def q_conversion_lag(spark, sf_dir):
     """Time-to-convert distribution: first-event -> first-purchase
     lag per converting user, exact integer microseconds, global
@@ -3759,6 +3773,7 @@ _R6_FRONT = [
     "ts_isi_cv", "stream_periodogram", "ts_multiscale_entropy",
     "ev_conversion_lag", "ts_haar_energy", "ts_cfar_peaks",
     "ts_hrv_metrics", "doc_chunk_passages", "ts_randomness_tests",
+    "ev_user_entropy",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3819,6 +3834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_assoc_rules": q_assoc_rules,
         "ev_ab_srm": q_ab_srm,
         "ev_conversion_lag": q_conversion_lag,
+        "ev_user_entropy": q_user_entropy,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -6143,6 +6159,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(_sdur AS DOUBLE) / n_sessions AS mean_us,
                {_ss_posts}
         FROM sel
+        """
+
+    sql["ev_user_entropy"] = """
+        WITH c AS (
+          SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY user_id, event_type
+        ),
+        per AS (
+          SELECT user_id,
+                 CAST(SUM(c) AS BIGINT) AS n_events,
+                 CAST(COUNT(*) AS BIGINT) AS n_types,
+                 CAST(SUM(c * CAST(round(ln(CAST(c AS DOUBLE))
+                     * 1000000000) AS BIGINT)) AS BIGINT) AS sq
+          FROM c GROUP BY user_id
+        ),
+        h AS (
+          SELECT user_id, n_events, n_types,
+                 CAST(round(ln(CAST(n_events AS DOUBLE)) * 1000000000)
+                     AS BIGINT) * n_events - sq AS h_nn_scaled
+          FROM per
+        )
+        SELECT user_id, n_events, n_types,
+               CAST(h_nn_scaled AS DOUBLE) / (1000000000.0 * n_events)
+                 AS entropy,
+               CASE WHEN n_types > 1 THEN
+                 CAST(h_nn_scaled AS DOUBLE) / (CAST(n_events AS DOUBLE)
+                 * CAST(round(ln(CAST(n_types AS DOUBLE)) * 1000000000)
+                   AS BIGINT)) END AS norm_entropy
+        FROM h
         """
 
     _cl_parts = []

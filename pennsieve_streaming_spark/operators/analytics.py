@@ -1080,3 +1080,64 @@ def conversion_lag_stats(
         F.expr("CAST(_slag AS DOUBLE) / n_converted").alias("mean_us"),
         *posts,
     )
+
+
+def user_behavior_entropy(events: DataFrame) -> DataFrame:
+    """Per-user behavioral diversity: Shannon entropy of the user's
+    event-type distribution, normalized by ln of their distinct-type
+    count — 0 = a single-behavior user, 1 = uniform across everything
+    they do. The per-user counterpart of ev_markov_entropy's
+    per-source transition entropy; segmentation pipelines bucket on
+    it (explorers vs specialists).
+
+    Determinism: the nano-nat integer-fold class (markov_entropy) —
+    per-(user, type) counts are exact; each term's ln is
+    1e9-quantized to BIGINT so the per-user sum is exact integer
+    arithmetic; the normalizing ln(k) is 1e9-quantized the same way,
+    making the final ratio one fixed division of exact integers.
+    Users with a single type emit entropy 0 with norm_entropy NULL
+    (ln 1 = 0 denominator).
+
+    Output: (user_id, n_events, n_types, entropy_nn, norm_entropy).
+
+    Plan: two partial-agg groupBys ((user, type) then user) — nothing
+    exceeds |users|x|types| rows.
+    """
+    c = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per = c.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(
+            F.expr(
+                "c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000000) "
+                "AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("_sq"),
+    )
+    # H = ln(n) − (1/n)·Σ c·ln c, in exact nano-nats
+    return per.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.expr(
+            "CAST(round(ln(CAST(n_events AS DOUBLE)) * 1000000000) "
+            "AS BIGINT) * n_events - _sq"
+        ).alias("_h_nn_scaled"),
+    ).select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.expr(
+            "CAST(_h_nn_scaled AS DOUBLE) / (1000000000.0 * n_events)"
+        ).alias("entropy"),
+        F.expr(
+            "CASE WHEN n_types > 1 THEN "
+            "CAST(_h_nn_scaled AS DOUBLE) / (CAST(n_events AS DOUBLE) "
+            "* CAST(round(ln(CAST(n_types AS DOUBLE)) * 1000000000) "
+            "AS BIGINT)) END"
+        ).alias("norm_entropy"),
+    )

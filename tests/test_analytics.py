@@ -560,3 +560,28 @@ def test_conversion_lag_golden(spark):
         ev.filter("event_type <> 'purchase'"), "purchase"
     ).collect()
     assert none == []
+
+
+def test_user_entropy_specialist_vs_explorer(spark):
+    """One-type user: entropy 0, norm NULL; uniform 4-type user:
+    entropy ln 4, norm 1; a skewed user sits strictly between."""
+    import math
+
+    from pennsieve_streaming_spark.operators.analytics import (
+        user_behavior_entropy,
+    )
+
+    rows = []
+    rows += [(1, "click")] * 8
+    rows += [(2, t) for t in ("a", "b", "c", "d") for _ in range(4)]
+    rows += [(3, "a")] * 7 + [(3, "b")]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {r.user_id: r for r in user_behavior_entropy(ev).collect()}
+
+    u1 = out[1]
+    assert (u1.n_types, u1.entropy, u1.norm_entropy) == (1, 0.0, None)
+    u2 = out[2]
+    assert abs(u2.entropy - math.log(4)) < 1e-6
+    assert abs(u2.norm_entropy - 1.0) < 1e-6
+    u3 = out[3]
+    assert 0.0 < u3.norm_entropy < 1.0
