@@ -1100,6 +1100,23 @@ def q_cosine_topk(spark, sf_dir):
     return cosine_topk(embs, embs.filter(F.col("vec_id") < 20), k=5)
 
 
+MMR_K, MMR_LAM = 5, 0.7
+
+
+def q_mmr_topk(spark, sf_dir):
+    """MMR diversified top-5 per query: greedy lambda-tradeoff
+    between query relevance and max similarity to the already-
+    selected slate; bit-identical cosines, Python-evaluated lambda
+    literals, argmax ties on neighbor_id; oracle unrolls the 5
+    greedy steps."""
+    from pennsieve_streaming_spark.llm.similarity import mmr_topk
+
+    embs = _embs(spark, sf_dir)
+    return mmr_topk(
+        embs, embs.filter(F.col("vec_id") < 20), MMR_K, MMR_LAM
+    )
+
+
 def q_mips_topk(spark, sf_dir):
     """Exact top-5 maximum-inner-product neighbors per query vector —
     the unnormalized retrieval score (dual-encoder / recommender
@@ -3773,7 +3790,7 @@ _R6_FRONT = [
     "ts_isi_cv", "stream_periodogram", "ts_multiscale_entropy",
     "ev_conversion_lag", "ts_haar_energy", "ts_cfar_peaks",
     "ts_hrv_metrics", "doc_chunk_passages", "ts_randomness_tests",
-    "ev_user_entropy",
+    "ev_user_entropy", "emb_mmr_topk",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -4028,6 +4045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_norms": q_emb_norms,
         "emb_cosine_topk": q_cosine_topk,
         "emb_mips_topk": q_mips_topk,
+        "emb_mmr_topk": q_mmr_topk,
         "emb_ann_lsh": q_ann_lsh,
         "emb_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "emb_ann_ivf": q_ann_ivf,
@@ -10461,6 +10479,70 @@ def oracle_sql() -> dict[str, str]:
           FROM scored
         ) WHERE rank <= 5
         """
+
+    # MMR: the k greedy steps unrolled; the score literals (lambda,
+    # 1-lambda) are the SAME Python-evaluated reprs the operator
+    # injects — (1.0 - 0.7) diverges between DECIMAL and double math.
+    _mmr_lam = repr(float(MMR_LAM))
+    _mmr_om = repr(1.0 - float(MMR_LAM))
+    _mmr_pair_cos = (
+        "list_dot_product(cd.v, cs.v) / (sqrt(list_dot_product(cd.v, cd.v))"
+        " * sqrt(list_dot_product(cs.v, cs.v)))"
+    )
+    _mmr_parts = [f"""
+        q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 list_dot_product(qv, v)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(v, v))) AS cosine
+          FROM q JOIN c ON query_id != neighbor_id
+        ),
+        sel1 AS (
+          SELECT query_id, CAST(1 AS BIGINT) AS rank, neighbor_id, cosine,
+                 {_mmr_lam} * cosine AS mmr_score
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY {_mmr_lam} * cosine DESC, neighbor_id) AS rn
+                FROM scored)
+          WHERE rn = 1
+        )"""]
+    for _r in range(2, MMR_K + 1):
+        _prev = " UNION ALL ".join(
+            f"SELECT * FROM sel{_j}" for _j in range(1, _r)
+        )
+        _mmr_parts.append(f"""
+        all{_r} AS ({_prev}),
+        pen{_r} AS (
+          SELECT s.query_id, s.neighbor_id, s.cosine,
+                 MAX({_mmr_pair_cos}) AS maxsim
+          FROM scored s
+          JOIN c cd ON cd.neighbor_id = s.neighbor_id
+          JOIN all{_r} a ON a.query_id = s.query_id
+          JOIN c cs ON cs.neighbor_id = a.neighbor_id
+          WHERE NOT EXISTS (SELECT 1 FROM all{_r} x
+              WHERE x.query_id = s.query_id
+                AND x.neighbor_id = s.neighbor_id)
+          GROUP BY s.query_id, s.neighbor_id, s.cosine
+        ),
+        sel{_r} AS (
+          SELECT query_id, CAST({_r} AS BIGINT) AS rank, neighbor_id,
+                 cosine,
+                 {_mmr_lam} * cosine - {_mmr_om} * maxsim AS mmr_score
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY {_mmr_lam} * cosine - {_mmr_om} * maxsim
+                        DESC, neighbor_id) AS rn
+                FROM pen{_r})
+          WHERE rn = 1
+        )""")
+    _mmr_final = " UNION ALL ".join(
+        f"SELECT * FROM sel{_j}" for _j in range(1, MMR_K + 1)
+    )
+    sql["emb_mmr_topk"] = (
+        "WITH " + ",".join(_mmr_parts) + f" {_mmr_final}"
+    )
 
     sql["emb_ann_filtered"] = """
         WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -1258,3 +1258,121 @@ def mips_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "dot")
     )
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998) — the de-duplicating retrieval ranker: step r
+    selects argmax over remaining candidates of
+
+        λ·cos(q, d) − (1−λ)·max_{s ∈ selected} cos(d, s)
+
+    so near-duplicates of an already-selected hit are penalized out
+    of the slate. THE standard fix for cosine_topk returning k copies
+    of the same document; step 1 (empty slate, zero penalty) equals
+    the plain cosine argmax.
+
+    Determinism: every cosine is the index-order DOT fold; the MMR
+    score is one fixed float expression over them with BOTH λ and
+    1−λ as Python-evaluated literals — (1.0 − 0.7) is an exact
+    DECIMAL 0.3 to Spark's parser but 0.30000000000000004 in
+    DuckDB's double math, so the subtraction must happen in Python
+    (the DECIMAL-literal rule's mirror image); argmax ties break on
+    neighbor_id; the oracle unrolls the same k greedy steps.
+
+    Scale: the k-step loop is bounded (k ≤ 10 in practice); per step
+    one anti-join + a broadcast pairing against the ≤ |queries|·k
+    selected rows — the corpus scores ONCE up front and never
+    re-shuffles; the slate is localCheckpoint-pinned per step (the
+    kmeans/pagerank iterative contract).
+
+    Output: (query_id, rank, neighbor_id, cosine, mmr_score).
+    """
+    lam_s = repr(float(lam))
+    one_minus = repr(1.0 - float(lam))
+    corpus = ensure_parallelism(
+        _as_double(embeddings, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
+        )
+    )
+    qs = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q")
+    )
+    dot = F.expr(DOT.format(a="q", b="v"))
+    nq = F.expr(DOT.format(a="q", b="q"))
+    nv = F.expr(DOT.format(a="v", b="v"))
+    scored = (
+        corpus.join(F.broadcast(qs), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", dot / (F.sqrt(nq) * F.sqrt(nv)))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    scored = scored.localCheckpoint()
+    from pyspark.sql import Window
+
+    pair_dot = F.expr(DOT.format(a="dv", b="sv"))
+    pair_nd = F.expr(DOT.format(a="dv", b="dv"))
+    pair_ns = F.expr(DOT.format(a="sv", b="sv"))
+    selected = None
+    for step in range(1, int(k) + 1):
+        if selected is None:
+            cand = scored.withColumn(
+                "mmr_score", F.expr(f"{lam_s} * cosine")
+            )
+        else:
+            remaining = scored.join(
+                selected.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_anti",
+            )
+            sel_v = (
+                selected.select("query_id", F.col("neighbor_id").alias("_sid"))
+                .join(
+                    corpus.select(
+                        F.col("neighbor_id").alias("_sid"),
+                        F.col("v").alias("sv"),
+                    ),
+                    "_sid",
+                )
+                .select("query_id", "_sid", "sv")
+            )
+            pen = (
+                remaining.join(
+                    corpus.select("neighbor_id", F.col("v").alias("dv")),
+                    "neighbor_id",
+                )
+                .join(F.broadcast(sel_v), "query_id")
+                .withColumn(
+                    "_pc", pair_dot / (F.sqrt(pair_nd) * F.sqrt(pair_ns))
+                )
+                .groupBy("query_id", "neighbor_id", "cosine")
+                .agg(F.max("_pc").alias("_maxsim"))
+            )
+            cand = pen.withColumn(
+                "mmr_score",
+                F.expr(f"{lam_s} * cosine - {one_minus} * _maxsim"),
+            )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("mmr_score"), F.asc("neighbor_id")
+        )
+        pick = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "query_id",
+                F.lit(step).cast("long").alias("rank"),
+                "neighbor_id",
+                "cosine",
+                "mmr_score",
+            )
+        )
+        selected = (
+            pick if selected is None else selected.unionByName(pick)
+        ).localCheckpoint()
+    return selected

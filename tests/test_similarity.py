@@ -610,3 +610,35 @@ def test_mips_topk_ranks_by_raw_dot_not_cosine(spark):
     out = mips_topk(df, df.filter("vec_id = 0"), k=2).collect()
     got = [(r.rank, r.neighbor_id, r.dot) for r in sorted(out, key=lambda r: r.rank)]
     assert got == [(1, 2, 10.0), (2, 1, 0.9)]
+
+
+def test_mmr_penalizes_near_duplicates(spark):
+    """Plain top-2 returns the duplicate pair; MMR swaps the
+    duplicate for the diverse third vector; step 1 always equals the
+    cosine argmax."""
+    from pennsieve_streaming_spark.llm.similarity import (
+        cosine_topk,
+        mmr_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),              # query
+        (1, [0.9, 0.1, 0.0]),              # best hit
+        (2, [0.9, 0.1001, 0.0]),           # near-duplicate of 1
+        (3, [0.3, 0.0, 0.95]),             # diverse, lower relevance
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 0")
+
+    plain = [
+        r.neighbor_id
+        for r in sorted(cosine_topk(df, q, k=2).collect(), key=lambda r: r.rank)
+    ]
+    assert plain == [1, 2]
+
+    # at lam = 0.3 the duplicate's ~1.0 self-similarity penalty
+    # (-0.7) buries it far below the diverse vector
+    mmr = sorted(mmr_topk(df, q, k=2, lam=0.3).collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in mmr] == [1, 3]
+    assert mmr[0].mmr_score == 0.3 * mmr[0].cosine
+    assert mmr[1].mmr_score < 0.3 * mmr[1].cosine  # penalty applied
