@@ -3352,6 +3352,18 @@ def q_hrv_metrics(spark, sf_dir):
 CFAR_TRAIN, CFAR_GUARD, CFAR_NUM, CFAR_DEN = 8, 2, 3, 1
 
 
+def q_adf_test(spark, sf_dir):
+    """Dickey-Fuller unit-root test per channel on the LOCF day grid
+    (zero-lag, no-constant form): exact BIGINT regression moments,
+    fixed rho/t finishes, verdict vs the -1.95 critical literal."""
+    from pennsieve_streaming_spark.operators.stats import adf_test
+
+    return adf_test(
+        TBL.locf_day_grid(spark, sf_dir).select("channel", "ts", "value"),
+        CORR_QUANT,
+    )
+
+
 def q_randomness_tests(spark, sf_dir):
     """Turning-point + Wald-Wolfowitz runs tests per channel: exact
     integer extrema/run counts under quantized comparisons, two fixed
@@ -3790,7 +3802,7 @@ _R6_FRONT = [
     "ts_isi_cv", "stream_periodogram", "ts_multiscale_entropy",
     "ev_conversion_lag", "ts_haar_energy", "ts_cfar_peaks",
     "ts_hrv_metrics", "doc_chunk_passages", "ts_randomness_tests",
-    "ev_user_entropy", "emb_mmr_topk",
+    "ev_user_entropy", "emb_mmr_topk", "ts_adf_test",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3878,6 +3890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_cfar_peaks": q_cfar_peaks,
         "ts_hrv_metrics": q_hrv_metrics,
         "ts_randomness_tests": q_randomness_tests,
+        "ts_adf_test": q_adf_test,
         "ts_hjorth": q_hjorth,
         "ts_line_length": q_line_length,
         "ts_tkeo_energy": q_tkeo_energy,
@@ -9038,6 +9051,73 @@ def oracle_sql() -> dict[str, str]:
     )
 
     from pennsieve_streaming_spark.operators.stats import ar2_exprs
+
+    # Dickey-Fuller: the same day-grid LOCF replay, one lag, three
+    # exact moments, the shared rho/t finishes.
+    from pennsieve_streaming_spark.operators.stats import (
+        DF_CRIT as _DF_CRIT,
+        DF_RHO as _DF_RHO,
+        DF_TSTAT as _DF_T,
+    )
+
+    sql["ts_adf_test"] = with_views(
+        f"""
+        WITH b AS (
+          SELECT MAX(start_ts) AS lo, MIN(end_ts) AS hi FROM channels
+        ),
+        gb AS (
+          SELECT UNNEST(generate_series(
+            ((lo + {_DAY} - 1) // {_DAY}) * {_DAY}, hi, {_DAY})) AS ts
+          FROM b
+        ),
+        grid AS (
+          SELECT c.channel, gb.ts
+          FROM (SELECT DISTINCT channel FROM channels) c CROSS JOIN gb
+        ),
+        u AS (
+          SELECT channel, ts, value, 0 AS is_grid FROM samples
+          UNION ALL
+          SELECT channel, ts, CAST(NULL AS DOUBLE), 1 FROM grid
+        ),
+        f AS (
+          SELECT channel, ts, is_grid,
+                 last_value(value IGNORE NULLS) OVER w AS fill
+          FROM u
+          WINDOW w AS (PARTITION BY channel ORDER BY ts, is_grid, value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        vals AS (
+          SELECT channel, ts,
+                 CAST(round(fill * {CORR_QUANT}) AS BIGINT) AS xq
+          FROM f WHERE is_grid = 1
+        ),
+        lagged AS (
+          SELECT channel,
+                 LAG(xq) OVER (PARTITION BY channel ORDER BY ts)
+                   AS prev,
+                 xq
+          FROM vals
+        ),
+        d AS (
+          SELECT channel, prev, xq - prev AS dx FROM lagged
+          WHERE prev IS NOT NULL
+        ),
+        g AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(prev * prev) AS BIGINT) AS sxx,
+                 CAST(SUM(prev * dx) AS BIGINT) AS sxd,
+                 CAST(SUM(dx * dx) AS BIGINT) AS sdd
+          FROM d GROUP BY channel
+        )
+        SELECT channel, n, sxx, sxd, sdd,
+               {_DF_RHO} AS rho,
+               {_DF_T} AS t_stat,
+               {_DF_T} < {_DF_CRIT} AS stationary
+        FROM g
+        """,
+        "samples",
+        "channels",
+    )
 
     _a2 = ar2_exprs(CORR_QUANT)
     sql["ts_ar2_model"] = with_views(

@@ -2988,3 +2988,71 @@ def randomness_tests(samples: DataFrame, quant: int = 100) -> DataFrame:
         "runs",
         F.expr(RUNS_Z).alias("runs_z"),
     )
+
+
+# Fixed float finishes for the Dickey-Fuller test, shared verbatim
+# with the oracle. Inputs are exact BIGINT moments of the quantized
+# (level, difference) pairs: sxx = SUM(x_{t-1}^2), sxd = SUM(x_{t-1} * dx),
+# sdd = SUM(dx^2), with n pairs.
+DF_RHO = "CASE WHEN sxx > 0 THEN CAST(sxd AS DOUBLE) / sxx END"
+_DF_S2 = (
+    "((CAST(sdd AS DOUBLE) - (CAST(sxd AS DOUBLE) / sxx) * sxd) / (n - 1))"
+)
+DF_TSTAT = (
+    f"CASE WHEN sxx > 0 AND n > 1 AND {_DF_S2} > 0 THEN "
+    f"(CAST(sxd AS DOUBLE) / sxx) / sqrt({_DF_S2} / sxx) END"
+)
+DF_CRIT = "-1.95"  # 5% critical value, no-constant DF table
+
+
+def adf_test(values: DataFrame, quant: int = 100) -> DataFrame:
+    """Dickey-Fuller unit-root test per channel over a uniform grid
+    (Dickey & Fuller 1979, the zero-lag no-constant form): regress
+    Δx_t on x_{t−1}; a t-statistic below the −1.95 critical value
+    rejects the unit root (the series is mean-reverting /
+    stationary), above it the series behaves like a random walk — the
+    decision every forecasting/monitoring pipeline makes before
+    trusting an AR fit (ts_ar2_model) or a drift monitor.
+
+    Determinism: values quantize to BIGINT on the LOCF grid; the
+    three regression moments are exact order-free integer sums
+    (granger_screen's class — quantization cancels in ρ, and the
+    t-statistic is scale-invariant so the raw-quantized moments feed
+    it directly); ρ and t are single fixed float expressions (DF_*,
+    shared with the oracle), the verdict one comparison against the
+    critical literal.
+
+    Output: (channel, n, sxx, sxd, sdd, rho, t_stat, stationary).
+
+    Plan: one per-channel lag + one partial-agg groupBy to |channels|
+    rows.
+    """
+    q = int(quant)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    x = (
+        values.select(
+            "channel",
+            "ts",
+            "value",
+            F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+        )
+        .withColumn("_prev", F.lag("xq").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .withColumn("dx", F.col("xq") - F.col("_prev"))
+    )
+    g = x.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("_prev * _prev")).cast("long").alias("sxx"),
+        F.sum(F.expr("_prev * dx")).cast("long").alias("sxd"),
+        F.sum(F.expr("dx * dx")).cast("long").alias("sdd"),
+    )
+    return g.select(
+        "channel",
+        "n",
+        "sxx",
+        "sxd",
+        "sdd",
+        F.expr(DF_RHO).alias("rho"),
+        F.expr(DF_TSTAT).alias("t_stat"),
+        F.expr(f"{DF_TSTAT} < {DF_CRIT}").alias("stationary"),
+    )

@@ -981,3 +981,30 @@ def test_randomness_tests_separate_structure_from_noise(spark):
     alt = out["alt"]
     assert alt.turning_points == n - 2 and alt.tp_z > 5
     assert alt.runs == n and alt.runs_z > 5
+
+
+def test_adf_separates_mean_reversion_from_random_walk(spark):
+    """A strongly mean-reverting AR(1) (phi = -0.5) rejects the unit
+    root decisively; a cumulative random walk does not."""
+    import random
+
+    from pennsieve_streaming_spark.operators.stats import adf_test
+
+    rng = random.Random(31)
+    rows = []
+    x = 0.0
+    for t in range(400):
+        x = -0.5 * x + rng.uniform(-1, 1) * 10
+        rows.append(("mr", t, x))
+    w = 0.0
+    for t in range(400):
+        w += rng.uniform(-1, 1) * 10
+        rows.append(("rw", t, w))
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = {r.channel: r for r in adf_test(df, 100).collect()}
+
+    mr = out["mr"]
+    assert mr.stationary is True and mr.t_stat < -5
+    assert -2.0 < mr.rho < -1.0        # Delta x = (phi - 1) x + eps
+    rw = out["rw"]
+    assert rw.stationary is False and rw.t_stat > -1.95
