@@ -1100,6 +1100,15 @@ def q_cosine_topk(spark, sf_dir):
     return cosine_topk(embs, embs.filter(F.col("vec_id") < 20), k=5)
 
 
+def q_centroid_drift(spark, sf_dir):
+    """Per-label embedding-centroid drift vs the corpus centroid:
+    exact quantized per-dim integer sums, index-ordered cosine fold
+    over the raw sums (the 1/n factors cancel)."""
+    from pennsieve_streaming_spark.llm.similarity import centroid_drift
+
+    return centroid_drift(_embs(spark, sf_dir))
+
+
 MMR_K, MMR_LAM = 5, 0.7
 
 
@@ -3803,6 +3812,7 @@ _R6_FRONT = [
     "ev_conversion_lag", "ts_haar_energy", "ts_cfar_peaks",
     "ts_hrv_metrics", "doc_chunk_passages", "ts_randomness_tests",
     "ev_user_entropy", "emb_mmr_topk", "ts_adf_test",
+    "emb_centroid_drift",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -4059,6 +4069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_cosine_topk,
         "emb_mips_topk": q_mips_topk,
         "emb_mmr_topk": q_mmr_topk,
+        "emb_centroid_drift": q_centroid_drift,
         "emb_ann_lsh": q_ann_lsh,
         "emb_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "emb_ann_ivf": q_ann_ivf,
@@ -10558,6 +10569,61 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY dot DESC, neighbor_id) AS rank
           FROM scored
         ) WHERE rank <= 5
+        """
+
+    # Centroid drift: raw integer centroid sums folded in dim order.
+    from pennsieve_streaming_spark.llm.similarity import (
+        CENTROID_QUANT as _CD_Q,
+    )
+
+    _cd_dot = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(generate_series(1, len(cq)), "
+        "i -> CAST(cq[i] AS DOUBLE) * CAST(gq_arr[i] AS DOUBLE))), "
+        "(a, b) -> a + b)"
+    )
+    _cd_nc = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(cq, x -> CAST(x AS DOUBLE) "
+        "* CAST(x AS DOUBLE))), (a, b) -> a + b)"
+    )
+    _cd_ng = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(gq_arr, x -> CAST(x AS DOUBLE) "
+        "* CAST(x AS DOUBLE))), (a, b) -> a + b)"
+    )
+    sql["emb_centroid_drift"] = f"""
+        WITH e AS (
+          SELECT label,
+                 UNNEST(CAST(embedding AS DOUBLE[])) AS v,
+                 UNNEST(generate_series(1, len(embedding))) AS dim
+          FROM embeddings
+        ),
+        qz AS (
+          SELECT label, dim,
+                 CAST(round(v * {_CD_Q}) AS BIGINT) AS vq
+          FROM e
+        ),
+        per AS (
+          SELECT label, dim, CAST(SUM(vq) AS BIGINT) AS sq,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM qz GROUP BY label, dim
+        ),
+        lab AS (
+          SELECT label, CAST(MAX(n) AS BIGINT) AS n_vecs,
+                 list(sq ORDER BY dim) AS cq
+          FROM per GROUP BY label
+        ),
+        gl AS (
+          SELECT dim, CAST(SUM(sq) AS BIGINT) AS gq
+          FROM per GROUP BY dim
+        ),
+        garr AS (SELECT list(gq ORDER BY dim) AS gq_arr FROM gl)
+        SELECT CAST(l.label AS BIGINT) AS label, l.n_vecs,
+               CASE WHEN {_cd_nc} > 0 AND {_cd_ng} > 0 THEN
+                 {_cd_dot} / (sqrt({_cd_nc}) * sqrt({_cd_ng})) END
+                 AS cos_to_global
+        FROM lab l CROSS JOIN garr
         """
 
     # MMR: the k greedy steps unrolled; the score literals (lambda,

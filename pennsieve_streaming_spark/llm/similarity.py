@@ -1376,3 +1376,87 @@ def mmr_topk(
             pick if selected is None else selected.unionByName(pick)
         ).localCheckpoint()
     return selected
+
+
+# Fixed cosine finish over the exact quantized centroid sums — the
+# dimension fold runs over BIGINT sums cast to DOUBLE in index order.
+CENTROID_QUANT = 10**6
+
+
+def centroid_drift(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    quant: int = CENTROID_QUANT,
+) -> DataFrame:
+    """Per-label embedding-centroid drift — the embedding-space
+    analogue of doc_source_kl: each label's mean vector compared (by
+    cosine) against the corpus mean. A label whose centroid points
+    away from the corpus is the cluster to re-weight or re-audit
+    before training; near-1 cosines mean the label adds no direction
+    of its own.
+
+    Determinism: components quantize to BIGINT (×1e6) so the per-
+    (label, dim) and global per-dim sums are exact order-free
+    integers; the 1/n scalar factors cancel in cosine, so the fold
+    runs over the RAW integer sums cast to double in INDEX order on
+    both engines (list position = dim) — no division before the
+    final cosine.
+
+    Scale: one narrow posexplode (|vecs|·dims rows) → one partial-agg
+    groupBy to |labels|·dims rows → the tiny per-dim tables pivot
+    back to arrays with sort-ordered collects; nothing after the
+    first groupBy exceeds |labels|×dims.
+
+    Output: (label, n_vecs, cos_to_global).
+    """
+    q = int(quant)
+    e = _as_double(embeddings, vec_col).select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("dim", "v"),
+    ).withColumn("vq", F.expr(f"CAST(round(v * {q}) AS BIGINT)"))
+    per = e.groupBy("label", "dim").agg(
+        F.sum("vq").cast("long").alias("sq"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    # the scalar 1/n and 1/g_n factors cancel in cosine, so the
+    # arrays carry the RAW integer sums
+    lab = per.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.expr(
+            "transform(sort_array(collect_list(struct(dim, sq))), "
+            "e -> e.sq)"
+        ).alias("cq"),
+    )
+    glob = per.groupBy("dim").agg(
+        F.sum("sq").cast("long").alias("gq"),
+        F.sum("n").cast("long").alias("gn"),
+    )
+    garr = glob.groupBy().agg(
+        F.max("gn").cast("long").alias("g_n"),
+        F.expr(
+            "transform(sort_array(collect_list(struct(dim, gq))), "
+            "e -> e.gq)"
+        ).alias("gq_arr"),
+    )
+    j = lab.crossJoin(F.broadcast(garr))
+    dot = (
+        "aggregate(zip_with(cq, gq_arr, (x, y) -> CAST(x AS DOUBLE) "
+        "* CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, t) -> a + t)"
+    )
+    nc = (
+        "aggregate(transform(cq, x -> CAST(x AS DOUBLE) "
+        "* CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (a, t) -> a + t)"
+    )
+    ng = (
+        "aggregate(transform(gq_arr, x -> CAST(x AS DOUBLE) "
+        "* CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (a, t) -> a + t)"
+    )
+    return j.select(
+        F.col("label").cast("long").alias("label"),
+        "n_vecs",
+        F.expr(
+            f"CASE WHEN {nc} > 0 AND {ng} > 0 THEN "
+            f"{dot} / (sqrt({nc}) * sqrt({ng})) END"
+        ).alias("cos_to_global"),
+    )

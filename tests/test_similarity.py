@@ -642,3 +642,27 @@ def test_mmr_penalizes_near_duplicates(spark):
     assert [r.neighbor_id for r in mmr] == [1, 3]
     assert mmr[0].mmr_score == 0.3 * mmr[0].cosine
     assert mmr[1].mmr_score < 0.3 * mmr[1].cosine  # penalty applied
+
+
+def test_centroid_drift_detects_rotated_label(spark):
+    """Labels sharing the corpus direction score cos ~1; a label
+    pointing orthogonally scores near 0 against the mixed global
+    centroid."""
+    from pennsieve_streaming_spark.llm.similarity import centroid_drift
+
+    rows = []
+    vid = 0
+    for _ in range(20):
+        rows.append((vid, [1.0, 0.02 * (vid % 3), 0.0], 0)); vid += 1
+    for _ in range(20):
+        rows.append((vid, [0.98, 0.01 * (vid % 2), 0.0], 1)); vid += 1
+    for _ in range(4):
+        rows.append((vid, [0.0, 0.0, 1.0], 2)); vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r.label: r for r in centroid_drift(df).collect()}
+    assert out[0].cos_to_global > 0.99
+    assert out[1].cos_to_global > 0.99
+    assert out[2].cos_to_global < 0.2
+    assert out[2].n_vecs == 4
