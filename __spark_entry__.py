@@ -313,6 +313,32 @@ def q_bm25(spark, sf_dir):
     return bm25_search(_docs(spark, sf_dir), BM25_QUERIES, top_k=10)
 
 
+def q_passage_bm25(spark, sf_dir):
+    """Passage-level BM25 — the actual RAG retrieval path: the
+    gated chunker feeds the gated ranker (chunks as the corpus,
+    passage_id = doc_id*1000 + chunk_id), so relevance lands on the
+    best PASSAGE, not the whole document."""
+    from pennsieve_streaming_spark.llm.text import (
+        bm25_search,
+        chunk_passages,
+    )
+
+    chunks = chunk_passages(_docs(spark, sf_dir), CHUNK_SIZE, CHUNK_STRIDE)
+    corpus = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("doc_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    out = bm25_search(corpus, BM25_QUERIES, top_k=10)
+    return out.select(
+        "query_id",
+        F.col("doc_id").alias("passage_id"),
+        F.expr("doc_id div 1000").cast("long").alias("src_doc_id"),
+        F.expr("doc_id % 1000").cast("long").alias("chunk_id"),
+        "score",
+        "rank",
+    )
+
+
 def q_inverted_index(spark, sf_dir):
     """Full-text inverted index: term -> (df, cf, ascending posting
     list as a comma-joined string)."""
@@ -3812,7 +3838,7 @@ _R6_FRONT = [
     "ev_conversion_lag", "ts_haar_energy", "ts_cfar_peaks",
     "ts_hrv_metrics", "doc_chunk_passages", "ts_randomness_tests",
     "ev_user_entropy", "emb_mmr_topk", "ts_adf_test",
-    "emb_centroid_drift",
+    "emb_centroid_drift", "doc_passage_bm25",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3863,6 +3889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_readability": q_readability,
         "doc_rake_keywords": q_rake_keywords,
         "doc_chunk_passages": q_chunk_passages,
+        "doc_passage_bm25": q_passage_bm25,
         "ts_holt_anomalies": q_holt_anomalies,
         "mm_audio_fingerprint": q_audio_fingerprint,
         # round-6b
@@ -10080,6 +10107,58 @@ def oracle_sql() -> dict[str, str]:
           FROM matched GROUP BY 1, 2
         )
         SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, doc_id) AS rank
+          FROM scored
+        ) WHERE rank <= 10
+        """
+
+    # Passage BM25: the gated chunk SQL becomes the corpus; same
+    # quantized-partial / term-ordered-fold body with passage ids.
+    sql["doc_passage_bm25"] = f"""
+        WITH ch AS ({sql["doc_chunk_passages"]}),
+        pdocs AS (
+          SELECT doc_id * 1000 + chunk_id AS doc_id,
+                 chunk_text AS text
+          FROM ch
+        ),
+        base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')
+                   AS toks
+                 FROM pdocs WHERE length(trim(text)) > 0),
+        tok AS (SELECT doc_id, lower(UNNEST(toks)) AS term FROM base),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok
+               GROUP BY 1),
+        dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+                GROUP BY 1),
+        stats AS (
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pdocs) AS n_docs,
+                 (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS total_dl
+        ),
+        q(query_id, term) AS (VALUES {_q_vals}),
+        matched AS (
+          SELECT q.query_id, tf.doc_id, tf.term,
+                 round(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)), 9)
+                 * (tf * (CAST(1.2 AS DOUBLE) + 1) /
+                    (tf + CAST(1.2 AS DOUBLE) * (1 - CAST(0.75 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * dl
+                       / (CAST(total_dl AS DOUBLE) / n_docs)))), 9) AS part
+          FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
+          JOIN dfq USING (term) CROSS JOIN stats
+        ),
+        scored AS (
+          SELECT query_id, doc_id,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(part ORDER BY term)), (a, x) -> a + x) AS score
+          FROM matched GROUP BY 1, 2
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               doc_id AS passage_id,
+               CAST(doc_id // 1000 AS BIGINT) AS src_doc_id,
+               CAST(doc_id % 1000 AS BIGINT) AS chunk_id,
+               score, rank
+        FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                      ORDER BY score DESC, doc_id) AS rank
           FROM scored

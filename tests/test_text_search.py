@@ -547,3 +547,35 @@ def test_chunk_passages_coverage_and_overlap(spark):
 
     out4 = chunk_passages(df.filter("doc_id = 4"), 32, 24).collect()
     assert len(out4) == 1 and out4[0].n_chunk_tokens == 32
+
+
+def test_passage_bm25_localizes_the_match(spark):
+    """A long document with the query terms buried in one region must
+    surface the CONTAINING passage; the passage outranks chunks of
+    the same doc without the terms."""
+    from pennsieve_streaming_spark.llm.text import (
+        bm25_search,
+        chunk_passages,
+    )
+    from pyspark.sql import functions as F
+
+    filler = " ".join(f"w{i}" for i in range(60))
+    target = "spark window agg"
+    rows = [
+        (1, filler + " " + target + " " + filler),
+        (2, " ".join(f"z{i}" for i in range(80))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = chunk_passages(df, 16, 12)
+    corpus = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("doc_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    out = bm25_search(corpus, [(0, target)], top_k=3).collect()
+    best = min(out, key=lambda r: r.rank)
+    src, cid = best.doc_id // 1000, best.doc_id % 1000
+    assert src == 1
+    # the winning chunk actually contains the query terms
+    win = [r.chunk_text for r in chunks.collect()
+           if r.doc_id == 1 and r.chunk_id == cid][0]
+    assert "spark" in win and "agg" in win
