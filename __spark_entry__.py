@@ -1126,6 +1126,26 @@ def q_cosine_topk(spark, sf_dir):
     return cosine_topk(embs, embs.filter(F.col("vec_id") < 20), k=5)
 
 
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal Rank Fusion of the cosine and MIPS rankers (the
+    hybrid-retrieval standard, ranking-agnostic): 1/(60+rank)
+    contributions folded in ranker order, top-5 per query."""
+    from pennsieve_streaming_spark.llm.similarity import (
+        mips_topk,
+        rrf_fusion,
+    )
+
+    embs = _embs(spark, sf_dir)
+    qs = embs.filter(F.col("vec_id") < 20)
+    return rrf_fusion(
+        [cosine_topk(embs, qs, k=10).select(
+            "query_id", "neighbor_id", "rank"),
+         mips_topk(embs, qs, k=10).select(
+            "query_id", "neighbor_id", "rank")],
+        k=5,
+    )
+
+
 def q_centroid_drift(spark, sf_dir):
     """Per-label embedding-centroid drift vs the corpus centroid:
     exact quantized per-dim integer sums, index-ordered cosine fold
@@ -3838,7 +3858,7 @@ _R6_FRONT = [
     "ev_conversion_lag", "ts_haar_energy", "ts_cfar_peaks",
     "ts_hrv_metrics", "doc_chunk_passages", "ts_randomness_tests",
     "ev_user_entropy", "emb_mmr_topk", "ts_adf_test",
-    "emb_centroid_drift", "doc_passage_bm25",
+    "emb_centroid_drift", "doc_passage_bm25", "emb_rrf_fusion",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -4097,6 +4117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_mips_topk": q_mips_topk,
         "emb_mmr_topk": q_mmr_topk,
         "emb_centroid_drift": q_centroid_drift,
+        "emb_rrf_fusion": q_rrf_fusion,
         "emb_ann_lsh": q_ann_lsh,
         "emb_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "emb_ann_ivf": q_ann_ivf,
@@ -10647,6 +10668,39 @@ def oracle_sql() -> dict[str, str]:
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                      ORDER BY dot DESC, neighbor_id) AS rank
           FROM scored
+        ) WHERE rank <= 5
+        """
+
+    # RRF: composes the two gated rankers at depth 10; contributions
+    # fold in ranker order with the DOUBLE-cast reciprocal.
+    _rrf_cos10 = sql["emb_cosine_topk"].replace(
+        "WHERE rank <= 5", "WHERE rank <= 10"
+    )
+    _rrf_mips10 = sql["emb_mips_topk"].replace(
+        "WHERE rank <= 5", "WHERE rank <= 10"
+    )
+    sql["emb_rrf_fusion"] = f"""
+        WITH r0 AS (SELECT query_id, neighbor_id, rank
+                    FROM ({_rrf_cos10})),
+        r1 AS (SELECT query_id, neighbor_id, rank
+               FROM ({_rrf_mips10})),
+        tagged AS (
+          SELECT query_id, neighbor_id, 0 AS rnk_src, rank AS r FROM r0
+          UNION ALL
+          SELECT query_id, neighbor_id, 1 AS rnk_src, rank AS r FROM r1
+        ),
+        fused AS (
+          SELECT query_id, neighbor_id,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(CAST(1 AS DOUBLE) / (60 + r) ORDER BY rnk_src)),
+                   (a, b) -> a + b) AS rrf_score
+          FROM tagged GROUP BY query_id, neighbor_id
+        )
+        SELECT query_id, neighbor_id, rrf_score, rank FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY rrf_score DESC, neighbor_id) AS BIGINT)
+                 AS rank
+          FROM fused
         ) WHERE rank <= 5
         """
 

@@ -1460,3 +1460,56 @@ def centroid_drift(
             f"{dot} / (sqrt({nc}) * sqrt({ng})) END"
         ).alias("cos_to_global"),
     )
+
+
+RRF_K = 60  # Cormack et al. 2009's smoothing constant
+
+
+def rrf_fusion(
+    rankings: list, k: int = 5, rrf_k: int = RRF_K
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009) —
+    the hybrid-retrieval standard: each input ranking contributes
+    1/(rrf_k + rank) per (query, item), summed across rankers; robust
+    to incomparable score scales because only RANKS enter. The
+    production pairing fuses a lexical ranker with a vector ranker;
+    the operator is ranking-agnostic (any DataFrames with query_id /
+    neighbor_id / rank).
+
+    Determinism: ranks are exact BIGINTs; each contribution is one
+    fixed CAST(1 AS DOUBLE)/(k + rank) division (the bare ``1.0``
+    literal would run the division in DECIMAL on Spark — the
+    DECIMAL-literal hazard); contributions fold in ranker order over
+    the collected tagged union, so the ≤|rankers|-term float sum has
+    a fixed order on both engines.
+
+    Output: (query_id, neighbor_id, rrf_score, rank), top ``k`` per
+    query, ties on neighbor_id.
+    """
+    from pyspark.sql import Window
+
+    tagged = None
+    for i, r in enumerate(rankings):
+        t = r.select(
+            "query_id",
+            "neighbor_id",
+            F.lit(i).alias("_ranker"),
+            F.col("rank").alias("_r"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    fused = tagged.groupBy("query_id", "neighbor_id").agg(
+        F.expr(
+            f"aggregate(transform(sort_array(collect_list("
+            f"struct(_ranker, _r))), "
+            f"e -> CAST(1 AS DOUBLE) / ({int(rrf_k)} + e._r)), "
+            f"CAST(0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "neighbor_id", "rrf_score", "rank")
+    )

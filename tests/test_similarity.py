@@ -666,3 +666,28 @@ def test_centroid_drift_detects_rotated_label(spark):
     assert out[1].cos_to_global > 0.99
     assert out[2].cos_to_global < 0.2
     assert out[2].n_vecs == 4
+
+
+def test_rrf_fusion_rewards_cross_ranker_agreement(spark):
+    """An item ranked mid-tier by BOTH rankers outscores one ranked
+    first by a single ranker: 2/(60+3) > 1/61; items absent from both
+    never appear."""
+    from pennsieve_streaming_spark.llm.similarity import rrf_fusion
+
+    r0 = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    r1 = spark.createDataFrame(
+        [(0, 20, 1), (0, 21, 2), (0, 12, 3)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    out = sorted(
+        rrf_fusion([r0, r1], k=5).collect(), key=lambda r: r.rank
+    )
+    assert out[0].neighbor_id == 12
+    assert abs(out[0].rrf_score - 2 / 63) < 1e-12
+    assert {r.neighbor_id for r in out} == {10, 11, 12, 20, 21}
+    # single-ranker items score exactly one reciprocal
+    one = next(r for r in out if r.neighbor_id == 10)
+    assert abs(one.rrf_score - 1 / 61) < 1e-12
