@@ -3287,6 +3287,36 @@ def q_lz_complexity(spark, sf_dir):
     return lz_complexity(TBL.samples_view(spark, sf_dir), SE_WINDOW, SE_QUANT)
 
 
+def q_stream_lz(spark, sf_dir):
+    """Streaming LZ76 monitor drained with availableNow: per-channel
+    state carries (next window index, the partial window's Spark-
+    quantized values), so emitted windows equal the batch parse
+    bit-exactly wherever the micro-batch boundaries fall — the batch
+    recursive-CTE oracle gates the streaming operator too."""
+    import tempfile
+
+    from pennsieve_streaming_spark.streaming.lz import lz_stream
+
+    s = TBL.samples_view(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="pss_stream_lz_")
+    src = f"{base}/src"
+    s.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("channel string, ts long, value double")
+        .parquet(src)
+    )
+    q = (
+        lz_stream(stream, SE_WINDOW, SE_QUANT)
+        .writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out")
+
+
 def q_permutation_entropy(spark, sf_dir):
     """Permutation entropy per (channel, 128-sample window) — the
     Bandt-Pompe ordinal-pattern complexity measure (order 3,
@@ -3859,6 +3889,7 @@ _R6_FRONT = [
     "ts_hrv_metrics", "doc_chunk_passages", "ts_randomness_tests",
     "ev_user_entropy", "emb_mmr_topk", "ts_adf_test",
     "emb_centroid_drift", "doc_passage_bm25", "emb_rrf_fusion",
+    "stream_lz",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3935,6 +3966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_sample_entropy": q_sample_entropy,
         "ts_permutation_entropy": q_permutation_entropy,
         "ts_lz_complexity": q_lz_complexity,
+        "stream_lz": q_stream_lz,
         "ts_uneven_periodogram": q_uneven_periodogram,
         "ts_ljungbox": q_ljungbox,
         "ts_higher_moments": q_higher_moments,
@@ -8272,6 +8304,7 @@ def oracle_sql() -> dict[str, str]:
     # sums + shared finish + batch-median calibration centers).
     sql["stream_periodogram"] = sql["ts_uneven_periodogram"]
 
+
     # LZ76 complexity: the recursive CTE consumes exactly one phrase
     # per recursion step — p advances by the shortest non-reproducible
     # extension's length (list_max over candidate lengths whose
@@ -8330,6 +8363,10 @@ def oracle_sql() -> dict[str, str]:
                CAST(c AS DOUBLE) * {_lz_log2} / n AS lz_norm
         FROM lz WHERE p = n + 1
         """
+
+    # Streaming LZ76 drains to the identical table (count-window state
+    # carry + the same kernel + Spark-side quantization).
+    sql["stream_lz"] = sql["ts_lz_complexity"]
 
     sql["ts_tkeo_energy"] = with_views(
         f"""
