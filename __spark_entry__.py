@@ -2485,6 +2485,18 @@ def q_power_spectrum(spark, sf_dir):
     )
 
 
+def q_spectral_edge(spark, sf_dir):
+    """SEF95 per (channel, window): the lowest bin holding >= 95% of
+    the window's exact integer spectral energy — the anesthesia-depth
+    summary number; integer cross-multiplied test, no float anywhere."""
+    from pennsieve_streaming_spark.dsp.spectral import spectral_edge
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        F.col("ts") <= F.lit(BW_TS_END)
+    )
+    return spectral_edge(s, PS_BINS, PS_WINDOW, PS_QUANT)
+
+
 EWMA_ALPHA = 0.125  # exact binary representation — no decimal noise
 
 
@@ -3889,7 +3901,7 @@ _R6_FRONT = [
     "ts_hrv_metrics", "doc_chunk_passages", "ts_randomness_tests",
     "ev_user_entropy", "emb_mmr_topk", "ts_adf_test",
     "emb_centroid_drift", "doc_passage_bm25", "emb_rrf_fusion",
-    "stream_lz",
+    "stream_lz", "ts_spectral_edge",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3967,6 +3979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_permutation_entropy": q_permutation_entropy,
         "ts_lz_complexity": q_lz_complexity,
         "stream_lz": q_stream_lz,
+        "ts_spectral_edge": q_spectral_edge,
         "ts_uneven_periodogram": q_uneven_periodogram,
         "ts_ljungbox": q_ljungbox,
         "ts_higher_moments": q_higher_moments,
@@ -6981,6 +6994,29 @@ def oracle_sql() -> dict[str, str]:
                  round(sqrt(CAST(harm_pq AS DOUBLE)
                             / CAST(fund_pq AS DOUBLE)), 9) END AS thd
         FROM g
+        """
+
+    # SEF95: casts the gated spectrum's stringified exact energies
+    # back to HUGEINT; the edge test is integer cross-multiplication.
+    sql["ts_spectral_edge"] = f"""
+        WITH ps AS ({sql["ts_power_spectrum"]}),
+        e AS (
+          SELECT channel, win, bin,
+                 CAST(energy_q2 AS HUGEINT) AS eq
+          FROM ps
+        ),
+        c AS (
+          SELECT channel, win, bin,
+                 SUM(eq) OVER (PARTITION BY channel, win ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 SUM(eq) OVER (PARTITION BY channel, win) AS tot
+          FROM e
+        )
+        SELECT channel, win, CAST({PS_BINS} AS BIGINT) AS n_bins,
+               CAST(MIN(bin) AS BIGINT) AS sef_bin
+        FROM c WHERE tot > 0 AND cum * 20 >= tot * 19
+        GROUP BY channel, win
         """
 
     # --- spectral entropy: power-spectrum replay + nano-nat weights --

@@ -1118,3 +1118,62 @@ def finish_periodogram(
         "ss",
         F.expr(periodogram_power_expr(q)).alias("power"),
     )
+
+
+def spectral_edge(
+    samples: DataFrame,
+    n_bins: int,
+    window_samples: int,
+    quant: int = 10**6,
+    edge_num: int = 19,
+    edge_den: int = 20,
+) -> DataFrame:
+    """Spectral edge frequency per (channel, window) — SEF95 (the
+    default edge_num/edge_den = 19/20), THE single-number anesthesia-
+    depth EEG summary: the lowest bin below which ≥ 95% of the
+    window's spectral energy (over bins 1..n_bins) lies. Rides the
+    same exact quantized DFT sums as power_spectrum.
+
+    Determinism — all-integer: per-bin energies are EXACT
+    DECIMAL(38,0)/HUGEINT squares of the BIGINT dot sums (the
+    power_spectrum energy form); the cumulative and total sums are
+    exact; the 95% test is the integer cross-multiplication
+    ``cum·edge_den ≥ tot·edge_num`` (magnitude ≤ ~10²⁹, inside both
+    engines' 38-digit envelopes); the edge is MIN(bin) over the
+    passing set — no float exists anywhere in the operator.
+
+    Output: (channel, win, n_bins, sef_bin); flat windows (zero total
+    energy) emit no row (no edge exists).
+
+    Plan: dft_sums' one ranking pass + partial-agg groupBy, then two
+    frame aggregates over the ≤ n_bins rows per window and a min
+    rollup — nothing beyond |channels|×|windows|×n_bins rows.
+    """
+    ws = int(window_samples)
+    nb = int(n_bins)
+    agg = dft_sums(samples, nb, ws, int(quant)).filter(
+        F.col("n") == ws
+    )
+    eq = (
+        "CAST(sc AS DECIMAL(19, 0)) * CAST(sc AS DECIMAL(19, 0)) "
+        "+ CAST(ss AS DECIMAL(19, 0)) * CAST(ss AS DECIMAL(19, 0))"
+    )
+    w_cum = (
+        Window.partitionBy("channel", "win")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("channel", "win")
+    x = (
+        agg.withColumn("_eq", F.expr(eq))
+        .withColumn("_cum", F.sum("_eq").over(w_cum))
+        .withColumn("_tot", F.sum("_eq").over(w_all))
+    )
+    passed = x.filter(
+        (F.col("_tot") > 0)
+        & (F.col("_cum") * edge_den >= F.col("_tot") * edge_num)
+    )
+    return passed.groupBy("channel", "win").agg(
+        F.lit(nb).cast("long").alias("n_bins"),
+        F.min("bin").cast("long").alias("sef_bin"),
+    )

@@ -800,3 +800,28 @@ def test_holt_backtest_zero_actuals_excluded_from_mape(spark):
     df = spark.createDataFrame(rows, "channel string, ts long, value double")
     r = holt_backtest(df, 0.25, 0.125).collect()[0]
     assert r.n_steps == 2 and r.n_nonzero == 1
+
+
+def test_spectral_edge_tracks_the_dominant_bin(spark):
+    """A pure bin-2 tone puts ~all energy at bin 2 -> SEF = 2; adding
+    a strong bin-6 component pushes the 95% edge up to 6; a flat
+    window emits nothing."""
+    import math
+
+    from pennsieve_streaming_spark.dsp.spectral import spectral_edge
+
+    ws = 64
+    rows = []
+    for t in range(ws):
+        rows.append(("tone", t, 100.0 * math.sin(2 * math.pi * 2 * t / ws)))
+        rows.append((
+            "mix", t,
+            30.0 * math.sin(2 * math.pi * 2 * t / ws)
+            + 100.0 * math.sin(2 * math.pi * 6 * t / ws),
+        ))
+        rows.append(("flat", t, 0.0))
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = {r.channel: r.sef_bin for r in spectral_edge(df, 8, ws).collect()}
+    assert out["tone"] == 2
+    assert out["mix"] == 6
+    assert "flat" not in out
