@@ -2990,6 +2990,17 @@ def q_cohort_matrix(spark, sf_dir):
     return cohort_matrix(_user_events(spark, sf_dir), max_weeks=8)
 
 
+def q_retention_halflife(spark, sf_dir):
+    """Retention half-life in weeks: ln(pooled cohort retention) fit
+    against age by exact nano-quantized least squares; slope and
+    half-life are single fixed expressions, ln 2 a Python literal."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        retention_halflife,
+    )
+
+    return retention_halflife(_user_events(spark, sf_dir), max_weeks=8)
+
+
 def q_langid_confusion(spark, sf_dir):
     """Lang-ID evaluation confusion matrix: labeled lang × predicted
     lang counts plus per-cell share of the labeled row."""
@@ -3901,7 +3912,7 @@ _R6_FRONT = [
     "ts_hrv_metrics", "doc_chunk_passages", "ts_randomness_tests",
     "ev_user_entropy", "emb_mmr_topk", "ts_adf_test",
     "emb_centroid_drift", "doc_passage_bm25", "emb_rrf_fusion",
-    "stream_lz", "ts_spectral_edge",
+    "stream_lz", "ts_spectral_edge", "ev_retention_halflife",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3964,6 +3975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_ab_srm": q_ab_srm,
         "ev_conversion_lag": q_conversion_lag,
         "ev_user_entropy": q_user_entropy,
+        "ev_retention_halflife": q_retention_halflife,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -6092,6 +6104,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT r.cohort_week, r.week_n, s.cohort_size, r.retained,
                CAST(r.retained AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
         FROM ret r JOIN sizes s ON r.cohort_week = s.cohort_week
+        """
+
+    # Retention half-life: pooled-by-age ln rates (nano-quantized) →
+    # exact OLS moments → the shared slope/half-life finishes.
+    from pennsieve_streaming_spark.operators.analytics import (
+        RHL_SLOPE as _RHL_S,
+    )
+
+    _rhl_ln2 = repr(__import__("math").log(2.0))
+    sql["ev_retention_halflife"] = f"""
+        WITH cm AS ({sql["ev_cohort_matrix"]}),
+        pooled AS (
+          SELECT CAST(week_n AS BIGINT) AS k,
+                 CAST(SUM(retained) AS BIGINT) AS ret,
+                 CAST(SUM(cohort_size) AS BIGINT) AS size
+          FROM cm WHERE week_n >= 1 GROUP BY week_n
+          HAVING SUM(retained) > 0 AND SUM(cohort_size) > 0
+        ),
+        pts AS (
+          SELECT k,
+                 CAST(round(ln(CAST(ret AS DOUBLE) / size)
+                     * 1000000000) AS BIGINT) AS yq
+          FROM pooled
+        ),
+        g AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_ages,
+                 CAST(SUM(k) AS BIGINT) AS sx,
+                 CAST(SUM(yq) AS BIGINT) AS sy,
+                 CAST(SUM(k * yq) AS BIGINT) AS sxy,
+                 CAST(SUM(k * k) AS BIGINT) AS sxx
+          FROM pts
+        )
+        SELECT n_ages, sx, sy, sxy, sxx,
+               {_RHL_S} AS slope_per_week,
+               CASE WHEN {_RHL_S} < 0 THEN {_rhl_ln2} / (-({_RHL_S}))
+               END AS halflife_weeks
+        FROM g WHERE n_ages >= 2
         """
 
     sql["doc_langid_confusion"] = f"""

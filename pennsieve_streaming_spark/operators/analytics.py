@@ -1141,3 +1141,77 @@ def user_behavior_entropy(events: DataFrame) -> DataFrame:
             "AS BIGINT)) END"
         ).alias("norm_entropy"),
     )
+
+
+# Fixed float finishes for the retention half-life fit, shared
+# verbatim with the oracle. Moments are exact BIGINTs over the
+# (age, nano-quantized ln pooled-rate) points.
+RHL_DEN = (
+    "(CAST(n_ages AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+)
+RHL_SLOPE = (
+    f"CASE WHEN {RHL_DEN} > 0 THEN "
+    f"(CAST(n_ages AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) "
+    f"/ ({RHL_DEN} * 1000000000.0) END"
+)
+
+
+def retention_halflife(events: DataFrame, max_weeks: int = 8) -> DataFrame:
+    """Retention half-life — the one-number decay summary of the
+    cohort triangle: pool the cohorts at each age (Σ retained / Σ
+    cohort_size over ages 1..max_weeks), fit ln(pooled rate) against
+    age by least squares, and report the exponential-decay half-life
+    ln 2 / |slope| in weeks. The compact executive readout of
+    ev_cohort_matrix; a rising half-life round-over-round is the
+    retention-improvement signal.
+
+    Determinism: pooled rates are exact-integer divisions; each
+    ln(rate) quantizes to nano-units (BIGINT, the nano-nat class);
+    the ≤ max_weeks regression points fold into five exact BIGINT
+    moments; slope and half-life are single fixed float expressions
+    (RHL_*, ln 2 as a Python literal). Zero-rate ages drop (no ln);
+    a non-negative slope yields NULL half-life.
+
+    Output: one row (n_ages, sx, sy, sxy, sxx, slope_per_week,
+    halflife_weeks); empty when < 2 usable ages.
+
+    Plan: cohort_matrix's rollup, one groupBy to ≤ max_weeks rows,
+    one single-row moment fold — nothing beyond the triangle ever
+    shuffles.
+    """
+    cm = cohort_matrix(events, max_weeks=max_weeks)
+    pooled = (
+        cm.filter(F.col("week_n") >= 1)
+        .groupBy("week_n")
+        .agg(
+            F.sum("retained").cast("long").alias("_ret"),
+            F.sum("cohort_size").cast("long").alias("_size"),
+        )
+        .filter((F.col("_ret") > 0) & (F.col("_size") > 0))
+        .select(
+            F.col("week_n").cast("long").alias("k"),
+            F.expr(
+                "CAST(round(ln(CAST(_ret AS DOUBLE) / _size) "
+                "* 1000000000) AS BIGINT)"
+            ).alias("yq"),
+        )
+    )
+    g = pooled.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ages"),
+        F.sum("k").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.expr("k * yq")).cast("long").alias("sxy"),
+        F.sum(F.expr("k * k")).cast("long").alias("sxx"),
+    ).filter(F.col("n_ages") >= 2)
+    ln2 = repr(__import__("math").log(2.0))
+    return g.select(
+        "n_ages",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        F.expr(RHL_SLOPE).alias("slope_per_week"),
+        F.expr(
+            f"CASE WHEN {RHL_SLOPE} < 0 THEN {ln2} / (-({RHL_SLOPE})) END"
+        ).alias("halflife_weeks"),
+    )

@@ -585,3 +585,35 @@ def test_user_entropy_specialist_vs_explorer(spark):
     assert abs(u2.norm_entropy - 1.0) < 1e-6
     u3 = out[3]
     assert 0.0 < u3.norm_entropy < 1.0
+
+
+def test_retention_halflife_recovers_planted_decay(spark):
+    """Plant a geometric half-per-2-weeks retention curve: cohort of
+    64 users, half the survivors drop every 2 weeks -> slope
+    = -ln(2)/2 per week, half-life = 2 weeks."""
+    import math
+
+    from pennsieve_streaming_spark.operators.analytics import (
+        retention_halflife,
+    )
+
+    wk = 7 * 86_400_000_000
+    rows = []
+    # 64 users first active in week 0; user u stays active through
+    # week 2*ceil(log2(64/(64/2^j)))... simpler: user u (0..63) is
+    # active in weeks 0..(2 * (6 - bit_length rank)); construct by
+    # survivor counts: weeks 1-2 -> 32 users, 3-4 -> 16, 5-6 -> 8
+    surv = {0: 64, 1: 32, 2: 32, 3: 16, 4: 16, 5: 8, 6: 8}
+    for w, n in surv.items():
+        for u in range(n):
+            rows.append((u, w * wk + u * 1_000_000, "click"))
+    ev = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    out = retention_halflife(ev, max_weeks=6).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_ages == 6
+    # ln(rate_k) = -ln2 * ceil(k/2) for k = 1..6: the LS slope of the
+    # staircase is exactly -8*ln2/17.5 (covariance 8*(-ln2), x-var
+    # 17.5), so half-life = 17.5/8 = 2.1875 weeks
+    assert abs(r.slope_per_week - (-8 * math.log(2) / 17.5)) < 1e-6
+    assert abs(r.halflife_weeks - 17.5 / 8) < 1e-6
