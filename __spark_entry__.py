@@ -1775,6 +1775,31 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_ann_recall_ivf(spark, sf_dir):
+    """Recall@k of the IVF-Flat index against the exact top-k ground
+    truth — closes the ANN eval matrix's remaining cell (LSH and
+    multiprobe recalls already ship); both sides compose the gated
+    queries, ann side deduplicated for multiplicity independence."""
+    ann = q_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id").distinct()
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    per_q = exact.select("query_id").distinct()
+    return (
+        per_q.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.lit(ANN_K)
+            ).alias("recall"),
+        )
+    )
+
+
 def q_ann_recall_multiprobe(spark, sf_dir):
     """Recall@k of the MULTIPROBE hyperplane-LSH index against the
     exact top-k ground truth — completes the ANN eval matrix next to
@@ -2067,6 +2092,18 @@ def q_conversion_lag(spark, sf_dir):
     )
 
     return conversion_lag_stats(_user_events(spark, sf_dir), "purchase")
+
+
+def q_ab_power(spark, sf_dir):
+    """Per-surface A/B power analysis: required per-variant sample
+    size to detect a 10% relative lift at alpha=.05 / power=.80 from
+    the observed base rate; exact counts, one fixed expression chain,
+    (z_a+z_b)^2 as a Python literal."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        ab_power_analysis,
+    )
+
+    return ab_power_analysis(_user_events(spark, sf_dir))
 
 
 def q_ab_srm(spark, sf_dir):
@@ -3913,6 +3950,7 @@ _R6_FRONT = [
     "ev_user_entropy", "emb_mmr_topk", "ts_adf_test",
     "emb_centroid_drift", "doc_passage_bm25", "emb_rrf_fusion",
     "stream_lz", "ts_spectral_edge", "ev_retention_halflife",
+    "ev_ab_power", "emb_ann_recall_ivf",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3973,6 +4011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_gini": q_gini,
         "ev_assoc_rules": q_assoc_rules,
         "ev_ab_srm": q_ab_srm,
+        "ev_ab_power": q_ab_power,
         "ev_conversion_lag": q_conversion_lag,
         "ev_user_entropy": q_user_entropy,
         "ev_retention_halflife": q_retention_halflife,
@@ -4175,6 +4214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_mmr_topk": q_mmr_topk,
         "emb_centroid_drift": q_centroid_drift,
         "emb_rrf_fusion": q_rrf_fusion,
+        "emb_ann_recall_ivf": q_ann_recall_ivf,
         "emb_ann_lsh": q_ann_lsh,
         "emb_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "emb_ann_ivf": q_ann_ivf,
@@ -6481,6 +6521,29 @@ def oracle_sql() -> dict[str, str]:
         SRM_CHI2 as _SRM_CHI2,
         SRM_CRIT as _SRM_CRIT,
     )
+
+    from pennsieve_streaming_spark.operators.analytics import (
+        PW_MDE as _PW_MDE,
+        PW_RATE as _PW_RATE,
+        PW_REQ_N as _PW_REQ,
+    )
+
+    sql["ev_ab_power"] = f"""
+        WITH conv AS (
+          SELECT event_type,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_conv
+          FROM events GROUP BY event_type
+        ),
+        total AS (
+          SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM events
+        )
+        SELECT event_type, n_users, n_conv,
+               {_PW_RATE} AS base_rate,
+               {_PW_MDE} AS mde_abs,
+               {_PW_REQ} AS required_n_per_variant
+        FROM conv CROSS JOIN total
+        """
 
     sql["ev_ab_srm"] = f"""
         WITH exposed AS (
@@ -11449,6 +11512,17 @@ def oracle_sql() -> dict[str, str]:
         FROM ({sql["emb_cosine_topk"]}) e
         LEFT JOIN (SELECT DISTINCT query_id, neighbor_id
                    FROM ({sql["emb_ann_lsh"]})) a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id
+        """
+
+    sql["emb_ann_recall_ivf"] = f"""
+        SELECT e.query_id,
+               CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+               CAST(COUNT(a.neighbor_id) AS DOUBLE) / {ANN_K} AS recall
+        FROM ({sql["emb_cosine_topk"]}) e
+        LEFT JOIN (SELECT DISTINCT query_id, neighbor_id
+                   FROM ({sql["emb_ann_ivf"]})) a
           ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
         GROUP BY e.query_id
         """

@@ -1215,3 +1215,56 @@ def retention_halflife(events: DataFrame, max_weeks: int = 8) -> DataFrame:
             f"CASE WHEN {RHL_SLOPE} < 0 THEN {ln2} / (-({RHL_SLOPE})) END"
         ).alias("halflife_weeks"),
     )
+
+
+# Fixed float finish for the power analysis, shared verbatim with the
+# oracle. z literals: 1.96 (two-sided 5%) + 0.8416 (80% power);
+# (z_a + z_b)^2 is Python-evaluated so no engine adds the decimals.
+PW_Z2 = repr((1.96 + 0.8416) ** 2)
+PW_RATE = "(CAST(n_conv AS DOUBLE) / n_users)"
+PW_MDE = f"(0.1 * {PW_RATE})"
+PW_REQ_N = (
+    f"CASE WHEN n_conv > 0 AND n_conv < n_users THEN "
+    f"2.0 * {PW_Z2} * {PW_RATE} * (1.0 - {PW_RATE}) "
+    f"/ ({PW_MDE} * {PW_MDE}) END"
+)
+
+
+def ab_power_analysis(events: DataFrame) -> DataFrame:
+    """A/B test power analysis per conversion surface — the third leg
+    of the experimentation panel (ev_ab_conversion reads the result,
+    ev_ab_srm guards the assignment, THIS one says whether the test
+    was big enough to read at all): from each event_type's observed
+    base rate, the per-variant sample size needed to detect a 10%
+    relative lift at alpha = 0.05 (two-sided), power = 0.80:
+
+        n = 2 (z_a + z_b)^2 p (1-p) / (0.1 p)^2
+
+    Determinism: user/converter counts are exact integers; the rate,
+    MDE and required n are one fixed float expression chain (PW_*,
+    shared with the oracle) with (z_a + z_b)^2 as a Python-evaluated
+    literal; degenerate rates (0 or 1) yield NULL.
+
+    Output: (event_type, n_users, n_conv, base_rate, mde_abs,
+    required_n_per_variant).
+
+    Plan: one per-user rollup, one conditional-count per type —
+    nothing beyond |users| + |types| rows.
+    """
+    conv = (
+        events.select("event_type", "user_id").distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conv"))
+    )
+    total = events.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    g = conv.crossJoin(F.broadcast(total))
+    return g.select(
+        "event_type",
+        "n_users",
+        "n_conv",
+        F.expr(PW_RATE).alias("base_rate"),
+        F.expr(PW_MDE).alias("mde_abs"),
+        F.expr(PW_REQ_N).alias("required_n_per_variant"),
+    )

@@ -617,3 +617,34 @@ def test_retention_halflife_recovers_planted_decay(spark):
     # 17.5), so half-life = 17.5/8 = 2.1875 weeks
     assert abs(r.slope_per_week - (-8 * math.log(2) / 17.5)) < 1e-6
     assert abs(r.halflife_weeks - 17.5 / 8) < 1e-6
+
+
+def test_ab_power_scales_inversely_with_base_rate(spark):
+    """Rarer conversions need more samples: with a 10% RELATIVE MDE,
+    required n ~ (1-p)/p — the rare event needs ~an order of
+    magnitude more users than the common one; degenerate (p=1)
+    surfaces yield NULL."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        ab_power_analysis,
+    )
+
+    rows = []
+    for u in range(100):
+        rows.append((u, "common") if u < 50 else (u, "visit"))
+        rows.append((u, "visit"))
+        if u < 5:
+            rows.append((u, "rare"))
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {r.event_type: r for r in ab_power_analysis(ev).collect()}
+
+    assert out["visit"].base_rate == 1.0
+    assert out["visit"].required_n_per_variant is None   # p = 1 degenerate
+    assert out["common"].base_rate == 0.5
+    assert out["rare"].base_rate == 0.05
+    assert (
+        out["rare"].required_n_per_variant
+        > 15 * out["common"].required_n_per_variant
+    )
+    # closed form check at p = 0.5: n = 2 z2 * 0.25 / 0.0025 = 200 z2
+    z2 = (1.96 + 0.8416) ** 2
+    assert abs(out["common"].required_n_per_variant - 200 * z2) < 1e-9
