@@ -213,6 +213,13 @@ def main() -> None:
     results["mm_video_scene_cuts"] = _force(cuts)
     plans["mm_video_scene_cuts"] = _plan(cuts)
 
+    # --- ts_uneven_periodogram at 10x sample density -----------------------
+    from pennsieve_streaming_spark.dsp.spectral import uneven_periodogram
+
+    pg = uneven_periodogram(s10)
+    results["ts_uneven_periodogram"] = _force(pg)
+    plans["ts_uneven_periodogram"] = _plan(pg)
+
     # --- plan-shape guards (the 100x design evidence) ---------------------
     problems = []
     for name, plan in plans.items():
@@ -224,6 +231,11 @@ def main() -> None:
         problems.append("topk: query side not broadcast")
     if "WindowGroupLimit" not in plans["emb_cosine_topk"]:
         problems.append("topk: partial top-k pushdown missing")
+    # the periodogram must stay ONE aggregation pass over the scan:
+    # a second hashpartitioning exchange on channel would mean the
+    # trig sums split into multiple scans
+    if plans["ts_uneven_periodogram"].count("Exchange hashpartitioning") > 3:
+        problems.append("periodogram: more exchanges than the 1-pass shape")
 
     print(
         json.dumps(
