@@ -186,3 +186,81 @@ def test_phash_scale_invariance_property(pix, scale, bright):
     shifted = phash64(g + bright)
     ham = bin((base ^ shifted) & (2**64 - 1)).count("1")
     assert ham <= 16  # DC bit + median-crossing bits only
+
+
+def test_permutation_entropy_monotone_invariance(spark):
+    """Ordinal patterns see only the ORDER: any strictly increasing
+    transform of the values leaves every pattern count and the
+    entropy bit-identical (cubing preserves order and, on integer
+    inputs, quantization exactness)."""
+    import random
+
+    from pennsieve_streaming_spark.operators.stats import (
+        permutation_entropy,
+    )
+
+    rng = random.Random(53)
+    base = [rng.randrange(-40, 41) for _ in range(256)]
+    rows_a = [("c", t, float(v)) for t, v in enumerate(base)]
+    # strictly increasing transform: x -> x^3 (integer-exact at
+    # quant=1 scale; use quant=1 so rounding can't differ)
+    rows_b = [("c", t, float(v ** 3)) for t, v in enumerate(base)]
+    df_a = spark.createDataFrame(rows_a, "channel string, ts long, value double")
+    df_b = spark.createDataFrame(rows_b, "channel string, ts long, value double")
+    a = {r.win: (r.c0, r.c1, r.c2, r.c3, r.c4, r.c5, r.pe_norm)
+         for r in permutation_entropy(df_a, 64, 1).collect()}
+    b = {r.win: (r.c0, r.c1, r.c2, r.c3, r.c4, r.c5, r.pe_norm)
+         for r in permutation_entropy(df_b, 64, 1).collect()}
+    assert a == b and len(a) == 4
+
+
+def test_cfar_integer_scale_invariance(spark):
+    """CFAR is a ratio test: scaling integer-valued inputs by an
+    integer constant leaves the fired set identical (quantization
+    stays exact at quant=1 x integer scale)."""
+    import random
+
+    from pennsieve_streaming_spark.operators.stats import cfar_peaks
+
+    rng = random.Random(59)
+    vals = [rng.randrange(1, 8) for _ in range(80)]
+    vals[40] = 100  # a spike
+    rows_a = [("c", t, float(v)) for t, v in enumerate(vals)]
+    rows_b = [("c", t, float(7 * v)) for t, v in enumerate(vals)]
+    df_a = spark.createDataFrame(rows_a, "channel string, ts long, value double")
+    df_b = spark.createDataFrame(rows_b, "channel string, ts long, value double")
+    fired_a = {r.ts for r in cfar_peaks(df_a, 8, 2, 3, 1, 1).collect()}
+    fired_b = {r.ts for r in cfar_peaks(df_b, 8, 2, 3, 1, 1).collect()}
+    assert fired_a == fired_b
+    assert 40 in fired_a
+
+
+def test_mips_equals_cosine_on_unit_norms(spark):
+    """On an exactly-unit-norm corpus the MIPS and cosine rankings
+    coincide (dot == cosine when |v| = |q| = 1) — the invariant that
+    distinguishes the two rankers is norm variation alone."""
+    from pennsieve_streaming_spark.llm.similarity import (
+        cosine_topk,
+        mips_topk,
+    )
+
+    import math
+    import random
+
+    rng = random.Random(61)
+    rows = []
+    for i in range(30):
+        a = rng.uniform(0, 2 * math.pi)
+        b = rng.uniform(0, 2 * math.pi)
+        rows.append((i, [
+            math.cos(a) * math.cos(b),
+            math.cos(a) * math.sin(b),
+            math.sin(a),
+        ]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.filter("vec_id < 4")
+    cos = {(r.query_id, r.rank): r.neighbor_id
+           for r in cosine_topk(df, qs, k=5).collect()}
+    mips = {(r.query_id, r.rank): r.neighbor_id
+            for r in mips_topk(df, qs, k=5).collect()}
+    assert cos == mips
