@@ -1557,6 +1557,16 @@ def q_readability(spark, sf_dir):
     return readability(_docs(spark, sf_dir))
 
 
+def q_score_spearman(spark, sf_dir):
+    """Spearman rank correlation between the heuristic quality score
+    and the unigram-LM likelihood (doc_id tie-breaks): two two-phase
+    ranks, one exact BIGINT sum of squared rank differences, one
+    fixed rho expression — the do-my-filters-agree diagnostic."""
+    from pennsieve_streaming_spark.llm.curation import score_spearman
+
+    return score_spearman(_docs(spark, sf_dir))
+
+
 def q_perplexity_buckets(spark, sf_dir):
     """CCNet head/middle/tail split: corpus ranked by the bit-exact
     unigram avg_logprob (DESC) and cut into NTILE(3) equal-mass
@@ -1939,6 +1949,38 @@ def q_autocorrelation(spark, sf_dir):
 
 
 LB_LAGS_US = tuple(GRID_INTERVAL_US * k for k in range(1, 6))
+
+
+ACF_HL_LAGS = tuple(GRID_INTERVAL_US * k for k in range(1, 11))
+
+
+def q_acf_halflife(spark, sf_dir):
+    """Decorrelation time per channel: the first of lags 1..10 days
+    whose ACF drops below 0.5 — the memory-length summary of the ACF
+    panel (NULL-free: channels never decorrelating within 10 days
+    report lag 0 as the 'longer than measured' sentinel). Built on
+    the bit-identical pairwise-Pearson ACFs."""
+    from pennsieve_streaming_spark.operators.stats import (
+        channel_autocorrelation,
+    )
+    from pennsieve_streaming_spark.operators.align import asof_locf
+    from pyspark.sql import Window
+
+    s = TBL.samples_view(spark, sf_dir).filter(
+        F.col("channel").isin(*GRID_CHANNELS)
+    )
+    _, grid = _grid(spark, sf_dir)
+    aligned = asof_locf(s, grid).select("channel", "ts", "value")
+    acf = channel_autocorrelation(aligned, ACF_HL_LAGS, CORR_QUANT)
+    crossed = acf.filter(F.col("r") < 0.5).groupBy("channel").agg(
+        F.min("lag_us").cast("long").alias("halflife_lag_us")
+    )
+    chans = acf.select("channel").distinct()
+    return chans.join(crossed, "channel", "left").select(
+        "channel",
+        F.coalesce("halflife_lag_us", F.lit(0)).cast("long")
+        .alias("halflife_lag_us"),
+    )
 
 
 def q_ljungbox(spark, sf_dir):
@@ -3950,7 +3992,8 @@ _R6_FRONT = [
     "ev_user_entropy", "emb_mmr_topk", "ts_adf_test",
     "emb_centroid_drift", "doc_passage_bm25", "emb_rrf_fusion",
     "stream_lz", "ts_spectral_edge", "ev_retention_halflife",
-    "ev_ab_power", "emb_ann_recall_ivf",
+    "ev_ab_power", "emb_ann_recall_ivf", "ts_acf_halflife",
+    "doc_score_spearman",
     # Recheck block (driver-green before, re-verification value only),
     # highest value first: r4 hash-reds type-fixed in r5, the r5
     # funnel fix, then the align/simhash family touched this round.
@@ -3998,6 +4041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_token_ids": q_bpe_token_ids,
         "doc_curriculum_order": q_curriculum_order,
         "doc_perplexity_buckets": q_perplexity_buckets,
+        "doc_score_spearman": q_score_spearman,
         "doc_readability": q_readability,
         "doc_rake_keywords": q_rake_keywords,
         "doc_chunk_passages": q_chunk_passages,
@@ -4033,6 +4077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_spectral_edge": q_spectral_edge,
         "ts_uneven_periodogram": q_uneven_periodogram,
         "ts_ljungbox": q_ljungbox,
+        "ts_acf_halflife": q_acf_halflife,
         "ts_higher_moments": q_higher_moments,
         "ts_holt_backtest": q_holt_backtest,
         "ts_rqa": q_rqa,
@@ -5337,6 +5382,37 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, phrase, n_words, score, rank FROM r
         WHERE rank <= 3
+        """
+
+    # Spearman: both gated per-doc scores ranked under total orders,
+    # the rho finish imported verbatim.
+    from pennsieve_streaming_spark.llm.curation import (
+        SPEARMAN_RHO as _SP_RHO,
+    )
+
+    sql["doc_score_spearman"] = f"""
+        WITH q AS (
+          SELECT doc_id, quality FROM ({sql["doc_quality_score"]})
+        ),
+        lm AS (
+          SELECT doc_id, avg_logprob FROM ({sql["doc_unigram_lm"]})
+        ),
+        rq AS (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY quality, doc_id)
+                   AS rq
+          FROM q
+        ),
+        rl AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY avg_logprob, doc_id) AS rl
+          FROM lm
+        ),
+        g AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM((rq - rl) * (rq - rl)) AS BIGINT) AS d2
+          FROM rq JOIN rl USING (doc_id)
+        )
+        SELECT n, d2, {_SP_RHO} AS rho FROM g WHERE n > 0
         """
 
     # Readability: integer word/sentence/vowel-group counts mirrored
@@ -9929,6 +10005,24 @@ def oracle_sql() -> dict[str, str]:
         f"""
         {_acf_core(ACF_LAGS_US)}
         SELECT channel, lag_us, n, r FROM acf
+        """,
+        "samples",
+        "channels",
+    )
+
+    # ACF half-life: composes the shared _acf_core body at lags
+    # 1..10 days; channels never crossing 0.5 report sentinel 0.
+    sql["ts_acf_halflife"] = with_views(
+        f"""
+        {_acf_core(ACF_HL_LAGS)},
+        crossed AS (
+          SELECT channel, CAST(MIN(lag_us) AS BIGINT) AS hl
+          FROM acf WHERE r < 0.5 GROUP BY channel
+        ),
+        chans AS (SELECT DISTINCT channel FROM acf)
+        SELECT c.channel,
+               CAST(COALESCE(x.hl, 0) AS BIGINT) AS halflife_lag_us
+        FROM chans c LEFT JOIN crossed x ON c.channel = x.channel
         """,
         "samples",
         "channels",

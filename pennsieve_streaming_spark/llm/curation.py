@@ -1447,3 +1447,54 @@ def perplexity_buckets(
         .withColumn("split", split)
         .select("doc_id", "n_tokens", "avg_logprob", "bucket", "split")
     )
+
+
+# Fixed float finish for the rank correlation, shared verbatim with
+# the oracle. d2 is the exact BIGINT sum of squared rank differences.
+SPEARMAN_RHO = (
+    "CASE WHEN n > 1 THEN 1.0 - 6.0 * CAST(d2 AS DOUBLE) "
+    "/ (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * n - 1)) END"
+)
+
+
+def score_spearman(documents: DataFrame) -> DataFrame:
+    """Spearman rank correlation between the two per-document quality
+    signals this engine ships — the heuristic ``quality_score`` and
+    the unigram-LM ``avg_logprob`` — answering the curation question
+    "do my filters agree, or am I about to double-count one signal?"
+    (high rho ⇒ the LM filter adds little over the heuristic; low ⇒
+    they prune different documents).
+
+    Variant note (documented): ties break on doc_id (a total order)
+    rather than by average ranks — engine-identical where averaged
+    ranks would need a second windowed pass, and equal in the
+    no-ties case.
+
+    Determinism + scale: both rankings run on the two-phase
+    ``util.global_rank`` (never a single-task window); d = rank
+    difference is an exact integer, Σd² an exact BIGINT (safe to
+    n ≈ 1.3·10⁶ docs — beyond that, sample before ranking or widen
+    to DECIMAL(38,0)); rho is one fixed float expression
+    (SPEARMAN_RHO).
+
+    Output: one row (n, d2, rho).
+    """
+    from pennsieve_streaming_spark.llm.text import quality_score
+    from pennsieve_streaming_spark.util import global_rank
+
+    q = quality_score(documents).select("doc_id", "quality")
+    lm = unigram_lm_score(documents).select("doc_id", "avg_logprob")
+    rq = global_rank(
+        q, [F.asc("quality"), F.asc("doc_id")], "_rq"
+    ).select("doc_id", "_rq")
+    rl = global_rank(
+        lm, [F.asc("avg_logprob"), F.asc("doc_id")], "_rl"
+    ).select("doc_id", "_rl")
+    j = rq.join(rl, "doc_id")
+    g = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("(_rq - _rl) * (_rq - _rl)")).cast("long").alias("d2"),
+    )
+    return g.filter(F.col("n") > 0).select(
+        "n", "d2", F.expr(SPEARMAN_RHO).alias("rho")
+    )

