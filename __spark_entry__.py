@@ -6627,9 +6627,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         g AS (
           SELECT event_type,
-                 CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                 CAST(SUM(CASE WHEN ((user_id % 2) + 2) % 2 = 0 THEN 1 ELSE 0 END)
                       AS BIGINT) AS n_a,
-                 CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                 CAST(SUM(CASE WHEN ((user_id % 2) + 2) % 2 = 1 THEN 1 ELSE 0 END)
                       AS BIGINT) AS n_b,
                  CAST(COUNT(*) AS BIGINT) AS n_total
           FROM exposed GROUP BY event_type
@@ -6649,13 +6649,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         one AS (
           SELECT
-            CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+            CAST(SUM(CASE WHEN ((user_id % 2) + 2) % 2 = 0 THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_a,
-            CAST(SUM(CASE WHEN user_id % 2 = 0 THEN converted ELSE 0 END)
+            CAST(SUM(CASE WHEN ((user_id % 2) + 2) % 2 = 0 THEN converted ELSE 0 END)
                  AS BIGINT) AS conv_a,
-            CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+            CAST(SUM(CASE WHEN ((user_id % 2) + 2) % 2 = 1 THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_b,
-            CAST(SUM(CASE WHEN user_id % 2 = 1 THEN converted ELSE 0 END)
+            CAST(SUM(CASE WHEN ((user_id % 2) + 2) % 2 = 1 THEN converted ELSE 0 END)
                  AS BIGINT) AS conv_b
           FROM pu
         )

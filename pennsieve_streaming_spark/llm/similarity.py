@@ -1488,6 +1488,8 @@ def rrf_fusion(
     """
     from pyspark.sql import Window
 
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
     tagged = None
     for i, r in enumerate(rankings):
         t = r.select(

@@ -693,7 +693,11 @@ def ab_conversion_test(events: DataFrame, conversion: str) -> DataFrame:
         ).alias("converted")
     )
     flagged = per_user.select(
-        (F.col("user_id") % 2).alias("variant"), "converted"
+        # pmod, not %: Spark's % keeps the dividend's sign, so a
+        # negative user_id would land in variant -1 and silently drop
+        # out of both arms (ADVICE r6).
+        F.pmod(F.col("user_id"), F.lit(2)).alias("variant"),
+        "converted",
     )
     one = flagged.agg(
         F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
@@ -982,11 +986,15 @@ def ab_srm_check(events: DataFrame) -> DataFrame:
     Output: (event_type, n_a, n_b, n_total, chi2, srm).
     """
     exposed = events.select("event_type", "user_id").distinct()
+    # pmod: sign-safe bucket for negative user_ids (ADVICE r6) — with
+    # plain % a negative id's variant is -1, excluded from both arms
+    # while still inflating n_total and biasing chi².
+    variant = F.pmod(F.col("user_id"), F.lit(2))
     g = exposed.groupBy("event_type").agg(
-        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        F.sum(F.when(variant == 0, 1).otherwise(0))
         .cast("long")
         .alias("n_a"),
-        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        F.sum(F.when(variant == 1, 1).otherwise(0))
         .cast("long")
         .alias("n_b"),
         F.count(F.lit(1)).cast("long").alias("n_total"),
@@ -1092,9 +1100,11 @@ def user_behavior_entropy(events: DataFrame) -> DataFrame:
 
     Determinism: the nano-nat integer-fold class (markov_entropy) —
     per-(user, type) counts are exact; each term's ln is
-    1e9-quantized to BIGINT so the per-user sum is exact integer
-    arithmetic; the normalizing ln(k) is 1e9-quantized the same way,
-    making the final ratio one fixed division of exact integers.
+    1e9-quantized and the per-user sum accumulates in DECIMAL(38,0)
+    (the markov_entropy widening — c·ln(c)·1e9 exceeds 2^63 for
+    users past ~4e8 events, and non-ANSI BIGINT would wrap silently);
+    the normalizing ln(k) is 1e9-quantized the same way, making the
+    final ratio one fixed division of exact integers.
     Users with a single type emit entropy 0 with norm_entropy NULL
     (ln 1 = 0 denominator).
 
@@ -1111,21 +1121,22 @@ def user_behavior_entropy(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_types"),
         F.sum(
             F.expr(
-                "c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000000) "
-                "AS BIGINT)"
+                "CAST(c AS DECIMAL(38,0)) * "
+                "CAST(round(ln(CAST(c AS DOUBLE)) * 1000000000) "
+                "AS DECIMAL(38,0))"
             )
         )
-        .cast("long")
+        .cast("decimal(38,0)")
         .alias("_sq"),
     )
-    # H = ln(n) − (1/n)·Σ c·ln c, in exact nano-nats
+    # H = ln(n) − (1/n)·Σ c·ln c, in exact nano-nats (DECIMAL(38,0))
     return per.select(
         "user_id",
         "n_events",
         "n_types",
         F.expr(
             "CAST(round(ln(CAST(n_events AS DOUBLE)) * 1000000000) "
-            "AS BIGINT) * n_events - _sq"
+            "AS DECIMAL(38,0)) * CAST(n_events AS DECIMAL(38,0)) - _sq"
         ).alias("_h_nn_scaled"),
     ).select(
         "user_id",

@@ -2218,9 +2218,22 @@ def ljung_box_whiteness(
     fixed-order float expression (lb_q_expr) and the flag one
     comparison against the chi-square literal.
 
+    Contract (validated, ADVICE r6): ``lags_us[0]`` must equal the
+    grid step and the lags must be its consecutive multiples
+    (step, 2·step, …, h·step) — the classical LB lag ladder. The
+    n_total = n_1 + 1 recovery and the (n − k) denominators in
+    lb_q_expr assume exactly this; arbitrary lag sets would silently
+    skew Q.
+
     Output: (channel, n_total, r1..rh, q_stat, nonwhite).
     """
     h = len(lags_us)
+    step = int(lags_us[0])
+    if step <= 0 or list(lags_us) != [step * (k + 1) for k in range(h)]:
+        raise ValueError(
+            "lags_us must be consecutive multiples of the grid step "
+            f"(step, 2*step, ..., h*step); got {tuple(lags_us)}"
+        )
     acf = channel_autocorrelation(values, tuple(lags_us), quant)
     aggs = []
     for k, lag in enumerate(lags_us, start=1):

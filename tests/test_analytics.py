@@ -648,3 +648,52 @@ def test_ab_power_scales_inversely_with_base_rate(spark):
     # closed form check at p = 0.5: n = 2 z2 * 0.25 / 0.0025 = 200 z2
     z2 = (1.96 + 0.8416) ** 2
     assert abs(out["common"].required_n_per_variant - 200 * z2) < 1e-9
+
+
+def test_ab_variant_assignment_sign_safe(spark):
+    """ADVICE r6: negative user_ids must land in a real variant —
+    pmod(user_id, 2), not Spark's sign-keeping %, which would bucket
+    them as variant -1 (excluded from both arms, but still counted in
+    ab_srm_check's n_total, biasing chi2)."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        ab_conversion_test,
+        ab_srm_check,
+    )
+
+    rows = [
+        (-2, 0, 0, "purchase"),   # even -> A, converts
+        (-1, 0, 1, "view"),       # odd  -> B
+        (1, 0, 2, "purchase"),    # odd  -> B, converts
+        (2, 0, 3, "view"),        # even -> A
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, event_type string"
+    )
+    r = ab_conversion_test(ev, "purchase").collect()[0]
+    assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (2, 1, 2, 1)
+
+    srm = {x.event_type: x for x in ab_srm_check(ev).collect()}
+    # every exposed user lands in exactly one arm: n_a + n_b == n_total
+    for row in srm.values():
+        assert row.n_a + row.n_b == row.n_total
+
+
+def test_user_behavior_entropy_decimal_accumulator(spark):
+    """ADVICE r6: the nano-nat fold accumulates in DECIMAL(38,0) so
+    c*ln(c)*1e9 sums can't wrap BIGINT; values must be unchanged for
+    in-range users."""
+    import math
+
+    from pennsieve_streaming_spark.operators.analytics import (
+        user_behavior_entropy,
+    )
+
+    rows = [(1, "a")] * 3 + [(1, "b")] * 1 + [(2, "x")] * 4
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {r.user_id: r for r in user_behavior_entropy(ev).collect()}
+    # H(3/4, 1/4) via the quantized fold
+    q = 1e9
+    sq = 3 * round(math.log(3) * q) + 1 * round(math.log(1) * q)
+    h = (round(math.log(4) * q) * 4 - sq) / (q * 4)
+    assert abs(out[1].entropy - h) < 1e-12
+    assert out[2].entropy == 0.0 and out[2].norm_entropy is None

@@ -691,3 +691,14 @@ def test_rrf_fusion_rewards_cross_ranker_agreement(spark):
     # single-ranker items score exactly one reciprocal
     one = next(r for r in out if r.neighbor_id == 10)
     assert abs(one.rrf_score - 1 / 61) < 1e-12
+
+
+def test_rrf_fusion_empty_rankings_raises(spark):
+    """ADVICE r6: empty rankings list must raise a meaningful error,
+    not AttributeError on NoneType."""
+    import pytest as _pytest
+
+    from pennsieve_streaming_spark.llm.similarity import rrf_fusion
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        rrf_fusion([], k=5)

@@ -1008,3 +1008,25 @@ def test_adf_separates_mean_reversion_from_random_walk(spark):
     assert -2.0 < mr.rho < -1.0        # Delta x = (phi - 1) x + eps
     rw = out["rw"]
     assert rw.stationary is False and rw.t_stat > -1.95
+
+
+def test_ljung_box_rejects_non_ladder_lags(spark):
+    """ADVICE r6: lags must be consecutive multiples of the grid step
+    (the classical LB ladder) — n_total = n1 + 1 and the (n - k)
+    denominators assume it."""
+    import pytest as _pytest
+
+    from pennsieve_streaming_spark.operators.stats import (
+        ljung_box_whiteness,
+    )
+
+    df = spark.createDataFrame(
+        [("c", 0, 1.0), ("c", 10, 2.0)],
+        "channel string, ts long, value double",
+    )
+    with _pytest.raises(ValueError, match="consecutive multiples"):
+        ljung_box_whiteness(df, (10, 30), 100)   # skips 2*step
+    with _pytest.raises(ValueError, match="consecutive multiples"):
+        ljung_box_whiteness(df, (20, 10), 100)   # not ascending
+    with _pytest.raises(ValueError, match="consecutive multiples"):
+        ljung_box_whiteness(df, (0, 10), 100)    # zero step
