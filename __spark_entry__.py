@@ -3080,6 +3080,24 @@ def q_retention_halflife(spark, sf_dir):
     return retention_halflife(_user_events(spark, sf_dir), max_weeks=8)
 
 
+KM_REGISTRY_CENSOR_US = 43_200_000_000  # 12h: the synthetic users are
+# near-uniformly active across the month, so the production 7-day
+# horizon censors everyone at test SFs; 12h yields a real curve at
+# sf0.001/0.01/0.1 (5/40/489 deaths).
+
+
+def q_survival_km(spark, sf_dir):
+    """Kaplan-Meier user-lifetime survival: exact risk-set / death
+    counts per duration day, 1e9-quantized ln hazards summed exactly,
+    one exp + round(·, 9) finish; users active within the censor
+    horizon of the corpus end are right-censored."""
+    from pennsieve_streaming_spark.operators.analytics import survival_km
+
+    return survival_km(
+        _user_events(spark, sf_dir), censor_us=KM_REGISTRY_CENSOR_US
+    )
+
+
 def q_langid_confusion(spark, sf_dir):
     """Lang-ID evaluation confusion matrix: labeled lang × predicted
     lang counts plus per-cell share of the labeled row."""
@@ -3943,81 +3961,71 @@ def q_contamination_fuzzy(spark, sf_dir):
 # (closing coverage to 162/162), then the post-fix never-re-checked
 # pair, then everything touched this round, then the oldest-checked
 # r4c batch as filler.
-_R6_FRONT = [
-    # Positions 1-12: the 12 registry queries the driver has NEVER
-    # sampled (r5 judge-verified MATCH, but the hard signal should
-    # touch them once — after this rotation every registry query has
-    # a driver-green row).
-    "ts_asof_join", "ts_ltob_downsample", "ts_sax_words", "ts_welch_psd",
-    "ev_top_paths", "doc_weighted_sample", "doc_ngram_containment",
-    "doc_contamination_fuzzy", "doc_cluster_dedup", "doc_hll_distinct",
-    "stream_sessionize", "ts_rolling_stats",
-    # round-6 additions slot in here (newest first) — every one is
-    # never-driver-sampled, so they take priority over the recheck
-    # block (which has at least one driver-green row already).
-    "ts_asof_join_blocked", "stream_asof_join",
-    "ts_holt_smoothing", "ev_markov_entropy", "stream_holt",
-    "mm_image_dhash", "mm_dhash_near_pairs", "doc_bpe_merges",
-    "doc_bpe_word_tokens", "doc_bpe_token_ids", "doc_curriculum_order",
-    "ts_holt_anomalies", "mm_audio_fingerprint",
-    # round-6b additions (this session — never driver-sampled).
-    "ts_cusum_monitor", "stream_cusum", "ev_rfm",
-    "ev_attribution_linear", "doc_source_kl", "ts_trend_segments",
-    "ts_sax_motifs", "mm_audio_match_pairs", "ts_coherence",
-    "ev_ab_conversion", "mm_image_phash", "ts_granger_screen",
-    "ts_spectral_entropy", "doc_bpe_fertility", "stream_trend",
-    "ts_density_grid", "doc_lsh_eval", "ev_session_stats",
-    "doc_jaccard_histogram", "mm_audio_offset_search",
-    "emb_ann_recall_multiprobe", "ts_hurst_rs",
-    # round-6c additions (third session — never driver-sampled).
-    "ts_plv", "ts_dtw_distance", "ts_ar2_model", "stream_drift",
-    "ts_sample_entropy", "ev_kleinberg_bursts", "emb_pq_distortion",
-    "doc_collocations", "doc_lp_communities", "ts_event_triggered_avg",
-    "mm_image_quality", "ts_seasonal_decompose", "emb_truncation_recall",
-    "doc_novelty", "stream_histogram", "emb_silhouette", "ts_harmonics",
-    "ev_dispersion", "ts_band_bursts", "ts_hjorth", "ev_interarrival_ks",
-    "ts_pac", "mm_gif_roundtrip",
-    # round-6d additions (fourth session — never driver-sampled).
-    "ts_sax_discords", "ts_line_length", "ts_tkeo_energy",
-    "ts_burst_suppression", "ev_gini",
-    # round-6e additions (fifth session — never driver-sampled).
-    "doc_perplexity_buckets", "ts_permutation_entropy",
+_R7_FRONT = [
+    # Positions 1-62: every registry query the driver has never
+    # sampled (r6 additions past the top-50 cut). All 62 re-verified
+    # MATCH at sf0.01 this session before front-loading; the driver
+    # gates the first 50, leaving a 12-query tail for the round-8
+    # rotation together with the round-7 additions below.
+    "stream_drift", "ts_sample_entropy", "ev_kleinberg_bursts",
+    "emb_pq_distortion", "doc_collocations", "doc_lp_communities",
+    "ts_event_triggered_avg", "mm_image_quality", "ts_seasonal_decompose",
+    "emb_truncation_recall", "doc_novelty", "stream_histogram",
+    "emb_silhouette", "ts_harmonics", "ev_dispersion",
+    "ts_band_bursts", "ts_hjorth", "ev_interarrival_ks",
+    "ts_pac", "mm_gif_roundtrip", "ts_sax_discords",
+    "ts_line_length", "ts_tkeo_energy", "ts_burst_suppression",
+    "ev_gini", "doc_perplexity_buckets", "ts_permutation_entropy",
     "ev_assoc_rules", "doc_readability", "mm_video_scene_cuts",
     "ts_lz_complexity", "doc_rake_keywords", "emb_mips_topk",
     "ev_ab_srm", "mm_image_ssim", "ts_uneven_periodogram",
-    "ts_ljungbox", "ts_higher_moments", "ts_holt_backtest", "ts_rqa",
-    "ts_isi_cv", "stream_periodogram", "ts_multiscale_entropy",
-    "ev_conversion_lag", "ts_haar_energy", "ts_cfar_peaks",
-    "ts_hrv_metrics", "doc_chunk_passages", "ts_randomness_tests",
-    "ev_user_entropy", "emb_mmr_topk", "ts_adf_test",
-    "emb_centroid_drift", "doc_passage_bm25", "emb_rrf_fusion",
-    "stream_lz", "ts_spectral_edge", "ev_retention_halflife",
-    "ev_ab_power", "emb_ann_recall_ivf", "ts_acf_halflife",
-    "doc_score_spearman",
-    # Recheck block (driver-green before, re-verification value only),
-    # highest value first: r4 hash-reds type-fixed in r5, the r5
-    # funnel fix, then the align/simhash family touched this round.
-    # Entries past position 50 yield their slot to this session's
-    # never-checked additions — locf/interp are the safest to defer
-    # (default path untouched by the opt-in blocked-halo; green in
-    # every full-sweep this session).
-    "ts_power_spectrum", "ts_change_points", "ev_funnel_steps",
-    "doc_simhash_near_pairs", "ts_span_point_join",
-    "ts_locf_resample", "ts_interp_resample",
-    # Fill to >50 with the oldest driver-checked set (r4c batch,
-    # last driver-green in r4).
+    "ts_ljungbox", "ts_higher_moments", "ts_holt_backtest",
+    "ts_rqa", "ts_isi_cv", "stream_periodogram",
+    "ts_multiscale_entropy", "ev_conversion_lag", "ts_haar_energy",
+    "ts_cfar_peaks", "ts_hrv_metrics", "doc_chunk_passages",
+    "ts_randomness_tests", "ev_user_entropy", "emb_mmr_topk",
+    "ts_adf_test", "emb_centroid_drift", "doc_passage_bm25",
+    "emb_rrf_fusion", "stream_lz", "ts_spectral_edge",
+    "ev_retention_halflife", "ev_ab_power", "emb_ann_recall_ivf",
+    "ts_acf_halflife", "doc_score_spearman",
+    # Round-7 additions (never driver-sampled; verified MATCH at
+    # landing) — next in line after the backlog above.
+    "ev_survival_km",
+    # Recheck block: queries whose code or oracle changed this
+    # round (advisor fixes), then the oldest driver-checked set.
+    "ev_ab_conversion",
+    # Filler: the previous rotation order for everything else.
+    "ts_asof_join", "ts_ltob_downsample", "ts_sax_words",
+    "ts_welch_psd", "ev_top_paths", "doc_weighted_sample",
+    "doc_ngram_containment", "doc_contamination_fuzzy", "doc_cluster_dedup",
+    "doc_hll_distinct", "stream_sessionize", "ts_rolling_stats",
+    "ts_asof_join_blocked", "stream_asof_join", "ts_holt_smoothing",
+    "ev_markov_entropy", "stream_holt", "mm_image_dhash",
+    "mm_dhash_near_pairs", "doc_bpe_merges", "doc_bpe_word_tokens",
+    "doc_bpe_token_ids", "doc_curriculum_order", "ts_holt_anomalies",
+    "mm_audio_fingerprint", "ts_cusum_monitor", "stream_cusum",
+    "ev_rfm", "ev_attribution_linear", "doc_source_kl",
+    "ts_trend_segments", "ts_sax_motifs", "mm_audio_match_pairs",
+    "ts_coherence", "ev_ab_conversion", "mm_image_phash",
+    "ts_granger_screen", "ts_spectral_entropy", "doc_bpe_fertility",
+    "stream_trend", "ts_density_grid", "doc_lsh_eval",
+    "ev_session_stats", "doc_jaccard_histogram", "mm_audio_offset_search",
+    "emb_ann_recall_multiprobe", "ts_hurst_rs", "ts_plv",
+    "ts_dtw_distance", "ts_ar2_model", "ts_power_spectrum",
+    "ts_change_points", "ev_funnel_steps", "doc_simhash_near_pairs",
+    "ts_span_point_join", "ts_locf_resample", "ts_interp_resample",
     "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
     "ev_user_sessions", "ts_cross_correlation", "ts_detect_peaks",
-    "doc_winnow_fingerprints", "doc_winnow_overlap",
-    "ts_seasonal_outliers", "stream_quality_profile", "ev_cohort_matrix",
-    "ts_hist_quantiles", "stream_distinct_events", "doc_source_cap",
-    "ev_last_touch", "ts_distribution_drift", "ts_winsorize",
-    "doc_corpus_split", "ts_event_xcorr", "doc_zipf_fit",
-    "ev_rate_bursts", "ev_key_skew", "emb_outliers",
-    "ts_event_autocorr", "ts_flatline_runs", "ev_stickiness",
-    "doc_langid_confusion", "emb_kmeans_inertia", "doc_dedup_stats",
-    "ts_hourly_profile", "ts_quality_profile", "emb_cluster_sample",
-    "emb_ann_recall", "doc_orc_roundtrip",
+    "doc_winnow_fingerprints", "doc_winnow_overlap", "ts_seasonal_outliers",
+    "stream_quality_profile", "ev_cohort_matrix", "ts_hist_quantiles",
+    "stream_distinct_events", "doc_source_cap", "ev_last_touch",
+    "ts_distribution_drift", "ts_winsorize", "doc_corpus_split",
+    "ts_event_xcorr", "doc_zipf_fit", "ev_rate_bursts",
+    "ev_key_skew", "emb_outliers", "ts_event_autocorr",
+    "ts_flatline_runs", "ev_stickiness", "doc_langid_confusion",
+    "emb_kmeans_inertia", "doc_dedup_stats", "ts_hourly_profile",
+    "ts_quality_profile", "emb_cluster_sample", "emb_ann_recall",
+    "doc_orc_roundtrip",
 ]
 
 
@@ -4028,7 +4036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # longest-stable ts-core queries last. Keep new work at the top.
     q = {
         # round-6: blocked-halo + streaming variants (front-loaded via
-        # _R6_FRONT so the driver gates them this round).
+        # the rotation list so the driver gates them in turn).
         "ts_asof_join_blocked": q_asof_join_blocked,
         "stream_asof_join": q_stream_asof_join,
         "ts_holt_smoothing": q_holt_smoothing,
@@ -4059,6 +4067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_conversion_lag": q_conversion_lag,
         "ev_user_entropy": q_user_entropy,
         "ev_retention_halflife": q_retention_halflife,
+        "ev_survival_km": q_survival_km,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -4307,7 +4316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Loud lookup on purpose: a misspelled or stale rotation entry must
     # KeyError at registry build, not silently shrink the first-50
     # correctness-gate window.
-    ordered = {k: q[k] for k in _R6_FRONT}
+    ordered = {k: q[k] for k in _R7_FRONT}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
 
@@ -6227,6 +6236,63 @@ def oracle_sql() -> dict[str, str]:
     from pennsieve_streaming_spark.operators.analytics import (
         RHL_SLOPE as _RHL_S,
     )
+
+    from pennsieve_streaming_spark.operators.analytics import (
+        DAY_US as _KM_DAY,
+    )
+    _KM_CENSOR = KM_REGISTRY_CENSOR_US
+
+    sql["ev_survival_km"] = f"""
+        WITH ev AS (
+          SELECT CAST(epoch_us(ts) AS BIGINT) AS ts, user_id FROM events
+        ),
+        per AS (
+          SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+          FROM ev GROUP BY user_id
+        ),
+        obs AS (SELECT MAX(last_ts) AS obs_end FROM per),
+        u AS (
+          SELECT CAST((last_ts - first_ts) // {_KM_DAY} AS BIGINT)
+                   AS duration_days,
+                 last_ts > obs_end - {_KM_CENSOR} AS _censored
+          FROM per CROSS JOIN obs
+        ),
+        day AS (
+          SELECT duration_days,
+                 CAST(SUM(CASE WHEN NOT _censored THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_deaths,
+                 CAST(COUNT(*) AS BIGINT) AS _m
+          FROM u GROUP BY duration_days
+        ),
+        sized AS (
+          SELECT duration_days, n_deaths,
+                 CAST(SUM(_m) OVER (ORDER BY duration_days
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS BIGINT) AS n_at_risk
+          FROM day
+        ),
+        hz AS (
+          SELECT *,
+                 CASE WHEN n_deaths < n_at_risk THEN
+                   CAST(round(ln(1e0 - CAST(n_deaths AS DOUBLE)
+                     / n_at_risk) * 1000000000) AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END AS _lnq
+          FROM sized
+        ),
+        cum AS (
+          SELECT duration_days, n_at_risk, n_deaths,
+                 CAST(SUM(_lnq) OVER (ORDER BY duration_days)
+                   AS BIGINT) AS _cum,
+                 MAX(CASE WHEN n_deaths = n_at_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY duration_days) AS _out
+          FROM hz
+        )
+        SELECT duration_days, n_at_risk, n_deaths,
+               CASE WHEN _out = 1 THEN 0e0
+                    ELSE round(exp(CAST(_cum AS DOUBLE) / 1000000000.0), 9)
+               END AS survival
+        FROM cum WHERE n_deaths > 0
+        """
 
     _rhl_ln2 = repr(__import__("math").log(2.0))
     sql["ev_retention_halflife"] = f"""

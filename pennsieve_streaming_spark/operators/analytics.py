@@ -1279,3 +1279,88 @@ def ab_power_analysis(events: DataFrame) -> DataFrame:
         F.expr(PW_MDE).alias("mde_abs"),
         F.expr(PW_REQ_N).alias("required_n_per_variant"),
     )
+
+
+KM_CENSOR_US = 7 * DAY_US  # right-censor users active in the last week
+
+
+def survival_km(
+    events: DataFrame, censor_us: int = KM_CENSOR_US
+) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (Kaplan & Meier
+    1958) — THE churn-analysis estimator: subject = user, lifetime =
+    first→last event in whole days, right-censored for users still
+    active within ``censor_us`` of the corpus end (they may merely not
+    have churned *yet*). S(t) = Π_{t_j ≤ t} (1 − d_j / n_j) over death
+    days, with censored users leaving the risk set without
+    contributing a death — the number product dashboards draw as the
+    retention curve without the cohort-matrix binning.
+
+    Determinism: durations, death counts d_j, and risk-set sizes n_j
+    are exact integers; each hazard's ln(1 − d/n) is 1e9-quantized to
+    BIGINT so the cumulative sum is exact; S is ONE exp + round(·, 9)
+    over the exact cumulative — the retention_halflife nano-nat
+    convention. The d = n terminal day (risk set dies out) is handled
+    explicitly: survival 0.0, no ln(0).
+
+    Output: one row per death day —
+    (duration_days, n_at_risk, n_deaths, survival), ascending.
+
+    Plan / 100 TB: one per-user partial-agg rollup (|users| rows),
+    one 1-row max broadcast, one groupBy to day-level (≤ observation
+    window in DAYS — tiny), then ordered windows over that day table
+    only. The unpartitioned windows are bounded by the day count,
+    never by |users| or |events|.
+    """
+    per = events.groupBy("user_id").agg(
+        F.min("ts").cast("long").alias("first_ts"),
+        F.max("ts").cast("long").alias("last_ts"),
+    )
+    obs = per.agg(F.max("last_ts").alias("obs_end"))
+    u = per.crossJoin(F.broadcast(obs)).select(
+        F.expr(f"(last_ts - first_ts) DIV {DAY_US}").alias("duration_days"),
+        F.expr(f"last_ts > obs_end - {int(censor_us)}").alias("_censored"),
+    )
+    day = u.groupBy("duration_days").agg(
+        F.sum(F.when(~F.col("_censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_deaths"),
+        F.count(F.lit(1)).cast("long").alias("_m"),
+    )
+    from pyspark.sql import Window
+
+    # Day-level table: ≤ observation-window days — the unpartitioned
+    # windows are bounded and cheap by construction.
+    asc = Window.orderBy("duration_days")
+    sized = day.withColumn(
+        "n_at_risk",
+        F.sum("_m")
+        .over(asc.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        .cast("long"),
+    )
+    hz = sized.withColumn(
+        "_lnq",
+        F.expr(
+            "CASE WHEN n_deaths < n_at_risk THEN "
+            "CAST(round(ln(1e0 - CAST(n_deaths AS DOUBLE) / n_at_risk) "
+            "* 1000000000) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        ),
+    )
+    cum = hz.select(
+        "duration_days",
+        "n_at_risk",
+        "n_deaths",
+        F.sum("_lnq").over(asc).cast("long").alias("_cum"),
+        F.max(F.expr("CASE WHEN n_deaths = n_at_risk THEN 1 ELSE 0 END"))
+        .over(asc)
+        .alias("_out"),
+    )
+    return cum.filter(F.col("n_deaths") > 0).select(
+        "duration_days",
+        "n_at_risk",
+        "n_deaths",
+        F.expr(
+            "CASE WHEN _out = 1 THEN 0e0 ELSE "
+            "round(exp(CAST(_cum AS DOUBLE) / 1000000000.0), 9) END"
+        ).alias("survival"),
+    )

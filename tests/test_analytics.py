@@ -697,3 +697,37 @@ def test_user_behavior_entropy_decimal_accumulator(spark):
     h = (round(math.log(4) * q) * 4 - sq) / (q * 4)
     assert abs(out[1].entropy - h) < 1e-12
     assert out[2].entropy == 0.0 and out[2].norm_entropy is None
+
+
+def test_survival_km_matches_hand_curve(spark):
+    """KM over four users: two deaths (day 0, day 10), two censored —
+    S = 3/4 then 3/4 * 2/3 = 1/2; censored users leave the risk set
+    without a death step."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        DAY_US,
+        survival_km,
+    )
+
+    d = DAY_US
+    rows = [
+        (1, 0), (1, 10 * d),            # death at duration 10
+        (2, 0),                          # death at duration 0
+        (3, 0), (3, 20 * d),            # last within 7d of end: censored
+        (4, 5 * d), (4, 25 * d),        # defines obs_end: censored
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts long")
+    out = sorted(survival_km(ev).collect(), key=lambda r: r.duration_days)
+    assert [(r.duration_days, r.n_at_risk, r.n_deaths) for r in out] == [
+        (0, 4, 1), (10, 3, 1)
+    ]
+    assert abs(out[0].survival - 0.75) < 1e-6
+    assert abs(out[1].survival - 0.5) < 1e-6
+
+    # censor_us=0: nobody censored; the terminal day kills the whole
+    # risk set -> survival exactly 0.0, no ln(0)
+    out2 = sorted(
+        survival_km(ev, censor_us=0).collect(),
+        key=lambda r: r.duration_days,
+    )
+    assert out2[-1].n_deaths == out2[-1].n_at_risk
+    assert out2[-1].survival == 0.0
