@@ -3301,6 +3301,16 @@ def q_line_length(spark, sf_dir):
     )
 
 
+def q_higuchi_fd(spark, sf_dir):
+    """Higuchi fractal dimension per channel: k-decimated sub-curve
+    lengths from exact quantized |Δ| sums (1e6-quantized per-offset,
+    summed exactly), log-log slope with shared Python-literal fit
+    weights — the complexity index beside Hjorth and sample entropy."""
+    from pennsieve_streaming_spark.operators.stats import higuchi_fd
+
+    return higuchi_fd(TBL.samples_view(spark, sf_dir), kmax=5, quant=SE_QUANT)
+
+
 def q_tkeo_energy(spark, sf_dir):
     """Mean Teager-Kaiser energy per (channel, 128-sample window) —
     the nonlinear energy operator ψ = x² − x₋·x₊, the classic
@@ -3990,7 +4000,7 @@ _R7_FRONT = [
     "ts_acf_halflife", "doc_score_spearman",
     # Round-7 additions (never driver-sampled; verified MATCH at
     # landing) — next in line after the backlog above.
-    "ev_survival_km",
+    "ev_survival_km", "ts_higuchi_fd",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4068,6 +4078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_user_entropy": q_user_entropy,
         "ev_retention_halflife": q_retention_halflife,
         "ev_survival_km": q_survival_km,
+        "ts_higuchi_fd": q_higuchi_fd,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -8340,6 +8351,77 @@ def oracle_sql() -> dict[str, str]:
         "- CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) "
         "/ (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)))"
     )
+    from pennsieve_streaming_spark.operators.stats import (
+        _higuchi_fd_coeffs as _hfc,
+    )
+
+    _hf_k = 5
+    _hf_cs = _hfc(_hf_k)
+    _hf_lagcols = ", ".join(
+        f"LAG(CAST(round(value * {SE_QUANT}) AS BIGINT), {k}) OVER "
+        f"(PARTITION BY channel ORDER BY ts, value) AS _p{k}"
+        for k in range(1, _hf_k + 1)
+    )
+    _hf_arms = " UNION ALL ".join(
+        f"SELECT channel, _rn, {k} AS k, abs(xq - _p{k}) AS adiff "
+        f"FROM ranked WHERE _p{k} IS NOT NULL"
+        for k in range(1, _hf_k + 1)
+    )
+    _hf_piv = ", ".join(
+        f"MAX(CASE WHEN k = {k} THEN _lsum END) AS _lq{k}"
+        for k in range(1, _hf_k + 1)
+    )
+    _hf_l = {
+        k: f"(CAST(_lq{k} AS DOUBLE) / ({k} * 1e6))"
+        for k in range(1, _hf_k + 1)
+    }
+    _hf_pos = " AND ".join(f"_lq{k} > 0" for k in range(1, _hf_k + 1))
+    _hf_fd = " + ".join(
+        f"{_hf_cs[k - 1]!r} * ln({_hf_l[k]})" for k in range(1, _hf_k + 1)
+    )
+    sql["ts_higuchi_fd"] = with_views(
+        f"""
+        WITH ranked AS (
+          SELECT channel,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS BIGINT) AS _rn,
+                 CAST(round(value * {SE_QUANT}) AS BIGINT) AS xq,
+                 {_hf_lagcols}
+          FROM samples
+        ),
+        pairs AS ({_hf_arms}),
+        per_m AS (
+          SELECT channel, k, _rn % k AS m,
+                 CAST(SUM(adiff) AS BIGINT) AS s_abs,
+                 CAST(COUNT(*) AS BIGINT) AS n_i
+          FROM pairs GROUP BY channel, k, _rn % k
+        ),
+        n_tbl AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n
+          FROM samples GROUP BY channel
+        ),
+        lmq AS (
+          SELECT p.channel, p.k, t.n,
+                 CAST(round(CAST(s_abs AS DOUBLE) * (n - 1)
+                   / (n_i * k * k) * 1e6) AS BIGINT) AS _lmq
+          FROM per_m p JOIN n_tbl t ON p.channel = t.channel
+        ),
+        per_k AS (
+          SELECT channel, n, k, CAST(SUM(_lmq) AS BIGINT) AS _lsum
+          FROM lmq GROUP BY channel, n, k
+        ),
+        g AS (
+          SELECT channel, n, {_hf_piv}
+          FROM per_k GROUP BY channel, n
+        )
+        SELECT channel, n,
+               {", ".join(f"{_hf_l[k]} AS l{k}" for k in range(1, _hf_k + 1))},
+               CASE WHEN {_hf_pos} THEN {_hf_fd} END AS fd
+        FROM g
+        """,
+        "samples",
+    )
+
     sql["ts_hjorth"] = with_views(
         f"""
         WITH rk AS (

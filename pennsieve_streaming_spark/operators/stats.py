@@ -3069,3 +3069,118 @@ def adf_test(values: DataFrame, quant: int = 100) -> DataFrame:
         F.expr(DF_TSTAT).alias("t_stat"),
         F.expr(f"{DF_TSTAT} < {DF_CRIT}").alias("stationary"),
     )
+
+
+def _higuchi_fd_coeffs(kmax: int) -> list[float]:
+    """Least-squares slope weights for the Higuchi log-log fit:
+    fd = Σ_k c_k · ln L(k) with x_k = ln(1/k), c_k = (x_k − x̄)/Sxx.
+    Pure Python literals so both engines fold the identical doubles."""
+    import math
+
+    xs = [math.log(1.0 / k) for k in range(1, kmax + 1)]
+    xbar = sum(xs) / len(xs)
+    sxx = sum((x - xbar) ** 2 for x in xs)
+    return [(x - xbar) / sxx for x in xs]
+
+
+def higuchi_fd(
+    samples: DataFrame, kmax: int = 5, quant: int = 100
+) -> DataFrame:
+    """Higuchi fractal dimension per channel (Higuchi 1988) — the
+    complexity/self-similarity index EEG pipelines report next to the
+    Hjorth triple and sample entropy: build k-decimated sub-curves
+    (offsets m = 0..k−1), measure each curve's normalized length
+    L_m(k), and fit ln L(k) against ln(1/k); the slope ≈ FD ∈ [1, 2]
+    (1 = smooth trend, 2 = space-filling noise). The reference serves
+    raw signal only (`TimeSeriesQueryService`); at 100 TB the feature
+    runs where the data lives.
+
+    Determinism: quantized values ⇒ each sub-curve's Σ|Δxq| and point
+    count are exact integers; L_m(k) is ONE fixed float expression
+    over them, 1e6-quantized to BIGINT so the per-k sum over offsets
+    is exact; ln L(k) and the slope are one fixed expression chain
+    with the fit weights as shared Python literals
+    (:func:`_higuchi_fd_coeffs`).
+
+    Output: (channel, n, l1..l{kmax} DOUBLE, fd DOUBLE). Channels
+    shorter than 2·kmax samples emit NULL fd (missing sub-curves
+    propagate NULL through the pivot).
+
+    Plan / 100 TB: ONE per-channel window pass computes all kmax lags
+    (multiple lag exprs share the single sort), then partial-agg
+    groupBys down to |channels|·k·m ≤ |channels|·k² rows. The lag
+    depth is ≤ kmax, so the blocked-halo pattern (rolling.py) applies
+    directly for few-channel × deep-history corpora.
+    """
+    k_max = int(kmax)
+    q = int(quant)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    lags = [
+        F.lag("xq", k).over(w).alias(f"_p{k}") for k in range(1, k_max + 1)
+    ]
+    ranked = samples.select(
+        "channel",
+        "ts",
+        "value",
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    ).select(
+        "channel",
+        (F.row_number().over(w) - 1).alias("_rn"),
+        "xq",
+        *lags,
+    )
+    stack_args = ", ".join(
+        f"{k}, abs(xq - _p{k})" for k in range(1, k_max + 1)
+    )
+    pairs = ranked.select(
+        "channel",
+        "_rn",
+        F.expr(f"stack({k_max}, {stack_args}) AS (k, adiff)"),
+    ).filter(F.col("adiff").isNotNull())
+    per_m = pairs.groupBy(
+        "channel", "k", F.expr("_rn % k").alias("m")
+    ).agg(
+        F.sum("adiff").cast("long").alias("s_abs"),
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+    )
+    n_tbl = samples.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # L_m(k) = Σ|Δ| · (N−1) / (n_i · k²), 1e6-quantized for an exact
+    # per-k fold over the offsets.
+    lmq = per_m.join(F.broadcast(n_tbl), "channel").select(
+        "channel",
+        "k",
+        "n",
+        F.expr(
+            "CAST(round(CAST(s_abs AS DOUBLE) * (n - 1) "
+            "/ (n_i * k * k) * 1e6) AS BIGINT)"
+        ).alias("_lmq"),
+    )
+    per_k = lmq.groupBy("channel", "n", "k").agg(
+        F.sum("_lmq").cast("long").alias("_lsum")
+    )
+    piv = [
+        F.max(F.when(F.col("k") == k, F.col("_lsum"))).alias(f"_lq{k}")
+        for k in range(1, k_max + 1)
+    ]
+    g = per_k.groupBy("channel", "n").agg(*piv)
+    l_exprs = {
+        k: f"(CAST(_lq{k} AS DOUBLE) / ({k} * 1e6))"
+        for k in range(1, k_max + 1)
+    }
+    cs = _higuchi_fd_coeffs(k_max)
+    # Flat (quantized-constant) channels give L(k) = 0; ln(0) is NULL
+    # on Spark but an ERROR on DuckDB — gate fd explicitly so both
+    # engines emit NULL.
+    pos = " AND ".join(f"_lq{k} > 0" for k in range(1, k_max + 1))
+    fd_sum = " + ".join(
+        f"{cs[k - 1]!r} * ln({l_exprs[k]})" for k in range(1, k_max + 1)
+    )
+    fd = f"CASE WHEN {pos} THEN {fd_sum} END"
+    return g.select(
+        "channel",
+        "n",
+        *[F.expr(l_exprs[k]).alias(f"l{k}") for k in range(1, k_max + 1)],
+        F.expr(fd).alias("fd"),
+    )

@@ -1030,3 +1030,26 @@ def test_ljung_box_rejects_non_ladder_lags(spark):
         ljung_box_whiteness(df, (20, 10), 100)   # not ascending
     with _pytest.raises(ValueError, match="consecutive multiples"):
         ljung_box_whiteness(df, (0, 10), 100)    # zero step
+
+
+def test_higuchi_fd_line_is_one_and_noise_is_higher(spark):
+    """A straight line has FD exactly 1 (L(k) ∝ 1/k by construction,
+    quantization-exact for integer slopes); an alternating-sign noise
+    proxy must come out clearly rougher; a flat channel emits NULL."""
+    from pennsieve_streaming_spark.operators.stats import higuchi_fd
+
+    rng = np.random.default_rng(31)
+    noise = rng.integers(-50, 50, size=200)
+    rows = []
+    for t in range(200):
+        rows.append(("line", t, float(t)))
+        rows.append(("rough", t, float(noise[t])))
+        rows.append(("flat", t, 5.0))
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = {r.channel: r for r in higuchi_fd(df).collect()}
+    assert abs(out["line"].fd - 1.0) < 1e-6
+    assert out["rough"].fd > 1.5
+    assert out["flat"].fd is None
+    assert out["line"].n == 200
+    # L(1) for the line: Σ|Δxq| = 199·100, times (N−1)/(n_1·1²) = 1
+    assert abs(out["line"].l1 - 19900.0) < 1e-6
