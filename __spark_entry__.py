@@ -714,6 +714,16 @@ def q_cluster_dedup(spark, sf_dir):
     ).select("doc_id", "source", "lang", "cluster_n")
 
 
+def q_graph_triangles(spark, sf_dir):
+    """Triangle counts + local clustering coefficient over the
+    LSH-verified near-dup graph (degree-ordered orientation, the
+    standard distributed algorithm): tight template families score
+    high, chain-shaped false-positive strings score low."""
+    from pennsieve_streaming_spark.llm.graph import triangle_counts
+
+    return triangle_counts(_verified_pairs(spark, sf_dir))
+
+
 def q_pagerank(spark, sf_dir):
     """PageRank centrality over the LSH-verified near-dup graph:
     which copy in a duplicate neighborhood is the canonical one.
@@ -4000,7 +4010,7 @@ _R7_FRONT = [
     "ts_acf_halflife", "doc_score_spearman",
     # Round-7 additions (never driver-sampled; verified MATCH at
     # landing) — next in line after the backlog above.
-    "ev_survival_km", "ts_higuchi_fd",
+    "ev_survival_km", "ts_higuchi_fd", "doc_graph_triangles",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4079,6 +4089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_retention_halflife": q_retention_halflife,
         "ev_survival_km": q_survival_km,
         "ts_higuchi_fd": q_higuchi_fd,
+        "doc_graph_triangles": q_graph_triangles,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -10627,7 +10638,7 @@ def oracle_sql() -> dict[str, str]:
     # minimum doc_id it can reach (identical to the large-star/
     # small-star fixpoint). Closure is O(|component|^2) rows — fine for
     # an oracle, which is why the engine side uses star-contraction.
-    _CLUSTER_PRE = f"""
+    _PAIRS_PRE = f"""
         WITH RECURSIVE {MINHASH_PRE}, {BANDS},
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -10642,7 +10653,51 @@ def oracle_sql() -> dict[str, str]:
           JOIN sizes sa ON i.doc_a = sa.doc_id
           JOIN sizes sb ON i.doc_b = sb.doc_id
           WHERE i.inter / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.5
+        )
+        """
+
+    sql["doc_graph_triangles"] = f"""
+        {_PAIRS_PRE},
+        e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+        deg AS (
+          SELECT v, CAST(COUNT(*) AS BIGINT) AS degree
+          FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+          GROUP BY v
         ),
+        o AS (
+          SELECT CASE WHEN da.degree < db.degree
+                       OR (da.degree = db.degree AND a < b)
+                      THEN a ELSE b END AS src,
+                 CASE WHEN da.degree < db.degree
+                       OR (da.degree = db.degree AND a < b)
+                      THEN b ELSE a END AS dst
+          FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+        ),
+        w AS (
+          SELECT o1.src AS s, o1.dst AS d1, o2.dst AS d2
+          FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst
+        ),
+        tri AS (
+          SELECT s, d1, d2 FROM w JOIN e ON e.a = w.d1 AND e.b = w.d2
+        ),
+        corners AS (
+          SELECT s AS v FROM tri
+          UNION ALL SELECT d1 AS v FROM tri
+          UNION ALL SELECT d2 AS v FROM tri
+        ),
+        pv AS (
+          SELECT v, CAST(COUNT(*) AS BIGINT) AS n_triangles
+          FROM corners GROUP BY v
+        )
+        SELECT deg.v AS doc_id, degree,
+               CAST(COALESCE(pv.n_triangles, 0) AS BIGINT) AS n_triangles,
+               CASE WHEN degree > 1 THEN 2e0 * COALESCE(pv.n_triangles, 0)
+                    / (degree * (degree - 1)) END AS clustering
+        FROM deg LEFT JOIN pv ON pv.v = deg.v
+        """
+
+    _CLUSTER_PRE = f"""
+        {_PAIRS_PRE},
         edges AS (
           SELECT doc_a AS src, doc_b AS dst FROM pairs
           UNION

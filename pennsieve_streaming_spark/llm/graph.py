@@ -342,3 +342,104 @@ def label_propagation(
         F.col("id").alias(id_col),
         F.col("label").cast("long").alias("community"),
     )
+
+
+def triangle_counts(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over
+    the undirected pair graph — the cohesion number next to the
+    connectivity (components) and centrality (pagerank) views: a
+    near-dup neighborhood with high clustering is one tight template
+    family; low clustering flags chain-shaped false-positive strings.
+
+    Algorithm (Cohen 2009 / the standard distributed formulation):
+    orient every edge from the (degree, id)-smaller endpoint to the
+    larger, emit wedges by joining oriented edges on their source,
+    then close each wedge against the oriented edge list. Orientation
+    bounds per-node out-degree by O(sqrt(|E|)) (arboricity), so wedge
+    generation never quadratic-explodes on hubs — the same hot-key
+    discipline as the LSH bucket cap.
+
+    Determinism: pure integer counting; the clustering coefficient is
+    ONE fixed division 2·t/(d·(d−1)) of exact integers.
+
+    Output: (doc_id, degree, n_triangles, clustering) for every node
+    in the pair graph; degree-1 nodes emit clustering NULL.
+
+    Plan / 100 TB: equi-joins on node keys only (ids + degrees
+    shuffle, never payloads); no broadcast of anything
+    |E|-proportional; the wedge→edge close is an equi-join on the
+    (lo, hi) pair key.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(src_col), F.col(dst_col)).cast("long").alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        # The edge list is referenced three times (degrees, orientation,
+        # wedge close); checkpoint so an expensive upstream (the LSH
+        # verify pipeline) runs once, not once per reference — the
+        # connected_components convention.
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .union(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    # Orient by (degree, id): src = smaller endpoint in that order.
+    da = deg.select(F.col("v").alias("a"), F.col("degree").alias("_dega"))
+    db = deg.select(F.col("v").alias("b"), F.col("degree").alias("_degb"))
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.expr(
+                "CASE WHEN _dega < _degb OR (_dega = _degb AND a < b) "
+                "THEN a ELSE b END"
+            ).alias("src"),
+            F.expr(
+                "CASE WHEN _dega < _degb OR (_dega = _degb AND a < b) "
+                "THEN b ELSE a END"
+            ).alias("dst"),
+        )
+    )
+    # Wedges around each source, ordered so (d1, d2) is canonical
+    # under the undirected (lo, hi) key of the closing edge.
+    o1 = oriented.select(F.col("src").alias("s"), F.col("dst").alias("d1"))
+    o2 = oriented.select(F.col("src").alias("s"), F.col("dst").alias("d2"))
+    wedges = o1.join(o2, "s").filter(F.col("d1") < F.col("d2"))
+    closing = e.select(F.col("a").alias("d1"), F.col("b").alias("d2"))
+    tri = wedges.join(closing, ["d1", "d2"]).select("s", "d1", "d2")
+    # Attribute each triangle to all three corners.
+    corners = (
+        tri.select(F.col("s").alias("v"))
+        .union(tri.select(F.col("d1").alias("v")))
+        .union(tri.select(F.col("d2").alias("v")))
+    )
+    per_v = corners.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    return (
+        deg.join(per_v, "v", "left")
+        .select(
+            F.col("v").alias("doc_id"),
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+        )
+        .withColumn(
+            "clustering",
+            F.expr(
+                "CASE WHEN degree > 1 THEN "
+                "2e0 * n_triangles / (degree * (degree - 1)) END"
+            ),
+        )
+    )

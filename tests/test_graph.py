@@ -415,3 +415,48 @@ def test_label_propagation_tie_breaks_to_min_label(spark):
            label_propagation(docs, pairs, n_rounds=1).collect()}
     # node 3 sees labels {1, 2} once each -> adopts 1
     assert out[3] == 1
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 minus one edge: nodes 1-2-3-4 with edges 12,13,14,23,24 —
+    triangles {1,2,3} and {1,2,4}; clustering: 1 and 2 have d=3,t=2
+    -> 2/3; 3 and 4 have d=2,t=1 -> 1.0. Duplicate/reversed pairs and
+    self-loops must not change anything."""
+    from pennsieve_streaming_spark.llm.graph import triangle_counts
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4),
+         (3, 2), (2, 2), (4, 1)],           # reverse dup + self-loop + dup
+        "doc_a long, doc_b long",
+    )
+    out = {r.doc_id: r for r in triangle_counts(pairs).collect()}
+    assert {(v, r.degree, r.n_triangles) for v, r in out.items()} == {
+        (1, 3, 2), (2, 3, 2), (3, 2, 1), (4, 2, 1)
+    }
+    assert abs(out[1].clustering - 2 / 3) < 1e-12
+    assert out[3].clustering == 1.0
+
+
+def test_triangle_counts_no_triangles_and_degree_one(spark):
+    from pennsieve_streaming_spark.llm.graph import triangle_counts
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r for r in triangle_counts(pairs).collect()}
+    assert all(r.n_triangles == 0 for r in out.values())
+    assert out[1].clustering is None          # degree 1
+    assert out[2].clustering == 0.0
+
+
+def test_triangle_counts_star_hub_bounded(spark):
+    """A hub star (no triangles) exercises the orientation: the hub
+    has max degree so every edge points AT it — zero wedges at the
+    hub, the quadratic blowup the orientation exists to prevent."""
+    from pennsieve_streaming_spark.llm.graph import triangle_counts
+
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 40)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r for r in triangle_counts(pairs).collect()}
+    assert out[0].degree == 39 and out[0].n_triangles == 0
