@@ -1182,6 +1182,21 @@ def q_mmr_topk(spark, sf_dir):
     )
 
 
+def q_bq_topk(spark, sf_dir):
+    """Binary-quantization retrieval: sign-bit words (2 BIGINTs for
+    the 64-dim corpus), exact Hamming stage-1 with refine_k=20, exact
+    cosine rerank — the training-free compressed exhaustive scan next
+    to LSH/IVF/PQ."""
+    from pennsieve_streaming_spark.llm.similarity import (
+        binary_hamming_topk,
+    )
+
+    embs = _embs(spark, sf_dir)
+    return binary_hamming_topk(
+        embs, embs.filter(F.col("vec_id") < 20), k=5, refine_k=20, dim=64
+    )
+
+
 def q_mips_topk(spark, sf_dir):
     """Exact top-5 maximum-inner-product neighbors per query vector —
     the unnormalized retrieval score (dual-encoder / recommender
@@ -4011,6 +4026,7 @@ _R7_FRONT = [
     # Round-7 additions (never driver-sampled; verified MATCH at
     # landing) — next in line after the backlog above.
     "ev_survival_km", "ts_higuchi_fd", "doc_graph_triangles",
+    "emb_bq_topk",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4090,6 +4106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_survival_km": q_survival_km,
         "ts_higuchi_fd": q_higuchi_fd,
         "doc_graph_triangles": q_graph_triangles,
+        "emb_bq_topk": q_bq_topk,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -11133,6 +11150,54 @@ def oracle_sql() -> dict[str, str]:
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                      ORDER BY cosine DESC, neighbor_id) AS rank
           FROM scored
+        ) WHERE rank <= 5
+        """
+
+    from pennsieve_streaming_spark.llm.similarity import (
+        bq_word_expr as _bqw,
+    )
+
+    _bq_qw = ", ".join(
+        f"{_bqw('qv', w, accessor='list_extract')} AS _qw{w}"
+        for w in range(2)
+    )
+    _bq_vw = ", ".join(
+        f"{_bqw('v', w, accessor='list_extract')} AS _vw{w}"
+        for w in range(2)
+    )
+    _bq_ham = " + ".join(
+        f"bit_count(xor(_qw{w}, _vw{w}))" for w in range(2)
+    )
+    sql["emb_bq_topk"] = f"""
+        WITH q AS (SELECT vec_id AS query_id,
+                          CAST(embedding AS DOUBLE[]) AS qv, {_bq_qw}
+                   FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id AS neighbor_id,
+                     CAST(embedding AS DOUBLE[]) AS v, {_bq_vw}
+              FROM embeddings),
+        scored AS (
+          SELECT query_id, neighbor_id, qv, v,
+                 CAST({_bq_ham} AS BIGINT) AS hamming
+          FROM q JOIN c ON query_id != neighbor_id
+        ),
+        kept AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY hamming, neighbor_id) AS _hr
+            FROM scored
+          ) WHERE _hr <= 20
+        ),
+        rer AS (
+          SELECT query_id, neighbor_id, hamming,
+                 list_dot_product(qv, v)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(v, v))) AS cosine
+          FROM kept
+        )
+        SELECT query_id, neighbor_id, hamming, cosine, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM rer
         ) WHERE rank <= 5
         """
 

@@ -702,3 +702,48 @@ def test_rrf_fusion_empty_rankings_raises(spark):
 
     with _pytest.raises(ValueError, match="non-empty"):
         rrf_fusion([], k=5)
+
+
+def test_binary_hamming_topk_exact_on_sign_separable(spark):
+    """Vectors whose sign patterns equal their cosine structure: BQ
+    stage-1 keeps the true neighbors, stage-2 ordering equals the
+    exact cosine ranking; hamming 0 for identical sign patterns."""
+    from pennsieve_streaming_spark.llm.similarity import (
+        binary_hamming_topk,
+        cosine_topk,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(4, 64))
+    rows = []
+    vid = 0
+    for c in range(4):
+        for i in range(6):
+            v = base[c] + 0.05 * rng.normal(size=64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 2)
+    got = binary_hamming_topk(df, q, k=5, refine_k=12).collect()
+    exact = cosine_topk(df, q, k=5).collect()
+    got_m = {(r.query_id, r.rank): r.neighbor_id for r in got}
+    want_m = {(r.query_id, r.rank): r.neighbor_id for r in exact}
+    # same-cluster vectors share sign patterns, so refine_k=12 must
+    # recover the exact top-5
+    assert got_m == want_m
+    # a same-cluster neighbor should be at tiny hamming distance
+    assert min(r.hamming for r in got) <= 8
+
+
+def test_bq_word_expr_packs_expected_bits(spark):
+    from pennsieve_streaming_spark.llm.similarity import bq_word_expr
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -1.0, 0.0, -2.0] + [-1.0] * 28)],
+        "vec_id long, v array<double>",
+    )
+    [r] = df.select(F.expr(bq_word_expr("v", 0)).alias("w")).collect()
+    # bits 0 (1.0) and 2 (0.0 >= 0) set -> 0b101 = 5
+    assert r.w == 5
