@@ -3111,6 +3111,17 @@ KM_REGISTRY_CENSOR_US = 43_200_000_000  # 12h: the synthetic users are
 # sf0.001/0.01/0.1 (5/40/489 deaths).
 
 
+def q_circadian(spark, sf_dir):
+    """Per-user circadian concentration: mean resultant length of
+    hour-of-day angles (circular statistics), exact pivoted hour
+    counts, shared trig literals, Rayleigh uniformity flag."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        circadian_rhythm,
+    )
+
+    return circadian_rhythm(_user_events(spark, sf_dir))
+
+
 def q_survival_km(spark, sf_dir):
     """Kaplan-Meier user-lifetime survival: exact risk-set / death
     counts per duration day, 1e9-quantized ln hazards summed exactly,
@@ -4026,7 +4037,7 @@ _R7_FRONT = [
     # Round-7 additions (never driver-sampled; verified MATCH at
     # landing) — next in line after the backlog above.
     "ev_survival_km", "ts_higuchi_fd", "doc_graph_triangles",
-    "emb_bq_topk",
+    "emb_bq_topk", "ev_circadian",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4107,6 +4118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_higuchi_fd": q_higuchi_fd,
         "doc_graph_triangles": q_graph_triangles,
         "emb_bq_topk": q_bq_topk,
+        "ev_circadian": q_circadian,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -6280,6 +6292,42 @@ def oracle_sql() -> dict[str, str]:
         DAY_US as _KM_DAY,
     )
     _KM_CENSOR = KM_REGISTRY_CENSOR_US
+
+    from pennsieve_streaming_spark.operators.analytics import (
+        RAYLEIGH_CRIT as _RAY_CRIT,
+        circadian_exprs as _circ_exprs,
+    )
+
+    _ccos, _csin = _circ_exprs()
+    _chour_aggs = ", ".join(
+        f"CAST(SUM(CASE WHEN (ts // 3600000000) % 24 = {h} "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS _h{h}"
+        for h in range(24)
+    )
+    _cpeak = "GREATEST(" + ", ".join(f"_h{h}" for h in range(24)) + ")"
+    _cpeak_hour = (
+        "CASE "
+        + " ".join(f"WHEN _h{h} = {_cpeak} THEN {h}" for h in range(24))
+        + " END"
+    )
+    _cr = f"sqrt({_ccos} * {_ccos} + {_csin} * {_csin}) / n_events"
+    sql["ev_circadian"] = f"""
+        WITH ev AS (
+          SELECT CAST(epoch_us(ts) AS BIGINT) AS ts, user_id FROM events
+        ),
+        g AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                 {_chour_aggs}
+          FROM ev GROUP BY user_id
+        )
+        SELECT user_id, n_events,
+               CAST({_cpeak_hour} AS BIGINT) AS peak_hour,
+               CAST({_cpeak} AS DOUBLE) / n_events AS peak_share,
+               {_cr} AS r,
+               n_events * ({_cr}) * ({_cr}) AS rayleigh_z,
+               n_events * ({_cr}) * ({_cr}) > {_RAY_CRIT:.17e} AS circadian
+        FROM g
+        """
 
     sql["ev_survival_km"] = f"""
         WITH ev AS (

@@ -1364,3 +1364,82 @@ def survival_km(
             "round(exp(CAST(_cum AS DOUBLE) / 1000000000.0), 9) END"
         ).alias("survival"),
     )
+
+
+def circadian_exprs() -> tuple[str, str]:
+    """(Σc·cos, Σc·sin) expression bodies over the 24 pivoted hour
+    counts _h0.._h23 — trig coefficients as shared Python literals so
+    both engines fold the identical doubles in hour order."""
+    import math
+
+    # .17e scientific-notation literals: DOUBLE on BOTH engines (bare
+    # decimal literals parse as DECIMAL on Spark — the quantized sums
+    # would silently round at the literal scale).
+    cos_t = " + ".join(
+        f"_h{h} * {math.cos(2.0 * math.pi * h / 24.0):.17e}"
+        for h in range(24)
+    )
+    sin_t = " + ".join(
+        f"_h{h} * {math.sin(2.0 * math.pi * h / 24.0):.17e}"
+        for h in range(24)
+    )
+    return f"({cos_t})", f"({sin_t})"
+
+
+RAYLEIGH_CRIT = 2.995732273553991  # -ln(0.05): z above this rejects
+# uniformity at p < .05 (large-n Rayleigh approximation)
+
+
+def circadian_rhythm(events: DataFrame) -> DataFrame:
+    """Per-user circadian concentration — how 24h-periodic a user's
+    activity is: the mean resultant length R of the hour-of-day
+    angles (circular statistics; Rayleigh 1880, Mardia 1972). R = 0
+    is uniform around the clock (bots, distributed schedulers), R = 1
+    a single-hour user (cron jobs, digest opens); z = n·R² is the
+    Rayleigh uniformity statistic. The behavioral-biometric feature
+    next to ev_user_entropy's what-they-do diversity: WHEN they do it.
+
+    Determinism: per-(user, hour) counts are exact integers pivoted
+    to 24 columns; Σc·cosθ and Σc·sinθ are ONE fixed 24-term
+    expression each with trig coefficients as shared Python literals
+    (:func:`circadian_exprs`); R, z and the flag are single fixed
+    float expressions over them. The peak hour is an exact integer
+    argmax with the smallest-hour tie-break.
+
+    Output: (user_id, n_events, peak_hour, peak_share, r, rayleigh_z,
+    circadian).
+
+    Plan / 100 TB: one partial-agg groupBy straight to |users| rows —
+    the 24 conditional sums combine map-side; no window, no join.
+    """
+    hour = F.expr("(ts div 3600000000) % 24")
+    aggs = [
+        F.sum(F.when(hour == h, 1).otherwise(0)).cast("long").alias(f"_h{h}")
+        for h in range(24)
+    ]
+    g = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"), *aggs
+    )
+    cos_e, sin_e = circadian_exprs()
+    peak_cnt = "GREATEST(" + ", ".join(f"_h{h}" for h in range(24)) + ")"
+    peak_hour = (
+        "CASE "
+        + " ".join(
+            f"WHEN _h{h} = {peak_cnt} THEN {h}" for h in range(24)
+        )
+        + " END"
+    )
+    r = f"sqrt({cos_e} * {cos_e} + {sin_e} * {sin_e}) / n_events"
+    return g.select(
+        "user_id",
+        "n_events",
+        F.expr(f"CAST({peak_hour} AS BIGINT)").alias("peak_hour"),
+        F.expr(
+            f"CAST({peak_cnt} AS DOUBLE) / n_events"
+        ).alias("peak_share"),
+        F.expr(r).alias("r"),
+        F.expr(f"n_events * ({r}) * ({r})").alias("rayleigh_z"),
+        F.expr(
+            f"n_events * ({r}) * ({r}) > {RAYLEIGH_CRIT:.17e}"
+        ).alias("circadian"),
+    )

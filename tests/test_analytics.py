@@ -731,3 +731,31 @@ def test_survival_km_matches_hand_curve(spark):
     )
     assert out2[-1].n_deaths == out2[-1].n_at_risk
     assert out2[-1].survival == 0.0
+
+
+def test_circadian_rhythm_extremes(spark):
+    """A one-hour user has R = 1 (and peaks there); a perfectly
+    uniform user has R = 0 and fails the Rayleigh test; peak-hour
+    ties resolve to the smallest hour."""
+    import math
+
+    from pennsieve_streaming_spark.operators.analytics import (
+        circadian_rhythm,
+    )
+
+    H = 3_600_000_000
+    rows = []
+    for i in range(48):
+        rows.append((1, (9 * H) + i * 24 * H))        # always 09:00
+        rows.append((2, (i % 24) * H + (i // 24) * 24 * H))  # uniform
+    rows += [(3, 5 * H), (3, 7 * H)]                   # tie: hours 5,7
+    ev = spark.createDataFrame(rows, "user_id long, ts long")
+    out = {r.user_id: r for r in circadian_rhythm(ev).collect()}
+    assert out[1].peak_hour == 9 and abs(out[1].r - 1.0) < 1e-7
+    assert out[1].circadian is True and out[1].peak_share == 1.0
+    assert abs(out[2].r) < 1e-7 and out[2].circadian is False
+    assert out[3].peak_hour == 5
+    # two events 2h apart: R = |e^i0 + e^i(pi/6)|/2
+    want = abs(math.cos(0) + math.cos(math.pi / 6) + 1j * (
+        math.sin(0) + math.sin(math.pi / 6))) / 2
+    assert abs(out[3].r - want) < 1e-7
