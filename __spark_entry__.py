@@ -2393,6 +2393,29 @@ def q_audio_fingerprint(spark, sf_dir):
     return audio_fingerprint(s, AF_FREQS, BW_RATE, AF_WINDOW)
 
 
+def q_audio_vad(spark, sf_dir):
+    """Energy VAD over the lead audio channel: exact BIGINT frame
+    energies, median-order-statistic noise floor, integer 2x-median
+    activity rule, hangover-merged segments."""
+    from pennsieve_streaming_spark.dsp.spectral import energy_vad
+
+    s = (
+        TBL.samples_aligned_view(spark, sf_dir)
+        .filter(F.col("channel") == "lead")
+        # deterministic 1-in-4 burst gate so the fixture has actual
+        # loud/quiet structure (raw totalprice frame energies are
+        # near-uniform and never clear 2x the median)
+        .withColumn(
+            "value",
+            F.expr(
+                "CASE WHEN (ts div 256000) % 4 = 0 "
+                "THEN value * 10 ELSE value END"
+            ),
+        )
+    )
+    return energy_vad(s, frame=64, quant=1, factor=2, hangover=1)
+
+
 def q_audio_match_pairs(spark, sf_dir):
     """H&K fingerprint matching: the level-shifted re-encode of the
     lead channel (2x + 10) is recovered as a near-dup of the original
@@ -4037,7 +4060,7 @@ _R7_FRONT = [
     # Round-7 additions (never driver-sampled; verified MATCH at
     # landing) — next in line after the backlog above.
     "ev_survival_km", "ts_higuchi_fd", "doc_graph_triangles",
-    "emb_bq_topk", "ev_circadian",
+    "emb_bq_topk", "ev_circadian", "mm_audio_vad",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4119,6 +4142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_graph_triangles": q_graph_triangles,
         "emb_bq_topk": q_bq_topk,
         "ev_circadian": q_circadian,
+        "mm_audio_vad": q_audio_vad,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -7604,6 +7628,73 @@ def oracle_sql() -> dict[str, str]:
         f"({_dblit(f)}, {_dblit(goertzel_coeff(f, BW_RATE))}, {i})"
         for i, f in enumerate(AF_FREQS)
     )
+    sql["mm_audio_vad"] = f"""
+        WITH samples_aligned AS
+          ({TBL.DUCKDB_VIEWS['samples_aligned']}),
+        gated AS (
+          SELECT channel, ts,
+                 CASE WHEN (ts // 256000) % 4 = 0
+                      THEN value * 10 ELSE value END AS value
+          FROM samples_aligned WHERE channel = 'lead'
+        ),
+        inp AS (
+          SELECT channel,
+                 CAST(round(value * 1) AS BIGINT) AS xq,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS _rn
+          FROM gated
+        ),
+        nch AS (
+          SELECT channel, CAST(COUNT(*) // 64 AS BIGINT) AS _nframes
+          FROM inp GROUP BY channel
+        ),
+        en AS (
+          SELECT i.channel, CAST(i._rn // 64 AS BIGINT) AS frame,
+                 CAST(SUM(xq * xq) AS BIGINT) AS energy_q
+          FROM inp i JOIN nch n ON i.channel = n.channel
+          WHERE i._rn // 64 < n._nframes
+          GROUP BY i.channel, i._rn // 64
+        ),
+        cnt AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS _n
+          FROM en GROUP BY channel
+        ),
+        med AS (
+          SELECT channel, energy_q AS med_q FROM (
+            SELECT e.channel, e.energy_q,
+                   ROW_NUMBER() OVER (PARTITION BY e.channel
+                       ORDER BY e.energy_q, e.frame) AS _ar, c._n
+            FROM en e JOIN cnt c ON e.channel = c.channel
+          ) WHERE _ar = (_n + 1) // 2
+        ),
+        active AS (
+          SELECT e.channel, e.frame, e.energy_q
+          FROM en e JOIN med m ON e.channel = m.channel
+          WHERE e.energy_q > 2 * m.med_q
+        ),
+        seg AS (
+          SELECT *, CAST(SUM(_new) OVER (PARTITION BY channel
+                     ORDER BY frame) AS BIGINT) AS _seg
+          FROM (
+            SELECT *, CASE WHEN LAG(frame) OVER (PARTITION BY channel
+                             ORDER BY frame) IS NULL
+                           OR frame - LAG(frame) OVER (PARTITION BY
+                             channel ORDER BY frame) > 2
+                           THEN 1 ELSE 0 END AS _new
+            FROM active
+          )
+        )
+        SELECT channel,
+               CAST(MIN(frame) AS BIGINT) AS start_frame,
+               CAST(MAX(frame) AS BIGINT) AS end_frame,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(SUM(energy_q) AS BIGINT) AS energy_q,
+               CAST(SUM(energy_q) AS DOUBLE)
+                 / (COUNT(*) * 64 * CAST(1 AS DOUBLE) * 1)
+                 AS mean_energy
+        FROM seg GROUP BY channel, _seg
+        """
+
     sql["mm_audio_fingerprint"] = f"""
         WITH RECURSIVE samples_aligned AS
           ({TBL.DUCKDB_VIEWS['samples_aligned']}),

@@ -825,3 +825,31 @@ def test_spectral_edge_tracks_the_dominant_bin(spark):
     assert out["tone"] == 2
     assert out["mix"] == 6
     assert "flat" not in out
+
+
+def test_energy_vad_segments_and_hangover(spark):
+    """Quiet floor with two loud bursts: burst frames exceed 2x the
+    median energy; a 1-frame dip inside a burst is bridged by the
+    hangover; the segment table carries exact frame ids and energies."""
+    from pennsieve_streaming_spark.dsp.spectral import energy_vad
+
+    rows = []
+    # 20 frames of 8 samples; quiet amplitude 1, loud amplitude 10
+    loud = set(range(4, 7)) | {8} | set(range(12, 15))  # gap at 7 bridged
+    for f in range(20):
+        amp = 10.0 if f in loud else 1.0
+        for i in range(8):
+            rows.append(("a", f * 8 + i, amp if i % 2 == 0 else -amp))
+    # ragged tail: 3 extra samples must be dropped
+    rows += [("a", 1000 + i, 99.0) for i in range(3)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = sorted(
+        energy_vad(df, frame=8, quant=1, factor=2, hangover=1).collect(),
+        key=lambda r: r.start_frame,
+    )
+    assert [(r.start_frame, r.end_frame, r.n_frames) for r in out] == [
+        (4, 8, 4), (12, 14, 3)
+    ]
+    # frame energy at amp 10, quant 1: 8 * 100 = 800
+    assert out[0].energy_q == 4 * 800 and out[1].energy_q == 3 * 800
+    assert abs(out[0].mean_energy - 100.0) < 1e-12
