@@ -904,6 +904,15 @@ def q_source_kl(spark, sf_dir):
     return source_kl_divergence(_docs(spark, sf_dir))
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights: per-doc log-likelihood ratio of the
+    src0 unigram LM vs the corpus LM (add-one smoothing over the
+    corpus vocab), nano-nat exact sums in DECIMAL(38,0)."""
+    from pennsieve_streaming_spark.llm.curation import dsir_weights
+
+    return dsir_weights(_docs(spark, sf_dir), "src0")
+
+
 def q_curriculum_order(spark, sf_dir):
     """Curriculum ordering: the corpus ranked easiest-first by the
     heuristic quality score — an exact total order (quality is
@@ -4060,7 +4069,7 @@ _R7_FRONT = [
     # Round-7 additions (never driver-sampled; verified MATCH at
     # landing) — next in line after the backlog above.
     "ev_survival_km", "ts_higuchi_fd", "doc_graph_triangles",
-    "emb_bq_topk", "ev_circadian", "mm_audio_vad",
+    "emb_bq_topk", "ev_circadian", "mm_audio_vad", "doc_dsir_weights",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4143,6 +4152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_bq_topk": q_bq_topk,
         "ev_circadian": q_circadian,
         "mm_audio_vad": q_audio_vad,
+        "doc_dsir_weights": q_dsir_weights,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -5530,6 +5540,54 @@ def oracle_sql() -> dict[str, str]:
                {_RD_FL} AS flesch,
                {_RD_FK} AS fk_grade
         FROM c
+        """
+
+    sql["doc_dsir_weights"] = r"""
+        WITH tok AS (
+          SELECT doc_id, source,
+                 UNNEST(regexp_split_to_array(trim(text), '\s+')) AS t
+          FROM documents
+        ),
+        dt AS (
+          SELECT doc_id, source, t, CAST(COUNT(*) AS BIGINT) AS c_td
+          FROM tok GROUP BY doc_id, source, t
+        ),
+        raw AS (
+          SELECT t, CAST(SUM(c_td) AS BIGINT) AS c_raw FROM dt GROUP BY t
+        ),
+        tgt AS (
+          SELECT t, CAST(SUM(c_td) AS BIGINT) AS c_tgt
+          FROM dt WHERE source = 'src0' GROUP BY t
+        ),
+        terms AS (
+          SELECT raw.t, c_raw,
+                 CAST(COALESCE(c_tgt, 0) AS BIGINT) AS c_tgt
+          FROM raw LEFT JOIN tgt ON raw.t = tgt.t
+        ),
+        scal AS (
+          SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
+                 CAST(SUM(c_tgt) AS BIGINT) AS n_tgt,
+                 CAST(COUNT(*) AS BIGINT) AS v
+          FROM terms
+        ),
+        w AS (
+          SELECT t,
+                 CAST(round(ln(CAST(c_tgt + 1 AS DOUBLE)
+                   / CAST(n_tgt + v AS DOUBLE)) * 1000000000) AS BIGINT)
+                 - CAST(round(ln(CAST(c_raw + 1 AS DOUBLE)
+                   / CAST(n_raw + v AS DOUBLE)) * 1000000000) AS BIGINT)
+                   AS w_t
+          FROM terms CROSS JOIN scal
+        ),
+        scored AS (
+          SELECT doc_id, CAST(SUM(c_td) AS BIGINT) AS n_tokens,
+                 SUM(CAST(c_td AS HUGEINT) * w_t) AS _sq
+          FROM dt JOIN w ON dt.t = w.t GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens,
+               (CAST(_sq AS DOUBLE) / 1000000000) / n_tokens
+                 AS dsir_logratio
+        FROM scored
         """
 
     sql["doc_source_kl"] = r"""

@@ -1498,3 +1498,80 @@ def score_spearman(documents: DataFrame) -> DataFrame:
     return g.filter(F.col("n") > 0).select(
         "n", "d2", F.expr(SPEARMAN_RHO).alias("rho")
     )
+
+
+def dsir_weights(
+    documents: DataFrame, target_source: str = "src0"
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection with
+    Importance Resampling"): per-document log-likelihood ratio of a
+    TARGET unigram bag-of-words LM (one source's distribution — the
+    high-quality domain you want more of) against the RAW corpus LM.
+    Resampling the corpus by these weights tilts the mix toward the
+    target domain — the principled upgrade of doc_source_cap's blunt
+    per-source quota, and the selection score feeding
+    doc_curriculum_order-style ordering.
+
+        w(d) = (1/|d|) · Σ_t c_td · [ln p̂_tgt(t) − ln p̂_raw(t)]
+
+    with add-one smoothing over the CORPUS vocabulary on both models
+    (the target misses terms; smoothing keeps every ratio finite).
+
+    Determinism (the source_kl nano-nat class): per-term weights are
+    differences of 1e9-quantized lns (exact BIGINTs); per-doc sums
+    accumulate c_td · w_t in DECIMAL(38,0); the final per-token
+    normalization is one fixed cast-divide-divide chain.
+
+    Output: (doc_id, n_tokens, dsir_logratio) — positive = more
+    target-like than corpus-average.
+
+    Scale: the token stream shuffles once into (doc, term) counts
+    (map-side partials, localCheckpoint — it feeds both the term
+    marginals and the per-doc scores); the term-weight table is
+    |vocab| rows joined term-to-term; scalars broadcast. Nothing
+    after the first shuffle exceeds |docs × distinct-terms-per-doc|.
+    """
+    dt = (
+        documents.select("doc_id", "source", F.explode(F.expr(TOKS)).alias("t"))
+        .groupBy("doc_id", "source", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_td"))
+    )
+    if hasattr(dt, "_jdf"):
+        dt = dt.localCheckpoint()
+    raw = dt.groupBy("t").agg(F.sum("c_td").cast("long").alias("c_raw"))
+    tgt = (
+        dt.filter(F.col("source") == target_source)
+        .groupBy("t")
+        .agg(F.sum("c_td").cast("long").alias("c_tgt"))
+    )
+    terms = raw.join(tgt, "t", "left").select(
+        "t", "c_raw", F.coalesce("c_tgt", F.lit(0)).cast("long").alias("c_tgt")
+    )
+    scal = terms.agg(
+        F.sum("c_raw").cast("long").alias("n_raw"),
+        F.sum("c_tgt").cast("long").alias("n_tgt"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    w = terms.crossJoin(F.broadcast(scal)).select(
+        "t",
+        F.expr(
+            "CAST(round(ln(CAST(c_tgt + 1 AS DOUBLE) "
+            "/ CAST(n_tgt + v AS DOUBLE)) * 1000000000) AS BIGINT) - "
+            "CAST(round(ln(CAST(c_raw + 1 AS DOUBLE) "
+            "/ CAST(n_raw + v AS DOUBLE)) * 1000000000) AS BIGINT)"
+        ).alias("w_t"),
+    )
+    scored = dt.join(w, "t").groupBy("doc_id").agg(
+        F.sum("c_td").cast("long").alias("n_tokens"),
+        F.sum(
+            F.expr("CAST(c_td AS DECIMAL(38,0)) * CAST(w_t AS DECIMAL(38,0))")
+        ).alias("_sq"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        (
+            (F.col("_sq").cast("double") / 1_000_000_000)
+            / F.col("n_tokens")
+        ).alias("dsir_logratio"),
+    )

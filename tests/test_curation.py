@@ -809,3 +809,33 @@ def test_score_spearman_bounds_and_perfect_cases(spark):
     # self-consistency: rho recomputed from the emitted d2 matches
     n, d2 = out.n, out.d2
     assert abs(out.rho - (1 - 6 * d2 / (n * (n * n - 1)))) < 1e-12
+
+
+def test_dsir_weights_tilt_toward_target(spark):
+    """Docs made of target-typical tokens score positive, raw-typical
+    docs negative; the per-term weights replay the smoothed unigram
+    ratio exactly."""
+    import math
+
+    from pennsieve_streaming_spark.llm.curation import dsir_weights
+
+    rows = [
+        (1, "alpha alpha beta", "en", "tgt", 0),
+        (2, "alpha beta beta", "en", "tgt", 0),
+        (3, "gamma gamma delta", "en", "other", 0),
+        (4, "alpha alpha alpha", "en", "other", 0),   # target-like text
+        (5, "gamma delta delta", "en", "other", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.doc_id: r for r in dsir_weights(docs, "tgt").collect()}
+    assert out[4].dsir_logratio > 0      # alpha is target-heavy
+    assert out[3].dsir_logratio < 0      # gamma/delta absent in target
+    assert out[1].n_tokens == 3
+
+    # replay doc 4 by hand: w(alpha) with add-1 smoothing, V=4,
+    # n_tgt=6, n_raw=15, c_tgt(alpha)=3, c_raw(alpha)=6
+    q = 1e9
+    w_alpha = (round(math.log(4 / 10) * q) - round(math.log(7 / 19) * q))
+    assert abs(out[4].dsir_logratio - (3 * w_alpha / q / 3)) < 1e-12
