@@ -904,6 +904,14 @@ def q_source_kl(spark, sf_dir):
     return source_kl_divergence(_docs(spark, sf_dir))
 
 
+def q_textrank(spark, sf_dir):
+    """TextRank keywords: 3 damped integer-PageRank rounds over the
+    per-doc word-adjacency graph, top-3 words per doc."""
+    from pennsieve_streaming_spark.llm.text import textrank_keywords
+
+    return textrank_keywords(_docs(spark, sf_dir), n_iter=3, k=3)
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights: per-doc log-likelihood ratio of the
     src0 unigram LM vs the corpus LM (add-one smoothing over the
@@ -4070,6 +4078,7 @@ _R7_FRONT = [
     # landing) — next in line after the backlog above.
     "ev_survival_km", "ts_higuchi_fd", "doc_graph_triangles",
     "emb_bq_topk", "ev_circadian", "mm_audio_vad", "doc_dsir_weights",
+    "doc_textrank_keywords",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4153,6 +4162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_circadian": q_circadian,
         "mm_audio_vad": q_audio_vad,
         "doc_dsir_weights": q_dsir_weights,
+        "doc_textrank_keywords": q_textrank,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -5540,6 +5550,136 @@ def oracle_sql() -> dict[str, str]:
                {_RD_FL} AS flesch,
                {_RD_FK} AS fk_grade
         FROM c
+        """
+
+    sql["doc_textrank_keywords"] = f"""
+        WITH d AS (
+          SELECT doc_id, {TOKS} AS toks FROM documents
+          WHERE length(trim(text)) > 0
+        ),
+        tok AS (
+          SELECT doc_id, lower(UNNEST(toks)) AS w,
+                 UNNEST(generate_series(1, len(toks))) - 1 AS pos
+          FROM d
+        ),
+        cand AS (
+          SELECT doc_id, w, pos FROM tok
+          WHERE NOT list_contains([{_stop_arr}], w) AND w <> ''
+        ),
+        seq AS (
+          SELECT doc_id, w, pos,
+                 LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS _nx
+          FROM cand
+        ),
+        adj AS (
+          SELECT DISTINCT doc_id, LEAST(w, _nx) AS lo,
+                 GREATEST(w, _nx) AS hi
+          FROM seq WHERE _nx IS NOT NULL AND _nx <> w
+        ),
+        tr_edges AS (
+          SELECT doc_id, lo AS src, hi AS dst FROM adj
+          UNION ALL
+          SELECT doc_id, hi AS src, lo AS dst FROM adj
+        ),
+        tr_verts AS (SELECT DISTINCT doc_id, w FROM cand),
+        tr_nv AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS _n
+          FROM tr_verts GROUP BY doc_id
+        ),
+        tr_deg AS (
+          SELECT doc_id, src, CAST(COUNT(*) AS BIGINT) AS outdeg
+          FROM tr_edges GROUP BY doc_id, src
+        ),
+        r0 AS (
+          SELECT v.doc_id, v.w,
+                 CAST(round(1e9 / CAST(_n AS DOUBLE)) AS BIGINT) AS rank_i
+          FROM tr_verts v JOIN tr_nv nv ON v.doc_id = nv.doc_id
+        ),
+        recv1 AS (
+          SELECT e.doc_id, e.dst AS w,
+                 CAST(SUM(r.rank_i // g.outdeg) AS BIGINT) AS recv_i
+          FROM r0 r
+          JOIN tr_edges e ON r.doc_id = e.doc_id AND r.w = e.src
+          JOIN tr_deg g ON g.doc_id = e.doc_id AND g.src = e.src
+          GROUP BY e.doc_id, e.dst
+        ),
+        dang1 AS (
+          SELECT r.doc_id, CAST(SUM(r.rank_i) AS BIGINT) AS dm_i
+          FROM r0 r
+          LEFT JOIN tr_deg g ON g.doc_id = r.doc_id AND g.src = r.w
+          WHERE g.src IS NULL GROUP BY r.doc_id
+        ),
+        r1 AS (
+          SELECT v.doc_id, v.w,
+                 CAST(round((1e0 - 8.5e-1) * 1e9 / CAST(nv._n AS DOUBLE)
+                   + 8.5e-1 * (CAST(COALESCE(a.dm_i, 0) AS DOUBLE)
+                     / CAST(nv._n AS DOUBLE)
+                   + CAST(COALESCE(vv.recv_i, 0) AS DOUBLE))) AS BIGINT)
+                   AS rank_i
+          FROM tr_verts v
+          JOIN tr_nv nv ON v.doc_id = nv.doc_id
+          LEFT JOIN recv1 vv ON vv.doc_id = v.doc_id AND vv.w = v.w
+          LEFT JOIN dang1 a ON a.doc_id = v.doc_id
+        ),
+        recv2 AS (
+          SELECT e.doc_id, e.dst AS w,
+                 CAST(SUM(r.rank_i // g.outdeg) AS BIGINT) AS recv_i
+          FROM r1 r
+          JOIN tr_edges e ON r.doc_id = e.doc_id AND r.w = e.src
+          JOIN tr_deg g ON g.doc_id = e.doc_id AND g.src = e.src
+          GROUP BY e.doc_id, e.dst
+        ),
+        dang2 AS (
+          SELECT r.doc_id, CAST(SUM(r.rank_i) AS BIGINT) AS dm_i
+          FROM r1 r
+          LEFT JOIN tr_deg g ON g.doc_id = r.doc_id AND g.src = r.w
+          WHERE g.src IS NULL GROUP BY r.doc_id
+        ),
+        r2 AS (
+          SELECT v.doc_id, v.w,
+                 CAST(round((1e0 - 8.5e-1) * 1e9 / CAST(nv._n AS DOUBLE)
+                   + 8.5e-1 * (CAST(COALESCE(a.dm_i, 0) AS DOUBLE)
+                     / CAST(nv._n AS DOUBLE)
+                   + CAST(COALESCE(vv.recv_i, 0) AS DOUBLE))) AS BIGINT)
+                   AS rank_i
+          FROM tr_verts v
+          JOIN tr_nv nv ON v.doc_id = nv.doc_id
+          LEFT JOIN recv2 vv ON vv.doc_id = v.doc_id AND vv.w = v.w
+          LEFT JOIN dang2 a ON a.doc_id = v.doc_id
+        ),
+        recv3 AS (
+          SELECT e.doc_id, e.dst AS w,
+                 CAST(SUM(r.rank_i // g.outdeg) AS BIGINT) AS recv_i
+          FROM r2 r
+          JOIN tr_edges e ON r.doc_id = e.doc_id AND r.w = e.src
+          JOIN tr_deg g ON g.doc_id = e.doc_id AND g.src = e.src
+          GROUP BY e.doc_id, e.dst
+        ),
+        dang3 AS (
+          SELECT r.doc_id, CAST(SUM(r.rank_i) AS BIGINT) AS dm_i
+          FROM r2 r
+          LEFT JOIN tr_deg g ON g.doc_id = r.doc_id AND g.src = r.w
+          WHERE g.src IS NULL GROUP BY r.doc_id
+        ),
+        r3 AS (
+          SELECT v.doc_id, v.w,
+                 CAST(round((1e0 - 8.5e-1) * 1e9 / CAST(nv._n AS DOUBLE)
+                   + 8.5e-1 * (CAST(COALESCE(a.dm_i, 0) AS DOUBLE)
+                     / CAST(nv._n AS DOUBLE)
+                   + CAST(COALESCE(vv.recv_i, 0) AS DOUBLE))) AS BIGINT)
+                   AS rank_i
+          FROM tr_verts v
+          JOIN tr_nv nv ON v.doc_id = nv.doc_id
+          LEFT JOIN recv3 vv ON vv.doc_id = v.doc_id AND vv.w = v.w
+          LEFT JOIN dang3 a ON a.doc_id = v.doc_id
+        )
+        SELECT doc_id, w AS word,
+               CAST(rank_i AS DOUBLE) / 1e9 AS score, rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY rank_i DESC, w) AS rank
+          FROM r3
+        ) WHERE rank <= 3
         """
 
     sql["doc_dsir_weights"] = r"""

@@ -1057,3 +1057,148 @@ def chunk_passages(
         F.expr(f"concat_ws(' ', slice(toks, k * {st} + 1, {sz}))")
         .alias("chunk_text"),
     )
+
+
+def textrank_keywords(
+    documents: DataFrame, n_iter: int = 3, k: int = 3
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) — the
+    graph-based counterpart of RAKE's frequency heuristics: build the
+    word co-occurrence graph per document (adjacent non-stopword
+    candidates), run ``n_iter`` damped PageRank rounds over it, ship
+    the top-``k`` words per doc. Catches hub words RAKE's
+    degree/frequency ratio underrates.
+
+    Determinism (the doc_pagerank contract, per-doc): ranks are BIGINT
+    mass scaled 1e9, per-edge contributions are integer floor
+    divisions, receives are exact BIGINT sums keyed (doc_id, word);
+    dangling mass (single-candidate docs) redistributes within its own
+    document; the only float math is the per-row damping expression
+    with exponent-notation literals, written identically in the
+    oracle.
+
+    Output: (doc_id, word, score, rank), rank 1..k per doc with
+    (score DESC, word) order.
+
+    Scale: tokens explode once; the graph is |doc-adjacent-pairs|
+    rows; each iteration is one equi-join + one partial-agg sum keyed
+    (doc_id, word) — per-doc graphs are bounded by document length, so
+    the keys are fine-grained and skew-free. localCheckpoint truncates
+    the iteration lineage (the pagerank pattern).
+    """
+    from pyspark.sql import Window
+
+    kk = int(k)
+    stop = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    toks = documents.filter(F.expr("length(trim(text)) > 0")).select(
+        "doc_id",
+        F.posexplode(F.expr(f"transform({TOKS}, t -> lower(t))")).alias(
+            "pos", "w"
+        ),
+    )
+    cand = toks.filter(
+        F.expr(f"NOT array_contains(array({stop}), w) AND w <> ''")
+    )
+    dw = Window.partitionBy("doc_id").orderBy("pos")
+    adj = (
+        cand.withColumn("_nx", F.lead("w").over(dw))
+        .filter(F.col("_nx").isNotNull() & (F.col("_nx") != F.col("w")))
+        .select(
+            "doc_id",
+            F.least("w", "_nx").alias("lo"),
+            F.greatest("w", "_nx").alias("hi"),
+        )
+        .distinct()
+    )
+    edges = (
+        adj.select("doc_id", F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        .union(
+            adj.select(
+                "doc_id", F.col("hi").alias("src"), F.col("lo").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    verts = cand.select("doc_id", "w").distinct().localCheckpoint(eager=True)
+    nv = verts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    deg = edges.groupBy("doc_id", "src").agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    ranks = verts.join(F.broadcast(nv), "doc_id").select(
+        "doc_id",
+        "w",
+        F.expr("CAST(round(1e9 / CAST(_n AS DOUBLE)) AS BIGINT)").alias(
+            "rank_i"
+        ),
+    )
+    deg_r = deg.select(
+        F.col("doc_id").alias("_gd"),
+        F.col("src").alias("_gs"),
+        "outdeg",
+    )
+    for _ in range(int(n_iter)):
+        ranks_r = ranks.select(
+            F.col("doc_id").alias("_rd"),
+            F.col("w").alias("_rw"),
+            "rank_i",
+        )
+        contrib = (
+            edges.join(
+                ranks_r,
+                (F.col("doc_id") == F.col("_rd"))
+                & (F.col("src") == F.col("_rw")),
+            )
+            .join(
+                deg_r,
+                (F.col("doc_id") == F.col("_gd"))
+                & (F.col("src") == F.col("_gs")),
+            )
+            .select(
+                "doc_id",
+                F.col("dst").alias("w"),
+                F.expr("rank_i div outdeg").alias("ci"),
+            )
+        )
+        recv = contrib.groupBy("doc_id", "w").agg(
+            F.sum("ci").cast("long").alias("recv_i")
+        )
+        dang = (
+            ranks.join(
+                deg.select("doc_id", F.col("src").alias("w")),
+                ["doc_id", "w"],
+                "left_anti",
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("rank_i").cast("long").alias("dm_i"))
+        )
+        ranks = (
+            verts.join(F.broadcast(nv), "doc_id")
+            .join(recv, ["doc_id", "w"], "left")
+            .join(F.broadcast(dang), "doc_id", "left")
+            .select(
+                "doc_id",
+                "w",
+                F.expr(
+                    "CAST(round((1e0 - 8.5e-1) * 1e9 / CAST(_n AS DOUBLE)"
+                    " + 8.5e-1 * (CAST(COALESCE(dm_i, 0) AS DOUBLE)"
+                    " / CAST(_n AS DOUBLE)"
+                    " + CAST(COALESCE(recv_i, 0) AS DOUBLE))) AS BIGINT)"
+                ).alias("rank_i"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    rw = Window.partitionBy("doc_id").orderBy(
+        F.desc("rank_i"), F.asc("w")
+    )
+    return (
+        ranks.withColumn("rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rank") <= kk)
+        .select(
+            "doc_id",
+            F.col("w").alias("word"),
+            F.expr("CAST(rank_i AS DOUBLE) / 1e9").alias("score"),
+            "rank",
+        )
+    )

@@ -579,3 +579,26 @@ def test_passage_bm25_localizes_the_match(spark):
     win = [r.chunk_text for r in chunks.collect()
            if r.doc_id == 1 and r.chunk_id == cid][0]
     assert "spark" in win and "agg" in win
+
+
+def test_textrank_hub_word_wins(spark):
+    """'spark' co-occurs with every other candidate (hub) so PageRank
+    ranks it first; a single-candidate doc survives via dangling
+    redistribution; stopwords never appear."""
+    from pennsieve_streaming_spark.llm.text import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark engine and spark cluster and spark shuffle"),
+            (2, "hello"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in textrank_keywords(docs, n_iter=3, k=3).collect():
+        out.setdefault(r.doc_id, []).append((r.rank, r.word, r.score))
+    top1 = sorted(out[1])[0]
+    assert top1[1] == "spark"
+    assert all(w not in ("and",) for _, w, _ in out[1])
+    assert sorted(out[2]) == [(1, "hello", out[2][0][2])]
+    assert abs(out[2][0][2] - 1.0) < 1e-6   # all mass stays on the word
