@@ -3377,6 +3377,17 @@ def q_line_length(spark, sf_dir):
     )
 
 
+def q_wavelet_denoise(spark, sf_dir):
+    """Haar wavelet shrinkage: integer transform, MAD hard threshold
+    (pure integer keep-rule), dyadic-exact reconstruction — edges
+    survive, dither dies."""
+    from pennsieve_streaming_spark.operators.stats import haar_denoise
+
+    return haar_denoise(
+        TBL.samples_view(spark, sf_dir), SE_WINDOW, HAAR_LEVELS, SE_QUANT, 3
+    )
+
+
 def q_higuchi_fd(spark, sf_dir):
     """Higuchi fractal dimension per channel: k-decimated sub-curve
     lengths from exact quantized |Δ| sums (1e6-quantized per-offset,
@@ -4078,7 +4089,7 @@ _R7_FRONT = [
     # landing) — next in line after the backlog above.
     "ev_survival_km", "ts_higuchi_fd", "doc_graph_triangles",
     "emb_bq_topk", "ev_circadian", "mm_audio_vad", "doc_dsir_weights",
-    "doc_textrank_keywords",
+    "doc_textrank_keywords", "ts_wavelet_denoise",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4163,6 +4174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_vad": q_audio_vad,
         "doc_dsir_weights": q_dsir_weights,
         "doc_textrank_keywords": q_textrank,
+        "ts_wavelet_denoise": q_wavelet_denoise,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -8783,6 +8795,93 @@ def oracle_sql() -> dict[str, str]:
                {", ".join(f"{_hf_l[k]} AS l{k}" for k in range(1, _hf_k + 1))},
                CASE WHEN {_hf_pos} THEN {_hf_fd} END AS fd
         FROM g
+        """,
+        "samples",
+    )
+
+    _HD_L = HAAR_LEVELS
+    sql["ts_wavelet_denoise"] = with_views(
+        f"""
+        WITH ranked AS (
+          SELECT channel, ts, value,
+                 CAST(round(value * {SE_QUANT}) AS BIGINT) AS xq,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS _rn
+          FROM samples
+        ),
+        pos AS (
+          SELECT channel, ts, value, xq,
+                 CAST(_rn // {SE_WINDOW} AS BIGINT) AS win,
+                 CAST(_rn % {SE_WINDOW} AS BIGINT) AS pos
+          FROM ranked
+        ),
+        fullw AS (
+          SELECT channel, win FROM pos GROUP BY channel, win
+          HAVING COUNT(*) = {SE_WINDOW}
+        ),
+        rk AS (
+          SELECT p.* FROM pos p
+          JOIN fullw f ON p.channel = f.channel AND p.win = f.win
+        ),
+        lvs AS (SELECT * FROM (VALUES {", ".join(f"({i})" for i in range(1, 5))}) t(level)),
+        e AS (
+          SELECT channel, win, level,
+                 pos // (1 << level) AS blk,
+                 CASE WHEN (pos // (1 << (level - 1))) % 2 = 0
+                      THEN xq ELSE -xq END AS sx
+          FROM rk CROSS JOIN lvs
+        ),
+        details AS (
+          SELECT channel, win, level, blk,
+                 CAST(SUM(sx) AS BIGINT) AS d
+          FROM e GROUP BY channel, win, level, blk
+        ),
+        d1 AS (
+          SELECT channel, win, blk, abs(d) AS _ad
+          FROM details WHERE level = 1
+        ),
+        cnt AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS _n
+          FROM d1 GROUP BY channel
+        ),
+        mad AS (
+          SELECT channel, _ad AS mad_q FROM (
+            SELECT d1.channel, d1._ad,
+                   ROW_NUMBER() OVER (PARTITION BY d1.channel
+                       ORDER BY d1._ad, d1.win, d1.blk) AS _ar, c._n
+            FROM d1 JOIN cnt c ON d1.channel = c.channel
+          ) WHERE _ar = (_n + 1) // 2
+        ),
+        kept AS (
+          SELECT dd.channel, dd.win, dd.level, dd.blk,
+                 CASE WHEN 2 * d * d > 9 * mad_q * mad_q * (1 << level)
+                      THEN d ELSE CAST(0 AS BIGINT) END AS dk
+          FROM details dd JOIN mad m ON dd.channel = m.channel
+        ),
+        approx AS (
+          SELECT channel, win, pos // (1 << {_HD_L}) AS ablk,
+                 CAST(SUM(xq) AS BIGINT) AS a
+          FROM rk GROUP BY channel, win, pos // (1 << {_HD_L})
+        ),
+        contrib AS (
+          SELECT r.channel, r.win, r.pos,
+                 SUM(CAST(CASE WHEN (r.pos // (1 << (l.level - 1))) % 2 = 0
+                          THEN k.dk ELSE -k.dk END AS DOUBLE)
+                     / CAST((1 << l.level) AS DOUBLE)) AS _dsum
+          FROM rk r CROSS JOIN lvs l
+          JOIN kept k ON k.channel = r.channel AND k.win = r.win
+                     AND k.level = l.level
+                     AND k.blk = r.pos // (1 << l.level)
+          GROUP BY r.channel, r.win, r.pos
+        )
+        SELECT r.channel, r.ts, r.value,
+               (CAST(a.a AS DOUBLE) / CAST((1 << {_HD_L}) AS DOUBLE)
+                + c._dsum) / CAST({SE_QUANT} AS DOUBLE) AS denoised
+        FROM rk r
+        JOIN contrib c ON c.channel = r.channel AND c.win = r.win
+                      AND c.pos = r.pos
+        JOIN approx a ON a.channel = r.channel AND a.win = r.win
+                     AND a.ablk = r.pos // (1 << {_HD_L})
         """,
         "samples",
     )

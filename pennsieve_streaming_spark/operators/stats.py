@@ -3184,3 +3184,146 @@ def higuchi_fd(
         *[F.expr(l_exprs[k]).alias(f"l{k}") for k in range(1, k_max + 1)],
         F.expr(fd).alias("fd"),
     )
+
+
+def haar_denoise(
+    samples: DataFrame,
+    window_samples: int = 128,
+    levels: int = 4,
+    quant: int = 100,
+    factor: int = 3,
+) -> DataFrame:
+    """Haar wavelet denoising per (channel, window) — Donoho &
+    Johnstone's wavelet shrinkage with the haar_energy transform:
+    hard-threshold the detail coefficients against ``factor``× the
+    channel's noise scale (median |level-1 detail| — the MAD
+    estimator; level-1 details of white noise are pure noise), then
+    reconstruct. Preserves edges the moving-average smoothers blur —
+    the denoising complement of haar_energy's diagnostics.
+
+    Determinism — integer transform, DYADIC-exact reconstruction:
+    details are the exact ±1-signed BIGINT block sums; the threshold
+    keep-rule is the pure integer comparison
+    2·d² > factor²·mad²·2^ℓ (both sides exact — the normalized
+    coefficient test d²/2^ℓ > (factor·mad/√2)² cleared of roots); the
+    reconstruction Σ ±d_ℓ/2^ℓ + a_L/2^L sums dyadic rationals
+    (divisions by powers of two are exact in IEEE doubles), so the
+    float sum is EXACT and order-free; only the final /quant is a
+    rounding division, written identically in the oracle.
+
+    Output: (channel, ts, value, denoised); ragged tail windows drop
+    (the hjorth rule). With factor = 0 every detail survives and
+    denoised replays value exactly (the lossless-reconstruction
+    invariant the tests pin).
+
+    Plan / 100 TB: the haar_energy shape (one ranking window, narrow
+    level-explode, two partial-agg groupBys) plus one join back to
+    sample rows keyed (channel, win, level-block) and a broadcast MAD
+    table — everything shuffles on fine-grained (channel, win) keys.
+    """
+    ws = int(window_samples)
+    q = int(quant)
+    lv = int(levels)
+    c2 = int(factor) * int(factor)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    ranked = (
+        samples.select(
+            "channel",
+            "ts",
+            "value",
+            (F.row_number().over(w) - 1).alias("_rn"),
+            F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+        )
+        .withColumn("win", (F.col("_rn") / ws).cast("long"))
+        .withColumn("pos", (F.col("_rn") % ws).cast("long"))
+    )
+    full = (
+        ranked.groupBy("channel", "win")
+        .agg(F.count(F.lit(1)).cast("long").alias("_nw"))
+        .filter(F.col("_nw") == ws)
+        .select("channel", "win")
+    )
+    rk = ranked.join(full, ["channel", "win"]).localCheckpoint(eager=True)
+    lv_arr = ", ".join(str(i) for i in range(1, lv + 1))
+    e = rk.select(
+        "channel",
+        "win",
+        F.explode(F.expr(f"array({lv_arr})")).alias("level"),
+        "pos",
+        "xq",
+    ).select(
+        "channel",
+        "win",
+        "level",
+        F.expr("pos div shiftleft(1, level)").alias("blk"),
+        F.expr(
+            "CASE WHEN (pos div shiftleft(1, level - 1)) % 2 = 0 "
+            "THEN xq ELSE -xq END"
+        ).alias("sx"),
+    )
+    details = e.groupBy("channel", "win", "level", "blk").agg(
+        F.sum("sx").cast("long").alias("d")
+    )
+    # channel noise scale: median |level-1 detail| order statistic
+    d1 = details.filter(F.col("level") == 1).select(
+        "channel", "win", "blk", F.abs("d").alias("_ad")
+    )
+    aw = Window.partitionBy("channel").orderBy("_ad", "win", "blk")
+    cnt = d1.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    mad = (
+        d1.withColumn("_ar", F.row_number().over(aw).cast("long"))
+        .join(F.broadcast(cnt), "channel")
+        .filter(F.expr("_ar = (_n + 1) div 2"))
+        .select("channel", F.col("_ad").alias("mad_q"))
+    )
+    kept = details.join(F.broadcast(mad), "channel").select(
+        "channel",
+        "win",
+        "level",
+        "blk",
+        F.expr(
+            f"CASE WHEN 2 * d * d > {c2} * mad_q * mad_q "
+            "* shiftleft(1, level) THEN d ELSE CAST(0 AS BIGINT) END"
+        ).alias("dk"),
+    )
+    # approximation coefficients: level-L block sums
+    approx = rk.groupBy(
+        "channel", "win", F.expr(f"pos div shiftleft(1, {lv})").alias("ablk")
+    ).agg(F.sum("xq").cast("long").alias("a"))
+    # per-sample detail contributions (dyadic-exact doubles)
+    contrib = (
+        rk.select(
+            "channel",
+            "win",
+            "pos",
+            F.explode(F.expr(f"array({lv_arr})")).alias("level"),
+        )
+        .withColumn("blk", F.expr("pos div shiftleft(1, level)"))
+        .join(kept, ["channel", "win", "level", "blk"])
+        .groupBy("channel", "win", "pos")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CASE WHEN (pos div shiftleft(1, level - 1)) % 2"
+                    " = 0 THEN dk ELSE -dk END AS DOUBLE)"
+                    " / CAST(shiftleft(1, level) AS DOUBLE)"
+                )
+            ).alias("_dsum")
+        )
+    )
+    out = (
+        rk.join(contrib, ["channel", "win", "pos"])
+        .withColumn("ablk", F.expr(f"pos div shiftleft(1, {lv})"))
+        .join(approx, ["channel", "win", "ablk"])
+    )
+    return out.select(
+        "channel",
+        "ts",
+        "value",
+        F.expr(
+            f"(CAST(a AS DOUBLE) / CAST(shiftleft(1, {lv}) AS DOUBLE)"
+            f" + _dsum) / CAST({q} AS DOUBLE)"
+        ).alias("denoised"),
+    )

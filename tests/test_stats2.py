@@ -1053,3 +1053,29 @@ def test_higuchi_fd_line_is_one_and_noise_is_higher(spark):
     assert out["line"].n == 200
     # L(1) for the line: Σ|Δxq| = 199·100, times (N−1)/(n_1·1²) = 1
     assert abs(out["line"].l1 - 19900.0) < 1e-6
+
+
+def test_haar_denoise_lossless_and_noise_kill(spark):
+    """factor=0 keeps every detail -> exact reconstruction; with the
+    MAD threshold, small alternating noise on an aligned step dies
+    while the step survives untouched."""
+    from pennsieve_streaming_spark.operators.stats import haar_denoise
+
+    clean = [100.0] * 64 + [0.0] * 64
+    noisy = [v + (1.0 if i % 2 == 0 else -1.0) for i, v in enumerate(clean)]
+    rows = [("c", t, noisy[t]) for t in range(128)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+
+    # lossless invariant
+    out0 = haar_denoise(df, 128, 4, 1, factor=0).collect()
+    assert all(r.denoised == r.value for r in out0)
+
+    # MAD threshold kills the +-1 dither, keeps the step
+    out = {r.ts: r.denoised for r in haar_denoise(df, 128, 4, 1, 3).collect()}
+    assert all(abs(out[t] - clean[t]) < 1e-9 for t in range(128))
+
+    # ragged tail dropped
+    df2 = spark.createDataFrame(
+        rows + [("c", 200, 5.0)], "channel string, ts long, value double"
+    )
+    assert haar_denoise(df2, 128, 4, 1, 3).count() == 128
