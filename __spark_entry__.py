@@ -1430,6 +1430,18 @@ def q_gif_roundtrip(spark, sf_dir):
     return gif_roundtrip_stats(_docs(spark, sf_dir))
 
 
+def q_edge_density(spark, sf_dir):
+    """Sobel edge density + mean gradient energy per media: exact
+    integer gx/gy over the synthetic luminance field via the REAL
+    sobel_stats kernel; threshold separates the smooth interior from
+    mod-256 wrap edges."""
+    from pennsieve_streaming_spark.llm.imagehash import (
+        edge_density_synthetic,
+    )
+
+    return edge_density_synthetic(_docs(spark, sf_dir))
+
+
 def q_image_quality(spark, sf_dir):
     """Per-media quality metrics: RMS contrast² and variance of
     Laplacian (the autofocus/blur score) — exact integer sums over
@@ -4089,7 +4101,7 @@ _R7_FRONT = [
     # landing) — next in line after the backlog above.
     "ev_survival_km", "ts_higuchi_fd", "doc_graph_triangles",
     "emb_bq_topk", "ev_circadian", "mm_audio_vad", "doc_dsir_weights",
-    "doc_textrank_keywords", "ts_wavelet_denoise",
+    "doc_textrank_keywords", "ts_wavelet_denoise", "mm_image_edges",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4175,6 +4187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_weights": q_dsir_weights,
         "doc_textrank_keywords": q_textrank,
         "ts_wavelet_denoise": q_wavelet_denoise,
+        "mm_image_edges": q_edge_density,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -11980,6 +11993,51 @@ def oracle_sql() -> dict[str, str]:
         f"- ({_ihg.format(i='i', j='(j - 1)')}) "
         f"- ({_ihg.format(i='i', j='(j + 1)')})"
     )
+    from pennsieve_streaming_spark.llm.imagehash import (
+        SOBEL_T2 as _SOB_T2,
+    )
+
+    def _ihv(i, j):
+        return "(" + _ihg.format(i=i, j=j) + ")"
+
+    _ih_gx = (
+        f"(({_ihv('(i - 1)', '(j + 1)')} + 2 * {_ihv('i', '(j + 1)')} "
+        f"+ {_ihv('(i + 1)', '(j + 1)')}) "
+        f"- ({_ihv('(i - 1)', '(j - 1)')} + 2 * {_ihv('i', '(j - 1)')} "
+        f"+ {_ihv('(i + 1)', '(j - 1)')}))"
+    )
+    _ih_gy = (
+        f"(({_ihv('(i + 1)', '(j - 1)')} + 2 * {_ihv('(i + 1)', 'j')} "
+        f"+ {_ihv('(i + 1)', '(j + 1)')}) "
+        f"- ({_ihv('(i - 1)', '(j - 1)')} + 2 * {_ihv('(i - 1)', 'j')} "
+        f"+ {_ihv('(i - 1)', '(j + 1)')}))"
+    )
+    sql["mm_image_edges"] = f"""
+        WITH e2t AS (
+          SELECT doc_id,
+                 {_ih_gx} * {_ih_gx} + {_ih_gy} * {_ih_gy} AS e2
+          FROM documents,
+               UNNEST(generate_series(1, {_IH_H - 2})) AS ti(i),
+               UNNEST(generate_series(1, {_IH_W - 2})) AS tj(j)
+        ),
+        g AS (
+          SELECT doc_id AS media_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_interior,
+                 CAST(SUM(CASE WHEN e2 > {_SOB_T2} THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_edges,
+                 CAST(SUM(e2) AS BIGINT) AS se2,
+                 CAST(MAX(e2) AS BIGINT) AS max_e2
+          FROM e2t GROUP BY doc_id
+        )
+        SELECT media_id, n_interior, n_edges,
+               round(CAST(n_edges AS DOUBLE) / n_interior, 9)
+                 AS edge_density,
+               round(CAST(se2 AS DOUBLE) / n_interior, 9)
+                 AS mean_grad_energy,
+               max_e2
+        FROM g
+        """
+
     sql["mm_image_quality"] = f"""
         WITH px AS (
           SELECT doc_id, i, j, {_ihg.format(i='i', j='j')} AS v

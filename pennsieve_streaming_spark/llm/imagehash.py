@@ -380,3 +380,77 @@ def ssim_synthetic(documents: DataFrame) -> DataFrame:
         "sum_xx long, sum_yy long, sum_xy long",
     )
     return sums.withColumn("ssim", F.expr(SSIM_EXPR))
+
+
+SOBEL_T2 = 100_000  # threshold on gx^2+gy^2: the synthetic field's
+# smooth interior sits at 104^2+56^2 = 13,952; mod-256 wrap lines jump
+# by +-256 per tap and land far above — so density counts real edges.
+
+
+def sobel_stats(gray: "np.ndarray", t2: int = SOBEL_T2) -> tuple:
+    """Exact integer Sobel edge sums over one grayscale frame:
+    (n_interior, n_edges, sum_e2, max_e2) with e2 = gx²+gy² — the
+    inputs to edge density (structure vs flat/noise discrimination,
+    the cheapest sharpness/content gate in image-dedup pipelines)."""
+    g = gray.astype(np.int64)
+    gx = (
+        (g[:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:])
+        - (g[:-2, :-2] + 2 * g[1:-1, :-2] + g[2:, :-2])
+    )
+    gy = (
+        (g[2:, :-2] + 2 * g[2:, 1:-1] + g[2:, 2:])
+        - (g[:-2, :-2] + 2 * g[:-2, 1:-1] + g[:-2, 2:])
+    )
+    e2 = gx * gx + gy * gy
+    return (
+        int(e2.size),
+        int((e2 > t2).sum()),
+        int(e2.sum()),
+        int(e2.max()),
+    )
+
+
+def edge_density_synthetic(documents: DataFrame) -> DataFrame:
+    """(doc_id) → Sobel edge statistics over the synthetic luminance
+    field (the dhash_synthetic plumbing contract: REAL
+    :func:`sobel_stats` kernel, closed-form field so the oracle
+    replays it): edge_density is the interior fraction above the
+    gradient-energy threshold, mean_grad_energy the average e2 —
+    both single fixed divisions over exact BIGINTs.
+
+    Output: (media_id, n_interior, n_edges, edge_density,
+    mean_grad_energy, max_e2)."""
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            rows = [sobel_stats(synthetic_gray(int(d))) for d in ids]
+            arr = np.asarray(rows, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_interior": arr[:, 0],
+                    "n_edges": arr[:, 1],
+                    "se2": arr[:, 2],
+                    "max_e2": arr[:, 3],
+                }
+            )
+
+    sums = documents.select("doc_id").mapInPandas(
+        run, "media_id long, n_interior long, n_edges long, se2 long, "
+        "max_e2 long"
+    )
+    return sums.select(
+        "media_id",
+        "n_interior",
+        "n_edges",
+        F.expr(
+            "round(CAST(n_edges AS DOUBLE) / n_interior, 9)"
+        ).alias("edge_density"),
+        F.expr(
+            "round(CAST(se2 AS DOUBLE) / n_interior, 9)"
+        ).alias("mean_grad_energy"),
+        "max_e2",
+    )

@@ -305,3 +305,42 @@ def test_ssim_identity_and_degradation_ordering(spark):
         (2 * mx * mx + 6.5025) * (2 * vx + 58.5225)
     )
     assert ssim_id == 1.0
+
+
+def test_sobel_stats_flat_ramp_and_step():
+    """Flat frame: zero everywhere. Linear ramp: constant interior
+    energy below threshold. A hard vertical step: huge gx at the
+    step columns."""
+    import numpy as np
+
+    from pennsieve_streaming_spark.llm.imagehash import sobel_stats
+
+    flat = np.full((8, 8), 7)
+    n, edges, s, mx = sobel_stats(flat)
+    assert (n, edges, s, mx) == (36, 0, 0, 0)
+
+    ramp = np.arange(8).reshape(1, -1).repeat(8, axis=0) * 13
+    n, edges, s, mx = sobel_stats(ramp)
+    assert edges == 0 and mx == (8 * 13) ** 2  # gx = 8*slope, gy = 0
+
+    step = np.zeros((8, 8), dtype=int)
+    step[:, 4:] = 255
+    n, edges, s, mx = sobel_stats(step, t2=100_000)
+    assert edges > 0 and mx == (4 * 255) ** 2
+
+
+def test_edge_density_synthetic_runs(spark):
+    from pennsieve_streaming_spark.llm.imagehash import (
+        edge_density_synthetic,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(6)], "doc_id long, text string"
+    )
+    out = {r.media_id: r for r in edge_density_synthetic(docs).collect()}
+    assert len(out) == 6
+    for r in out.values():
+        assert r.n_interior == 14 * 16
+        assert 0.0 <= r.edge_density <= 1.0
+    # wrap lines differ across docs -> density is not constant
+    assert len({r.n_edges for r in out.values()}) > 1
