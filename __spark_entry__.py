@@ -1839,6 +1839,30 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_bq_recall(spark, sf_dir):
+    """Recall@k of binary-quantization retrieval against the exact
+    cosine top-k — how much the 1-bit compression costs at refine_k=20
+    (completes the eval matrix: LSH, multiprobe, IVF, BQ)."""
+    ann = q_bq_topk(spark, sf_dir).select("query_id", "neighbor_id").distinct()
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    per_q = exact.select("query_id").distinct()
+    return (
+        per_q.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.lit(ANN_K)
+            ).alias("recall"),
+        )
+    )
+
+
 def q_ann_recall_ivf(spark, sf_dir):
     """Recall@k of the IVF-Flat index against the exact top-k ground
     truth — closes the ANN eval matrix's remaining cell (LSH and
@@ -4102,6 +4126,7 @@ _R7_FRONT = [
     "ev_survival_km", "ts_higuchi_fd", "doc_graph_triangles",
     "emb_bq_topk", "ev_circadian", "mm_audio_vad", "doc_dsir_weights",
     "doc_textrank_keywords", "ts_wavelet_denoise", "mm_image_edges",
+    "emb_bq_recall",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4188,6 +4213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_textrank_keywords": q_textrank,
         "ts_wavelet_denoise": q_wavelet_denoise,
         "mm_image_edges": q_edge_density,
+        "emb_bq_recall": q_bq_recall,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -12368,6 +12394,17 @@ def oracle_sql() -> dict[str, str]:
         FROM ({sql["emb_cosine_topk"]}) e
         LEFT JOIN (SELECT DISTINCT query_id, neighbor_id
                    FROM ({sql["emb_ann_lsh"]})) a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id
+        """
+
+    sql["emb_bq_recall"] = f"""
+        SELECT e.query_id,
+               CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+               CAST(COUNT(a.neighbor_id) AS DOUBLE) / {ANN_K} AS recall
+        FROM ({sql["emb_cosine_topk"]}) e
+        LEFT JOIN (SELECT DISTINCT query_id, neighbor_id
+                   FROM ({sql["emb_bq_topk"]}) ) a
           ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
         GROUP BY e.query_id
         """
