@@ -3198,6 +3198,17 @@ def q_circadian(spark, sf_dir):
     return circadian_rhythm(_user_events(spark, sf_dir))
 
 
+def q_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the event-type Markov chain: 5
+    damped integer-mass power-iteration rounds (pagerank contract)
+    over the user-path transition counts."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        markov_stationary,
+    )
+
+    return markov_stationary(_user_events(spark, sf_dir), n_iter=5)
+
+
 def q_survival_km(spark, sf_dir):
     """Kaplan-Meier user-lifetime survival: exact risk-set / death
     counts per duration day, 1e9-quantized ln hazards summed exactly,
@@ -4126,7 +4137,7 @@ _R7_FRONT = [
     "ev_survival_km", "ts_higuchi_fd", "doc_graph_triangles",
     "emb_bq_topk", "ev_circadian", "mm_audio_vad", "doc_dsir_weights",
     "doc_textrank_keywords", "ts_wavelet_denoise", "mm_image_edges",
-    "emb_bq_recall",
+    "emb_bq_recall", "ev_markov_stationary",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4214,6 +4225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_wavelet_denoise": q_wavelet_denoise,
         "mm_image_edges": q_edge_density,
         "emb_bq_recall": q_bq_recall,
+        "ev_markov_stationary": q_markov_stationary,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -6600,6 +6612,154 @@ def oracle_sql() -> dict[str, str]:
                n_events * ({_cr}) * ({_cr}) AS rayleigh_z,
                n_events * ({_cr}) * ({_cr}) > {_RAY_CRIT:.17e} AS circadian
         FROM g
+        """
+
+    sql["ev_markov_stationary"] = f"""
+        WITH mev AS (
+          SELECT CAST(epoch_us(ts) AS BIGINT) AS ts, event_id, user_id,
+                 event_type
+          FROM events WHERE event_type IS NOT NULL
+        ),
+        mpairs AS (
+          SELECT event_type AS src,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS dst
+          FROM mev
+        ),
+        mcounts AS (
+          SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+          FROM mpairs WHERE dst IS NOT NULL GROUP BY src, dst
+        ),
+        mverts AS (SELECT DISTINCT event_type AS t FROM mev),
+        mdeg AS (
+          SELECT src, CAST(SUM(c) AS BIGINT) AS n_out
+          FROM mcounts GROUP BY src
+        ),
+        mnn AS (SELECT CAST(COUNT(*) AS BIGINT) AS _n FROM mverts),
+        mr0 AS (
+          SELECT t, CAST(round(1e9 / CAST(_n AS DOUBLE)) AS BIGINT)
+                   AS rank_i
+          FROM mverts CROSS JOIN mnn
+        ),
+        mrecv1 AS (
+          SELECT c.dst AS t,
+                 CAST(SUM((r.rank_i // g.n_out) * c.c) AS BIGINT)
+                   AS recv_i
+          FROM mr0 r
+          JOIN mcounts c ON r.t = c.src
+          JOIN mdeg g ON g.src = c.src
+          GROUP BY c.dst
+        ),
+        mdang1 AS (
+          SELECT CAST(COALESCE(SUM(r.rank_i), 0) AS BIGINT) AS dm_i
+          FROM mr0 r LEFT JOIN mdeg g ON g.src = r.t
+          WHERE g.src IS NULL
+        ),
+        mr1 AS (
+          SELECT v.t,
+                 CAST(round((1e0 - 8.5e-1) * 1e9 / CAST(nn._n AS DOUBLE)
+                   + 8.5e-1 * (CAST(a.dm_i AS DOUBLE) / CAST(nn._n AS DOUBLE)
+                   + CAST(COALESCE(vv.recv_i, 0) AS DOUBLE))) AS BIGINT)
+                   AS rank_i
+          FROM mverts v CROSS JOIN mnn nn CROSS JOIN mdang1 a
+          LEFT JOIN mrecv1 vv ON vv.t = v.t
+        ),
+        mrecv2 AS (
+          SELECT c.dst AS t,
+                 CAST(SUM((r.rank_i // g.n_out) * c.c) AS BIGINT)
+                   AS recv_i
+          FROM mr1 r
+          JOIN mcounts c ON r.t = c.src
+          JOIN mdeg g ON g.src = c.src
+          GROUP BY c.dst
+        ),
+        mdang2 AS (
+          SELECT CAST(COALESCE(SUM(r.rank_i), 0) AS BIGINT) AS dm_i
+          FROM mr1 r LEFT JOIN mdeg g ON g.src = r.t
+          WHERE g.src IS NULL
+        ),
+        mr2 AS (
+          SELECT v.t,
+                 CAST(round((1e0 - 8.5e-1) * 1e9 / CAST(nn._n AS DOUBLE)
+                   + 8.5e-1 * (CAST(a.dm_i AS DOUBLE) / CAST(nn._n AS DOUBLE)
+                   + CAST(COALESCE(vv.recv_i, 0) AS DOUBLE))) AS BIGINT)
+                   AS rank_i
+          FROM mverts v CROSS JOIN mnn nn CROSS JOIN mdang2 a
+          LEFT JOIN mrecv2 vv ON vv.t = v.t
+        ),
+        mrecv3 AS (
+          SELECT c.dst AS t,
+                 CAST(SUM((r.rank_i // g.n_out) * c.c) AS BIGINT)
+                   AS recv_i
+          FROM mr2 r
+          JOIN mcounts c ON r.t = c.src
+          JOIN mdeg g ON g.src = c.src
+          GROUP BY c.dst
+        ),
+        mdang3 AS (
+          SELECT CAST(COALESCE(SUM(r.rank_i), 0) AS BIGINT) AS dm_i
+          FROM mr2 r LEFT JOIN mdeg g ON g.src = r.t
+          WHERE g.src IS NULL
+        ),
+        mr3 AS (
+          SELECT v.t,
+                 CAST(round((1e0 - 8.5e-1) * 1e9 / CAST(nn._n AS DOUBLE)
+                   + 8.5e-1 * (CAST(a.dm_i AS DOUBLE) / CAST(nn._n AS DOUBLE)
+                   + CAST(COALESCE(vv.recv_i, 0) AS DOUBLE))) AS BIGINT)
+                   AS rank_i
+          FROM mverts v CROSS JOIN mnn nn CROSS JOIN mdang3 a
+          LEFT JOIN mrecv3 vv ON vv.t = v.t
+        ),
+        mrecv4 AS (
+          SELECT c.dst AS t,
+                 CAST(SUM((r.rank_i // g.n_out) * c.c) AS BIGINT)
+                   AS recv_i
+          FROM mr3 r
+          JOIN mcounts c ON r.t = c.src
+          JOIN mdeg g ON g.src = c.src
+          GROUP BY c.dst
+        ),
+        mdang4 AS (
+          SELECT CAST(COALESCE(SUM(r.rank_i), 0) AS BIGINT) AS dm_i
+          FROM mr3 r LEFT JOIN mdeg g ON g.src = r.t
+          WHERE g.src IS NULL
+        ),
+        mr4 AS (
+          SELECT v.t,
+                 CAST(round((1e0 - 8.5e-1) * 1e9 / CAST(nn._n AS DOUBLE)
+                   + 8.5e-1 * (CAST(a.dm_i AS DOUBLE) / CAST(nn._n AS DOUBLE)
+                   + CAST(COALESCE(vv.recv_i, 0) AS DOUBLE))) AS BIGINT)
+                   AS rank_i
+          FROM mverts v CROSS JOIN mnn nn CROSS JOIN mdang4 a
+          LEFT JOIN mrecv4 vv ON vv.t = v.t
+        ),
+        mrecv5 AS (
+          SELECT c.dst AS t,
+                 CAST(SUM((r.rank_i // g.n_out) * c.c) AS BIGINT)
+                   AS recv_i
+          FROM mr4 r
+          JOIN mcounts c ON r.t = c.src
+          JOIN mdeg g ON g.src = c.src
+          GROUP BY c.dst
+        ),
+        mdang5 AS (
+          SELECT CAST(COALESCE(SUM(r.rank_i), 0) AS BIGINT) AS dm_i
+          FROM mr4 r LEFT JOIN mdeg g ON g.src = r.t
+          WHERE g.src IS NULL
+        ),
+        mr5 AS (
+          SELECT v.t,
+                 CAST(round((1e0 - 8.5e-1) * 1e9 / CAST(nn._n AS DOUBLE)
+                   + 8.5e-1 * (CAST(a.dm_i AS DOUBLE) / CAST(nn._n AS DOUBLE)
+                   + CAST(COALESCE(vv.recv_i, 0) AS DOUBLE))) AS BIGINT)
+                   AS rank_i
+          FROM mverts v CROSS JOIN mnn nn CROSS JOIN mdang5 a
+          LEFT JOIN mrecv5 vv ON vv.t = v.t
+        )
+        SELECT r.t AS event_type,
+               CAST(COALESCE(g.n_out, 0) AS BIGINT) AS n_out,
+               CAST(r.rank_i AS DOUBLE) / 1e9 AS pi
+        FROM mr5 r LEFT JOIN mdeg g ON g.src = r.t
         """
 
     sql["ev_survival_km"] = f"""

@@ -1443,3 +1443,104 @@ def circadian_rhythm(events: DataFrame) -> DataFrame:
             f"n_events * ({r}) * ({r}) > {RAYLEIGH_CRIT:.17e}"
         ).alias("circadian"),
     )
+
+
+def markov_stationary(events: DataFrame, n_iter: int = 5) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain — where
+    the user flow settles: π = πP after ``n_iter`` damped power-
+    iteration rounds over the transition counts that
+    :func:`markov_entropy` profiles. The equilibrium share is the
+    flow-weighted importance of each surface (screen-time forecast),
+    distinct from raw event frequency whenever transitions are
+    asymmetric; damping 0.85 (the PageRank teleport) keeps periodic /
+    absorbing chains ergodic.
+
+    Determinism (the pagerank integer-mass contract): π is BIGINT
+    mass scaled 1e9; each edge moves (π_i div n_out_i)·c_ij — an
+    exact integer ≤ π_i, so receive sums are exact BIGINTs bounded by
+    the total mass (no overflow at ANY corpus size); dangling types
+    (no outgoing transition) redistribute uniformly; the per-round
+    damping expression is the one shared float op.
+
+    Output: (event_type, n_out, pi); π sums to ~1 up to floor
+    leakage.
+
+    Scale: the transition table is |types|² rows — trivially tiny —
+    but it derives from ONE user-keyed window pass over raw events
+    (the markov_entropy shape), which is the only data-sized stage.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .filter(F.col("event_type").isNotNull())
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("event_type").alias("src"),
+        F.col("next_type").alias("dst"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    counts = counts.localCheckpoint(eager=True)
+    verts = (
+        events.select(F.col("event_type").alias("t"))
+        .filter(F.col("t").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = counts.groupBy("src").agg(
+        F.sum("c").cast("long").alias("n_out")
+    )
+    nv = verts.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ranks = verts.crossJoin(F.broadcast(nv)).select(
+        "t",
+        F.expr("CAST(round(1e9 / CAST(_n AS DOUBLE)) AS BIGINT)").alias(
+            "rank_i"
+        ),
+    )
+    for _ in range(int(n_iter)):
+        ranks_r = ranks.select(F.col("t").alias("_rt"), "rank_i")
+        contrib = (
+            counts.join(ranks_r, F.col("src") == F.col("_rt"))
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("t"),
+                F.expr("(rank_i div n_out) * c").alias("ci"),
+            )
+        )
+        recv = contrib.groupBy("t").agg(
+            F.sum("ci").cast("long").alias("recv_i")
+        )
+        dang = (
+            ranks.join(
+                deg.select(F.col("src").alias("t")), "t", "left_anti"
+            )
+            .agg(
+                F.coalesce(F.sum("rank_i"), F.lit(0))
+                .cast("long")
+                .alias("dm_i")
+            )
+        )
+        ranks = (
+            verts.crossJoin(F.broadcast(nv))
+            .join(recv, "t", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "t",
+                F.expr(
+                    "CAST(round((1e0 - 8.5e-1) * 1e9 / CAST(_n AS DOUBLE)"
+                    " + 8.5e-1 * (CAST(dm_i AS DOUBLE) / CAST(_n AS DOUBLE)"
+                    " + CAST(COALESCE(recv_i, 0) AS DOUBLE))) AS BIGINT)"
+                ).alias("rank_i"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.join(deg.select(F.col("src").alias("t"), "n_out"), "t", "left")
+        .select(
+            F.col("t").alias("event_type"),
+            F.coalesce("n_out", F.lit(0)).cast("long").alias("n_out"),
+            F.expr("CAST(rank_i AS DOUBLE) / 1e9").alias("pi"),
+        )
+    )

@@ -759,3 +759,28 @@ def test_circadian_rhythm_extremes(spark):
     want = abs(math.cos(0) + math.cos(math.pi / 6) + 1j * (
         math.sin(0) + math.sin(math.pi / 6))) / 2
     assert abs(out[3].r - want) < 1e-7
+
+
+def test_markov_stationary_prefers_sink_heavy_type(spark):
+    """Everyone funnels into 'checkout': its equilibrium share must
+    beat the others'; pi sums to ~1."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        markov_stationary,
+    )
+
+    rows = []
+    eid = 0
+    for u in range(10):
+        for step, t in enumerate(["browse", "search", "checkout"]):
+            rows.append((u, step, eid, t))
+            eid += 1
+        rows.append((u, 3, eid, "checkout"))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, event_type string"
+    )
+    out = {r.event_type: r for r in markov_stationary(ev).collect()}
+    assert out["checkout"].pi > out["browse"].pi
+    assert out["checkout"].pi > out["search"].pi
+    assert abs(sum(r.pi for r in out.values()) - 1.0) < 1e-3
+    assert out["checkout"].n_out == 10  # checkout->checkout loops
