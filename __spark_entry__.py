@@ -912,6 +912,15 @@ def q_textrank(spark, sf_dir):
     return textrank_keywords(_docs(spark, sf_dir), n_iter=3, k=3)
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (Rabin boundary rule): rolling-hash
+    boundaries, md5 chunk fingerprints, corpus-wide copy counts —
+    the storage-dedup view of the corpus."""
+    from pennsieve_streaming_spark.llm.dedup import cdc_chunks
+
+    return cdc_chunks(_docs(spark, sf_dir))
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights: per-doc log-likelihood ratio of the
     src0 unigram LM vs the corpus LM (add-one smoothing over the
@@ -4137,7 +4146,7 @@ _R7_FRONT = [
     "ev_survival_km", "ts_higuchi_fd", "doc_graph_triangles",
     "emb_bq_topk", "ev_circadian", "mm_audio_vad", "doc_dsir_weights",
     "doc_textrank_keywords", "ts_wavelet_denoise", "mm_image_edges",
-    "emb_bq_recall", "ev_markov_stationary",
+    "emb_bq_recall", "ev_markov_stationary", "doc_cdc_chunks",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4226,6 +4235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_edges": q_edge_density,
         "emb_bq_recall": q_bq_recall,
         "ev_markov_stationary": q_markov_stationary,
+        "doc_cdc_chunks": q_cdc_chunks,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -5743,6 +5753,46 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY rank_i DESC, w) AS rank
           FROM r3
         ) WHERE rank <= 3
+        """
+
+    sql["doc_cdc_chunks"] = """
+        WITH d AS (
+          SELECT doc_id, text FROM documents WHERE length(text) >= 1
+        ),
+        chars AS (
+          SELECT doc_id, text,
+                 CAST(UNNEST(generate_series(0, length(text) - 1))
+                   AS BIGINT) AS pos
+          FROM d
+        ),
+        hpos AS (
+          SELECT doc_id, pos, substr(text, pos + 1, 1) AS ch,
+                 CASE WHEN pos >= 7 AND
+                      (((CAST(ascii(substr(text, pos + 1 - 0, 1)) AS BIGINT) * 1 + CAST(ascii(substr(text, pos + 1 - 1, 1)) AS BIGINT) * 31 + CAST(ascii(substr(text, pos + 1 - 2, 1)) AS BIGINT) * 961 + CAST(ascii(substr(text, pos + 1 - 3, 1)) AS BIGINT) * 29791 + CAST(ascii(substr(text, pos + 1 - 4, 1)) AS BIGINT) * 923521 + CAST(ascii(substr(text, pos + 1 - 5, 1)) AS BIGINT) * 28629151 + CAST(ascii(substr(text, pos + 1 - 6, 1)) AS BIGINT) * 887503681 + CAST(ascii(substr(text, pos + 1 - 7, 1)) AS BIGINT) * 27512614111) % 1048576) % 64) = 63
+                      THEN 1 ELSE 0 END AS _bnd
+          FROM chars
+        ),
+        cid AS (
+          SELECT doc_id, pos, ch,
+                 CAST(COALESCE(SUM(_bnd) OVER (PARTITION BY doc_id
+                   ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS chunk_id
+          FROM hpos
+        ),
+        chunks AS (
+          SELECT doc_id, chunk_id,
+                 CAST(MIN(pos) AS BIGINT) AS start_pos,
+                 CAST(COUNT(*) AS BIGINT) AS chunk_len,
+                 md5(string_agg(ch, '' ORDER BY pos)) AS chunk_md5
+          FROM cid GROUP BY doc_id, chunk_id
+        ),
+        copies AS (
+          SELECT chunk_md5, CAST(COUNT(*) AS BIGINT) AS n_copies
+          FROM chunks GROUP BY chunk_md5
+        )
+        SELECT doc_id, chunk_id, start_pos, chunk_len, c.chunk_md5,
+               n_copies
+        FROM chunks c JOIN copies p ON c.chunk_md5 = p.chunk_md5
         """
 
     sql["doc_dsir_weights"] = r"""

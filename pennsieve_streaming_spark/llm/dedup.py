@@ -999,3 +999,96 @@ def shingle_novelty(documents: DataFrame, k: int = 3) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+CDC_W = 8           # rolling-hash window (chars)
+CDC_B = 31          # polynomial base
+CDC_MASK = 1_048_575   # mod 2^20
+CDC_DIV = 64        # boundary when h % 64 == 63 -> ~64-char chunks
+
+
+def cdc_chunks(documents: DataFrame) -> DataFrame:
+    """Content-defined chunking (the LBFS/Rabin boundary rule of
+    Muthitacharoen et al. 2001 — the storage-dedup standard behind
+    restic/borg/LLM-corpus delta storage): a chunk boundary falls
+    after any position whose ``CDC_W``-char polynomial rolling hash
+    satisfies h % CDC_DIV == CDC_DIV−1. Because boundaries are pure
+    functions of LOCAL content, an insertion re-chunks only its own
+    neighborhood — exactly why CDC beats fixed-size blocks for dedup
+    — and, unlike FastCDC's min/max-bounded variant (a sequential
+    dependence a production pipeline would run inside mapInPandas),
+    the unbounded rule is position-parallel and SQL-replayable.
+
+    Determinism: the hash is an exact integer polynomial over code
+    points (all BIGINT, masked to 2^20); chunk ids are exact prefix
+    sums of boundary flags; chunk text reassembles in position order
+    and is fingerprinted with md5 (identical VARCHAR on both
+    engines); n_copies is a corpus-wide exact count per fingerprint.
+
+    Output: (doc_id, chunk_id, start_pos, chunk_len, chunk_md5,
+    n_copies) — n_copies > 1 marks storage-dedupable chunks.
+
+    Plan / 100 TB: one chars-explode (linear, no text duplication —
+    the rolling hash comes from CDC_W window lags, not per-position
+    substring copies), one per-doc window pass (bounded by doc
+    length), one groupBy to chunks, one |chunks|-keyed count join on
+    the 32-char fingerprint. Only (doc, pos, char) rows and chunk
+    fingerprints ever shuffle.
+    """
+    from pyspark.sql import Window
+
+    chars = documents.filter(F.expr("length(text) >= 1")).select(
+        "doc_id",
+        F.posexplode(F.expr("split(text, '')")).alias("pos", "ch"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    h_terms = " + ".join(
+        f"COALESCE(_c{k}, 0) * {CDC_B ** k}" for k in range(CDC_W)
+    )
+    hashed = (
+        chars.withColumn("code", F.expr("CAST(ascii(ch) AS BIGINT)"))
+        .select(
+            "doc_id",
+            "pos",
+            "ch",
+            F.col("code").alias("_c0"),
+            *[
+                F.lag("code", k).over(w).alias(f"_c{k}")
+                for k in range(1, CDC_W)
+            ],
+        )
+        .withColumn(
+            "_bnd",
+            F.expr(
+                f"CASE WHEN pos >= {CDC_W - 1} AND "
+                f"(({h_terms}) % {CDC_MASK + 1}) % {CDC_DIV} "
+                f"= {CDC_DIV - 1} THEN 1 ELSE 0 END"
+            ),
+        )
+        .withColumn(
+            "chunk_id",
+            F.coalesce(
+                F.sum("_bnd").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+    chunks = hashed.groupBy("doc_id", "chunk_id").agg(
+        F.min("pos").cast("long").alias("start_pos"),
+        F.count(F.lit(1)).cast("long").alias("chunk_len"),
+        F.md5(
+            F.expr(
+                "concat_ws('', transform(sort_array(collect_list("
+                "struct(pos, ch))), e -> e.ch))"
+            )
+        ).alias("chunk_md5"),
+    )
+    copies = chunks.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies")
+    )
+    return chunks.join(copies, "chunk_md5").select(
+        "doc_id", "chunk_id", "start_pos", "chunk_len", "chunk_md5",
+        "n_copies",
+    )

@@ -839,3 +839,37 @@ def test_dsir_weights_tilt_toward_target(spark):
     q = 1e9
     w_alpha = (round(math.log(4 / 10) * q) - round(math.log(7 / 19) * q))
     assert abs(out[4].dsir_logratio - (3 * w_alpha / q / 3)) < 1e-12
+
+
+def test_cdc_chunks_shift_invariance_and_dedup(spark):
+    """The CDC property: prepending a prefix to a document re-chunks
+    only the head — the tail chunks keep their fingerprints (fixed
+    -size blocks would all shift). Identical docs share every chunk
+    (n_copies >= 2)."""
+    from pennsieve_streaming_spark.llm.dedup import cdc_chunks
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the rolling hash marks content defined boundaries that "
+        "survive insertions because they only depend on local bytes "
+        "not on absolute offsets in the stream of this document text"
+    ) * 2
+    docs = spark.createDataFrame(
+        [(1, base), (2, "INSERTED PREFIX >>> " + base), (3, base)],
+        "doc_id long, text string",
+    )
+    out = cdc_chunks(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    h1 = {r.chunk_md5 for r in by_doc[1]}
+    h2 = {r.chunk_md5 for r in by_doc[2]}
+    shared = h1 & h2
+    # the tail survives: most of doc1's chunks reappear in doc2
+    assert len(shared) >= len(h1) - 2
+    # identical docs 1 and 3: every chunk duplicated
+    assert all(r.n_copies >= 2 for r in by_doc[1])
+    # chunk lens cover the doc exactly
+    assert sum(r.chunk_len for r in by_doc[1]) == len(base)
+    starts = sorted(r.start_pos for r in by_doc[1])
+    assert starts[0] == 0
