@@ -3207,6 +3207,46 @@ def q_circadian(spark, sf_dir):
     return circadian_rhythm(_user_events(spark, sf_dir))
 
 
+def q_stream_circadian(spark, sf_dir):
+    """Streaming circadian profile drained with availableNow: exact
+    24-bin count state per user, every snapshot recomputed from the
+    shared literal table — the last snapshot per user is bit-identical
+    to ev_circadian, so the batch oracle gates the STREAMING operator
+    too (counts commute: the one stateful operator with no in-order
+    contract)."""
+    import tempfile
+
+    from pennsieve_streaming_spark.streaming.circadian import (
+        circadian_stream,
+    )
+
+    ev = _user_events(spark, sf_dir).select("user_id", "ts")
+    base = tempfile.mkdtemp(prefix="pss_stream_circ_")
+    src = f"{base}/src"
+    ev.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, ts long").parquet(src)
+    )
+    q = (
+        circadian_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(f"{base}/out")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def q_markov_stationary(spark, sf_dir):
     """Stationary distribution of the event-type Markov chain: 5
     damped integer-mass power-iteration rounds (pagerank contract)
@@ -4147,6 +4187,7 @@ _R7_FRONT = [
     "emb_bq_topk", "ev_circadian", "mm_audio_vad", "doc_dsir_weights",
     "doc_textrank_keywords", "ts_wavelet_denoise", "mm_image_edges",
     "emb_bq_recall", "ev_markov_stationary", "doc_cdc_chunks",
+    "stream_circadian",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4236,6 +4277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_bq_recall": q_bq_recall,
         "ev_markov_stationary": q_markov_stationary,
         "doc_cdc_chunks": q_cdc_chunks,
+        "stream_circadian": q_stream_circadian,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -6663,6 +6705,8 @@ def oracle_sql() -> dict[str, str]:
                n_events * ({_cr}) * ({_cr}) > {_RAY_CRIT:.17e} AS circadian
         FROM g
         """
+
+    sql["stream_circadian"] = sql["ev_circadian"]
 
     sql["ev_markov_stationary"] = f"""
         WITH mev AS (
