@@ -1085,10 +1085,15 @@ def cdc_chunks(documents: DataFrame) -> DataFrame:
             )
         ).alias("chunk_md5"),
     )
-    copies = chunks.groupBy("chunk_md5").agg(
-        F.count(F.lit(1)).cast("long").alias("n_copies")
-    )
-    return chunks.join(copies, "chunk_md5").select(
-        "doc_id", "chunk_id", "start_pos", "chunk_len", "chunk_md5",
-        "n_copies",
+    # copy counts as a window over the fingerprint — ONE exchange on
+    # chunk_md5 instead of a groupBy + join pair (plan-guarded in the
+    # scale smoke: the whole operator stays at three exchanges)
+    cw = Window.partitionBy("chunk_md5")
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "start_pos",
+        "chunk_len",
+        "chunk_md5",
+        F.count(F.lit(1)).over(cw).cast("long").alias("n_copies"),
     )

@@ -220,6 +220,17 @@ def main() -> None:
     results["ts_uneven_periodogram"] = _force(pg)
     plans["ts_uneven_periodogram"] = _plan(pg)
 
+    # --- doc_cdc_chunks at 10x --------------------------------------------
+    from pennsieve_streaming_spark.llm.dedup import cdc_chunks
+
+    cdc_docs = _replicate(docs, ["doc_id"], FACTOR).withColumn(
+        "text",
+        F.concat(F.lit("r"), F.col("_rep").cast("string"), F.lit(" "), "text"),
+    ).drop("_rep")
+    cdc = cdc_chunks(cdc_docs)
+    results["doc_cdc_chunks"] = _force(cdc)
+    plans["doc_cdc_chunks"] = _plan(cdc)
+
     # --- plan-shape guards (the 100x design evidence) ---------------------
     problems = []
     for name, plan in plans.items():
@@ -236,6 +247,13 @@ def main() -> None:
     # trig sums split into multiple scans
     if plans["ts_uneven_periodogram"].count("Exchange hashpartitioning") > 3:
         problems.append("periodogram: more exchanges than the 1-pass shape")
+    # CDC must stay the linear shape: one per-doc window pass (chars
+    # never join against per-position text copies), then chunk/copy
+    # partial aggs — more exchanges would mean a text-duplicating plan
+    if plans["doc_cdc_chunks"].count("Exchange hashpartitioning") > 3:
+        problems.append("cdc: more exchanges than the linear shape")
+    if "CartesianProduct" in plans["doc_cdc_chunks"]:
+        problems.append("cdc: cartesian")
 
     print(
         json.dumps(
