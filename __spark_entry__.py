@@ -3847,6 +3847,18 @@ def q_ar2_model(spark, sf_dir):
     return ar2_yule_walker(_locf_day_grid(spark, sf_dir), CORR_QUANT)
 
 
+def q_mutual_info(spark, sf_dir):
+    """Binned mutual information between aligned channel pairs on the
+    LOCF day grid: exact integer equal-width bins, nano-nat
+    DECIMAL(38,0) cell weights — the model-free coupling detector
+    next to correlation/coherence/Granger."""
+    from pennsieve_streaming_spark.operators.stats import (
+        mutual_information,
+    )
+
+    return mutual_information(_locf_day_grid(spark, sf_dir), 8, CORR_QUANT)
+
+
 def q_granger_screen(spark, sf_dir):
     """Granger-style lead-lag causality screen over directed channel
     pairs on the shared LOCF day grid: does x's yesterday improve the
@@ -4187,7 +4199,7 @@ _R7_FRONT = [
     "emb_bq_topk", "ev_circadian", "mm_audio_vad", "doc_dsir_weights",
     "doc_textrank_keywords", "ts_wavelet_denoise", "mm_image_edges",
     "emb_bq_recall", "ev_markov_stationary", "doc_cdc_chunks",
-    "stream_circadian",
+    "stream_circadian", "ts_mutual_info",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4278,6 +4290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_markov_stationary": q_markov_stationary,
         "doc_cdc_chunks": q_cdc_chunks,
         "stream_circadian": q_stream_circadian,
+        "ts_mutual_info": q_mutual_info,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -10209,6 +10222,88 @@ def oracle_sql() -> dict[str, str]:
         G_BETA_AR as _G_BAR,
         G_BETA_X as _G_BX,
         G_PARTIAL_R as _G_PR,
+    )
+
+    sql["ts_mutual_info"] = with_views(
+        f"""
+        WITH b AS (
+          SELECT MAX(start_ts) AS lo, MIN(end_ts) AS hi FROM channels
+        ),
+        gb AS (
+          SELECT UNNEST(generate_series(
+            ((lo + {_DAY} - 1) // {_DAY}) * {_DAY}, hi, {_DAY})) AS ts
+          FROM b
+        ),
+        grid AS (
+          SELECT c.channel, gb.ts
+          FROM (SELECT DISTINCT channel FROM channels) c CROSS JOIN gb
+        ),
+        u AS (
+          SELECT channel, ts, value, 0 AS is_grid FROM samples
+          UNION ALL
+          SELECT channel, ts, CAST(NULL AS DOUBLE), 1 FROM grid
+        ),
+        f AS (
+          SELECT channel, ts, is_grid,
+                 last_value(value IGNORE NULLS) OVER w AS fill
+          FROM u
+          WINDOW w AS (PARTITION BY channel ORDER BY ts, is_grid, value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        vals AS (
+          SELECT channel, ts,
+                 CAST(round(fill * {CORR_QUANT}) AS BIGINT) AS xq
+          FROM f WHERE is_grid = 1
+        ),
+        ext AS (
+          SELECT channel, MIN(xq) AS mn, MAX(xq) AS mx
+          FROM vals GROUP BY channel
+        ),
+        binned AS (
+          SELECT v.channel, v.ts,
+                 CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+                      ELSE ((xq - mn) * 8) // (mx - mn + 1) END AS bin
+          FROM vals v JOIN ext e ON v.channel = e.channel
+        ),
+        joint AS (
+          SELECT l.channel AS ch_x, r.channel AS ch_y,
+                 l.bin AS bx, r.bin AS byy,
+                 CAST(COUNT(*) AS BIGINT) AS n_ij
+          FROM binned l JOIN binned r
+            ON l.ts = r.ts AND l.channel < r.channel
+          GROUP BY l.channel, r.channel, l.bin, r.bin
+        ),
+        rx AS (
+          SELECT ch_x, ch_y, bx, CAST(SUM(n_ij) AS BIGINT) AS r_i
+          FROM joint GROUP BY ch_x, ch_y, bx
+        ),
+        cy AS (
+          SELECT ch_x, ch_y, byy, CAST(SUM(n_ij) AS BIGINT) AS c_j
+          FROM joint GROUP BY ch_x, ch_y, byy
+        ),
+        nn AS (
+          SELECT ch_x, ch_y, CAST(SUM(n_ij) AS BIGINT) AS n
+          FROM joint GROUP BY ch_x, ch_y
+        ),
+        wts AS (
+          SELECT j.ch_x, j.ch_y, nn.n,
+                 CAST(j.n_ij AS HUGEINT) * (
+                   CAST(round(ln(CAST(j.n_ij AS DOUBLE)) * 1000000000) AS BIGINT) + CAST(round(ln(CAST(nn.n AS DOUBLE)) * 1000000000) AS BIGINT)
+                   - CAST(round(ln(CAST(rx.r_i AS DOUBLE)) * 1000000000) AS BIGINT) - CAST(round(ln(CAST(cy.c_j AS DOUBLE)) * 1000000000) AS BIGINT)
+                 ) AS w
+          FROM joint j
+          JOIN rx ON j.ch_x = rx.ch_x AND j.ch_y = rx.ch_y
+                 AND j.bx = rx.bx
+          JOIN cy ON j.ch_x = cy.ch_x AND j.ch_y = cy.ch_y
+                 AND j.byy = cy.byy
+          JOIN nn ON j.ch_x = nn.ch_x AND j.ch_y = nn.ch_y
+        )
+        SELECT ch_x, ch_y, CAST(MAX(n) AS BIGINT) AS n,
+               (CAST(SUM(w) AS DOUBLE) / 1000000000) / MAX(n) AS mi
+        FROM wts GROUP BY ch_x, ch_y
+        """,
+        "samples",
+        "channels",
     )
 
     sql["ts_granger_screen"] = with_views(

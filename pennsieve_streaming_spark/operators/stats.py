@@ -3327,3 +3327,103 @@ def haar_denoise(
             f" + _dsum) / CAST({q} AS DOUBLE)"
         ).alias("denoised"),
     )
+
+
+def mutual_information(
+    values: DataFrame, n_bins: int = 8, quant: int = 100
+) -> DataFrame:
+    """Binned mutual information between aligned channel pairs — the
+    model-free coupling detector next to the linear family
+    (correlation, coherence, Granger): MI sees ANY deterministic or
+    stochastic dependence, not just linear/spectral structure.
+    ``values`` must be time-aligned rows per channel (the asof_locf
+    grid contract); each channel is discretized into ``n_bins``
+    equal-width amplitude bins between its own min and max.
+
+        MI = Σ_ij (n_ij/N) · ln( n_ij·N / (r_i·c_j) )
+
+    Determinism: bins are exact integer arithmetic
+    ((xq−mn)·B div (mx−mn+1)); joint/marginal counts are exact;
+    each cell carries the integer weight
+    n_ij·(ln n_ij + ln N − ln r_i − ln c_j) with every ln
+    1e9-quantized, accumulated in DECIMAL(38,0) (the source_kl
+    class); the final MI is one fixed cast-divide-divide chain.
+    MI ≥ 0 up to quantization; independent channels ≈ 0.
+
+    Output: (ch_x, ch_y, n, mi) for every unordered pair
+    (ch_x < ch_y), mi in nats.
+
+    Plan / 100 TB: per-channel min/max is one partial-agg groupBy
+    (broadcast back); the pair join is the granger/xcorr ts-equi
+    self-join (all pairs share one shuffle keyed on ts); joint
+    counts collapse to ≤ |pairs|·B² rows with map-side partials.
+    """
+    q = int(quant)
+    b = int(n_bins)
+    v = values.select(
+        "channel",
+        "ts",
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    )
+    if hasattr(v, "_jdf"):
+        v = v.localCheckpoint()
+    ext = v.groupBy("channel").agg(
+        F.min("xq").alias("mn"), F.max("xq").alias("mx")
+    )
+    binned = v.join(F.broadcast(ext), "channel").select(
+        "channel",
+        "ts",
+        F.expr(
+            f"CASE WHEN mx = mn THEN CAST(0 AS BIGINT) ELSE "
+            f"((xq - mn) * {b}) div (mx - mn + 1) END"
+        ).alias("bin"),
+    )
+    lhs = binned.select(
+        F.col("channel").alias("ch_x"), "ts", F.col("bin").alias("bx")
+    )
+    rhs = binned.select(
+        F.col("channel").alias("ch_y"), "ts", F.col("bin").alias("by")
+    )
+    joint = (
+        lhs.join(rhs, "ts")
+        .filter(F.col("ch_x") < F.col("ch_y"))
+        .groupBy("ch_x", "ch_y", "bx", "by")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ij"))
+    )
+    if hasattr(joint, "_jdf"):
+        # joint feeds three subtrees (itself + both marginals)
+        joint = joint.localCheckpoint()
+    rx = joint.groupBy("ch_x", "ch_y", "bx").agg(
+        F.sum("n_ij").cast("long").alias("r_i")
+    )
+    cy = joint.groupBy("ch_x", "ch_y", "by").agg(
+        F.sum("n_ij").cast("long").alias("c_j")
+    )
+    nn = joint.groupBy("ch_x", "ch_y").agg(
+        F.sum("n_ij").cast("long").alias("n")
+    )
+    LNQ = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1000000000) AS BIGINT)"
+    w = F.expr(
+        "CAST(n_ij AS DECIMAL(38,0)) * ("
+        + LNQ.format(x="n_ij") + " + " + LNQ.format(x="n")
+        + " - " + LNQ.format(x="r_i") + " - " + LNQ.format(x="c_j")
+        + ")"
+    )
+    j = (
+        joint.join(rx, ["ch_x", "ch_y", "bx"])
+        .join(cy, ["ch_x", "ch_y", "by"])
+        .join(F.broadcast(nn), ["ch_x", "ch_y"])
+    )
+    return (
+        j.groupBy("ch_x", "ch_y")
+        .agg(F.max("n").alias("n"), F.sum(w).alias("_miq"))
+        .select(
+            "ch_x",
+            "ch_y",
+            "n",
+            (
+                (F.col("_miq").cast("double") / 1_000_000_000)
+                / F.col("n")
+            ).alias("mi"),
+        )
+    )

@@ -1079,3 +1079,29 @@ def test_haar_denoise_lossless_and_noise_kill(spark):
         rows + [("c", 200, 5.0)], "channel string, ts long, value double"
     )
     assert haar_denoise(df2, 128, 4, 1, 3).count() == 128
+
+
+def test_mutual_information_dependence_vs_independence(spark):
+    """y = x (a bijection of bins) gives MI = ln(B) over uniform
+    bins; a constant channel gives MI = 0; independent-ish channels
+    give MI near 0 and far below the coupled pair."""
+    import math
+
+    from pennsieve_streaming_spark.operators.stats import (
+        mutual_information,
+    )
+
+    rows = []
+    for t in range(640):
+        x = float(t % 8)
+        rows.append(("a", t, x))
+        rows.append(("b", t, 7.0 - x))            # bijective coupling
+        rows.append(("c", t, float((t // 8) % 8)))  # independent coord
+        rows.append(("k", t, 4.0))                # constant
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = {(r.ch_x, r.ch_y): r for r in mutual_information(df, 8).collect()}
+    ab = out[("a", "b")]
+    assert abs(ab.mi - math.log(8)) < 1e-6 and ab.n == 640
+    assert out[("a", "k")].mi == 0.0
+    # exactly uniform joint over 640 = 8*8*10 samples -> MI 0
+    assert abs(out[("a", "c")].mi) <= 2e-9  # ln-quantization ulps
