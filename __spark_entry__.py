@@ -904,6 +904,14 @@ def q_source_kl(spark, sf_dir):
     return source_kl_divergence(_docs(spark, sf_dir))
 
 
+def q_heaps_law(spark, sf_dir):
+    """Heaps-law vocabulary-growth fit: exact per-doc prefix sums on
+    the two-phase global cumsum, nano-nat OLS in log-log space."""
+    from pennsieve_streaming_spark.llm.text import heaps_law
+
+    return heaps_law(_docs(spark, sf_dir))
+
+
 def q_textrank(spark, sf_dir):
     """TextRank keywords: 3 damped integer-PageRank rounds over the
     per-doc word-adjacency graph, top-3 words per doc."""
@@ -4199,7 +4207,7 @@ _R7_FRONT = [
     "emb_bq_topk", "ev_circadian", "mm_audio_vad", "doc_dsir_weights",
     "doc_textrank_keywords", "ts_wavelet_denoise", "mm_image_edges",
     "emb_bq_recall", "ev_markov_stationary", "doc_cdc_chunks",
-    "stream_circadian", "ts_mutual_info",
+    "stream_circadian", "ts_mutual_info", "doc_heaps_law",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4291,6 +4299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cdc_chunks": q_cdc_chunks,
         "stream_circadian": q_stream_circadian,
         "ts_mutual_info": q_mutual_info,
+        "doc_heaps_law": q_heaps_law,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -5848,6 +5857,60 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, chunk_id, start_pos, chunk_len, c.chunk_md5,
                n_copies
         FROM chunks c JOIN copies p ON c.chunk_md5 = p.chunk_md5
+        """
+
+    sql["doc_heaps_law"] = r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 UNNEST(regexp_split_to_array(trim(text), '\s+')) AS t
+          FROM documents
+        ),
+        tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+        per_doc AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_d
+          FROM tok2 GROUP BY doc_id
+        ),
+        firsts AS (SELECT t, MIN(doc_id) AS doc_id FROM tok2 GROUP BY t),
+        new_terms AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS v_d
+          FROM firsts GROUP BY doc_id
+        ),
+        doc_tbl AS (
+          SELECT p.doc_id, p.n_d,
+                 CAST(COALESCE(nt.v_d, 0) AS BIGINT) AS v_d
+          FROM per_doc p LEFT JOIN new_terms nt ON p.doc_id = nt.doc_id
+        ),
+        cum AS (
+          SELECT doc_id,
+                 CAST(SUM(n_d) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS N,
+                 CAST(SUM(v_d) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS V
+          FROM doc_tbl
+        ),
+        pts AS (
+          SELECT CAST(round(ln(CAST(N AS DOUBLE)) * 1000000000) AS BIGINT) AS lx,
+                 CAST(round(ln(CAST(V AS DOUBLE)) * 1000000000) AS BIGINT) AS ly, N, V
+          FROM cum WHERE N > 0 AND V > 0
+        ),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                 SUM(CAST(lx AS HUGEINT)) AS sx,
+                 SUM(CAST(ly AS HUGEINT)) AS sy,
+                 SUM(CAST(lx AS HUGEINT) * lx) AS sxx,
+                 SUM(CAST(lx AS HUGEINT) * ly) AS sxy,
+                 CAST(MAX(N) AS BIGINT) AS total_tokens,
+                 CAST(MAX(V) AS BIGINT) AS vocab
+          FROM pts
+        )
+        SELECT m AS n_docs, total_tokens, vocab,
+               CASE WHEN m > 1 THEN round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) END AS beta,
+               CASE WHEN m > 1 THEN round((CAST(sy AS DOUBLE)
+                 - ((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+                 / (1000000000.0 * m), 9) END AS ln_k
+        FROM agg
         """
 
     sql["doc_dsir_weights"] = r"""

@@ -1202,3 +1202,84 @@ def textrank_keywords(
             "rank",
         )
     )
+
+
+def heaps_law(documents: DataFrame) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (Heaps 1978): V(N) ≈ K·N^β —
+    the corpus-scaling diagnostic that answers "how fast does the
+    vocabulary keep growing if we ingest 10× more of this source?"
+    (β near 1 = open vocabulary / noisy text; 0.4-0.6 = natural
+    language). Docs are consumed in doc_id order; each checkpoint d
+    contributes (ln N_d, ln V_d) to an OLS fit in log-log space.
+
+    Determinism: per-doc token counts and first-occurrence new-term
+    counts are exact; the running (N_d, V_d) prefix sums run on the
+    two-phase ``util.global_cumsum`` (NEVER a single-task global
+    window — checkpoints are |docs| rows); each checkpoint's lns are
+    1e9-quantized BIGINTs whose OLS moments accumulate in
+    DECIMAL(38,0); slope/intercept are single fixed float expressions.
+
+    Output: one row (n_docs, total_tokens, vocab, beta, ln_k).
+
+    Scale: tokens shuffle once into (term, first_doc) minima; the
+    checkpoint table is |docs| rows; the fit is one partial-agg
+    reduce to a single row.
+    """
+    from pennsieve_streaming_spark.util import global_cumsum
+
+    toks = documents.select(
+        "doc_id", F.explode(F.expr(TOKS)).alias("t")
+    ).filter(F.col("t") != "")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_d")
+    )
+    first = toks.groupBy("t").agg(F.min("doc_id").alias("doc_id"))
+    new_terms = first.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("v_d")
+    )
+    doc_tbl = per_doc.join(new_terms, "doc_id", "left").select(
+        "doc_id",
+        "n_d",
+        F.coalesce("v_d", F.lit(0)).cast("long").alias("v_d"),
+    )
+    cn = global_cumsum(doc_tbl, ["doc_id"], "n_d", "N")
+    cv = global_cumsum(cn, ["doc_id"], "v_d", "V")
+    LNQ = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1000000000) AS BIGINT)"
+    pts = cv.filter((F.col("N") > 0) & (F.col("V") > 0)).select(
+        F.expr(LNQ.format(x="N")).alias("lx"),
+        F.expr(LNQ.format(x="V")).alias("ly"),
+        "N",
+        "V",
+    )
+    d38 = "CAST({c} AS DECIMAL(38,0))"
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.expr(d38.format(c="lx"))).alias("sx"),
+        F.sum(F.expr(d38.format(c="ly"))).alias("sy"),
+        F.sum(
+            F.expr(f"{d38.format(c='lx')} * {d38.format(c='lx')}")
+        ).alias("sxx"),
+        F.sum(
+            F.expr(f"{d38.format(c='lx')} * {d38.format(c='ly')}")
+        ).alias("sxy"),
+        F.max("N").cast("long").alias("total_tokens"),
+        F.max("V").cast("long").alias("vocab"),
+    )
+    # beta = (m*sxy - sx*sy) / (m*sxx - sx^2); ln_k = (sy - beta*sx)/m
+    beta = (
+        "(CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    return agg.select(
+        F.col("m").alias("n_docs"),
+        "total_tokens",
+        "vocab",
+        F.expr(f"CASE WHEN m > 1 THEN round({beta}, 9) END").alias("beta"),
+        F.expr(
+            f"CASE WHEN m > 1 THEN round((CAST(sy AS DOUBLE)"
+            f" - ({beta}) * CAST(sx AS DOUBLE))"
+            f" / (1000000000.0 * m), 9) END"
+        ).alias("ln_k"),
+    )

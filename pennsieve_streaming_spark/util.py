@@ -115,3 +115,71 @@ def global_rank(
         )
         .drop("_gr_pid", "_gr_lrank")
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols,
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running sum over a TOTAL order without the
+    single-task global window — the :func:`global_rank` two-phase
+    pattern applied to a BIGINT value column:
+
+    1. ``repartitionByRange`` on the order columns;
+    2. within-partition cumulative sum (parallel);
+    3. offset each partition by the TOTALS of the partitions before
+       it (a |partitions|-row driver fold, not a data collect).
+
+    ``order_cols`` must define a total order; ``value_col`` must be
+    integral (exact adds — the whole point). Result is bit-identical
+    to ``SUM(value) OVER (ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING)``.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    n = num_partitions
+    if n is None:
+        if hasattr(df, "_jdf"):
+            n = spark.sparkContext.defaultParallelism
+        else:
+            n = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+    parted = df.repartitionByRange(n, *order_cols).withColumn(
+        "_gc_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_gc_pid").orderBy(*order_cols)
+    local = parted.withColumn(
+        "_gc_lsum",
+        F.sum(value_col)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    ).localCheckpoint()
+    sizes = sorted(
+        (
+            (r["_gc_pid"], r["_gc_tot"])
+            for r in local.groupBy("_gc_pid")
+            .agg(F.sum(value_col).cast("long").alias("_gc_tot"))
+            .collect()
+        ),
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, tot in sizes:
+        offsets[pid] = acc
+        acc += int(tot)
+    if not offsets:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    omap = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    return (
+        local.withColumn(
+            out_col,
+            (F.col("_gc_lsum") + omap[F.col("_gc_pid")]).cast("long"),
+        )
+        .drop("_gc_pid", "_gc_lsum")
+    )

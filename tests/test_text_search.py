@@ -602,3 +602,50 @@ def test_textrank_hub_word_wins(spark):
     assert all(w not in ("and",) for _, w, _ in out[1])
     assert sorted(out[2]) == [(1, "hello", out[2][0][2])]
     assert abs(out[2][0][2] - 1.0) < 1e-6   # all mass stays on the word
+
+
+def test_heaps_law_power_corpus(spark):
+    """A corpus engineered so V = N^0.5 exactly at every checkpoint
+    (doc d contributes 2d-1 tokens, all new -> N_d = d^2 = V_d^2...
+    actually V grows linearly: make every token new so V = N and
+    beta = 1; and a repeat-heavy corpus drives beta down."""
+    from pennsieve_streaming_spark.llm.text import heaps_law
+
+    # all-new tokens: V(N) = N -> beta = 1, ln_k = 0
+    docs1 = spark.createDataFrame(
+        [(d, " ".join(f"w{d}_{i}" for i in range(5))) for d in range(1, 21)],
+        "doc_id long, text string",
+    )
+    [r1] = heaps_law(docs1).collect()
+    assert r1.n_docs == 20 and r1.total_tokens == 100 and r1.vocab == 100
+    assert abs(r1.beta - 1.0) < 1e-6 and abs(r1.ln_k) < 1e-6
+
+    # one shared token repeated: vocab saturates -> beta near 0
+    docs2 = spark.createDataFrame(
+        [(d, "same same same same") for d in range(1, 21)],
+        "doc_id long, text string",
+    )
+    [r2] = heaps_law(docs2).collect()
+    assert r2.vocab == 1 and r2.beta < 0.1
+
+
+def test_global_cumsum_matches_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pennsieve_streaming_spark.util import global_cumsum
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 13) for i in range(500)], "k long, v long"
+    )
+    got = {
+        r.k: r.c
+        for r in global_cumsum(df, ["k"], "v", "c", num_partitions=7)
+        .collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.k: r.c
+        for r in df.withColumn("c", F.sum("v").over(w)).collect()
+    }
+    assert got == want
