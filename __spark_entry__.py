@@ -3481,6 +3481,15 @@ def q_line_length(spark, sf_dir):
     )
 
 
+def q_hampel(spark, sf_dir):
+    """Hampel despiking over tumbling 32-sample windows: exact
+    median/MAD order statistics, integer spike rule, median
+    replacement."""
+    from pennsieve_streaming_spark.operators.stats import hampel_despike
+
+    return hampel_despike(TBL.samples_view(spark, sf_dir), 32, SE_QUANT, 3)
+
+
 def q_wavelet_denoise(spark, sf_dir):
     """Haar wavelet shrinkage: integer transform, MAD hard threshold
     (pure integer keep-rule), dyadic-exact reconstruction — edges
@@ -4208,6 +4217,7 @@ _R7_FRONT = [
     "doc_textrank_keywords", "ts_wavelet_denoise", "mm_image_edges",
     "emb_bq_recall", "ev_markov_stationary", "doc_cdc_chunks",
     "stream_circadian", "ts_mutual_info", "doc_heaps_law",
+    "ts_hampel_despike",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4300,6 +4310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_circadian": q_stream_circadian,
         "ts_mutual_info": q_mutual_info,
         "doc_heaps_law": q_heaps_law,
+        "ts_hampel_despike": q_hampel,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -9164,6 +9175,60 @@ def oracle_sql() -> dict[str, str]:
                {", ".join(f"{_hf_l[k]} AS l{k}" for k in range(1, _hf_k + 1))},
                CASE WHEN {_hf_pos} THEN {_hf_fd} END AS fd
         FROM g
+        """,
+        "samples",
+    )
+
+    sql["ts_hampel_despike"] = with_views(
+        f"""
+        WITH ranked AS (
+          SELECT channel, ts, value,
+                 CAST(round(value * {SE_QUANT}) AS BIGINT) AS xq,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS _rn
+          FROM samples
+        ),
+        posd AS (
+          SELECT channel, ts, value, xq,
+                 CAST(_rn // 32 AS BIGINT) AS win,
+                 CAST(_rn % 32 AS BIGINT) AS pos
+          FROM ranked
+        ),
+        fullw AS (
+          SELECT channel, win FROM posd GROUP BY channel, win
+          HAVING COUNT(*) = 32
+        ),
+        rk AS (
+          SELECT p.* FROM posd p
+          JOIN fullw f ON p.channel = f.channel AND p.win = f.win
+        ),
+        med AS (
+          SELECT channel, win, xq AS med_q FROM (
+            SELECT channel, win, xq,
+                   ROW_NUMBER() OVER (PARTITION BY channel, win
+                       ORDER BY xq, pos) AS _ar
+            FROM rk
+          ) WHERE _ar = (32 + 1) // 2
+        ),
+        dev AS (
+          SELECT r.channel, r.ts, r.value, r.win, r.pos,
+                 abs(r.xq - m.med_q) AS adev, m.med_q
+          FROM rk r JOIN med m ON r.channel = m.channel AND r.win = m.win
+        ),
+        mad AS (
+          SELECT channel, win, adev AS mad_q FROM (
+            SELECT channel, win, adev,
+                   ROW_NUMBER() OVER (PARTITION BY channel, win
+                       ORDER BY adev, pos) AS _ar
+            FROM dev
+          ) WHERE _ar = (32 + 1) // 2
+        )
+        SELECT d.channel, d.ts, d.value, d.win,
+               d.adev > 3 * a.mad_q AS is_spike,
+               CASE WHEN d.adev > 3 * a.mad_q
+                    THEN CAST(d.med_q AS DOUBLE) / {SE_QUANT}
+                    ELSE d.value END AS despiked
+        FROM dev d JOIN mad a ON d.channel = a.channel AND d.win = a.win
         """,
         "samples",
     )

@@ -3427,3 +3427,85 @@ def mutual_information(
             ).alias("mi"),
         )
     )
+
+
+def hampel_despike(
+    samples: DataFrame,
+    window_samples: int = 32,
+    quant: int = 100,
+    k: int = 3,
+) -> DataFrame:
+    """Hampel filter (Hampel 1974; the robust despiking standard) over
+    tumbling windows: a sample is a spike when it deviates from its
+    window MEDIAN by more than ``k``× the window MAD — mean/variance
+    rules famously fail here because the spike inflates its own
+    threshold; median/MAD have a 50% breakdown point. Spikes are
+    replaced by the window median — the cleaning complement of
+    detect_peaks (which REPORTS extremes) and cfar_peaks (adaptive
+    mean). Tumbling windows keep the operator embarrassingly
+    parallel; the rolling variant is the documented
+    blocked-halo extension (rolling.py pattern).
+
+    Determinism — all-integer: window median and MAD are k-th-smallest
+    order statistics under total orders ((xq, pos) and (adev, pos));
+    the spike rule |xq − med|·1 > k·mad is a pure integer comparison;
+    the despiked value is med/quant or the original — one fixed
+    division each.
+
+    Output: (channel, ts, value, win, is_spike, despiked); ragged tail
+    windows drop (the hjorth rule).
+
+    Plan / 100 TB: one per-channel ranking window, then everything
+    keys on (channel, win) — fine-grained, skew-free; two in-window
+    rank passes (median, MAD) + one broadcast-free join back by
+    position.
+    """
+    ws = int(window_samples)
+    q = int(quant)
+    kk = int(k)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    ranked = (
+        samples.select(
+            "channel",
+            "ts",
+            "value",
+            (F.row_number().over(w) - 1).alias("_rn"),
+            F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+        )
+        .withColumn("win", (F.col("_rn") / ws).cast("long"))
+        .withColumn("pos", (F.col("_rn") % ws).cast("long"))
+    )
+    full = (
+        ranked.groupBy("channel", "win")
+        .agg(F.count(F.lit(1)).cast("long").alias("_nw"))
+        .filter(F.col("_nw") == ws)
+        .select("channel", "win")
+    )
+    rk = ranked.join(full, ["channel", "win"])
+    mw = Window.partitionBy("channel", "win").orderBy("xq", "pos")
+    med = (
+        rk.withColumn("_ar", F.row_number().over(mw))
+        .filter(F.col("_ar") == (ws + 1) // 2)
+        .select("channel", "win", F.col("xq").alias("med_q"))
+    )
+    dev = rk.join(med, ["channel", "win"]).withColumn(
+        "adev", F.expr("abs(xq - med_q)")
+    )
+    aw = Window.partitionBy("channel", "win").orderBy("adev", "pos")
+    mad = (
+        dev.withColumn("_ar", F.row_number().over(aw))
+        .filter(F.col("_ar") == (ws + 1) // 2)
+        .select("channel", "win", F.col("adev").alias("mad_q"))
+    )
+    out = dev.join(mad, ["channel", "win"])
+    return out.select(
+        "channel",
+        "ts",
+        "value",
+        "win",
+        F.expr(f"adev > {kk} * mad_q").alias("is_spike"),
+        F.expr(
+            f"CASE WHEN adev > {kk} * mad_q "
+            f"THEN CAST(med_q AS DOUBLE) / {q} ELSE value END"
+        ).alias("despiked"),
+    )

@@ -1105,3 +1105,25 @@ def test_mutual_information_dependence_vs_independence(spark):
     assert out[("a", "k")].mi == 0.0
     # exactly uniform joint over 640 = 8*8*10 samples -> MI 0
     assert abs(out[("a", "c")].mi) <= 2e-9  # ln-quantization ulps
+
+
+def test_hampel_despike_replaces_spikes_only(spark):
+    """A flat-ish window with one huge spike: the spike is replaced
+    by the window median, everything else passes through; a clean
+    linear window has no spikes (MAD scales with the slope)."""
+    from pennsieve_streaming_spark.operators.stats import hampel_despike
+
+    rows = []
+    vals = [10.0] * 16 + [11.0] * 15 + [999.0]   # spike at pos 31
+    for t, v in enumerate(vals):
+        rows.append(("a", t, v))
+    for t in range(32):
+        rows.append(("b", t, float(t)))           # clean ramp
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = {(r.channel, r.ts): r for r in
+           hampel_despike(df, 32, 1, 3).collect()}
+    spike = out[("a", 31)]
+    assert spike.is_spike is True and spike.despiked == 10.0  # median
+    assert out[("a", 5)].is_spike is False
+    assert out[("a", 5)].despiked == 10.0
+    assert all(not out[("b", t)].is_spike for t in range(32))
