@@ -1283,6 +1283,16 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_bucketed_ann(embs, embs.filter(F.col("vec_id") < 20), k=5)
 
 
+def q_knn_graph(spark, sf_dir):
+    """k-NN graph construction (every vector's top-3 in-bucket cosine
+    neighbors): the LSH bucket equi-join applied corpus-to-corpus —
+    the build step of graph-ANN indexes and embedding-dedup passes; at
+    scale n_planes grows with the corpus so per-bucket work stays
+    bounded (the dedup-cap discipline)."""
+    embs = _embs(spark, sf_dir)
+    return lsh_bucketed_ann(embs, embs, k=3)
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF-Flat ANN with deterministic literal centroids so the DuckDB
     oracle replays list assignment, probing, and in-list scoring."""
@@ -4217,7 +4227,7 @@ _R7_FRONT = [
     "doc_textrank_keywords", "ts_wavelet_denoise", "mm_image_edges",
     "emb_bq_recall", "ev_markov_stationary", "doc_cdc_chunks",
     "stream_circadian", "ts_mutual_info", "doc_heaps_law",
-    "ts_hampel_despike",
+    "ts_hampel_despike", "emb_knn_graph",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4311,6 +4321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_mutual_info": q_mutual_info,
         "doc_heaps_law": q_heaps_law,
         "ts_hampel_despike": q_hampel,
+        "emb_knn_graph": q_knn_graph,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -12859,6 +12870,10 @@ def oracle_sql() -> dict[str, str]:
           FROM scored
         ) WHERE rank <= {ANN_K}
         """
+
+    sql["emb_knn_graph"] = sql["emb_ann_lsh"].replace(
+        "WHERE e.vec_id < 20", ""
+    ).replace(f"WHERE rank <= {ANN_K}", "WHERE rank <= 3")
 
     # --- ANN recall@k eval: LSH index vs exact top-k ground truth -----------
     # Composes the two already-gated oracle queries verbatim as derived
