@@ -3874,6 +3874,17 @@ def q_ar2_model(spark, sf_dir):
     return ar2_yule_walker(_locf_day_grid(spark, sf_dir), CORR_QUANT)
 
 
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend per channel on the LOCF day grid: the
+    median pairwise slope (k-th-smallest under a total order);
+    O(days^2) per channel by construction."""
+    from pennsieve_streaming_spark.operators.stats import theil_sen_slope
+
+    return theil_sen_slope(
+        _locf_day_grid(spark, sf_dir), GRID_INTERVAL_US, CORR_QUANT
+    )
+
+
 def q_mutual_info(spark, sf_dir):
     """Binned mutual information between aligned channel pairs on the
     LOCF day grid: exact integer equal-width bins, nano-nat
@@ -4227,7 +4238,7 @@ _R7_FRONT = [
     "doc_textrank_keywords", "ts_wavelet_denoise", "mm_image_edges",
     "emb_bq_recall", "ev_markov_stationary", "doc_cdc_chunks",
     "stream_circadian", "ts_mutual_info", "doc_heaps_law",
-    "ts_hampel_despike", "emb_knn_graph",
+    "ts_hampel_despike", "emb_knn_graph", "ts_theil_sen",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4322,6 +4333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_heaps_law": q_heaps_law,
         "ts_hampel_despike": q_hampel,
         "emb_knn_graph": q_knn_graph,
+        "ts_theil_sen": q_theil_sen,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -10361,6 +10373,69 @@ def oracle_sql() -> dict[str, str]:
         G_BETA_AR as _G_BAR,
         G_BETA_X as _G_BX,
         G_PARTIAL_R as _G_PR,
+    )
+
+    sql["ts_theil_sen"] = with_views(
+        f"""
+        WITH b AS (
+          SELECT MAX(start_ts) AS lo, MIN(end_ts) AS hi FROM channels
+        ),
+        gb AS (
+          SELECT UNNEST(generate_series(
+            ((lo + {_DAY} - 1) // {_DAY}) * {_DAY}, hi, {_DAY})) AS ts
+          FROM b
+        ),
+        grid AS (
+          SELECT c.channel, gb.ts
+          FROM (SELECT DISTINCT channel FROM channels) c CROSS JOIN gb
+        ),
+        u AS (
+          SELECT channel, ts, value, 0 AS is_grid FROM samples
+          UNION ALL
+          SELECT channel, ts, CAST(NULL AS DOUBLE), 1 FROM grid
+        ),
+        f AS (
+          SELECT channel, ts, is_grid,
+                 last_value(value IGNORE NULLS) OVER w AS fill
+          FROM u
+          WINDOW w AS (PARTITION BY channel ORDER BY ts, is_grid, value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        vals AS (
+          SELECT channel, ts AS t,
+                 CAST(round(fill * {CORR_QUANT}) AS BIGINT) AS xq
+          FROM f WHERE is_grid = 1
+        ),
+        prs AS (
+          SELECT a.channel, a.t AS ti, bb.t AS tj,
+                 CAST(bb.xq - a.xq AS DOUBLE)
+                   / (CAST(bb.t - a.t AS DOUBLE) / {_DAY})
+                   / {CORR_QUANT} AS slope
+          FROM vals a JOIN vals bb
+            ON a.channel = bb.channel AND a.t < bb.t
+        ),
+        cnt AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM prs GROUP BY channel
+        ),
+        npts AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_points
+          FROM vals GROUP BY channel
+        ),
+        med AS (
+          SELECT p.channel, c.n_pairs, p.slope AS slope_per_day FROM (
+            SELECT channel, slope, ti, tj,
+                   ROW_NUMBER() OVER (PARTITION BY channel
+                       ORDER BY slope, ti, tj) AS _ar
+            FROM prs
+          ) p JOIN cnt c ON p.channel = c.channel
+          WHERE p._ar = (c.n_pairs + 1) // 2
+        )
+        SELECT m.channel, n.n_points, m.n_pairs, m.slope_per_day
+        FROM med m JOIN npts n ON m.channel = n.channel
+        """,
+        "samples",
+        "channels",
     )
 
     sql["ts_mutual_info"] = with_views(

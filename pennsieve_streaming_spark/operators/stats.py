@@ -3509,3 +3509,60 @@ def hampel_despike(
             f"THEN CAST(med_q AS DOUBLE) / {q} ELSE value END"
         ).alias("despiked"),
     )
+
+
+def theil_sen_slope(
+    values: DataFrame, step_us: int, quant: int = 100
+) -> DataFrame:
+    """Theil-Sen robust trend per channel (Theil 1950 / Sen 1968): the
+    MEDIAN of all pairwise slopes — up to 29% contamination cannot
+    move it, where the OLS slope in ts_trend_segments chases every
+    outlier. The robust member of the trend family, reported in
+    units/day. ``values`` must be the uniform day grid (asof_locf
+    contract), so the pair count per channel is bounded by the
+    OBSERVATION WINDOW in days — the all-pairs join is O(days²) per
+    channel by construction, never O(samples²).
+
+    Determinism: pair slopes are single fixed divisions of exact
+    quantized integers (identical IEEE doubles on both engines); the
+    median is the k-th-smallest order statistic under the total order
+    (slope, i, j); output is that one double (and exact counts).
+
+    Output: (channel, n_points, n_pairs, slope_per_day).
+    """
+    q = int(quant)
+    step = int(step_us)
+    v = values.select(
+        "channel",
+        F.col("ts").alias("t"),
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    )
+    if hasattr(v, "_jdf"):
+        v = v.localCheckpoint()
+    a = v.select("channel", F.col("t").alias("ti"), F.col("xq").alias("yi"))
+    b = v.select("channel", F.col("t").alias("tj"), F.col("xq").alias("yj"))
+    pairs = a.join(b, "channel").filter(F.col("ti") < F.col("tj")).select(
+        "channel",
+        "ti",
+        "tj",
+        F.expr(
+            f"CAST(yj - yi AS DOUBLE) / "
+            f"(CAST(tj - ti AS DOUBLE) / {step}) / {q}"
+        ).alias("slope"),
+    )
+    cnt = pairs.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    npts = v.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+    mw = Window.partitionBy("channel").orderBy("slope", "ti", "tj")
+    med = (
+        pairs.withColumn("_ar", F.row_number().over(mw).cast("long"))
+        .join(F.broadcast(cnt), "channel")
+        .filter(F.expr("_ar = (n_pairs + 1) div 2"))
+        .select("channel", "n_pairs", F.col("slope").alias("slope_per_day"))
+    )
+    return med.join(F.broadcast(npts), "channel").select(
+        "channel", "n_points", "n_pairs", "slope_per_day"
+    )

@@ -1127,3 +1127,21 @@ def test_hampel_despike_replaces_spikes_only(spark):
     assert out[("a", 5)].is_spike is False
     assert out[("a", 5)].despiked == 10.0
     assert all(not out[("b", t)].is_spike for t in range(32))
+
+
+def test_theil_sen_robust_to_outliers(spark):
+    """A clean slope-2 line keeps slope 2 even with two wild
+    outliers; OLS would be dragged far off."""
+    from pennsieve_streaming_spark.operators.stats import theil_sen_slope
+
+    day = 86_400_000_000
+    rows = []
+    for t in range(20):
+        v = 2.0 * t
+        if t in (5, 13):
+            v += 500.0          # wild outliers
+        rows.append(("a", t * day, v))
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    [r] = theil_sen_slope(df, day, 100).collect()
+    assert r.n_points == 20 and r.n_pairs == 190
+    assert abs(r.slope_per_day - 2.0) < 1e-9
