@@ -4254,7 +4254,7 @@ _R7_FRONT = [
     "mm_audio_fingerprint", "ts_cusum_monitor", "stream_cusum",
     "ev_rfm", "ev_attribution_linear", "doc_source_kl",
     "ts_trend_segments", "ts_sax_motifs", "mm_audio_match_pairs",
-    "ts_coherence", "ev_ab_conversion", "mm_image_phash",
+    "ts_coherence",  "mm_image_phash",
     "ts_granger_screen", "ts_spectral_entropy", "doc_bpe_fertility",
     "stream_trend", "ts_density_grid", "doc_lsh_eval",
     "ev_session_stats", "doc_jaccard_histogram", "mm_audio_offset_search",

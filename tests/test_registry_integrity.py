@@ -1,0 +1,35 @@
+"""Driver-contract integrity: the rotation list, queries(), and
+oracle_sql() must stay mutually consistent — a typo'd front entry or
+an oracle without a query would fail the driver gate, not a test,
+without this."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+
+def test_front_rotation_names_exist_and_unique():
+    front = entry_mod._R7_FRONT
+    q = entry_mod.queries()
+    assert len(front) == len(set(front)), "duplicate rotation entries"
+    missing = [n for n in front if n not in q]
+    assert not missing, f"rotation names without queries(): {missing}"
+
+
+def test_queries_and_oracles_align():
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert set(o) <= set(q), f"oracles without queries: {set(o) - set(q)}"
+    # the repo convention: EVERY query is oracle-gated
+    assert set(q) == set(o), f"queries without oracles: {set(q) - set(o)}"
+
+
+def test_rotation_front_leads_queries_order():
+    q = list(entry_mod.queries())
+    front = entry_mod._R7_FRONT
+    assert q[: len(front)] == front
