@@ -3287,6 +3287,14 @@ def q_stream_circadian(spark, sf_dir):
     )
 
 
+def q_pareto_alpha(spark, sf_dir):
+    """Power-law exponent of per-user activity (Clauset-Shalizi-Newman
+    MLE): 1e9-quantized lns in DECIMAL(38,0), one fixed finish."""
+    from pennsieve_streaming_spark.operators.analytics import pareto_alpha
+
+    return pareto_alpha(_user_events(spark, sf_dir))
+
+
 def q_markov_stationary(spark, sf_dir):
     """Stationary distribution of the event-type Markov chain: 5
     damped integer-mass power-iteration rounds (pagerank contract)
@@ -4261,6 +4269,7 @@ _R7_FRONT = [
     "emb_bq_recall", "ev_markov_stationary", "doc_cdc_chunks",
     "stream_circadian", "ts_mutual_info", "doc_heaps_law",
     "ts_hampel_despike", "emb_knn_graph", "ts_theil_sen", "emb_semdedup",
+    "ev_pareto_alpha",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4357,6 +4366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_graph": q_knn_graph,
         "ts_theil_sen": q_theil_sen,
         "emb_semdedup": q_semdedup,
+        "ev_pareto_alpha": q_pareto_alpha,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -4524,6 +4534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans": q_kmeans,
         "doc_importance_weights": q_importance_weights,
         "emb_semdedup": q_semdedup,
+        "ev_pareto_alpha": q_pareto_alpha,
         "doc_tfidf_top_terms": q_tfidf,
         "stream_neardup_dedup": q_stream_neardup,
         # round-3 curation operators — unchecked by the r3 driver harness
@@ -6837,6 +6848,23 @@ def oracle_sql() -> dict[str, str]:
                n_events * ({_cr}) * ({_cr}) AS rayleigh_z,
                n_events * ({_cr}) * ({_cr}) > {_RAY_CRIT:.17e} AS circadian
         FROM g
+        """
+
+    sql["ev_pareto_alpha"] = """
+        WITH per AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY user_id HAVING COUNT(*) >= 1
+        ),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                 SUM(CAST(CAST(round(ln(CAST(x AS DOUBLE) / 1)
+                   * 1000000000) AS BIGINT) AS HUGEINT)) AS _slnq
+          FROM per
+        )
+        SELECT n_users, CAST(1 AS BIGINT) AS xmin,
+               CASE WHEN _slnq > 0 THEN 1e0 + CAST(n_users AS DOUBLE)
+                 / (CAST(_slnq AS DOUBLE) / 1000000000.0) END AS alpha
+        FROM agg
         """
 
     sql["stream_circadian"] = sql["ev_circadian"]

@@ -1544,3 +1544,43 @@ def markov_stationary(events: DataFrame, n_iter: int = 5) -> DataFrame:
             F.expr("CAST(rank_i AS DOUBLE) / 1e9").alias("pi"),
         )
     )
+
+
+def pareto_alpha(events: DataFrame, xmin: int = 1) -> DataFrame:
+    """Power-law (Pareto) exponent of the per-user activity
+    distribution — the continuous-MLE estimator (Clauset, Shalizi &
+    Newman 2009): α = 1 + n / Σ ln(x_i / xmin) over users with
+    x_i ≥ xmin events. The one-number heavy-tail summary behind
+    ev_gini's concentration and ev_key_skew's hot keys: α near 2 =
+    extreme whale dominance, α > 3 ≈ light tail.
+
+    Determinism: per-user counts exact; each ln(x/xmin) is
+    1e9-quantized BIGINT, summed in DECIMAL(38,0) (|users| × 3e10
+    outgrows BIGINT at ~3e8 users); α is one fixed division chain.
+    All-minimum corpora (Σ = 0) yield NULL explicitly.
+
+    Output: one row (n_users, xmin, alpha).
+
+    Plan: one partial-agg groupBy to |users| rows, one 1-row reduce.
+    """
+    x0 = int(xmin)
+    per = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    ).filter(F.col("x") >= x0)
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(
+            F.expr(
+                f"CAST(CAST(round(ln(CAST(x AS DOUBLE) / {x0}) "
+                "* 1000000000) AS BIGINT) AS DECIMAL(38,0))"
+            )
+        ).alias("_slnq"),
+    )
+    return agg.select(
+        "n_users",
+        F.lit(x0).cast("long").alias("xmin"),
+        F.expr(
+            "CASE WHEN _slnq > 0 THEN 1e0 + CAST(n_users AS DOUBLE) "
+            "/ (CAST(_slnq AS DOUBLE) / 1000000000.0) END"
+        ).alias("alpha"),
+    )

@@ -784,3 +784,28 @@ def test_markov_stationary_prefers_sink_heavy_type(spark):
     assert out["checkout"].pi > out["search"].pi
     assert abs(sum(r.pi for r in out.values()) - 1.0) < 1e-3
     assert out["checkout"].n_out == 10  # checkout->checkout loops
+
+
+def test_pareto_alpha_known_geometry(spark):
+    """Counts drawn as x = e^k give Σln = Σk exactly (up to the 1e-9
+    quantum): alpha replays the closed form; an all-ones corpus is the
+    documented NULL."""
+    import math
+
+    from pennsieve_streaming_spark.operators.analytics import pareto_alpha
+
+    rows = []
+    eid = 0
+    xs = [1, 2, 4, 8, 16]
+    for u, x in enumerate(xs):
+        for _ in range(x):
+            rows.append((u, eid)); eid += 1
+    ev = spark.createDataFrame(rows, "user_id long, event_id long")
+    [r] = pareto_alpha(ev).collect()
+    want = 1.0 + len(xs) / sum(math.log(x) for x in xs)
+    assert r.n_users == 5 and abs(r.alpha - want) < 1e-8
+
+    ones = spark.createDataFrame([(u, u) for u in range(9)],
+                                 "user_id long, event_id long")
+    [r2] = pareto_alpha(ones).collect()
+    assert r2.alpha is None and r2.n_users == 9
