@@ -3287,6 +3287,16 @@ def q_stream_circadian(spark, sf_dir):
     )
 
 
+def q_new_vs_returning(spark, sf_dir):
+    """Daily DAU split into new vs returning users (growth
+    accounting): exact first-day MIN, one fixed share division."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        new_vs_returning,
+    )
+
+    return new_vs_returning(_user_events(spark, sf_dir))
+
+
 def q_pareto_alpha(spark, sf_dir):
     """Power-law exponent of per-user activity (Clauset-Shalizi-Newman
     MLE): 1e9-quantized lns in DECIMAL(38,0), one fixed finish."""
@@ -4269,7 +4279,7 @@ _R7_FRONT = [
     "emb_bq_recall", "ev_markov_stationary", "doc_cdc_chunks",
     "stream_circadian", "ts_mutual_info", "doc_heaps_law",
     "ts_hampel_despike", "emb_knn_graph", "ts_theil_sen", "emb_semdedup",
-    "ev_pareto_alpha",
+    "ev_pareto_alpha", "ev_new_vs_returning",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4367,6 +4377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_theil_sen": q_theil_sen,
         "emb_semdedup": q_semdedup,
         "ev_pareto_alpha": q_pareto_alpha,
+        "ev_new_vs_returning": q_new_vs_returning,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -4535,6 +4546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_importance_weights": q_importance_weights,
         "emb_semdedup": q_semdedup,
         "ev_pareto_alpha": q_pareto_alpha,
+        "ev_new_vs_returning": q_new_vs_returning,
         "doc_tfidf_top_terms": q_tfidf,
         "stream_neardup_dedup": q_stream_neardup,
         # round-3 curation operators — unchecked by the r3 driver harness
@@ -6847,6 +6859,33 @@ def oracle_sql() -> dict[str, str]:
                {_cr} AS r,
                n_events * ({_cr}) * ({_cr}) AS rayleigh_z,
                n_events * ({_cr}) * ({_cr}) > {_RAY_CRIT:.17e} AS circadian
+        FROM g
+        """
+
+    sql["ev_new_vs_returning"] = """
+        WITH ud AS (
+          SELECT DISTINCT
+                 (CAST(epoch_us(ts) AS BIGINT) // 86400000000)
+                   * 86400000000 AS day,
+                 user_id
+          FROM events
+        ),
+        firsts AS (
+          SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id
+        ),
+        g AS (
+          SELECT day,
+                 CAST(COUNT(*) AS BIGINT) AS active_users,
+                 CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                      AS BIGINT) AS new_users
+          FROM ud JOIN firsts ON ud.user_id = firsts.user_id
+          GROUP BY day
+        )
+        SELECT day, active_users, new_users,
+               CAST(active_users - new_users AS BIGINT)
+                 AS returning_users,
+               CAST(active_users - new_users AS DOUBLE) / active_users
+                 AS returning_share
         FROM g
         """
 

@@ -1584,3 +1584,46 @@ def pareto_alpha(events: DataFrame, xmin: int = 1) -> DataFrame:
             "/ (CAST(_slnq AS DOUBLE) / 1000000000.0) END"
         ).alias("alpha"),
     )
+
+
+def new_vs_returning(events: DataFrame) -> DataFrame:
+    """Daily active users split into NEW (first-ever event falls on
+    that day) vs RETURNING — the growth-accounting view layered on
+    daily_active: DAU can stay flat while composition flips from
+    acquisition to retention, and this is the split that shows it.
+
+    Determinism: first-event day per user is an exact MIN; all counts
+    exact; the returning share is one fixed division.
+
+    Output: (day, active_users, new_users, returning_users,
+    returning_share), day = epoch-µs floor.
+
+    Plan: one (day, user) dedup groupBy, one per-user MIN (both
+    partial-agg), an equi-join on (user, day) that only tags each
+    user-day, then a partial-agg day rollup — nothing beyond
+    |user-days| rows shuffles.
+    """
+    ud = events.select(
+        F.expr(f"(ts div {DAY_US}) * {DAY_US}").alias("day"),
+        "user_id",
+    ).distinct()
+    firsts = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    tagged = ud.join(firsts, "user_id").select(
+        "day",
+        F.expr("CASE WHEN day = first_day THEN 1 ELSE 0 END").alias("_new"),
+    )
+    g = tagged.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("active_users"),
+        F.sum("_new").cast("long").alias("new_users"),
+    )
+    return g.select(
+        "day",
+        "active_users",
+        "new_users",
+        (F.col("active_users") - F.col("new_users"))
+        .cast("long")
+        .alias("returning_users"),
+        F.expr(
+            "CAST(active_users - new_users AS DOUBLE) / active_users"
+        ).alias("returning_share"),
+    )

@@ -809,3 +809,24 @@ def test_pareto_alpha_known_geometry(spark):
                                  "user_id long, event_id long")
     [r2] = pareto_alpha(ones).collect()
     assert r2.alpha is None and r2.n_users == 9
+
+
+def test_new_vs_returning_composition(spark):
+    from pennsieve_streaming_spark.operators.analytics import (
+        DAY_US,
+        new_vs_returning,
+    )
+
+    d = DAY_US
+    rows = [
+        (1, 0), (2, 0),                 # day 0: both new
+        (1, d), (3, d),                 # day 1: 1 returns, 3 new
+        (1, 2 * d), (2, 2 * d), (3, 2 * d),  # day 2: all returning
+        (1, 2 * d + 5),                 # same-day dup must not double
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts long")
+    out = {r.day // d: r for r in new_vs_returning(ev).collect()}
+    assert (out[0].new_users, out[0].returning_users) == (2, 0)
+    assert (out[1].new_users, out[1].returning_users) == (1, 1)
+    assert (out[2].new_users, out[2].returning_users) == (0, 3)
+    assert out[2].returning_share == 1.0
