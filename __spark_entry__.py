@@ -1283,28 +1283,6 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_bucketed_ann(embs, embs.filter(F.col("vec_id") < 20), k=5)
 
 
-SEMDEDUP_EPS = 0.95
-
-
-def q_semdedup(spark, sf_dir):
-    """SemDeDup: embedding-space semantic dedup — nearest-centroid
-    clusters (golden literals for the replay), within-cluster cosine
-    > eps evicts all but the min id; the paraphrase-level member of
-    the dedup family."""
-    from pennsieve_streaming_spark.llm.similarity import semdedup
-
-    embs = _embs(spark, sf_dir)
-    from pennsieve_streaming_spark.llm.similarity import golden_centroids
-
-    return semdedup(
-        embs,
-        eps=SEMDEDUP_EPS,
-        n_lists=IVF_LISTS,
-        dim=ANN_DIM,
-        centroids=golden_centroids(IVF_LISTS, ANN_DIM),
-    )
-
-
 def q_knn_graph(spark, sf_dir):
     """k-NN graph construction (every vector's top-3 in-bucket cosine
     neighbors): the LSH bucket equi-join applied corpus-to-corpus —
@@ -4278,7 +4256,7 @@ _R7_FRONT = [
     "doc_textrank_keywords", "ts_wavelet_denoise", "mm_image_edges",
     "emb_bq_recall", "ev_markov_stationary", "doc_cdc_chunks",
     "stream_circadian", "ts_mutual_info", "doc_heaps_law",
-    "ts_hampel_despike", "emb_knn_graph", "ts_theil_sen", "emb_semdedup",
+    "ts_hampel_despike", "emb_knn_graph", "ts_theil_sen",
     "ev_pareto_alpha", "ev_new_vs_returning",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
@@ -4375,7 +4353,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_hampel_despike": q_hampel,
         "emb_knn_graph": q_knn_graph,
         "ts_theil_sen": q_theil_sen,
-        "emb_semdedup": q_semdedup,
         "ev_pareto_alpha": q_pareto_alpha,
         "ev_new_vs_returning": q_new_vs_returning,
         "ev_attribution_linear": q_linear_attribution,
@@ -4545,8 +4522,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans": q_kmeans,
         "doc_importance_weights": q_importance_weights,
         "emb_semdedup": q_semdedup,
-        "ev_pareto_alpha": q_pareto_alpha,
-        "ev_new_vs_returning": q_new_vs_returning,
         "doc_tfidf_top_terms": q_tfidf,
         "stream_neardup_dedup": q_stream_neardup,
         # round-3 curation operators — unchecked by the r3 driver harness
@@ -12967,41 +12942,6 @@ def oracle_sql() -> dict[str, str]:
 
     # --- IVF ANN (fixed literal centroids) ----------------------------------
     sql["emb_ann_ivf"] = _ivf_oracle_sql()
-
-    _sd_rows, _sd_d2 = _ivf_cent_fragments()
-    sql["emb_semdedup"] = f"""
-        WITH cents AS (SELECT * FROM (VALUES {_sd_rows}) t(list_id, c)),
-        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                FROM embeddings),
-        dists AS (
-          SELECT e.vec_id, t.list_id, {_sd_d2.format(v='e.v')} AS d2
-          FROM emb e CROSS JOIN cents t
-        ),
-        assigned AS (
-          SELECT vec_id, list_id FROM (
-            SELECT vec_id, list_id,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id
-                       ORDER BY d2, list_id) AS rn
-            FROM dists
-          ) WHERE rn = 1
-        ),
-        ev AS (
-          SELECT hi.vec_id, CAST(COUNT(*) AS BIGINT) AS n_dups
-          FROM assigned hi
-          JOIN assigned lo ON hi.list_id = lo.list_id
-                          AND lo.vec_id < hi.vec_id
-          JOIN emb u ON u.vec_id = lo.vec_id
-          JOIN emb v ON v.vec_id = hi.vec_id
-          WHERE list_dot_product(u.v, v.v)
-                / (sqrt(list_dot_product(u.v, u.v))
-                   * sqrt(list_dot_product(v.v, v.v))) > 9.5e-1
-          GROUP BY hi.vec_id
-        )
-        SELECT a.vec_id, CAST(a.list_id AS BIGINT) AS list_id,
-               CAST(COALESCE(p.n_dups, 0) AS BIGINT) AS n_dups,
-               COALESCE(p.n_dups, 0) = 0 AS keep
-        FROM assigned a LEFT JOIN ev p ON a.vec_id = p.vec_id
-        """
 
     # --- PQ ADC ANN ---------------------------------------------------------
     sql["emb_ann_pq"] = _pq_oracle_sql()

@@ -1611,80 +1611,3 @@ def binary_hamming_topk(
         .select("query_id", "neighbor_id", "hamming", "cosine", "rank")
     )
 
-
-def semdedup(
-    embeddings: DataFrame,
-    eps: float = 0.95,
-    n_lists: int = 16,
-    dim: int = 64,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    centroids: list[list[float]] | None = None,
-) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
-    at web-scale through semantic deduplication"): drop semantic
-    duplicates — pairs whose embeddings' cosine exceeds ``eps`` —
-    WITHOUT an all-pairs pass: cluster the corpus (nearest-centroid
-    lists, k-means in production, golden literals for the oracle),
-    compare only within a cluster, and keep the minimum id of each
-    epsilon-ball. The embedding-space member of the dedup family:
-    MinHash/SimHash see token overlap, SemDeDup sees paraphrases and
-    re-renders that share no tokens at all.
-
-    Keep rule (the paper's, made order-free): drop v iff SOME u in
-    its cluster has cosine(u, v) > eps and u_id < v_id — a pure
-    EXISTS, independent of evaluation order, so the survivor set is
-    well-defined and engine-identical.
-
-    Determinism: assignment is the IVF closed-form argmin (narrow
-    map); cosines are the shared sequential DOT fold; the threshold
-    and min-id rule are exact comparisons.
-
-    Output: (vec_id, list_id, keep, n_dups) — n_dups counts the
-    strictly-lower-id near-duplicates that evict this vector
-    (keep = n_dups == 0).
-
-    Plan / 100 TB: corpus never shuffles for assignment; the within-
-    cluster self-join shuffles (id, list_id, v) on list_id — cluster
-    count grows with the corpus (production: √N k-means lists) so the
-    per-cluster quadratic stays bounded, exactly the LSH bucket-cap
-    discipline.
-    """
-    if centroids is None:
-        centroids = golden_centroids(int(n_lists), int(dim))
-    corpus = ensure_parallelism(
-        _as_double(embeddings, vec_col).select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
-        )
-    )
-    assigned = assign_lists(corpus, centroids, "v").select(
-        "vec_id", "v", "list_id"
-    )
-    lo = assigned.select(
-        F.col("list_id").alias("_l"),
-        F.col("vec_id").alias("_uid"),
-        F.col("v").alias("u"),
-    )
-    dot = F.expr(DOT.format(a="u", b="v"))
-    nu = F.expr(DOT.format(a="u", b="u"))
-    nv = F.expr(DOT.format(a="v", b="v"))
-    evict = (
-        assigned.join(
-            lo,
-            (F.col("list_id") == F.col("_l"))
-            & (F.col("_uid") < F.col("vec_id")),
-        )
-        .withColumn("cosine", dot / (F.sqrt(nu) * F.sqrt(nv)))
-        .filter(F.col("cosine") > float(eps))
-        .groupBy("vec_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_dups"))
-    )
-    return (
-        assigned.join(evict, "vec_id", "left")
-        .select(
-            "vec_id",
-            F.col("list_id").cast("long").alias("list_id"),
-            F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
-        )
-        .withColumn("keep", F.expr("n_dups = 0"))
-    )

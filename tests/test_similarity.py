@@ -747,32 +747,3 @@ def test_bq_word_expr_packs_expected_bits(spark):
     [r] = df.select(F.expr(bq_word_expr("v", 0)).alias("w")).collect()
     # bits 0 (1.0) and 2 (0.0 >= 0) set -> 0b101 = 5
     assert r.w == 5
-
-
-def test_semdedup_drops_near_duplicates_keeps_min_id(spark):
-    """Three near-identical vectors in one cluster: only the min id
-    survives; an orthogonal-ish vector survives untouched; eps=1.0
-    keeps everything."""
-    import numpy as np
-
-    from pennsieve_streaming_spark.llm.similarity import semdedup
-
-    rng = np.random.default_rng(3)
-    base = rng.normal(size=64)
-    far = rng.normal(size=64)
-    rows = [
-        (10, [float(x) for x in base]),
-        (11, [float(x) for x in base * 1.001 + 0.001]),
-        (12, [float(x) for x in base * 0.999]),
-        (50, [float(x) for x in far]),
-    ]
-    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    out = {r.vec_id: r for r in semdedup(df, eps=0.95, n_lists=4).collect()}
-    assert out[10].keep is True
-    assert out[11].keep is False and out[11].n_dups >= 1
-    assert out[12].keep is False
-    assert out[50].keep is True
-    # threshold above any cosine (incl. the near-parallel FP ulp
-    # above 1.0): nothing evicted
-    out2 = semdedup(df, eps=1.01, n_lists=4).collect()
-    assert all(r.keep for r in out2)
