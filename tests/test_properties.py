@@ -264,3 +264,53 @@ def test_mips_equals_cosine_on_unit_norms(spark):
     mips = {(r.query_id, r.rank): r.neighbor_id
             for r in mips_topk(df, qs, k=5).collect()}
     assert cos == mips
+
+
+@given(
+    a=st.floats(min_value=0.1, max_value=1e6),
+    d=st.floats(min_value=-3.0, max_value=3.0),
+)
+def test_higuchi_weights_recover_exact_power_laws(a, d):
+    """The LSQ weights satisfy Σc = 0 (intercept-invariant) and
+    recover the exponent exactly on L(k) = A·k^(−d): the defining
+    algebra of the log-log fit."""
+    from pennsieve_streaming_spark.operators.stats import (
+        _higuchi_fd_coeffs,
+    )
+
+    cs = _higuchi_fd_coeffs(5)
+    assert abs(sum(cs)) < 1e-12
+    got = sum(
+        c * math.log(a * (k + 1.0) ** (-d)) for k, c in enumerate(cs)
+    )
+    assert abs(got - d) < 1e-9 * max(1.0, abs(d))
+
+
+@given(
+    c=st.integers(min_value=-1000, max_value=1000),
+    s=st.integers(min_value=1, max_value=7),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60)
+def test_sobel_stats_shift_and_scale_covariance(c, s, seed):
+    """Sobel energy is shift-invariant (gradients kill constants) and
+    scales quadratically; the edge count is invariant when the
+    threshold scales with s^2."""
+    from pennsieve_streaming_spark.llm.imagehash import sobel_stats
+
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 256, size=(9, 11))
+    n0, e0, s0, m0 = sobel_stats(g, t2=50_000)
+    n1, e1, s1, m1 = sobel_stats(g + c, t2=50_000)
+    assert (n0, e0, s0, m0) == (n1, e1, s1, m1)
+    n2, e2_, s2, m2 = sobel_stats(g * s, t2=50_000 * s * s)
+    assert (n2, e2_, s2, m2) == (n0, e0, s0 * s * s, m0 * s * s)
+
+
+def test_circadian_literals_roundtrip_exactly():
+    """The .17e scientific literals parse back to the exact doubles
+    both engines must fold — the DECIMAL-literal hazard fence."""
+    for h in range(24):
+        for f in (math.cos, math.sin):
+            x = f(2.0 * math.pi * h / 24.0)
+            assert float(f"{x:.17e}") == x
