@@ -920,6 +920,45 @@ def q_textrank(spark, sf_dir):
     return textrank_keywords(_docs(spark, sf_dir), n_iter=3, k=3)
 
 
+def q_dedup_funnel(spark, sf_dir):
+    """Dedup-funnel summary — docs remaining after each dedup stage
+    (the pipeline-shrinkage report every curation run ends with):
+    total -> exact (distinct md5) -> near-dup (one survivor per
+    connected LSH cluster) -> semantic (SemDeDup survivors). Every
+    stage composes an already-gated operator; counts are exact."""
+    from pennsieve_streaming_spark.llm.dedup import exact_dedup
+    from pennsieve_streaming_spark.llm.graph import cluster_dedup
+
+    docs = _docs(spark, sf_dir)
+    total = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    exact = exact_dedup(docs).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    near = cluster_dedup(docs, _verified_pairs(spark, sf_dir)).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    sem = q_semdedup(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    stages = [
+        ("0_total", total),
+        ("1_exact", exact),
+        ("2_near_dup", near),
+        ("3_semantic", sem),
+    ]
+    out = None
+    for name, df in stages:
+        s = df.select(F.lit(name).alias("stage"), "n")
+        out = s if out is None else out.unionByName(s)
+    return out.crossJoin(
+        F.broadcast(total.select(F.col("n").alias("_t")))
+    ).select(
+        "stage",
+        F.col("n").cast("long").alias("docs_remaining"),
+        F.expr("CAST(n AS DOUBLE) / _t").alias("share"),
+    )
+
+
 def q_cdc_chunks(spark, sf_dir):
     """Content-defined chunking (Rabin boundary rule): rolling-hash
     boundaries, md5 chunk fingerprints, corpus-wide copy counts —
@@ -4257,7 +4296,7 @@ _R7_FRONT = [
     "emb_bq_recall", "ev_markov_stationary", "doc_cdc_chunks",
     "stream_circadian", "ts_mutual_info", "doc_heaps_law",
     "ts_hampel_despike", "emb_knn_graph", "ts_theil_sen",
-    "ev_pareto_alpha", "ev_new_vs_returning",
+    "ev_pareto_alpha", "ev_new_vs_returning", "doc_dedup_funnel",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4355,6 +4394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_theil_sen": q_theil_sen,
         "ev_pareto_alpha": q_pareto_alpha,
         "ev_new_vs_returning": q_new_vs_returning,
+        "doc_dedup_funnel": q_dedup_funnel,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -13544,6 +13584,33 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(h.max_jaccard_est, CAST(0 AS DOUBLE)) >= {FUZZY_TAU}e0
                  AS contaminated
         FROM corpus d LEFT JOIN hits h USING (doc_id)
+        """
+
+    sql["doc_dedup_funnel"] = f"""
+        WITH tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        ),
+        ex AS (
+          SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n
+          FROM documents
+        ),
+        near AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n
+          FROM ({sql["doc_cluster_dedup"]})
+        ),
+        sem AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n
+          FROM ({sql["emb_semdedup"]})
+        ),
+        u AS (
+          SELECT '0_total' AS stage, n FROM tot
+          UNION ALL SELECT '1_exact', n FROM ex
+          UNION ALL SELECT '2_near_dup', n FROM near
+          UNION ALL SELECT '3_semantic', n FROM sem
+        )
+        SELECT stage, n AS docs_remaining,
+               CAST(n AS DOUBLE) / (SELECT n FROM tot) AS share
+        FROM u
         """
 
     return sql
