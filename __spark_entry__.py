@@ -3304,6 +3304,17 @@ def q_stream_circadian(spark, sf_dir):
     )
 
 
+def q_ab_sequential(spark, sf_dir):
+    """Always-valid sequential A/B monitoring (mixture SPRT): daily
+    cumulative two-proportion ln-Lambda, running-min always-valid p;
+    log-space so decisive experiments can't overflow exp."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        ab_sequential_msprt,
+    )
+
+    return ab_sequential_msprt(_user_events(spark, sf_dir), "purchase")
+
+
 def q_new_vs_returning(spark, sf_dir):
     """Daily DAU split into new vs returning users (growth
     accounting): exact first-day MIN, one fixed share division."""
@@ -4297,6 +4308,7 @@ _R7_FRONT = [
     "stream_circadian", "ts_mutual_info", "doc_heaps_law",
     "ts_hampel_despike", "emb_knn_graph", "ts_theil_sen",
     "ev_pareto_alpha", "ev_new_vs_returning", "doc_dedup_funnel",
+    "ev_ab_sequential",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4395,6 +4407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_pareto_alpha": q_pareto_alpha,
         "ev_new_vs_returning": q_new_vs_returning,
         "doc_dedup_funnel": q_dedup_funnel,
+        "ev_ab_sequential": q_ab_sequential,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -6902,6 +6915,77 @@ def oracle_sql() -> dict[str, str]:
                CAST(active_users - new_users AS DOUBLE) / active_users
                  AS returning_share
         FROM g
+        """
+
+    sql["ev_ab_sequential"] = """
+        WITH per AS (
+          SELECT ((user_id % 2) + 2) % 2 AS variant,
+                 MIN(CAST(epoch_us(ts) AS BIGINT) // 86400000000) AS fd,
+                 MIN(CASE WHEN event_type = 'purchase'
+                     THEN CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                     END) AS cd
+          FROM events GROUP BY user_id
+        ),
+        days AS (
+          SELECT DISTINCT CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                   AS day
+          FROM events
+        ),
+        enter AS (
+          SELECT variant, fd, CAST(COUNT(*) AS BIGINT) AS m
+          FROM per GROUP BY variant, fd
+        ),
+        cnv AS (
+          SELECT variant, cd, CAST(COUNT(*) AS BIGINT) AS c
+          FROM per WHERE cd IS NOT NULL GROUP BY variant, cd
+        ),
+        n_tbl AS (
+          SELECT d.day, e.variant,
+                 CAST(COALESCE(SUM(e.m), 0) AS BIGINT) AS n
+          FROM days d LEFT JOIN enter e ON e.fd <= d.day
+          WHERE e.variant IS NOT NULL
+          GROUP BY d.day, e.variant
+        ),
+        c_tbl AS (
+          SELECT d.day, v.variant,
+                 CAST(COALESCE(SUM(v.c), 0) AS BIGINT) AS c
+          FROM days d LEFT JOIN cnv v ON v.cd <= d.day
+          WHERE v.variant IS NOT NULL
+          GROUP BY d.day, v.variant
+        ),
+        nb AS (
+          SELECT n.day, n.variant, n.n,
+                 CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+          FROM n_tbl n LEFT JOIN c_tbl c
+            ON n.day = c.day AND n.variant = c.variant
+        ),
+        g AS (
+          SELECT day,
+                 CAST(COALESCE(MAX(CASE WHEN variant = 0 THEN n END), 0)
+                      AS BIGINT) AS n_a,
+                 CAST(COALESCE(MAX(CASE WHEN variant = 0 THEN c END), 0)
+                      AS BIGINT) AS conv_a,
+                 CAST(COALESCE(MAX(CASE WHEN variant = 1 THEN n END), 0)
+                      AS BIGINT) AS n_b,
+                 CAST(COALESCE(MAX(CASE WHEN variant = 1 THEN c END), 0)
+                      AS BIGINT) AS conv_b
+          FROM nb GROUP BY day
+        ),
+        scored AS (
+          SELECT day, n_a, conv_a, n_b, conv_b,
+                 CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN (5e-1 * ln(((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 / n_a + 1e0 / n_b)) / (((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 / n_a + 1e0 / n_b)) + 1e-2)) + (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) * (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) * 1e-2 / (2e0 * ((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 / n_a + 1e0 / n_b)) * (((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 / n_a + 1e0 / n_b)) + 1e-2))) END AS ln_lambda_t,
+                 CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b AND (5e-1 * ln(((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 / n_a + 1e0 / n_b)) / (((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 / n_a + 1e0 / n_b)) + 1e-2)) + (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) * (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) * 1e-2 / (2e0 * ((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 / n_a + 1e0 / n_b)) * (((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 / n_a + 1e0 / n_b)) + 1e-2))) > 0e0
+                      THEN exp(-((5e-1 * ln(((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 / n_a + 1e0 / n_b)) / (((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 / n_a + 1e0 / n_b)) + 1e-2)) + (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) * (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) * 1e-2 / (2e0 * ((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 / n_a + 1e0 / n_b)) * (((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 / n_a + 1e0 / n_b)) + 1e-2))))) ELSE 1e0 END AS _p_day
+          FROM g
+        )
+        SELECT day, n_a, conv_a, n_b, conv_b, ln_lambda_t,
+               MIN(_p_day) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS p_always_valid,
+               MIN(_p_day) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 < 5e-2 AS rejected
+        FROM scored
         """
 
     sql["ev_pareto_alpha"] = """

@@ -1627,3 +1627,145 @@ def new_vs_returning(events: DataFrame) -> DataFrame:
             "CAST(active_users - new_users AS DOUBLE) / active_users"
         ).alias("returning_share"),
     )
+
+
+MSPRT_TAU2 = "1e-2"   # mixture variance τ² (effect-size scale 0.1)
+MSPRT_ALPHA = "5e-2"
+
+
+def ab_sequential_msprt(
+    events: DataFrame, conversion: str = "purchase"
+) -> DataFrame:
+    """Always-valid sequential A/B monitoring (the mixture SPRT of
+    Robbins 1970, as deployed for "anytime" experiment dashboards —
+    Johari et al. 2017): a daily Λ_t over the CUMULATIVE two-
+    proportion difference, whose reciprocal running minimum is an
+    always-valid p-value — peeking every day never inflates the false
+    positive rate, the failure mode of re-running ev_ab_conversion's
+    fixed-horizon z test daily.
+
+        Z_t = p̂_A − p̂_B,  V_t = p̂(1−p̂)(1/n_A + 1/n_B)
+        ln Λ_t = ½·ln(V/(V+τ²)) + Z²τ² / (2V(V+τ²))
+        p_t = min over s ≤ t of min(1, exp(−ln Λ_s))
+
+    Determinism: users enter at their FIRST event day and convert at
+    their FIRST conversion day (exact MINs, pmod variant); cumulative
+    counts are exact integer sums over the DAY-level table; Λ is one
+    fixed float expression (τ², α as shared e-notation literals); the
+    running minimum is a window MIN (comparisons only, no float
+    accumulation). Degenerate days (empty arm / pooled rate 0 or 1)
+    emit NULL Λ and p 1.0 explicitly.
+
+    Output: (day, n_a, conv_a, n_b, conv_b, ln_lambda_t,
+    p_always_valid, rejected), ascending by day.
+
+    Plan / 100 TB: two per-user partial-agg MINs, then EVERYTHING
+    runs on the day-level table (≤ observation days — the survival_km
+    discipline); the cumulative non-equi join is |days|² on that tiny
+    table, never on users.
+    """
+    per = events.groupBy("user_id").agg(
+        F.min(F.expr(f"(ts div {DAY_US})")).cast("long").alias("fd"),
+        F.min(
+            F.when(
+                F.col("event_type") == conversion,
+                F.expr(f"(ts div {DAY_US})"),
+            )
+        ).cast("long").alias("cd"),
+    ).select(
+        F.pmod(F.col("user_id"), F.lit(2)).alias("variant"), "fd", "cd"
+    )
+    days = events.select(
+        F.expr(f"(ts div {DAY_US})").cast("long").alias("day")
+    ).distinct()
+    enter = per.groupBy("variant", "fd").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    conv = (
+        per.filter(F.col("cd").isNotNull())
+        .groupBy("variant", "cd")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+    def cum(tbl, key, val, out):
+        j = days.join(
+            F.broadcast(tbl), F.col(key) <= F.col("day"), "left"
+        )
+        return j.groupBy("day", "variant").agg(
+            F.coalesce(F.sum(val), F.lit(0)).cast("long").alias(out)
+        ).filter(F.col("variant").isNotNull())
+
+    n_tbl = cum(enter, "fd", "m", "n")
+    c_tbl = cum(conv, "cd", "c", "c")
+    both = n_tbl.join(c_tbl, ["day", "variant"], "left").select(
+        "day",
+        "variant",
+        "n",
+        F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+    )
+    g = both.groupBy("day").agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("c"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("c"))).alias("conv_b"),
+    ).select(
+        "day",
+        *[
+            F.coalesce(c, F.lit(0)).cast("long").alias(c)
+            for c in ["n_a", "conv_a", "n_b", "conv_b"]
+        ],
+    )
+    zz = (
+        "(CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)"
+    )
+    vv = (
+        "((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) "
+        "* (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) "
+        "* (1e0 / n_a + 1e0 / n_b))"
+    )
+    # log-space Λ: ln Λ can reach tens of thousands on decisive
+    # experiments; exp(+big) overflows (DuckDB errors), exp(−big)
+    # underflows to a clean 0.0 on both engines — so only the p-value
+    # path exponentiates, and only with a non-positive argument.
+    lnlam = (
+        f"(5e-1 * ln({vv} / ({vv} + {MSPRT_TAU2})) "
+        f"+ {zz} * {zz} * {MSPRT_TAU2} "
+        f"/ (2e0 * {vv} * ({vv} + {MSPRT_TAU2})))"
+    )
+    guard = (
+        "n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0 "
+        "AND conv_a + conv_b < n_a + n_b"
+    )
+    scored = g.select(
+        "day",
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.expr(f"CASE WHEN {guard} THEN {lnlam} END").alias(
+            "ln_lambda_t"
+        ),
+        F.expr(
+            f"CASE WHEN {guard} AND {lnlam} > 0e0 "
+            f"THEN exp(-({lnlam})) ELSE 1e0 END"
+        ).alias("_p_day"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # day-level table: the unpartitioned window is bounded by the
+    # observation-day count
+    return scored.withColumn(
+        "p_always_valid", F.min("_p_day").over(w)
+    ).select(
+        "day",
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        "ln_lambda_t",
+        "p_always_valid",
+        F.expr(f"p_always_valid < {MSPRT_ALPHA}").alias("rejected"),
+    )

@@ -830,3 +830,51 @@ def test_new_vs_returning_composition(spark):
     assert (out[1].new_users, out[1].returning_users) == (1, 1)
     assert (out[2].new_users, out[2].returning_users) == (0, 3)
     assert out[2].returning_share == 1.0
+
+
+def test_ab_sequential_msprt_detects_planted_lift(spark):
+    """A huge planted lift drives the always-valid p below alpha as
+    evidence accumulates; a perfectly balanced experiment never
+    rejects; the p sequence is non-increasing."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        DAY_US,
+        ab_sequential_msprt,
+    )
+
+    rows = []
+    eid = 0
+    # 30 days, 20 users/arm/day entering; arm A converts 90%, B 10%
+    for d in range(30):
+        for i in range(20):
+            for arm in (0, 1):
+                uid = (d * 40 + i * 2 + arm) * 2 + arm  # pmod 2 == arm
+                rows.append((uid, d * DAY_US, eid, "visit")); eid += 1
+                conv = (i < 18) if arm == 0 else (i < 2)
+                if conv:
+                    rows.append((uid, d * DAY_US + 5, eid, "purchase"))
+                    eid += 1
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, event_type string"
+    )
+    out = sorted(ab_sequential_msprt(ev).collect(), key=lambda r: r.day)
+    ps = [r.p_always_valid for r in out]
+    assert all(a >= b for a, b in zip(ps, ps[1:]))   # non-increasing
+    assert out[-1].rejected is True
+    assert out[-1].n_a == 600 and out[-1].conv_a == 540
+
+    # balanced: same conversion in both arms -> never rejects
+    rows2 = []
+    eid = 0
+    for d in range(10):
+        for i in range(10):
+            for arm in (0, 1):
+                uid = (d * 20 + i * 2 + arm) * 2 + arm
+                rows2.append((uid, d * DAY_US, eid, "visit")); eid += 1
+                if i < 5:
+                    rows2.append((uid, d * DAY_US + 5, eid, "purchase"))
+                    eid += 1
+    ev2 = spark.createDataFrame(
+        rows2, "user_id long, ts long, event_id long, event_type string"
+    )
+    out2 = ab_sequential_msprt(ev2).collect()
+    assert all(not r.rejected for r in out2)
