@@ -158,4 +158,36 @@ def register_operator_views(
     add("lz_complexity", lz_complexity(samples))
     add("higher_moments", higher_moments(samples))
     add("periodogram", uneven_periodogram(samples))
+
+    # round-7 operator views
+    from pennsieve_streaming_spark.operators.analytics import (
+        circadian_rhythm,
+        new_vs_returning,
+        survival_km,
+    )
+    from pennsieve_streaming_spark.operators.stats import (
+        hampel_despike,
+        haar_denoise,
+        higuchi_fd,
+        theil_sen_slope,
+    )
+
+    add("higuchi", higuchi_fd(samples))
+    add("hampel", hampel_despike(samples))
+    add("haar_denoised", haar_denoise(samples))
+    add("theil_sen", theil_sen_slope(grid, 86_400 * 1_000_000))
+    # the user-dimension views need the raw events table; a partial
+    # sf_dir without it simply skips them
+    try:
+        raw = spark.read.parquet(posixpath.join(sf_dir, "events.parquet"))
+        raw.schema
+    except AnalysisException:
+        raw = None
+    if raw is not None:
+        ev = raw.select(
+            TBL.epoch_micros_col(raw, "ts").alias("ts"), "user_id"
+        )
+        add("survival", survival_km(ev))
+        add("circadian", circadian_rhythm(ev))
+        add("new_vs_returning", new_vs_returning(ev))
     return names

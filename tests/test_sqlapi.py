@@ -159,3 +159,44 @@ def test_round6e_views_registered_and_queryable(spark):
         "SELECT count(*) AS n FROM r6e_periodogram WHERE power >= 0"
     ).collect()[0]
     assert pg.n > 0
+
+
+def test_round7_views_registered_and_queryable(spark):
+    """The round-7 operator views answer SQL with the expected
+    schemas: fractal dimension, despiking, wavelet denoise, robust
+    trend, survival, circadian, growth accounting."""
+    import pennsieve_streaming_spark.sqlapi as sqlapi
+
+    names = sqlapi.register_operator_views(
+        spark, "/root/testdata/sf0.001", prefix="r7_"
+    )
+    for v in ("r7_higuchi", "r7_hampel", "r7_haar_denoised",
+              "r7_theil_sen", "r7_survival", "r7_circadian",
+              "r7_new_vs_returning"):
+        assert v in names
+    fd = spark.sql(
+        "SELECT count(*) AS n, min(fd) AS lo FROM r7_higuchi"
+    ).collect()[0]
+    assert fd.n > 0 and (fd.lo is None or fd.lo > 0.0)
+    hp = spark.sql(
+        "SELECT count(*) AS n FROM r7_hampel WHERE NOT is_spike"
+    ).collect()[0]
+    assert hp.n > 0
+    hd = spark.sql(
+        "SELECT count(*) AS n FROM r7_haar_denoised "
+        "WHERE abs(denoised - value) < 1e6"
+    ).collect()[0]
+    assert hd.n > 0
+    ts_ = spark.sql(
+        "SELECT count(*) AS n FROM r7_theil_sen WHERE n_pairs > 0"
+    ).collect()[0]
+    assert ts_.n > 0
+    cr = spark.sql(
+        "SELECT count(*) AS n FROM r7_circadian WHERE r BETWEEN 0 AND "
+        "1.0000001"
+    ).collect()[0]
+    assert cr.n > 0
+    nr = spark.sql(
+        "SELECT sum(new_users) AS s FROM r7_new_vs_returning"
+    ).collect()[0]
+    assert nr.s > 0
