@@ -2714,6 +2714,19 @@ def q_harmonics(spark, sf_dir):
     return harmonic_distortion(s, TH_FUND, TH_NHARM, PS_WINDOW, PS_QUANT)
 
 
+def q_spectral_slope(spark, sf_dir):
+    """1/f spectral exponent per channel: Welch-averaged codegen DFT
+    periodogram, bit-identical per-window powers rounded to BIGINT
+    before the exact cross-window sum, shared-literal log-log fit
+    with a one-quantum floor on empty bins."""
+    from pennsieve_streaming_spark.dsp.spectral import spectral_slope
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        F.col("ts") <= F.lit(BW_TS_END)
+    )
+    return spectral_slope(s, PS_BINS, PS_WINDOW, PS_QUANT)
+
+
 def q_power_spectrum(spark, sf_dir):
     """Full low-bin DFT power spectrum per (channel, window) — the
     codegen-only direct form (quantized-integer dot products against
@@ -4308,7 +4321,7 @@ _R7_FRONT = [
     "stream_circadian", "ts_mutual_info", "doc_heaps_law",
     "ts_hampel_despike", "emb_knn_graph", "ts_theil_sen",
     "ev_pareto_alpha", "ev_new_vs_returning", "doc_dedup_funnel",
-    "ev_ab_sequential",
+    "ev_ab_sequential", "ts_spectral_slope",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4408,6 +4421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_new_vs_returning": q_new_vs_returning,
         "doc_dedup_funnel": q_dedup_funnel,
         "ev_ab_sequential": q_ab_sequential,
+        "ts_spectral_slope": q_spectral_slope,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -8003,6 +8017,27 @@ def oracle_sql() -> dict[str, str]:
         f"+ (CAST(fs AS DOUBLE) / {PS_QUANT}) * (CAST(fs AS DOUBLE) / {PS_QUANT})"
     )
     _pac_ln8 = "2.0794415416798357"
+    sql["ts_spectral_slope"] = f"""
+        WITH ps AS ({sql["ts_power_spectrum"]}),
+        pq AS (
+          SELECT channel, bin, CAST(round(power) AS BIGINT) AS pq
+          FROM ps
+        ),
+        g AS (
+          SELECT channel, bin, CAST(COUNT(*) AS BIGINT) AS nw,
+                 CAST(SUM(pq) AS BIGINT) AS sp
+          FROM pq GROUP BY channel, bin
+        ),
+        piv AS (
+          SELECT channel, CAST(MAX(nw) AS BIGINT) AS n_windows, CAST(MAX(CASE WHEN bin = 1 THEN sp END) AS BIGINT) AS _s1, CAST(MAX(CASE WHEN bin = 2 THEN sp END) AS BIGINT) AS _s2, CAST(MAX(CASE WHEN bin = 3 THEN sp END) AS BIGINT) AS _s3, CAST(MAX(CASE WHEN bin = 4 THEN sp END) AS BIGINT) AS _s4, CAST(MAX(CASE WHEN bin = 5 THEN sp END) AS BIGINT) AS _s5, CAST(MAX(CASE WHEN bin = 6 THEN sp END) AS BIGINT) AS _s6, CAST(MAX(CASE WHEN bin = 7 THEN sp END) AS BIGINT) AS _s7, CAST(MAX(CASE WHEN bin = 8 THEN sp END) AS BIGINT) AS _s8
+          FROM g GROUP BY channel
+        )
+        SELECT channel, n_windows,
+               -0.38274374502043595 * ln((CAST(_s1 + 1 AS DOUBLE) / n_windows)) + -0.18260593680948164 * ln((CAST(_s2 + 1 AS DOUBLE) / n_windows)) + -0.06553282402955064 * ln((CAST(_s3 + 1 AS DOUBLE) / n_windows)) + 0.01753187140147264 * ln((CAST(_s4 + 1 AS DOUBLE) / n_windows)) + 0.08196185471375746 * ln((CAST(_s5 + 1 AS DOUBLE) / n_windows)) + 0.13460498418140363 * ln((CAST(_s6 + 1 AS DOUBLE) / n_windows)) + 0.17911411595040735 * ln((CAST(_s7 + 1 AS DOUBLE) / n_windows)) + 0.2176696796124269 * ln((CAST(_s8 + 1 AS DOUBLE) / n_windows)) AS slope,
+               -(-0.38274374502043595 * ln((CAST(_s1 + 1 AS DOUBLE) / n_windows)) + -0.18260593680948164 * ln((CAST(_s2 + 1 AS DOUBLE) / n_windows)) + -0.06553282402955064 * ln((CAST(_s3 + 1 AS DOUBLE) / n_windows)) + 0.01753187140147264 * ln((CAST(_s4 + 1 AS DOUBLE) / n_windows)) + 0.08196185471375746 * ln((CAST(_s5 + 1 AS DOUBLE) / n_windows)) + 0.13460498418140363 * ln((CAST(_s6 + 1 AS DOUBLE) / n_windows)) + 0.17911411595040735 * ln((CAST(_s7 + 1 AS DOUBLE) / n_windows)) + 0.2176696796124269 * ln((CAST(_s8 + 1 AS DOUBLE) / n_windows))) AS alpha
+        FROM piv
+        """
+
     sql["ts_pac"] = with_views(
         f"""
         WITH rk AS (

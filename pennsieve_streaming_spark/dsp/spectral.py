@@ -1282,3 +1282,83 @@ def energy_vad(
             f"CAST({q} AS DOUBLE) * {q})"
         ).alias("mean_energy"),
     )
+
+
+def _loglog_slope_coeffs(n: int) -> list[float]:
+    """OLS slope weights over x_b = ln(b), b = 1..n: slope =
+    Σ c_b · y_b with c_b = (ln b − x̄)/Sxx — shared Python literals so
+    both engines fold identical doubles (the higuchi_fd convention)."""
+    xs = [math.log(float(b)) for b in range(1, n + 1)]
+    xbar = sum(xs) / len(xs)
+    sxx = sum((x - xbar) ** 2 for x in xs)
+    return [(x - xbar) / sxx for x in xs]
+
+
+def spectral_slope(
+    samples: DataFrame,
+    n_bins: int = 8,
+    window_samples: int = 64,
+    quant: int = 10**6,
+) -> DataFrame:
+    """Spectral slope / 1-over-f exponent per channel: the OLS slope
+    of ln(mean power) against ln(frequency bin) over the Welch-style
+    cross-window average of the codegen DFT periodogram — THE scaling
+    biomarker of aperiodic neural activity (pink noise α ≈ 1, white
+    α ≈ 0; "FOOOF" pipelines fit exactly this line before peaks).
+    Complements ts_hurst_rs (time-domain scaling) and
+    ts_spectral_entropy (distribution shape) with the spectrum's
+    power-law exponent.
+
+    Determinism: per-window bin powers are bit-identical doubles
+    (power_spectrum's contract), rounded to BIGINT before the
+    cross-window sum (the welch_psd rule — exact, order-free); the
+    per-bin mean is one division; the fit folds shared Python-literal
+    weights over the pivoted lns in bin order; a one-quantum floor
+    (+1 before the mean) keeps ln finite on empty bins (pure tones
+    zero every other bin; ln(0) errors on DuckDB).
+
+    Output: (channel, n_windows, slope, alpha) with alpha = −slope
+    (positive for 1/f-like spectra).
+
+    Plan / 100 TB: inherits power_spectrum's unbounded
+    |channels|×|windows| parallelism; one partial-agg groupBy to
+    |channels|×n_bins rows, then a |channels|-row pivot.
+    """
+    nb = int(n_bins)
+    ps = power_spectrum(samples, nb, window_samples, quant)
+    g = (
+        ps.select(
+            "channel",
+            "bin",
+            F.expr("CAST(round(power) AS BIGINT)").alias("pq"),
+        )
+        .groupBy("channel", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nw"),
+            F.sum("pq").cast("long").alias("sp"),
+        )
+    )
+    piv = g.groupBy("channel").agg(
+        F.max("nw").cast("long").alias("n_windows"),
+        *[
+            F.max(F.when(F.col("bin") == b, F.col("sp"))).alias(f"_s{b}")
+            for b in range(1, nb + 1)
+        ],
+    )
+    cs = _loglog_slope_coeffs(nb)
+    # one-quantum floor (+1 before the mean): empty bins are routine
+    # (a pure tone zeroes every other bin) and ln(0) errors on DuckDB;
+    # the floor biases ln by < 1 quantum — far below any real power
+    mean_b = {
+        b: f"(CAST(_s{b} + 1 AS DOUBLE) / n_windows)"
+        for b in range(1, nb + 1)
+    }
+    slope = " + ".join(
+        f"{cs[b - 1]!r} * ln({mean_b[b]})" for b in range(1, nb + 1)
+    )
+    return piv.select(
+        "channel",
+        "n_windows",
+        F.expr(slope).alias("slope"),
+        F.expr(f"-({slope})").alias("alpha"),
+    )

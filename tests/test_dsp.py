@@ -853,3 +853,27 @@ def test_energy_vad_segments_and_hangover(spark):
     # frame energy at amp 10, quant 1: 8 * 100 = 800
     assert out[0].energy_q == 4 * 800 and out[1].energy_q == 3 * 800
     assert abs(out[0].mean_energy - 100.0) < 1e-12
+
+
+def test_spectral_slope_white_vs_low_frequency(spark):
+    """A slow sinusoid (power concentrated at bin 1) has a steeply
+    negative slope (alpha >> 0); white-ish noise is near flat; a flat
+    channel gates to NULL."""
+    import numpy as np
+
+    from pennsieve_streaming_spark.dsp.spectral import spectral_slope
+
+    rng = np.random.default_rng(11)
+    rows = []
+    n = 64 * 8
+    for t in range(n):
+        rows.append(("slow", t, float(np.sin(2 * np.pi * t / 64))))
+        rows.append(("white", t, float(rng.normal())))
+        rows.append(("flat", t, 3.0))
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = {r.channel: r for r in spectral_slope(df, 8, 64).collect()}
+    assert out["slow"].alpha > 1.5
+    assert abs(out["white"].alpha) < 1.0
+    # flat channel: every bin at the +1-quantum floor -> slope exactly 0
+    assert abs(out["flat"].slope) < 1e-12
+    assert out["slow"].n_windows == 8
