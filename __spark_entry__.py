@@ -2512,6 +2512,21 @@ def q_audio_fingerprint(spark, sf_dir):
     return audio_fingerprint(s, AF_FREQS, BW_RATE, AF_WINDOW)
 
 
+def q_audio_onsets(spark, sf_dir):
+    """Positive-spectral-flux onset detection over the lead audio
+    channel: Goertzel band energies (recursive-CTE bit-exact), fixed
+    band-order GREATEST fold, welch-rule BIGINT flux, integer
+    2x-median onset rule."""
+    from pennsieve_streaming_spark.dsp.spectral import (
+        spectral_flux_onsets,
+    )
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        (F.col("channel") == "lead") & (F.col("ts") <= BW_TS_END)
+    )
+    return spectral_flux_onsets(s, AF_FREQS, BW_RATE, AF_WINDOW, 2)
+
+
 def q_audio_vad(spark, sf_dir):
     """Energy VAD over the lead audio channel: exact BIGINT frame
     energies, median-order-statistic noise floor, integer 2x-median
@@ -4321,7 +4336,7 @@ _R7_FRONT = [
     "stream_circadian", "ts_mutual_info", "doc_heaps_law",
     "ts_hampel_despike", "emb_knn_graph", "ts_theil_sen",
     "ev_pareto_alpha", "ev_new_vs_returning", "doc_dedup_funnel",
-    "ev_ab_sequential", "ts_spectral_slope",
+    "ev_ab_sequential", "ts_spectral_slope", "mm_audio_onsets",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4422,6 +4437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_funnel": q_dedup_funnel,
         "ev_ab_sequential": q_ab_sequential,
         "ts_spectral_slope": q_spectral_slope,
+        "mm_audio_onsets": q_audio_onsets,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -8530,6 +8546,78 @@ def oracle_sql() -> dict[str, str]:
                  / (COUNT(*) * 64 * CAST(1 AS DOUBLE) * 1)
                  AS mean_energy
         FROM seg GROUP BY channel, _seg
+        """
+
+    sql["mm_audio_onsets"] = f"""
+        WITH RECURSIVE samples_aligned AS
+          ({TBL.DUCKDB_VIEWS['samples_aligned']}),
+        inp AS (
+          SELECT value, ROW_NUMBER() OVER (ORDER BY ts, value) - 1 AS rn
+          FROM samples_aligned WHERE channel = 'lead' AND ts <= {BW_TS_END}
+        ),
+        wininp AS (
+          SELECT CAST(rn // {AF_WINDOW} AS BIGINT) AS win,
+                 CAST(rn % {AF_WINDOW} AS BIGINT) AS pos, value AS x
+          FROM inp
+          WHERE rn < (SELECT (COUNT(*) // {AF_WINDOW}) * {AF_WINDOW} FROM inp)
+        ),
+        freqs AS (SELECT * FROM (VALUES {_af_vals}) AS t(freq_hz, c, band)),
+        rec AS (
+          SELECT w.win, f.freq_hz, f.c, CAST(f.band AS BIGINT) AS band,
+                 CAST(-1 AS BIGINT) AS pos, 0e0 AS s1, 0e0 AS s2
+          FROM (SELECT DISTINCT win FROM wininp) w CROSS JOIN freqs f
+          UNION ALL
+          SELECT r.win, r.freq_hz, r.c, r.band, i.pos,
+                 i.x + r.c * r.s1 - r.s2, r.s1
+          FROM rec r JOIN wininp i ON i.win = r.win AND i.pos = r.pos + 1
+        ),
+        bp AS (
+          SELECT win, band, s1 * s1 + s2 * s2 - c * s1 * s2 AS power
+          FROM rec WHERE pos = {AF_WINDOW} - 1
+        ),
+        piv AS (
+          SELECT win,
+                 MAX(CASE WHEN band = 0 THEN power END) AS _p0,
+                 MAX(CASE WHEN band = 1 THEN power END) AS _p1,
+                 MAX(CASE WHEN band = 2 THEN power END) AS _p2,
+                 MAX(CASE WHEN band = 3 THEN power END) AS _p3,
+                 MAX(CASE WHEN band = 4 THEN power END) AS _p4,
+                 MAX(CASE WHEN band = 5 THEN power END) AS _p5,
+                 MAX(CASE WHEN band = 6 THEN power END) AS _p6,
+                 MAX(CASE WHEN band = 7 THEN power END) AS _p7,
+                 MAX(CASE WHEN band = 8 THEN power END) AS _p8
+          FROM bp GROUP BY win
+        ),
+        lagged AS (
+          SELECT win,
+                 _p0, _p1, _p2, _p3, _p4, _p5, _p6, _p7, _p8,
+                 LAG(_p0) OVER (ORDER BY win) AS _q0,
+                 LAG(_p1) OVER (ORDER BY win) AS _q1,
+                 LAG(_p2) OVER (ORDER BY win) AS _q2,
+                 LAG(_p3) OVER (ORDER BY win) AS _q3,
+                 LAG(_p4) OVER (ORDER BY win) AS _q4,
+                 LAG(_p5) OVER (ORDER BY win) AS _q5,
+                 LAG(_p6) OVER (ORDER BY win) AS _q6,
+                 LAG(_p7) OVER (ORDER BY win) AS _q7,
+                 LAG(_p8) OVER (ORDER BY win) AS _q8
+          FROM piv
+        ),
+        fx AS (
+          SELECT win,
+                 CAST(round(GREATEST(0e0, _p0 - _q0) + GREATEST(0e0, _p1 - _q1) + GREATEST(0e0, _p2 - _q2) + GREATEST(0e0, _p3 - _q3) + GREATEST(0e0, _p4 - _q4) + GREATEST(0e0, _p5 - _q5) + GREATEST(0e0, _p6 - _q6) + GREATEST(0e0, _p7 - _q7) + GREATEST(0e0, _p8 - _q8)) AS BIGINT) AS flux_q
+          FROM lagged WHERE _q0 IS NOT NULL
+        ),
+        cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS _n FROM fx),
+        med AS (
+          SELECT flux_q AS med_q FROM (
+            SELECT flux_q,
+                   ROW_NUMBER() OVER (ORDER BY flux_q, win) AS _ar
+            FROM fx
+          ) CROSS JOIN cnt WHERE _ar = (_n + 1) // 2
+        )
+        SELECT 'lead' AS channel, win, flux_q,
+               flux_q > 2 * med_q AS is_onset
+        FROM fx CROSS JOIN med
         """
 
     sql["mm_audio_fingerprint"] = f"""

@@ -877,3 +877,33 @@ def test_spectral_slope_white_vs_low_frequency(spark):
     # flat channel: every bin at the +1-quantum floor -> slope exactly 0
     assert abs(out["flat"].slope) < 1e-12
     assert out["slow"].n_windows == 8
+
+
+def test_spectral_flux_onsets_mark_attacks(spark):
+    """A tone that turns ON at frame 4 and again louder at frame 8
+    produces flux spikes exactly at the attack frames; steady frames
+    sit at the noise floor."""
+    import numpy as np
+
+    from pennsieve_streaming_spark.dsp.spectral import (
+        spectral_flux_onsets,
+    )
+
+    ws, rate, freq = 50, 1000.0, 100.0
+    rows = []
+    amp = {4: 1.0, 5: 1.0, 6: 1.0, 7: 1.0, 8: 5.0, 9: 5.0, 10: 5.0,
+           11: 5.0}
+    for w_ in range(12):
+        a = amp.get(w_, 0.0)
+        for i in range(ws):
+            t = w_ * ws + i
+            rows.append(
+                ("a", t, a * float(np.sin(2 * np.pi * freq * t / rate)))
+            )
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = {r.win: r for r in
+           spectral_flux_onsets(df, (freq,), rate, ws, 2).collect()}
+    assert out[4].is_onset is True      # silence -> tone
+    assert out[8].is_onset is True      # tone -> louder tone
+    assert out[6].is_onset is False     # steady
+    assert len(out) == 11               # first frame has no predecessor
