@@ -2512,6 +2512,57 @@ def q_audio_fingerprint(spark, sf_dir):
     return audio_fingerprint(s, AF_FREQS, BW_RATE, AF_WINDOW)
 
 
+def q_stream_flux(spark, sf_dir):
+    """Streaming spectral flux drained with availableNow over the same
+    bounded lead window as mm_audio_onsets; the drained (win, flux_q)
+    table is bit-identical to the batch flux (stream==batch suite
+    incl. frame-straddling splits), so applying the batch median/onset
+    rule afterwards reproduces the batch operator — the batch oracle
+    gates the STREAMING front-end too."""
+    import tempfile
+
+    from pennsieve_streaming_spark.streaming.flux import flux_stream
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        (F.col("channel") == "lead") & (F.col("ts") <= BW_TS_END)
+    )
+    base = tempfile.mkdtemp(prefix="pss_stream_flux_")
+    src = f"{base}/src"
+    s.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("channel string, ts long, value double")
+        .parquet(src)
+    )
+    q = (
+        flux_stream(stream, AF_FREQS, BW_RATE, AF_WINDOW)
+        .writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    fx = spark.read.parquet(f"{base}/out")
+    from pyspark.sql import Window
+
+    aw = Window.partitionBy("channel").orderBy("flux_q", "win")
+    cnt = fx.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    med = (
+        fx.withColumn("_ar", F.row_number().over(aw).cast("long"))
+        .join(F.broadcast(cnt), "channel")
+        .filter(F.expr("_ar = (_n + 1) div 2"))
+        .select("channel", F.col("flux_q").alias("med_q"))
+    )
+    return fx.join(F.broadcast(med), "channel").select(
+        "channel",
+        "win",
+        "flux_q",
+        F.expr("flux_q > 2 * med_q").alias("is_onset"),
+    )
+
+
 def q_audio_onsets(spark, sf_dir):
     """Positive-spectral-flux onset detection over the lead audio
     channel: Goertzel band energies (recursive-CTE bit-exact), fixed
@@ -4337,6 +4388,7 @@ _R7_FRONT = [
     "ts_hampel_despike", "emb_knn_graph", "ts_theil_sen",
     "ev_pareto_alpha", "ev_new_vs_returning", "doc_dedup_funnel",
     "ev_ab_sequential", "ts_spectral_slope", "mm_audio_onsets",
+    "stream_flux",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4438,6 +4490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_ab_sequential": q_ab_sequential,
         "ts_spectral_slope": q_spectral_slope,
         "mm_audio_onsets": q_audio_onsets,
+        "stream_flux": q_stream_flux,
         "ev_attribution_linear": q_linear_attribution,
         "doc_source_kl": q_source_kl,
         "ts_trend_segments": q_trend_segments,
@@ -8619,6 +8672,8 @@ def oracle_sql() -> dict[str, str]:
                flux_q > 2 * med_q AS is_onset
         FROM fx CROSS JOIN med
         """
+
+    sql["stream_flux"] = sql["mm_audio_onsets"]
 
     sql["mm_audio_fingerprint"] = f"""
         WITH RECURSIVE samples_aligned AS
