@@ -3638,6 +3638,16 @@ def q_line_length(spark, sf_dir):
     )
 
 
+def q_allan_variance(spark, sf_dir):
+    """Allan variance per channel at tau = 1,2,4,8: exact BIGINT block
+    sums, DECIMAL(38,0) squared-delta accumulation, one fixed finish
+    per tau — the time-domain stability curve beside the 1/f slope."""
+    from pennsieve_streaming_spark.operators.stats import allan_variance
+
+    return allan_variance(TBL.samples_view(spark, sf_dir), (1, 2, 4, 8),
+                          SE_QUANT)
+
+
 def q_hampel(spark, sf_dir):
     """Hampel despiking over tumbling 32-sample windows: exact
     median/MAD order statistics, integer spike rule, median
@@ -4388,7 +4398,7 @@ _R7_FRONT = [
     "ts_hampel_despike", "emb_knn_graph", "ts_theil_sen",
     "ev_pareto_alpha", "ev_new_vs_returning", "doc_dedup_funnel",
     "ev_ab_sequential", "ts_spectral_slope", "mm_audio_onsets",
-    "stream_flux",
+    "stream_flux", "ts_allan_variance",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4482,6 +4492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_mutual_info": q_mutual_info,
         "doc_heaps_law": q_heaps_law,
         "ts_hampel_despike": q_hampel,
+        "ts_allan_variance": q_allan_variance,
         "emb_knn_graph": q_knn_graph,
         "ts_theil_sen": q_theil_sen,
         "ev_pareto_alpha": q_pareto_alpha,
@@ -9564,6 +9575,52 @@ def oracle_sql() -> dict[str, str]:
         SELECT channel, n,
                {", ".join(f"{_hf_l[k]} AS l{k}" for k in range(1, _hf_k + 1))},
                CASE WHEN {_hf_pos} THEN {_hf_fd} END AS fd
+        FROM g
+        """,
+        "samples",
+    )
+
+    sql["ts_allan_variance"] = with_views(
+        f"""
+        WITH ranked AS (
+          SELECT channel,
+                 CAST(round(value * {SE_QUANT}) AS BIGINT) AS xq,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS _rn
+          FROM samples
+        ),
+        nch AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS _n
+          FROM ranked GROUP BY channel
+        ),
+        e AS (
+          SELECT r.channel, r._rn, r.xq, t.tau
+          FROM ranked r
+          CROSS JOIN (SELECT UNNEST([1, 2, 4, 8]) AS tau) t
+          JOIN nch n ON r.channel = n.channel
+          WHERE r._rn < (n._n // t.tau) * t.tau
+        ),
+        blocks AS (
+          SELECT channel, tau, _rn // tau AS blk,
+                 CAST(SUM(xq) AS BIGINT) AS s
+          FROM e GROUP BY channel, tau, _rn // tau
+        ),
+        d AS (
+          SELECT channel, tau,
+                 s - LAG(s) OVER (PARTITION BY channel, tau
+                     ORDER BY blk) AS _ds
+          FROM blocks
+        ),
+        g AS (
+          SELECT channel, tau,
+                 CAST(COUNT(*) AS BIGINT) AS n_deltas,
+                 SUM(CAST(_ds AS HUGEINT) * _ds) AS _sq
+          FROM d WHERE _ds IS NOT NULL GROUP BY channel, tau
+        )
+        SELECT channel, CAST(tau AS BIGINT) AS tau,
+               CAST(n_deltas + 1 AS BIGINT) AS n_blocks,
+               CAST(_sq AS DOUBLE) / (2e0 * n_deltas * tau * tau
+                 * {SE_QUANT} * CAST({SE_QUANT} AS DOUBLE)) AS avar
         FROM g
         """,
         "samples",

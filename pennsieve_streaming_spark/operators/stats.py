@@ -3566,3 +3566,78 @@ def theil_sen_slope(
     return med.join(F.broadcast(npts), "channel").select(
         "channel", "n_points", "n_pairs", "slope_per_day"
     )
+
+
+def allan_variance(
+    samples: DataFrame,
+    taus: tuple[int, ...] = (1, 2, 4, 8),
+    quant: int = 100,
+) -> DataFrame:
+    """Allan variance per channel (Allan 1966) — the stability-vs-
+    averaging-time curve clock, gyro and sensor pipelines read instead
+    of the plain variance (which diverges under drift/flicker noise):
+
+        AVAR(τ) = Σ_k (ȳ_{k+1} − ȳ_k)² / (2(M−1))
+
+    over non-overlapping τ-sample block means ȳ_k. The slope of
+    ln AVAR vs ln τ classifies the noise (white −1, flicker 0, random
+    walk +1) — the time-domain sibling of ts_spectral_slope.
+
+    Determinism — all-integer to one division: block SUMS are exact
+    BIGINTs; (ȳ_{k+1} − ȳ_k)² = (ΔS)²/τ², so Σ(ΔS)² accumulates as
+    exact integers (DECIMAL(38,0) — (ΔS)² reaches 2τ²·(max|xq|)²)
+    and AVAR is ONE fixed cast-divide chain per τ. The block-delta
+    pass runs on the |blocks| table per τ.
+
+    Output: (channel, tau, n_blocks, avar), one row per (channel, τ);
+    channels shorter than 2τ samples emit no row at that τ.
+
+    Plan / 100 TB: one per-channel ranking window; per τ a partial-agg
+    groupBy to |samples|/τ blocks and one lag pass over the block
+    table — the τ explode is a narrow ×|taus| map.
+    """
+    q = int(quant)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    ranked = samples.select(
+        "channel",
+        "ts",
+        "value",
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    ).withColumn("_rn", F.row_number().over(w) - 1)
+    tau_arr = ", ".join(str(t) for t in taus)
+    e = ranked.select(
+        "channel",
+        "_rn",
+        "xq",
+        F.explode(F.expr(f"array({tau_arr})")).alias("tau"),
+    )
+    nch = ranked.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    blocks = (
+        e.join(F.broadcast(nch), "channel")
+        .filter(F.expr("_rn < (_n div tau) * tau"))
+        .groupBy("channel", "tau", F.expr("_rn div tau").alias("blk"))
+        .agg(F.sum("xq").cast("long").alias("s"))
+    )
+    bw = Window.partitionBy("channel", "tau").orderBy("blk")
+    d = (
+        blocks.withColumn("_prev", F.lag("s").over(bw))
+        .filter(F.col("_prev").isNotNull())
+        .withColumn("_ds", F.col("s") - F.col("_prev"))
+    )
+    g = d.groupBy("channel", "tau").agg(
+        F.count(F.lit(1)).cast("long").alias("n_deltas"),
+        F.sum(
+            F.expr("CAST(_ds AS DECIMAL(38,0)) * CAST(_ds AS DECIMAL(38,0))")
+        ).alias("_sq"),
+    )
+    return g.select(
+        "channel",
+        F.col("tau").cast("long").alias("tau"),
+        (F.col("n_deltas") + 1).cast("long").alias("n_blocks"),
+        F.expr(
+            f"CAST(_sq AS DOUBLE) / (2e0 * n_deltas * tau * tau "
+            f"* {q} * CAST({q} AS DOUBLE))"
+        ).alias("avar"),
+    )

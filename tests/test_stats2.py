@@ -1145,3 +1145,29 @@ def test_theil_sen_robust_to_outliers(spark):
     [r] = theil_sen_slope(df, day, 100).collect()
     assert r.n_points == 20 and r.n_pairs == 190
     assert abs(r.slope_per_day - 2.0) < 1e-9
+
+
+def test_allan_variance_white_noise_scaling(spark):
+    """White noise: AVAR(τ) = σ²/τ — doubling τ halves it (within
+    sampling error); a linear drift has AVAR(τ) ∝ τ² exactly:
+    block-mean deltas are slope·τ, so AVAR = (slope·τ)²/2."""
+    import numpy as np
+
+    from pennsieve_streaming_spark.operators.stats import allan_variance
+
+    rng = np.random.default_rng(2)
+    rows = []
+    for t in range(4096):
+        rows.append(("white", t, float(rng.normal())))
+        rows.append(("drift", t, 0.5 * t))
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = {(r.channel, r.tau): r for r in
+           allan_variance(df, (1, 2, 4, 8), 100).collect()}
+    w1 = out[("white", 1)].avar
+    w8 = out[("white", 8)].avar
+    assert 4.0 < w1 / w8 < 16.0          # ~8x for white noise
+    for tau in (1, 2, 4, 8):
+        want = (0.5 * tau) ** 2 / 2.0
+        got = out[("drift", tau)].avar
+        assert abs(got - want) / want < 1e-3   # quantization-bounded
+    assert out[("white", 8)].n_blocks == 512
