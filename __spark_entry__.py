@@ -1322,6 +1322,18 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_bucketed_ann(embs, embs.filter(F.col("vec_id") < 20), k=5)
 
 
+def q_emb_isotropy(spark, sf_dir):
+    """Embedding-space isotropy (mean pairwise cosine via the
+    sum-vector identity — no pairwise pass): quantized unit vectors,
+    exact per-dim integer sums, DECIMAL(38,0) squares, one fixed
+    finish."""
+    from pennsieve_streaming_spark.llm.similarity import (
+        embedding_isotropy,
+    )
+
+    return embedding_isotropy(_embs(spark, sf_dir), dim=ANN_DIM)
+
+
 def q_knn_graph(spark, sf_dir):
     """k-NN graph construction (every vector's top-3 in-bucket cosine
     neighbors): the LSH bucket equi-join applied corpus-to-corpus —
@@ -4398,7 +4410,7 @@ _R7_FRONT = [
     "ts_hampel_despike", "emb_knn_graph", "ts_theil_sen",
     "ev_pareto_alpha", "ev_new_vs_returning", "doc_dedup_funnel",
     "ev_ab_sequential", "ts_spectral_slope", "mm_audio_onsets",
-    "stream_flux", "ts_allan_variance",
+    "stream_flux", "ts_allan_variance", "emb_isotropy",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4493,6 +4505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_heaps_law": q_heaps_law,
         "ts_hampel_despike": q_hampel,
         "ts_allan_variance": q_allan_variance,
+        "emb_isotropy": q_emb_isotropy,
         "emb_knn_graph": q_knn_graph,
         "ts_theil_sen": q_theil_sen,
         "ev_pareto_alpha": q_pareto_alpha,
@@ -13300,6 +13313,45 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # --- IVF ANN (fixed literal centroids) ----------------------------------
+    sql["emb_isotropy"] = """
+        WITH base AS (
+          SELECT list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   x -> CAST(round(x / sqrt(list_dot_product(
+                        CAST(embedding AS DOUBLE[]),
+                        CAST(embedding AS DOUBLE[]))) * 1000000)
+                        AS BIGINT)) AS u
+          FROM embeddings
+          WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[])) > 0
+        ),
+        comp AS (
+          SELECT UNNEST(u) AS c,
+                 UNNEST(generate_series(1, len(u))) AS j
+          FROM base
+        ),
+        dims AS (
+          SELECT j, CAST(SUM(c) AS BIGINT) AS s FROM comp GROUP BY j
+        ),
+        tot AS (
+          SELECT SUM(CAST(s AS HUGEINT) * s) AS _ss FROM dims
+        ),
+        rows_ AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                 SUM(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                     list_transform(u, x -> CAST(x AS HUGEINT) * x)),
+                     (a, x) -> a + x)) AS _rn2
+          FROM base
+        )
+        SELECT n_vectors, CAST(64 AS BIGINT) AS dim,
+               CASE WHEN n_vectors > 1 THEN
+                 (CAST(_ss AS DOUBLE) - CAST(_rn2 AS DOUBLE))
+                 / (CAST(n_vectors AS DOUBLE) * (n_vectors - 1)
+                    * 1000000 * CAST(1000000 AS DOUBLE)) END
+                 AS mean_cosine
+        FROM rows_ CROSS JOIN tot
+        """
+
     sql["emb_ann_ivf"] = _ivf_oracle_sql()
 
     # --- PQ ADC ANN ---------------------------------------------------------

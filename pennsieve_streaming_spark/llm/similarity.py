@@ -1611,3 +1611,74 @@ def binary_hamming_topk(
         .select("query_id", "neighbor_id", "hamming", "cosine", "rank")
     )
 
+
+
+def embedding_isotropy(
+    embeddings: DataFrame,
+    dim: int = 64,
+    quant: int = 10**6,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Isotropy diagnostic of an embedding space (Ethayarajh 2019,
+    Mu & Viswanath 2018): the mean pairwise cosine over ALL vector
+    pairs — anisotropic spaces (every cosine high, the "narrow cone"
+    pathology that breaks cosine retrieval) score near 1, healthy
+    spaces near 0. Computed WITHOUT a pairwise pass via the sum-vector
+    identity: Σ_{i≠j} v̂_i·v̂_j = |Σv̂|² − Σ|v̂|².
+
+    Determinism: each unit vector is quantized per-component
+    (round(x/|v|·quant) — the one float chain, identical both
+    engines); per-dimension sums S_j and per-row norms Σ|V|² are then
+    EXACT integers, squares accumulate in DECIMAL(38,0), and the mean
+    cosine is one fixed cast-divide chain. Zero vectors are dropped.
+
+    Output: one row (n_vectors, dim, mean_cosine).
+
+    Plan / 100 TB: one narrow explode to (dim, component) rows, two
+    partial-agg groupBys (per-dim sums: 64 rows; row-norm total: one
+    row) — no pair ever materializes, no shuffle carries vectors.
+    """
+    q = int(quant)
+    nd = int(dim)
+    nv = F.expr(DOT.format(a="v", b="v"))
+    base = (
+        _as_double(embeddings, vec_col)
+        .select(F.col(vec_col).alias("v"))
+        .withColumn("_nv", nv)
+        .filter(F.col("_nv") > 0)
+        .select(
+            F.expr(
+                f"transform(v, x -> CAST(round(x / sqrt(_nv) * {q}) "
+                "AS BIGINT))"
+            ).alias("u")
+        )
+    )
+    if hasattr(base, "_jdf"):
+        base = base.localCheckpoint()
+    comp = base.select(F.posexplode("u").alias("j", "c"))
+    dims = comp.groupBy("j").agg(F.sum("c").cast("long").alias("s"))
+    tot = dims.agg(
+        F.sum(
+            F.expr("CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))")
+        ).alias("_ss")
+    )
+    rows = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(
+            F.expr(
+                "aggregate(u, CAST(0 AS DECIMAL(38,0)), "
+                "(a, x) -> a + CAST(x AS DECIMAL(38,0)) "
+                "* CAST(x AS DECIMAL(38,0)))"
+            )
+        ).alias("_rn2"),
+    )
+    return rows.crossJoin(F.broadcast(tot)).select(
+        "n_vectors",
+        F.lit(nd).cast("long").alias("dim"),
+        F.expr(
+            f"CASE WHEN n_vectors > 1 THEN "
+            f"(CAST(_ss AS DOUBLE) - CAST(_rn2 AS DOUBLE)) "
+            f"/ (CAST(n_vectors AS DOUBLE) * (n_vectors - 1) "
+            f"* {q} * CAST({q} AS DOUBLE)) END"
+        ).alias("mean_cosine"),
+    )

@@ -747,3 +747,35 @@ def test_bq_word_expr_packs_expected_bits(spark):
     [r] = df.select(F.expr(bq_word_expr("v", 0)).alias("w")).collect()
     # bits 0 (1.0) and 2 (0.0 >= 0) set -> 0b101 = 5
     assert r.w == 5
+
+
+def test_embedding_isotropy_cone_vs_balanced(spark):
+    """A narrow cone (all vectors ≈ same direction) scores near 1; a
+    balanced ± set scores near the exact -1/(n-1) of a mean-zero
+    configuration; zero vectors are dropped."""
+    import numpy as np
+
+    from pennsieve_streaming_spark.llm.similarity import (
+        embedding_isotropy,
+    )
+
+    rng = np.random.default_rng(4)
+    base = rng.normal(size=64)
+    cone = [
+        (i, [float(x) for x in base + 0.01 * rng.normal(size=64)])
+        for i in range(20)
+    ]
+    cone.append((99, [0.0] * 64))         # dropped
+    df = spark.createDataFrame(cone, "vec_id long, embedding array<float>")
+    [r] = embedding_isotropy(df).collect()
+    assert r.n_vectors == 20 and r.mean_cosine > 0.95
+
+    bal = []
+    for i in range(10):
+        v = rng.normal(size=64)
+        bal.append((2 * i, [float(x) for x in v]))
+        bal.append((2 * i + 1, [float(-x) for x in v]))
+    df2 = spark.createDataFrame(bal, "vec_id long, embedding array<float>")
+    [r2] = embedding_isotropy(df2).collect()
+    # Σv̂ = 0 exactly in pairs -> mean cosine = -n/(n(n-1)) = -1/19
+    assert abs(r2.mean_cosine - (-1.0 / 19.0)) < 1e-3
