@@ -2406,6 +2406,22 @@ def q_funnel(spark, sf_dir):
     return funnel(_user_events(spark, sf_dir), "signup", "purchase")
 
 
+FW_WINDOW_US = 7 * 86_400_000_000   # 7-day attribution window
+
+
+def q_funnel_windowed(spark, sf_dir):
+    """Attribution-windowed funnel: signup->purchase conversions that
+    land within 7 days of the first signup; capture_share = windowed /
+    all-time conversions."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        funnel_windowed,
+    )
+
+    return funnel_windowed(
+        _user_events(spark, sf_dir), "signup", "purchase", FW_WINDOW_US
+    )
+
+
 FUNNEL_STEPS = ["signup", "view", "purchase"]
 
 
@@ -4411,6 +4427,7 @@ _R7_FRONT = [
     "ev_pareto_alpha", "ev_new_vs_returning", "doc_dedup_funnel",
     "ev_ab_sequential", "ts_spectral_slope", "mm_audio_onsets",
     "stream_flux", "ts_allan_variance", "emb_isotropy",
+    "ev_funnel_windowed",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4506,6 +4523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_hampel_despike": q_hampel,
         "ts_allan_variance": q_allan_variance,
         "emb_isotropy": q_emb_isotropy,
+        "ev_funnel_windowed": q_funnel_windowed,
         "emb_knn_graph": q_knn_graph,
         "ts_theil_sen": q_theil_sen,
         "ev_pareto_alpha": q_pareto_alpha,
@@ -7955,6 +7973,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT act.week, act.active,
                CAST(COALESCE(ret.retained, 0) AS BIGINT) AS retained_next_week
         FROM act LEFT JOIN ret ON act.week = ret.week
+        """
+
+    sql["ev_funnel_windowed"] = f"""
+        WITH ue AS (
+          SELECT epoch_us(ts) AS ts, user_id, event_type FROM events
+        ),
+        f AS (
+          SELECT user_id, MIN(ts) AS t1 FROM ue
+          WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        sa AS (
+          SELECT s.user_id, MIN(s.ts) AS t2, MAX(f.t1) AS t1
+          FROM ue s JOIN f ON s.user_id = f.user_id
+          WHERE s.event_type = 'purchase' AND s.ts > f.t1
+          GROUP BY s.user_id
+        ),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+                 CAST(COALESCE(SUM(CASE WHEN t2 - t1 <= {FW_WINDOW_US}
+                     THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_converted_window
+          FROM sa
+        ),
+        nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_first_users FROM f)
+        SELECT n_first_users,
+               CAST(COALESCE(n_converted, 0) AS BIGINT) AS n_converted,
+               CAST(COALESCE(n_converted_window, 0) AS BIGINT)
+                 AS n_converted_window,
+               CASE WHEN n_first_users > 0 THEN
+                 CAST(n_converted_window AS DOUBLE) / n_first_users END
+                 AS window_rate,
+               CASE WHEN n_converted > 0 THEN
+                 CAST(n_converted_window AS DOUBLE) / n_converted END
+                 AS capture_share
+        FROM agg CROSS JOIN nf
         """
 
     sql["ev_funnel"] = """

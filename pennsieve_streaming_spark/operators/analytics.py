@@ -1769,3 +1769,73 @@ def ab_sequential_msprt(
         "p_always_valid",
         F.expr(f"p_always_valid < {MSPRT_ALPHA}").alias("rejected"),
     )
+
+
+def funnel_windowed(
+    events: DataFrame,
+    first_step: str,
+    second_step: str,
+    window_us: int,
+) -> DataFrame:
+    """Attribution-windowed two-step funnel: conversions only count
+    when the second step lands within ``window_us`` of the user's
+    FIRST first-step event — the industry-standard attribution cut
+    (a purchase six months after the signup email is not that email's
+    conversion). :func:`funnel` without the deadline overstates
+    conversion on long-horizon data; the gap between the two numbers
+    IS the slow-burn cohort.
+
+    Determinism: per-user firsts are exact MINs; the windowed
+    earliest second step is a conditional MIN under an integer bound;
+    the rates are fixed divisions of exact counts.
+
+    Output: one row (n_first_users, n_converted, n_converted_window,
+    window_rate, capture_share) — capture_share = windowed / all-time
+    conversions (NULL when nobody converts).
+
+    Plan: the funnel shape — two filtered partial-agg groupBys and an
+    equi-join on user_id; no window functions at all.
+    """
+    w_us = int(window_us)
+    firsts = (
+        events.filter(F.col("event_type") == first_step)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    sec = (
+        events.filter(F.col("event_type") == second_step)
+        .select("user_id", F.col("ts").alias("ts2"))
+        .join(firsts, "user_id")
+        .filter(F.col("ts2") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts2").alias("t2"),
+            F.max("t1").alias("t1"),
+        )
+    )
+    agg = sec.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.sum(
+            F.when(F.col("t2") - F.col("t1") <= w_us, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_converted_window"),
+    )
+    nf = firsts.agg(F.count(F.lit(1)).cast("long").alias("n_first_users"))
+    return agg.crossJoin(F.broadcast(nf)).select(
+        "n_first_users",
+        F.coalesce("n_converted", F.lit(0)).cast("long").alias(
+            "n_converted"
+        ),
+        F.coalesce("n_converted_window", F.lit(0)).cast("long").alias(
+            "n_converted_window"
+        ),
+        F.expr(
+            "CASE WHEN n_first_users > 0 THEN "
+            "CAST(n_converted_window AS DOUBLE) / n_first_users END"
+        ).alias("window_rate"),
+        F.expr(
+            "CASE WHEN n_converted > 0 THEN "
+            "CAST(n_converted_window AS DOUBLE) / n_converted END"
+        ).alias("capture_share"),
+    )

@@ -878,3 +878,24 @@ def test_ab_sequential_msprt_detects_planted_lift(spark):
     )
     out2 = ab_sequential_msprt(ev2).collect()
     assert all(not r.rejected for r in out2)
+
+
+def test_funnel_windowed_cuts_slow_conversions(spark):
+    from pennsieve_streaming_spark.operators.analytics import (
+        DAY_US,
+        funnel_windowed,
+    )
+
+    rows = [
+        (1, 0, 0, "signup"), (1, 2 * DAY_US, 1, "purchase"),   # in window
+        (2, 0, 2, "signup"), (2, 9 * DAY_US, 3, "purchase"),   # too slow
+        (3, 0, 4, "signup"),                                    # never
+        (4, 5, 5, "purchase"),                                  # no signup
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, event_type string"
+    )
+    [r] = funnel_windowed(ev, "signup", "purchase", 7 * DAY_US).collect()
+    assert (r.n_first_users, r.n_converted, r.n_converted_window) == (3, 2, 1)
+    assert abs(r.window_rate - 1 / 3) < 1e-12
+    assert r.capture_share == 0.5
