@@ -892,6 +892,37 @@ def q_quality(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir))
 
 
+def q_quality_vs_dup(spark, sf_dir):
+    """Quality-decile × duplicate-rate cross-signal — the curation
+    sanity check that low-quality strata carry the duplication mass
+    (template spam scores low AND duplicates): per quality decile,
+    the share of docs whose exact-md5 group has >1 member. Composes
+    two gated signals; the decile cut floors the identical quality
+    double both engines compute."""
+    from pennsieve_streaming_spark.llm.text import with_quality
+
+    docs = with_quality(_docs(spark, sf_dir)).select(
+        "doc_id", "text", "quality"
+    )
+    dup = docs.groupBy(F.md5("text").alias("_d")).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    j = docs.join(dup, F.md5(docs["text"]) == F.col("_d")).select(
+        F.expr(
+            "CAST(least(9, CAST(floor(quality * 10) AS BIGINT)) "
+            "AS BIGINT)"
+        ).alias("decile"),
+        F.expr("CASE WHEN _c > 1 THEN 1 ELSE 0 END").alias("_isdup"),
+    )
+    return j.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_isdup").cast("long").alias("n_dups"),
+        F.expr(
+            "CAST(SUM(_isdup) AS DOUBLE) / COUNT(*)"
+        ).alias("dup_share"),
+    )
+
+
 def q_source_kl(spark, sf_dir):
     """Per-source KL divergence of the unigram distribution vs the
     corpus mix (dataset-mixing diagnostic) — exact nano-nat integer
@@ -4427,7 +4458,7 @@ _R7_FRONT = [
     "ev_pareto_alpha", "ev_new_vs_returning", "doc_dedup_funnel",
     "ev_ab_sequential", "ts_spectral_slope", "mm_audio_onsets",
     "stream_flux", "ts_allan_variance", "emb_isotropy",
-    "ev_funnel_windowed",
+    "ev_funnel_windowed", "doc_quality_vs_dup",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4524,6 +4555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_allan_variance": q_allan_variance,
         "emb_isotropy": q_emb_isotropy,
         "ev_funnel_windowed": q_funnel_windowed,
+        "doc_quality_vs_dup": q_quality_vs_dup,
         "emb_knn_graph": q_knn_graph,
         "ts_theil_sen": q_theil_sen,
         "ev_pareto_alpha": q_pareto_alpha,
@@ -5204,6 +5236,26 @@ def oracle_sql() -> dict[str, str]:
                alpha_ratio * 0.5e0 + stop_ratio * 0.3e0
                + least(n_tokens, 200) / CAST(200.0 AS DOUBLE) * 0.2e0 AS quality
         FROM base
+        """
+
+    sql["doc_quality_vs_dup"] = f"""
+        WITH q AS ({sql["doc_quality_score"]}),
+        dup AS (
+          SELECT md5(text) AS _d, CAST(COUNT(*) AS BIGINT) AS _c
+          FROM documents GROUP BY md5(text)
+        ),
+        j AS (
+          SELECT CAST(LEAST(9, CAST(floor(q.quality * 10) AS BIGINT))
+                   AS BIGINT) AS decile,
+                 CASE WHEN p._c > 1 THEN 1 ELSE 0 END AS _isdup
+          FROM q
+          JOIN documents d ON q.doc_id = d.doc_id
+          JOIN dup p ON md5(d.text) = p._d
+        )
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(_isdup) AS BIGINT) AS n_dups,
+               CAST(SUM(_isdup) AS DOUBLE) / COUNT(*) AS dup_share
+        FROM j GROUP BY decile
         """
 
     sql["doc_curriculum_order"] = f"""
