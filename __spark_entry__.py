@@ -1464,6 +1464,15 @@ def q_ann_pq(spark, sf_dir):
     )
 
 
+def q_sq8_distortion(spark, sf_dir):
+    """SQ8 scalar-quantization distortion per dimension (1 byte/dim
+    affine codes): exact per-dim min/max, fixed code/recon chains,
+    1e9-quantized exact error sums — completes BQ/PQ/SQ."""
+    from pennsieve_streaming_spark.llm.similarity import sq8_distortion
+
+    return sq8_distortion(_embs(spark, sf_dir), dim=ANN_DIM)
+
+
 def q_pq_distortion(spark, sf_dir):
     """Per-subspace PQ reconstruction MSE — the quantization-quality
     panel for the compressed-vector ANN path (1e-9-quantized exact
@@ -4458,7 +4467,7 @@ _R7_FRONT = [
     "ev_pareto_alpha", "ev_new_vs_returning", "doc_dedup_funnel",
     "ev_ab_sequential", "ts_spectral_slope", "mm_audio_onsets",
     "stream_flux", "ts_allan_variance", "emb_isotropy",
-    "ev_funnel_windowed", "doc_quality_vs_dup",
+    "ev_funnel_windowed", "doc_quality_vs_dup", "emb_sq8_distortion",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4556,6 +4565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_isotropy": q_emb_isotropy,
         "ev_funnel_windowed": q_funnel_windowed,
         "doc_quality_vs_dup": q_quality_vs_dup,
+        "emb_sq8_distortion": q_sq8_distortion,
         "emb_knn_graph": q_knn_graph,
         "ts_theil_sen": q_theil_sen,
         "ev_pareto_alpha": q_pareto_alpha,
@@ -13418,6 +13428,28 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # --- IVF ANN (fixed literal centroids) ----------------------------------
+    sql["emb_sq8_distortion"] = """
+        WITH comp AS (
+          SELECT UNNEST(generate_series(0,
+                   len(CAST(embedding AS DOUBLE[])) - 1)) AS dim_j,
+                 UNNEST(CAST(embedding AS DOUBLE[])) AS x
+          FROM embeddings
+        ),
+        ext AS (
+          SELECT dim_j, MIN(x) AS mn, MAX(x) AS mx
+          FROM comp GROUP BY dim_j
+        ),
+        err AS (
+          SELECT c.dim_j, e.mn, e.mx,
+                 CAST(round((CASE WHEN mx = mn THEN mn ELSE mn + round((x - mn) * 255e0 / (mx - mn)) * (mx - mn) / 255e0 END - x) * (CASE WHEN mx = mn THEN mn ELSE mn + round((x - mn) * 255e0 / (mx - mn)) * (mx - mn) / 255e0 END - x) * 1000000000)
+                   AS BIGINT) AS _eq
+          FROM comp c JOIN ext e ON c.dim_j = e.dim_j
+        )
+        SELECT dim_j, CAST(COUNT(*) AS BIGINT) AS n, mn, mx,
+               CAST(SUM(_eq) AS DOUBLE) / COUNT(*) / 1000000000 AS mse
+        FROM err GROUP BY dim_j, mn, mx
+        """
+
     sql["emb_isotropy"] = """
         WITH base AS (
           SELECT list_transform(

@@ -1682,3 +1682,63 @@ def embedding_isotropy(
             f"* {q} * CAST({q} AS DOUBLE)) END"
         ).alias("mean_cosine"),
     )
+
+
+def sq8_distortion(
+    embeddings: DataFrame,
+    dim: int = 64,
+    quant: int = 10**9,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar (SQ8) quantization distortion — the quality panel for
+    the simplest compressed-vector format (one byte per dimension,
+    per-dimension min/max affine codes — the FAISS "SQ8" / Milvus
+    default): per dimension, the reconstruction MSE and the dynamic
+    range. Completes the compression-eval family: BQ (1 bit), PQ
+    (codebooks), SQ8 (affine bytes).
+
+    code  = round((x − mn_j) · 255 / (mx_j − mn_j))   ∈ [0, 255]
+    recon = mn_j + code · (mx_j − mn_j) / 255
+
+    Determinism: per-dim min/max are exact over doubles; code and
+    recon are fixed per-element float chains (identical both
+    engines); each squared error is 1e9-quantized to BIGINT so the
+    per-dimension sum is exact (the pq_distortion convention).
+    Constant dimensions (mx = mn) reconstruct exactly (code 0,
+    recon = mn) — handled explicitly to avoid 0/0.
+
+    Output: (dim_j, n, mn, mx, mse) — one row per dimension.
+
+    Plan / 100 TB: one narrow posexplode, one partial-agg groupBy to
+    ``dim`` rows for min/max (broadcast back), one more to the final
+    ``dim`` rows. No joins beyond the 64-row broadcast.
+    """
+    q = int(quant)
+    comp = _as_double(embeddings, vec_col).select(
+        F.posexplode(F.col(vec_col)).alias("dim_j", "x")
+    )
+    ext = comp.groupBy("dim_j").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    recon = (
+        "CASE WHEN mx = mn THEN mn ELSE "
+        "mn + round((x - mn) * 255e0 / (mx - mn)) * (mx - mn) / 255e0 "
+        "END"
+    )
+    err = comp.join(F.broadcast(ext), "dim_j").select(
+        "dim_j",
+        "mn",
+        "mx",
+        F.expr(
+            f"CAST(round(({recon} - x) * ({recon} - x) * {q}) "
+            "AS BIGINT)"
+        ).alias("_eq"),
+    )
+    return err.groupBy("dim_j", "mn", "mx").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("_eq").cast("double") / F.count(F.lit(1)) / q).alias(
+            "mse"
+        ),
+    ).select(
+        F.col("dim_j").cast("long").alias("dim_j"), "n", "mn", "mx", "mse"
+    )

@@ -779,3 +779,31 @@ def test_embedding_isotropy_cone_vs_balanced(spark):
     [r2] = embedding_isotropy(df2).collect()
     # Σv̂ = 0 exactly in pairs -> mean cosine = -n/(n(n-1)) = -1/19
     assert abs(r2.mean_cosine - (-1.0 / 19.0)) < 1e-3
+
+
+def test_sq8_distortion_bounds_and_exact_cases(spark):
+    """Values on the 255-step lattice reconstruct exactly (MSE 0);
+    constant dims reconstruct exactly; random dims keep MSE below the
+    worst-case half-step bound (range/255/2)^2."""
+    import numpy as np
+
+    from pennsieve_streaming_spark.llm.similarity import sq8_distortion
+
+    rng = np.random.default_rng(6)
+    rows = []
+    for i in range(100):
+        v = [0.0] * 4
+        v[0] = (i % 256 // 4) * (8.0 / 255.0)      # on-lattice for rng 0..8? use exact steps
+        v[0] = (i % 4) * (1.0 / 255.0) * 255 / 3   # 4 evenly spaced points incl ends
+        v[1] = 7.5                                  # constant dim
+        v[2] = float(rng.uniform(-1, 1))
+        v[3] = float(rng.uniform(100, 101))
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.dim_j: r for r in sq8_distortion(df, dim=4).collect()}
+    assert out[1].mse == 0.0 and out[1].mn == out[1].mx == 7.5
+    # dim 0: 4 points at 0, 1/3, 2/3, 1 of the range -> exact codes
+    assert out[0].mse < 1e-9
+    for j in (2, 3):
+        rng_j = out[j].mx - out[j].mn
+        assert 0.0 <= out[j].mse <= (rng_j / 255.0 / 2.0) ** 2 + 1e-9
