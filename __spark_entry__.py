@@ -4110,6 +4110,15 @@ def q_theil_sen(spark, sf_dir):
     )
 
 
+def q_entropy_rate(spark, sf_dir):
+    """Entropy rate H(X_t | X_{t-1}) of the binned day-grid series per
+    channel: mutual_information's integer bins, exact lag-1 transition
+    counts, nano-nat DECIMAL(38,0) fold, ln(B)-normalized."""
+    from pennsieve_streaming_spark.operators.stats import entropy_rate
+
+    return entropy_rate(_locf_day_grid(spark, sf_dir), 8, CORR_QUANT)
+
+
 def q_mutual_info(spark, sf_dir):
     """Binned mutual information between aligned channel pairs on the
     LOCF day grid: exact integer equal-width bins, nano-nat
@@ -4468,6 +4477,7 @@ _R7_FRONT = [
     "ev_ab_sequential", "ts_spectral_slope", "mm_audio_onsets",
     "stream_flux", "ts_allan_variance", "emb_isotropy",
     "ev_funnel_windowed", "doc_quality_vs_dup", "emb_sq8_distortion",
+    "ts_entropy_rate",
     # Recheck block: queries whose code or oracle changed this
     # round (advisor fixes), then the oldest driver-checked set.
     "ev_ab_conversion",
@@ -4566,6 +4576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_funnel_windowed": q_funnel_windowed,
         "doc_quality_vs_dup": q_quality_vs_dup,
         "emb_sq8_distortion": q_sq8_distortion,
+        "ts_entropy_rate": q_entropy_rate,
         "emb_knn_graph": q_knn_graph,
         "ts_theil_sen": q_theil_sen,
         "ev_pareto_alpha": q_pareto_alpha,
@@ -10985,6 +10996,85 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT m.channel, n.n_points, m.n_pairs, m.slope_per_day
         FROM med m JOIN npts n ON m.channel = n.channel
+        """,
+        "samples",
+        "channels",
+    )
+
+    sql["ts_entropy_rate"] = with_views(
+        f"""
+        WITH b AS (
+          SELECT MAX(start_ts) AS lo, MIN(end_ts) AS hi FROM channels
+        ),
+        gb AS (
+          SELECT UNNEST(generate_series(
+            ((lo + {_DAY} - 1) // {_DAY}) * {_DAY}, hi, {_DAY})) AS ts
+          FROM b
+        ),
+        grid AS (
+          SELECT c.channel, gb.ts
+          FROM (SELECT DISTINCT channel FROM channels) c CROSS JOIN gb
+        ),
+        u AS (
+          SELECT channel, ts, value, 0 AS is_grid FROM samples
+          UNION ALL
+          SELECT channel, ts, CAST(NULL AS DOUBLE), 1 FROM grid
+        ),
+        f AS (
+          SELECT channel, ts, is_grid,
+                 last_value(value IGNORE NULLS) OVER w AS fill
+          FROM u
+          WINDOW w AS (PARTITION BY channel ORDER BY ts, is_grid, value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        vals AS (
+          SELECT channel, ts,
+                 CAST(round(fill * {CORR_QUANT}) AS BIGINT) AS xq
+          FROM f WHERE is_grid = 1
+        ),
+        ext AS (
+          SELECT channel, MIN(xq) AS mn, MAX(xq) AS mx
+          FROM vals GROUP BY channel
+        ),
+        binned AS (
+          SELECT v.channel, v.ts,
+                 CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+                      ELSE ((xq - mn) * 8) // (mx - mn + 1) END AS bin
+          FROM vals v JOIN ext e ON v.channel = e.channel
+        ),
+        prs AS (
+          SELECT channel,
+                 LAG(bin) OVER (PARTITION BY channel ORDER BY ts) AS bi,
+                 bin AS bj
+          FROM binned
+        ),
+        cell AS (
+          SELECT channel, bi, bj, CAST(COUNT(*) AS BIGINT) AS n_ij
+          FROM prs WHERE bi IS NOT NULL GROUP BY channel, bi, bj
+        ),
+        ri AS (
+          SELECT channel, bi, CAST(SUM(n_ij) AS BIGINT) AS r_i
+          FROM cell GROUP BY channel, bi
+        ),
+        nn AS (
+          SELECT channel, CAST(SUM(n_ij) AS BIGINT) AS n
+          FROM cell GROUP BY channel
+        ),
+        wts AS (
+          SELECT c.channel, nn.n,
+                 CAST(c.n_ij AS HUGEINT) * (
+                   CAST(round(ln(CAST(c.n_ij AS DOUBLE)) * 1000000000) AS BIGINT) - CAST(round(ln(CAST(ri.r_i AS DOUBLE)) * 1000000000) AS BIGINT)
+                 ) AS w
+          FROM cell c
+          JOIN ri ON c.channel = ri.channel AND c.bi = ri.bi
+          JOIN nn ON c.channel = nn.channel
+        )
+        SELECT channel, CAST(MAX(n) AS BIGINT) AS n,
+               -(CAST(SUM(w) AS DOUBLE) / 1000000000) / MAX(n)
+                 AS entropy_rate,
+               (-(CAST(SUM(w) AS DOUBLE) / 1000000000) / MAX(n))
+                 / 2.07944154167983575e+00 AS normalized
+        FROM wts GROUP BY channel
         """,
         "samples",
         "channels",

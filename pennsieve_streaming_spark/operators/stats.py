@@ -3641,3 +3641,92 @@ def allan_variance(
             f"* {q} * CAST({q} AS DOUBLE))"
         ).alias("avar"),
     )
+
+
+def entropy_rate(
+    values: DataFrame, n_bins: int = 8, quant: int = 100
+) -> DataFrame:
+    """Entropy rate of the discretized series per channel — the
+    conditional entropy H(X_t | X_{t−1}) over lag-1 transitions of
+    equal-width amplitude bins: how unpredictable the NEXT sample is
+    given the current one. The within-channel temporal sibling of
+    ts_mutual_info's cross-channel coupling (and the continuous
+    cousin of ev_markov_entropy's per-source transition entropy);
+    near 0 = deterministic dynamics, near ln(B) = memoryless noise.
+    ``values`` must be a uniform grid (the asof_locf contract) so
+    "next sample" is well-defined.
+
+        H = − Σ_ij (n_ij / N) · ln(n_ij / r_i)
+
+    Determinism: bins are the mutual_information integer rule; lag-1
+    transition counts are exact; each cell carries the nano-nat
+    integer weight n_ij·(ln n_ij − ln r_i) accumulated in
+    DECIMAL(38,0); the rate is one fixed cast-divide chain, plus the
+    ln(B)-normalized form.
+
+    Output: (channel, n, entropy_rate, normalized) — n = transition
+    count.
+
+    Plan / 100 TB: one per-channel min/max partial-agg (broadcast
+    back), ONE lag window pass, groupBys to ≤ |channels|·B² rows.
+    """
+    import math
+
+    q = int(quant)
+    b = int(n_bins)
+    v = values.select(
+        "channel",
+        "ts",
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    )
+    if hasattr(v, "_jdf"):
+        v = v.localCheckpoint()
+    ext = v.groupBy("channel").agg(
+        F.min("xq").alias("mn"), F.max("xq").alias("mx")
+    )
+    binned = v.join(F.broadcast(ext), "channel").select(
+        "channel",
+        "ts",
+        F.expr(
+            f"CASE WHEN mx = mn THEN CAST(0 AS BIGINT) ELSE "
+            f"((xq - mn) * {b}) div (mx - mn + 1) END"
+        ).alias("bin"),
+    )
+    w = Window.partitionBy("channel").orderBy("ts")
+    pairs = (
+        binned.withColumn("_prev", F.lag("bin").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .groupBy("channel", F.col("_prev").alias("bi"),
+                 F.col("bin").alias("bj"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ij"))
+    )
+    if hasattr(pairs, "_jdf"):
+        pairs = pairs.localCheckpoint()
+    ri = pairs.groupBy("channel", "bi").agg(
+        F.sum("n_ij").cast("long").alias("r_i")
+    )
+    nn = pairs.groupBy("channel").agg(
+        F.sum("n_ij").cast("long").alias("n")
+    )
+    LNQ = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1000000000) AS BIGINT)"
+    wgt = F.expr(
+        "CAST(n_ij AS DECIMAL(38,0)) * ("
+        + LNQ.format(x="n_ij") + " - " + LNQ.format(x="r_i") + ")"
+    )
+    j = pairs.join(ri, ["channel", "bi"]).join(F.broadcast(nn), "channel")
+    lnb = f"{math.log(float(b)):.17e}"
+    return (
+        j.groupBy("channel")
+        .agg(F.max("n").alias("n"), F.sum(wgt).alias("_hq"))
+        .select(
+            "channel",
+            "n",
+            (
+                -(F.col("_hq").cast("double") / 1_000_000_000)
+                / F.col("n")
+            ).alias("entropy_rate"),
+            F.expr(
+                f"(-(CAST(_hq AS DOUBLE) / 1000000000) / n) / {lnb}"
+            ).alias("normalized"),
+        )
+    )

@@ -1171,3 +1171,25 @@ def test_allan_variance_white_noise_scaling(spark):
         got = out[("drift", tau)].avar
         assert abs(got - want) / want < 1e-3   # quantization-bounded
     assert out[("white", 8)].n_blocks == 512
+
+
+def test_entropy_rate_deterministic_vs_noise(spark):
+    """A monotone ramp visits bins in a fixed order (every transition
+    deterministic -> rate 0); iid uniform noise approaches ln(B);
+    a flat channel is a single self-transition (rate 0)."""
+    import numpy as np
+
+    from pennsieve_streaming_spark.operators.stats import entropy_rate
+
+    rng = np.random.default_rng(8)
+    rows = []
+    for t in range(4000):
+        rows.append(("ramp", t, float(t)))
+        rows.append(("noise", t, float(rng.uniform(0, 1))))
+        rows.append(("flat", t, 2.0))
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = {r.channel: r for r in entropy_rate(df, 8, 100).collect()}
+    assert out["ramp"].entropy_rate < 0.02        # near-deterministic
+    assert out["noise"].normalized > 0.95         # near-memoryless
+    assert out["flat"].entropy_rate == 0.0
+    assert out["ramp"].n == 3999
