@@ -7169,12 +7169,20 @@ def oracle_sql() -> dict[str, str]:
                       AS BIGINT) AS conv_b
           FROM nb GROUP BY day
         ),
-        scored AS (
+        scored0 AS (
           SELECT day, n_a, conv_a, n_b, conv_b,
-                 CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN (5e-1 * ln(((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 / n_a + 1e0 / n_b)) / (((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 / n_a + 1e0 / n_b)) + 1e-2)) + (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) * (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) * 1e-2 / (2e0 * ((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 / n_a + 1e0 / n_b)) * (((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 / n_a + 1e0 / n_b)) + 1e-2))) END AS ln_lambda_t,
-                 CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b AND (5e-1 * ln(((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 / n_a + 1e0 / n_b)) / (((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 / n_a + 1e0 / n_b)) + 1e-2)) + (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) * (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) * 1e-2 / (2e0 * ((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 / n_a + 1e0 / n_b)) * (((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 / n_a + 1e0 / n_b)) + 1e-2))) > 0e0
-                      THEN exp(-((5e-1 * ln(((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 / n_a + 1e0 / n_b)) / (((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 / n_a + 1e0 / n_b)) + 1e-2)) + (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) * (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) * 1e-2 / (2e0 * ((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 / n_a + 1e0 / n_b)) * (((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 / n_a + 1e0 / n_b)) + 1e-2))))) ELSE 1e0 END AS _p_day
+                 CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0
+                       AND conv_a + conv_b < n_a + n_b
+                      THEN round((5e-1 * ln(((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 / n_a + 1e0 / n_b)) / (((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 / n_a + 1e0 / n_b)) + 1e-2)) + (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) * (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) * 1e-2 / (2e0 * ((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 / n_a + 1e0 / n_b)) * (((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * (1e0 / n_a + 1e0 / n_b)) + 1e-2))), 9)
+                      ELSE 0e0 END AS ln_lambda_t
           FROM g
+        ),
+        scored AS (
+          SELECT day, n_a, conv_a, n_b, conv_b, ln_lambda_t,
+                 CASE WHEN ln_lambda_t > 0e0
+                      THEN round(exp(-ln_lambda_t), 9)
+                      ELSE 1e0 END AS _p_day
+          FROM scored0
         )
         SELECT day, n_a, conv_a, n_b, conv_b, ln_lambda_t,
                MIN(_p_day) OVER (ORDER BY day
@@ -8252,8 +8260,8 @@ def oracle_sql() -> dict[str, str]:
           FROM g GROUP BY channel
         )
         SELECT channel, n_windows,
-               -0.38274374502043595 * ln((CAST(_s1 + 1 AS DOUBLE) / n_windows)) + -0.18260593680948164 * ln((CAST(_s2 + 1 AS DOUBLE) / n_windows)) + -0.06553282402955064 * ln((CAST(_s3 + 1 AS DOUBLE) / n_windows)) + 0.01753187140147264 * ln((CAST(_s4 + 1 AS DOUBLE) / n_windows)) + 0.08196185471375746 * ln((CAST(_s5 + 1 AS DOUBLE) / n_windows)) + 0.13460498418140363 * ln((CAST(_s6 + 1 AS DOUBLE) / n_windows)) + 0.17911411595040735 * ln((CAST(_s7 + 1 AS DOUBLE) / n_windows)) + 0.2176696796124269 * ln((CAST(_s8 + 1 AS DOUBLE) / n_windows)) AS slope,
-               -(-0.38274374502043595 * ln((CAST(_s1 + 1 AS DOUBLE) / n_windows)) + -0.18260593680948164 * ln((CAST(_s2 + 1 AS DOUBLE) / n_windows)) + -0.06553282402955064 * ln((CAST(_s3 + 1 AS DOUBLE) / n_windows)) + 0.01753187140147264 * ln((CAST(_s4 + 1 AS DOUBLE) / n_windows)) + 0.08196185471375746 * ln((CAST(_s5 + 1 AS DOUBLE) / n_windows)) + 0.13460498418140363 * ln((CAST(_s6 + 1 AS DOUBLE) / n_windows)) + 0.17911411595040735 * ln((CAST(_s7 + 1 AS DOUBLE) / n_windows)) + 0.2176696796124269 * ln((CAST(_s8 + 1 AS DOUBLE) / n_windows))) AS alpha
+               round(-0.38274374502043595 * ln((CAST(_s1 + 1 AS DOUBLE) / n_windows)) + -0.18260593680948164 * ln((CAST(_s2 + 1 AS DOUBLE) / n_windows)) + -0.06553282402955064 * ln((CAST(_s3 + 1 AS DOUBLE) / n_windows)) + 0.01753187140147264 * ln((CAST(_s4 + 1 AS DOUBLE) / n_windows)) + 0.08196185471375746 * ln((CAST(_s5 + 1 AS DOUBLE) / n_windows)) + 0.13460498418140363 * ln((CAST(_s6 + 1 AS DOUBLE) / n_windows)) + 0.17911411595040735 * ln((CAST(_s7 + 1 AS DOUBLE) / n_windows)) + 0.2176696796124269 * ln((CAST(_s8 + 1 AS DOUBLE) / n_windows)), 9) AS slope,
+               round(-(-0.38274374502043595 * ln((CAST(_s1 + 1 AS DOUBLE) / n_windows)) + -0.18260593680948164 * ln((CAST(_s2 + 1 AS DOUBLE) / n_windows)) + -0.06553282402955064 * ln((CAST(_s3 + 1 AS DOUBLE) / n_windows)) + 0.01753187140147264 * ln((CAST(_s4 + 1 AS DOUBLE) / n_windows)) + 0.08196185471375746 * ln((CAST(_s5 + 1 AS DOUBLE) / n_windows)) + 0.13460498418140363 * ln((CAST(_s6 + 1 AS DOUBLE) / n_windows)) + 0.17911411595040735 * ln((CAST(_s7 + 1 AS DOUBLE) / n_windows)) + 0.2176696796124269 * ln((CAST(_s8 + 1 AS DOUBLE) / n_windows))), 9) AS alpha
         FROM piv
         """
 
@@ -12389,7 +12397,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT deg.v AS doc_id, degree,
                CAST(COALESCE(pv.n_triangles, 0) AS BIGINT) AS n_triangles,
                CASE WHEN degree > 1 THEN 2e0 * COALESCE(pv.n_triangles, 0)
-                    / (degree * (degree - 1)) END AS clustering
+                    / (degree * (degree - 1)) ELSE 0e0 END AS clustering
         FROM deg LEFT JOIN pv ON pv.v = deg.v
         """
 

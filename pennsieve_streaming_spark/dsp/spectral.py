@@ -1356,11 +1356,15 @@ def spectral_slope(
     slope = " + ".join(
         f"{cs[b - 1]!r} * ln({mean_b[b]})" for b in range(1, nb + 1)
     )
+    # Cross-engine determinism: ln() itself is not correctly rounded,
+    # so the folded sum differs in the last ULP across engines even
+    # with identical literal weights; quantize the finish to 9 dp (the
+    # codebase's nano-nat rule) in both engines.
     return piv.select(
         "channel",
         "n_windows",
-        F.expr(slope).alias("slope"),
-        F.expr(f"-({slope})").alias("alpha"),
+        F.expr(f"round({slope}, 9)").alias("slope"),
+        F.expr(f"round(-({slope}), 9)").alias("alpha"),
     )
 
 

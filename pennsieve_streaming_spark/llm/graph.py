@@ -439,7 +439,8 @@ def triangle_counts(
             "clustering",
             F.expr(
                 "CASE WHEN degree > 1 THEN "
-                "2e0 * n_triangles / (degree * (degree - 1)) END"
+                "2e0 * n_triangles / (degree * (degree - 1)) "
+                "ELSE 0e0 END"
             ),
         )
     )

@@ -1736,19 +1736,30 @@ def ab_sequential_msprt(
         "n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0 "
         "AND conv_a + conv_b < n_a + n_b"
     )
+    # Cross-engine determinism: ln()/exp() are not correctly rounded,
+    # so the raw lnΛ differs in the last ULP between Spark's JVM and
+    # other engines' libm. Quantize lnΛ to 9 dp first (the codebase's
+    # nano-nat rule), then exponentiate the *quantized* value and
+    # quantize the p again — both engines see bit-identical arguments
+    # and compare 9-dp outputs. Guard-false days report lnΛ = 0
+    # ("no evidence yet"), never NULL (compared outputs are NULL-free
+    # by harness policy).
     scored = g.select(
         "day",
         "n_a",
         "conv_a",
         "n_b",
         "conv_b",
-        F.expr(f"CASE WHEN {guard} THEN {lnlam} END").alias(
-            "ln_lambda_t"
-        ),
         F.expr(
-            f"CASE WHEN {guard} AND {lnlam} > 0e0 "
-            f"THEN exp(-({lnlam})) ELSE 1e0 END"
-        ).alias("_p_day"),
+            f"CASE WHEN {guard} THEN round({lnlam}, 9) "
+            f"ELSE 0e0 END"
+        ).alias("ln_lambda_t"),
+    ).withColumn(
+        "_p_day",
+        F.expr(
+            "CASE WHEN ln_lambda_t > 0e0 "
+            "THEN round(exp(-ln_lambda_t), 9) ELSE 1e0 END"
+        ),
     )
     from pyspark.sql import Window
 
