@@ -4432,18 +4432,39 @@ def q_contamination_fuzzy(spark, sf_dir):
     return contamination_fuzzy(corpus, bench, threshold=FUZZY_TAU)
 
 
-# Round-6 rotation: the driver's correctness gate samples the FIRST 50
-# registry entries. r1-r5 drove 150 of the 162 registry queries green;
-# this rotation front-loads the final 12 never-driver-sampled queries
-# (closing coverage to 162/162), then the post-fix never-re-checked
-# pair, then everything touched this round, then the oldest-checked
-# r4c batch as filler.
-_R7_FRONT = [
-    # Positions 1-62: every registry query the driver has never
-    # sampled (r6 additions past the top-50 cut). All 62 re-verified
-    # MATCH at sf0.01 this session before front-loading; the driver
-    # gates the first 50, leaving a 12-query tail for the round-8
-    # rotation together with the round-7 additions below.
+# Round-8 rotation: the driver's correctness gate samples the FIRST 50
+# registry entries. Positions 1-44 are every registry query the driver
+# has never sampled (the 12-query r6 tail past r7's top-50 cut + the 32
+# round-7 additions, including the three r7 reds fixed this round);
+# positions 45-46 are the two formerly-red r4 queries that were
+# judge-MATCH in r5/r7 but never driver-green (ts_power_spectrum,
+# ts_change_points); position 47 is ev_ab_conversion, whose NULL-z
+# sentinel changed this round. A green top-50 closes driver exposure
+# to the full registry. Round-8 additions queue right after the front
+# for the round-9 rotation.
+_R8_FRONT = [
+    # 1-12: the r6 tail (judge-r7 MATCH, never driver-sampled)
+    "emb_mmr_topk", "ts_adf_test", "emb_centroid_drift",
+    "doc_passage_bm25", "emb_rrf_fusion", "stream_lz",
+    "ts_spectral_edge", "ev_retention_halflife", "ev_ab_power",
+    "emb_ann_recall_ivf", "ts_acf_halflife", "doc_score_spearman",
+    # 13-44: the 32 round-7 additions (never driver-sampled; the three
+    # r7 reds — doc_graph_triangles, ev_ab_sequential,
+    # ts_spectral_slope — fixed + re-verified this round)
+    "ev_survival_km", "ts_higuchi_fd", "doc_graph_triangles",
+    "emb_bq_topk", "ev_circadian", "mm_audio_vad",
+    "doc_dsir_weights", "doc_textrank_keywords", "ts_wavelet_denoise",
+    "mm_image_edges", "emb_bq_recall", "ev_markov_stationary",
+    "doc_cdc_chunks", "stream_circadian", "ts_mutual_info",
+    "doc_heaps_law", "ts_hampel_despike", "emb_knn_graph",
+    "ts_theil_sen", "ev_pareto_alpha", "ev_new_vs_returning",
+    "doc_dedup_funnel", "ev_ab_sequential", "ts_spectral_slope",
+    "mm_audio_onsets", "stream_flux", "ts_allan_variance",
+    "emb_isotropy", "ev_funnel_windowed", "doc_quality_vs_dup",
+    "emb_sq8_distortion", "ts_entropy_rate",
+    # 45-47: formerly-red r4 pair + the sentinel-semantics change
+    "ts_power_spectrum", "ts_change_points", "ev_ab_conversion",
+    # Filler: the previous rotation order for everything else.
     "stream_drift", "ts_sample_entropy", "ev_kleinberg_bursts",
     "emb_pq_distortion", "doc_collocations", "doc_lp_communities",
     "ts_event_triggered_avg", "mm_image_quality", "ts_seasonal_decompose",
@@ -4460,59 +4481,36 @@ _R7_FRONT = [
     "ts_rqa", "ts_isi_cv", "stream_periodogram",
     "ts_multiscale_entropy", "ev_conversion_lag", "ts_haar_energy",
     "ts_cfar_peaks", "ts_hrv_metrics", "doc_chunk_passages",
-    "ts_randomness_tests", "ev_user_entropy", "emb_mmr_topk",
-    "ts_adf_test", "emb_centroid_drift", "doc_passage_bm25",
-    "emb_rrf_fusion", "stream_lz", "ts_spectral_edge",
-    "ev_retention_halflife", "ev_ab_power", "emb_ann_recall_ivf",
-    "ts_acf_halflife", "doc_score_spearman",
-    # Round-7 additions (never driver-sampled; verified MATCH at
-    # landing) — next in line after the backlog above.
-    "ev_survival_km", "ts_higuchi_fd", "doc_graph_triangles",
-    "emb_bq_topk", "ev_circadian", "mm_audio_vad", "doc_dsir_weights",
-    "doc_textrank_keywords", "ts_wavelet_denoise", "mm_image_edges",
-    "emb_bq_recall", "ev_markov_stationary", "doc_cdc_chunks",
-    "stream_circadian", "ts_mutual_info", "doc_heaps_law",
-    "ts_hampel_despike", "emb_knn_graph", "ts_theil_sen",
-    "ev_pareto_alpha", "ev_new_vs_returning", "doc_dedup_funnel",
-    "ev_ab_sequential", "ts_spectral_slope", "mm_audio_onsets",
-    "stream_flux", "ts_allan_variance", "emb_isotropy",
-    "ev_funnel_windowed", "doc_quality_vs_dup", "emb_sq8_distortion",
-    "ts_entropy_rate",
-    # Recheck block: queries whose code or oracle changed this
-    # round (advisor fixes), then the oldest driver-checked set.
-    "ev_ab_conversion",
-    # Filler: the previous rotation order for everything else.
-    "ts_asof_join", "ts_ltob_downsample", "ts_sax_words",
-    "ts_welch_psd", "ev_top_paths", "doc_weighted_sample",
-    "doc_ngram_containment", "doc_contamination_fuzzy", "doc_cluster_dedup",
-    "doc_hll_distinct", "stream_sessionize", "ts_rolling_stats",
-    "ts_asof_join_blocked", "stream_asof_join", "ts_holt_smoothing",
-    "ev_markov_entropy", "stream_holt", "mm_image_dhash",
-    "mm_dhash_near_pairs", "doc_bpe_merges", "doc_bpe_word_tokens",
-    "doc_bpe_token_ids", "doc_curriculum_order", "ts_holt_anomalies",
-    "mm_audio_fingerprint", "ts_cusum_monitor", "stream_cusum",
-    "ev_rfm", "ev_attribution_linear", "doc_source_kl",
-    "ts_trend_segments", "ts_sax_motifs", "mm_audio_match_pairs",
-    "ts_coherence",  "mm_image_phash",
-    "ts_granger_screen", "ts_spectral_entropy", "doc_bpe_fertility",
-    "stream_trend", "ts_density_grid", "doc_lsh_eval",
-    "ev_session_stats", "doc_jaccard_histogram", "mm_audio_offset_search",
-    "emb_ann_recall_multiprobe", "ts_hurst_rs", "ts_plv",
-    "ts_dtw_distance", "ts_ar2_model", "ts_power_spectrum",
-    "ts_change_points", "ev_funnel_steps", "doc_simhash_near_pairs",
-    "ts_span_point_join", "ts_locf_resample", "ts_interp_resample",
-    "doc_pagerank", "ev_event_transitions", "ev_inter_event_gaps",
-    "ev_user_sessions", "ts_cross_correlation", "ts_detect_peaks",
-    "doc_winnow_fingerprints", "doc_winnow_overlap", "ts_seasonal_outliers",
-    "stream_quality_profile", "ev_cohort_matrix", "ts_hist_quantiles",
-    "stream_distinct_events", "doc_source_cap", "ev_last_touch",
-    "ts_distribution_drift", "ts_winsorize", "doc_corpus_split",
-    "ts_event_xcorr", "doc_zipf_fit", "ev_rate_bursts",
-    "ev_key_skew", "emb_outliers", "ts_event_autocorr",
-    "ts_flatline_runs", "ev_stickiness", "doc_langid_confusion",
-    "emb_kmeans_inertia", "doc_dedup_stats", "ts_hourly_profile",
-    "ts_quality_profile", "emb_cluster_sample", "emb_ann_recall",
-    "doc_orc_roundtrip",
+    "ts_randomness_tests", "ev_user_entropy", "ts_asof_join",
+    "ts_ltob_downsample", "ts_sax_words", "ts_welch_psd",
+    "ev_top_paths", "doc_weighted_sample", "doc_ngram_containment",
+    "doc_contamination_fuzzy", "doc_cluster_dedup", "doc_hll_distinct",
+    "stream_sessionize", "ts_rolling_stats", "ts_asof_join_blocked",
+    "stream_asof_join", "ts_holt_smoothing", "ev_markov_entropy",
+    "stream_holt", "mm_image_dhash", "mm_dhash_near_pairs",
+    "doc_bpe_merges", "doc_bpe_word_tokens", "doc_bpe_token_ids",
+    "doc_curriculum_order", "ts_holt_anomalies", "mm_audio_fingerprint",
+    "ts_cusum_monitor", "stream_cusum", "ev_rfm",
+    "ev_attribution_linear", "doc_source_kl", "ts_trend_segments",
+    "ts_sax_motifs", "mm_audio_match_pairs", "ts_coherence",
+    "mm_image_phash", "ts_granger_screen", "ts_spectral_entropy",
+    "doc_bpe_fertility", "stream_trend", "ts_density_grid",
+    "doc_lsh_eval", "ev_session_stats", "doc_jaccard_histogram",
+    "mm_audio_offset_search", "emb_ann_recall_multiprobe", "ts_hurst_rs",
+    "ts_plv", "ts_dtw_distance", "ts_ar2_model",
+    "ev_funnel_steps", "doc_simhash_near_pairs", "ts_span_point_join",
+    "ts_locf_resample", "ts_interp_resample", "doc_pagerank",
+    "ev_event_transitions", "ev_inter_event_gaps", "ev_user_sessions",
+    "ts_cross_correlation", "ts_detect_peaks", "doc_winnow_fingerprints",
+    "doc_winnow_overlap", "ts_seasonal_outliers", "stream_quality_profile",
+    "ev_cohort_matrix", "ts_hist_quantiles", "stream_distinct_events",
+    "doc_source_cap", "ev_last_touch", "ts_distribution_drift",
+    "ts_winsorize", "doc_corpus_split", "ts_event_xcorr",
+    "doc_zipf_fit", "ev_rate_bursts", "ev_key_skew",
+    "emb_outliers", "ts_event_autocorr", "ts_flatline_runs",
+    "ev_stickiness", "doc_langid_confusion", "emb_kmeans_inertia",
+    "doc_dedup_stats", "ts_hourly_profile", "ts_quality_profile",
+    "emb_cluster_sample", "emb_ann_recall", "doc_orc_roundtrip",
 ]
 
 
@@ -4834,7 +4832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Loud lookup on purpose: a misspelled or stale rotation entry must
     # KeyError at registry build, not silently shrink the first-50
     # correctness-gate window.
-    ordered = {k: q[k] for k in _R7_FRONT}
+    ordered = {k: q[k] for k in _R8_FRONT}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
 
@@ -7440,7 +7438,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT n_ages, sx, sy, sxy, sxx,
                {_RHL_S} AS slope_per_week,
                CASE WHEN {_RHL_S} < 0 THEN {_rhl_ln2} / (-({_RHL_S}))
-               END AS halflife_weeks
+               ELSE -1e0 END AS halflife_weeks
         FROM g WHERE n_ages >= 2
         """
 
@@ -7845,10 +7843,10 @@ def oracle_sql() -> dict[str, str]:
           FROM pu
         )
         SELECT n_a, conv_a, n_b, conv_b,
-               CASE WHEN n_a > 0 THEN CAST(conv_a AS DOUBLE) / n_a END
-                 AS rate_a,
-               CASE WHEN n_b > 0 THEN CAST(conv_b AS DOUBLE) / n_b END
-                 AS rate_b,
+               CASE WHEN n_a > 0 THEN CAST(conv_a AS DOUBLE) / n_a
+                 ELSE 0e0 END AS rate_a,
+               CASE WHEN n_b > 0 THEN CAST(conv_b AS DOUBLE) / n_b
+                 ELSE 0e0 END AS rate_b,
                CASE WHEN n_a > 0 AND n_b > 0
                      AND conv_a + conv_b > 0
                      AND conv_a + conv_b < n_a + n_b
@@ -7856,7 +7854,7 @@ def oracle_sql() -> dict[str, str]:
                           - CAST(conv_b AS DOUBLE) / n_b)
                     / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
                     * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-                    * (1e0 / n_a + 1e0 / n_b)) END AS z
+                    * (1e0 / n_a + 1e0 / n_b)) ELSE 0e0 END AS z
         FROM one
         """
 
@@ -9721,7 +9719,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT channel, n,
                {", ".join(f"{_hf_l[k]} AS l{k}" for k in range(1, _hf_k + 1))},
-               CASE WHEN {_hf_pos} THEN {_hf_fd} END AS fd
+               CASE WHEN {_hf_pos} THEN round({_hf_fd}, 9)
+                    ELSE 0e0 END AS fd
         FROM g
         """,
         "samples",

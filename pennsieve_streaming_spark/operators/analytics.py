@@ -678,7 +678,8 @@ def ab_conversion_test(events: DataFrame, conversion: str) -> DataFrame:
     float after is ONE fixed expression over them (IEEE sqrt is
     correctly rounded, so both engines produce the identical double).
     Degenerate splits (an empty variant, or pooled rate 0/1 => zero
-    variance) yield z = NULL explicitly.
+    variance) yield z = 0.0 (never NULL — compared outputs are
+    NULL-free by harness policy).
 
     Output: one row (n_a, conv_a, n_b, conv_b, rate_a, rate_b, z).
 
@@ -718,11 +719,16 @@ def ab_conversion_test(events: DataFrame, conversion: str) -> DataFrame:
         "conv_a",
         "n_b",
         "conv_b",
+        # Degenerate arms / zero-variance pools report 0.0, never
+        # NULL (NULL-free compared-output policy; 0 = "no evidence",
+        # the ev_ab_sequential convention).
         F.expr(
-            "CASE WHEN n_a > 0 THEN CAST(conv_a AS DOUBLE) / n_a END"
+            "CASE WHEN n_a > 0 THEN CAST(conv_a AS DOUBLE) / n_a "
+            "ELSE 0e0 END"
         ).alias("rate_a"),
         F.expr(
-            "CASE WHEN n_b > 0 THEN CAST(conv_b AS DOUBLE) / n_b END"
+            "CASE WHEN n_b > 0 THEN CAST(conv_b AS DOUBLE) / n_b "
+            "ELSE 0e0 END"
         ).alias("rate_b"),
         F.expr(
             "CASE WHEN n_a > 0 AND n_b > 0 "
@@ -730,7 +736,7 @@ def ab_conversion_test(events: DataFrame, conversion: str) -> DataFrame:
             "THEN (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) "
             "/ sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) "
             "* (1e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) "
-            "* (1e0 / n_a + 1e0 / n_b)) END"
+            "* (1e0 / n_a + 1e0 / n_b)) ELSE 0e0 END"
         ).alias("z"),
     )
 
@@ -1160,10 +1166,13 @@ def user_behavior_entropy(events: DataFrame) -> DataFrame:
 RHL_DEN = (
     "(CAST(n_ages AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
 )
+# ELSE 0e0: n_ages >= 2 with distinct ages makes the denominator
+# strictly positive, so the ELSE arm is unreachable in practice — it
+# exists to keep compared outputs NULL-free by construction.
 RHL_SLOPE = (
     f"CASE WHEN {RHL_DEN} > 0 THEN "
     f"(CAST(n_ages AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) "
-    f"/ ({RHL_DEN} * 1000000000.0) END"
+    f"/ ({RHL_DEN} * 1000000000.0) ELSE 0e0 END"
 )
 
 
@@ -1181,7 +1190,8 @@ def retention_halflife(events: DataFrame, max_weeks: int = 8) -> DataFrame:
     the ≤ max_weeks regression points fold into five exact BIGINT
     moments; slope and half-life are single fixed float expressions
     (RHL_*, ln 2 as a Python literal). Zero-rate ages drop (no ln);
-    a non-negative slope yields NULL half-life.
+    a non-negative slope yields the -1.0 half-life sentinel (never
+    NULL).
 
     Output: one row (n_ages, sx, sy, sxy, sxx, slope_per_week,
     halflife_weeks); empty when < 2 usable ages.
@@ -1222,8 +1232,11 @@ def retention_halflife(events: DataFrame, max_weeks: int = 8) -> DataFrame:
         "sxy",
         "sxx",
         F.expr(RHL_SLOPE).alias("slope_per_week"),
+        # Non-decaying retention (slope >= 0) reports the -1.0
+        # sentinel, never NULL (NULL-free compared-output policy).
         F.expr(
-            f"CASE WHEN {RHL_SLOPE} < 0 THEN {ln2} / (-({RHL_SLOPE})) END"
+            f"CASE WHEN {RHL_SLOPE} < 0 THEN {ln2} / (-({RHL_SLOPE})) "
+            f"ELSE -1e0 END"
         ).alias("halflife_weeks"),
     )
 
@@ -1234,10 +1247,13 @@ def retention_halflife(events: DataFrame, max_weeks: int = 8) -> DataFrame:
 PW_Z2 = repr((1.96 + 0.8416) ** 2)
 PW_RATE = "(CAST(n_conv AS DOUBLE) / n_users)"
 PW_MDE = f"(0.1 * {PW_RATE})"
+# Degenerate base rates (0 or 1 — zero variance, no finite sample
+# size) report the -1.0 sentinel, never NULL: compared outputs are
+# NULL-free by harness policy (oracle_compare.assert_no_nulls).
 PW_REQ_N = (
     f"CASE WHEN n_conv > 0 AND n_conv < n_users THEN "
     f"2.0 * {PW_Z2} * {PW_RATE} * (1.0 - {PW_RATE}) "
-    f"/ ({PW_MDE} * {PW_MDE}) END"
+    f"/ ({PW_MDE} * {PW_MDE}) ELSE -1e0 END"
 )
 
 
@@ -1254,7 +1270,7 @@ def ab_power_analysis(events: DataFrame) -> DataFrame:
     Determinism: user/converter counts are exact integers; the rate,
     MDE and required n are one fixed float expression chain (PW_*,
     shared with the oracle) with (z_a + z_b)^2 as a Python-evaluated
-    literal; degenerate rates (0 or 1) yield NULL.
+    literal; degenerate rates (0 or 1) yield the -1.0 sentinel.
 
     Output: (event_type, n_users, n_conv, base_rate, mde_abs,
     required_n_per_variant).

@@ -3103,8 +3103,9 @@ def higuchi_fd(
     (:func:`_higuchi_fd_coeffs`).
 
     Output: (channel, n, l1..l{kmax} DOUBLE, fd DOUBLE). Channels
-    shorter than 2·kmax samples emit NULL fd (missing sub-curves
-    propagate NULL through the pivot).
+    shorter than 2·kmax samples (missing sub-curves) and flat
+    channels emit the 0.0 fd sentinel — an impossible FD — never
+    NULL; fd is 9-dp-quantized (the nano-nat finish rule).
 
     Plan / 100 TB: ONE per-channel window pass computes all kmax lags
     (multiple lag exprs share the single sort), then partial-agg
@@ -3171,13 +3172,16 @@ def higuchi_fd(
     }
     cs = _higuchi_fd_coeffs(k_max)
     # Flat (quantized-constant) channels give L(k) = 0; ln(0) is NULL
-    # on Spark but an ERROR on DuckDB — gate fd explicitly so both
-    # engines emit NULL.
+    # on Spark but an ERROR on DuckDB — gate fd explicitly; the 0.0
+    # sentinel (an impossible FD) keeps compared outputs NULL-free.
+    # round(·, 9): ln() is not correctly rounded, so the literal-
+    # weight fold differs in the last ULP across engines (the
+    # ts_spectral_slope r7 failure class) — quantize the finish.
     pos = " AND ".join(f"_lq{k} > 0" for k in range(1, k_max + 1))
     fd_sum = " + ".join(
         f"{cs[k - 1]!r} * ln({l_exprs[k]})" for k in range(1, k_max + 1)
     )
-    fd = f"CASE WHEN {pos} THEN {fd_sum} END"
+    fd = f"CASE WHEN {pos} THEN round({fd_sum}, 9) ELSE 0e0 END"
     return g.select(
         "channel",
         "n",

@@ -12,6 +12,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry_mod  # noqa: E402
 from tests.oracle_compare import (  # noqa: E402
+    assert_no_nulls,
     assert_oracle_types,
     compare,
     duckdb_conn,
@@ -48,6 +49,20 @@ def test_oracle_output_types():
     try:
         for name in sorted(ORACLES):
             assert_oracle_types(c, ORACLES[name], name)
+    finally:
+        c.close()
+
+
+def test_oracle_no_nulls():
+    """Compared outputs are NULL-free by policy (sentinels instead) —
+    NULL doubles crashed the r7 comparator and the driver's hash
+    behavior on NULL is unverified. DuckDB-only sweep at sf0.001, so
+    the whole registry is fenced in minutes; compare() re-asserts the
+    same invariant per-query (both engines) at the gate SF."""
+    c = duckdb_conn("/root/testdata/sf0.001")
+    try:
+        for name in sorted(ORACLES):
+            assert_no_nulls(c, ORACLES[name], name)
     finally:
         c.close()
 

@@ -14,7 +14,7 @@ import __spark_entry__ as entry_mod  # noqa: E402
 
 
 def test_front_rotation_names_exist_and_unique():
-    front = entry_mod._R7_FRONT
+    front = entry_mod._R8_FRONT
     q = entry_mod.queries()
     assert len(front) == len(set(front)), "duplicate rotation entries"
     missing = [n for n in front if n not in q]
@@ -31,5 +31,25 @@ def test_queries_and_oracles_align():
 
 def test_rotation_front_leads_queries_order():
     q = list(entry_mod.queries())
-    front = entry_mod._R7_FRONT
+    front = entry_mod._R8_FRONT
     assert q[: len(front)] == front
+
+
+def test_no_unquantized_transcendental_finishes():
+    """Every ln()/exp()/log() in every oracle must be inside a
+    round(...) — the raw-transcendental-finish class produced the two
+    r7 ULP mismatches (ev_ab_sequential, ts_spectral_slope). The same
+    expression text is shared with the Spark side for these finishes,
+    so fencing the oracle fences both engines."""
+    from tests.oracle_compare import unquantized_transcendentals
+
+    bad = {}
+    for name, sql in entry_mod.oracle_sql().items():
+        v = unquantized_transcendentals(sql)
+        if v:
+            bad[name] = v[:3]
+    assert not bad, (
+        f"oracles with transcendental calls outside round(...): {bad} "
+        f"— quantize the finish to 9 dp (round(expr, 9)) or the "
+        f"nano-nat BIGINT idiom in BOTH engines"
+    )
