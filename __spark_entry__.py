@@ -1370,9 +1370,12 @@ def q_knn_graph(spark, sf_dir):
     neighbors): the LSH bucket equi-join applied corpus-to-corpus —
     the build step of graph-ANN indexes and embedding-dedup passes; at
     scale n_planes grows with the corpus so per-bucket work stays
-    bounded (the dedup-cap discipline)."""
+    bounded (the dedup-cap discipline). broadcast_queries=False: both
+    sides are corpus-sized, so the join shuffle-partitions on bucket
+    instead of broadcasting (ADVICE r7 — a corpus broadcast is an OOM
+    hazard at scale)."""
     embs = _embs(spark, sf_dir)
-    return lsh_bucketed_ann(embs, embs, k=3)
+    return lsh_bucketed_ann(embs, embs, k=3, broadcast_queries=False)
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -13656,6 +13659,11 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rank <= {ANN_K}
         """
 
+    # Loud lookup (ADVICE r7): assert the substrings exist before text
+    # surgery — a silent no-op replace() would quietly revert the kNN
+    # graph oracle to the 20-query/k=5 LSH shape.
+    assert "WHERE e.vec_id < 20" in sql["emb_ann_lsh"]
+    assert f"WHERE rank <= {ANN_K}" in sql["emb_ann_lsh"]
     sql["emb_knn_graph"] = sql["emb_ann_lsh"].replace(
         "WHERE e.vec_id < 20", ""
     ).replace(f"WHERE rank <= {ANN_K}", "WHERE rank <= 3")

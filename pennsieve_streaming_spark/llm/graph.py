@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pennsieve_streaming_spark.util import pin
+
 
 def _edge_state(edges: DataFrame) -> tuple[int, int]:
     """Order-insensitive digest of an edge set: (count, xor-fold of
@@ -100,10 +102,10 @@ def connected_components(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
-    edges = edges.localCheckpoint(eager=True)
+    edges = pin(edges)
     state = _edge_state(edges)
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        edges = pin(_small_star(_large_star(edges)))
         new_state = _edge_state(edges)
         if new_state == state:
             break
@@ -188,10 +190,9 @@ def pagerank(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
-    edges = (
+    edges = pin(
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n_docs = verts.count()
@@ -232,8 +233,8 @@ def pagerank(
                 .cast("long")
                 .alias("rank_i"),
             )
-            .localCheckpoint(eager=True)
         )
+        ranks = pin(ranks)
     return ranks.select(
         "doc_id", (F.col("rank_i").cast("double") / scale).alias("pr")
     )
@@ -381,12 +382,12 @@ def triangle_counts(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        # The edge list is referenced three times (degrees, orientation,
-        # wedge close); checkpoint so an expensive upstream (the LSH
-        # verify pipeline) runs once, not once per reference — the
-        # connected_components convention.
-        .localCheckpoint(eager=True)
     )
+    # The edge list is referenced three times (degrees, orientation,
+    # wedge close); pin so an expensive upstream (the LSH verify
+    # pipeline) runs once, not once per reference — the
+    # connected_components convention.
+    e = pin(e)
     deg = (
         e.select(F.col("a").alias("v"))
         .union(e.select(F.col("b").alias("v")))

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pennsieve_streaming_spark.util import pin
+
 from pennsieve_streaming_spark.util import ensure_parallelism
 
 DOT = (
@@ -694,6 +696,7 @@ def lsh_bucketed_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multi_probe: bool = False,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane bucket equi-join, then
     exact cosine within the bucket. Output as cosine_topk (rank may
@@ -703,7 +706,15 @@ def lsh_bucketed_ann(
     away from the query's (n_planes extra buckets per query — the
     standard multi-probe recall/cost dial: near-misses flip exactly
     the hyperplanes whose dot product sits near zero). The corpus is
-    still bucketed once; only the tiny query side explodes."""
+    still bucketed once; only the tiny query side explodes.
+
+    ``broadcast_queries`` picks the physical join: True (default) for
+    a small query set — the corpus never shuffles; False for
+    corpus-to-corpus use (e.g. the kNN-graph build), where
+    broadcasting a corpus-sized side would OOM the executors/driver at
+    scale — both sides instead shuffle-partition on ``bucket``
+    (2^n_planes keys; n_planes grows with the corpus so per-bucket
+    work stays bounded)."""
     def bucket(df: DataFrame, vc: str) -> DataFrame:
         expr = " + ".join(
             f"({hyperplane_expr(vc, p, dim)}) * {1 << p}" for p in range(n_planes)
@@ -730,7 +741,7 @@ def lsh_bucketed_ann(
     nv = F.expr(DOT.format(a="v", b="v"))
     scored = (
         corpus.join(
-            F.broadcast(qs),
+            F.broadcast(qs) if broadcast_queries else qs,
             (F.col("query_id") != F.col("neighbor_id"))
             & (corpus["bucket"] == qs["bucket"]),
         )
@@ -1313,7 +1324,7 @@ def mmr_topk(
         .withColumn("cosine", dot / (F.sqrt(nq) * F.sqrt(nv)))
         .select("query_id", "neighbor_id", "cosine")
     )
-    scored = scored.localCheckpoint()
+    scored = pin(scored)
     from pyspark.sql import Window
 
     pair_dot = F.expr(DOT.format(a="dv", b="sv"))
@@ -1372,9 +1383,9 @@ def mmr_topk(
                 "mmr_score",
             )
         )
-        selected = (
+        selected = pin(
             pick if selected is None else selected.unionByName(pick)
-        ).localCheckpoint()
+        )
     return selected
 
 

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pennsieve_streaming_spark.llm.hashing import poly_hash_expr
+from pennsieve_streaming_spark.util import pin
 
 TOKS = "split(trim(text), '\\\\s+')"
 
@@ -626,7 +627,8 @@ def bpe_merges(
         "cnt",
         (F.col("i") - 1).cast("long").alias("pos"),
         F.expr("substring(word, i, 1)").alias("tok"),
-    ).localCheckpoint()
+    )
+    state = pin(state)
 
     w = Window.partitionBy("word").orderBy("pos")
     merges: list[tuple[int, str, str, int]] = []
@@ -679,7 +681,8 @@ def bpe_merges(
             "cnt",
             (F.row_number().over(w) - 1).cast("long").alias("pos"),
             "tok",
-        ).localCheckpoint()
+        )
+        state = pin(state)
     merges_df = spark.createDataFrame(
         merges, "it long, left_tok string, right_tok string, pair_count long"
     )
@@ -1117,9 +1120,9 @@ def textrank_keywords(
                 "doc_id", F.col("hi").alias("src"), F.col("lo").alias("dst")
             )
         )
-        .localCheckpoint(eager=True)
     )
-    verts = cand.select("doc_id", "w").distinct().localCheckpoint(eager=True)
+    edges = pin(edges)
+    verts = pin(cand.select("doc_id", "w").distinct())
     nv = verts.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("_n")
     )
@@ -1187,8 +1190,8 @@ def textrank_keywords(
                     " + CAST(COALESCE(recv_i, 0) AS DOUBLE))) AS BIGINT)"
                 ).alias("rank_i"),
             )
-            .localCheckpoint(eager=True)
         )
+        ranks = pin(ranks)
     rw = Window.partitionBy("doc_id").orderBy(
         F.desc("rank_i"), F.asc("w")
     )

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pennsieve_streaming_spark.util import pin
+
 US = 1_000_000
 DAY_US = 86_400 * US
 WEEK_US = 7 * DAY_US
@@ -1498,12 +1500,11 @@ def markov_stationary(events: DataFrame, n_iter: int = 5) -> DataFrame:
         F.col("event_type").alias("src"),
         F.col("next_type").alias("dst"),
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
-    counts = counts.localCheckpoint(eager=True)
-    verts = (
+    counts = pin(counts)
+    verts = pin(
         events.select(F.col("event_type").alias("t"))
         .filter(F.col("t").isNotNull())
         .distinct()
-        .localCheckpoint(eager=True)
     )
     deg = counts.groupBy("src").agg(
         F.sum("c").cast("long").alias("n_out")
@@ -1550,8 +1551,8 @@ def markov_stationary(events: DataFrame, n_iter: int = 5) -> DataFrame:
                     " + CAST(COALESCE(recv_i, 0) AS DOUBLE))) AS BIGINT)"
                 ).alias("rank_i"),
             )
-            .localCheckpoint(eager=True)
         )
+        ranks = pin(ranks)
     return (
         ranks.join(deg.select(F.col("src").alias("t"), "n_out"), "t", "left")
         .select(

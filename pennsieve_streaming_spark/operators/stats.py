@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pennsieve_streaming_spark.util import pin
+
 QUANT = 1_000_000
 
 
@@ -3247,7 +3249,7 @@ def haar_denoise(
         .filter(F.col("_nw") == ws)
         .select("channel", "win")
     )
-    rk = ranked.join(full, ["channel", "win"]).localCheckpoint(eager=True)
+    rk = pin(ranked.join(full, ["channel", "win"]))
     lv_arr = ", ".join(str(i) for i in range(1, lv + 1))
     e = rk.select(
         "channel",

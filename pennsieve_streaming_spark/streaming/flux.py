@@ -20,7 +20,7 @@ registry query does, sharing the batch oracle).
 
 from __future__ import annotations
 
-import math
+import decimal
 from typing import Any, Iterable, Iterator
 
 import numpy as np
@@ -105,8 +105,19 @@ def flux_stream(
                     d = p[b] - prev[b]
                     fl = fl + (d if d > 0.0 else 0.0)
                 wins.append(frame_idx)
-                # SQL round() is half-up; flux >= 0 so floor(x+0.5)
-                fluxes.append(int(math.floor(fl + 0.5)))
+                # SQL round() is BigDecimal(double) HALF_UP — decimal
+                # semantics over the double's shortest repr. floor(x
+                # + 0.5) is NOT equivalent within one ulp below a .5
+                # boundary (0.49999999999999994 + 0.5 == 1.0 in
+                # binary), so round via Decimal (ADVICE r7).
+                fluxes.append(
+                    int(
+                        decimal.Decimal(repr(fl)).quantize(
+                            decimal.Decimal(1),
+                            rounding=decimal.ROUND_HALF_UP,
+                        )
+                    )
+                )
             prev = p
             frame_idx += 1
             i += ws

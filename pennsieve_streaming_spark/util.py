@@ -5,6 +5,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def pin(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``localCheckpoint`` when the backend supports it (classic JVM
+    DataFrames, detected via ``_jdf``); no-op passthrough otherwise
+    (e.g. Spark Connect). Used to truncate iterative lineage or to
+    share one materialization across several join legs — in both uses
+    the plan stays CORRECT without the pin, just deeper or recomputed,
+    so a passthrough is safe. The shared helper keeps the guard
+    uniform across operators (ADVICE r7: four round-7 operators called
+    localCheckpoint unguarded while their siblings guarded)."""
+    if hasattr(df, "_jdf"):
+        return df.localCheckpoint(eager=eager)
+    return df
+
+
 def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
     """Repartition iff the input is under-partitioned for the cluster.
 

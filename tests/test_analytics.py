@@ -454,7 +454,9 @@ def test_ab_conversion_counts_and_degenerate_z(spark):
         "user_id long, ts long, event_id long, event_type string",
     )
     r2 = ab_conversion_test(ev2, "purchase").collect()[0]
-    assert r2.z is None and r2.rate_a == 1.0 and r2.rate_b == 1.0
+    # zero pooled variance -> the 0.0 "no evidence" sentinel (compared
+    # outputs are NULL-free by harness policy)
+    assert r2.z == 0.0 and r2.rate_a == 1.0 and r2.rate_b == 1.0
 
 
 def test_session_duration_stats_exact_percentiles(spark):
@@ -623,7 +625,7 @@ def test_ab_power_scales_inversely_with_base_rate(spark):
     """Rarer conversions need more samples: with a 10% RELATIVE MDE,
     required n ~ (1-p)/p — the rare event needs ~an order of
     magnitude more users than the common one; degenerate (p=1)
-    surfaces yield NULL."""
+    surfaces yield the -1.0 sentinel."""
     from pennsieve_streaming_spark.operators.analytics import (
         ab_power_analysis,
     )
@@ -638,7 +640,8 @@ def test_ab_power_scales_inversely_with_base_rate(spark):
     out = {r.event_type: r for r in ab_power_analysis(ev).collect()}
 
     assert out["visit"].base_rate == 1.0
-    assert out["visit"].required_n_per_variant is None   # p = 1 degenerate
+    # p = 1 degenerate -> the -1.0 "not computable" sentinel
+    assert out["visit"].required_n_per_variant == -1.0
     assert out["common"].base_rate == 0.5
     assert out["rare"].base_rate == 0.05
     assert (

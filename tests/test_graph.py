@@ -445,7 +445,9 @@ def test_triangle_counts_no_triangles_and_degree_one(spark):
     )
     out = {r.doc_id: r for r in triangle_counts(pairs).collect()}
     assert all(r.n_triangles == 0 for r in out.values())
-    assert out[1].clustering is None          # degree 1
+    # degree-1 nodes report the 0.0 sentinel, never NULL (compared
+    # outputs are NULL-free by harness policy — the r7 red)
+    assert out[1].clustering == 0.0
     assert out[2].clustering == 0.0
 
 
