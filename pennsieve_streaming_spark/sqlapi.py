@@ -190,4 +190,62 @@ def register_operator_views(
         add("survival", survival_km(ev))
         add("circadian", circadian_rhythm(ev))
         add("new_vs_returning", new_vs_returning(ev))
+
+    # round-7 LLM-pipeline views (VERDICT r7 item 6): triangles over
+    # the LSH-verified near-dup graph, binary-quantization top-k, CDC
+    # chunk fingerprints, binned mutual information. Same lazy
+    # logical-plan contract; a partial sf_dir without the documents /
+    # embeddings tables simply skips the views that need them.
+    from pennsieve_streaming_spark.llm.dedup import (
+        cdc_chunks,
+        jaccard_pairs,
+        lsh_band_keys,
+        lsh_candidate_pairs,
+        minhash_wide,
+        shingles,
+    )
+    from pennsieve_streaming_spark.llm.graph import triangle_counts
+    from pennsieve_streaming_spark.llm.similarity import (
+        binary_hamming_topk,
+    )
+    from pennsieve_streaming_spark.operators.stats import (
+        mutual_information,
+    )
+
+    add("mutual_info", mutual_information(grid, 8, 100))
+    try:
+        docs = spark.read.parquet(
+            posixpath.join(sf_dir, "documents.parquet")
+        )
+        docs.schema
+    except AnalysisException:
+        docs = None
+    if docs is not None:
+        sh = shingles(docs)
+        pairs = jaccard_pairs(
+            sh,
+            candidates=lsh_candidate_pairs(
+                lsh_band_keys(minhash_wide(sh)), max_bucket_size=50
+            ),
+        ).filter(F.col("jaccard") >= 0.5)
+        add("dup_triangles", triangle_counts(pairs))
+        add("cdc_chunks", cdc_chunks(docs))
+    try:
+        embs = spark.read.parquet(
+            posixpath.join(sf_dir, "embeddings.parquet")
+        )
+        embs.schema
+    except AnalysisException:
+        embs = None
+    if embs is not None:
+        add(
+            "bq_topk",
+            binary_hamming_topk(
+                embs,
+                embs.filter(F.col("vec_id") < 20),
+                k=5,
+                refine_k=20,
+                dim=64,
+            ),
+        )
     return names

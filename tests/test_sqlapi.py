@@ -200,3 +200,34 @@ def test_round7_views_registered_and_queryable(spark):
         "SELECT sum(new_users) AS s FROM r7_new_vs_returning"
     ).collect()[0]
     assert nr.s > 0
+
+
+def test_round8_llm_views_registered_and_queryable(spark):
+    """The round-8 additions to the SQL surface (VERDICT r7 item 6):
+    near-dup triangles, BQ top-k, CDC chunks, mutual information —
+    registered lazily and answering SQL with the expected shapes."""
+    import pennsieve_streaming_spark.sqlapi as sqlapi
+
+    names = sqlapi.register_operator_views(
+        spark, "/root/testdata/sf0.001", prefix="r8_"
+    )
+    for v in ("r8_mutual_info", "r8_dup_triangles", "r8_cdc_chunks",
+              "r8_bq_topk"):
+        assert v in names
+    mi = spark.sql(
+        "SELECT count(*) AS n FROM r8_mutual_info WHERE mi >= 0"
+    ).collect()[0]
+    assert mi.n > 0
+    tr = spark.sql(
+        "SELECT count(*) AS n FROM r8_dup_triangles "
+        "WHERE clustering BETWEEN 0 AND 1.0000001"
+    ).collect()[0]
+    assert tr.n > 0
+    cc = spark.sql(
+        "SELECT count(*) AS n, max(n_copies) AS mx FROM r8_cdc_chunks"
+    ).collect()[0]
+    assert cc.n > 0 and cc.mx >= 1
+    bq = spark.sql(
+        "SELECT count(*) AS n FROM r8_bq_topk WHERE rank <= 5"
+    ).collect()[0]
+    assert bq.n > 0
