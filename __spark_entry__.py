@@ -4435,6 +4435,60 @@ def q_contamination_fuzzy(spark, sf_dir):
     return contamination_fuzzy(corpus, bench, threshold=FUZZY_TAU)
 
 
+
+
+def q_matrix_profile(spark, sf_dir):
+    """Tumbling-window matrix profile on the LOCF day grid: per
+    channel, each complete 7-day window's nearest neighbor by exact
+    BIGINT squared distance (unnormalized so the argmin is an integer
+    order statistic) — the discord/motif primitive; high profile =
+    anomalous week."""
+    from pennsieve_streaming_spark.operators.stats import matrix_profile
+
+    return matrix_profile(_locf_day_grid(spark, sf_dir), m=7, quant=CORR_QUANT)
+
+
+def q_variance_ratio(spark, sf_dir):
+    """Lo-MacKinlay variance-ratio panel VR(2/4/8) on the day grid:
+    exact BIGINT increment moments, fixed float finishes rounded to
+    9 dp — random-walk vs mean-reversion vs trending, beside
+    ts_adf_test and ts_hurst_rs."""
+    from pennsieve_streaming_spark.operators.stats import variance_ratio
+
+    return variance_ratio(_locf_day_grid(spark, sf_dir), (2, 4, 8), CORR_QUANT)
+
+
+def q_kpss(spark, sf_dir):
+    """KPSS level-stationarity statistic (l = 0) on the day grid:
+    n-scaled exact-integer partial sums, DECIMAL(38,0) quadratic
+    accumulators, one fixed division rounded to 9 dp — the
+    stationarity-null mirror of ts_adf_test."""
+    from pennsieve_streaming_spark.operators.stats import kpss_stat
+
+    return kpss_stat(_locf_day_grid(spark, sf_dir), CORR_QUANT)
+
+
+def q_poincare(spark, sf_dir):
+    """Poincaré SD1/SD2/ratio per channel on the day grid: exact
+    BIGINT/DECIMAL moments of successive differences and sums, fixed
+    sqrt finishes rounded to 9 dp — the geometric variability
+    descriptor next to ts_hrv_metrics."""
+    from pennsieve_streaming_spark.operators.stats import poincare_sd
+
+    return poincare_sd(_locf_day_grid(spark, sf_dir), CORR_QUANT)
+
+
+def q_dfa(spark, sf_dir):
+    """Detrended fluctuation analysis (boxes 4/8/16 days) on the day
+    grid: exact integer profile, per-box closed-form OLS SSE quantized
+    before the cross-box sum, literal-weight log-log slope rounded to
+    9 dp — the nonstationarity-robust scaling exponent beside
+    ts_hurst_rs / ts_higuchi_fd."""
+    from pennsieve_streaming_spark.operators.stats import dfa
+
+    return dfa(_locf_day_grid(spark, sf_dir), (4, 8, 16), CORR_QUANT)
+
+
 # Round-8 rotation: the driver's correctness gate samples the FIRST 50
 # registry entries. Positions 1-44 are every registry query the driver
 # has never sampled (the 12-query r6 tail past r7's top-50 cut + the 32
@@ -4523,6 +4577,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so the NEWEST / least-proven queries are listed FIRST and the
     # longest-stable ts-core queries last. Keep new work at the top.
     q = {
+        # round-8 additions (never driver-sampled yet; queue for the
+        # round-9 rotation)
+        "ts_matrix_profile": q_matrix_profile,
+        "ts_variance_ratio": q_variance_ratio,
+        "ts_kpss": q_kpss,
+        "ts_poincare": q_poincare,
+        "ts_dfa": q_dfa,
         # round-6: blocked-halo + streaming variants (front-loaded via
         # the rotation list so the driver gates them in turn).
         "ts_asof_join_blocked": q_asof_join_blocked,
@@ -14225,6 +14286,279 @@ def oracle_sql() -> dict[str, str]:
                CAST(n AS DOUBLE) / (SELECT n FROM tot) AS share
         FROM u
         """
+
+
+    # --- round-8 TS additions: matrix profile / VR / KPSS / Poincaré /
+    # DFA on the shared LOCF day grid (exact-integer cores, 9-dp
+    # quantized float finishes per the transcendental fence) ----------
+    _g8 = f"""b AS (
+          SELECT MAX(start_ts) AS lo, MIN(end_ts) AS hi FROM channels
+        ),
+        gb AS (
+          SELECT UNNEST(generate_series(
+            ((lo + {_DAY} - 1) // {_DAY}) * {_DAY}, hi, {_DAY})) AS ts
+          FROM b
+        ),
+        grid AS (
+          SELECT c.channel, gb.ts
+          FROM (SELECT DISTINCT channel FROM channels) c CROSS JOIN gb
+        ),
+        u AS (
+          SELECT channel, ts, value, 0 AS is_grid FROM samples
+          UNION ALL
+          SELECT channel, ts, CAST(NULL AS DOUBLE), 1 FROM grid
+        ),
+        f AS (
+          SELECT channel, ts, is_grid,
+                 last_value(value IGNORE NULLS) OVER w AS fill
+          FROM u
+          WINDOW w AS (PARTITION BY channel ORDER BY ts, is_grid, value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        vals AS (
+          SELECT channel, ts,
+                 CAST(round(fill * {CORR_QUANT}) AS BIGINT) AS yq
+          FROM f WHERE is_grid = 1
+        )"""
+
+    sql["ts_matrix_profile"] = with_views(
+        f"""
+        WITH {_g8},
+        rk AS (
+          SELECT channel, yq,
+                 ROW_NUMBER() OVER (PARTITION BY channel ORDER BY ts)
+                   - 1 AS rn
+          FROM vals
+        ),
+        wx AS (
+          SELECT channel, rn // 7 AS win, rn % 7 AS pos, yq FROM rk
+        ),
+        nw AS (
+          SELECT channel, win FROM wx
+          GROUP BY channel, win HAVING COUNT(*) = 7
+        ),
+        fullw AS (
+          SELECT w.channel, w.win, w.pos, w.yq
+          FROM wx w JOIN nw ON w.channel = nw.channel AND w.win = nw.win
+        ),
+        d AS (
+          SELECT a.channel, a.win AS wi, bb.win AS wj,
+                 CAST(SUM((a.yq - bb.yq) * (a.yq - bb.yq)) AS BIGINT) AS d2
+          FROM fullw a JOIN fullw bb
+            ON a.channel = bb.channel AND a.pos = bb.pos
+           AND a.win != bb.win
+          GROUP BY a.channel, a.win, bb.win
+        )
+        SELECT channel, CAST(wi AS BIGINT) AS win,
+               CAST(wj AS BIGINT) AS nn_win, d2 AS nn_dist2
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY channel, wi
+                     ORDER BY d2, wj) AS r
+          FROM d
+        ) WHERE r = 1
+        """,
+        "samples",
+        "channels",
+    )
+
+    def _vr_var(k):
+        return (
+            f"(CAST(ss{k} AS DOUBLE) / n{k} "
+            f"- (CAST(s{k} AS DOUBLE) / n{k}) * (CAST(s{k} AS DOUBLE) / n{k}))"
+        )
+
+    _vr_aggs = []
+    for _k in (1, 2, 4, 8):
+        _vr_aggs.append(
+            f"CAST(COUNT(_l{_k}) AS BIGINT) AS n{_k}, "
+            f"CAST(SUM(xq - _l{_k}) AS BIGINT) AS s{_k}, "
+            f"CAST(SUM((xq - _l{_k}) * (xq - _l{_k})) AS BIGINT) AS ss{_k}"
+        )
+    _vr_cols = ", ".join(
+        f"CASE WHEN n1 > 0 AND n{_k} > 0 AND {_vr_var(1)} > 0e0 "
+        f"THEN round({_vr_var(_k)} / ({_k} * {_vr_var(1)}), 9) "
+        f"ELSE 0e0 END AS vr{_k}"
+        for _k in (2, 4, 8)
+    )
+    sql["ts_variance_ratio"] = with_views(
+        f"""
+        WITH {_g8},
+        lagd AS (
+          SELECT channel, yq AS xq,
+                 LAG(yq, 1) OVER w AS _l1, LAG(yq, 2) OVER w AS _l2,
+                 LAG(yq, 4) OVER w AS _l4, LAG(yq, 8) OVER w AS _l8
+          FROM vals
+          WINDOW w AS (PARTITION BY channel ORDER BY ts)
+        ),
+        g AS (
+          SELECT channel, {", ".join(_vr_aggs)}
+          FROM lagd GROUP BY channel
+        )
+        SELECT channel, n1 AS n, {_vr_cols}
+        FROM g
+        """,
+        "samples",
+        "channels",
+    )
+
+    _kpss_stat = (
+        "round(CAST(_ss2 AS DOUBLE) / (n * CAST(_ee2 AS DOUBLE)), 9)"
+    )
+    sql["ts_kpss"] = with_views(
+        f"""
+        WITH {_g8},
+        tot AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(yq) AS BIGINT) AS sy
+          FROM vals GROUP BY channel
+        ),
+        e AS (
+          SELECT v.channel, v.ts, t.n, t.n * v.yq - t.sy AS _e
+          FROM vals v JOIN tot t ON v.channel = t.channel
+        ),
+        s AS (
+          SELECT channel, n, _e,
+                 CAST(SUM(_e) OVER (PARTITION BY channel ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS _s
+          FROM e
+        ),
+        g AS (
+          SELECT channel, CAST(MAX(n) AS BIGINT) AS n,
+                 SUM(CAST(_s AS HUGEINT) * _s) AS _ss2,
+                 SUM(CAST(_e AS HUGEINT) * _e) AS _ee2
+          FROM s GROUP BY channel
+        )
+        SELECT channel, n,
+               CASE WHEN _ee2 > 0 THEN {_kpss_stat} ELSE 0e0 END
+                 AS kpss_stat,
+               CASE WHEN _ee2 > 0 THEN {_kpss_stat} ELSE 0e0 END <= 0.463
+                 AS stationary
+        FROM g
+        """,
+        "samples",
+        "channels",
+    )
+
+    _po_vd = (
+        "(CAST(sdd AS DOUBLE) / n_pairs "
+        "- (CAST(sd_ AS DOUBLE) / n_pairs) * (CAST(sd_ AS DOUBLE) / n_pairs))"
+    )
+    _po_vp = (
+        "(CAST(spp AS DOUBLE) / n_pairs "
+        "- (CAST(sp_ AS DOUBLE) / n_pairs) * (CAST(sp_ AS DOUBLE) / n_pairs))"
+    )
+    sql["ts_poincare"] = with_views(
+        f"""
+        WITH {_g8},
+        lagd AS (
+          SELECT channel, yq AS xq,
+                 LAG(yq) OVER (PARTITION BY channel ORDER BY ts) AS _p
+          FROM vals
+        ),
+        g AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(SUM(xq - _p) AS BIGINT) AS sd_,
+                 SUM(CAST(xq - _p AS HUGEINT) * (xq - _p)) AS sdd,
+                 CAST(SUM(xq + _p) AS BIGINT) AS sp_,
+                 SUM(CAST(xq + _p AS HUGEINT) * (xq + _p)) AS spp
+          FROM lagd WHERE _p IS NOT NULL GROUP BY channel
+        )
+        SELECT channel, n_pairs,
+               CASE WHEN {_po_vd} > 0e0 THEN
+                 round(sqrt({_po_vd} / 2e0) / 100.0, 9) ELSE 0e0 END AS sd1,
+               CASE WHEN {_po_vp} > 0e0 THEN
+                 round(sqrt({_po_vp} / 2e0) / 100.0, 9) ELSE 0e0 END AS sd2,
+               CASE WHEN {_po_vd} > 0e0 AND {_po_vp} > 0e0 THEN
+                 round(sqrt({_po_vd}) / sqrt({_po_vp}), 9) ELSE 0e0 END
+                 AS sd_ratio
+        FROM g
+        """,
+        "samples",
+        "channels",
+    )
+
+    from pennsieve_streaming_spark.operators.stats import (
+        _dfa_slope_coeffs as _dfac,
+    )
+
+    _dfa_sizes = (4, 8, 16)
+    _dfa_cs = _dfac(_dfa_sizes)
+    _dfa_sse_arms = []
+    for _s in _dfa_sizes:
+        _sxbar = (_s + 1) / 2.0
+        _sxx_c = _s * (_s * _s - 1) / 12.0
+        _dfa_sse_arms.append(
+            f"WHEN s = {_s} THEN greatest(0e0, CAST(syy AS DOUBLE) "
+            f"- CAST(sy_ AS DOUBLE) * sy_ / {float(_s)!r} "
+            f"- (CAST(sxy AS DOUBLE) - {_sxbar!r} * sy_) "
+            f"* (CAST(sxy AS DOUBLE) - {_sxbar!r} * sy_) / {_sxx_c!r})"
+        )
+    _dfa_sse = f"CASE {' '.join(_dfa_sse_arms)} END"
+    _dfa_f = {
+        _s: (
+            f"(sqrt(CAST(_S{_s} AS DOUBLE) / (_nb{_s} * {float(_s)!r})) "
+            f"/ (CAST(n AS DOUBLE) * {float(CORR_QUANT)!r}))"
+        )
+        for _s in _dfa_sizes
+    }
+    _dfa_alpha = " + ".join(
+        f"{_dfa_cs[_i]!r} * ln({_dfa_f[_s]})"
+        for _i, _s in enumerate(_dfa_sizes)
+    )
+    _dfa_pos = " AND ".join(f"_S{_s} > 0" for _s in _dfa_sizes)
+    _dfa_piv = ", ".join(
+        f"MAX(CASE WHEN s = {_s} THEN ssum END) AS _S{_s}, "
+        f"MAX(CASE WHEN s = {_s} THEN nb END) AS _nb{_s}"
+        for _s in _dfa_sizes
+    )
+    sql["ts_dfa"] = with_views(
+        f"""
+        WITH {_g8},
+        tot AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(yq) AS BIGINT) AS sy
+          FROM vals GROUP BY channel
+        ),
+        prof AS (
+          SELECT v.channel, t.n,
+                 CAST(SUM(t.n * v.yq - t.sy) OVER (PARTITION BY v.channel
+                   ORDER BY v.ts ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   CURRENT ROW) AS BIGINT) AS _p,
+                 ROW_NUMBER() OVER (PARTITION BY v.channel
+                   ORDER BY v.ts) - 1 AS _i
+          FROM vals v JOIN tot t ON v.channel = t.channel
+        ),
+        ex AS (
+          SELECT channel, n, _p, sz.s, _i // sz.s AS box,
+                 _i % sz.s + 1 AS k
+          FROM prof CROSS JOIN (SELECT UNNEST([4, 8, 16]) AS s) sz
+        ),
+        boxes AS (
+          SELECT channel, n, s, box, COUNT(*) AS _nb,
+                 CAST(SUM(_p) AS BIGINT) AS sy_,
+                 CAST(SUM(k * _p) AS BIGINT) AS sxy,
+                 SUM(CAST(_p AS HUGEINT) * _p) AS syy
+          FROM ex GROUP BY channel, n, s, box
+        ),
+        per_s AS (
+          SELECT channel, n, s, CAST(COUNT(*) AS BIGINT) AS nb,
+                 SUM(CAST(round({_dfa_sse}) AS HUGEINT)) AS ssum
+          FROM boxes WHERE _nb = s GROUP BY channel, n, s
+        ),
+        piv AS (
+          SELECT channel, n, {_dfa_piv}
+          FROM per_s GROUP BY channel, n
+        )
+        SELECT channel, n,
+               {", ".join(f"round({_dfa_f[_s]}, 9) AS f{_s}" for _s in _dfa_sizes)},
+               CASE WHEN {_dfa_pos} THEN round({_dfa_alpha}, 9)
+                    ELSE 0e0 END AS alpha
+        FROM piv
+        """,
+        "samples",
+        "channels",
+    )
 
     return sql
 

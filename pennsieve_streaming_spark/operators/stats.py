@@ -3736,3 +3736,425 @@ def entropy_rate(
             ).alias("normalized"),
         )
     )
+
+
+def matrix_profile(
+    values: DataFrame, m: int = 7, quant: int = 100
+) -> DataFrame:
+    """Tumbling-window matrix profile per channel (Yeh et al. 2016,
+    the discord/motif primitive of the UCR matrix-profile line,
+    restricted to NON-overlapping length-``m`` subsequences): for each
+    complete window, the minimum UNNORMALIZED squared Euclidean
+    distance to any other window of the same channel, plus the
+    nearest-neighbor window index. High profile values are discords
+    (anomalous weeks); low values are motifs (repeated regimes).
+
+    Determinism — the reason for the unnormalized integer variant:
+    distances are exact BIGINT sums of squared differences of
+    quantized values, so the (distance, neighbor-index) argmin is an
+    exact integer order statistic — no z-normalization division whose
+    cross-engine ULP could flip the argmin.
+
+    ``values`` must be the uniform day grid (the theil_sen contract),
+    so windows per channel are bounded by the OBSERVATION WINDOW in
+    days / m — the all-pairs stage is O((days/m)²) per channel by
+    construction, never O(samples²).
+
+    Output: (channel, win, nn_win, nn_dist2).
+
+    Plan / 100 TB: one per-channel ranking window, one (channel, pos)
+    equi-join (pos < m keys per channel — AQE splits the hot keys),
+    two partial-agg groupBys; nothing wider than windows² rows.
+    """
+    mm = int(m)
+    q = int(quant)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    ranked = values.select(
+        "channel",
+        "ts",
+        "value",
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    ).select(
+        "channel",
+        (F.row_number().over(w) - 1).alias("_rn"),
+        "xq",
+    ).select(
+        "channel",
+        F.expr(f"_rn div {mm}").alias("win"),
+        F.expr(f"_rn % {mm}").alias("pos"),
+        "xq",
+    )
+    nwin = ranked.groupBy("channel", "win").agg(
+        F.count(F.lit(1)).alias("_nw")
+    )
+    full = ranked.join(
+        nwin.filter(F.col("_nw") == mm).select("channel", "win"),
+        ["channel", "win"],
+    )
+    full = pin(full)
+    a = full.select(
+        "channel", F.col("win").alias("wi"), "pos", F.col("xq").alias("xa")
+    )
+    b = full.select(
+        "channel", F.col("win").alias("wj"), "pos", F.col("xq").alias("xb")
+    )
+    d2 = (
+        a.join(b, ["channel", "pos"])
+        .filter(F.col("wi") != F.col("wj"))
+        .groupBy("channel", "wi", "wj")
+        .agg(
+            F.sum(F.expr("(xa - xb) * (xa - xb)")).cast("long").alias("d2")
+        )
+    )
+    aw = Window.partitionBy("channel", "wi").orderBy("d2", "wj")
+    return (
+        d2.withColumn("_r", F.row_number().over(aw))
+        .filter(F.col("_r") == 1)
+        .select(
+            "channel",
+            F.col("wi").cast("long").alias("win"),
+            F.col("wj").cast("long").alias("nn_win"),
+            F.col("d2").alias("nn_dist2"),
+        )
+    )
+
+
+def variance_ratio(
+    values: DataFrame, qs: tuple[int, ...] = (2, 4, 8), quant: int = 100
+) -> DataFrame:
+    """Lo-MacKinlay variance-ratio panel per channel (Lo & MacKinlay
+    1988): VR(q) = Var(q-period increment) / (q · Var(1-period
+    increment)) over the uniform day grid. VR ≈ 1 is a random walk;
+    VR < 1 mean reversion; VR > 1 trending — the econometric
+    complement of ts_adf_test (unit root) and ts_hurst_rs (rescaled
+    range).
+
+    Determinism: 1- and q-period increments are exact BIGINT
+    differences of quantized values; their moments are exact BIGINT
+    sums (population variance); each VR is ONE fixed float expression
+    over them, rounded to 9 dp (degenerate zero variance reports the
+    0.0 sentinel — compared outputs are NULL-free).
+
+    Output: (channel, n, vr2, vr4, vr8) for the default qs.
+
+    Plan / 100 TB: one per-channel sort window computes all lags, one
+    partial-agg groupBy to |channels| rows.
+    """
+    q = int(quant)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    lags = [F.lag("xq", k).over(w).alias(f"_l{k}") for k in (1,) + tuple(qs)]
+    base = values.select(
+        "channel",
+        "ts",
+        "value",
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    ).select("channel", "xq", *lags)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for k in (1,) + tuple(qs):
+        d = F.expr(f"xq - _l{k}")
+        aggs += [
+            F.count(F.col(f"_l{k}")).cast("long").alias(f"n{k}"),
+            F.sum(d).cast("long").alias(f"s{k}"),
+            F.sum(d * d).cast("long").alias(f"ss{k}"),
+        ]
+    g = base.groupBy("channel").agg(*aggs)
+
+    def var(k: int) -> str:
+        return (
+            f"(CAST(ss{k} AS DOUBLE) / n{k} "
+            f"- (CAST(s{k} AS DOUBLE) / n{k}) * (CAST(s{k} AS DOUBLE) / n{k}))"
+        )
+
+    cols = [F.col("n1").alias("n")]
+    for k in qs:
+        cols.append(
+            F.expr(
+                f"CASE WHEN n1 > 0 AND n{k} > 0 AND {var(1)} > 0e0 "
+                f"THEN round({var(k)} / ({k} * {var(1)}), 9) "
+                f"ELSE 0e0 END"
+            ).alias(f"vr{k}")
+        )
+    return g.select("channel", *cols)
+
+
+def kpss_stat(values: DataFrame, quant: int = 100) -> DataFrame:
+    """KPSS level-stationarity statistic per channel (Kwiatkowski,
+    Phillips, Schmidt & Shin 1992, short-run variance variant l = 0):
+    partial sums of demeaned values, stat = Σ S_t² / (n · Σ e_t²)
+    against the 0.463 (5%) critical value. The null is STATIONARITY —
+    the mirror of ts_adf_test's unit-root null; reporting both is the
+    standard stationarity panel.
+
+    Determinism: work in n-scaled integers — E_t = n·y_t − Σy is an
+    exact BIGINT, its running sum S_t is exact, and both quadratic
+    sums accumulate in DECIMAL(38,0) (the HUGEINT class); the n-scale
+    cancels in the ratio, which is ONE fixed float division rounded
+    to 9 dp.
+
+    Output: (channel, n, kpss_stat, stationary BOOLEAN).
+
+    Plan / 100 TB: one groupBy for (n, Σy), one broadcast join back,
+    one per-channel running-sum window, one partial-agg groupBy.
+    """
+    q = int(quant)
+    base = values.select(
+        "channel",
+        "ts",
+        "value",
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    )
+    tot = base.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("sy"),
+    )
+    w = Window.partitionBy("channel").orderBy("ts", "value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    e = base.join(F.broadcast(tot), "channel").select(
+        "channel",
+        "ts",
+        "value",
+        "n",
+        F.expr("n * xq - sy").alias("_e"),
+    )
+    s = e.withColumn("_s", F.sum("_e").over(w).cast("long"))
+    g = s.groupBy("channel").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.expr("CAST(_s AS DECIMAL(38,0)) * _s")).alias("_ss2"),
+        F.sum(F.expr("CAST(_e AS DECIMAL(38,0)) * _e")).alias("_ee2"),
+    )
+    return g.select(
+        "channel",
+        "n",
+        F.expr(
+            "CASE WHEN _ee2 > 0 THEN "
+            "round(CAST(_ss2 AS DOUBLE) / (n * CAST(_ee2 AS DOUBLE)), 9) "
+            "ELSE 0e0 END"
+        ).alias("kpss_stat"),
+        F.expr(
+            "CASE WHEN _ee2 > 0 THEN "
+            "round(CAST(_ss2 AS DOUBLE) / (n * CAST(_ee2 AS DOUBLE)), 9) "
+            "ELSE 0e0 END <= 0.463"
+        ).alias("stationary"),
+    )
+
+
+def poincare_sd(values: DataFrame, quant: int = 100) -> DataFrame:
+    """Poincaré-plot descriptors per channel (Brennan et al. 2001):
+    SD1 = √(Var(x_{t+1} − x_t)/2) — short-term variability, the
+    plot's width; SD2 = √(Var(x_{t+1} + x_t)/2) — long-term
+    variability, its length; and the SD1/SD2 shape ratio. The
+    geometric companion of ts_hrv_metrics' RMSSD (SD1 = RMSSD/√2 for
+    zero-mean differences) applied to the sample series itself.
+
+    Determinism: difference and sum series are exact BIGINT pairs of
+    quantized values; their population moments are exact BIGINT sums;
+    SD1/SD2/ratio are fixed sqrt finishes rounded to 9 dp (degenerate
+    zero variance reports the 0.0 sentinel).
+
+    Output: (channel, n_pairs, sd1, sd2, sd_ratio).
+
+    Plan / 100 TB: one per-channel lag window, one partial-agg
+    groupBy to |channels| rows.
+    """
+    q = int(quant)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    base = values.select(
+        "channel",
+        "ts",
+        "value",
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    ).select(
+        "channel", "xq", F.lag("xq").over(w).alias("_p")
+    ).filter(F.col("_p").isNotNull())
+    g = base.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.expr("xq - _p")).cast("long").alias("sd_"),
+        F.sum(F.expr("CAST(xq - _p AS DECIMAL(38,0)) * (xq - _p)")).alias(
+            "sdd"
+        ),
+        F.sum(F.expr("xq + _p")).cast("long").alias("sp_"),
+        F.sum(F.expr("CAST(xq + _p AS DECIMAL(38,0)) * (xq + _p)")).alias(
+            "spp"
+        ),
+    )
+    vd = (
+        "(CAST(sdd AS DOUBLE) / n_pairs "
+        "- (CAST(sd_ AS DOUBLE) / n_pairs) * (CAST(sd_ AS DOUBLE) / n_pairs))"
+    )
+    vp = (
+        "(CAST(spp AS DOUBLE) / n_pairs "
+        "- (CAST(sp_ AS DOUBLE) / n_pairs) * (CAST(sp_ AS DOUBLE) / n_pairs))"
+    )
+    qq = float(q)
+    return g.select(
+        "channel",
+        "n_pairs",
+        F.expr(
+            f"CASE WHEN {vd} > 0e0 THEN "
+            f"round(sqrt({vd} / 2e0) / {qq!r}, 9) ELSE 0e0 END"
+        ).alias("sd1"),
+        F.expr(
+            f"CASE WHEN {vp} > 0e0 THEN "
+            f"round(sqrt({vp} / 2e0) / {qq!r}, 9) ELSE 0e0 END"
+        ).alias("sd2"),
+        F.expr(
+            f"CASE WHEN {vd} > 0e0 AND {vp} > 0e0 THEN "
+            f"round(sqrt({vd}) / sqrt({vp}), 9) ELSE 0e0 END"
+        ).alias("sd_ratio"),
+    )
+
+
+# Fixed per-box-size literals for the DFA detrend: x = 1..s, so
+# Sx = s(s+1)/2, centered Sxx = s(s²−1)/12 — exact small integers.
+def _dfa_slope_coeffs(sizes: tuple[int, ...]) -> list[float]:
+    """OLS slope weights over x_i = ln(s_i): slope = Σ c_i · ln F(s_i)
+    with c_i = (ln s_i − x̄)/Sxx — shared Python literals (the
+    higuchi/spectral-slope convention)."""
+    import math
+
+    xs = [math.log(float(s)) for s in sizes]
+    xbar = sum(xs) / len(xs)
+    sxx = sum((x - xbar) ** 2 for x in xs)
+    return [(x - xbar) / sxx for x in xs]
+
+
+def dfa(
+    values: DataFrame,
+    box_sizes: tuple[int, ...] = (4, 8, 16),
+    quant: int = 100,
+) -> DataFrame:
+    """Detrended fluctuation analysis per channel (Peng et al. 1994):
+    integrate the demeaned series, split into boxes of ``box_sizes``
+    days, linearly detrend each box, and fit ln F(s) against ln s —
+    the scaling exponent α (≈0.5 white noise, ≈1 pink/1-over-f, ≈1.5
+    Brownian). The long-range-correlation member of the complexity
+    panel next to ts_hurst_rs (R/S) and ts_higuchi_fd (curve length):
+    DFA stays valid under nonstationary trends, which is why it is
+    the standard in physiological signal analysis.
+
+    Determinism: the profile is exact — P_t = Σ(n·y − Σy) in BIGINT
+    (n-scaling avoids the mean division); per-box moments are exact
+    (ΣP, ΣkP in BIGINT; ΣP² in DECIMAL(38,0)); each box's OLS SSE is
+    ONE fixed float expression over them with per-s literal
+    denominators, clamped at 0 and rounded to an integer quantum so
+    the cross-box sum is EXACT and order-free (the welch_psd rule);
+    F(s) and α are fixed finishes rounded to 9 dp (the n-scale
+    divides back out). Degenerate channels (any F = 0) report the
+    0.0 α sentinel.
+
+    Output: (channel, n, f4, f8, f16, alpha) for the default sizes.
+
+    Plan / 100 TB: one groupBy for (n, Σy), a broadcast join back,
+    one per-channel running-sum window, one narrow explode to
+    |sizes| copies, two partial-agg groupBys (boxes, then channels).
+    The day-grid contract bounds rows per channel by the observation
+    window, exactly as theil_sen/adf.
+    """
+    q = int(quant)
+    sizes = tuple(int(s) for s in box_sizes)
+    base = values.select(
+        "channel",
+        "ts",
+        "value",
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    )
+    tot = base.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("sy"),
+    )
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    prof = (
+        base.join(F.broadcast(tot), "channel")
+        .select(
+            "channel",
+            "ts",
+            "value",
+            "n",
+            F.expr("n * xq - sy").alias("_e"),
+            (F.row_number().over(w) - 1).alias("_i"),
+        )
+        .withColumn(
+            "_p",
+            F.sum("_e")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+    )
+    prof = pin(prof)
+    ex = prof.select(
+        "channel",
+        "n",
+        "_p",
+        F.expr(
+            f"explode(array({', '.join(f'struct({s}L AS s, (_i div {s}) AS box, (_i % {s} + 1) AS k)' for s in sizes)}))"
+        ).alias("_b"),
+    ).select("channel", "n", "_p", "_b.s", "_b.box", "_b.k")
+    boxes = ex.groupBy("channel", "n", "s", "box").agg(
+        F.count(F.lit(1)).alias("_nb"),
+        F.sum("_p").cast("long").alias("sy_"),
+        F.sum(F.expr("k * _p")).cast("long").alias("sxy"),
+        F.sum(F.expr("CAST(_p AS DECIMAL(38,0)) * _p")).alias("syy"),
+    )
+    sse_terms = []
+    for s in sizes:
+        sxbar = (s + 1) / 2.0
+        sxx_c = s * (s * s - 1) / 12.0
+        sse_terms.append(
+            f"WHEN s = {s} THEN greatest(0e0, CAST(syy AS DOUBLE) "
+            f"- CAST(sy_ AS DOUBLE) * sy_ / {float(s)!r} "
+            f"- (CAST(sxy AS DOUBLE) - {sxbar!r} * sy_) "
+            f"* (CAST(sxy AS DOUBLE) - {sxbar!r} * sy_) / {sxx_c!r})"
+        )
+    sse = f"CASE {' '.join(sse_terms)} END"
+    per_s = (
+        boxes.filter(F.col("_nb") == F.col("s"))
+        .select(
+            "channel",
+            "n",
+            "s",
+            F.expr(
+                f"CAST(round({sse}) AS DECIMAL(38,0))"
+            ).alias("_sseq"),
+        )
+        .groupBy("channel", "n", "s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nb"),
+            F.sum("_sseq").alias("ssum"),
+        )
+    )
+    piv = per_s.groupBy("channel", "n").agg(
+        *[
+            F.max(F.when(F.col("s") == s, F.col("ssum"))).alias(f"_S{s}")
+            for s in sizes
+        ],
+        *[
+            F.max(F.when(F.col("s") == s, F.col("nb"))).alias(f"_nb{s}")
+            for s in sizes
+        ],
+    )
+    # F(s) = sqrt(mean SSE / s) / (n·q): the profile carries the n
+    # scale (P = n·Σ(y−ȳ) in q units), so divide it back out.
+    f_expr = {
+        s: (
+            f"(sqrt(CAST(_S{s} AS DOUBLE) / (_nb{s} * {float(s)!r})) "
+            f"/ (CAST(n AS DOUBLE) * {float(q)!r}))"
+        )
+        for s in sizes
+    }
+    cs = _dfa_slope_coeffs(sizes)
+    alpha_sum = " + ".join(
+        f"{cs[i]!r} * ln({f_expr[s]})" for i, s in enumerate(sizes)
+    )
+    pos = " AND ".join(f"_S{s} > 0" for s in sizes)
+    return piv.select(
+        "channel",
+        "n",
+        *[
+            F.expr(f"round({f_expr[s]}, 9)").alias(f"f{s}")
+            for s in sizes
+        ],
+        F.expr(
+            f"CASE WHEN {pos} THEN round({alpha_sum}, 9) ELSE 0e0 END"
+        ).alias("alpha"),
+    )
