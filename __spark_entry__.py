@@ -4489,6 +4489,56 @@ def q_dfa(spark, sf_dir):
     return dfa(_locf_day_grid(spark, sf_dir), (4, 8, 16), CORR_QUANT)
 
 
+
+
+def q_lorenz_deciles(spark, sf_dir):
+    """Lorenz curve of user activity in ten rank deciles: two-phase
+    global rank (no single-task window), exact integer decile sums,
+    share/cumulative-share divisions rounded to 9 dp — the curve
+    behind ev_gini's single number."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        lorenz_deciles,
+    )
+
+    return lorenz_deciles(_user_events(spark, sf_dir))
+
+
+def q_ev_burstiness(spark, sf_dir):
+    """Goh-Barabási burstiness B = (σ−μ)/(σ+μ) of pooled per-user
+    inter-arrival gaps per event type (second-floored exact integer
+    moments, fixed sqrt finish, 9 dp) — Poisson vs bursty traffic at
+    a glance."""
+    from pennsieve_streaming_spark.operators.analytics import burstiness
+
+    return burstiness(_user_events(spark, sf_dir))
+
+
+def q_type_pmi(spark, sf_dir):
+    """User-level PMI between event-type pairs: nano-nat quantized
+    four-term log fold over exact co-occurrence counts — which
+    behaviors bundle, which repel."""
+    from pennsieve_streaming_spark.operators.analytics import type_pmi
+
+    return type_pmi(_user_events(spark, sf_dir))
+
+
+def q_dow_chi2(spark, sf_dir):
+    """Day-of-week uniformity chi-square per event type via pure
+    integer dow arithmetic ((epoch_days+4)%7) and one fixed finish
+    against the chi-square(6) literal — weekly seasonality flags."""
+    from pennsieve_streaming_spark.operators.analytics import dow_chi2
+
+    return dow_chi2(_user_events(spark, sf_dir))
+
+
+def q_cohort_ltv(spark, sf_dir):
+    """Cumulative events per user by cohort age (0..8 weeks): exact
+    integer densified rollup + per-cohort cumsum, one division per
+    row — the LTV curve over ev_cohort_matrix's triangle."""
+    from pennsieve_streaming_spark.operators.analytics import cohort_ltv
+
+    return cohort_ltv(_user_events(spark, sf_dir), max_weeks=8)
+
 # Round-8 rotation: the driver's correctness gate samples the FIRST 50
 # registry entries. Positions 1-44 are every registry query the driver
 # has never sampled (the 12-query r6 tail past r7's top-50 cut + the 32
@@ -4584,6 +4634,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_kpss": q_kpss,
         "ts_poincare": q_poincare,
         "ts_dfa": q_dfa,
+        "ev_lorenz_deciles": q_lorenz_deciles,
+        "ev_burstiness": q_ev_burstiness,
+        "ev_type_pmi": q_type_pmi,
+        "ev_dow_chi2": q_dow_chi2,
+        "ev_cohort_ltv": q_cohort_ltv,
         # round-6: blocked-halo + streaming variants (front-loaded via
         # the rotation list so the driver gates them in turn).
         "ts_asof_join_blocked": q_asof_join_blocked,
@@ -14559,6 +14614,178 @@ def oracle_sql() -> dict[str, str]:
         "samples",
         "channels",
     )
+
+
+    # --- round-8 EV additions ---------------------------------------
+    sql["ev_lorenz_deciles"] = """
+        WITH per AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events GROUP BY user_id
+        ),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+                 CAST(SUM(cnt) AS BIGINT) AS ne
+          FROM per
+        ),
+        r AS (
+          SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, user_id) AS _r
+          FROM per
+        ),
+        dec AS (
+          SELECT CAST(((_r - 1) * 10) // nu + 1 AS BIGINT) AS decile,
+                 cnt, ne
+          FROM r CROSS JOIN tot
+        ),
+        g AS (
+          SELECT decile, CAST(MAX(ne) AS BIGINT) AS ne,
+                 CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(cnt) AS BIGINT) AS n_events
+          FROM dec GROUP BY decile
+        )
+        SELECT decile, n_users, n_events,
+               round(CAST(n_events AS DOUBLE) / ne, 9) AS event_share,
+               round(CAST(SUM(n_events) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / ne, 9) AS cum_share
+        FROM g
+        """
+
+    _bst_var = (
+        "(CAST(sgg AS DOUBLE) / n_gaps "
+        "- (CAST(sg AS DOUBLE) / n_gaps) * (CAST(sg AS DOUBLE) / n_gaps))"
+    )
+    _bst_mu = "(CAST(sg AS DOUBLE) / n_gaps)"
+    sql["ev_burstiness"] = f"""
+        WITH ue AS (
+          SELECT CAST(epoch_us(ts) AS BIGINT) AS ts, event_id, user_id,
+                 event_type
+          FROM events
+        ),
+        gaps AS (
+          SELECT event_type,
+                 (ts - LAG(ts) OVER (PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id)) // 1000000 AS gs
+          FROM ue
+        ),
+        g AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                 CAST(SUM(gs) AS BIGINT) AS sg,
+                 SUM(CAST(gs AS HUGEINT) * gs) AS sgg
+          FROM gaps WHERE gs IS NOT NULL GROUP BY event_type
+        )
+        SELECT event_type, n_gaps,
+               round({_bst_mu}, 9) AS mean_gap_s,
+               CASE WHEN {_bst_var} > 0e0
+                     AND sqrt({_bst_var}) + {_bst_mu} > 0e0
+                    THEN round((sqrt({_bst_var}) - {_bst_mu})
+                      / (sqrt({_bst_var}) + {_bst_mu}), 9)
+                    ELSE 0e0 END AS burstiness
+        FROM g
+        """
+
+    _LNQ9 = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1000000000) AS BIGINT)"
+    _pmi_q = (
+        f"({_LNQ9.format(x='n_both')} + {_LNQ9.format(x='nu')} "
+        f"- {_LNQ9.format(x='n_a')} - {_LNQ9.format(x='n_b')})"
+    )
+    sql["ev_type_pmi"] = f"""
+        WITH ut AS (
+          SELECT DISTINCT user_id, event_type FROM events
+        ),
+        nt AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+          FROM ut GROUP BY event_type
+        ),
+        nu_t AS (
+          SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu FROM ut
+        ),
+        co AS (
+          SELECT a.event_type AS type_a, bb.event_type AS type_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_both
+          FROM ut a JOIN ut bb
+            ON a.user_id = bb.user_id AND a.event_type < bb.event_type
+          GROUP BY a.event_type, bb.event_type
+        )
+        SELECT type_a, type_b, na.n_t AS n_a, nb.n_t AS n_b, n_both,
+               CAST({_pmi_q} AS DOUBLE) / 1000000000 AS pmi
+        FROM co
+        JOIN nt na ON na.event_type = type_a
+        JOIN nt nb ON nb.event_type = type_b
+        CROSS JOIN nu_t
+        """
+
+    _DAY_US8 = 86_400 * US
+    _dow_chi2 = (
+        "((49e0 * CAST(_oo AS DOUBLE) - 7e0 * CAST(n_events AS DOUBLE) "
+        "* n_events) / (7e0 * n_events))"
+    )
+    sql["ev_dow_chi2"] = f"""
+        WITH d AS (
+          SELECT event_type,
+                 CAST(((CAST(epoch_us(ts) AS BIGINT) // {_DAY_US8}) + 4) % 7
+                   AS BIGINT) AS dow,
+                 CAST(COUNT(*) AS BIGINT) AS o
+          FROM events GROUP BY event_type,
+            ((CAST(epoch_us(ts) AS BIGINT) // {_DAY_US8}) + 4) % 7
+        ),
+        dense AS (
+          SELECT t.event_type, g.dow, CAST(COALESCE(d.o, 0) AS BIGINT) AS o
+          FROM (SELECT DISTINCT event_type FROM d) t
+          CROSS JOIN (SELECT UNNEST(generate_series(0, 6)) AS dow) g
+          LEFT JOIN d ON d.event_type = t.event_type AND d.dow = g.dow
+        ),
+        agg AS (
+          SELECT event_type, CAST(SUM(o) AS BIGINT) AS n_events,
+                 SUM(CAST(o AS HUGEINT) * o) AS _oo
+          FROM dense GROUP BY event_type
+        )
+        SELECT event_type, n_events,
+               CASE WHEN n_events > 0 THEN round({_dow_chi2}, 9)
+                    ELSE 0e0 END AS chi2,
+               CASE WHEN n_events > 0 THEN round({_dow_chi2}, 9)
+                    ELSE 0e0 END <= 12.592 AS uniform
+        FROM agg
+        """
+
+    sql["ev_cohort_ltv"] = f"""
+        WITH uw AS (
+          SELECT user_id,
+                 (CAST(epoch_us(ts) AS BIGINT) // {WEEK_US}) * {WEEK_US}
+                   AS week
+          FROM events
+        ),
+        firstw AS (
+          SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+        ),
+        sizes AS (
+          SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+          FROM firstw GROUP BY cohort_week
+        ),
+        aged AS (
+          SELECT f.cohort_week,
+                 (u.week - f.cohort_week) // {WEEK_US} AS age_week,
+                 CAST(COUNT(*) AS BIGINT) AS n_ev
+          FROM uw u JOIN firstw f ON u.user_id = f.user_id
+          WHERE (u.week - f.cohort_week) // {WEEK_US} <= 8
+          GROUP BY f.cohort_week, (u.week - f.cohort_week) // {WEEK_US}
+        ),
+        dense AS (
+          SELECT s.cohort_week, CAST(g.age_week AS BIGINT) AS age_week,
+                 s.cohort_size, CAST(COALESCE(a.n_ev, 0) AS BIGINT) AS n_ev
+          FROM sizes s
+          CROSS JOIN (SELECT UNNEST(generate_series(0, 8)) AS age_week) g
+          LEFT JOIN aged a ON a.cohort_week = s.cohort_week
+            AND a.age_week = g.age_week
+        )
+        SELECT cohort_week, age_week, cohort_size,
+               CAST(SUM(n_ev) OVER (PARTITION BY cohort_week
+                 ORDER BY age_week ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW) AS BIGINT) AS cum_events,
+               round(CAST(SUM(n_ev) OVER (PARTITION BY cohort_week
+                 ORDER BY age_week ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW) AS DOUBLE) / cohort_size, 9) AS ltv
+        FROM dense
+        """
 
     return sql
 

@@ -1867,3 +1867,321 @@ def funnel_windowed(
             "CAST(n_converted_window AS DOUBLE) / n_converted END"
         ).alias("capture_share"),
     )
+
+
+def lorenz_deciles(events: DataFrame) -> DataFrame:
+    """Lorenz curve of user activity in deciles — the concentration
+    readout behind ev_gini's single number: users ranked by event
+    count (ascending), split into ten equal-rank buckets, each with
+    its share of total events and the cumulative share (the Lorenz
+    ordinate). A bottom-decile share near zero with a top-decile share
+    near one is the power-user concentration every growth team plots.
+
+    Determinism: per-user counts are exact integers; the rank is the
+    two-phase :func:`~pennsieve_streaming_spark.util.global_rank`
+    under the TOTAL order (count, user_id); decile assignment and both
+    shares are fixed integer arithmetic + one division rounded to 9 dp
+    (the cumulative sum runs over ten exact BIGINT rows).
+
+    Output: (decile 1..10, n_users, n_events, event_share, cum_share).
+
+    Plan / 100 TB: one per-user rollup, the two-phase rank (no
+    single-task window), one 10-row rollup + tiny cumsum window.
+    """
+    from pennsieve_streaming_spark.util import global_rank
+
+    per = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.sum("cnt").cast("long").alias("ne"),
+    )
+    ranked = global_rank(per, ("cnt", "user_id"), out_col="_r")
+    dec = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("((_r - 1) * 10) div nu + 1").cast("long").alias(
+                "decile"
+            ),
+            "cnt",
+            "ne",
+        )
+        .groupBy("decile", "ne")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("cnt").cast("long").alias("n_events"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # ten rows: the unpartitioned window is bounded by the decile count
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        dec.withColumn("_cum", F.sum("n_events").over(w).cast("long"))
+        .select(
+            "decile",
+            "n_users",
+            "n_events",
+            F.expr(
+                "round(CAST(n_events AS DOUBLE) / ne, 9)"
+            ).alias("event_share"),
+            F.expr("round(CAST(_cum AS DOUBLE) / ne, 9)").alias(
+                "cum_share"
+            ),
+        )
+    )
+
+
+def burstiness(events: DataFrame) -> DataFrame:
+    """Goh-Barabási burstiness per event type: B = (σ − μ)/(σ + μ)
+    over the pooled per-user inter-arrival gaps of that type — B → −1
+    for clockwork regularity, 0 for a Poisson process, → +1 for
+    extreme burstiness. The one-number complement of
+    ev_interarrival_ks (which tests the exponential shape) and
+    ev_dispersion (count overdispersion).
+
+    Determinism: gaps are exact integer microseconds floored to whole
+    seconds (the hrv rule — second-floored squares cannot overflow);
+    moments are exact BIGINT / DECIMAL(38,0) sums; B and the mean are
+    fixed sqrt/division finishes rounded to 9 dp (degenerate σ + μ = 0
+    reports the 0.0 sentinel).
+
+    Output: (event_type, n_gaps, mean_gap_s, burstiness).
+
+    Plan / 100 TB: one (user, type) sort window for the lag, one
+    partial-agg groupBy to |types| rows.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gaps = (
+        events.select(
+            "user_id", "event_type", "ts", "event_id",
+            F.lag("ts").over(w).alias("_p"),
+        )
+        .filter(F.col("_p").isNotNull())
+        .select(
+            "event_type",
+            F.expr("(ts - _p) div 1000000").alias("gs"),
+        )
+    )
+    g = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gs").cast("long").alias("sg"),
+        F.sum(F.expr("CAST(gs AS DECIMAL(38,0)) * gs")).alias("sgg"),
+    )
+    var = (
+        "(CAST(sgg AS DOUBLE) / n_gaps "
+        "- (CAST(sg AS DOUBLE) / n_gaps) * (CAST(sg AS DOUBLE) / n_gaps))"
+    )
+    mu = "(CAST(sg AS DOUBLE) / n_gaps)"
+    return g.select(
+        "event_type",
+        "n_gaps",
+        F.expr(f"round({mu}, 9)").alias("mean_gap_s"),
+        F.expr(
+            f"CASE WHEN {var} > 0e0 AND sqrt({var}) + {mu} > 0e0 "
+            f"THEN round((sqrt({var}) - {mu}) / (sqrt({var}) + {mu}), 9) "
+            f"ELSE 0e0 END"
+        ).alias("burstiness"),
+    )
+
+
+def type_pmi(events: DataFrame) -> DataFrame:
+    """Pointwise mutual information between event-type pairs at the
+    user level: PMI(a,b) = ln(N·n_ab / (n_a·n_b)) over users who
+    performed each type — positive = the behaviors co-occur (bundle
+    them), negative = they repel (distinct segments). The pairwise
+    association view beside ev_assoc_rules' directional confidence.
+
+    Determinism: all counts are exact integers; each ln is 1e9-
+    quantized to BIGINT (the nano-nat class) so the four-term PMI sum
+    is exact, finished by one /1e9 division.
+
+    Output: (type_a, type_b, n_a, n_b, n_both, pmi) for type_a <
+    type_b with n_both > 0.
+
+    Plan / 100 TB: one distinct to user-type rows, a self equi-join on
+    user_id (fan-out bounded by the type-vocabulary size per user),
+    partial-agg rollups; the type marginals broadcast.
+    """
+    ut = events.select("user_id", "event_type").distinct()
+    nt = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_t")
+    )
+    nu = ut.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("nu")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    LNQ = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1000000000) AS BIGINT)"
+    j = (
+        both.join(
+            F.broadcast(nt.select(F.col("event_type").alias("type_a"),
+                                  F.col("n_t").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(nt.select(F.col("event_type").alias("type_b"),
+                                  F.col("n_t").alias("n_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(nu))
+    )
+    pmi_q = (
+        f"({LNQ.format(x='n_both')} + {LNQ.format(x='nu')} "
+        f"- {LNQ.format(x='n_a')} - {LNQ.format(x='n_b')})"
+    )
+    return j.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        F.expr(f"CAST({pmi_q} AS DOUBLE) / 1000000000").alias("pmi"),
+    )
+
+
+DOW_CHI2_CRIT = "12.592"  # chi-square(6), alpha = 0.05
+
+
+def dow_chi2(events: DataFrame) -> DataFrame:
+    """Day-of-week uniformity chi-square per event type: O_d counts
+    against the uniform E = n/7, χ² = Σ(7·O_d − n)²/(7·n) — flags
+    weekly seasonality per surface (the categorical cousin of
+    ts_hourly_profile). dow is computed by pure integer arithmetic —
+    (epoch_days + 4) % 7, anchored at 1970-01-01 = Thursday — so no
+    engine date-function semantics are involved.
+
+    Determinism: exact integer counts (zero-filled over the 7-day
+    grid); χ² is one fixed expression of exact integers rounded to
+    9 dp; the flag compares against the literal critical value.
+
+    Output: (event_type, n_events, chi2, uniform BOOLEAN).
+
+    Plan / 100 TB: one partial-agg groupBy to |types|×7 rows, a
+    broadcast densify, one 7-row fold per type.
+    """
+    d = events.select(
+        "event_type",
+        F.expr(f"((ts div {DAY_US}) + 4) % 7").cast("long").alias("dow"),
+    ).groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    types = d.select("event_type").distinct()
+    spark = events.sparkSession
+    dows = spark.range(7).select(F.col("id").cast("long").alias("dow"))
+    dense = (
+        types.crossJoin(F.broadcast(dows))
+        .join(d, ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "dow",
+            F.coalesce("o", F.lit(0)).cast("long").alias("o"),
+        )
+    )
+    g = dense.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("n_events"),
+        F.sum(F.expr("CAST(o AS DECIMAL(38,0)) * o")).alias("_oo"),
+    )
+    # Σ(7O−n)² = 49·ΣO² − 14n·ΣO + 7n² = 49·ΣO² − 7n² (ΣO = n)
+    chi2 = (
+        "((49e0 * CAST(_oo AS DOUBLE) - 7e0 * CAST(n_events AS DOUBLE) "
+        "* n_events) / (7e0 * n_events))"
+    )
+    return g.select(
+        "event_type",
+        "n_events",
+        F.expr(
+            f"CASE WHEN n_events > 0 THEN round({chi2}, 9) "
+            f"ELSE 0e0 END"
+        ).alias("chi2"),
+        F.expr(
+            f"CASE WHEN n_events > 0 THEN round({chi2}, 9) "
+            f"ELSE 0e0 END <= {DOW_CHI2_CRIT}"
+        ).alias("uniform"),
+    )
+
+
+def cohort_ltv(events: DataFrame, max_weeks: int = 8) -> DataFrame:
+    """Cumulative events per user by cohort age — the LTV curve the
+    cohort_matrix's retention triangle feeds: for each first-active
+    week (cohort) and age 0..``max_weeks`` weeks, the running total of
+    events produced by that cohort divided by its size. Flattening
+    curves = engagement decay; the gap between cohorts = product
+    change impact.
+
+    Determinism: all counts exact integers; the age cumsum runs over
+    ≤ max_weeks+1 exact rows per cohort; ltv is one division rounded
+    to 9 dp.
+
+    Output: (cohort_week, age_week, cohort_size, cum_events, ltv).
+
+    Plan / 100 TB: per-user first-week rollup, an equi-join back on
+    user_id, a |cohorts|×(max_weeks+1) densified rollup + tiny
+    per-cohort window.
+    """
+    from pyspark.sql import Window
+
+    uw = events.select(
+        "user_id",
+        F.expr(f"(ts div {WEEK_US}) * {WEEK_US}").alias("week"),
+    )
+    first = uw.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    aged = (
+        uw.join(first, "user_id")
+        .select(
+            "cohort_week",
+            F.expr(f"(week - cohort_week) div {WEEK_US}").alias(
+                "age_week"
+            ),
+        )
+        .filter(F.col("age_week") <= max_weeks)
+        .groupBy("cohort_week", "age_week")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ev"))
+    )
+    spark = events.sparkSession
+    ages = spark.range(int(max_weeks) + 1).select(
+        F.col("id").cast("long").alias("age_week")
+    )
+    dense = (
+        sizes.crossJoin(F.broadcast(ages))
+        .join(aged, ["cohort_week", "age_week"], "left")
+        .select(
+            "cohort_week",
+            "age_week",
+            "cohort_size",
+            F.coalesce("n_ev", F.lit(0)).cast("long").alias("n_ev"),
+        )
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_week").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        dense.withColumn("cum_events", F.sum("n_ev").over(w).cast("long"))
+        .select(
+            "cohort_week",
+            "age_week",
+            "cohort_size",
+            "cum_events",
+            F.expr(
+                "round(CAST(cum_events AS DOUBLE) / cohort_size, 9)"
+            ).alias("ltv"),
+        )
+    )
