@@ -4539,6 +4539,58 @@ def q_cohort_ltv(spark, sf_dir):
 
     return cohort_ltv(_user_events(spark, sf_dir), max_weeks=8)
 
+
+
+def q_char_trigram_lm(spark, sf_dir):
+    """Character-trigram LM score per doc (add-one smoothing over the
+    corpus char vocabulary): nano-nat quantized per-occurrence logs,
+    exact DECIMAL sums — the mojibake/base64/keyboard-mash quality
+    signal one level below the word LMs."""
+    from pennsieve_streaming_spark.llm.text import char_trigram_lm
+
+    return char_trigram_lm(_docs(spark, sf_dir))
+
+
+def q_stopword_profile(spark, sf_dir):
+    """Per-source stopword-ratio decile histogram: exact token
+    counts, one exact ratio division, engine-identical decile floor —
+    the distributional view of the quality score's stopword term."""
+    from pennsieve_streaming_spark.llm.text import stopword_profile
+
+    return stopword_profile(_docs(spark, sf_dir))
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Per-source p50/p90/p99 document length via the explicit
+    order-statistic interpolation over exact integer ranks — the
+    curation cutoff panel."""
+    from pennsieve_streaming_spark.llm.text import length_quantiles
+
+    return length_quantiles(_docs(spark, sf_dir))
+
+
+def q_ngram_entropy(spark, sf_dir):
+    """Word-bigram conditional entropy per source (nano-nat exact
+    folds) — templated-vs-rich-prose diversity rate beside
+    doc_heaps_law."""
+    from pennsieve_streaming_spark.llm.text import ngram_entropy
+
+    return ngram_entropy(_docs(spark, sf_dir))
+
+
+def q_minhash_calibration(spark, sf_dir):
+    """|MinHash estimate − exact Jaccard| error histogram over the
+    capped LSH candidates: is n_hashes = 16 tight enough for the
+    dedup threshold — the estimator-quality eval beside
+    doc_lsh_eval's recall."""
+    from pennsieve_streaming_spark.llm.dedup import minhash_calibration
+
+    sh = shingles(_docs(spark, sf_dir))
+    cands = lsh_candidate_pairs(
+        lsh_band_keys(minhash_wide(sh)), max_bucket_size=LSH_MAX_BUCKET
+    )
+    return minhash_calibration(sh, minhash_signatures(sh), cands)
+
 # Round-8 rotation: the driver's correctness gate samples the FIRST 50
 # registry entries. Positions 1-44 are every registry query the driver
 # has never sampled (the 12-query r6 tail past r7's top-50 cut + the 32
@@ -4639,6 +4691,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_type_pmi": q_type_pmi,
         "ev_dow_chi2": q_dow_chi2,
         "ev_cohort_ltv": q_cohort_ltv,
+        "doc_char_trigram_lm": q_char_trigram_lm,
+        "doc_stopword_profile": q_stopword_profile,
+        "doc_length_quantiles": q_length_quantiles,
+        "doc_ngram_entropy": q_ngram_entropy,
+        "doc_minhash_calibration": q_minhash_calibration,
         # round-6: blocked-halo + streaming variants (front-loaded via
         # the rotation list so the driver gates them in turn).
         "ts_asof_join_blocked": q_asof_join_blocked,
@@ -14785,6 +14842,171 @@ def oracle_sql() -> dict[str, str]:
                  ORDER BY age_week ROWS BETWEEN UNBOUNDED PRECEDING AND
                  CURRENT ROW) AS DOUBLE) / cohort_size, 9) AS ltv
         FROM dense
+        """
+
+
+    # --- round-8 DOC additions ---------------------------------------
+    _LNQ8 = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1000000000) AS BIGINT)"
+    sql["doc_char_trigram_lm"] = f"""
+        WITH tri AS (
+          SELECT doc_id, UNNEST(
+            CASE WHEN length(text) < 3 THEN CAST([] AS VARCHAR[])
+                 ELSE list_transform(generate_series(1, length(text) - 2),
+                      i -> substring(text, i, 3)) END
+          ) AS tri
+          FROM documents
+        ),
+        trib AS (SELECT doc_id, tri, substring(tri, 1, 2) AS bi FROM tri),
+        c3 AS (
+          SELECT tri, CAST(COUNT(*) AS BIGINT) AS c3
+          FROM trib GROUP BY tri
+        ),
+        c2 AS (
+          SELECT bi, CAST(COUNT(*) AS BIGINT) AS c2
+          FROM trib GROUP BY bi
+        ),
+        vt AS (
+          SELECT CAST(COUNT(DISTINCT ch) AS BIGINT) AS v FROM (
+            SELECT UNNEST(list_transform(generate_series(1, length(text)),
+                   i -> substring(text, i, 1))) AS ch
+            FROM documents
+          )
+        ),
+        scored AS (
+          SELECT t.doc_id,
+                 CAST({_LNQ8.format(x="c3.c3 + 1")}
+                   - {_LNQ8.format(x="c2.c2 + vt.v")} AS HUGEINT) AS _lpq
+          FROM trib t
+          JOIN c3 ON c3.tri = t.tri
+          JOIN c2 ON c2.bi = t.bi
+          CROSS JOIN vt
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
+               CAST(SUM(_lpq) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * 1000000000) AS avg_logp
+        FROM scored GROUP BY doc_id
+        """
+
+    _stop8 = ", ".join(f"'{w}'" for w in [
+        "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+        "for", "on", "with", "as", "at", "by", "that", "this",
+    ])
+    sql["doc_stopword_profile"] = f"""
+        WITH per AS (
+          SELECT source,
+                 CASE WHEN length(trim(text)) = 0 THEN 0e0
+                      ELSE CAST(len(list_filter({TOKS},
+                             t -> list_contains([{_stop8}], lower(t))))
+                             AS DOUBLE) / len({TOKS})
+                 END AS _ratio
+          FROM documents
+        )
+        SELECT source,
+               least(CAST(9 AS BIGINT),
+                     CAST(floor(_ratio * 10) AS BIGINT)) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM per GROUP BY source, least(CAST(9 AS BIGINT),
+                     CAST(floor(_ratio * 10) AS BIGINT))
+        """
+
+    _lq_joins = []
+    for _pn, _pv in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        _h = f"(CAST(n_docs - 1 AS DOUBLE) * {_pv!r})"
+        _lq_joins.append(
+            f"round(lo_{_pn}.x + ({_h} - floor({_h})) "
+            f"* (hi_{_pn}.x - lo_{_pn}.x), 9) AS {_pn}"
+        )
+    _lq_onlo = {
+        _pn: f"lo_{_pn}.source = n.source AND lo_{_pn}._r = "
+             f"CAST(floor(CAST(n_docs - 1 AS DOUBLE) * {_pv!r}) AS BIGINT) + 1"
+        for _pn, _pv in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+    }
+    _lq_onhi = {
+        _pn: f"hi_{_pn}.source = n.source AND hi_{_pn}._r = "
+             f"CAST(ceil(CAST(n_docs - 1 AS DOUBLE) * {_pv!r}) AS BIGINT) + 1"
+        for _pn, _pv in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+    }
+    sql["doc_length_quantiles"] = f"""
+        WITH ranked AS (
+          SELECT source, CAST(n_chars AS BIGINT) AS x,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY n_chars, doc_id) AS BIGINT) AS _r
+          FROM documents
+        ),
+        n AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM ranked GROUP BY source
+        )
+        SELECT n.source, n.n_docs, {", ".join(_lq_joins)}
+        FROM n
+        JOIN ranked lo_p50 ON {_lq_onlo["p50"]}
+        JOIN ranked hi_p50 ON {_lq_onhi["p50"]}
+        JOIN ranked lo_p90 ON {_lq_onlo["p90"]}
+        JOIN ranked hi_p90 ON {_lq_onhi["p90"]}
+        JOIN ranked lo_p99 ON {_lq_onlo["p99"]}
+        JOIN ranked hi_p99 ON {_lq_onhi["p99"]}
+        """
+
+    sql["doc_ngram_entropy"] = f"""
+        WITH dt AS (
+          SELECT source, {TOKS} AS toks FROM documents
+        ),
+        bi AS (
+          SELECT source, toks[i] AS x, toks[i + 1] AS y
+          FROM (
+            SELECT source, toks, UNNEST(
+              CASE WHEN len(toks) < 2 THEN CAST([] AS BIGINT[])
+                   ELSE generate_series(1, len(toks) - 1) END
+            ) AS i
+            FROM dt
+          )
+        ),
+        cxy AS (
+          SELECT source, x, y, CAST(COUNT(*) AS BIGINT) AS c_xy
+          FROM bi GROUP BY source, x, y
+        ),
+        cx AS (
+          SELECT source, x, CAST(SUM(c_xy) AS BIGINT) AS c_x
+          FROM cxy GROUP BY source, x
+        )
+        SELECT c.source, CAST(SUM(c_xy) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(c_xy AS HUGEINT)
+                 * ({_LNQ8.format(x="c_x")} - {_LNQ8.format(x="c_xy")}))
+                 AS DOUBLE)
+                 / (CAST(SUM(c_xy) AS DOUBLE) * 1000000000)
+                 AS entropy_nats
+        FROM cxy c JOIN cx ON cx.source = c.source AND cx.x = c.x
+        GROUP BY c.source
+        """
+
+    sql["doc_minhash_calibration"] = f"""
+        WITH {MINHASH_PRE}, {BANDS}, {CAND_CAPPED},
+        {JACCARD_TAIL},
+        ag AS (
+          SELECT c.doc_a, c.doc_b,
+                 SUM(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END)
+                   / CAST(COUNT(*) AS DOUBLE) AS est
+          FROM cand c
+          JOIN mh ma ON ma.doc_id = c.doc_a
+          JOIN mh mb ON mb.doc_id = c.doc_b AND mb.j = ma.j
+          GROUP BY c.doc_a, c.doc_b
+        ),
+        tj AS (
+          SELECT c.doc_a, c.doc_b,
+                 COALESCE(i.inter
+                   / CAST(sa.n + sb.n - i.inter AS DOUBLE), 0e0) AS tru
+          FROM cand c
+          LEFT JOIN ints i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+          LEFT JOIN sizes sa ON c.doc_a = sa.doc_id
+          LEFT JOIN sizes sb ON c.doc_b = sb.doc_id
+        )
+        SELECT least(CAST(9 AS BIGINT),
+                 CAST(floor(abs(ag.est - tj.tru) * 10) AS BIGINT))
+                 AS err_decile,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM ag JOIN tj ON ag.doc_a = tj.doc_a AND ag.doc_b = tj.doc_b
+        GROUP BY least(CAST(9 AS BIGINT),
+                 CAST(floor(abs(ag.est - tj.tru) * 10) AS BIGINT))
         """
 
     return sql

@@ -1097,3 +1097,51 @@ def cdc_chunks(documents: DataFrame) -> DataFrame:
         "chunk_md5",
         F.count(F.lit(1)).over(cw).cast("long").alias("n_copies"),
     )
+
+
+def minhash_calibration(
+    shingled: DataFrame,
+    signatures: DataFrame,
+    candidates: DataFrame,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """MinHash estimator calibration over the LSH candidate pairs:
+    the |estimate − exact Jaccard| error histogram — the eval that
+    tells you whether n_hashes is large enough for the dedup
+    threshold (Broder's bound: stderr ≈ √(j(1−j)/n_hashes); at 16
+    hashes most mass should sit in the first two deciles). Composes
+    the two already-gated primitives (signature-agreement estimate +
+    exact set Jaccard) into the quality panel next to doc_lsh_eval's
+    recall numbers.
+
+    Determinism: est = n_agree/n_hashes and jaccard = inter/union are
+    single exact-integer divisions (identical doubles both engines);
+    candidates sharing no shingle take exact Jaccard 0; the decile
+    floor of the identical |difference| double is engine-identical.
+
+    Output: (err_decile 0..9, n_pairs).
+
+    Plan / 100 TB: inherits the candidate-capped LSH join bounds;
+    the histogram is a 10-row rollup.
+    """
+    est = minhash_jaccard_estimate(signatures, candidates)
+    true = jaccard_pairs(shingled, candidates=candidates).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    j = est.join(true, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        "jaccard_est",
+        F.coalesce("jaccard", F.lit(0.0)).alias("_true"),
+    )
+    return (
+        j.select(
+            F.expr(
+                f"least(CAST({n_buckets - 1} AS BIGINT), "
+                f"CAST(floor(abs(jaccard_est - _true) * {n_buckets}) "
+                f"AS BIGINT))"
+            ).alias("err_decile")
+        )
+        .groupBy("err_decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

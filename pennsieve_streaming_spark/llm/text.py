@@ -1286,3 +1286,233 @@ def heaps_law(documents: DataFrame) -> DataFrame:
             f" / (1000000000.0 * m), 9) END"
         ).alias("ln_k"),
     )
+
+
+def char_trigram_lm(documents: DataFrame) -> DataFrame:
+    """Character-trigram LM score per document: the mean conditional
+    log-probability ln P(c_3 | c_1 c_2) under the corpus trigram model
+    with add-one smoothing over the corpus character vocabulary — one
+    Markov order above the WORD-level bigram filter
+    (curation.bigram_loglik), at the CHARACTER level where
+    mojibake/encoding junk, base64 blobs, and keyboard mashing
+    separate hardest from natural text (every char-LM quality filter
+    since cld/fastText uses this signal).
+
+    Determinism: trigram/bigram/vocab counts are exact integers; each
+    occurrence's ln((c3+1)/(c2+V)) splits into two 1e9-quantized lns
+    (nano-nat BIGINTs), summed exactly per document in DECIMAL(38,0);
+    the mean is one fixed division.
+
+    Output: (doc_id, n_tri, avg_logp) for documents with at least one
+    trigram (shorter docs carry no signal and would emit NULL).
+
+    Plan / 100 TB: chars and trigrams are narrow explodes; counts are
+    partial-agg groupBys on the trigram keys (skew-free: 3-char keys);
+    the vocab size broadcasts as one row.
+    """
+    tri_arr = (
+        "CASE WHEN length(text) < 3 THEN array() "
+        "ELSE transform(sequence(1, length(text) - 2), "
+        "i -> substring(text, i, 3)) END"
+    )
+    tris = documents.select(
+        "doc_id", F.explode(F.expr(tri_arr)).alias("tri")
+    ).withColumn("bi", F.expr("substring(tri, 1, 2)"))
+    tris = pin(tris)
+    c3 = tris.groupBy("tri").agg(
+        F.count(F.lit(1)).cast("long").alias("c3")
+    )
+    c2 = tris.groupBy("bi").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    chars = documents.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text)), "
+                "i -> substring(text, i, 1))"
+            )
+        ).alias("ch")
+    )
+    v = chars.distinct().agg(F.count(F.lit(1)).cast("long").alias("v"))
+    LNQ = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1000000000) AS BIGINT)"
+    scored = (
+        tris.join(c3, "tri")
+        .join(c2, "bi")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST({LNQ.format(x='c3 + 1')} "
+                f"- {LNQ.format(x='c2 + v')} AS DECIMAL(38,0))"
+            ).alias("_lpq"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tri"),
+            F.sum("_lpq").alias("_sq"),
+        )
+        .select(
+            "doc_id",
+            "n_tri",
+            F.expr(
+                "CAST(_sq AS DOUBLE) / (CAST(n_tri AS DOUBLE) "
+                "* 1000000000)"
+            ).alias("avg_logp"),
+        )
+    )
+
+
+def stopword_profile(documents: DataFrame) -> DataFrame:
+    """Per-source stopword-ratio histogram: each document's stopword
+    token share bucketed into ten deciles, counted per source — the
+    distributional view of the quality score's single stopword term
+    (natural English centers near 0.3-0.5; scraped boilerplate and
+    non-text junk pile up at 0).
+
+    Determinism: token and stopword counts are exact integers; the
+    ratio is one exact division and the decile floor of it is the
+    same double on both engines (identical expression text).
+
+    Output: (source, decile 0..9, n_docs).
+
+    Plan / 100 TB: one narrow per-doc map (no explode — a filtered
+    array size), one partial-agg groupBy to |sources|×10 rows.
+    """
+    stop_expr = _marker_count_expr(EN_STOPWORDS, toks=TOKS)
+    per = documents.select(
+        "source",
+        F.expr(
+            f"CASE WHEN length(trim(text)) = 0 THEN 0e0 "
+            f"ELSE CAST({stop_expr} AS DOUBLE) / size({TOKS}) END"
+        ).alias("_ratio"),
+    )
+    return (
+        per.select(
+            "source",
+            F.expr(
+                "least(CAST(9 AS BIGINT), "
+                "CAST(floor(_ratio * 10) AS BIGINT))"
+            ).alias("decile"),
+        )
+        .groupBy("source", "decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def length_quantiles(documents: DataFrame) -> DataFrame:
+    """Per-source p50/p90/p99 of document length (n_chars) via the
+    explicit order-statistic interpolation (the session-stats rule:
+    h = (n−1)p, linear between the ⌊h⌋-th and ⌈h⌉-th values) — the
+    length-distribution panel curation cutoffs are read from.
+
+    Determinism: ranks are exact integers under the total order
+    (n_chars, doc_id); the interpolation is one fixed float expression
+    per percentile over integer order statistics.
+
+    Output: (source, n_docs, p50, p90, p99).
+
+    Plan / 100 TB: per-source rank windows (sources partition the
+    corpus), one row-number pass, three self-equi-joins on the
+    (source, rank) key at |sources| rows each.
+    """
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = documents.select(
+        "source",
+        "n_chars",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("x"),
+    ).withColumn("_r", F.row_number().over(w).cast("long")).select(
+        "source", "x", "_r"
+    )
+    ranked = pin(ranked)
+    n = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    out = n
+    for p_name, p in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        lo = ranked.select(
+            "source", F.col("_r").alias("_lo_r"), F.col("x").alias("_lo_x")
+        )
+        hi = ranked.select(
+            "source", F.col("_r").alias("_hi_r"), F.col("x").alias("_hi_x")
+        )
+        # double-based h: identical expression text in the oracle, so
+        # the floor/ceil of the same double is engine-identical (a
+        # decimal-typed h would emit DECIMAL outputs — a hash hazard)
+        h = f"(CAST(n_docs - 1 AS DOUBLE) * {p!r})"
+        out = (
+            out.join(lo, "source")
+            .filter(F.expr(f"_lo_r = CAST(floor({h}) AS BIGINT) + 1"))
+            .join(hi, "source")
+            .filter(F.expr(f"_hi_r = CAST(ceil({h}) AS BIGINT) + 1"))
+            .select(
+                *[c for c in out.columns],
+                F.expr(
+                    f"round(_lo_x + ({h} - floor({h})) "
+                    f"* (_hi_x - _lo_x), 9)"
+                ).alias(p_name),
+            )
+        )
+    return out
+
+
+def ngram_entropy(documents: DataFrame) -> DataFrame:
+    """Word-bigram conditional entropy per source: H = Σ (c_xy/N) ·
+    ln(c_x / c_xy) in nats — the lexical-diversity / repetitiveness
+    rate of each corpus slice (templated sources score near 0; rich
+    prose 4-6 nats). The document-side sibling of ts_entropy_rate's
+    binned-series number and the corpus complement of doc_heaps_law's
+    vocabulary growth.
+
+    Determinism: bigram counts and first-token marginals are exact
+    integers; the fold Σ c_xy·(lnq(c_x) − lnq(c_xy)) runs in
+    DECIMAL(38,0) over 1e9-quantized lns; H is one fixed division.
+
+    Output: (source, n_bigrams, entropy_nats).
+
+    Plan / 100 TB: adjacent-pair explode, two partial-agg groupBys on
+    (source, token) keys; nothing wider than the bigram vocabulary.
+    """
+    pair_arr = (
+        f"CASE WHEN size({TOKS}) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size({TOKS}) - 1), "
+        f"i -> struct(element_at({TOKS}, i) AS x, "
+        f"element_at({TOKS}, i + 1) AS y)) END"
+    )
+    bi = documents.select(
+        "source", F.explode(F.expr(pair_arr)).alias("_p")
+    ).select("source", "_p.x", "_p.y")
+    cxy = bi.groupBy("source", "x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("c_xy")
+    )
+    cxy = pin(cxy)
+    cx = cxy.groupBy("source", "x").agg(
+        F.sum("c_xy").cast("long").alias("c_x")
+    )
+    LNQ = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1000000000) AS BIGINT)"
+    j = cxy.join(cx, ["source", "x"])
+    return (
+        j.select(
+            "source",
+            "c_xy",
+            F.expr(
+                f"CAST(c_xy AS DECIMAL(38,0)) "
+                f"* ({LNQ.format(x='c_x')} - {LNQ.format(x='c_xy')})"
+            ).alias("_hq"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("c_xy").cast("long").alias("n_bigrams"),
+            F.sum("_hq").alias("_h"),
+        )
+        .select(
+            "source",
+            "n_bigrams",
+            F.expr(
+                "CAST(_h AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) "
+                "* 1000000000)"
+            ).alias("entropy_nats"),
+        )
+    )
