@@ -4591,6 +4591,32 @@ def q_minhash_calibration(spark, sf_dir):
     )
     return minhash_calibration(sh, minhash_signatures(sh), cands)
 
+
+
+def q_jl_distortion(spark, sf_dir):
+    """Johnson-Lindenstrauss ±1 projection (64→16) distortion audit
+    over the probe pairs: exact integer projections and distances,
+    one fixed ratio division — how much error 4x compression costs
+    on this corpus."""
+    from pennsieve_streaming_spark.llm.similarity import jl_distortion
+
+    return jl_distortion(_embs(spark, sf_dir), out_dim=16, dim=ANN_DIM)
+
+
+def q_pq_balance(spark, sf_dir):
+    """PQ code-usage balance per subspace (usage entropy + hottest
+    code share) from the golden-codebook assignments — the index
+    health readout beside emb_pq_distortion."""
+    from pennsieve_streaming_spark.llm.similarity import (
+        golden_codebooks,
+        pq_balance,
+    )
+
+    return pq_balance(
+        _embs(spark, sf_dir),
+        golden_codebooks(PQ_M, PQ_CODES, ANN_DIM // PQ_M),
+    )
+
 # Round-8 rotation: the driver's correctness gate samples the FIRST 50
 # registry entries. Positions 1-44 are every registry query the driver
 # has never sampled (the 12-query r6 tail past r7's top-50 cut + the 32
@@ -4696,6 +4722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles": q_length_quantiles,
         "doc_ngram_entropy": q_ngram_entropy,
         "doc_minhash_calibration": q_minhash_calibration,
+        "emb_jl_distortion": q_jl_distortion,
+        "emb_pq_balance": q_pq_balance,
         # round-6: blocked-halo + streaming variants (front-loaded via
         # the rotation list so the driver gates them in turn).
         "ts_asof_join_blocked": q_asof_join_blocked,
@@ -15007,6 +15035,93 @@ def oracle_sql() -> dict[str, str]:
         FROM ag JOIN tj ON ag.doc_a = tj.doc_a AND ag.doc_b = tj.doc_b
         GROUP BY least(CAST(9 AS BIGINT),
                  CAST(floor(abs(ag.est - tj.tru) * 10) AS BIGINT))
+        """
+
+
+    # --- round-8 EMB additions ---------------------------------------
+    from pennsieve_streaming_spark.llm.similarity import (
+        _jl_signs as _jls,
+    )
+
+    _jl_rows = ", ".join(
+        f"({i + 1}, {j + 1}, {s})"
+        for i, row in enumerate(_jls(16, ANN_DIM))
+        for j, s in enumerate(row)
+    )
+    sql["emb_jl_distortion"] = f"""
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id < 20
+        ),
+        comp AS (
+          SELECT vec_id, j,
+                 CAST(round(v[j] * 1000000) AS BIGINT) AS xq
+          FROM emb CROSS JOIN
+            (SELECT UNNEST(generate_series(1, {ANN_DIM})) AS j)
+        ),
+        sgn AS (SELECT * FROM (VALUES {_jl_rows}) t(i, j, s)),
+        proj AS (
+          SELECT c.vec_id, g.i, CAST(SUM(g.s * c.xq) AS BIGINT) AS p
+          FROM comp c JOIN sgn g ON g.j = c.j
+          GROUP BY c.vec_id, g.i
+        ),
+        dp AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 CAST(SUM((a.p - b.p) * (a.p - b.p)) AS BIGINT) AS d2p
+          FROM proj a JOIN proj b
+            ON a.i = b.i AND a.vec_id < b.vec_id
+          GROUP BY a.vec_id, b.vec_id
+        ),
+        do_ AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 CAST(SUM((a.xq - b.xq) * (a.xq - b.xq)) AS BIGINT) AS d2o
+          FROM comp a JOIN comp b
+            ON a.j = b.j AND a.vec_id < b.vec_id
+          GROUP BY a.vec_id, b.vec_id
+        )
+        SELECT dp.vec_a, dp.vec_b, d2o AS d2_orig,
+               CASE WHEN d2o > 0 THEN
+                 round((CAST(d2p AS DOUBLE) / 16) / d2o, 9)
+               ELSE 0e0 END AS ratio
+        FROM dp JOIN do_ ON dp.vec_a = do_.vec_a AND dp.vec_b = do_.vec_b
+        """
+
+    _pqb_cb, _pqb_dists, _ = _pq_fragments()
+    sql["emb_pq_balance"] = f"""
+        WITH cbt AS (SELECT {_pqb_cb} AS cb),
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+        dl AS (
+          SELECT vec_id, ss.s, {_pqb_dists} AS dls
+          FROM emb CROSS JOIN cbt
+          CROSS JOIN (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS s)
+            ss
+        ),
+        a AS (
+          SELECT vec_id, s,
+                 CAST(list_position(dls, list_min(dls)) - 1 AS BIGINT)
+                   AS c
+          FROM dl
+        ),
+        cnt AS (
+          SELECT s, c, CAST(COUNT(*) AS BIGINT) AS cnum
+          FROM a GROUP BY s, c
+        ),
+        tot AS (
+          SELECT s, CAST(SUM(cnum) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS used,
+                 CAST(MAX(cnum) AS BIGINT) AS mx
+          FROM cnt GROUP BY s
+        )
+        SELECT CAST(c.s AS BIGINT) AS subspace, MAX(t.n) AS n_vectors,
+               MAX(t.used) AS n_codes_used,
+               CAST(SUM(CAST(cnum AS HUGEINT)
+                 * ({_LNQ8.format(x="t.n")} - {_LNQ8.format(x="cnum")}))
+                 AS DOUBLE) / (CAST(MAX(t.n) AS DOUBLE) * 1000000000)
+                 AS entropy_nats,
+               CAST(MAX(t.mx) AS DOUBLE) / MAX(t.n) AS max_share
+        FROM cnt c JOIN tot t ON t.s = c.s
+        GROUP BY c.s
         """
 
     return sql

@@ -1753,3 +1753,175 @@ def sq8_distortion(
     ).select(
         F.col("dim_j").cast("long").alias("dim_j"), "n", "mn", "mx", "mse"
     )
+
+
+def _jl_signs(out_dim: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 Johnson-Lindenstrauss sign matrix (Achlioptas
+    2003's database-friendly projection, sign-only variant), generated
+    from the golden-ratio low-discrepancy sequence so both engines
+    consume the SAME Python-emitted literals."""
+    rho = 0.6180339887498949
+    return [
+        [
+            1 if ((i * dim + j + 1) * rho) % 1.0 < 0.5 else -1
+            for j in range(dim)
+        ]
+        for i in range(out_dim)
+    ]
+
+
+def jl_distortion(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    n_queries: int = 20,
+    quant: int = 10**6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit: project the probe set
+    to ``out_dim`` with a literal ±1 sign matrix and report, per
+    vector pair, the ratio of projected to original squared distance
+    (scaled by 1/out_dim so a distance-preserving projection scores
+    ≈ 1/dim·Σ... near 1 after the standard 1/k normalization). The
+    empirical check behind every random-projection index decision:
+    how much distance error does 4× compression actually cost on THIS
+    corpus.
+
+    Determinism: components quantize to BIGINT; projections are exact
+    ±1 integer folds; both squared distances are exact BIGINT sums;
+    the ratio is one fixed division rounded to 9 dp (coincident
+    originals report the 0.0 sentinel).
+
+    Output: (vec_a, vec_b, d2_orig, ratio) over the probe pairs.
+
+    Plan / 100 TB: the probe set is tiny by contract (the exact-topk
+    query-side rule); corpus-scale audits sample probes the same way.
+    """
+    q = int(quant)
+    sgn = _jl_signs(int(out_dim), int(dim))
+    sgn_lit = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{s}L" for s in row) + ")"
+            for row in sgn
+        )
+        + ")"
+    )
+    base = (
+        _as_double(embeddings, vec_col)
+        .filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("vid"),
+            F.expr(
+                f"transform({vec_col}, "
+                f"x -> CAST(round(x * {q}) AS BIGINT))"
+            ).alias("xq"),
+        )
+        .withColumn(
+            "pj",
+            F.expr(
+                f"transform(sequence(1, {int(out_dim)}), i -> "
+                f"aggregate(zip_with(xq, element_at({sgn_lit}, i), "
+                f"(x, s) -> x * s), CAST(0 AS BIGINT), (a, t) -> a + t))"
+            ),
+        )
+    )
+    a = base.select(
+        F.col("vid").alias("vec_a"),
+        F.col("xq").alias("xa"),
+        F.col("pj").alias("pa"),
+    )
+    b = base.select(
+        F.col("vid").alias("vec_b"),
+        F.col("xq").alias("xb"),
+        F.col("pj").alias("pb"),
+    )
+    d2 = (
+        "aggregate(zip_with({u}, {v}, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (a, t) -> a + t)"
+    )
+    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a",
+        "vec_b",
+        F.expr(d2.format(u="xa", v="xb")).alias("d2o"),
+        F.expr(d2.format(u="pa", v="pb")).alias("d2p"),
+    )
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        F.col("d2o").alias("d2_orig"),
+        F.expr(
+            f"CASE WHEN d2o > 0 THEN "
+            f"round((CAST(d2p AS DOUBLE) / {int(out_dim)}) / d2o, 9) "
+            f"ELSE 0e0 END"
+        ).alias("ratio"),
+    )
+
+
+def pq_balance(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codebook balance per subspace: code-usage entropy and the
+    hottest code's share — the index-health readout for product
+    quantization (a subspace whose vectors pile onto few codewords
+    carries almost no information and dominates the distortion
+    emb_pq_distortion measures; balanced usage ≈ ln k entropy).
+
+    Determinism: assignments come from pq_encode's sequential-fold
+    argmin (first-minimum tie rule, engine-mirrored); counts are
+    exact; entropy folds 1e9-quantized lns in DECIMAL(38,0); the
+    share is one exact division.
+
+    Output: (subspace, n_vectors, n_codes_used, entropy_nats,
+    max_share).
+
+    Plan / 100 TB: pq_encode's narrow map, one explode to m rows per
+    vector, two partial-agg groupBys on (subspace, code) keys.
+    """
+    codes = pq_encode(embeddings, codebooks, id_col, vec_col)
+    ex = codes.select(F.posexplode("codes").alias("s", "c"))
+    cnt = ex.groupBy("s", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("cnum")
+    )
+    LNQ = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1000000000) AS BIGINT)"
+    tot = cnt.groupBy("s").agg(
+        F.sum("cnum").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("used"),
+        F.max("cnum").cast("long").alias("mx"),
+    )
+    j = cnt.join(tot, "s")
+    return (
+        j.select(
+            "s",
+            "n",
+            "used",
+            "mx",
+            F.expr(
+                f"CAST(cnum AS DECIMAL(38,0)) "
+                f"* ({LNQ.format(x='n')} - {LNQ.format(x='cnum')})"
+            ).alias("_hq"),
+        )
+        .groupBy(F.col("s").cast("long").alias("subspace"))
+        .agg(
+            F.max("n").alias("n_vectors"),
+            F.max("used").alias("n_codes_used"),
+            F.max("mx").alias("_mx"),
+            F.sum("_hq").alias("_h"),
+        )
+        .select(
+            "subspace",
+            "n_vectors",
+            "n_codes_used",
+            F.expr(
+                "CAST(_h AS DOUBLE) / (CAST(n_vectors AS DOUBLE) "
+                "* 1000000000)"
+            ).alias("entropy_nats"),
+            F.expr(
+                "CAST(_mx AS DOUBLE) / n_vectors"
+            ).alias("max_share"),
+        )
+    )

@@ -53,3 +53,27 @@ def test_no_unquantized_transcendental_finishes():
         f"— quantize the finish to 9 dp (round(expr, 9)) or the "
         f"nano-nat BIGINT idiom in BOTH engines"
     )
+
+
+def test_no_duplicate_registry_assignments():
+    """A second `sql["name"] =` or dict-literal `"name": q_fn` entry
+    silently OVERRIDES the first (dict semantics) — the r7 SemDeDup
+    near-miss and this round's emb_dim_stats collision. Grep the
+    entry-file source for duplicate oracle assignments and duplicate
+    queries()-dict keys and fail loudly."""
+    import re
+
+    src = open(entry_mod.__file__).read()
+    oracle_names = re.findall(r'sql\["(\w+)"\] =', src)
+    dupes = sorted(
+        {n for n in oracle_names if oracle_names.count(n) > 1}
+    )
+    # known intentional alias: stream_circadian reuses ev_circadian's
+    # oracle via sql[...] = sql[...] (single assignment each) — any
+    # true duplicate assignment shows up here.
+    assert not dupes, f"duplicate oracle assignments: {dupes}"
+    qd = re.search(r"\n    q = \{\n(.*?)\n    \}\n", src, re.S)
+    assert qd, "queries() dict literal not found"
+    keys = re.findall(r'"(\w+)": q_\w+', qd.group(1))
+    qdupes = sorted({n for n in keys if keys.count(n) > 1})
+    assert not qdupes, f"duplicate queries() dict keys: {qdupes}"
