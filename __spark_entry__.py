@@ -4617,6 +4617,44 @@ def q_pq_balance(spark, sf_dir):
         golden_codebooks(PQ_M, PQ_CODES, ANN_DIM // PQ_M),
     )
 
+
+
+def q_image_colorfulness(spark, sf_dir):
+    """Hasler-Süsstrunk colorfulness per media item over the
+    phase-shifted synthetic RGB field: exact opponent-axis BIGINT
+    moments through the REAL kernel, one fixed sqrt finish."""
+    from pennsieve_streaming_spark.llm.imagehash import (
+        colorfulness_synthetic,
+    )
+
+    return colorfulness_synthetic(_docs(spark, sf_dir))
+
+
+def q_image_blockiness(spark, sf_dir):
+    """Block-boundary vs interior gradient ratio (8-px blocks) per
+    media item — the codec-damage screen; exact integer gradient
+    sums, one fixed division."""
+    from pennsieve_streaming_spark.llm.imagehash import (
+        blockiness_synthetic,
+    )
+
+    return blockiness_synthetic(_docs(spark, sf_dir))
+
+
+def q_audio_zcr(spark, sf_dir):
+    """Per-frame zero-crossing rate of the demeaned lead audio
+    channel (n-scaled exact-integer signs, integer crossing test) —
+    the voiced/unvoiced half of the two-feature VAD next to
+    mm_audio_vad's energy half."""
+    from pennsieve_streaming_spark.dsp.spectral import (
+        zero_crossing_rate,
+    )
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        F.col("channel") == "lead"
+    )
+    return zero_crossing_rate(s, frame=64, quant=1)
+
 # Round-8 rotation: the driver's correctness gate samples the FIRST 50
 # registry entries. Positions 1-44 are every registry query the driver
 # has never sampled (the 12-query r6 tail past r7's top-50 cut + the 32
@@ -4724,6 +4762,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_calibration": q_minhash_calibration,
         "emb_jl_distortion": q_jl_distortion,
         "emb_pq_balance": q_pq_balance,
+        "mm_image_colorfulness": q_image_colorfulness,
+        "mm_image_blockiness": q_image_blockiness,
+        "mm_audio_zcr": q_audio_zcr,
         # round-6: blocked-halo + streaming variants (front-loaded via
         # the rotation list so the driver gates them in turn).
         "ts_asof_join_blocked": q_asof_join_blocked,
@@ -15122,6 +15163,107 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(t.mx) AS DOUBLE) / MAX(t.n) AS max_share
         FROM cnt c JOIN tot t ON t.s = c.s
         GROUP BY c.s
+        """
+
+
+    # --- round-8 MM additions ----------------------------------------
+    from pennsieve_streaming_spark.llm.imagehash import (
+        COLORFULNESS_EXPR as _CF_EXPR,
+        SYN_B_OFF as _CF_BOFF,
+        SYN_G_OFF as _CF_GOFF,
+    )
+
+    sql["mm_image_colorfulness"] = f"""
+        WITH px AS (
+          SELECT doc_id, {_ihg.format(i='i', j='j')} AS r,
+                 ({_ihg.format(i='i', j='j')} + {_CF_GOFF}) % {_IH_M} AS g,
+                 ({_ihg.format(i='i', j='j')} + {_CF_BOFF}) % {_IH_M} AS b
+          FROM documents,
+               UNNEST(generate_series(0, {_IH_H - 1})) AS ti(i),
+               UNNEST(generate_series(0, {_IH_W - 1})) AS tj(j)
+        ),
+        opp AS (
+          SELECT doc_id, r - g AS rg, r + g - 2 * b AS yb2 FROM px
+        ),
+        g AS (
+          SELECT doc_id AS media_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+                 CAST(SUM(rg) AS BIGINT) AS s_rg,
+                 CAST(SUM(rg * rg) AS BIGINT) AS s_rg2,
+                 CAST(SUM(yb2) AS BIGINT) AS s_yb,
+                 CAST(SUM(yb2 * yb2) AS BIGINT) AS s_yb2q
+          FROM opp GROUP BY doc_id
+        )
+        SELECT media_id, n_px, {_CF_EXPR} AS colorfulness
+        FROM g
+        """
+
+    sql["mm_image_blockiness"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 abs(({_ihg.format(i='i', j='(j + 1)')})
+                   - ({_ihg.format(i='i', j='j')})) AS ad,
+                 (j + 1) % 8 = 0 AS is_b
+          FROM documents,
+               UNNEST(generate_series(0, {_IH_H - 1})) AS ti(i),
+               UNNEST(generate_series(0, {_IH_W - 2})) AS tj(j)
+        ),
+        g AS (
+          SELECT doc_id AS media_id,
+                 CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+                 CAST(SUM(CASE WHEN is_b THEN ad ELSE 0 END) AS BIGINT)
+                   AS s_b,
+                 CAST(SUM(CASE WHEN is_b THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_nb,
+                 CAST(SUM(CASE WHEN is_b THEN 0 ELSE ad END) AS BIGINT)
+                   AS s_nb
+          FROM d GROUP BY doc_id
+        )
+        SELECT media_id, n_b AS n_boundary, n_nb AS n_interior,
+               CASE WHEN s_nb > 0 THEN
+                 round((CAST(s_b AS DOUBLE) / n_b)
+                   / (CAST(s_nb AS DOUBLE) / n_nb), 9)
+               ELSE 0e0 END AS blockiness
+        FROM g
+        """
+
+    sql["mm_audio_zcr"] = f"""
+        WITH samples_aligned AS
+          ({TBL.DUCKDB_VIEWS['samples_aligned']}),
+        rk AS (
+          SELECT channel,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY channel
+                   ORDER BY ts, value) - 1 AS BIGINT) AS rn,
+                 CAST(round(value * 1) AS BIGINT) AS xq
+          FROM samples_aligned WHERE channel = 'lead'
+        ),
+        wx AS (
+          SELECT channel, rn // 64 AS win, rn % 64 AS pos, xq FROM rk
+        ),
+        per AS (
+          SELECT channel, win, COUNT(*) AS _n,
+                 CAST(SUM(xq) AS BIGINT) AS _s
+          FROM wx GROUP BY channel, win
+        ),
+        d AS (
+          SELECT w.channel, w.win, w.pos, 64 * w.xq - p._s AS _d
+          FROM wx w JOIN per p ON w.channel = p.channel AND w.win = p.win
+          WHERE p._n = 64
+        ),
+        lagd AS (
+          SELECT channel, win, _d,
+                 LAG(_d) OVER (PARTITION BY channel, win ORDER BY pos)
+                   AS _dp
+          FROM d
+        )
+        SELECT channel, CAST(win AS BIGINT) AS win,
+               CAST(64 AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN _d * _dp < 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_crossings,
+               round(CAST(SUM(CASE WHEN _d * _dp < 0 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / 63, 9) AS zcr
+        FROM lagd WHERE _dp IS NOT NULL
+        GROUP BY channel, win
         """
 
     return sql

@@ -1452,3 +1452,79 @@ def spectral_flux_onsets(
         "flux_q",
         F.expr(f"flux_q > {int(factor)} * med_q").alias("is_onset"),
     )
+
+
+def zero_crossing_rate(
+    samples: DataFrame, frame: int = 64, quant: int = 100
+) -> DataFrame:
+    """Per-frame zero-crossing rate on the frame-demeaned signal —
+    the cheapest voiced/unvoiced discriminator in the audio front-end
+    (Rabiner & Schafer's classic pairing with energy: voiced speech =
+    high energy + low ZCR, fricatives/noise = high ZCR). The frame
+    companion of energy_vad: together they form the two-feature VAD
+    every pipeline starts from.
+
+    Determinism: the demeaned sign is taken on n·x_t − Σx (exact
+    BIGINT — the KPSS n-scaling trick, no mean division); a crossing
+    is the exact integer test d_t · d_{t−1} < 0; zcr is ONE fixed
+    division of exact integers.
+
+    Output: (channel, win, n, n_crossings, zcr); ragged tail frames
+    drop (the hjorth rule).
+
+    Plan / 100 TB: one per-channel ranking window, one frame rollup,
+    a join back, one lag window within (channel, win) — all
+    partial-agg friendly, |samples|/frame output rows.
+    """
+    from pyspark.sql import Window
+
+    fr = int(frame)
+    q = int(quant)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    ranked = samples.select(
+        "channel",
+        "ts",
+        "value",
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    ).select(
+        "channel",
+        (F.row_number().over(w) - 1).alias("_rn"),
+        "xq",
+    ).select(
+        "channel",
+        F.expr(f"_rn div {fr}").alias("win"),
+        F.expr(f"_rn % {fr}").alias("pos"),
+        "xq",
+    )
+    per = ranked.groupBy("channel", "win").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("xq").cast("long").alias("_s"),
+    )
+    d = ranked.join(per, ["channel", "win"]).filter(
+        F.col("_n") == fr
+    ).select(
+        "channel",
+        "win",
+        "pos",
+        F.expr(f"{fr} * xq - _s").alias("_d"),
+    )
+    lw = Window.partitionBy("channel", "win").orderBy("pos")
+    crossings = (
+        d.withColumn("_dp", F.lag("_d").over(lw))
+        .filter(F.col("_dp").isNotNull())
+        .groupBy("channel", "win")
+        .agg(
+            F.sum(
+                F.when(F.expr("_d * _dp < 0"), 1).otherwise(0)
+            ).cast("long").alias("n_crossings")
+        )
+    )
+    return crossings.select(
+        "channel",
+        F.col("win").cast("long").alias("win"),
+        F.lit(fr).cast("long").alias("n"),
+        "n_crossings",
+        F.expr(
+            f"round(CAST(n_crossings AS DOUBLE) / {fr - 1}, 9)"
+        ).alias("zcr"),
+    )

@@ -454,3 +454,158 @@ def edge_density_synthetic(documents: DataFrame) -> DataFrame:
         ).alias("mean_grad_energy"),
         "max_e2",
     )
+
+
+# RGB synthetic field: three phase-shifted copies of the gray closed
+# form (offsets 0/85/170 mod 256) — the oracle replays the same
+# arithmetic; the REAL kernels below consume any decoded RGB planes.
+SYN_G_OFF, SYN_B_OFF = 85, 170
+
+
+def synthetic_rgb(doc_id: int):
+    g = synthetic_gray(doc_id)
+    return g, (g + SYN_G_OFF) % SYN_MOD, (g + SYN_B_OFF) % SYN_MOD
+
+
+def colorfulness_stats(
+    r: "np.ndarray", g: "np.ndarray", b: "np.ndarray"
+) -> tuple[int, int, int, int, int]:
+    """Exact integer sums feeding the Hasler-Süsstrunk colorfulness
+    metric (CVPR-HVEI 2003): opponent axes rg = R − G and
+    yb2 = R + G − 2B (2× the usual yb, kept integral). Returns
+    (n_px, Σrg, Σrg², Σyb2, Σyb2²)."""
+    rl = r.astype(np.int64)
+    gl = g.astype(np.int64)
+    bl = b.astype(np.int64)
+    rg = rl - gl
+    yb2 = rl + gl - 2 * bl
+    return (
+        int(rg.size),
+        int(rg.sum()),
+        int((rg * rg).sum()),
+        int(yb2.sum()),
+        int((yb2 * yb2).sum()),
+    )
+
+
+# Fixed float finish shared verbatim with the oracle: with yb = yb2/2,
+# σ_yb² = σ_yb2²/4 and μ_yb = μ_yb2/2; C = sqrt(σ_rg² + σ_yb²)
+# + 0.3·sqrt(μ_rg² + μ_yb²).
+_CF_VRG = (
+    "(CAST(s_rg2 AS DOUBLE) / n_px "
+    "- (CAST(s_rg AS DOUBLE) / n_px) * (CAST(s_rg AS DOUBLE) / n_px))"
+)
+_CF_VYB = (
+    "((CAST(s_yb2q AS DOUBLE) / n_px "
+    "- (CAST(s_yb AS DOUBLE) / n_px) * (CAST(s_yb AS DOUBLE) / n_px)) "
+    "/ 4e0)"
+)
+_CF_MRG = "(CAST(s_rg AS DOUBLE) / n_px)"
+_CF_MYB = "(CAST(s_yb AS DOUBLE) / (2e0 * n_px))"
+COLORFULNESS_EXPR = (
+    f"round(sqrt(greatest(0e0, {_CF_VRG} + {_CF_VYB})) "
+    f"+ 0.3 * sqrt({_CF_MRG} * {_CF_MRG} + {_CF_MYB} * {_CF_MYB}), 9)"
+)
+
+
+def colorfulness_synthetic(documents: DataFrame) -> DataFrame:
+    """(doc_id) → Hasler-Süsstrunk colorfulness over the synthetic
+    RGB field (the dhash_synthetic plumbing contract: REAL
+    :func:`colorfulness_stats` kernel, closed-form-replayable field —
+    swap in decoded planes for real corpora).
+
+    Output: (media_id, n_px, colorfulness), one fixed sqrt finish
+    over exact opponent-axis BIGINT moments, rounded to 9 dp."""
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            rows = [
+                colorfulness_stats(*synthetic_rgb(int(d))) for d in ids
+            ]
+            arr = np.asarray(rows, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_px": arr[:, 0],
+                    "s_rg": arr[:, 1],
+                    "s_rg2": arr[:, 2],
+                    "s_yb": arr[:, 3],
+                    "s_yb2q": arr[:, 4],
+                }
+            )
+
+    sums = documents.select("doc_id").mapInPandas(
+        run,
+        "media_id long, n_px long, s_rg long, s_rg2 long, "
+        "s_yb long, s_yb2q long",
+    )
+    return sums.select(
+        "media_id",
+        "n_px",
+        F.expr(COLORFULNESS_EXPR).alias("colorfulness"),
+    )
+
+
+BLOCK_EDGE = 8  # codec block size whose boundaries blockiness probes
+
+
+def blockiness_stats(gray: "np.ndarray", block: int = BLOCK_EDGE):
+    """Exact integer sums feeding the blockiness ratio (Wang, Sheikh
+    & Bovik 2002's boundary-vs-interior gradient comparison, sum
+    form): Σ|Δ| across horizontal neighbors AT block-column
+    boundaries vs elsewhere. Returns (n_b, Σ|Δ|_b, n_nb, Σ|Δ|_nb)."""
+    g = np.asarray(gray, dtype=np.int64)
+    d = np.abs(g[:, 1:] - g[:, :-1])
+    w = g.shape[1]
+    # column pair (j, j+1), 0-based j; boundary when (j+1) % block == 0
+    jb = (np.arange(w - 1) + 1) % int(block) == 0
+    db = d[:, jb]
+    dn = d[:, ~jb]
+    return int(db.size), int(db.sum()), int(dn.size), int(dn.sum())
+
+
+def blockiness_synthetic(documents: DataFrame) -> DataFrame:
+    """(doc_id) → block-boundary gradient ratio over the synthetic
+    luminance field: ratio ≈ 1 for natural gradients, ≫ 1 for
+    block-coded artifacts — the codec-damage screen next to
+    mm_image_quality's blur score. REAL kernel, closed-form oracle.
+
+    Output: (media_id, n_boundary, n_interior, blockiness) with
+    blockiness = (Σ|Δ|_b/n_b) / (Σ|Δ|_i/n_i), one fixed division
+    rounded to 9 dp (flat interiors report the 0.0 sentinel)."""
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            rows = [
+                blockiness_stats(synthetic_gray(int(d))) for d in ids
+            ]
+            arr = np.asarray(rows, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_b": arr[:, 0],
+                    "s_b": arr[:, 1],
+                    "n_nb": arr[:, 2],
+                    "s_nb": arr[:, 3],
+                }
+            )
+
+    sums = documents.select("doc_id").mapInPandas(
+        run, "media_id long, n_b long, s_b long, n_nb long, s_nb long"
+    )
+    return sums.select(
+        "media_id",
+        F.col("n_b").alias("n_boundary"),
+        F.col("n_nb").alias("n_interior"),
+        F.expr(
+            "CASE WHEN s_nb > 0 THEN "
+            "round((CAST(s_b AS DOUBLE) / n_b) "
+            "/ (CAST(s_nb AS DOUBLE) / n_nb), 9) ELSE 0e0 END"
+        ).alias("blockiness"),
+    )
