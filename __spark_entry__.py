@@ -4655,6 +4655,60 @@ def q_audio_zcr(spark, sf_dir):
     )
     return zero_crossing_rate(s, frame=64, quant=1)
 
+
+
+def q_stream_burstiness(spark, sf_dir):
+    """Streaming burstiness: per-(user, type) last-ts carry state
+    emits append-only second-floored gap rows; the drained gap table
+    is bit-identical to the batch lag under in-order arrival, so the
+    SAME fixed moment/finish aggregation shares ev_burstiness's
+    oracle (the flux/lz stream==batch gating pattern)."""
+    import tempfile
+
+    from pennsieve_streaming_spark.streaming.burstiness import (
+        gaps_stream,
+    )
+
+    ev = _user_events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    base = tempfile.mkdtemp(prefix="pss_stream_burst_")
+    src = f"{base}/src"
+    ev.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, ts long, event_id long"
+    ).parquet(src)
+    q = (
+        gaps_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    gaps = spark.read.parquet(f"{base}/out")
+    g = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gs").cast("long").alias("sg"),
+        F.sum(F.expr("CAST(gs AS DECIMAL(38,0)) * gs")).alias("sgg"),
+    )
+    var = (
+        "(CAST(sgg AS DOUBLE) / n_gaps "
+        "- (CAST(sg AS DOUBLE) / n_gaps) * (CAST(sg AS DOUBLE) / n_gaps))"
+    )
+    mu = "(CAST(sg AS DOUBLE) / n_gaps)"
+    return g.select(
+        "event_type",
+        "n_gaps",
+        F.expr(f"round({mu}, 9)").alias("mean_gap_s"),
+        F.expr(
+            f"CASE WHEN {var} > 0e0 AND sqrt({var}) + {mu} > 0e0 "
+            f"THEN round((sqrt({var}) - {mu}) / (sqrt({var}) + {mu}), 9) "
+            f"ELSE 0e0 END"
+        ).alias("burstiness"),
+    )
+
 # Round-8 rotation: the driver's correctness gate samples the FIRST 50
 # registry entries. Positions 1-44 are every registry query the driver
 # has never sampled (the 12-query r6 tail past r7's top-50 cut + the 32
@@ -4765,6 +4819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_colorfulness": q_image_colorfulness,
         "mm_image_blockiness": q_image_blockiness,
         "mm_audio_zcr": q_audio_zcr,
+        "stream_burstiness": q_stream_burstiness,
         # round-6: blocked-halo + streaming variants (front-loaded via
         # the rotation list so the driver gates them in turn).
         "ts_asof_join_blocked": q_asof_join_blocked,
@@ -15265,6 +15320,11 @@ def oracle_sql() -> dict[str, str]:
         FROM lagd WHERE _dp IS NOT NULL
         GROUP BY channel, win
         """
+
+
+    # stream==batch: the drained gap table equals the batch lag under
+    # in-order arrival, and the finish aggregation is shared verbatim.
+    sql["stream_burstiness"] = sql["ev_burstiness"]
 
     return sql
 
