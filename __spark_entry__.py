@@ -4585,10 +4585,15 @@ def q_minhash_calibration(spark, sf_dir):
     doc_lsh_eval's recall."""
     from pennsieve_streaming_spark.llm.dedup import minhash_calibration
 
-    sh = shingles(_docs(spark, sf_dir))
+    # Cache the shared stages (the q_lsh_pairs rule): the shingle set
+    # feeds signatures AND the exact-jaccard verify, and the candidate
+    # set is read by both branches — uncached, the whole LSH pipeline
+    # replays per subtree (~60-exchange plan).
+    sh = shingles(_docs(spark, sf_dir)).cache()
     cands = lsh_candidate_pairs(
         lsh_band_keys(minhash_wide(sh)), max_bucket_size=LSH_MAX_BUCKET
-    )
+    ).cache()
+    cands.count()
     return minhash_calibration(sh, minhash_signatures(sh), cands)
 
 
