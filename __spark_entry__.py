@@ -4714,6 +4714,93 @@ def q_stream_burstiness(spark, sf_dir):
         ).alias("burstiness"),
     )
 
+
+
+def q_binseg_changepoints(spark, sf_dir):
+    """Two-level binary segmentation on the day grid: the global CUSUM
+    argmax plus the within-half argmaxes — up to three level-shift
+    candidates per channel, every argmax a pure integer order
+    statistic (segment-length-scaled deviations)."""
+    from pennsieve_streaming_spark.operators.stats import (
+        binseg_change_points,
+    )
+
+    return binseg_change_points(_locf_day_grid(spark, sf_dir), CORR_QUANT)
+
+
+def q_pacf(spark, sf_dir):
+    """Partial autocorrelation at 1/2/3-day lags via Durbin-Levinson
+    over the 9-dp-rounded exact-moment ACFs — the Box-Jenkins order-
+    identification panel beside ts_autocorrelation/ts_ar2_model."""
+    from pennsieve_streaming_spark.operators.align import asof_locf
+    from pennsieve_streaming_spark.operators.stats import pacf3
+
+    s = TBL.samples_view(spark, sf_dir).filter(
+        F.col("channel").isin(*GRID_CHANNELS)
+    )
+    _, grid = _grid(spark, sf_dir)
+    aligned = asof_locf(s, grid).select("channel", "ts", "value")
+    return pacf3(aligned, GRID_INTERVAL_US, CORR_QUANT)
+
+
+def q_growth_accounting(spark, sf_dir):
+    """Weekly growth accounting: active users split into new /
+    retained / resurrected (+ churned from last week) over the exact
+    user-week lattice; quick ratio = (new + resurrected)/churned."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        growth_accounting,
+    )
+
+    return growth_accounting(_user_events(spark, sf_dir))
+
+
+def q_dedup_method_agreement(spark, sf_dir):
+    """Cross-method near-dup agreement: the MinHash-LSH verified pair
+    set (jaccard ≥ 0.5) vs the SimHash banded pair set (hamming ≤ 4)
+    — intersection/only counts + pair-set Jaccard, the method-
+    triangulation eval for dedup threshold tuning."""
+    a = _verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    b = q_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    fa = a.withColumn("_a", F.lit(1))
+    fb = b.withColumn("_b", F.lit(1))
+    u = fa.join(fb, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("_a", F.lit(0)).alias("a"),
+        F.coalesce("_b", F.lit(0)).alias("b"),
+    )
+    g = u.agg(
+        F.sum(F.expr("CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_both"),
+        F.sum(F.expr("CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_only_minhash"),
+        F.sum(F.expr("CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_only_simhash"),
+    )
+    return g.select(
+        "n_both",
+        "n_only_minhash",
+        "n_only_simhash",
+        F.expr(
+            "CASE WHEN n_both + n_only_minhash + n_only_simhash > 0 "
+            "THEN round(CAST(n_both AS DOUBLE) "
+            "/ (n_both + n_only_minhash + n_only_simhash), 9) "
+            "ELSE 0e0 END"
+        ).alias("pair_jaccard"),
+    )
+
+
+def q_assign_margin(spark, sf_dir):
+    """IVF assignment-margin panel per list: relative best-vs-second
+    centroid distance gap, 1e-9-quantized exact per-list sums — the
+    boundary-mass diagnostic that predicts single-probe recall."""
+    from pennsieve_streaming_spark.llm.similarity import (
+        assign_margin,
+        golden_centroids,
+    )
+
+    return assign_margin(
+        _embs(spark, sf_dir), golden_centroids(IVF_LISTS, ANN_DIM)
+    )
+
 # Round-8 rotation: the driver's correctness gate samples the FIRST 50
 # registry entries. Positions 1-44 are every registry query the driver
 # has never sampled (the 12-query r6 tail past r7's top-50 cut + the 32
@@ -4825,6 +4912,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_blockiness": q_image_blockiness,
         "mm_audio_zcr": q_audio_zcr,
         "stream_burstiness": q_stream_burstiness,
+        "ts_binseg_changepoints": q_binseg_changepoints,
+        "ts_pacf": q_pacf,
+        "ev_growth_accounting": q_growth_accounting,
+        "doc_dedup_method_agreement": q_dedup_method_agreement,
+        "emb_assign_margin": q_assign_margin,
         # round-6: blocked-halo + streaming variants (front-loaded via
         # the rotation list so the driver gates them in turn).
         "ts_asof_join_blocked": q_asof_join_blocked,
@@ -15330,6 +15422,235 @@ def oracle_sql() -> dict[str, str]:
     # stream==batch: the drained gap table equals the batch lag under
     # in-order arrival, and the finish aggregation is shared verbatim.
     sql["stream_burstiness"] = sql["ev_burstiness"]
+
+
+    # --- round-8 wave-2 additions -------------------------------------
+    sql["ts_binseg_changepoints"] = with_views(
+        f"""
+        WITH {_g8},
+        cum AS (
+          SELECT channel, ts,
+                 CAST(ROW_NUMBER() OVER w AS BIGINT) AS i,
+                 CAST(SUM(yq) OVER (PARTITION BY channel ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS s_i,
+                 CAST(COUNT(*) OVER (PARTITION BY channel) AS BIGINT) AS n,
+                 CAST(SUM(yq) OVER (PARTITION BY channel) AS BIGINT) AS s_n
+          FROM vals
+          WINDOW w AS (PARTITION BY channel ORDER BY ts)
+        ),
+        p0 AS (
+          SELECT * FROM (
+            SELECT channel, ts, i, n, s_i, s_n,
+                   n * s_i - i * s_n AS dev,
+                   ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY abs(n * s_i - i * s_n) DESC, i) AS rk
+            FROM cum WHERE i >= 1 AND i < n
+          ) WHERE rk = 1
+        ),
+        sk AS (
+          SELECT c.channel, p0.i AS k0, c.s_i AS sk0
+          FROM cum c JOIN p0 ON c.channel = p0.channel AND c.i = p0.i
+        ),
+        lvl0 AS (
+          SELECT channel, CAST(0 AS BIGINT) AS level,
+                 CAST(1 AS BIGINT) AS seg_start, n AS seg_end,
+                 i AS split_i, ts, dev AS dev_scaled,
+                 round((CAST(s_n - s_i AS DOUBLE) / CAST(n - i AS DOUBLE)
+                   - CAST(s_i - CAST(0 AS BIGINT) AS DOUBLE)
+                   / CAST(i - 1 + 1 AS DOUBLE)) / 100, 9) AS shift
+          FROM p0
+        ),
+        seg AS (
+          SELECT c.channel, c.ts, c.i, c.n, c.s_i, c.s_n, s.k0, s.sk0
+          FROM cum c JOIN sk s ON c.channel = s.channel
+        ),
+        lft AS (
+          SELECT * FROM (
+            SELECT channel, ts, i, k0, sk0,
+                   k0 * s_i - i * sk0 AS dev,
+                   round((CAST(sk0 - s_i AS DOUBLE)
+                     / CAST(k0 - i AS DOUBLE)
+                     - CAST(s_i - CAST(0 AS BIGINT) AS DOUBLE)
+                     / CAST(i - 1 + 1 AS DOUBLE)) / 100, 9) AS shift,
+                   ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY abs(k0 * s_i - i * sk0) DESC, i) AS rk
+            FROM seg WHERE k0 >= 4 AND i >= 1 AND i < k0
+          ) WHERE rk = 1
+        ),
+        rgt AS (
+          SELECT * FROM (
+            SELECT channel, ts, i, n, s_n, k0, sk0,
+                   (n - (k0 + 1) + 1) * (s_i - sk0)
+                     - (i - (k0 + 1) + 1) * (s_n - sk0) AS dev,
+                   round((CAST(s_n - s_i AS DOUBLE)
+                     / CAST(n - i AS DOUBLE)
+                     - CAST(s_i - sk0 AS DOUBLE)
+                     / CAST(i - (k0 + 1) + 1 AS DOUBLE)) / 100, 9)
+                     AS shift,
+                   ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY abs((n - (k0 + 1) + 1) * (s_i - sk0)
+                       - (i - (k0 + 1) + 1) * (s_n - sk0)) DESC, i) AS rk
+            FROM seg WHERE n - k0 >= 4 AND i >= k0 + 1 AND i < n
+          ) WHERE rk = 1
+        )
+        SELECT channel, level, seg_start, seg_end, split_i, ts,
+               dev_scaled, shift FROM lvl0
+        UNION ALL
+        SELECT channel, CAST(1 AS BIGINT), CAST(1 AS BIGINT), k0, i, ts,
+               dev, shift FROM lft
+        UNION ALL
+        SELECT channel, CAST(1 AS BIGINT), k0 + 1,
+               (SELECT MAX(n) FROM cum c2 WHERE c2.channel = rgt.channel),
+               i, ts, dev, shift FROM rgt
+        """,
+        "samples",
+        "channels",
+    )
+
+    _p8_a22 = "((r2 - r1 * r1) / (1e0 - r1 * r1))"
+    _p8_a21 = f"(r1 - {_p8_a22} * r1)"
+    _p8_den3 = f"(1e0 - {_p8_a21} * r1 - {_p8_a22} * r2)"
+    _p8_a33 = f"((r3 - {_p8_a21} * r2 - {_p8_a22} * r1) / {_p8_den3})"
+    sql["ts_pacf"] = with_views(
+        f"""
+        {_acf_core((GRID_INTERVAL_US, 2 * GRID_INTERVAL_US,
+                    3 * GRID_INTERVAL_US))},
+        piv AS (
+          SELECT channel,
+                 MAX(CASE WHEN lag_us = {GRID_INTERVAL_US} THEN r END)
+                   AS r1,
+                 MAX(CASE WHEN lag_us = {2 * GRID_INTERVAL_US} THEN r END)
+                   AS r2,
+                 MAX(CASE WHEN lag_us = {3 * GRID_INTERVAL_US} THEN r END)
+                   AS r3
+          FROM acf GROUP BY channel
+        )
+        SELECT channel, round(r1, 9) AS pacf1,
+               CASE WHEN 1e0 - r1 * r1 != 0e0 THEN round({_p8_a22}, 9)
+                    ELSE 0e0 END AS pacf2,
+               CASE WHEN 1e0 - r1 * r1 != 0e0 AND {_p8_den3} != 0e0
+                    THEN round({_p8_a33}, 9) ELSE 0e0 END AS pacf3
+        FROM piv
+        """,
+        "samples",
+        "channels",
+    )
+
+    sql["ev_growth_accounting"] = f"""
+        WITH uw AS (
+          SELECT DISTINCT user_id,
+                 (CAST(epoch_us(ts) AS BIGINT) // {WEEK_US}) * {WEEK_US}
+                   AS week
+          FROM events
+        ),
+        firstw AS (
+          SELECT user_id, MIN(week) AS _first FROM uw GROUP BY user_id
+        ),
+        nowt AS (SELECT user_id, week, 1 AS _now FROM uw),
+        prevt AS (
+          SELECT user_id, week + {WEEK_US} AS week, 1 AS _prev FROM uw
+        ),
+        st AS (
+          SELECT COALESCE(n.user_id, p.user_id) AS user_id,
+                 COALESCE(n.week, p.week) AS week,
+                 COALESCE(n._now, 0) AS a, COALESCE(p._prev, 0) AS p
+          FROM nowt n FULL OUTER JOIN prevt p
+            ON n.user_id = p.user_id AND n.week = p.week
+        ),
+        stf AS (
+          SELECT st.week, st.a, st.p, f._first
+          FROM st JOIN firstw f ON st.user_id = f.user_id
+        ),
+        g AS (
+          SELECT CAST(week AS BIGINT) AS week,
+                 CAST(SUM(a) AS BIGINT) AS n_active,
+                 CAST(SUM(CASE WHEN a = 1 AND week = _first THEN 1
+                          ELSE 0 END) AS BIGINT) AS n_new,
+                 CAST(SUM(CASE WHEN a = 1 AND p = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_retained,
+                 CAST(SUM(CASE WHEN a = 1 AND p = 0 AND week > _first
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+                 CAST(SUM(CASE WHEN a = 0 AND p = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_churned
+          FROM stf GROUP BY week
+        )
+        SELECT week, n_active, n_new, n_retained, n_resurrected,
+               n_churned,
+               CASE WHEN n_churned > 0 THEN
+                 round(CAST(n_new + n_resurrected AS DOUBLE)
+                   / n_churned, 9)
+               ELSE 0e0 END AS quick_ratio
+        FROM g
+        """
+
+    sql["doc_dedup_method_agreement"] = f"""
+        WITH mh AS (
+          SELECT doc_a, doc_b FROM ({sql["doc_minhash_lsh_pairs"]})
+          WHERE jaccard >= 0.5
+        ),
+        sh2 AS (
+          SELECT doc_a, doc_b FROM ({sql["doc_simhash_near_pairs"]})
+        ),
+        u AS (
+          SELECT CASE WHEN mh.doc_a IS NOT NULL THEN 1 ELSE 0 END AS a,
+                 CASE WHEN sh2.doc_a IS NOT NULL THEN 1 ELSE 0 END AS b
+          FROM mh FULL OUTER JOIN sh2
+            ON mh.doc_a = sh2.doc_a AND mh.doc_b = sh2.doc_b
+        ),
+        g AS (
+          SELECT CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_both,
+                 CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_only_minhash,
+                 CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_only_simhash
+          FROM u
+        )
+        SELECT n_both, n_only_minhash, n_only_simhash,
+               CASE WHEN n_both + n_only_minhash + n_only_simhash > 0
+                    THEN round(CAST(n_both AS DOUBLE)
+                      / (n_both + n_only_minhash + n_only_simhash), 9)
+                    ELSE 0e0 END AS pair_jaccard
+        FROM g
+        """
+
+    _am_rows, _am_d2 = _ivf_cent_fragments()
+    sql["emb_assign_margin"] = f"""
+        WITH cents AS (SELECT * FROM (VALUES {_am_rows}) t(list_id, c)),
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+        d AS (
+          SELECT e.vec_id, t.list_id, {_am_d2.format(v='e.v')} AS d2
+          FROM emb e CROSS JOIN cents t
+        ),
+        rk AS (
+          SELECT vec_id, list_id, d2,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2, list_id) AS rk
+          FROM d
+        ),
+        piv AS (
+          SELECT vec_id,
+                 MAX(CASE WHEN rk = 1 THEN list_id END) AS list_id,
+                 MAX(CASE WHEN rk = 1 THEN d2 END) AS d1,
+                 MAX(CASE WHEN rk = 2 THEN d2 END) AS dd2
+          FROM rk WHERE rk <= 2 GROUP BY vec_id
+        ),
+        mq AS (
+          SELECT list_id,
+                 CASE WHEN dd2 > 0e0 THEN
+                   CAST(round((dd2 - d1) / dd2 * 1000000000) AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END AS mq
+          FROM piv
+        )
+        SELECT CAST(list_id AS BIGINT) AS list_id,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               round(CAST(SUM(mq) AS DOUBLE)
+                 / (COUNT(*) * 1000000000.0), 9) AS mean_margin,
+               CAST(MIN(mq) AS DOUBLE) / 1000000000.0 AS min_margin
+        FROM mq GROUP BY list_id
+        """
 
     return sql
 

@@ -1925,3 +1925,93 @@ def pq_balance(
             ).alias("max_share"),
         )
     )
+
+
+def assign_margin(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    quant: int = 10**9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-assignment margin per IVF list: for every vector the
+    relative gap (d₂² − d₁²)/d₂² between its best and second-best
+    centroid — the clusterability/boundary-mass diagnostic behind IVF
+    recall (margin ≈ 0 vectors sit on list boundaries and are exactly
+    the ones n_probe > 1 exists to recover; a list full of low-margin
+    vectors predicts poor single-probe recall BEFORE running the
+    recall eval).
+
+    Determinism: distances use the |v|²−2vc+|c|² sequential-fold
+    algebra (engine-mirrored); best/second-best is a (d2, list_id)
+    order statistic; each margin is a fixed division quantized to
+    1e-9 BIGINT before the per-list exact sum; the mean is one
+    division rounded to 9 dp.
+
+    Output: (list_id, n_vectors, mean_margin, min_margin).
+
+    Plan / 100 TB: corpus × n_lists broadcast expand (narrow — the
+    ivf_ann assignment shape), one per-vector rank window keyed by
+    vec id (never wider than n_lists rows per key), one per-list
+    rollup.
+    """
+    from pyspark.sql import Window
+
+    q = int(quant)
+    spark = embeddings.sparkSession
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "list_id int, c array<double>",
+    )
+    fold = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    d2 = (
+        fold.format(a="v", b="v")
+        + " - 2.0D * "
+        + fold.format(a="v", b="c")
+        + " + "
+        + fold.format(a="c", b="c")
+    )
+    scored = (
+        _as_double(embeddings, vec_col)
+        .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .select("vid", "list_id", F.expr(d2).alias("_d2"))
+    )
+    w = Window.partitionBy("vid").orderBy("_d2", "list_id")
+    ranked = scored.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= 2
+    )
+    piv = ranked.groupBy("vid").agg(
+        F.max(F.when(F.col("_rk") == 1, F.col("list_id"))).alias("list_id"),
+        F.max(F.when(F.col("_rk") == 1, F.col("_d2"))).alias("_d1"),
+        F.max(F.when(F.col("_rk") == 2, F.col("_d2"))).alias("_dd2"),
+    )
+    mq = piv.select(
+        "list_id",
+        F.expr(
+            f"CASE WHEN _dd2 > 0e0 THEN "
+            f"CAST(round((_dd2 - _d1) / _dd2 * {q}) AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END"
+        ).alias("_mq"),
+    )
+    return (
+        mq.groupBy(F.col("list_id").cast("long").alias("list_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("_mq").cast("long").alias("_sm"),
+            F.min("_mq").cast("long").alias("_mn"),
+        )
+        .select(
+            "list_id",
+            "n_vectors",
+            F.expr(
+                f"round(CAST(_sm AS DOUBLE) / (n_vectors * {float(q)!r}), 9)"
+            ).alias("mean_margin"),
+            F.expr(f"CAST(_mn AS DOUBLE) / {float(q)!r}").alias(
+                "min_margin"
+            ),
+        )
+    )

@@ -2185,3 +2185,86 @@ def cohort_ltv(events: DataFrame, max_weeks: int = 8) -> DataFrame:
             ).alias("ltv"),
         )
     )
+
+
+def growth_accounting(events: DataFrame) -> DataFrame:
+    """Weekly growth accounting (the Social-Capital/a16z standard
+    decomposition): every week's active users split into NEW (first
+    week), RETAINED (also active last week), RESURRECTED (active
+    before, dormant last week), plus CHURNED (active last week, absent
+    now) — the four flows whose balance IS net growth. The
+    transition-flow generalization of ev_new_vs_returning's daily
+    binary split.
+
+    Determinism: pure exact integer counts over the distinct
+    user-week lattice; quick ratio is one fixed division rounded to
+    9 dp (churn 0 → the 0.0 sentinel).
+
+    Output: (week, n_active, n_new, n_retained, n_resurrected,
+    n_churned, quick_ratio) for weeks after the first.
+
+    Plan / 100 TB: one distinct to user-weeks, a per-user MIN rollup,
+    a self full-outer equi-join on (user, week) against the
+    week-shifted copy — all key-partitioned, nothing wider than the
+    user-week lattice.
+    """
+    uw = events.select(
+        "user_id",
+        F.expr(f"(ts div {WEEK_US}) * {WEEK_US}").alias("week"),
+    ).distinct()
+    first = uw.groupBy("user_id").agg(
+        F.min("week").alias("_first")
+    )
+    now = uw.select("user_id", "week", F.lit(1).alias("_now"))
+    prev = uw.select(
+        "user_id",
+        (F.col("week") + WEEK_US).alias("week"),
+        F.lit(1).alias("_prev"),
+    )
+    st = (
+        now.join(prev, ["user_id", "week"], "full_outer")
+        .join(first, "user_id")
+        .select(
+            "week",
+            F.coalesce("_now", F.lit(0)).alias("a"),
+            F.coalesce("_prev", F.lit(0)).alias("p"),
+            "_first",
+        )
+    )
+    g = st.groupBy("week").agg(
+        F.sum("a").cast("long").alias("n_active"),
+        F.sum(
+            F.when((F.col("a") == 1) & (F.col("week") == F.col("_first")), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_new"),
+        F.sum(
+            F.when((F.col("a") == 1) & (F.col("p") == 1), 1).otherwise(0)
+        ).cast("long").alias("n_retained"),
+        F.sum(
+            F.when(
+                (F.col("a") == 1)
+                & (F.col("p") == 0)
+                & (F.col("week") > F.col("_first")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_resurrected"),
+        F.sum(
+            F.when((F.col("a") == 0) & (F.col("p") == 1), 1).otherwise(0)
+        ).cast("long").alias("n_churned"),
+    )
+    # drop the week AFTER the last active week (it exists only as
+    # shifted rows) unless someone is active there; keep weeks with
+    # n_active > 0 OR churn — standard accounting keeps both
+    return g.select(
+        F.col("week").cast("long").alias("week"),
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        "n_churned",
+        F.expr(
+            "CASE WHEN n_churned > 0 THEN "
+            "round(CAST(n_new + n_resurrected AS DOUBLE) / n_churned, 9) "
+            "ELSE 0e0 END"
+        ).alias("quick_ratio"),
+    )

@@ -4158,3 +4158,176 @@ def dfa(
             f"CASE WHEN {pos} THEN round({alpha_sum}, 9) ELSE 0e0 END"
         ).alias("alpha"),
     )
+
+
+def binseg_change_points(
+    values: DataFrame, quant: int = 100
+) -> DataFrame:
+    """Two-level binary segmentation (Scott & Knott / Vostrikova's
+    classic scheme): the single CUSUM change point per channel
+    (:func:`change_points`'s estimator), then the same argmax applied
+    to each resulting half — up to three level-shift candidates per
+    channel, the standard multi-shift extension when one change point
+    is not enough (regime A → B → C histories).
+
+    Determinism: within a segment [a, b] the deviation of the prefix
+    sum from the straight line joining its endpoints is kept integral
+    by segment-length scaling — dev_i = L·(S_i − S_{a−1}) −
+    (i − a + 1)·(S_b − S_{a−1}), L = b − a + 1 — so every argmax
+    (ties → earliest index) is a pure integer order statistic. The
+    reported shift is one fixed float division pair rounded to 9 dp.
+
+    ``values`` must be the uniform day grid (the theil_sen contract),
+    bounding the per-channel prefix length by the observation window.
+
+    Output: (channel, level 0|1, seg_start, seg_end, split_i, ts,
+    dev_scaled, shift) — level 0 is the global split, level 1 the
+    within-half splits (halves shorter than 4 points emit nothing).
+
+    Plan / 100 TB: one per-channel cumsum window, one level-0 argmax
+    window, a broadcast of the |channels|-row split table back, one
+    level-1 argmax window — the prefix sums are computed ONCE.
+    """
+    from pyspark.sql import Window
+
+    q = int(quant)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    cum = (
+        values.select(
+            "channel",
+            "ts",
+            "value",
+            F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+        )
+        .withColumn("i", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "s_i",
+            F.sum("xq")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+        .withColumn(
+            "n",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("channel"))
+            .cast("long"),
+        )
+        .withColumn(
+            "s_n",
+            F.sum("xq").over(Window.partitionBy("channel")).cast("long"),
+        )
+    )
+    cum = pin(cum)
+
+    def seg_dev(a, b, sa_prev, sb):
+        # parenthesize the substituted bounds: a may be "_k0 + 1", so
+        # unparenthesized substitution would change operator precedence
+        ln = f"(({b}) - ({a}) + 1)"
+        return (
+            f"{ln} * (s_i - ({sa_prev})) "
+            f"- (i - ({a}) + 1) * (({sb}) - ({sa_prev}))"
+        )
+
+    def argmax(seg_df, a, b, sa_prev, sb, level):
+        d = seg_df.filter(
+            (F.col("i") >= F.expr(a)) & (F.col("i") < F.expr(b))
+        ).withColumn("_dev", F.expr(seg_dev(a, b, sa_prev, sb)))
+        pick = Window.partitionBy("channel", "_sa").orderBy(
+            F.abs(F.col("_dev")).desc(), "i"
+        )
+        shift = (
+            f"(CAST(({sb}) - s_i AS DOUBLE) / CAST(({b}) - i AS DOUBLE) "
+            f"- CAST(s_i - ({sa_prev}) AS DOUBLE) "
+            f"/ CAST(i - ({a}) + 1 AS DOUBLE)) / {q}"
+        )
+        return (
+            d.withColumn("_rk", F.row_number().over(pick))
+            .filter(F.col("_rk") == 1)
+            .select(
+                "channel",
+                F.lit(level).cast("long").alias("level"),
+                F.expr(a).cast("long").alias("seg_start"),
+                F.expr(b).cast("long").alias("seg_end"),
+                F.col("i").alias("split_i"),
+                "ts",
+                F.col("_dev").alias("dev_scaled"),
+                F.expr(f"round({shift}, 9)").alias("shift"),
+            )
+        )
+
+    # level 0: the whole channel; _sa constant so the argmax window
+    # partitioning matches the level-1 call shape
+    lvl0 = argmax(
+        cum.withColumn("_sa", F.lit(1).cast("long")), "1", "n",
+        "CAST(0 AS BIGINT)", "s_n", 0,
+    )
+    # level 1: join the split (and the prefix sum AT the split) back
+    k0 = lvl0.select(
+        "channel",
+        F.col("split_i").alias("_k0"),
+    )
+    sk0 = (
+        cum.join(F.broadcast(k0), "channel")
+        .filter(F.col("i") == F.col("_k0"))
+        .select("channel", "_k0", F.col("s_i").alias("_sk0"))
+    )
+    seg = cum.join(F.broadcast(sk0), "channel").withColumn(
+        "_sa",
+        F.when(F.col("i") <= F.col("_k0"), F.lit(1)).otherwise(
+            F.col("_k0") + 1
+        ).cast("long"),
+    )
+    left = argmax(
+        seg.filter(F.col("_k0") >= 4), "1", "_k0",
+        "CAST(0 AS BIGINT)", "_sk0", 1,
+    )
+    right = argmax(
+        seg.filter(F.col("n") - F.col("_k0") >= 4), "_k0 + 1", "n",
+        "_sk0", "s_n", 1,
+    )
+    return lvl0.unionByName(left).unionByName(right)
+
+
+def pacf3(values: DataFrame, step_us: int, quant: int = 100) -> DataFrame:
+    """Partial autocorrelation at lags 1-3 via the Durbin-Levinson
+    recursion (Box & Jenkins' model-identification panel): PACF cuts
+    off at p for an AR(p) where the ACF tails — reading both together
+    is THE order-selection procedure, completing ts_autocorrelation /
+    ts_ar2_model / ts_ljungbox.
+
+    Determinism: r1..r3 come from channel_autocorrelation's exact
+    quantized moments, 9-dp rounded (engine-identical doubles); the
+    Durbin-Levinson chain is then a fixed float expression over those
+    identical inputs, with each level rounded to 9 dp (degenerate
+    denominators report the 0.0 sentinel).
+
+    Output: (channel, pacf1, pacf2, pacf3).
+    """
+    step = int(step_us)
+    acf = channel_autocorrelation(
+        values, (step, 2 * step, 3 * step), quant
+    )
+    piv = acf.groupBy("channel").agg(
+        *[
+            F.max(
+                F.when(F.col("lag_us") == k * step, F.col("r"))
+            ).alias(f"r{k}")
+            for k in (1, 2, 3)
+        ]
+    )
+    a22 = "((r2 - r1 * r1) / (1e0 - r1 * r1))"
+    a21 = f"(r1 - {a22} * r1)"
+    den3 = f"(1e0 - {a21} * r1 - {a22} * r2)"
+    a33 = f"((r3 - {a21} * r2 - {a22} * r1) / {den3})"
+    return piv.select(
+        "channel",
+        F.expr("round(r1, 9)").alias("pacf1"),
+        F.expr(
+            f"CASE WHEN 1e0 - r1 * r1 != 0e0 THEN round({a22}, 9) "
+            f"ELSE 0e0 END"
+        ).alias("pacf2"),
+        F.expr(
+            f"CASE WHEN 1e0 - r1 * r1 != 0e0 AND {den3} != 0e0 "
+            f"THEN round({a33}, 9) ELSE 0e0 END"
+        ).alias("pacf3"),
+    )
