@@ -15508,10 +15508,13 @@ def oracle_sql() -> dict[str, str]:
         "channels",
     )
 
-    _p8_a22 = "((r2 - r1 * r1) / (1e0 - r1 * r1))"
+    _p8_a22 = "((r2 - r1 * r1) / nullif(1e0 - r1 * r1, 0e0))"
     _p8_a21 = f"(r1 - {_p8_a22} * r1)"
     _p8_den3 = f"(1e0 - {_p8_a21} * r1 - {_p8_a22} * r2)"
-    _p8_a33 = f"((r3 - {_p8_a21} * r2 - {_p8_a22} * r1) / {_p8_den3})"
+    _p8_a33 = (
+        f"((r3 - {_p8_a21} * r2 - {_p8_a22} * r1) "
+        f"/ nullif({_p8_den3}, 0e0))"
+    )
     sql["ts_pacf"] = with_views(
         f"""
         {_acf_core((GRID_INTERVAL_US, 2 * GRID_INTERVAL_US,

@@ -4315,10 +4315,16 @@ def pacf3(values: DataFrame, step_us: int, quant: int = 100) -> DataFrame:
             for k in (1, 2, 3)
         ]
     )
-    a22 = "((r2 - r1 * r1) / (1e0 - r1 * r1))"
+    # nullif-protected denominators: the CASE guards below would be
+    # enough under lazy evaluation, but Spark's subexpression
+    # elimination can hoist the shared division out of the CASE and
+    # trip ANSI divide-by-zero on perfectly-correlated channels
+    # (r1 = 1.0); dividing by NULL instead yields NULL and the guard
+    # still picks the 0.0 sentinel. DuckDB mirrors nullif.
+    a22 = "((r2 - r1 * r1) / nullif(1e0 - r1 * r1, 0e0))"
     a21 = f"(r1 - {a22} * r1)"
     den3 = f"(1e0 - {a21} * r1 - {a22} * r2)"
-    a33 = f"((r3 - {a21} * r2 - {a22} * r1) / {den3})"
+    a33 = f"((r3 - {a21} * r2 - {a22} * r1) / nullif({den3}, 0e0))"
     return piv.select(
         "channel",
         F.expr("round(r1, 9)").alias("pacf1"),
