@@ -4801,6 +4801,66 @@ def q_assign_margin(spark, sf_dir):
         _embs(spark, sf_dir), golden_centroids(IVF_LISTS, ANN_DIM)
     )
 
+
+
+def q_crest_factor(spark, sf_dir):
+    """Per-frame crest factor (peak/RMS): exact integer peak and
+    energy per 64-sample frame, one fixed sqrt division — the
+    impulsiveness metric beside energy (VAD) and ZCR."""
+    from pennsieve_streaming_spark.dsp.spectral import crest_factor
+
+    return crest_factor(TBL.samples_view(spark, sf_dir), frame=64,
+                        quant=CORR_QUANT)
+
+
+def q_seasonal_strength(spark, sf_dir):
+    """STL-style seasonal strength F_s = max(0, 1 − Var(resid)/
+    Var(seasonal+resid)) per channel over the classical decomposition
+    — does the channel actually have a weekly cycle."""
+    from pennsieve_streaming_spark.operators.stats import (
+        seasonal_strength,
+    )
+
+    return seasonal_strength(
+        _locf_day_grid(spark, sf_dir), GRID_INTERVAL_US, 7
+    )
+
+
+def q_source_jsd(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions (nano-nat exact folds, missing-token ln2 mass from
+    exact totals) — the symmetric source-similarity matrix beside
+    doc_source_kl."""
+    from pennsieve_streaming_spark.llm.curation import source_jsd
+
+    return source_jsd(_docs(spark, sf_dir))
+
+
+def q_emb_hubness(spark, sf_dir):
+    """Hubness histogram of the exact top-k lists: how many corpus
+    vectors appear in 1, 2, ... of the probe result lists — the
+    high-dimensional hub pathology check on retrieval quality."""
+    embs = _embs(spark, sf_dir)
+    tk = cosine_topk(embs, embs.filter(F.col("vec_id") < 20), k=5)
+    per = tk.groupBy("neighbor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    return per.groupBy("n_hits").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+
+
+def q_audio_clipping(spark, sf_dir):
+    """Clipping diagnostics on the lead audio channel: clipped-sample
+    fraction vs the literal full-scale threshold + the longest
+    clipped run (islands trick) — audio QA beside mm_audio_vad."""
+    from pennsieve_streaming_spark.dsp.spectral import clipping_stats
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        F.col("channel") == "lead"
+    )
+    return clipping_stats(s, clip_threshold=400000.0, quant=1)
+
 # Round-8 rotation: the driver's correctness gate samples the FIRST 50
 # registry entries. Positions 1-44 are every registry query the driver
 # has never sampled (the 12-query r6 tail past r7's top-50 cut + the 32
@@ -4917,6 +4977,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_growth_accounting": q_growth_accounting,
         "doc_dedup_method_agreement": q_dedup_method_agreement,
         "emb_assign_margin": q_assign_margin,
+        "ts_crest_factor": q_crest_factor,
+        "ts_seasonal_strength": q_seasonal_strength,
+        "doc_source_jsd": q_source_jsd,
+        "emb_hubness": q_emb_hubness,
+        "mm_audio_clipping": q_audio_clipping,
         # round-6: blocked-halo + streaming variants (front-loaded via
         # the rotation list so the driver gates them in turn).
         "ts_asof_join_blocked": q_asof_join_blocked,
@@ -15653,6 +15718,152 @@ def oracle_sql() -> dict[str, str]:
                  / (COUNT(*) * 1000000000.0), 9) AS mean_margin,
                CAST(MIN(mq) AS DOUBLE) / 1000000000.0 AS min_margin
         FROM mq GROUP BY list_id
+        """
+
+
+    # --- round-8 wave-3 additions -------------------------------------
+    sql["ts_crest_factor"] = with_views(
+        f"""
+        WITH rk AS (
+          SELECT channel,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY channel
+                   ORDER BY ts, value) - 1 AS BIGINT) AS rn,
+                 CAST(round(value * {CORR_QUANT}) AS BIGINT) AS xq
+          FROM samples
+        ),
+        g AS (
+          SELECT channel, rn // 64 AS win, COUNT(*) AS _n,
+                 CAST(MAX(abs(xq)) AS BIGINT) AS peak_q,
+                 CAST(SUM(xq * xq) AS BIGINT) AS _ss
+          FROM rk GROUP BY channel, rn // 64
+        )
+        SELECT channel, CAST(win AS BIGINT) AS win,
+               CAST(64 AS BIGINT) AS n, peak_q,
+               CASE WHEN _ss > 0 THEN round(CAST(peak_q AS DOUBLE)
+                 / sqrt(CAST(_ss AS DOUBLE) / 64), 9) ELSE 0e0 END
+                 AS crest
+        FROM g WHERE _n = 64
+        """,
+        "samples",
+    )
+
+    _sst_vr = (
+        "(CAST(srr AS DOUBLE) / n "
+        "- (CAST(sr AS DOUBLE) / n) * (CAST(sr AS DOUBLE) / n))"
+    )
+    _sst_vd = (
+        "(CAST(sdd AS DOUBLE) / n "
+        "- (CAST(sd AS DOUBLE) / n) * (CAST(sd AS DOUBLE) / n))"
+    )
+    sql["ts_seasonal_strength"] = f"""
+        WITH sd0 AS ({sql["ts_seasonal_decompose"]}),
+        base AS (
+          SELECT channel,
+                 CAST(round(resid * 1000000) AS BIGINT) AS rq,
+                 CAST(round((seasonal + resid) * 1000000) AS BIGINT)
+                   AS dq
+          FROM sd0
+        ),
+        g AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(rq) AS BIGINT) AS sr,
+                 SUM(CAST(rq AS HUGEINT) * rq) AS srr,
+                 CAST(SUM(dq) AS BIGINT) AS sd,
+                 SUM(CAST(dq AS HUGEINT) * dq) AS sdd
+          FROM base GROUP BY channel
+        )
+        SELECT channel, n,
+               CASE WHEN {_sst_vd} > 0e0 THEN
+                 round(greatest(0e0, 1e0 - {_sst_vr} / {_sst_vd}), 9)
+               ELSE 0e0 END AS seasonal_strength
+        FROM g
+        """
+
+    _jsd_ln2q = "CAST(693147181 AS BIGINT)"
+    _jsd_num = "(ca * nb + cb * na)"
+    sql["doc_source_jsd"] = f"""
+        WITH dt AS (SELECT source, {TOKS} AS toks FROM documents),
+        st AS (
+          SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT source, UNNEST(toks) AS t FROM dt)
+          GROUP BY source, t
+        ),
+        ns AS (
+          SELECT source, CAST(SUM(c) AS BIGINT) AS n_s
+          FROM st GROUP BY source
+        ),
+        pr AS (
+          SELECT a.source AS source_a, b.source AS source_b, a.t,
+                 a.c AS ca, na.n_s AS na, b.c AS cb, nb.n_s AS nb
+          FROM st a
+          JOIN st b ON a.t = b.t AND a.source < b.source
+          JOIN ns na ON na.source = a.source
+          JOIN ns nb ON nb.source = b.source
+        ),
+        shared AS (
+          SELECT source_a, source_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_terms,
+                 CAST(MAX(na) AS BIGINT) AS na,
+                 CAST(MAX(nb) AS BIGINT) AS nb,
+                 CAST(SUM(ca) AS BIGINT) AS sca,
+                 CAST(SUM(cb) AS BIGINT) AS scb,
+                 SUM(CAST(ca AS HUGEINT) * ({_jsd_ln2q}
+                   + {_LNQ8.format(x="ca * nb")}
+                   - {_LNQ8.format(x=_jsd_num)})) AS _kpa,
+                 SUM(CAST(cb AS HUGEINT) * ({_jsd_ln2q}
+                   + {_LNQ8.format(x="cb * na")}
+                   - {_LNQ8.format(x=_jsd_num)})) AS _kpb
+          FROM pr GROUP BY source_a, source_b
+        )
+        SELECT source_a, source_b, n_terms,
+               round((CAST(_kpa AS DOUBLE) + (na - sca) * {_jsd_ln2q})
+                 / (CAST(na AS DOUBLE) * 2000000000)
+                 + (CAST(_kpb AS DOUBLE) + (nb - scb) * {_jsd_ln2q})
+                 / (CAST(nb AS DOUBLE) * 2000000000), 9) AS jsd_nats
+        FROM shared
+        """
+
+    sql["emb_hubness"] = f"""
+        WITH tk AS ({sql["emb_cosine_topk"]}),
+        per AS (
+          SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM tk GROUP BY neighbor_id
+        )
+        SELECT n_hits, CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM per GROUP BY n_hits
+        """
+
+    sql["mm_audio_clipping"] = f"""
+        WITH samples_aligned AS
+          ({TBL.DUCKDB_VIEWS['samples_aligned']}),
+        rk AS (
+          SELECT channel,
+                 CAST(abs(CAST(round(value * 1) AS BIGINT)) >= 400000
+                   AS INT) AS _clip,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY channel
+                   ORDER BY ts, value) AS BIGINT) AS _rn
+          FROM samples_aligned WHERE channel = 'lead'
+        ),
+        tot AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(_clip) AS BIGINT) AS n_clipped
+          FROM rk GROUP BY channel
+        ),
+        runs AS (
+          SELECT channel, CAST(MAX(_run) AS BIGINT) AS max_run FROM (
+            SELECT channel, _grp, CAST(COUNT(*) AS BIGINT) AS _run
+            FROM (
+              SELECT channel, _rn,
+                     _rn - ROW_NUMBER() OVER (PARTITION BY channel
+                       ORDER BY _rn) AS _grp
+              FROM rk WHERE _clip = 1
+            ) GROUP BY channel, _grp
+          ) GROUP BY channel
+        )
+        SELECT t.channel, t.n, t.n_clipped,
+               round(CAST(t.n_clipped AS DOUBLE) / t.n, 9) AS clip_frac,
+               CAST(COALESCE(r.max_run, 0) AS BIGINT) AS max_run
+        FROM tot t LEFT JOIN runs r ON t.channel = r.channel
         """
 
     return sql

@@ -1528,3 +1528,117 @@ def zero_crossing_rate(
             f"round(CAST(n_crossings AS DOUBLE) / {fr - 1}, 9)"
         ).alias("zcr"),
     )
+
+
+def crest_factor(
+    samples: DataFrame, frame: int = 64, quant: int = 100
+) -> DataFrame:
+    """Per-frame crest factor (peak / RMS) — the classic impulsiveness
+    metric of audio limiting and vibration/bearing-fault monitoring
+    (a pure sine is √2 ≈ 1.414; clipping pushes it toward 1; impulsive
+    faults push it up). Completes the frame-feature trio with
+    energy_vad (level) and zero_crossing_rate (spectral tilt).
+
+    Determinism: peak = max |xq| and Σxq² are exact integers per
+    frame; the crest is ONE fixed sqrt division rounded to 9 dp
+    (silent frames report the 0.0 sentinel). Ragged tails drop.
+
+    Output: (channel, win, n, peak_q, crest).
+
+    Plan / 100 TB: one per-channel ranking window + one frame rollup.
+    """
+    fr = int(frame)
+    q = int(quant)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    ranked = samples.select(
+        "channel",
+        "ts",
+        "value",
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    ).select(
+        "channel",
+        (F.row_number().over(w) - 1).alias("_rn"),
+        "xq",
+    ).select(
+        "channel",
+        F.expr(f"_rn div {fr}").alias("win"),
+        "xq",
+    )
+    g = ranked.groupBy("channel", "win").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max(F.abs(F.col("xq"))).cast("long").alias("peak_q"),
+        F.sum(F.expr("xq * xq")).cast("long").alias("_ss"),
+    )
+    return g.filter(F.col("_n") == fr).select(
+        "channel",
+        F.col("win").cast("long").alias("win"),
+        F.lit(fr).cast("long").alias("n"),
+        "peak_q",
+        F.expr(
+            f"CASE WHEN _ss > 0 THEN round(CAST(peak_q AS DOUBLE) "
+            f"/ sqrt(CAST(_ss AS DOUBLE) / {fr}), 9) ELSE 0e0 END"
+        ).alias("crest"),
+    )
+
+
+def clipping_stats(
+    samples: DataFrame, clip_threshold: float, quant: int = 100
+) -> DataFrame:
+    """Per-channel clipping diagnostics: the fraction of samples at or
+    beyond ``clip_threshold`` and the LONGEST consecutive clipped run
+    — the two numbers an audio-QA pass reports (isolated peaks are
+    fine; long flat-topped runs are audible distortion). The audio
+    sibling of ts_flatline_runs' stuck-sensor runs.
+
+    Determinism: the clip test compares quantized integers against
+    the quantized literal threshold; runs are integer index spans
+    (the user_sessions gap rule); the fraction is one division
+    rounded to 9 dp.
+
+    Output: (channel, n, n_clipped, clip_frac, max_run).
+
+    Plan / 100 TB: one per-channel ranking window over clipped rows
+    only (the run grouping key is rn − row_number, the standard
+    islands trick), one rollup.
+    """
+    q = int(quant)
+    tq = int(round(float(clip_threshold) * q))
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    ranked = samples.select(
+        "channel",
+        "ts",
+        "value",
+        F.expr(
+            f"CAST(abs(CAST(round(value * {q}) AS BIGINT)) >= {tq} "
+            f"AS INT)"
+        ).alias("_clip"),
+    ).withColumn("_rn", F.row_number().over(w).cast("long"))
+    tot = ranked.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_clip").cast("long").alias("n_clipped"),
+    )
+    cw = Window.partitionBy("channel").orderBy("_rn")
+    runs = (
+        ranked.filter(F.col("_clip") == 1)
+        .withColumn(
+            "_grp", F.col("_rn") - F.row_number().over(cw)
+        )
+        .groupBy("channel", "_grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("_run"))
+        .groupBy("channel")
+        .agg(F.max("_run").cast("long").alias("max_run"))
+    )
+    return (
+        tot.join(runs, "channel", "left")
+        .select(
+            "channel",
+            "n",
+            "n_clipped",
+            F.expr(
+                "round(CAST(n_clipped AS DOUBLE) / n, 9)"
+            ).alias("clip_frac"),
+            F.coalesce("max_run", F.lit(0)).cast("long").alias(
+                "max_run"
+            ),
+        )
+    )

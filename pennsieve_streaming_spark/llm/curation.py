@@ -1575,3 +1575,93 @@ def dsir_weights(
             / F.col("n_tokens")
         ).alias("dsir_logratio"),
     )
+
+
+def source_jsd(documents: DataFrame) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the source unigram
+    distributions — the symmetric, bounded (≤ ln 2) companion of
+    doc_source_kl's one-vs-corpus view: which corpus slices actually
+    speak the same language, the number behind source-mixing and
+    domain-weighting decisions.
+
+    Determinism: with p_t = c_p/n_p and m_t the pair midpoint, the
+    ratio p_t/m_t = 2·c_p·n_q / (c_p·n_q + c_q·n_p) is a ratio of
+    exact integers — so each term's ln splits into two 1e9-quantized
+    lns (nano-nat BIGINTs), the per-side folds Σ c_p·Δlnq accumulate
+    exactly in DECIMAL(38,0), and JSD is one fixed two-division
+    finish. Zero-count terms contribute exactly 0 and are skipped.
+
+    Output: (source_a, source_b, n_terms, jsd_nats) for source_a <
+    source_b.
+
+    Plan / 100 TB: one (source, token) rollup, a token-keyed
+    self-join between source pairs (vocabulary-bounded keys,
+    |sources|² pair fan-out only on shared tokens), two exact folds.
+    """
+    from pennsieve_streaming_spark.llm.text import TOKS
+
+    st = (
+        documents.select(
+            "source", F.explode(F.expr(TOKS)).alias("t")
+        )
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    from pennsieve_streaming_spark.util import pin
+
+    st = pin(st)
+    ns = st.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_s")
+    )
+    a = st.join(ns, "source").select(
+        F.col("source").alias("source_a"),
+        "t",
+        F.col("c").alias("ca"),
+        F.col("n_s").alias("na"),
+    )
+    b = st.join(ns, "source").select(
+        F.col("source").alias("source_b"),
+        "t",
+        F.col("c").alias("cb"),
+        F.col("n_s").alias("nb"),
+    )
+    # full outer per (pair, token): realized as two half-joins — the
+    # left-anti tokens of each side still contribute ln 2 terms
+    # (m_t = p_t/2 there). Join on t keeps only shared tokens; the
+    # missing-token mass is recovered from the exact totals:
+    # Σ_{t: c_q = 0} c_p·ln(2) = (n_p − Σ_shared c_p)·ln2q.
+    pairs = a.join(b, "t").filter(F.col("source_a") < F.col("source_b"))
+    LNQ = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1000000000) AS BIGINT)"
+    ln2q = "CAST(693147181 AS BIGINT)"  # round(ln(2)*1e9)
+    num = "(ca * nb + cb * na)"
+    shared = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.max("na").cast("long").alias("na"),
+        F.max("nb").cast("long").alias("nb"),
+        F.sum("ca").cast("long").alias("sca"),
+        F.sum("cb").cast("long").alias("scb"),
+        F.sum(
+            F.expr(
+                f"CAST(ca AS DECIMAL(38,0)) * ({ln2q} "
+                f"+ {LNQ.format(x='ca * nb')} - {LNQ.format(x=num)})"
+            )
+        ).alias("_kpa"),
+        F.sum(
+            F.expr(
+                f"CAST(cb AS DECIMAL(38,0)) * ({ln2q} "
+                f"+ {LNQ.format(x='cb * na')} - {LNQ.format(x=num)})"
+            )
+        ).alias("_kpb"),
+    )
+    jsd = (
+        f"(CAST(_kpa AS DOUBLE) + (na - sca) * {ln2q}) "
+        f"/ (CAST(na AS DOUBLE) * 2000000000) "
+        f"+ (CAST(_kpb AS DOUBLE) + (nb - scb) * {ln2q}) "
+        f"/ (CAST(nb AS DOUBLE) * 2000000000)"
+    )
+    return shared.select(
+        "source_a",
+        "source_b",
+        "n_terms",
+        F.expr(f"round({jsd}, 9)").alias("jsd_nats"),
+    )

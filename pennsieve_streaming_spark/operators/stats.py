@@ -4337,3 +4337,59 @@ def pacf3(values: DataFrame, step_us: int, quant: int = 100) -> DataFrame:
             f"THEN round({a33}, 9) ELSE 0e0 END"
         ).alias("pacf3"),
     )
+
+
+def seasonal_strength(
+    values: DataFrame, step_us: int, period: int = 7, quant6: int = 10**6
+) -> DataFrame:
+    """Seasonal-strength summary per channel (Hyndman & Athanasopoulos'
+    FPP STL-strength statistic): F_s = max(0, 1 − Var(resid) /
+    Var(seasonal + resid)) over the classical decomposition — the
+    one-number answer to "does this channel actually have a weekly
+    cycle", thresholding which channels deserve seasonal models at
+    all. Composes :func:`seasonal_decompose` (whose residual feeds
+    the anomaly family) into its executive readout.
+
+    Determinism: the decomposition's seasonal/resid doubles are
+    engine-identical (its contract); both series quantize to 1e-6
+    BIGINTs, moments accumulate exactly (DECIMAL(38,0) quadratics),
+    and F_s is one fixed expression rounded to 9 dp (degenerate
+    detrended variance reports the 0.0 sentinel).
+
+    Output: (channel, n, seasonal_strength).
+
+    Plan / 100 TB: seasonal_decompose's windows + one rollup.
+    """
+    q = int(quant6)
+    dec = seasonal_decompose(values, step_us, period)
+    base = dec.select(
+        "channel",
+        F.expr(f"CAST(round(resid * {q}) AS BIGINT)").alias("rq"),
+        F.expr(
+            f"CAST(round((seasonal + resid) * {q}) AS BIGINT)"
+        ).alias("dq"),
+    )
+    g = base.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rq").cast("long").alias("sr"),
+        F.sum(F.expr("CAST(rq AS DECIMAL(38,0)) * rq")).alias("srr"),
+        F.sum("dq").cast("long").alias("sd"),
+        F.sum(F.expr("CAST(dq AS DECIMAL(38,0)) * dq")).alias("sdd"),
+    )
+    vr = (
+        "(CAST(srr AS DOUBLE) / n "
+        "- (CAST(sr AS DOUBLE) / n) * (CAST(sr AS DOUBLE) / n))"
+    )
+    vd = (
+        "(CAST(sdd AS DOUBLE) / n "
+        "- (CAST(sd AS DOUBLE) / n) * (CAST(sd AS DOUBLE) / n))"
+    )
+    return g.select(
+        "channel",
+        "n",
+        F.expr(
+            f"CASE WHEN {vd} > 0e0 THEN "
+            f"round(greatest(0e0, 1e0 - {vr} / {vd}), 9) "
+            f"ELSE 0e0 END"
+        ).alias("seasonal_strength"),
+    )
