@@ -1035,7 +1035,8 @@ def test_ljung_box_rejects_non_ladder_lags(spark):
 def test_higuchi_fd_line_is_one_and_noise_is_higher(spark):
     """A straight line has FD exactly 1 (L(k) ∝ 1/k by construction,
     quantization-exact for integer slopes); an alternating-sign noise
-    proxy must come out clearly rougher; a flat channel emits NULL."""
+    proxy must come out clearly rougher; a flat channel emits the 0.0
+    sentinel (never NULL — compared outputs are NULL-free)."""
     from pennsieve_streaming_spark.operators.stats import higuchi_fd
 
     rng = np.random.default_rng(31)
@@ -1049,7 +1050,7 @@ def test_higuchi_fd_line_is_one_and_noise_is_higher(spark):
     out = {r.channel: r for r in higuchi_fd(df).collect()}
     assert abs(out["line"].fd - 1.0) < 1e-6
     assert out["rough"].fd > 1.5
-    assert out["flat"].fd is None
+    assert out["flat"].fd == 0.0
     assert out["line"].n == 200
     # L(1) for the line: Σ|Δxq| = 199·100, times (N−1)/(n_1·1²) = 1
     assert abs(out["line"].l1 - 19900.0) < 1e-6
