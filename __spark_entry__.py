@@ -4861,6 +4861,60 @@ def q_audio_clipping(spark, sf_dir):
     )
     return clipping_stats(s, clip_threshold=400000.0, quant=1)
 
+
+
+def q_stationarity_panel(spark, sf_dir):
+    """ADF × KPSS cross-test verdict per channel: the two unit-root
+    tests have OPPOSITE nulls, so only their conjunction is decisive —
+    stationary (both agree), unit_root (both agree the other way),
+    conflict / inconclusive otherwise. Pure composition of the two
+    gated tests."""
+    from pennsieve_streaming_spark.operators.stats import (
+        adf_test,
+        kpss_stat,
+    )
+
+    grid = _locf_day_grid(spark, sf_dir)
+    a = adf_test(grid, CORR_QUANT).select(
+        "channel", F.col("stationary").alias("adf_stationary")
+    )
+    k = kpss_stat(grid, CORR_QUANT).select(
+        "channel", F.col("stationary").alias("kpss_stationary")
+    )
+    return a.join(k, "channel").select(
+        "channel",
+        "adf_stationary",
+        "kpss_stationary",
+        F.expr(
+            "CASE WHEN adf_stationary AND kpss_stationary "
+            "THEN 'stationary' "
+            "WHEN NOT adf_stationary AND NOT kpss_stationary "
+            "THEN 'unit_root' "
+            "WHEN adf_stationary AND NOT kpss_stationary "
+            "THEN 'conflict' ELSE 'inconclusive' END"
+        ).alias("verdict"),
+    )
+
+
+def q_c4_filters(spark, sf_dir):
+    """C4-style line-filter panel: terminal-punctuation / min-words
+    line rules, placeholder + code markers, composed keep flag —
+    the classic web-scrape curation pass at line granularity."""
+    from pennsieve_streaming_spark.llm.curation import c4_line_filters
+
+    return c4_line_filters(_docs(spark, sf_dir))
+
+
+def q_image_entropy(spark, sf_dir):
+    """Grayscale histogram entropy per media item (nano-nat exact
+    fold over exact level counts via the REAL kernel) — the texture-
+    information number beside contrast/blur/colorfulness."""
+    from pennsieve_streaming_spark.llm.imagehash import (
+        image_entropy_synthetic,
+    )
+
+    return image_entropy_synthetic(_docs(spark, sf_dir))
+
 # Round-8 rotation: the driver's correctness gate samples the FIRST 50
 # registry entries. Positions 1-44 are every registry query the driver
 # has never sampled (the 12-query r6 tail past r7's top-50 cut + the 32
@@ -4982,6 +5036,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_jsd": q_source_jsd,
         "emb_hubness": q_emb_hubness,
         "mm_audio_clipping": q_audio_clipping,
+        "ts_stationarity_panel": q_stationarity_panel,
+        "doc_c4_filters": q_c4_filters,
+        "mm_image_entropy": q_image_entropy,
         # round-6: blocked-halo + streaming variants (front-loaded via
         # the rotation list so the driver gates them in turn).
         "ts_asof_join_blocked": q_asof_join_blocked,
@@ -15864,6 +15921,83 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(t.n_clipped AS DOUBLE) / t.n, 9) AS clip_frac,
                CAST(COALESCE(r.max_run, 0) AS BIGINT) AS max_run
         FROM tot t LEFT JOIN runs r ON t.channel = r.channel
+        """
+
+
+    # --- round-8 wave-4 additions -------------------------------------
+    sql["ts_stationarity_panel"] = f"""
+        WITH a8 AS (
+          SELECT channel, stationary AS adf_stationary
+          FROM ({sql["ts_adf_test"]})
+        ),
+        k8 AS (
+          SELECT channel, stationary AS kpss_stationary
+          FROM ({sql["ts_kpss"]})
+        )
+        SELECT a8.channel, adf_stationary, kpss_stationary,
+               CASE WHEN adf_stationary AND kpss_stationary
+                    THEN 'stationary'
+                    WHEN NOT adf_stationary AND NOT kpss_stationary
+                    THEN 'unit_root'
+                    WHEN adf_stationary AND NOT kpss_stationary
+                    THEN 'conflict' ELSE 'inconclusive' END AS verdict
+        FROM a8 JOIN k8 ON a8.channel = k8.channel
+        """
+
+    _c4_wc = "len(regexp_split_to_array(trim({x}), '\\s+'))"
+    sql["doc_c4_filters"] = f"""
+        WITH base AS (
+          SELECT doc_id, text, string_split(text, chr(10)) AS lines
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(list_filter(lines, l ->
+                 regexp_matches(trim(l), '[.!?"]$'))) AS BIGINT)
+                 AS n_terminal_lines,
+               CAST(len(list_filter(lines, l ->
+                 length(trim(l)) > 0 AND {_c4_wc.format(x='l')} < 3))
+                 AS BIGINT) AS n_short_lines,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE {_c4_wc.format(x='text')} END AS BIGINT)
+                 AS n_words,
+               lower(text) LIKE '%lorem ipsum%' AS has_lorem,
+               contains(text, '{{') AS has_brace,
+               NOT (lower(text) LIKE '%lorem ipsum%')
+                 AND NOT contains(text, '{{')
+                 AND (CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE {_c4_wc.format(x='text')} END) >= 5 AS keep,
+               CASE WHEN len(lines) > 0 THEN
+                 round(CAST(len(list_filter(lines, l ->
+                   regexp_matches(trim(l), '[.!?"]$'))) AS DOUBLE)
+                   / len(lines), 9)
+               ELSE 0e0 END AS terminal_share
+        FROM base
+        """
+
+    sql["mm_image_entropy"] = f"""
+        WITH px AS (
+          SELECT doc_id, {_ihg.format(i='i', j='j')} AS v
+          FROM documents,
+               UNNEST(generate_series(0, {_IH_H - 1})) AS ti(i),
+               UNNEST(generate_series(0, {_IH_W - 1})) AS tj(j)
+        ),
+        cnt AS (
+          SELECT doc_id, v, CAST(COUNT(*) AS BIGINT) AS c
+          FROM px GROUP BY doc_id, v
+        ),
+        tot AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_px,
+                 CAST(COUNT(*) AS BIGINT) AS n_levels
+          FROM cnt GROUP BY doc_id
+        )
+        SELECT t.doc_id AS media_id, t.n_px, t.n_levels,
+               CAST(SUM(CAST(c AS HUGEINT)
+                 * ({_LNQ8.format(x="t.n_px")} - {_LNQ8.format(x="c")}))
+                 AS DOUBLE) / (CAST(t.n_px AS DOUBLE) * 1000000000)
+                 AS entropy_nats
+        FROM cnt JOIN tot t ON cnt.doc_id = t.doc_id
+        GROUP BY t.doc_id, t.n_px, t.n_levels
         """
 
     return sql

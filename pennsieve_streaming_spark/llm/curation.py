@@ -1665,3 +1665,66 @@ def source_jsd(documents: DataFrame) -> DataFrame:
         "n_terms",
         F.expr(f"round({jsd}, 9)").alias("jsd_nats"),
     )
+
+
+# C4-style heuristic line rules (Raffel et al. 2020, §2.2 "we used the
+# following heuristics"), restricted to the deterministic,
+# engine-replayable subset: terminal-punctuation lines, minimum words
+# per line, the "lorem ipsum" placeholder, and the curly-brace code
+# marker. Thresholds as module literals.
+C4_MIN_WORDS_PER_LINE = 3
+C4_MIN_WORDS_PER_DOC = 5
+
+
+def c4_line_filters(documents: DataFrame) -> DataFrame:
+    """C4-style line-level filter panel per document: how many lines
+    survive the terminal-punctuation and minimum-word rules, whether
+    the placeholder/code markers fire, and the composed keep flag —
+    the classic web-scrape curation pass (the line-granular
+    complement of doc_quality_score's document-level ratios).
+
+    Determinism: line splits are literal '\\n' splits, word counts the
+    shared whitespace-regexp tokenization; every output is an exact
+    integer, boolean, or one fixed division rounded to 9 dp.
+
+    Output: (doc_id, n_lines, n_terminal_lines, n_short_lines,
+    n_words, has_lorem, has_brace, keep, terminal_share).
+
+    Plan / 100 TB: one narrow per-doc map (array expressions, no
+    explode), one output row per document.
+    """
+    lines = "split(text, '\\n')"
+    wc = "size(split(trim({x}), '\\\\s+'))"
+    n_lines = f"size({lines})"
+    term = (
+        f"size(filter({lines}, l -> trim(l) RLIKE '[.!?\"]$'))"
+    )
+    short = (
+        f"size(filter({lines}, l -> length(trim(l)) > 0 AND "
+        f"{wc.format(x='l')} < {C4_MIN_WORDS_PER_LINE}))"
+    )
+    n_words = wc.format(x="text")
+    has_lorem = "lower(text) LIKE '%lorem ipsum%'"
+    has_brace = "contains(text, '{')"
+    return documents.select(
+        "doc_id",
+        F.expr(n_lines).cast("long").alias("n_lines"),
+        F.expr(term).cast("long").alias("n_terminal_lines"),
+        F.expr(short).cast("long").alias("n_short_lines"),
+        F.expr(
+            f"CASE WHEN length(trim(text)) = 0 THEN 0 "
+            f"ELSE {n_words} END"
+        ).cast("long").alias("n_words"),
+        F.expr(has_lorem).alias("has_lorem"),
+        F.expr(has_brace).alias("has_brace"),
+        F.expr(
+            f"NOT ({has_lorem}) AND NOT ({has_brace}) "
+            f"AND (CASE WHEN length(trim(text)) = 0 THEN 0 "
+            f"ELSE {n_words} END) >= {C4_MIN_WORDS_PER_DOC}"
+        ).alias("keep"),
+        F.expr(
+            f"CASE WHEN {n_lines} > 0 THEN "
+            f"round(CAST({term} AS DOUBLE) / {n_lines}, 9) "
+            f"ELSE 0e0 END"
+        ).alias("terminal_share"),
+    )

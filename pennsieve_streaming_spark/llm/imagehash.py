@@ -609,3 +609,71 @@ def blockiness_synthetic(documents: DataFrame) -> DataFrame:
             "/ (CAST(s_nb AS DOUBLE) / n_nb), 9) ELSE 0e0 END"
         ).alias("blockiness"),
     )
+
+
+def histogram_entropy_stats(gray: "np.ndarray") -> list[tuple[int, int]]:
+    """Exact (level, count) histogram of one grayscale frame — the
+    inputs to the Shannon image-entropy fold (low entropy = flat /
+    synthetic / over-compressed frames; the texture-information
+    number QA dashboards pair with contrast and blur)."""
+    g = np.asarray(gray, dtype=np.int64).ravel()
+    counts = np.bincount(g, minlength=0)
+    return [(int(v), int(c)) for v, c in enumerate(counts) if c > 0]
+
+
+def image_entropy_synthetic(documents: DataFrame) -> DataFrame:
+    """(doc_id) → grayscale histogram entropy over the synthetic
+    luminance field (REAL kernel, closed-form-replayable field — the
+    dhash_synthetic plumbing contract).
+
+    Determinism: level counts are exact integers; the entropy folds
+    Σ c·(lnq(n) − lnq(c)) in 1e9-quantized nats (the nano-nat class),
+    finished by one division.
+
+    Output: (media_id, n_px, n_levels, entropy_nats)."""
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for d in pdf["doc_id"].to_numpy():
+                for v, c in histogram_entropy_stats(
+                    synthetic_gray(int(d))
+                ):
+                    out.append((int(d), v, c))
+            yield pd.DataFrame(
+                out, columns=["media_id", "level", "cnt"]
+            )
+
+    counts = documents.select("doc_id").mapInPandas(
+        run, "media_id long, level long, cnt long"
+    )
+    LNQ = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1000000000) AS BIGINT)"
+    tot = counts.groupBy("media_id").agg(
+        F.sum("cnt").cast("long").alias("n_px"),
+        F.count(F.lit(1)).cast("long").alias("n_levels"),
+    )
+    j = counts.join(tot, "media_id")
+    return (
+        j.select(
+            "media_id",
+            "n_px",
+            "n_levels",
+            F.expr(
+                f"CAST(cnt AS DECIMAL(38,0)) "
+                f"* ({LNQ.format(x='n_px')} - {LNQ.format(x='cnt')})"
+            ).alias("_hq"),
+        )
+        .groupBy("media_id", "n_px", "n_levels")
+        .agg(F.sum("_hq").alias("_h"))
+        .select(
+            "media_id",
+            "n_px",
+            "n_levels",
+            F.expr(
+                "CAST(_h AS DOUBLE) / (CAST(n_px AS DOUBLE) "
+                "* 1000000000)"
+            ).alias("entropy_nats"),
+        )
+    )
