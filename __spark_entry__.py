@@ -4915,6 +4915,62 @@ def q_image_entropy(spark, sf_dir):
 
     return image_entropy_synthetic(_docs(spark, sf_dir))
 
+
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test per channel on the LOCF day grid:
+    exact pairwise sign sum + tie-corrected variance, one sqrt-divide
+    z finish — the significance test for ts_theil_sen's slope
+    (same O(days²)-by-contract pair join)."""
+    from pennsieve_streaming_spark.operators.stats import mann_kendall
+
+    return mann_kendall(_locf_day_grid(spark, sf_dir), CORR_QUANT)
+
+
+def q_benford(spark, sf_dir):
+    """Benford first-digit conformance per channel: digits from the
+    decimal string of the exact quantized integer (no log10 in the
+    digit path), χ² + MAD against the shared Python-literal Benford
+    table — the fabricated/truncated-feed screen."""
+    from pennsieve_streaming_spark.operators.stats import benford_digits
+
+    return benford_digits(TBL.samples_view(spark, sf_dir), CORR_QUANT)
+
+
+def q_cointegration(spark, sf_dir):
+    """Engle-Granger cointegration screen over channel pairs on the
+    day grid: exact-moment OLS, integer-requantized residuals, the
+    no-intercept Dickey-Fuller coefficient — long-run equilibrium
+    detection beside ts_granger_screen's short-run test."""
+    from pennsieve_streaming_spark.operators.stats import engle_granger
+
+    return engle_granger(_locf_day_grid(spark, sf_dir), CORR_QUANT)
+
+
+def q_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U rank-sum test between every event-type pair's
+    value distributions: exact half-unit tied ranks, tie-corrected
+    variance, one fixed z finish — the nonparametric A/B value
+    comparison."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        mann_whitney,
+    )
+
+    TBL.ensure_session_confs(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return mann_whitney(ev.select("event_type", "value"))
+
+
+def q_simpson_diversity(spark, sf_dir):
+    """Per-user Simpson concentration / Gini-Simpson diversity over
+    event types: exact count folds, two fixed divisions — the
+    dominance-sensitive complement of ev_user_entropy."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        simpson_diversity,
+    )
+
+    return simpson_diversity(_user_events(spark, sf_dir))
+
+
 # Round-8 rotation: the driver's correctness gate samples the FIRST 50
 # registry entries. Positions 1-44 are every registry query the driver
 # has never sampled (the 12-query r6 tail past r7's top-50 cut + the 32
@@ -5003,6 +5059,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so the NEWEST / least-proven queries are listed FIRST and the
     # longest-stable ts-core queries last. Keep new work at the top.
     q = {
+        # round-8 wave-5 additions (newest first)
+        "ts_mann_kendall": q_mann_kendall,
+        "ts_benford": q_benford,
+        "ts_cointegration": q_cointegration,
+        "ev_mann_whitney": q_mann_whitney,
+        "ev_simpson_diversity": q_simpson_diversity,
         # round-8 additions (never driver-sampled yet; queue for the
         # round-9 rotation)
         "ts_matrix_profile": q_matrix_profile,
@@ -15998,6 +16060,252 @@ def oracle_sql() -> dict[str, str]:
                  AS entropy_nats
         FROM cnt JOIN tot t ON cnt.doc_id = t.doc_id
         GROUP BY t.doc_id, t.n_px, t.n_levels
+        """
+
+    # --- round-8 wave-5 additions -------------------------------------
+    # The LOCF day-grid vals CTE (the theil_sen text) shared by the two
+    # new grid-family oracles.
+    _w5_grid = f"""
+        b AS (
+          SELECT MAX(start_ts) AS lo, MIN(end_ts) AS hi FROM channels
+        ),
+        gb AS (
+          SELECT UNNEST(generate_series(
+            ((lo + {_DAY} - 1) // {_DAY}) * {_DAY}, hi, {_DAY})) AS ts
+          FROM b
+        ),
+        grid AS (
+          SELECT c.channel, gb.ts
+          FROM (SELECT DISTINCT channel FROM channels) c CROSS JOIN gb
+        ),
+        u AS (
+          SELECT channel, ts, value, 0 AS is_grid FROM samples
+          UNION ALL
+          SELECT channel, ts, CAST(NULL AS DOUBLE), 1 FROM grid
+        ),
+        f AS (
+          SELECT channel, ts, is_grid,
+                 last_value(value IGNORE NULLS) OVER w AS fill
+          FROM u
+          WINDOW w AS (PARTITION BY channel ORDER BY ts, is_grid, value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+    """
+
+    from pennsieve_streaming_spark.operators.stats import (
+        EG_ALPHA as _EG_A,
+        EG_BETA as _EG_B,
+        EG_GAMMA as _EG_G,
+        EG_RESID_Q as _EG_RQ,
+        MK_TREND as _MK_T,
+        MK_VAR_S as _MK_V,
+        MK_Z as _MK_Z,
+        benford_exprs as _benford_exprs,
+    )
+
+    sql["ts_mann_kendall"] = with_views(
+        f"""
+        WITH {_w5_grid},
+        vals AS (
+          SELECT channel, ts AS t,
+                 CAST(round(fill * {CORR_QUANT}) AS BIGINT) AS xq
+          FROM f WHERE is_grid = 1
+        ),
+        s AS (
+          SELECT a.channel,
+                 CAST(SUM(CASE WHEN bb.xq > a.xq THEN 1
+                               WHEN bb.xq < a.xq THEN -1
+                               ELSE 0 END) AS BIGINT) AS s_stat
+          FROM vals a JOIN vals bb
+            ON a.channel = bb.channel AND a.t < bb.t
+          GROUP BY a.channel
+        ),
+        ties AS (
+          SELECT channel,
+                 CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                   AS tie_term,
+                 CAST(SUM(t) AS BIGINT) AS n_points
+          FROM (
+            SELECT channel, xq, CAST(COUNT(*) AS BIGINT) AS t
+            FROM vals GROUP BY channel, xq
+          ) GROUP BY channel
+        )
+        SELECT s.channel, n_points, s_stat,
+               {_MK_V} AS var_s,
+               {_MK_Z} AS z,
+               {_MK_T} AS trend
+        FROM s JOIN ties ON s.channel = ties.channel
+        """,
+        "samples",
+        "channels",
+    )
+
+    _bchi2, _bmad = _benford_exprs()
+    _bpiv = ", ".join(
+        f"CAST(SUM(CASE WHEN digit = {i} THEN c ELSE 0 END) AS BIGINT)"
+        f" AS c{i}"
+        for i in range(1, 10)
+    )
+    sql["ts_benford"] = with_views(
+        f"""
+        WITH d AS (
+          SELECT channel,
+                 CAST(substring(CAST(abs(CAST(round(value * {CORR_QUANT})
+                   AS BIGINT)) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          FROM samples
+        ),
+        counts AS (
+          SELECT channel, digit, CAST(COUNT(*) AS BIGINT) AS c
+          FROM d WHERE digit > 0 GROUP BY channel, digit
+        ),
+        piv AS (
+          SELECT channel, CAST(SUM(c) AS BIGINT) AS n, {_bpiv}
+          FROM counts GROUP BY channel
+        )
+        SELECT channel, n,
+               {", ".join(f"c{i}" for i in range(1, 10))},
+               CASE WHEN n > 0 THEN round({_bchi2}, 9) ELSE 0e0 END
+                 AS chi2,
+               CASE WHEN n > 0 THEN round(({_bmad}) / 9e0, 9)
+                 ELSE 0e0 END AS mad
+        FROM piv
+        """,
+        "samples",
+    )
+
+    sql["ts_cointegration"] = with_views(
+        f"""
+        WITH {_w5_grid},
+        vals AS (
+          SELECT channel, ts AS t,
+                 CAST(round(fill * {CORR_QUANT}) AS BIGINT) AS vq
+          FROM f WHERE is_grid = 1
+        ),
+        prs AS (
+          SELECT a.channel AS ch_a, bb.channel AS ch_b, a.t,
+                 a.vq AS xq, bb.vq AS yq
+          FROM vals a JOIN vals bb
+            ON a.t = bb.t AND a.channel < bb.channel
+        ),
+        mom AS (
+          SELECT ch_a, ch_b, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(xq) AS BIGINT) AS sx,
+                 CAST(SUM(yq) AS BIGINT) AS sy,
+                 SUM(CAST(xq AS DECIMAL(38,0)) * xq) AS sxx,
+                 SUM(CAST(xq AS DECIMAL(38,0)) * yq) AS sxy
+          FROM prs GROUP BY ch_a, ch_b
+        ),
+        coef0 AS (
+          SELECT ch_a, ch_b, n, sx, sy,
+                 coalesce({_EG_B}, 0e0) AS beta
+          FROM mom
+        ),
+        coef AS (
+          SELECT ch_a, ch_b, n, beta, {_EG_A} AS alpha FROM coef0
+        ),
+        resid AS (
+          SELECT p.ch_a, p.ch_b, p.t, {_EG_RQ} AS eq
+          FROM prs p JOIN coef c
+            ON p.ch_a = c.ch_a AND p.ch_b = c.ch_b
+        ),
+        lagged AS (
+          SELECT ch_a, ch_b,
+                 LAG(eq) OVER (PARTITION BY ch_a, ch_b ORDER BY t)
+                   AS ep,
+                 eq
+          FROM resid
+        ),
+        dfa AS (
+          SELECT ch_a, ch_b,
+                 SUM(CAST(ep AS DECIMAL(38,0)) * (eq - ep)) AS sed,
+                 SUM(CAST(ep AS DECIMAL(38,0)) * ep) AS see
+          FROM lagged WHERE ep IS NOT NULL GROUP BY ch_a, ch_b
+        )
+        SELECT c.ch_a, c.ch_b, c.n,
+               round(c.beta, 9) AS beta,
+               round({_EG_G}, 9) AS gamma,
+               ({_EG_G}) < -0.05e0 AS cointegrated
+        FROM coef c JOIN dfa
+          ON c.ch_a = dfa.ch_a AND c.ch_b = dfa.ch_b
+        """,
+        "samples",
+        "channels",
+    )
+
+    from pennsieve_streaming_spark.operators.analytics import (
+        MW_Z as _MW_Z,
+        SIMPSON_LAMBDA as _SIMP_L,
+    )
+
+    sql["ev_mann_whitney"] = f"""
+        WITH ev AS (
+          SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vq
+          FROM events
+        ),
+        types AS (SELECT DISTINCT event_type FROM ev),
+        pairs AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b
+          FROM types a JOIN types b ON a.event_type < b.event_type
+        ),
+        m AS (
+          SELECT type_a, type_b, vq,
+                 ev.event_type = type_a AS is_a
+          FROM ev JOIN pairs
+            ON ev.event_type = type_a OR ev.event_type = type_b
+        ),
+        ranked AS (
+          SELECT type_a, type_b, vq, is_a,
+                 RANK() OVER (PARTITION BY type_a, type_b
+                              ORDER BY vq) AS _rmin,
+                 COUNT(*) OVER (PARTITION BY type_a, type_b, vq) AS _t
+          FROM m
+        ),
+        g AS (
+          SELECT type_a, type_b,
+                 CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+                 CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_b,
+                 CAST(SUM(CASE WHEN is_a THEN 2 * _rmin + (_t - 1)
+                               ELSE 0 END) AS BIGINT) AS r1_2
+          FROM ranked GROUP BY type_a, type_b
+        ),
+        tg AS (
+          SELECT type_a, type_b,
+                 CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+          FROM (
+            SELECT type_a, type_b, vq, CAST(COUNT(*) AS BIGINT) AS t
+            FROM m GROUP BY type_a, type_b, vq
+          ) GROUP BY type_a, type_b
+        )
+        SELECT g.type_a, g.type_b, n_a, n_b,
+               CAST(r1_2 - n_a * (n_a + 1) AS BIGINT) AS u2,
+               {_MW_Z} AS z,
+               abs({_MW_Z}) > 1.959963985e0 AS significant
+        FROM g JOIN tg
+          ON g.type_a = tg.type_a AND g.type_b = tg.type_b
+        """
+
+    sql["ev_simpson_diversity"] = f"""
+        WITH ut AS (
+          SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY user_id, event_type
+        ),
+        g AS (
+          SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+                 CAST(COUNT(*) AS BIGINT) AS n_types,
+                 CAST(SUM(c * (c - 1)) AS BIGINT) AS num,
+                 CAST(MAX(c) AS BIGINT) AS top_c
+          FROM ut GROUP BY user_id
+        )
+        SELECT user_id, n_events, n_types,
+               {_SIMP_L} AS simpson,
+               CASE WHEN n_events > 1 THEN
+                 round(1e0 - ({_SIMP_L}), 9) ELSE 0e0 END
+                 AS gini_simpson,
+               round(CAST(top_c AS DOUBLE) / CAST(n_events AS DOUBLE), 9)
+                 AS top_share
+        FROM g
         """
 
     return sql

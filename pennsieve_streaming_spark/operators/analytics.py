@@ -2268,3 +2268,164 @@ def growth_accounting(events: DataFrame) -> DataFrame:
             "ELSE 0e0 END"
         ).alias("quick_ratio"),
     )
+
+
+
+# Mann-Whitney shared expression text (imported by the oracle):
+# 2U_a = R1_2 − n_a(n_a+1); E[2U] = n_a·n_b; tie-corrected variance.
+MW_VAR_U = (
+    "(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12e0) "
+    "* (CAST(n_a + n_b + 1 AS DOUBLE) "
+    "- CAST(tie3 AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) "
+    "* CAST(n_a + n_b - 1 AS DOUBLE)))"
+)
+MW_Z = (
+    f"CASE WHEN {MW_VAR_U} <= 0e0 THEN 0e0 ELSE "
+    f"round((CAST(r1_2 - n_a * (n_a + 1) AS DOUBLE) "
+    f"- CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) "
+    f"/ (2e0 * sqrt({MW_VAR_U})), 9) END"
+)
+
+
+def mann_whitney(events: DataFrame, quant: int = 100) -> DataFrame:
+    """Mann-Whitney U rank-sum test between the ``value`` distributions
+    of every event-type pair (Mann & Whitney 1947) — the nonparametric
+    A/B comparison that doesn't assume normal values, beside
+    ev_interarrival_ks (shape) and ev_ab_conversion (proportions).
+
+    Determinism — exact half-unit ranks to one fixed finish: values
+    quantize to exact integers; within each pair's pooled sample the
+    tied-average rank is carried as the exact integer 2·rank =
+    2·rank_min + (t−1), so the rank sum R1 and U statistic live in
+    exact BIGINTs; the tie-corrected variance and z are ONE fixed
+    expression over exact counts, rounded to 9 dp (no continuity
+    correction — documented contract). Degenerate pairs (all values
+    tied, var = 0) report the 0.0 sentinel.
+
+    Output: (type_a, type_b, n_a, n_b, u2, z, significant) for
+    type_a < type_b, with u2 = 2·U_a exact and |z| > 1.96 the 5%
+    two-sided flag.
+
+    Plan / 100 TB: events fan out ×(|types|−1) pair memberships (a
+    broadcast join against the tiny type-pair table), one rank window
+    per pair partition, partial-agg groupBys — no quadratic blowup;
+    |types| is a vocabulary, not a data scale.
+    """
+    from pyspark.sql import Window
+
+    q = int(quant)
+    ev = events.select(
+        "event_type",
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("vq"),
+    )
+    types = ev.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    # membership: each event joins every pair it belongs to (either side)
+    m = ev.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("type_a"))
+        | (F.col("event_type") == F.col("type_b")),
+    ).select(
+        "type_a",
+        "type_b",
+        "vq",
+        (F.col("event_type") == F.col("type_a")).alias("is_a"),
+    )
+    w = Window.partitionBy("type_a", "type_b").orderBy("vq")
+    ranked = m.withColumn("_rmin", F.rank().over(w)).withColumn(
+        "_t",
+        F.count(F.lit(1)).over(
+            Window.partitionBy("type_a", "type_b", "vq")
+        ),
+    )
+    g = ranked.groupBy("type_a", "type_b").agg(
+        F.sum(F.expr("CASE WHEN is_a THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.expr("CASE WHEN is_a THEN 0 ELSE 1 END"))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(
+            F.expr(
+                "CASE WHEN is_a THEN 2 * _rmin + (_t - 1) ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("r1_2"),
+    )
+    ties = (
+        m.groupBy("type_a", "type_b", "vq")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.expr("t * t * t - t")).cast("long").alias("tie3")
+        )
+    )
+    j = g.join(F.broadcast(ties), ["type_a", "type_b"])
+    return j.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        F.expr("r1_2 - n_a * (n_a + 1)").cast("long").alias("u2"),
+        F.expr(MW_Z).alias("z"),
+        F.expr(f"abs({MW_Z}) > 1.959963985e0").alias("significant"),
+    )
+
+
+
+SIMPSON_LAMBDA = (
+    "CASE WHEN n_events > 1 THEN "
+    "round(CAST(num AS DOUBLE) / (CAST(n_events AS DOUBLE) "
+    "* CAST(n_events - 1 AS DOUBLE)), 9) ELSE 0e0 END"
+)
+
+
+def simpson_diversity(events: DataFrame) -> DataFrame:
+    """Per-user Simpson concentration over event types: λ =
+    Σ nᵢ(nᵢ−1) / (N(N−1)) — the probability two of the user's events
+    (drawn without replacement) share a type. 1−λ is the Gini-Simpson
+    diversity; the abundance-weighted complement of ev_user_entropy's
+    Shannon view (Simpson 1949 — dominance-sensitive where entropy is
+    rarity-sensitive).
+
+    Determinism: all counts exact; λ and top_share are single fixed
+    divisions of exact BIGINTs rounded to 9 dp. Single-event users
+    (N < 2 — λ undefined) report the 0.0 sentinel on both ratios'
+    denominators guarded exactly.
+
+    Output: (user_id, n_events, n_types, simpson, gini_simpson,
+    top_share).
+
+    Plan / 100 TB: one partial-agg groupBy (user, type), one groupBy
+    user — the ev_user_entropy shape; no joins, no windows.
+    """
+    ut = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    g = ut.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.expr("c * (c - 1)")).cast("long").alias("num"),
+        F.max("c").cast("long").alias("top_c"),
+    )
+    lam = SIMPSON_LAMBDA
+    return g.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.expr(lam).alias("simpson"),
+        F.expr(
+            f"CASE WHEN n_events > 1 THEN round(1e0 - ({lam}), 9) "
+            f"ELSE 0e0 END"
+        ).alias("gini_simpson"),
+        F.expr(
+            "round(CAST(top_c AS DOUBLE) / CAST(n_events AS DOUBLE), 9)"
+        ).alias("top_share"),
+    )

@@ -4393,3 +4393,304 @@ def seasonal_strength(
             f"ELSE 0e0 END"
         ).alias("seasonal_strength"),
     )
+
+
+
+# Mann-Kendall shared expression text (imported by the oracle so both
+# engines evaluate the IDENTICAL fixed expression tree).
+MK_VAR_S = (
+    "(CAST(n_points * (n_points - 1) * (2 * n_points + 5) "
+    "- tie_term AS DOUBLE) / 18e0)"
+)
+MK_Z = (
+    f"CASE WHEN {MK_VAR_S} <= 0e0 THEN 0e0 "
+    f"WHEN s_stat > 0 THEN "
+    f"round((CAST(s_stat AS DOUBLE) - 1e0) / sqrt({MK_VAR_S}), 9) "
+    f"WHEN s_stat < 0 THEN "
+    f"round((CAST(s_stat AS DOUBLE) + 1e0) / sqrt({MK_VAR_S}), 9) "
+    f"ELSE 0e0 END"
+)
+MK_TREND = (
+    f"CASE WHEN ({MK_Z}) > 1.959963985e0 THEN 'increasing' "
+    f"WHEN ({MK_Z}) < -1.959963985e0 THEN 'decreasing' "
+    f"ELSE 'none' END"
+)
+
+
+def mann_kendall(values: DataFrame, quant: int = 100) -> DataFrame:
+    """Mann-Kendall trend test per channel (Mann 1945 / Kendall 1975):
+    S = Σ_{i<j} sign(x_j − x_i) with the tie-corrected normal
+    approximation — the nonparametric sibling of ts_theil_sen (which
+    estimates the slope this test decides the significance of).
+
+    ``values`` must be the uniform day grid (asof_locf contract), so
+    the all-pairs sign sum is O(days²) per channel by construction —
+    the ts_theil_sen scale contract.
+
+    Determinism — all-integer to two fixed finishes: pair signs and
+    the tie counts are exact integers; VarS = (n(n−1)(2n+5) −
+    Σ_t t(t−1)(2t+5)) / 18 is ONE fixed division of an exact BIGINT
+    (n ≈ days, so the cubic stays far under 2^63); z is one
+    sqrt-divide chain rounded to 9 dp (the ±1 continuity correction
+    per Kendall). All-tied channels (VarS = 0) report the 0.0
+    sentinel and trend 'none'.
+
+    Output: (channel, n_points, s_stat, var_s, z, trend).
+
+    Plan / 100 TB: one bounded self-join per channel (the theil_sen
+    shape) + one groupBy over the tie table; both partial-agg to
+    |channels| rows before the final broadcast join.
+    """
+    q = int(quant)
+    v = values.select(
+        "channel",
+        F.col("ts").alias("t"),
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    )
+    v = pin(v)
+    a = v.select("channel", F.col("t").alias("ti"), F.col("xq").alias("yi"))
+    b = v.select("channel", F.col("t").alias("tj"), F.col("xq").alias("yj"))
+    s = (
+        a.join(b, "channel")
+        .filter(F.col("ti") < F.col("tj"))
+        .groupBy("channel")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN yj > yi THEN 1 "
+                    "WHEN yj < yi THEN -1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        v.groupBy("channel", "xq")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_ng"),
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
+            .cast("long")
+            .alias("tie_term"),
+            F.sum("t").cast("long").alias("n_points"),
+        )
+    )
+    g = s.join(F.broadcast(ties), "channel")
+    return g.select(
+        "channel",
+        "n_points",
+        "s_stat",
+        F.expr(MK_VAR_S).alias("var_s"),
+        F.expr(MK_Z).alias("z"),
+        F.expr(MK_TREND).alias("trend"),
+    )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), generated ONCE in
+# Python so both engines consume the identical double literals (engine
+# log10 is libm-vs-JVM divergent at the last ulp).
+def benford_probs() -> list[float]:
+    import math
+
+    return [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+
+def benford_exprs() -> tuple[str, str]:
+    """(chi2, mad) fixed 9-term expression strings over columns
+    c1..c9 / n and the Python-literal Benford table — shared verbatim
+    between the Spark operator and the DuckDB oracle."""
+    probs = benford_probs()
+
+    def _lit(x: float) -> str:
+        s = repr(float(x))
+        return s if "e" in s or "E" in s else s + "e0"
+
+    chi2 = " + ".join(
+        f"(CAST(c{i} AS DOUBLE) - CAST(n AS DOUBLE) * {_lit(p)}) "
+        f"* (CAST(c{i} AS DOUBLE) - CAST(n AS DOUBLE) * {_lit(p)}) "
+        f"/ (CAST(n AS DOUBLE) * {_lit(p)})"
+        for i, p in zip(range(1, 10), probs)
+    )
+    mad = " + ".join(
+        f"abs(CAST(c{i} AS DOUBLE) / CAST(n AS DOUBLE) - {_lit(p)})"
+        for i, p in zip(range(1, 10), probs)
+    )
+    return chi2, mad
+
+
+def benford_digits(samples: DataFrame, quant: int = 100) -> DataFrame:
+    """Benford first-significant-digit conformance per channel: the
+    classic fabricated/truncated-data screen (Benford 1938; Nigrini's
+    forensic MAD bands). Values spanning several orders of magnitude
+    should put ~30.1% of first digits at 1; flat or synthetic feeds
+    don't.
+
+    Determinism — exact integers to two fixed finishes: the first
+    digit comes from the DECIMAL STRING of the exact quantized
+    integer |round(v·quant)| (integer-to-string is exact on both
+    engines — no log10 in the digit path); per-digit counts pivot to
+    ONE row per channel so chi² and MAD are fixed 9-term expressions
+    over exact counts and the shared Python-literal Benford table,
+    each rounded to 9 dp. Zero quantized values carry no leading
+    digit and are excluded (n counts survivors).
+
+    Output: (channel, n, c1..c9, chi2, mad).
+
+    Plan / 100 TB: one partial-agg groupBy (channel, digit) — 9 rows
+    per channel — then a 9-way conditional pivot; no joins, no
+    windows, no shuffle beyond the two-level aggregation.
+    """
+    q = int(quant)
+    d = samples.select(
+        "channel",
+        F.expr(
+            f"CAST(substring(CAST(abs(CAST(round(value * {q}) AS BIGINT)) "
+            f"AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit"),
+    ).filter(F.col("digit") > 0)
+    counts = d.groupBy("channel", "digit").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    piv = counts.groupBy("channel").agg(
+        F.sum("c").cast("long").alias("n"),
+        *[
+            F.sum(F.expr(f"CASE WHEN digit = {i} THEN c ELSE 0 END"))
+            .cast("long")
+            .alias(f"c{i}")
+            for i in range(1, 10)
+        ],
+    )
+    chi2, mad = benford_exprs()
+    return piv.select(
+        "channel",
+        "n",
+        *[f"c{i}" for i in range(1, 10)],
+        F.expr(
+            f"CASE WHEN n > 0 THEN round({chi2}, 9) ELSE 0e0 END"
+        ).alias("chi2"),
+        F.expr(
+            f"CASE WHEN n > 0 THEN round(({mad}) / 9e0, 9) ELSE 0e0 END"
+        ).alias("mad"),
+    )
+
+
+# Engle-Granger shared expression text (imported by the oracle so both
+# engines evaluate the IDENTICAL fixed double expression tree).
+EG_BETA = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+    "/ nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0e0)"
+)
+EG_ALPHA = "(CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)"
+EG_RESID_Q = "CAST(round(CAST(yq AS DOUBLE) - alpha - beta * xq) AS BIGINT)"
+EG_GAMMA = (
+    "coalesce(CAST(sed AS DOUBLE) / nullif(CAST(see AS DOUBLE), 0e0), 0e0)"
+)
+
+
+def engle_granger(values: DataFrame, quant: int = 100) -> DataFrame:
+    """Engle-Granger cointegration screen over aligned channel pairs
+    (Engle & Granger 1987, step 1 + the no-intercept Dickey-Fuller
+    coefficient on the residual): two trending channels whose OLS
+    residual mean-reverts share a long-run equilibrium — the pairs
+    signal spurious-correlation screens need beside ts_granger_screen
+    (which tests short-run incremental prediction instead).
+
+    ``values`` must be the uniform day grid, so both passes are
+    bounded by the observation window.
+
+    Determinism: OLS moments are exact BIGINT/DECIMAL(38,0) folds;
+    beta/alpha are the FIXED expression strings EG_BETA / EG_ALPHA
+    (shared verbatim with the oracle); residuals re-quantize to exact
+    integers via EG_RESID_Q (round of a bit-identical double), so the
+    Dickey-Fuller pass Δe on e_{t-1} is again exact folds to one
+    division, rounded to 9 dp. Degenerate pairs (constant x — zero
+    OLS denominator) report 0.0 sentinels everywhere and cointegrated
+    = false.
+
+    Output: (ch_a, ch_b, n, beta, gamma, cointegrated) with gamma the
+    DF coefficient (γ < −0.05 ⇒ the residual mean-reverts fast enough
+    to call the pair cointegrated — a screen threshold, not a
+    MacKinnon critical value).
+
+    Plan / 100 TB: channel-pair equi-join on the grid ts (days ×
+    pairs rows), two partial-agg groupBys, one broadcast coefficient
+    join back, one lag window per pair — no quadratic anywhere.
+    """
+    q = int(quant)
+    v = values.select(
+        "channel",
+        F.col("ts").alias("t"),
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("vq"),
+    )
+    v = pin(v)
+    a = v.select(
+        F.col("channel").alias("ch_a"),
+        "t",
+        F.col("vq").alias("xq"),
+    )
+    b = v.select(
+        F.col("channel").alias("ch_b"),
+        F.col("t").alias("tb"),
+        F.col("vq").alias("yq"),
+    )
+    rows = a.join(
+        b, (F.col("t") == F.col("tb")) & (F.col("ch_a") < F.col("ch_b"))
+    ).select("ch_a", "ch_b", "t", "xq", "yq")
+    mom = rows.groupBy("ch_a", "ch_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(xq AS DECIMAL(38,0)) * xq")).alias("sxx"),
+        F.sum(F.expr("CAST(xq AS DECIMAL(38,0)) * yq")).alias("sxy"),
+    )
+    coef = mom.select(
+        "ch_a",
+        "ch_b",
+        "n",
+        "sx",
+        "sy",
+        F.expr(f"coalesce({EG_BETA}, 0e0)").alias("beta"),
+    ).select(
+        "ch_a",
+        "ch_b",
+        "n",
+        "beta",
+        F.expr(EG_ALPHA).alias("alpha"),
+    )
+    resid = rows.join(F.broadcast(coef), ["ch_a", "ch_b"]).select(
+        "ch_a",
+        "ch_b",
+        "t",
+        F.expr(EG_RESID_Q).alias("eq"),
+    )
+    w = Window.partitionBy("ch_a", "ch_b").orderBy("t")
+    d = (
+        resid.withColumn("_prev", F.lag("eq").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            "ch_a",
+            "ch_b",
+            F.col("_prev").alias("ep"),
+            (F.col("eq") - F.col("_prev")).alias("de"),
+        )
+    )
+    df_agg = d.groupBy("ch_a", "ch_b").agg(
+        F.sum(F.expr("CAST(ep AS DECIMAL(38,0)) * de")).alias("sed"),
+        F.sum(F.expr("CAST(ep AS DECIMAL(38,0)) * ep")).alias("see"),
+    )
+    gamma = EG_GAMMA
+    return (
+        coef.join(df_agg, ["ch_a", "ch_b"])
+        .select(
+            "ch_a",
+            "ch_b",
+            "n",
+            F.expr("round(beta, 9)").alias("beta"),
+            F.expr(f"round({gamma}, 9)").alias("gamma"),
+            F.expr(f"({gamma}) < -0.05e0").alias("cointegrated"),
+        )
+    )

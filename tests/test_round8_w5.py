@@ -1,0 +1,157 @@
+"""Round-8 wave-5 operator goldens: hand-computable cases pinning the
+semantics the oracles gate statistically."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _series(spark, vals, channel="a", quant=1):
+    return spark.createDataFrame(
+        [(channel, i, float(v)) for i, v in enumerate(vals)],
+        "channel string, ts long, value double",
+    )
+
+
+def test_mann_kendall_monotone_ramp(spark):
+    from pennsieve_streaming_spark.operators.stats import mann_kendall
+
+    n = 20
+    out = mann_kendall(_series(spark, range(n)), quant=1).collect()[0]
+    # strictly increasing: S = n(n-1)/2, no ties
+    assert out.s_stat == n * (n - 1) // 2
+    assert out.n_points == n
+    var_s = n * (n - 1) * (2 * n + 5) / 18.0
+    assert out.var_s == var_s
+    assert out.z == round((out.s_stat - 1) / math.sqrt(var_s), 9)
+    assert out.trend == "increasing"
+
+
+def test_mann_kendall_constant_sentinel(spark):
+    from pennsieve_streaming_spark.operators.stats import mann_kendall
+
+    out = mann_kendall(_series(spark, [5] * 10), quant=1).collect()[0]
+    # all tied: S = 0 and VarS = 0 -> sentinel z, trend 'none'
+    assert out.s_stat == 0 and out.var_s == 0.0
+    assert out.z == 0.0 and out.trend == "none"
+
+
+def test_mann_kendall_decreasing(spark):
+    from pennsieve_streaming_spark.operators.stats import mann_kendall
+
+    out = mann_kendall(_series(spark, range(20, 0, -1)), quant=1).collect()[0]
+    assert out.s_stat == -190 and out.trend == "decreasing"
+
+
+def test_benford_digit_extraction_and_counts(spark):
+    from pennsieve_streaming_spark.operators.stats import benford_digits
+
+    # quant=1: digits of 123->1, 20->2, 3->3, 999->9, 0.4->0 (excluded
+    # after rounding to 0), -250 -> 2 via abs
+    df = _series(spark, [123, 20, 3, 999, 0.4, -250])
+    out = benford_digits(df, quant=1).collect()[0]
+    assert out.n == 5
+    assert (out.c1, out.c2, out.c3, out.c9) == (1, 2, 1, 1)
+    assert out.c4 == 0
+    # chi2 against the Benford table is positive for this tiny sample
+    assert out.chi2 > 0.0 and out.mad > 0.0
+
+
+def test_benford_perfect_single_digit(spark):
+    from pennsieve_streaming_spark.operators.stats import (
+        benford_digits,
+        benford_probs,
+    )
+
+    # all mass on digit 1: chi2 = n * sum((I[d=1]-p_d)^2/p_d)
+    out = benford_digits(_series(spark, [10, 11, 12, 13]), quant=1).collect()[0]
+    probs = benford_probs()
+    exp = sum(
+        (int(i == 0) * 4 - 4 * p) ** 2 / (4 * p) for i, p in enumerate(probs)
+    )
+    assert out.n == 4 and out.c1 == 4
+    assert abs(out.chi2 - exp) < 1e-6
+
+
+def test_engle_granger_perfect_cointegration(spark):
+    from pennsieve_streaming_spark.operators.stats import engle_granger
+
+    # y = 2x exactly: beta = 2, residuals all 0 -> gamma sentinel 0.0
+    rows = [("a", i, float(v)) for i, v in enumerate([1, 3, 2, 5, 4, 6])]
+    rows += [("b", i, 2.0 * v) for i, v in enumerate([1, 3, 2, 5, 4, 6])]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = engle_granger(df, quant=1).collect()[0]
+    assert (out.ch_a, out.ch_b) == ("a", "b")
+    assert out.beta == 2.0
+    assert out.gamma == 0.0  # zero residual -> see = 0 -> sentinel
+    assert not out.cointegrated
+
+
+def test_engle_granger_mean_reverting_residual(spark):
+    from pennsieve_streaming_spark.operators.stats import engle_granger
+
+    # x constant trend, y = x + alternating residual: the residual
+    # flips sign every step, so the DF coefficient is ~ -2
+    x = list(range(1, 21))
+    y = [v + (8 if i % 2 == 0 else -8) for i, v in enumerate(x)]
+    rows = [("a", i, float(v)) for i, v in enumerate(x)]
+    rows += [("b", i, float(v)) for i, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "channel string, ts long, value double")
+    out = engle_granger(df, quant=1).collect()[0]
+    assert out.gamma < -1.5 and out.cointegrated
+
+
+def test_mann_whitney_clean_separation(spark):
+    from pennsieve_streaming_spark.operators.analytics import mann_whitney
+
+    # a-values all below b-values: U_a = 0, z < 0 and significant
+    rows = [("a", float(v)) for v in [1, 2, 3, 4, 5, 6, 7, 8]]
+    rows += [("b", float(v)) for v in [11, 12, 13, 14, 15, 16, 17, 18]]
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    out = mann_whitney(ev).collect()[0]
+    assert (out.type_a, out.type_b) == ("a", "b")
+    assert out.u2 == 0  # no a-value beats any b-value
+    assert out.z < -3.0 and out.significant
+
+
+def test_mann_whitney_identical_distributions(spark):
+    from pennsieve_streaming_spark.operators.analytics import mann_whitney
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 4]]
+    rows += [("b", float(v)) for v in [1, 2, 3, 4]]
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    out = mann_whitney(ev).collect()[0]
+    # symmetric: 2U = n_a * n_b -> z = 0
+    assert out.u2 == 16 and out.z == 0.0 and not out.significant
+
+
+def test_mann_whitney_all_tied_sentinel(spark):
+    from pennsieve_streaming_spark.operators.analytics import mann_whitney
+
+    rows = [("a", 5.0)] * 3 + [("b", 5.0)] * 3
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    out = mann_whitney(ev).collect()[0]
+    # every value tied: var_u = 0 -> sentinel z
+    assert out.z == 0.0 and not out.significant
+
+
+def test_simpson_diversity_golden(spark):
+    from pennsieve_streaming_spark.operators.analytics import (
+        simpson_diversity,
+    )
+
+    # user 1: counts (3, 1) over 4 events -> lambda = (6+0)/12 = 0.5
+    # user 2: single event -> sentinel
+    rows = [(1, "x")] * 3 + [(1, "y")] + [(2, "x")]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {r.user_id: r for r in simpson_diversity(ev).collect()}
+    assert out[1].simpson == 0.5 and out[1].gini_simpson == 0.5
+    assert out[1].top_share == 0.75 and out[1].n_types == 2
+    assert out[2].simpson == 0.0 and out[2].gini_simpson == 0.0
+    assert out[2].top_share == 1.0
