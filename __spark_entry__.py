@@ -4971,6 +4971,53 @@ def q_simpson_diversity(spark, sf_dir):
     return simpson_diversity(_user_events(spark, sf_dir))
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher quality-signal panel per doc: word-count/mean-word-
+    length bands, symbol/bullet/ellipsis ratios, alpha-word floor,
+    stopword rule — every rule an exact integer cross-multiplication,
+    composed keep flag."""
+    from pennsieve_streaming_spark.llm.curation import (
+        gopher_quality_filters,
+    )
+
+    return gopher_quality_filters(_docs(spark, sf_dir))
+
+
+def q_lexical_diversity(spark, sf_dir):
+    """Lexical-diversity panel per doc: TTR, root TTR, Herdan's C,
+    Maas a² from exact token/type counts — the length-corrected
+    vocabulary-richness signals beside doc_heaps_law."""
+    from pennsieve_streaming_spark.llm.text import lexical_diversity
+
+    return lexical_diversity(_docs(spark, sf_dir))
+
+
+def q_intrinsic_dim(spark, sf_dir):
+    """TwoNN intrinsic-dimension estimate over the probe set: μ =
+    d₂/d₁ angular-distance ratios from the gated exact top-k,
+    nano-nat ln MLE — how much of the ambient dimension the corpus
+    actually uses."""
+    from pennsieve_streaming_spark.llm.similarity import (
+        twonn_intrinsic_dim,
+    )
+
+    embs = _embs(spark, sf_dir)
+    return twonn_intrinsic_dim(embs, embs.filter(F.col("vec_id") < 20))
+
+
+def q_knn_assortativity(spark, sf_dir):
+    """In-degree assortativity of the gated kNN graph: exact degree
+    moments, one Pearson finish — the hub-structure health readout
+    for graph-ANN routing."""
+    from pennsieve_streaming_spark.llm.similarity import (
+        knn_degree_assortativity,
+    )
+
+    embs = _embs(spark, sf_dir)
+    edges = lsh_bucketed_ann(embs, embs, k=3, broadcast_queries=False)
+    return knn_degree_assortativity(edges)
+
+
 # Round-8 rotation: the driver's correctness gate samples the FIRST 50
 # registry entries. Positions 1-44 are every registry query the driver
 # has never sampled (the 12-query r6 tail past r7's top-50 cut + the 32
@@ -5060,6 +5107,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # longest-stable ts-core queries last. Keep new work at the top.
     q = {
         # round-8 wave-5 additions (newest first)
+        "doc_gopher_quality": q_gopher_quality,
+        "doc_lexical_diversity": q_lexical_diversity,
+        "emb_intrinsic_dim": q_intrinsic_dim,
+        "emb_knn_assortativity": q_knn_assortativity,
         "ts_mann_kendall": q_mann_kendall,
         "ts_benford": q_benford,
         "ts_cointegration": q_cointegration,
@@ -16306,6 +16357,188 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(top_c AS DOUBLE) / CAST(n_events AS DOUBLE), 9)
                  AS top_share
         FROM g
+        """
+
+    from pennsieve_streaming_spark.llm.curation import (
+        GOPHER_MAX_MEAN_WL as _GP_MAXWL,
+        GOPHER_MAX_WORDS as _GP_MAXW,
+        GOPHER_MIN_MEAN_WL as _GP_MINWL,
+        GOPHER_MIN_WORDS as _GP_MINW,
+        GOPHER_STOPWORDS as _GP_STOPS,
+    )
+
+    _gp_stop_arr = ", ".join(f"'{s}'" for s in _GP_STOPS)
+    _gp_rules = {
+        "wc_ok": f"n_words >= {_GP_MINW} AND n_words <= {_GP_MAXW}",
+        "mwl_ok": (
+            f"n_words > 0 AND {_GP_MINWL} * n_words <= _wl "
+            f"AND _wl <= {_GP_MAXWL} * n_words"
+        ),
+        "symbol_ok": "n_words > 0 AND 10 * n_symbols <= n_words",
+        "bullet_ok": "10 * n_bullet_lines <= 9 * n_lines",
+        "ellipsis_ok": "10 * n_ellipsis_lines <= 3 * n_lines",
+        "alpha_ok": "n_words > 0 AND 5 * n_alpha_words >= 4 * n_words",
+        "stop_ok": "n_stops_present >= 2",
+    }
+    _gp_keep = " AND ".join(f"({e})" for e in _gp_rules.values())
+    _gp_rule_cols = ",\n               ".join(
+        f"{e} AS {k}" for k, e in _gp_rules.items()
+    )
+    sql["doc_gopher_quality"] = f"""
+        WITH base AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\\s+') AS toks,
+                 string_split(text, chr(10)) AS lines,
+                 length(trim(text)) = 0 AS is_empty,
+                 text
+          FROM documents
+        ),
+        d AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN is_empty THEN 0 ELSE len(toks) END
+                   AS BIGINT) AS n_words,
+                 CAST(len(lines) AS BIGINT) AS n_lines,
+                 CAST(CASE WHEN is_empty THEN 0 ELSE
+                   list_reduce(list_prepend(0,
+                     list_transform(toks, t -> length(t))),
+                     (a, x) -> a + x) END AS BIGINT) AS _wl,
+                 CAST(len(regexp_extract_all(text, '#'))
+                   + len(regexp_extract_all(text, '\\.\\.\\.'))
+                   + len(regexp_extract_all(text, '…'))
+                   AS BIGINT) AS n_symbols,
+                 CAST(len(list_filter(lines, l -> trim(l) LIKE '-%'
+                   OR trim(l) LIKE '*%' OR trim(l) LIKE '•%'))
+                   AS BIGINT) AS n_bullet_lines,
+                 CAST(len(list_filter(lines, l -> trim(l) LIKE '%...'
+                   OR trim(l) LIKE '%…')) AS BIGINT)
+                   AS n_ellipsis_lines,
+                 CAST(CASE WHEN is_empty THEN 0 ELSE
+                   len(list_filter(toks, t ->
+                     regexp_matches(t, '[A-Za-z]'))) END AS BIGINT)
+                   AS n_alpha_words,
+                 CAST(CASE WHEN is_empty THEN 0 ELSE
+                   len(list_filter([{_gp_stop_arr}], s ->
+                     list_contains(list_transform(toks,
+                       t -> lower(t)), s))) END AS BIGINT)
+                   AS n_stops_present
+          FROM base
+        )
+        SELECT doc_id, n_words, n_lines,
+               CASE WHEN n_words > 0 THEN
+                 round(CAST(_wl AS DOUBLE) / CAST(n_words AS DOUBLE), 9)
+               ELSE 0e0 END AS mean_word_len,
+               n_symbols, n_bullet_lines, n_ellipsis_lines,
+               n_alpha_words, n_stops_present,
+               {_gp_rule_cols},
+               {_gp_keep} AS keep
+        FROM d
+        """
+
+    sql["doc_lexical_diversity"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 list_transform(
+                   regexp_split_to_array(trim(text), '\\s+'),
+                   t -> lower(t)) AS toks,
+                 length(trim(text)) = 0 AS is_empty
+          FROM documents
+        ),
+        d AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN is_empty THEN 0 ELSE len(toks) END
+                   AS BIGINT) AS n_tokens,
+                 CAST(CASE WHEN is_empty THEN 0 ELSE
+                   len(list_distinct(toks)) END AS BIGINT) AS n_types
+          FROM base
+        )
+        SELECT doc_id, n_tokens, n_types,
+               CASE WHEN n_tokens > 0 THEN round(CAST(n_types AS DOUBLE)
+                 / CAST(n_tokens AS DOUBLE), 9) ELSE 0e0 END AS ttr,
+               CASE WHEN n_tokens > 0 THEN round(CAST(n_types AS DOUBLE)
+                 / sqrt(CAST(n_tokens AS DOUBLE)), 9) ELSE 0e0 END
+                 AS rttr,
+               CASE WHEN n_tokens > 1 THEN
+                 round(ln(CAST(n_types AS DOUBLE))
+                 / ln(CAST(n_tokens AS DOUBLE)), 9) ELSE 0e0 END
+                 AS herdan_c,
+               CASE WHEN n_tokens > 1 THEN
+                 round((ln(CAST(n_tokens AS DOUBLE))
+                 - ln(CAST(n_types AS DOUBLE)))
+                 / (ln(CAST(n_tokens AS DOUBLE))
+                 * ln(CAST(n_tokens AS DOUBLE))), 9) ELSE 0e0 END
+                 AS maas_a2
+        FROM d
+        """
+
+    from pennsieve_streaming_spark.llm.similarity import (
+        ASSORT_R as _AS_R,
+        TWONN_ID as _TW_ID,
+        TWONN_LNQ as _TW_LNQ,
+        TWONN_MU as _TW_MU,
+        TWONN_VALID as _TW_V,
+    )
+
+    assert "WHERE rank <= 5" in sql["emb_cosine_topk"]
+    _tw_top2 = sql["emb_cosine_topk"].replace(
+        "WHERE rank <= 5", "WHERE rank <= 2"
+    )
+    sql["emb_intrinsic_dim"] = f"""
+        WITH tk AS ({_tw_top2}),
+        piv AS (
+          SELECT query_id,
+                 MAX(CASE WHEN rank = 1 THEN neighbor_id END) AS nn1_id,
+                 MAX(CASE WHEN rank = 2 THEN neighbor_id END) AS nn2_id,
+                 MAX(CASE WHEN rank = 1 THEN cosine END) AS cos1,
+                 MAX(CASE WHEN rank = 2 THEN cosine END) AS cos2
+          FROM tk GROUP BY query_id
+        ),
+        v AS (
+          SELECT query_id AS vec_id, nn1_id, nn2_id,
+                 {_TW_MU} AS mu,
+                 {_TW_LNQ} AS _lnq,
+                 {_TW_V} AS _isv
+          FROM piv WHERE nn2_id IS NOT NULL
+        ),
+        tot AS (
+          SELECT CAST(SUM(_isv) AS BIGINT) AS n_valid,
+                 CAST(SUM(_lnq) AS BIGINT) AS sum_lnq
+          FROM v
+        )
+        SELECT vec_id, nn1_id, nn2_id, mu, {_TW_ID} AS id_twonn
+        FROM v CROSS JOIN tot
+        """
+
+    sql["emb_knn_assortativity"] = f"""
+        WITH e AS (
+          SELECT query_id AS src, neighbor_id AS dst
+          FROM ({sql["emb_knn_graph"]})
+        ),
+        indeg AS (
+          SELECT dst, CAST(COUNT(*) AS BIGINT) AS indeg
+          FROM e GROUP BY dst
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        deg AS (
+          SELECT node, coalesce(indeg, CAST(0 AS BIGINT)) AS d
+          FROM nodes LEFT JOIN indeg ON node = indeg.dst
+        ),
+        x AS (
+          SELECT dx.d AS xd, dy.d AS yd
+          FROM e JOIN deg dx ON e.src = dx.node
+                 JOIN deg dy ON e.dst = dy.node
+        ),
+        g AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+                 CAST(SUM(xd) AS BIGINT) AS sx,
+                 CAST(SUM(yd) AS BIGINT) AS sy,
+                 SUM(CAST(xd AS DECIMAL(38,0)) * yd) AS sxy,
+                 SUM(CAST(xd AS DECIMAL(38,0)) * xd) AS sxx,
+                 SUM(CAST(yd AS DECIMAL(38,0)) * yd) AS syy
+          FROM x
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes)
+        SELECT n_edges, n_nodes, {_AS_R} AS assortativity
+        FROM g CROSS JOIN nn
         """
 
     return sql

@@ -1728,3 +1728,118 @@ def c4_line_filters(documents: DataFrame) -> DataFrame:
             f"ELSE 0e0 END"
         ).alias("terminal_share"),
     )
+
+
+# Gopher quality-rule literals (Rae et al. 2021 §A1.1 — the
+# quality-signal subset; the repetition subset is doc_repetition).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WL = 3          # mean word length bounds (exact
+GOPHER_MAX_MEAN_WL = 10         # cross-multiplied — no float compare)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_filters(documents: DataFrame) -> DataFrame:
+    """Gopher-style quality-signal panel per document (Rae et al.
+    2021, MassiveText rules): word-count bounds, mean-word-length
+    band, symbol-to-word ratio, bullet/ellipsis line shares, the
+    alphabetic-word floor and the ≥2-stopwords rule, composed into
+    one keep flag — the document-level complement of
+    doc_c4_filters' line rules and doc_repetition's duplication
+    gates.
+
+    Determinism: every rule decision is an EXACT integer
+    cross-multiplication (no float thresholds anywhere — e.g. mean
+    word length ∈ [3,10] tests 3·n ≤ Σlen ≤ 10·n); the two reported
+    ratios are single fixed divisions rounded to 9 dp with 0.0
+    sentinels on empty docs.
+
+    Output: (doc_id, n_words, n_lines, mean_word_len, n_symbols,
+    n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stops_present,
+    wc_ok, mwl_ok, symbol_ok, bullet_ok, ellipsis_ok, alpha_ok,
+    stop_ok, keep).
+
+    Plan / 100 TB: one narrow per-doc map (array expressions, no
+    explode, no join, no shuffle) — one output row per document.
+    """
+    toks = "split(trim(text), '\\\\s+')"
+    lines = "split(text, '\\n')"
+    empty = "length(trim(text)) = 0"
+    n_words = f"CASE WHEN {empty} THEN 0 ELSE size({toks}) END"
+    wl_sum = (
+        f"CASE WHEN {empty} THEN 0 ELSE "
+        f"aggregate(transform({toks}, t -> length(t)), 0, "
+        f"(a, x) -> a + x) END"
+    )
+    n_lines = f"size({lines})"
+    n_sym = (
+        "regexp_count(text, '#') + regexp_count(text, '\\\\.\\\\.\\\\.') "
+        "+ regexp_count(text, '…')"
+    )
+    n_bullet = (
+        f"size(filter({lines}, l -> trim(l) LIKE '-%' "
+        f"OR trim(l) LIKE '*%' OR trim(l) LIKE '•%'))"
+    )
+    n_ell = (
+        f"size(filter({lines}, l -> trim(l) LIKE '%...' "
+        f"OR trim(l) LIKE '%…'))"
+    )
+    n_alpha = (
+        f"CASE WHEN {empty} THEN 0 ELSE "
+        f"size(filter({toks}, t -> t RLIKE '[A-Za-z]')) END"
+    )
+    stop_arr = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    n_stops = (
+        f"CASE WHEN {empty} THEN 0 ELSE "
+        f"size(filter(array({stop_arr}), s -> "
+        f"array_contains(transform({toks}, t -> lower(t)), s))) END"
+    )
+    d = documents.select(
+        "doc_id",
+        F.expr(n_words).cast("long").alias("n_words"),
+        F.expr(n_lines).cast("long").alias("n_lines"),
+        F.expr(wl_sum).cast("long").alias("_wl"),
+        F.expr(n_sym).cast("long").alias("n_symbols"),
+        F.expr(n_bullet).cast("long").alias("n_bullet_lines"),
+        F.expr(n_ell).cast("long").alias("n_ellipsis_lines"),
+        F.expr(n_alpha).cast("long").alias("n_alpha_words"),
+        F.expr(n_stops).cast("long").alias("n_stops_present"),
+    )
+    rules = {
+        "wc_ok": (
+            f"n_words >= {GOPHER_MIN_WORDS} "
+            f"AND n_words <= {GOPHER_MAX_WORDS}"
+        ),
+        # 3 <= _wl/n <= 10, exactly
+        "mwl_ok": (
+            f"n_words > 0 AND {GOPHER_MIN_MEAN_WL} * n_words <= _wl "
+            f"AND _wl <= {GOPHER_MAX_MEAN_WL} * n_words"
+        ),
+        # symbol-to-word ratio <= 0.1
+        "symbol_ok": "n_words > 0 AND 10 * n_symbols <= n_words",
+        # <= 90% of lines bulleted
+        "bullet_ok": "10 * n_bullet_lines <= 9 * n_lines",
+        # <= 30% of lines end in ellipsis
+        "ellipsis_ok": "10 * n_ellipsis_lines <= 3 * n_lines",
+        # >= 80% of words contain an alphabetic character
+        "alpha_ok": "n_words > 0 AND 5 * n_alpha_words >= 4 * n_words",
+        "stop_ok": "n_stops_present >= 2",
+    }
+    keep = " AND ".join(f"({e})" for e in rules.values())
+    return d.select(
+        "doc_id",
+        "n_words",
+        "n_lines",
+        F.expr(
+            "CASE WHEN n_words > 0 THEN "
+            "round(CAST(_wl AS DOUBLE) / CAST(n_words AS DOUBLE), 9) "
+            "ELSE 0e0 END"
+        ).alias("mean_word_len"),
+        "n_symbols",
+        "n_bullet_lines",
+        "n_ellipsis_lines",
+        "n_alpha_words",
+        "n_stops_present",
+        *[F.expr(e).alias(k) for k, e in rules.items()],
+        F.expr(keep).alias("keep"),
+    )

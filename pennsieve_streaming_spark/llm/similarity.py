@@ -2015,3 +2015,171 @@ def assign_margin(
             ),
         )
     )
+
+
+# TwoNN shared expression text (imported by the oracle so both engines
+# evaluate the IDENTICAL fixed expression tree). mu uses the ROUNDED
+# ratio so the nano-nat ln consumes bit-identical doubles.
+TWONN_MU = (
+    "CASE WHEN (1e0 - cos1) > 0e0 "
+    "THEN round((1e0 - cos2) / (1e0 - cos1), 9) ELSE 0e0 END"
+)
+TWONN_LNQ = (
+    f"CASE WHEN (1e0 - cos1) > 0e0 AND ({TWONN_MU}) > 0e0 "
+    f"THEN CAST(round(ln({TWONN_MU}) * 1000000000) AS BIGINT) "
+    f"ELSE CAST(0 AS BIGINT) END"
+)
+TWONN_VALID = f"CASE WHEN (1e0 - cos1) > 0e0 THEN 1 ELSE 0 END"
+TWONN_ID = (
+    "CASE WHEN sum_lnq > 0 THEN "
+    "round(CAST(n_valid AS DOUBLE) * 1000000000e0 "
+    "/ CAST(sum_lnq AS DOUBLE), 9) ELSE 0e0 END"
+)
+
+
+def twonn_intrinsic_dim(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017) over the
+    probe set: per probe the ratio μ = d₂/d₁ of its two nearest
+    angular distances (d = 1 − cosine), and the corpus-level MLE
+    id = n / Σ ln μ — the manifold-dimension readout that says how
+    much of the ambient embedding dimension the data actually uses
+    (the eval beside emb_jl_distortion's compression error).
+
+    Determinism: the two neighbors come from the gated exact top-k
+    (total order cosine DESC, neighbor_id); μ is a fixed ratio of
+    bit-identical doubles rounded to 9 dp; each ln μ is 1e9-quantized
+    to BIGINT (nano-nat class) so the MLE sum is exact, finished by
+    one division rounded to 9 dp. Probes with d₁ = 0 (an exact
+    duplicate neighbor) report the 0.0 μ sentinel and are excluded
+    from the MLE count.
+
+    Output: (vec_id, nn1_id, nn2_id, mu, id_twonn) — id_twonn is the
+    corpus-level estimate repeated per probe row (single-row
+    aggregates are awkward surfaces; the repetition is exact).
+
+    Plan / 100 TB: the cosine_topk shape (broadcast probes, corpus
+    never shuffles, partial top-k) + one |probes|-row pivot and a
+    1-row broadcast join back.
+    """
+    tk = cosine_topk(embeddings, queries, k=2, id_col=id_col, vec_col=vec_col)
+    piv = (
+        tk.groupBy("query_id")
+        .agg(
+            F.max(
+                F.expr("CASE WHEN rank = 1 THEN neighbor_id END")
+            ).alias("nn1_id"),
+            F.max(
+                F.expr("CASE WHEN rank = 2 THEN neighbor_id END")
+            ).alias("nn2_id"),
+            F.max(F.expr("CASE WHEN rank = 1 THEN cosine END")).alias(
+                "cos1"
+            ),
+            F.max(F.expr("CASE WHEN rank = 2 THEN cosine END")).alias(
+                "cos2"
+            ),
+        )
+        .filter(F.col("nn2_id").isNotNull())
+    )
+    v = piv.select(
+        F.col("query_id").alias("vec_id"),
+        "nn1_id",
+        "nn2_id",
+        F.expr(TWONN_MU).alias("mu"),
+        F.expr(TWONN_LNQ).alias("_lnq"),
+        F.expr(TWONN_VALID).alias("_isv"),
+    )
+    tot = v.agg(
+        F.sum("_isv").cast("long").alias("n_valid"),
+        F.sum("_lnq").cast("long").alias("sum_lnq"),
+    )
+    return v.crossJoin(F.broadcast(tot)).select(
+        "vec_id",
+        "nn1_id",
+        "nn2_id",
+        "mu",
+        F.expr(TWONN_ID).alias("id_twonn"),
+    )
+
+
+# Degree-assortativity shared expression text (the _corr_r family).
+ASSORT_POS = (
+    "(CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0 AND "
+    "(CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE) "
+    "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0"
+)
+ASSORT_R = (
+    f"CASE WHEN {ASSORT_POS} THEN round("
+    "(CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+    "(sqrt(CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+    "* sqrt(CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE) "
+    "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) "
+    "ELSE 0e0 END"
+)
+
+
+def knn_degree_assortativity(edges: DataFrame) -> DataFrame:
+    """In-degree assortativity of a directed kNN graph: the Pearson
+    correlation between source and target IN-degrees across edges
+    (Newman 2002). Out-degree is the constant k in a kNN graph, so
+    in-degree — how often a vector is CHOSEN as a neighbor — carries
+    the structure: r > 0 means hubs point at hubs (a hub-clique
+    pathology for graph-ANN routing), r < 0 means hubs absorb the
+    periphery.
+
+    ``edges`` is any (query_id, neighbor_id) edge list — here the
+    gated emb_knn_graph output. Degrees are exact counts (vectors
+    never chosen have in-degree 0 via the left join); the moments are
+    exact BIGINT/DECIMAL(38,0) folds; r is the shared ASSORT_R fixed
+    finish rounded to 9 dp (degenerate variance reports the 0.0
+    sentinel).
+
+    Output: one row (n_edges, n_nodes, assortativity).
+
+    Plan / 100 TB: one partial-agg in-degree rollup, two broadcast
+    degree joins onto the edge list, one global fold — no windows,
+    no quadratic.
+    """
+    e = edges.select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    e = pin(e)
+    indeg = e.groupBy("dst").agg(
+        F.count(F.lit(1)).cast("long").alias("indeg")
+    )
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    deg = nodes.join(
+        indeg.withColumnRenamed("dst", "node"), "node", "left"
+    ).select("node", F.expr("coalesce(indeg, CAST(0 AS BIGINT))").alias("d"))
+    # NO broadcast hint on the degree joins: deg is |nodes|-sized (a
+    # corpus-scale table at 100 TB) — plain equi-joins let AQE pick
+    # broadcast only while the side is actually small (the
+    # emb_knn_graph / ADVICE-r7 rule).
+    x = e.join(
+        deg.select(F.col("node").alias("src"), F.col("d").alias("xd")),
+        "src",
+    ).join(
+        deg.select(F.col("node").alias("dst"), F.col("d").alias("yd")),
+        "dst",
+    )
+    g = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("xd").cast("long").alias("sx"),
+        F.sum("yd").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(xd AS DECIMAL(38,0)) * yd")).alias("sxy"),
+        F.sum(F.expr("CAST(xd AS DECIMAL(38,0)) * xd")).alias("sxx"),
+        F.sum(F.expr("CAST(yd AS DECIMAL(38,0)) * yd")).alias("syy"),
+    )
+    n_nodes = nodes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    return g.crossJoin(F.broadcast(n_nodes)).select(
+        "n_edges", "n_nodes", F.expr(ASSORT_R).alias("assortativity")
+    )

@@ -1516,3 +1516,61 @@ def ngram_entropy(documents: DataFrame) -> DataFrame:
             ).alias("entropy_nats"),
         )
     )
+
+
+def lexical_diversity(documents: DataFrame) -> DataFrame:
+    """Per-document lexical-diversity panel: type-token ratio, root
+    TTR (Guiraud 1954), Herdan's C = ln V / ln N and Maas a² =
+    (ln N − ln V)/ln²N — the vocabulary-richness signals curation
+    pipelines read beside doc_heaps_law's corpus-level exponent (TTR
+    is length-biased; Herdan/Maas correct for it).
+
+    Determinism: token/type counts are exact integers (lowercased
+    whitespace tokens, distinct-set types); TTR/RTTR are single fixed
+    division/sqrt finishes; the two log-based indices round to 9 dp
+    in both engines (the codebase's transcendental-finish rule).
+    Docs with < 2 tokens report 0.0 sentinels on the log indices
+    (ln N = 0 denominator).
+
+    Output: (doc_id, n_tokens, n_types, ttr, rttr, herdan_c, maas_a2).
+
+    Plan / 100 TB: one narrow per-doc map — array expressions only,
+    no explode, no shuffle.
+    """
+    toks = "transform(split(trim(text), '\\\\s+'), t -> lower(t))"
+    empty = "length(trim(text)) = 0"
+    n_tok = f"CASE WHEN {empty} THEN 0 ELSE size({toks}) END"
+    n_typ = (
+        f"CASE WHEN {empty} THEN 0 ELSE "
+        f"size(array_distinct({toks})) END"
+    )
+    d = documents.select(
+        "doc_id",
+        F.expr(n_tok).cast("long").alias("n_tokens"),
+        F.expr(n_typ).cast("long").alias("n_types"),
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN round(CAST(n_types AS DOUBLE) "
+            "/ CAST(n_tokens AS DOUBLE), 9) ELSE 0e0 END"
+        ).alias("ttr"),
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN round(CAST(n_types AS DOUBLE) "
+            "/ sqrt(CAST(n_tokens AS DOUBLE)), 9) ELSE 0e0 END"
+        ).alias("rttr"),
+        F.expr(
+            "CASE WHEN n_tokens > 1 THEN "
+            "round(ln(CAST(n_types AS DOUBLE)) "
+            "/ ln(CAST(n_tokens AS DOUBLE)), 9) ELSE 0e0 END"
+        ).alias("herdan_c"),
+        F.expr(
+            "CASE WHEN n_tokens > 1 THEN "
+            "round((ln(CAST(n_tokens AS DOUBLE)) "
+            "- ln(CAST(n_types AS DOUBLE))) "
+            "/ (ln(CAST(n_tokens AS DOUBLE)) "
+            "* ln(CAST(n_tokens AS DOUBLE))), 9) ELSE 0e0 END"
+        ).alias("maas_a2"),
+    )

@@ -155,3 +155,177 @@ def test_simpson_diversity_golden(spark):
     assert out[1].top_share == 0.75 and out[1].n_types == 2
     assert out[2].simpson == 0.0 and out[2].gini_simpson == 0.0
     assert out[2].top_share == 1.0
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_gopher_quality_rules(spark):
+    from pennsieve_streaming_spark.llm.curation import (
+        gopher_quality_filters,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs "
+        "away with great speed that nobody can have imagined before "
+        "because it was truly the fastest fox of all time in this "
+        "forest and everyone知 knew that fact very well indeed so "
+        "they said"
+    )
+    # pad to >= 50 words
+    good = good + " more words" * 10
+    bullety = "- a\n- b\n- c"
+    out = {
+        r.doc_id: r
+        for r in gopher_quality_filters(
+            _docs_df(spark, [good, bullety, ""])
+        ).collect()
+    }
+    g = out[0]
+    assert g.wc_ok and g.alpha_ok and g.stop_ok
+    assert g.n_stops_present >= 2
+    b = out[1]
+    assert b.n_bullet_lines == 3 and not b.bullet_ok
+    assert not b.wc_ok
+    e = out[2]
+    assert e.n_words == 0 and not e.keep and e.mean_word_len == 0.0
+
+
+def test_gopher_mean_word_length_band(spark):
+    from pennsieve_streaming_spark.llm.curation import (
+        gopher_quality_filters,
+    )
+
+    # mean word length 2 (< 3): "ab" x 60
+    short = " ".join(["ab"] * 60)
+    # mean word length 11 (> 10)
+    long_ = " ".join(["abcdefghijk"] * 60)
+    out = {
+        r.doc_id: r
+        for r in gopher_quality_filters(
+            _docs_df(spark, [short, long_])
+        ).collect()
+    }
+    assert not out[0].mwl_ok and out[0].mean_word_len == 2.0
+    assert not out[1].mwl_ok and out[1].mean_word_len == 11.0
+
+
+def test_lexical_diversity_golden(spark):
+    import math
+
+    from pennsieve_streaming_spark.llm.text import lexical_diversity
+
+    out = {
+        r.doc_id: r
+        for r in lexical_diversity(
+            _docs_df(spark, ["a b a b A", "x", ""])
+        ).collect()
+    }
+    d = out[0]  # 5 tokens, 2 types (lowercased)
+    assert d.n_tokens == 5 and d.n_types == 2
+    assert d.ttr == 0.4
+    assert d.rttr == round(2 / math.sqrt(5), 9)
+    assert d.herdan_c == round(math.log(2) / math.log(5), 9)
+    assert d.maas_a2 == round(
+        (math.log(5) - math.log(2)) / (math.log(5) ** 2), 9
+    )
+    # single token: log sentinels
+    assert out[1].herdan_c == 0.0 and out[1].maas_a2 == 0.0
+    assert out[2].n_tokens == 0 and out[2].ttr == 0.0
+
+
+def test_twonn_golden(spark):
+    from pennsieve_streaming_spark.llm.similarity import (
+        twonn_intrinsic_dim,
+    )
+
+    # 2-D corpus engineered so probe 0's two nearest angular
+    # distances are hand-computable
+    import math
+
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [math.cos(0.1), math.sin(0.1)]),
+        (2, [math.cos(0.3), math.sin(0.3)]),
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    )
+    out = {
+        r.vec_id: r
+        for r in twonn_intrinsic_dim(
+            df, df.filter(F.col("vec_id") < 2)
+        ).collect()
+    }
+    p0 = out[0]
+    assert p0.nn1_id == 1 and p0.nn2_id == 2
+    d1 = 1.0 - math.cos(0.1)
+    d2 = 1.0 - math.cos(0.3)
+    assert p0.mu == round(d2 / d1, 9)
+    assert p0.id_twonn > 0.0
+    # both probes carry the same corpus-level estimate
+    assert out[0].id_twonn == out[1].id_twonn
+
+
+def test_twonn_duplicate_sentinel(spark):
+    from pennsieve_streaming_spark.llm.similarity import (
+        twonn_intrinsic_dim,
+    )
+
+    # probe 0 has an exact duplicate (d1 = 0) -> mu sentinel, excluded
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),
+        (2, [0.6, 0.8]),
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    )
+    out = twonn_intrinsic_dim(df, df.filter(F.col("vec_id") == 0)).collect()
+    assert len(out) == 1 and out[0].mu == 0.0 and out[0].id_twonn == 0.0
+
+
+def test_knn_assortativity_golden(spark):
+    from pennsieve_streaming_spark.llm.similarity import (
+        knn_degree_assortativity,
+    )
+
+    # star graph: 1,2,3 all point at 0 (and 0 points at 1).
+    # in-degrees: 0 -> 3, 1 -> 1, 2,3 -> 0
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (0, 1)],
+        "query_id long, neighbor_id long",
+    )
+    out = knn_degree_assortativity(edges).collect()[0]
+    assert out.n_edges == 4 and out.n_nodes == 4
+    # hand Pearson over (x=indeg src, y=indeg dst):
+    # pairs (1,3),(0,3),(0,3),(3,1)
+    import math
+
+    xs, ys = [1, 0, 0, 3], [3, 3, 3, 1]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    r = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    assert out.assortativity == round(r, 9)
+
+
+def test_knn_assortativity_degenerate_sentinel(spark):
+    from pennsieve_streaming_spark.llm.similarity import (
+        knn_degree_assortativity,
+    )
+
+    # 2-cycle: both in-degrees 1 -> zero variance -> 0.0 sentinel
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0)], "query_id long, neighbor_id long"
+    )
+    out = knn_degree_assortativity(edges).collect()[0]
+    assert out.assortativity == 0.0
