@@ -5018,6 +5018,83 @@ def q_knn_assortativity(spark, sf_dir):
     return knn_degree_assortativity(edges)
 
 
+def q_image_orientation(spark, sf_dir):
+    """Integer-Sobel edge-orientation octant histogram per media item
+    over the synthetic luminance field (REAL kernel, no atan2
+    anywhere) — the texture-anisotropy readout beside
+    mm_image_edges' density."""
+    from pennsieve_streaming_spark.llm.imagehash import (
+        edge_orientation_synthetic,
+    )
+
+    return edge_orientation_synthetic(_docs(spark, sf_dir))
+
+
+def q_dynamic_range(spark, sf_dir):
+    """Loudness-range macro-dynamics of the lead audio channel: p95/
+    p10 frame-energy order statistics (exact integers), one log10 dB
+    finish — the compression detector beside ts_crest_factor."""
+    from pennsieve_streaming_spark.dsp.spectral import dynamic_range
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        F.col("channel") == "lead"
+    )
+    return dynamic_range(s, frame=64, quant=1)
+
+
+def q_records(spark, sf_dir):
+    """Running-record counts per channel (records theory: i.i.d. sets
+    ~ln n records, trends set Θ(n)) — the distribution-free trend
+    screen beside ts_mann_kendall."""
+    from pennsieve_streaming_spark.operators.stats import record_counts
+
+    return record_counts(TBL.samples_view(spark, sf_dir), CORR_QUANT)
+
+
+def q_stream_kmv(spark, sf_dir):
+    """Streaming KMV bottom-k distinct sketch over the user feed:
+    order-independent min-k state (the circadian commutativity
+    class), md5-prefix hashes, the (k−1)/R_k estimator — drained
+    snapshot bit-identical to the batch SQL, so the batch oracle
+    gates the STREAMING operator."""
+    import tempfile
+
+    from pennsieve_streaming_spark.streaming.kmv import (
+        KMV_EST,
+        kmv_stream,
+    )
+
+    ev = _user_events(spark, sf_dir).select("user_id")
+    base = tempfile.mkdtemp(prefix="pss_stream_kmv_")
+    src = f"{base}/src"
+    ev.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("user_id long").parquet(src)
+    q = (
+        kmv_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(f"{base}/out")
+    mx = out.agg(F.max("n_seen").alias("_mx"))
+    last = out.crossJoin(F.broadcast(mx)).filter(
+        F.col("n_seen") == F.col("_mx")
+    )
+    m = last.agg(
+        F.max("h").cast("long").alias("hk"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    return last.crossJoin(F.broadcast(m)).select(
+        "rank",
+        "h",
+        "n_kept",
+        F.expr(KMV_EST).alias("est_distinct"),
+    )
+
+
 # Round-8 rotation: the driver's correctness gate samples the FIRST 50
 # registry entries. Positions 1-44 are every registry query the driver
 # has never sampled (the 12-query r6 tail past r7's top-50 cut + the 32
@@ -5107,6 +5184,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # longest-stable ts-core queries last. Keep new work at the top.
     q = {
         # round-8 wave-5 additions (newest first)
+        "mm_image_orientation": q_image_orientation,
+        "mm_audio_dynamic_range": q_dynamic_range,
+        "ts_records": q_records,
+        "stream_kmv_distinct": q_stream_kmv,
         "doc_gopher_quality": q_gopher_quality,
         "doc_lexical_diversity": q_lexical_diversity,
         "emb_intrinsic_dim": q_intrinsic_dim,
@@ -16539,6 +16620,152 @@ def oracle_sql() -> dict[str, str]:
         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes)
         SELECT n_edges, n_nodes, {_AS_R} AS assortativity
         FROM g CROSS JOIN nn
+        """
+
+    from pennsieve_streaming_spark.llm.imagehash import (
+        orientation_case_sql as _ocase,
+    )
+
+    def _ov(di: int, dj: int) -> str:
+        return (
+            f"((doc_id * {_IH_A} + (i + {di}) * {_IH_B} "
+            f"+ (j + {dj}) * {_IH_C}) % {_IH_M})"
+        )
+
+    _ogx = (
+        f"({_ov(-1, 1)} + 2 * {_ov(0, 1)} + {_ov(1, 1)}) "
+        f"- ({_ov(-1, -1)} + 2 * {_ov(0, -1)} + {_ov(1, -1)})"
+    )
+    _ogy = (
+        f"({_ov(1, -1)} + 2 * {_ov(1, 0)} + {_ov(1, 1)}) "
+        f"- ({_ov(-1, -1)} + 2 * {_ov(-1, 0)} + {_ov(-1, 1)})"
+    )
+    _o_interior = (_IH_H - 2) * (_IH_W - 2)
+    sql["mm_image_orientation"] = f"""
+        WITH px AS (
+          SELECT doc_id, {_ogx} AS gx, {_ogy} AS gy
+          FROM documents,
+               UNNEST(generate_series(1, {_IH_H - 2})) AS ti(i),
+               UNNEST(generate_series(1, {_IH_W - 2})) AS tj(j)
+        ),
+        o AS (
+          SELECT doc_id, {_ocase("gx", "gy")} AS octant FROM px
+        )
+        SELECT doc_id AS media_id, CAST(octant AS BIGINT) AS octant,
+               CAST(COUNT(*) AS BIGINT) AS n_px,
+               round(CAST(COUNT(*) AS DOUBLE) / {_o_interior}e0, 9)
+                 AS share
+        FROM o GROUP BY doc_id, octant
+        """
+
+    sql["mm_audio_dynamic_range"] = with_views(
+        """
+        WITH s AS (
+          SELECT channel, ts, value,
+                 CAST(round(value * 1) AS BIGINT) AS xq
+          FROM samples_aligned WHERE channel = 'lead'
+        ),
+        r AS (
+          SELECT channel,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                     ORDER BY ts, value) - 1 AS _rn,
+                 xq
+          FROM s
+        ),
+        fr AS (
+          SELECT channel, _rn // 64 AS win, COUNT(*) AS _n,
+                 CAST(SUM(xq * xq) AS BIGINT) AS e
+          FROM r GROUP BY channel, _rn // 64
+        ),
+        f2 AS (SELECT channel, win, e FROM fr WHERE _n = 64),
+        cnt AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_frames
+          FROM f2 GROUP BY channel
+        ),
+        pk AS (
+          SELECT f2.channel, n_frames, e,
+                 ROW_NUMBER() OVER (PARTITION BY f2.channel
+                     ORDER BY e, win) AS _er
+          FROM f2 JOIN cnt ON f2.channel = cnt.channel
+        ),
+        g AS (
+          SELECT channel, n_frames,
+                 CAST(MAX(CASE WHEN _er = (10 * n_frames + 99) // 100
+                      THEN e END) AS BIGINT) AS e_p10,
+                 CAST(MAX(CASE WHEN _er = (95 * n_frames + 99) // 100
+                      THEN e END) AS BIGINT) AS e_p95
+          FROM pk
+          WHERE _er = (10 * n_frames + 99) // 100
+             OR _er = (95 * n_frames + 99) // 100
+          GROUP BY channel, n_frames
+        )
+        SELECT channel, n_frames, e_p10, e_p95,
+               CASE WHEN e_p10 > 0 THEN
+                 round(10e0 * log10(CAST(e_p95 AS DOUBLE)
+                 / CAST(e_p10 AS DOUBLE)), 9) ELSE 0e0 END AS dr_db
+        FROM g
+        """,
+        "samples_aligned",
+    )
+
+    sql["ts_records"] = with_views(
+        f"""
+        WITH s AS (
+          SELECT channel, ts, value,
+                 CAST(round(value * {CORR_QUANT}) AS BIGINT) AS xq
+          FROM samples
+        ),
+        m AS (
+          SELECT channel, ts, xq,
+                 MAX(xq) OVER w AS _pmax,
+                 MIN(xq) OVER w AS _pmin
+          FROM s
+          WINDOW w AS (PARTITION BY channel ORDER BY ts, value
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING)
+        )
+        SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(SUM(CASE WHEN _pmax IS NOT NULL AND xq > _pmax
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_record_highs,
+               CAST(SUM(CASE WHEN _pmin IS NOT NULL AND xq < _pmin
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_record_lows,
+               CAST(COALESCE(MAX(CASE WHEN _pmax IS NOT NULL
+                    AND xq > _pmax THEN ts END), -1) AS BIGINT)
+                 AS last_high_ts,
+               CAST(COALESCE(MAX(CASE WHEN _pmin IS NOT NULL
+                    AND xq < _pmin THEN ts END), -1) AS BIGINT)
+                 AS last_low_ts
+        FROM m GROUP BY channel
+        """,
+        "samples",
+    )
+
+    from pennsieve_streaming_spark.llm.hashing import (
+        md5_hash64_duck as _md5_duck,
+    )
+    from pennsieve_streaming_spark.streaming.kmv import (
+        KMV_EST as _KMV_EST,
+        KMV_K as _KMV_K,
+    )
+
+    sql["stream_kmv_distinct"] = f"""
+        WITH h AS (
+          SELECT DISTINCT {_md5_duck("CAST(user_id AS VARCHAR)")} AS h
+          FROM events
+        ),
+        kk AS (
+          SELECT rank, h FROM (
+            SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rank FROM h
+          ) WHERE rank <= {_KMV_K}
+        ),
+        m AS (
+          SELECT CAST(MAX(h) AS BIGINT) AS hk,
+                 CAST(COUNT(*) AS BIGINT) AS n_kept
+          FROM kk
+        )
+        SELECT CAST(rank AS BIGINT) AS rank, h, n_kept,
+               {_KMV_EST} AS est_distinct
+        FROM kk CROSS JOIN m
         """
 
     return sql

@@ -677,3 +677,104 @@ def image_entropy_synthetic(documents: DataFrame) -> DataFrame:
             ).alias("entropy_nats"),
         )
     )
+
+
+# --- edge orientation: integer-Sobel octant histogram ----------------
+#
+# The HOG-lite texture signature: bucket every interior pixel's Sobel
+# gradient into one of 8 octants using ONLY integer sign/magnitude
+# comparisons — no atan2, no floats — so the DuckDB oracle replays the
+# binning bit-for-bit from the closed-form synthetic field. Bucket -1
+# is the zero-gradient "flat" bin.
+#
+# The branch ORDER is the contract (first match wins); numpy and SQL
+# share it via orientation_case_sql / the np.select below.
+
+def orientation_case_sql(gx: str, gy: str) -> str:
+    """The shared octant CASE over integer gradient expressions."""
+    return (
+        f"CASE WHEN {gx} = 0 AND {gy} = 0 THEN -1 "
+        f"WHEN {gy} >= 0 AND {gx} > 0 AND {gx} > {gy} THEN 0 "
+        f"WHEN {gy} > 0 AND {gx} >= 0 THEN 1 "
+        f"WHEN {gy} > 0 AND {gx} < 0 AND {gy} > -({gx}) THEN 2 "
+        f"WHEN {gy} >= 0 AND {gx} < 0 THEN 3 "
+        f"WHEN {gy} < 0 AND {gx} < 0 AND -({gx}) >= -({gy}) THEN 4 "
+        f"WHEN {gy} < 0 AND {gx} <= 0 THEN 5 "
+        f"WHEN {gy} < 0 AND {gx} > 0 AND -({gy}) > {gx} THEN 6 "
+        f"ELSE 7 END"
+    )
+
+
+def edge_orientation_stats(gray: "np.ndarray") -> list[tuple[int, int]]:
+    """(octant, count) histogram of integer-Sobel orientations over
+    the interior pixels of one grayscale frame — the numpy twin of
+    :func:`orientation_case_sql` (same branch order via np.select)."""
+    g = np.asarray(gray, dtype=np.int64)
+    gx = (
+        (g[:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:])
+        - (g[:-2, :-2] + 2 * g[1:-1, :-2] + g[2:, :-2])
+    )
+    gy = (
+        (g[2:, :-2] + 2 * g[2:, 1:-1] + g[2:, 2:])
+        - (g[:-2, :-2] + 2 * g[:-2, 1:-1] + g[:-2, 2:])
+    )
+    conds = [
+        (gx == 0) & (gy == 0),
+        (gy >= 0) & (gx > 0) & (gx > gy),
+        (gy > 0) & (gx >= 0),
+        (gy > 0) & (gx < 0) & (gy > -gx),
+        (gy >= 0) & (gx < 0),
+        (gy < 0) & (gx < 0) & (-gx >= -gy),
+        (gy < 0) & (gx <= 0),
+        (gy < 0) & (gx > 0) & (-gy > gx),
+    ]
+    octs = np.select(conds, [-1, 0, 1, 2, 3, 4, 5, 6], default=7)
+    vals, counts = np.unique(octs, return_counts=True)
+    return [(int(v), int(c)) for v, c in zip(vals, counts)]
+
+
+def edge_orientation_synthetic(documents: DataFrame) -> DataFrame:
+    """(doc_id) → per-octant edge-orientation histogram over the
+    synthetic luminance field (REAL integer-Sobel kernel, closed-form
+    oracle): the texture-anisotropy readout beside mm_image_edges'
+    density — a natural image spreads mass over octants, a synthetic
+    gradient/scan-line artifact concentrates it.
+
+    Determinism: gradients and octants are pure integer arithmetic
+    (no atan2 anywhere); counts are exact; share is one fixed
+    division by the literal interior-pixel count rounded to 9 dp.
+
+    Output: (media_id, octant, n_px, share) — octant −1 is the flat
+    (zero-gradient) bin; absent octants emit no row.
+
+    Plan / 100 TB: narrow mapInPandas (≤9 rows/frame out), one
+    groupBy-free projection — the decode parallelism IS the scan
+    parallelism.
+    """
+    interior = (GRID_H - 2) * (GRID_W - 2)
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for d in pdf["doc_id"].to_numpy():
+                for o, c in edge_orientation_stats(
+                    synthetic_gray(int(d))
+                ):
+                    out.append((int(d), o, c))
+            yield pd.DataFrame(
+                out, columns=["media_id", "octant", "n_px"]
+            )
+
+    counts = documents.select("doc_id").mapInPandas(
+        run, "media_id long, octant long, n_px long"
+    )
+    return counts.select(
+        "media_id",
+        "octant",
+        "n_px",
+        F.expr(
+            f"round(CAST(n_px AS DOUBLE) / {interior}e0, 9)"
+        ).alias("share"),
+    )

@@ -4694,3 +4694,84 @@ def engle_granger(values: DataFrame, quant: int = 100) -> DataFrame:
             F.expr(f"({gamma}) < -0.05e0").alias("cointegrated"),
         )
     )
+
+
+def record_counts(values: DataFrame, quant: int = 100) -> DataFrame:
+    """Running-record statistics per channel: how many strict record
+    highs and lows the series sets after its first point, and when
+    the last of each landed. Records theory says an i.i.d. series
+    sets ~ln n records — a trending feed sets Θ(n) — so the pair
+    (n_record_highs, n_record_lows) is a distribution-free trend
+    screen beside ts_mann_kendall (which weighs ALL pairs, not just
+    the frontier).
+
+    Determinism: record tests compare exact quantized integers
+    against the exact running extreme of the PRECEDING rows (total
+    order ts, value); every output is an exact integer (first-point
+    sentinel −1 for channels that never break a record).
+
+    Output: (channel, n_points, n_record_highs, n_record_lows,
+    last_high_ts, last_low_ts).
+
+    Plan / 100 TB: one per-channel running-extreme window + one
+    rollup — no joins.
+    """
+    q = int(quant)
+    w = (
+        Window.partitionBy("channel")
+        .orderBy("ts", "value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = values.select(
+        "channel",
+        "ts",
+        "value",
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    ).select(
+        "channel",
+        "ts",
+        "xq",
+        F.max("xq").over(w).alias("_pmax"),
+        F.min("xq").over(w).alias("_pmin"),
+    )
+    return marked.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum(
+            F.expr(
+                "CASE WHEN _pmax IS NOT NULL AND xq > _pmax "
+                "THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("n_record_highs"),
+        F.sum(
+            F.expr(
+                "CASE WHEN _pmin IS NOT NULL AND xq < _pmin "
+                "THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("n_record_lows"),
+        F.coalesce(
+            F.max(
+                F.expr(
+                    "CASE WHEN _pmax IS NOT NULL AND xq > _pmax "
+                    "THEN ts END"
+                )
+            ),
+            F.lit(-1),
+        )
+        .cast("long")
+        .alias("last_high_ts"),
+        F.coalesce(
+            F.max(
+                F.expr(
+                    "CASE WHEN _pmin IS NOT NULL AND xq < _pmin "
+                    "THEN ts END"
+                )
+            ),
+            F.lit(-1),
+        )
+        .cast("long")
+        .alias("last_low_ts"),
+    )

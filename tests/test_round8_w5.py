@@ -329,3 +329,86 @@ def test_knn_assortativity_degenerate_sentinel(spark):
     )
     out = knn_degree_assortativity(edges).collect()[0]
     assert out.assortativity == 0.0
+
+
+def test_edge_orientation_partition_of_interior(spark):
+    from pennsieve_streaming_spark.llm.imagehash import (
+        GRID_H,
+        GRID_W,
+        edge_orientation_stats,
+        synthetic_gray,
+    )
+
+    s = edge_orientation_stats(synthetic_gray(3))
+    assert sum(c for _, c in s) == (GRID_H - 2) * (GRID_W - 2)
+    assert all(-1 <= o <= 7 for o, _ in s)
+
+
+def test_edge_orientation_flat_and_vertical():
+    import numpy as np
+
+    from pennsieve_streaming_spark.llm.imagehash import (
+        edge_orientation_stats,
+    )
+
+    flat = np.full((4, 4), 9)
+    assert edge_orientation_stats(flat) == [(-1, 4)]
+    # luminance increasing left->right: gx > 0, gy = 0 -> octant 0
+    ramp = np.tile(np.arange(5), (5, 1)) * 10
+    out = dict(edge_orientation_stats(ramp))
+    assert out == {0: 9}
+
+
+def test_dynamic_range_golden(spark):
+    from pennsieve_streaming_spark.dsp.spectral import dynamic_range
+
+    import math
+
+    # 4 frames of 4: energies 4, 16, 64, 400 -> with F=4,
+    # k10 = ceil(0.4) = 1 -> e_p10 = 4; k95 = ceil(3.8) = 4 -> 400
+    vals = [1] * 4 + [2] * 4 + [4] * 4 + [10] * 4
+    df = spark.createDataFrame(
+        [("a", i, float(v)) for i, v in enumerate(vals)],
+        "channel string, ts long, value double",
+    )
+    out = dynamic_range(df, frame=4, quant=1).collect()[0]
+    assert out.n_frames == 4
+    assert out.e_p10 == 4 and out.e_p95 == 400
+    assert out.dr_db == round(10 * math.log10(100.0), 9)
+
+
+def test_dynamic_range_silent_sentinel(spark):
+    from pennsieve_streaming_spark.dsp.spectral import dynamic_range
+
+    df = spark.createDataFrame(
+        [("a", i, 0.0) for i in range(8)],
+        "channel string, ts long, value double",
+    )
+    out = dynamic_range(df, frame=4, quant=1).collect()[0]
+    assert out.e_p10 == 0 and out.dr_db == 0.0
+
+
+def test_record_counts_golden(spark):
+    from pennsieve_streaming_spark.operators.stats import record_counts
+
+    # 3, 1, 4, 1, 5: highs at 4 (ts2) and 5 (ts4); lows at 1 (ts1)
+    df = spark.createDataFrame(
+        [("a", i, float(v)) for i, v in enumerate([3, 1, 4, 1, 5])],
+        "channel string, ts long, value double",
+    )
+    out = record_counts(df, quant=1).collect()[0]
+    assert out.n_points == 5
+    assert out.n_record_highs == 2 and out.last_high_ts == 4
+    assert out.n_record_lows == 1 and out.last_low_ts == 1
+
+
+def test_record_counts_constant_sentinels(spark):
+    from pennsieve_streaming_spark.operators.stats import record_counts
+
+    df = spark.createDataFrame(
+        [("a", i, 7.0) for i in range(5)],
+        "channel string, ts long, value double",
+    )
+    out = record_counts(df, quant=1).collect()[0]
+    assert out.n_record_highs == 0 and out.n_record_lows == 0
+    assert out.last_high_ts == -1 and out.last_low_ts == -1
