@@ -5095,6 +5095,96 @@ def q_stream_kmv(spark, sf_dir):
     )
 
 
+def q_bollinger_breaks(spark, sf_dir):
+    """Bollinger-band breakout counts per channel: trailing 20-sample
+    mean ± 2σ tests cross-multiplied to PURE int64 algebra (no floats
+    anywhere) — the volatility-envelope event detector beside
+    ts_cusum_monitor."""
+    from pennsieve_streaming_spark.operators.stats import (
+        bollinger_breaks,
+    )
+
+    return bollinger_breaks(
+        TBL.samples_view(spark, sf_dir), window=20, k=2,
+        quant=CORR_QUANT,
+    )
+
+
+def q_turning_points(spark, sf_dir):
+    """Turning-point randomness test per channel on the LOCF day
+    grid: strict local-extrema counts vs the i.i.d. null 2(n−2)/3 —
+    the cheapest trend/oscillation screen."""
+    from pennsieve_streaming_spark.operators.stats import (
+        turning_points,
+    )
+
+    return turning_points(_locf_day_grid(spark, sf_dir), CORR_QUANT)
+
+
+def q_case_profile(spark, sf_dir):
+    """Capitalization/digit profile per doc: ALL-CAPS, TitleCase and
+    digit-word shares from anchored ASCII regex classes — the
+    orthographic quality axis."""
+    from pennsieve_streaming_spark.llm.text import case_profile
+
+    return case_profile(_docs(spark, sf_dir))
+
+
+def q_ab_cuped(spark, sf_dir):
+    """CUPED variance-reduced A/B comparison: pre-period activity
+    covariate, pooled θ, moment-space adjusted diff and z — the
+    estimator production experimentation platforms ship."""
+    from pennsieve_streaming_spark.operators.analytics import ab_cuped
+
+    TBL.ensure_session_confs(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ab_cuped(
+        ev.select(
+            "user_id",
+            "event_type",
+            TBL.epoch_micros_col(ev, "ts").alias("ts"),
+            "value",
+        )
+    )
+
+
+def q_stream_records(spark, sf_dir):
+    """Streaming running-record tracker over the event channels:
+    exact integer frontier state per channel (in-order contract, the
+    burstiness class) — the drained snapshot is bit-identical to the
+    batch window fold, so the batch SQL gates the STREAMING
+    operator."""
+    import tempfile
+
+    from pennsieve_streaming_spark.streaming.records import (
+        records_stream,
+    )
+
+    ce = TBL.chan_events_view(spark, sf_dir).orderBy("ts", "value")
+    base = tempfile.mkdtemp(prefix="pss_stream_rec_")
+    src = f"{base}/src"
+    ce.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "channel string, ts long, value double"
+    ).parquet(src)
+    q = (
+        records_stream(stream, quant=CORR_QUANT)
+        .writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(f"{base}/out")
+    w = Window.partitionBy("channel").orderBy(F.desc("n_points"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 # Round-8 rotation: the driver's correctness gate samples the FIRST 50
 # registry entries. Positions 1-44 are every registry query the driver
 # has never sampled (the 12-query r6 tail past r7's top-50 cut + the 32
@@ -5183,7 +5273,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so the NEWEST / least-proven queries are listed FIRST and the
     # longest-stable ts-core queries last. Keep new work at the top.
     q = {
-        # round-8 wave-5 additions (newest first)
+        # round-8 wave-6 additions (newest first)
+        "ts_bollinger_breaks": q_bollinger_breaks,
+        "ts_turning_points": q_turning_points,
+        "doc_case_profile": q_case_profile,
+        "ev_ab_cuped": q_ab_cuped,
+        "stream_records": q_stream_records,
+        # round-8 wave-5 additions
         "mm_image_orientation": q_image_orientation,
         "mm_audio_dynamic_range": q_dynamic_range,
         "ts_records": q_records,
@@ -16767,6 +16863,223 @@ def oracle_sql() -> dict[str, str]:
                {_KMV_EST} AS est_distinct
         FROM kk CROSS JOIN m
         """
+
+    # --- round-8 wave-6 additions -------------------------------------
+    _bb_w, _bb_k = 20, 2
+    _bb_up = (
+        f"({_bb_w} * xq - _s) > 0 AND ({_bb_w} * xq - _s) "
+        f"* ({_bb_w} * xq - _s) > {_bb_k * _bb_k} "
+        f"* ({_bb_w} * _ss - _s * _s)"
+    )
+    _bb_lo = (
+        f"({_bb_w} * xq - _s) < 0 AND ({_bb_w} * xq - _s) "
+        f"* ({_bb_w} * xq - _s) > {_bb_k * _bb_k} "
+        f"* ({_bb_w} * _ss - _s * _s)"
+    )
+    sql["ts_bollinger_breaks"] = with_views(
+        f"""
+        WITH s AS (
+          SELECT channel, ts, value,
+                 CAST(round(value * {CORR_QUANT}) AS BIGINT) AS xq
+          FROM samples
+        ),
+        m AS (
+          SELECT channel, ts, xq,
+                 COUNT(*) OVER w AS _wn,
+                 CAST(SUM(xq) OVER w AS BIGINT) AS _s,
+                 CAST(SUM(xq * xq) OVER w AS BIGINT) AS _ss
+          FROM s
+          WINDOW w AS (PARTITION BY channel ORDER BY ts, value
+                       ROWS BETWEEN {_bb_w} PRECEDING
+                       AND 1 PRECEDING)
+        ),
+        t AS (SELECT * FROM m WHERE _wn = {_bb_w})
+        SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_tested,
+               CAST(SUM(CASE WHEN {_bb_up} THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_upper,
+               CAST(SUM(CASE WHEN {_bb_lo} THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_lower,
+               CAST(COALESCE(MAX(CASE WHEN {_bb_up} THEN ts END), -1)
+                 AS BIGINT) AS last_upper_ts,
+               CAST(COALESCE(MAX(CASE WHEN {_bb_lo} THEN ts END), -1)
+                 AS BIGINT) AS last_lower_ts
+        FROM t GROUP BY channel
+        """,
+        "samples",
+    )
+
+    from pennsieve_streaming_spark.operators.stats import (
+        TP_Z as _TP_Z,
+    )
+
+    sql["ts_turning_points"] = with_views(
+        f"""
+        WITH {_w5_grid},
+        vals AS (
+          SELECT channel, ts,
+                 CAST(round(fill * {CORR_QUANT}) AS BIGINT) AS xq
+          FROM f WHERE is_grid = 1
+        ),
+        m AS (
+          SELECT channel, xq,
+                 LAG(xq) OVER w AS _p,
+                 LEAD(xq) OVER w AS _n
+          FROM vals
+          WINDOW w AS (PARTITION BY channel ORDER BY ts, xq)
+        ),
+        g AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_points,
+                 CAST(SUM(CASE WHEN _p IS NOT NULL AND _n IS NOT NULL
+                      AND ((xq > _p AND xq > _n)
+                           OR (xq < _p AND xq < _n))
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_turns
+          FROM m GROUP BY channel
+        )
+        SELECT channel, n_points, n_turns,
+               {_TP_Z} AS z,
+               CASE WHEN abs({_TP_Z}) <= 1.959963985e0 THEN 'random'
+                    WHEN ({_TP_Z}) < 0e0 THEN 'trending'
+                    ELSE 'oscillating' END AS verdict
+        FROM g
+        """,
+        "samples",
+        "channels",
+    )
+
+    _cp_share = (
+        "CASE WHEN n_words > 0 THEN round(CAST({c} AS DOUBLE) "
+        "/ CAST(n_words AS DOUBLE), 9) ELSE 0e0 END"
+    )
+    sql["doc_case_profile"] = f"""
+        WITH base AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\\s+') AS toks,
+                 length(trim(text)) = 0 AS is_empty
+          FROM documents
+        ),
+        d AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN is_empty THEN 0 ELSE len(toks) END
+                   AS BIGINT) AS n_words,
+                 CAST(CASE WHEN is_empty THEN 0 ELSE
+                   len(list_filter(toks, t ->
+                     regexp_matches(t, '^[A-Z]{{2,}}$'))) END
+                   AS BIGINT) AS n_caps_words,
+                 CAST(CASE WHEN is_empty THEN 0 ELSE
+                   len(list_filter(toks, t ->
+                     regexp_matches(t, '^[A-Z][a-z]+$'))) END
+                   AS BIGINT) AS n_title_words,
+                 CAST(CASE WHEN is_empty THEN 0 ELSE
+                   len(list_filter(toks, t ->
+                     regexp_matches(t, '[0-9]'))) END
+                   AS BIGINT) AS n_digit_words
+          FROM base
+        )
+        SELECT doc_id, n_words, n_caps_words, n_title_words,
+               n_digit_words,
+               {_cp_share.format(c="n_caps_words")} AS caps_share,
+               {_cp_share.format(c="n_title_words")} AS title_share,
+               {_cp_share.format(c="n_digit_words")} AS digit_share
+        FROM d
+        """
+
+    from pennsieve_streaming_spark.operators.analytics import (
+        CUPED_DIFF_ADJ as _CU_DA,
+        CUPED_DIFF_RAW as _CU_DR,
+        CUPED_THETA as _CU_TH,
+        CUPED_Z as _CU_Z,
+    )
+
+    sql["ev_ab_cuped"] = f"""
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS ts, value
+          FROM events
+        ),
+        b AS (SELECT (MIN(ts) + MAX(ts)) // 2 AS _mid FROM ev),
+        pu AS (
+          SELECT user_id,
+                 CAST(SUM(CASE WHEN ts < _mid THEN 1 ELSE 0 END)
+                   AS BIGINT) AS x,
+                 CAST(SUM(CASE WHEN ts >= _mid
+                      AND event_type = 'purchase'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y
+          FROM ev CROSS JOIN b GROUP BY user_id
+        ),
+        pv AS (SELECT user_id % 2 AS variant, x, y FROM pu),
+        vm AS (
+          SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+                 SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+                 SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+          FROM pv GROUP BY variant
+        ),
+        pooled AS (
+          SELECT {_CU_TH} AS theta FROM (
+            SELECT CAST(SUM(n) AS BIGINT) AS n,
+                   CAST(SUM(sx) AS BIGINT) AS sx,
+                   CAST(SUM(sy) AS BIGINT) AS sy,
+                   SUM(sxx) AS sxx, SUM(sxy) AS sxy
+            FROM vm
+          )
+        ),
+        piv AS (
+          SELECT MAX(CASE WHEN variant = 0 THEN n END) AS na,
+                 MAX(CASE WHEN variant = 0 THEN sx END) AS sxa,
+                 MAX(CASE WHEN variant = 0 THEN sy END) AS sya,
+                 MAX(CASE WHEN variant = 0 THEN sxx END) AS sxxa,
+                 MAX(CASE WHEN variant = 0 THEN syy END) AS syya,
+                 MAX(CASE WHEN variant = 0 THEN sxy END) AS sxya,
+                 MAX(CASE WHEN variant = 1 THEN n END) AS nb,
+                 MAX(CASE WHEN variant = 1 THEN sx END) AS sxb,
+                 MAX(CASE WHEN variant = 1 THEN sy END) AS syb,
+                 MAX(CASE WHEN variant = 1 THEN sxx END) AS sxxb,
+                 MAX(CASE WHEN variant = 1 THEN syy END) AS syyb,
+                 MAX(CASE WHEN variant = 1 THEN sxy END) AS sxyb
+          FROM vm
+        )
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               round(theta, 9) AS theta,
+               round({_CU_DR}, 9) AS diff_raw,
+               round({_CU_DA}, 9) AS diff_adj,
+               {_CU_Z} AS z_adj,
+               abs({_CU_Z}) > 1.959963985e0 AS significant
+        FROM piv CROSS JOIN pooled
+        """
+
+    sql["stream_records"] = with_views(
+        f"""
+        WITH s AS (
+          SELECT channel, ts, value,
+                 CAST(round(value * {CORR_QUANT}) AS BIGINT) AS xq
+          FROM chan_events
+        ),
+        m AS (
+          SELECT channel, ts, xq,
+                 MAX(xq) OVER w AS _pmax,
+                 MIN(xq) OVER w AS _pmin
+          FROM s
+          WINDOW w AS (PARTITION BY channel ORDER BY ts, value
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING)
+        )
+        SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(SUM(CASE WHEN _pmax IS NOT NULL AND xq > _pmax
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_record_highs,
+               CAST(SUM(CASE WHEN _pmin IS NOT NULL AND xq < _pmin
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_record_lows,
+               CAST(COALESCE(MAX(CASE WHEN _pmax IS NOT NULL
+                    AND xq > _pmax THEN ts END), -1) AS BIGINT)
+                 AS last_high_ts,
+               CAST(COALESCE(MAX(CASE WHEN _pmin IS NOT NULL
+                    AND xq < _pmin THEN ts END), -1) AS BIGINT)
+                 AS last_low_ts
+        FROM m GROUP BY channel
+        """,
+        "chan_events",
+    )
 
     return sql
 

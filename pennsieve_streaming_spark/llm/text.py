@@ -1574,3 +1574,53 @@ def lexical_diversity(documents: DataFrame) -> DataFrame:
             "* ln(CAST(n_tokens AS DOUBLE))), 9) ELSE 0e0 END"
         ).alias("maas_a2"),
     )
+
+
+def case_profile(documents: DataFrame) -> DataFrame:
+    """Per-document capitalization/digit profile: ALL-CAPS word share
+    (shouting / header-dump / OCR-garbage signal), TitleCase share
+    (name-list / navigation-menu signal) and digit-word share
+    (table/log dumps) — the orthographic quality axis the
+    ratio-based doc_quality_score and doc_gopher_quality don't see.
+
+    Determinism: token classes are anchored ASCII regex matches
+    (identical Java-regex/RE2 semantics — no locale-dependent
+    upper()/lower() anywhere); counts exact; shares single fixed
+    divisions rounded to 9 dp (empty docs report 0.0 sentinels).
+
+    Output: (doc_id, n_words, n_caps_words, n_title_words,
+    n_digit_words, caps_share, title_share, digit_share).
+
+    Plan / 100 TB: one narrow per-doc map, no explode, no shuffle.
+    """
+    toks = "split(trim(text), '\\\\s+')"
+    empty = "length(trim(text)) = 0"
+    n_words = f"CASE WHEN {empty} THEN 0 ELSE size({toks}) END"
+
+    def cls(pattern: str) -> str:
+        return (
+            f"CASE WHEN {empty} THEN 0 ELSE "
+            f"size(filter({toks}, t -> t RLIKE '{pattern}')) END"
+        )
+
+    d = documents.select(
+        "doc_id",
+        F.expr(n_words).cast("long").alias("n_words"),
+        F.expr(cls("^[A-Z]{2,}$")).cast("long").alias("n_caps_words"),
+        F.expr(cls("^[A-Z][a-z]+$")).cast("long").alias("n_title_words"),
+        F.expr(cls("[0-9]")).cast("long").alias("n_digit_words"),
+    )
+    share = (
+        "CASE WHEN n_words > 0 THEN round(CAST({c} AS DOUBLE) "
+        "/ CAST(n_words AS DOUBLE), 9) ELSE 0e0 END"
+    )
+    return d.select(
+        "doc_id",
+        "n_words",
+        "n_caps_words",
+        "n_title_words",
+        "n_digit_words",
+        F.expr(share.format(c="n_caps_words")).alias("caps_share"),
+        F.expr(share.format(c="n_title_words")).alias("title_share"),
+        F.expr(share.format(c="n_digit_words")).alias("digit_share"),
+    )

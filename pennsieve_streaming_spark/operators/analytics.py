@@ -2429,3 +2429,129 @@ def simpson_diversity(events: DataFrame) -> DataFrame:
             "round(CAST(top_c AS DOUBLE) / CAST(n_events AS DOUBLE), 9)"
         ).alias("top_share"),
     )
+
+
+# CUPED shared expression text (imported by the oracle). All inputs
+# are exact per-variant moments; every finish is a fixed double tree.
+CUPED_THETA = (
+    "coalesce((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+    "/ nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0e0), 0e0)"
+)
+# per-variant adjusted variance: var(y) − 2θ·cov(x,y) + θ²·var(x),
+# over columns (n?, sx?, sy?, sxx?, syy?, sxy?) suffixed a/b
+_CUPED_VAR = (
+    "((CAST(syy{v} AS DOUBLE) / n{v} "
+    "- (CAST(sy{v} AS DOUBLE) / n{v}) * (CAST(sy{v} AS DOUBLE) / n{v})) "
+    "- 2e0 * theta * (CAST(sxy{v} AS DOUBLE) / n{v} "
+    "- (CAST(sx{v} AS DOUBLE) / n{v}) * (CAST(sy{v} AS DOUBLE) / n{v})) "
+    "+ theta * theta * (CAST(sxx{v} AS DOUBLE) / n{v} "
+    "- (CAST(sx{v} AS DOUBLE) / n{v}) * (CAST(sx{v} AS DOUBLE) / n{v})))"
+)
+CUPED_VAR_A = _CUPED_VAR.format(v="a")
+CUPED_VAR_B = _CUPED_VAR.format(v="b")
+CUPED_DIFF_RAW = (
+    "(CAST(sya AS DOUBLE) / na - CAST(syb AS DOUBLE) / nb)"
+)
+CUPED_DIFF_ADJ = (
+    f"({CUPED_DIFF_RAW} - theta * "
+    "(CAST(sxa AS DOUBLE) / na - CAST(sxb AS DOUBLE) / nb))"
+)
+CUPED_Z = (
+    f"CASE WHEN {CUPED_VAR_A} / na + {CUPED_VAR_B} / nb > 0e0 THEN "
+    f"round({CUPED_DIFF_ADJ} / sqrt({CUPED_VAR_A} / na "
+    f"+ {CUPED_VAR_B} / nb), 9) ELSE 0e0 END"
+)
+
+
+def ab_cuped(
+    events: DataFrame, conversion: str = "purchase", quant: int = 100
+) -> DataFrame:
+    """CUPED-adjusted A/B comparison (Deng, Xu, Kohavi & Walker 2013):
+    the post-period per-user conversion value, variance-reduced by
+    the PRE-period activity covariate — the standard trick that cuts
+    experiment runtimes 30-50% by removing between-user variance the
+    treatment can't have caused. Completes the experimentation suite
+    (conversion z, SRM, power, sequential) with the estimator
+    production platforms actually ship.
+
+    Period split: the data midpoint (min_ts + max_ts) / 2 — exact
+    integer, deterministic. Covariate x = the user's PRE-period event
+    count; metric y = the user's POST-period summed ``conversion``
+    value (quantized); variant = user_id % 2 (the ab_conversion
+    bucket rule). θ fits on the POOLED covariance (both variants —
+    the unbiased-under-the-null choice the paper recommends).
+
+    Determinism: per-user x/y are exact integers; all ten per-variant
+    moments are exact BIGINT/DECIMAL(38,0) folds; θ, the adjusted
+    diff and z are the shared CUPED_* fixed finishes (z rounded to
+    9 dp, 0.0 sentinels on degenerate variance). The order-dependent
+    "adjust each user then average" formulation is algebraically
+    collapsed into moment space so no float ever folds.
+
+    Output: one row (n_a, n_b, theta, diff_raw, diff_adj, z_adj,
+    significant).
+
+    Plan / 100 TB: one (user) rollup, one variant rollup to 2 rows,
+    one 1-row pivot — the ab_conversion shape; the midpoint bound is
+    a 1-row broadcast.
+    """
+    q = int(quant)
+    bounds = events.agg(
+        F.expr("(min(ts) + max(ts)) div 2").alias("_mid")
+    )
+    per_user = (
+        events.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("CASE WHEN ts < _mid THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN ts >= _mid AND event_type = "
+                    f"'{conversion}' THEN CAST(round(value * {q}) "
+                    f"AS BIGINT) ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .select(
+            F.expr("user_id % 2").alias("variant"), "x", "y"
+        )
+    )
+    vm = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+    )
+    pooled = vm.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sx").cast("long").alias("sx"),
+        F.sum("sy").cast("long").alias("sy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("sxy").alias("sxy"),
+    ).select(F.expr(CUPED_THETA).alias("theta"))
+    piv = vm.groupBy().agg(
+        *[
+            F.max(
+                F.expr(f"CASE WHEN variant = {v} THEN {c} END")
+            ).alias(f"{c}{tag}")
+            for v, tag in ((0, "a"), (1, "b"))
+            for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+        ]
+    )
+    return piv.crossJoin(F.broadcast(pooled)).select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.expr("round(theta, 9)").alias("theta"),
+        F.expr(f"round({CUPED_DIFF_RAW}, 9)").alias("diff_raw"),
+        F.expr(f"round({CUPED_DIFF_ADJ}, 9)").alias("diff_adj"),
+        F.expr(CUPED_Z).alias("z_adj"),
+        F.expr(f"abs({CUPED_Z}) > 1.959963985e0").alias("significant"),
+    )

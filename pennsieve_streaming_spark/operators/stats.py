@@ -4775,3 +4775,136 @@ def record_counts(values: DataFrame, quant: int = 100) -> DataFrame:
         .cast("long")
         .alias("last_low_ts"),
     )
+
+
+def bollinger_breaks(
+    samples: DataFrame, window: int = 20, k: int = 2, quant: int = 100
+) -> DataFrame:
+    """Bollinger-band breakout counts per channel: how often a sample
+    lands more than k trailing standard deviations from the trailing
+    w-sample mean (Bollinger's classic volatility envelope; the
+    event-detection sibling of ts_cusum_monitor's drift alarm).
+
+    Determinism — the whole operator is INTEGER algebra, no floats
+    anywhere: with S = Σxq and SS = Σxq² over the trailing window
+    (exact BIGINTs), the band test
+        (x − S/n)² > k²·var,  var = (n·SS − S²)/n²
+    cross-multiplies to  (n·x − S)² > k²·(n·SS − S²)  — exact 64-bit
+    integers end-to-end (|n·x−S| ≤ 2n·max|xq| ≈ 4e8 squares inside
+    int64 at the quantized scale). Only FULL trailing windows test
+    (the first w samples per channel warm up).
+
+    Output: (channel, n_tested, n_upper, n_lower, last_upper_ts,
+    last_lower_ts) with −1 sentinels for channels that never break.
+
+    Plan / 100 TB: one per-channel ordered window pass (two running
+    sums) + one rollup — no joins, the blocked-halo rolling contract
+    applies if windows must split across tasks.
+    """
+    w = int(window)
+    q = int(quant)
+    kk = int(k)
+    ww = (
+        Window.partitionBy("channel")
+        .orderBy("ts", "value")
+        .rowsBetween(-w, -1)
+    )
+    marked = samples.select(
+        "channel",
+        "ts",
+        "value",
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    ).select(
+        "channel",
+        "ts",
+        "xq",
+        F.count(F.lit(1)).over(ww).alias("_wn"),
+        F.sum("xq").over(ww).alias("_s"),
+        F.sum(F.expr("xq * xq")).over(ww).alias("_ss"),
+    ).filter(F.col("_wn") == w)
+    up = f"({w} * xq - _s) > 0 AND ({w} * xq - _s) * ({w} * xq - _s) > {kk * kk} * ({w} * _ss - _s * _s)"
+    lo = f"({w} * xq - _s) < 0 AND ({w} * xq - _s) * ({w} * xq - _s) > {kk * kk} * ({w} * _ss - _s * _s)"
+    return marked.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tested"),
+        F.sum(F.expr(f"CASE WHEN {up} THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_upper"),
+        F.sum(F.expr(f"CASE WHEN {lo} THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_lower"),
+        F.coalesce(
+            F.max(F.expr(f"CASE WHEN {up} THEN ts END")), F.lit(-1)
+        )
+        .cast("long")
+        .alias("last_upper_ts"),
+        F.coalesce(
+            F.max(F.expr(f"CASE WHEN {lo} THEN ts END")), F.lit(-1)
+        )
+        .cast("long")
+        .alias("last_lower_ts"),
+    )
+
+
+# Turning-point z finish (shared verbatim with the oracle): under the
+# i.i.d. null E[T] = 2(n−2)/3 and Var[T] = (16n − 29)/90.
+TP_Z = (
+    "CASE WHEN n_points >= 4 THEN "
+    "round((CAST(n_turns AS DOUBLE) "
+    "- 2e0 * CAST(n_points - 2 AS DOUBLE) / 3e0) "
+    "/ sqrt((16e0 * CAST(n_points AS DOUBLE) - 29e0) / 90e0), 9) "
+    "ELSE 0e0 END"
+)
+
+
+def turning_points(values: DataFrame, quant: int = 100) -> DataFrame:
+    """Turning-point randomness test per channel (Kendall's classic):
+    count interior STRICT local extrema; an i.i.d. series has
+    E[T] = 2(n−2)/3, so a large negative z (too few turns) flags
+    trend/smoothness and a large positive z flags rapid alternation
+    — the cheapest member of the randomness family beside
+    ts_randomness_tests. Ties (flat LOCF runs) are not turns by
+    documented contract.
+
+    Determinism: turn tests compare exact quantized integers via
+    lag/lead; the z is the shared TP_Z fixed finish (9 dp); channels
+    with < 4 points report the 0.0 sentinel.
+
+    Output: (channel, n_points, n_turns, z, verdict) — verdict
+    'random' for |z| ≤ 1.96 else 'trending' (z < 0) / 'oscillating'.
+
+    Plan / 100 TB: one per-channel lag/lead window + one rollup.
+    """
+    q = int(quant)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    marked = values.select(
+        "channel",
+        "ts",
+        "value",
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    ).select(
+        "channel",
+        "xq",
+        F.lag("xq").over(w).alias("_p"),
+        F.lead("xq").over(w).alias("_n"),
+    )
+    turn = (
+        "_p IS NOT NULL AND _n IS NOT NULL AND "
+        "((xq > _p AND xq > _n) OR (xq < _p AND xq < _n))"
+    )
+    g = marked.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum(F.expr(f"CASE WHEN {turn} THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_turns"),
+    )
+    return g.select(
+        "channel",
+        "n_points",
+        "n_turns",
+        F.expr(TP_Z).alias("z"),
+        F.expr(
+            f"CASE WHEN abs({TP_Z}) <= 1.959963985e0 THEN 'random' "
+            f"WHEN ({TP_Z}) < 0e0 THEN 'trending' "
+            f"ELSE 'oscillating' END"
+        ).alias("verdict"),
+    )
