@@ -248,4 +248,37 @@ def register_operator_views(
                 dim=64,
             ),
         )
+
+    # round-8 wave-5/6 views: the trend-test pair on the day grid,
+    # the Benford screen and Bollinger event detector on the raw
+    # feed, the Gopher/lexical curation panels, the TwoNN dimension
+    # estimate. Same lazy logical-plan contract.
+    from pennsieve_streaming_spark.llm.curation import (
+        gopher_quality_filters,
+    )
+    from pennsieve_streaming_spark.llm.similarity import (
+        twonn_intrinsic_dim,
+    )
+    from pennsieve_streaming_spark.llm.text import lexical_diversity
+    from pennsieve_streaming_spark.operators.stats import (
+        benford_digits,
+        bollinger_breaks,
+        mann_kendall,
+        turning_points,
+    )
+
+    add("mann_kendall", mann_kendall(grid, 100))
+    add("turning_points", turning_points(grid, 100))
+    add("benford", benford_digits(samples, 100))
+    add("bollinger_breaks", bollinger_breaks(samples, 20, 2, 100))
+    if docs is not None:
+        add("gopher_quality", gopher_quality_filters(docs))
+        add("lexical_diversity", lexical_diversity(docs))
+    if embs is not None:
+        add(
+            "intrinsic_dim",
+            twonn_intrinsic_dim(
+                embs, embs.filter(F.col("vec_id") < 20)
+            ),
+        )
     return names

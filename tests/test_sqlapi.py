@@ -231,3 +231,52 @@ def test_round8_llm_views_registered_and_queryable(spark):
         "SELECT count(*) AS n FROM r8_bq_topk WHERE rank <= 5"
     ).collect()[0]
     assert bq.n > 0
+
+
+def test_wave5_6_views_registered_and_queryable(spark):
+    """The wave-5/6 additions to the SQL surface: trend tests,
+    Benford, Bollinger, curation panels, TwoNN — registered lazily
+    and answering SQL with the expected shapes."""
+    import pennsieve_streaming_spark.sqlapi as sqlapi
+
+    names = sqlapi.register_operator_views(
+        spark, "/root/testdata/sf0.001", prefix="w5_"
+    )
+    for v in (
+        "w5_mann_kendall",
+        "w5_turning_points",
+        "w5_benford",
+        "w5_bollinger_breaks",
+        "w5_gopher_quality",
+        "w5_lexical_diversity",
+        "w5_intrinsic_dim",
+    ):
+        assert v in names
+    mk = spark.sql(
+        "SELECT count(*) AS n FROM w5_mann_kendall "
+        "WHERE trend IN ('increasing', 'decreasing', 'none')"
+    ).collect()[0]
+    assert mk.n > 0
+    bf = spark.sql(
+        "SELECT count(*) AS n FROM w5_benford "
+        "WHERE c1+c2+c3+c4+c5+c6+c7+c8+c9 = n"
+    ).collect()[0]
+    assert bf.n > 0
+    bb = spark.sql(
+        "SELECT count(*) AS n FROM w5_bollinger_breaks "
+        "WHERE n_upper >= 0 AND n_lower >= 0"
+    ).collect()[0]
+    assert bb.n > 0
+    gq = spark.sql(
+        "SELECT count(*) AS n FROM w5_gopher_quality WHERE keep"
+    ).collect()[0]
+    assert gq.n >= 0
+    ld = spark.sql(
+        "SELECT count(*) AS n FROM w5_lexical_diversity "
+        "WHERE ttr BETWEEN 0 AND 1.0000001"
+    ).collect()[0]
+    assert ld.n > 0
+    td = spark.sql(
+        "SELECT count(DISTINCT id_twonn) AS n FROM w5_intrinsic_dim"
+    ).collect()[0]
+    assert td.n == 1
