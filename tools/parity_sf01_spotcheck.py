@@ -33,6 +33,10 @@ QUERIES = [
     "ts_acf_halflife", "ts_hurst_rs", "ts_spectral_edge",
     "ts_welch_psd", "emb_silhouette", "doc_score_spearman",
     "ev_pareto_alpha",
+    # wave-5/6 transcendental/sqrt finishes
+    "ts_mann_kendall", "ev_mann_whitney", "ev_ab_cuped",
+    "emb_intrinsic_dim", "doc_lexical_diversity",
+    "mm_audio_dynamic_range", "ts_turning_points", "ts_cointegration",
 ]
 
 
