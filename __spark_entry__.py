@@ -5185,6 +5185,123 @@ def q_stream_records(spark, sf_dir):
     )
 
 
+def q_katz_fd(spark, sf_dir):
+    """Katz fractal dimension per channel: exact path-length and
+    excursion folds, one shared ln finish — the one-pass waveform
+    complexity number beside ts_higuchi_fd."""
+    from pennsieve_streaming_spark.operators.stats import katz_fd
+
+    return katz_fd(TBL.samples_view(spark, sf_dir), CORR_QUANT)
+
+
+def q_drawdown(spark, sf_dir):
+    """Maximum drawdown per channel: deepest drop below the running
+    peak, first-trough tie-break, exact integer algebra — the risk
+    number beside ts_records' frontier counts."""
+    from pennsieve_streaming_spark.operators.stats import max_drawdown
+
+    return max_drawdown(TBL.samples_view(spark, sf_dir), CORR_QUANT)
+
+
+def q_bloom_contamination(spark, sf_dir):
+    """Bloom-filter decontamination screen audited against the exact
+    set test in the same pass: constant-size (2 KB) bitset broadcast,
+    %·+ probe positions, reported false-positive surplus — the
+    100 TB shape of benchmark-overlap checking."""
+    from pennsieve_streaming_spark.llm.curation import (
+        bloom_contamination,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    return bloom_contamination(docs, bench, k=3, threshold=0.5)
+
+
+def q_stream_benford(spark, sf_dir):
+    """Streaming Benford digit profile over the event channels:
+    commutative count state (order-independent), chi²/MAD finished
+    on the drained counts with the SAME shared SQL expressions as
+    the batch operator — the batch SQL gates the stream."""
+    import tempfile
+
+    from pennsieve_streaming_spark.operators.stats import benford_exprs
+    from pennsieve_streaming_spark.streaming.benford import (
+        benford_stream,
+    )
+
+    ce = TBL.chan_events_view(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="pss_stream_benford_")
+    src = f"{base}/src"
+    ce.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "channel string, ts long, value double"
+    ).parquet(src)
+    q = (
+        benford_stream(stream, quant=CORR_QUANT)
+        .writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(f"{base}/out")
+    w = Window.partitionBy("channel").orderBy(F.desc("n"))
+    final = (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    chi2, mad = benford_exprs()
+    return final.select(
+        "channel",
+        "n",
+        *[f"c{i}" for i in range(1, 10)],
+        F.expr(
+            f"CASE WHEN n > 0 THEN round({chi2}, 9) ELSE 0e0 END"
+        ).alias("chi2"),
+        F.expr(
+            f"CASE WHEN n > 0 THEN round(({mad}) / 9e0, 9) ELSE 0e0 END"
+        ).alias("mad"),
+    )
+
+
+def q_stream_bollinger(spark, sf_dir):
+    """Streaming Bollinger breakout monitor over the event channels:
+    trailing-window integer ring state, the SAME pure int64 band
+    algebra as the batch fold (in-order contract) — the batch SQL
+    gates the stream."""
+    import tempfile
+
+    from pennsieve_streaming_spark.streaming.bollinger import (
+        bollinger_stream,
+    )
+
+    ce = TBL.chan_events_view(spark, sf_dir).orderBy("ts", "value")
+    base = tempfile.mkdtemp(prefix="pss_stream_boll_")
+    src = f"{base}/src"
+    ce.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "channel string, ts long, value double"
+    ).parquet(src)
+    q = (
+        bollinger_stream(stream, window=20, k=2, quant=CORR_QUANT)
+        .writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(f"{base}/out")
+    w = Window.partitionBy("channel").orderBy(F.desc("n_tested"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 # Round-8 rotation: the driver's correctness gate samples the FIRST 50
 # registry entries. Positions 1-44 are every registry query the driver
 # has never sampled (the 12-query r6 tail past r7's top-50 cut + the 32
@@ -5273,7 +5390,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so the NEWEST / least-proven queries are listed FIRST and the
     # longest-stable ts-core queries last. Keep new work at the top.
     q = {
-        # round-8 wave-6 additions (newest first)
+        # round-8 wave-7 additions (newest first)
+        "ts_katz_fd": q_katz_fd,
+        "ts_drawdown": q_drawdown,
+        "doc_bloom_contamination": q_bloom_contamination,
+        "stream_benford": q_stream_benford,
+        "stream_bollinger": q_stream_bollinger,
+        # round-8 wave-6 additions
         "ts_bollinger_breaks": q_bollinger_breaks,
         "ts_turning_points": q_turning_points,
         "doc_case_profile": q_case_profile,
@@ -17077,6 +17200,215 @@ def oracle_sql() -> dict[str, str]:
                     AND xq < _pmin THEN ts END), -1) AS BIGINT)
                  AS last_low_ts
         FROM m GROUP BY channel
+        """,
+        "chan_events",
+    )
+
+    # --- round-8 wave-7 additions -------------------------------------
+    from pennsieve_streaming_spark.operators.stats import (
+        KATZ_FD as _KATZ_FD,
+    )
+
+    sql["ts_katz_fd"] = with_views(
+        f"""
+        WITH s AS (
+          SELECT channel, ts, value,
+                 CAST(round(value * {CORR_QUANT}) AS BIGINT) AS xq
+          FROM samples
+        ),
+        m AS (
+          SELECT channel, xq,
+                 LAG(xq) OVER w AS _p,
+                 FIRST_VALUE(xq) OVER w AS _x0
+          FROM s
+          WINDOW w AS (PARTITION BY channel ORDER BY ts, value
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)
+        ),
+        g AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_points,
+                 CAST(SUM(CASE WHEN _p IS NOT NULL
+                      THEN abs(xq - _p) ELSE 0 END) AS BIGINT)
+                   AS lpath,
+                 CAST(MAX(abs(xq - _x0)) AS BIGINT) AS dmax,
+                 CAST(COUNT(*) - 1 AS BIGINT) AS n_steps
+          FROM m GROUP BY channel
+        )
+        SELECT channel, n_points, lpath, dmax, {_KATZ_FD} AS fd
+        FROM g
+        """,
+        "samples",
+    )
+
+    sql["ts_drawdown"] = with_views(
+        f"""
+        WITH s AS (
+          SELECT channel, ts, value,
+                 CAST(round(value * {CORR_QUANT}) AS BIGINT) AS xq
+          FROM samples
+        ),
+        r AS (
+          SELECT channel, ts, xq,
+                 MAX(xq) OVER w AS _pmax,
+                 MAX(xq) OVER w - xq AS dd
+          FROM s
+          WINDOW w AS (PARTITION BY channel ORDER BY ts, value
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)
+        ),
+        g AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_points,
+                 CAST(MAX(dd) AS BIGINT) AS max_dd_q
+          FROM r GROUP BY channel
+        ),
+        trough AS (
+          SELECT r.channel, CAST(MIN(r.ts) AS BIGINT) AS trough_ts
+          FROM r JOIN g ON r.channel = g.channel
+          WHERE r.dd = g.max_dd_q
+          GROUP BY r.channel
+        ),
+        peak AS (
+          SELECT r.channel,
+                 CAST(MIN(r.xq) + MIN(r.dd) AS BIGINT) AS peak_q
+          FROM r JOIN trough t
+            ON r.channel = t.channel AND r.ts = t.trough_ts
+          JOIN g ON r.channel = g.channel
+          WHERE r.dd = g.max_dd_q
+          GROUP BY r.channel
+        )
+        SELECT g.channel, g.n_points, g.max_dd_q, t.trough_ts,
+               p.peak_q,
+               CASE WHEN p.peak_q > 0 THEN
+                 round(CAST(g.max_dd_q AS DOUBLE)
+                 / CAST(p.peak_q AS DOUBLE), 9) ELSE 0e0 END AS dd_frac
+        FROM g JOIN trough t ON g.channel = t.channel
+               JOIN peak p ON g.channel = p.channel
+        """,
+        "samples",
+    )
+
+    from pennsieve_streaming_spark.llm.curation import (
+        BLOOM_PROBES as _BL_K,
+        bloom_pos_expr as _bl_pos,
+    )
+
+    _bl_union = " UNION ".join(
+        f"SELECT {_bl_pos('sh', i)} AS p FROM bench"
+        for i in range(_BL_K)
+    )
+    _bl_test = " AND ".join(
+        f"({_bl_pos('d.sh', i)}) IN (SELECT p FROM bpos)"
+        for i in range(_BL_K)
+    )
+    sql["doc_bloom_contamination"] = f"""
+        WITH doc_toks AS (
+          SELECT doc_id, text, {TOKS} AS toks FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, UNNEST({_ngram_duck(3)}) AS s FROM doc_toks
+        ),
+        doc_sh AS (SELECT DISTINCT doc_id, {PH_S} AS sh FROM grams),
+        bench AS (
+          SELECT DISTINCT sh FROM doc_sh
+          WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+        ),
+        bpos AS (SELECT DISTINCT p FROM ({_bl_union})),
+        dtest AS (
+          SELECT d.doc_id,
+                 CASE WHEN {_bl_test} THEN 1 ELSE 0 END AS hit,
+                 CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END
+                   AS exact_hit
+          FROM doc_sh d LEFT JOIN bench b USING (sh)
+        ),
+        ov AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                 CAST(SUM(hit) AS BIGINT) AS n_bloom_hits,
+                 CAST(SUM(exact_hit) AS BIGINT) AS n_exact
+          FROM dtest GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               COALESCE(ov.n_shingles, CAST(0 AS BIGINT)) AS n_shingles,
+               COALESCE(ov.n_bloom_hits, CAST(0 AS BIGINT))
+                 AS n_bloom_hits,
+               COALESCE(ov.n_exact, CAST(0 AS BIGINT)) AS n_exact,
+               COALESCE(ov.n_bloom_hits - ov.n_exact, CAST(0 AS BIGINT))
+                 AS n_false_pos,
+               CASE WHEN COALESCE(ov.n_shingles, 0) = 0 THEN 0e0
+                    ELSE round(CAST(ov.n_bloom_hits AS DOUBLE)
+                         / CAST(ov.n_shingles AS DOUBLE), 9)
+               END AS bloom_ratio,
+               (CASE WHEN COALESCE(ov.n_shingles, 0) = 0 THEN 0e0
+                     ELSE round(CAST(ov.n_bloom_hits AS DOUBLE)
+                          / CAST(ov.n_shingles AS DOUBLE), 9)
+                END) > 0.5 AS bloom_contaminated,
+               (CASE WHEN COALESCE(ov.n_shingles, 0) = 0 THEN 0e0
+                     ELSE CAST(ov.n_exact AS DOUBLE)
+                          / CAST(ov.n_shingles AS DOUBLE)
+                END) > 0.5 AS exact_contaminated
+        FROM documents t LEFT JOIN ov ON t.doc_id = ov.doc_id
+        """
+
+    _bf_chi2, _bf_mad = _benford_exprs()
+    _bf_piv = ", ".join(
+        f"CAST(SUM(CASE WHEN digit = {i} THEN c ELSE 0 END) AS BIGINT)"
+        f" AS c{i}"
+        for i in range(1, 10)
+    )
+    sql["stream_benford"] = with_views(
+        f"""
+        WITH d AS (
+          SELECT channel,
+                 CAST(substring(CAST(abs(CAST(round(value * {CORR_QUANT})
+                   AS BIGINT)) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          FROM chan_events
+        ),
+        counts AS (
+          SELECT channel, digit, CAST(COUNT(*) AS BIGINT) AS c
+          FROM d WHERE digit > 0 GROUP BY channel, digit
+        ),
+        piv AS (
+          SELECT channel, CAST(SUM(c) AS BIGINT) AS n, {_bf_piv}
+          FROM counts GROUP BY channel
+        )
+        SELECT channel, n,
+               {", ".join(f"c{i}" for i in range(1, 10))},
+               CASE WHEN n > 0 THEN round({_bf_chi2}, 9) ELSE 0e0 END
+                 AS chi2,
+               CASE WHEN n > 0 THEN round(({_bf_mad}) / 9e0, 9)
+                 ELSE 0e0 END AS mad
+        FROM piv
+        """,
+        "chan_events",
+    )
+
+    sql["stream_bollinger"] = with_views(
+        f"""
+        WITH s AS (
+          SELECT channel, ts, value,
+                 CAST(round(value * {CORR_QUANT}) AS BIGINT) AS xq
+          FROM chan_events
+        ),
+        m AS (
+          SELECT channel, ts, xq,
+                 COUNT(*) OVER w AS _wn,
+                 CAST(SUM(xq) OVER w AS BIGINT) AS _s,
+                 CAST(SUM(xq * xq) OVER w AS BIGINT) AS _ss
+          FROM s
+          WINDOW w AS (PARTITION BY channel ORDER BY ts, value
+                       ROWS BETWEEN {_bb_w} PRECEDING
+                       AND 1 PRECEDING)
+        ),
+        t AS (SELECT * FROM m WHERE _wn = {_bb_w})
+        SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_tested,
+               CAST(SUM(CASE WHEN {_bb_up} THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_upper,
+               CAST(SUM(CASE WHEN {_bb_lo} THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_lower,
+               CAST(COALESCE(MAX(CASE WHEN {_bb_up} THEN ts END), -1)
+                 AS BIGINT) AS last_upper_ts,
+               CAST(COALESCE(MAX(CASE WHEN {_bb_lo} THEN ts END), -1)
+                 AS BIGINT) AS last_lower_ts
+        FROM t GROUP BY channel
         """,
         "chan_events",
     )

@@ -1843,3 +1843,123 @@ def gopher_quality_filters(documents: DataFrame) -> DataFrame:
         *[F.expr(e).alias(k) for k, e in rules.items()],
         F.expr(keep).alias("keep"),
     )
+
+
+# --- Bloom-filter decontamination screen ------------------------------
+#
+# The 100 TB shape of the benchmark-overlap check: instead of
+# broadcasting the benchmark's full shingle-hash array (contamination
+# above — size grows with the benchmark), fold it into a FIXED-SIZE
+# bit array (BLOOM_WORDS int64 words, 2 KB here) and test each corpus
+# shingle with BLOOM_PROBES independent positions — constant-size
+# broadcast, zero joins, one-sided error the operator EXPOSES by
+# reporting false positives against the exact screen.
+
+BLOOM_M = 16_384                # bits (BLOOM_WORDS * 64)
+BLOOM_WORDS = BLOOM_M // 64
+BLOOM_PROBES = 3
+_BLOOM_P2 = 16_381              # prime < M for the second mix
+
+
+def bloom_pos_expr(h: str, i: int) -> str:
+    """Probe-``i`` bit position for shingle hash ``h`` — pure
+    %·+ arithmetic (no integer division), so the SAME text runs on
+    Spark, DuckDB and Python."""
+    return (
+        f"(((({h}) % {BLOOM_M}) * {2 * i + 1} "
+        f"+ (({h}) % {_BLOOM_P2}) * {i + 1} + {13 * i}) % {BLOOM_M})"
+    )
+
+
+def bloom_pos_py(h: int, i: int) -> int:
+    """Python twin of :func:`bloom_pos_expr`."""
+    return (
+        (h % BLOOM_M) * (2 * i + 1) + (h % _BLOOM_P2) * (i + 1) + 13 * i
+    ) % BLOOM_M
+
+
+def bloom_words_from_hashes(hashes) -> list[int]:
+    """Fold benchmark shingle hashes into the signed-int64 word array
+    (bit 63 = sign bit, the dhash wrap rule)."""
+    words = [0] * BLOOM_WORDS
+    for h in hashes:
+        for i in range(BLOOM_PROBES):
+            p = bloom_pos_py(int(h), i)
+            words[p // 64] |= 1 << (p % 64)
+    return [w - (1 << 64) if w >= 1 << 63 else w for w in words]
+
+
+def bloom_contamination(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Bloom-filter benchmark-contamination screen, audited against
+    the exact set test in the SAME pass: per document the bloom-hit
+    shingle count, the exact overlap count, and the false-positive
+    surplus — how much precision the constant-size sketch trades for
+    its 2 KB footprint (at 100 TB the exact array side grows with
+    the benchmark; the bloom side never does).
+
+    Determinism: the word array is built ONCE from the collected
+    benchmark hash set (bounded model state, the BPE rule) with
+    engine-portable %·+ positions; the per-shingle test is a fixed
+    all-probes-set conjunction over int64 literals (arithmetic shift
+    + mask — sign-safe); exact overlap reuses the broadcast sorted
+    array. Ratios are single fixed divisions rounded to 9 dp.
+
+    Output: (doc_id, n_shingles, n_bloom_hits, n_exact, n_false_pos,
+    bloom_ratio, bloom_contaminated, exact_contaminated).
+
+    Plan / 100 TB: the corpus side is ONE narrow map (the bit test
+    folds into whole-stage codegen); no join, no shuffle, no
+    benchmark-sized broadcast.
+    """
+    bench_set = benchmark_shingle_set(benchmark, k)
+    bench_hashes = [
+        int(h) for h in (bench_set.collect()[0]["bench_sh"] or [])
+    ]
+    words = bloom_words_from_hashes(bench_hashes)
+    words_lit = "array(" + ", ".join(f"{w}L" for w in words) + ")"
+    test = " AND ".join(
+        f"(shiftright(element_at({words_lit}, "
+        f"CAST({bloom_pos_expr('h', i)} div 64 AS INT) + 1), "
+        f"CAST({bloom_pos_expr('h', i)} % 64 AS INT)) & 1) = 1"
+        for i in range(BLOOM_PROBES)
+    )
+    sh_arr = shingle_hash_arr_expr(k)
+    docs = documents.select(
+        "doc_id", F.expr(TOKS).alias("toks")
+    ).select("doc_id", F.expr(sh_arr).alias("doc_sh"))
+    joined = docs.crossJoin(F.broadcast(bench_set))
+    ratio = (
+        "CASE WHEN n_shingles = 0 THEN 0e0 ELSE "
+        "round(CAST(n_bloom_hits AS DOUBLE) "
+        "/ CAST(n_shingles AS DOUBLE), 9) END"
+    )
+    exact_ratio = (
+        "CASE WHEN n_shingles = 0 THEN 0e0 ELSE "
+        "CAST(n_exact AS DOUBLE) / CAST(n_shingles AS DOUBLE) END"
+    )
+    return joined.select(
+        "doc_id",
+        F.expr("size(doc_sh)").cast("long").alias("n_shingles"),
+        F.expr(f"size(filter(doc_sh, h -> {test}))")
+        .cast("long")
+        .alias("n_bloom_hits"),
+        F.expr("size(array_intersect(doc_sh, bench_sh))")
+        .cast("long")
+        .alias("n_exact"),
+    ).select(
+        "doc_id",
+        "n_shingles",
+        "n_bloom_hits",
+        "n_exact",
+        F.expr("n_bloom_hits - n_exact").cast("long").alias("n_false_pos"),
+        F.expr(ratio).alias("bloom_ratio"),
+        F.expr(f"({ratio}) > {threshold}").alias("bloom_contaminated"),
+        F.expr(f"({exact_ratio}) > {threshold}").alias(
+            "exact_contaminated"
+        ),
+    )

@@ -4908,3 +4908,170 @@ def turning_points(values: DataFrame, quant: int = 100) -> DataFrame:
             f"ELSE 'oscillating' END"
         ).alias("verdict"),
     )
+
+
+# Katz FD shared finish (imported by the oracle): FD =
+# ln(n_steps) / (ln(n_steps) + ln(d/L)), guards for degenerate paths.
+# nullif-protected denominators (the pacf ANSI-hoisting rule: Spark's
+# subexpression elimination can evaluate the division before the CASE
+# guard) — the coalesce only fires outside the guarded branch.
+KATZ_FD = (
+    "CASE WHEN n_steps > 1 AND dmax > 0 AND lpath > 0 "
+    "AND dmax <> lpath THEN "
+    "round(coalesce(ln(CAST(n_steps AS DOUBLE)) "
+    "/ nullif(ln(CAST(n_steps AS DOUBLE)) "
+    "+ ln(CAST(dmax AS DOUBLE) "
+    "/ nullif(CAST(lpath AS DOUBLE), 0e0)), 0e0), 0e0), 9) "
+    "ELSE 0e0 END"
+)
+
+
+def katz_fd(values: DataFrame, quant: int = 100) -> DataFrame:
+    """Katz fractal dimension per channel (Katz 1988): FD =
+    log n / (log n + log(d/L)) with L the total path length Σ|Δx|
+    and d the maximum excursion from the first point — the cheap
+    waveform-complexity number EEG pipelines run alongside
+    ts_higuchi_fd (Katz needs one pass; Higuchi needs the k-grid)
+    and ts_line_length (which IS the L term).
+
+    Determinism: L and d are exact BIGINT folds of quantized
+    integers; the FD is the shared KATZ_FD fixed ln finish rounded
+    to 9 dp (flat channels — d = 0 or L = 0 — and the d = L
+    degenerate report the 0.0 sentinel).
+
+    Output: (channel, n_points, lpath, dmax, fd).
+
+    Plan / 100 TB: one per-channel lag window (Δx) + first_value +
+    one rollup.
+    """
+    q = int(quant)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    base = values.select(
+        "channel",
+        "ts",
+        "value",
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    ).select(
+        "channel",
+        "xq",
+        F.lag("xq").over(w).alias("_p"),
+        F.first("xq").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_x0"),
+    )
+    g = base.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum(
+            F.expr("CASE WHEN _p IS NOT NULL THEN abs(xq - _p) ELSE 0 END")
+        )
+        .cast("long")
+        .alias("lpath"),
+        F.max(F.expr("abs(xq - _x0)")).cast("long").alias("dmax"),
+    ).withColumn("n_steps", F.expr("n_points - 1").cast("long"))
+    return g.select(
+        "channel",
+        "n_points",
+        "lpath",
+        "dmax",
+        F.expr(KATZ_FD).alias("fd"),
+    )
+
+
+def max_drawdown(samples: DataFrame, quant: int = 100) -> DataFrame:
+    """Maximum drawdown per channel: the deepest drop from a running
+    peak — THE risk number for any cumulative/level series (equity
+    curves, battery charge, reservoir level), complementing
+    ts_records' frontier counts with the worst excursion BELOW the
+    frontier.
+
+    Determinism: drawdowns dd = running_max − x are exact quantized
+    integers; the trough is the FIRST (min ts) row attaining the
+    maximum dd (an explicit two-step agg + tie-broken pick, no
+    engine-specific argmax); the fraction is one fixed division of
+    exact integers rounded to 9 dp (non-positive peaks report the
+    0.0 sentinel).
+
+    Output: (channel, n_points, max_dd_q, trough_ts, peak_q,
+    dd_frac).
+
+    Plan / 100 TB: one running-max window + one rollup + one
+    |channels|-row broadcast join back for the trough pick.
+    """
+    q = int(quant)
+    w = (
+        Window.partitionBy("channel")
+        .orderBy("ts", "value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rows = samples.select(
+        "channel",
+        "ts",
+        "value",
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    ).select(
+        "channel",
+        "ts",
+        "xq",
+        F.max("xq").over(w).alias("_pmax"),
+    ).select(
+        "channel",
+        "ts",
+        "xq",
+        "_pmax",
+        (F.col("_pmax") - F.col("xq")).alias("dd"),
+    )
+    rows = pin(rows)
+    g = rows.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.max("dd").cast("long").alias("max_dd_q"),
+    )
+    trough = (
+        rows.join(
+            F.broadcast(g.select("channel", "max_dd_q")), "channel"
+        )
+        .filter(F.col("dd") == F.col("max_dd_q"))
+        .groupBy("channel")
+        .agg(
+            F.min("ts").cast("long").alias("trough_ts"),
+        )
+    )
+    # peak at the trough: among rows at (trough_ts, dd = max_dd) the
+    # MIN-xq row is the deterministic pick, and its running peak is
+    # algebraically max_dd + xq — no engine-specific argmax anywhere
+    peak = (
+        rows.join(
+            F.broadcast(
+                trough.select(
+                    "channel", F.col("trough_ts").alias("_tts")
+                ).join(
+                    g.select("channel", F.col("max_dd_q").alias("_mdd")),
+                    "channel",
+                )
+            ),
+            "channel",
+        )
+        .filter(
+            (F.col("ts") == F.col("_tts"))
+            & (F.col("dd") == F.col("_mdd"))
+        )
+        .groupBy("channel")
+        .agg(
+            F.expr("CAST(min(xq) + min(dd) AS BIGINT)").alias("peak_q")
+        )
+    )
+    return (
+        g.join(F.broadcast(trough), "channel")
+        .join(F.broadcast(peak), "channel")
+        .select(
+            "channel",
+            "n_points",
+            "max_dd_q",
+            "trough_ts",
+            "peak_q",
+            F.expr(
+                "CASE WHEN peak_q > 0 THEN "
+                "round(CAST(max_dd_q AS DOUBLE) "
+                "/ CAST(peak_q AS DOUBLE), 9) ELSE 0e0 END"
+            ).alias("dd_frac"),
+        )
+    )
