@@ -5302,6 +5302,63 @@ def q_stream_bollinger(spark, sf_dir):
     )
 
 
+def q_graph_search(spark, sf_dir):
+    """Greedy best-neighbor routing over the gated kNN graph (the
+    HNSW layer-0 search step, unrolled 3 hops from a fixed entry) —
+    completes the graph-ANN triad: build (emb_knn_graph), health
+    (emb_knn_assortativity), search (this)."""
+    from pennsieve_streaming_spark.llm.similarity import (
+        greedy_graph_search,
+    )
+
+    embs = _embs(spark, sf_dir)
+    edges = lsh_bucketed_ann(
+        embs, embs, k=3, broadcast_queries=False
+    )
+    return greedy_graph_search(
+        edges,
+        embs,
+        embs.filter(F.col("vec_id") < 10),
+        hops=3,
+        entry_id=0,
+    )
+
+
+def q_rouge_pairs(spark, sf_dir):
+    """ROUGE-1/2 P/R/F1 over the LSH-verified near-dup pairs: the
+    asymmetric-overlap adjudication view beside the pairs' symmetric
+    Jaccard — exact distinct-n-gram intersections, fixed-division
+    finishes."""
+    from pennsieve_streaming_spark.llm.text import rouge_pairs
+
+    docs = _docs(spark, sf_dir)
+    sh = shingles(docs).cache()
+    cands = lsh_candidate_pairs(
+        lsh_band_keys(minhash_wide(sh)), max_bucket_size=LSH_MAX_BUCKET
+    ).cache()
+    cands.count()
+    # pin the (tiny) verified-pair id list: without it the ROUGE join
+    # tree replays the whole LSH candidate pipeline per subtree
+    # (~200-exchange plan — the q_lsh_pairs cache rule)
+    from pennsieve_streaming_spark.util import pin
+
+    pairs = pin(
+        jaccard_pairs(sh, candidates=cands).select("doc_a", "doc_b")
+    )
+    return rouge_pairs(docs, pairs)
+
+
+def q_image_equalize(spark, sf_dir):
+    """Histogram-equalization checksum per media item: exact integer
+    CDF remap over the synthetic luminance field (REAL kernel) — the
+    contrast-enhancement op proven through the driver gate."""
+    from pennsieve_streaming_spark.llm.imagehash import (
+        equalize_synthetic,
+    )
+
+    return equalize_synthetic(_docs(spark, sf_dir))
+
+
 # Round-8 rotation: the driver's correctness gate samples the FIRST 50
 # registry entries. Positions 1-44 are every registry query the driver
 # has never sampled (the 12-query r6 tail past r7's top-50 cut + the 32
@@ -5390,7 +5447,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so the NEWEST / least-proven queries are listed FIRST and the
     # longest-stable ts-core queries last. Keep new work at the top.
     q = {
-        # round-8 wave-7 additions (newest first)
+        # round-8 wave-8 additions (newest first)
+        "emb_graph_search": q_graph_search,
+        "doc_rouge_pairs": q_rouge_pairs,
+        "mm_image_equalize": q_image_equalize,
+        # round-8 wave-7 additions
         "ts_katz_fd": q_katz_fd,
         "ts_drawdown": q_drawdown,
         "doc_bloom_contamination": q_bloom_contamination,
@@ -17412,6 +17473,166 @@ def oracle_sql() -> dict[str, str]:
         """,
         "chan_events",
     )
+
+    # --- round-8 wave-8 additions -------------------------------------
+    _gs_cos = (
+        "list_dot_product(qv, nv) / (sqrt(list_dot_product(qv, qv)) "
+        "* sqrt(list_dot_product(nv, nv)))"
+    )
+    _gs_hops = 3
+    _gs_cte = [
+        f"""
+        h0 AS (
+          SELECT q.query_id, q.qv, CAST(0 AS BIGINT) AS hop,
+                 CAST(0 AS BIGINT) AS node_id, {_gs_cos} AS cosine
+          FROM gq q JOIN gemb ON nid = 0
+        )"""
+    ]
+    for _h in range(1, _gs_hops + 1):
+        _gs_cte.append(f"""
+        h{_h} AS (
+          SELECT query_id, qv, hop, node_id, cosine FROM (
+            SELECT p.query_id, p.qv, CAST({_h} AS BIGINT) AS hop,
+                   CAST(e.neighbor_id AS BIGINT) AS node_id,
+                   {_gs_cos} AS cosine,
+                   ROW_NUMBER() OVER (PARTITION BY p.query_id
+                       ORDER BY {_gs_cos} DESC, e.neighbor_id) AS _r
+            FROM h{_h - 1} p
+            JOIN gedges e ON e.query_id = p.node_id
+            JOIN gemb ON nid = e.neighbor_id
+          ) WHERE _r = 1
+        )""")
+    _gs_union = " UNION ALL ".join(
+        f"SELECT query_id, hop, node_id, cosine FROM h{h}"
+        for h in range(_gs_hops + 1)
+    )
+    sql["emb_graph_search"] = f"""
+        WITH gedges AS (
+          SELECT query_id, neighbor_id FROM ({sql["emb_knn_graph"]})
+        ),
+        gq AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 10
+        ),
+        gemb AS (
+          SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv
+          FROM embeddings
+        ),
+        {", ".join(_gs_cte)}
+        {_gs_union}
+        """
+
+    from pennsieve_streaming_spark.llm.text import (
+        ROUGE_F1 as _RG_F1,
+        ROUGE_F2 as _RG_F2,
+        ROUGE_P1 as _RG_P1,
+        ROUGE_R1 as _RG_R1,
+    )
+
+    sql["doc_rouge_pairs"] = f"""
+        WITH rpairs AS (
+          SELECT doc_a, doc_b FROM ({sql["doc_minhash_lsh_pairs"]})
+        ),
+        rdoc_toks AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+        runi AS (
+          SELECT DISTINCT doc_id, {PH_S} AS sh FROM (
+            SELECT doc_id, UNNEST({_ngram_duck(1)}) AS s
+            FROM rdoc_toks
+          )
+        ),
+        rbi AS (
+          SELECT DISTINCT doc_id, {PH_S} AS sh FROM (
+            SELECT doc_id, UNNEST({_ngram_duck(2)}) AS s
+            FROM rdoc_toks
+          )
+        ),
+        rua AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM runi GROUP BY doc_id
+        ),
+        rba AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM rbi GROUP BY doc_id
+        ),
+        rov1 AS (
+          SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS ov
+          FROM rpairs p
+          JOIN runi x ON x.doc_id = p.doc_a
+          JOIN runi y ON y.doc_id = p.doc_b AND y.sh = x.sh
+          GROUP BY p.doc_a, p.doc_b
+        ),
+        rov2 AS (
+          SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS ov
+          FROM rpairs p
+          JOIN rbi x ON x.doc_id = p.doc_a
+          JOIN rbi y ON y.doc_id = p.doc_b AND y.sh = x.sh
+          GROUP BY p.doc_a, p.doc_b
+        ),
+        rbase AS (
+          SELECT p.doc_a, p.doc_b,
+                 ua.n AS n_uni_a, ub.n AS n_uni_b,
+                 COALESCE(o1.ov, CAST(0 AS BIGINT)) AS uni_overlap,
+                 ba.n AS n_bi_a, bb.n AS n_bi_b,
+                 COALESCE(o2.ov, CAST(0 AS BIGINT)) AS bi_overlap
+          FROM rpairs p
+          JOIN rua ua ON ua.doc_id = p.doc_a
+          JOIN rua ub ON ub.doc_id = p.doc_b
+          JOIN rba ba ON ba.doc_id = p.doc_a
+          JOIN rba bb ON bb.doc_id = p.doc_b
+          LEFT JOIN rov1 o1
+            ON o1.doc_a = p.doc_a AND o1.doc_b = p.doc_b
+          LEFT JOIN rov2 o2
+            ON o2.doc_a = p.doc_a AND o2.doc_b = p.doc_b
+        )
+        SELECT doc_a, doc_b, n_uni_a, n_uni_b, uni_overlap,
+               round({_RG_P1}, 9) AS rouge1_p,
+               round({_RG_R1}, 9) AS rouge1_r,
+               {_RG_F1} AS rouge1_f1,
+               bi_overlap,
+               {_RG_F2} AS rouge2_f1
+        FROM rbase
+        """
+
+    sql["mm_image_equalize"] = f"""
+        WITH px AS (
+          SELECT doc_id, {_ihg.format(i='i', j='j')} AS v
+          FROM documents,
+               UNNEST(generate_series(0, {_IH_H - 1})) AS ti(i),
+               UNNEST(generate_series(0, {_IH_W - 1})) AS tj(j)
+        ),
+        cnt AS (
+          SELECT doc_id, v AS level, CAST(COUNT(*) AS BIGINT) AS c
+          FROM px GROUP BY doc_id, v
+        ),
+        lev AS (
+          SELECT doc_id, level, c,
+                 SUM(c) OVER w AS cdf,
+                 FIRST_VALUE(c) OVER w AS cdf_min
+          FROM cnt
+          WINDOW w AS (PARTITION BY doc_id ORDER BY level
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)
+        ),
+        tot AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_px
+          FROM cnt GROUP BY doc_id
+        ),
+        eq AS (
+          SELECT l.doc_id, l.c, t.n_px,
+                 CAST(CASE WHEN t.n_px > l.cdf_min THEN
+                   ((l.cdf - l.cdf_min) * 255) // (t.n_px - l.cdf_min)
+                 ELSE 0 END AS BIGINT) AS eqv
+          FROM lev l JOIN tot t ON l.doc_id = t.doc_id
+        )
+        SELECT doc_id AS media_id,
+               CAST(MAX(n_px) AS BIGINT) AS n_px,
+               CAST(COUNT(*) AS BIGINT) AS n_levels_in,
+               CAST(COUNT(DISTINCT eqv) AS BIGINT) AS n_levels_out,
+               CAST(SUM(eqv * c) AS BIGINT) AS sum_eq,
+               CAST(MIN(eqv) AS BIGINT) AS min_eq,
+               CAST(MAX(eqv) AS BIGINT) AS max_eq
+        FROM eq GROUP BY doc_id
+        """
 
     return sql
 

@@ -778,3 +778,78 @@ def edge_orientation_synthetic(documents: DataFrame) -> DataFrame:
             f"round(CAST(n_px AS DOUBLE) / {interior}e0, 9)"
         ).alias("share"),
     )
+
+
+def equalize_synthetic(documents: DataFrame) -> DataFrame:
+    """Histogram equalization checksum per media item over the
+    synthetic luminance field (REAL kernel): the classic contrast-
+    enhancement mapping eq(v) = ⌊(cdf(v) − cdf_min)·255 / (n_px −
+    cdf_min)⌋ — emitted as exact integer aggregates so the driver
+    gate proves the whole remap (any off-by-one in the CDF moves
+    sum_eq).
+
+    Determinism: level counts, running CDF (level-ordered window)
+    and the floor-div remap are ALL exact integers — no floats
+    anywhere. Degenerate single-level images (n_px = cdf_min) map to
+    the 0 level by documented sentinel.
+
+    Output: (media_id, n_px, n_levels_in, n_levels_out, sum_eq,
+    min_eq, max_eq).
+
+    Plan / 100 TB: the entropy shape — narrow mapInPandas histogram
+    rows (≤256/frame), one level-ordered window per image, one
+    rollup.
+    """
+    from pyspark.sql import Window
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for d in pdf["doc_id"].to_numpy():
+                for v, c in histogram_entropy_stats(
+                    synthetic_gray(int(d))
+                ):
+                    out.append((int(d), v, c))
+            yield pd.DataFrame(
+                out, columns=["media_id", "level", "cnt"]
+            )
+
+    counts = documents.select("doc_id").mapInPandas(
+        run, "media_id long, level long, cnt long"
+    )
+    w = (
+        Window.partitionBy("media_id")
+        .orderBy("level")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lev = counts.select(
+        "media_id",
+        "level",
+        "cnt",
+        F.sum("cnt").over(w).alias("cdf"),
+        F.first("cnt").over(w).alias("cdf_min"),
+    )
+    tot = counts.groupBy("media_id").agg(
+        F.sum("cnt").cast("long").alias("n_px")
+    )
+    eq = (
+        lev.join(tot, "media_id")
+        .withColumn(
+            "eq",
+            F.expr(
+                "CASE WHEN n_px > cdf_min THEN "
+                "((cdf - cdf_min) * 255) div (n_px - cdf_min) "
+                "ELSE 0 END"
+            ).cast("long"),
+        )
+    )
+    return eq.groupBy("media_id").agg(
+        F.max("n_px").cast("long").alias("n_px"),
+        F.count(F.lit(1)).cast("long").alias("n_levels_in"),
+        F.countDistinct("eq").cast("long").alias("n_levels_out"),
+        F.sum(F.expr("eq * cnt")).cast("long").alias("sum_eq"),
+        F.min("eq").cast("long").alias("min_eq"),
+        F.max("eq").cast("long").alias("max_eq"),
+    )

@@ -2183,3 +2183,111 @@ def knn_degree_assortativity(edges: DataFrame) -> DataFrame:
     return g.crossJoin(F.broadcast(n_nodes)).select(
         "n_edges", "n_nodes", F.expr(ASSORT_R).alias("assortativity")
     )
+
+
+def greedy_graph_search(
+    edges: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    hops: int = 3,
+    entry_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy best-neighbor routing over a kNN graph — the layer-0
+    search step of graph-ANN indexes (HNSW/NSG): from a fixed entry
+    point, repeatedly move to the out-neighbor most similar to the
+    query. Completes the graph-ANN triad (build = emb_knn_graph,
+    health = emb_knn_assortativity, search = this) with the
+    unrolled-``hops`` deterministic variant an oracle can replay
+    hop by hop.
+
+    Determinism: each hop picks the (cosine DESC, neighbor_id) rank-1
+    out-neighbor — exact fold cosines, total-order tie-break; a node
+    with no out-edges ends the walk (bucketed kNN graphs have
+    singleton-bucket sinks — the emission simply stops, identically
+    in both engines). Hop 0 is the entry point itself.
+
+    Output: (query_id, hop, node_id, cosine) — one row per reached
+    hop per query.
+
+    Plan / 100 TB: the walk frontier is |queries| rows; each hop is
+    one |frontier|×k edge equi-join + one embedding lookup join + a
+    ≤k-row rank window per query. The edge list is the pre-built
+    (bounded, bucketed) graph — nothing quadratic, nothing
+    corpus-broadcast.
+    """
+    emb = _as_double(embeddings, vec_col).select(
+        F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nv")
+    )
+    emb = pin(emb)
+    e = pin(edges.select("query_id", "neighbor_id"))
+    qs = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q")
+    )
+    from pyspark.sql import Window
+
+    cos = F.expr(
+        DOT.format(a="q", b="_nv")
+        + " / (sqrt("
+        + DOT.format(a="q", b="q")
+        + ") * sqrt("
+        + DOT.format(a="_nv", b="_nv")
+        + "))"
+    )
+    # hop 0: the fixed entry point is ONE row — an explicit broadcast
+    # cross join, NOT a constant-folded join condition (node_id = lit
+    # folds to `0 = _nid`, a non-equi condition Catalyst can only run
+    # as a partition-product cartesian once the checkpointed legs
+    # lose their stats)
+    entry = emb.filter(F.col("_nid") == int(entry_id))
+    cur = (
+        qs.crossJoin(F.broadcast(entry))
+        .select(
+            "query_id",
+            "q",
+            F.col("_nid").alias("node_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("hop", F.lit(0).cast("long"))
+    )
+    out = [cur.select("query_id", "hop", "node_id", "cosine", "q")]
+    for h in range(1, int(hops) + 1):
+        prev = out[-1]
+        cands = (
+            prev.select("query_id", "q", F.col("node_id").alias("_cur"))
+            .join(
+                e.withColumnRenamed("query_id", "_cur"),
+                "_cur",
+            )
+            .join(emb, F.col("neighbor_id") == F.col("_nid"))
+            .select(
+                "query_id",
+                "q",
+                F.col("neighbor_id").alias("node_id"),
+                cos.alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("node_id")
+        )
+        step = (
+            cands.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select(
+                "query_id",
+                F.lit(h).cast("long").alias("hop"),
+                "node_id",
+                "cosine",
+                "q",
+            )
+        )
+        # pin each hop (the kmeans/pagerank iteration rule): without
+        # it hop h re-derives every earlier hop inside the final
+        # union — an O(hops²) plan blowup
+        step = pin(step)
+        out.append(step)
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.select("query_id", "hop", "node_id", "cosine")

@@ -1624,3 +1624,112 @@ def case_profile(documents: DataFrame) -> DataFrame:
         F.expr(share.format(c="n_title_words")).alias("title_share"),
         F.expr(share.format(c="n_digit_words")).alias("digit_share"),
     )
+
+
+
+# ROUGE shared expression text (imported by the oracle) over columns
+# (n_uni_a, n_uni_b, uni_overlap, n_bi_a, n_bi_b, bi_overlap).
+ROUGE_P1 = (
+    "CASE WHEN n_uni_a > 0 THEN CAST(uni_overlap AS DOUBLE) "
+    "/ CAST(n_uni_a AS DOUBLE) ELSE 0e0 END"
+)
+ROUGE_R1 = (
+    "CASE WHEN n_uni_b > 0 THEN CAST(uni_overlap AS DOUBLE) "
+    "/ CAST(n_uni_b AS DOUBLE) ELSE 0e0 END"
+)
+ROUGE_F1 = (
+    f"CASE WHEN ({ROUGE_P1}) + ({ROUGE_R1}) > 0e0 THEN "
+    f"round(2e0 * ({ROUGE_P1}) * ({ROUGE_R1}) "
+    f"/ (({ROUGE_P1}) + ({ROUGE_R1})), 9) ELSE 0e0 END"
+)
+ROUGE_P2 = (
+    "CASE WHEN n_bi_a > 0 THEN CAST(bi_overlap AS DOUBLE) "
+    "/ CAST(n_bi_a AS DOUBLE) ELSE 0e0 END"
+)
+ROUGE_R2 = (
+    "CASE WHEN n_bi_b > 0 THEN CAST(bi_overlap AS DOUBLE) "
+    "/ CAST(n_bi_b AS DOUBLE) ELSE 0e0 END"
+)
+ROUGE_F2 = (
+    f"CASE WHEN ({ROUGE_P2}) + ({ROUGE_R2}) > 0e0 THEN "
+    f"round(2e0 * ({ROUGE_P2}) * ({ROUGE_R2}) "
+    f"/ (({ROUGE_P2}) + ({ROUGE_R2})), 9) ELSE 0e0 END"
+)
+
+
+def rouge_pairs(documents: DataFrame, candidates: DataFrame) -> DataFrame:
+    """ROUGE-1/2 overlap scores over near-dup CANDIDATE pairs: the
+    precision/recall/F1 view of textual overlap that MinHash's
+    set-Jaccard compresses to one number — near-dup adjudication UIs
+    and dedup-threshold tuning read these (distinct-n-gram variant;
+    multiset weighting documented out).
+
+    ``candidates`` is any (doc_a, doc_b) pair table — here the capped
+    LSH candidates, so the pair count is bounded by the banding
+    discipline, never quadratic.
+
+    Determinism: distinct unigram/bigram hash sets are row-local
+    exact arrays (the shared md5-prefix hash); overlaps are exact
+    set-intersection sizes; P/R/F1 are fixed divisions rounded to
+    9 dp with 0.0 sentinels on empty sides.
+
+    Output: (doc_a, doc_b, n_uni_a, n_uni_b, uni_overlap, rouge1_p,
+    rouge1_r, rouge1_f1, bi_overlap, rouge2_f1).
+
+    Plan / 100 TB: two hash-array projections + two pair equi-joins
+    on doc ids (the capped candidate list is the small side); no
+    explode, no shuffle of raw text beyond the array columns.
+    """
+    from pennsieve_streaming_spark.llm.curation import (
+        shingle_hash_arr_expr,
+    )
+
+    def arrs(df):
+        return df.select(
+            "doc_id",
+            F.expr(TOKS).alias("toks"),
+        ).select(
+            "doc_id",
+            F.expr(shingle_hash_arr_expr(1)).alias("uni"),
+            F.expr(shingle_hash_arr_expr(2)).alias("bi"),
+        )
+
+    a = arrs(documents).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("uni").alias("uni_a"),
+        F.col("bi").alias("bi_a"),
+    )
+    b = arrs(documents).select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("uni").alias("uni_b"),
+        F.col("bi").alias("bi_b"),
+    )
+    j = candidates.select("doc_a", "doc_b").join(a, "doc_a").join(
+        b, "doc_b"
+    )
+    base = j.select(
+        "doc_a",
+        "doc_b",
+        F.expr("size(uni_a)").cast("long").alias("n_uni_a"),
+        F.expr("size(uni_b)").cast("long").alias("n_uni_b"),
+        F.expr("size(array_intersect(uni_a, uni_b))")
+        .cast("long")
+        .alias("uni_overlap"),
+        F.expr("size(bi_a)").cast("long").alias("n_bi_a"),
+        F.expr("size(bi_b)").cast("long").alias("n_bi_b"),
+        F.expr("size(array_intersect(bi_a, bi_b))")
+        .cast("long")
+        .alias("bi_overlap"),
+    )
+    return base.select(
+        "doc_a",
+        "doc_b",
+        "n_uni_a",
+        "n_uni_b",
+        "uni_overlap",
+        F.expr(f"round({ROUGE_P1}, 9)").alias("rouge1_p"),
+        F.expr(f"round({ROUGE_R1}, 9)").alias("rouge1_r"),
+        F.expr(ROUGE_F1).alias("rouge1_f1"),
+        "bi_overlap",
+        F.expr(ROUGE_F2).alias("rouge2_f1"),
+    )
