@@ -5359,6 +5359,93 @@ def q_image_equalize(spark, sf_dir):
     return equalize_synthetic(_docs(spark, sf_dir))
 
 
+def q_spectral_shape(spark, sf_dir):
+    """Spectral centroid + bandwidth per (channel, window) from the
+    gated quantized-DFT bins — the brightness/spread descriptors
+    beside spectral entropy and spectral edge."""
+    from pennsieve_streaming_spark.dsp.spectral import spectral_shape
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        F.col("ts") <= F.lit(BW_TS_END)
+    )
+    return spectral_shape(s, PS_BINS, PS_WINDOW, PS_QUANT)
+
+
+def q_variogram(spark, sf_dir):
+    """Empirical semivariogram per channel at day lags 1/2/4/7/14 on
+    the LOCF day grid — the geostatistics range/sill view of temporal
+    structure beside ts_allan_variance."""
+    from pennsieve_streaming_spark.operators.stats import variogram
+
+    return variogram(
+        _locf_day_grid(spark, sf_dir), GRID_INTERVAL_US,
+        (1, 2, 4, 7, 14), CORR_QUANT,
+    )
+
+
+def q_hapax_ratio(spark, sf_dir):
+    """Per-source hapax-legomena shares: exact (source, token)
+    rollups — the corpus-level rarity signal beside doc_heaps_law."""
+    from pennsieve_streaming_spark.llm.text import hapax_ratio
+
+    return hapax_ratio(_docs(spark, sf_dir))
+
+
+def q_stream_simpson(spark, sf_dir):
+    """Streaming Simpson diversity: commutative per-(user, type)
+    count state; the drained counts aggregate with the SAME shared
+    SIMPSON_LAMBDA SQL as the batch operator, so ev_simpson_diversity's
+    oracle gates the stream verbatim."""
+    import tempfile
+
+    from pennsieve_streaming_spark.operators.analytics import (
+        SIMPSON_LAMBDA,
+    )
+    from pennsieve_streaming_spark.streaming.simpson import (
+        type_counts_stream,
+    )
+
+    ev = _user_events(spark, sf_dir).select("user_id", "event_type")
+    base = tempfile.mkdtemp(prefix="pss_stream_simp_")
+    src = f"{base}/src"
+    ev.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "user_id long, event_type string"
+    ).parquet(src)
+    q = (
+        type_counts_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(f"{base}/out")
+    final = out.groupBy("user_id", "event_type").agg(
+        F.max("c").cast("long").alias("c")
+    )
+    g = final.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.expr("c * (c - 1)")).cast("long").alias("num"),
+        F.max("c").cast("long").alias("top_c"),
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.expr(SIMPSON_LAMBDA).alias("simpson"),
+        F.expr(
+            f"CASE WHEN n_events > 1 THEN round(1e0 - ({SIMPSON_LAMBDA}), 9) "
+            f"ELSE 0e0 END"
+        ).alias("gini_simpson"),
+        F.expr(
+            "round(CAST(top_c AS DOUBLE) / CAST(n_events AS DOUBLE), 9)"
+        ).alias("top_share"),
+    )
+
+
 # Round-8 rotation: the driver's correctness gate samples the FIRST 50
 # registry entries. Positions 1-44 are every registry query the driver
 # has never sampled (the 12-query r6 tail past r7's top-50 cut + the 32
@@ -5447,7 +5534,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so the NEWEST / least-proven queries are listed FIRST and the
     # longest-stable ts-core queries last. Keep new work at the top.
     q = {
-        # round-8 wave-8 additions (newest first)
+        # round-8 wave-9 additions (newest first)
+        "ts_spectral_shape": q_spectral_shape,
+        "ts_variogram": q_variogram,
+        "doc_hapax_ratio": q_hapax_ratio,
+        "stream_simpson": q_stream_simpson,
+        # round-8 wave-8 additions
         "emb_graph_search": q_graph_search,
         "doc_rouge_pairs": q_rouge_pairs,
         "mm_image_equalize": q_image_equalize,
@@ -17633,6 +17725,96 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(eqv) AS BIGINT) AS max_eq
         FROM eq GROUP BY doc_id
         """
+
+    # --- round-8 wave-9 additions -------------------------------------
+    from pennsieve_streaming_spark.dsp.spectral import (
+        spectral_shape_exprs as _spec_exprs,
+    )
+
+    _sp_cent, _sp_bw = _spec_exprs(PS_BINS)
+    _sp_piv = ", ".join(
+        f"MAX(CASE WHEN bin = {b} THEN power END) AS p{b}"
+        for b in range(1, PS_BINS + 1)
+    )
+    sql["ts_spectral_shape"] = f"""
+        WITH ps AS ({sql["ts_power_spectrum"]}),
+        piv AS (
+          SELECT channel, CAST(win AS BIGINT) AS win, {_sp_piv}
+          FROM ps GROUP BY channel, win
+        )
+        SELECT channel, win,
+               {_sp_cent} AS centroid_bin,
+               {_sp_bw} AS bandwidth_bins
+        FROM piv
+        """
+
+    sql["ts_variogram"] = with_views(
+        f"""
+        WITH {_w5_grid},
+        vals AS (
+          SELECT channel, ts,
+                 CAST(round(fill * {CORR_QUANT}) AS BIGINT) AS xq
+          FROM f WHERE is_grid = 1
+        ),
+        lagged AS (
+          SELECT channel, UNNEST([1, 2, 4, 7, 14]) AS lag_days,
+                 ts AS ts_b, xq AS xb
+          FROM vals
+        ),
+        pr AS (
+          SELECT a.channel,
+                 CAST(l.lag_days AS BIGINT) AS lag_days,
+                 l.xb - a.xq AS d
+          FROM vals a JOIN lagged l
+            ON a.channel = l.channel
+           AND a.ts = l.ts_b - CAST(l.lag_days AS BIGINT)
+               * {GRID_INTERVAL_US}
+        )
+        SELECT channel, lag_days,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(CAST(SUM(CAST(d AS DECIMAL(38,0)) * d) AS BIGINT)
+                 AS DOUBLE) / CAST(2 * COUNT(*) AS DOUBLE)
+                 AS semivariance
+        FROM pr GROUP BY channel, lag_days
+        """,
+        "samples",
+        "channels",
+    )
+
+    sql["doc_hapax_ratio"] = """
+        WITH tok AS (
+          SELECT source, UNNEST(
+            CASE WHEN length(trim(text)) = 0 THEN []
+                 ELSE list_transform(
+                   regexp_split_to_array(trim(text), '\\s+'),
+                   t -> lower(t)) END) AS t
+          FROM documents
+        ),
+        tt AS (
+          SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tok GROUP BY source, t
+        ),
+        g AS (
+          SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_types,
+                 CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax
+          FROM tt GROUP BY source
+        )
+        SELECT source, n_tokens, n_types, n_hapax,
+               CASE WHEN n_types > 0 THEN round(CAST(n_hapax AS DOUBLE)
+                 / CAST(n_types AS DOUBLE), 9) ELSE 0e0 END
+                 AS hapax_type_share,
+               CASE WHEN n_tokens > 0 THEN round(CAST(n_hapax AS DOUBLE)
+                 / CAST(n_tokens AS DOUBLE), 9) ELSE 0e0 END
+                 AS hapax_token_share
+        FROM g
+        """
+
+    # the streaming Simpson state drains to the SAME aggregate the
+    # batch operator computes — one oracle text, two engines' worth
+    # of gating (the stream_burstiness pattern)
+    sql["stream_simpson"] = sql["ev_simpson_diversity"]
 
     return sql
 

@@ -1732,3 +1732,68 @@ def dynamic_range(
             "/ CAST(e_p10 AS DOUBLE)), 9) ELSE 0e0 END"
         ).alias("dr_db"),
     )
+
+
+def spectral_shape_exprs(n_bins: int) -> tuple[str, str]:
+    """(centroid, bandwidth) fixed expression strings over pivoted
+    per-bin power columns p1..pN — shared verbatim with the oracle.
+    Sums are explicit left-to-right chains (no engine fold order),
+    the centroid is rounded to 9 dp BEFORE feeding the bandwidth so
+    both engines square identical doubles."""
+    tot = " + ".join(f"p{b}" for b in range(1, n_bins + 1))
+    num = " + ".join(f"{b}e0 * p{b}" for b in range(1, n_bins + 1))
+    cent = (
+        f"CASE WHEN ({tot}) > 0e0 THEN "
+        f"round(({num}) / ({tot}), 9) ELSE 0e0 END"
+    )
+    var = " + ".join(
+        f"p{b} * ({b}e0 - ({cent})) * ({b}e0 - ({cent}))"
+        for b in range(1, n_bins + 1)
+    )
+    bw = (
+        f"CASE WHEN ({tot}) > 0e0 THEN "
+        f"round(sqrt(({var}) / ({tot})), 9) ELSE 0e0 END"
+    )
+    return cent, bw
+
+
+def spectral_shape(
+    samples: DataFrame,
+    n_bins: int,
+    window_samples: int,
+    quant: int = 10**6,
+) -> DataFrame:
+    """Spectral centroid + bandwidth per (channel, window): the
+    brightness / spread descriptors audio-ML feature pipelines read
+    beside spectral entropy (flatness) and spectral edge (rolloff) —
+    computed from the SAME codegen-only quantized-DFT bins as
+    ts_power_spectrum.
+
+    Determinism: per-bin powers are the gated bit-exact doubles; the
+    window pivots to ONE row (n_bins is a literal), so centroid and
+    bandwidth are fixed left-to-right expression chains rounded to
+    9 dp (all-zero windows report 0.0 sentinels).
+
+    Output: (channel, win, centroid_bin, bandwidth_bins) — in BIN
+    units; multiply by the bin spacing for Hz.
+
+    Plan / 100 TB: the power_spectrum shape (ranking window + narrow
+    ×n_bins explode + partial-agg) + one |windows|-row pivot.
+    """
+    nb = int(n_bins)
+    ps = power_spectrum(samples, nb, window_samples, quant)
+    piv = ps.groupBy("channel", "win").agg(
+        *[
+            F.max(
+                F.expr(f"CASE WHEN bin = {b} THEN power END")
+            ).alias(f"p{b}")
+            for b in range(1, nb + 1)
+        ]
+    )
+    cent, bw = spectral_shape_exprs(nb)
+    return piv.select(
+        "channel",
+        F.col("win").cast("long").alias("win"),
+        F.expr(cent).alias("centroid_bin"),
+        F.expr(bw).alias("bandwidth_bins"),
+    )

@@ -1733,3 +1733,52 @@ def rouge_pairs(documents: DataFrame, candidates: DataFrame) -> DataFrame:
         "bi_overlap",
         F.expr(ROUGE_F2).alias("rouge2_f1"),
     )
+
+
+def hapax_ratio(documents: DataFrame) -> DataFrame:
+    """Per-source hapax-legomena profile: the share of the source's
+    vocabulary (and of its token mass) appearing exactly once — the
+    corpus-level rarity signal beside doc_lexical_diversity's per-doc
+    TTR family and doc_heaps_law's growth exponent (a scraped/
+    templated source has few hapaxes; OCR noise has too many).
+
+    Determinism: exact token/type/hapax counts over lowercased
+    whitespace tokens; the two shares are single fixed divisions
+    rounded to 9 dp (empty sources report 0.0 sentinels).
+
+    Output: (source, n_tokens, n_types, n_hapax, hapax_type_share,
+    hapax_token_share).
+
+    Plan / 100 TB: one (source, token) partial-agg rollup + one
+    source rollup — the stopword_profile shape.
+    """
+    toks = "transform(split(trim(text), '\\\\s+'), t -> lower(t))"
+    empty = "length(trim(text)) = 0"
+    tok_rows = documents.select(
+        "source", F.explode(F.expr(f"CASE WHEN {empty} THEN "
+                                   f"array() ELSE {toks} END")).alias("t")
+    )
+    tt = tok_rows.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    g = tt.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.expr("CASE WHEN c = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_hapax"),
+    )
+    return g.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.expr(
+            "CASE WHEN n_types > 0 THEN round(CAST(n_hapax AS DOUBLE) "
+            "/ CAST(n_types AS DOUBLE), 9) ELSE 0e0 END"
+        ).alias("hapax_type_share"),
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN round(CAST(n_hapax AS DOUBLE) "
+            "/ CAST(n_tokens AS DOUBLE), 9) ELSE 0e0 END"
+        ).alias("hapax_token_share"),
+    )

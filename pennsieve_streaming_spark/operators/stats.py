@@ -5075,3 +5075,68 @@ def max_drawdown(samples: DataFrame, quant: int = 100) -> DataFrame:
             ).alias("dd_frac"),
         )
     )
+
+
+def variogram(
+    values: DataFrame,
+    step_us: int,
+    lags: tuple[int, ...] = (1, 2, 4, 7, 14),
+    quant: int = 100,
+) -> DataFrame:
+    """Empirical semivariogram per channel on the uniform day grid:
+    γ(h) = Σ (x_{t+h} − x_t)² / (2N_h) over all pairs at lag h days
+    (Matheron's classic estimator) — the geostatistics view of
+    temporal structure: γ rising to a sill ⇒ finite-range
+    correlation; unbounded growth ⇒ trend/random-walk. The spatial-
+    stats sibling of ts_allan_variance's block-mean curve.
+
+    Determinism: squared increments are exact integers (BIGINT-safe:
+    |Δxq|² ≤ 4·max|xq|² ≈ 4e14, × days ≈ 1e18 under DECIMAL(38,0)
+    then cast back); γ is ONE fixed division of exact integers.
+
+    Output: (channel, lag_days, n_pairs, semivariance).
+
+    Plan / 100 TB: the cross-correlation shape — one narrow ×|lags|
+    map, one ts-shifted self equi-join per channel, partial-agg to
+    |channels|×|lags| rows.
+    """
+    q = int(quant)
+    step = int(step_us)
+    v = values.select(
+        "channel",
+        "ts",
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    )
+    v = pin(v)
+    lag_arr = ", ".join(str(int(d)) for d in lags)
+    lagged = v.select(
+        "channel",
+        F.explode(F.expr(f"array({lag_arr})")).alias("lag_days"),
+        F.col("ts").alias("ts_b"),
+        F.col("xq").alias("xb"),
+    )
+    pairs = v.alias("a").join(
+        lagged.alias("l"),
+        F.expr("a.channel = l.channel")
+        & F.expr(f"a.ts = l.ts_b - CAST(l.lag_days AS BIGINT) * {step}"),
+    )
+    g = pairs.groupBy(
+        F.expr("a.channel").alias("channel"),
+        F.col("lag_days").cast("long").alias("lag_days"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.expr(
+                "CAST(l.xb - a.xq AS DECIMAL(38,0)) * (l.xb - a.xq)"
+            )
+        ).alias("_ssq"),
+    )
+    return g.select(
+        "channel",
+        "lag_days",
+        "n_pairs",
+        F.expr(
+            "CAST(CAST(_ssq AS BIGINT) AS DOUBLE) "
+            "/ CAST(2 * n_pairs AS DOUBLE)"
+        ).alias("semivariance"),
+    )
