@@ -5446,6 +5446,44 @@ def q_stream_simpson(spark, sf_dir):
     )
 
 
+def q_sma_cross(spark, sf_dir):
+    """SMA-20/50 crossover events per channel: pure integer
+    cross-multiplied sign algebra, zero-touch rows carry the prior
+    sign — the trend-following event stream beside
+    ts_bollinger_breaks."""
+    from pennsieve_streaming_spark.operators.stats import (
+        sma_crossovers,
+    )
+
+    return sma_crossovers(
+        TBL.samples_view(spark, sf_dir), fast=20, slow=50,
+        quant=CORR_QUANT,
+    )
+
+
+def q_mattr(spark, sf_dir):
+    """Moving-average TTR (window 50) per doc: the length-unbiased
+    lexical-diversity number — exact row-local window distinct
+    counts, one fixed division."""
+    from pennsieve_streaming_spark.llm.text import mattr
+
+    return mattr(_docs(spark, sf_dir), window=50)
+
+
+def q_cosine_thresholds(spark, sf_dir):
+    """Per-probe cosine neighborhood-density curve at τ ∈ {0.5, 0.7,
+    0.9}: exact counts over the broadcast-probe scored set — the
+    dedup-threshold calibration readout."""
+    from pennsieve_streaming_spark.llm.similarity import (
+        cosine_threshold_counts,
+    )
+
+    embs = _embs(spark, sf_dir)
+    return cosine_threshold_counts(
+        embs, embs.filter(F.col("vec_id") < 20)
+    )
+
+
 # Round-8 rotation: the driver's correctness gate samples the FIRST 50
 # registry entries. Positions 1-44 are every registry query the driver
 # has never sampled (the 12-query r6 tail past r7's top-50 cut + the 32
@@ -5534,7 +5572,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so the NEWEST / least-proven queries are listed FIRST and the
     # longest-stable ts-core queries last. Keep new work at the top.
     q = {
-        # round-8 wave-9 additions (newest first)
+        # round-8 wave-10 additions (newest first)
+        "ts_sma_cross": q_sma_cross,
+        "doc_mattr": q_mattr,
+        "emb_cosine_thresholds": q_cosine_thresholds,
+        # round-8 wave-9 additions
         "ts_spectral_shape": q_spectral_shape,
         "ts_variogram": q_variogram,
         "doc_hapax_ratio": q_hapax_ratio,
@@ -17815,6 +17857,138 @@ def oracle_sql() -> dict[str, str]:
     # batch operator computes — one oracle text, two engines' worth
     # of gating (the stream_burstiness pattern)
     sql["stream_simpson"] = sql["ev_simpson_diversity"]
+
+    # --- round-8 wave-10 additions ------------------------------------
+    _smaf, _smas = 20, 50
+    _sma_sgn = (
+        f"CASE WHEN {_smas} * _sf - {_smaf} * _ss > 0 THEN 1 "
+        f"WHEN {_smas} * _sf - {_smaf} * _ss < 0 THEN -1 ELSE 0 END"
+    )
+    sql["ts_sma_cross"] = with_views(
+        f"""
+        WITH s AS (
+          SELECT channel, ts, value,
+                 CAST(round(value * {CORR_QUANT}) AS BIGINT) AS xq
+          FROM samples
+        ),
+        m AS (
+          SELECT channel, ts, value,
+                 COUNT(*) OVER ws AS _wn,
+                 CAST(SUM(xq) OVER wf AS BIGINT) AS _sf,
+                 CAST(SUM(xq) OVER ws AS BIGINT) AS _ss
+          FROM s
+          WINDOW wf AS (PARTITION BY channel ORDER BY ts, value
+                        ROWS BETWEEN {_smaf - 1} PRECEDING
+                        AND CURRENT ROW),
+                 ws AS (PARTITION BY channel ORDER BY ts, value
+                        ROWS BETWEEN {_smas - 1} PRECEDING
+                        AND CURRENT ROW)
+        ),
+        d AS (
+          SELECT channel, ts, value, {_sma_sgn} AS _sgn
+          FROM m WHERE _wn = {_smas}
+        ),
+        mk AS (
+          SELECT channel, ts, _sgn,
+                 last_value(CASE WHEN _sgn <> 0 THEN _sgn END
+                   IGNORE NULLS) OVER wl AS _prev
+          FROM d
+          WINDOW wl AS (PARTITION BY channel ORDER BY ts, value
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING)
+        )
+        SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_tested,
+               CAST(SUM(CASE WHEN _sgn = 1 AND _prev = -1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_golden,
+               CAST(SUM(CASE WHEN _sgn = -1 AND _prev = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_death,
+               CAST(COALESCE(MAX(CASE WHEN _sgn = 1 AND _prev = -1
+                    THEN ts END), -1) AS BIGINT) AS last_golden_ts,
+               CAST(COALESCE(MAX(CASE WHEN _sgn = -1 AND _prev = 1
+                    THEN ts END), -1) AS BIGINT) AS last_death_ts
+        FROM mk GROUP BY channel
+        """,
+        "samples",
+    )
+
+    _mw = 50
+    _mtoks = (
+        "list_transform(regexp_split_to_array(trim(text), '\\s+'), "
+        "t -> lower(t))"
+    )
+    sql["doc_mattr"] = f"""
+        WITH base AS (
+          SELECT doc_id, {_mtoks} AS toks,
+                 length(trim(text)) = 0 AS is_empty
+          FROM documents
+        ),
+        d AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN is_empty THEN 0 ELSE len(toks) END
+                   AS BIGINT) AS n_tokens,
+                 CAST(CASE WHEN is_empty THEN 0
+                      WHEN len(toks) < {_mw}
+                      THEN len(list_distinct(toks))
+                      ELSE list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                          list_transform(
+                            generate_series(1, len(toks) - {_mw} + 1),
+                            i -> CAST(len(list_distinct(
+                              list_slice(toks, CAST(i AS INT),
+                                CAST(i AS INT) + {_mw} - 1)))
+                              AS BIGINT))),
+                        (acc, x) -> acc + x) END AS BIGINT) AS _dsum,
+                 CAST(CASE WHEN is_empty THEN 0
+                      WHEN len(toks) < {_mw} THEN 1
+                      ELSE len(toks) - {_mw} + 1 END AS BIGINT)
+                   AS n_windows
+          FROM base
+        )
+        SELECT doc_id, n_tokens, n_windows,
+               CASE WHEN n_tokens = 0 THEN 0e0
+                    WHEN n_tokens < {_mw} THEN
+                      round(CAST(_dsum AS DOUBLE)
+                        / CAST(n_tokens AS DOUBLE), 9)
+                    ELSE round(CAST(_dsum AS DOUBLE)
+                      / (CAST(n_windows AS DOUBLE) * {_mw}e0), 9)
+               END AS mattr
+        FROM d
+        """
+
+    _ct_lits = ["0.5e0", "0.7e0", "0.9e0"]
+    _ct_counts = ", ".join(
+        f"CAST(SUM(CASE WHEN cosine >= {t} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_ge_{i}"
+        for i, t in enumerate(_ct_lits, 1)
+    )
+    _ct_shares = ", ".join(
+        f"round(CAST(n_ge_{i} AS DOUBLE) / CAST(n_corpus AS DOUBLE), 9)"
+        f" AS share_{i}"
+        for i in range(1, len(_ct_lits) + 1)
+    )
+    sql["emb_cosine_thresholds"] = f"""
+        WITH q AS (SELECT vec_id AS query_id,
+                          CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id AS neighbor_id,
+                     CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 list_dot_product(qv, v)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(v, v))) AS cosine
+          FROM q JOIN c ON query_id != neighbor_id
+        ),
+        g AS (
+          SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_corpus,
+                 {_ct_counts}
+          FROM scored GROUP BY query_id
+        )
+        SELECT query_id, n_corpus, n_ge_1, n_ge_2, n_ge_3,
+               {_ct_shares}
+        FROM g
+        """
 
     return sql
 

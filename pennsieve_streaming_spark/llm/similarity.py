@@ -2291,3 +2291,72 @@ def greedy_graph_search(
     for df in out[1:]:
         res = res.unionByName(df)
     return res.select("query_id", "hop", "node_id", "cosine")
+
+
+def cosine_threshold_counts(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    thresholds: tuple[float, ...] = (0.5, 0.7, 0.9),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-probe neighborhood-density curve: how many corpus vectors
+    sit above each cosine threshold — the τ-calibration readout for
+    embedding dedup (emb_near_dup_pairs' threshold) and radius
+    search, where the top-k views can't show how sharply density
+    falls with τ.
+
+    Determinism: the scored set is the exact broadcast-probe fold
+    (bit-identical cosines); counts are exact integers against
+    Python-literal thresholds; shares are fixed divisions rounded to
+    9 dp.
+
+    Output: (query_id, n_corpus, n_ge_1, ..., share_1, ...) — one
+    column pair per threshold, suffixed by index.
+
+    Plan / 100 TB: the cosine_topk scan shape WITHOUT the rank
+    window: probes broadcast, corpus never shuffles, one partial-agg
+    rollup to |probes| rows.
+    """
+    corpus = ensure_parallelism(
+        _as_double(embeddings, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
+        )
+    )
+    qs = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q")
+    )
+    dot = F.expr(DOT.format(a="q", b="v"))
+    nq = F.expr(DOT.format(a="q", b="q"))
+    nv = F.expr(DOT.format(a="v", b="v"))
+    scored = corpus.join(
+        F.broadcast(qs), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("cosine", dot / (F.sqrt(nq) * F.sqrt(nv)))
+
+    def lit(x: float) -> str:
+        s = repr(float(x))
+        return s if "e" in s or "E" in s else s + "e0"
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_corpus")]
+    for i, t in enumerate(thresholds, 1):
+        aggs.append(
+            F.sum(
+                F.expr(f"CASE WHEN cosine >= {lit(t)} THEN 1 ELSE 0 END")
+            )
+            .cast("long")
+            .alias(f"n_ge_{i}")
+        )
+    g = scored.groupBy("query_id").agg(*aggs)
+    shares = [
+        F.expr(
+            f"round(CAST(n_ge_{i} AS DOUBLE) "
+            f"/ CAST(n_corpus AS DOUBLE), 9)"
+        ).alias(f"share_{i}")
+        for i in range(1, len(thresholds) + 1)
+    ]
+    return g.select(
+        "query_id",
+        "n_corpus",
+        *[f"n_ge_{i}" for i in range(1, len(thresholds) + 1)],
+        *shares,
+    )

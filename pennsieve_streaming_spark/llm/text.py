@@ -1782,3 +1782,60 @@ def hapax_ratio(documents: DataFrame) -> DataFrame:
             "/ CAST(n_tokens AS DOUBLE), 9) ELSE 0e0 END"
         ).alias("hapax_token_share"),
     )
+
+
+def mattr(documents: DataFrame, window: int = 50) -> DataFrame:
+    """Moving-average type-token ratio per document (Covington &
+    McFall 2010): the mean distinct-type count over every
+    ``window``-token sliding window — the length-UNBIASED lexical-
+    diversity number (plain TTR shrinks with length; MATTR doesn't),
+    completing doc_lexical_diversity's panel. Documents shorter than
+    the window fall back to the whole-doc TTR by documented contract.
+
+    Determinism: per-window distinct counts are exact integers from
+    row-local array slices; the mean is Σ distinct / n_windows — one
+    fixed division rounded to 9 dp.
+
+    Output: (doc_id, n_tokens, n_windows, mattr).
+
+    Plan / 100 TB: one narrow per-doc map — the O(n·window) slice
+    scan stays row-local (array expressions, no explode, no
+    shuffle); window is a literal, so cost is linear in corpus size.
+    """
+    w = int(window)
+    toks = "transform(split(trim(text), '\\\\s+'), t -> lower(t))"
+    empty = "length(trim(text)) = 0"
+    n_tok = f"CASE WHEN {empty} THEN 0 ELSE size({toks}) END"
+    # Σ over windows of |distinct(slice)| as a sequential fold
+    dist_sum = (
+        f"aggregate(sequence(1, size({toks}) - {w} + 1), "
+        f"CAST(0 AS BIGINT), (acc, i) -> "
+        f"acc + size(array_distinct(slice({toks}, i, {w}))))"
+    )
+    whole = f"size(array_distinct({toks}))"
+    d = documents.select(
+        "doc_id",
+        F.expr(n_tok).cast("long").alias("n_tokens"),
+        F.expr(
+            f"CASE WHEN {empty} THEN CAST(0 AS BIGINT) "
+            f"WHEN size({toks}) < {w} THEN CAST({whole} AS BIGINT) "
+            f"ELSE {dist_sum} END"
+        ).alias("_dsum"),
+        F.expr(
+            f"CASE WHEN {empty} THEN CAST(0 AS BIGINT) "
+            f"WHEN size({toks}) < {w} THEN CAST(1 AS BIGINT) "
+            f"ELSE CAST(size({toks}) - {w} + 1 AS BIGINT) END"
+        ).alias("n_windows"),
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "n_windows",
+        F.expr(
+            f"CASE WHEN n_tokens = 0 THEN 0e0 "
+            f"WHEN n_tokens < {w} THEN "
+            f"round(CAST(_dsum AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) "
+            f"ELSE round(CAST(_dsum AS DOUBLE) "
+            f"/ (CAST(n_windows AS DOUBLE) * {w}e0), 9) END"
+        ).alias("mattr"),
+    )

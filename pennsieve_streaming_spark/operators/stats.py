@@ -5140,3 +5140,104 @@ def variogram(
             "/ CAST(2 * n_pairs AS DOUBLE)"
         ).alias("semivariance"),
     )
+
+
+def sma_crossovers(
+    samples: DataFrame,
+    fast: int = 20,
+    slow: int = 50,
+    quant: int = 100,
+) -> DataFrame:
+    """Moving-average crossover events per channel (the golden-cross/
+    death-cross detector): count sign changes of SMA_fast − SMA_slow
+    and timestamp the last one each way — the trend-following event
+    stream beside ts_bollinger_breaks' band events.
+
+    Determinism — pure integer algebra: with S_f = Σ over the
+    trailing ``fast`` samples and S_s over ``slow`` (exact BIGINTs),
+    sign(SMA_f − SMA_s) = sign(slow·S_f − fast·S_s) — an exact int64
+    (≤ 50·20·max|xq| ≈ 1e10 per term, sums ≤ 2e10 × max|xq|… well
+    inside int64 at the quantized scale). A crossover is a strict
+    sign change between consecutive FULL-window rows (zero-touch
+    rows carry the previous sign by documented contract — no event
+    until the sign actually flips).
+
+    Output: (channel, n_tested, n_golden, n_death, last_golden_ts,
+    last_death_ts) with −1 sentinels.
+
+    Plan / 100 TB: one per-channel ordered window pass (two running
+    sums + one lag over the derived sign) + one rollup.
+    """
+    f = int(fast)
+    s = int(slow)
+    q = int(quant)
+    wf = (
+        Window.partitionBy("channel")
+        .orderBy("ts", "value")
+        .rowsBetween(-(f - 1), 0)
+    )
+    ws = (
+        Window.partitionBy("channel")
+        .orderBy("ts", "value")
+        .rowsBetween(-(s - 1), 0)
+    )
+    base = samples.select(
+        "channel",
+        "ts",
+        "value",
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    ).select(
+        "channel",
+        "ts",
+        "value",
+        F.count(F.lit(1)).over(ws).alias("_wn"),
+        F.sum("xq").over(wf).alias("_sf"),
+        F.sum("xq").over(ws).alias("_ss"),
+    ).filter(F.col("_wn") == s)
+    # carry the previous NONZERO sign through zero-touch rows via a
+    # running last-nonzero (the LOCF trick on the sign column)
+    d = base.select(
+        "channel",
+        "ts",
+        "value",
+        F.expr(
+            f"CASE WHEN {s} * _sf - {f} * _ss > 0 THEN 1 "
+            f"WHEN {s} * _sf - {f} * _ss < 0 THEN -1 ELSE 0 END"
+        ).alias("_sgn"),
+    )
+    wl = (
+        Window.partitionBy("channel")
+        .orderBy("ts", "value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = d.select(
+        "channel",
+        "ts",
+        "_sgn",
+        F.last(
+            F.expr("CASE WHEN _sgn <> 0 THEN _sgn END"), ignorenulls=True
+        )
+        .over(wl)
+        .alias("_prev"),
+    )
+    gold = "_sgn = 1 AND _prev = -1"
+    death = "_sgn = -1 AND _prev = 1"
+    return marked.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tested"),
+        F.sum(F.expr(f"CASE WHEN {gold} THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_golden"),
+        F.sum(F.expr(f"CASE WHEN {death} THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_death"),
+        F.coalesce(
+            F.max(F.expr(f"CASE WHEN {gold} THEN ts END")), F.lit(-1)
+        )
+        .cast("long")
+        .alias("last_golden_ts"),
+        F.coalesce(
+            F.max(F.expr(f"CASE WHEN {death} THEN ts END")), F.lit(-1)
+        )
+        .cast("long")
+        .alias("last_death_ts"),
+    )
