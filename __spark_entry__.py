@@ -17227,7 +17227,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     from pennsieve_streaming_spark.operators.stats import (
-        TP_Z as _TP_Z,
+        TURN_Z as _TP_Z,
     )
 
     sql["ts_turning_points"] = with_views(

@@ -4845,9 +4845,13 @@ def bollinger_breaks(
     )
 
 
-# Turning-point z finish (shared verbatim with the oracle): under the
-# i.i.d. null E[T] = 2(n−2)/3 and Var[T] = (16n − 29)/90.
-TP_Z = (
+# Turning-point z finish for the STANDALONE day-grid test (shared
+# verbatim with the oracle; named TURN_Z because the randomness
+# panel's TP_Z above already owns that name — a module-level
+# redefinition would silently rewrite the panel's oracle text, the
+# exact collision this rename fixes): under the i.i.d. null
+# E[T] = 2(n−2)/3 and Var[T] = (16n − 29)/90.
+TURN_Z = (
     "CASE WHEN n_points >= 4 THEN "
     "round((CAST(n_turns AS DOUBLE) "
     "- 2e0 * CAST(n_points - 2 AS DOUBLE) / 3e0) "
@@ -4901,10 +4905,10 @@ def turning_points(values: DataFrame, quant: int = 100) -> DataFrame:
         "channel",
         "n_points",
         "n_turns",
-        F.expr(TP_Z).alias("z"),
+        F.expr(TURN_Z).alias("z"),
         F.expr(
-            f"CASE WHEN abs({TP_Z}) <= 1.959963985e0 THEN 'random' "
-            f"WHEN ({TP_Z}) < 0e0 THEN 'trending' "
+            f"CASE WHEN abs({TURN_Z}) <= 1.959963985e0 THEN 'random' "
+            f"WHEN ({TURN_Z}) < 0e0 THEN 'trending' "
             f"ELSE 'oscillating' END"
         ).alias("verdict"),
     )

@@ -248,6 +248,41 @@ def main() -> None:
     results["mm_video_scene_cuts"] = _force(sc)
     plans["mm_video_scene_cuts"] = _plan(sc)
 
+    # --- emb_graph_search over a 10x corpus (waves 5-10, r8 cont.) --------
+    from pennsieve_streaming_spark.llm.similarity import (
+        greedy_graph_search,
+        lsh_bucketed_ann,
+    )
+
+    embs10 = _replicate(embs, ["vec_id"], FACTOR).drop("_rep")
+    gedges = lsh_bucketed_ann(embs10, embs10, k=3, broadcast_queries=False)
+    gs = greedy_graph_search(
+        gedges, embs10, embs10.filter(F.col("vec_id") < 10), hops=3,
+        entry_id=0,
+    )
+    results["emb_graph_search"] = _force(gs)
+    plans["emb_graph_search"] = _plan(gs)
+
+    # --- doc_bloom_contamination over 10x docs ----------------------------
+    from pennsieve_streaming_spark.llm.curation import bloom_contamination
+
+    bl_docs = _replicate(docs, ["doc_id"], FACTOR).withColumn(
+        "text",
+        F.concat(F.lit("r"), F.col("_rep").cast("string"), F.lit(" "), "text"),
+    ).drop("_rep")
+    bl = bloom_contamination(
+        bl_docs, bl_docs.filter(F.col("doc_id") % 29 == 0), k=3
+    )
+    results["doc_bloom_contamination"] = _force(bl)
+    plans["doc_bloom_contamination"] = _plan(bl)
+
+    # --- ts_bollinger_breaks at 10x sample density -------------------------
+    from pennsieve_streaming_spark.operators.stats import bollinger_breaks
+
+    bb = bollinger_breaks(s10, window=20, k=2, quant=100)
+    results["ts_bollinger_breaks"] = _force(bb)
+    plans["ts_bollinger_breaks"] = _plan(bb)
+
     # --- plan-shape guards (the 100x design evidence) ---------------------
     problems = []
     for name, plan in plans.items():
@@ -284,6 +319,20 @@ def main() -> None:
         "ShuffledHashJoin" in plans["mm_video_scene_cuts"]
     ):
         problems.append("scene_cuts: shuffle join in the codec path")
+    # graph search: the entry hop must stay a 1-row broadcast (the
+    # constant-folded join regression class) and every hop an
+    # equi-join — the generic cartesian guard above covers the
+    # failure that shipped-and-was-caught in this wave's golden
+    # bloom: the corpus side must stay a narrow map — the bit tests
+    # fold into codegen; ANY shuffle join means the bitset literal
+    # regressed to a join
+    if "SortMergeJoin" in plans["doc_bloom_contamination"] or (
+        "ShuffledHashJoin" in plans["doc_bloom_contamination"]
+    ):
+        problems.append("bloom: shuffle join in the corpus map")
+    # bollinger: one ordered window pass + rollup
+    if plans["ts_bollinger_breaks"].count("Exchange hashpartitioning") > 2:
+        problems.append("bollinger: more exchanges than the 1-pass shape")
 
     print(
         json.dumps(

@@ -77,3 +77,30 @@ def test_no_duplicate_registry_assignments():
     keys = re.findall(r'"(\w+)": q_\w+', qd.group(1))
     qdupes = sorted({n for n in keys if keys.count(n) > 1})
     assert not qdupes, f"duplicate queries() dict keys: {qdupes}"
+
+
+def test_no_duplicate_module_constants():
+    """Module-level UPPERCASE expression constants are oracle-shared
+    text: a REDEFINITION later in the file silently rewrites every
+    earlier importer's oracle (the TP_Z collision this session — the
+    wave-6 turning-point z overwrote the randomness panel's
+    same-named constant and broke ts_randomness_tests' oracle at
+    bind time). Fence the whole class: no module in the package may
+    define the same top-level constant twice."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ) / "pennsieve_streaming_spark"
+    pat = re.compile(r"^([A-Z][A-Z0-9_]*)\s*=", re.M)
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        names = pat.findall(py.read_text())
+        dups = sorted({n for n in names if names.count(n) > 1})
+        if dups:
+            offenders.append((str(py), dups))
+    assert not offenders, (
+        f"duplicate module-level constants (silent oracle-text "
+        f"rewrites): {offenders}"
+    )
