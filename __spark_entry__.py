@@ -5484,6 +5484,44 @@ def q_cosine_thresholds(spark, sf_dir):
     )
 
 
+def q_image_rle(spark, sf_dir):
+    """RLE compressibility per media item: exact horizontal/vertical
+    run counts over the synthetic field — the spatial-arrangement
+    screen mm_image_entropy's histogram is blind to."""
+    from pennsieve_streaming_spark.llm.imagehash import rle_synthetic
+
+    return rle_synthetic(_docs(spark, sf_dir))
+
+
+def q_dup_source_mix(spark, sf_dir):
+    """Cross- vs within-source split of the verified near-dup pairs —
+    the one-row diagnosis that decides global vs per-source dedup
+    (a 100 TB shuffle-cost lever)."""
+    from pennsieve_streaming_spark.llm.dedup import dup_source_mix
+    from pennsieve_streaming_spark.util import pin
+
+    docs = _docs(spark, sf_dir)
+    sh = shingles(docs).cache()
+    cands = lsh_candidate_pairs(
+        lsh_band_keys(minhash_wide(sh)), max_bucket_size=LSH_MAX_BUCKET
+    ).cache()
+    cands.count()
+    pairs = pin(
+        jaccard_pairs(sh, candidates=cands).select("doc_a", "doc_b")
+    )
+    return dup_source_mix(pairs, docs)
+
+
+def q_weekend_effect(spark, sf_dir):
+    """Weekend-vs-weekday binomial test per event type against the
+    2/7 calendar null — the directional complement of ev_dow_chi2."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        weekend_effect,
+    )
+
+    return weekend_effect(_user_events(spark, sf_dir))
+
+
 # Round-8 rotation: the driver's correctness gate samples the FIRST 50
 # registry entries. Positions 1-44 are every registry query the driver
 # has never sampled (the 12-query r6 tail past r7's top-50 cut + the 32
@@ -5572,7 +5610,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so the NEWEST / least-proven queries are listed FIRST and the
     # longest-stable ts-core queries last. Keep new work at the top.
     q = {
-        # round-8 wave-10 additions (newest first)
+        # round-8 wave-11 additions (newest first)
+        "mm_image_rle": q_image_rle,
+        "doc_dup_source_mix": q_dup_source_mix,
+        "ev_weekend_effect": q_weekend_effect,
+        # round-8 wave-10 additions
         "ts_sma_cross": q_sma_cross,
         "doc_mattr": q_mattr,
         "emb_cosine_thresholds": q_cosine_thresholds,
@@ -17987,6 +18029,99 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, n_corpus, n_ge_1, n_ge_2, n_ge_3,
                {_ct_shares}
+        FROM g
+        """
+
+    # --- round-8 wave-11 additions ------------------------------------
+    # posterized (÷32) field: the raw linear field has no equal
+    # neighbors, so runs only exist after quantization
+    _rle_v = f"(({_ihg.format(i='i', j='j')}) // 32)"
+    _rle_vl = f"(({_ihg.format(i='i', j='jm1')}) // 32)"
+    _rle_vu = f"(({_ihg.format(i='im1', j='j')}) // 32)"
+    sql["mm_image_rle"] = f"""
+        WITH hruns AS (
+          SELECT doc_id,
+                 CAST({_IH_H} + SUM(CASE WHEN {_rle_v} <> {_rle_vl}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_h_runs
+          FROM (
+            SELECT doc_id, i, j, j - 1 AS jm1
+            FROM documents,
+                 UNNEST(generate_series(0, {_IH_H - 1})) AS ti(i),
+                 UNNEST(generate_series(1, {_IH_W - 1})) AS tj(j)
+          ) GROUP BY doc_id
+        ),
+        vruns AS (
+          SELECT doc_id,
+                 CAST({_IH_W} + SUM(CASE WHEN {_rle_v} <> {_rle_vu}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_v_runs
+          FROM (
+            SELECT doc_id, i, i - 1 AS im1, j
+            FROM documents,
+                 UNNEST(generate_series(1, {_IH_H - 1})) AS ti(i),
+                 UNNEST(generate_series(0, {_IH_W - 1})) AS tj(j)
+          ) GROUP BY doc_id
+        )
+        SELECT h.doc_id AS media_id,
+               CAST({_IH_H * _IH_W} AS BIGINT) AS n_px,
+               h.n_h_runs, v.n_v_runs,
+               round(CAST(h.n_h_runs AS DOUBLE)
+                 / {_IH_H * _IH_W}e0, 9) AS h_ratio,
+               round(CAST(v.n_v_runs AS DOUBLE)
+                 / {_IH_H * _IH_W}e0, 9) AS v_ratio
+        FROM hruns h JOIN vruns v ON h.doc_id = v.doc_id
+        """
+
+    sql["doc_dup_source_mix"] = f"""
+        WITH mpairs AS (
+          SELECT doc_a, doc_b FROM ({sql["doc_minhash_lsh_pairs"]})
+        ),
+        sj AS (
+          SELECT p.doc_a, p.doc_b, da.source AS _sa, db.source AS _sb
+          FROM mpairs p
+          JOIN documents da ON da.doc_id = p.doc_a
+          JOIN documents db ON db.doc_id = p.doc_b
+        ),
+        g AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(COALESCE(SUM(CASE WHEN _sa = _sb THEN 1
+                      ELSE 0 END), 0) AS BIGINT) AS n_within,
+                 CAST(COALESCE(SUM(CASE WHEN _sa = _sb THEN 0
+                      ELSE 1 END), 0) AS BIGINT) AS n_cross
+          FROM sj
+        )
+        SELECT n_pairs, n_within, n_cross,
+               CASE WHEN n_pairs > 0 THEN round(CAST(n_within AS DOUBLE)
+                 / CAST(n_pairs AS DOUBLE), 9) ELSE 0e0 END
+                 AS within_share,
+               CASE WHEN n_pairs > 0 THEN round(CAST(n_cross AS DOUBLE)
+                 / CAST(n_pairs AS DOUBLE), 9) ELSE 0e0 END
+                 AS cross_share
+        FROM g
+        """
+
+    from pennsieve_streaming_spark.operators.analytics import (
+        WEEKEND_Z as _WK_Z,
+    )
+
+    sql["ev_weekend_effect"] = f"""
+        WITH ev AS (
+          SELECT event_type, epoch_us(ts) AS ts FROM events
+        ),
+        g AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN ((ts // 86400000000) + 4) % 7
+                      IN (5, 6) THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_weekend
+          FROM ev GROUP BY event_type
+        )
+        SELECT event_type, n, n_weekend,
+               round(CAST(n_weekend AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                 AS weekend_share,
+               {_WK_Z} AS z,
+               CASE WHEN ({_WK_Z}) > 1.959963985e0
+                    THEN 'weekend_heavy'
+                    WHEN ({_WK_Z}) < -1.959963985e0
+                    THEN 'weekday_heavy' ELSE 'calendar' END AS verdict
         FROM g
         """
 

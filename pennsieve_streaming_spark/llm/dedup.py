@@ -1145,3 +1145,70 @@ def minhash_calibration(
         .groupBy("err_decile")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+def dup_source_mix(pairs: DataFrame, documents: DataFrame) -> DataFrame:
+    """Cross- vs within-source split of the verified near-dup pairs:
+    mirror-site duplication lands CROSS-source, repost/template
+    duplication lands WITHIN — the one-row diagnosis that decides
+    whether dedup should run globally or per-source (a 100 TB cost
+    lever: per-source dedup shuffles a fraction of the corpus).
+
+    ``pairs`` is any (doc_a, doc_b) table — here the gated
+    LSH-verified near-dup pairs, so the count is banding-bounded.
+
+    Determinism: exact counts after two source-lookup joins; shares
+    are fixed divisions rounded to 9 dp (no pairs → no row, the
+    empty-input contract).
+
+    Output: (n_pairs, n_within, n_cross, within_share, cross_share).
+
+    Plan / 100 TB: two equi-joins of the (small, capped) pair list
+    against the doc→source projection, one global fold.
+    """
+    src = documents.select("doc_id", "source")
+    j = (
+        pairs.select("doc_a", "doc_b")
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("_sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("_sb"),
+            ),
+            "doc_b",
+        )
+    )
+    g = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        # coalesce: a global agg over ZERO pairs still emits one row,
+        # and SUM over empty is NULL (the no-NULL output policy)
+        F.coalesce(
+            F.sum(F.expr("CASE WHEN _sa = _sb THEN 1 ELSE 0 END")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_within"),
+        F.coalesce(
+            F.sum(F.expr("CASE WHEN _sa = _sb THEN 0 ELSE 1 END")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_cross"),
+    )
+    share = (
+        "CASE WHEN n_pairs > 0 THEN round(CAST({c} AS DOUBLE) "
+        "/ CAST(n_pairs AS DOUBLE), 9) ELSE 0e0 END"
+    )
+    return g.select(
+        "n_pairs",
+        "n_within",
+        "n_cross",
+        F.expr(share.format(c="n_within")).alias("within_share"),
+        F.expr(share.format(c="n_cross")).alias("cross_share"),
+    )

@@ -853,3 +853,68 @@ def equalize_synthetic(documents: DataFrame) -> DataFrame:
         F.min("eq").cast("long").alias("min_eq"),
         F.max("eq").cast("long").alias("max_eq"),
     )
+
+
+def rle_stats(gray: "np.ndarray") -> tuple[int, int, int]:
+    """(n_px, n_h_runs, n_v_runs): horizontal/vertical run counts of
+    one frame — the exact inputs to the RLE-compressibility ratio."""
+    g = np.asarray(gray, dtype=np.int64)
+    h, w = g.shape
+    n_h = h + int((g[:, 1:] != g[:, :-1]).sum())
+    n_v = w + int((g[1:, :] != g[:-1, :]).sum())
+    return h * w, n_h, n_v
+
+
+def rle_synthetic(documents: DataFrame) -> DataFrame:
+    """Run-length-encoding compressibility per media item over the
+    synthetic luminance field (REAL kernel, closed-form oracle): the
+    ratio of horizontal/vertical runs to pixels — the cheapest
+    flat-vs-textured screen (screenshots/solid fills compress to few
+    runs; natural texture doesn't), beside mm_image_entropy's
+    histogram view which is BLIND to spatial arrangement.
+
+    Determinism: run counts are exact integer neighbor-inequality
+    sums; ratios are single fixed divisions rounded to 9 dp.
+
+    Output: (media_id, n_px, n_h_runs, n_v_runs, h_ratio, v_ratio).
+
+    Plan / 100 TB: one narrow mapInPandas row per frame — decode
+    parallelism is scan parallelism, nothing shuffles.
+    """
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            # posterize to 8 levels: the raw linear field has NO equal
+            # neighbors (every step moves +13/+7 mod 256), so runs only
+            # exist after quantization — the realistic flat-region shape
+            rows = [
+                rle_stats(synthetic_gray(int(d)) // 32) for d in ids
+            ]
+            arr = np.asarray(rows, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_px": arr[:, 0],
+                    "n_h_runs": arr[:, 1],
+                    "n_v_runs": arr[:, 2],
+                }
+            )
+
+    stats = documents.select("doc_id").mapInPandas(
+        run, "media_id long, n_px long, n_h_runs long, n_v_runs long"
+    )
+    return stats.select(
+        "media_id",
+        "n_px",
+        "n_h_runs",
+        "n_v_runs",
+        F.expr(
+            "round(CAST(n_h_runs AS DOUBLE) / CAST(n_px AS DOUBLE), 9)"
+        ).alias("h_ratio"),
+        F.expr(
+            "round(CAST(n_v_runs AS DOUBLE) / CAST(n_px AS DOUBLE), 9)"
+        ).alias("v_ratio"),
+    )

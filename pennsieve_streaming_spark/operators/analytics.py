@@ -2555,3 +2555,59 @@ def ab_cuped(
         F.expr(CUPED_Z).alias("z_adj"),
         F.expr(f"abs({CUPED_Z}) > 1.959963985e0").alias("significant"),
     )
+
+
+# Weekend-effect shared finish: two-sided binomial z of the weekend
+# event share against the 2/7 calendar null, over exact counts.
+WEEKEND_Z = (
+    "CASE WHEN n > 0 THEN "
+    "round((CAST(n_weekend AS DOUBLE) "
+    "- CAST(n AS DOUBLE) * 2e0 / 7e0) "
+    "/ sqrt(CAST(n AS DOUBLE) * (2e0 / 7e0) * (5e0 / 7e0)), 9) "
+    "ELSE 0e0 END"
+)
+
+
+def weekend_effect(events: DataFrame) -> DataFrame:
+    """Weekend-vs-weekday activity test per event type: is the
+    weekend share significantly off the 2/7 calendar null — the
+    product-rhythm flag beside ev_dow_chi2's full 7-bin uniformity
+    test (chi² says "some day differs"; this says "the weekend
+    specifically, and in which direction").
+
+    Determinism: day-of-week is the exact integer (epoch_days + 4)
+    mod 7 (the dow_chi2 rule — 1970-01-01 was a Thursday; 5/6 are
+    Sat/Sun); counts exact; the z is the shared WEEKEND_Z fixed
+    finish (9 dp).
+
+    Output: (event_type, n, n_weekend, weekend_share, z, verdict) —
+    verdict 'weekend_heavy' / 'weekday_heavy' / 'calendar' at the
+    5% two-sided threshold.
+
+    Plan / 100 TB: one partial-agg groupBy to |types| rows.
+    """
+    g = events.select(
+        "event_type",
+        F.expr(
+            "CASE WHEN ((ts div 86400000000) + 4) % 7 IN (5, 6) "
+            "THEN 1 ELSE 0 END"
+        ).alias("_we"),
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_we").cast("long").alias("n_weekend"),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        "n_weekend",
+        F.expr(
+            "round(CAST(n_weekend AS DOUBLE) / CAST(n AS DOUBLE), 9)"
+        ).alias("weekend_share"),
+        F.expr(WEEKEND_Z).alias("z"),
+        F.expr(
+            f"CASE WHEN ({WEEKEND_Z}) > 1.959963985e0 "
+            f"THEN 'weekend_heavy' "
+            f"WHEN ({WEEKEND_Z}) < -1.959963985e0 "
+            f"THEN 'weekday_heavy' ELSE 'calendar' END"
+        ).alias("verdict"),
+    )
