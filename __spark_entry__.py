@@ -16860,7 +16860,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         tg AS (
           SELECT type_a, type_b,
-                 CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+                 CAST(SUM(CAST(t AS DECIMAL(38,0)) * t * t - t)
+                      AS DECIMAL(38,0)) AS tie3
           FROM (
             SELECT type_a, type_b, vq, CAST(COUNT(*) AS BIGINT) AS t
             FROM m GROUP BY type_a, type_b, vq
@@ -17054,7 +17055,12 @@ def oracle_sql() -> dict[str, str]:
           SELECT dst, CAST(COUNT(*) AS BIGINT) AS indeg
           FROM e GROUP BY dst
         ),
-        nodes AS (SELECT DISTINCT src AS node FROM e),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e
+            UNION ALL SELECT dst AS node FROM e
+          )
+        ),
         deg AS (
           SELECT node, coalesce(indeg, CAST(0 AS BIGINT)) AS d
           FROM nodes LEFT JOIN indeg ON node = indeg.dst
@@ -18110,7 +18116,7 @@ def oracle_sql() -> dict[str, str]:
         g AS (
           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(SUM(CASE WHEN ((ts // 86400000000) + 4) % 7
-                      IN (5, 6) THEN 1 ELSE 0 END) AS BIGINT)
+                      IN (6, 0) THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_weekend
           FROM ev GROUP BY event_type
         )

@@ -1158,8 +1158,10 @@ def dup_source_mix(pairs: DataFrame, documents: DataFrame) -> DataFrame:
     LSH-verified near-dup pairs, so the count is banding-bounded.
 
     Determinism: exact counts after two source-lookup joins; shares
-    are fixed divisions rounded to 9 dp (no pairs → no row, the
-    empty-input contract).
+    are fixed divisions rounded to 9 dp. A grand aggregate with no
+    groupBy always emits exactly one row, so zero input pairs yields
+    the single row (n_pairs=0, n_within=0, n_cross=0, shares 0.0) —
+    the coalesced-zeros contract, not an empty result.
 
     Output: (n_pairs, n_within, n_cross, within_share, cross_share).
 

@@ -2135,8 +2135,12 @@ def knn_degree_assortativity(edges: DataFrame) -> DataFrame:
     periphery.
 
     ``edges`` is any (query_id, neighbor_id) edge list — here the
-    gated emb_knn_graph output. Degrees are exact counts (vectors
-    never chosen have in-degree 0 via the left join); the moments are
+    gated emb_knn_graph output. The node set is the union of distinct
+    sources and targets, so edge lists whose query set is a subset of
+    the corpus (probe-subset kNN graphs) keep every edge: pure sinks
+    have out-degree 0 but a defined in-degree, and no edge is dropped
+    by the degree joins. Degrees are exact counts (vectors never
+    chosen have in-degree 0 via the left join); the moments are
     exact BIGINT/DECIMAL(38,0) folds; r is the shared ASSORT_R fixed
     finish rounded to 9 dp (degenerate variance reports the 0.0
     sentinel).
@@ -2154,7 +2158,11 @@ def knn_degree_assortativity(edges: DataFrame) -> DataFrame:
     indeg = e.groupBy("dst").agg(
         F.count(F.lit(1)).cast("long").alias("indeg")
     )
-    nodes = e.select(F.col("src").alias("node")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
     deg = nodes.join(
         indeg.withColumnRenamed("dst", "node"), "node", "left"
     ).select("node", F.expr("coalesce(indeg, CAST(0 AS BIGINT))").alias("d"))

@@ -2364,7 +2364,16 @@ def mann_whitney(events: DataFrame, quant: int = 100) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("t"))
         .groupBy("type_a", "type_b")
         .agg(
-            F.sum(F.expr("t * t * t - t")).cast("long").alias("tie3")
+            # DECIMAL(38,0) fold: t*t*t overflows int64 for a tie
+            # group past ~2.09M rows; same discipline as the
+            # sxx/sxy/syy moment sums elsewhere in this file. Only
+            # consumed via CAST(tie3 AS DOUBLE) in MW_VAR_U, so the
+            # wider type never reaches the output schema.
+            F.sum(
+                F.expr("CAST(t AS DECIMAL(38,0)) * t * t - t")
+            )
+            .cast("decimal(38,0)")
+            .alias("tie3")
         )
     )
     j = g.join(F.broadcast(ties), ["type_a", "type_b"])
@@ -2576,9 +2585,10 @@ def weekend_effect(events: DataFrame) -> DataFrame:
     specifically, and in which direction").
 
     Determinism: day-of-week is the exact integer (epoch_days + 4)
-    mod 7 (the dow_chi2 rule — 1970-01-01 was a Thursday; 5/6 are
-    Sat/Sun); counts exact; the z is the shared WEEKEND_Z fixed
-    finish (9 dp).
+    mod 7 (the dow_chi2 rule — 1970-01-01 was a Thursday, so
+    Thursday=4, Saturday=6, Sunday=0); the weekend is therefore
+    dow IN (6, 0); counts exact; the z is the shared WEEKEND_Z
+    fixed finish (9 dp).
 
     Output: (event_type, n, n_weekend, weekend_share, z, verdict) —
     verdict 'weekend_heavy' / 'weekday_heavy' / 'calendar' at the
@@ -2589,7 +2599,7 @@ def weekend_effect(events: DataFrame) -> DataFrame:
     g = events.select(
         "event_type",
         F.expr(
-            "CASE WHEN ((ts div 86400000000) + 4) % 7 IN (5, 6) "
+            "CASE WHEN ((ts div 86400000000) + 4) % 7 IN (6, 0) "
             "THEN 1 ELSE 0 END"
         ).alias("_we"),
     ).groupBy("event_type").agg(

@@ -68,11 +68,14 @@ def test_weekend_effect_golden(spark):
 
     DAY = 86_400_000_000
     # 1970-01-01 was Thursday (dow (0+4)%7 = 4); +2 days = Saturday
+    # (dow 6), +3 = Sunday (dow 0). Sat/Sun land on days 2,3,9,10 —
+    # hand-picked, independent of the operator's dow formula.
     rows = []
+    weekend_days = {2, 3, 9, 10}
     for d in range(14):
         # 'wk' fires every day; 'we' only Sat/Sun (days 2,3,9,10)
         rows.append(("wk", d * DAY))
-        if ((d + 4) % 7) in (5, 6):
+        if d in weekend_days:
             rows.append(("we", d * DAY))
     ev = spark.createDataFrame(rows, "event_type string, ts long")
     out = {r.event_type: r for r in weekend_effect(ev).collect()}
