@@ -5522,93 +5522,42 @@ def q_weekend_effect(spark, sf_dir):
     return weekend_effect(_user_events(spark, sf_dir))
 
 
-# Round-8 rotation: the driver's correctness gate samples the FIRST 50
-# registry entries. Positions 1-44 are every registry query the driver
-# has never sampled (the 12-query r6 tail past r7's top-50 cut + the 32
-# round-7 additions, including the three r7 reds fixed this round);
-# positions 45-46 are the two formerly-red r4 queries that were
-# judge-MATCH in r5/r7 but never driver-green (ts_power_spectrum,
-# ts_change_points); position 47 is ev_ab_conversion, whose NULL-z
-# sentinel changed this round. A green top-50 closes driver exposure
-# to the full registry. Round-8 additions queue right after the front
-# for the round-9 rotation.
-_R8_FRONT = [
-    # 1-12: the r6 tail (judge-r7 MATCH, never driver-sampled)
-    "emb_mmr_topk", "ts_adf_test", "emb_centroid_drift",
-    "doc_passage_bm25", "emb_rrf_fusion", "stream_lz",
-    "ts_spectral_edge", "ev_retention_halflife", "ev_ab_power",
-    "emb_ann_recall_ivf", "ts_acf_halflife", "doc_score_spearman",
-    # 13-44: the 32 round-7 additions (never driver-sampled; the three
-    # r7 reds — doc_graph_triangles, ev_ab_sequential,
-    # ts_spectral_slope — fixed + re-verified this round)
-    "ev_survival_km", "ts_higuchi_fd", "doc_graph_triangles",
-    "emb_bq_topk", "ev_circadian", "mm_audio_vad",
-    "doc_dsir_weights", "doc_textrank_keywords", "ts_wavelet_denoise",
-    "mm_image_edges", "emb_bq_recall", "ev_markov_stationary",
-    "doc_cdc_chunks", "stream_circadian", "ts_mutual_info",
-    "doc_heaps_law", "ts_hampel_despike", "emb_knn_graph",
-    "ts_theil_sen", "ev_pareto_alpha", "ev_new_vs_returning",
-    "doc_dedup_funnel", "ev_ab_sequential", "ts_spectral_slope",
-    "mm_audio_onsets", "stream_flux", "ts_allan_variance",
-    "emb_isotropy", "ev_funnel_windowed", "doc_quality_vs_dup",
-    "emb_sq8_distortion", "ts_entropy_rate",
-    # 45-47: formerly-red r4 pair + the sentinel-semantics change
-    "ts_power_spectrum", "ts_change_points", "ev_ab_conversion",
-    # Filler: the previous rotation order for everything else.
-    "stream_drift", "ts_sample_entropy", "ev_kleinberg_bursts",
-    "emb_pq_distortion", "doc_collocations", "doc_lp_communities",
-    "ts_event_triggered_avg", "mm_image_quality", "ts_seasonal_decompose",
-    "emb_truncation_recall", "doc_novelty", "stream_histogram",
-    "emb_silhouette", "ts_harmonics", "ev_dispersion",
-    "ts_band_bursts", "ts_hjorth", "ev_interarrival_ks",
-    "ts_pac", "mm_gif_roundtrip", "ts_sax_discords",
-    "ts_line_length", "ts_tkeo_energy", "ts_burst_suppression",
-    "ev_gini", "doc_perplexity_buckets", "ts_permutation_entropy",
-    "ev_assoc_rules", "doc_readability", "mm_video_scene_cuts",
-    "ts_lz_complexity", "doc_rake_keywords", "emb_mips_topk",
-    "ev_ab_srm", "mm_image_ssim", "ts_uneven_periodogram",
-    "ts_ljungbox", "ts_higher_moments", "ts_holt_backtest",
-    "ts_rqa", "ts_isi_cv", "stream_periodogram",
-    "ts_multiscale_entropy", "ev_conversion_lag", "ts_haar_energy",
-    "ts_cfar_peaks", "ts_hrv_metrics", "doc_chunk_passages",
-    "ts_randomness_tests", "ev_user_entropy", "ts_asof_join",
-    "ts_ltob_downsample", "ts_sax_words", "ts_welch_psd",
-    "ev_top_paths", "doc_weighted_sample", "doc_ngram_containment",
-    "doc_contamination_fuzzy", "doc_cluster_dedup", "doc_hll_distinct",
-    "stream_sessionize", "ts_rolling_stats", "ts_asof_join_blocked",
-    "stream_asof_join", "ts_holt_smoothing", "ev_markov_entropy",
-    "stream_holt", "mm_image_dhash", "mm_dhash_near_pairs",
-    "doc_bpe_merges", "doc_bpe_word_tokens", "doc_bpe_token_ids",
-    "doc_curriculum_order", "ts_holt_anomalies", "mm_audio_fingerprint",
-    "ts_cusum_monitor", "stream_cusum", "ev_rfm",
-    "ev_attribution_linear", "doc_source_kl", "ts_trend_segments",
-    "ts_sax_motifs", "mm_audio_match_pairs", "ts_coherence",
-    "mm_image_phash", "ts_granger_screen", "ts_spectral_entropy",
-    "doc_bpe_fertility", "stream_trend", "ts_density_grid",
-    "doc_lsh_eval", "ev_session_stats", "doc_jaccard_histogram",
-    "mm_audio_offset_search", "emb_ann_recall_multiprobe", "ts_hurst_rs",
-    "ts_plv", "ts_dtw_distance", "ts_ar2_model",
-    "ev_funnel_steps", "doc_simhash_near_pairs", "ts_span_point_join",
-    "ts_locf_resample", "ts_interp_resample", "doc_pagerank",
-    "ev_event_transitions", "ev_inter_event_gaps", "ev_user_sessions",
-    "ts_cross_correlation", "ts_detect_peaks", "doc_winnow_fingerprints",
-    "doc_winnow_overlap", "ts_seasonal_outliers", "stream_quality_profile",
-    "ev_cohort_matrix", "ts_hist_quantiles", "stream_distinct_events",
-    "doc_source_cap", "ev_last_touch", "ts_distribution_drift",
-    "ts_winsorize", "doc_corpus_split", "ts_event_xcorr",
-    "doc_zipf_fit", "ev_rate_bursts", "ev_key_skew",
-    "emb_outliers", "ts_event_autocorr", "ts_flatline_runs",
-    "ev_stickiness", "doc_langid_confusion", "emb_kmeans_inertia",
-    "doc_dedup_stats", "ts_hourly_profile", "ts_quality_profile",
-    "emb_cluster_sample", "emb_ann_recall", "doc_orc_roundtrip",
-]
+# Rotation: through round 8 the driver-gate order was a hand-maintained
+# _R8_FRONT list; it is now computed by tools/rotation_plan.py from the
+# registry vs. every CORRECTNESS_r*.json the driver has written
+# (VERDICT r8 item 5). Priority: never-driver-sampled (newest first,
+# i.e. raw registry order) -> stale-red (oldest red round first) ->
+# green (stalest green first). tests/test_rotation_plan.py asserts the
+# live front-50 equals the tool's output.
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _rotation_order(names: list) -> list:
+    """Gate order for queries(): delegate to tools/rotation_plan.py;
+    fall back to the raw newest-first registry order (which is itself
+    a correct never-sampled-first approximation) if the tool or the
+    CORRECTNESS history is unavailable (e.g. a bare checkout)."""
+    try:
+        import os as _os
+        import sys as _sys
+
+        _tools = _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)), "tools"
+        )
+        if _tools not in _sys.path:
+            _sys.path.insert(0, _tools)
+        import rotation_plan
+
+        return rotation_plan.priority_order(names)
+    except Exception:
+        return list(names)
+
+
+def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness harness may cap how many
     # registry entries it checks per round (r3 checked the first 50 of 61),
     # so the NEWEST / least-proven queries are listed FIRST and the
-    # longest-stable ts-core queries last. Keep new work at the top.
+    # longest-stable ts-core queries last. Keep new work at the top; the
+    # live gate order is then refined by _rotation_order in queries().
     q = {
         # round-8 wave-11 additions (newest first)
         "mm_image_rle": q_image_rle,
@@ -5998,10 +5947,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_page_concat": q_page_concat,
         "ts_interleave": q_interleave,
     }
-    # Loud lookup on purpose: a misspelled or stale rotation entry must
+    return q
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = _queries_raw()
+    # Loud lookup on purpose: a rotation name not in the registry must
     # KeyError at registry build, not silently shrink the first-50
-    # correctness-gate window.
-    ordered = {k: q[k] for k in _R8_FRONT}
+    # correctness-gate window (priority_order only emits given names,
+    # so this can only fire on a tool regression).
+    ordered = {k: q[k] for k in _rotation_order(list(q))}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
 

@@ -14,10 +14,10 @@ import __spark_entry__ as entry_mod  # noqa: E402
 
 
 def test_front_rotation_names_exist_and_unique():
-    front = entry_mod._R8_FRONT
+    order = entry_mod._rotation_order(list(entry_mod._queries_raw()))
     q = entry_mod.queries()
-    assert len(front) == len(set(front)), "duplicate rotation entries"
-    missing = [n for n in front if n not in q]
+    assert len(order) == len(set(order)), "duplicate rotation entries"
+    missing = [n for n in order if n not in q]
     assert not missing, f"rotation names without queries(): {missing}"
 
 
@@ -31,8 +31,8 @@ def test_queries_and_oracles_align():
 
 def test_rotation_front_leads_queries_order():
     q = list(entry_mod.queries())
-    front = entry_mod._R8_FRONT
-    assert q[: len(front)] == front
+    order = entry_mod._rotation_order(list(entry_mod._queries_raw()))
+    assert q == order, "queries() must emit the rotation order exactly"
 
 
 def test_no_unquantized_transcendental_finishes():
