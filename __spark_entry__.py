@@ -5217,6 +5217,21 @@ def q_bloom_contamination(spark, sf_dir):
     return bloom_contamination(docs, bench, k=3, threshold=0.5)
 
 
+def q_contamination_screened(spark, sf_dir):
+    """Production-shaped decontamination: bloom pre-screen over the
+    whole corpus, exact overlap audit behind a CASE guard on the
+    flagged rows only — identical verdicts to doc_contamination (the
+    bloom test has no false negatives) at screen cost plus the exact
+    cost of just the flagged fraction."""
+    from pennsieve_streaming_spark.llm.curation import (
+        contamination_screened,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    return contamination_screened(docs, bench, k=3, threshold=0.5)
+
+
 def q_stream_benford(spark, sf_dir):
     """Streaming Benford digit profile over the event channels:
     commutative count state (order-independent), chi²/MAD finished
@@ -5559,6 +5574,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # longest-stable ts-core queries last. Keep new work at the top; the
     # live gate order is then refined by _rotation_order in queries().
     q = {
+        # round-9 addition (VERDICT r8 item 4)
+        "doc_contamination_screened": q_contamination_screened,
         # round-8 wave-11 additions (newest first)
         "mm_image_rle": q_image_rle,
         "doc_dup_source_mix": q_dup_source_mix,
@@ -17543,6 +17560,48 @@ def oracle_sql() -> dict[str, str]:
                      ELSE CAST(ov.n_exact AS DOUBLE)
                           / CAST(ov.n_shingles AS DOUBLE)
                 END) > 0.5 AS exact_contaminated
+        FROM documents t LEFT JOIN ov ON t.doc_id = ov.doc_id
+        """
+
+    sql["doc_contamination_screened"] = f"""
+        WITH doc_toks AS (
+          SELECT doc_id, text, {TOKS} AS toks FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, UNNEST({_ngram_duck(3)}) AS s FROM doc_toks
+        ),
+        doc_sh AS (SELECT DISTINCT doc_id, {PH_S} AS sh FROM grams),
+        bench AS (
+          SELECT DISTINCT sh FROM doc_sh
+          WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+        ),
+        bpos AS (SELECT DISTINCT p FROM ({_bl_union})),
+        dtest AS (
+          SELECT d.doc_id,
+                 CASE WHEN {_bl_test} THEN 1 ELSE 0 END AS hit,
+                 CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END
+                   AS exact_hit
+          FROM doc_sh d LEFT JOIN bench b USING (sh)
+        ),
+        ov AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                 CAST(SUM(hit) AS BIGINT) AS n_bloom_hits,
+                 CAST(SUM(exact_hit) AS BIGINT) AS n_overlap
+          FROM dtest GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               COALESCE(ov.n_shingles, CAST(0 AS BIGINT)) AS n_shingles,
+               COALESCE(ov.n_bloom_hits, CAST(0 AS BIGINT))
+                 AS n_bloom_hits,
+               COALESCE(ov.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+               CASE WHEN COALESCE(ov.n_shingles, 0) = 0
+                    THEN CAST(0 AS DOUBLE)
+                    ELSE ov.n_overlap / CAST(ov.n_shingles AS DOUBLE)
+               END AS overlap_ratio,
+               (CASE WHEN COALESCE(ov.n_shingles, 0) = 0
+                     THEN CAST(0 AS DOUBLE)
+                     ELSE ov.n_overlap / CAST(ov.n_shingles AS DOUBLE)
+                END) > 0.5 AS contaminated
         FROM documents t LEFT JOIN ov ON t.doc_id = ov.doc_id
         """
 

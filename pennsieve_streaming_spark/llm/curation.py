@@ -1889,6 +1889,19 @@ def bloom_words_from_hashes(hashes) -> list[int]:
     return [w - (1 << 64) if w >= 1 << 63 else w for w in words]
 
 
+def bloom_test_expr(words: list[int], h: str = "h") -> str:
+    """SQL predicate: all BLOOM_PROBES bits set for shingle hash ``h``
+    in the given word array — int64 literals, arithmetic shift + mask
+    (sign-safe), folds into whole-stage codegen."""
+    words_lit = "array(" + ", ".join(f"{w}L" for w in words) + ")"
+    return " AND ".join(
+        f"(shiftright(element_at({words_lit}, "
+        f"CAST({bloom_pos_expr(h, i)} div 64 AS INT) + 1), "
+        f"CAST({bloom_pos_expr(h, i)} % 64 AS INT)) & 1) = 1"
+        for i in range(BLOOM_PROBES)
+    )
+
+
 def bloom_contamination(
     documents: DataFrame,
     benchmark: DataFrame,
@@ -1921,13 +1934,7 @@ def bloom_contamination(
         int(h) for h in (bench_set.collect()[0]["bench_sh"] or [])
     ]
     words = bloom_words_from_hashes(bench_hashes)
-    words_lit = "array(" + ", ".join(f"{w}L" for w in words) + ")"
-    test = " AND ".join(
-        f"(shiftright(element_at({words_lit}, "
-        f"CAST({bloom_pos_expr('h', i)} div 64 AS INT) + 1), "
-        f"CAST({bloom_pos_expr('h', i)} % 64 AS INT)) & 1) = 1"
-        for i in range(BLOOM_PROBES)
-    )
+    test = bloom_test_expr(words)
     sh_arr = shingle_hash_arr_expr(k)
     docs = documents.select(
         "doc_id", F.expr(TOKS).alias("toks")
@@ -1962,4 +1969,78 @@ def bloom_contamination(
         F.expr(f"({exact_ratio}) > {threshold}").alias(
             "exact_contaminated"
         ),
+    )
+
+
+def contamination_screened(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Production-shaped decontamination: bloom pre-screen, exact
+    audit on the FLAGGED subset only — the composition a 100 TB
+    corpus build actually runs (screen everything cheaply, pay the
+    exact set intersection only where the screen fires).
+
+    The bloom test has NO false negatives: a document with zero
+    bloom-hit shingles provably has zero exact overlap, so the exact
+    ``array_intersect`` sits behind a ``CASE WHEN n_bloom_hits = 0``
+    guard — per-row intersect compute is skipped for the clean
+    majority, in ONE corpus scan (no second pass, no flagged-subset
+    shuffle). Verdicts are therefore identical to the exact
+    :func:`contamination` operator, at screen cost plus the exact
+    cost of only the flagged fraction.
+
+    Determinism: the 2 KB word array is built once from the collected
+    benchmark hash set with engine-portable %·+ probe positions
+    (:func:`bloom_pos_expr`); counts are exact; ``overlap_ratio`` is
+    a single exact-integer division (the :func:`contamination` rule).
+
+    Output: (doc_id, n_shingles, n_bloom_hits, n_overlap,
+    overlap_ratio, contaminated).
+
+    Plan / 100 TB: one narrow corpus map for the screen (bit test in
+    whole-stage codegen, constant 2 KB state), the benchmark
+    shingle-array broadcast consulted only on flagged rows; zero
+    joins, zero shuffles on the corpus side.
+    """
+    bench_set = benchmark_shingle_set(benchmark, k)
+    bench_hashes = [
+        int(h) for h in (bench_set.collect()[0]["bench_sh"] or [])
+    ]
+    test = bloom_test_expr(bloom_words_from_hashes(bench_hashes))
+    sh_arr = shingle_hash_arr_expr(k)
+    docs = documents.select(
+        "doc_id", F.expr(TOKS).alias("toks")
+    ).select("doc_id", F.expr(sh_arr).alias("doc_sh"))
+    screened = docs.select(
+        "doc_id",
+        "doc_sh",
+        F.expr("size(doc_sh)").cast("long").alias("n_shingles"),
+        F.expr(f"size(filter(doc_sh, h -> {test}))")
+        .cast("long")
+        .alias("n_bloom_hits"),
+    )
+    audited = screened.crossJoin(F.broadcast(bench_set)).select(
+        "doc_id",
+        "n_shingles",
+        "n_bloom_hits",
+        F.expr(
+            "CASE WHEN n_bloom_hits = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(size(array_intersect(doc_sh, bench_sh)) "
+            "AS BIGINT) END"
+        ).alias("n_overlap"),
+    )
+    return audited.select(
+        "doc_id",
+        "n_shingles",
+        "n_bloom_hits",
+        "n_overlap",
+        F.expr(
+            "CASE WHEN n_shingles = 0 THEN CAST(0 AS DOUBLE) "
+            "ELSE n_overlap / CAST(n_shingles AS DOUBLE) END"
+        ).alias("overlap_ratio"),
+    ).withColumn(
+        "contaminated", F.col("overlap_ratio") > F.lit(threshold)
     )
