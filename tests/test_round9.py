@@ -74,3 +74,85 @@ def test_contamination_screened_matches_exact(spark):
         assert screened[i].contaminated == exact[i].contaminated
         # and the screen itself never under-counts the exact hits
         assert screened[i].n_bloom_hits >= screened[i].n_overlap
+
+
+# --- wave 9-11 golden density back-fill (VERDICT r8 item 8) ---
+
+
+def test_rle_checkerboard_incompressible():
+    """Checkerboard: every adjacent pair differs, so run counts hit
+    the n_px ceiling in BOTH directions — the exact opposite pole of
+    the flat-frame golden."""
+    import numpy as np
+
+    from pennsieve_streaming_spark.llm.imagehash import rle_stats
+
+    g = np.indices((4, 6)).sum(axis=0) % 2
+    n_px, n_h, n_v = rle_stats(g)
+    assert n_px == 24
+    assert n_h == 24 and n_v == 24
+
+
+def test_spectral_shape_two_tone_golden(spark):
+    """Equal-power bin-1 + bin-3 tones: centroid = 2 by symmetry,
+    bandwidth = 1 (each tone exactly one bin from the centroid)."""
+    import math
+
+    from pennsieve_streaming_spark.dsp.spectral import spectral_shape
+
+    n = 16
+    vals = [
+        math.sin(2 * math.pi * 1 * t / n)
+        + math.sin(2 * math.pi * 3 * t / n)
+        for t in range(n)
+    ]
+    df = spark.createDataFrame(
+        [("a", i, float(v)) for i, v in enumerate(vals)],
+        "channel string, ts long, value double",
+    )
+    out = spectral_shape(df, n_bins=4, window_samples=n).collect()[0]
+    assert out.centroid_bin == 2.0
+    assert out.bandwidth_bins == 1.0
+
+
+def test_mattr_unequal_windows_golden(spark):
+    """Windows with DIFFERENT distinct counts: 'a a b c' window 3 ->
+    windows {a,a,b}=2 and {a,b,c}=3, MATTR = (2+3)/(2*3)."""
+    from pennsieve_streaming_spark.llm.text import mattr
+
+    docs = spark.createDataFrame(
+        [(0, "a a b c")], "doc_id long, text string"
+    )
+    out = mattr(docs, window=3).collect()[0]
+    assert out.n_tokens == 4 and out.n_windows == 2
+    assert out.mattr == round(5 / 6, 9)
+
+
+def test_cosine_thresholds_negative_and_exact_boundary(spark):
+    """Antipodal corpus vector (cosine -1) never counts; a vector AT
+    the threshold counts (>= semantics, hand-checked at cos = 0.5)."""
+    import math
+
+    from pennsieve_streaming_spark.llm.similarity import (
+        cosine_threshold_counts,
+    )
+
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [-1.0, 0.0]),                       # cos -1
+        (2, [0.5, math.sqrt(3.0) / 2.0]),       # cos 0.5
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    )
+    out = cosine_threshold_counts(
+        df,
+        df.filter(F.col("vec_id") == 0),
+        thresholds=(-0.5, 0.49999999, 0.9),
+    ).collect()[0]
+    assert out.n_corpus == 2
+    # >= -0.5 counts only the cos-0.5 vector (antipodal is below)
+    assert out.n_ge_1 == 1
+    # just under 0.5: the boundary vector still counts
+    assert out.n_ge_2 == 1
+    assert out.n_ge_3 == 0
