@@ -5229,7 +5229,13 @@ def q_contamination_screened(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
-    return contamination_screened(docs, bench, k=3, threshold=0.5)
+    # n_bits pinned to the module default: the DuckDB oracle's probe
+    # set is built at BLOOM_M, so the gated run must not auto-size.
+    from pennsieve_streaming_spark.llm.curation import BLOOM_M
+
+    return contamination_screened(
+        docs, bench, k=3, threshold=0.5, n_bits=BLOOM_M
+    )
 
 
 def q_stream_benford(spark, sf_dir):

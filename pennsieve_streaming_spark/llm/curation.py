@@ -1855,36 +1855,65 @@ def gopher_quality_filters(documents: DataFrame) -> DataFrame:
 # broadcast, zero joins, one-sided error the operator EXPOSES by
 # reporting false positives against the exact screen.
 
-BLOOM_M = 16_384                # bits (BLOOM_WORDS * 64)
+BLOOM_M = 16_384                # default bits (BLOOM_WORDS * 64)
 BLOOM_WORDS = BLOOM_M // 64
 BLOOM_PROBES = 3
 _BLOOM_P2 = 16_381              # prime < M for the second mix
 
+# Power-of-two bit-count ladder with the paired second-mix prime
+# (largest prime < m), for benchmark-sized blooms: the fixed 16 Kib
+# default saturates once the benchmark holds more than a few thousand
+# shingles (the 100x smoke measured ~89% FP at ~17k shingles -> the
+# screen flagged everything and the exact audit ran on the whole
+# corpus). bloom_bits_for() picks >= 16 bits/element, giving a
+# per-shingle FP under ~1e-3 with 3 probes, so a per-doc any-hit
+# screen stays selective.
+_BLOOM_LADDER = [
+    (16_384, 16_381),
+    (32_768, 32_749),
+    (65_536, 65_521),
+    (131_072, 131_071),
+    (262_144, 262_139),
+    (524_288, 524_287),
+    (1_048_576, 1_048_573),
+]
+_BLOOM_P2_BY_M = dict(_BLOOM_LADDER)
 
-def bloom_pos_expr(h: str, i: int) -> str:
+
+def bloom_bits_for(n_elements: int) -> int:
+    """Smallest ladder bit count giving >= 16 bits per element
+    (clamped to the ladder: 16 Kib .. 1 Mib)."""
+    need = 16 * max(int(n_elements), 1)
+    for m, _ in _BLOOM_LADDER:
+        if m >= need:
+            return m
+    return _BLOOM_LADDER[-1][0]
+
+
+def bloom_pos_expr(h: str, i: int, m: int = BLOOM_M) -> str:
     """Probe-``i`` bit position for shingle hash ``h`` — pure
     %·+ arithmetic (no integer division), so the SAME text runs on
-    Spark, DuckDB and Python."""
+    Spark, DuckDB and Python. ``m`` must be on the ladder."""
+    p2 = _BLOOM_P2_BY_M[m]
     return (
-        f"(((({h}) % {BLOOM_M}) * {2 * i + 1} "
-        f"+ (({h}) % {_BLOOM_P2}) * {i + 1} + {13 * i}) % {BLOOM_M})"
+        f"(((({h}) % {m}) * {2 * i + 1} "
+        f"+ (({h}) % {p2}) * {i + 1} + {13 * i}) % {m})"
     )
 
 
-def bloom_pos_py(h: int, i: int) -> int:
+def bloom_pos_py(h: int, i: int, m: int = BLOOM_M) -> int:
     """Python twin of :func:`bloom_pos_expr`."""
-    return (
-        (h % BLOOM_M) * (2 * i + 1) + (h % _BLOOM_P2) * (i + 1) + 13 * i
-    ) % BLOOM_M
+    p2 = _BLOOM_P2_BY_M[m]
+    return ((h % m) * (2 * i + 1) + (h % p2) * (i + 1) + 13 * i) % m
 
 
-def bloom_words_from_hashes(hashes) -> list[int]:
+def bloom_words_from_hashes(hashes, m: int = BLOOM_M) -> list[int]:
     """Fold benchmark shingle hashes into the signed-int64 word array
     (bit 63 = sign bit, the dhash wrap rule)."""
-    words = [0] * BLOOM_WORDS
+    words = [0] * (m // 64)
     for h in hashes:
         for i in range(BLOOM_PROBES):
-            p = bloom_pos_py(int(h), i)
+            p = bloom_pos_py(int(h), i, m)
             words[p // 64] |= 1 << (p % 64)
     return [w - (1 << 64) if w >= 1 << 63 else w for w in words]
 
@@ -1892,12 +1921,30 @@ def bloom_words_from_hashes(hashes) -> list[int]:
 def bloom_test_expr(words: list[int], h: str = "h") -> str:
     """SQL predicate: all BLOOM_PROBES bits set for shingle hash ``h``
     in the given word array — int64 literals, arithmetic shift + mask
-    (sign-safe), folds into whole-stage codegen."""
+    (sign-safe), folds into whole-stage codegen. Literal flavor:
+    right for the small default bitset; benchmark-sized blooms should
+    ship the words as DATA via :func:`bloom_test_col_expr` instead
+    (a 1 Mib bitset as 16k literals would bloat every plan copy)."""
     words_lit = "array(" + ", ".join(f"{w}L" for w in words) + ")"
     return " AND ".join(
         f"(shiftright(element_at({words_lit}, "
         f"CAST({bloom_pos_expr(h, i)} div 64 AS INT) + 1), "
         f"CAST({bloom_pos_expr(h, i)} % 64 AS INT)) & 1) = 1"
+        for i in range(BLOOM_PROBES)
+    )
+
+
+def bloom_test_col_expr(
+    h: str = "h", m: int = BLOOM_M, words_col: str = "bloom_words"
+) -> str:
+    """:func:`bloom_test_expr` with the word array referenced as a
+    COLUMN (broadcast 1-row data, not a literal) — the lambda
+    correlates to the outer ``words_col``, so the bitset can be
+    megabit-sized without inflating the expression tree."""
+    return " AND ".join(
+        f"(shiftright(element_at({words_col}, "
+        f"CAST({bloom_pos_expr(h, i, m)} div 64 AS INT) + 1), "
+        f"CAST({bloom_pos_expr(h, i, m)} % 64 AS INT)) & 1) = 1"
         for i in range(BLOOM_PROBES)
     )
 
@@ -1977,6 +2024,7 @@ def contamination_screened(
     benchmark: DataFrame,
     k: int = 3,
     threshold: float = 0.5,
+    n_bits: int | None = None,
 ) -> DataFrame:
     """Production-shaped decontamination: bloom pre-screen, exact
     audit on the FLAGGED subset only — the composition a 100 TB
@@ -1992,7 +2040,17 @@ def contamination_screened(
     :func:`contamination` operator, at screen cost plus the exact
     cost of only the flagged fraction.
 
-    Determinism: the 2 KB word array is built once from the collected
+    ``n_bits``: bloom bit count, or None to auto-size via
+    :func:`bloom_bits_for` (>= 16 bits per benchmark shingle, ladder-
+    clamped). Sizing is the whole ballgame at scale — the 100x smoke
+    measured the FIXED 16 Kib bitset saturating at ~17k benchmark
+    shingles (~89% FP -> every doc flagged -> the exact audit ran on
+    the entire corpus and the screen saved nothing). Auto-sizing
+    keeps the per-shingle FP ~1e-3 so a per-doc any-hit screen stays
+    selective; oracle-replayed runs pin n_bits to the module default
+    (the oracle's probe set is built at BLOOM_M).
+
+    Determinism: the word array is built once from the collected
     benchmark hash set with engine-portable %·+ probe positions
     (:func:`bloom_pos_expr`); counts are exact; ``overlap_ratio`` is
     a single exact-integer division (the :func:`contamination` rule).
@@ -2000,21 +2058,26 @@ def contamination_screened(
     Output: (doc_id, n_shingles, n_bloom_hits, n_overlap,
     overlap_ratio, contaminated).
 
-    Plan / 100 TB: one narrow corpus map for the screen (bit test in
-    whole-stage codegen, constant 2 KB state), the benchmark
-    shingle-array broadcast consulted only on flagged rows; zero
-    joins, zero shuffles on the corpus side.
+    Plan / 100 TB: one narrow corpus map for the screen (the bitset
+    rides the 1-row benchmark broadcast as DATA — a megabit bloom
+    adds ~128 KB to the broadcast, not to the plan), the benchmark
+    shingle-array consulted only on flagged rows; zero joins, zero
+    shuffles on the corpus side.
     """
     bench_set = benchmark_shingle_set(benchmark, k)
     bench_hashes = [
         int(h) for h in (bench_set.collect()[0]["bench_sh"] or [])
     ]
-    test = bloom_test_expr(bloom_words_from_hashes(bench_hashes))
+    m = bloom_bits_for(len(bench_hashes)) if n_bits is None else n_bits
+    words = bloom_words_from_hashes(bench_hashes, m)
+    spark = documents.sparkSession
+    wdf = spark.createDataFrame([(words,)], "bloom_words array<bigint>")
+    test = bloom_test_col_expr("h", m)
     sh_arr = shingle_hash_arr_expr(k)
     docs = documents.select(
         "doc_id", F.expr(TOKS).alias("toks")
     ).select("doc_id", F.expr(sh_arr).alias("doc_sh"))
-    screened = docs.select(
+    screened = docs.crossJoin(F.broadcast(wdf)).select(
         "doc_id",
         "doc_sh",
         F.expr("size(doc_sh)").cast("long").alias("n_shingles"),

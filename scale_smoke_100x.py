@@ -1,0 +1,239 @@
+#!/usr/bin/env python
+"""100x (sf10-equivalent) scale smoke for the three heaviest operator
+families only — the r8 verdict's item 3: turn the 10x->30x sub-linear
+curves into measured 100x points with per-family scaling exponents.
+
+Families (the top of every recorded bench/smoke):
+  * LSH near-dup pairs  — shingle -> minhash -> banded candidates
+    (capped buckets) -> exact Jaccard verify
+  * ANN                 — exact cosine top-k (broadcast probes) and
+    IVF-Flat (centroid-pruned lists), the scale path
+  * Butterworth long-span — the streaming single-pass filter over a
+    100x-long contiguous-ish span (state carry, bounded memory)
+Plus the round-9 screened decontamination, to record the composed
+bloom->exact path's cost against the 30x exact-audit figure.
+
+Each family runs at factor 10 and factor 100 in the SAME warm session;
+the printed exponent is log(t_100/t_10)/log(10) — ~1.0 = linear in
+data size, <1 = sub-linear, >1 flags super-linear growth. Plan-shape
+guards assert the scale-killers stayed absent (no cartesian, probes
+broadcast, capped LSH buckets).
+
+Run: python scale_smoke_100x.py        (~10-20 min on local[32])
+Env: SPARK_GRAFT_SMOKE_FACTORS="10,100" to override the ladder.
+Output: one JSON line with per-family seconds per factor + exponents.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pennsieve_streaming_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FACTORS = [
+    int(x)
+    for x in os.environ.get("SPARK_GRAFT_SMOKE_FACTORS", "10,100").split(",")
+]
+ID_STRIDE = 100_000_000
+
+
+def _replicate(df, id_cols, factor):
+    reps = df.sparkSession.range(factor).select(F.col("id").alias("_rep"))
+    out = df.crossJoin(F.broadcast(reps))
+    for c in id_cols:
+        out = out.withColumn(c, F.col(c) + F.col("_rep") * ID_STRIDE)
+    return out
+
+
+def _force(df) -> float:
+    t0 = time.monotonic()
+    df.write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main() -> None:
+    spark = get_spark("pss-scale-smoke-100x")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
+
+    results: dict[str, dict[int, float]] = {}
+    plans: dict[str, str] = {}
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    from pennsieve_streaming_spark.dsp import FilterSpec, apply_filter
+    from pennsieve_streaming_spark.llm import (
+        jaccard_pairs,
+        lsh_band_keys,
+        lsh_candidate_pairs,
+        minhash_wide,
+        shingles,
+    )
+    from pennsieve_streaming_spark.llm.curation import (
+        contamination_screened,
+    )
+    from pennsieve_streaming_spark.llm.similarity import cosine_topk, ivf_ann
+    from pennsieve_streaming_spark import tables as TBL
+
+    lead = (
+        TBL.samples_aligned_view(spark, SF_DIR)
+        .filter(F.col("channel") == "lead")
+        .cache()
+    )
+    span = lead.agg(
+        (F.max("ts") - F.min("ts") + F.lit(1000)).alias("s")
+    ).collect()[0]["s"]
+    lead.count()
+
+    for factor in FACTORS:
+        # --- LSH near-dup pairs (per-replica token prefix: near-dup
+        # rich corpus, exercises banding AND the hot-bucket cap) ------
+        docsN = (
+            _replicate(docs, ["doc_id"], factor)
+            .withColumn(
+                "text",
+                F.concat(
+                    F.lit("r"), F.col("_rep").cast("string"),
+                    F.lit(" "), "text",
+                ),
+            )
+            .drop("_rep")
+        )
+        sh = shingles(docsN).cache()
+        t0 = time.monotonic()
+        cands = lsh_candidate_pairs(
+            lsh_band_keys(minhash_wide(sh)), max_bucket_size=50
+        ).cache()
+        cands.count()
+        verified = jaccard_pairs(sh, candidates=cands)
+        results.setdefault("doc_minhash_lsh_pairs", {})[factor] = (
+            time.monotonic() - t0
+        ) + _force(verified)
+        plans["doc_minhash_lsh_pairs"] = _plan(verified)
+        sh.unpersist()
+        cands.unpersist()
+
+        # --- exact cosine top-k over an N-times corpus ---------------
+        embsN = _replicate(embs, ["vec_id"], factor).drop("_rep").cache()
+        embsN.count()
+        topk = cosine_topk(embsN, embs.filter(F.col("vec_id") < 20), k=5)
+        results.setdefault("emb_cosine_topk", {})[factor] = _force(topk)
+        plans["emb_cosine_topk"] = _plan(topk)
+
+        # --- IVF-Flat over the same corpus (the ANN scale path) ------
+        t0 = time.monotonic()  # includes centroid training (sampled)
+        ivf = ivf_ann(
+            embsN,
+            embs.filter(F.col("vec_id") < 20),
+            k=5,
+            n_lists=16,
+            n_probe=2,
+        )
+        results.setdefault("emb_ivf_ann", {})[factor] = (
+            time.monotonic() - t0
+        ) + _force(ivf)
+        plans["emb_ivf_ann"] = _plan(ivf)
+        embsN.unpersist()
+
+        # --- Butterworth long-span: one channel, span stretched Nx
+        # (seamless stride - replicas splice into one long record) ----
+        longspan = (
+            lead.crossJoin(
+                F.broadcast(
+                    spark.range(factor).select(F.col("id").alias("_rep"))
+                )
+            )
+            .select(
+                "channel",
+                (F.col("ts") + F.col("_rep") * F.lit(span)).alias("ts"),
+                "value",
+            )
+        )
+        bw = apply_filter(
+            longspan,
+            FilterSpec("lowpass", 4, 100.0),
+            rate_hz=1000.0,
+            num_partitions=32,
+        )
+        results.setdefault("ts_butterworth_longspan", {})[factor] = _force(bw)
+        plans["ts_butterworth_longspan"] = _plan(bw)
+
+        # --- screened decontamination (r9): composed bloom->exact.
+        # The benchmark stays the UN-replicated split — production
+        # shape is a fixed eval set against a growing corpus (a
+        # benchmark that grew 100x would saturate the constant-size
+        # bloom and the comparison would measure nothing). -----------
+        t0 = time.monotonic()  # includes the benchmark-set collect
+        scr = contamination_screened(
+            docsN, docs.filter(F.col("doc_id") % 29 == 0), k=3
+        )
+        results.setdefault("doc_contamination_screened", {})[factor] = (
+            time.monotonic() - t0
+        ) + _force(scr)
+        plans["doc_contamination_screened"] = _plan(scr)
+
+    # --- plan-shape guards (the 100 TB design evidence) --------------
+    problems = []
+    for name, plan in plans.items():
+        if "CartesianProduct" in plan:
+            problems.append(f"{name}: CartesianProduct")
+    if "_bn" not in plans["doc_minhash_lsh_pairs"]:
+        problems.append("lsh: bucket-cap stats missing from plan")
+    if "BroadcastExchange" not in plans["emb_cosine_topk"]:
+        problems.append("topk: query side not broadcast")
+    if "WindowGroupLimit" not in plans["emb_cosine_topk"]:
+        problems.append("topk: partial top-k pushdown missing")
+    for nm in ("ts_butterworth_longspan",):
+        if "SortMergeJoin" in plans[nm] or "ShuffledHashJoin" in plans[nm]:
+            problems.append(f"{nm}: unexpected join in the filter pass")
+    if "SortMergeJoin" in plans["doc_contamination_screened"] or (
+        "ShuffledHashJoin" in plans["doc_contamination_screened"]
+    ):
+        problems.append("screened: shuffle join in the corpus map")
+
+    lo, hi = min(FACTORS), max(FACTORS)
+    exponents = {
+        name: round(
+            math.log(ts[hi] / ts[lo]) / math.log(hi / lo), 3
+        )
+        for name, ts in results.items()
+        if lo in ts and hi in ts and ts[lo] > 0
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "scale_smoke_100x_total",
+                "value": round(
+                    sum(ts[hi] for ts in results.values() if hi in ts), 4
+                ),
+                "unit": "sec",
+                "queries": {
+                    name: {str(f): round(t, 4) for f, t in ts.items()}
+                    for name, ts in results.items()
+                },
+                "exponents": exponents,
+                "factors": FACTORS,
+                "sf_base": 0.1,
+                "plan_problems": problems,
+            }
+        )
+    )
+    if problems:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -156,3 +156,66 @@ def test_cosine_thresholds_negative_and_exact_boundary(spark):
     # just under 0.5: the boundary vector still counts
     assert out.n_ge_2 == 1
     assert out.n_ge_3 == 0
+
+
+# --- benchmark-sized bloom (100x-smoke finding) ---
+
+
+def test_bloom_bits_for_ladder():
+    from pennsieve_streaming_spark.llm.curation import (
+        BLOOM_M,
+        bloom_bits_for,
+    )
+
+    assert bloom_bits_for(0) == BLOOM_M
+    assert bloom_bits_for(1024) == BLOOM_M          # 16*1024 = BLOOM_M
+    assert bloom_bits_for(1025) == 32_768
+    assert bloom_bits_for(17_000) == 524_288        # the smoke regime
+    assert bloom_bits_for(10**9) == 1_048_576       # ladder clamp
+
+
+def test_bloom_pos_parametrized_m_matches_words():
+    from pennsieve_streaming_spark.llm.curation import (
+        BLOOM_PROBES,
+        bloom_pos_py,
+        bloom_words_from_hashes,
+    )
+
+    m = 131_072
+    hs = [12345678901234567, 999, 42, 2**62 + 7]
+    words = bloom_words_from_hashes(hs, m)
+    assert len(words) == m // 64
+    for h in hs:
+        for i in range(BLOOM_PROBES):
+            p = bloom_pos_py(h, i, m)
+            assert 0 <= p < m
+            w = words[p // 64]
+            if w < 0:
+                w += 1 << 64
+            assert (w >> (p % 64)) & 1 == 1
+
+
+def test_screened_auto_size_still_matches_exact(spark):
+    """Auto-sized (non-default m) screened run: verdicts must STILL
+    equal the exact operator — the no-false-negatives contract is
+    m-independent."""
+    from pennsieve_streaming_spark.llm.curation import (
+        bloom_bits_for,
+        contamination,
+        contamination_screened,
+    )
+
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") % 2 == 0)
+    out = {
+        r.doc_id: r
+        for r in contamination_screened(
+            docs, bench, k=3, n_bits=bloom_bits_for(5000)
+        ).collect()
+    }
+    exact = {
+        r.doc_id: r for r in contamination(docs, bench, k=3).collect()
+    }
+    for i in exact:
+        assert out[i].n_overlap == exact[i].n_overlap
+        assert out[i].contaminated == exact[i].contaminated
