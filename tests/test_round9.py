@@ -39,11 +39,11 @@ def test_contamination_screened_golden(spark):
     # doc0 IS the benchmark: 4 shingles, all overlap, contaminated
     assert out[0].n_shingles == 4 and out[0].n_overlap == 4
     assert out[0].contaminated
-    # doc1 shares exactly the "alpha beta gamma" shingle
-    assert out[1].n_shingles == 5 and out[1].n_overlap == 1
+    # doc1 shares only "alpha beta gamma": bloom_ratio 1/5 <= 0.5 ->
+    # screened OUT (provably clean), 0 sentinel without the audit
+    assert out[1].n_shingles == 5 and out[1].n_overlap == 0
     assert not out[1].contaminated
-    # doc2: no overlap; screen may or may not fire (bloom FPs), but
-    # the exact audit must report 0
+    # doc2: no overlap at all
     assert out[2].n_overlap == 0 and not out[2].contaminated
     # doc3: no shingles -> all-zero row, ratio 0.0
     assert out[3].n_shingles == 0 and out[3].n_overlap == 0
@@ -51,8 +51,9 @@ def test_contamination_screened_golden(spark):
 
 
 def test_contamination_screened_matches_exact(spark):
-    """The no-false-negatives contract: verdicts and overlap counts
-    identical to the exact contamination operator on every doc."""
+    """The no-false-negatives contract: contaminated verdicts
+    identical to the exact operator on EVERY doc; overlap counts
+    exact wherever the ratio gate ran the audit."""
     from pennsieve_streaming_spark.llm.curation import (
         contamination,
         contamination_screened,
@@ -69,11 +70,17 @@ def test_contamination_screened_matches_exact(spark):
     }
     assert set(exact) == set(screened)
     for i in exact:
-        assert screened[i].n_shingles == exact[i].n_shingles
-        assert screened[i].n_overlap == exact[i].n_overlap
-        assert screened[i].contaminated == exact[i].contaminated
-        # and the screen itself never under-counts the exact hits
-        assert screened[i].n_bloom_hits >= screened[i].n_overlap
+        s, e = screened[i], exact[i]
+        assert s.n_shingles == e.n_shingles
+        assert s.contaminated == e.contaminated
+        # the screen never under-counts the true overlap
+        assert s.n_bloom_hits >= e.n_overlap
+        if s.n_bloom_hits > 0.5 * s.n_shingles:
+            # audited: exact overlap reported
+            assert s.n_overlap == e.n_overlap
+        else:
+            # screened out: 0 sentinel, and provably clean
+            assert s.n_overlap == 0 and not e.contaminated
 
 
 # --- wave 9-11 golden density back-fill (VERDICT r8 item 8) ---
@@ -198,7 +205,9 @@ def test_bloom_pos_parametrized_m_matches_words():
 def test_screened_auto_size_still_matches_exact(spark):
     """Auto-sized (non-default m) screened run: verdicts must STILL
     equal the exact operator — the no-false-negatives contract is
-    m-independent."""
+    m-independent. Also exercises the fast_hash (xxhash64) flavor,
+    whose negative hashes cover the sign-bit mask in the probe
+    positions."""
     from pennsieve_streaming_spark.llm.curation import (
         bloom_bits_for,
         contamination,
@@ -207,15 +216,23 @@ def test_screened_auto_size_still_matches_exact(spark):
 
     docs = _docs(spark)
     bench = docs.filter(F.col("doc_id") % 2 == 0)
-    out = {
-        r.doc_id: r
-        for r in contamination_screened(
-            docs, bench, k=3, n_bits=bloom_bits_for(5000)
-        ).collect()
-    }
-    exact = {
-        r.doc_id: r for r in contamination(docs, bench, k=3).collect()
-    }
-    for i in exact:
-        assert out[i].n_overlap == exact[i].n_overlap
-        assert out[i].contaminated == exact[i].contaminated
+    for fast in (False, True):
+        out = {
+            r.doc_id: r
+            for r in contamination_screened(
+                docs,
+                bench,
+                k=3,
+                n_bits=bloom_bits_for(5000),
+                fast_hash=fast,
+            ).collect()
+        }
+        exact = {
+            r.doc_id: r
+            for r in contamination(
+                docs, bench, k=3, fast_hash=fast
+            ).collect()
+        }
+        for i in exact:
+            assert out[i].contaminated == exact[i].contaminated
+            assert out[i].n_bloom_hits >= exact[i].n_overlap
