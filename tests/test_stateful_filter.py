@@ -249,3 +249,68 @@ def test_tws_processor_logic_matches_batch(gap):
         want = _filter_run(x, sos, pad)
     assert len(got) == 400
     np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_advance_property_random_splits():
+    """Property (hypothesis): for ANY micro-batch segmentation of a
+    contiguous stream — including sub-pad first batches and 1-sample
+    batches — chaining _advance produces output bit-identical to the
+    one-shot batch filter. This is the invariant both streaming APIs
+    inherit from the shared core."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from pennsieve_streaming_spark.datamodel import (
+        FILTER_RESET_SAMPLE_PERIODS,
+    )
+    from pennsieve_streaming_spark.streaming.stateful_filter import (
+        _advance,
+    )
+
+    sos = butter_sos(SPEC.order, SPEC.freq, FS, SPEC.btype)
+    pad = filter_transient_length(SPEC.order, SPEC.max_freq, FS)
+    period = int(1e6 / FS)
+    gap_us = FILTER_RESET_SAMPLE_PERIODS / FS * 1e6
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=300),
+        cuts=st.lists(
+            st.integers(min_value=1, max_value=299),
+            max_size=6,
+            unique=True,
+        ),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(n, cuts, seed):
+        rng = np.random.default_rng(seed)
+        x = rng.standard_normal(n)
+        bounds = [0] + sorted(c for c in cuts if c < n) + [n]
+        state = None
+        got = []
+        for lo, hi in zip(bounds, bounds[1:]):
+            if lo == hi:
+                continue
+            pdf = pd.DataFrame(
+                {
+                    "ts": [i * period for i in range(lo, hi)],
+                    "value": x[lo:hi],
+                }
+            )
+            outs, state = _advance(
+                "c", pdf, state, sos, sos.shape[0], gap_us, pad
+            )
+            for o in outs:
+                got.extend(o["value"].tolist())
+        # drain: a run still buffered below pad samples flushes with
+        # the short-run casework (what the timeout path does)
+        zi_flat, _last, buf_ts, buf_val = state
+        if not zi_flat and buf_ts:
+            got.extend(
+                _filter_run(np.asarray(buf_val, dtype=float), sos, pad)
+            )
+        want = _filter_run(x, sos, pad)
+        assert len(got) == n
+        np.testing.assert_array_equal(got, want)  # BIT-identical
+
+    check()
