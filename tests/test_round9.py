@@ -236,3 +236,19 @@ def test_screened_auto_size_still_matches_exact(spark):
         for i in exact:
             assert out[i].contaminated == exact[i].contaminated
             assert out[i].n_bloom_hits >= exact[i].n_overlap
+
+
+def test_screened_empty_benchmark_all_clean(spark):
+    """Empty benchmark: zero shingle hashes -> all-zero bitset -> no
+    bloom hits -> every doc provably clean, no audit anywhere."""
+    from pennsieve_streaming_spark.llm.curation import (
+        contamination_screened,
+    )
+
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") < 0)  # empty
+    out = contamination_screened(docs, bench, k=3).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.n_bloom_hits == 0 and r.n_overlap == 0
+        assert not r.contaminated
