@@ -75,6 +75,7 @@ def main() -> None:
     embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
     from pennsieve_streaming_spark.dsp import FilterSpec, apply_filter
+    from pennsieve_streaming_spark.dsp.filtering import apply_filter_bulk
     from pennsieve_streaming_spark.llm import (
         jaccard_pairs,
         lsh_band_keys,
@@ -171,6 +172,33 @@ def main() -> None:
         results.setdefault("ts_butterworth_longspan", {})[factor] = _force(bw)
         plans["ts_butterworth_longspan"] = _plan(bw)
 
+        # --- Butterworth bulk lanes: the OTHER filter regime — many
+        # bounded channels (each replica of the two aligned 1 kHz
+        # channels becomes a fresh channel), runs lane-vectorized
+        # inside each pandas group ------------------------------------
+        many = (
+            TBL.samples_aligned_view(spark, SF_DIR)
+            .crossJoin(
+                F.broadcast(
+                    spark.range(factor).select(F.col("id").alias("_rep"))
+                )
+            )
+            .select(
+                F.concat(
+                    "channel", F.lit("_r"), F.col("_rep").cast("string")
+                ).alias("channel"),
+                "ts",
+                "value",
+            )
+        )
+        bwb = apply_filter_bulk(
+            many, FilterSpec("lowpass", 4, 100.0), rate_hz=1000.0
+        )
+        results.setdefault("ts_butterworth_bulk_lanes", {})[factor] = _force(
+            bwb
+        )
+        plans["ts_butterworth_bulk_lanes"] = _plan(bwb)
+
         # --- screened decontamination (r9): composed bloom->exact.
         # The benchmark stays the UN-replicated split — production
         # shape is a fixed eval set against a growing corpus (a
@@ -196,7 +224,7 @@ def main() -> None:
         problems.append("topk: query side not broadcast")
     if "WindowGroupLimit" not in plans["emb_cosine_topk"]:
         problems.append("topk: partial top-k pushdown missing")
-    for nm in ("ts_butterworth_longspan",):
+    for nm in ("ts_butterworth_longspan", "ts_butterworth_bulk_lanes"):
         if "SortMergeJoin" in plans[nm] or "ShuffledHashJoin" in plans[nm]:
             problems.append(f"{nm}: unexpected join in the filter pass")
     if "SortMergeJoin" in plans["doc_contamination_screened"] or (
