@@ -1589,10 +1589,14 @@ def source_jsd(documents: DataFrame) -> DataFrame:
     exact integers — so each term's ln splits into two 1e9-quantized
     lns (nano-nat BIGINTs), the per-side folds Σ c_p·Δlnq accumulate
     exactly in DECIMAL(38,0), and JSD is one fixed two-division
-    finish. Zero-count terms contribute exactly 0 and are skipped.
+    finish. One-sided tokens (present in only one source) contribute
+    their exact c_p·ln2 mass via the (n_p − Σ_shared c_p) recovery
+    term, so the value is the FULL JSD, not a shared-support variant.
 
     Output: (source_a, source_b, n_terms, jsd_nats) for source_a <
-    source_b.
+    source_b; n_terms counts the SHARED tokens. A pair sharing zero
+    tokens produces no row (its JSD is the ln 2 maximum by
+    definition — the token-keyed join never materializes the pair).
 
     Plan / 100 TB: one (source, token) rollup, a token-keyed
     self-join between source pairs (vocabulary-bounded keys,
