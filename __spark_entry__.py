@@ -5569,7 +5569,21 @@ def _rotation_order(names: list) -> list:
         import rotation_plan
 
         return rotation_plan.priority_order(names)
-    except Exception:
+    except (ImportError, OSError):
+        # the genuine bare-checkout cases (tools/ or the CORRECTNESS
+        # history missing) — the raw newest-first registry order is a
+        # correct approximation there, so stay quiet
+        return list(names)
+    except Exception as exc:  # tool regression / corrupt history: be LOUD
+        import warnings as _warnings
+
+        _warnings.warn(
+            f"rotation_plan.priority_order failed ({exc!r}); "
+            "falling back to raw registry order — the driver-gate "
+            "front-50 may not match tools/rotation_plan.py",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return list(names)
 
 

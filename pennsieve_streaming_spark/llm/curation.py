@@ -1869,9 +1869,14 @@ _BLOOM_P2 = 16_381              # prime < M for the second mix
 # default saturates once the benchmark holds more than a few thousand
 # shingles (the 100x smoke measured ~89% FP at ~17k shingles -> the
 # screen flagged everything and the exact audit ran on the whole
-# corpus). bloom_bits_for() picks >= 16 bits/element, giving a
-# per-shingle FP under ~1e-3 with 3 probes, so a per-doc any-hit
-# screen stays selective.
+# corpus). bloom_bits_for() picks >= 16 bits/element; with 3 probes
+# the per-shingle FP is (1 - e^{-3/16})^3 ~= 5e-3 at EXACTLY 16
+# bits/element (the worst case, hit just after a rung boundary) and
+# ~1e-3 toward the upper half of each rung (>= ~24 bits/element) —
+# either way a per-doc RATIO screen stays selective. The top rung is
+# 64 Mib = ~4.2M benchmark shingles at 16 bits each; the bitset
+# ships as broadcast DATA (bloom_test_col_expr), so even the top
+# rung costs only ~8 MB of broadcast.
 _BLOOM_LADDER = [
     (16_384, 16_381),
     (32_768, 32_749),
@@ -1880,18 +1885,54 @@ _BLOOM_LADDER = [
     (262_144, 262_139),
     (524_288, 524_287),
     (1_048_576, 1_048_573),
+    (2_097_152, 2_097_143),
+    (4_194_304, 4_194_301),
+    (8_388_608, 8_388_593),
+    (16_777_216, 16_777_213),
+    (33_554_432, 33_554_393),
+    (67_108_864, 67_108_859),
 ]
 _BLOOM_P2_BY_M = dict(_BLOOM_LADDER)
 
 
+def _bloom_p2(m: int) -> int:
+    """Second-mix prime paired with ladder bit count ``m``; raises a
+    descriptive ValueError (not an opaque KeyError) off the ladder."""
+    try:
+        return _BLOOM_P2_BY_M[m]
+    except KeyError:
+        ladder = ", ".join(str(b) for b, _ in _BLOOM_LADDER)
+        raise ValueError(
+            f"bloom bit count {m} is not on the ladder; valid sizes "
+            f"(powers of two with paired second-mix primes): {ladder}"
+        ) from None
+
+
 def bloom_bits_for(n_elements: int) -> int:
     """Smallest ladder bit count giving >= 16 bits per element
-    (clamped to the ladder: 16 Kib .. 1 Mib)."""
+    (ladder range: 16 Kib .. 64 Mib). Beyond the top rung
+    (> ~4.2M elements) the clamp is LOUD — a RuntimeWarning — because
+    an under-sized bloom silently degrades the screened
+    decontamination toward exact-everywhere (a perf cliff, never a
+    correctness issue: the bloom has no false negatives at any
+    load factor)."""
     need = 16 * max(int(n_elements), 1)
     for m, _ in _BLOOM_LADDER:
         if m >= need:
             return m
-    return _BLOOM_LADDER[-1][0]
+    import warnings
+
+    top = _BLOOM_LADDER[-1][0]
+    warnings.warn(
+        f"bloom_bits_for({n_elements}): need {need} bits for >= 16 "
+        f"bits/element but the ladder tops out at {top} "
+        f"({top // max(int(n_elements), 1)} bits/element) — the bloom "
+        "pre-screen will lose selectivity (correctness unaffected); "
+        "extend _BLOOM_LADDER if benchmarks this large are routine",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+    return top
 
 
 _BLOOM_SIGN_MASK = 9_223_372_036_854_775_807  # int64 max: clears bit 63
@@ -1905,7 +1946,7 @@ def bloom_pos_expr(h: str, i: int, m: int = BLOOM_M) -> str:
     negative hash (xxhash64's full int64 range) would otherwise
     produce a negative position; the md5-prefix hash is already
     non-negative, so the mask is a no-op there (oracle parity)."""
-    p2 = _BLOOM_P2_BY_M[m]
+    p2 = _bloom_p2(m)
     hm = f"(({h}) & {_BLOOM_SIGN_MASK})"
     return (
         f"((({hm} % {m}) * {2 * i + 1} "
@@ -1915,20 +1956,33 @@ def bloom_pos_expr(h: str, i: int, m: int = BLOOM_M) -> str:
 
 def bloom_pos_py(h: int, i: int, m: int = BLOOM_M) -> int:
     """Python twin of :func:`bloom_pos_expr`."""
-    p2 = _BLOOM_P2_BY_M[m]
+    p2 = _bloom_p2(m)
     hm = h & _BLOOM_SIGN_MASK
     return ((hm % m) * (2 * i + 1) + (hm % p2) * (i + 1) + 13 * i) % m
 
 
 def bloom_words_from_hashes(hashes, m: int = BLOOM_M) -> list[int]:
     """Fold benchmark shingle hashes into the signed-int64 word array
-    (bit 63 = sign bit, the dhash wrap rule)."""
-    words = [0] * (m // 64)
-    for h in hashes:
+    (bit 63 = sign bit, the dhash wrap rule). Vectorized: position
+    arithmetic runs as numpy int64 column ops (bit-identical to
+    :func:`bloom_pos_py` — hm <= m-1 times probe factors stays far
+    below 2^63), so a top-rung 4M-shingle benchmark folds in ~ a
+    second instead of a 12M-iteration Python loop."""
+    p2 = _bloom_p2(m)
+    import numpy as np
+
+    words = np.zeros(m // 64, dtype=np.uint64)
+    hs = [int(h) & _BLOOM_SIGN_MASK for h in hashes]
+    if hs:
+        hm = np.asarray(hs, dtype=np.int64)
         for i in range(BLOOM_PROBES):
-            p = bloom_pos_py(int(h), i, m)
-            words[p // 64] |= 1 << (p % 64)
-    return [w - (1 << 64) if w >= 1 << 63 else w for w in words]
+            p = ((hm % m) * (2 * i + 1) + (hm % p2) * (i + 1) + 13 * i) % m
+            np.bitwise_or.at(
+                words,
+                p // 64,
+                np.left_shift(np.uint64(1), (p % 64).astype(np.uint64)),
+            )
+    return words.view(np.int64).tolist()
 
 
 def bloom_test_expr(words: list[int], h: str = "h") -> str:
@@ -2062,15 +2116,20 @@ def contamination_screened(
     k=3), while the ratio gate audits only the ~5% near the
     threshold.
 
-    ``n_bits``: bloom bit count, or None to auto-size via
-    :func:`bloom_bits_for` (>= 16 bits per benchmark shingle, ladder-
-    clamped). Sizing is the whole ballgame at scale — the 100x smoke
-    measured the FIXED 16 Kib bitset saturating at ~17k benchmark
-    shingles (~89% FP -> every doc flagged -> the exact audit ran on
-    the entire corpus and the screen saved nothing). Auto-sizing
-    keeps the per-shingle FP ~1e-3 so a per-doc any-hit screen stays
-    selective; oracle-replayed runs pin n_bits to the module default
-    (the oracle's probe set is built at BLOOM_M).
+    ``n_bits``: bloom bit count — MUST be a ladder size (a
+    ``_BLOOM_LADDER`` power of two, 16 Kib .. 64 Mib; anything else
+    raises ValueError up front, since each rung pairs with its
+    second-mix prime) — or None to auto-size via
+    :func:`bloom_bits_for` (>= 16 bits per benchmark shingle, loud
+    ladder clamp). Sizing is the whole ballgame at scale — the 100x
+    smoke measured the FIXED 16 Kib bitset saturating at ~17k
+    benchmark shingles (~89% FP -> every doc flagged -> the exact
+    audit ran on the entire corpus and the screen saved nothing).
+    Auto-sizing keeps the per-shingle FP <= ~5e-3 worst-case (at
+    exactly 16 bits/element with 3 probes), ~1e-3 typical, so a
+    per-doc RATIO screen stays selective; oracle-replayed runs pin
+    n_bits to the module default (the oracle's probe set is built at
+    BLOOM_M).
 
     Determinism: the word array is built once from the collected
     benchmark hash set with engine-portable %·+ probe positions
@@ -2086,6 +2145,8 @@ def contamination_screened(
     shingle-array consulted only on flagged rows; zero joins, zero
     shuffles on the corpus side.
     """
+    if n_bits is not None:
+        _bloom_p2(n_bits)  # validate up front: ValueError off-ladder
     bench_set = benchmark_shingle_set(benchmark, k, fast_hash)
     bench_hashes = [
         int(h) for h in (bench_set.collect()[0]["bench_sh"] or [])

@@ -1,0 +1,202 @@
+"""Round-10 additions: bloom-ladder headroom (64 Mib, loud clamp,
+ValueError off-ladder), the vectorized word-array builder, and the
+rotation fallback loudness."""
+
+from __future__ import annotations
+
+import os
+import sys
+import warnings
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+# --- ladder validation (ADVICE r9) -------------------------------------
+
+
+def test_bloom_p2_off_ladder_raises_value_error():
+    from pennsieve_streaming_spark.llm.curation import (
+        _BLOOM_LADDER,
+        bloom_pos_expr,
+        bloom_pos_py,
+    )
+
+    for bad in (0, 1, 1000, 16_383, 16_385, 2_000_000):
+        with pytest.raises(ValueError, match="not on the ladder"):
+            bloom_pos_py(42, 0, bad)
+        with pytest.raises(ValueError, match="not on the ladder"):
+            bloom_pos_expr("h", 0, bad)
+    # the error names every valid size
+    try:
+        bloom_pos_py(42, 0, 12345)
+    except ValueError as exc:
+        for m, _ in _BLOOM_LADDER:
+            assert str(m) in str(exc)
+
+
+def test_ladder_primes_are_largest_below_m():
+    """Each rung's second-mix prime is the LARGEST prime < m (the
+    documented pairing rule) — re-derived here by trial division."""
+    from pennsieve_streaming_spark.llm.curation import _BLOOM_LADDER
+
+    def is_prime(n):
+        if n < 2:
+            return False
+        i = 2
+        while i * i <= n:
+            if n % i == 0:
+                return False
+            i += 1 if i == 2 else 2
+        return True
+
+    ms = [m for m, _ in _BLOOM_LADDER]
+    assert ms == sorted(ms) and all(m & (m - 1) == 0 for m in ms)
+    assert ms[-1] == 67_108_864  # 64 Mib top rung (r10)
+    for m, p2 in _BLOOM_LADDER:
+        assert is_prime(p2) and p2 < m
+        assert all(not is_prime(q) for q in range(p2 + 1, m))
+
+
+def test_contamination_screened_rejects_off_ladder_n_bits(spark):
+    from pennsieve_streaming_spark.llm.curation import (
+        contamination_screened,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="not on the ladder"):
+        contamination_screened(docs, docs, k=3, n_bits=10_000)
+
+
+# --- vectorized word builder: parity with the scalar rule ---------------
+
+
+def test_bloom_words_vectorized_matches_scalar_rule():
+    """The numpy path must be bit-identical to the documented scalar
+    fold (bloom_pos_py + |= + signed-int64 wrap) on every rung size
+    class, including hashes that exercise the sign-bit mask."""
+    from pennsieve_streaming_spark.llm.curation import (
+        BLOOM_PROBES,
+        bloom_pos_py,
+        bloom_words_from_hashes,
+    )
+
+    hs = [
+        12345678901234567,
+        999,
+        42,
+        2**62 + 7,
+        -1,
+        -(2**63),
+        2**63 - 1,
+        -987654321987654321,
+    ]
+    for m in (16_384, 131_072, 2_097_152):
+        expect = [0] * (m // 64)
+        for h in hs:
+            for i in range(BLOOM_PROBES):
+                p = bloom_pos_py(h, i, m)
+                expect[p // 64] |= 1 << (p % 64)
+        expect = [w - (1 << 64) if w >= 1 << 63 else w for w in expect]
+        assert bloom_words_from_hashes(hs, m) == expect
+    assert bloom_words_from_hashes([], 16_384) == [0] * 256
+
+
+def test_bloom_top_rung_selectivity_at_100k_scale():
+    """~100k-shingle benchmark on the auto-sized rung (2 Mib = ~21
+    bits/element): random non-member probes must pass the 3-probe
+    test at <= ~5e-3 — i.e. the screen STAYS selective where the old
+    1 Mib clamp would have degraded it (VERDICT r9 item 2). Pure
+    Python/numpy (no Spark) so it runs in seconds."""
+    from pennsieve_streaming_spark.llm.curation import (
+        BLOOM_PROBES,
+        bloom_bits_for,
+        bloom_pos_py,
+        bloom_words_from_hashes,
+    )
+
+    n = 100_000
+    # deterministic pseudo-hashes (LCG over the full int64 range)
+    member = [(1103515245 * i + 12345) * 2654435761 % (1 << 64) - (1 << 63)
+              for i in range(n)]
+    m = bloom_bits_for(n)
+    assert m == 2_097_152 and m >= 16 * n
+    words = bloom_words_from_hashes(member, m)
+    uw = [w + (1 << 64) if w < 0 else w for w in words]
+
+    def hit(h):
+        for i in range(BLOOM_PROBES):
+            p = bloom_pos_py(h, i, m)
+            if not (uw[p // 64] >> (p % 64)) & 1:
+                return False
+        return True
+
+    # members: no false negatives, ever
+    assert all(hit(h) for h in member[:2000])
+    # disjoint probe set: FP rate bounded (expected ~2e-3 at 21
+    # bits/element; assert a loose 1e-2 so the test never flakes)
+    probes = [(2246822519 * i + 777) * 2654435761 % (1 << 64) - (1 << 63)
+              for i in range(20_000)]
+    fp = sum(1 for h in probes if h not in set(member) and hit(h))
+    assert fp / len(probes) < 0.01
+
+
+# --- rotation fallback loudness (ADVICE r9) -----------------------------
+
+
+def test_rotation_order_warns_on_tool_regression(monkeypatch):
+    """A rotation_plan failure that is NOT a bare-checkout case must
+    emit a RuntimeWarning, not silently reorder the gate."""
+    import __spark_entry__ as entry
+
+    tools = os.path.join(
+        os.path.dirname(os.path.abspath(entry.__file__)), "tools"
+    )
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
+    sys.modules.pop("rotation_plan", None)
+    import rotation_plan  # noqa: F401 — resolvable, then broken
+
+    def boom(names):
+        raise ValueError("corrupt CORRECTNESS history")
+
+    monkeypatch.setattr(
+        sys.modules["rotation_plan"], "priority_order", boom
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = entry._rotation_order(["a", "b"])
+    assert out == ["a", "b"]
+    assert any(
+        issubclass(x.category, RuntimeWarning)
+        and "rotation_plan" in str(x.message)
+        for x in w
+    )
+    sys.modules.pop("rotation_plan", None)
+
+
+def test_rotation_order_quiet_on_import_error(monkeypatch):
+    """Bare-checkout case (tools/ unimportable) stays quiet."""
+    import builtins
+
+    import __spark_entry__ as entry
+
+    sys.modules.pop("rotation_plan", None)
+    real_import = builtins.__import__
+
+    def no_tool(name, *a, **k):
+        if name == "rotation_plan":
+            raise ImportError("bare checkout")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_tool)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = entry._rotation_order(["a", "b"])
+    assert out == ["a", "b"]
+    assert not [x for x in w if issubclass(x.category, RuntimeWarning)]

@@ -178,7 +178,17 @@ def test_bloom_bits_for_ladder():
     assert bloom_bits_for(1024) == BLOOM_M          # 16*1024 = BLOOM_M
     assert bloom_bits_for(1025) == 32_768
     assert bloom_bits_for(17_000) == 524_288        # the smoke regime
-    assert bloom_bits_for(10**9) == 1_048_576       # ladder clamp
+    # the r10-extended ladder: clamp moved to 64 Mib and became loud
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert bloom_bits_for(100_000) == 2_097_152
+        assert bloom_bits_for(4_194_304) == 67_108_864  # top rung, exact
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert bloom_bits_for(10**9) == 67_108_864      # loud clamp
+        assert len(w) == 1 and issubclass(w[0].category, RuntimeWarning)
 
 
 def test_bloom_pos_parametrized_m_matches_words():
