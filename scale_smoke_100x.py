@@ -17,7 +17,11 @@ Each family runs at factor 10 and factor 100 in the SAME warm session;
 the printed exponent is log(t_100/t_10)/log(10) — ~1.0 = linear in
 data size, <1 = sub-linear, >1 flags super-linear growth. Plan-shape
 guards assert the scale-killers stayed absent (no cartesian, probes
-broadcast, capped LSH buckets).
+broadcast, capped LSH buckets). The guard set lives in
+plan_problems() and run_families() below so tests/test_plan_guards.py
+asserts the SAME guards on the SAME family builders every suite run
+(sf0.001, guards only) — a plan regression fails the suite instead of
+waiting for the next manual smoke.
 
 Run: python scale_smoke_100x.py        (~10-20 min on local[32])
 Env: SPARK_GRAFT_SMOKE_FACTORS="10,100" to override the ladder.
@@ -35,8 +39,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
-
-from pennsieve_streaming_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 FACTORS = [
@@ -64,15 +66,20 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def main() -> None:
-    spark = get_spark("pss-scale-smoke-100x")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
-
-    results: dict[str, dict[int, float]] = {}
+def run_families(
+    spark, sf_dir: str, factor: int, lead=None, span: int | None = None
+) -> tuple[dict[str, float], dict[str, str]]:
+    """Build, EXECUTE (noop sink) and time the six heavy families at
+    the given replication factor; return ({family: seconds},
+    {family: executed-plan string}). The plan strings are post-AQE
+    (captured after execution), so plan_problems() judges the plan
+    that actually ran. Shared by the smoke CLI and the suite's
+    plan-guard test."""
+    results: dict[str, float] = {}
     plans: dict[str, str] = {}
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
     from pennsieve_streaming_spark.dsp import FilterSpec, apply_filter
     from pennsieve_streaming_spark.dsp.filtering import apply_filter_bulk
@@ -89,131 +96,137 @@ def main() -> None:
     from pennsieve_streaming_spark.llm.similarity import cosine_topk, ivf_ann
     from pennsieve_streaming_spark import tables as TBL
 
-    lead = (
-        TBL.samples_aligned_view(spark, SF_DIR)
-        .filter(F.col("channel") == "lead")
-        .cache()
+    own_lead = lead is None
+    if own_lead:
+        lead = (
+            TBL.samples_aligned_view(spark, sf_dir)
+            .filter(F.col("channel") == "lead")
+            .cache()
+        )
+        span = lead.agg(
+            (F.max("ts") - F.min("ts") + F.lit(1000)).alias("s")
+        ).collect()[0]["s"]
+        lead.count()
+
+    # --- LSH near-dup pairs (per-replica token prefix: near-dup
+    # rich corpus, exercises banding AND the hot-bucket cap) ------
+    docsN = (
+        _replicate(docs, ["doc_id"], factor)
+        .withColumn(
+            "text",
+            F.concat(
+                F.lit("r"), F.col("_rep").cast("string"),
+                F.lit(" "), "text",
+            ),
+        )
+        .drop("_rep")
     )
-    span = lead.agg(
-        (F.max("ts") - F.min("ts") + F.lit(1000)).alias("s")
-    ).collect()[0]["s"]
-    lead.count()
+    sh = shingles(docsN).cache()
+    t0 = time.monotonic()
+    cands = lsh_candidate_pairs(
+        lsh_band_keys(minhash_wide(sh)), max_bucket_size=50
+    ).cache()
+    cands.count()
+    verified = jaccard_pairs(sh, candidates=cands)
+    results["doc_minhash_lsh_pairs"] = (
+        time.monotonic() - t0
+    ) + _force(verified)
+    plans["doc_minhash_lsh_pairs"] = _plan(verified)
+    sh.unpersist()
+    cands.unpersist()
 
-    for factor in FACTORS:
-        # --- LSH near-dup pairs (per-replica token prefix: near-dup
-        # rich corpus, exercises banding AND the hot-bucket cap) ------
-        docsN = (
-            _replicate(docs, ["doc_id"], factor)
-            .withColumn(
-                "text",
-                F.concat(
-                    F.lit("r"), F.col("_rep").cast("string"),
-                    F.lit(" "), "text",
-                ),
-            )
-            .drop("_rep")
-        )
-        sh = shingles(docsN).cache()
-        t0 = time.monotonic()
-        cands = lsh_candidate_pairs(
-            lsh_band_keys(minhash_wide(sh)), max_bucket_size=50
-        ).cache()
-        cands.count()
-        verified = jaccard_pairs(sh, candidates=cands)
-        results.setdefault("doc_minhash_lsh_pairs", {})[factor] = (
-            time.monotonic() - t0
-        ) + _force(verified)
-        plans["doc_minhash_lsh_pairs"] = _plan(verified)
-        sh.unpersist()
-        cands.unpersist()
+    # --- exact cosine top-k over an N-times corpus ---------------
+    embsN = _replicate(embs, ["vec_id"], factor).drop("_rep").cache()
+    embsN.count()
+    topk = cosine_topk(embsN, embs.filter(F.col("vec_id") < 20), k=5)
+    results["emb_cosine_topk"] = _force(topk)
+    plans["emb_cosine_topk"] = _plan(topk)
 
-        # --- exact cosine top-k over an N-times corpus ---------------
-        embsN = _replicate(embs, ["vec_id"], factor).drop("_rep").cache()
-        embsN.count()
-        topk = cosine_topk(embsN, embs.filter(F.col("vec_id") < 20), k=5)
-        results.setdefault("emb_cosine_topk", {})[factor] = _force(topk)
-        plans["emb_cosine_topk"] = _plan(topk)
+    # --- IVF-Flat over the same corpus (the ANN scale path) ------
+    t0 = time.monotonic()  # includes centroid training (sampled)
+    ivf = ivf_ann(
+        embsN,
+        embs.filter(F.col("vec_id") < 20),
+        k=5,
+        n_lists=16,
+        n_probe=2,
+    )
+    results["emb_ivf_ann"] = (time.monotonic() - t0) + _force(ivf)
+    plans["emb_ivf_ann"] = _plan(ivf)
+    embsN.unpersist()
 
-        # --- IVF-Flat over the same corpus (the ANN scale path) ------
-        t0 = time.monotonic()  # includes centroid training (sampled)
-        ivf = ivf_ann(
-            embsN,
-            embs.filter(F.col("vec_id") < 20),
-            k=5,
-            n_lists=16,
-            n_probe=2,
-        )
-        results.setdefault("emb_ivf_ann", {})[factor] = (
-            time.monotonic() - t0
-        ) + _force(ivf)
-        plans["emb_ivf_ann"] = _plan(ivf)
-        embsN.unpersist()
-
-        # --- Butterworth long-span: one channel, span stretched Nx
-        # (seamless stride - replicas splice into one long record) ----
-        longspan = (
-            lead.crossJoin(
-                F.broadcast(
-                    spark.range(factor).select(F.col("id").alias("_rep"))
-                )
-            )
-            .select(
-                "channel",
-                (F.col("ts") + F.col("_rep") * F.lit(span)).alias("ts"),
-                "value",
+    # --- Butterworth long-span: one channel, span stretched Nx
+    # (seamless stride - replicas splice into one long record) ----
+    longspan = (
+        lead.crossJoin(
+            F.broadcast(
+                spark.range(factor).select(F.col("id").alias("_rep"))
             )
         )
-        bw = apply_filter(
-            longspan,
-            FilterSpec("lowpass", 4, 100.0),
-            rate_hz=1000.0,
-            num_partitions=32,
+        .select(
+            "channel",
+            (F.col("ts") + F.col("_rep") * F.lit(span)).alias("ts"),
+            "value",
         )
-        results.setdefault("ts_butterworth_longspan", {})[factor] = _force(bw)
-        plans["ts_butterworth_longspan"] = _plan(bw)
+    )
+    bw = apply_filter(
+        longspan,
+        FilterSpec("lowpass", 4, 100.0),
+        rate_hz=1000.0,
+        num_partitions=32,
+    )
+    results["ts_butterworth_longspan"] = _force(bw)
+    plans["ts_butterworth_longspan"] = _plan(bw)
 
-        # --- Butterworth bulk lanes: the OTHER filter regime — many
-        # bounded channels (each replica of the two aligned 1 kHz
-        # channels becomes a fresh channel), runs lane-vectorized
-        # inside each pandas group ------------------------------------
-        many = (
-            TBL.samples_aligned_view(spark, SF_DIR)
-            .crossJoin(
-                F.broadcast(
-                    spark.range(factor).select(F.col("id").alias("_rep"))
-                )
-            )
-            .select(
-                F.concat(
-                    "channel", F.lit("_r"), F.col("_rep").cast("string")
-                ).alias("channel"),
-                "ts",
-                "value",
+    # --- Butterworth bulk lanes: the OTHER filter regime — many
+    # bounded channels (each replica of the two aligned 1 kHz
+    # channels becomes a fresh channel), runs lane-vectorized
+    # inside each pandas group ------------------------------------
+    many = (
+        TBL.samples_aligned_view(spark, sf_dir)
+        .crossJoin(
+            F.broadcast(
+                spark.range(factor).select(F.col("id").alias("_rep"))
             )
         )
-        bwb = apply_filter_bulk(
-            many, FilterSpec("lowpass", 4, 100.0), rate_hz=1000.0
+        .select(
+            F.concat(
+                "channel", F.lit("_r"), F.col("_rep").cast("string")
+            ).alias("channel"),
+            "ts",
+            "value",
         )
-        results.setdefault("ts_butterworth_bulk_lanes", {})[factor] = _force(
-            bwb
-        )
-        plans["ts_butterworth_bulk_lanes"] = _plan(bwb)
+    )
+    bwb = apply_filter_bulk(
+        many, FilterSpec("lowpass", 4, 100.0), rate_hz=1000.0
+    )
+    results["ts_butterworth_bulk_lanes"] = _force(bwb)
+    plans["ts_butterworth_bulk_lanes"] = _plan(bwb)
 
-        # --- screened decontamination (r9): composed bloom->exact.
-        # The benchmark stays the UN-replicated split — production
-        # shape is a fixed eval set against a growing corpus (a
-        # benchmark that grew 100x would saturate the constant-size
-        # bloom and the comparison would measure nothing). -----------
-        t0 = time.monotonic()  # includes the benchmark-set collect
-        scr = contamination_screened(
-            docsN, docs.filter(F.col("doc_id") % 29 == 0), k=3
-        )
-        results.setdefault("doc_contamination_screened", {})[factor] = (
-            time.monotonic() - t0
-        ) + _force(scr)
-        plans["doc_contamination_screened"] = _plan(scr)
+    # --- screened decontamination (r9): composed bloom->exact.
+    # The benchmark stays the UN-replicated split — production
+    # shape is a fixed eval set against a growing corpus (a
+    # benchmark that grew 100x would saturate the constant-size
+    # bloom and the comparison would measure nothing). -----------
+    t0 = time.monotonic()  # includes the benchmark-set collect
+    scr = contamination_screened(
+        docsN, docs.filter(F.col("doc_id") % 29 == 0), k=3
+    )
+    results["doc_contamination_screened"] = (
+        time.monotonic() - t0
+    ) + _force(scr)
+    plans["doc_contamination_screened"] = _plan(scr)
 
-    # --- plan-shape guards (the 100 TB design evidence) --------------
+    if own_lead:
+        lead.unpersist()
+    return results, plans
+
+
+def plan_problems(plans: dict[str, str]) -> list[str]:
+    """The 100 TB plan-shape guard set, judged on executed-plan
+    strings: scale-killers that must stay absent regardless of data
+    size (a CartesianProduct, a lost broadcast, a lost partial-top-k
+    pushdown, a shuffle join sneaking into a map-only pass)."""
     problems = []
     for name, plan in plans.items():
         if "CartesianProduct" in plan:
@@ -231,6 +244,34 @@ def main() -> None:
         "ShuffledHashJoin" in plans["doc_contamination_screened"]
     ):
         problems.append("screened: shuffle join in the corpus map")
+    return problems
+
+
+def main() -> None:
+    from pennsieve_streaming_spark.session import get_spark
+    from pennsieve_streaming_spark import tables as TBL
+
+    spark = get_spark("pss-scale-smoke-100x")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
+
+    lead = (
+        TBL.samples_aligned_view(spark, SF_DIR)
+        .filter(F.col("channel") == "lead")
+        .cache()
+    )
+    span = lead.agg(
+        (F.max("ts") - F.min("ts") + F.lit(1000)).alias("s")
+    ).collect()[0]["s"]
+    lead.count()
+
+    results: dict[str, dict[int, float]] = {}
+    plans: dict[str, str] = {}
+    for factor in FACTORS:
+        r, plans = run_families(spark, SF_DIR, factor, lead=lead, span=span)
+        for name, secs in r.items():
+            results.setdefault(name, {})[factor] = secs
+
+    problems = plan_problems(plans)
 
     lo, hi = min(FACTORS), max(FACTORS)
     exponents = {
@@ -238,7 +279,7 @@ def main() -> None:
             math.log(ts[hi] / ts[lo]) / math.log(hi / lo), 3
         )
         for name, ts in results.items()
-        if lo in ts and hi in ts and ts[lo] > 0
+        if lo in ts and hi in ts and ts[lo] > 0 and hi != lo
     }
     print(
         json.dumps(
