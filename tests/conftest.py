@@ -21,3 +21,23 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """Surface the env-gated transformWithState skips in the suite
+    summary (VERDICT r9 item 7): a protobuf-equipped container flips
+    them to runs with zero edits, so make the gate visible instead of
+    burying it in per-test skip reasons."""
+    tws = [
+        rep
+        for rep in terminalreporter.stats.get("skipped", [])
+        if "transformWithState" in str(getattr(rep, "longrepr", ""))
+    ]
+    if tws:
+        terminalreporter.write_line(
+            f"NOTE: {len(tws)} transformWithStateInPandas e2e test(s) "
+            "env-skipped — Spark 4's Python state server needs the "
+            "'protobuf' package (pip install protobuf enables them; "
+            "the processor logic is still covered by fake-handle and "
+            "_advance property tests)."
+        )
