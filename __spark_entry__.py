@@ -5238,6 +5238,62 @@ def q_contamination_screened(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-10 wave-1: volatility / SPC / two-sample / traffic-anomaly panel
+# ---------------------------------------------------------------------------
+
+CPK_LSL = 0.0          # spec limits for the SPC capability panel
+CPK_USL = 120_000.0    # just above the samples value ceiling
+
+
+def q_arch_lm(spark, sf_dir):
+    """Engle ARCH(1) LM volatility-clustering test per channel on the
+    LOCF day grid: squared rounded-integer-demeaned series regressed
+    on its lag, LM = n·R² vs the χ²(1) 5% critical value — exact
+    DECIMAL(38,0) moments, one fixed R² finish."""
+    from pennsieve_streaming_spark.operators.stats import arch_lm
+
+    return arch_lm(_locf_day_grid(spark, sf_dir), CORR_QUANT)
+
+
+def q_process_capability(spark, sf_dir):
+    """Cp/Cpk process-capability panel per channel against fixed spec
+    limits [0, 120000]: exact quantized moments (Σx BIGINT, Σx²
+    DECIMAL(38,0)), fixed sqrt-division finishes, the ≥1.33 capable
+    flag — ONE partial-agg groupBy, no window, no join."""
+    from pennsieve_streaming_spark.operators.stats import (
+        process_capability,
+    )
+
+    return process_capability(
+        TBL.samples_view(spark, sf_dir), CPK_LSL, CPK_USL, CORR_QUANT
+    )
+
+
+def q_ks_two_sample(spark, sf_dir):
+    """Exact two-sample KS between ch2 and ch5 value distributions:
+    integer supremum numerator max|n_b·cum_a − n_a·cum_b| over the
+    pooled value grid (two-phase cumsum, never a single-task window),
+    one rounded division, the 1.358-coefficient 5% rejection rule."""
+    from pennsieve_streaming_spark.operators.stats import ks_two_sample
+
+    return ks_two_sample(
+        TBL.samples_view(spark, sf_dir), *GRID_CHANNELS, CORR_QUANT
+    )
+
+
+def q_daily_anomalies(spark, sf_dir):
+    """Robust daily-volume anomaly screen over the events feed:
+    exact integer daily counts, two-phase-rank median and MAD, the
+    Iglewicz-Hoaglin |z| > 3.5 flag as an exact integer
+    cross-multiplication."""
+    from pennsieve_streaming_spark.operators.analytics import (
+        daily_anomalies,
+    )
+
+    return daily_anomalies(_user_events(spark, sf_dir))
+
+
 def q_stream_benford(spark, sf_dir):
     """Streaming Benford digit profile over the event channels:
     commutative count state (order-independent), chi²/MAD finished
@@ -5594,6 +5650,11 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # longest-stable ts-core queries last. Keep new work at the top; the
     # live gate order is then refined by _rotation_order in queries().
     q = {
+        # round-10 wave-1 additions (newest first)
+        "ts_arch_lm": q_arch_lm,
+        "ts_process_capability": q_process_capability,
+        "ts_ks_two_sample": q_ks_two_sample,
+        "ev_daily_anomalies": q_daily_anomalies,
         # round-9 addition (VERDICT r8 item 4)
         "doc_contamination_screened": q_contamination_screened,
         # round-8 wave-11 additions (newest first)
@@ -18173,6 +18234,182 @@ def oracle_sql() -> dict[str, str]:
                     WHEN ({_WK_Z}) < -1.959963985e0
                     THEN 'weekday_heavy' ELSE 'calendar' END AS verdict
         FROM g
+        """
+
+    # --- round-10 wave-1 oracles ---------------------------------------
+
+    _arch_r2 = (
+        "(CASE WHEN (n_pairs * CAST(_sxx AS DOUBLE) "
+        "- CAST(_sx1 AS DOUBLE) * _sx1) "
+        "* (n_pairs * CAST(_syy AS DOUBLE) "
+        "- CAST(_sy1 AS DOUBLE) * _sy1) > 0e0 THEN "
+        "(n_pairs * CAST(_sxy AS DOUBLE) "
+        "- CAST(_sx1 AS DOUBLE) * _sy1) "
+        "* (n_pairs * CAST(_sxy AS DOUBLE) "
+        "- CAST(_sx1 AS DOUBLE) * _sy1) "
+        "/ ((n_pairs * CAST(_sxx AS DOUBLE) "
+        "- CAST(_sx1 AS DOUBLE) * _sx1) "
+        "* (n_pairs * CAST(_syy AS DOUBLE) "
+        "- CAST(_sy1 AS DOUBLE) * _sy1)) ELSE 0e0 END)"
+    )
+    sql["ts_arch_lm"] = with_views(
+        f"""
+        WITH {_w5_grid},
+        vals AS (
+          SELECT channel, ts,
+                 CAST(round(fill * {CORR_QUANT}) AS BIGINT) AS xq
+          FROM f WHERE is_grid = 1
+        ),
+        tot AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS _n,
+                 CAST(SUM(xq) AS BIGINT) AS _sy
+          FROM vals GROUP BY channel
+        ),
+        e AS (
+          SELECT v.channel, v.ts,
+                 (v.xq - CAST(round(CAST(t._sy AS DOUBLE) / t._n)
+                   AS BIGINT)) AS _e
+          FROM vals v JOIN tot t USING (channel)
+        ),
+        sq AS (SELECT channel, ts, _e * _e AS _s FROM e),
+        lagd AS (
+          SELECT channel, _s,
+                 LAG(_s) OVER (PARTITION BY channel ORDER BY ts) AS _sp
+          FROM sq
+        ),
+        g AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(SUM(_s) AS BIGINT) AS _sy1,
+                 CAST(SUM(_sp) AS BIGINT) AS _sx1,
+                 SUM(CAST(_s AS HUGEINT) * _sp) AS _sxy,
+                 SUM(CAST(_sp AS HUGEINT) * _sp) AS _sxx,
+                 SUM(CAST(_s AS HUGEINT) * _s) AS _syy
+          FROM lagd WHERE _sp IS NOT NULL GROUP BY channel
+        )
+        SELECT channel, n_pairs,
+               round(n_pairs * {_arch_r2}, 9) AS lm_stat,
+               round(n_pairs * {_arch_r2}, 9) > 3.841e0 AS arch_present
+        FROM g
+        """,
+        "samples",
+        "channels",
+    )
+
+    _cpk_var = (
+        "(CAST(_sxx AS DOUBLE) / n "
+        "- (CAST(_sx AS DOUBLE) / n) * (CAST(_sx AS DOUBLE) / n))"
+    )
+    _cpk_mean = f"(CAST(_sx AS DOUBLE) / n / {float(CORR_QUANT)!r})"
+    _cpk_sd = f"(sqrt({_cpk_var}) / {float(CORR_QUANT)!r})"
+    sql["ts_process_capability"] = with_views(
+        f"""
+        WITH g AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(xq) AS BIGINT) AS _sx,
+                 SUM(CAST(xq AS HUGEINT) * xq) AS _sxx
+          FROM (
+            SELECT channel,
+                   CAST(round(value * {CORR_QUANT}) AS BIGINT) AS xq
+            FROM samples
+          ) GROUP BY channel
+        )
+        SELECT channel, n,
+               round({_cpk_mean}, 9) AS mean_v,
+               CASE WHEN {_cpk_var} > 0e0 THEN round({_cpk_sd}, 9)
+                    ELSE 0e0 END AS sd_v,
+               CASE WHEN {_cpk_var} > 0e0 THEN
+                 round(({CPK_USL!r} - {CPK_LSL!r}) / (6e0 * {_cpk_sd}), 9)
+                 ELSE 0e0 END AS cp,
+               CASE WHEN {_cpk_var} > 0e0 THEN
+                 round(least({CPK_USL!r} - {_cpk_mean},
+                             {_cpk_mean} - {CPK_LSL!r})
+                       / (3e0 * {_cpk_sd}), 9) ELSE 0e0 END AS cpk,
+               CASE WHEN {_cpk_var} > 0e0 THEN
+                 round(least({CPK_USL!r} - {_cpk_mean},
+                             {_cpk_mean} - {CPK_LSL!r})
+                       / (3e0 * {_cpk_sd}), 9) >= 1.33e0
+                 ELSE false END AS capable
+        FROM g
+        """,
+        "samples",
+    )
+
+    _ks_d = "(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b))"
+    sql["ts_ks_two_sample"] = with_views(
+        f"""
+        WITH per AS (
+          SELECT xq,
+                 CAST(SUM(CASE WHEN channel = '{GRID_CHANNELS[0]}'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(SUM(CASE WHEN channel = '{GRID_CHANNELS[1]}'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          FROM (
+            SELECT channel,
+                   CAST(round(value * {CORR_QUANT}) AS BIGINT) AS xq
+            FROM samples
+            WHERE channel IN ('{GRID_CHANNELS[0]}', '{GRID_CHANNELS[1]}')
+          ) GROUP BY xq
+        ),
+        c AS (
+          SELECT xq,
+                 CAST(SUM(ca) OVER w AS BIGINT) AS cum_a,
+                 CAST(SUM(cb) OVER w AS BIGINT) AS cum_b
+          FROM per
+          WINDOW w AS (ORDER BY xq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        tot AS (
+          SELECT MAX(cum_a) AS n_a, MAX(cum_b) AS n_b FROM c
+        ),
+        d AS (
+          SELECT CAST(MAX(t.n_a) AS BIGINT) AS n_a,
+                 CAST(MAX(t.n_b) AS BIGINT) AS n_b,
+                 CAST(MAX(abs(t.n_b * c.cum_a - t.n_a * c.cum_b))
+                   AS BIGINT) AS d_num
+          FROM c, tot t
+        )
+        SELECT '{GRID_CHANNELS[0]}' AS channel_a,
+               '{GRID_CHANNELS[1]}' AS channel_b,
+               n_a, n_b, d_num,
+               round({_ks_d}, 9) AS d_stat,
+               {_ks_d} > 1.358e0 * sqrt((n_a + CAST(n_b AS DOUBLE))
+                 / (CAST(n_a AS DOUBLE) * n_b)) AS reject_5pct
+        FROM d WHERE n_a IS NOT NULL
+        """,
+        "samples",
+    )
+
+    sql["ev_daily_anomalies"] = f"""
+        WITH days AS (
+          SELECT (epoch_us(ts) // {_DAYU}) * {_DAYU} AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY (epoch_us(ts) // {_DAYU}) * {_DAYU}
+        ),
+        r AS (
+          SELECT day, n_events,
+                 row_number() OVER (ORDER BY n_events, day) AS _r,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS _n
+          FROM days
+        ),
+        med AS (SELECT n_events AS med FROM r WHERE _r = (_n + 1) // 2),
+        wm AS (
+          SELECT day, n_events, med, abs(n_events - med) AS _ad
+          FROM days, med
+        ),
+        r2 AS (
+          SELECT day, _ad,
+                 row_number() OVER (ORDER BY _ad, day) AS _r,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS _n
+          FROM wm
+        ),
+        mad AS (SELECT _ad AS mad FROM r2 WHERE _r = (_n + 1) // 2)
+        SELECT day, n_events, med, mad,
+               CASE WHEN mad > 0 THEN
+                 round((n_events - med) / (1.4826e0 * mad), 9)
+                 ELSE 0e0 END AS robust_z,
+               (mad > 0 AND 10000 * abs(n_events - med) > 51891 * mad)
+                 AS is_anomaly
+        FROM wm, mad
         """
 
     return sql

@@ -2621,3 +2621,72 @@ def weekend_effect(events: DataFrame) -> DataFrame:
             f"THEN 'weekday_heavy' ELSE 'calendar' END"
         ).alias("verdict"),
     )
+
+
+# --- round-10 addition: robust daily-volume anomaly screen ------------
+
+DAY_US = 86_400 * 1_000_000
+ANOM_Z_NUM = 51_891  # 10^4 · 3.5 · 1.4826 — the integer gate scale
+
+
+def daily_anomalies(events: DataFrame) -> DataFrame:
+    """Robust daily-volume anomaly screen: per epoch day the event
+    count, the corpus median and MAD of daily counts, the robust
+    z-score (n − med)/(1.4826·MAD), and the |z| > 3.5 flag — the
+    Iglewicz-Hoaglin outlier rule on the traffic curve. The day-level
+    companion of ev_rate_bursts (which works event-by-event): this is
+    the "did something spike yesterday" dashboard query.
+
+    Determinism: daily counts, the lower median and the MAD are exact
+    integers (both order statistics picked by two-phase
+    ``util.global_rank`` under a total order — never a single-task
+    window); the anomaly flag is an exact integer cross-multiplication
+    (10⁴·|n − med| > 51 891·MAD with 3.5·1.4826 = 5.1891 exact, so the
+    boolean never rides a float); robust_z itself is ONE fixed
+    division rounded to 9 dp; MAD = 0 (more than half the days share
+    the median count) reports the 0.0 sentinel and flags nothing.
+
+    Output: (day, n_events, med, mad, robust_z, is_anomaly).
+
+    Plan / 100 TB: the day rollup is ONE partial-agg groupBy (|days|
+    rows out); both rank passes run on that bounded day table.
+    """
+    from pennsieve_streaming_spark.util import global_rank
+
+    days = events.select(
+        F.expr(f"(ts div {DAY_US}) * {DAY_US}").alias("day")
+    ).groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    ranked = global_rank(days, [F.asc("n_events"), F.asc("day")], "_r")
+    tot = ranked.agg(F.max("_r").cast("long").alias("_n"))
+    med = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.expr("_r = (_n + 1) div 2"))
+        .select(F.col("n_events").alias("med"))
+    )
+    with_med = days.crossJoin(F.broadcast(med)).withColumn(
+        "_ad", F.expr("abs(n_events - med)")
+    )
+    ranked2 = global_rank(
+        with_med.select("_ad", "day"), [F.asc("_ad"), F.asc("day")], "_r"
+    )
+    mad = (
+        ranked2.crossJoin(F.broadcast(tot))
+        .filter(F.expr("_r = (_n + 1) div 2"))
+        .select(F.col("_ad").alias("mad"))
+    )
+    out = with_med.crossJoin(F.broadcast(mad))
+    return out.select(
+        "day",
+        "n_events",
+        "med",
+        "mad",
+        F.expr(
+            "CASE WHEN mad > 0 THEN round((n_events - med) "
+            "/ (1.4826e0 * mad), 9) ELSE 0e0 END"
+        ).alias("robust_z"),
+        F.expr(
+            f"mad > 0 AND 10000 * abs(n_events - med) > {ANOM_Z_NUM} * mad"
+        ).alias("is_anomaly"),
+    )

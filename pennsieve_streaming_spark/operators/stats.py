@@ -5245,3 +5245,236 @@ def sma_crossovers(
         .cast("long")
         .alias("last_death_ts"),
     )
+
+
+# --- round-10 additions: volatility / SPC / two-sample tests ----------
+
+
+ARCH_CHI2_5PCT = 3.841  # chi-square(1) 5% critical value
+
+
+def arch_lm(values: DataFrame, quant: int = 100) -> DataFrame:
+    """Engle's ARCH(1) LM test per channel (Engle 1982): regress the
+    squared demeaned series on its own lag; LM = n_pairs · R² against
+    the χ²(1) 5% critical value 3.841. The volatility-clustering
+    screen — a significant LM says variance is autocorrelated (bursts
+    of turbulence), the precondition for any GARCH-style model and a
+    red flag for iid-noise assumptions downstream.
+
+    Determinism: e_t = xq − round(mean) is an exact BIGINT (the
+    rounded integer mean keeps s_t = e_t² within BIGINT and the
+    lag-1 cross-moments within DECIMAL(38,0), where the KPSS n-scale
+    trick would overflow int128 on squared squares); all five
+    regression moments accumulate exactly; R² is ONE fixed float
+    expression of the cast moments rounded to 9 dp.
+
+    Output: (channel, n_pairs, lm_stat, arch_present).
+
+    Plan / 100 TB: one groupBy for (n, Σ), a broadcast join back, one
+    per-channel lag window, one partial-agg groupBy to |channels|
+    rows.
+    """
+    q = int(quant)
+    base = values.select(
+        "channel",
+        "ts",
+        "value",
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    )
+    tot = base.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("xq").cast("long").alias("_sy"),
+    )
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    s = (
+        base.join(F.broadcast(tot), "channel")
+        .select(
+            "channel",
+            "ts",
+            "value",
+            F.expr(
+                "(xq - CAST(round(CAST(_sy AS DOUBLE) / _n) AS BIGINT))"
+            ).alias("_e"),
+        )
+        .select(
+            "channel", "ts", "value", F.expr("_e * _e").alias("_s")
+        )
+        .select(
+            "channel",
+            "_s",
+            F.lag("_s").over(w).alias("_sp"),
+        )
+        .filter(F.col("_sp").isNotNull())
+    )
+    g = s.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("_s").cast("long").alias("_sy1"),
+        F.sum("_sp").cast("long").alias("_sx1"),
+        F.sum(F.expr("CAST(_s AS DECIMAL(38,0)) * _sp")).alias("_sxy"),
+        F.sum(F.expr("CAST(_sp AS DECIMAL(38,0)) * _sp")).alias("_sxx"),
+        F.sum(F.expr("CAST(_s AS DECIMAL(38,0)) * _s")).alias("_syy"),
+    )
+    # R² of the lag-1 regression from the exact moments — every term
+    # cast to DOUBLE first (HUGEINT→DOUBLE rounding is deterministic),
+    # then one fixed expression
+    r2 = (
+        "(CASE WHEN (n_pairs * CAST(_sxx AS DOUBLE) "
+        "- CAST(_sx1 AS DOUBLE) * _sx1) "
+        "* (n_pairs * CAST(_syy AS DOUBLE) "
+        "- CAST(_sy1 AS DOUBLE) * _sy1) > 0e0 THEN "
+        "(n_pairs * CAST(_sxy AS DOUBLE) "
+        "- CAST(_sx1 AS DOUBLE) * _sy1) "
+        "* (n_pairs * CAST(_sxy AS DOUBLE) "
+        "- CAST(_sx1 AS DOUBLE) * _sy1) "
+        "/ ((n_pairs * CAST(_sxx AS DOUBLE) "
+        "- CAST(_sx1 AS DOUBLE) * _sx1) "
+        "* (n_pairs * CAST(_syy AS DOUBLE) "
+        "- CAST(_sy1 AS DOUBLE) * _sy1)) ELSE 0e0 END)"
+    )
+    return g.select(
+        "channel",
+        "n_pairs",
+        F.expr(f"round(n_pairs * {r2}, 9)").alias("lm_stat"),
+        F.expr(f"round(n_pairs * {r2}, 9) > {ARCH_CHI2_5PCT}").alias(
+            "arch_present"
+        ),
+    )
+
+
+CPK_CAPABLE_MIN = 1.33  # the conventional "capable process" floor
+
+
+def process_capability(
+    values: DataFrame, lsl: float, usl: float, quant: int = 100
+) -> DataFrame:
+    """Process-capability indices per channel (the SPC panel):
+    Cp = (USL − LSL) / 6σ — potential capability if centered;
+    Cpk = min(USL − μ, μ − LSL) / 3σ — actual capability where the
+    process sits. Pairs with ts_cusum_monitor / ts_bollinger_breaks
+    (which detect drift events) by scoring the steady-state margin
+    against fixed spec limits.
+
+    Determinism: μ and σ come from exact quantized-integer moments
+    (Σx BIGINT, Σx² DECIMAL(38,0) — the kpss_stat accumulator class);
+    Cp/Cpk are fixed sqrt-division expressions rounded to 9 dp
+    (zero variance reports the 0.0 sentinel and capable = false).
+
+    Output: (channel, n, mean_v, sd_v, cp, cpk, capable).
+
+    Plan / 100 TB: ONE partial-agg groupBy to |channels| rows — no
+    window, no join.
+    """
+    q = int(quant)
+    g = values.select(
+        "channel",
+        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    ).groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("_sx"),
+        F.sum(F.expr("CAST(xq AS DECIMAL(38,0)) * xq")).alias("_sxx"),
+    )
+    var = (
+        "(CAST(_sxx AS DOUBLE) / n "
+        "- (CAST(_sx AS DOUBLE) / n) * (CAST(_sx AS DOUBLE) / n))"
+    )
+    qq = float(q)
+    mean_v = f"(CAST(_sx AS DOUBLE) / n / {qq})"
+    sd_v = f"(sqrt({var}) / {qq})"
+    return g.select(
+        "channel",
+        "n",
+        F.expr(f"round({mean_v}, 9)").alias("mean_v"),
+        F.expr(
+            f"CASE WHEN {var} > 0e0 THEN round({sd_v}, 9) ELSE 0e0 END"
+        ).alias("sd_v"),
+        F.expr(
+            f"CASE WHEN {var} > 0e0 THEN "
+            f"round(({usl!r} - {lsl!r}) / (6e0 * {sd_v}), 9) "
+            "ELSE 0e0 END"
+        ).alias("cp"),
+        F.expr(
+            f"CASE WHEN {var} > 0e0 THEN "
+            f"round(least({usl!r} - {mean_v}, {mean_v} - {lsl!r}) "
+            f"/ (3e0 * {sd_v}), 9) ELSE 0e0 END"
+        ).alias("cpk"),
+        F.expr(
+            f"CASE WHEN {var} > 0e0 THEN "
+            f"round(least({usl!r} - {mean_v}, {mean_v} - {lsl!r}) "
+            f"/ (3e0 * {sd_v}), 9) >= {CPK_CAPABLE_MIN} "
+            "ELSE false END"
+        ).alias("capable"),
+    )
+
+
+KS_C_5PCT = 1.358  # two-sample KS 5% coefficient
+
+
+def ks_two_sample(
+    values: DataFrame, chan_a: str, chan_b: str, quant: int = 100
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test between two channels'
+    value distributions: D = sup |F_a − F_b| over the pooled value
+    grid, with the large-sample 5% rejection rule
+    D > 1.358·√((n_a+n_b)/(n_a·n_b)). The distribution-level
+    same-source? screen next to ts_distribution_drift's binned PSI —
+    KS is bin-free and exact.
+
+    Determinism: per-value counts are exact; the supremum is taken on
+    the INTEGER cross-difference |n_b·cum_a − n_a·cum_b| (no division
+    until the one rounded finish), cumulated with the two-phase
+    ``util.global_cumsum`` (never a single-task global window).
+
+    Output: one row (channel_a, channel_b, n_a, n_b, d_num, d_stat,
+    reject_5pct) — d_num is the integer supremum numerator.
+
+    Plan / 100 TB: one partial-agg groupBy to |distinct values| rows,
+    the two-phase cumsum over that bounded grid, one final agg.
+    """
+    from pennsieve_streaming_spark.util import global_cumsum
+
+    q = int(quant)
+    per = (
+        values.filter(F.col("channel").isin([chan_a, chan_b]))
+        .select(
+            "channel",
+            F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+        )
+        .groupBy("xq")
+        .agg(
+            F.sum(
+                F.when(F.col("channel") == chan_a, 1).otherwise(0)
+            ).cast("long").alias("ca"),
+            F.sum(
+                F.when(F.col("channel") == chan_b, 1).otherwise(0)
+            ).cast("long").alias("cb"),
+        )
+    )
+    ca = global_cumsum(per, [F.asc("xq")], "ca", "cum_a")
+    both = global_cumsum(ca, [F.asc("xq")], "cb", "cum_b")
+    # supremum needs the totals; take them in a first agg, then the
+    # integer cross-difference max in a second pass over the grid
+    tot = both.agg(
+        F.max("cum_a").cast("long").alias("n_a"),
+        F.max("cum_b").cast("long").alias("n_b"),
+    )
+    j = both.crossJoin(F.broadcast(tot))
+    out = j.agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.max(F.expr("abs(n_b * cum_a - n_a * cum_b)"))
+        .cast("long")
+        .alias("d_num"),
+    )
+    d = "(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b))"
+    return out.filter(F.col("n_a").isNotNull()).select(
+        F.lit(chan_a).alias("channel_a"),
+        F.lit(chan_b).alias("channel_b"),
+        "n_a",
+        "n_b",
+        "d_num",
+        F.expr(f"round({d}, 9)").alias("d_stat"),
+        F.expr(
+            f"{d} > {KS_C_5PCT} * sqrt((n_a + CAST(n_b AS DOUBLE)) "
+            "/ (CAST(n_a AS DOUBLE) * n_b))"
+        ).alias("reject_5pct"),
+    )

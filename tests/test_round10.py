@@ -200,3 +200,134 @@ def test_rotation_order_quiet_on_import_error(monkeypatch):
         out = entry._rotation_order(["a", "b"])
     assert out == ["a", "b"]
     assert not [x for x in w if issubclass(x.category, RuntimeWarning)]
+
+
+# --- wave-1 operators: hand goldens --------------------------------------
+
+
+def _chan(spark, vals, channel="c"):
+    rows = [(channel, i * 1_000_000, float(v)) for i, v in enumerate(vals)]
+    return spark.createDataFrame(
+        rows, "channel string, ts long, value double"
+    )
+
+
+def test_arch_lm_golden(spark):
+    from pennsieve_streaming_spark.operators.stats import arch_lm
+
+    out = arch_lm(_chan(spark, [0, 1, 0, 3, 0, 3, 0, 1]), quant=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    # mean = round(8/8) = 1; e = [-1,0,-1,2,-1,2,-1,0]; s = e^2
+    # pairs (s_{t-1}, s_t): n=7, sx=12, sy=11, sxy=16, sxx=36, syy=35
+    num = 7 * 16 - 12 * 11
+    den = (7 * 36 - 12 * 12) * (7 * 35 - 11 * 11)
+    lm = round(7 * (num * num / den), 9)
+    assert r.n_pairs == 7 and r.lm_stat == lm
+    assert r.arch_present == (lm > 3.841)
+
+
+def test_arch_lm_constant_variance_is_zero(spark):
+    from pennsieve_streaming_spark.operators.stats import arch_lm
+
+    # squares of the demeaned series are constant -> zero variance ->
+    # the 0.0 sentinel, never a NaN
+    r = arch_lm(_chan(spark, [0, 10, 0, 10, 0, 10]), quant=1).collect()[0]
+    assert r.lm_stat == 0.0 and not r.arch_present
+
+
+def test_process_capability_golden(spark):
+    import math
+
+    from pennsieve_streaming_spark.operators.stats import (
+        process_capability,
+    )
+
+    r = process_capability(
+        _chan(spark, [10, 20, 30]), lsl=0.0, usl=40.0, quant=100
+    ).collect()[0]
+    var = 14_000_000 / 3 - 2000.0 * 2000.0
+    sd = math.sqrt(var) / 100.0
+    assert r.n == 3 and r.mean_v == 20.0
+    assert r.sd_v == round(sd, 9)
+    assert r.cp == round(40.0 / (6 * sd), 9)
+    assert r.cpk == round(20.0 / (3 * sd), 9)
+    assert not r.capable
+
+
+def test_process_capability_zero_variance_sentinel(spark):
+    from pennsieve_streaming_spark.operators.stats import (
+        process_capability,
+    )
+
+    r = process_capability(
+        _chan(spark, [5, 5, 5]), lsl=0.0, usl=10.0, quant=100
+    ).collect()[0]
+    assert r.sd_v == 0.0 and r.cp == 0.0 and r.cpk == 0.0
+    assert not r.capable
+
+
+def test_ks_two_sample_golden(spark):
+    from pennsieve_streaming_spark.operators.stats import ks_two_sample
+
+    a = _chan(spark, [1, 2, 3], "a")
+    b = _chan(spark, [3, 4, 5], "b")
+    r = ks_two_sample(a.unionByName(b), "a", "b", quant=1).collect()
+    assert len(r) == 1
+    r = r[0]
+    # pooled grid 1..5: cum_a = 1,2,3,3,3; cum_b = 0,0,1,2,3
+    # d_num = max |3*cum_a - 3*cum_b| = 6; D = 6/9
+    assert (r.n_a, r.n_b, r.d_num) == (3, 3, 6)
+    assert r.d_stat == round(6 / 9, 9)
+    assert not r.reject_5pct   # 0.667 < 1.358*sqrt(6/9) = 1.109
+
+
+def test_ks_two_sample_identical_distributions(spark):
+    from pennsieve_streaming_spark.operators.stats import ks_two_sample
+
+    a = _chan(spark, [1, 2, 3, 4], "a")
+    b = _chan(spark, [1, 2, 3, 4], "b")
+    r = ks_two_sample(a.unionByName(b), "a", "b", quant=1).collect()[0]
+    assert r.d_num == 0 and r.d_stat == 0.0 and not r.reject_5pct
+
+
+def test_daily_anomalies_golden(spark):
+    from pennsieve_streaming_spark.operators.analytics import (
+        DAY_US,
+        daily_anomalies,
+    )
+
+    counts = [4, 5, 5, 6, 100]
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for i in range(c):
+            rows.append((d * DAY_US + i * 1000, eid))
+            eid += 1
+    ev = spark.createDataFrame(rows, "ts long, event_id long")
+    out = {r.day // DAY_US: r for r in daily_anomalies(ev).collect()}
+    assert len(out) == 5
+    # median count = 5, MAD = 1 (sorted |d|: 0,0,1,1,95 -> rank 3 = 1)
+    assert all(r.med == 5 and r.mad == 1 for r in out.values())
+    assert out[4].is_anomaly and out[4].robust_z == round(95 / 1.4826, 9)
+    assert not any(out[d].is_anomaly for d in range(4))
+    assert out[0].robust_z == round(-1 / 1.4826, 9)
+
+
+def test_daily_anomalies_zero_mad_flags_nothing(spark):
+    from pennsieve_streaming_spark.operators.analytics import (
+        DAY_US,
+        daily_anomalies,
+    )
+
+    counts = [5, 5, 5, 5, 100]
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for i in range(c):
+            rows.append((d * DAY_US + i * 1000, eid))
+            eid += 1
+    ev = spark.createDataFrame(rows, "ts long, event_id long")
+    out = daily_anomalies(ev).collect()
+    assert all(r.mad == 0 and not r.is_anomaly and r.robust_z == 0.0
+               for r in out)
