@@ -5294,6 +5294,61 @@ def q_daily_anomalies(spark, sf_dir):
     return daily_anomalies(_user_events(spark, sf_dir))
 
 
+# round-10 wave-2: audio pitch/tempo/SNR + image palette
+
+PITCH_FRAME, PITCH_LO, PITCH_HI = 64, 2, 32
+TEMPO_LO, TEMPO_HI = 4, 32
+AUDIO_RATE_HZ = 1000.0
+
+
+def q_audio_pitch(spark, sf_dir):
+    """Frame-wise autocorrelation pitch track over the audio lanes:
+    exact BIGINT frame-demean, DECIMAL(38,0) lag products, argmax
+    under (R DESC, lag ASC), integer-cross-multiplied 0.3 voicing
+    gate — the periodicity member of the VAD/ZCR front-end trio."""
+    from pennsieve_streaming_spark.dsp.spectral import pitch_track
+
+    return pitch_track(
+        TBL.samples_aligned_view(spark, sf_dir),
+        PITCH_FRAME, PITCH_LO, PITCH_HI, CORR_QUANT, AUDIO_RATE_HZ,
+    )
+
+
+def q_audio_tempo(spark, sf_dir):
+    """Energy-novelty tempo estimate per audio lane: exact integer
+    onset strength (clamped frame-energy delta, de-scaled div 1024),
+    lag autocorrelation argmax, one fixed BPM finish."""
+    from pennsieve_streaming_spark.dsp.spectral import tempo_estimate
+
+    return tempo_estimate(
+        TBL.samples_aligned_view(spark, sf_dir),
+        PITCH_FRAME, TEMPO_LO, TEMPO_HI, CORR_QUANT, AUDIO_RATE_HZ,
+    )
+
+
+def q_audio_snr(spark, sf_dir):
+    """Channel SNR from the energy_vad frame split (signal = frames
+    above 2x median energy): exact integer energies and split,
+    DECIMAL(38,0) channel sums, one log10-inside-round dB finish."""
+    from pennsieve_streaming_spark.dsp.spectral import snr_estimate
+
+    return snr_estimate(
+        TBL.samples_aligned_view(spark, sf_dir), PITCH_FRAME, CORR_QUANT
+    )
+
+
+def q_image_palette(spark, sf_dir):
+    """Top-4 dominant RGB bins (2 bits/channel uniform cube) per
+    media item over the synthetic RGB field via the REAL
+    palette_counts kernel — exact counts, total-order top-k, one
+    fixed share division."""
+    from pennsieve_streaming_spark.llm.imagehash import (
+        palette_synthetic,
+    )
+
+    return palette_synthetic(_docs(spark, sf_dir))
+
+
 def q_stream_benford(spark, sf_dir):
     """Streaming Benford digit profile over the event channels:
     commutative count state (order-independent), chi²/MAD finished
@@ -5650,7 +5705,12 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # longest-stable ts-core queries last. Keep new work at the top; the
     # live gate order is then refined by _rotation_order in queries().
     q = {
-        # round-10 wave-1 additions (newest first)
+        # round-10 wave-2 additions (newest first)
+        "mm_audio_pitch": q_audio_pitch,
+        "mm_audio_tempo": q_audio_tempo,
+        "mm_audio_snr": q_audio_snr,
+        "mm_image_palette": q_image_palette,
+        # round-10 wave-1 additions
         "ts_arch_lm": q_arch_lm,
         "ts_process_capability": q_process_capability,
         "ts_ks_two_sample": q_ks_two_sample,
@@ -18410,6 +18470,205 @@ def oracle_sql() -> dict[str, str]:
                (mad > 0 AND 10000 * abs(n_events - med) > 51891 * mad)
                  AS is_anomaly
         FROM wm, mad
+        """
+
+    # --- round-10 wave-2 oracles ---------------------------------------
+
+    # shared audio framing: rank -> 64-sample frames, ragged tail drops
+    _au_framed = f"""
+        ranked AS (
+          SELECT channel,
+                 row_number() OVER (PARTITION BY channel
+                   ORDER BY ts, value) - 1 AS _rn,
+                 CAST(round(value * {CORR_QUANT}) AS BIGINT) AS xq
+          FROM samples_aligned
+        ),
+        fr AS (
+          SELECT channel, _rn // {PITCH_FRAME} AS win,
+                 _rn % {PITCH_FRAME} AS pos, xq
+          FROM ranked
+        ),
+        per AS (
+          SELECT channel, win, CAST(COUNT(*) AS BIGINT) AS _n,
+                 CAST(SUM(xq) AS BIGINT) AS _s
+          FROM fr GROUP BY channel, win
+        )
+    """
+
+    sql["mm_audio_pitch"] = with_views(
+        f"""
+        WITH {_au_framed},
+        d AS (
+          SELECT f.channel, f.win, f.pos,
+                 {PITCH_FRAME} * f.xq - p._s AS _d
+          FROM fr f JOIN per p
+            ON f.channel = p.channel AND f.win = p.win
+          WHERE p._n = {PITCH_FRAME}
+        ),
+        r0 AS (
+          SELECT channel, win, SUM(CAST(_d AS HUGEINT) * _d) AS _r0
+          FROM d GROUP BY channel, win
+        ),
+        r AS (
+          SELECT a.channel, a.win, a.pos - b.pos AS lag,
+                 SUM(CAST(a._d AS HUGEINT) * b._d) AS _r
+          FROM d a JOIN d b
+            ON a.channel = b.channel AND a.win = b.win
+          WHERE a.pos - b.pos BETWEEN {PITCH_LO} AND {PITCH_HI}
+          GROUP BY a.channel, a.win, a.pos - b.pos
+        ),
+        best AS (
+          SELECT channel, win, lag, _r,
+                 row_number() OVER (PARTITION BY channel, win
+                   ORDER BY _r DESC, lag) AS _rk
+          FROM r
+        )
+        SELECT b.channel, CAST(b.win AS BIGINT) AS win,
+               CAST(b.lag AS BIGINT) AS best_lag,
+               10 * b._r > 3 * r0._r0 AS voiced,
+               round(CAST({AUDIO_RATE_HZ!r} AS DOUBLE) / b.lag, 9)
+                 AS pitch_hz,
+               CASE WHEN r0._r0 > 0 THEN
+                 round(CAST(b._r AS DOUBLE) / CAST(r0._r0 AS DOUBLE), 9)
+                 ELSE 0e0 END AS strength
+        FROM best b JOIN r0
+          ON b.channel = r0.channel AND b.win = r0.win
+        WHERE b._rk = 1
+        """,
+        "samples_aligned",
+    )
+
+    sql["mm_audio_tempo"] = with_views(
+        f"""
+        WITH {_au_framed},
+        en AS (
+          SELECT f.channel, f.win,
+                 CAST(SUM(f.xq * f.xq) AS BIGINT) AS _e
+          FROM fr f JOIN per p
+            ON f.channel = p.channel AND f.win = p.win
+          WHERE p._n = {PITCH_FRAME}
+          GROUP BY f.channel, f.win
+        ),
+        o AS (
+          SELECT channel, win,
+                 greatest(CAST(0 AS BIGINT),
+                   _e - LAG(_e) OVER (PARTITION BY channel
+                     ORDER BY win)) // 1024 AS _o
+          FROM en
+          QUALIFY LAG(_e) OVER (PARTITION BY channel ORDER BY win)
+            IS NOT NULL
+        ),
+        r0 AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_frames,
+                 SUM(CAST(_o AS HUGEINT) * _o) AS _r0
+          FROM o GROUP BY channel
+        ),
+        r AS (
+          SELECT a.channel, a.win - b.win AS lag,
+                 SUM(CAST(a._o AS HUGEINT) * b._o) AS _r
+          FROM o a JOIN o b ON a.channel = b.channel
+          WHERE a.win - b.win BETWEEN {TEMPO_LO} AND {TEMPO_HI}
+          GROUP BY a.channel, a.win - b.win
+        ),
+        best AS (
+          SELECT channel, lag, _r,
+                 row_number() OVER (PARTITION BY channel
+                   ORDER BY _r DESC, lag) AS _rk
+          FROM r
+        )
+        SELECT b.channel, r0.n_frames, CAST(b.lag AS BIGINT) AS best_lag,
+               round(60e0 * {AUDIO_RATE_HZ!r}
+                 / ({PITCH_FRAME} * b.lag), 9) AS tempo_bpm,
+               CASE WHEN r0._r0 > 0 THEN
+                 round(CAST(b._r AS DOUBLE) / CAST(r0._r0 AS DOUBLE), 9)
+                 ELSE 0e0 END AS strength
+        FROM best b JOIN r0 ON b.channel = r0.channel
+        WHERE b._rk = 1
+        """,
+        "samples_aligned",
+    )
+
+    _snr_ma = "(CAST(_ea AS DOUBLE) / n_active)"
+    _snr_mn = "(CAST(_en AS DOUBLE) / (n_frames - n_active))"
+    sql["mm_audio_snr"] = with_views(
+        f"""
+        WITH {_au_framed},
+        en AS (
+          SELECT f.channel, f.win,
+                 CAST(SUM(f.xq * f.xq) AS BIGINT) AS energy_q
+          FROM fr f JOIN per p
+            ON f.channel = p.channel AND f.win = p.win
+          WHERE p._n = {PITCH_FRAME}
+          GROUP BY f.channel, f.win
+        ),
+        cnt AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS _nf
+          FROM en GROUP BY channel
+        ),
+        med AS (
+          SELECT e.channel, e.energy_q AS med_q
+          FROM (
+            SELECT channel, energy_q,
+                   row_number() OVER (PARTITION BY channel
+                     ORDER BY energy_q, win) AS _ar
+            FROM en
+          ) e JOIN cnt ON e.channel = cnt.channel
+          WHERE e._ar = (cnt._nf + 1) // 2
+        ),
+        g AS (
+          SELECT en.channel,
+                 CAST(COUNT(*) AS BIGINT) AS n_frames,
+                 CAST(SUM(CASE WHEN energy_q > 2 * med_q
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+                 SUM(CASE WHEN energy_q > 2 * med_q
+                     THEN CAST(energy_q AS HUGEINT)
+                     ELSE CAST(0 AS HUGEINT) END) AS _ea,
+                 SUM(CASE WHEN energy_q > 2 * med_q
+                     THEN CAST(0 AS HUGEINT)
+                     ELSE CAST(energy_q AS HUGEINT) END) AS _en
+          FROM en JOIN med ON en.channel = med.channel
+          GROUP BY en.channel
+        )
+        SELECT channel, n_frames, n_active,
+               CASE WHEN n_active > 0 THEN round({_snr_ma}, 9)
+                    ELSE 0e0 END AS mean_active_q,
+               CASE WHEN n_frames - n_active > 0
+                    THEN round({_snr_mn}, 9) ELSE 0e0 END AS mean_noise_q,
+               CASE WHEN n_active > 0 AND n_frames - n_active > 0
+                    AND _en > 0 THEN
+                 round(10e0 * log10({_snr_ma} / {_snr_mn}), 9)
+                 ELSE 0e0 END AS snr_db
+        FROM g
+        """,
+        "samples_aligned",
+    )
+
+    _pal_px = _ihg.format(i="i", j="j")
+    sql["mm_image_palette"] = f"""
+        WITH px AS (
+          SELECT doc_id,
+                 ((({_pal_px}) // 64) * 16
+                  + ((({_pal_px} + 85) % 256) // 64) * 4
+                  + (({_pal_px} + 170) % 256) // 64) AS bin_id
+          FROM documents,
+               UNNEST(generate_series(0, {_IH_H - 1})) AS ti(i),
+               UNNEST(generate_series(0, {_IH_W - 1})) AS tj(j)
+        ),
+        cnt AS (
+          SELECT doc_id, bin_id, CAST(COUNT(*) AS BIGINT) AS c
+          FROM px GROUP BY doc_id, bin_id
+        ),
+        ranked AS (
+          SELECT doc_id, bin_id, c,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY c DESC, bin_id) AS _rk
+          FROM cnt
+        )
+        SELECT doc_id AS media_id, CAST(_rk AS BIGINT) AS rank,
+               CAST(bin_id AS BIGINT) AS bin_id, c AS n_px_bin,
+               CAST({_IH_H * _IH_W} AS BIGINT) AS n_px,
+               round(CAST(c AS DOUBLE) / {_IH_H * _IH_W}, 9) AS share
+        FROM ranked WHERE _rk <= 4
         """
 
     return sql

@@ -1797,3 +1797,327 @@ def spectral_shape(
         F.expr(cent).alias("centroid_bin"),
         F.expr(bw).alias("bandwidth_bins"),
     )
+
+
+# --- round-10 additions: pitch / tempo / SNR front-end features -------
+
+
+PITCH_VOICED_NUM = 3    # voiced iff 10·R(best) > 3·R(0), i.e. 0.3
+PITCH_VOICED_DEN = 10
+
+
+def pitch_track(
+    samples: DataFrame,
+    frame: int = 64,
+    lag_lo: int = 2,
+    lag_hi: int = 32,
+    quant: int = 100,
+    rate_hz: float = 1000.0,
+) -> DataFrame:
+    """Frame-wise autocorrelation pitch tracking (the time-domain
+    core of YIN/RAPT before their refinements): per frame, the lag
+    in [lag_lo, lag_hi] maximizing the demeaned autocorrelation
+    R(ℓ) = Σ d_t·d_{t−ℓ}; the frame is voiced when the normalized
+    peak clears 0.3 (Rabiner 1977's classic threshold). Completes the
+    audio front-end trio: energy_vad (level), zero_crossing_rate
+    (spectral tilt), pitch (periodicity + f0).
+
+    Determinism: d_t = n·x_t − Σx is the exact BIGINT frame-demean
+    (the zcr rule); every R(ℓ) and R(0) accumulates d·d products in
+    DECIMAL(38,0); the argmax is taken under the total order
+    (R DESC, lag ASC) so ties are exact; voiced is the integer
+    cross-multiplication 10·R(best) > 3·R(0) (never a float); the
+    normalized strength and f0 are single fixed divisions rounded to
+    9 dp. Ragged tail frames drop (the hjorth rule).
+
+    Output: (channel, win, best_lag, voiced, pitch_hz, strength).
+
+    Plan / 100 TB: one per-channel ranking window, the lag products
+    via ONE self-equi-join on (channel, win) with a bounded band
+    predicate (≤ frame²/2 products per frame), two partial-agg
+    groupBys; output is |samples|/frame rows.
+    """
+    fr, q = int(frame), int(quant)
+    lo, hi = int(lag_lo), int(lag_hi)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    ranked = (
+        samples.select(
+            "channel",
+            "ts",
+            "value",
+            F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+        )
+        .select(
+            "channel", (F.row_number().over(w) - 1).alias("_rn"), "xq"
+        )
+        .select(
+            "channel",
+            F.expr(f"_rn div {fr}").alias("win"),
+            F.expr(f"_rn % {fr}").alias("pos"),
+            "xq",
+        )
+    )
+    per = ranked.groupBy("channel", "win").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("xq").cast("long").alias("_s"),
+    )
+    d = (
+        ranked.join(per, ["channel", "win"])
+        .filter(F.col("_n") == fr)
+        .select(
+            "channel",
+            "win",
+            "pos",
+            F.expr(f"{fr} * xq - _s").alias("_d"),
+        )
+    )
+    r0 = d.groupBy("channel", "win").agg(
+        F.sum(F.expr("CAST(_d AS DECIMAL(38,0)) * _d")).alias("_r0")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    r = (
+        a.join(
+            b,
+            (F.col("a.channel") == F.col("b.channel"))
+            & (F.col("a.win") == F.col("b.win"))
+            & (F.col("a.pos") - F.col("b.pos") >= lo)
+            & (F.col("a.pos") - F.col("b.pos") <= hi),
+        )
+        .select(
+            F.col("a.channel").alias("channel"),
+            F.col("a.win").alias("win"),
+            (F.col("a.pos") - F.col("b.pos")).alias("lag"),
+            F.expr("CAST(a._d AS DECIMAL(38,0)) * b._d").alias("_p"),
+        )
+        .groupBy("channel", "win", "lag")
+        .agg(F.sum("_p").alias("_r"))
+    )
+    bw = Window.partitionBy("channel", "win").orderBy(
+        F.desc("_r"), F.asc("lag")
+    )
+    best = (
+        r.withColumn("_rk", F.row_number().over(bw))
+        .filter(F.col("_rk") == 1)
+        .join(r0, ["channel", "win"])
+    )
+    return best.select(
+        "channel",
+        F.col("win").cast("long").alias("win"),
+        F.col("lag").cast("long").alias("best_lag"),
+        F.expr(
+            f"{PITCH_VOICED_DEN} * _r > {PITCH_VOICED_NUM} * _r0"
+        ).alias("voiced"),
+        F.expr(
+            f"round(CAST({rate_hz!r} AS DOUBLE) / lag, 9)"
+        ).alias("pitch_hz"),
+        F.expr(
+            "CASE WHEN _r0 > 0 THEN "
+            "round(CAST(_r AS DOUBLE) / CAST(_r0 AS DOUBLE), 9) "
+            "ELSE 0e0 END"
+        ).alias("strength"),
+    )
+
+
+TEMPO_SCALE = 1024  # onset-strength de-scale keeping Σo·o inside int128
+
+
+def tempo_estimate(
+    samples: DataFrame,
+    frame: int = 64,
+    lag_lo: int = 4,
+    lag_hi: int = 32,
+    quant: int = 100,
+    rate_hz: float = 1000.0,
+) -> DataFrame:
+    """Tempo estimation from the energy-novelty curve (the
+    autocorrelation half of Ellis 2007's beat tracker, on the exact
+    integer onset strength rather than a mel flux): per channel, the
+    frame-lag in [lag_lo, lag_hi] maximizing the autocorrelation of
+    o_w = max(0, E_w − E_{w−1}), reported as BPM of the implied
+    frame period. The global-rhythm companion of mm_audio_onsets
+    (which flags individual attacks).
+
+    Determinism: frame energies are exact BIGINT Σxq²; the onset
+    strength is an exact integer clamp then an exact integer
+    de-scale (div 1024 — keeps Σo·o inside DECIMAL(38,0) at any
+    channel length); the lag argmax is taken under (R DESC, lag ASC);
+    BPM and strength are single fixed divisions rounded to 9 dp.
+    Ragged tail frames drop.
+
+    Output: one row per channel (channel, n_frames, best_lag,
+    tempo_bpm, strength).
+
+    Plan / 100 TB: frame rollup is partial-agg; the lag products run
+    on the |samples|/frame onset table (a bounded-band self-join),
+    never on raw samples.
+    """
+    fr, q = int(frame), int(quant)
+    lo, hi = int(lag_lo), int(lag_hi)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    framed = (
+        samples.select(
+            "channel",
+            "ts",
+            "value",
+            F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+        )
+        .select(
+            "channel", (F.row_number().over(w) - 1).alias("_rn"), "xq"
+        )
+        .select(
+            "channel", F.expr(f"_rn div {fr}").alias("win"), "xq"
+        )
+    )
+    en = framed.groupBy("channel", "win").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.expr("xq * xq")).cast("long").alias("_e"),
+    ).filter(F.col("_n") == fr)
+    ow = Window.partitionBy("channel").orderBy("win")
+    o = (
+        en.withColumn("_ep", F.lag("_e").over(ow))
+        .filter(F.col("_ep").isNotNull())
+        .select(
+            "channel",
+            "win",
+            F.expr(
+                f"greatest(CAST(0 AS BIGINT), _e - _ep) div {TEMPO_SCALE}"
+            ).alias("_o"),
+        )
+    )
+    r0 = o.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum(F.expr("CAST(_o AS DECIMAL(38,0)) * _o")).alias("_r0"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    r = (
+        a.join(
+            b,
+            (F.col("a.channel") == F.col("b.channel"))
+            & (F.col("a.win") - F.col("b.win") >= lo)
+            & (F.col("a.win") - F.col("b.win") <= hi),
+        )
+        .select(
+            F.col("a.channel").alias("channel"),
+            (F.col("a.win") - F.col("b.win")).alias("lag"),
+            F.expr("CAST(a._o AS DECIMAL(38,0)) * b._o").alias("_p"),
+        )
+        .groupBy("channel", "lag")
+        .agg(F.sum("_p").alias("_r"))
+    )
+    bw = Window.partitionBy("channel").orderBy(F.desc("_r"), F.asc("lag"))
+    best = (
+        r.withColumn("_rk", F.row_number().over(bw))
+        .filter(F.col("_rk") == 1)
+        .join(r0, ["channel"])
+    )
+    bpm = f"(60e0 * {rate_hz!r} / ({fr} * lag))"
+    return best.select(
+        "channel",
+        "n_frames",
+        F.col("lag").cast("long").alias("best_lag"),
+        F.expr(f"round({bpm}, 9)").alias("tempo_bpm"),
+        F.expr(
+            "CASE WHEN _r0 > 0 THEN "
+            "round(CAST(_r AS DOUBLE) / CAST(_r0 AS DOUBLE), 9) "
+            "ELSE 0e0 END"
+        ).alias("strength"),
+    )
+
+
+def snr_estimate(
+    samples: DataFrame,
+    frame: int = 64,
+    quant: int = 100,
+    factor: int = 2,
+) -> DataFrame:
+    """Channel SNR estimate from the energy_vad split: frames above
+    factor×median energy are signal, the rest noise;
+    SNR = 10·log10(mean signal energy / mean noise energy). The
+    one-number recording-quality score next to mm_audio_vad's
+    segment table and mm_audio_dynamic_range's percentile spread.
+
+    Determinism: frame energies and the median split are exact
+    integers (the energy_vad rule verbatim); channel-level energy
+    sums accumulate in DECIMAL(38,0); the means and the dB finish
+    are fixed divisions with log10 inside round(..., 9) (the oracle
+    ln-rule); a channel with no noise frames or zero noise energy
+    reports the 0.0 sentinel. Ragged tail frames drop.
+
+    Output: one row per channel (channel, n_frames, n_active,
+    mean_active_q, mean_noise_q, snr_db).
+
+    Plan / 100 TB: one per-channel ranking window, one frame rollup,
+    the median + split on the |samples|/frame table, one final agg.
+    """
+    fr, q = int(frame), int(quant)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    framed = (
+        samples.select(
+            "channel",
+            "ts",
+            "value",
+            F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+        )
+        .select(
+            "channel", (F.row_number().over(w) - 1).alias("_rn"), "xq"
+        )
+        .select(
+            "channel", F.expr(f"_rn div {fr}").alias("win"), "xq"
+        )
+    )
+    en = framed.groupBy("channel", "win").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.expr("xq * xq")).cast("long").alias("energy_q"),
+    ).filter(F.col("_n") == fr)
+    aw = Window.partitionBy("channel").orderBy("energy_q", "win")
+    cnt = en.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("_nf")
+    )
+    med = (
+        en.withColumn("_ar", F.row_number().over(aw).cast("long"))
+        .join(F.broadcast(cnt), "channel")
+        .filter(F.expr("_ar = (_nf + 1) div 2"))
+        .select("channel", F.col("energy_q").alias("med_q"))
+    )
+    g = (
+        en.join(F.broadcast(med), "channel")
+        .withColumn(
+            "_act",
+            F.expr(f"CASE WHEN energy_q > {int(factor)} * med_q "
+                   "THEN 1 ELSE 0 END"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.sum("_act").cast("long").alias("n_active"),
+            F.sum(
+                F.expr("CASE WHEN _act = 1 THEN "
+                       "CAST(energy_q AS DECIMAL(38,0)) "
+                       "ELSE CAST(0 AS DECIMAL(38,0)) END")
+            ).alias("_ea"),
+            F.sum(
+                F.expr("CASE WHEN _act = 0 THEN "
+                       "CAST(energy_q AS DECIMAL(38,0)) "
+                       "ELSE CAST(0 AS DECIMAL(38,0)) END")
+            ).alias("_en"),
+        )
+    )
+    ma = "(CAST(_ea AS DOUBLE) / n_active)"
+    mn = "(CAST(_en AS DOUBLE) / (n_frames - n_active))"
+    return g.select(
+        "channel",
+        "n_frames",
+        "n_active",
+        F.expr(
+            f"CASE WHEN n_active > 0 THEN round({ma}, 9) ELSE 0e0 END"
+        ).alias("mean_active_q"),
+        F.expr(
+            "CASE WHEN n_frames - n_active > 0 "
+            f"THEN round({mn}, 9) ELSE 0e0 END"
+        ).alias("mean_noise_q"),
+        F.expr(
+            "CASE WHEN n_active > 0 AND n_frames - n_active > 0 "
+            "AND _en > 0 THEN "
+            f"round(10e0 * log10({ma} / {mn}), 9) ELSE 0e0 END"
+        ).alias("snr_db"),
+    )

@@ -918,3 +918,88 @@ def rle_synthetic(documents: DataFrame) -> DataFrame:
             "round(CAST(n_v_runs AS DOUBLE) / CAST(n_px AS DOUBLE), 9)"
         ).alias("v_ratio"),
     )
+
+
+# --- round-10 addition: dominant-color palette --------------------------
+
+PALETTE_BITS = 2    # 2 bits/channel -> 64 RGB bins
+PALETTE_TOP_K = 4
+
+
+def palette_counts(
+    r: "np.ndarray",
+    g: "np.ndarray",
+    b: "np.ndarray",
+    bits: int = PALETTE_BITS,
+    top_k: int = PALETTE_TOP_K,
+):
+    """Exact dominant-color extraction: quantize each 8-bit channel to
+    ``bits`` (uniform cube — the fixed-grid flavor of median-cut
+    palette extraction), count pixels per RGB bin, return the top_k
+    (count DESC, bin ASC) as [(rank, bin_id, n), ...]. All integers."""
+    shift = 8 - int(bits)
+    side = 1 << int(bits)
+    rl = np.asarray(r, dtype=np.int64) >> shift
+    gl = np.asarray(g, dtype=np.int64) >> shift
+    bl = np.asarray(b, dtype=np.int64) >> shift
+    bins = (rl * side + gl) * side + bl
+    counts = np.bincount(bins.ravel(), minlength=side**3)
+    order = np.lexsort((np.arange(side**3), -counts))
+    out = []
+    for rank, bin_id in enumerate(order[: int(top_k)], start=1):
+        if counts[bin_id] == 0:
+            break
+        out.append((rank, int(bin_id), int(counts[bin_id])))
+    return out
+
+
+def palette_synthetic(documents: DataFrame) -> DataFrame:
+    """(doc_id) → top-4 dominant RGB bins over the synthetic RGB field
+    (the dhash_synthetic plumbing contract: REAL
+    :func:`palette_counts` kernel, closed-form-replayable field —
+    swap in decoded planes for real corpora). The color-quantization
+    panel next to colorfulness (spread) and entropy (texture):
+    palette coverage is the poster/screenshot-vs-photo signal.
+
+    Determinism: bin ids and counts are exact integers; the top-k
+    order is the total order (count DESC, bin ASC); share is ONE
+    fixed division rounded to 9 dp.
+
+    Output: (media_id, rank, bin_id, n_px_bin, n_px, share).
+
+    Plan / 100 TB: one narrow mapInPandas (decode parallelism = scan
+    parallelism, zero shuffle), ≤ top_k rows out per media item.
+    """
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            recs = []
+            for d in pdf["doc_id"].to_numpy():
+                rgb = synthetic_rgb(int(d))
+                n_px = rgb[0].size
+                for rank, bin_id, n in palette_counts(*rgb):
+                    recs.append((int(d), rank, bin_id, n, int(n_px)))
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "rank", "bin_id", "n_px_bin", "n_px",
+                ],
+            )
+
+    out = documents.select("doc_id").mapInPandas(
+        run,
+        "media_id long, rank long, bin_id long, n_px_bin long, "
+        "n_px long",
+    )
+    return out.select(
+        "media_id",
+        "rank",
+        "bin_id",
+        "n_px_bin",
+        "n_px",
+        F.expr(
+            "round(CAST(n_px_bin AS DOUBLE) / n_px, 9)"
+        ).alias("share"),
+    )

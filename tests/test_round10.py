@@ -331,3 +331,115 @@ def test_daily_anomalies_zero_mad_flags_nothing(spark):
     out = daily_anomalies(ev).collect()
     assert all(r.mad == 0 and not r.is_anomaly and r.robust_z == 0.0
                for r in out)
+
+
+# --- wave-2 operators: hand goldens --------------------------------------
+
+
+def test_pitch_track_square_wave(spark):
+    from pennsieve_streaming_spark.dsp.spectral import pitch_track
+
+    # one 64-sample frame of a period-8 square wave: best lag must be
+    # 8 exactly (full-phase alignment with the most pairs), voiced,
+    # strength = 56/64 = 0.875, f0 = 1000/8
+    vals = ([10] * 4 + [0] * 4) * 8
+    r = pitch_track(
+        _chan(spark, vals), frame=64, lag_lo=2, lag_hi=32, quant=1
+    ).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert (r.win, r.best_lag) == (0, 8)
+    assert r.voiced and r.pitch_hz == 125.0 and r.strength == 0.875
+
+
+def test_pitch_track_constant_frame_unvoiced(spark):
+    from pennsieve_streaming_spark.dsp.spectral import pitch_track
+
+    r = pitch_track(
+        _chan(spark, [5] * 64), frame=64, lag_lo=2, lag_hi=32, quant=1
+    ).collect()[0]
+    # demeaned flat -> all R = 0, tie broken to the smallest lag,
+    # strict voicing gate stays false, sentinel strength
+    assert r.best_lag == 2 and not r.voiced and r.strength == 0.0
+
+
+def test_tempo_estimate_period5_frames(spark):
+    from pennsieve_streaming_spark.dsp.spectral import tempo_estimate
+
+    # 26 frames, a loud frame every 5th: onset strength 6400//1024 = 6
+    # at w = 5,10,15,20,25 -> best lag 5, strength 144/180 = 0.8,
+    # BPM = 60*1000/(64*5) = 187.5
+    vals = []
+    for w in range(26):
+        vals.extend([10 if w % 5 == 0 else 0] * 64)
+    r = tempo_estimate(
+        _chan(spark, vals), frame=64, lag_lo=4, lag_hi=32, quant=1
+    ).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert (r.n_frames, r.best_lag) == (25, 5)
+    assert r.tempo_bpm == 187.5 and r.strength == 0.8
+
+
+def test_snr_estimate_golden(spark):
+    from pennsieve_streaming_spark.dsp.spectral import snr_estimate
+
+    # 6 quiet frames (energy 64) + 2 loud (6400), median 64, active =
+    # loud only: SNR = 10*log10(6400/64) = 20 dB exactly
+    vals = []
+    for w in range(8):
+        vals.extend([10 if w in (3, 6) else 1] * 64)
+    r = snr_estimate(_chan(spark, vals), frame=64, quant=1).collect()[0]
+    assert (r.n_frames, r.n_active) == (8, 2)
+    assert r.mean_active_q == 6400.0 and r.mean_noise_q == 64.0
+    assert r.snr_db == 20.0
+
+
+def test_snr_all_quiet_sentinel(spark):
+    from pennsieve_streaming_spark.dsp.spectral import snr_estimate
+
+    # constant signal: no frame exceeds 2x median -> n_active = 0 ->
+    # 0.0 sentinels
+    r = snr_estimate(
+        _chan(spark, [1] * 256), frame=64, quant=1
+    ).collect()[0]
+    assert r.n_active == 0 and r.snr_db == 0.0 and r.mean_active_q == 0.0
+
+
+def test_palette_counts_kernel():
+    import numpy as np
+
+    from pennsieve_streaming_spark.llm.imagehash import palette_counts
+
+    r = np.array([[0, 255], [0, 0]])
+    g = np.array([[0, 0], [128, 0]])
+    b = np.array([[0, 0], [0, 64]])
+    # bins: (0,0,0)=0 ; (3,0,0)=48 ; (0,2,0)=8 ; (0,0,1)=1 — all count
+    # 1, so rank order is bin ascending
+    assert palette_counts(r, g, b) == [
+        (1, 0, 1), (2, 1, 1), (3, 8, 1), (4, 48, 1),
+    ]
+    # dominant case: a single color fills the image -> one row
+    one = np.zeros((4, 4), dtype=np.int64)
+    assert palette_counts(one, one, one) == [(1, 0, 16)]
+
+
+def test_palette_synthetic_shares_sum(spark):
+    from pennsieve_streaming_spark.llm.imagehash import palette_synthetic
+
+    docs = spark.createDataFrame(
+        [(i, "") for i in range(6)], "doc_id long, text string"
+    )
+    out = palette_synthetic(docs).collect()
+    per = {}
+    for r in out:
+        assert 1 <= r.rank <= 4 and r.n_px == 16 * 18
+        assert r.share == round(r.n_px_bin / r.n_px, 9)
+        per.setdefault(r.media_id, []).append(r)
+    assert set(per) == set(range(6))
+    for rows in per.values():
+        ranks = sorted(x.rank for x in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        by_rank = sorted(rows, key=lambda x: x.rank)
+        for a, b2 in zip(by_rank, by_rank[1:]):
+            assert (a.n_px_bin, -a.bin_id) >= (b2.n_px_bin, -b2.bin_id)
