@@ -5337,6 +5337,27 @@ def q_audio_snr(spark, sf_dir):
     )
 
 
+def q_mmd(spark, sf_dir):
+    """Linear-time MMD² two-sample test between even- and odd-label
+    embeddings: quadratic kernel (exact fold dot products, no
+    transcendental), nano-quantized h sums, fixed mean/z finishes —
+    the distribution-shift detector beyond centroid drift."""
+    from pennsieve_streaming_spark.llm.similarity import mmd_linear
+
+    return mmd_linear(_embs(spark, sf_dir))
+
+
+def q_lsh_bucket_balance(spark, sf_dir):
+    """Per-table LSH load-balance panel (bucket count, max bucket,
+    expected probe cost Σsize²/N) over the banded lattice hyperplane
+    index — the skew diagnostic that predicts ANN latency tails."""
+    from pennsieve_streaming_spark.llm.similarity import (
+        lsh_bucket_balance,
+    )
+
+    return lsh_bucket_balance(_embs(spark, sf_dir), dim=ANN_DIM)
+
+
 def q_image_palette(spark, sf_dir):
     """Top-4 dominant RGB bins (2 bits/channel uniform cube) per
     media item over the synthetic RGB field via the REAL
@@ -5705,7 +5726,10 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # longest-stable ts-core queries last. Keep new work at the top; the
     # live gate order is then refined by _rotation_order in queries().
     q = {
-        # round-10 wave-2 additions (newest first)
+        # round-10 wave-3 additions (newest first)
+        "emb_mmd": q_mmd,
+        "emb_lsh_bucket_balance": q_lsh_bucket_balance,
+        # round-10 wave-2 additions
         "mm_audio_pitch": q_audio_pitch,
         "mm_audio_tempo": q_audio_tempo,
         "mm_audio_snr": q_audio_snr,
@@ -18669,6 +18693,112 @@ def oracle_sql() -> dict[str, str]:
                CAST({_IH_H * _IH_W} AS BIGINT) AS n_px,
                round(CAST(c AS DOUBLE) / {_IH_H * _IH_W}, 9) AS share
         FROM ranked WHERE _rk <= 4
+        """
+
+    # --- round-10 wave-3 oracles ---------------------------------------
+
+    _mmd_mean = "(CAST(_sh AS DOUBLE) / n_pairs / 1000000000)"
+    _mmd_var = (
+        "((CAST(_shh AS DOUBLE) / n_pairs "
+        "- (CAST(_sh AS DOUBLE) / n_pairs) "
+        "* (CAST(_sh AS DOUBLE) / n_pairs)) / 1e18)"
+    )
+    _mmd_z = f"({_mmd_mean} / sqrt({_mmd_var} / n_pairs))"
+    _mmd_k = "((list_dot_product({a}, {b})) * (list_dot_product({a}, {b})))"
+    sql["emb_mmd"] = f"""
+        WITH base AS (
+          SELECT vec_id AS _id, CAST(embedding AS DOUBLE[]) AS v,
+                 CAST(label % 2 AS INT) AS grp
+          FROM embeddings
+        ),
+        counts AS (
+          SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_b
+          FROM base
+        ),
+        ranked AS (
+          SELECT grp,
+                 CAST((row_number() OVER (PARTITION BY grp
+                   ORDER BY _id) - 1) // 2 AS BIGINT) AS p,
+                 CAST((row_number() OVER (PARTITION BY grp
+                   ORDER BY _id) - 1) % 2 AS INT) AS pos,
+                 v
+          FROM base
+        ),
+        pa AS (
+          SELECT x.p, x.v AS a0, y.v AS a1
+          FROM (SELECT p, v FROM ranked WHERE grp = 0 AND pos = 0) x
+          JOIN (SELECT p, v FROM ranked WHERE grp = 0 AND pos = 1) y
+            ON x.p = y.p
+        ),
+        pb AS (
+          SELECT x.p, x.v AS b0, y.v AS b1
+          FROM (SELECT p, v FROM ranked WHERE grp = 1 AND pos = 0) x
+          JOIN (SELECT p, v FROM ranked WHERE grp = 1 AND pos = 1) y
+            ON x.p = y.p
+        ),
+        hq AS (
+          SELECT CAST(round((
+                   {_mmd_k.format(a="a0", b="a1")}
+                   + {_mmd_k.format(a="b0", b="b1")}
+                   - {_mmd_k.format(a="a0", b="b1")}
+                   - {_mmd_k.format(a="a1", b="b0")}
+                 ) * 1e9) AS BIGINT) AS hq
+          FROM pa JOIN pb ON pa.p = pb.p
+        ),
+        g AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(SUM(hq) AS BIGINT) AS _sh,
+                 SUM(CAST(hq AS HUGEINT) * hq) AS _shh
+          FROM hq
+        )
+        SELECT n_a, n_b, n_pairs,
+               round({_mmd_mean}, 9) AS mmd2_lin,
+               CASE WHEN {_mmd_var} > 0e0 THEN round({_mmd_z}, 9)
+                    ELSE 0e0 END AS z,
+               CASE WHEN {_mmd_var} > 0e0 THEN
+                 abs(round({_mmd_z}, 9)) > 1.96e0 ELSE false END
+                 AS shifted
+        FROM g, counts WHERE n_pairs > 0
+        """
+
+    _bal_key = " + ".join(
+        f"(CASE WHEN list_dot_product(e.v, "
+        f"list_extract(pl.hs, {b + 1})) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(8)
+    )
+    sql["emb_lsh_bucket_balance"] = f"""
+        WITH pl AS (
+          SELECT t,
+                 list_transform(generate_series(0, 7), b ->
+                   list_transform(generate_series(0, {ANN_DIM - 1}),
+                     j -> fmod(((t * 8 + b) * {ANN_DIM} + j)
+                       * 0.6180339887498949e0, 1.0e0) - 0.5e0)) AS hs
+          FROM (SELECT UNNEST(generate_series(0, 3)) AS t)
+        ),
+        emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings
+        ),
+        keyed AS (
+          SELECT pl.t AS tbl, e.vec_id,
+                 CAST({_bal_key} AS BIGINT) AS key
+          FROM emb e CROSS JOIN pl
+        ),
+        per AS (
+          SELECT tbl, key, CAST(COUNT(*) AS BIGINT) AS c
+          FROM keyed GROUP BY tbl, key
+        )
+        SELECT CAST(tbl AS BIGINT) AS tbl,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(c) AS BIGINT) AS n_vecs,
+               CAST(MAX(c) AS BIGINT) AS max_bucket,
+               CAST(SUM(c * c) AS BIGINT) AS sum_sq,
+               round(CAST(SUM(c * c) AS DOUBLE) / SUM(c), 9)
+                 AS expected_probe
+        FROM per GROUP BY tbl
         """
 
     return sql

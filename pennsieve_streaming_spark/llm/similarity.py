@@ -2368,3 +2368,187 @@ def cosine_threshold_counts(
         *[f"n_ge_{i}" for i in range(1, len(thresholds) + 1)],
         *shares,
     )
+
+
+# --- round-10 additions: MMD two-sample test + LSH load balance --------
+
+
+MMD_Z_CRIT = 1.96  # two-sided 5% normal critical value
+
+
+def mmd_linear(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Linear-time MMD² two-sample test between the even- and
+    odd-label embedding populations (Gretton et al. 2012, §6): pair
+    consecutive samples within each group and average
+    h = k(x₁,x₂) + k(y₁,y₂) − k(x₁,y₂) − k(x₂,y₁); the distribution-
+    shift detector for embedding spaces — emb_centroid_drift sees
+    only the mean, MMD sees any moment the kernel spans. O(n) by
+    construction: the quadratic U-statistic's all-pairs kernel matrix
+    never materializes, which is the 100 TB point.
+
+    Kernel: quadratic k(u,v) = (u·v)² — dot products are sequential
+    ``aggregate(zip_with(...))`` folds (bit-identical to DuckDB's
+    list_dot_product, the cosine_topk contract) and the square is one
+    exact IEEE multiply, so NO transcendental enters the pipeline
+    (an RBF's exp() would 1-ulp-diverge cross-engine).
+
+    Determinism: per-group ordering is the total order (vec_id) via
+    two-phase ``util.global_rank``; h quantizes to exact nano ints
+    before the corpus-order-independent BIGINT sum; mean/z are fixed
+    finishes rounded to 9 dp (zero variance reports the 0.0 sentinel
+    and shifted = false).
+
+    Output: one row (n_a, n_b, n_pairs, mmd2_lin, z, shifted).
+    """
+    from pennsieve_streaming_spark.util import global_rank
+
+    base = _as_double(embeddings, vec_col).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("v"),
+        (F.col(label_col) % 2).cast("int").alias("grp"),
+    )
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+
+    def pairs(grp: int, v0: str, v1: str) -> DataFrame:
+        ranked = global_rank(
+            base.filter(F.col("grp") == grp), [F.asc("_id")], "_r"
+        ).select(
+            F.expr("CAST((_r - 1) div 2 AS BIGINT)").alias("p"),
+            F.expr("CAST((_r - 1) % 2 AS INT)").alias("pos"),
+            "v",
+        )
+        a = ranked.filter(F.col("pos") == 0).select(
+            "p", F.col("v").alias(v0)
+        )
+        b = ranked.filter(F.col("pos") == 1).select(
+            "p", F.col("v").alias(v1)
+        )
+        return a.join(b, "p")  # complete pairs only
+
+    pa = pairs(0, "a0", "a1")
+    pb = pairs(1, "b0", "b1")
+    counts = base.groupBy().agg(
+        F.sum(F.expr("CASE WHEN grp = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.expr("CASE WHEN grp = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_b"),
+    )
+    k = "(({d}) * ({d}))"
+    h = " + ".join(
+        [
+            k.format(d=dot.format(a="a0", b="a1")),
+            k.format(d=dot.format(a="b0", b="b1")),
+            "- " + k.format(d=dot.format(a="a0", b="b1")),
+            "- " + k.format(d=dot.format(a="a1", b="b0")),
+        ]
+    ).replace("+ -", "-")
+    hq = pa.join(pb, "p").select(
+        F.expr(f"CAST(round(({h}) * 1000000000D) AS BIGINT)").alias("hq")
+    )
+    g = hq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("hq").cast("long").alias("_sh"),
+        F.sum(F.expr("CAST(hq AS DECIMAL(38,0)) * hq")).alias("_shh"),
+    )
+    mean = "(CAST(_sh AS DOUBLE) / n_pairs / 1000000000D)"
+    var = (
+        "((CAST(_shh AS DOUBLE) / n_pairs "
+        "- (CAST(_sh AS DOUBLE) / n_pairs) "
+        "* (CAST(_sh AS DOUBLE) / n_pairs)) / 1e18)"
+    )
+    z = f"({mean} / sqrt({var} / n_pairs))"
+    return (
+        g.crossJoin(F.broadcast(counts))
+        .filter(F.col("n_pairs") > 0)
+        .select(
+            "n_a",
+            "n_b",
+            "n_pairs",
+            F.expr(f"round({mean}, 9)").alias("mmd2_lin"),
+            F.expr(
+                f"CASE WHEN {var} > 0e0 THEN round({z}, 9) "
+                "ELSE 0e0 END"
+            ).alias("z"),
+            F.expr(
+                f"CASE WHEN {var} > 0e0 THEN "
+                f"abs(round({z}, 9)) > {MMD_Z_CRIT} ELSE false END"
+            ).alias("shifted"),
+        )
+    )
+
+
+LSH_BAL_TABLES = 4
+LSH_BAL_BITS = 8
+
+
+def lsh_bucket_balance(
+    embeddings: DataFrame,
+    n_tables: int = LSH_BAL_TABLES,
+    bits: int = LSH_BAL_BITS,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-table load-balance panel for the banded hyperplane-LSH
+    index: bucket count, population, the largest bucket, and the
+    expected probe cost Σ size² / N — the number of candidates a
+    uniformly-drawn query pays in that table. THE skew diagnostic for
+    LSH ANN at scale: a hot bucket is simultaneously a recall hole
+    (its signature carries no information) and a latency tail; this
+    panel is how you notice before production does (the
+    hyperplane_matrix docstring's 90k-vector-bucket caveat, made
+    measurable).
+
+    Determinism: sign bits come from the lattice ``hyperplane_expr``
+    family (engine-exact folds); keys, counts, Σsize² are exact
+    integers; expected_probe is ONE fixed division rounded to 9 dp.
+
+    Output: (tbl, n_buckets, n_vecs, max_bucket, sum_sq,
+    expected_probe) — one row per table.
+
+    Plan / 100 TB: one narrow projection for the keys, one explode to
+    n_tables rows per vector, ONE partial-agg groupBy (tbl, key) —
+    histogram size is bounded by occupied buckets, not vectors.
+    """
+    src = _as_double(embeddings, vec_col)
+    tables = ", ".join(
+        "named_struct('tbl', {t}, 'key', CAST({key} AS BIGINT))".format(
+            t=t,
+            key=" + ".join(
+                f"({hyperplane_expr(vec_col, t * bits + b, dim)}) "
+                f"* {1 << b}"
+                for b in range(bits)
+            ),
+        )
+        for t in range(n_tables)
+    )
+    keyed = src.select(
+        F.expr(f"inline(array({tables}))")
+    )
+    per = keyed.groupBy("tbl", "key").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return per.groupBy("tbl").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("c").cast("long").alias("n_vecs"),
+        F.max("c").cast("long").alias("max_bucket"),
+        F.sum(F.expr("c * c")).cast("long").alias("sum_sq"),
+    ).select(
+        F.col("tbl").cast("long").alias("tbl"),
+        "n_buckets",
+        "n_vecs",
+        "max_bucket",
+        "sum_sq",
+        F.expr(
+            "round(CAST(sum_sq AS DOUBLE) / n_vecs, 9)"
+        ).alias("expected_probe"),
+    )

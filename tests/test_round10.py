@@ -443,3 +443,102 @@ def test_palette_synthetic_shares_sum(spark):
         by_rank = sorted(rows, key=lambda x: x.rank)
         for a, b2 in zip(by_rank, by_rank[1:]):
             assert (a.n_px_bin, -a.bin_id) >= (b2.n_px_bin, -b2.bin_id)
+
+
+# --- wave-3 operators: hand goldens --------------------------------------
+
+
+def test_mmd_linear_identical_groups_near_zero(spark):
+    from pennsieve_streaming_spark.llm.similarity import mmd_linear
+
+    # even/odd labels carry IDENTICAL paired vectors -> every h term
+    # cancels exactly -> mmd2 = 0, variance 0 -> sentinels
+    rows = []
+    vecs = [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5], [0.25, 0.75]]
+    vid = 0
+    for v in vecs:
+        for lab in (0, 1):
+            rows.append((vid, v, lab))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    r = mmd_linear(df).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert (r.n_a, r.n_b, r.n_pairs) == (4, 4, 2)
+    assert r.mmd2_lin == 0.0 and r.z == 0.0 and not r.shifted
+
+
+def test_mmd_linear_golden_shift(spark):
+    from pennsieve_streaming_spark.llm.similarity import mmd_linear
+
+    # group 0: e0-aligned; group 1: e1-aligned. k = (dot)^2:
+    # within-group k = 1, cross k = 0 -> every h = 2 -> mmd2 = 2,
+    # zero variance -> z sentinel 0.0, shifted false (variance gate)
+    rows = []
+    vid = 0
+    for _ in range(3):
+        rows.append((vid, [1.0, 0.0], 0)); vid += 1
+        rows.append((vid, [0.0, 1.0], 1)); vid += 1
+    rows.append((vid, [1.0, 0.0], 0)); vid += 1
+    rows.append((vid, [0.0, 1.0], 1)); vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    r = mmd_linear(df).collect()[0]
+    assert (r.n_a, r.n_b, r.n_pairs) == (4, 4, 2)
+    assert r.mmd2_lin == 2.0
+    assert r.z == 0.0 and not r.shifted  # constant h -> var 0 gate
+
+
+def test_mmd_linear_odd_tail_drops(spark):
+    from pennsieve_streaming_spark.llm.similarity import mmd_linear
+
+    # 3 vs 5 members -> 1 and 2 complete pairs -> n_pairs = min = 1
+    rows = [(i, [1.0, float(i)], i % 2) for i in range(8)]
+    rows = rows[:3] + [r for r in rows if r[2] == 1][:5]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    r = mmd_linear(df).collect()[0]
+    assert r.n_pairs == 1
+
+
+def test_lsh_bucket_balance_invariants(spark):
+    from pennsieve_streaming_spark.llm.similarity import (
+        lsh_bucket_balance,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 5) - 2.0 for j in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = lsh_bucket_balance(df, n_tables=4, bits=8, dim=8).collect()
+    assert sorted(r.tbl for r in out) == [0, 1, 2, 3]
+    for r in out:
+        assert r.n_vecs == 40
+        assert 1 <= r.n_buckets <= 40
+        assert r.max_bucket * r.n_buckets >= r.n_vecs
+        assert r.sum_sq >= r.n_vecs  # Σc² >= Σc for c >= 1
+        assert r.expected_probe == round(r.sum_sq / 40, 9)
+
+
+def test_lsh_bucket_balance_identical_vectors_one_bucket(spark):
+    from pennsieve_streaming_spark.llm.similarity import (
+        lsh_bucket_balance,
+    )
+
+    rows = [(i, [1.0, -1.0, 0.5, 0.25]) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = lsh_bucket_balance(df, n_tables=2, bits=4, dim=4).collect()
+    for r in out:
+        # identical vectors land in ONE bucket per table: the
+        # degenerate skew case the panel exists to flag
+        assert (r.n_buckets, r.max_bucket) == (1, 10)
+        assert r.sum_sq == 100 and r.expected_probe == 10.0
