@@ -5337,6 +5337,155 @@ def q_audio_snr(spark, sf_dir):
     )
 
 
+def q_stream_contamination(spark, sf_dir):
+    """Streaming screened decontamination drained with availableNow:
+    the batch bloom->exact rule as a STATELESS stream-static
+    broadcast-join projection (no state store, append mode), so the
+    drained table is bit-identical to the batch operator and
+    doc_contamination_screened's oracle gates the stream verbatim."""
+    import tempfile
+
+    from pennsieve_streaming_spark.llm.curation import BLOOM_M
+    from pennsieve_streaming_spark.streaming.contamination import (
+        contamination_screen_stream,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    base = tempfile.mkdtemp(prefix="pss_stream_contam_")
+    src = f"{base}/src"
+    docs.select("doc_id", "text").coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(src)
+    out = contamination_screen_stream(
+        stream, bench, k=3, threshold=0.5, n_bits=BLOOM_M
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out")
+
+
+def q_contamination_by_source(spark, sf_dir):
+    """Per-source rollup of the screened-decontamination verdicts
+    (which feeds leak the eval set): bloom screen + ratio-gated exact
+    audit with source carried through the SAME single corpus scan,
+    exact BIGINT masses, fixed rate divisions."""
+    from pennsieve_streaming_spark.llm.curation import (
+        BLOOM_M,
+        contamination_by_source,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    return contamination_by_source(
+        docs, bench, k=3, threshold=0.5, n_bits=BLOOM_M
+    )
+
+
+def q_pack_efficiency(spark, sf_dir):
+    """Tokenizer-aware packing efficiency per source shard: the
+    trained-BPE subtoken counts (the doc_bpe_token_ids encode) fed
+    through the pack_sequences rule, reporting fill ratio, boundary-
+    straddling docs, and docs per sequence — what the token budget
+    actually buys, under the real tokenizer rather than whitespace."""
+    from pennsieve_streaming_spark.llm.curation import pack_efficiency
+    from pennsieve_streaming_spark.llm.text import bpe_encode
+
+    docs = _docs(spark, sf_dir)
+    enc = bpe_encode(docs, n_merges=BPE_K, min_count=BPE_MIN_COUNT)
+    per_doc = enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    counts = docs.select("doc_id", "source").join(
+        per_doc, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    return pack_efficiency(counts, budget=PACK_BUDGET)
+
+
+def q_lsh_tuning(spark, sf_dir):
+    """Data-driven LSH banding tuner: every power-of-two (bands,
+    rows) split of the 16-perm MinHash signature scored against the
+    observed df-capped exact-Jaccard pair distribution — expected
+    candidate / false-candidate / missed mass as exact nano-int sums
+    of repeated-squaring S-curve terms (no libm pow in the masses)."""
+    from pennsieve_streaming_spark.llm.dedup import lsh_tuning_panel
+
+    sh = shingles(_docs(spark, sf_dir))
+    pairs = jaccard_pairs(sh, max_doc_freq=JACCARD_MAX_DF)
+    return lsh_tuning_panel(pairs, n_perms=16, tau=LSH_EVAL_TAU)
+
+
+def q_corpus_build(spark, sf_dir):
+    """The composed end-to-end corpus build as ONE plan: exact dedup
+    (keep min doc_id per md5) -> the full curate_corpus gate cascade
+    (quality / repetition / decontamination / per-language sampling)
+    -> concat-and-chunk packing -> per-source shard report (inputs,
+    unique, kept, tokens, sequences, fill). The benchmark set stays
+    the RAW corpus's doc_id % 29 split — the eval set is external to
+    dedup."""
+    from pennsieve_streaming_spark.llm.curation import curate_corpus
+    from pennsieve_streaming_spark.llm.dedup import exact_dedup
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    keep = exact_dedup(docs).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    dd = docs.join(keep, "doc_id", "left_semi")
+    cur = curate_corpus(dd, bench, SAMPLE_RATES, pack_budget=PACK_BUDGET)
+    per_in = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_input")
+    )
+    per_dd = dd.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_unique")
+    )
+    per_kept = cur.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("kept_tokens"),
+    )
+    n_seqs = (
+        "(CASE WHEN kept_tokens IS NULL OR kept_tokens = 0 "
+        "THEN CAST(0 AS BIGINT) "
+        f"ELSE (kept_tokens + {PACK_BUDGET - 1}) div {PACK_BUDGET} END)"
+    )
+    return (
+        per_in.join(per_dd, "source", "left")
+        .join(per_kept, "source", "left")
+        .select(
+            "source",
+            "n_input",
+            F.coalesce(F.col("n_exact_unique"), F.lit(0))
+            .cast("long")
+            .alias("n_exact_unique"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias(
+                "n_kept"
+            ),
+            F.coalesce(F.col("kept_tokens"), F.lit(0))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.expr(n_seqs).alias("n_seqs"),
+            F.expr(
+                f"CASE WHEN {n_seqs} > 0 THEN "
+                "round(CAST(kept_tokens AS DOUBLE) "
+                f"/ ({n_seqs} * {PACK_BUDGET}), 9) ELSE 0e0 END"
+            ).alias("fill_ratio"),
+        )
+    )
+
+
 def q_mmd(spark, sf_dir):
     """Linear-time MMD² two-sample test between even- and odd-label
     embeddings: quadratic kernel (exact fold dot products, no
@@ -5726,7 +5875,13 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # longest-stable ts-core queries last. Keep new work at the top; the
     # live gate order is then refined by _rotation_order in queries().
     q = {
-        # round-10 wave-3 additions (newest first)
+        # round-10 wave-4 additions (newest first)
+        "stream_contamination": q_stream_contamination,
+        "doc_corpus_build": q_corpus_build,
+        "doc_pack_efficiency": q_pack_efficiency,
+        "doc_contamination_by_source": q_contamination_by_source,
+        "doc_lsh_tuning": q_lsh_tuning,
+        # round-10 wave-3 additions
         "emb_mmd": q_mmd,
         "emb_lsh_bucket_balance": q_lsh_bucket_balance,
         # round-10 wave-2 additions
@@ -18800,6 +18955,289 @@ def oracle_sql() -> dict[str, str]:
                  AS expected_probe
         FROM per GROUP BY tbl
         """
+
+    # --- round-10 wave-4 oracles ---------------------------------------
+
+    sql["doc_contamination_by_source"] = f"""
+        WITH doc_toks AS (
+          SELECT doc_id, text, {TOKS} AS toks FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, UNNEST({_ngram_duck(3)}) AS s FROM doc_toks
+        ),
+        doc_sh AS (SELECT DISTINCT doc_id, {PH_S} AS sh FROM grams),
+        bench AS (
+          SELECT DISTINCT sh FROM doc_sh
+          WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+        ),
+        bpos AS (SELECT DISTINCT p FROM ({_bl_union})),
+        dtest AS (
+          SELECT d.doc_id,
+                 CASE WHEN {_bl_test} THEN 1 ELSE 0 END AS hit,
+                 CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END
+                   AS exact_hit
+          FROM doc_sh d LEFT JOIN bench b USING (sh)
+        ),
+        ov0 AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                 CAST(SUM(hit) AS BIGINT) AS n_bloom_hits,
+                 CAST(SUM(exact_hit) AS BIGINT) AS n_exact
+          FROM dtest GROUP BY doc_id
+        ),
+        ov AS (
+          SELECT doc_id, n_shingles, n_bloom_hits,
+                 CASE WHEN CAST(n_bloom_hits AS DOUBLE) <=
+                      0.5 * CAST(n_shingles AS DOUBLE)
+                      THEN CAST(0 AS BIGINT) ELSE n_exact END
+                   AS n_overlap
+          FROM ov0
+        ),
+        per AS (
+          SELECT t.source,
+                 COALESCE(ov.n_shingles, CAST(0 AS BIGINT))
+                   AS n_shingles,
+                 COALESCE(ov.n_bloom_hits, CAST(0 AS BIGINT))
+                   AS n_bloom_hits,
+                 COALESCE(ov.n_overlap, CAST(0 AS BIGINT)) AS n_overlap
+          FROM documents t LEFT JOIN ov ON t.doc_id = ov.doc_id
+        ),
+        g AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(CASE WHEN CAST(n_bloom_hits AS DOUBLE) >
+                      0.5 * CAST(n_shingles AS DOUBLE)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+                 CAST(SUM(CASE WHEN n_shingles = 0 THEN 0
+                      WHEN (n_overlap / CAST(n_shingles AS DOUBLE))
+                        > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_contaminated,
+                 CAST(SUM(n_overlap) AS BIGINT) AS sum_overlap,
+                 CAST(SUM(n_shingles) AS BIGINT) AS sum_shingles
+          FROM per GROUP BY source
+        )
+        SELECT source, n_docs, n_flagged, n_contaminated, sum_overlap,
+               sum_shingles,
+               round(CAST(n_flagged AS DOUBLE) / n_docs, 9)
+                 AS flagged_rate,
+               round(CAST(n_contaminated AS DOUBLE) / n_docs, 9)
+                 AS contamination_rate
+        FROM g
+        """
+
+    sql["doc_pack_efficiency"] = f"""
+        WITH enc AS (SELECT * FROM ({sql["doc_bpe_token_ids"]})),
+        t AS (
+          SELECT d.doc_id, d.source,
+                 CAST(e.n_subtokens AS BIGINT) AS n_tokens
+          FROM documents d JOIN enc e USING (doc_id)
+        ),
+        c AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) - n_tokens AS tok_offset
+          FROM t
+        ),
+        per AS (
+          SELECT source, n_tokens,
+                 CAST(FLOOR(tok_offset / {PACK_BUDGET}) AS BIGINT)
+                   AS start_seq,
+                 CAST(CASE WHEN n_tokens = 0
+                      THEN FLOOR(tok_offset / {PACK_BUDGET})
+                      ELSE FLOOR((tok_offset + n_tokens - 1)
+                        / {PACK_BUDGET})
+                      END AS BIGINT) AS end_seq
+          FROM c
+        ),
+        g AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                 CAST(SUM(CASE WHEN end_seq > start_seq THEN 1
+                      ELSE 0 END) AS BIGINT) AS n_split_docs
+          FROM per GROUP BY source
+        ),
+        s AS (
+          SELECT *,
+                 CASE WHEN total_tokens = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST((total_tokens + {PACK_BUDGET - 1})
+                        // {PACK_BUDGET} AS BIGINT) END AS n_seqs
+          FROM g
+        )
+        SELECT source, n_docs, total_tokens, n_seqs, n_split_docs,
+               CASE WHEN n_seqs > 0 THEN
+                 round(CAST(total_tokens AS DOUBLE)
+                   / (n_seqs * {PACK_BUDGET}), 9) ELSE 0e0 END
+                 AS fill_ratio,
+               CASE WHEN n_seqs > 0 THEN
+                 round(CAST(n_docs AS DOUBLE) / n_seqs, 9)
+                 ELSE 0e0 END AS docs_per_seq
+        FROM s
+        """
+
+    from pennsieve_streaming_spark.llm.dedup import (
+        pow2_chain as _p2c,
+    )
+
+    _lt_splits = [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]
+    _lt_aggs = []
+    _lt_rows = []
+    for _b, _r in _lt_splits:
+        _jr = _p2c("jaccard", _r)
+        _p = f"(1.0e0 - {_p2c(f'(1.0e0 - {_jr})', _b)})"
+        _lt_aggs.append(
+            f"CAST(SUM(CAST(round({_p} * 1000000000) AS BIGINT)) "
+            f"AS BIGINT) AS _c_{_b}_{_r}"
+        )
+        _lt_aggs.append(
+            f"CAST(SUM(CASE WHEN jaccard < 0.2 THEN "
+            f"CAST(round({_p} * 1000000000) AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS _fp_{_b}_{_r}"
+        )
+        _lt_aggs.append(
+            f"CAST(SUM(CASE WHEN jaccard >= 0.2 THEN "
+            f"CAST(round((1.0e0 - {_p}) * 1000000000) AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS _fn_{_b}_{_r}"
+        )
+        _lt_rows.append(
+            f"SELECT COALESCE(n_pairs, 0) AS n_pairs, "
+            f"CAST({_b} AS BIGINT) AS n_bands, "
+            f"CAST({_r} AS BIGINT) AS rows_per_band, "
+            f"round(power(1.0e0 / {_b}, 1.0e0 / {_r}), 9) "
+            f"AS s_curve_threshold, "
+            f"COALESCE(_c_{_b}_{_r}, CAST(0 AS BIGINT)) AS exp_cand_nano, "
+            f"COALESCE(_fp_{_b}_{_r}, CAST(0 AS BIGINT)) AS exp_fp_nano, "
+            f"COALESCE(_fn_{_b}_{_r}, CAST(0 AS BIGINT)) AS exp_fn_nano "
+            f"FROM g"
+        )
+    sql["doc_lsh_tuning"] = f"""
+        WITH {DOC_PRE},
+        ok_sh AS (
+          SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= {JACCARD_MAX_DF}
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        ints AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM sh a
+          JOIN ok_sh o ON a.sh = o.sh
+          JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT i.inter / CAST(sa.n + sb.n - i.inter AS DOUBLE)
+                   AS jaccard
+          FROM ints i
+          JOIN sizes sa ON i.doc_a = sa.doc_id
+          JOIN sizes sb ON i.doc_b = sb.doc_id
+        ),
+        g AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 {", ".join(_lt_aggs)}
+          FROM pairs
+        )
+        {" UNION ALL ".join(_lt_rows)}
+        """
+
+    sql["doc_corpus_build"] = f"""
+        WITH keep AS (
+          SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ),
+        doc_toks AS (
+          SELECT d.doc_id, d.lang, d.source, d.text, {TOKS} AS toks
+          FROM documents d JOIN keep USING (doc_id)
+        ),
+        q AS (
+          SELECT doc_id,
+                 (CASE WHEN length(text) = 0 THEN CAST(0 AS DOUBLE)
+                       ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                            / CAST(length(text) AS DOUBLE) END) * 0.5e0
+                 + len(list_filter(toks, t -> list_contains([{_stop_arr}], lower(t))))
+                   / CAST(len(toks) AS DOUBLE) * 0.3e0
+                 + least(CAST(len(toks) AS BIGINT), 200)
+                   / CAST(200.0 AS DOUBLE) * 0.2e0 AS quality
+          FROM doc_toks
+        ),
+        rep AS (
+          SELECT doc_id, {_dup_ratio_duck(3)} AS dup_3gram_ratio
+          FROM doc_toks
+        ),
+        grams AS (
+          SELECT doc_id, UNNEST({_ngram_duck(3)}) AS s FROM doc_toks
+        ),
+        doc_sh AS (SELECT DISTINCT doc_id, {PH_S} AS sh FROM grams),
+        bgrams AS (
+          SELECT doc_id, UNNEST({_ngram_duck(3)}) AS s
+          FROM (SELECT doc_id, text, {TOKS} AS toks FROM documents
+                WHERE doc_id % {CONTAM_BENCH_MOD} = 0)
+        ),
+        bench AS (SELECT DISTINCT {PH_S} AS sh FROM bgrams),
+        ov AS (
+          SELECT d.doc_id, COUNT(*) AS n_sh, COUNT(b.sh) AS n_ov
+          FROM doc_sh d LEFT JOIN bench b USING (sh) GROUP BY d.doc_id
+        ),
+        contam AS (
+          SELECT t.doc_id,
+                 CASE WHEN COALESCE(ov.n_sh, 0) = 0 THEN CAST(0 AS DOUBLE)
+                      ELSE ov.n_ov / CAST(ov.n_sh AS DOUBLE)
+                 END AS overlap_ratio
+          FROM doc_toks t LEFT JOIN ov ON t.doc_id = ov.doc_id
+        ),
+        kept AS (
+          SELECT d.doc_id, d.source
+          FROM doc_toks d
+          JOIN q USING (doc_id) JOIN rep USING (doc_id)
+          JOIN contam USING (doc_id)
+          WHERE {_u} < ({_rate})
+            AND q.quality >= 0.3
+            AND rep.dup_3gram_ratio <= 0.2
+            AND contam.overlap_ratio <= 0.5
+        ),
+        surv AS (
+          SELECT t.source, {N_TOKENS_DUCK} AS n_tokens
+          FROM doc_toks t JOIN kept USING (doc_id)
+        ),
+        per_in AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_input
+          FROM documents GROUP BY source
+        ),
+        per_dd AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact_unique
+          FROM doc_toks GROUP BY source
+        ),
+        per_kept AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                 CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+          FROM surv GROUP BY source
+        ),
+        j AS (
+          SELECT i.source, i.n_input,
+                 COALESCE(d.n_exact_unique, CAST(0 AS BIGINT))
+                   AS n_exact_unique,
+                 COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+                 COALESCE(k.kept_tokens, CAST(0 AS BIGINT))
+                   AS kept_tokens
+          FROM per_in i
+          LEFT JOIN per_dd d ON i.source = d.source
+          LEFT JOIN per_kept k ON i.source = k.source
+        ),
+        s AS (
+          SELECT *,
+                 CASE WHEN kept_tokens = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST((kept_tokens + {PACK_BUDGET - 1})
+                        // {PACK_BUDGET} AS BIGINT) END AS n_seqs
+          FROM j
+        )
+        SELECT source, n_input, n_exact_unique, n_kept, kept_tokens,
+               n_seqs,
+               CASE WHEN n_seqs > 0 THEN
+                 round(CAST(kept_tokens AS DOUBLE)
+                   / (n_seqs * {PACK_BUDGET}), 9) ELSE 0e0 END
+                 AS fill_ratio
+        FROM s
+        """
+
+    # stream flavor of the screened decontamination: stateless
+    # projection => the batch oracle gates the stream verbatim
+    sql["stream_contamination"] = sql["doc_contamination_screened"]
 
     return sql
 

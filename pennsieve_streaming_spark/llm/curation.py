@@ -2197,3 +2197,186 @@ def contamination_screened(
     ).withColumn(
         "contaminated", F.col("overlap_ratio") > F.lit(threshold)
     )
+
+
+def contamination_by_source(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    n_bits: int | None = None,
+    fast_hash: bool = False,
+) -> DataFrame:
+    """Per-source rollup of the screened decontamination verdicts —
+    the governance view a corpus build actually reports ("which feeds
+    are leaking the eval set"): for each document source, how many
+    docs the bloom pre-screen flagged, how many the exact audit
+    confirmed, and the integer overlap mass. Verdicts are computed by
+    the :func:`contamination_screened` rule verbatim (bloom screen as
+    ONE narrow corpus map, exact ``array_intersect`` behind the ratio
+    gate on flagged rows only), with ``source`` carried through the
+    same single scan — no join back to the corpus.
+
+    Determinism: counts and overlap/shingle masses are exact BIGINTs
+    (sums of exact per-doc integers — no float ever aggregates);
+    rates are single fixed divisions rounded to 9 dp.
+
+    Output: (source, n_docs, n_flagged, n_contaminated, sum_overlap,
+    sum_shingles, flagged_rate, contamination_rate).
+
+    Plan / 100 TB: the corpus side is one narrow map + ONE partial-agg
+    groupBy to |sources| rows; the bitset and benchmark array ride the
+    1-row broadcasts exactly as in contamination_screened.
+    """
+    if n_bits is not None:
+        _bloom_p2(n_bits)  # validate up front: ValueError off-ladder
+    bench_set = benchmark_shingle_set(benchmark, k, fast_hash)
+    bench_hashes = [
+        int(h) for h in (bench_set.collect()[0]["bench_sh"] or [])
+    ]
+    m = bloom_bits_for(len(bench_hashes)) if n_bits is None else n_bits
+    words = bloom_words_from_hashes(bench_hashes, m)
+    spark = documents.sparkSession
+    wdf = spark.createDataFrame([(words,)], "bloom_words array<bigint>")
+    test = bloom_test_col_expr("h", m)
+    sh_arr = shingle_hash_arr_expr(k, fast_hash)
+    docs = documents.select(
+        "doc_id", "source", F.expr(TOKS).alias("toks")
+    ).select("doc_id", "source", F.expr(sh_arr).alias("doc_sh"))
+    screened = docs.crossJoin(F.broadcast(wdf)).select(
+        "doc_id",
+        "source",
+        "doc_sh",
+        F.expr("size(doc_sh)").cast("long").alias("n_shingles"),
+        F.expr(f"size(filter(doc_sh, h -> {test}))")
+        .cast("long")
+        .alias("n_bloom_hits"),
+    )
+    audited = screened.crossJoin(F.broadcast(bench_set)).select(
+        "source",
+        "n_shingles",
+        F.expr(
+            f"CASE WHEN CAST(n_bloom_hits AS DOUBLE) > "
+            f"{threshold} * CAST(n_shingles AS DOUBLE) "
+            "THEN 1 ELSE 0 END"
+        ).alias("_flagged"),
+        F.expr(
+            f"CASE WHEN CAST(n_bloom_hits AS DOUBLE) <= "
+            f"{threshold} * CAST(n_shingles AS DOUBLE) "
+            "THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(size(array_intersect(doc_sh, bench_sh)) "
+            "AS BIGINT) END"
+        ).alias("n_overlap"),
+    ).withColumn(
+        "_contam",
+        F.expr(
+            "CASE WHEN n_shingles = 0 THEN 0 WHEN "
+            "(n_overlap / CAST(n_shingles AS DOUBLE)) > "
+            f"{threshold} THEN 1 ELSE 0 END"
+        ),
+    )
+    g = audited.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_flagged").cast("long").alias("n_flagged"),
+        F.sum("_contam").cast("long").alias("n_contaminated"),
+        F.sum("n_overlap").cast("long").alias("sum_overlap"),
+        F.sum("n_shingles").cast("long").alias("sum_shingles"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_flagged",
+        "n_contaminated",
+        "sum_overlap",
+        "sum_shingles",
+        F.expr(
+            "round(CAST(n_flagged AS DOUBLE) / n_docs, 9)"
+        ).alias("flagged_rate"),
+        F.expr(
+            "round(CAST(n_contaminated AS DOUBLE) / n_docs, 9)"
+        ).alias("contamination_rate"),
+    )
+
+
+def pack_efficiency(
+    doc_tokens: DataFrame, budget: int = 256, shard_col: str = "source"
+) -> DataFrame:
+    """Per-shard packing-efficiency panel over ANY per-document token
+    counting (whitespace tokens, BPE subtokens — the caller chooses
+    the tokenizer): apply the :func:`pack_sequences` concat-and-chunk
+    rule to (doc_id, shard, n_tokens) rows and report what the packed
+    shard actually costs — total tokens, sequence count, fill ratio
+    (1 − padding waste of the ragged last sequence), how many
+    documents straddle a sequence boundary (attention-mask /
+    cross-contamination pressure), and docs per sequence.
+
+    Determinism: offsets/sequence indices are the exact pack rule;
+    counts and token masses are exact BIGINTs; n_seqs is the exact
+    integer ceil; fill/docs-per-seq are single fixed divisions
+    rounded to 9 dp (an empty shard reports 0 sequences and the 0.0
+    sentinels).
+
+    Output: (shard_col, n_docs, total_tokens, n_seqs, n_split_docs,
+    fill_ratio, docs_per_seq).
+
+    Plan / 100 TB: the pack window runs per shard (the pack_sequences
+    contract); the rollup is ONE partial-agg groupBy to |shards| rows.
+    """
+    from pyspark.sql import Window
+
+    b = int(budget)
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per = (
+        doc_tokens.select(
+            "doc_id", shard_col, F.col("n_tokens").cast("long")
+            .alias("n_tokens")
+        )
+        .withColumn(
+            "tok_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+        )
+        .select(
+            shard_col,
+            "n_tokens",
+            F.expr(f"CAST(FLOOR(tok_offset / {b}) AS BIGINT)").alias(
+                "start_seq"
+            ),
+            F.expr(
+                "CAST(CASE WHEN n_tokens = 0 "
+                f"THEN FLOOR(tok_offset / {b}) "
+                f"ELSE FLOOR((tok_offset + n_tokens - 1) / {b}) END "
+                "AS BIGINT)"
+            ).alias("end_seq"),
+        )
+    )
+    g = per.groupBy(shard_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(
+            F.expr("CASE WHEN end_seq > start_seq THEN 1 ELSE 0 END")
+        ).cast("long").alias("n_split_docs"),
+    )
+    n_seqs = (
+        "(CASE WHEN total_tokens = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE (total_tokens + {b - 1}) div {b} END)"
+    )
+    return g.select(
+        shard_col,
+        "n_docs",
+        "total_tokens",
+        F.expr(n_seqs).alias("n_seqs"),
+        "n_split_docs",
+        F.expr(
+            f"CASE WHEN {n_seqs} > 0 THEN "
+            f"round(CAST(total_tokens AS DOUBLE) / ({n_seqs} * {b}), 9) "
+            "ELSE 0e0 END"
+        ).alias("fill_ratio"),
+        F.expr(
+            f"CASE WHEN {n_seqs} > 0 THEN "
+            f"round(CAST(n_docs AS DOUBLE) / {n_seqs}, 9) "
+            "ELSE 0e0 END"
+        ).alias("docs_per_seq"),
+    )

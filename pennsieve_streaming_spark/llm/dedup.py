@@ -1214,3 +1214,101 @@ def dup_source_mix(pairs: DataFrame, documents: DataFrame) -> DataFrame:
         F.expr(share.format(c="n_within")).alias("within_share"),
         F.expr(share.format(c="n_cross")).alias("cross_share"),
     )
+
+
+# --- round-10 addition: LSH banding S-curve tuning panel ---------------
+
+
+def pow2_chain(x: str, e: int) -> str:
+    """``x`` raised to the power-of-two exponent ``e`` as a repeated-
+    squaring multiplication chain — pure IEEE multiplies with a FIXED
+    association, so the text evaluates bit-identically on Spark and
+    DuckDB (a libm ``pow`` would 1-ulp-diverge)."""
+    if e <= 0 or e & (e - 1):
+        raise ValueError(f"exponent {e} must be a positive power of two")
+    out = f"({x})"
+    while e > 1:
+        out = f"({out} * {out})"
+        e >>= 1
+    return out
+
+
+def lsh_tuning_panel(
+    pairs: DataFrame, n_perms: int = 16, tau: float = 0.2
+) -> DataFrame:
+    """Banding tuning panel: for every (bands b, rows r) split of the
+    ``n_perms`` MinHash signature (both powers of two), score the
+    banded-LSH S-curve P(candidate | j) = 1 − (1 − j^r)^b against the
+    OBSERVED df-capped exact-Jaccard pair distribution — expected
+    candidate mass, expected false-candidate mass (pairs below
+    ``tau``) and expected missed mass (pairs ≥ tau the banding would
+    skip). This answers the only LSH question that matters at 100 TB
+    — "which (b, r) do I run?" — from the corpus's own similarity
+    histogram instead of a rule of thumb (Leskovec/Rajaraman/Ullman
+    ch. 3 S-curve analysis, made data-driven).
+
+    Determinism: j is an exact integer division; every S-curve term
+    is a repeated-squaring multiplication chain (:func:`pow2_chain` —
+    no libm pow anywhere in the mass columns); per-pair probabilities
+    quantize to exact nano ints before the order-independent BIGINT
+    sums; the (1/b)^(1/r) threshold is the one pow-derived DISPLAY
+    column and sits inside round(..., 9) (the oracle ln-rule).
+
+    Output: one row per split (n_bands, rows_per_band, n_pairs,
+    s_curve_threshold, exp_cand_nano, exp_fp_nano, exp_fn_nano).
+
+    Plan / 100 TB: ONE aggregation pass over the pair table computes
+    all splits' masses (3·|splits| sum columns), then a constant-size
+    unpivot — the pair table is never re-scanned per split.
+    """
+    splits = []
+    b = int(n_perms)
+    r = 1
+    while b >= 1:
+        splits.append((b, r))
+        b >>= 1
+        r <<= 1
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_pairs")]
+    for b, r in splits:
+        jr = pow2_chain("jaccard", r)
+        p = f"(1.0D - {pow2_chain(f'(1.0D - {jr})', b)})"
+        aggs.append(
+            F.sum(
+                F.expr(f"CAST(round({p} * 1000000000D) AS BIGINT)")
+            ).cast("long").alias(f"_c_{b}_{r}")
+        )
+        aggs.append(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN jaccard < {tau!r} THEN "
+                    f"CAST(round({p} * 1000000000D) AS BIGINT) "
+                    "ELSE CAST(0 AS BIGINT) END"
+                )
+            ).cast("long").alias(f"_fp_{b}_{r}")
+        )
+        aggs.append(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN jaccard >= {tau!r} THEN "
+                    f"CAST(round((1.0D - {p}) * 1000000000D) AS BIGINT) "
+                    "ELSE CAST(0 AS BIGINT) END"
+                )
+            ).cast("long").alias(f"_fn_{b}_{r}")
+        )
+    g = pairs.agg(*aggs)
+    rows = ", ".join(
+        f"named_struct('n_bands', CAST({b} AS BIGINT), "
+        f"'rows_per_band', CAST({r} AS BIGINT), "
+        f"'s_curve_threshold', "
+        f"round(power(1.0D / {b}, 1.0D / {r}), 9), "
+        f"'exp_cand_nano', coalesce(_c_{b}_{r}, CAST(0 AS BIGINT)), "
+        f"'exp_fp_nano', coalesce(_fp_{b}_{r}, CAST(0 AS BIGINT)), "
+        f"'exp_fn_nano', coalesce(_fn_{b}_{r}, CAST(0 AS BIGINT)))"
+        for b, r in splits
+    )
+    return g.select(
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias(
+            "n_pairs"
+        ),
+        F.expr(f"inline(array({rows}))"),
+    )

@@ -2624,8 +2624,8 @@ def weekend_effect(events: DataFrame) -> DataFrame:
 
 
 # --- round-10 addition: robust daily-volume anomaly screen ------------
+# (DAY_US is the module-level day constant defined at the top)
 
-DAY_US = 86_400 * 1_000_000
 ANOM_Z_NUM = 51_891  # 10^4 · 3.5 · 1.4826 — the integer gate scale
 
 

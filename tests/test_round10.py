@@ -542,3 +542,150 @@ def test_lsh_bucket_balance_identical_vectors_one_bucket(spark):
         # degenerate skew case the panel exists to flag
         assert (r.n_buckets, r.max_bucket) == (1, 10)
         assert r.sum_sq == 100 and r.expected_probe == 10.0
+
+
+# --- wave-4 operators: hand goldens --------------------------------------
+
+
+def test_pack_efficiency_golden(spark):
+    from pennsieve_streaming_spark.llm.curation import pack_efficiency
+
+    df = spark.createDataFrame(
+        [(0, "s", 100), (1, "s", 100), (2, "s", 100)],
+        "doc_id long, source string, n_tokens long",
+    )
+    r = pack_efficiency(df, budget=256).collect()
+    assert len(r) == 1
+    r = r[0]
+    # offsets 0/100/200: doc2 spans seqs 0..1 -> 1 split doc;
+    # 300 tokens -> 2 sequences -> fill 300/512
+    assert (r.n_docs, r.total_tokens, r.n_seqs, r.n_split_docs) == (
+        3, 300, 2, 1,
+    )
+    assert r.fill_ratio == round(300 / 512, 9)
+    assert r.docs_per_seq == 1.5
+
+
+def test_pack_efficiency_empty_shard_sentinels(spark):
+    from pennsieve_streaming_spark.llm.curation import pack_efficiency
+
+    df = spark.createDataFrame(
+        [(0, "s", 0), (1, "s", 0)],
+        "doc_id long, source string, n_tokens long",
+    )
+    r = pack_efficiency(df, budget=256).collect()[0]
+    assert (r.total_tokens, r.n_seqs) == (0, 0)
+    assert r.fill_ratio == 0.0 and r.docs_per_seq == 0.0
+
+
+def test_contamination_by_source_equals_screened_rollup(spark):
+    from pennsieve_streaming_spark.llm.curation import (
+        contamination_by_source,
+        contamination_screened,
+    )
+
+    texts = [
+        ("alpha beta gamma delta epsilon zeta", "web"),
+        ("alpha beta gamma something else here", "web"),
+        ("unrelated words with no overlap at all", "books"),
+        ("x", "books"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    bench = docs.filter(F.col("doc_id") == 0)
+    per_doc = {
+        r.doc_id: r
+        for r in contamination_screened(docs, bench, k=3).collect()
+    }
+    srcs = {i: s for i, (_, s) in enumerate(texts)}
+    by_src = {
+        r.source: r
+        for r in contamination_by_source(docs, bench, k=3).collect()
+    }
+    for src in ("web", "books"):
+        ids = [i for i, s in srcs.items() if s == src]
+        assert by_src[src].n_docs == len(ids)
+        assert by_src[src].n_contaminated == sum(
+            1 for i in ids if per_doc[i].contaminated
+        )
+        assert by_src[src].sum_overlap == sum(
+            per_doc[i].n_overlap for i in ids
+        )
+        assert by_src[src].sum_shingles == sum(
+            per_doc[i].n_shingles for i in ids
+        )
+
+
+def test_lsh_tuning_identical_pair_golden(spark):
+    from pennsieve_streaming_spark.llm.dedup import (
+        lsh_tuning_panel,
+        shingles,
+        jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    pairs = jaccard_pairs(shingles(docs), max_doc_freq=64)
+    out = {(r.n_bands, r.rows_per_band): r
+           for r in lsh_tuning_panel(pairs, n_perms=16).collect()}
+    assert set(out) == {(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)}
+    for r in out.values():
+        # the single pair has j = 1.0: P(candidate) = 1 for every
+        # split, no false-positive mass, no missed mass
+        assert r.n_pairs == 1
+        assert r.exp_cand_nano == 1_000_000_000
+        assert r.exp_fp_nano == 0 and r.exp_fn_nano == 0
+    assert out[(16, 1)].s_curve_threshold == round(1 / 16, 9)
+    assert out[(1, 16)].s_curve_threshold == 1.0
+
+
+def test_lsh_tuning_empty_pairs_zero_rows(spark):
+    from pennsieve_streaming_spark.llm.dedup import lsh_tuning_panel
+
+    pairs = spark.createDataFrame([], "jaccard double")
+    out = lsh_tuning_panel(pairs, n_perms=16).collect()
+    assert len(out) == 5
+    assert all(
+        r.n_pairs == 0 and r.exp_cand_nano == 0 and r.exp_fn_nano == 0
+        for r in out
+    )
+
+
+def test_pow2_chain_values_and_validation():
+    import pytest as _pytest
+
+    from pennsieve_streaming_spark.llm.dedup import pow2_chain
+
+    # the chain evaluates to x^e exactly (python eval as the referee)
+    for e in (1, 2, 4, 8, 16):
+        expr = pow2_chain("x", e).replace(" ", "")
+        assert eval(expr, {"x": 0.7}) == 0.7**e or e > 2
+        # association fixed: repeated squaring equals ((x^2)^2)... in
+        # IEEE too
+        acc = 0.7
+        k = e
+        while k > 1:
+            acc = acc * acc
+            k >>= 1
+        assert eval(expr, {"x": 0.7}) == acc
+    for bad in (0, 3, 6, -2):
+        with _pytest.raises(ValueError):
+            pow2_chain("x", bad)
+
+
+def test_corpus_build_funnel_invariants(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    out = entry.q_corpus_build(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.n_input >= r.n_exact_unique >= r.n_kept >= 0
+        if r.kept_tokens > 0:
+            assert r.n_seqs == (r.kept_tokens + 255) // 256
+            assert 0 < r.fill_ratio <= 1.0
+        else:
+            assert r.n_seqs == 0 and r.fill_ratio == 0.0
