@@ -1861,7 +1861,12 @@ def pitch_track(
         F.count(F.lit(1)).alias("_n"),
         F.sum("xq").cast("long").alias("_s"),
     )
-    d = (
+    from pennsieve_streaming_spark.util import pin
+
+    # d feeds THREE subtrees (R(0) plus both legs of the lag
+    # self-join): pin the demeaned table so the ranking-window pass
+    # runs once, not three times over the raw scan
+    d = pin(
         ranked.join(per, ["channel", "win"])
         .filter(F.col("_n") == fr)
         .select(
@@ -1972,8 +1977,13 @@ def tempo_estimate(
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.expr("xq * xq")).cast("long").alias("_e"),
     ).filter(F.col("_n") == fr)
+    from pennsieve_streaming_spark.util import pin
+
     ow = Window.partitionBy("channel").orderBy("win")
-    o = (
+    # the onset table feeds R(0) plus both self-join legs: pin it so
+    # the frame rollup + lag window run once (|samples|/frame rows —
+    # a cheap checkpoint vs three recomputes of the raw-scan window)
+    o = pin(
         en.withColumn("_ep", F.lag("_e").over(ow))
         .filter(F.col("_ep").isNotNull())
         .select(
