@@ -5337,6 +5337,81 @@ def q_audio_snr(spark, sf_dir):
     )
 
 
+def q_classifier_calibration(spark, sf_dir):
+    """Reliability diagram for the distilled quality classifier:
+    scores bucketed into deciles, per-bucket label rate vs mean
+    predicted score and the calibration gap — the is-the-score-a-
+    probability eval every model-based filter needs before its scores
+    drive sampling temperatures. Scores are the 9-dp-quantized
+    sigmoids (bit-replayable), so decile edges, nano-int score sums
+    and the single-expression gap are engine-exact."""
+    cls = q_quality_classifier(spark, sf_dir)
+    g = cls.select(
+        F.expr(
+            "least(CAST(floor(score * 10) AS BIGINT), CAST(9 AS BIGINT))"
+        ).alias("decile"),
+        F.expr("CASE WHEN label THEN 1 ELSE 0 END").alias("_pos"),
+        F.expr("CAST(round(score * 1000000000) AS BIGINT)").alias("_sn"),
+    ).groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_pos").cast("long").alias("n_label_pos"),
+        F.sum("_sn").cast("long").alias("_sum_nano"),
+    )
+    return g.select(
+        "decile",
+        "n_docs",
+        "n_label_pos",
+        F.expr(
+            "round(CAST(n_label_pos AS DOUBLE) / n_docs, 9)"
+        ).alias("label_rate"),
+        F.expr(
+            "round(CAST(_sum_nano AS DOUBLE) / n_docs / 1e9, 9)"
+        ).alias("mean_score"),
+        F.expr(
+            "round(CAST(_sum_nano AS DOUBLE) / n_docs / 1e9 "
+            "- CAST(n_label_pos AS DOUBLE) / n_docs, 9)"
+        ).alias("calib_gap"),
+    )
+
+
+SHARD_COUNT = 8
+
+
+def q_shard_manifest(spark, sf_dir):
+    """Deterministic training-shard manifest: every doc hashed to one
+    of 8 shards (the stratified-sample hash discipline — stable under
+    re-runs and engine-portable), with per-shard doc/token/char
+    masses and an order-independent content checksum (sum of per-doc
+    md5-int64 digests mod 2^63) — the reproducibility artifact a
+    corpus export publishes so a training job can verify its inputs."""
+    from pennsieve_streaming_spark.llm.curation import N_TOKENS
+    from pennsieve_streaming_spark.llm.hashing import md5_hash64_expr
+
+    docs = _docs(spark, sf_dir)
+    h = md5_hash64_expr("text")
+    return (
+        docs.select(
+            F.expr(f"pmod({md5_hash64_expr('CAST(doc_id AS STRING)')}, "
+                   f"{SHARD_COUNT})").cast("long").alias("shard"),
+            F.expr(N_TOKENS).alias("_nt"),
+            F.expr("CAST(length(text) AS BIGINT)").alias("_nc"),
+            F.expr(h).alias("_h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+            F.sum("_nc").cast("long").alias("n_chars"),
+            # _h is the non-negative 60-bit md5 prefix, so plain %
+            # equals pmod on both engines; the DECIMAL(38,0) sum is
+            # exact at any shard size
+            F.expr(
+                "sum(CAST(_h AS DECIMAL(38,0))) % 9223372036854775807"
+            ).cast("long").alias("checksum"),
+        )
+    )
+
+
 def q_stream_contamination(spark, sf_dir):
     """Streaming screened decontamination drained with availableNow:
     the batch bloom->exact rule as a STATELESS stream-static
@@ -5875,7 +5950,10 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # longest-stable ts-core queries last. Keep new work at the top; the
     # live gate order is then refined by _rotation_order in queries().
     q = {
-        # round-10 wave-4 additions (newest first)
+        # round-10 wave-5 additions (newest first)
+        "doc_classifier_calibration": q_classifier_calibration,
+        "doc_shard_manifest": q_shard_manifest,
+        # round-10 wave-4 additions
         "stream_contamination": q_stream_contamination,
         "doc_corpus_build": q_corpus_build,
         "doc_pack_efficiency": q_pack_efficiency,
@@ -19238,6 +19316,54 @@ def oracle_sql() -> dict[str, str]:
     # stream flavor of the screened decontamination: stateless
     # projection => the batch oracle gates the stream verbatim
     sql["stream_contamination"] = sql["doc_contamination_screened"]
+
+    # --- round-10 wave-5 oracles ---------------------------------------
+
+    sql["doc_classifier_calibration"] = f"""
+        WITH cls AS (SELECT * FROM ({sql["doc_quality_classifier"]})),
+        b AS (
+          SELECT least(CAST(floor(score * 10) AS BIGINT),
+                       CAST(9 AS BIGINT)) AS decile,
+                 CASE WHEN label THEN 1 ELSE 0 END AS _pos,
+                 CAST(round(score * 1000000000) AS BIGINT) AS _sn
+          FROM cls
+        ),
+        g AS (
+          SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(_pos) AS BIGINT) AS n_label_pos,
+                 CAST(SUM(_sn) AS BIGINT) AS _sum_nano
+          FROM b GROUP BY decile
+        )
+        SELECT decile, n_docs, n_label_pos,
+               round(CAST(n_label_pos AS DOUBLE) / n_docs, 9)
+                 AS label_rate,
+               round(CAST(_sum_nano AS DOUBLE) / n_docs / 1e9, 9)
+                 AS mean_score,
+               round(CAST(_sum_nano AS DOUBLE) / n_docs / 1e9
+                 - CAST(n_label_pos AS DOUBLE) / n_docs, 9) AS calib_gap
+        FROM g
+        """
+
+    _sm_h = md5_hash64_duck("text")
+    _sm_doch = md5_hash64_duck("CAST(doc_id AS VARCHAR)")
+    sql["doc_shard_manifest"] = f"""
+        WITH t AS (
+          SELECT ((({_sm_doch}) % {SHARD_COUNT}) + {SHARD_COUNT})
+                   % {SHARD_COUNT} AS shard,
+                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len({TOKS}) END AS BIGINT) AS _nt,
+                 CAST(length(text) AS BIGINT) AS _nc,
+                 {_sm_h} AS _h
+          FROM documents
+        )
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(_nt) AS BIGINT) AS n_tokens,
+               CAST(SUM(_nc) AS BIGINT) AS n_chars,
+               CAST(SUM(CAST(_h AS HUGEINT)) % 9223372036854775807
+                 AS BIGINT) AS checksum
+        FROM t GROUP BY shard
+        """
 
     return sql
 

@@ -689,3 +689,77 @@ def test_corpus_build_funnel_invariants(spark, sf_dir):
             assert 0 < r.fill_ratio <= 1.0
         else:
             assert r.n_seqs == 0 and r.fill_ratio == 0.0
+
+
+# --- wave-5 operators: hand goldens --------------------------------------
+
+
+def test_shard_manifest_golden(spark, tmp_path):
+    import __spark_entry__ as entry
+    from pennsieve_streaming_spark.llm.hashing import md5_hash64_expr
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta") for i in range(6)],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "mini")
+    docs.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    out = entry.q_shard_manifest(spark, d).collect()
+    # shard assignment replayed independently; per-shard masses exact
+    ref = docs.selectExpr(
+        f"pmod({md5_hash64_expr('CAST(doc_id AS STRING)')}, 8) AS shard",
+        "doc_id",
+        f"{md5_hash64_expr('text')} AS h",
+    ).collect()
+    import collections
+    exp = collections.defaultdict(lambda: [0, 0, 0, 0])
+    texts = {i: f"tok{i} alpha beta" for i in range(6)}
+    for r in ref:
+        e = exp[r.shard]
+        e[0] += 1
+        e[1] += 3                      # 3 whitespace tokens each
+        e[2] += len(texts[r.doc_id])
+        e[3] = (e[3] + r.h) % 9223372036854775807
+    got = {r.shard: (r.n_docs, r.n_tokens, r.n_chars, r.checksum)
+           for r in out}
+    assert got == {s: tuple(v) for s, v in exp.items()}
+    assert sum(v[0] for v in exp.values()) == 6  # every doc in a shard
+
+
+def test_shard_manifest_checksum_order_independent(spark, tmp_path):
+    import __spark_entry__ as entry
+
+    rows = [(i, f"text number {i}") for i in range(8)]
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1).write.parquet(f"{d1}/documents.parquet")
+    spark.createDataFrame(list(reversed(rows)), "doc_id long, text string") \
+        .repartition(4).write.parquet(f"{d2}/documents.parquet")
+    a = {r.shard: r.checksum
+         for r in entry.q_shard_manifest(spark, d1).collect()}
+    b = {r.shard: r.checksum
+         for r in entry.q_shard_manifest(spark, d2).collect()}
+    assert a == b  # row order / partitioning never changes a manifest
+
+
+def test_classifier_calibration_invariants(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    out = entry.q_classifier_calibration(spark, sf_dir).collect()
+    assert 1 <= len(out) <= 10
+    n_total = sum(r.n_docs for r in out)
+    cls = entry.q_quality_classifier(spark, sf_dir).collect()
+    assert n_total == len(cls)
+    for r in out:
+        assert 0 <= r.decile <= 9
+        assert 0 <= r.n_label_pos <= r.n_docs
+        assert r.label_rate == round(r.n_label_pos / r.n_docs, 9)
+        # mean score must sit inside its decile's value range
+        assert r.decile / 10 - 1e-9 <= r.mean_score <= (
+            (r.decile + 1) / 10 + 1e-9 if r.decile < 9 else 1.0
+        )
+        assert r.calib_gap == round(
+            r.mean_score - r.n_label_pos / r.n_docs, 9
+        ) or abs(
+            r.calib_gap - (r.mean_score - r.label_rate)
+        ) < 2e-9
