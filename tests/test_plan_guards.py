@@ -32,3 +32,20 @@ def test_heavy_family_plans_keep_their_shape(spark, sf_dir):
     }
     assert all(v > 0 for v in results.values())
     assert smoke.plan_problems(plans) == []
+
+
+def test_pitch_tempo_pin_holds(spark, sf_dir):
+    """The r10 audit caught the pitch/tempo frame tables re-running
+    their ranking window once per consuming subtree (24 parquet scans
+    in the executed plan). The fix pins (localCheckpoints) the table;
+    this guard asserts the executed plan reads the checkpoint instead
+    of re-scanning parquet, so the regression can't sneak back."""
+    import __spark_entry__ as entry
+
+    for name in ("mm_audio_pitch", "mm_audio_tempo"):
+        df = entry.queries()[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_scans = plan.count("FileScan") + plan.count("Scan parquet")
+        assert n_scans == 0, f"{name}: {n_scans} raw scans after pin"
+        assert "CartesianProduct" not in plan
