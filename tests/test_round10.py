@@ -763,3 +763,15 @@ def test_classifier_calibration_invariants(spark, sf_dir):
         ) or abs(
             r.calib_gap - (r.mean_score - r.label_rate)
         ) < 2e-9
+
+
+def test_mmd_linear_single_group_empty_output(spark):
+    from pennsieve_streaming_spark.llm.similarity import mmd_linear
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0], 0) for i in range(4)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    # group 1 empty -> zero complete pairs -> empty result (matches
+    # the oracle's WHERE n_pairs > 0), never a crash or a NULL row
+    assert mmd_linear(df).collect() == []
