@@ -102,6 +102,13 @@ def audit() -> dict:
     qs = entry._queries_raw()
     for name, fn in qs.items():
         name_refs = len(re.findall(rf"\b{re.escape(name)}\b", corpus))
+        # tests that drive the registry entry through its q_ function
+        # (the back-fill pattern) count too
+        fname = getattr(fn, "__name__", "")
+        if fname and fname != name:
+            name_refs += len(
+                re.findall(rf"\b{re.escape(fname)}\b", corpus)
+            )
         ops = _ops_for(fn)
         op_refs = sum(
             len(re.findall(rf"\b{re.escape(op)}\b", corpus))
