@@ -1998,18 +1998,31 @@ def tempo_estimate(
         F.count(F.lit(1)).cast("long").alias("n_frames"),
         F.sum(F.expr("CAST(_o AS DECIMAL(38,0)) * _o")).alias("_r0"),
     )
-    a, b = o.alias("a"), o.alias("b")
+    # blocked-halo lag join (the asof_join_blocked discipline): a
+    # plain channel equi-join with a band FILTER is quadratic in
+    # frames per channel (the r10 sf1 point measured x12 at x10
+    # frames); blocking win into hi-sized buckets and emitting each
+    # b-row under (bucket, bucket+1) keys makes the join equi on
+    # (channel, bucket) with <= 2·hi candidates per row — linear.
+    a = o.withColumn("_bk", F.expr(f"win div {hi}"))
+    b = o.select(
+        "channel",
+        F.col("win").alias("_bwin"),
+        F.col("_o").alias("_bo"),
+        F.explode(
+            F.expr(f"array(win div {hi}, win div {hi} + 1)")
+        ).alias("_bk"),
+    )
     r = (
-        a.join(
-            b,
-            (F.col("a.channel") == F.col("b.channel"))
-            & (F.col("a.win") - F.col("b.win") >= lo)
-            & (F.col("a.win") - F.col("b.win") <= hi),
+        a.join(b, ["channel", "_bk"])
+        .filter(
+            (F.col("win") - F.col("_bwin") >= lo)
+            & (F.col("win") - F.col("_bwin") <= hi)
         )
         .select(
-            F.col("a.channel").alias("channel"),
-            (F.col("a.win") - F.col("b.win")).alias("lag"),
-            F.expr("CAST(a._o AS DECIMAL(38,0)) * b._o").alias("_p"),
+            "channel",
+            (F.col("win") - F.col("_bwin")).alias("lag"),
+            F.expr("CAST(_o AS DECIMAL(38,0)) * _bo").alias("_p"),
         )
         .groupBy("channel", "lag")
         .agg(F.sum("_p").alias("_r"))
