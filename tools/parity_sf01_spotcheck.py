@@ -37,6 +37,14 @@ QUERIES = [
     "ts_mann_kendall", "ev_mann_whitney", "ev_ab_cuped",
     "emb_intrinsic_dim", "doc_lexical_diversity",
     "mm_audio_dynamic_range", "ts_turning_points", "ts_cointegration",
+    # round-10 float-finish additions: R²/sqrt (arch, cp/cpk, ks, z),
+    # log10 dB, pow-threshold display, sigmoid-decile calibration
+    "ts_arch_lm", "ts_process_capability", "ts_ks_two_sample",
+    "ev_daily_anomalies", "mm_audio_snr", "mm_audio_pitch",
+    "mm_audio_tempo", "emb_mmd", "doc_lsh_tuning",
+    "doc_classifier_calibration", "doc_corpus_build",
+    "doc_contamination_by_source", "doc_pack_efficiency",
+    "emb_lsh_bucket_balance", "mm_image_palette", "doc_shard_manifest",
 ]
 
 
