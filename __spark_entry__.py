@@ -5337,6 +5337,97 @@ def q_audio_snr(spark, sf_dir):
     )
 
 
+def q_dedup_token_funnel(spark, sf_dir):
+    """Dedup-funnel shrinkage in TOKEN mass, not doc counts — the
+    number a training-budget owner actually needs (docs_remaining
+    says how many rows survived; tokens_remaining says how much
+    training data). Text stages only (total -> exact content digest
+    -> near-dup cluster survivors); every stage composes an
+    already-gated operator and all masses are exact BIGINTs."""
+    from pennsieve_streaming_spark.llm.curation import N_TOKENS
+    from pennsieve_streaming_spark.llm.dedup import exact_dedup
+    from pennsieve_streaming_spark.llm.graph import cluster_dedup
+
+    docs = _docs(spark, sf_dir)
+    d = docs.select("doc_id", F.expr(N_TOKENS).alias("_nt"))
+    keep = exact_dedup(docs).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    near = cluster_dedup(docs, _verified_pairs(spark, sf_dir)).select(
+        "doc_id"
+    )
+
+    def stage(name, ids=None):
+        base = d if ids is None else d.join(ids, "doc_id", "left_semi")
+        return base.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("docs_remaining"),
+            F.sum("_nt").cast("long").alias("tokens_remaining"),
+        )
+    out = (
+        stage("0_total")
+        .unionByName(stage("1_exact", keep))
+        .unionByName(stage("2_near_dup", near))
+    )
+    tot = d.agg(F.sum("_nt").cast("long").alias("_tt"))
+    return out.crossJoin(F.broadcast(tot)).select(
+        "stage",
+        "docs_remaining",
+        "tokens_remaining",
+        F.expr(
+            "round(CAST(tokens_remaining AS DOUBLE) / _tt, 9)"
+        ).alias("token_share"),
+    )
+
+
+def q_stream_shard_manifest(spark, sf_dir):
+    """Streaming shard manifest drained with availableNow: the
+    per-doc (shard, tokens, chars, digest) projection is STATELESS,
+    and the manifest finish (counts, masses, mod-2^63 checksum) is
+    commutative — so the drained rows aggregate to the batch
+    manifest bit-exactly and doc_shard_manifest's oracle gates the
+    stream verbatim. The ingest-time shape: the manifest accretes as
+    shards are written, no end-of-job corpus pass."""
+    import tempfile
+
+    from pennsieve_streaming_spark.llm.curation import N_TOKENS
+    from pennsieve_streaming_spark.llm.hashing import md5_hash64_expr
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="pss_stream_manifest_")
+    src = f"{base}/src"
+    docs.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(src)
+    rows = stream.select(
+        F.expr(
+            f"pmod({md5_hash64_expr('CAST(doc_id AS STRING)')}, "
+            f"{SHARD_COUNT})"
+        ).cast("long").alias("shard"),
+        F.expr(N_TOKENS).alias("_nt"),
+        F.expr("CAST(length(text) AS BIGINT)").alias("_nc"),
+        F.expr(md5_hash64_expr("text")).alias("_h"),
+    )
+    q = (
+        rows.writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.read.parquet(f"{base}/out")
+    return drained.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+        F.sum("_nc").cast("long").alias("n_chars"),
+        F.expr(
+            "sum(CAST(_h AS DECIMAL(38,0))) % 9223372036854775807"
+        ).cast("long").alias("checksum"),
+    )
+
+
 def q_classifier_calibration(spark, sf_dir):
     """Reliability diagram for the distilled quality classifier:
     scores bucketed into deciles, per-bucket label rate vs mean
@@ -5951,6 +6042,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # live gate order is then refined by _rotation_order in queries().
     q = {
         # round-10 wave-5 additions (newest first)
+        "doc_dedup_token_funnel": q_dedup_token_funnel,
+        "stream_shard_manifest": q_stream_shard_manifest,
         "doc_classifier_calibration": q_classifier_calibration,
         "doc_shard_manifest": q_shard_manifest,
         # round-10 wave-4 additions
@@ -19364,6 +19457,46 @@ def oracle_sql() -> dict[str, str]:
                  AS BIGINT) AS checksum
         FROM t GROUP BY shard
         """
+
+    sql["doc_dedup_token_funnel"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len({TOKS}) END AS BIGINT) AS _nt
+          FROM documents
+        ),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(_nt) AS BIGINT) AS t
+          FROM d
+        ),
+        keep AS (
+          SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ),
+        ex AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(_nt) AS BIGINT) AS t
+          FROM d JOIN keep USING (doc_id)
+        ),
+        near AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(d._nt) AS BIGINT) AS t
+          FROM ({sql["doc_cluster_dedup"]}) c JOIN d ON c.doc_id = d.doc_id
+        ),
+        u AS (
+          SELECT '0_total' AS stage, n, t FROM tot
+          UNION ALL SELECT '1_exact', n, t FROM ex
+          UNION ALL SELECT '2_near_dup', n, t FROM near
+        )
+        SELECT stage, n AS docs_remaining, t AS tokens_remaining,
+               round(CAST(t AS DOUBLE) / (SELECT t FROM tot), 9)
+                 AS token_share
+        FROM u
+        """
+
+    # stream flavor of the shard manifest: stateless projection +
+    # commutative finish => the batch oracle gates the stream verbatim
+    sql["stream_shard_manifest"] = sql["doc_shard_manifest"]
 
     return sql
 

@@ -775,3 +775,49 @@ def test_mmd_linear_single_group_empty_output(spark):
     # group 1 empty -> zero complete pairs -> empty result (matches
     # the oracle's WHERE n_pairs > 0), never a crash or a NULL row
     assert mmd_linear(df).collect() == []
+
+
+# --- wave-5b: token funnel + streaming manifest ---------------------------
+
+
+def test_dedup_token_funnel_golden(spark, tmp_path):
+    import __spark_entry__ as entry
+
+    # docs: 0 and 1 identical (4 tokens each), 2 unique (2 tokens);
+    # no near-dup pairs beyond the exact ones (identical docs ARE
+    # lsh pairs -> cluster stage keeps min id too)
+    docs = spark.createDataFrame(
+        [
+            (0, "w x y z", "en", "web", 7),
+            (1, "w x y z", "en", "web", 7),
+            (2, "p q", "en", "web", 3),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    d = str(tmp_path / "mini")
+    docs.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    out = {r.stage: r for r in
+           entry.q_dedup_token_funnel(spark, d).collect()}
+    assert (out["0_total"].docs_remaining,
+            out["0_total"].tokens_remaining) == (3, 10)
+    assert out["0_total"].token_share == 1.0
+    # exact: docs 0 and 2 survive -> 6 tokens
+    assert (out["1_exact"].docs_remaining,
+            out["1_exact"].tokens_remaining) == (2, 6)
+    assert out["1_exact"].token_share == 0.6
+    # near-dup cluster stage can only shrink further (identical pair
+    # collapses there too; doc 2 is under the shingle floor)
+    assert (out["2_near_dup"].docs_remaining,
+            out["2_near_dup"].tokens_remaining) == (2, 6)
+
+
+def test_stream_shard_manifest_equals_batch(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    batch = {r.shard: (r.n_docs, r.n_tokens, r.n_chars, r.checksum)
+             for r in entry.q_shard_manifest(spark, sf_dir).collect()}
+    stream = {r.shard: (r.n_docs, r.n_tokens, r.n_chars, r.checksum)
+              for r in
+              entry.q_stream_shard_manifest(spark, sf_dir).collect()}
+    assert batch == stream and len(batch) > 0
