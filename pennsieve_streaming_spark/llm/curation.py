@@ -2145,6 +2145,38 @@ def contamination_screened(
     shingle-array consulted only on flagged rows; zero joins, zero
     shuffles on the corpus side.
     """
+    audited = _screened_audit(
+        documents, benchmark, k, threshold, n_bits, fast_hash
+    )
+    return audited.select(
+        "doc_id",
+        "n_shingles",
+        "n_bloom_hits",
+        "n_overlap",
+        F.expr(
+            "CASE WHEN n_shingles = 0 THEN CAST(0 AS DOUBLE) "
+            "ELSE n_overlap / CAST(n_shingles AS DOUBLE) END"
+        ).alias("overlap_ratio"),
+    ).withColumn(
+        "contaminated", F.col("overlap_ratio") > F.lit(threshold)
+    )
+
+
+def _screened_audit(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    k: int,
+    threshold: float,
+    n_bits: int | None,
+    fast_hash: bool,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Shared core of the screened decontamination: build the bloom
+    model from the benchmark, screen the corpus in one narrow map,
+    run the ratio-gated exact audit — returning per-doc (doc_id,
+    *extra_cols, n_shingles, n_bloom_hits, n_overlap) for the public
+    flavors (:func:`contamination_screened` verdict table,
+    :func:`contamination_by_source` rollup) to finish."""
     if n_bits is not None:
         _bloom_p2(n_bits)  # validate up front: ValueError off-ladder
     bench_set = benchmark_shingle_set(benchmark, k, fast_hash)
@@ -2161,18 +2193,20 @@ def contamination_screened(
     # at 100x-smoke scale the hash dominates the screen's corpus scan.
     sh_arr = shingle_hash_arr_expr(k, fast_hash)
     docs = documents.select(
-        "doc_id", F.expr(TOKS).alias("toks")
-    ).select("doc_id", F.expr(sh_arr).alias("doc_sh"))
+        "doc_id", *extra_cols, F.expr(TOKS).alias("toks")
+    ).select("doc_id", *extra_cols, F.expr(sh_arr).alias("doc_sh"))
     screened = docs.crossJoin(F.broadcast(wdf)).select(
         "doc_id",
+        *extra_cols,
         "doc_sh",
         F.expr("size(doc_sh)").cast("long").alias("n_shingles"),
         F.expr(f"size(filter(doc_sh, h -> {test}))")
         .cast("long")
         .alias("n_bloom_hits"),
     )
-    audited = screened.crossJoin(F.broadcast(bench_set)).select(
+    return screened.crossJoin(F.broadcast(bench_set)).select(
         "doc_id",
+        *extra_cols,
         "n_shingles",
         "n_bloom_hits",
         # cross-multiplied ratio gate (no division - ANSI-safe at
@@ -2184,18 +2218,6 @@ def contamination_screened(
             "ELSE CAST(size(array_intersect(doc_sh, bench_sh)) "
             "AS BIGINT) END"
         ).alias("n_overlap"),
-    )
-    return audited.select(
-        "doc_id",
-        "n_shingles",
-        "n_bloom_hits",
-        "n_overlap",
-        F.expr(
-            "CASE WHEN n_shingles = 0 THEN CAST(0 AS DOUBLE) "
-            "ELSE n_overlap / CAST(n_shingles AS DOUBLE) END"
-        ).alias("overlap_ratio"),
-    ).withColumn(
-        "contaminated", F.col("overlap_ratio") > F.lit(threshold)
     )
 
 
@@ -2228,45 +2250,16 @@ def contamination_by_source(
     groupBy to |sources| rows; the bitset and benchmark array ride the
     1-row broadcasts exactly as in contamination_screened.
     """
-    if n_bits is not None:
-        _bloom_p2(n_bits)  # validate up front: ValueError off-ladder
-    bench_set = benchmark_shingle_set(benchmark, k, fast_hash)
-    bench_hashes = [
-        int(h) for h in (bench_set.collect()[0]["bench_sh"] or [])
-    ]
-    m = bloom_bits_for(len(bench_hashes)) if n_bits is None else n_bits
-    words = bloom_words_from_hashes(bench_hashes, m)
-    spark = documents.sparkSession
-    wdf = spark.createDataFrame([(words,)], "bloom_words array<bigint>")
-    test = bloom_test_col_expr("h", m)
-    sh_arr = shingle_hash_arr_expr(k, fast_hash)
-    docs = documents.select(
-        "doc_id", "source", F.expr(TOKS).alias("toks")
-    ).select("doc_id", "source", F.expr(sh_arr).alias("doc_sh"))
-    screened = docs.crossJoin(F.broadcast(wdf)).select(
-        "doc_id",
-        "source",
-        "doc_sh",
-        F.expr("size(doc_sh)").cast("long").alias("n_shingles"),
-        F.expr(f"size(filter(doc_sh, h -> {test}))")
-        .cast("long")
-        .alias("n_bloom_hits"),
-    )
-    audited = screened.crossJoin(F.broadcast(bench_set)).select(
-        "source",
-        "n_shingles",
+    audited = _screened_audit(
+        documents, benchmark, k, threshold, n_bits, fast_hash,
+        extra_cols=("source",),
+    ).withColumn(
+        "_flagged",
         F.expr(
             f"CASE WHEN CAST(n_bloom_hits AS DOUBLE) > "
             f"{threshold} * CAST(n_shingles AS DOUBLE) "
             "THEN 1 ELSE 0 END"
-        ).alias("_flagged"),
-        F.expr(
-            f"CASE WHEN CAST(n_bloom_hits AS DOUBLE) <= "
-            f"{threshold} * CAST(n_shingles AS DOUBLE) "
-            "THEN CAST(0 AS BIGINT) "
-            "ELSE CAST(size(array_intersect(doc_sh, bench_sh)) "
-            "AS BIGINT) END"
-        ).alias("n_overlap"),
+        ),
     ).withColumn(
         "_contam",
         F.expr(
@@ -2296,7 +2289,6 @@ def contamination_by_source(
             "round(CAST(n_contaminated AS DOUBLE) / n_docs, 9)"
         ).alias("contamination_rate"),
     )
-
 
 def pack_efficiency(
     doc_tokens: DataFrame, budget: int = 256, shard_col: str = "source"
