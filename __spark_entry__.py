@@ -5337,6 +5337,25 @@ def q_audio_snr(spark, sf_dir):
     )
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental-crawl dedup screen: the src0 delta scored by best
+    shingle-containment match in the standing corpus (every other
+    source) — dedups the new batch WITHOUT re-pairing the standing
+    corpus against itself. Exact counts, one integer-ratio division,
+    total-order best-match pick, −1/0.0 sentinels for matchless
+    docs."""
+    from pennsieve_streaming_spark.llm.dedup import (
+        cross_corpus_containment,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sh = shingles(docs)
+    new_ids = docs.filter(F.col("source") == "src0").select("doc_id")
+    return cross_corpus_containment(
+        sh, new_ids, threshold=0.5, max_doc_freq=JACCARD_MAX_DF
+    )
+
+
 def q_dedup_token_funnel(spark, sf_dir):
     """Dedup-funnel shrinkage in TOKEN mass, not doc counts — the
     number a training-budget owner actually needs (docs_remaining
@@ -6042,6 +6061,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # live gate order is then refined by _rotation_order in queries().
     q = {
         # round-10 wave-5 additions (newest first)
+        "doc_incremental_dedup": q_incremental_dedup,
         "doc_dedup_token_funnel": q_dedup_token_funnel,
         "stream_shard_manifest": q_stream_shard_manifest,
         "doc_classifier_calibration": q_classifier_calibration,
@@ -19497,6 +19517,54 @@ def oracle_sql() -> dict[str, str]:
     # stream flavor of the shard manifest: stateless projection +
     # commutative finish => the batch oracle gates the stream verbatim
     sql["stream_shard_manifest"] = sql["doc_shard_manifest"]
+
+    sql["doc_incremental_dedup"] = f"""
+        WITH {DOC_PRE},
+        new_ids AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+        new_sh AS (SELECT s.* FROM sh s JOIN new_ids USING (doc_id)),
+        old_sh AS (
+          SELECT s.* FROM sh s
+          WHERE s.doc_id NOT IN (SELECT doc_id FROM new_ids)
+        ),
+        ok AS (
+          SELECT sh FROM old_sh GROUP BY sh
+          HAVING COUNT(*) <= {JACCARD_MAX_DF}
+        ),
+        old_kept AS (
+          SELECT o.doc_id, o.sh FROM old_sh o JOIN ok USING (sh)
+        ),
+        sizes AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+          FROM new_sh GROUP BY doc_id
+        ),
+        ints AS (
+          SELECT n.doc_id, o.doc_id AS _old,
+                 CAST(COUNT(*) AS BIGINT) AS inter
+          FROM new_sh n JOIN old_kept o ON n.sh = o.sh
+          GROUP BY n.doc_id, o.doc_id
+        ),
+        best AS (
+          SELECT doc_id, _old AS best_match_id, inter
+          FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY inter DESC, _old) AS _rk
+            FROM ints
+          ) WHERE _rk = 1
+        )
+        SELECT s.doc_id, s.n_shingles,
+               CAST(COALESCE(b.best_match_id, -1) AS BIGINT)
+                 AS best_match_id,
+               CAST(COALESCE(b.inter, 0) AS BIGINT) AS inter,
+               CASE WHEN s.n_shingles = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE COALESCE(b.inter, 0)
+                         / CAST(s.n_shingles AS DOUBLE) END
+                 AS containment,
+               CASE WHEN s.n_shingles = 0 THEN false
+                    ELSE (COALESCE(b.inter, 0)
+                          / CAST(s.n_shingles AS DOUBLE)) >= 0.5 END
+                 AS is_dup
+        FROM sizes s LEFT JOIN best b ON s.doc_id = b.doc_id
+        """
 
     return sql
 

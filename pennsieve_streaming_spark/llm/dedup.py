@@ -1312,3 +1312,89 @@ def lsh_tuning_panel(
         ),
         F.expr(f"inline(array({rows}))"),
     )
+
+
+def cross_corpus_containment(
+    shingled: DataFrame,
+    new_ids: DataFrame,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Incremental-crawl dedup screen: every NEW document scored by
+    its best shingle-containment match in the EXISTING corpus —
+    cont = |new ∩ old| / |new| (Broder's asymmetric measure: a new
+    doc swallowed whole by an archive page must score 1, which
+    symmetric Jaccard dilutes). The shape every recurring crawl runs:
+    dedup the delta against the standing corpus WITHOUT re-pairing
+    the standing corpus against itself.
+
+    ``new_ids``: (doc_id) rows naming the new side; the rest of
+    ``shingled`` is the existing corpus. ``max_doc_freq`` drops
+    hot (boilerplate) shingles from pair GENERATION only — new-doc
+    set sizes still count all shingles, so containment is a lower
+    bound ignoring boilerplate overlap (the jaccard_pairs contract).
+
+    Determinism: counts exact; containment is one exact-integer
+    division; the best match is the total order (inter DESC, old
+    doc_id ASC) — for a fixed new doc that equals (containment DESC,
+    doc_id ASC); matchless new docs report the −1 / 0.0 sentinels.
+
+    Output: (doc_id, n_shingles, best_match_id, inter, containment,
+    is_dup) — one row per new document.
+
+    Plan / 100 TB: the join is new-side shingles × existing-side
+    shingles on the 8-byte hash ONLY (text never shuffles), bounded
+    by Σ_sh df_new(sh)·df_old(sh) under the hot-shingle cap; the
+    per-new-doc argmax window partitions by new doc_id (max partition
+    = one doc's candidate matches). The delta is usually ≪ the
+    corpus, so broadcast the new side at real scale.
+    """
+    from pyspark.sql import Window
+
+    new_sh = shingled.join(F.broadcast(new_ids), "doc_id", "left_semi")
+    old_sh = shingled.join(F.broadcast(new_ids), "doc_id", "left_anti")
+    if max_doc_freq is not None:
+        hot = (
+            old_sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("sh")
+        )
+        old_sh = old_sh.join(F.broadcast(hot), "sh", "left_anti")
+    sizes = new_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    inter = (
+        new_sh.select("doc_id", "sh")
+        .join(
+            old_sh.select(F.col("doc_id").alias("_old"), "sh"), "sh"
+        )
+        .groupBy("doc_id", "_old")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("inter"), F.asc("_old")
+    )
+    best = (
+        inter.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("doc_id", F.col("_old").alias("best_match_id"), "inter")
+    )
+    out = sizes.join(best, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("best_match_id", F.lit(-1)).cast("long").alias(
+            "best_match_id"
+        ),
+        F.coalesce("inter", F.lit(0)).cast("long").alias("inter"),
+        F.expr(
+            "CASE WHEN n_shingles = 0 THEN CAST(0 AS DOUBLE) "
+            "ELSE coalesce(inter, 0) / CAST(n_shingles AS DOUBLE) END"
+        ).alias("containment"),
+        F.expr(
+            "CASE WHEN n_shingles = 0 THEN false "
+            "ELSE (coalesce(inter, 0) / CAST(n_shingles AS DOUBLE)) "
+            f">= {threshold} END"
+        ).alias("is_dup"),
+    )

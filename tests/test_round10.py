@@ -821,3 +821,38 @@ def test_stream_shard_manifest_equals_batch(spark, sf_dir):
               for r in
               entry.q_stream_shard_manifest(spark, sf_dir).collect()}
     assert batch == stream and len(batch) > 0
+
+
+def test_cross_corpus_containment_golden(spark):
+    from pennsieve_streaming_spark.llm.dedup import (
+        cross_corpus_containment,
+        shingles,
+    )
+
+    # existing corpus: doc 10 "a b c d e" (3 shingles), doc 11
+    # unrelated; new docs: 0 = contained prefix "a b c d" (2 shingles,
+    # both in doc 10 -> containment 1.0), 1 = half overlap, 2 = none
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),
+            (1, "a b c zz"),
+            (2, "p q r s"),
+            (10, "a b c d e"),
+            (11, "x y z w v"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs)
+    new_ids = docs.filter(F.col("doc_id") < 10).select("doc_id")
+    out = {r.doc_id: r for r in
+           cross_corpus_containment(sh, new_ids, 0.5).collect()}
+    assert set(out) == {0, 1, 2}
+    # doc0: shingles {a b c, b c d} both in doc10 -> 2/2
+    assert (out[0].best_match_id, out[0].inter) == (10, 2)
+    assert out[0].containment == 1.0 and out[0].is_dup
+    # doc1: only "a b c" matches -> 1/2
+    assert (out[1].best_match_id, out[1].inter) == (10, 1)
+    assert out[1].containment == 0.5 and out[1].is_dup
+    # doc2: no shared shingles -> sentinels
+    assert (out[2].best_match_id, out[2].inter) == (-1, 0)
+    assert out[2].containment == 0.0 and not out[2].is_dup
