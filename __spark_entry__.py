@@ -7195,10 +7195,10 @@ def oracle_sql() -> dict[str, str]:
           FROM t
         )
         SELECT doc_id, source, n_tokens, tok_offset,
-               CAST(FLOOR(tok_offset / {PACK_BUDGET}) AS BIGINT) AS start_seq,
+               CAST(tok_offset // {PACK_BUDGET} AS BIGINT) AS start_seq,
                CAST(CASE WHEN n_tokens = 0
-                         THEN FLOOR(tok_offset / {PACK_BUDGET})
-                         ELSE FLOOR((tok_offset + n_tokens - 1) / {PACK_BUDGET})
+                         THEN tok_offset // {PACK_BUDGET}
+                         ELSE (tok_offset + n_tokens - 1) // {PACK_BUDGET}
                     END AS BIGINT) AS end_seq
         FROM c
         """
@@ -7404,10 +7404,10 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT k.doc_id, k.lang, k.source, k.quality, k.dup_3gram_ratio,
                k.overlap_ratio, k.sample_u, p.n_tokens, p.tok_offset,
-               CAST(FLOOR(p.tok_offset / {PACK_BUDGET}) AS BIGINT) AS start_seq,
+               CAST(p.tok_offset // {PACK_BUDGET} AS BIGINT) AS start_seq,
                CAST(CASE WHEN p.n_tokens = 0
-                         THEN FLOOR(p.tok_offset / {PACK_BUDGET})
-                         ELSE FLOOR((p.tok_offset + p.n_tokens - 1) / {PACK_BUDGET})
+                         THEN p.tok_offset // {PACK_BUDGET}
+                         ELSE (p.tok_offset + p.n_tokens - 1) // {PACK_BUDGET}
                     END AS BIGINT) AS end_seq
         FROM kept k JOIN packed p USING (doc_id)
         """
@@ -18709,8 +18709,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         g AS (
           SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-                 CAST(SUM(_s) AS BIGINT) AS _sy1,
-                 CAST(SUM(_sp) AS BIGINT) AS _sx1,
+                 SUM(CAST(_s AS HUGEINT)) AS _sy1,
+                 SUM(CAST(_sp AS HUGEINT)) AS _sx1,
                  SUM(CAST(_s AS HUGEINT) * _sp) AS _sxy,
                  SUM(CAST(_sp AS HUGEINT) * _sp) AS _sxx,
                  SUM(CAST(_s AS HUGEINT) * _s) AS _syy
@@ -19096,7 +19096,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         g AS (
           SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
-                 CAST(SUM(hq) AS BIGINT) AS _sh,
+                 SUM(CAST(hq AS HUGEINT)) AS _sh,
                  SUM(CAST(hq AS HUGEINT) * hq) AS _shh
           FROM hq
         )
@@ -19231,12 +19231,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         per AS (
           SELECT source, n_tokens,
-                 CAST(FLOOR(tok_offset / {PACK_BUDGET}) AS BIGINT)
+                 CAST(tok_offset // {PACK_BUDGET} AS BIGINT)
                    AS start_seq,
                  CAST(CASE WHEN n_tokens = 0
-                      THEN FLOOR(tok_offset / {PACK_BUDGET})
-                      ELSE FLOOR((tok_offset + n_tokens - 1)
-                        / {PACK_BUDGET})
+                      THEN tok_offset // {PACK_BUDGET}
+                      ELSE (tok_offset + n_tokens - 1)
+                        // {PACK_BUDGET}
                       END AS BIGINT) AS end_seq
           FROM c
         ),

@@ -311,13 +311,16 @@ def pack_sequences(
         shard_col,
         "n_tokens",
         "tok_offset",
-        F.expr(f"CAST(FLOOR(tok_offset / {budget}) AS BIGINT)").alias(
+        # exact integer div: offsets are non-negative BIGINTs, and
+        # FLOOR(x / b) via double division can misplace a boundary
+        # past 2^53 tokens per shard
+        F.expr(f"CAST(tok_offset div {budget} AS BIGINT)").alias(
             "start_seq"
         ),
         F.expr(
             "CAST(CASE WHEN n_tokens = 0 "
-            f"THEN FLOOR(tok_offset / {budget}) "
-            f"ELSE FLOOR((tok_offset + n_tokens - 1) / {budget}) END AS BIGINT)"
+            f"THEN tok_offset div {budget} "
+            f"ELSE (tok_offset + n_tokens - 1) div {budget} END AS BIGINT)"
         ).alias("end_seq"),
     )
 
@@ -744,12 +747,12 @@ def curate_corpus(
         "n_tokens",
         "tok_offset",
         F.expr(
-            f"CAST(FLOOR(tok_offset / {pack_budget}) AS BIGINT)"
+            f"CAST(tok_offset div {pack_budget} AS BIGINT)"
         ).alias("start_seq"),
         F.expr(
             "CAST(CASE WHEN n_tokens = 0 "
-            f"THEN FLOOR(tok_offset / {pack_budget}) "
-            f"ELSE FLOOR((tok_offset + n_tokens - 1) / {pack_budget}) "
+            f"THEN tok_offset div {pack_budget} "
+            f"ELSE (tok_offset + n_tokens - 1) div {pack_budget} "
             "END AS BIGINT)"
         ).alias("end_seq"),
     )
@@ -2333,13 +2336,13 @@ def pack_efficiency(
         .select(
             shard_col,
             "n_tokens",
-            F.expr(f"CAST(FLOOR(tok_offset / {b}) AS BIGINT)").alias(
+            F.expr(f"CAST(tok_offset div {b} AS BIGINT)").alias(
                 "start_seq"
             ),
             F.expr(
                 "CAST(CASE WHEN n_tokens = 0 "
-                f"THEN FLOOR(tok_offset / {b}) "
-                f"ELSE FLOOR((tok_offset + n_tokens - 1) / {b}) END "
+                f"THEN tok_offset div {b} "
+                f"ELSE (tok_offset + n_tokens - 1) div {b} END "
                 "AS BIGINT)"
             ).alias("end_seq"),
         )

@@ -2457,7 +2457,9 @@ def mmd_linear(
     )
     g = hq.agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum("hq").cast("long").alias("_sh"),
+        # DECIMAL(38,0): |hq| can reach ~1e13+ per pair on wide
+        # kernels; a BIGINT sum would wrap silently at corpus scale.
+        F.sum(F.expr("CAST(hq AS DECIMAL(38,0))")).alias("_sh"),
         F.sum(F.expr("CAST(hq AS DECIMAL(38,0)) * hq")).alias("_shh"),
     )
     mean = "(CAST(_sh AS DOUBLE) / n_pairs / 1000000000D)"

@@ -5308,8 +5308,12 @@ def arch_lm(values: DataFrame, quant: int = 100) -> DataFrame:
     )
     g = s.groupBy("channel").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum("_s").cast("long").alias("_sy1"),
-        F.sum("_sp").cast("long").alias("_sx1"),
+        # DECIMAL(38,0) accumulation: each _s = e^2 can reach ~1.4e14
+        # at the quantized ceiling, so a BIGINT sum silently wraps
+        # past ~64k high-amplitude rows (non-ANSI) or errors (ANSI).
+        # Matches process_capability's _sxx convention.
+        F.sum(F.expr("CAST(_s AS DECIMAL(38,0))")).alias("_sy1"),
+        F.sum(F.expr("CAST(_sp AS DECIMAL(38,0))")).alias("_sx1"),
         F.sum(F.expr("CAST(_s AS DECIMAL(38,0)) * _sp")).alias("_sxy"),
         F.sum(F.expr("CAST(_sp AS DECIMAL(38,0)) * _sp")).alias("_sxx"),
         F.sum(F.expr("CAST(_s AS DECIMAL(38,0)) * _s")).alias("_syy"),

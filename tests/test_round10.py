@@ -660,12 +660,11 @@ def test_pow2_chain_values_and_validation():
 
     from pennsieve_streaming_spark.llm.dedup import pow2_chain
 
-    # the chain evaluates to x^e exactly (python eval as the referee)
+    # the chain evaluates to repeated squaring exactly, for EVERY
+    # exponent on the ladder (python eval as the referee; 0.7**e is
+    # not the referee — pow() associates differently above e=2)
     for e in (1, 2, 4, 8, 16):
         expr = pow2_chain("x", e).replace(" ", "")
-        assert eval(expr, {"x": 0.7}) == 0.7**e or e > 2
-        # association fixed: repeated squaring equals ((x^2)^2)... in
-        # IEEE too
         acc = 0.7
         k = e
         while k > 1:
