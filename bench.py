@@ -48,6 +48,27 @@ HEADLINE = [
 # so the min reliably escapes transient contention (PLANS_r5.md).
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
 
+# Load sentinel (r10 VERDICT #4): a fixed pure-JVM kernel whose
+# quiet-box time is recorded here. The bench times it min-of-3 and
+# annotates the JSON with the ratio, so a loaded box is visible IN the
+# round record instead of masquerading as a code regression (the r10
+# +22% driver number was box noise — adjudicated only by off-record
+# re-runs). The kernel is scan+hash-agg over a deterministic range:
+# no I/O, no Python, insensitive to page cache — CPU contention only.
+SENTINEL_QUIET_SEC = 0.165  # recorded quiet-box value (r11, min-of-3 after warm rep)
+
+
+def _sentinel_sec(spark) -> float:
+    best = float("inf")
+    for i in range(4):  # rep 0 is the untimed JIT warm-up
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(id * (id % 7)) AS s", "count(1) AS n"
+        ).collect()
+        if i > 0:
+            best = min(best, time.perf_counter() - t0)
+    return best
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -57,6 +78,8 @@ def main() -> None:
 
     # warm up the JVM / scheduler so the first query isn't taxed
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    sentinel = _sentinel_sec(spark)
 
     # Hot-table cache (r2 VERDICT ask #1): the serving layer keeps the
     # base views resident across requests (QuerySession holds one
@@ -100,6 +123,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "sentinel_sec": round(sentinel, 4),
+                "load_ratio": round(sentinel / SENTINEL_QUIET_SEC, 3),
             }
         )
     )
