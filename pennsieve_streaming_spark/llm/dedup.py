@@ -1314,11 +1314,19 @@ def lsh_tuning_panel(
     )
 
 
+# Broadcast the delta shingle table when the delta has at most this
+# many documents: at the shingle contract's ~1k shingles/doc and 16
+# bytes/row that is ~1.6 GiB worst-case, inside a 4 GiB executor
+# broadcast budget — and the standing corpus then never shuffles.
+CROSS_CORPUS_BROADCAST_DOCS = 100_000
+
+
 def cross_corpus_containment(
     shingled: DataFrame,
     new_ids: DataFrame,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    broadcast_delta: bool | None = None,
 ) -> DataFrame:
     """Incremental-crawl dedup screen: every NEW document scored by
     its best shingle-containment match in the EXISTING corpus —
@@ -1347,9 +1355,21 @@ def cross_corpus_containment(
     by Σ_sh df_new(sh)·df_old(sh) under the hot-shingle cap; the
     per-new-doc argmax window partitions by new doc_id (max partition
     = one doc's candidate matches). The delta is usually ≪ the
-    corpus, so broadcast the new side at real scale.
+    corpus, so the delta shingle table is size-gated BROADCAST into
+    the containment join (``broadcast_delta``: None = auto via a
+    bounded count of the delta id list against
+    CROSS_CORPUS_BROADCAST_DOCS; True/False force) — a recurring
+    crawl then never shuffles the standing corpus's shingle table.
     """
     from pyspark.sql import Window
+
+    if broadcast_delta is None:
+        # bounded count: scans at most threshold+1 delta ids, never
+        # the corpus
+        broadcast_delta = (
+            new_ids.limit(CROSS_CORPUS_BROADCAST_DOCS + 1).count()
+            <= CROSS_CORPUS_BROADCAST_DOCS
+        )
 
     new_sh = shingled.join(F.broadcast(new_ids), "doc_id", "left_semi")
     old_sh = shingled.join(F.broadcast(new_ids), "doc_id", "left_anti")
@@ -1364,9 +1384,11 @@ def cross_corpus_containment(
     sizes = new_sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_shingles")
     )
+    delta_side = new_sh.select("doc_id", "sh")
+    if broadcast_delta:
+        delta_side = F.broadcast(delta_side)
     inter = (
-        new_sh.select("doc_id", "sh")
-        .join(
+        delta_side.join(
             old_sh.select(F.col("doc_id").alias("_old"), "sh"), "sh"
         )
         .groupBy("doc_id", "_old")
@@ -1380,7 +1402,12 @@ def cross_corpus_containment(
         .filter(F.col("_rk") == 1)
         .select("doc_id", F.col("_old").alias("best_match_id"), "inter")
     )
-    out = sizes.join(best, "doc_id", "left")
+    # best has at most one row per delta doc — under the same gate it
+    # broadcasts into the finish join, keeping the whole plan
+    # shuffle-free on the corpus side
+    out = sizes.join(
+        F.broadcast(best) if broadcast_delta else best, "doc_id", "left"
+    )
     return out.select(
         "doc_id",
         "n_shingles",
