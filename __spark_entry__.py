@@ -5671,6 +5671,108 @@ def q_corpus_build(spark, sf_dir):
     )
 
 
+def q_incremental_build(spark, sf_dir):
+    """Incremental-crawl corpus build composed as ONE plan — the
+    recurring production shape (doc_corpus_build covers only the
+    from-scratch build): the src0 delta is exact-deduped within
+    itself, screened against the standing corpus by best shingle
+    containment (the broadcast-delta fast path: the standing corpus's
+    shingle table never shuffles), passed through the full curation
+    gate cascade (quality / repetition / decontamination /
+    per-language sampling), packed, and published as the per-shard
+    manifest DELTA a recurring crawl appends: doc/token/char masses,
+    distinct training sequences touched, and the order-independent
+    content checksum a training job verifies. Benchmark set stays
+    doc_id % 29 of the RAW corpus (external to dedup). Shingle-less
+    delta docs (< 3 tokens) cannot be near-dups and pass the screen."""
+    from pennsieve_streaming_spark.llm.curation import curate_corpus
+    from pennsieve_streaming_spark.llm.dedup import (
+        cross_corpus_containment,
+        exact_dedup,
+    )
+    from pennsieve_streaming_spark.llm.hashing import md5_hash64_expr
+    from pennsieve_streaming_spark.util import pin
+
+    docs = _docs(spark, sf_dir)
+    delta = docs.filter(F.col("source") == "src0")
+    standing = docs.filter(F.col("source") != "src0")
+    keep = exact_dedup(delta).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    # pin: dd (the exact-deduped delta, delta-sized) feeds the shingle
+    # union, the screen id list, and the fresh anti-join — unpinned,
+    # the dedup agg re-executes per reference
+    dd = pin(delta.join(keep, "doc_id", "left_semi"))
+    # standing ∪ surviving delta: dropped exact dups must not leak
+    # into the "standing corpus" side of the screen
+    sh = shingles(standing.unionByName(dd))
+    screen = cross_corpus_containment(
+        sh,
+        dd.select("doc_id"),
+        threshold=0.5,
+        max_doc_freq=JACCARD_MAX_DF,
+    )
+    dup_ids = screen.filter(F.col("is_dup")).select("doc_id")
+    # pin: fresh embeds the whole screen and feeds BOTH the gate
+    # cascade and the manifest join — unpinned, the screen (and its
+    # corpus shingle scans) executes once per consumer
+    fresh = pin(dd.join(F.broadcast(dup_ids), "doc_id", "left_anti"))
+    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    cur = curate_corpus(
+        fresh, bench, SAMPLE_RATES, pack_budget=PACK_BUDGET
+    )
+    man = pin(
+        fresh.select("doc_id", "text")
+        .join(
+            cur.select("doc_id", "n_tokens", "start_seq", "end_seq"),
+            "doc_id",
+        )
+        .select(
+            F.expr(
+                f"pmod({md5_hash64_expr('CAST(doc_id AS STRING)')}, "
+                f"{SHARD_COUNT})"
+            )
+            .cast("long")
+            .alias("shard"),
+            F.col("n_tokens").alias("_nt"),
+            F.expr("CAST(length(text) AS BIGINT)").alias("_nc"),
+            F.expr(md5_hash64_expr("text")).alias("_h"),
+            "start_seq",
+            "end_seq",
+        )
+    )
+    per = man.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+        F.sum("_nc").cast("long").alias("n_chars"),
+        F.expr(
+            "sum(CAST(_h AS DECIMAL(38,0))) % 9223372036854775807"
+        )
+        .cast("long")
+        .alias("checksum"),
+    )
+    seqs = (
+        man.select(
+            "shard",
+            F.explode(F.expr("sequence(start_seq, end_seq)")).alias(
+                "_seq"
+            ),
+        )
+        .distinct()
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_seqs_touched"))
+    )
+    # seqs is one row per occupied shard (bounded by SHARD_COUNT)
+    return per.join(F.broadcast(seqs), "shard").select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_seqs_touched",
+        "checksum",
+    )
+
+
 def q_mmd(spark, sf_dir):
     """Linear-time MMD² two-sample test between even- and odd-label
     embeddings: quadratic kernel (exact fold dot products, no
@@ -6062,6 +6164,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # round-10 wave-5 additions (newest first)
         "doc_incremental_dedup": q_incremental_dedup,
+        "doc_incremental_build": q_incremental_build,
         "doc_dedup_token_funnel": q_dedup_token_funnel,
         "stream_shard_manifest": q_stream_shard_manifest,
         "doc_classifier_calibration": q_classifier_calibration,
@@ -19564,6 +19667,155 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(s.n_shingles AS DOUBLE)) >= 0.5 END
                  AS is_dup
         FROM sizes s LEFT JOIN best b ON s.doc_id = b.doc_id
+        """
+
+    # composed incremental-crawl build: delta exact dedup -> standing-
+    # corpus containment screen -> full gate cascade -> pack -> shard
+    # manifest delta; independent re-derivation of each stage (the
+    # screen CTEs mirror doc_incremental_dedup, the gates mirror
+    # doc_corpus_build, the manifest mirrors doc_shard_manifest)
+    sql["doc_incremental_build"] = f"""
+        WITH {DOC_PRE},
+        dd_keep AS (
+          SELECT MIN(doc_id) AS doc_id FROM documents
+          WHERE source = 'src0' GROUP BY md5(text)
+        ),
+        new_sh AS (SELECT s.* FROM sh s JOIN dd_keep USING (doc_id)),
+        old_sh AS (
+          SELECT s.* FROM sh s
+          JOIN (SELECT doc_id FROM documents WHERE source <> 'src0')
+            USING (doc_id)
+        ),
+        ok AS (
+          SELECT sh FROM old_sh GROUP BY sh
+          HAVING COUNT(*) <= {JACCARD_MAX_DF}
+        ),
+        old_kept AS (
+          SELECT o.doc_id, o.sh FROM old_sh o JOIN ok USING (sh)
+        ),
+        sizes AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+          FROM new_sh GROUP BY doc_id
+        ),
+        ints AS (
+          SELECT n.doc_id, o.doc_id AS _old,
+                 CAST(COUNT(*) AS BIGINT) AS inter
+          FROM new_sh n JOIN old_kept o ON n.sh = o.sh
+          GROUP BY n.doc_id, o.doc_id
+        ),
+        best AS (
+          SELECT doc_id, inter FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY inter DESC, _old) AS _rk
+            FROM ints
+          ) WHERE _rk = 1
+        ),
+        dups AS (
+          SELECT s.doc_id
+          FROM sizes s LEFT JOIN best b USING (doc_id)
+          WHERE s.n_shingles > 0
+            AND COALESCE(b.inter, 0)
+                / CAST(s.n_shingles AS DOUBLE) >= 0.5
+        ),
+        fresh AS (
+          SELECT doc_id FROM dd_keep
+          WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+        ),
+        ftoks AS (
+          SELECT d.doc_id, d.lang, d.source, d.text, {TOKS} AS toks
+          FROM documents d JOIN fresh USING (doc_id)
+        ),
+        q AS (
+          SELECT doc_id,
+                 (CASE WHEN length(text) = 0 THEN CAST(0 AS DOUBLE)
+                       ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                            / CAST(length(text) AS DOUBLE) END) * 0.5e0
+                 + len(list_filter(toks, t -> list_contains([{_stop_arr}], lower(t))))
+                   / CAST(len(toks) AS DOUBLE) * 0.3e0
+                 + least(CAST(len(toks) AS BIGINT), 200)
+                   / CAST(200.0 AS DOUBLE) * 0.2e0 AS quality
+          FROM ftoks
+        ),
+        rep AS (
+          SELECT doc_id, {_dup_ratio_duck(3)} AS dup_3gram_ratio
+          FROM ftoks
+        ),
+        fgrams AS (
+          SELECT doc_id, UNNEST({_ngram_duck(3)}) AS s FROM ftoks
+        ),
+        fsh AS (SELECT DISTINCT doc_id, {PH_S} AS gsh FROM fgrams),
+        bgrams AS (
+          SELECT doc_id, UNNEST({_ngram_duck(3)}) AS s
+          FROM (SELECT doc_id, text, {TOKS} AS toks FROM documents
+                WHERE doc_id % {CONTAM_BENCH_MOD} = 0)
+        ),
+        bset AS (SELECT DISTINCT {PH_S} AS gsh FROM bgrams),
+        ov AS (
+          SELECT d.doc_id, COUNT(*) AS n_sh, COUNT(b.gsh) AS n_ov
+          FROM fsh d LEFT JOIN bset b USING (gsh) GROUP BY d.doc_id
+        ),
+        contam AS (
+          SELECT t.doc_id,
+                 CASE WHEN COALESCE(ov.n_sh, 0) = 0 THEN CAST(0 AS DOUBLE)
+                      ELSE ov.n_ov / CAST(ov.n_sh AS DOUBLE)
+                 END AS overlap_ratio
+          FROM ftoks t LEFT JOIN ov ON t.doc_id = ov.doc_id
+        ),
+        kept AS (
+          SELECT t.doc_id, t.source, t.text,
+                 {N_TOKENS_DUCK} AS n_tokens
+          FROM ftoks t
+          JOIN q USING (doc_id) JOIN rep USING (doc_id)
+          JOIN contam USING (doc_id)
+          WHERE {_u} < ({_rate})
+            AND q.quality >= 0.3
+            AND rep.dup_3gram_ratio <= 0.2
+            AND contam.overlap_ratio <= 0.5
+        ),
+        packd AS (
+          SELECT doc_id, text, n_tokens,
+                 CAST(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) - n_tokens AS tok_offset
+          FROM kept
+        ),
+        man AS (
+          SELECT ((({_sm_doch}) % {SHARD_COUNT}) + {SHARD_COUNT})
+                   % {SHARD_COUNT} AS shard,
+                 n_tokens AS _nt,
+                 CAST(length(text) AS BIGINT) AS _nc,
+                 {_sm_h} AS _h,
+                 CAST(tok_offset // {PACK_BUDGET} AS BIGINT)
+                   AS start_seq,
+                 CAST(CASE WHEN n_tokens = 0
+                      THEN tok_offset // {PACK_BUDGET}
+                      ELSE (tok_offset + n_tokens - 1) // {PACK_BUDGET}
+                      END AS BIGINT) AS end_seq
+          FROM packd
+        ),
+        per AS (
+          SELECT CAST(shard AS BIGINT) AS shard,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(_nt) AS BIGINT) AS n_tokens,
+                 CAST(SUM(_nc) AS BIGINT) AS n_chars,
+                 CAST(SUM(CAST(_h AS HUGEINT)) % 9223372036854775807
+                   AS BIGINT) AS checksum
+          FROM man GROUP BY shard
+        ),
+        seqs AS (
+          SELECT CAST(shard AS BIGINT) AS shard,
+                 CAST(COUNT(DISTINCT _seq) AS BIGINT)
+                   AS n_seqs_touched
+          FROM (
+            SELECT shard,
+                   UNNEST(generate_series(start_seq, end_seq)) AS _seq
+            FROM man
+          ) GROUP BY shard
+        )
+        SELECT shard, n_docs, n_tokens, n_chars, n_seqs_touched,
+               checksum
+        FROM per JOIN seqs USING (shard)
         """
 
     return sql

@@ -93,3 +93,37 @@ def test_cross_corpus_broadcast_gate(spark):
         # rows identical either way
         rows = {tuple(r) for r in df.collect()}
         assert rows == {(1, 2, 2, 1, 0.5, True)}
+
+
+def test_incremental_build_pins_and_plan(spark, sf_dir):
+    """doc_incremental_build's three pinned stages (exact-deduped
+    delta, screened fresh set, manifest base) each execute ONCE with
+    a shuffle-join-free shape, and the finish plan reads only the
+    checkpoints (zero raw scans, no SMJ after the seqs broadcast)."""
+    import pennsieve_streaming_spark.util as U
+
+    captured = []
+    real_pin = U.pin
+
+    def spy(df, eager=True):
+        r = real_pin(df, eager)
+        captured.append(df)
+        return r
+
+    U.pin = spy
+    try:
+        import __spark_entry__ as entry
+
+        df = entry.q_incremental_build(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+    finally:
+        U.pin = real_pin
+    assert len(captured) == 3
+    for stage in captured:
+        p = stage._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in p
+        assert "CartesianProduct" not in p
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert final.count("FileScan") + final.count("Scan parquet") == 0
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
