@@ -5773,6 +5773,142 @@ def q_incremental_build(spark, sf_dir):
     )
 
 
+def q_crawl_screen(spark, sf_dir):
+    """Bloom containment pre-screen of the src0 crawl delta against
+    the standing corpus: the standing shingle set folds into ONE
+    bitset (distributed bit_or build — the driver only ever holds the
+    finished words), every delta doc scored in one narrow map. No
+    false negatives: unflagged docs are provably not near-dups, so
+    only the flagged few pay the exact containment join."""
+    from pennsieve_streaming_spark.llm.dedup import (
+        CRAWL_BLOOM_M,
+        crawl_bloom_screen,
+    )
+
+    docs = _docs(spark, sf_dir)
+    new_ids = docs.filter(F.col("source") == "src0").select("doc_id")
+    # n_bits pinned to the module rung: the DuckDB oracle's position
+    # set is built at CRAWL_BLOOM_M, so the gated run must not
+    # auto-size.
+    return crawl_bloom_screen(
+        docs, new_ids, k=3, threshold=0.5, n_bits=CRAWL_BLOOM_M
+    )
+
+
+def q_incremental_dedup_screened(spark, sf_dir):
+    """Production-scale incremental-crawl dedup: bloom pre-screen
+    decides WHICH delta docs pay the exact containment join —
+    verdicts identical to doc_incremental_dedup, sentinels for the
+    provably-clean unflagged rows (the contamination_screened
+    contract applied to crawl dedup)."""
+    from pennsieve_streaming_spark.llm.dedup import (
+        CRAWL_BLOOM_M,
+        cross_corpus_containment_screened,
+    )
+
+    docs = _docs(spark, sf_dir)
+    new_ids = docs.filter(F.col("source") == "src0").select("doc_id")
+    return cross_corpus_containment_screened(
+        docs,
+        new_ids,
+        k=3,
+        threshold=0.5,
+        max_doc_freq=JACCARD_MAX_DF,
+        n_bits=CRAWL_BLOOM_M,
+    )
+
+
+def q_crawl_gain(spark, sf_dir):
+    """The crawl KPI: per-language novel-content mass of the src0
+    delta — how much NEW training data this crawl brought. Joins the
+    exact incremental-dedup verdicts with per-doc token masses and
+    rolls up (docs, dups, novel/dup tokens, novelty rate) per lang;
+    exact BIGINT masses, one fixed rate division."""
+    from pennsieve_streaming_spark.llm.curation import N_TOKENS
+
+    docs = _docs(spark, sf_dir)
+    verdicts = q_incremental_dedup(spark, sf_dir).select(
+        "doc_id", "is_dup"
+    )
+    delta = docs.filter(F.col("source") == "src0").select(
+        "doc_id", "lang", F.expr(N_TOKENS).alias("n_tokens")
+    )
+    return (
+        delta.join(verdicts, "doc_id", "left")
+        .select(
+            "lang",
+            "n_tokens",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.expr("CASE WHEN is_dup THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_dups"),
+            F.sum(
+                F.expr("CASE WHEN is_dup THEN 0 ELSE n_tokens END")
+            )
+            .cast("long")
+            .alias("novel_tokens"),
+            F.sum(
+                F.expr("CASE WHEN is_dup THEN n_tokens ELSE 0 END")
+            )
+            .cast("long")
+            .alias("dup_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_dups",
+            "novel_tokens",
+            "dup_tokens",
+            F.expr(
+                "round(CASE WHEN novel_tokens + dup_tokens = 0 "
+                "THEN CAST(0 AS DOUBLE) ELSE novel_tokens "
+                "/ CAST(novel_tokens + dup_tokens AS DOUBLE) END, 9)"
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+def q_stream_crawl_screen(spark, sf_dir):
+    """Streaming crawl-dedup pre-screen drained with availableNow:
+    the batch bloom rule as a STATELESS stream-static broadcast-join
+    projection (no state store, append mode), so the drained table is
+    bit-identical to the batch operator and doc_crawl_screen's oracle
+    gates the stream verbatim."""
+    import tempfile
+
+    from pennsieve_streaming_spark.llm.dedup import CRAWL_BLOOM_M
+    from pennsieve_streaming_spark.streaming.crawl import (
+        crawl_screen_stream,
+    )
+
+    docs = _docs(spark, sf_dir)
+    standing = docs.filter(F.col("source") != "src0")
+    base = tempfile.mkdtemp(prefix="pss_stream_crawl_")
+    src = f"{base}/src"
+    docs.filter(F.col("source") == "src0").select(
+        "doc_id", "text"
+    ).coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(src)
+    out = crawl_screen_stream(
+        stream, standing, k=3, threshold=0.5, n_bits=CRAWL_BLOOM_M
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{base}/out")
+
+
 def q_mmd(spark, sf_dir):
     """Linear-time MMD² two-sample test between even- and odd-label
     embeddings: quadratic kernel (exact fold dot products, no
@@ -6165,6 +6301,10 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-10 wave-5 additions (newest first)
         "doc_incremental_dedup": q_incremental_dedup,
         "doc_incremental_build": q_incremental_build,
+        "doc_crawl_screen": q_crawl_screen,
+        "doc_incremental_dedup_screened": q_incremental_dedup_screened,
+        "doc_crawl_gain": q_crawl_gain,
+        "stream_crawl_screen": q_stream_crawl_screen,
         "doc_dedup_token_funnel": q_dedup_token_funnel,
         "stream_shard_manifest": q_stream_shard_manifest,
         "doc_classifier_calibration": q_classifier_calibration,
@@ -19816,6 +19956,174 @@ def oracle_sql() -> dict[str, str]:
         SELECT shard, n_docs, n_tokens, n_chars, n_seqs_touched,
                checksum
         FROM per JOIN seqs USING (shard)
+        """
+
+    # --- round-11: bloom crawl-screen family ---------------------------
+
+    from pennsieve_streaming_spark.llm.dedup import (
+        CRAWL_BLOOM_M as _CR_M,
+    )
+
+    _cr_union = " UNION ".join(
+        f"SELECT {_bl_pos('sh', i, _CR_M)} AS p FROM st_sh"
+        for i in range(_BL_K)
+    )
+    _cr_test = " AND ".join(
+        f"({_bl_pos('d.sh', i, _CR_M)}) IN (SELECT p FROM cpos)"
+        for i in range(_BL_K)
+    )
+    _CR_SCREEN = f"""
+        new_ids AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+        st_sh AS (
+          SELECT DISTINCT s.sh FROM sh s
+          JOIN (SELECT doc_id FROM documents WHERE source <> 'src0')
+            USING (doc_id)
+        ),
+        cpos AS (SELECT DISTINCT p FROM ({_cr_union})),
+        dsh AS (SELECT s.doc_id, s.sh FROM sh s JOIN new_ids USING (doc_id)),
+        scr0 AS (
+          SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                 CAST(SUM(CASE WHEN {_cr_test} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_bloom_hits
+          FROM dsh d GROUP BY d.doc_id
+        ),
+        scr AS (
+          SELECT n.doc_id,
+                 COALESCE(s.n_shingles, CAST(0 AS BIGINT)) AS n_shingles,
+                 COALESCE(s.n_bloom_hits, CAST(0 AS BIGINT))
+                   AS n_bloom_hits,
+                 CASE WHEN COALESCE(s.n_shingles, 0) = 0
+                      THEN CAST(0 AS DOUBLE)
+                      ELSE s.n_bloom_hits / CAST(s.n_shingles AS DOUBLE)
+                 END AS bloom_ratio,
+                 CASE WHEN COALESCE(s.n_shingles, 0) = 0 THEN false
+                      ELSE (s.n_bloom_hits
+                            / CAST(s.n_shingles AS DOUBLE)) >= 0.5
+                 END AS flagged
+          FROM new_ids n LEFT JOIN scr0 s USING (doc_id)
+        )"""
+
+    sql["doc_crawl_screen"] = f"""
+        WITH {DOC_PRE},
+        {_CR_SCREEN}
+        SELECT doc_id, n_shingles, n_bloom_hits, bloom_ratio, flagged
+        FROM scr
+        """
+
+    # stream flavor: stateless projection => the batch oracle gates
+    # the stream verbatim
+    sql["stream_crawl_screen"] = sql["doc_crawl_screen"]
+
+    # screened exact audit: the containment join runs only for the
+    # bloom-flagged delta docs; unflagged rows report the provably-
+    # clean sentinels (verdicts identical to doc_incremental_dedup)
+    sql["doc_incremental_dedup_screened"] = f"""
+        WITH {DOC_PRE},
+        {_CR_SCREEN},
+        fl_sh AS (
+          SELECT s.doc_id, s.sh FROM sh s
+          JOIN (SELECT doc_id FROM scr WHERE flagged) USING (doc_id)
+        ),
+        old_sh AS (
+          SELECT s.* FROM sh s
+          JOIN (SELECT doc_id FROM documents WHERE source <> 'src0')
+            USING (doc_id)
+        ),
+        ok AS (
+          SELECT sh FROM old_sh GROUP BY sh
+          HAVING COUNT(*) <= {JACCARD_MAX_DF}
+        ),
+        old_kept AS (
+          SELECT o.doc_id, o.sh FROM old_sh o JOIN ok USING (sh)
+        ),
+        ints AS (
+          SELECT n.doc_id, o.doc_id AS _old,
+                 CAST(COUNT(*) AS BIGINT) AS inter
+          FROM fl_sh n JOIN old_kept o ON n.sh = o.sh
+          GROUP BY n.doc_id, o.doc_id
+        ),
+        best AS (
+          SELECT doc_id, _old AS best_match_id, inter FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY inter DESC, _old) AS _rk
+            FROM ints
+          ) WHERE _rk = 1
+        )
+        SELECT s.doc_id, s.n_shingles, s.n_bloom_hits, s.bloom_ratio,
+               CAST(CASE WHEN s.flagged
+                    THEN COALESCE(b.best_match_id, -1) ELSE -1 END
+                 AS BIGINT) AS best_match_id,
+               CAST(CASE WHEN s.flagged THEN COALESCE(b.inter, 0)
+                    ELSE 0 END AS BIGINT) AS inter,
+               CASE WHEN s.flagged AND s.n_shingles > 0
+                    THEN COALESCE(b.inter, 0)
+                         / CAST(s.n_shingles AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END AS containment,
+               CASE WHEN s.flagged AND s.n_shingles > 0
+                    THEN (COALESCE(b.inter, 0)
+                          / CAST(s.n_shingles AS DOUBLE)) >= 0.5
+                    ELSE false END AS is_dup
+        FROM scr s LEFT JOIN best b USING (doc_id)
+        """
+
+    # per-lang novel-content mass of the crawl delta (the crawl KPI):
+    # exact incremental-dedup verdicts joined with token masses
+    sql["doc_crawl_gain"] = f"""
+        WITH {DOC_PRE},
+        new_ids AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+        new_sh AS (SELECT s.* FROM sh s JOIN new_ids USING (doc_id)),
+        old_sh AS (
+          SELECT s.* FROM sh s
+          WHERE s.doc_id NOT IN (SELECT doc_id FROM new_ids)
+        ),
+        ok AS (
+          SELECT sh FROM old_sh GROUP BY sh
+          HAVING COUNT(*) <= {JACCARD_MAX_DF}
+        ),
+        old_kept AS (
+          SELECT o.doc_id, o.sh FROM old_sh o JOIN ok USING (sh)
+        ),
+        sizes AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+          FROM new_sh GROUP BY doc_id
+        ),
+        ints AS (
+          SELECT n.doc_id, o.doc_id AS _old,
+                 CAST(COUNT(*) AS BIGINT) AS inter
+          FROM new_sh n JOIN old_kept o ON n.sh = o.sh
+          GROUP BY n.doc_id, o.doc_id
+        ),
+        best AS (
+          SELECT doc_id, MAX(inter) AS inter FROM ints GROUP BY doc_id
+        ),
+        dups AS (
+          SELECT s.doc_id
+          FROM sizes s LEFT JOIN best b USING (doc_id)
+          WHERE s.n_shingles > 0
+            AND COALESCE(b.inter, 0)
+                / CAST(s.n_shingles AS DOUBLE) >= 0.5
+        ),
+        delta AS (
+          SELECT doc_id, lang,
+                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len({TOKS}) END AS BIGINT) AS n_tokens,
+                 doc_id IN (SELECT doc_id FROM dups) AS is_dup
+          FROM (SELECT d.doc_id, d.lang, d.text
+                FROM documents d JOIN new_ids USING (doc_id))
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dups,
+               CAST(SUM(CASE WHEN is_dup THEN 0 ELSE n_tokens END)
+                 AS BIGINT) AS novel_tokens,
+               CAST(SUM(CASE WHEN is_dup THEN n_tokens ELSE 0 END)
+                 AS BIGINT) AS dup_tokens,
+               round(CASE WHEN SUM(n_tokens) = 0 THEN CAST(0 AS DOUBLE)
+                     ELSE SUM(CASE WHEN is_dup THEN 0 ELSE n_tokens END)
+                          / CAST(SUM(n_tokens) AS DOUBLE) END, 9)
+                 AS novelty_rate
+        FROM delta GROUP BY lang
         """
 
     return sql

@@ -1425,3 +1425,182 @@ def cross_corpus_containment(
             f">= {threshold} END"
         ).alias("is_dup"),
     )
+
+
+# --- round-11 additions: bloom crawl screen ----------------------------
+
+CRAWL_BLOOM_M = 524_288  # pinned ladder rung for the oracle-gated runs
+
+
+def standing_bloom(
+    shingled: DataFrame, n_bits: int | None = None
+) -> tuple[list[int], int]:
+    """DISTRIBUTED bloom build over a shingle-hash column ``sh`` —
+    the standing-corpus analogue of curation's driver-side
+    ``bloom_words_from_hashes`` (which collects the hash set first:
+    right for MB-sized benchmarks, impossible for a corpus). Here the
+    probe positions are computed executor-side (the shared
+    ``bloom_pos_expr`` lattice — bit-identical across Spark / DuckDB /
+    Python) and folded with a ``bit_or`` partial agg on the word
+    index, so the only thing the driver ever holds is the finished
+    bitset: m/64 signed int64 words (the 64 Mib top rung collects
+    8 MB, never the shingles).
+
+    ``n_bits``: a _BLOOM_LADDER rung, or None to auto-size from a
+    distinct-count of ``sh`` (>= 16 bits/element, loud clamp).
+    Returns (words, m)."""
+    from pennsieve_streaming_spark.llm.curation import (
+        BLOOM_PROBES,
+        _bloom_p2,
+        bloom_bits_for,
+        bloom_pos_expr,
+    )
+
+    if n_bits is None:
+        m = bloom_bits_for(shingled.select("sh").distinct().count())
+    else:
+        _bloom_p2(n_bits)  # ValueError off-ladder, up front
+        m = n_bits
+    probes = ", ".join(
+        f"named_struct('w', CAST(({bloom_pos_expr('sh', i, m)}) "
+        "div 64 AS INT), "
+        "'b', shiftleft(CAST(1 AS BIGINT), "
+        f"CAST(({bloom_pos_expr('sh', i, m)}) % 64 AS INT)))"
+        for i in range(BLOOM_PROBES)
+    )
+    rows = (
+        shingled.select("sh")
+        .distinct()
+        .select(F.expr(f"inline(array({probes}))"))
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("word"))
+        .collect()
+    )
+    words = [0] * (m // 64)
+    for r in rows:
+        words[r["w"]] = r["word"]
+    return words, m
+
+
+def crawl_bloom_screen(
+    documents: DataFrame,
+    new_ids: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    n_bits: int | None = None,
+) -> DataFrame:
+    """Bloom containment pre-screen of a crawl delta against the
+    standing corpus — the cheap first stage in front of the exact
+    :func:`cross_corpus_containment` audit (the decontamination
+    screen's bloom→exact discipline, applied to crawl dedup): the
+    standing corpus's shingle set folds into ONE bitset (distributed
+    build, :func:`standing_bloom`; in production a maintained
+    artifact updated per crawl), and every new document is scored in
+    one narrow map — zero joins, zero shuffles on either corpus.
+
+    The bloom has no false negatives, so ``bloom_ratio >=`` the exact
+    containment on every doc: a delta doc with bloom_ratio below the
+    threshold is PROVABLY not a near-dup, and only flagged docs need
+    the exact shingle join. Shingle-less docs (< k tokens) report the
+    0-ratio sentinel and are never flagged.
+
+    Output: (doc_id, n_shingles, n_bloom_hits, bloom_ratio, flagged)
+    — one row per delta document.
+    """
+    from pennsieve_streaming_spark.llm.curation import (
+        TOKS,
+        bloom_test_col_expr,
+        shingle_hash_arr_expr,
+    )
+
+    standing = documents.join(F.broadcast(new_ids), "doc_id", "left_anti")
+    words, m = standing_bloom(shingles(standing, k), n_bits)
+    spark = documents.sparkSession
+    wdf = spark.createDataFrame([(words,)], "bloom_words array<bigint>")
+    delta = documents.join(F.broadcast(new_ids), "doc_id", "left_semi")
+    test = bloom_test_col_expr("h", m)
+    return (
+        ensure_parallelism(
+            delta.select("doc_id", F.expr(TOKS).alias("toks")), "doc_id"
+        )
+        .select(
+            "doc_id",
+            F.expr(shingle_hash_arr_expr(k)).alias("doc_sh"),
+        )
+        .crossJoin(F.broadcast(wdf))
+        .select(
+            "doc_id",
+            F.expr("size(doc_sh)").cast("long").alias("n_shingles"),
+            F.expr(f"size(filter(doc_sh, h -> {test}))")
+            .cast("long")
+            .alias("n_bloom_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_bloom_hits",
+            F.expr(
+                "CASE WHEN n_shingles = 0 THEN CAST(0 AS DOUBLE) "
+                "ELSE n_bloom_hits / CAST(n_shingles AS DOUBLE) END"
+            ).alias("bloom_ratio"),
+            F.expr(
+                "CASE WHEN n_shingles = 0 THEN false "
+                "ELSE n_bloom_hits / CAST(n_shingles AS DOUBLE) "
+                f">= {threshold} END"
+            ).alias("flagged"),
+        )
+    )
+
+
+def cross_corpus_containment_screened(
+    documents: DataFrame,
+    new_ids: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+    n_bits: int | None = None,
+) -> DataFrame:
+    """Production-scale incremental-crawl dedup: the bloom pre-screen
+    (:func:`crawl_bloom_screen`) decides WHICH delta docs pay the
+    exact containment join; the expensive shingle equi-join against
+    the standing corpus runs only for the flagged subset. ``is_dup``
+    verdicts are identical to :func:`cross_corpus_containment` — the
+    bloom never under-counts, so an unflagged doc's exact containment
+    is provably < threshold and it reports the −1/0 sentinels (the
+    ``contamination_screened`` output contract).
+
+    Output: (doc_id, n_shingles, n_bloom_hits, bloom_ratio,
+    best_match_id, inter, containment, is_dup) — one row per delta
+    document.
+
+    Plan / 100 TB: the corpus pays ONE narrow scan for the bloom
+    build (in production: a maintained bitset artifact) and the
+    shingle join touches only the standing rows whose hashes match a
+    FLAGGED doc's shingles — on a typical crawl (a few % flagged)
+    that is orders of magnitude less shuffle than the unscreened
+    audit.
+    """
+    scr = crawl_bloom_screen(documents, new_ids, k, threshold, n_bits)
+    flagged_ids = scr.filter(F.col("flagged")).select("doc_id")
+    standing = documents.join(F.broadcast(new_ids), "doc_id", "left_anti")
+    flagged_docs = documents.join(
+        F.broadcast(flagged_ids), "doc_id", "left_semi"
+    )
+    audited = cross_corpus_containment(
+        shingles(standing.unionByName(flagged_docs), k),
+        flagged_ids,
+        threshold=threshold,
+        max_doc_freq=max_doc_freq,
+    ).select("doc_id", "best_match_id", "inter", "containment", "is_dup")
+    return scr.join(audited, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        "n_bloom_hits",
+        "bloom_ratio",
+        F.coalesce("best_match_id", F.lit(-1)).cast("long").alias(
+            "best_match_id"
+        ),
+        F.coalesce("inter", F.lit(0)).cast("long").alias("inter"),
+        F.coalesce("containment", F.lit(0.0)).alias("containment"),
+        F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+    )

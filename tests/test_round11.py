@@ -145,3 +145,105 @@ def test_incremental_build_funnel_vs_parts(spark, sf_dir):
     out = entry.q_incremental_build(spark, sf_dir).collect()
     assert sum(r.n_docs for r in out) == want_docs
     assert sum(r.n_tokens for r in out) == want_tokens
+
+
+def test_standing_bloom_matches_driver_fold(spark):
+    """The distributed bit_or bloom build is bit-identical to the
+    driver-side bloom_words_from_hashes fold on the same hash set —
+    the invariant that lets the corpus-scale build replace the
+    collect-based one."""
+    from pennsieve_streaming_spark.llm.curation import (
+        bloom_words_from_hashes,
+    )
+    from pennsieve_streaming_spark.llm.dedup import standing_bloom
+
+    hashes = [h * 2_654_435_761 % (1 << 61) for h in range(1, 400)]
+    df = spark.createDataFrame([(h,) for h in hashes], "sh long")
+    words, m = standing_bloom(df, n_bits=16_384)
+    assert m == 16_384
+    assert words == bloom_words_from_hashes(hashes, 16_384)
+
+
+def test_standing_bloom_autosize_and_ladder(spark):
+    from pennsieve_streaming_spark.llm.dedup import standing_bloom
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(h,) for h in range(2_000)], "sh long")
+    _, m = standing_bloom(df)  # 2000 * 16 = 32000 -> 32768 rung
+    assert m == 32_768
+    with _pytest.raises(ValueError):
+        standing_bloom(df, n_bits=10_000)
+
+
+def test_crawl_screen_no_false_negatives(spark, sf_dir):
+    """Bloom ratio >= exact containment on EVERY delta doc (the no-
+    false-negative contract the screened audit's gate relies on), and
+    every exact dup is flagged."""
+    from pyspark.sql import functions as F
+
+    scr = {
+        r.doc_id: r
+        for r in entry.q_crawl_screen(spark, sf_dir).collect()
+    }
+    exact = {
+        r.doc_id: r
+        for r in entry.q_incremental_dedup(spark, sf_dir).collect()
+    }
+    assert set(exact) <= set(scr)  # screen covers shingle-less docs too
+    for doc_id, e in exact.items():
+        s = scr[doc_id]
+        assert s.n_shingles == e.n_shingles
+        assert s.bloom_ratio >= e.containment - 1e-12
+        if e.is_dup:
+            assert s.flagged
+
+
+def test_screened_verdicts_match_exact(spark, sf_dir):
+    """is_dup verdicts of the screened composition are identical to
+    the unscreened exact audit, and flagged rows carry the exact
+    containment values."""
+    scr = {
+        r.doc_id: r
+        for r in entry.q_incremental_dedup_screened(
+            spark, sf_dir
+        ).collect()
+    }
+    exact = {
+        r.doc_id: r
+        for r in entry.q_incremental_dedup(spark, sf_dir).collect()
+    }
+    for doc_id, e in exact.items():
+        s = scr[doc_id]
+        assert s.is_dup == e.is_dup
+        if s.bloom_ratio >= 0.5 and s.n_shingles > 0:
+            assert (s.best_match_id, s.inter, s.containment) == (
+                e.best_match_id,
+                e.inter,
+                e.containment,
+            )
+        else:
+            assert (s.best_match_id, s.inter, s.containment) == (
+                -1,
+                0,
+                0.0,
+            )
+
+
+def test_crawl_gain_mass_conservation(spark, sf_dir):
+    """novel + dup token masses equal the delta's total token mass,
+    and dup doc counts equal the exact audit's."""
+    from pyspark.sql import functions as F
+
+    out = entry.q_crawl_gain(spark, sf_dir).collect()
+    docs = entry._docs(spark, sf_dir).filter(F.col("source") == "src0")
+    from pennsieve_streaming_spark.llm.curation import N_TOKENS
+
+    tot = docs.selectExpr(f"sum({N_TOKENS}) AS t", "count(1) AS n").collect()[0]
+    assert sum(r.novel_tokens + r.dup_tokens for r in out) == tot.t
+    assert sum(r.n_docs for r in out) == tot.n
+    n_dup = sum(
+        1
+        for r in entry.q_incremental_dedup(spark, sf_dir).collect()
+        if r.is_dup
+    )
+    assert sum(r.n_dups for r in out) == n_dup
