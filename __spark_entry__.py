@@ -5909,6 +5909,32 @@ def q_stream_crawl_screen(spark, sf_dir):
     return spark.read.parquet(f"{base}/out")
 
 
+def q_coverage_panel(spark, sf_dir):
+    """Per-channel ingest-completeness panel: calendar coverage
+    (active days / extent days), sample fill vs the nominal 10 Hz
+    rate (exact integer expected count), and the longest calendar
+    outage — the rolled-up channel-health number beside ts_gap_spans'
+    per-gap listing."""
+    from pennsieve_streaming_spark.operators.gaps import coverage_panel
+
+    return coverage_panel(
+        TBL.samples_view(spark, sf_dir), period_us=100_000
+    )
+
+
+def q_audio_dynamics(spark, sf_dir):
+    """Loudness range (EBU-R128-style dynamics) of the lead audio
+    lane: exact integer frame energies, integer percentile_disc
+    p10/p95 order statistics, one dB finish inside round(,9) — the
+    compression gate beside mm_audio_clipping."""
+    from pennsieve_streaming_spark.dsp.spectral import loudness_range
+
+    s = TBL.samples_aligned_view(spark, sf_dir).filter(
+        F.col("channel") == "lead"
+    )
+    return loudness_range(s, frame=64, quant=1)
+
+
 def q_mmd(spark, sf_dir):
     """Linear-time MMD² two-sample test between even- and odd-label
     embeddings: quadratic kernel (exact fold dot products, no
@@ -6305,6 +6331,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_incremental_dedup_screened": q_incremental_dedup_screened,
         "doc_crawl_gain": q_crawl_gain,
         "stream_crawl_screen": q_stream_crawl_screen,
+        "ts_coverage_panel": q_coverage_panel,
+        "mm_audio_dynamics": q_audio_dynamics,
         "doc_dedup_token_funnel": q_dedup_token_funnel,
         "stream_shard_manifest": q_stream_shard_manifest,
         "doc_classifier_calibration": q_classifier_calibration,
@@ -20125,6 +20153,108 @@ def oracle_sql() -> dict[str, str]:
                  AS novelty_rate
         FROM delta GROUP BY lang
         """
+
+    # per-channel ingest-completeness panel (operators/gaps.py
+    # coverage_panel): exact integer day indexes / expected counts,
+    # two fixed rounded divisions
+    sql["ts_coverage_panel"] = with_views(
+        """
+        WITH base AS (
+          SELECT channel, ts, ts // 86400000000 AS _day FROM samples
+        ),
+        pc AS (
+          SELECT channel, MIN(ts) AS s, MAX(ts) AS e,
+                 CAST(COUNT(*) AS BIGINT) AS n_samples
+          FROM base GROUP BY channel
+        ),
+        dd AS (SELECT DISTINCT channel, _day FROM base),
+        dg AS (
+          SELECT channel, _day,
+                 LAG(_day) OVER (PARTITION BY channel ORDER BY _day)
+                   AS _prev
+          FROM dd
+        ),
+        da AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS active_days,
+                 CAST(MAX(CASE WHEN _prev IS NULL THEN 0
+                          ELSE _day - _prev - 1 END) AS BIGINT)
+                   AS max_outage_days
+          FROM dg GROUP BY channel
+        )
+        SELECT p.channel,
+               CAST(p.s // 86400000000 AS BIGINT) AS start_day,
+               CAST(p.e // 86400000000 AS BIGINT) AS end_day,
+               CAST(p.e // 86400000000 - p.s // 86400000000 + 1
+                 AS BIGINT) AS span_days,
+               a.active_days,
+               round(a.active_days
+                 / CAST(p.e // 86400000000 - p.s // 86400000000 + 1
+                        AS DOUBLE), 9) AS day_coverage,
+               p.n_samples,
+               CAST((p.e - p.s) // 100000 + 1 AS BIGINT)
+                 AS expected_samples,
+               round(p.n_samples
+                 / CAST((p.e - p.s) // 100000 + 1 AS DOUBLE), 9)
+                 AS fill_ratio,
+               a.max_outage_days
+        FROM pc p JOIN da a USING (channel)
+        """,
+        "samples",
+    )
+
+    # loudness range of the lead lane (dsp/spectral.py
+    # loudness_range): exact frame energies, integer percentile_disc
+    # ranks, one dB finish in round(,9)
+    sql["mm_audio_dynamics"] = with_views(
+        """
+        WITH s AS (
+          SELECT channel, ts, value,
+                 CAST(round(value * 1) AS BIGINT) AS xq
+          FROM samples_aligned WHERE channel = 'lead'
+        ),
+        r AS (
+          SELECT channel,
+                 row_number() OVER (PARTITION BY channel
+                   ORDER BY ts, value) - 1 AS _rn,
+                 xq
+          FROM s
+        ),
+        f AS (
+          SELECT channel, _rn // 64 AS win,
+                 CAST(COUNT(*) AS BIGINT) AS _n,
+                 CAST(SUM(xq * xq) AS BIGINT) AS e
+          FROM r GROUP BY channel, _rn // 64
+        ),
+        fk AS (SELECT * FROM f WHERE _n = 64),
+        rk AS (
+          SELECT channel, e,
+                 row_number() OVER (PARTITION BY channel
+                   ORDER BY e, win) AS _rk
+          FROM fk
+        ),
+        np AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_frames
+          FROM fk GROUP BY channel
+        ),
+        g AS (
+          SELECT r.channel, MAX(n.n_frames) AS n_frames,
+                 CAST(MAX(CASE WHEN _rk =
+                   (1 * n.n_frames + 9) // 10 THEN e END) AS BIGINT)
+                   AS e_p10,
+                 CAST(MAX(CASE WHEN _rk =
+                   (19 * n.n_frames + 19) // 20 THEN e END) AS BIGINT)
+                   AS e_p95
+          FROM rk r JOIN np n USING (channel) GROUP BY r.channel
+        )
+        SELECT channel, n_frames, e_p10, e_p95,
+               CASE WHEN e_p10 > 0 AND e_p95 > 0 THEN
+                 round(10e0 * log10(CAST(e_p95 AS DOUBLE)
+                   / CAST(e_p10 AS DOUBLE)), 9) ELSE 0e0 END
+                 AS dyn_range_db
+        FROM g
+        """,
+        "samples_aligned",
+    )
 
     return sql
 

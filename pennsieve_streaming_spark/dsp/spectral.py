@@ -2144,3 +2144,96 @@ def snr_estimate(
             f"round(10e0 * log10({ma} / {mn}), 9) ELSE 0e0 END"
         ).alias("snr_db"),
     )
+
+
+def loudness_range(
+    samples: DataFrame,
+    frame: int = 64,
+    quant: int = 1,
+    lo_num: int = 1,
+    lo_den: int = 10,
+    hi_num: int = 19,
+    hi_den: int = 20,
+) -> DataFrame:
+    """Loudness range per channel — the EBU-R128-style dynamics
+    readout (how compressed is this lane): exact integer frame
+    energies, the p10/p95 frame-energy order statistics picked by
+    integer percentile_disc ranks, and the dB spread between them.
+    A mastering-compressed (or clipped) lane shows a small range, a
+    live lane a large one; the dynamics gate beside mm_audio_clipping
+    (which only sees the ceiling).
+
+    Determinism: frame energy Σxq² is an exact BIGINT (the zcr/vad
+    frame discipline, ragged tail drops); the p-th order statistic is
+    rank == ceil(p·n) computed in INTEGER arithmetic ((p_num·n +
+    p_den − 1) div p_den) over the total order (energy, win); the dB
+    finish is ONE log10 inside round(·, 9) (the oracle-quantized
+    transcendental class).
+
+    Output: (channel, n_frames, e_p10, e_p95, dyn_range_db) — one
+    row per channel; silent-floor lanes (e_p10 = 0) report the 0.0
+    sentinel.
+
+    Plan / 100 TB: one ranking window per channel, one frame rollup
+    to |samples|/frame rows, one rank window over FRAME rows (not
+    samples), one 1-row-per-channel agg.
+    """
+    fr, q = int(frame), int(quant)
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    framed = (
+        samples.select(
+            "channel",
+            "ts",
+            "value",
+            F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+        )
+        .select(
+            "channel",
+            (F.row_number().over(w) - 1).alias("_rn"),
+            "xq",
+        )
+        .select(
+            "channel",
+            F.expr(f"_rn div {fr}").alias("win"),
+            "xq",
+        )
+        .groupBy("channel", "win")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.expr("xq * xq")).cast("long").alias("e"),
+        )
+        .filter(F.col("_n") == fr)
+    )
+    rw = Window.partitionBy("channel").orderBy("e", "win")
+    ranked = framed.select(
+        "channel", "e", F.row_number().over(rw).alias("_rk")
+    )
+    n_per = framed.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames")
+    )
+    klo = f"(({lo_num} * n_frames + {lo_den - 1}) div {lo_den})"
+    khi = f"(({hi_num} * n_frames + {hi_den - 1}) div {hi_den})"
+    g = (
+        ranked.join(F.broadcast(n_per), "channel")
+        .groupBy("channel")
+        .agg(
+            F.max("n_frames").alias("n_frames"),
+            F.max(F.expr(f"CASE WHEN _rk = {klo} THEN e END"))
+            .cast("long")
+            .alias("e_p10"),
+            F.max(F.expr(f"CASE WHEN _rk = {khi} THEN e END"))
+            .cast("long")
+            .alias("e_p95"),
+        )
+    )
+    return g.select(
+        "channel",
+        "n_frames",
+        "e_p10",
+        "e_p95",
+        F.expr(
+            "CASE WHEN e_p10 > 0 AND e_p95 > 0 THEN "
+            "round(10.0D * log10(CAST(e_p95 AS DOUBLE) "
+            "/ CAST(e_p10 AS DOUBLE)), 9) ELSE 0e0 END"
+        ).alias("dyn_range_db"),
+    )

@@ -173,3 +173,85 @@ def flatline_runs(
         .filter(F.col("run_len") >= int(min_run))
         .select("channel", "value", "run_start", "run_end", "run_len")
     )
+
+
+DAY_US = 86_400_000_000
+
+
+def coverage_panel(samples: DataFrame, period_us: int = 100_000) -> DataFrame:
+    """Per-channel ingest-completeness panel — the data-quality
+    readout an acquisition pipeline publishes per channel: calendar
+    coverage (active days / extent days), sample fill against the
+    nominal rate, and the worst calendar outage. Complements
+    gap_spans (which lists the gaps) with the rolled-up health
+    number a dashboard ranks channels by.
+
+    ``period_us``: nominal sample period in exact integer µs (100 ms
+    at the derived 10 Hz rate), so the expected count over the extent
+    is pure integer arithmetic: (end − start) div period + 1.
+
+    Determinism: day indexes and counts are exact integers; both
+    ratios are single fixed divisions rounded to 9 dp.
+
+    Output: (channel, start_day, end_day, span_days, active_days,
+    day_coverage, n_samples, expected_samples, fill_ratio,
+    max_outage_days) — one row per channel; max_outage_days = longest
+    run of fully-empty calendar days strictly inside the extent.
+
+    Plan / 100 TB: one partial-agg distinct on (channel, day) — the
+    shuffle carries at most channels × days rows — one per-channel
+    lag window over those day rows, and one per-channel scan agg;
+    the two 1-row-per-channel sides meet in a broadcast join.
+    """
+    base = samples.select(
+        "channel", "ts", F.expr(f"ts div {DAY_US}").alias("_day")
+    )
+    per_chan = base.groupBy("channel").agg(
+        F.min("ts").alias("_start_ts"),
+        F.max("ts").alias("_end_ts"),
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+    )
+    w = Window.partitionBy("channel").orderBy("_day")
+    days = (
+        base.select("channel", "_day")
+        .distinct()
+        .withColumn("_prev", F.lag("_day").over(w))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("active_days"),
+            F.max(
+                F.expr(
+                    "CASE WHEN _prev IS NULL THEN 0 "
+                    "ELSE _day - _prev - 1 END"
+                )
+            )
+            .cast("long")
+            .alias("max_outage_days"),
+        )
+    )
+    return per_chan.join(F.broadcast(days), "channel").select(
+        "channel",
+        F.expr(f"_start_ts div {DAY_US}").cast("long").alias(
+            "start_day"
+        ),
+        F.expr(f"_end_ts div {DAY_US}").cast("long").alias("end_day"),
+        F.expr(
+            f"_end_ts div {DAY_US} - _start_ts div {DAY_US} + 1"
+        )
+        .cast("long")
+        .alias("span_days"),
+        "active_days",
+        F.expr(
+            f"round(active_days / CAST(_end_ts div {DAY_US} "
+            f"- _start_ts div {DAY_US} + 1 AS DOUBLE), 9)"
+        ).alias("day_coverage"),
+        "n_samples",
+        F.expr(f"(_end_ts - _start_ts) div {int(period_us)} + 1")
+        .cast("long")
+        .alias("expected_samples"),
+        F.expr(
+            f"round(n_samples / CAST((_end_ts - _start_ts) "
+            f"div {int(period_us)} + 1 AS DOUBLE), 9)"
+        ).alias("fill_ratio"),
+        "max_outage_days",
+    )

@@ -247,3 +247,56 @@ def test_crawl_gain_mass_conservation(spark, sf_dir):
         if r.is_dup
     )
     assert sum(r.n_dups for r in out) == n_dup
+
+
+def test_coverage_panel_golden(spark):
+    """Hand golden: ch A spans days 10..14 with day 12-13 dark (one
+    2-day outage), 6 samples against an exact expected count; ch B is
+    a single-sample channel (span 1 day, expected 1, fill 1.0)."""
+    from pennsieve_streaming_spark.operators.gaps import (
+        DAY_US,
+        coverage_panel,
+    )
+
+    rows = [
+        ("A", 10 * DAY_US + 0, 1.0),
+        ("A", 10 * DAY_US + 100_000, 1.0),
+        ("A", 11 * DAY_US, 1.0),
+        ("A", 14 * DAY_US, 1.0),
+        ("A", 14 * DAY_US + 200_000, 1.0),
+        ("A", 14 * DAY_US + 300_000, 1.0),
+        ("B", 20 * DAY_US + 5, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "channel string, ts long, value double"
+    )
+    out = {r.channel: r for r in coverage_panel(df).collect()}
+    a = out["A"]
+    assert (a.start_day, a.end_day, a.span_days) == (10, 14, 5)
+    assert (a.active_days, a.max_outage_days) == (3, 2)
+    assert a.day_coverage == round(3 / 5, 9)
+    expected = (14 * DAY_US + 300_000 - 10 * DAY_US) // 100_000 + 1
+    assert (a.n_samples, a.expected_samples) == (6, expected)
+    assert a.fill_ratio == round(6 / expected, 9)
+    b = out["B"]
+    assert (b.span_days, b.active_days, b.max_outage_days) == (1, 1, 0)
+    assert (b.expected_samples, b.fill_ratio) == (1, 1.0)
+
+
+def test_loudness_range_golden(spark):
+    """Hand golden: 3 complete 4-sample frames with energies 4, 400,
+    40000 (n=3 -> p10 rank 1, p95 rank 3): e_p10=4, e_p95=40000,
+    dyn range = 10*log10(10000) = 40 dB exactly; a ragged 2-sample
+    tail frame drops."""
+    from pennsieve_streaming_spark.dsp.spectral import loudness_range
+
+    vals = [1, -1, 1, -1, 10, -10, 10, -10, 100, -100, 100, -100, 7, 7]
+    rows = [("a", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "channel string, ts long, value double"
+    )
+    out = loudness_range(df, frame=4, quant=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_frames, r.e_p10, r.e_p95) == (3, 4, 40000)
+    assert r.dyn_range_db == 40.0
