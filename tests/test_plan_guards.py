@@ -127,3 +127,18 @@ def test_incremental_build_pins_and_plan(spark, sf_dir):
     assert final.count("FileScan") + final.count("Scan parquet") == 0
     assert "SortMergeJoin" not in final
     assert "CartesianProduct" not in final
+
+
+def test_crawl_screen_plan_no_joins(spark, sf_dir):
+    """The bloom crawl screen's scoring pass is ONE narrow map: the
+    executed plan carries only broadcast joins (the 1-row bitset and
+    the delta id semi-join) — no SMJ, no shuffle join, no cartesian
+    anywhere."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["doc_crawl_screen"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
