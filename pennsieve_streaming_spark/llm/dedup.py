@@ -1580,7 +1580,14 @@ def cross_corpus_containment_screened(
     that is orders of magnitude less shuffle than the unscreened
     audit.
     """
-    scr = crawl_bloom_screen(documents, new_ids, k, threshold, n_bits)
+    from pennsieve_streaming_spark.util import pin
+
+    # pin: the screen (bloom build + delta scoring scan) feeds both
+    # the flagged-id list (referenced throughout the audit) and the
+    # final join — unpinned it re-executes once per reference
+    scr = pin(
+        crawl_bloom_screen(documents, new_ids, k, threshold, n_bits)
+    )
     flagged_ids = scr.filter(F.col("flagged")).select("doc_id")
     standing = documents.join(F.broadcast(new_ids), "doc_id", "left_anti")
     flagged_docs = documents.join(
@@ -1592,7 +1599,9 @@ def cross_corpus_containment_screened(
         threshold=threshold,
         max_doc_freq=max_doc_freq,
     ).select("doc_id", "best_match_id", "inter", "containment", "is_dup")
-    return scr.join(audited, "doc_id", "left").select(
+    # audited is flagged-subset-sized (one row per flagged doc — the
+    # few % the screen exists to isolate): broadcast into the finish
+    return scr.join(F.broadcast(audited), "doc_id", "left").select(
         "doc_id",
         "n_shingles",
         "n_bloom_hits",

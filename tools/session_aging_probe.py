@@ -101,6 +101,13 @@ def main() -> None:
         n += 1
         if MODE == "clearcache" and n % 25 == 0:
             spark.catalog.clearCache()
+        if MODE == "gc" and n % 25 == 0:
+            # clear cached relations AND kick the ContextCleaner:
+            # localCheckpoint blocks are only freed when the JVM GCs
+            # the weak refs (default periodicGC is 30 min — far past
+            # the session's death)
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
         if n % 10 == 0:
             heap_mb = (
                 jvm_rt.totalMemory() - jvm_rt.freeMemory()
