@@ -48,6 +48,9 @@ HEAVY = [
     "emb_ann_ivf_pq",
     "doc_bpe_token_ids",
     "mm_audio_tempo",
+    # r11 additions: the incremental-crawl production shapes
+    "doc_incremental_dedup_screened",
+    "doc_incremental_build",
 ]
 
 # min-of-3 interleaved (same rationale as bench.py's min-of-5; the

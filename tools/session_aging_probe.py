@@ -73,8 +73,10 @@ def main() -> None:
         "spark.ui.enabled", "false"
     )
     if MODE == "gclocker":
+        # diagnostic flag on JDK 17 — the unlock must precede it
         b = b.config(
             "spark.driver.extraJavaOptions",
+            "-XX:+UnlockDiagnosticVMOptions "
             "-XX:GCLockerRetryAllocationCount=64",
         )
     spark = b.getOrCreate()
