@@ -19,6 +19,17 @@ Modes (argv[1]):
   vanilla    — default conf (the failing shape)
   gclocker   — vanilla + -XX:GCLockerRetryAllocationCount=64  (H1)
   clearcache — vanilla + spark.catalog.clearCache() every 25   (H2)
+  gc         — clearcache + driver System.gc() every 25 (H2 hard)
+  mem2g      — vanilla + spark.driver.memory=2g (the conf floor)
+
+Measured (r11, sf0.01): vanilla dies at exec 128 (GCLocker retry
+exhaustion -> JVM OOM, heap 990/1024 MiB, persistentRDDs 15->51);
+gc dies at 108 (same signature — cache/cleaner hygiene is NOT the
+fix); gclocker survives to 228 (~1.8x) then dies with Spark
+UNABLE_TO_ACQUIRE_MEMORY (the unified pool itself exhausts under
+the residual heap creep); mem2g SURVIVES all 400 (heap sawtooths
+0.3-1.7 GiB, stable) — the documented conf floor for long-lived
+many-query sessions. See NOTES_r11 §6 for the full root cause.
 
 Run: python tools/session_aging_probe.py vanilla [max_execs]
 Prints one status line per 10 executions and a final JSON line.
@@ -79,6 +90,8 @@ def main() -> None:
             "-XX:+UnlockDiagnosticVMOptions "
             "-XX:GCLockerRetryAllocationCount=64",
         )
+    if MODE == "mem2g":
+        b = b.config("spark.driver.memory", "2g")
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
