@@ -28,8 +28,16 @@ import sys, math, os, json
 sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession
 import duckdb
-spark = (SparkSession.builder.master("local[32]")
-         .config("spark.ui.enabled", "false").getOrCreate())
+b = (SparkSession.builder.master("local[32]")
+     .config("spark.ui.enabled", "false"))
+# the measured conf floor for long-lived many-query sessions
+# (session_aging_probe: 1g dies ~128 heavy queries, 2g survives 400+);
+# set SPARK_GRAFT_DRIVER_MEM=2g with chunk_size=400 to run the WHOLE
+# registry in one session
+_dm = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+if _dm:
+    b = b.config("spark.driver.memory", _dm)
+spark = b.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as E
 sf = {sf!r}
