@@ -5935,6 +5935,75 @@ def q_audio_dynamics(spark, sf_dir):
     return loudness_range(s, frame=64, quant=1)
 
 
+def q_rate_estimate(spark, sf_dir):
+    """Per-channel empirical sample-rate estimate from the
+    inter-sample gap order statistics (exact integer percentile_disc
+    picks): median-gap-implied rate, p90−p10 jitter, and a 5%
+    agreement flag against the nominal 10 Hz catalog rate — the
+    ingest sanity check behind every gap/resample threshold."""
+    from pennsieve_streaming_spark.operators.gaps import rate_estimate
+
+    return rate_estimate(
+        TBL.samples_view(spark, sf_dir), nominal_hz=10.0, tol=0.05
+    )
+
+
+def q_matryoshka_recall(spark, sf_dir):
+    """Matryoshka (prefix-dimension) retrieval quality: recall@k of
+    the exact cosine top-k computed on the first 32 / 16 of 64 dims
+    against the full-dim ground truth — the quality-vs-cost curve
+    for MRL-style adaptive retrieval, composed from the already
+    oracle-gated exact top-k on both sides."""
+    from pennsieve_streaming_spark.llm.similarity import cosine_topk
+
+    embs = _embs(spark, sf_dir)
+    exact = cosine_topk(
+        embs, embs.filter(F.col("vec_id") < 20), k=ANN_K
+    ).select("query_id", "neighbor_id")
+    outs = []
+    for pdim in (32, 16):
+        sl = embs.select(
+            "vec_id",
+            F.expr(f"slice(embedding, 1, {pdim})").alias("embedding"),
+        )
+        pre = cosine_topk(
+            sl, sl.filter(F.col("vec_id") < 20), k=ANN_K
+        ).select("query_id", "neighbor_id")
+        hits = (
+            exact.join(pre, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+        )
+        per_q = (
+            exact.select("query_id")
+            .distinct()
+            .join(hits, "query_id", "left")
+            .select(
+                F.coalesce("n_hit", F.lit(0)).cast("long").alias(
+                    "n_hit"
+                )
+            )
+        )
+        outs.append(
+            per_q.agg(
+                F.count(F.lit(1)).cast("long").alias("n_queries"),
+                F.sum("n_hit").cast("long").alias("_sh"),
+                F.min("n_hit").cast("long").alias("_mn"),
+            ).select(
+                F.lit(pdim).cast("long").alias("prefix_dim"),
+                "n_queries",
+                F.expr(
+                    f"round(_sh / CAST(n_queries * {ANN_K} "
+                    "AS DOUBLE), 9)"
+                ).alias("mean_recall"),
+                F.expr(
+                    f"round(_mn / CAST({ANN_K} AS DOUBLE), 9)"
+                ).alias("min_recall"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
 def q_mmd(spark, sf_dir):
     """Linear-time MMD² two-sample test between even- and odd-label
     embeddings: quadratic kernel (exact fold dot products, no
@@ -6333,6 +6402,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_crawl_screen": q_stream_crawl_screen,
         "ts_coverage_panel": q_coverage_panel,
         "mm_audio_dynamics": q_audio_dynamics,
+        "ts_rate_estimate": q_rate_estimate,
+        "emb_matryoshka_recall": q_matryoshka_recall,
         "doc_dedup_token_funnel": q_dedup_token_funnel,
         "stream_shard_manifest": q_stream_shard_manifest,
         "doc_classifier_calibration": q_classifier_calibration,
@@ -20255,6 +20326,152 @@ def oracle_sql() -> dict[str, str]:
         """,
         "samples_aligned",
     )
+
+    # --- round-11 wave 2 ------------------------------------------------
+
+    # per-channel empirical rate from gap order statistics
+    # (operators/gaps.py rate_estimate): integer percentile_disc
+    # picks, one fixed rounded division, flag on the rounded value
+    sql["ts_rate_estimate"] = with_views(
+        """
+        WITH g0 AS (
+          SELECT channel, ts, value,
+                 LAG(ts) OVER (PARTITION BY channel
+                   ORDER BY ts, value) AS _prev
+          FROM samples
+        ),
+        gaps AS (
+          SELECT channel, CAST(ts - _prev AS BIGINT) AS gap, ts, value
+          FROM g0 WHERE _prev IS NOT NULL
+        ),
+        rk AS (
+          SELECT channel, gap,
+                 ROW_NUMBER() OVER (PARTITION BY channel
+                   ORDER BY gap, ts, value) AS _rk
+          FROM gaps
+        ),
+        np AS (
+          SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_gaps
+          FROM gaps GROUP BY channel
+        ),
+        g AS (
+          SELECT r.channel, MAX(n.n_gaps) AS n_gaps,
+                 CAST(MAX(CASE WHEN _rk = (1 * n.n_gaps + 9) // 10
+                          THEN gap END) AS BIGINT) AS p10_gap_us,
+                 CAST(MAX(CASE WHEN _rk = (n.n_gaps + 1) // 2
+                          THEN gap END) AS BIGINT) AS median_gap_us,
+                 CAST(MAX(CASE WHEN _rk = (9 * n.n_gaps + 9) // 10
+                          THEN gap END) AS BIGINT) AS p90_gap_us
+          FROM rk r JOIN np n USING (channel) GROUP BY r.channel
+        )
+        SELECT channel, n_gaps, p10_gap_us, median_gap_us, p90_gap_us,
+               CAST(p90_gap_us - p10_gap_us AS BIGINT) AS jitter_us,
+               CASE WHEN median_gap_us > 0 THEN
+                 round(1000000e0 / CAST(median_gap_us AS DOUBLE), 9)
+                 ELSE 0e0 END AS est_rate_hz,
+               abs((CASE WHEN median_gap_us > 0 THEN
+                 round(1000000e0 / CAST(median_gap_us AS DOUBLE), 9)
+                 ELSE 0e0 END) - 10.0e0) <= 0.05e0 * 10.0e0 AS rate_ok
+        FROM g
+        """,
+        "samples",
+    )
+
+    # Matryoshka prefix-dim recall: the gated exact-top-k replay on
+    # both sides, prefix slices via DuckDB 1-based inclusive ranges
+    sql["emb_matryoshka_recall"] = f"""
+        WITH gt AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM (
+              SELECT q.query_id, c.neighbor_id,
+                     list_dot_product(q.qv, c.v)
+                       / (sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(c.v, c.v))) AS cosine
+              FROM (SELECT vec_id AS query_id,
+                           (CAST(embedding AS DOUBLE[])) AS qv
+                    FROM embeddings WHERE vec_id < 20) q
+              JOIN (SELECT vec_id AS neighbor_id,
+                           (CAST(embedding AS DOUBLE[])) AS v
+                    FROM embeddings) c
+                ON q.query_id != c.neighbor_id
+            )
+          ) WHERE rank <= 5
+        ),
+        pre32 AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM (
+              SELECT q.query_id, c.neighbor_id,
+                     list_dot_product(q.qv, c.v)
+                       / (sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(c.v, c.v))) AS cosine
+              FROM (SELECT vec_id AS query_id,
+                           (CAST(embedding AS DOUBLE[]))[1:32] AS qv
+                    FROM embeddings WHERE vec_id < 20) q
+              JOIN (SELECT vec_id AS neighbor_id,
+                           (CAST(embedding AS DOUBLE[]))[1:32] AS v
+                    FROM embeddings) c
+                ON q.query_id != c.neighbor_id
+            )
+          ) WHERE rank <= 5
+        ),
+        pre16 AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM (
+              SELECT q.query_id, c.neighbor_id,
+                     list_dot_product(q.qv, c.v)
+                       / (sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(c.v, c.v))) AS cosine
+              FROM (SELECT vec_id AS query_id,
+                           (CAST(embedding AS DOUBLE[]))[1:16] AS qv
+                    FROM embeddings WHERE vec_id < 20) q
+              JOIN (SELECT vec_id AS neighbor_id,
+                           (CAST(embedding AS DOUBLE[]))[1:16] AS v
+                    FROM embeddings) c
+                ON q.query_id != c.neighbor_id
+            )
+          ) WHERE rank <= 5
+        )
+        
+          SELECT CAST(32 AS BIGINT) AS prefix_dim,
+                 CAST(COUNT(*) AS BIGINT) AS n_queries,
+                 round(SUM(n_hit) / CAST(COUNT(*) * 5 AS DOUBLE), 9)
+                   AS mean_recall,
+                 round(MIN(n_hit) / CAST(5 AS DOUBLE), 9)
+                   AS min_recall
+          FROM (
+            SELECT g.query_id,
+                   CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hit
+            FROM gt g LEFT JOIN pre32 p
+              ON g.query_id = p.query_id
+             AND g.neighbor_id = p.neighbor_id
+            GROUP BY g.query_id
+          )
+        UNION ALL
+        
+          SELECT CAST(16 AS BIGINT) AS prefix_dim,
+                 CAST(COUNT(*) AS BIGINT) AS n_queries,
+                 round(SUM(n_hit) / CAST(COUNT(*) * 5 AS DOUBLE), 9)
+                   AS mean_recall,
+                 round(MIN(n_hit) / CAST(5 AS DOUBLE), 9)
+                   AS min_recall
+          FROM (
+            SELECT g.query_id,
+                   CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hit
+            FROM gt g LEFT JOIN pre16 p
+              ON g.query_id = p.query_id
+             AND g.neighbor_id = p.neighbor_id
+            GROUP BY g.query_id
+          )
+        """
 
     return sql
 

@@ -255,3 +255,88 @@ def coverage_panel(samples: DataFrame, period_us: int = 100_000) -> DataFrame:
         ).alias("fill_ratio"),
         "max_outage_days",
     )
+
+
+def rate_estimate(
+    samples: DataFrame, nominal_hz: float = 10.0, tol: float = 0.05
+) -> DataFrame:
+    """Per-channel empirical sample-rate estimate from the
+    inter-sample gap distribution — the ingest sanity check that the
+    data actually arrives at the rate the catalog claims (a mislabeled
+    rate silently corrupts every downstream gap threshold, resample
+    ratio and expected-count fill metric). Reports the gap order
+    statistics, the rate implied by the median gap, timing jitter
+    (p90 − p10), and a tolerance flag against the nominal rate.
+
+    Determinism: gaps are exact BIGINT µs diffs over the (ts, value)
+    total order; the p10 / median (lower) / p90 picks are INTEGER
+    percentile_disc ranks over the (gap, ordinal) total order;
+    est_rate_hz is ONE fixed division rounded to 9 dp and the flag
+    compares that rounded value.
+
+    Output: (channel, n_gaps, p10_gap_us, median_gap_us, p90_gap_us,
+    jitter_us, est_rate_hz, rate_ok); channels with < 2 samples drop
+    (no gaps to estimate from).
+
+    Plan / 100 TB: one lag window per channel, one rank window over
+    GAP rows, one 1-row-per-channel rank-pick agg meeting the count
+    side in a broadcast join.
+    """
+    w = Window.partitionBy("channel").orderBy("ts", "value")
+    gaps = (
+        samples.select("channel", "ts", "value")
+        .withColumn("_prev", F.lag("ts").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            "channel",
+            F.expr("ts - _prev").cast("long").alias("gap"),
+            "ts",
+            "value",
+        )
+    )
+    rw = Window.partitionBy("channel").orderBy("gap", "ts", "value")
+    ranked = gaps.select(
+        "channel", "gap", F.row_number().over(rw).alias("_rk")
+    )
+    n_per = gaps.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps")
+    )
+    k10 = "((1 * n_gaps + 9) div 10)"
+    kmed = "((n_gaps + 1) div 2)"
+    k90 = "((9 * n_gaps + 9) div 10)"
+    g = (
+        ranked.join(F.broadcast(n_per), "channel")
+        .groupBy("channel")
+        .agg(
+            F.max("n_gaps").alias("n_gaps"),
+            F.max(F.expr(f"CASE WHEN _rk = {k10} THEN gap END"))
+            .cast("long")
+            .alias("p10_gap_us"),
+            F.max(F.expr(f"CASE WHEN _rk = {kmed} THEN gap END"))
+            .cast("long")
+            .alias("median_gap_us"),
+            F.max(F.expr(f"CASE WHEN _rk = {k90} THEN gap END"))
+            .cast("long")
+            .alias("p90_gap_us"),
+        )
+    )
+    est = (
+        "CASE WHEN median_gap_us > 0 THEN "
+        "round(1000000e0 / CAST(median_gap_us AS DOUBLE), 9) "
+        "ELSE 0e0 END"
+    )
+    return g.select(
+        "channel",
+        "n_gaps",
+        "p10_gap_us",
+        "median_gap_us",
+        "p90_gap_us",
+        F.expr("p90_gap_us - p10_gap_us").cast("long").alias(
+            "jitter_us"
+        ),
+        F.expr(est).alias("est_rate_hz"),
+        F.expr(
+            f"abs(({est}) - {float(nominal_hz)!r}D) "
+            f"<= {float(tol)!r}D * {float(nominal_hz)!r}D"
+        ).alias("rate_ok"),
+    )

@@ -300,3 +300,63 @@ def test_loudness_range_golden(spark):
     r = out[0]
     assert (r.n_frames, r.e_p10, r.e_p95) == (3, 4, 40000)
     assert r.dyn_range_db == 40.0
+
+
+def test_rate_estimate_golden(spark):
+    """Hand golden: channel at a perfect 100ms cadence with one
+    10x outage gap — 10 gaps: nine 100_000s and one 1_000_000.
+    p10 rank=(10+9)//10=1 -> 100000; median rank=(11)//2=5 -> 100000;
+    p90 rank=(90+9)//10=9 -> 100000 (the outage sits at rank 10);
+    est 10 Hz exactly, rate_ok true. A 2-sample channel estimates
+    from its single gap."""
+    from pennsieve_streaming_spark.operators.gaps import rate_estimate
+
+    rows = [("a", i * 100_000, 1.0) for i in range(10)]
+    rows.append(("a", 9 * 100_000 + 1_000_000, 1.0))
+    rows += [("b", 0, 1.0), ("b", 200_000, 1.0)]
+    df = spark.createDataFrame(
+        rows, "channel string, ts long, value double"
+    )
+    out = {r.channel: r for r in rate_estimate(df).collect()}
+    a = out["a"]
+    assert a.n_gaps == 10
+    assert (a.p10_gap_us, a.median_gap_us, a.p90_gap_us) == (
+        100_000,
+        100_000,
+        100_000,
+    )
+    assert a.jitter_us == 0
+    assert a.est_rate_hz == 10.0
+    assert a.rate_ok
+    b = out["b"]
+    assert (b.n_gaps, b.median_gap_us, b.est_rate_hz) == (
+        1,
+        200_000,
+        5.0,
+    )
+    assert not b.rate_ok
+
+
+def test_matryoshka_recall_invariants(spark, sf_dir):
+    """Recall at prefix 32 >= recall at prefix 16 is NOT guaranteed
+    pointwise, but both are in [0,1], full-dim self-recall is 1 by
+    construction, and n_queries matches the ground-truth query set."""
+    from pyspark.sql import functions as F
+
+    from pennsieve_streaming_spark.llm.similarity import cosine_topk
+
+    out = {
+        r.prefix_dim: r
+        for r in entry.q_matryoshka_recall(spark, sf_dir).collect()
+    }
+    assert set(out) == {32, 16}
+    embs = entry._embs(spark, sf_dir)
+    nq = (
+        cosine_topk(embs, embs.filter(F.col("vec_id") < 20), k=5)
+        .select("query_id")
+        .distinct()
+        .count()
+    )
+    for r in out.values():
+        assert r.n_queries == nq
+        assert 0.0 <= r.min_recall <= r.mean_recall <= 1.0
