@@ -217,6 +217,35 @@ def run_families(
     ) + _force(scr)
     plans["doc_contamination_screened"] = _plan(scr)
 
+    # --- crawl bloom screen (r11): the incremental-dedup scale
+    # path — the STANDING corpus stays fixed (its bitset is a
+    # maintained artifact in production) while the crawl DELTA grows
+    # Nx (per-replica token prefix, near-dup rich); expected ~linear
+    # in the delta, constant in the corpus -----------------------
+    from pennsieve_streaming_spark.llm.dedup import crawl_bloom_screen
+
+    standing = docs.filter(F.col("source") != "src0")
+    deltaN = (
+        _replicate(
+            docs.filter(F.col("source") == "src0"), ["doc_id"], factor
+        )
+        .withColumn(
+            "text",
+            F.concat(
+                F.lit("r"), F.col("_rep").cast("string"),
+                F.lit(" "), "text",
+            ),
+        )
+        .drop("_rep")
+    )
+    corpusN = standing.unionByName(deltaN.select(*standing.columns))
+    t0 = time.monotonic()  # includes the distributed bloom build
+    cscr = crawl_bloom_screen(corpusN, deltaN.select("doc_id"))
+    results["doc_crawl_screen"] = (time.monotonic() - t0) + _force(
+        cscr
+    )
+    plans["doc_crawl_screen"] = _plan(cscr)
+
     if own_lead:
         lead.unpersist()
     return results, plans
@@ -244,6 +273,10 @@ def plan_problems(plans: dict[str, str]) -> list[str]:
         "ShuffledHashJoin" in plans["doc_contamination_screened"]
     ):
         problems.append("screened: shuffle join in the corpus map")
+    if "SortMergeJoin" in plans["doc_crawl_screen"] or (
+        "ShuffledHashJoin" in plans["doc_crawl_screen"]
+    ):
+        problems.append("crawl_screen: shuffle join in the delta map")
     return problems
 
 

@@ -29,6 +29,7 @@ def test_heavy_family_plans_keep_their_shape(spark, sf_dir):
         "ts_butterworth_longspan",
         "ts_butterworth_bulk_lanes",
         "doc_contamination_screened",
+        "doc_crawl_screen",
     }
     assert all(v > 0 for v in results.values())
     assert smoke.plan_problems(plans) == []
