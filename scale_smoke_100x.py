@@ -224,10 +224,20 @@ def run_families(
     # in the delta, constant in the corpus -----------------------
     from pennsieve_streaming_spark.llm.dedup import crawl_bloom_screen
 
+    # delta = the WHOLE base corpus replicated Nx (ids shifted past
+    # the standing range so rep 0 cannot collide) — sf0.1's src0
+    # slice alone is only ~250 docs, far too small for the scoring
+    # term to outweigh the fixed standing-corpus bloom build
     standing = docs.filter(F.col("source") != "src0")
     deltaN = (
-        _replicate(
-            docs.filter(F.col("source") == "src0"), ["doc_id"], factor
+        docs.crossJoin(
+            F.broadcast(
+                spark.range(factor).select(F.col("id").alias("_rep"))
+            )
+        )
+        .withColumn(
+            "doc_id",
+            F.col("doc_id") + (F.col("_rep") + 1) * F.lit(ID_STRIDE),
         )
         .withColumn(
             "text",
