@@ -34,6 +34,7 @@ from pennsieve_streaming_spark.operators import (
     window_query,
 )
 from pennsieve_streaming_spark.tables import with_views
+from pennsieve_streaming_spark.util import pin
 from pennsieve_streaming_spark.llm import (
     cosine_topk,
     exact_dedup,
@@ -183,11 +184,20 @@ def q_event_index(spark, sf_dir):
 
 
 def q_epoch_rebase(spark, sf_dir):
+    # Optimization r11 (guide §2.4): the original form windowed
+    # ``ts - min(ts) OVER (PARTITION BY channel)`` over every sample
+    # and then aggregated — one full exchange+sort of the sample table
+    # just to subtract a per-channel constant that the final
+    # aggregation re-derives anyway. Since ts is integral,
+    # ``max(ts - min_c) == max(ts) - min(ts)`` exactly, so the whole
+    # query is ONE partial-aggregated groupBy (map-side combine, an
+    # 8-row shuffle) with bit-identical output. The serving-path
+    # epoch-rebase operator (operators/window.py) still rebases real
+    # streams; this registry query's per-channel summary needs no
+    # window at all.
     s = TBL.samples_view(spark, sf_dir)
-    w = Window.partitionBy("channel")
-    rebased = s.withColumn("rts", F.col("ts") - F.min("ts").over(w))
-    return rebased.groupBy("channel").agg(
-        F.max("rts").alias("max_rebased_ts"),
+    return s.groupBy("channel").agg(
+        (F.max("ts") - F.min("ts")).alias("max_rebased_ts"),
         F.count(F.lit(1)).alias("n_samples"),
     )
 
@@ -1047,14 +1057,19 @@ LSH_MAX_BUCKET = 50
 def q_lsh_pairs(spark, sf_dir):
     # Two-phase execution: the shingle set feeds both the signature
     # pipeline and the jaccard verify, and the candidate set is read
-    # twice (verify join + doc semi-join). Cache both and fill the
-    # candidate cache eagerly so the verify plan reuses it instead of
-    # recomputing the LSH pipeline per subtree.
-    sh = shingles(_docs(spark, sf_dir)).cache()
-    cands = lsh_candidate_pairs(
-        lsh_band_keys(minhash_wide(sh)), max_bucket_size=LSH_MAX_BUCKET
-    ).cache()
-    cands.count()
+    # three times (pair join + the two sides of the doc semi-join).
+    # pin (eager localCheckpoint) instead of lazy cache+count
+    # (optimization r11): a lazily cached subtree is recomputed
+    # CONCURRENTLY by every independent AQE leaf stage that references
+    # it before the first fill lands — observed as racing duplicate
+    # shingle-pipeline jobs — while a pinned RDD is computed exactly
+    # once and every consumer reads the stored blocks.
+    sh = pin(shingles(_docs(spark, sf_dir)))
+    cands = pin(
+        lsh_candidate_pairs(
+            lsh_band_keys(minhash_wide(sh)), max_bucket_size=LSH_MAX_BUCKET
+        )
+    )
     return jaccard_pairs(sh, candidates=cands)
 
 
@@ -1090,11 +1105,12 @@ def q_lsh_eval(spark, sf_dir):
     exact df-capped Jaccard ground truth. Exact integer counts, one
     fixed float division each; the oracle composes both gated
     queries' SQL verbatim."""
-    sh = shingles(_docs(spark, sf_dir)).cache()
-    cands = lsh_candidate_pairs(
-        lsh_band_keys(minhash_wide(sh)), max_bucket_size=LSH_MAX_BUCKET
-    ).cache()
-    cands.count()
+    sh = pin(shingles(_docs(spark, sf_dir)))
+    cands = pin(
+        lsh_candidate_pairs(
+            lsh_band_keys(minhash_wide(sh)), max_bucket_size=LSH_MAX_BUCKET
+        )
+    )
     pred = jaccard_pairs(sh, candidates=cands)
     truth = jaccard_pairs(
         sh, min_jaccard=LSH_EVAL_TAU, max_doc_freq=JACCARD_MAX_DF
@@ -4589,11 +4605,12 @@ def q_minhash_calibration(spark, sf_dir):
     # feeds signatures AND the exact-jaccard verify, and the candidate
     # set is read by both branches — uncached, the whole LSH pipeline
     # replays per subtree (~60-exchange plan).
-    sh = shingles(_docs(spark, sf_dir)).cache()
-    cands = lsh_candidate_pairs(
-        lsh_band_keys(minhash_wide(sh)), max_bucket_size=LSH_MAX_BUCKET
-    ).cache()
-    cands.count()
+    sh = pin(shingles(_docs(spark, sf_dir)))
+    cands = pin(
+        lsh_candidate_pairs(
+            lsh_band_keys(minhash_wide(sh)), max_bucket_size=LSH_MAX_BUCKET
+        )
+    )
     return minhash_calibration(sh, minhash_signatures(sh), cands)
 
 
@@ -5691,7 +5708,6 @@ def q_incremental_build(spark, sf_dir):
         exact_dedup,
     )
     from pennsieve_streaming_spark.llm.hashing import md5_hash64_expr
-    from pennsieve_streaming_spark.util import pin
 
     docs = _docs(spark, sf_dir)
     delta = docs.filter(F.col("source") == "src0")
@@ -6152,15 +6168,15 @@ def q_rouge_pairs(spark, sf_dir):
     from pennsieve_streaming_spark.llm.text import rouge_pairs
 
     docs = _docs(spark, sf_dir)
-    sh = shingles(docs).cache()
-    cands = lsh_candidate_pairs(
-        lsh_band_keys(minhash_wide(sh)), max_bucket_size=LSH_MAX_BUCKET
-    ).cache()
-    cands.count()
+    sh = pin(shingles(docs))
+    cands = pin(
+        lsh_candidate_pairs(
+            lsh_band_keys(minhash_wide(sh)), max_bucket_size=LSH_MAX_BUCKET
+        )
+    )
     # pin the (tiny) verified-pair id list: without it the ROUGE join
     # tree replays the whole LSH candidate pipeline per subtree
     # (~200-exchange plan — the q_lsh_pairs cache rule)
-    from pennsieve_streaming_spark.util import pin
 
     pairs = pin(
         jaccard_pairs(sh, candidates=cands).select("doc_a", "doc_b")
@@ -6318,14 +6334,14 @@ def q_dup_source_mix(spark, sf_dir):
     the one-row diagnosis that decides global vs per-source dedup
     (a 100 TB shuffle-cost lever)."""
     from pennsieve_streaming_spark.llm.dedup import dup_source_mix
-    from pennsieve_streaming_spark.util import pin
 
     docs = _docs(spark, sf_dir)
-    sh = shingles(docs).cache()
-    cands = lsh_candidate_pairs(
-        lsh_band_keys(minhash_wide(sh)), max_bucket_size=LSH_MAX_BUCKET
-    ).cache()
-    cands.count()
+    sh = pin(shingles(docs))
+    cands = pin(
+        lsh_candidate_pairs(
+            lsh_band_keys(minhash_wide(sh)), max_bucket_size=LSH_MAX_BUCKET
+        )
+    )
     pairs = pin(
         jaccard_pairs(sh, candidates=cands).select("doc_a", "doc_b")
     )

@@ -81,24 +81,16 @@ def main() -> None:
 
     sentinel = _sentinel_sec(spark)
 
-    # Hot-table cache (r2 VERDICT ask #1): the serving layer keeps the
-    # base views resident across requests (QuerySession holds one
-    # samples DataFrame for its whole lifetime), so the bench measures
-    # query compute over warm tables — the deployment shape — instead
-    # of re-paying the parquet scan 17 times. Spark's CacheManager
-    # matches by logical plan, so each query's internally-built view
-    # hits these entries automatically.
-    from pennsieve_streaming_spark import tables as TBL
-
-    for base in (
-        TBL.samples_view(spark, sf_dir),
-        TBL.samples_aligned_view(spark, sf_dir),
-        TBL.chan_events_view(spark, sf_dir),
-        entry._docs(spark, sf_dir),
-        entry._embs(spark, sf_dir),
-    ):
-        base.cache().count()
-
+    # Measurement fix (optimization r11, guide §1.4 and the no-caching
+    # rule): earlier rounds pre-cached the five base views before the
+    # timed region (r2's "deployment shape" argument), so every timed
+    # number excluded the parquet scan + view derivation, and intra-
+    # query .cache() calls (doc_minhash_lsh_pairs' two-phase candidate
+    # cache) stayed warm across reps — the min-of-5 then measured the
+    # warm-cache replay, not the query. Both are gone: nothing is
+    # cached outside the timed region, and the cache is CLEARED before
+    # every rep so each rep computes from the parquet inputs.
+    # OPTIMIZATION_r11.md records numbers under both methodologies.
     queries = entry.queries()
     best: dict[str, float] = {name: float("inf") for name in HEADLINE}
     # Round-robin the reps (pass 1 runs every query, then pass 2, ...)
@@ -109,6 +101,7 @@ def main() -> None:
     # so min-of-passes removes transient contention.
     for _ in range(max(1, REPS)):
         for name in HEADLINE:
+            spark.catalog.clearCache()  # every rep computes from parquet
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             best[name] = min(best[name], time.perf_counter() - t0)

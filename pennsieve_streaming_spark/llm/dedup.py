@@ -28,7 +28,7 @@ from pennsieve_streaming_spark.llm.hashing import (
     md5_hash64_expr,
     minhash_perm_constants,
 )
-from pennsieve_streaming_spark.util import ensure_parallelism
+from pennsieve_streaming_spark.util import ensure_parallelism, pin
 
 BAND_WEIGHTS = [1, 31, 961, 29791]  # 31^(j % rows_per_band), rows_per_band=4
 
@@ -168,6 +168,17 @@ def lsh_candidate_pairs(
             .distinct()
         )
     cap = int(max_bucket_size)
+    # Materialize band_keys ONCE (optimization r11). The capped plan
+    # references it from ~6 independent subtrees (stats, the a/b sides
+    # of the small-bucket self-join, the star branch), and AQE submits
+    # those leaf map stages CONCURRENTLY — with a lazy (or lazily
+    # cached) input, each subtree replays the whole upstream
+    # shingles→minhash pipeline in parallel (observed: six racing
+    # identical jobs, none reusing the in-flight cache fill). Pinning
+    # trades one write of the narrow (doc_id, band, band_key) table —
+    # 3 BIGINTs/row, block-manager-backed with disk spill — for ≥6
+    # replays of the far heavier signature pipeline.
+    band_keys = pin(band_keys)
     stats = band_keys.groupBy("band", "band_key").agg(
         F.count(F.lit(1)).alias("_bn"),
         F.min("doc_id").alias("_anchor"),

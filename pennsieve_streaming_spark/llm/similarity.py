@@ -46,7 +46,15 @@ def partial_topk(
     the global top-k — so the rank shuffle moves O(partitions·k) rows
     per key instead of the full |corpus|×|queries| scored set. Exact:
     selection uses the same (metric DESC, tie ASC) total order as the
-    final window must."""
+    final window must.
+
+    NOTE (optimization r11): the retrieval hot paths no longer call
+    this — Spark's ``InsertWindowGroupLimit`` rule gives the same
+    per-partition pre-reduction JVM-side (WindowGroupLimit Partial
+    under the rank exchange, suite- and smoke-guarded) without a
+    JVM→Python→JVM round-trip. Kept as a library operator for
+    callers whose final ranking is NOT a rank-filter window (where
+    the native rule cannot fire)."""
 
     def reduce_batches(batches):
         import pandas as pd
@@ -72,9 +80,14 @@ def cosine_topk(
     """Exact top-k cosine neighbors for each query vector.
 
     ``queries`` is a (small) subset of rows with the same schema;
-    it is broadcast so the corpus never shuffles, and each scan task
-    reduces its scored rows to a local top-k (``partial_topk``) before
-    the single global rank shuffle.
+    it is broadcast so the corpus never shuffles. Each side carries
+    its own norm computed ONCE per row before the join (the same
+    index-order fold, so the cosine bits are unchanged) instead of
+    once per scored pair, and the rank shuffle is pre-reduced by
+    Spark's native ``WindowGroupLimit`` partial mode (the JVM-side
+    per-partition top-k that replaced the old ``partial_topk``
+    Python stage — optimization r11, guide §4.1: one fewer
+    JVM→Python→JVM round-trip on the hot path).
 
     Output: (query_id, neighbor_id, rank, cosine).
     """
@@ -82,16 +95,16 @@ def cosine_topk(
         _as_double(embeddings, vec_col).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
         )
-    )
+    ).withColumn("_nv", F.expr(DOT.format(a="v", b="v")))
     qs = _as_double(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q")
-    )
+    ).withColumn("_nq", F.expr(DOT.format(a="q", b="q")))
     dot = F.expr(DOT.format(a="q", b="v"))
-    nq = F.expr(DOT.format(a="q", b="q"))
-    nv = F.expr(DOT.format(a="v", b="v"))
     scored = (
         corpus.join(F.broadcast(qs), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", dot / (F.sqrt(nq) * F.sqrt(nv)))
+        .withColumn(
+            "cosine", dot / (F.sqrt(F.col("_nq")) * F.sqrt(F.col("_nv")))
+        )
         .select("query_id", "neighbor_id", "cosine")
     )
     from pyspark.sql import Window
@@ -100,7 +113,7 @@ def cosine_topk(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        partial_topk(scored, k)
+        scored
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
@@ -282,7 +295,7 @@ def ivf_ann(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        partial_topk(scored, k)
+        scored
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
@@ -417,7 +430,7 @@ def pq_ann(
         F.col("adc_dist").asc(), F.col("neighbor_id")
     )
     return (
-        partial_topk(scored, k, metric="adc_dist", metric_desc=False)
+        scored
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
@@ -510,7 +523,7 @@ def ivf_pq_ann(
         F.col("adc_dist").asc(), F.col("neighbor_id")
     )
     return (
-        partial_topk(scored, k, metric="adc_dist", metric_desc=False)
+        scored
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
@@ -754,7 +767,7 @@ def lsh_bucketed_ann(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        partial_topk(scored, k)
+        scored
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
@@ -921,7 +934,7 @@ def cosine_topk_two_stage(
         F.col("coarse").desc(), F.col("neighbor_id")
     )
     cands = (
-        partial_topk(coarse, refine_k, metric="coarse")
+        coarse
         .withColumn("crank", F.row_number().over(wc))
         .filter(F.col("crank") <= refine_k)
     )
@@ -1264,7 +1277,7 @@ def mips_topk(
         F.col("dot").desc(), F.col("neighbor_id")
     )
     return (
-        partial_topk(scored, k, metric="dot")
+        scored
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "dot")
@@ -1601,12 +1614,9 @@ def binary_hamming_topk(
     )
     from pyspark.sql import Window
 
-    cand = partial_topk(
-        scored, refine_k, metric="hamming", metric_desc=False
-    )
     wh = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
     kept = (
-        cand.withColumn("_hr", F.row_number().over(wh))
+        scored.withColumn("_hr", F.row_number().over(wh))
         .filter(F.col("_hr") <= refine_k)
     )
     dot = F.expr(DOT.format(a="q", b="v"))

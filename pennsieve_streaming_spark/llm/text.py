@@ -5,6 +5,8 @@ run as a single narrow map over a 100 TB documents table.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -567,6 +569,58 @@ def zipf_fit(documents: DataFrame, quant: int = 10**3) -> DataFrame:
     )
 
 
+def _bpe_merges_driver(spark, words, n_merges: int, return_state: bool):
+    """Driver-side replay of the exact Sennrich get_stats/merge loop
+    over the collected (word, cnt) table — see the size gate in
+    :func:`bpe_merges`. Pure-integer counts, byte-order==codepoint-
+    order tie-breaks, and the same greedy left-to-right application,
+    so merges and final state are bit-identical to the distributed
+    loop's (both oracle-gated)."""
+    vocab = [(r["word"], int(r["cnt"])) for r in words.collect()]
+    toks = {w: list(w) for w, _c in vocab}
+    merges: list[tuple[int, str, str, int]] = []
+    for it in range(1, int(n_merges) + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, c in vocab:
+            t = toks[w]
+            for pair in zip(t, t[1:]):
+                counts[pair] = counts.get(pair, 0) + c
+        if not counts:
+            break
+        (l, r), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((it, l, r, int(n)))
+        lr = l + r
+        for w, _c in vocab:
+            t = toks[w]
+            if l not in t:
+                continue
+            out, i, ln = [], 0, len(t)
+            while i < ln:
+                if t[i] == l and i + 1 < ln and t[i + 1] == r:
+                    out.append(lr)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            toks[w] = out
+    merges_df = spark.createDataFrame(
+        merges, "it long, left_tok string, right_tok string, pair_count long"
+    )
+    if return_state:
+        state_rows = [
+            (w, c, pos, tok)
+            for w, c in vocab
+            for pos, tok in enumerate(toks[w])
+        ]
+        state = spark.createDataFrame(
+            state_rows, "word string, cnt long, pos long, tok string"
+        )
+        return merges_df, state
+    return merges_df
+
+
 def bpe_merges(
     documents: DataFrame,
     n_merges: int = 8,
@@ -618,6 +672,27 @@ def bpe_merges(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .filter(F.col("cnt") >= int(min_count))
     )
+    # Size-gated driver-side merge loop (optimization r11, guide §1.2:
+    # fix the distributed algorithm first). The k-iteration Spark loop
+    # costs ~2 jobs per merge (pair-count collect + state rebuild/pin)
+    # over a table that is BOUNDED by |vocab| x avg word length — at
+    # benchmark scale that is pure scheduling overhead. When the
+    # word-frequency table fits the driver comfortably (the same
+    # bounded-model-state rule as the centroid pulls and the 1-row
+    # winning-pair collect this loop already did), pull it once and
+    # run the exact Sennrich loop in Python: identical integer counts,
+    # identical (count DESC, l ASC, r ASC) winner, identical greedy
+    # left-to-right application — so merges and final state are
+    # bit-identical (oracle-gated). Corpora whose post-min_count vocab
+    # exceeds the cap keep the distributed loop unchanged.
+    cap = int(
+        os.environ.get("SPARK_GRAFT_BPE_DRIVER_VOCAB_CAP", "2000000")
+    )
+    wc = words.limit(cap + 1).count()
+    if wc <= cap:
+        return _bpe_merges_driver(
+            spark, words, int(n_merges), return_state
+        )
     state = words.select(
         "word",
         "cnt",

@@ -56,8 +56,10 @@ def _plan(df) -> str:
 
 def test_cosine_topk_plan_broadcasts_and_prereduces(spark):
     """The corpus side must never shuffle for scoring: queries are
-    broadcast, and the partial top-k reduction sits before the single
-    rank exchange."""
+    broadcast, and the native WindowGroupLimit partial top-k sits
+    BELOW the single rank exchange (the JVM-side pre-reduction that
+    replaced the old MapInPandas partial_topk stage — the hot path
+    must stay free of the Python boundary)."""
     from pyspark.sql import functions as F
 
     from pennsieve_streaming_spark.llm.similarity import cosine_topk
@@ -69,12 +71,14 @@ def test_cosine_topk_plan_broadcasts_and_prereduces(spark):
     df = cosine_topk(embs, embs.filter(F.col("vec_id") < 4), k=3)
     plan = _plan(df)
     assert "BroadcastExchange" in plan          # query side broadcast
-    assert "MapInPandas" in plan                # partial top-k reduction
-    # exactly one shuffle: the final per-query rank window
-    n_exchanges = plan.count("ShuffleExchange") or plan.count("Exchange hashpartitioning")
-    assert n_exchanges >= 1
-    before_window = plan.split("Window")[-1]
-    assert "MapInPandas" in before_window       # reduction feeds the rank
+    # no Python evaluation anywhere in the exact-top-k path
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the pre-reduction: a WindowGroupLimit below the rank exchange
+    # (executed plans print the partial instance under Exchange)
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+    below_exchange = plan.split("Exchange hashpartitioning")[-1]
+    assert "WindowGroupLimit" in below_exchange
 
 
 def test_near_dup_plan_no_cartesian(spark):

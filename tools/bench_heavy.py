@@ -69,14 +69,14 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     sentinel = _sentinel_sec(spark)
 
-    # warm tables, same deployment shape as bench.py
-    for base in (entry._docs(spark, sf_dir), entry._embs(spark, sf_dir)):
-        base.cache().count()
-
+    # No pre-cached tables, and the cache is cleared before every rep:
+    # each rep computes from the parquet inputs (same measurement fix
+    # as bench.py — see OPTIMIZATION_r11.md).
     queries = entry.queries()
     best: dict[str, float] = {name: float("inf") for name in HEAVY}
     for _ in range(max(1, REPS)):
         for name in HEAVY:
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.mode("overwrite").format(
                 "noop"

@@ -12,6 +12,11 @@ which this tool does, defaulting to 96/chunk.
 Run: python tools/full_sweep.py [sf_dir] [chunk_size]
 Output: per-chunk MATCH counts + one JSON summary line; exit 1 on
 any mismatch.
+
+Chunk default lowered 96 -> 64 (optimization r11): a 96-query chunk
+reproduced the 1g aging death mid-chunk on a slower box (the
+ts_theil_sen Py4J signature, then connection-refused for the chunk's
+tail); 64 keeps a wider margin under the same 1g vanilla contract.
 """
 
 from __future__ import annotations
@@ -73,7 +78,7 @@ print("CHUNK_RESULT " + json.dumps(bad))
 
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 96
+    chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     sys.path.insert(0, REPO)
     import __spark_entry__ as E
 
