@@ -245,16 +245,35 @@ def q_cut_resample(spark, sf_dir):
 
 
 def q_realtime_resample(spark, sf_dir):
+    # Optimization r11 (guide §2.4, exchange reuse by the subset
+    # rule): position the rows with a window keyed on the DERIVED
+    # segment key ``start_ts`` (= l_orderkey * 1e6, a bijection, so
+    # pos/m are unchanged) instead of the raw l_orderkey. The
+    # operator's groupBy(channel, start_ts, bucket, ...) then contains
+    # the window's partition key as the same attribute, and
+    # HashPartitioning(start_ts) satisfies the aggregation's
+    # ClusteredDistribution — the second full exchange of the
+    # positioned rows disappears (2 Exchange -> 1).
     from pennsieve_streaming_spark.operators.realtime import (
         resample_ingest_positions,
     )
 
-    pos = _lineitem_positions(spark, sf_dir).select(
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base = li.select(
         F.concat(F.lit("rt"), (F.col("l_orderkey") % 4).cast("string")).alias("channel"),
         (F.col("l_orderkey") * 1_000_000).alias("start_ts"),
         (F.lit(75_000.0) * (F.lit(1) + F.col("l_orderkey") % 3)).alias("sample_period"),
-        "pos",
-        "m",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("v"),
+    )
+    wo = Window.partitionBy("start_ts").orderBy("l_linenumber", "v")
+    wc = Window.partitionBy("start_ts")
+    pos = base.select(
+        "channel",
+        "start_ts",
+        "sample_period",
+        (F.row_number().over(wo) - F.lit(1)).cast("long").alias("pos"),
+        F.count(F.lit(1)).over(wc).alias("m"),
         "v",
     )
     return resample_ingest_positions(pos, RT_PIXEL_US)

@@ -345,29 +345,42 @@ def pq_encode(
 
     Output: (id, codes ARRAY<INT>).
     """
+    return (
+        _as_double(embeddings, vec_col)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .select(
+            "id",
+            F.expr(pq_codes_expr(codebooks, "v"))
+            .cast("array<int>")
+            .alias("codes"),
+        )
+    )
+
+
+def pq_codes_expr(
+    codebooks: list[list[list[float]]], vec: str = "v"
+) -> str:
+    """The PQ-encode projection as a reusable SQL expression over
+    ``vec`` — shared by :func:`pq_encode` and the one-pass corpus
+    branch of :func:`ivf_pq_ann`."""
     m = len(codebooks)
     k = len(codebooks[0])
     subdim = len(codebooks[0][0])
     cb = _cb_literal(codebooks)
-    codes = (
+    return (
         f"transform(sequence(0, {m - 1}), s -> "
         f"  array_position("
         f"    transform(sequence(0, {k - 1}), c -> "
-        f"      aggregate(zip_with(slice(v, s * {subdim} + 1, {subdim}),"
+        f"      aggregate(zip_with(slice({vec}, s * {subdim} + 1, {subdim}),"
         f"                element_at(element_at({cb}, s + 1), c + 1),"
         f"                (x, y) -> (x - y) * (x - y)),"
         f"                CAST(0 AS DOUBLE), (acc, d) -> acc + d)),"
         f"    array_min(transform(sequence(0, {k - 1}), c -> "
-        f"      aggregate(zip_with(slice(v, s * {subdim} + 1, {subdim}),"
+        f"      aggregate(zip_with(slice({vec}, s * {subdim} + 1, {subdim}),"
         f"                element_at(element_at({cb}, s + 1), c + 1),"
         f"                (x, y) -> (x - y) * (x - y)),"
         f"                CAST(0 AS DOUBLE), (acc, d) -> acc + d)))"
         f"  ) - 1)"
-    )
-    return (
-        _as_double(embeddings, vec_col)
-        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .select("id", F.expr(codes).cast("array<int>").alias("codes"))
     )
 
 
@@ -474,16 +487,25 @@ def ivf_pq_ann(
 
     from pyspark.sql import Window
 
-    corpus = _as_double(embeddings, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
+    corpus = ensure_parallelism(
+        _as_double(embeddings, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
+        )
     )
-    # closed-form argmin assignment (see nearest_centroid_expr) — the
-    # corpus-side branch carries no Exchange/Window.
-    assigned = assign_lists(corpus, centroids).select("neighbor_id", "list_id")
-    codes = pq_encode(embeddings, codebooks, id_col, vec_col).select(
-        F.col("id").alias("neighbor_id"), "codes"
+    # ONE narrow pass computes both the closed-form argmin assignment
+    # and the PQ codes (optimization r11): the previous shape ran
+    # assign_lists and pq_encode as two separate scans of the
+    # embeddings table joined back on neighbor_id — a join of two
+    # projections of the same rows. Same expressions, so list_id and
+    # codes are bit-identical; the self-join and its exchanges are
+    # gone, and the corpus branch is again free of Exchange/Window.
+    corpus_pq = assign_lists(corpus, centroids).select(
+        "neighbor_id",
+        "list_id",
+        F.expr(pq_codes_expr(codebooks, "v"))
+        .cast("array<int>")
+        .alias("codes"),
     )
-    corpus_pq = assigned.join(codes, "neighbor_id")
 
     qs = _as_double(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q")

@@ -102,6 +102,7 @@ def test_incremental_build_pins_and_plan(spark, sf_dir):
     a shuffle-join-free shape, and the finish plan reads only the
     checkpoints (zero raw scans, no SMJ after the seqs broadcast)."""
     import pennsieve_streaming_spark.util as U
+    import __spark_entry__ as entry
 
     captured = []
     real_pin = U.pin
@@ -111,14 +112,17 @@ def test_incremental_build_pins_and_plan(spark, sf_dir):
         captured.append(df)
         return r
 
+    # entry binds ``pin`` at module level (r11), so patch the
+    # already-bound symbol there as well as the util module — the spy
+    # must work whether or not entry was imported by an earlier test.
     U.pin = spy
+    entry.pin = spy
     try:
-        import __spark_entry__ as entry
-
         df = entry.q_incremental_build(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
     finally:
         U.pin = real_pin
+        entry.pin = real_pin
     assert len(captured) == 3
     for stage in captured:
         p = stage._jdf.queryExecution().executedPlan().toString()

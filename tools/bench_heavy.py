@@ -31,7 +31,11 @@ sys.path.insert(
 )
 
 import __spark_entry__ as entry  # noqa: E402
-from bench import SENTINEL_QUIET_SEC, _sentinel_sec  # noqa: E402
+from bench import (  # noqa: E402
+    SENTINEL_QUIET_SEC,
+    _drop_leftover_state,
+    _sentinel_sec,
+)
 from pennsieve_streaming_spark.session import get_spark  # noqa: E402
 
 # The 100 TB-dominant set: screened decontamination (whole-corpus
@@ -76,7 +80,7 @@ def main() -> None:
     best: dict[str, float] = {name: float("inf") for name in HEAVY}
     for _ in range(max(1, REPS)):
         for name in HEAVY:
-            spark.catalog.clearCache()
+            _drop_leftover_state(spark)
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.mode("overwrite").format(
                 "noop"
