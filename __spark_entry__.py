@@ -5381,14 +5381,21 @@ def q_incremental_dedup(spark, sf_dir):
     total-order best-match pick, −1/0.0 sentinels for matchless
     docs."""
     from pennsieve_streaming_spark.llm.dedup import (
-        cross_corpus_containment,
+        cross_corpus_containment_presplit,
     )
 
     docs = _docs(spark, sf_dir)
-    sh = shingles(docs)
     new_ids = docs.filter(F.col("source") == "src0").select("doc_id")
-    return cross_corpus_containment(
-        sh, new_ids, threshold=0.5, max_doc_freq=JACCARD_MAX_DF
+    # pre-split (optimization r11): shingle the delta and the standing
+    # corpus from their own document rows instead of semi/anti-
+    # splitting a full-corpus shingle explode per plan reference —
+    # identical rows (shingling commutes with the doc-level split).
+    return cross_corpus_containment_presplit(
+        shingles(docs.filter(F.col("source") == "src0")),
+        shingles(docs.filter(F.col("source") != "src0")),
+        new_ids=new_ids,
+        threshold=0.5,
+        max_doc_freq=JACCARD_MAX_DF,
     )
 
 
@@ -5662,8 +5669,12 @@ def q_corpus_build(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
-    keep = exact_dedup(docs).select(
-        F.col("keep_doc_id").alias("doc_id")
+    # pin the keeper id list (optimization r11): dd is referenced by
+    # BOTH the per-source unique counts and the curation cascade, and
+    # each reference replayed the corpus-wide md5 groupBy; the pinned
+    # list is the narrow (8 B/doc) proxy, so the digest agg runs once.
+    keep = pin(
+        exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
     )
     dd = docs.join(keep, "doc_id", "left_semi")
     cur = curate_corpus(dd, bench, SAMPLE_RATES, pack_budget=PACK_BUDGET)
@@ -5723,7 +5734,7 @@ def q_incremental_build(spark, sf_dir):
     delta docs (< 3 tokens) cannot be near-dups and pass the screen."""
     from pennsieve_streaming_spark.llm.curation import curate_corpus
     from pennsieve_streaming_spark.llm.dedup import (
-        cross_corpus_containment,
+        cross_corpus_containment_presplit,
         exact_dedup,
     )
     from pennsieve_streaming_spark.llm.hashing import md5_hash64_expr
@@ -5738,12 +5749,16 @@ def q_incremental_build(spark, sf_dir):
     # union, the screen id list, and the fresh anti-join — unpinned,
     # the dedup agg re-executes per reference
     dd = pin(delta.join(keep, "doc_id", "left_semi"))
-    # standing ∪ surviving delta: dropped exact dups must not leak
-    # into the "standing corpus" side of the screen
-    sh = shingles(standing.unionByName(dd))
-    screen = cross_corpus_containment(
-        sh,
-        dd.select("doc_id"),
+    # pre-split screen (optimization r11): shingle the surviving delta
+    # and the standing corpus separately instead of shingling
+    # standing ∪ dd and letting the containment join semi/anti-split
+    # the union per plan reference — identical verdicts, and the
+    # union+explode is no longer replayed 4x. Dropped exact dups
+    # still never reach the standing side (dd IS the survivor set).
+    screen = cross_corpus_containment_presplit(
+        shingles(dd),
+        shingles(standing),
+        new_ids=dd.select("doc_id"),
         threshold=0.5,
         max_doc_freq=JACCARD_MAX_DF,
     )

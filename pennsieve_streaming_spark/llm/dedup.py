@@ -1384,6 +1384,61 @@ def cross_corpus_containment(
 
     new_sh = shingled.join(F.broadcast(new_ids), "doc_id", "left_semi")
     old_sh = shingled.join(F.broadcast(new_ids), "doc_id", "left_anti")
+    return cross_corpus_containment_presplit(
+        new_sh,
+        old_sh,
+        threshold=threshold,
+        max_doc_freq=max_doc_freq,
+        broadcast_delta=broadcast_delta,
+    )
+
+
+def cross_corpus_containment_presplit(
+    new_sh: DataFrame,
+    old_sh: DataFrame,
+    new_ids: DataFrame | None = None,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+    broadcast_delta: bool | None = None,
+) -> DataFrame:
+    """:func:`cross_corpus_containment` over ALREADY-SPLIT shingle
+    sides (optimization r11, guide §2.4/§3): callers that hold the
+    delta and the standing corpus as separate document sets were
+    building ``shingles(standing ∪ delta)`` only for the containment
+    join to semi/anti-split it apart again — and because Spark plans
+    each DataFrame reference as its own subtree, the 4 references
+    (sizes, probe, hot-df, join) each re-ran the full union+explode
+    (doc_incremental_dedup_screened: 24 parquet scans of the corpus).
+    Passing ``shingles(delta_docs)`` / ``shingles(standing_docs)``
+    directly keeps the explode on each side's own rows and drops the
+    re-split joins; verdicts are bit-identical because per-doc
+    shingling commutes with doc-level set splits.
+
+    Under ``broadcast_delta`` the delta shingle table is additionally
+    pinned (eager localCheckpoint — it is delta-sized by the same
+    gate that allows the broadcast), so the delta side is computed
+    once and read by its two consumers (sizes + containment probe)
+    instead of re-deriving per reference. The standing side is NOT
+    materialized: its two passes (hot-shingle df + containment probe)
+    re-scan, which at 100 TB is two streaming corpus passes instead
+    of a corpus-sized checkpoint write.
+    """
+    from pyspark.sql import Window
+
+    from pennsieve_streaming_spark.util import pin
+
+    if broadcast_delta is None:
+        ids = (
+            new_ids
+            if new_ids is not None
+            else new_sh.select("doc_id").distinct()
+        )
+        broadcast_delta = (
+            ids.limit(CROSS_CORPUS_BROADCAST_DOCS + 1).count()
+            <= CROSS_CORPUS_BROADCAST_DOCS
+        )
+    if broadcast_delta:
+        new_sh = pin(new_sh.select("doc_id", "sh"))
     if max_doc_freq is not None:
         hot = (
             old_sh.groupBy("sh")
@@ -1604,9 +1659,17 @@ def cross_corpus_containment_screened(
     flagged_docs = documents.join(
         F.broadcast(flagged_ids), "doc_id", "left_semi"
     )
-    audited = cross_corpus_containment(
-        shingles(standing.unionByName(flagged_docs), k),
-        flagged_ids,
+    # pre-split audit (optimization r11): shingle each side's own
+    # documents instead of shingling the union and re-splitting it
+    # inside the containment join — identical verdicts (per-doc
+    # shingling commutes with the doc-level split), but the corpus
+    # explode is no longer replayed per plan reference (24 -> 4
+    # parquet scans at sf0.1) and the flagged side explodes only the
+    # flagged few instead of filtering a full-corpus explode.
+    audited = cross_corpus_containment_presplit(
+        shingles(flagged_docs, k),
+        shingles(standing, k),
+        new_ids=flagged_ids,
         threshold=threshold,
         max_doc_freq=max_doc_freq,
     ).select("doc_id", "best_match_id", "inter", "containment", "is_dup")

@@ -34,10 +34,49 @@ cluster-level dedup.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pennsieve_streaming_spark.util import pin
+
+
+def _cc_driver(edges: DataFrame) -> DataFrame:
+    """Driver-side exact union-find over the collected edge list —
+    the size-gated fast path of :func:`connected_components`
+    (optimization r11, guide §1.2: fix the distributed algorithm
+    first). A near-dup edge list under the gate is bounded model
+    state (the bpe_merges / centroid-pull rule); the alternating-star
+    loop on it is ~4-8 driver-synchronized rounds of tiny jobs —
+    pure scheduling overhead. Labels are bit-identical: component =
+    min member id, a property of the edge relation, not of the
+    algorithm that computes it."""
+    spark = edges.sparkSession
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edges.collect():
+        a, b = int(row["src"]), int(row["dst"])
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    for node in parent:
+        r = find(node)
+        if r not in comp_min or node < comp_min[r]:
+            comp_min[r] = node
+    rows = [(node, comp_min[find(node)]) for node in sorted(parent)]
+    return spark.createDataFrame(rows, "doc_id long, component long")
 
 
 def _edge_state(edges: DataFrame) -> tuple[int, int]:
@@ -103,6 +142,13 @@ def connected_components(
         F.col(dst_col).cast("long").alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
     edges = pin(edges)
+    # Size-gated driver-side union-find (optimization r11): under the
+    # cap the edge list is bounded model state and the exact labels
+    # are computed in one collect instead of ~2 jobs per star round;
+    # bigger graphs keep the distributed loop unchanged.
+    cap = int(os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGE_CAP", "2000000"))
+    if edges.limit(cap + 1).count() <= cap:
+        return _cc_driver(edges)
     state = _edge_state(edges)
     for _ in range(max_iter):
         edges = pin(_small_star(_large_star(edges)))

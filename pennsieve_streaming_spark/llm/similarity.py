@@ -179,7 +179,15 @@ def nearest_centroid_expr(vec: str, centroids: list[list[float]]) -> str:
         + fold.format(a=ci, b=ci)
     )
     dists = f"transform(sequence(0, {n - 1}), i -> {d2})"
-    return f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
+    # bind the distance array ONCE via a singleton transform
+    # (optimization r11): the naive
+    # array_position(dists, array_min(dists)) inlines the transform
+    # twice and doubles the fold work per row — same arithmetic,
+    # same first-minimum tie-break, half the evaluations.
+    return (
+        f"element_at(transform(array({dists}), "
+        "d -> CAST(array_position(d, array_min(d)) - 1 AS INT)), 1)"
+    )
 
 
 def assign_lists(
@@ -367,20 +375,22 @@ def pq_codes_expr(
     k = len(codebooks[0])
     subdim = len(codebooks[0][0])
     cb = _cb_literal(codebooks)
+    # per-subspace distance array bound ONCE via a singleton transform
+    # (optimization r11): the previous form inlined the k-codeword
+    # distance transform twice (array_position target + array_min) and
+    # doubled the fold work per row — same arithmetic, same
+    # first-minimum tie-break, half the evaluations.
+    dist_s = (
+        f"transform(sequence(0, {k - 1}), c -> "
+        f"  aggregate(zip_with(slice({vec}, s * {subdim} + 1, {subdim}),"
+        f"            element_at(element_at({cb}, s + 1), c + 1),"
+        f"            (x, y) -> (x - y) * (x - y)),"
+        f"            CAST(0 AS DOUBLE), (acc, d) -> acc + d))"
+    )
     return (
         f"transform(sequence(0, {m - 1}), s -> "
-        f"  array_position("
-        f"    transform(sequence(0, {k - 1}), c -> "
-        f"      aggregate(zip_with(slice({vec}, s * {subdim} + 1, {subdim}),"
-        f"                element_at(element_at({cb}, s + 1), c + 1),"
-        f"                (x, y) -> (x - y) * (x - y)),"
-        f"                CAST(0 AS DOUBLE), (acc, d) -> acc + d)),"
-        f"    array_min(transform(sequence(0, {k - 1}), c -> "
-        f"      aggregate(zip_with(slice({vec}, s * {subdim} + 1, {subdim}),"
-        f"                element_at(element_at({cb}, s + 1), c + 1),"
-        f"                (x, y) -> (x - y) * (x - y)),"
-        f"                CAST(0 AS DOUBLE), (acc, d) -> acc + d)))"
-        f"  ) - 1)"
+        f"  element_at(transform(array({dist_s}), "
+        f"    d -> array_position(d, array_min(d)) - 1), 1))"
     )
 
 

@@ -805,12 +805,16 @@ def bpe_encode(
     Output: (doc_id, seq, token_id, tok) — ``seq`` is the 0-based
     position in the doc's subword sequence.
 
-    Plan / scale: doc words join the BOUNDED word→subtokens table on
-    word (broadcast-able: |vocab|×avg-subwords rows); the OOV path is
-    a narrow char explode after a broadcast anti-join; ids attach by
-    a second bounded join on tok. The only corpus-sized shuffles are
-    the per-doc sequence window (partitioned by doc_id) and the word
-    explode itself.
+    Plan / scale (optimization r11, guide §3.1/§2.3): the tokenizer
+    is folded to ONE broadcast word→subtoken-array table; each doc
+    word looks its segmentation up in that single broadcast hash join
+    with the character fall-back fused in as a ``coalesce`` — the
+    corpus word explode is scanned ONCE and never shuffled by word
+    (the previous shape ran an in-vocab equi-join AND an OOV
+    anti-join as two corpus-wide SortMergeJoins over two separate
+    explodes of the corpus). Ids attach by a second broadcast join on
+    tok. The only corpus-sized shuffle left is the per-doc sequence
+    window (partitioned by doc_id) — irreducible, it defines ``seq``.
     """
     from pennsieve_streaming_spark.util import global_rank
 
@@ -831,26 +835,40 @@ def bpe_encode(
         ).alias("widx", "word"),
     ).filter(F.length("word") > 0)
 
-    seg = state.select("word", "pos", "tok")
-    in_vocab = dw.join(seg, "word").select("doc_id", "widx", "pos", "tok")
-    oov = (
-        dw.join(seg.select("word").distinct(), "word", "left_anti")
-        .select(
-            "doc_id",
-            "widx",
-            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i"),
-            "word",
-        )
-        .select(
-            "doc_id",
-            "widx",
-            (F.col("i") - 1).cast("long").alias("pos"),
-            F.expr("substring(word, i, 1)").alias("tok"),
-        )
+    # one row per vocab word: its subtokens in merge order (pos is
+    # 0-based contiguous in both training branches, so array index
+    # == pos and exploding reproduces the per-(word, pos) rows
+    # bit-exactly)
+    seg_arr = state.groupBy("word").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, tok))), "
+            "s -> s.tok)"
+        ).alias("_subtoks")
     )
+    # size-gate the forced broadcast (same bounded-model-state rule as
+    # the training gate): a cheap bounded count of the pinned/local
+    # state table — beyond the cap, leave the strategy to the planner.
+    bcap = int(
+        os.environ.get("SPARK_GRAFT_BPE_BROADCAST_CAP", "5000000")
+    )
+    small_vocab = state.limit(bcap + 1).count() <= bcap
+    if small_vocab:
+        seg_arr = F.broadcast(seg_arr)
+        inventory = F.broadcast(inventory)
     seq_w = Window.partitionBy("doc_id").orderBy("widx", "pos")
     return (
-        in_vocab.unionByName(oov)
+        dw.join(seg_arr, "word", "left")
+        .select(
+            "doc_id",
+            "widx",
+            F.posexplode(
+                F.expr(
+                    "coalesce(_subtoks, transform("
+                    "sequence(1, length(word)), "
+                    "i -> substring(word, i, 1)))"
+                )
+            ).alias("pos", "tok"),
+        )
         .join(inventory, "tok", "left")
         .select(
             "doc_id",

@@ -462,3 +462,34 @@ def test_triangle_counts_star_hub_bounded(spark):
     )
     out = {r.doc_id: r for r in triangle_counts(pairs).collect()}
     assert out[0].degree == 39 and out[0].n_triangles == 0
+
+
+def test_cc_driver_path_matches_distributed_loop(spark, monkeypatch):
+    """The size-gated driver union-find (optimization r11) and the
+    alternating-star distributed loop label the same graph
+    identically: component = min reachable id, chains, cycles,
+    reversed dups and self-loops included."""
+    from pennsieve_streaming_spark.llm.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1),        # chain collapses to 1
+         (10, 11), (11, 12), (12, 10),          # cycle
+         (20, 21), (21, 20),                    # reversed dup
+         (30, 30),                              # self-loop: dropped
+         (40, 41)],
+        "doc_a long, doc_b long",
+    )
+    fast = sorted(
+        tuple(r) for r in connected_components(pairs).collect()
+    )
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_EDGE_CAP", "0")
+    slow = sorted(
+        tuple(r) for r in connected_components(pairs).collect()
+    )
+    assert fast == slow
+    assert fast == [
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+        (40, 40), (41, 40),
+    ]

@@ -97,10 +97,12 @@ def test_cross_corpus_broadcast_gate(spark):
 
 
 def test_incremental_build_pins_and_plan(spark, sf_dir):
-    """doc_incremental_build's three pinned stages (exact-deduped
-    delta, screened fresh set, manifest base) each execute ONCE with
-    a shuffle-join-free shape, and the finish plan reads only the
-    checkpoints (zero raw scans, no SMJ after the seqs broadcast)."""
+    """doc_incremental_build's four pinned stages (exact-deduped
+    delta, the delta shingle table the broadcast-delta screen fast
+    path pins, screened fresh set, manifest base) each execute ONCE
+    with a shuffle-join-free shape, and the finish plan reads only
+    the checkpoints (zero raw scans, no SMJ after the seqs
+    broadcast)."""
     import pennsieve_streaming_spark.util as U
     import __spark_entry__ as entry
 
@@ -123,7 +125,7 @@ def test_incremental_build_pins_and_plan(spark, sf_dir):
     finally:
         U.pin = real_pin
         entry.pin = real_pin
-    assert len(captured) == 3
+    assert len(captured) == 4
     for stage in captured:
         p = stage._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" not in p
