@@ -632,11 +632,24 @@ def fingerprint_offset_search(
         .filter(F.col("_rk") == 1)
         .select("channel", "lag", "n_hits")
     )
-    aligned = (
-        F.broadcast(best)
-        .join(db, "channel")
-        .join(qf, F.col("win") == F.col("q_win") + F.col("lag"))
+    # Aligned verify as a hash equi-join (optimization r11, guide
+    # §3.4): the previous shape joined the (db ⋈ best) rows against
+    # the query frames on ``win == q_win + lag`` — lag lives on the
+    # other side, so Spark planned a CartesianProduct with a post-
+    # filter.  Attaching each channel's winning lag to the query
+    # frames first (broadcast nested loop over the tiny winner list)
+    # makes the verify an equi-join on (channel, win): same matched
+    # pairs — db frame (c, w) still meets exactly the query frames
+    # with q_win = w − lag(c) — but hash-joinable, so the corpus side
+    # is never nested-loop-scanned.
+    qb = qf.crossJoin(F.broadcast(best)).select(
+        "channel",
+        "lag",
+        "n_hits",
+        "q_fp",
+        (F.col("q_win") + F.col("lag")).alias("win"),
     )
+    aligned = db.join(qb, ["channel", "win"])
     return (
         aligned.groupBy("channel", "lag", "n_hits")
         .agg(
