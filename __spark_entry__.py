@@ -2824,8 +2824,14 @@ def q_audio_offset_search(spark, sf_dir):
             F.expr("value * 2e0 + 1e1").alias("value"),
         )
     )
-    fp = audio_fingerprint(
-        s_all.unionByName(qsrc), AF_FREQS, BW_RATE, AF_WINDOW
+    # pin the fingerprint table before the db/query split (optimization
+    # r11): the per-frame FFT pandas stage runs ONCE here; the
+    # operator's own side pins then materialize cheap filters of this
+    # table instead of re-running the fingerprint per side.
+    fp = pin(
+        audio_fingerprint(
+            s_all.unionByName(qsrc), AF_FREQS, BW_RATE, AF_WINDOW
+        )
     )
     return fingerprint_offset_search(
         fp.filter(F.col("channel") != "q"),
@@ -5419,25 +5425,51 @@ def q_dedup_token_funnel(spark, sf_dir):
         "doc_id"
     )
 
-    def stage(name, ids=None):
-        base = d if ids is None else d.join(ids, "doc_id", "left_semi")
-        return base.agg(
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).cast("long").alias("docs_remaining"),
-            F.sum("_nt").cast("long").alias("tokens_remaining"),
-        )
-    out = (
-        stage("0_total")
-        .unionByName(stage("1_exact", keep))
-        .unionByName(stage("2_near_dup", near))
+    # ONE corpus pass (optimization r11): the per-stage formulation
+    # (3 stage aggs + the total) evaluated `d` — and with it the
+    # whitespace-split token count over every document — FOUR times.
+    # Both id sets are unique (groupBy representative / anti-join of a
+    # unique corpus), so a left-join flag is row-for-row the old
+    # semi-join and the three stages fold into one conditional
+    # aggregation; the stage rows are then unpivoted from the single
+    # result row (explode of a literal array — order preserved).
+    # Empty-stage semantics match the old aggs exactly: count -> 0,
+    # conditional sum with no matching rows -> NULL.
+    flags = d.join(
+        keep.withColumn("_k", F.lit(1)), "doc_id", "left"
+    ).join(near.withColumn("_n", F.lit(1)), "doc_id", "left")
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("d0"),
+        F.sum("_nt").cast("long").alias("t0"),
+        F.count("_k").cast("long").alias("d1"),
+        F.sum(F.when(F.col("_k").isNotNull(), F.col("_nt")))
+        .cast("long")
+        .alias("t1"),
+        F.count("_n").cast("long").alias("d2"),
+        F.sum(F.when(F.col("_n").isNotNull(), F.col("_nt")))
+        .cast("long")
+        .alias("t2"),
     )
-    tot = d.agg(F.sum("_nt").cast("long").alias("_tt"))
-    return out.crossJoin(F.broadcast(tot)).select(
-        "stage",
-        "docs_remaining",
-        "tokens_remaining",
+    rows = agg.select(
+        F.explode(
+            F.expr(
+                "array("
+                "named_struct('stage', '0_total', "
+                "  'docs_remaining', d0, 'tokens_remaining', t0), "
+                "named_struct('stage', '1_exact', "
+                "  'docs_remaining', d1, 'tokens_remaining', t1), "
+                "named_struct('stage', '2_near_dup', "
+                "  'docs_remaining', d2, 'tokens_remaining', t2))"
+            )
+        ).alias("r"),
+        F.col("t0").alias("_tt"),
+    )
+    return rows.select(
+        F.col("r.stage").alias("stage"),
+        F.col("r.docs_remaining").alias("docs_remaining"),
+        F.col("r.tokens_remaining").alias("tokens_remaining"),
         F.expr(
-            "round(CAST(tokens_remaining AS DOUBLE) / _tt, 9)"
+            "round(CAST(r.tokens_remaining AS DOUBLE) / _tt, 9)"
         ).alias("token_share"),
     )
 
@@ -5663,25 +5695,36 @@ def q_corpus_build(spark, sf_dir):
     -> concat-and-chunk packing -> per-source shard report (inputs,
     unique, kept, tokens, sequences, fill). The benchmark set stays
     the RAW corpus's doc_id % 29 split — the eval set is external to
-    dedup."""
+    dedup. The keeper derivation is exact_dedup's rule verbatim
+    (min doc_id per md5 digest) with the keeper's source carried
+    through the same aggregation."""
     from pennsieve_streaming_spark.llm.curation import curate_corpus
-    from pennsieve_streaming_spark.llm.dedup import exact_dedup
 
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
-    # pin the keeper id list (optimization r11): dd is referenced by
-    # BOTH the per-source unique counts and the curation cascade, and
-    # each reference replayed the corpus-wide md5 groupBy; the pinned
-    # list is the narrow (8 B/doc) proxy, so the digest agg runs once.
+    # pin the keeper list (optimization r11): dd is referenced by BOTH
+    # the per-source unique counts and the curation cascade, and each
+    # reference replayed the corpus-wide md5 groupBy; the pinned list
+    # is the narrow proxy, so the digest agg runs once. The pin also
+    # carries the keeper's source (min_by = the min-doc_id row's
+    # source, i.e. exactly the source of the kept doc), so
+    # n_exact_unique aggregates the tiny pinned table directly instead
+    # of re-scanning the corpus for a semi-join + groupBy.
     keep = pin(
-        exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
+        docs.withColumn("digest", F.md5(F.col("text")))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.expr("min_by(source, doc_id)").alias("source"),
+        )
+        .select("doc_id", "source")
     )
-    dd = docs.join(keep, "doc_id", "left_semi")
+    dd = docs.join(keep.select("doc_id"), "doc_id", "left_semi")
     cur = curate_corpus(dd, bench, SAMPLE_RATES, pack_budget=PACK_BUDGET)
     per_in = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_input")
     )
-    per_dd = dd.groupBy("source").agg(
+    per_dd = keep.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_exact_unique")
     )
     per_kept = cur.groupBy("source").agg(

@@ -365,7 +365,15 @@ def fingerprint_match_pairs(
     posting; n_frames counts frames where BOTH sides have a
     sub-fingerprint.
     """
-    keyed = fingerprints.select("channel", "win", "fp")
+    from pennsieve_streaming_spark.util import pin
+
+    # keyed feeds SIX subtrees (posting sizes, the capped join's two
+    # self-join legs, and both aligned-verify legs): pin the narrow
+    # (channel, win, fp) table so the upstream fingerprint pipeline —
+    # a per-frame FFT pandas stage over the raw audio — executes
+    # once, not once per plan reference (the pitch/tempo replay fix,
+    # optimization r11; 24 raw scans -> 0 in the planned query).
+    keyed = pin(fingerprints.select("channel", "win", "fp"))
     sizes = keyed.groupBy("win", "fp").agg(
         F.count(F.lit(1)).alias("_m")
     )
@@ -606,9 +614,19 @@ def fingerprint_offset_search(
     |channels|×(2·max_lag+1) rows before the rank; the verify joins
     each channel's sequence once against the (broadcast) winner row.
     """
-    db = db_fp.select("channel", "win", "fp")
-    qf = query_fp.select(
-        F.col("win").alias("q_win"), F.col("fp").alias("q_fp")
+    from pennsieve_streaming_spark.util import pin
+
+    # db feeds THREE subtrees (posting sizes, the capped hits join,
+    # the aligned verify) and qf TWO (hits, the lag-shifted verify
+    # probe): pin the narrow frame tables so the upstream fingerprint
+    # pipeline (per-frame FFT pandas stage) runs once per side, not
+    # once per plan reference (optimization r11; 30 raw scans -> 0 in
+    # the planned query).
+    db = pin(db_fp.select("channel", "win", "fp"))
+    qf = pin(
+        query_fp.select(
+            F.col("win").alias("q_win"), F.col("fp").alias("q_fp")
+        )
     )
     sizes = db.groupBy("fp").agg(F.count(F.lit(1)).alias("_m"))
     ok = db.join(

@@ -52,6 +52,25 @@ def test_pitch_tempo_pin_holds(spark, sf_dir):
         assert "CartesianProduct" not in plan
 
 
+def test_fingerprint_pin_holds(spark, sf_dir):
+    """The r11 global plan scan caught the H&K fingerprint tables
+    re-running the per-frame FFT pandas stage once per consuming
+    subtree (30 parquet scans in mm_audio_offset_search's planned
+    query, 24 in mm_audio_match_pairs — the pitch/tempo replay
+    disease in the fingerprint family). The fix pins the narrow
+    (channel, win, fp) tables; this guard asserts the executed plan
+    reads the checkpoints instead of re-scanning parquet."""
+    import __spark_entry__ as entry
+
+    for name in ("mm_audio_match_pairs", "mm_audio_offset_search"):
+        df = entry.queries()[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_scans = plan.count("FileScan") + plan.count("Scan parquet")
+        assert n_scans == 0, f"{name}: {n_scans} raw scans after pin"
+        assert "CartesianProduct" not in plan
+
+
 def test_cross_corpus_broadcast_delta(spark, sf_dir):
     """A small crawl delta must BROADCAST into the containment join
     so the standing corpus's shingle table never shuffles (r10
