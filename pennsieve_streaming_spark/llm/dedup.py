@@ -412,6 +412,8 @@ def simhash_near_pairs(
     band_key); the cap's stats groupBy is map-side partial-agg with a
     1-row-per-key join back — bounded like the MinHash-LSH path.
     """
+    from pennsieve_streaming_spark.util import pin
+
     if n_bands is None:
         n_bands = int(max_hamming) + 1
     layout = simhash_bands(bits, n_bands)
@@ -419,7 +421,15 @@ def simhash_near_pairs(
         f"CAST({i} AS LONG), (shiftright(simhash, {lo}) & {(1 << wd) - 1})"
         for i, lo, wd in layout
     )
-    keys = fingerprints.selectExpr(
+    # pin the (doc_id, simhash) input (optimization r11): the capped
+    # branch references the banded table through stats, both self-join
+    # legs, and two star passes — unpinned, each reference replayed
+    # the WHOLE upstream fingerprint computation (the corpus-wide
+    # simhash shingle agg, or the image dhash stage) — 8 planned
+    # parquet scans in doc_simhash_near_pairs. The pinned table is one
+    # narrow row per doc; the band stack below it is a cheap narrow
+    # expansion.
+    keys = pin(fingerprints.select("doc_id", "simhash")).selectExpr(
         "doc_id", "simhash", f"stack({n_bands}, {stack}) AS (band, band_key)"
     )
     hamming = F.bit_count(
@@ -451,7 +461,12 @@ def simhash_near_pairs(
         F.max("doc_id").alias("_anchor2"),
         F.max_by("simhash", "doc_id").alias("_anchor2_sh"),
     )
-    keyed = keys.join(stats, ["band", "band_key"])
+    # pin the stats-annotated table too: it feeds FOUR subtrees (both
+    # small-pair self-join legs and the two star passes), each of
+    # which would otherwise replay the stats shuffle + join. One
+    # materialization (~n_bands rows/doc, hashes only) replaces four
+    # replayed shuffles.
+    keyed = pin(keys.join(stats, ["band", "band_key"]))
     small = keyed.filter(F.col("_bn") <= cap).select(
         "band", "band_key", "doc_id", "simhash"
     )

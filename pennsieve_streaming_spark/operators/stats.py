@@ -2385,17 +2385,29 @@ def recurrence_quantification(
     (2016 rows per 64-sample window), embarrassingly parallel across
     (channel, window) keys.
     """
+    from pennsieve_streaming_spark.util import pin
+
     ws = int(window_samples)
     q = int(quant)
     lm = int(l_min)
-    pct = channel_percentiles(samples, (0.25, 0.75)).select(
-        "channel",
-        F.expr(
-            f"CAST(round({float(r_frac)} * (p75 - p25) * {q}) AS BIGINT)"
-        ).alias("r_q"),
+    # pins (optimization r11): this operator's plan referenced pct
+    # 3x (via ranked's two consumers + the zero-recurrence join-back),
+    # ranked 2x, and rk's two self-join legs replayed all of it again
+    # — 11 planned parquet scans, i.e. ~5 full per-channel sort-window
+    # passes over the raw samples. Pinning the tolerance table (1 row
+    # per channel), the ranked table (1 narrow row per sample), and
+    # the complete-window list makes every sort/percentile pass run
+    # exactly once; the self-join legs read the checkpoint.
+    pct = pin(
+        channel_percentiles(samples, (0.25, 0.75)).select(
+            "channel",
+            F.expr(
+                f"CAST(round({float(r_frac)} * (p75 - p25) * {q}) AS BIGINT)"
+            ).alias("r_q"),
+        )
     )
     w = Window.partitionBy("channel").orderBy("ts", "value")
-    ranked = (
+    ranked = pin(
         samples.select(
             "channel",
             "ts",
@@ -2407,9 +2419,11 @@ def recurrence_quantification(
         .withColumn("pos", (F.col("_rn") % ws).cast("long"))
         .join(F.broadcast(pct), "channel")
     )
-    full = ranked.groupBy("channel", "win").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    ).filter(F.col("n") == ws)
+    full = pin(
+        ranked.groupBy("channel", "win").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ).filter(F.col("n") == ws)
+    )
     rk = ranked.join(full, ["channel", "win"])
     a = rk.select(
         "channel", "win", "n", "r_q",
