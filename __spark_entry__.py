@@ -990,7 +990,10 @@ def q_dedup_funnel(spark, sf_dir):
     from pennsieve_streaming_spark.llm.graph import cluster_dedup
 
     docs = _docs(spark, sf_dir)
-    total = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # pin the 1-row total (optimization r11): it feeds both its funnel
+    # stage and the share divisor, and the second reference replayed
+    # the corpus count scan.
+    total = pin(docs.agg(F.count(F.lit(1)).cast("long").alias("n")))
     exact = exact_dedup(docs).agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
@@ -1098,7 +1101,9 @@ def q_jaccard_histogram(spark, sf_dir):
     for dedup (where does the near-dup mass sit). Integer bucketing
     of an identically-computed double; j = 1.0 clamps into the top
     decile."""
-    sh = shingles(_docs(spark, sf_dir))
+    # pinned shingles (optimization r11): the q_ngram_jaccard rule —
+    # all-pairs jaccard references the table 5x.
+    sh = pin(shingles(_docs(spark, sf_dir)))
     pairs = jaccard_pairs(sh, max_doc_freq=JACCARD_MAX_DF)
     return (
         pairs.select(
@@ -1252,7 +1257,10 @@ def q_stream_neardup(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    sh = shingles(_docs(spark, sf_dir))
+    # pin the shingle table (optimization r11): all-pairs mode
+    # references it 5x (hot-df cap, both self-join legs, set sizes)
+    # and each reference replayed the corpus explode + md5 pass.
+    sh = pin(shingles(_docs(spark, sf_dir)))
     return jaccard_pairs(sh, min_jaccard=0.2, max_doc_freq=JACCARD_MAX_DF)
 
 
@@ -1364,23 +1372,7 @@ def q_truncation_recall(spark, sf_dir):
         "query_id", "neighbor_id"
     )
     exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = (
-        exact.join(trunc, ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
-    )
-    return (
-        exact.select("query_id")
-        .distinct()
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
-            (F.coalesce("n_hit", F.lit(0)).cast("double") / F.lit(5)).alias(
-                "recall"
-            ),
-        )
-    )
+    return _recall_vs_exact(exact, trunc, 5)
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -1967,6 +1959,34 @@ def q_cluster_sample(spark, sf_dir):
     )
 
 
+def _recall_vs_exact(exact, ann, k):
+    """The shared recall@k finish of the ANN eval matrix: per-query
+    hit count of ``ann`` against the ``exact`` ground-truth top-k,
+    zero-filled for queries with no hits.
+
+    ``exact`` is PINNED (optimization r11): the ground-truth table
+    feeds BOTH the semi-join and the per-query id list, and each
+    reference used to replay the whole exact-top-k corpus scoring
+    pass. It is |queries| x k rows — trivially small at any scale."""
+    exact = pin(exact)
+    hits = (
+        exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    per_q = exact.select("query_id").distinct()
+    return (
+        per_q.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.lit(k)
+            ).alias("recall"),
+        )
+    )
+
+
 def q_ann_recall(spark, sf_dir):
     """ANN index-quality evaluation: recall@k of the hyperplane-LSH
     index against the exact cosine top-k ground truth, per query.
@@ -1977,22 +1997,7 @@ def q_ann_recall(spark, sf_dir):
     overcount in the oracle's COUNT-over-LEFT-JOIN otherwise)."""
     ann = q_ann_lsh(spark, sf_dir).select("query_id", "neighbor_id").distinct()
     exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = (
-        exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
-    )
-    per_q = exact.select("query_id").distinct()
-    return (
-        per_q.join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
-            (
-                F.coalesce("n_hit", F.lit(0)).cast("double") / F.lit(ANN_K)
-            ).alias("recall"),
-        )
-    )
+    return _recall_vs_exact(exact, ann, ANN_K)
 
 
 def q_bq_recall(spark, sf_dir):
@@ -2001,22 +2006,7 @@ def q_bq_recall(spark, sf_dir):
     (completes the eval matrix: LSH, multiprobe, IVF, BQ)."""
     ann = q_bq_topk(spark, sf_dir).select("query_id", "neighbor_id").distinct()
     exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = (
-        exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
-    )
-    per_q = exact.select("query_id").distinct()
-    return (
-        per_q.join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
-            (
-                F.coalesce("n_hit", F.lit(0)).cast("double") / F.lit(ANN_K)
-            ).alias("recall"),
-        )
-    )
+    return _recall_vs_exact(exact, ann, ANN_K)
 
 
 def q_ann_recall_ivf(spark, sf_dir):
@@ -2026,22 +2016,7 @@ def q_ann_recall_ivf(spark, sf_dir):
     queries, ann side deduplicated for multiplicity independence."""
     ann = q_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id").distinct()
     exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = (
-        exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
-    )
-    per_q = exact.select("query_id").distinct()
-    return (
-        per_q.join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
-            (
-                F.coalesce("n_hit", F.lit(0)).cast("double") / F.lit(ANN_K)
-            ).alias("recall"),
-        )
-    )
+    return _recall_vs_exact(exact, ann, ANN_K)
 
 
 def q_ann_recall_multiprobe(spark, sf_dir):
@@ -2055,22 +2030,7 @@ def q_ann_recall_multiprobe(spark, sf_dir):
         .distinct()
     )
     exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = (
-        exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
-    )
-    per_q = exact.select("query_id").distinct()
-    return (
-        per_q.join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
-            (
-                F.coalesce("n_hit", F.lit(0)).cast("double") / F.lit(ANN_K)
-            ).alias("recall"),
-        )
-    )
+    return _recall_vs_exact(exact, ann, ANN_K)
 
 
 def q_orc_roundtrip(spark, sf_dir):
@@ -2205,7 +2165,10 @@ def q_acf_halflife(spark, sf_dir):
     )
     _, grid = _grid(spark, sf_dir)
     aligned = asof_locf(s, grid).select("channel", "ts", "value")
-    acf = channel_autocorrelation(aligned, ACF_HL_LAGS, CORR_QUANT)
+    # pin the |channels| x |lags| ACF table (optimization r11): the
+    # crossed filter and the channel list both reference it, and each
+    # used to replay the LOCF pass + the 10-lag correlation pipeline.
+    acf = pin(channel_autocorrelation(aligned, ACF_HL_LAGS, CORR_QUANT))
     crossed = acf.filter(F.col("r") < 0.5).groupBy("channel").agg(
         F.min("lag_us").cast("long").alias("halflife_lag_us")
     )
@@ -3200,7 +3163,9 @@ def q_channel_correlation(spark, sf_dir):
         ).alias("ts")
     )
     grid = ch.select("channel").crossJoin(F.broadcast(grid_ts))
-    aligned = asof_locf(s, grid).select("channel", "ts", "value")
+    # pinned (optimization r11): the pair self-join references the
+    # aligned grid twice; each used to replay the LOCF pass.
+    aligned = pin(asof_locf(s, grid).select("channel", "ts", "value"))
     return channel_correlation(aligned, CORR_QUANT)
 
 
@@ -4101,8 +4066,17 @@ def _locf_day_grid(spark, sf_dir):
     pennsieve_streaming_spark.tables.locf_day_grid, so the sqlapi
     views use the same rounding rule the grid-family oracles
     replicate): every channel filled onto the ceil-to-day grid over
-    [MAX(start_ts), MIN(end_ts)]."""
-    return TBL.locf_day_grid(spark, sf_dir, GRID_INTERVAL_US)
+    [MAX(start_ts), MIN(end_ts)].
+
+    Pinned (optimization r11): most grid consumers reference the grid
+    2-3x (self-joins, moment-agg + join-back shapes — e.g. kpss's
+    base feeds both the total agg and the demeaned window), and every
+    reference replayed the raw-samples scan + the per-channel LOCF
+    sort-window pass. The pinned grid is |channels| x |days| rows —
+    tiny at any scale against the raw pass it saves. sqlapi's lazy
+    view registration deliberately keeps the UNPINNED
+    tables.locf_day_grid (registration must not run jobs)."""
+    return pin(TBL.locf_day_grid(spark, sf_dir, GRID_INTERVAL_US))
 
 
 def q_cross_correlation(spark, sf_dir):
@@ -4453,8 +4427,10 @@ def q_ngram_containment(spark, sf_dir):
     doc swallowed by long doc), hot-shingle df cap as in jaccard."""
     from pennsieve_streaming_spark.llm.dedup import containment_pairs
 
+    # pinned shingles (optimization r11): the q_ngram_jaccard rule —
+    # containment_pairs references the table 5x.
     return containment_pairs(
-        shingles(_docs(spark, sf_dir)),
+        pin(shingles(_docs(spark, sf_dir))),
         max_doc_freq=JACCARD_MAX_DF,
         min_containment=CONT_MIN,
     )
@@ -4781,7 +4757,9 @@ def q_pacf(spark, sf_dir):
         F.col("channel").isin(*GRID_CHANNELS)
     )
     _, grid = _grid(spark, sf_dir)
-    aligned = asof_locf(s, grid).select("channel", "ts", "value")
+    # pinned (optimization r11): pacf3's lag joins reference the
+    # aligned grid several times; each used to replay the LOCF pass.
+    aligned = pin(asof_locf(s, grid).select("channel", "ts", "value"))
     return pacf3(aligned, GRID_INTERVAL_US, CORR_QUANT)
 
 
@@ -4916,6 +4894,10 @@ def q_stationarity_panel(spark, sf_dir):
         kpss_stat,
     )
 
+    # The shared grid is PINNED in _locf_day_grid (optimization r11):
+    # adf references it once, kpss twice, and each reference used to
+    # replay the raw-samples LOCF pass — 9 planned scans for this
+    # panel; now the derivation runs once and all three read it.
     grid = _locf_day_grid(spark, sf_dir)
     a = adf_test(grid, CORR_QUANT).select(
         "channel", F.col("stationary").alias("adf_stationary")
@@ -5683,7 +5665,8 @@ def q_lsh_tuning(spark, sf_dir):
     of repeated-squaring S-curve terms (no libm pow in the masses)."""
     from pennsieve_streaming_spark.llm.dedup import lsh_tuning_panel
 
-    sh = shingles(_docs(spark, sf_dir))
+    # pinned shingles (optimization r11): the q_ngram_jaccard rule.
+    sh = pin(shingles(_docs(spark, sf_dir)))
     pairs = jaccard_pairs(sh, max_doc_freq=JACCARD_MAX_DF)
     return lsh_tuning_panel(pairs, n_perms=16, tau=LSH_EVAL_TAU)
 
@@ -6050,9 +6033,15 @@ def q_matryoshka_recall(spark, sf_dir):
     from pennsieve_streaming_spark.llm.similarity import cosine_topk
 
     embs = _embs(spark, sf_dir)
-    exact = cosine_topk(
-        embs, embs.filter(F.col("vec_id") < 20), k=ANN_K
-    ).select("query_id", "neighbor_id")
+    # pin the full-dim ground truth (optimization r11): it is
+    # referenced FOUR times (semi-join + distinct id list, x2 prefix
+    # dims) and every reference replayed the exact-top-k corpus
+    # scoring pass; pinned it is |queries| x k rows computed once.
+    exact = pin(
+        cosine_topk(
+            embs, embs.filter(F.col("vec_id") < 20), k=ANN_K
+        ).select("query_id", "neighbor_id")
+    )
     outs = []
     for pdim in (32, 16):
         sl = embs.select(

@@ -423,10 +423,16 @@ def holt_anomalies(samples, alpha: float, beta: float, k: float = 2.0):
     from pennsieve_streaming_spark.operators.stats import (
         channel_percentiles,
     )
+    from pennsieve_streaming_spark.util import pin
 
     h = holt_filter(samples, alpha, beta)
     w = Window.partitionBy("channel").orderBy("ts", "value")
-    r = (
+    # pin the residual table (optimization r11): it feeds the median,
+    # the MAD deviation pass, and the final filter — three references,
+    # each of which used to replay the per-channel Holt recurrence
+    # (a sequential pandas stage over every sample). One narrow
+    # materialization, the Python boundary runs once.
+    r = pin(
         h.withColumn("pred", F.lag("forecast").over(w))
         .filter(F.col("pred").isNotNull())
         .select(

@@ -1242,6 +1242,8 @@ def energy_vad(
     merge) runs on the frame table, |samples|/frame rows. Envelope:
     Σxq² per frame binds at |value|·quant ≈ 3e8 for 64-sample frames.
     """
+    from pennsieve_streaming_spark.util import pin
+
     fr = int(frame)
     q = int(quant)
     w = Window.partitionBy("channel").orderBy("ts", "value")
@@ -1255,14 +1257,21 @@ def energy_vad(
         .withColumn("_rn", F.row_number().over(w) - 1)
         .withColumn("frame", (F.col("_rn") / fr).cast("long"))
     )
-    nch = framed.groupBy("channel").agg(
-        (F.count(F.lit(1)) / fr).cast("long").alias("_nframes")
-    )
-    en = (
-        framed.join(F.broadcast(nch), "channel")
-        .filter(F.col("frame") < F.col("_nframes"))
-        .groupBy("channel", "frame")
-        .agg(F.sum(F.expr("xq * xq")).cast("long").alias("energy_q"))
+    # Ragged-tail drop folded into the frame aggregation (optimization
+    # r11): _rn is contiguous 0..n-1 per channel, so a frame has
+    # exactly ``fr`` rows iff frame < floor(n/fr) — the old
+    # per-channel count branch + broadcast join replayed the raw
+    # window pass a second time for the same predicate (the
+    # snr_estimate shape). The frame table is then PINNED: the median
+    # rank pass, its count, and the activity split all reference it.
+    en = pin(
+        framed.groupBy("channel", "frame")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.expr("xq * xq")).cast("long").alias("energy_q"),
+        )
+        .filter(F.col("_n") == fr)
+        .select("channel", "frame", "energy_q")
     )
     # channel median frame energy: k-th smallest order statistic
     aw = Window.partitionBy("channel").orderBy("energy_q", "frame")
@@ -2103,6 +2112,8 @@ def snr_estimate(
     Plan / 100 TB: one per-channel ranking window, one frame rollup,
     the median + split on the |samples|/frame table, one final agg.
     """
+    from pennsieve_streaming_spark.util import pin
+
     fr, q = int(frame), int(quant)
     w = Window.partitionBy("channel").orderBy("ts", "value")
     framed = (
@@ -2119,10 +2130,15 @@ def snr_estimate(
             "channel", F.expr(f"_rn div {fr}").alias("win"), "xq"
         )
     )
-    en = framed.groupBy("channel", "win").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(F.expr("xq * xq")).cast("long").alias("energy_q"),
-    ).filter(F.col("_n") == fr)
+    # pinned (optimization r11): en feeds the median rank pass, its
+    # count, and the signal/noise split — three references that each
+    # replayed the raw per-channel sort-window pass.
+    en = pin(
+        framed.groupBy("channel", "win").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.expr("xq * xq")).cast("long").alias("energy_q"),
+        ).filter(F.col("_n") == fr)
+    )
     aw = Window.partitionBy("channel").orderBy("energy_q", "win")
     cnt = en.groupBy("channel").agg(
         F.count(F.lit(1)).cast("long").alias("_nf")

@@ -848,9 +848,18 @@ def winnow_overlap_pairs(
     <= max_df, so candidate volume is sum(df²) bounded by |fp|·max_df;
     per-doc counts broadcast back. Same shape as the LSH band join.
     """
-    fps = winnow_fingerprints(documents, k, window, text_col).select(
-        "doc_id", "fp"
-    ).distinct()
+    from pennsieve_streaming_spark.util import pin
+
+    # pin the fingerprint table (optimization r11): sizes, the df cap,
+    # and both self-join legs reference it, and each reference used to
+    # replay the whole winnowing pipeline (char k-grams + window-min
+    # selection over every document). One narrow (doc_id, fp)
+    # materialization, the fingerprint pass runs once.
+    fps = pin(
+        winnow_fingerprints(documents, k, window, text_col).select(
+            "doc_id", "fp"
+        ).distinct()
+    )
     sizes = fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_fp")
     )

@@ -291,6 +291,8 @@ def bm25_search(
     ]
     qdf = spark.createDataFrame(qterms, "query_id long, term string")
 
+    from pennsieve_streaming_spark.util import pin
+
     toks = (
         _with_toks(documents)
         .where(F.expr("length(trim(text)) > 0"))
@@ -299,8 +301,16 @@ def bm25_search(
             F.explode(F.expr("transform(toks, t -> lower(t))")).alias("term"),
         )
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # One tokenize pass (optimization r11): tf is PINNED (it feeds the
+    # df counts and the match join — each reference used to replay the
+    # corpus tokenize + explode), and dl is DERIVED from it
+    # (sum of per-term counts per doc == the doc's token count, and
+    # both see exactly the docs with >= 1 token) instead of
+    # re-aggregating the token stream a second time.
+    tf = pin(
+        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = documents.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
@@ -924,12 +934,18 @@ def collocations(
         "i -> concat_ws(' ', element_at(toks, CAST(i AS INT)), "
         "element_at(toks, CAST(i + 1 AS INT)))) END"
     )
-    bg = (
+    from pennsieve_streaming_spark.util import pin
+
+    # pins (optimization r11): bg feeds the N2 total and the main
+    # filter chain, uni feeds the N1 total and both unigram broadcast
+    # joins — each reference used to replay a corpus tokenize +
+    # explode pass. Both tables are vocabulary-sized.
+    bg = pin(
         doc_toks.select(F.explode(F.expr(bigrams_expr)).alias("bg"))
         .groupBy("bg")
         .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
     )
-    uni = (
+    uni = pin(
         doc_toks.select(F.explode("toks").alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))

@@ -281,7 +281,14 @@ def funnel_steps(events: DataFrame, steps: list[str]) -> DataFrame:
     would not scale to long funnels), with a broadcast step-name dim
     filling unreached tail steps with 0.
     """
-    cur = (
+    from pennsieve_streaming_spark.util import pin
+
+    # Each stage's per-user frame is PINNED (optimization r11): stage
+    # i feeds both its union branch and stage i+1's join, so without
+    # the pin stage 0's filtered events scan replayed in every later
+    # stage (K scans of step 0, K-1 of step 1, ... — quadratic in
+    # funnel depth). Pinned frames are |users| rows each.
+    cur = pin(
         events.filter(F.col("event_type") == steps[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("t"))
@@ -290,10 +297,13 @@ def funnel_steps(events: DataFrame, steps: list[str]) -> DataFrame:
         cur.select(F.lit(0).cast("long").alias("step_idx"), "user_id")
     ]
     for i, step in enumerate(steps[1:], start=1):
-        cur = (
+        # broadcast the per-user frame explicitly: the pin strips the
+        # size estimate that used to make the planner broadcast it,
+        # and an SMJ here would shuffle the big filtered-events side
+        cur = pin(
             events.filter(F.col("event_type") == step)
             .select("user_id", F.col("ts").alias("ts_n"))
-            .join(cur, "user_id")
+            .join(F.broadcast(cur), "user_id")
             .filter(F.col("ts_n") > F.col("t"))
             .groupBy("user_id")
             .agg(F.min("ts_n").alias("t"))
@@ -311,7 +321,10 @@ def funnel_steps(events: DataFrame, steps: list[str]) -> DataFrame:
     dim = spark.createDataFrame(
         [(i, s) for i, s in enumerate(steps)], "step_idx long, step string"
     )
-    return dim.join(counts, "step_idx", "left").select(
+    # broadcast the |steps|-row count table: the pinned frames carry
+    # no size estimate, and the planner would otherwise sort-merge
+    # this K-row join
+    return dim.join(F.broadcast(counts), "step_idx", "left").select(
         "step_idx",
         "step",
         F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("n_users"),
@@ -918,8 +931,13 @@ def assoc_rules(events: DataFrame, min_support_users: int = 5) -> DataFrame:
     Output: (antecedent, consequent, n_ab, n_a, n_b, n_users,
     support, confidence, lift).
     """
+    from pennsieve_streaming_spark.util import pin
+
     ms = int(min_support_users)
-    baskets = events.select("user_id", "event_type").distinct()
+    # pinned (optimization r11): the user total, the item counts, and
+    # both self-join legs reference the basket table — four replays of
+    # the events scan + distinct exchange without the pin.
+    baskets = pin(events.select("user_id", "event_type").distinct())
     n_users = baskets.agg(
         F.countDistinct("user_id").cast("long").alias("n_users")
     )
@@ -2010,7 +2028,12 @@ def type_pmi(events: DataFrame) -> DataFrame:
     user_id (fan-out bounded by the type-vocabulary size per user),
     partial-agg rollups; the type marginals broadcast.
     """
-    ut = events.select("user_id", "event_type").distinct()
+    from pennsieve_streaming_spark.util import pin
+
+    # pinned (optimization r11): the assoc_rules rule — type
+    # marginals, the user total, and both self-join legs reference
+    # the distinct user-type table.
+    ut = pin(events.select("user_id", "event_type").distinct())
     nt = ut.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_t")
     )
@@ -2326,16 +2349,24 @@ def mann_whitney(events: DataFrame, quant: int = 100) -> DataFrame:
             F.col("type_a") < F.col("type_b"),
         )
     )
-    # membership: each event joins every pair it belongs to (either side)
-    m = ev.join(
-        F.broadcast(pairs),
-        (F.col("event_type") == F.col("type_a"))
-        | (F.col("event_type") == F.col("type_b")),
-    ).select(
-        "type_a",
-        "type_b",
-        "vq",
-        (F.col("event_type") == F.col("type_a")).alias("is_a"),
+    from pennsieve_streaming_spark.util import pin
+
+    # membership: each event joins every pair it belongs to (either
+    # side). Pinned (optimization r11): the rank aggregation and the
+    # tie-count pass both reference the fanned-out table, and each
+    # reference used to replay the events scan + the pair-membership
+    # broadcast join.
+    m = pin(
+        ev.join(
+            F.broadcast(pairs),
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        ).select(
+            "type_a",
+            "type_b",
+            "vq",
+            (F.col("event_type") == F.col("type_a")).alias("is_a"),
+        )
     )
     w = Window.partitionBy("type_a", "type_b").orderBy("vq")
     ranked = m.withColumn("_rmin", F.rank().over(w)).withColumn(

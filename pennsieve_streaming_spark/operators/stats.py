@@ -2574,22 +2574,33 @@ def multiscale_entropy(
     import numpy as np
     import pandas as pd
 
+    from pennsieve_streaming_spark.util import pin
+
     ws = int(window_samples)
     q = int(quant)
     mm = int(m)
-    pct = channel_percentiles(samples, (0.25, 0.75)).select(
-        "channel",
-        F.expr(
-            f"CAST(round({float(r_frac)} * (p75 - p25) * {q}) AS BIGINT)"
-        ).alias("r_q1"),
+    # pins (optimization r11): every scale branch references BOTH the
+    # tolerance table and the ranked table, so at 3 scales the raw
+    # scan + per-channel sort-window pass (ranked) and the percentile
+    # pass (pct) each replayed 3x. Pinned, each pass runs once; the
+    # per-scale coarse-graining below reads the narrow checkpoint.
+    pct = pin(
+        channel_percentiles(samples, (0.25, 0.75)).select(
+            "channel",
+            F.expr(
+                f"CAST(round({float(r_frac)} * (p75 - p25) * {q}) AS BIGINT)"
+            ).alias("r_q1"),
+        )
     )
     w = Window.partitionBy("channel").orderBy("ts", "value")
-    ranked = samples.select(
-        "channel",
-        "ts",
-        "value",
-        (F.row_number().over(w) - 1).alias("_rn"),
-        F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+    ranked = pin(
+        samples.select(
+            "channel",
+            "ts",
+            "value",
+            (F.row_number().over(w) - 1).alias("_rn"),
+            F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
+        ).select("channel", "_rn", "xq")
     )
     wins_per_batch = 64
     out = None
@@ -3454,6 +3465,7 @@ def hampel_despike(
     window_samples: int = 32,
     quant: int = 100,
     k: int = 3,
+    pinned: bool = True,
 ) -> DataFrame:
     """Hampel filter (Hampel 1974; the robust despiking standard) over
     tumbling windows: a sample is a spike when it deviates from its
@@ -3480,11 +3492,20 @@ def hampel_despike(
     rank passes (median, MAD) + one broadcast-free join back by
     position.
     """
+    from pennsieve_streaming_spark.util import pin
+
     ws = int(window_samples)
     q = int(quant)
     kk = int(k)
+    # pins (optimization r11): ranked feeds the complete-window list
+    # AND the joined rk (whose med/dev legs fan out again), and dev
+    # feeds both the MAD rank pass and the final join — unpinned, the
+    # plan replayed the raw per-channel sort-window pass up to 8x.
+    # ``pinned=False`` keeps the lazy-logical-plan contract for
+    # sqlapi view registration (an eager localCheckpoint runs jobs).
+    _p = pin if pinned else (lambda df: df)
     w = Window.partitionBy("channel").orderBy("ts", "value")
-    ranked = (
+    ranked = _p(
         samples.select(
             "channel",
             "ts",
@@ -3508,8 +3529,10 @@ def hampel_despike(
         .filter(F.col("_ar") == (ws + 1) // 2)
         .select("channel", "win", F.col("xq").alias("med_q"))
     )
-    dev = rk.join(med, ["channel", "win"]).withColumn(
-        "adev", F.expr("abs(xq - med_q)")
+    dev = _p(
+        rk.join(med, ["channel", "win"]).withColumn(
+            "adev", F.expr("abs(xq - med_q)")
+        )
     )
     aw = Window.partitionBy("channel", "win").orderBy("adev", "pos")
     mad = (

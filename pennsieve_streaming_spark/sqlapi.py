@@ -173,7 +173,9 @@ def register_operator_views(
     )
 
     add("higuchi", higuchi_fd(samples))
-    add("hampel", hampel_despike(samples))
+    # pinned=False: view registration must stay a lazy logical plan
+    # (an eager pin would run jobs at registration time)
+    add("hampel", hampel_despike(samples, pinned=False))
     add("haar_denoised", haar_denoise(samples))
     add("theil_sen", theil_sen_slope(grid, 86_400 * 1_000_000))
     # the user-dimension views need the raw events table; a partial
