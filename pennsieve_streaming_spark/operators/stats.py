@@ -3573,6 +3573,8 @@ def theil_sen_slope(
 
     Output: (channel, n_points, n_pairs, slope_per_day).
     """
+    from pennsieve_streaming_spark.util import ensure_parallelism
+
     q = int(quant)
     step = int(step_us)
     v = values.select(
@@ -3582,8 +3584,21 @@ def theil_sen_slope(
     )
     if hasattr(v, "_jdf"):
         v = v.localCheckpoint()
-    a = v.select("channel", F.col("t").alias("ti"), F.col("xq").alias("yi"))
-    b = v.select("channel", F.col("t").alias("tj"), F.col("xq").alias("yj"))
+    # Parallelize the pair fan-out (optimization r11): the day grid is
+    # tiny (it arrives as a 1-partition pinned table), so the planner
+    # broadcast-joins the legs and the WHOLE O(days²)-per-channel pair
+    # explosion — generation, slope evaluation, and the median sort's
+    # map side — used to run inside that single source partition (one
+    # 71 s task on a 32-core box at sf0.1). Spreading the stream-side
+    # leg over the cluster costs one trivial |grid|-row shuffle and
+    # parallelizes everything downstream; the broadcast leg stays
+    # whole-table, so the produced pair set is identical.
+    a = ensure_parallelism(
+        v.select("channel", F.col("t").alias("ti"), F.col("xq").alias("yi"))
+    )
+    b = F.broadcast(
+        v.select("channel", F.col("t").alias("tj"), F.col("xq").alias("yj"))
+    )
     pairs = a.join(b, "channel").filter(F.col("ti") < F.col("tj")).select(
         "channel",
         "ti",
@@ -3599,6 +3614,11 @@ def theil_sen_slope(
     npts = v.groupBy("channel").agg(
         F.count(F.lit(1)).cast("long").alias("n_points")
     )
+    # The per-channel median window stays: a two-phase grouped rank
+    # was A/B'd here (optimization r11) and lost — it must checkpoint
+    # the whole O(days²) pair table to pin its partitioning, which
+    # costs more than the |channels|-way parallel sort it replaces
+    # and breaks the 1g vanilla-session contract at sf0.1.
     mw = Window.partitionBy("channel").orderBy("slope", "ti", "tj")
     med = (
         pairs.withColumn("_ar", F.row_number().over(mw).cast("long"))
@@ -4484,9 +4504,18 @@ def mann_kendall(values: DataFrame, quant: int = 100) -> DataFrame:
         F.col("ts").alias("t"),
         F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("xq"),
     )
+    from pennsieve_streaming_spark.util import ensure_parallelism
+
     v = pin(v)
-    a = v.select("channel", F.col("t").alias("ti"), F.col("xq").alias("yi"))
-    b = v.select("channel", F.col("t").alias("tj"), F.col("xq").alias("yj"))
+    # same fix as theil_sen_slope (optimization r11): spread the
+    # stream-side leg so the O(days²) sign fan-out does not run inside
+    # the pinned grid's single partition
+    a = ensure_parallelism(
+        v.select("channel", F.col("t").alias("ti"), F.col("xq").alias("yi"))
+    )
+    b = F.broadcast(
+        v.select("channel", F.col("t").alias("tj"), F.col("xq").alias("yj"))
+    )
     s = (
         a.join(b, "channel")
         .filter(F.col("ti") < F.col("tj"))
