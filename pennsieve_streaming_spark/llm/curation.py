@@ -1263,8 +1263,16 @@ def contamination_fuzzy(
         minhash_wide,
         shingles,
     )
+    from pennsieve_streaming_spark.util import pin
 
-    corp_mh = minhash_wide(shingles(documents), n_hashes)
+    # pin the corpus signature table (optimization r11): the band
+    # derivation and the agreement verify both reference it, and each
+    # reference used to replay the full corpus shingle + minhash pass
+    # — the plan's own contract ("the corpus is shuffled ONCE") only
+    # holds with the narrow (doc_id, mh_0..mh_{n-1}) table
+    # materialized. The benchmark side stays lazy: both its
+    # references collapse to broadcast-sized tables.
+    corp_mh = pin(minhash_wide(shingles(documents), n_hashes))
     bench_mh = minhash_wide(shingles(benchmark), n_hashes)
     corp_bands = lsh_band_keys(corp_mh)
     bench_bands = lsh_band_keys(bench_mh).select(
