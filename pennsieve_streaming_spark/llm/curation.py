@@ -1263,7 +1263,7 @@ def contamination_fuzzy(
         minhash_wide,
         shingles,
     )
-    from pennsieve_streaming_spark.util import pin
+    from pennsieve_streaming_spark.util import pin_big
 
     # pin the corpus signature table (optimization r11): the band
     # derivation and the agreement verify both reference it, and each
@@ -1272,7 +1272,7 @@ def contamination_fuzzy(
     # holds with the narrow (doc_id, mh_0..mh_{n-1}) table
     # materialized. The benchmark side stays lazy: both its
     # references collapse to broadcast-sized tables.
-    corp_mh = pin(minhash_wide(shingles(documents), n_hashes))
+    corp_mh = pin_big(minhash_wide(shingles(documents), n_hashes))
     bench_mh = minhash_wide(shingles(benchmark), n_hashes)
     corp_bands = lsh_band_keys(corp_mh)
     bench_bands = lsh_band_keys(bench_mh).select(
@@ -1622,9 +1622,10 @@ def source_jsd(documents: DataFrame) -> DataFrame:
         .groupBy("source", "t")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    from pennsieve_streaming_spark.util import pin
+    from pennsieve_streaming_spark.util import pin_big
 
-    st = pin(st)
+    # (source x token-type) table grows with the corpus: persist
+    st = pin_big(st)
     ns = st.groupBy("source").agg(
         F.sum("c").cast("long").alias("n_s")
     )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pennsieve_streaming_spark.util import pin
+from pennsieve_streaming_spark.util import pin, pin_big
 
 from pennsieve_streaming_spark.util import ensure_parallelism
 
@@ -1369,7 +1369,8 @@ def mmr_topk(
         .withColumn("cosine", dot / (F.sqrt(nq) * F.sqrt(nv)))
         .select("query_id", "neighbor_id", "cosine")
     )
-    scored = pin(scored)
+    # |queries|x|corpus| score table: persist, not checkpoint
+    scored = pin_big(scored)
     from pyspark.sql import Window
 
     pair_dot = F.expr(DOT.format(a="dv", b="sv"))
@@ -2196,7 +2197,7 @@ def knn_degree_assortativity(edges: DataFrame) -> DataFrame:
     e = edges.select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
-    e = pin(e)
+    e = pin_big(e)
     indeg = e.groupBy("dst").agg(
         F.count(F.lit(1)).cast("long").alias("indeg")
     )
@@ -2270,8 +2271,8 @@ def greedy_graph_search(
     emb = _as_double(embeddings, vec_col).select(
         F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nv")
     )
-    emb = pin(emb)
-    e = pin(edges.select("query_id", "neighbor_id"))
+    emb = pin_big(emb)
+    e = pin_big(edges.select("query_id", "neighbor_id"))
     qs = _as_double(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q")
     )

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pennsieve_streaming_spark.llm.hashing import poly_hash_expr
-from pennsieve_streaming_spark.util import pin
+from pennsieve_streaming_spark.util import pin, pin_big
 
 TOKS = "split(trim(text), '\\\\s+')"
 
@@ -291,7 +291,7 @@ def bm25_search(
     ]
     qdf = spark.createDataFrame(qterms, "query_id long, term string")
 
-    from pennsieve_streaming_spark.util import pin
+    from pennsieve_streaming_spark.util import pin_big
 
     toks = (
         _with_toks(documents)
@@ -307,7 +307,7 @@ def bm25_search(
     # (sum of per-term counts per doc == the doc's token count, and
     # both see exactly the docs with >= 1 token) instead of
     # re-aggregating the token stream a second time.
-    tf = pin(
+    tf = pin_big(
         toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
@@ -934,18 +934,20 @@ def collocations(
         "i -> concat_ws(' ', element_at(toks, CAST(i AS INT)), "
         "element_at(toks, CAST(i + 1 AS INT)))) END"
     )
-    from pennsieve_streaming_spark.util import pin
+    from pennsieve_streaming_spark.util import pin_big
 
     # pins (optimization r11): bg feeds the N2 total and the main
     # filter chain, uni feeds the N1 total and both unigram broadcast
     # joins — each reference used to replay a corpus tokenize +
-    # explode pass. Both tables are vocabulary-sized.
-    bg = pin(
+    # explode pass. Both are TYPE tables whose cardinality grows with
+    # the corpus (not provably small), so they persist with lineage
+    # kept instead of checkpointing (ADVICE r11).
+    bg = pin_big(
         doc_toks.select(F.explode(F.expr(bigrams_expr)).alias("bg"))
         .groupBy("bg")
         .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
     )
-    uni = pin(
+    uni = pin_big(
         doc_toks.select(F.explode("toks").alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -1230,8 +1232,9 @@ def textrank_keywords(
             )
         )
     )
-    edges = pin(edges)
-    verts = pin(cand.select("doc_id", "w").distinct())
+    # per-doc keyword graph tables are corpus-proportional: persist
+    edges = pin_big(edges)
+    verts = pin_big(cand.select("doc_id", "w").distinct())
     nv = verts.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("_n")
     )
@@ -1535,7 +1538,8 @@ def length_quantiles(documents: DataFrame) -> DataFrame:
     ).withColumn("_r", F.row_number().over(w).cast("long")).select(
         "source", "x", "_r"
     )
-    ranked = pin(ranked)
+    # |docs|-proportional: persist, not checkpoint (ADVICE r11)
+    ranked = pin_big(ranked)
     n = ranked.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
@@ -1596,7 +1600,8 @@ def ngram_entropy(documents: DataFrame) -> DataFrame:
     cxy = bi.groupBy("source", "x", "y").agg(
         F.count(F.lit(1)).cast("long").alias("c_xy")
     )
-    cxy = pin(cxy)
+    # n-gram type table grows with the corpus: persist (ADVICE r11)
+    cxy = pin_big(cxy)
     cx = cxy.groupBy("source", "x").agg(
         F.sum("c_xy").cast("long").alias("c_x")
     )

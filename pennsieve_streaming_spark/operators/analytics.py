@@ -281,14 +281,23 @@ def funnel_steps(events: DataFrame, steps: list[str]) -> DataFrame:
     would not scale to long funnels), with a broadcast step-name dim
     filling unreached tail steps with 0.
     """
-    from pennsieve_streaming_spark.util import pin
+    from pennsieve_streaming_spark.util import pin_big
 
-    # Each stage's per-user frame is PINNED (optimization r11): stage
-    # i feeds both its union branch and stage i+1's join, so without
-    # the pin stage 0's filtered events scan replayed in every later
-    # stage (K scans of step 0, K-1 of step 1, ... — quadratic in
-    # funnel depth). Pinned frames are |users| rows each.
-    cur = pin(
+    # Each stage's per-user frame is MATERIALIZED ONCE (optimization
+    # r11/r12): stage i feeds both its union branch and stage i+1's
+    # join, so without the barrier stage 0's filtered events scan
+    # replayed in every later stage (K scans of step 0, K-1 of step 1,
+    # ... — quadratic in funnel depth). pin_big (persist + count, not
+    # localCheckpoint) because the frames are |users| rows — unbounded
+    # at scale — and because the materialized cache carries real size
+    # statistics: the planner broadcasts a small frame and degrades to
+    # a shuffle join when the user population outgrows the broadcast
+    # limit, instead of a forced-broadcast hard failure (ADVICE r11).
+    # NOTE the operator is EAGER by design: each stage runs a
+    # construction-time count job (K+1 tiny jobs total) — the price of
+    # the barrier that stops AQE's concurrent subtrees recomputing
+    # every stage.
+    cur = pin_big(
         events.filter(F.col("event_type") == steps[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("t"))
@@ -297,13 +306,10 @@ def funnel_steps(events: DataFrame, steps: list[str]) -> DataFrame:
         cur.select(F.lit(0).cast("long").alias("step_idx"), "user_id")
     ]
     for i, step in enumerate(steps[1:], start=1):
-        # broadcast the per-user frame explicitly: the pin strips the
-        # size estimate that used to make the planner broadcast it,
-        # and an SMJ here would shuffle the big filtered-events side
-        cur = pin(
+        cur = pin_big(
             events.filter(F.col("event_type") == step)
             .select("user_id", F.col("ts").alias("ts_n"))
-            .join(F.broadcast(cur), "user_id")
+            .join(cur, "user_id")
             .filter(F.col("ts_n") > F.col("t"))
             .groupBy("user_id")
             .agg(F.min("ts_n").alias("t"))
@@ -321,9 +327,8 @@ def funnel_steps(events: DataFrame, steps: list[str]) -> DataFrame:
     dim = spark.createDataFrame(
         [(i, s) for i, s in enumerate(steps)], "step_idx long, step string"
     )
-    # broadcast the |steps|-row count table: the pinned frames carry
-    # no size estimate, and the planner would otherwise sort-merge
-    # this K-row join
+    # broadcast the |steps|-row count table: K rows by construction
+    # (one per funnel step), so the hint is size-safe at any scale
     return dim.join(F.broadcast(counts), "step_idx", "left").select(
         "step_idx",
         "step",
@@ -937,6 +942,10 @@ def assoc_rules(events: DataFrame, min_support_users: int = 5) -> DataFrame:
     # pinned (optimization r11): the user total, the item counts, and
     # both self-join legs reference the basket table — four replays of
     # the events scan + distinct exchange without the pin.
+    # Flavor note (optimization r12): a persist-based pin_big was
+    # A/B'd and REJECTED — identical plan shape but +57% wall
+    # (columnar encode + 5x decode vs raw checkpoint rows, interleaved
+    # min-of-3, no overlap across runs); see OPTIMIZATION_r12.md §2.2.
     baskets = pin(events.select("user_id", "event_type").distinct())
     n_users = baskets.agg(
         F.countDistinct("user_id").cast("long").alias("n_users")
@@ -2032,7 +2041,9 @@ def type_pmi(events: DataFrame) -> DataFrame:
 
     # pinned (optimization r11): the assoc_rules rule — type
     # marginals, the user total, and both self-join legs reference
-    # the distinct user-type table.
+    # the distinct user-type table. Checkpoint flavor kept: the
+    # assoc_rules A/B (same table shape) rejected the columnar cache
+    # (OPTIMIZATION_r12.md §2.2).
     ut = pin(events.select("user_id", "event_type").distinct())
     nt = ut.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_t")
@@ -2349,24 +2360,20 @@ def mann_whitney(events: DataFrame, quant: int = 100) -> DataFrame:
             F.col("type_a") < F.col("type_b"),
         )
     )
-    from pennsieve_streaming_spark.util import pin
-
     # membership: each event joins every pair it belongs to (either
-    # side). Pinned (optimization r11): the rank aggregation and the
-    # tie-count pass both reference the fanned-out table, and each
-    # reference used to replay the events scan + the pair-membership
-    # broadcast join.
-    m = pin(
-        ev.join(
-            F.broadcast(pairs),
-            (F.col("event_type") == F.col("type_a"))
-            | (F.col("event_type") == F.col("type_b")),
-        ).select(
-            "type_a",
-            "type_b",
-            "vq",
-            (F.col("event_type") == F.col("type_a")).alias("is_a"),
-        )
+    # side), exactly once — the tie correction folds into the same
+    # windowed pass (below), so this table has a single plan reference
+    # and needs no materialization (ADVICE r11: it is ~2x|events| rows,
+    # the wrong size for a checkpoint).
+    m = ev.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("type_a"))
+        | (F.col("event_type") == F.col("type_b")),
+    ).select(
+        "type_a",
+        "type_b",
+        "vq",
+        (F.col("event_type") == F.col("type_a")).alias("is_a"),
     )
     w = Window.partitionBy("type_a", "type_b").orderBy("vq")
     ranked = m.withColumn("_rmin", F.rank().over(w)).withColumn(
@@ -2375,7 +2382,15 @@ def mann_whitney(events: DataFrame, quant: int = 100) -> DataFrame:
             Window.partitionBy("type_a", "type_b", "vq")
         ),
     )
-    g = ranked.groupBy("type_a", "type_b").agg(
+    # tie3 = Σ over distinct vq of (t³ − t). Each vq group contributes
+    # t rows, every one carrying _t = t, so summing (_t² − 1) per ROW
+    # gives t·(t² − 1) = t³ − t per group — the same exact integer,
+    # with no second pass over the pair-membership table and no join.
+    # DECIMAL(38,0) fold: _t² overflows int64 for a tie group past
+    # ~3.03e9 rows; same discipline as the sxx/sxy/syy moment sums
+    # elsewhere in this file. Only consumed via CAST(tie3 AS DOUBLE)
+    # in MW_VAR_U, so the wider type never reaches the output schema.
+    j = ranked.groupBy("type_a", "type_b").agg(
         F.sum(F.expr("CASE WHEN is_a THEN 1 ELSE 0 END"))
         .cast("long")
         .alias("n_a"),
@@ -2389,25 +2404,10 @@ def mann_whitney(events: DataFrame, quant: int = 100) -> DataFrame:
         )
         .cast("long")
         .alias("r1_2"),
+        F.sum(F.expr("CAST(_t AS DECIMAL(38,0)) * _t - 1"))
+        .cast("decimal(38,0)")
+        .alias("tie3"),
     )
-    ties = (
-        m.groupBy("type_a", "type_b", "vq")
-        .agg(F.count(F.lit(1)).cast("long").alias("t"))
-        .groupBy("type_a", "type_b")
-        .agg(
-            # DECIMAL(38,0) fold: t*t*t overflows int64 for a tie
-            # group past ~2.09M rows; same discipline as the
-            # sxx/sxy/syy moment sums elsewhere in this file. Only
-            # consumed via CAST(tie3 AS DOUBLE) in MW_VAR_U, so the
-            # wider type never reaches the output schema.
-            F.sum(
-                F.expr("CAST(t AS DECIMAL(38,0)) * t * t - t")
-            )
-            .cast("decimal(38,0)")
-            .alias("tie3")
-        )
-    )
-    j = g.join(F.broadcast(ties), ["type_a", "type_b"])
     return j.select(
         "type_a",
         "type_b",

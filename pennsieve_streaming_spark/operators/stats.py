@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pennsieve_streaming_spark.util import pin
+from pennsieve_streaming_spark.util import pin, pin_big
 
 QUANT = 1_000_000
 
@@ -2385,7 +2385,7 @@ def recurrence_quantification(
     (2016 rows per 64-sample window), embarrassingly parallel across
     (channel, window) keys.
     """
-    from pennsieve_streaming_spark.util import pin
+    from pennsieve_streaming_spark.util import pin, pin_big
 
     ws = int(window_samples)
     q = int(quant)
@@ -2407,7 +2407,9 @@ def recurrence_quantification(
         )
     )
     w = Window.partitionBy("channel").orderBy("ts", "value")
-    ranked = pin(
+    # ranked/full are |samples|- and |windows|-proportional: pin_big
+    # (persist, lineage kept) rather than localCheckpoint (ADVICE r11)
+    ranked = pin_big(
         samples.select(
             "channel",
             "ts",
@@ -2419,7 +2421,7 @@ def recurrence_quantification(
         .withColumn("pos", (F.col("_rn") % ws).cast("long"))
         .join(F.broadcast(pct), "channel")
     )
-    full = pin(
+    full = pin_big(
         ranked.groupBy("channel", "win").agg(
             F.count(F.lit(1)).cast("long").alias("n")
         ).filter(F.col("n") == ws)
@@ -2574,7 +2576,7 @@ def multiscale_entropy(
     import numpy as np
     import pandas as pd
 
-    from pennsieve_streaming_spark.util import pin
+    from pennsieve_streaming_spark.util import pin, pin_big
 
     ws = int(window_samples)
     q = int(quant)
@@ -2583,7 +2585,9 @@ def multiscale_entropy(
     # tolerance table and the ranked table, so at 3 scales the raw
     # scan + per-channel sort-window pass (ranked) and the percentile
     # pass (pct) each replayed 3x. Pinned, each pass runs once; the
-    # per-scale coarse-graining below reads the narrow checkpoint.
+    # per-scale coarse-graining below reads the narrow materialization.
+    # pct is |channels| rows (pin); ranked is |samples| rows, so it
+    # persists with lineage kept instead of checkpointing (ADVICE r11).
     pct = pin(
         channel_percentiles(samples, (0.25, 0.75)).select(
             "channel",
@@ -2593,7 +2597,7 @@ def multiscale_entropy(
         )
     )
     w = Window.partitionBy("channel").orderBy("ts", "value")
-    ranked = pin(
+    ranked = pin_big(
         samples.select(
             "channel",
             "ts",
@@ -3274,7 +3278,8 @@ def haar_denoise(
         .filter(F.col("_nw") == ws)
         .select("channel", "win")
     )
-    rk = pin(ranked.join(full, ["channel", "win"]))
+    # |samples|-proportional shared table: persist, not checkpoint
+    rk = pin_big(ranked.join(full, ["channel", "win"]))
     lv_arr = ", ".join(str(i) for i in range(1, lv + 1))
     e = rk.select(
         "channel",
@@ -3492,7 +3497,7 @@ def hampel_despike(
     rank passes (median, MAD) + one broadcast-free join back by
     position.
     """
-    from pennsieve_streaming_spark.util import pin
+    from pennsieve_streaming_spark.util import pin_big
 
     ws = int(window_samples)
     q = int(quant)
@@ -3501,9 +3506,12 @@ def hampel_despike(
     # AND the joined rk (whose med/dev legs fan out again), and dev
     # feeds both the MAD rank pass and the final join — unpinned, the
     # plan replayed the raw per-channel sort-window pass up to 8x.
+    # pin_big, not localCheckpoint (ADVICE r11): both tables are
+    # |samples| rows — dataset-scale — so they persist with lineage
+    # kept (recoverable, LRU-evictable) instead of checkpointing.
     # ``pinned=False`` keeps the lazy-logical-plan contract for
-    # sqlapi view registration (an eager localCheckpoint runs jobs).
-    _p = pin if pinned else (lambda df: df)
+    # sqlapi view registration (an eager barrier runs jobs).
+    _p = pin_big if pinned else (lambda df: df)
     w = Window.partitionBy("channel").orderBy("ts", "value")
     ranked = _p(
         samples.select(
@@ -5090,7 +5098,8 @@ def max_drawdown(samples: DataFrame, quant: int = 100) -> DataFrame:
         "_pmax",
         (F.col("_pmax") - F.col("xq")).alias("dd"),
     )
-    rows = pin(rows)
+    # |samples|-proportional shared table: persist, not checkpoint
+    rows = pin_big(rows)
     g = rows.groupBy("channel").agg(
         F.count(F.lit(1)).cast("long").alias("n_points"),
         F.max("dd").cast("long").alias("max_dd_q"),

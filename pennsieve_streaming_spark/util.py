@@ -8,15 +8,87 @@ from pyspark.sql import DataFrame
 def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     """``localCheckpoint`` when the backend supports it (classic JVM
     DataFrames, detected via ``_jdf``); no-op passthrough otherwise
-    (e.g. Spark Connect). Used to truncate iterative lineage or to
+    (e.g. Spark Connect, streaming DataFrames — ``localCheckpoint``
+    raises on a stream, and the pin is an optimization, never a
+    correctness requirement). Used to truncate iterative lineage or to
     share one materialization across several join legs — in both uses
     the plan stays CORRECT without the pin, just deeper or recomputed,
     so a passthrough is safe. The shared helper keeps the guard
     uniform across operators (ADVICE r7: four round-7 operators called
-    localCheckpoint unguarded while their siblings guarded)."""
+    localCheckpoint unguarded while their siblings guarded).
+
+    Reserve this for provably SMALL tables (grids, vocabularies,
+    per-channel envelopes, capped pair lists): localCheckpoint stores
+    to executor-local, non-fault-tolerant blocks with the lineage
+    truncated, which is the wrong durability trade for anything
+    proportional to the input — use :func:`pin_big` for those
+    (ADVICE r11)."""
+    if getattr(df, "isStreaming", False):
+        return df
     if hasattr(df, "_jdf"):
         return df.localCheckpoint(eager=eager)
     return df
+
+
+def pin_big(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Share one materialization of a DATASET-SCALE intermediate across
+    several plan references without truncating lineage:
+    ``persist(MEMORY_AND_DISK)`` plus an eager ``count()`` barrier.
+
+    Versus :func:`pin` (localCheckpoint): blocks lost with an executor
+    are recomputed from lineage instead of failing the query, and
+    storage is the columnar cache (compressed, LRU-evictable) rather
+    than raw checkpoint blocks — the right trade for tables
+    proportional to the input (ADVICE r11). The eager count matters:
+    AQE submits independent downstream subtrees concurrently, and a
+    lazily-persisted shared stage races — none of the concurrent
+    consumers reuse the in-flight cache fill (measured in r11 §1.2),
+    so the barrier is what actually deduplicates the work. A side
+    benefit over localCheckpoint: the materialized cache carries real
+    size statistics, so the planner/AQE keeps choosing join strategies
+    from data size instead of flying blind.
+
+    No-op passthrough for streams and non-JVM backends, like pin()."""
+    if getattr(df, "isStreaming", False):
+        return df
+    if not hasattr(df, "_jdf"):
+        return df
+    from pyspark import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if eager:
+        out.count()
+    return out
+
+
+def live_plan_tree(plan: str) -> str:
+    """The tree portion of a plan string with every
+    ``InMemoryRelation`` subtree removed — i.e. only the operators
+    that EXECUTE when the query runs. A persisted (pin_big) table
+    prints its cached lineage (including the original parquet scan)
+    under the InMemoryRelation node in both ``toString`` and
+    ``formatted`` output, but that lineage ran once at the cache-fill
+    barrier, not per consumer — counting it as a live scan would make
+    every cache look like a replay. Formatted-mode detail sections
+    (lines starting ``(n) ``) are dropped too, so every operator is
+    counted exactly once."""
+    import re
+
+    out: list[str] = []
+    skip_indent: int | None = None
+    for ln in plan.splitlines():
+        if re.match(r"^\(\d+\) ", ln):
+            break  # formatted detail section — the tree has ended
+        indent = len(ln) - len(ln.lstrip(" :+|-*"))
+        if skip_indent is not None:
+            if indent > skip_indent:
+                continue
+            skip_indent = None
+        if "InMemoryRelation" in ln:
+            skip_indent = indent
+            continue
+        out.append(ln)
+    return "\n".join(out)
 
 
 def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:

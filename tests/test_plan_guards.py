@@ -38,17 +38,23 @@ def test_heavy_family_plans_keep_their_shape(spark, sf_dir):
 def test_pitch_tempo_pin_holds(spark, sf_dir):
     """The r10 audit caught the pitch/tempo frame tables re-running
     their ranking window once per consuming subtree (24 parquet scans
-    in the executed plan). The fix pins (localCheckpoints) the table;
-    this guard asserts the executed plan reads the checkpoint instead
-    of re-scanning parquet, so the regression can't sneak back."""
+    in the executed plan). The fix materializes the table once (r12:
+    pin_big — persist + count, so the cached lineage stays printed
+    under InMemoryRelation but executes only at the fill barrier);
+    this guard asserts the executed plan's LIVE operators read the
+    materialization instead of re-scanning parquet, so the regression
+    can't sneak back."""
     import __spark_entry__ as entry
+    from pennsieve_streaming_spark.util import live_plan_tree
 
     for name in ("mm_audio_pitch", "mm_audio_tempo"):
         df = entry.queries()[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = live_plan_tree(
+            df._jdf.queryExecution().executedPlan().toString()
+        )
         n_scans = plan.count("FileScan") + plan.count("Scan parquet")
-        assert n_scans == 0, f"{name}: {n_scans} raw scans after pin"
+        assert n_scans == 0, f"{name}: {n_scans} live raw scans after pin"
         assert "CartesianProduct" not in plan
 
 
@@ -57,17 +63,21 @@ def test_fingerprint_pin_holds(spark, sf_dir):
     re-running the per-frame FFT pandas stage once per consuming
     subtree (30 parquet scans in mm_audio_offset_search's planned
     query, 24 in mm_audio_match_pairs — the pitch/tempo replay
-    disease in the fingerprint family). The fix pins the narrow
-    (channel, win, fp) tables; this guard asserts the executed plan
-    reads the checkpoints instead of re-scanning parquet."""
+    disease in the fingerprint family). The fix materializes the
+    narrow (channel, win, fp) tables once (r12: pin_big); this guard
+    asserts the executed plan's LIVE operators read the
+    materializations instead of re-scanning parquet."""
     import __spark_entry__ as entry
+    from pennsieve_streaming_spark.util import live_plan_tree
 
     for name in ("mm_audio_match_pairs", "mm_audio_offset_search"):
         df = entry.queries()[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = live_plan_tree(
+            df._jdf.queryExecution().executedPlan().toString()
+        )
         n_scans = plan.count("FileScan") + plan.count("Scan parquet")
-        assert n_scans == 0, f"{name}: {n_scans} raw scans after pin"
+        assert n_scans == 0, f"{name}: {n_scans} live raw scans after pin"
         assert "CartesianProduct" not in plan
 
 

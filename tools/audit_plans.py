@@ -10,6 +10,13 @@ operators that matter at scale: parquet scans, Exchange,
 SortMergeJoin, CartesianProduct, BroadcastNestedLoopJoin, and the
 Python-boundary nodes. Output is a JSON list sorted by scan count —
 the §13-style replay audit, runnable every round.
+
+r12: counts are taken over the LIVE plan tree only
+(util.live_plan_tree): persisted (pin_big) intermediates print their
+cached lineage under InMemoryRelation, which executes once at the
+fill barrier, not per consumer — counting it would make every cache
+look like a replay. Counts are therefore single (tree-only), not the
+old formatted-grep x2 convention.
 """
 
 from __future__ import annotations
@@ -23,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry  # noqa: E402
 from pennsieve_streaming_spark.session import get_spark  # noqa: E402
+from pennsieve_streaming_spark.util import live_plan_tree  # noqa: E402
 
 PATTERNS = {
     "scan_parquet": "Scan parquet",
@@ -52,9 +60,10 @@ def main() -> None:
                     "formatted"
                 )
             )
+            live = live_plan_tree(plan)
             row = {"query": name}
             for key, pat in PATTERNS.items():
-                row[key] = plan.count(pat)
+                row[key] = live.count(pat)
             rows.append(row)
         except Exception:
             rows.append({"query": name, "error": traceback.format_exc(limit=2)})

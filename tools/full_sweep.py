@@ -63,11 +63,16 @@ for name in {names!r}:
     try:
         df = qs[name](spark, sf)
         cols = sorted(df.columns)
-        s = sorted(tuple(norm(r[c]) for c in cols) for r in df.collect())
+        # key=repr: a total order even when a nullable column mixes None
+        # with values (tuple comparison would raise TypeError and
+        # surface as ERROR instead of a comparison — ADVICE r11);
+        # equality still compares the actual normalized tuples.
+        s = sorted((tuple(norm(r[c]) for c in cols) for r in df.collect()),
+                   key=repr)
         res = con.execute(osql[name])
         dc = [d[0] for d in res.description]
-        d = sorted(tuple(norm(row[dc.index(c)]) for c in cols)
-                   for row in res.fetchall())
+        d = sorted((tuple(norm(row[dc.index(c)]) for c in cols)
+                    for row in res.fetchall()), key=repr)
         if s != d:
             bad.append(name)
     except Exception as ex:

@@ -54,11 +54,21 @@ def main() -> None:
         try:
             df = qs[name](spark, sf)
             cols = sorted(df.columns)
-            s = sorted(tuple(norm(r[c]) for c in cols) for r in df.collect())
+            # key=repr: a total order even when a nullable column
+            # mixes None with values (tuple comparison would raise
+            # TypeError and surface as ERROR instead of a comparison
+            # — ADVICE r11); equality still compares the tuples.
+            s = sorted(
+                (tuple(norm(r[c]) for c in cols) for r in df.collect()),
+                key=repr,
+            )
             res = con.execute(osql[name])
             dc = [d[0] for d in res.description]
-            d = sorted(tuple(norm(row[dc.index(c)]) for c in cols)
-                       for row in res.fetchall())
+            d = sorted(
+                (tuple(norm(row[dc.index(c)]) for c in cols)
+                 for row in res.fetchall()),
+                key=repr,
+            )
             ok = s == d
         except Exception as ex:
             bad.append(name + ": " + repr(ex)[:160])
