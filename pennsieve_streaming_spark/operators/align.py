@@ -124,6 +124,17 @@ def _blocked_halo_union(
     blk = int(block_us)
     if blk <= 0:
         raise ValueError(f"block_us must be positive, got {block_us}")
+    # NOT materialized, deliberately (optimization r12): this function
+    # references ``u`` from three subtrees (sample-side block
+    # summaries, the target-block list, the returned union the caller
+    # windows over), which plans as 5 scans — but every replay is a
+    # column-pruned scan + project + union, the CHEAPEST possible
+    # lineage, while ``u`` itself is |samples|+|probes| rows of
+    # payload. Materializing a corpus-sized table to save cheap
+    # narrow re-scans inverts the recompute-cheap rule (guide §8);
+    # the r12 A/B measured a pin_big here 27% SLOWER at sf0.1
+    # (interleaved min-of-3) and at 100 TB it would write the whole
+    # union to executor storage. The replayed scans stay.
     extra = [c for c in u.columns if c not in ("channel", "ts", "value", flag)]
     extra_types = {c: u.schema[c].dataType for c in extra}
 

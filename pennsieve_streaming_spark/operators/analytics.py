@@ -281,23 +281,36 @@ def funnel_steps(events: DataFrame, steps: list[str]) -> DataFrame:
     would not scale to long funnels), with a broadcast step-name dim
     filling unreached tail steps with 0.
     """
-    from pennsieve_streaming_spark.util import pin_big
+    import os
 
-    # Each stage's per-user frame is MATERIALIZED ONCE (optimization
-    # r11/r12): stage i feeds both its union branch and stage i+1's
-    # join, so without the barrier stage 0's filtered events scan
-    # replayed in every later stage (K scans of step 0, K-1 of step 1,
-    # ... — quadratic in funnel depth). pin_big (persist + count, not
-    # localCheckpoint) because the frames are |users| rows — unbounded
-    # at scale — and because the materialized cache carries real size
-    # statistics: the planner broadcasts a small frame and degrades to
-    # a shuffle join when the user population outgrows the broadcast
-    # limit, instead of a forced-broadcast hard failure (ADVICE r11).
-    # NOTE the operator is EAGER by design: each stage runs a
-    # construction-time count job (K+1 tiny jobs total) — the price of
-    # the barrier that stops AQE's concurrent subtrees recomputing
-    # every stage.
-    cur = pin_big(
+    from pennsieve_streaming_spark.util import pin
+
+    # Each stage's per-user frame is PINNED (optimization r11): stage
+    # i feeds both its union branch and stage i+1's join, so without
+    # the pin stage 0's filtered events scan replayed in every later
+    # stage (K scans of step 0, K-1 of step 1, ... — quadratic in
+    # funnel depth). Pinned frames are |users| rows each. NOTE the
+    # operator is EAGER by design: each stage runs construction-time
+    # materialization + count jobs — the price of the barrier that
+    # stops AQE's concurrent subtrees recomputing every stage.
+    #
+    # The stage join's broadcast is SIZE-GATED (ADVICE r11, medium):
+    # the checkpoint strips the size statistics the planner used, and
+    # an unconditional F.broadcast of the unbounded per-user frame
+    # could blow the broadcast limit / driver memory at the 100 TB
+    # target. The frame is already materialized, so the gate count is
+    # a cheap job over stored blocks; above the cap the hint is
+    # dropped and the planner shuffle-joins. (A persist()+count
+    # pin_big variant that restores real stats was A/B'd and measured
+    # +54% wall at sf0.1 — AQE TableCacheQueryStage round-trips — so
+    # the gated checkpoint keeps both the speed and the safety.)
+    cap = int(os.environ.get("SPARK_GRAFT_FUNNEL_BROADCAST_CAP", "5000000"))
+
+    def _stage_join_side(frame):
+        n = frame.limit(cap + 1).count()
+        return F.broadcast(frame) if n <= cap else frame
+
+    cur = pin(
         events.filter(F.col("event_type") == steps[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("t"))
@@ -306,10 +319,10 @@ def funnel_steps(events: DataFrame, steps: list[str]) -> DataFrame:
         cur.select(F.lit(0).cast("long").alias("step_idx"), "user_id")
     ]
     for i, step in enumerate(steps[1:], start=1):
-        cur = pin_big(
+        cur = pin(
             events.filter(F.col("event_type") == step)
             .select("user_id", F.col("ts").alias("ts_n"))
-            .join(cur, "user_id")
+            .join(_stage_join_side(cur), "user_id")
             .filter(F.col("ts_n") > F.col("t"))
             .groupBy("user_id")
             .agg(F.min("ts_n").alias("t"))
@@ -2347,12 +2360,18 @@ def mann_whitney(events: DataFrame, quant: int = 100) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    from pennsieve_streaming_spark.util import pin
+
     q = int(quant)
     ev = events.select(
         "event_type",
         F.expr(f"CAST(round(value * {q}) AS BIGINT)").alias("vq"),
     )
-    types = ev.select("event_type").distinct()
+    # pin the type vocabulary (optimization r12): the pair table's
+    # self-join referenced types.distinct() twice, and each leg
+    # replayed a full events scan + distinct shuffle. |types| is a
+    # vocabulary — provably small, the pin() class.
+    types = pin(ev.select("event_type").distinct())
     pairs = (
         types.select(F.col("event_type").alias("type_a"))
         .join(

@@ -62,16 +62,19 @@ def pin_big(df: DataFrame, eager: bool = True) -> DataFrame:
 
 
 def live_plan_tree(plan: str) -> str:
-    """The tree portion of a plan string with every
-    ``InMemoryRelation`` subtree removed — i.e. only the operators
-    that EXECUTE when the query runs. A persisted (pin_big) table
-    prints its cached lineage (including the original parquet scan)
-    under the InMemoryRelation node in both ``toString`` and
-    ``formatted`` output, but that lineage ran once at the cache-fill
-    barrier, not per consumer — counting it as a live scan would make
-    every cache look like a replay. Formatted-mode detail sections
-    (lines starting ``(n) ``) are dropped too, so every operator is
-    counted exactly once."""
+    """The tree portion of a plan string with every cached-lineage
+    subtree removed — i.e. only the operators that EXECUTE when the
+    query runs. A persisted (pin_big) table prints its cached lineage
+    (including the original parquet scan) under the cache node —
+    ``toString`` nests an InMemoryRelation beneath the
+    InMemoryTableScan; ``formatted`` mode nests the cached plan
+    DIRECTLY under the InMemoryTableScan line with no
+    InMemoryRelation tree line — but that lineage ran once at the
+    cache-fill barrier, not per consumer; counting it as live would
+    make every cache look like a replay. The InMemoryTableScan line
+    itself is kept (it IS the live read); everything nested deeper is
+    dropped. Formatted-mode detail sections (lines starting ``(n) ``)
+    are dropped too, so every operator is counted exactly once."""
     import re
 
     out: list[str] = []
@@ -88,7 +91,58 @@ def live_plan_tree(plan: str) -> str:
             skip_indent = indent
             continue
         out.append(ln)
+        if "InMemoryTableScan" in ln:
+            skip_indent = indent
     return "\n".join(out)
+
+
+def live_plan_nodes(df: DataFrame, executed: bool = False) -> list[str]:
+    """Node names of the operators that EXECUTE when ``df`` runs —
+    the JVM plan tree walked directly, never descending into a cached
+    relation (``InMemoryTableScan``: the cache node itself is live,
+    its stored lineage ran once at the fill barrier). String-parsing
+    the explain output is NOT reliable for this: formatted mode nests
+    a cached plan's own AQE dump ("== Final Plan ==" blocks) at the
+    same indentation as tree siblings, so any indent-based skip either
+    leaks cached operators or swallows live ones (the r12 audit hit
+    both). AQE wrapper nodes are traversed through: an
+    ``AdaptiveSparkPlan`` contributes its current executed plan, a
+    ``*QueryStage`` its wrapped plan.
+
+    ``executed=False`` walks ``sparkPlan`` (pre-AQE, the planning
+    shape); ``executed=True`` walks ``executedPlan`` (post-AQE, what
+    actually ran — use after an action)."""
+    qe = df._jdf.queryExecution()
+    root = qe.executedPlan() if executed else qe.sparkPlan()
+    names: list[str] = []
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        name = str(node.nodeName())
+        if name == "AdaptiveSparkPlan":
+            stack.append(node.executedPlan())
+            continue
+        if "QueryStage" in name and hasattr(node, "plan"):
+            stack.append(node.plan())
+            continue
+        names.append(name)
+        if "InMemoryTableScan" in name:
+            continue
+        children = node.children()
+        for i in range(children.length()):
+            stack.append(children.apply(i))
+    return names
+
+
+def live_plan_counts(df: DataFrame, patterns: dict, executed: bool = False) -> dict:
+    """Count live operators by substring over :func:`live_plan_nodes`
+    (substring, to keep the audit's historical grep semantics — e.g.
+    the "Exchange" pattern also counts BroadcastExchange)."""
+    names = live_plan_nodes(df, executed=executed)
+    return {
+        key: sum(1 for n in names if pat in n)
+        for key, pat in patterns.items()
+    }
 
 
 def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:

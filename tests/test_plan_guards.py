@@ -45,17 +45,18 @@ def test_pitch_tempo_pin_holds(spark, sf_dir):
     materialization instead of re-scanning parquet, so the regression
     can't sneak back."""
     import __spark_entry__ as entry
-    from pennsieve_streaming_spark.util import live_plan_tree
+    from pennsieve_streaming_spark.util import live_plan_counts
 
     for name in ("mm_audio_pitch", "mm_audio_tempo"):
         df = entry.queries()[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        plan = live_plan_tree(
-            df._jdf.queryExecution().executedPlan().toString()
+        c = live_plan_counts(
+            df,
+            {"scan": "Scan parquet", "cart": "CartesianProduct"},
+            executed=True,
         )
-        n_scans = plan.count("FileScan") + plan.count("Scan parquet")
-        assert n_scans == 0, f"{name}: {n_scans} live raw scans after pin"
-        assert "CartesianProduct" not in plan
+        assert c["scan"] == 0, f"{name}: {c['scan']} live raw scans after pin"
+        assert c["cart"] == 0
 
 
 def test_fingerprint_pin_holds(spark, sf_dir):
@@ -68,17 +69,18 @@ def test_fingerprint_pin_holds(spark, sf_dir):
     asserts the executed plan's LIVE operators read the
     materializations instead of re-scanning parquet."""
     import __spark_entry__ as entry
-    from pennsieve_streaming_spark.util import live_plan_tree
+    from pennsieve_streaming_spark.util import live_plan_counts
 
     for name in ("mm_audio_match_pairs", "mm_audio_offset_search"):
         df = entry.queries()[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        plan = live_plan_tree(
-            df._jdf.queryExecution().executedPlan().toString()
+        c = live_plan_counts(
+            df,
+            {"scan": "Scan parquet", "cart": "CartesianProduct"},
+            executed=True,
         )
-        n_scans = plan.count("FileScan") + plan.count("Scan parquet")
-        assert n_scans == 0, f"{name}: {n_scans} live raw scans after pin"
-        assert "CartesianProduct" not in plan
+        assert c["scan"] == 0, f"{name}: {c['scan']} live raw scans after pin"
+        assert c["cart"] == 0
 
 
 def test_cross_corpus_broadcast_delta(spark, sf_dir):

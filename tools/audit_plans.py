@@ -11,12 +11,17 @@ SortMergeJoin, CartesianProduct, BroadcastNestedLoopJoin, and the
 Python-boundary nodes. Output is a JSON list sorted by scan count —
 the §13-style replay audit, runnable every round.
 
-r12: counts are taken over the LIVE plan tree only
-(util.live_plan_tree): persisted (pin_big) intermediates print their
-cached lineage under InMemoryRelation, which executes once at the
-fill barrier, not per consumer — counting it would make every cache
-look like a replay. Counts are therefore single (tree-only), not the
-old formatted-grep x2 convention.
+r12: counts are taken over the LIVE operators only, by walking the
+JVM plan tree (util.live_plan_counts) and never descending into a
+cached relation: persisted (pin_big) intermediates carry their cached
+lineage under InMemoryTableScan, which executes once at the fill
+barrier, not per consumer — counting it would make every cache look
+like a replay. (String-grepping the explain output cannot express
+this: formatted mode nests a cached plan's AQE dump at sibling
+indentation.) Counts are therefore single (per live node), not the
+old formatted-grep x2 convention. The walked plan is the PREPARED
+plan (post EnsureRequirements, initial AQE plan), so Exchange counts
+are the planning shape.
 """
 
 from __future__ import annotations
@@ -30,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry  # noqa: E402
 from pennsieve_streaming_spark.session import get_spark  # noqa: E402
-from pennsieve_streaming_spark.util import live_plan_tree  # noqa: E402
+from pennsieve_streaming_spark.util import live_plan_counts  # noqa: E402
 
 PATTERNS = {
     "scan_parquet": "Scan parquet",
@@ -55,15 +60,8 @@ def main() -> None:
     for name, build in queries.items():
         try:
             df = build(spark, sf_dir)
-            plan = df._jdf.queryExecution().explainString(
-                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                    "formatted"
-                )
-            )
-            live = live_plan_tree(plan)
             row = {"query": name}
-            for key, pat in PATTERNS.items():
-                row[key] = live.count(pat)
+            row.update(live_plan_counts(df, PATTERNS, executed=True))
             rows.append(row)
         except Exception:
             rows.append({"query": name, "error": traceback.format_exc(limit=2)})
